@@ -1,13 +1,339 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+import graft.core.{Exact, Tables}
+import graft.clean.Clean
+import graft.staging.Staging
+import graft.warehouse.Warehouse
+import graft.validate.Expectations
+import graft.taxi.TaxiShape
+
+/** Driver contract — one named query per implemented operator from
+  * SURVEY.md §2, each with a DuckDB-equivalent oracle statement.
+  * Column names/types are kept exactly identical between the Spark
+  * plan and the oracle SQL (the driver hash-compares values after
+  * sorting columns by name). Double aggregates go through
+  * [[graft.core.Exact]] so both engines produce bit-identical sums.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    q1Agg(spark, "/root/testdata/sf0.001")
+
+  // =================================================================
+  // parity queries (SURVEY.md §2 / §7.5)
+  // =================================================================
+
+  /** A1-lite flagship: calendar-derived keys + exact grouped sums. */
+  private def q1Agg(spark: SparkSession, dir: String): DataFrame =
+    TaxiShape.staging(spark, dir)
+      .groupBy(col("year"), col("month"), col("dow"), col("service_type"))
+      .agg(
+        count(lit(1)).as("n_trips"),
+        Exact.dsum(col("passenger_count")).as("sum_passengers"),
+        Exact.dsum(col("fare_amount")).as("sum_fare"),
+        Exact.dsum(col("total_amount")).as("sum_total"))
+
+  /** A1 full: the reference's staging aggregate — grouping keys include
+    * the raw timestamps (dedup-and-sum semantics, datalake_to_dw.py:104-130). */
+  private def stagingAgg(spark: SparkSession, dir: String): DataFrame =
+    Staging.stagingAggregate(
+      TaxiShape.staging(spark, dir),
+      keys = Seq("year", "month", "dow", "vendor_id", "rate_code_id",
+        "pickup_location_id", "dropoff_location_id", "payment_type_id",
+        "pickup_datetime", "dropoff_datetime",
+        "pickup_latitude", "pickup_longitude",
+        "dropoff_latitude", "dropoff_longitude"))
+
+  /** P1+P3+P6+P12+F2 — the clean-stage pipeline on `events`, fed
+    * mixed-case input to exercise lowercase normalization. */
+  private def cleanNormalize(spark: SparkSession, dir: String): DataFrame = {
+    val raw = Tables.events(spark, dir).select(
+      col("event_id").as("EVENT_ID"), col("ts").as("TS"),
+      col("user_id").as("USER_ID"), col("event_type").as("Event_Type"),
+      col("value").as("Value"), col("props").as("PROPS"))
+    val cleaned = Clean.dropNullRows(
+      Clean.castColumns(
+        Clean.dropColumns(Clean.lowercaseColumns(raw), "props"),
+        Map("user_id" -> "int")))
+    Clean.sortColumns(cleaned)
+  }
+
+  /** J1 — double zone-lookup enrichment via broadcast inner joins;
+    * unmatched location ids are silently dropped (pandas-merge parity). */
+  private def zoneEnrich(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val trips = l.select(
+      col("l_orderkey"), col("l_linenumber"),
+      (col("l_partkey") % 12).cast("int").as("pulocationid"),
+      (col("l_suppkey") % 12).cast("int").as("dolocationid"),
+      col("l_extendedprice").as("fare_amount"))
+    val lookup = Tables.supplier(spark, dir).select(
+      col("s_suppkey").cast("int").as("LocationID"),
+      (col("s_suppkey") % 180 - 90).cast("double").as("latitude"),
+      (col("s_suppkey") % 360 - 180).cast("double").as("longitude"))
+    Clean.zoneEnrich(
+      Clean.zoneEnrich(trips, lookup, "pulocationid", "pickup"),
+      lookup, "dolocationid", "dropoff")
+  }
+
+  private def stagingOf(spark: SparkSession, dir: String): DataFrame =
+    TaxiShape.staging(spark, dir)
+
+  /** F5/A4 — the GX-equivalent 12-rule suite in one aggregate pass,
+    * over a staging frame with injected violations so counts are
+    * non-trivial. */
+  private def validateSuite(spark: SparkSession, dir: String): DataFrame = {
+    val s = stagingOf(spark, dir)
+      .withColumn("vendor_id", expr("nullif(vendor_id, 0)"))
+      .withColumn("trip_distance",
+        when(col("payment_type_id") === 6, col("trip_distance") * 100)
+          .otherwise(col("trip_distance")))
+    Expectations.report(s, Expectations.referenceSuite)
+  }
+
+  /** U1 — union all (reference example model). */
+  private def unionAll(spark: SparkSession, dir: String): DataFrame = {
+    val r = Tables.region(spark, dir).select(col("r_regionkey"), col("r_name"))
+    r.unionAll(r.filter(col("r_regionkey") < 3))
+  }
+
+  /** P10+P11 — Debezium-envelope build + parse roundtrip (batch mode)
+    * with epoch-micros → timestamp conversion. */
+  private def cdcParse(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val env = ev.select(to_json(struct(struct(struct(
+      col("event_id"), col("user_id"), col("event_type"),
+      unix_micros(col("ts").cast("timestamp")).as("ts_us")).as("after")).as("payload"))).as("value"))
+    val afterSchema = new StructType()
+      .add("event_id", LongType).add("user_id", LongType)
+      .add("event_type", StringType).add("ts_us", LongType)
+    val schema = new StructType().add("payload",
+      new StructType().add("after", afterSchema))
+    env.select(from_json(col("value"), schema).as("data"))
+      .select(col("data.payload.after.*"))
+      .withColumn("event_ts", timestamp_micros(col("ts_us")).cast("timestamp_ntz"))
+  }
+
+  /** JSON property extraction from the events `props` column. */
+  private def jsonExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir).select(
+      col("event_id"),
+      get_json_object(col("props"), "$.k").cast("int").as("k"))
+
+  /** Window ranking extension: top-3 orders per customer. */
+  private def windowTopk(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(spark, dir)
+      .withColumn("rn", row_number().over(w).cast("bigint"))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+  }
+
+  /** Event-time tumbling (hourly) aggregation — the batch twin of the
+    * streaming windowed count (§2.11 extension). */
+  private def eventsWindowAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(date_trunc("hour", col("ts")).cast("timestamp_ntz").as("hour_start"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), Exact.dsum(col("value")).as("sum_value"))
+
+  // =================================================================
+  // oracle SQL fragments
+  // =================================================================
+
+  private val sk1 = TaxiShape.surrogateKeySql _
+
+  private def dimVendorSql =
+    s"""${TaxiShape.stagingSql}, v AS (SELECT DISTINCT vendor_id FROM staging WHERE vendor_id IS NOT NULL)
+       |SELECT ${TaxiShape.surrogateKeySql("vendor_id")} AS vendor_key,
+       |  CAST(vendor_id AS INT) AS vendor_id,
+       |  CASE CAST(vendor_id AS INT) WHEN 1 THEN 'Creative Mobile Technologies' WHEN 2 THEN 'VeriFone Inc' ELSE 'Other' END AS vendor_name
+       |FROM v WHERE CAST(vendor_id AS INT) < 3 ORDER BY vendor_id ASC""".stripMargin
+
+  private def dimRateCodeSql =
+    s"""${TaxiShape.stagingSql}, v AS (SELECT DISTINCT rate_code_id FROM staging WHERE rate_code_id IS NOT NULL)
+       |SELECT ${TaxiShape.surrogateKeySql("rate_code_id")} AS rate_code_key,
+       |  CAST(rate_code_id AS INT) AS rate_code_id,
+       |  CASE CAST(rate_code_id AS INT) WHEN 1 THEN 'Standard rate' WHEN 2 THEN 'JFK' WHEN 3 THEN 'Newark' WHEN 4 THEN 'Nassau or Westchester' WHEN 5 THEN 'Negotiated fare' WHEN 6 THEN 'Group ride' ELSE 'Other' END AS rate_code_description
+       |FROM v WHERE CAST(rate_code_id AS INT) < 7 ORDER BY rate_code_id ASC""".stripMargin
+
+  private def dimPaymentSql =
+    s"""${TaxiShape.stagingSql}, v AS (SELECT DISTINCT payment_type_id FROM staging WHERE payment_type_id IS NOT NULL)
+       |SELECT ${TaxiShape.surrogateKeySql("payment_type_id")} AS payment_type_key,
+       |  CAST(payment_type_id AS INT) AS payment_type_id,
+       |  CASE CAST(payment_type_id AS INT) WHEN 1 THEN 'Credit card' WHEN 2 THEN 'Cash' WHEN 3 THEN 'No charge' WHEN 4 THEN 'Dispute' WHEN 5 THEN 'Unknown' WHEN 6 THEN 'Voided trip' ELSE 'Other' END AS payment_description
+       |FROM v ORDER BY payment_type_id ASC""".stripMargin
+
+  private def dimServiceTypeSql =
+    s"""${TaxiShape.stagingSql}, v AS (SELECT DISTINCT service_type FROM staging WHERE service_type IS NOT NULL)
+       |SELECT CAST(service_type AS INT) AS service_type_id,
+       |  CASE CAST(service_type AS INT) WHEN 1 THEN 'Yellow' WHEN 2 THEN 'Green' ELSE 'Other' END AS service_name
+       |FROM v ORDER BY service_type_id ASC""".stripMargin
+
+  private def dimPickupLocationSql =
+    s"""${TaxiShape.stagingSql}
+       |SELECT DISTINCT pickup_location_id, pickup_latitude, pickup_longitude
+       |FROM staging WHERE pickup_location_id IS NOT NULL
+       |ORDER BY pickup_location_id ASC""".stripMargin
+
+  private def dimDropoffLocationSql =
+    s"""${TaxiShape.stagingSql}
+       |SELECT DISTINCT dropoff_location_id, dropoff_latitude, dropoff_longitude
+       |FROM staging WHERE dropoff_location_id IS NOT NULL
+       |ORDER BY dropoff_location_id ASC""".stripMargin
+
+  private def factTripSql = {
+    val tripId = TaxiShape.surrogateKeySql(
+      "s.vendor_id", "s.rate_code_id", "s.pickup_location_id",
+      "s.dropoff_location_id", "s.payment_type_id", "s.service_type",
+      "s.pickup_datetime", "s.dropoff_datetime")
+    s"""${TaxiShape.stagingSql},
+       |dv AS (SELECT ${TaxiShape.surrogateKeySql("vendor_id")} AS vendor_key, CAST(vendor_id AS INT) AS vendor_id
+       |       FROM (SELECT DISTINCT vendor_id FROM staging WHERE vendor_id IS NOT NULL) WHERE CAST(vendor_id AS INT) < 3),
+       |dr AS (SELECT ${TaxiShape.surrogateKeySql("rate_code_id")} AS rate_code_key, CAST(rate_code_id AS INT) AS rate_code_id
+       |       FROM (SELECT DISTINCT rate_code_id FROM staging WHERE rate_code_id IS NOT NULL) WHERE CAST(rate_code_id AS INT) < 7),
+       |dp AS (SELECT ${TaxiShape.surrogateKeySql("payment_type_id")} AS payment_type_key, CAST(payment_type_id AS INT) AS payment_type_id
+       |       FROM (SELECT DISTINCT payment_type_id FROM staging WHERE payment_type_id IS NOT NULL))
+       |SELECT $tripId AS trip_id, dv.vendor_key, dr.rate_code_key,
+       |  s.pickup_location_id, s.dropoff_location_id, dp.payment_type_key,
+       |  s.service_type AS service_type_id, s.pickup_datetime, s.dropoff_datetime,
+       |  s.passenger_count, s.trip_distance, s.extra, s.mta_tax, s.fare_amount,
+       |  s.tip_amount, s.tolls_amount, s.total_amount, s.improvement_surcharge,
+       |  s.congestion_surcharge
+       |FROM staging s
+       |JOIN dv ON CAST(s.vendor_id AS INT) = dv.vendor_id
+       |JOIN dr ON CAST(s.rate_code_id AS INT) = dr.rate_code_id
+       |JOIN dp ON CAST(s.payment_type_id AS INT) = dp.payment_type_id""".stripMargin
+  }
+
+  // =================================================================
+  // registry
+  // =================================================================
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> (q1Agg(_, _)),
+    "staging_agg" -> (stagingAgg(_, _)),
+    "clean_normalize" -> (cleanNormalize(_, _)),
+    "zone_enrich" -> (zoneEnrich(_, _)),
+    "dim_vendor" -> ((s, d) => Warehouse.dimVendor(stagingOf(s, d))),
+    "dim_rate_code" -> ((s, d) => Warehouse.dimRateCode(stagingOf(s, d))),
+    "dim_payment" -> ((s, d) => Warehouse.dimPayment(stagingOf(s, d))),
+    "dim_service_type" -> ((s, d) => Warehouse.dimServiceType(stagingOf(s, d))),
+    "dim_pickup_location" -> ((s, d) => Warehouse.dimPickupLocation(stagingOf(s, d))),
+    "dim_dropoff_location" -> ((s, d) => Warehouse.dimDropoffLocation(stagingOf(s, d))),
+    "fact_trip" -> ((s, d) => Warehouse.factTrip(stagingOf(s, d))),
+    "validate_suite" -> (validateSuite(_, _)),
+    "union_all" -> (unionAll(_, _)),
+    "cdc_parse" -> (cdcParse(_, _)),
+    "json_extract" -> (jsonExtract(_, _)),
+    "window_topk" -> (windowTopk(_, _)),
+    "events_window_agg" -> (eventsWindowAgg(_, _)),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      s"""${TaxiShape.stagingSql}
+         |SELECT year, month, dow, service_type, count(*) AS n_trips,
+         |  CAST(SUM(CAST(passenger_count AS DECIMAL(18,2))) AS DOUBLE) AS sum_passengers,
+         |  CAST(SUM(CAST(fare_amount AS DECIMAL(18,2))) AS DOUBLE) AS sum_fare,
+         |  CAST(SUM(CAST(total_amount AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+         |FROM staging GROUP BY year, month, dow, service_type""".stripMargin,
+    "staging_agg" ->
+      s"""${TaxiShape.stagingSql}
+         |SELECT year, month, dow, vendor_id, rate_code_id, pickup_location_id,
+         |  dropoff_location_id, payment_type_id, pickup_datetime, dropoff_datetime,
+         |  pickup_latitude, pickup_longitude, dropoff_latitude, dropoff_longitude,
+         |  CAST(SUM(CAST(passenger_count AS DECIMAL(18,2))) AS DOUBLE) AS passenger_count,
+         |  CAST(SUM(CAST(trip_distance AS DECIMAL(18,2))) AS DOUBLE) AS trip_distance,
+         |  CAST(SUM(CAST(extra AS DECIMAL(18,2))) AS DOUBLE) AS extra,
+         |  CAST(SUM(CAST(mta_tax AS DECIMAL(18,2))) AS DOUBLE) AS mta_tax,
+         |  CAST(SUM(CAST(fare_amount AS DECIMAL(18,2))) AS DOUBLE) AS fare_amount,
+         |  CAST(SUM(CAST(tip_amount AS DECIMAL(18,2))) AS DOUBLE) AS tip_amount,
+         |  CAST(SUM(CAST(tolls_amount AS DECIMAL(18,2))) AS DOUBLE) AS tolls_amount,
+         |  CAST(SUM(CAST(total_amount AS DECIMAL(18,2))) AS DOUBLE) AS total_amount,
+         |  CAST(SUM(CAST(improvement_surcharge AS DECIMAL(18,2))) AS DOUBLE) AS improvement_surcharge,
+         |  CAST(SUM(CAST(congestion_surcharge AS DECIMAL(18,2))) AS DOUBLE) AS congestion_surcharge
+         |FROM staging
+         |GROUP BY year, month, dow, vendor_id, rate_code_id, pickup_location_id,
+         |  dropoff_location_id, payment_type_id, pickup_datetime, dropoff_datetime,
+         |  pickup_latitude, pickup_longitude, dropoff_latitude, dropoff_longitude""".stripMargin,
+    "clean_normalize" ->
+      """SELECT event_id, event_type, ts, CAST(user_id AS INT) AS user_id, value
+        |FROM events
+        |WHERE event_id IS NOT NULL AND ts IS NOT NULL AND user_id IS NOT NULL
+        |  AND event_type IS NOT NULL AND value IS NOT NULL""".stripMargin,
+    "zone_enrich" ->
+      """WITH trips AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    CAST(l_partkey % 12 AS INT) AS pulocationid,
+        |    CAST(l_suppkey % 12 AS INT) AS dolocationid,
+        |    l_extendedprice AS fare_amount
+        |  FROM lineitem),
+        |lookup AS (
+        |  SELECT CAST(s_suppkey AS INT) AS LocationID,
+        |    CAST(s_suppkey % 180 - 90 AS DOUBLE) AS latitude,
+        |    CAST(s_suppkey % 360 - 180 AS DOUBLE) AS longitude
+        |  FROM supplier)
+        |SELECT t.l_orderkey, t.l_linenumber, t.pulocationid, t.dolocationid,
+        |  t.fare_amount,
+        |  p.latitude AS pickup_latitude, p.longitude AS pickup_longitude,
+        |  d.latitude AS dropoff_latitude, d.longitude AS dropoff_longitude
+        |FROM trips t
+        |JOIN lookup p ON t.pulocationid = p.LocationID
+        |JOIN lookup d ON t.dolocationid = d.LocationID""".stripMargin,
+    "dim_vendor" -> dimVendorSql,
+    "dim_rate_code" -> dimRateCodeSql,
+    "dim_payment" -> dimPaymentSql,
+    "dim_service_type" -> dimServiceTypeSql,
+    "dim_pickup_location" -> dimPickupLocationSql,
+    "dim_dropoff_location" -> dimDropoffLocationSql,
+    "fact_trip" -> factTripSql,
+    "validate_suite" ->
+      s"""${TaxiShape.stagingSql},
+         |v AS (SELECT staging.* REPLACE (NULLIF(vendor_id, 0) AS vendor_id,
+         |  CASE WHEN payment_type_id = 6 THEN trip_distance * 100 ELSE trip_distance END AS trip_distance)
+         |  FROM staging)
+         |SELECT
+         |  CAST(SUM(CASE WHEN vendor_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS not_null_vendor_id,
+         |  CAST(SUM(CASE WHEN rate_code_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS not_null_rate_code_id,
+         |  CAST(SUM(CASE WHEN pickup_location_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS not_null_pickup_location_id,
+         |  CAST(SUM(CASE WHEN dropoff_location_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS not_null_dropoff_location_id,
+         |  CAST(SUM(CASE WHEN payment_type_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS not_null_payment_type_id,
+         |  CAST(SUM(CASE WHEN service_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS not_null_service_type,
+         |  CAST(SUM(CASE WHEN pickup_latitude IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS not_null_pickup_latitude,
+         |  CAST(SUM(CASE WHEN pickup_longitude IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS not_null_pickup_longitude,
+         |  CAST(SUM(CASE WHEN dropoff_latitude IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS not_null_dropoff_latitude,
+         |  CAST(SUM(CASE WHEN dropoff_longitude IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS not_null_dropoff_longitude,
+         |  CAST(SUM(CASE WHEN trip_distance IS NOT NULL AND (trip_distance < 0 OR trip_distance > 100) THEN 1 ELSE 0 END) AS BIGINT) AS between_trip_distance,
+         |  CAST(SUM(CASE WHEN extra IS NOT NULL AND (extra < 0 OR extra > 3) THEN 1 ELSE 0 END) AS BIGINT) AS between_extra
+         |FROM v""".stripMargin,
+    "union_all" ->
+      """SELECT r_regionkey, r_name FROM region
+        |UNION ALL
+        |SELECT r_regionkey, r_name FROM region WHERE r_regionkey < 3""".stripMargin,
+    "cdc_parse" ->
+      """SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+        |  make_timestamp(epoch_us(ts)) AS event_ts
+        |FROM events""".stripMargin,
+    "json_extract" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS INT) AS k
+        |FROM events""".stripMargin,
+    "window_topk" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders) WHERE rn <= 3""".stripMargin,
+    "events_window_agg" ->
+      """SELECT date_trunc('hour', ts) AS hour_start, event_type,
+        |  count(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+  )
 }

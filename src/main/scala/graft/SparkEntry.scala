@@ -144,6 +144,106 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_events"), Exact.dsum(col("value")).as("sum_value"))
 
   // =================================================================
+  // north-star extensions: dedup / text analysis / similarity search
+  // =================================================================
+
+  import graft.dedup.Dedup
+  import graft.functions.TextFunctions
+  import graft.similarity.Similarity
+
+  private def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exact(Tables.documents(spark, dir))
+
+  private def dedupMinhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashNearDups(Tables.documents(spark, dir))
+
+  private def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(Tables.documents(spark, dir), maxId = 40L)
+
+  private def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashNearDups(Tables.documents(spark, dir), maxHamming = 10)
+
+  private def textStats(spark: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      length(t).cast("bigint").as("len_chars"),
+      TextFunctions.wsTokenCount(t).as("n_tokens"),
+      TextFunctions.stopwordCount(t).as("n_stopwords"),
+      TextFunctions.punctCount(t).as("n_punct"),
+      TextFunctions.tokenLenSum(t).as("token_len_sum"))
+      .withColumn("stopword_ratio",
+        col("n_stopwords").cast("double") / col("n_tokens").cast("double"))
+      .withColumn("avg_token_len",
+        col("token_len_sum").cast("double") / col("n_tokens").cast("double"))
+  }
+
+  private def textLangId(spark: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    val scored = Tables.documents(spark, dir).select(
+      (Seq(col("doc_id"), col("lang")) ++
+        TextFunctions.langMarkers.map { case (l, m) =>
+          TextFunctions.langScore(t, m).as(s"s_$l") }): _*)
+    scored.withColumn("lang_pred", {
+      val all = TextFunctions.langMarkers.map { case (l, _) => col(s"s_$l") }
+      when(all.reduce(_ + _) === 0, "und")
+        .when(col("s_en") >= greatest(col("s_de"), col("s_fr"), col("s_es")), "en")
+        .when(col("s_de") >= greatest(col("s_en"), col("s_fr"), col("s_es")), "de")
+        .when(col("s_fr") >= greatest(col("s_en"), col("s_de"), col("s_es")), "fr")
+        .otherwise("es")
+    })
+  }
+
+  private def tokenCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      TextFunctions.wsTokenCount(col("text")).as("ws_tokens"),
+      TextFunctions.bpeTokenCount(col("text")).as("bpe_tokens"))
+
+  private def docFingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"), TextFunctions.fingerprint(col("text")).as("fingerprint"))
+
+  private def simTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    Similarity.bruteForceTopK(e.select("vec_id", "embedding"), queries, k = 5)
+  }
+
+  private def simLsh(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    Similarity.lshTopK(e.select("vec_id", "embedding"), queries, dim = 64, k = 5)
+  }
+
+  /** Threshold 0.4: the synthetic embeddings carry no true near-dups
+    * (max pairwise cosine ≈ 0.51), so a production-style 0.95 cutoff
+    * would legitimately return zero rows; 0.4 keeps the pipeline
+    * observable end-to-end. */
+  private def embedNearDup(spark: SparkSession, dir: String): DataFrame =
+    Similarity.cosineNearDups(
+      Tables.embeddings(spark, dir).select("vec_id", "embedding"),
+      dim = 64, threshold = 0.4)
+
+  // ---- oracle fragments shared by the text/dedup statements
+
+  private val toksSql = """string_split_regex(trim(lower(text)), '\s+')"""
+
+  private val shinglesSql =
+    s"""list_distinct(list_transform(range(1, len($toksSql) - 1),
+       |  i -> $toksSql[i] || ' ' || $toksSql[i+1] || ' ' || $toksSql[i+2]))""".stripMargin
+
+  private def markersSqlList(ws: Seq[String]): String =
+    ws.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  private val stopwordsSql = markersSqlList(TextFunctions.stopwords)
+
+  private def dotSql(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+
+  // =================================================================
   // oracle SQL fragments
   // =================================================================
 
@@ -234,6 +334,17 @@ object SparkEntry {
     "json_extract" -> (jsonExtract(_, _)),
     "window_topk" -> (windowTopk(_, _)),
     "events_window_agg" -> (eventsWindowAgg(_, _)),
+    "dedup_exact" -> (dedupExact(_, _)),
+    "dedup_minhash" -> (dedupMinhash(_, _)),
+    "dedup_ngram_jaccard" -> (dedupNgramJaccard(_, _)),
+    "dedup_simhash" -> (dedupSimhash(_, _)),
+    "text_stats" -> (textStats(_, _)),
+    "text_langid" -> (textLangId(_, _)),
+    "token_count" -> (tokenCount(_, _)),
+    "doc_fingerprint" -> (docFingerprint(_, _)),
+    "sim_topk" -> (simTopK(_, _)),
+    "sim_lsh" -> (simLsh(_, _)),
+    "embed_neardup" -> (embedNearDup(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -335,5 +446,96 @@ object SparkEntry {
         |  count(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "dedup_exact" ->
+      """SELECT md5(text) AS text_hash, count(*) AS n_copies,
+        |  min(doc_id) AS keep_id
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+    "dedup_minhash" ->
+      s"""WITH docs AS (
+         |  SELECT doc_id, $shinglesSql AS shingles FROM documents),
+         |sigs AS (
+         |  SELECT doc_id, shingles,
+         |    list_transform(range(0, 12), j ->
+         |      list_aggregate(list_transform(shingles,
+         |        s -> md5(CAST(j AS VARCHAR) || ':' || s)), 'min')) AS sig
+         |  FROM docs WHERE len(shingles) > 0),
+         |bands AS (
+         |  SELECT doc_id, b AS band_idx,
+         |    md5(sig[b*3+1] || sig[b*3+2] || sig[b*3+3]) AS band_hash
+         |  FROM sigs, range(0, 4) AS t(b)),
+         |cands AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         |  WHERE a.doc_id < b.doc_id)
+         |SELECT c.doc_a, c.doc_b,
+         |  CAST(len(list_intersect(sa.shingles, sb.shingles)) AS BIGINT) AS n_inter,
+         |  CAST(len(sa.shingles) + len(sb.shingles)
+         |    - len(list_intersect(sa.shingles, sb.shingles)) AS BIGINT) AS n_union,
+         |  CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+         |    / CAST(len(sa.shingles) + len(sb.shingles)
+         |        - len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) AS jaccard
+         |FROM cands c
+         |JOIN sigs sa ON c.doc_a = sa.doc_id
+         |JOIN sigs sb ON c.doc_b = sb.doc_id""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      s"""WITH docs AS (
+         |  SELECT doc_id, $shinglesSql AS sh FROM documents WHERE doc_id < 40),
+         |d AS (SELECT * FROM docs WHERE len(sh) > 0)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |    / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS jaccard
+         |FROM d a, d b WHERE a.doc_id < b.doc_id""".stripMargin,
+    "text_stats" ->
+      s"""SELECT doc_id, len_chars, n_tokens, n_stopwords, n_punct, token_len_sum,
+         |  CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stopword_ratio,
+         |  CAST(token_len_sum AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS avg_token_len
+         |FROM (
+         |  SELECT doc_id,
+         |    CAST(length(text) AS BIGINT) AS len_chars,
+         |    CAST(len($toksSql) AS BIGINT) AS n_tokens,
+         |    CAST(len(list_filter($toksSql, t -> list_contains($stopwordsSql, t))) AS BIGINT) AS n_stopwords,
+         |    CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS BIGINT) AS n_punct,
+         |    CAST(list_sum(list_transform($toksSql, t -> CAST(length(t) AS BIGINT))) AS BIGINT) AS token_len_sum
+         |  FROM documents)""".stripMargin,
+    "text_langid" -> {
+      val scoreCols = TextFunctions.langMarkers.map { case (l, m) =>
+        s"CAST(len(list_filter($toksSql, t -> list_contains(${markersSqlList(m)}, t))) AS BIGINT) AS s_$l"
+      }.mkString(",\n    ")
+      s"""WITH s AS (
+         |  SELECT doc_id, lang,
+         |    $scoreCols
+         |  FROM documents)
+         |SELECT doc_id, lang, s_en, s_de, s_fr, s_es,
+         |  CASE WHEN s_en + s_de + s_fr + s_es = 0 THEN 'und'
+         |       WHEN s_en >= greatest(s_de, s_fr, s_es) THEN 'en'
+         |       WHEN s_de >= greatest(s_en, s_fr, s_es) THEN 'de'
+         |       WHEN s_fr >= greatest(s_en, s_de, s_es) THEN 'fr'
+         |       ELSE 'es' END AS lang_pred
+         |FROM s""".stripMargin
+    },
+    "token_count" ->
+      s"""SELECT doc_id,
+         |  CAST(len($toksSql) AS BIGINT) AS ws_tokens,
+         |  CAST(len(regexp_extract_all(text, '${TextFunctions.bpeTokenPattern}')) AS BIGINT) AS bpe_tokens
+         |FROM documents""".stripMargin,
+    "doc_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+        |FROM documents""".stripMargin,
+    "sim_topk" -> {
+      val dotEq = dotSql("e.embedding", "q.q_emb")
+      val normE = dotSql("e.embedding", "e.embedding")
+      val normQ = dotSql("q.q_emb", "q.q_emb")
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),
+         |pairs AS (
+         |  SELECT q.q_id, e.vec_id,
+         |    $dotEq / (sqrt($normE) * sqrt($normQ)) AS cos
+         |  FROM embeddings e, q WHERE e.vec_id <> q.q_id)
+         |SELECT q_id, vec_id, rank, round(cos, 9) AS cos FROM (
+         |  SELECT q_id, vec_id, cos,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rank
+         |  FROM pairs) WHERE rank <= 5""".stripMargin
+    },
   )
 }

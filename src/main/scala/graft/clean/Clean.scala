@@ -37,7 +37,7 @@ object Clean {
     * (reference: elt_pipeline_optimized_dag.py:116-118). */
   def castIntOrZero(df: DataFrame, names: String*): DataFrame =
     names.filter(df.columns.contains).foldLeft(df) { (d, c) =>
-      d.withColumn(c, coalesce(col(c).cast("int"), lit(0)))
+      d.withColumn(c, coalesce(col(c).try_cast("int"), lit(0)))
     }
 
   /** F2 — drop rows with any null (reference: transform_data.py:117). */

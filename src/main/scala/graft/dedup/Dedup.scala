@@ -1,0 +1,137 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+
+/** Deduplication operators for training-data pipelines: exact,
+  * MinHash+LSH, SimHash, and n-gram Jaccard.
+  *
+  * Scale design:
+  *  - signatures (minhash/simhash/fingerprint) are narrow per-row
+  *    projections — no shuffle, embarrassingly parallel;
+  *  - candidate generation shuffles ONLY (doc_id, band_idx, band_hash)
+  *    triples, never text, and self-joins within LSH buckets — the
+  *    classic shingle→minhash→band→bucket-join plan that avoids the
+  *    O(n²) all-pairs comparison;
+  *  - verification re-joins candidate ids against the narrow shingle
+  *    sets, so the wide text column is read exactly once.
+  */
+object Dedup {
+
+  /** Exact dedup via hash-groupBy on the text hash: one shuffle of
+    * (md5, id) pairs, never the full text. */
+  def exact(df: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    df.groupBy(md5(col(textCol)).as("text_hash"))
+      .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("keep_id"))
+
+  /** Per-document MinHash signature: k independent min-hashes over the
+    * distinct 3-token shingles. The "hash family" is md5 seeded by the
+    * hash index — engine-portable and deterministic; the minimum is
+    * taken lexicographically over hex strings (uniform, so a valid
+    * min-hash). Docs with <3 tokens produce an empty signature and are
+    * excluded from LSH. */
+  def minhashSignatures(df: DataFrame, k: Int = 12,
+                        textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val sh = shingleSet(col(textCol))
+    df.select(col(idCol).as("doc_id"), sh.as("shingles"))
+      .filter(size(col("shingles")) > 0)
+      .withColumn("sig", transform(sequence(lit(0), lit(k - 1)), j =>
+        array_min(transform(col("shingles"), s =>
+          md5(concat(j.cast("string"), lit(":"), s))))))
+  }
+
+  /** LSH banding: k-length signature → `bands` bands of r rows each;
+    * band hash = md5 of the concatenated band slice. Output is the
+    * narrow exploded (doc_id, band_idx, band_hash). */
+  def lshBands(sigs: DataFrame, k: Int = 12, bands: Int = 4): DataFrame = {
+    val r = k / bands
+    require(bands * r == k, s"bands=$bands must divide k=$k")
+    sigs.select(col("doc_id"), posexplode(
+      transform(sequence(lit(0), lit(bands - 1)), b =>
+        md5(concat_ws("", slice(col("sig"), b * r + 1, lit(r)))))))
+      .withColumnRenamed("pos", "band_idx")
+      .withColumnRenamed("col", "band_hash")
+  }
+
+  /** Candidate pairs: docs sharing at least one LSH bucket. Shuffles
+    * only the narrow band triples; bucket-local self-join. */
+  def lshCandidates(bandsDf: DataFrame): DataFrame = {
+    val a = bandsDf.select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_a"))
+    val b = bandsDf.select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_b"))
+    a.join(b, Seq("band_idx", "band_hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+  }
+
+  /** Exact Jaccard verification of candidate pairs against the
+    * distinct-shingle sets. */
+  def verifyJaccard(candidates: DataFrame, sigs: DataFrame): DataFrame = {
+    val sa = sigs.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
+    val sb = sigs.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
+    candidates.join(sa, "doc_a").join(sb, "doc_b")
+      .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("bigint"))
+      .withColumn("n_union",
+        (size(col("sh_a")) + size(col("sh_b"))).cast("bigint") - col("n_inter"))
+      .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_union"),
+        (col("n_inter").cast("double") / col("n_union").cast("double")).as("jaccard"))
+  }
+
+  /** Full MinHash-LSH near-dup pipeline: signature → bands → bucket
+    * join → exact-Jaccard verify. */
+  def minhashNearDups(df: DataFrame, k: Int = 12, bands: Int = 4,
+                      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val sigs = minhashSignatures(df, k, textCol, idCol)
+    verifyJaccard(lshCandidates(lshBands(sigs, k, bands)), sigs)
+  }
+
+  /** Brute-force n-gram Jaccard over a bounded id range (the exact
+    * baseline the LSH path approximates; O(n²) — keep n small). */
+  def ngramJaccardPairs(df: DataFrame, maxId: Long,
+                        textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val docs = df.filter(col(idCol) < maxId)
+      .select(col(idCol).as("doc_id"), shingleSet(col(textCol)).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val a = docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    a.crossJoin(b).filter(col("doc_a") < col("doc_b"))
+      .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("bigint"))
+      .withColumn("n_union",
+        (size(col("sh_a")) + size(col("sh_b"))).cast("bigint") - col("n_inter"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("n_inter").cast("double") / col("n_union").cast("double")).as("jaccard"))
+  }
+
+  /** SimHash near-dup: 60-bit signatures; block-LSH candidate
+    * generation splits the signature into `maxHamming + 1` blocks, so by
+    * pigeonhole any pair within `maxHamming` shares at least one exact
+    * block — no candidate within the radius is ever missed. Candidates
+    * are verified by full Hamming distance. Small radii (the production
+    * setting, e.g. 3) give wide 15-bit blocks and few false candidates;
+    * large radii degrade gracefully toward more candidates. */
+  def simhashNearDups(df: DataFrame, maxHamming: Int = 3,
+                      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val sigs = df.select(col(idCol).as("doc_id"), simhash60(col(textCol)).as("sig"))
+    val nBlocks = math.min(60, maxHamming + 1)
+    // distribute 60 bits as evenly as possible across the blocks
+    val bounds = (0 to nBlocks).map(i => i * 60 / nBlocks)
+    val blocks = sigs.select(col("doc_id"), col("sig"), posexplode(
+      array((0 until nBlocks).map { b =>
+        val start = bounds(b)
+        val len = bounds(b + 1) - start
+        shiftright(col("sig"), start).bitwiseAND((1L << len) - 1)
+      }: _*)))
+      .withColumnRenamed("pos", "block_idx")
+      .withColumnRenamed("col", "block_val")
+    val a = blocks.select(col("block_idx"), col("block_val"),
+      col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+    val b = blocks.select(col("block_idx"), col("block_val"),
+      col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("block_idx", "block_val"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        hammingDist(col("sig_a"), col("sig_b")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

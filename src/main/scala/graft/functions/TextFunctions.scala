@@ -1,0 +1,110 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, quality stats, language-ID heuristic, fingerprinting.
+  *
+  * Everything here is built from codegen'd built-ins + higher-order
+  * array functions — no UDFs — so each operator is a narrow per-row
+  * projection that stays inside whole-stage codegen and scales
+  * embarrassingly parallel (no shuffle).
+  */
+object TextFunctions {
+
+  /** Whitespace tokens of the lowercased, trimmed text. */
+  def tokens(text: Column): Column = split(trim(lower(text)), "\\s+")
+
+  /** Word n-gram shingles (default 3) over `tokens`. Documents shorter
+    * than `n` tokens yield an empty array. */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val t = tokens(text)
+    when(size(t) >= n,
+      transform(sequence(lit(0), size(t) - n), i =>
+        concat_ws(" ", (0 until n).map(o => element_at(t, i + o + 1)): _*)))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Distinct shingle set (for Jaccard/MinHash). */
+  def shingleSet(text: Column, n: Int = 3): Column = array_distinct(shingles(text, n))
+
+  /** Whitespace token count. */
+  def wsTokenCount(text: Column): Column = size(tokens(text)).cast("bigint")
+
+  /** BPE-ish subword proxy: runs of letters, runs of digits, and single
+    * punctuation marks each count as one token. */
+  val bpeTokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(bpeTokenPattern), lit(0))).cast("bigint")
+
+  /** English stopword list used by the quality score (fixed, small). */
+  val stopwords: Seq[String] = Seq(
+    "the", "a", "an", "of", "and", "or", "to", "in", "is", "it",
+    "on", "for", "with", "as", "at", "by", "from", "that", "this")
+
+  def stopwordCount(text: Column): Column = {
+    val stop = array(stopwords.map(lit): _*)
+    size(filter(tokens(text), t => array_contains(stop, t))).cast("bigint")
+  }
+
+  /** Punctuation character count (global). */
+  def punctCount(text: Column): Column =
+    length(regexp_replace(text, "[^.,!?;:]", "")).cast("bigint")
+
+  /** Sum of token lengths (exact int; ratios derived from it divide
+    * exactly in any engine). */
+  def tokenLenSum(text: Column): Column =
+    aggregate(transform(tokens(text), t => length(t).cast("bigint")),
+      lit(0L), (acc, x) => acc + x)
+
+  /** Marker-word tables for the language-ID heuristic — tiny
+    * closed-class word lists per language (public linguistic facts). */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is", "with", "that"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "mit", "nicht"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "dans", "pour"),
+    "es" -> Seq("el", "los", "las", "y", "que", "por", "para"))
+
+  /** Hit count for one language's marker list. */
+  def langScore(text: Column, markers: Seq[String]): Column = {
+    val m = array(markers.map(lit): _*)
+    size(filter(tokens(text), t => array_contains(m, t))).cast("bigint")
+  }
+
+  /** n-gram-heuristic language ID: argmax of marker hits with a fixed
+    * priority order (en > de > fr > es) on ties; 'und' when no marker
+    * hits at all. */
+  def langId(text: Column): Column = {
+    val scores = langMarkers.map { case (l, m) => l -> langScore(text, m) }
+    val all = scores.map(_._2)
+    val anyHit = all.reduce(_ + _) > 0
+    val best = scores.foldRight(lit("und")) { case ((l, s), rest) =>
+      when(anyHit && s >= scores.collect { case (l2, s2) if l2 != l => s2 }
+        .reduce((a, b) => greatest(a, b)), lit(l)).otherwise(rest)
+    }
+    // foldRight builds: en wins ties, then de, fr, es.
+    best
+  }
+
+  /** Document fingerprint: md5 of whitespace-normalized lowercase text
+    * (the SQL-expressible normalize-then-hash form). */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** 60-bit SimHash from md5 token hashes: for each bit, sum +1/-1
+    * across tokens by whether the token hash has that bit set; the
+    * sign vector packs into a long. Pure HOF pipeline — no UDF. */
+  def simhash60(text: Column): Column = {
+    val hashes = transform(tokens(text), t =>
+      conv(substring(md5(t), 1, 15), 16, 10).cast("long"))
+    (0 until 60).map { b =>
+      val vote = aggregate(hashes, lit(0L), (acc, h) =>
+        acc + when(shiftright(h, b).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+      when(vote > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce((a, c) => a.bitwiseOR(c))
+  }
+
+  /** Hamming distance between two simhash values. */
+  def hammingDist(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

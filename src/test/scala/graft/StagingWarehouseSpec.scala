@@ -1,0 +1,59 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.staging.Staging
+import graft.warehouse.Warehouse
+import graft.validate.Expectations
+
+class StagingWarehouseSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("deriveTimeColumns yields string year + full English month/dow names") {
+    val df = Seq(Tuple1(ts("2024-01-06 10:00:00"))).toDF("pickup_datetime")
+    val out = Staging.deriveTimeColumns(df).select("year", "month", "dow").collect()(0)
+    assert(out.getString(0) == "2024")
+    assert(out.getString(1) == "January")
+    assert(out.getString(2) == "Saturday")
+  }
+
+  test("stagingAggregate sums present measures and zeros absent ones") {
+    val df = Seq(("a", 1.0), ("a", 2.0), ("b", 4.0)).toDF("k", "passenger_count")
+    val out = Staging.stagingAggregate(df, keys = Seq("k"),
+      sums = Seq("passenger_count", "trip_distance"))
+    val rows = out.orderBy("k").collect()
+    assert(rows(0).getDouble(1) == 3.0) // a: 1+2
+    assert(rows(0).getDouble(2) == 0.0) // absent measure -> 0
+    assert(rows(1).getDouble(1) == 4.0)
+  }
+
+  test("surrogateKey: null coalesces to empty string (dbt_utils 0.8.0)") {
+    val df = Seq((Some(1), "x"), (None, "x")).toDF("a", "b")
+    val keys = df.select(Warehouse.surrogateKey(col("a"), col("b")).as("k"))
+      .as[String].collect()
+    // md5("1-x") and md5("-x")
+    assert(keys(0) == org.apache.commons.codec.digest.DigestUtils.md5Hex("1-x"))
+    assert(keys(1) == org.apache.commons.codec.digest.DigestUtils.md5Hex("-x"))
+  }
+
+  test("dimVendor filters ids >= 3 and maps TLC names") {
+    val staging = Seq(1, 2, 3, 2, 1).toDF("vendor_id")
+    val out = Warehouse.dimVendor(staging).collect()
+    assert(out.map(_.getInt(1)).toSeq == Seq(1, 2))
+    assert(out.map(_.getString(2)).toSeq ==
+      Seq("Creative Mobile Technologies", "VeriFone Inc"))
+  }
+
+  test("expectation suite counts violations in one pass") {
+    val df = Seq(
+      (Some(1), 5.0), (None, 50.0), (Some(2), 200.0), (None, -1.0)
+    ).toDF("vendor_id", "trip_distance")
+    val suite = Seq(Expectations.NotNull("vendor_id"),
+      Expectations.Between("trip_distance", 0, 100))
+    val r = Expectations.report(df, suite).collect()(0)
+    assert(r.getLong(0) == 2) // two null vendor ids
+    assert(r.getLong(1) == 2) // 200 and -1 out of range
+  }
+}

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+import graft.dedup.Dedup
+import graft.similarity.Similarity
+
+class TextDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("shingles: 3-gram windows; short docs yield empty array") {
+    val df = Seq("a b c d", "a b").toDF("text")
+    val out = df.select(TextFunctions.shingles(col("text")).as("s"))
+      .as[Seq[String]].collect()
+    assert(out(0) == Seq("a b c", "b c d"))
+    assert(out(1).isEmpty)
+  }
+
+  test("token counts: whitespace vs BPE-ish") {
+    val df = Seq(Tuple1("Hello, world! x2")).toDF("text")
+    val r = df.select(
+      TextFunctions.wsTokenCount(col("text")).as("ws"),
+      TextFunctions.bpeTokenCount(col("text")).as("bpe")).collect()(0)
+    assert(r.getLong(0) == 3)
+    // Hello , world ! x 2 -> 6
+    assert(r.getLong(1) == 6)
+  }
+
+  test("langId picks marker-dominant language, 'und' when no hits") {
+    val df = Seq(
+      "the cat and the dog of the house",
+      "der hund und die katze ist da",
+      "xyzzy qwerty").toDF("text")
+    val out = df.select(TextFunctions.langId(col("text")).as("l")).as[String].collect()
+    assert(out.toSeq == Seq("en", "de", "und"))
+  }
+
+  test("fingerprint is whitespace/case-invariant") {
+    val df = Seq("A  b   C", "a b c").toDF("text")
+    val fps = df.select(TextFunctions.fingerprint(col("text"))).as[String].collect()
+    assert(fps(0) == fps(1))
+  }
+
+  test("simhash: identical texts have distance 0; disjoint texts differ") {
+    val df = Seq("spark sql engine fast", "spark sql engine fast", "totally different words here")
+      .toDF("text")
+    val sigs = df.select(TextFunctions.simhash60(col("text")).as("s")).as[Long].collect()
+    assert(sigs(0) == sigs(1))
+    assert(java.lang.Long.bitCount(sigs(0) ^ sigs(2)) > 5)
+  }
+
+  test("exact dedup groups identical texts") {
+    val df = Seq((1L, "same text"), (2L, "same text"), (3L, "other")).toDF("doc_id", "text")
+    val out = Dedup.exact(df).orderBy("keep_id").collect()
+    assert(out(0).getLong(1) == 2 && out(0).getLong(2) == 1L)
+    assert(out(1).getLong(1) == 1 && out(1).getLong(2) == 3L)
+  }
+
+  test("minhash LSH surfaces an identical pair with jaccard 1.0") {
+    val text = "the quick brown fox jumps over the lazy dog again and again"
+    val df = Seq((1L, text), (2L, text), (3L, "completely unrelated content with many different tokens present"))
+      .toDF("doc_id", "text")
+    val out = Dedup.minhashNearDups(df).collect()
+    assert(out.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L
+      && r.getDouble(4) == 1.0))
+    assert(!out.exists(r => r.getLong(1) == 3L && r.getDouble(4) > 0.5))
+  }
+
+  test("simhash near-dup finds near-identical docs") {
+    val a = "one two three four five six seven eight nine ten"
+    val b = "one two three four five six seven eight nine eleven"
+    val df = Seq((1L, a), (2L, b), (3L, "zz yy xx ww vv uu tt ss rr qq")).toDF("doc_id", "text")
+    val out = Dedup.simhashNearDups(df, maxHamming = 20).collect()
+    assert(out.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L))
+  }
+
+  test("cosine: identical vectors score 1.0; topk ranks the duplicate first") {
+    val e = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(1.0f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val q = e.filter(col("vec_id") === 1)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val out = Similarity.bruteForceTopK(e, q, k = 2).collect()
+    assert(out(0).getLong(1) == 2L && out(0).getDouble(3) == 1.0)
+    assert(out(1).getLong(1) == 3L && out(1).getDouble(3) == 0.0)
+  }
+}

@@ -36,9 +36,11 @@ object Dedup {
     val sh = shingleSet(col(textCol))
     df.select(col(idCol).as("doc_id"), sh.as("shingles"))
       .filter(size(col("shingles")) > 0)
-      .withColumn("sig", transform(sequence(lit(0), lit(k - 1)), j =>
-        array_min(transform(col("shingles"), s =>
-          md5(concat(j.cast("string"), lit(":"), s))))))
+      .withColumn("sig", bound(col("shingles")) { s0 =>
+        transform(sequence(lit(0), lit(k - 1)), j =>
+          array_min(transform(s0, s =>
+            md5(concat(j.cast("string"), lit(":"), s)))))
+      })
   }
 
   /** LSH banding: k-length signature → `bands` bands of r rows each;
@@ -81,7 +83,10 @@ object Dedup {
     * join → exact-Jaccard verify. */
   def minhashNearDups(df: DataFrame, k: Int = 12, bands: Int = 4,
                       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    // The signature frame feeds three consumers (banding + both sides of
+    // the verification join); persist so shingling/minhashing runs once.
     val sigs = minhashSignatures(df, k, textCol, idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     verifyJaccard(lshCandidates(lshBands(sigs, k, bands)), sigs)
   }
 
@@ -111,7 +116,9 @@ object Dedup {
     * large radii degrade gracefully toward more candidates. */
   def simhashNearDups(df: DataFrame, maxHamming: Int = 3,
                       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    // Persisted: the block self-join consumes the signatures twice.
     val sigs = df.select(col(idCol).as("doc_id"), simhash60(col(textCol)).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nBlocks = math.min(60, maxHamming + 1)
     // distribute 60 bits as evenly as possible across the blocks
     val bounds = (0 to nBlocks).map(i => i * 60 / nBlocks)

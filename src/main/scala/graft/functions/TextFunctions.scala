@@ -13,18 +13,29 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
+  /** Let-binding for expression trees: evaluates `e` exactly once per
+    * row and exposes it to `f` as a lambda variable. Without this,
+    * Catalyst's CollapseProject inlines the sub-expression at every use
+    * site, so an expensive array (tokenization, hash signatures) gets
+    * re-evaluated once per reference — quadratic blowups in
+    * higher-order-function pipelines. */
+  def bound(e: Column)(f: Column => Column): Column =
+    element_at(transform(array(e), f), 1)
+
   /** Whitespace tokens of the lowercased, trimmed text. */
   def tokens(text: Column): Column = split(trim(lower(text)), "\\s+")
 
   /** Word n-gram shingles (default 3) over `tokens`. Documents shorter
-    * than `n` tokens yield an empty array. */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val t = tokens(text)
-    when(size(t) >= n,
-      transform(sequence(lit(0), size(t) - n), i =>
-        concat_ws(" ", (0 until n).map(o => element_at(t, i + o + 1)): _*)))
-      .otherwise(array().cast("array<string>"))
-  }
+    * than `n` tokens yield an empty array. The token array is bound
+    * once — the n `element_at` probes per window are O(1) lookups, not
+    * n re-tokenizations. */
+  def shingles(text: Column, n: Int = 3): Column =
+    bound(tokens(text)) { t =>
+      when(size(t) >= n,
+        transform(sequence(lit(0), size(t) - n), i =>
+          concat_ws(" ", (0 until n).map(o => element_at(t, i + o + 1)): _*)))
+        .otherwise(array().cast("array<string>"))
+    }
 
   /** Distinct shingle set (for Jaccard/MinHash). */
   def shingleSet(text: Column, n: Int = 3): Column = array_distinct(shingles(text, n))
@@ -95,15 +106,15 @@ object TextFunctions {
   /** 60-bit SimHash from md5 token hashes: for each bit, sum +1/-1
     * across tokens by whether the token hash has that bit set; the
     * sign vector packs into a long. Pure HOF pipeline — no UDF. */
-  def simhash60(text: Column): Column = {
-    val hashes = transform(tokens(text), t =>
-      conv(substring(md5(t), 1, 15), 16, 10).cast("long"))
-    (0 until 60).map { b =>
-      val vote = aggregate(hashes, lit(0L), (acc, h) =>
-        acc + when(shiftright(h, b).bitwiseAND(1) === 1, 1L).otherwise(-1L))
-      when(vote > 0, lit(1L << b)).otherwise(lit(0L))
-    }.reduce((a, c) => a.bitwiseOR(c))
-  }
+  def simhash60(text: Column): Column =
+    bound(transform(tokens(text), t =>
+      conv(substring(md5(t), 1, 15), 16, 10).cast("long"))) { hashes =>
+      (0 until 60).map { b =>
+        val vote = aggregate(hashes, lit(0L), (acc, h) =>
+          acc + when(shiftright(h, b).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+        when(vote > 0, lit(1L << b)).otherwise(lit(0L))
+      }.reduce((a, c) => a.bitwiseOR(c))
+    }
 
   /** Hamming distance between two simhash values. */
   def hammingDist(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

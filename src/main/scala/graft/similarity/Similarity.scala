@@ -28,13 +28,17 @@ object Similarity {
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** Brute-force cosine top-k: every query (broadcast) against every
-    * candidate; rank by (score desc, vec_id) for determinism. */
+    * candidate; rank by (score desc, vec_id) for determinism. Norms are
+    * precomputed once per row on each side, so the per-pair work is a
+    * single dot product. */
   def bruteForceTopK(candidates: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val scored = candidates.crossJoin(broadcast(queries))
+    val cand = candidates.withColumn("c_norm", norm(col("embedding")))
+    val qs = queries.withColumn("q_norm", norm(col("q_emb")))
+    val scored = cand.crossJoin(broadcast(qs))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
-        cosine(col("embedding"), col("q_emb")).as("cos"))
+        (dot(col("embedding"), col("q_emb")) / (col("c_norm") * col("q_norm"))).as("cos"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("vec_id").asc)
     scored.withColumn("rank", row_number().over(w).cast("bigint"))
@@ -42,24 +46,22 @@ object Similarity {
       .select(col("q_id"), col("vec_id"), col("rank"), round(col("cos"), 9).as("cos"))
   }
 
-  /** Deterministic ±1 hyperplane matrix: sign(p,d) = +1 iff
-    * md5("p:d") first hex nibble is even. Engine-independent and
-    * reproducible without a stored model. */
-  private def planeSign(p: Int, d: Column): Column =
-    when(conv(substring(md5(concat(lit(p.toString), lit(":"), d.cast("string"))), 1, 1), 16, 10)
-      .cast("int") % 2 === 0, 1.0).otherwise(-1.0)
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** Deterministic ±1 hyperplane row: sign(p,d) = +1 iff md5("p:d")'s
+    * first hex nibble is even — reproducible in any engine without a
+    * stored model. Materialized driver-side into an array literal so
+    * executors never hash per (row, plane, dim) cell. */
+  def planeVector(p: Int, dim: Int): Seq[Double] =
+    (0 until dim).map { d =>
+      if (Character.digit(md5Hex(s"$p:$d").charAt(0), 16) % 2 == 0) 1.0 else -1.0
+    }
 
   /** Random-hyperplane LSH bucket id from `nPlanes` sign bits. */
-  def lshBucket(emb: Column, dim: Int, nPlanes: Int = 8): Column = {
-    val bits = (0 until nPlanes).map { p =>
-      val proj = aggregate(
-        zip_with(emb, sequence(lit(0), lit(dim - 1)),
-          (x, d) => x.cast("double") * planeSign(p, d)),
-        lit(0.0), (acc, v) => acc + v)
-      when(proj >= 0, 1L << p).otherwise(0L)
-    }
-    bits.reduce((a, b) => a.bitwiseOR(b))
-  }
+  def lshBucket(emb: Column, dim: Int, nPlanes: Int = 8): Column =
+    lshBucketSeeded(emb, dim, nPlanes, 0)
 
   /** LSH-bucketed ANN: queries only compare against candidates in the
     * same hyperplane bucket (approximate — trades recall for a
@@ -68,11 +70,13 @@ object Similarity {
               k: Int, nPlanes: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val cb = candidates.withColumn("bucket", lshBucket(col("embedding"), dim, nPlanes))
+      .withColumn("c_norm", norm(col("embedding")))
     val qb = queries.withColumn("bucket", lshBucket(col("q_emb"), dim, nPlanes))
+      .withColumn("q_norm", norm(col("q_emb")))
     val scored = cb.join(broadcast(qb), "bucket")
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
-        cosine(col("embedding"), col("q_emb")).as("cos"))
+        (dot(col("embedding"), col("q_emb")) / (col("c_norm") * col("q_norm"))).as("cos"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("vec_id").asc)
     scored.withColumn("rank", row_number().over(w).cast("bigint"))
@@ -84,9 +88,9 @@ object Similarity {
     * [seedOffset, seedOffset + nPlanes). */
   def lshBucketSeeded(emb: Column, dim: Int, nPlanes: Int, seedOffset: Int): Column = {
     val bits = (0 until nPlanes).map { p =>
+      val plane = typedLit(planeVector(seedOffset + p, dim))
       val proj = aggregate(
-        zip_with(emb, sequence(lit(0), lit(dim - 1)),
-          (x, d) => x.cast("double") * planeSign(seedOffset + p, d)),
+        zip_with(emb, plane, (x, s) => x.cast("double") * s),
         lit(0.0), (acc, v) => acc + v)
       when(proj >= 0, 1L << p).otherwise(0L)
     }
@@ -100,18 +104,19 @@ object Similarity {
     * embeddings of bucket-mates; never the full cross product. */
   def cosineNearDups(df: DataFrame, dim: Int, threshold: Double,
                      nPlanes: Int = 6, nTables: Int = 4): DataFrame = {
-    val b = df.select(col("vec_id"), col("embedding"), posexplode(
-      array((0 until nTables).map(t =>
-        lshBucketSeeded(col("embedding"), dim, nPlanes, t * nPlanes)): _*)))
+    val b = df.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("nrm"), posexplode(
+        array((0 until nTables).map(t =>
+          lshBucketSeeded(col("embedding"), dim, nPlanes, t * nPlanes)): _*)))
       .withColumnRenamed("pos", "table_idx")
       .withColumnRenamed("col", "bucket")
     val l = b.select(col("table_idx"), col("bucket"),
-      col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+      col("vec_id").as("id_a"), col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
     val r = b.select(col("table_idx"), col("bucket"),
-      col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+      col("vec_id").as("id_b"), col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
     l.join(r, Seq("table_idx", "bucket")).filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        cosine(col("emb_a"), col("emb_b")).as("cos"))
+        (dot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b"))).as("cos"))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 9).as("cos"))
       .distinct()

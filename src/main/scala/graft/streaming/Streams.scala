@@ -1,0 +1,139 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.Row
+
+/** Structured Streaming pipeline: CDC envelope decode, raw passthrough
+  * projection, partitioned parquet sink (reference:
+  * streaming_processing/streaming_to_minio_fixed.py and
+  * streaming_to_datalake.py). Every transform is a pure
+  * `DataFrame => DataFrame` usable on both streaming and batch frames —
+  * batch parity of the same logic is oracle-checked via
+  * `SparkEntry.queries("cdc_parse")`.
+  *
+  * Scale notes: all transforms here are stateless per-row projections
+  * (no shuffle); the sink partitions by `date_partition` so downstream
+  * batch readers get directory pruning. Watermarked windowed aggs (the
+  * one stateful extension) keep state bounded by the watermark delay.
+  */
+object Streams {
+
+  /** Kafka CDC source, reference options
+    * (streaming_to_minio_fixed.py:46-53): earliest offsets, tolerate
+    * data loss, backpressure via maxOffsetsPerTrigger. Requires the
+    * spark-sql-kafka connector on the classpath at runtime; tests use
+    * `MemoryStream`/file sources instead (no broker in the build env).
+    */
+  def kafkaSource(spark: SparkSession, brokers: String, topic: String,
+                  startingOffsets: String = "earliest",
+                  failOnDataLoss: Boolean = false,
+                  maxOffsetsPerTrigger: Long = 100L): DataFrame =
+    spark.readStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", brokers)
+      .option("subscribe", topic)
+      .option("startingOffsets", startingOffsets)
+      .option("failOnDataLoss", failOnDataLoss.toString)
+      .option("maxOffsetsPerTrigger", maxOffsetsPerTrigger.toString)
+      .load()
+
+  /** File-based stream source over a directory of parquet — the
+    * broker-free stand-in with identical downstream semantics. */
+  def fileSource(spark: SparkSession, path: String, schema: StructType,
+                 format: String = "parquet",
+                 maxFilesPerTrigger: Int = 10): DataFrame =
+    spark.readStream
+      .format(format)
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .load(path)
+
+  /** P9 + F1 — raw Kafka record passthrough: key/value decode,
+    * processing-time stamps, and the `date_partition`/`hour_partition`
+    * partition columns (streaming_to_minio_fixed.py:58-65). */
+  def rawPassthrough(kafkaRecords: DataFrame, withHour: Boolean = true): DataFrame = {
+    val base = kafkaRecords.select(
+      col("key").cast("string").as("message_key"),
+      col("value").cast("string").as("cdc_payload"),
+      col("timestamp").as("kafka_timestamp"),
+      current_timestamp().as("processing_time"),
+      date_format(current_timestamp(), "yyyy-MM-dd").as("date_partition"))
+    val withParts =
+      if (withHour) base.withColumn("hour_partition",
+        date_format(current_timestamp(), "HH"))
+      else base
+    withParts.filter(col("cdc_payload").isNotNull)
+  }
+
+  /** P10 — Debezium envelope decode: value → JSON → `payload.after.*`
+    * (streaming_to_datalake.py:130-132). */
+  def debeziumAfter(records: DataFrame, afterSchema: StructType): DataFrame =
+    records.selectExpr("CAST(value AS STRING) AS json")
+      .select(from_json(col("json"), SchemaConfig.envelopeSchema(afterSchema)).as("data"))
+      .select(col("data.payload.after.*"))
+
+  /** P11 — epoch-microseconds columns → timestamps
+    * (streaming_to_datalake.py:134-136; `timestamp_micros` is the exact
+    * form of the reference's `/ 1000000` + cast). */
+  def epochMicrosToTimestamp(df: DataFrame, cols: Seq[String]): DataFrame =
+    cols.foldLeft(df)((d, c) => d.withColumn(c, timestamp_micros(col(c).cast("long"))))
+
+  /** Full CDC decode pipeline: envelope → after fields → timestamp
+    * conversion (the composition streaming_to_datalake.py runs). */
+  def cdcDecode(records: DataFrame, afterSchema: StructType,
+                epochMicroCols: Seq[String]): DataFrame =
+    epochMicrosToTimestamp(debeziumAfter(records, afterSchema), epochMicroCols)
+
+  /** K4 — partitioned append-mode parquet sink with checkpoint and
+    * processing-time trigger (streaming_to_minio_fixed.py:70-77). */
+  def parquetSink(df: DataFrame, path: String, checkpoint: String,
+                  partitionCols: Seq[String] = Seq("date_partition"),
+                  triggerSeconds: Option[Int] = Some(10)): DataStreamWriter[Row] = {
+    val w = df.writeStream
+      .format("parquet")
+      .outputMode("append")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+    val p = if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w
+    triggerSeconds.fold(p)(s => p.trigger(Trigger.ProcessingTime(s * 1000L)))
+  }
+
+  /** Bounded run helper (K5): start, process everything currently
+    * available, stop — the deterministic test-friendly form of the
+    * reference's `awaitTermination(60)`. */
+  def runBounded(writer: DataStreamWriter[Row]): StreamingQuery = {
+    val q = writer.start()
+    q.processAllAvailable()
+    q.stop()
+    q
+  }
+
+  // ---- extensions beyond reference parity (SURVEY.md §2.11) ----
+
+  /** Watermarked tumbling-window count/sum — the stateful streaming
+    * extension; state is dropped once the watermark passes the window
+    * end. */
+  def windowedAgg(df: DataFrame, tsCol: String, windowDuration: String,
+                  watermarkDelay: String, keyCols: Seq[String],
+                  sumCol: Option[String] = None): DataFrame = {
+    val keyed = df.withWatermark(tsCol, watermarkDelay)
+      .groupBy((window(col(tsCol), windowDuration) +: keyCols.map(col)): _*)
+    val agged = sumCol match {
+      case Some(c) => keyed.agg(count(lit(1)).as("n_events"), sum(col(c)).as("sum_value"))
+      case None => keyed.agg(count(lit(1)).as("n_events"))
+    }
+    agged.select((Seq(col("window.start").as("window_start"),
+      col("window.end").as("window_end")) ++ keyCols.map(col) ++
+      agged.columns.filter(c => c == "n_events" || c == "sum_value").map(col)): _*)
+  }
+
+  /** Watermarked streaming dedup on key columns — the CDC re-delivery
+    * guard the reference lacks (§2.11 "Dedup: none"). */
+  def dedupStream(df: DataFrame, tsCol: String, watermarkDelay: String,
+                  keyCols: Seq[String]): DataFrame =
+    df.withWatermark(tsCol, watermarkDelay)
+      .dropDuplicates(keyCols :+ tsCol)
+}

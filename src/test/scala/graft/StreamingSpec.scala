@@ -1,0 +1,133 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.streaming.{SchemaConfig, Streams}
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val configJson =
+    """{
+      |  "fields": [
+      |    { "name": "vendorid", "type": "IntegerType", "nullable": true },
+      |    { "name": "fare_amount", "type": "DoubleType", "nullable": true },
+      |    { "name": "tpep_pickup_datetime", "type": "LongType", "nullable": true }
+      |  ]
+      |}""".stripMargin
+
+  test("SchemaConfig builds the payload/envelope StructTypes from JSON") {
+    val after = SchemaConfig.payloadSchema(configJson)
+    assert(after == new StructType()
+      .add("vendorid", IntegerType).add("fare_amount", DoubleType)
+      .add("tpep_pickup_datetime", LongType))
+    val env = SchemaConfig.envelopeSchema(after)
+    assert(env.fieldNames.toSeq == Seq("payload"))
+    assert(env("payload").dataType.asInstanceOf[StructType]("after").dataType == after)
+  }
+
+  test("SchemaConfig rejects unknown type names") {
+    intercept[IllegalArgumentException] {
+      SchemaConfig.payloadSchema("""{"fields":[{"name":"x","type":"WeirdType"}]}""")
+    }
+  }
+
+  test("cdcDecode extracts payload.after and converts epoch micros over a MemoryStream") {
+    implicit val sql = spark.sqlContext
+    val after = SchemaConfig.payloadSchema(configJson)
+    val input = MemoryStream[String]
+    // Debezium-shaped envelopes; 1700000000000000 us = 2023-11-14T22:13:20Z
+    input.addData(
+      """{"payload":{"after":{"vendorid":1,"fare_amount":12.5,"tpep_pickup_datetime":1700000000000000}}}""",
+      """{"payload":{"after":{"vendorid":2,"fare_amount":7.25,"tpep_pickup_datetime":1700000060000000}}}""")
+    val decoded = Streams.cdcDecode(
+      input.toDF().select(col("value")),
+      after, Seq("tpep_pickup_datetime"))
+    val q = decoded.writeStream.format("memory").queryName("cdc_out")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("cdc_out").orderBy("vendorid").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getInt(0) == 1 && rows(0).getDouble(1) == 12.5)
+    assert(rows(0).getTimestamp(2).toInstant.toString == "2023-11-14T22:13:20Z")
+  }
+
+  test("rawPassthrough projects key/value/partitions and drops null payloads") {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[(String, String)]
+    input.addData(("k1", """{"a":1}"""), ("k2", null))
+    val records = input.toDF()
+      .select(col("_1").cast("binary").as("key"), col("_2").cast("binary").as("value"),
+        current_timestamp().as("timestamp"))
+    val out = Streams.rawPassthrough(records)
+    val q = out.writeStream.format("memory").queryName("raw_out")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("raw_out").collect()
+    assert(rows.length == 1) // null payload filtered
+    val row = spark.table("raw_out").select("message_key", "cdc_payload", "date_partition").head()
+    assert(row.getString(0) == "k1" && row.getString(1) == """{"a":1}""")
+    assert(row.getString(2).matches("""\d{4}-\d{2}-\d{2}"""))
+  }
+
+  test("parquetSink writes date-partitioned files a batch reader can prune") {
+    implicit val sql = spark.sqlContext
+    val outDir = Files.createTempDirectory("graft_sink").toString
+    val ckpt = Files.createTempDirectory("graft_ckpt").toString
+    val input = MemoryStream[(String, String)]
+    input.addData(("k1", "v1"), ("k2", "v2"))
+    val records = input.toDF()
+      .select(col("_1").cast("binary").as("key"), col("_2").cast("binary").as("value"),
+        current_timestamp().as("timestamp"))
+    Streams.runBounded(
+      Streams.parquetSink(Streams.rawPassthrough(records, withHour = false),
+        outDir, ckpt, triggerSeconds = None))
+    val back = spark.read.parquet(outDir)
+    assert(back.count() == 2)
+    // partition dirs exist on disk (date_partition=YYYY-MM-DD)
+    val dirs = new java.io.File(outDir).listFiles().map(_.getName)
+    assert(dirs.exists(_.startsWith("date_partition=")))
+  }
+
+  test("windowedAgg over an event-time stream with watermark") {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)]
+    input.addData(
+      (java.sql.Timestamp.valueOf("2024-01-01 10:00:05"), "click", 1.0),
+      (java.sql.Timestamp.valueOf("2024-01-01 10:00:35"), "click", 2.0),
+      (java.sql.Timestamp.valueOf("2024-01-01 10:01:10"), "view", 3.0))
+    val df = input.toDF().toDF("ts", "event_type", "value")
+    val agg = Streams.windowedAgg(df, "ts", "1 minute", "10 seconds",
+      Seq("event_type"), Some("value"))
+    val q = agg.writeStream.format("memory").queryName("win_out")
+      .outputMode("append").start()
+    input.addData((java.sql.Timestamp.valueOf("2024-01-01 10:05:00"), "late", 0.0))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("win_out")
+      .orderBy("window_start", "event_type").collect()
+    // watermark advanced past 10:02 → both 10:00 and 10:01 windows emitted
+    assert(rows.length == 2)
+    assert(rows(0).getAs[String]("event_type") == "click"
+      && rows(0).getAs[Long]("n_events") == 2L
+      && rows(0).getAs[Double]("sum_value") == 3.0)
+    assert(rows(1).getAs[String]("event_type") == "view"
+      && rows(1).getAs[Long]("n_events") == 1L)
+  }
+
+  test("dedupStream drops CDC re-deliveries within the watermark") {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Int)]
+    val t = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    input.addData((t, 1), (t, 1), (t, 2))
+    val dedup = Streams.dedupStream(
+      input.toDF().toDF("ts", "id"), "ts", "1 minute", Seq("id"))
+    val q = dedup.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    assert(spark.table("dedup_out").count() == 2)
+  }
+}

@@ -204,6 +204,27 @@ object SparkEntry {
     Tables.documents(spark, dir).select(
       col("doc_id"), TextFunctions.fingerprint(col("text")).as("fingerprint"))
 
+  import graft.multimodal.Multimodal
+
+  /** Multimodal plumbing: typed binary asset table → mapPartitions
+    * feature extraction; only the SQL-expressible outputs are exposed
+    * for the oracle (byte length + content hash). */
+  private def multimodalFeatures(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.featurize(
+      Multimodal.syntheticAssets(Tables.documents(spark, dir)))
+      .toDF()
+      .select(col("asset_id"), col("media_type"), col("n_bytes"), col("content_hash"))
+
+  /** Frame sampling over the synthetic video assets: one row per frame
+    * with the sliced-chunk byte count (validates the flatMap expansion
+    * numerically). */
+  private def multimodalFrames(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.frameSample(
+      Multimodal.syntheticAssets(Tables.documents(spark, dir)))
+      .toDF()
+      .select(col("asset_id"), col("frame_idx"),
+        length(col("frame_bytes")).cast("bigint").as("n_frame_bytes"))
+
   private def simTopK(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     val queries = e.filter(col("vec_id") < 10)
@@ -342,6 +363,8 @@ object SparkEntry {
     "text_langid" -> (textLangId(_, _)),
     "token_count" -> (tokenCount(_, _)),
     "doc_fingerprint" -> (docFingerprint(_, _)),
+    "multimodal_features" -> (multimodalFeatures(_, _)),
+    "multimodal_frames" -> (multimodalFrames(_, _)),
     "sim_topk" -> (simTopK(_, _)),
     "sim_lsh" -> (simLsh(_, _)),
     "embed_neardup" -> (embedNearDup(_, _)),
@@ -523,6 +546,24 @@ object SparkEntry {
       """SELECT doc_id,
         |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
         |FROM documents""".stripMargin,
+    "multimodal_features" ->
+      """SELECT doc_id AS asset_id,
+        |  ['image','audio','video'][CAST(doc_id % 3 + 1 AS INT)] AS media_type,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  md5(text) AS content_hash
+        |FROM documents""".stripMargin,
+    "multimodal_frames" ->
+      """WITH a AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS len,
+        |    CAST(doc_id % 8 + 1 AS INT) AS n_frames
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |f AS (SELECT doc_id, len, n_frames,
+        |    unnest(range(0, n_frames)) AS i FROM a)
+        |SELECT doc_id AS asset_id, CAST(i AS INT) AS frame_idx,
+        |  CAST(least(len, least(len, i * greatest(1, len // n_frames))
+        |    + greatest(1, len // n_frames))
+        |    - least(len, i * greatest(1, len // n_frames)) AS BIGINT) AS n_frame_bytes
+        |FROM f""".stripMargin,
     "sim_topk" -> {
       val dotEq = dotSql("e.embedding", "q.q_emb")
       val normE = dotSql("e.embedding", "e.embedding")

@@ -1,0 +1,175 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal columns: image/audio/video as opaque `binary` payloads
+  * with typed metadata, plus decode / feature-extract / resize /
+  * frame-sample operators.
+  *
+  * The Spark-side plumbing — schemas, typed Datasets, mapPartitions
+  * batch shape, partitioning — is real and tested. The codec kernels
+  * (`decodeBytes`, `resizeKernel`, `sampleFrame`) are DETERMINISTIC
+  * STUBS: the container has no image/audio libraries, so they stand in
+  * for e.g. libjpeg/ffmpeg calls with pure byte arithmetic. Swapping in
+  * a real codec changes only those three private functions.
+  *
+  * Scale notes: every operator is a per-partition map over the binary
+  * column — no shuffle. Batched iteration inside `mapPartitions` keeps
+  * per-row overhead constant (the same batch shape a vectorized UDF
+  * would use), and binary payloads never leave the executor.
+  */
+object Multimodal {
+
+  /** A media asset row: opaque payload + typed metadata. */
+  case class MediaAsset(
+      asset_id: Long,
+      media_type: String, // "image" | "audio" | "video"
+      content: Array[Byte],
+      width: Int,
+      height: Int,
+      n_frames: Int)
+
+  /** Extracted per-asset features. */
+  case class MediaFeatures(
+      asset_id: Long,
+      media_type: String,
+      n_bytes: Long,
+      mean_byte: Double,
+      byte_entropy_bits: Double,
+      content_hash: String)
+
+  /** One sampled frame of a video asset. */
+  case class Frame(asset_id: Long, frame_idx: Int, frame_bytes: Array[Byte])
+
+  // ------------------------------------------------------------------
+  // STUB codec kernels — deterministic fakes for the absent media libs.
+  // ------------------------------------------------------------------
+
+  /** STUB decode: a real implementation would run libjpeg/libpng here.
+    * The fake "decodes" by XOR-rolling the payload — deterministic,
+    * length-preserving, and cheap. */
+  private def decodeBytes(content: Array[Byte]): Array[Byte] = {
+    val out = new Array[Byte](content.length)
+    var acc: Byte = 0
+    var i = 0
+    while (i < content.length) {
+      acc = (content(i) ^ acc).toByte
+      out(i) = acc
+      i += 1
+    }
+    out
+  }
+
+  /** STUB resize kernel: a real implementation would do bilinear
+    * resampling; the fake nearest-neighbor-samples the byte plane to
+    * the target size (deterministic). */
+  private def resizeKernel(content: Array[Byte], srcW: Int, srcH: Int,
+                           dstW: Int, dstH: Int): Array[Byte] = {
+    if (content.isEmpty || srcW <= 0 || srcH <= 0) return Array.emptyByteArray
+    val out = new Array[Byte](dstW * dstH)
+    var y = 0
+    while (y < dstH) {
+      val sy = math.min(srcH - 1, y * srcH / dstH)
+      var x = 0
+      while (x < dstW) {
+        val sx = math.min(srcW - 1, x * srcW / dstW)
+        out(y * dstW + x) = content((sy.toLong * srcW + sx).toInt % content.length)
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** STUB frame extraction: a real implementation would demux with
+    * ffmpeg; the fake slices the payload into `n_frames` equal chunks. */
+  private def sampleFrame(content: Array[Byte], nFrames: Int, idx: Int): Array[Byte] = {
+    if (nFrames <= 0 || content.isEmpty) Array.emptyByteArray
+    else {
+      val chunk = math.max(1, content.length / nFrames)
+      val start = math.min(content.length, idx * chunk)
+      val end = math.min(content.length, start + chunk)
+      java.util.Arrays.copyOfRange(content, start, end)
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // Spark operators (real plumbing)
+  // ------------------------------------------------------------------
+
+  /** Decode payloads in place (mapPartitions; batch shape = the
+    * partition iterator, zero shuffle). */
+  def decode(assets: Dataset[MediaAsset]): Dataset[MediaAsset] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(_.map(a => a.copy(content = decodeBytes(a.content))))
+  }
+
+  /** Feature extraction: byte stats + entropy + md5, computed per
+    * partition with a reused 256-bin histogram (the batch-local scratch
+    * a vectorized UDF would carry). */
+  def featurize(assets: Dataset[MediaAsset]): Dataset[MediaFeatures] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      val hist = new Array[Long](256)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { a =>
+        java.util.Arrays.fill(hist, 0L)
+        var sum = 0L
+        var i = 0
+        while (i < a.content.length) { val b = a.content(i) & 0xff; hist(b) += 1; sum += b; i += 1 }
+        val n = a.content.length.toDouble
+        var ent = 0.0
+        if (n > 0) {
+          var j = 0
+          while (j < 256) {
+            if (hist(j) > 0) { val p = hist(j) / n; ent -= p * (math.log(p) / math.log(2)) }
+            j += 1
+          }
+        }
+        md.reset()
+        val hash = md.digest(a.content).map("%02x".format(_)).mkString
+        MediaFeatures(a.asset_id, a.media_type, a.content.length.toLong,
+          if (n > 0) sum / n else 0.0, ent, hash)
+      }
+    }
+  }
+
+  /** Resize image assets to (dstW, dstH); metadata updated with the
+    * content. */
+  def resize(assets: Dataset[MediaAsset], dstW: Int, dstH: Int): Dataset[MediaAsset] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(_.map { a =>
+      a.copy(content = resizeKernel(a.content, a.width, a.height, dstW, dstH),
+        width = dstW, height = dstH)
+    })
+  }
+
+  /** Sample every `everyNth` frame of video assets → one row per frame
+    * (flatMap: rows expand, still no shuffle). */
+  def frameSample(assets: Dataset[MediaAsset], everyNth: Int = 1): Dataset[Frame] = {
+    import assets.sparkSession.implicits._
+    require(everyNth >= 1, "everyNth must be >= 1")
+    assets.filter(_.media_type == "video").flatMap { a =>
+      (0 until a.n_frames by everyNth).map(i =>
+        Frame(a.asset_id, i, sampleFrame(a.content, a.n_frames, i)))
+    }
+  }
+
+  /** Deterministic synthetic asset table derived from the documents
+    * table (the container ships no media fixtures): payload bytes are
+    * the UTF-8 text, metadata derived from doc_id. Exercises the binary
+    * column path end-to-end with real Spark types. */
+  def syntheticAssets(documents: DataFrame): Dataset[MediaAsset] = {
+    import documents.sparkSession.implicits._
+    documents.select(
+      col("doc_id").as("asset_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (col("doc_id") % 3 + 1).cast("int")).as("media_type"),
+      encode(col("text"), "UTF-8").as("content"),
+      (col("doc_id") % 64 + 16).cast("int").as("width"),
+      (col("doc_id") % 48 + 12).cast("int").as("height"),
+      (col("doc_id") % 8 + 1).cast("int").as("n_frames"))
+      .as[MediaAsset]
+  }
+}

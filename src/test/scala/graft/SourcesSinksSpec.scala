@@ -1,0 +1,88 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.types._
+
+import graft.sources.{Sinks, Sources}
+
+class SourcesSinksSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("csv reads header files with an explicit schema contract") {
+    val dir = Files.createTempDirectory("graft_csv")
+    val f = dir.resolve("lookup.csv")
+    Files.writeString(f,
+      "LocationID,Borough,zone,service_zone,latitude,longitude\n" +
+        "1,Manhattan,Alphabet City,Yellow,40.7,-73.9\n" +
+        "2,Queens,Astoria,Boro,40.8,-73.8\n")
+    val schema = new StructType()
+      .add("LocationID", IntegerType).add("Borough", StringType)
+      .add("zone", StringType).add("service_zone", StringType)
+      .add("latitude", DoubleType).add("longitude", DoubleType)
+    val df = Sources.csv(spark, f.toString, Some(schema))
+    assert(df.schema == schema)
+    assert(df.count() == 2)
+    assert(df.filter($"LocationID" === 1).head().getString(1) == "Manhattan")
+  }
+
+  test("listFiles + perFile loop processes each file and contains errors") {
+    val dir = Files.createTempDirectory("graft_lake").toString
+    Seq(1, 2).toDF("a").write.parquet(s"$dir/f1.parquet")
+    Seq(3).toDF("a").write.parquet(s"$dir/f2.parquet")
+    // parquet dirs written by Spark are directories; write flat files too
+    val flat = Files.createTempDirectory("graft_flat").toString
+    Seq(1, 2).toDF("a").coalesce(1).write.parquet(s"$flat/stage")
+    val part = new java.io.File(s"$flat/stage").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    Files.copy(part.toPath, java.nio.file.Paths.get(s"$flat/one.parquet"))
+    Files.writeString(java.nio.file.Paths.get(s"$flat/broken.parquet"), "not parquet")
+
+    val listed = Sources.listFiles(spark, flat)
+    assert(listed.map(p => new java.io.File(p).getName) == Seq("broken.parquet", "one.parquet"))
+
+    val results = Sources.perFile(spark, flat)((_, df) => df.count())
+    val (ok, bad) = Sources.loopReport(results)
+    assert(ok.exists(_.endsWith("one.parquet")) && ok.size == 1)
+    assert(bad.exists(_._1.endsWith("broken.parquet")) && bad.size == 1)
+  }
+
+  test("idempotentParquet writes once and is a no-op on re-run") {
+    val path = Files.createTempDirectory("graft_idem").toString + "/out"
+    val first = Sinks.idempotentParquet(Seq(1, 2, 3).toDF("x"), path)
+    assert(first)
+    val second = Sinks.idempotentParquet(Seq(9, 9, 9, 9).toDF("x"), path)
+    assert(!second)
+    assert(spark.read.parquet(path).as[Int].collect().sorted.toSeq == Seq(1, 2, 3))
+  }
+
+  test("partitionedParquet lays out partition dirs a reader can prune") {
+    val path = Files.createTempDirectory("graft_part").toString + "/lake"
+    Seq(("2024-01-01", 1), ("2024-01-02", 2)).toDF("date_partition", "v")
+    Sinks.partitionedParquet(
+      Seq(("2024-01-01", 1), ("2024-01-02", 2)).toDF("date_partition", "v"),
+      path, Seq("date_partition"))
+    val dirs = new java.io.File(path).listFiles().map(_.getName).filter(_.startsWith("date_partition="))
+    assert(dirs.toSet == Set("date_partition=2024-01-01", "date_partition=2024-01-02"))
+    val pruned = spark.read.parquet(path).filter($"date_partition" === "2024-01-01")
+    assert(pruned.count() == 1)
+    // partition filter must prune at scan time, not post-filter
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") || pruned.inputFiles.length == 1)
+  }
+
+  test("deltaOrParquet falls back to parquet when delta is absent") {
+    val path = Files.createTempDirectory("graft_delta").toString + "/t"
+    val fmt = Sinks.deltaOrParquet(Seq(1).toDF("x"), path)
+    assert(fmt == (if (Sinks.deltaAvailable) "delta" else "parquet"))
+    assert(spark.read.format(fmt).load(path).count() == 1)
+  }
+
+  test("jdbcStagingWriter carries the reference write discipline") {
+    val w = Sinks.jdbcStagingWriter(Seq(1).toDF("x"),
+      "jdbc:postgresql://example/db", "staging.nyc_taxi", "u", "p")
+    // options are private; assert via the writer's string form
+    assert(w.toString != null) // constructible without a database
+  }
+}

@@ -136,6 +136,33 @@ object SparkEntry {
       .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
   }
 
+  /** ROLLUP hierarchy totals over the staging shape (engine capability
+    * beyond reference parity; SURVEY.md §2.6 note). */
+  private def rollupAgg(spark: SparkSession, dir: String): DataFrame =
+    TaxiShape.staging(spark, dir)
+      .rollup(col("year"), col("month"))
+      .agg(count(lit(1)).as("n_trips"),
+        Exact.dsum(col("fare_amount")).as("sum_fare"),
+        grouping(col("year")).cast("int").as("g_year"),
+        grouping(col("month")).cast("int").as("g_month"))
+
+  /** Gap-based sessionization of the event stream: a new session starts
+    * after >30 min of user inactivity (window lag + running sum). */
+  private def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+    val prev = lag(col("ts"), 1).over(w)
+    Tables.events(spark, dir)
+      .withColumn("is_new",
+        when(prev.isNull ||
+          (unix_micros(col("ts").cast("timestamp")) -
+            unix_micros(prev.cast("timestamp"))) > 1800L * 1000000L, 1L).otherwise(0L))
+      .withColumn("session_id",
+        sum(col("is_new")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"), max(col("ts")).as("session_end"))
+  }
+
   /** Event-time tumbling (hourly) aggregation — the batch twin of the
     * streaming windowed count (§2.11 extension). */
   private def eventsWindowAgg(spark: SparkSession, dir: String): DataFrame =
@@ -160,8 +187,12 @@ object SparkEntry {
   private def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardPairs(Tables.documents(spark, dir), maxId = 40L)
 
+  /** Radius 3 is the production-typical SimHash cutoff: the pigeonhole
+    * blocking yields 4 blocks x 15 bits, so buckets stay near-empty and
+    * candidate generation is ~linear. (Radius 10 would shrink blocks to
+    * ~5 bits and explode the bucket self-join quadratically.) */
   private def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
-    Dedup.simhashNearDups(Tables.documents(spark, dir), maxHamming = 10)
+    Dedup.simhashNearDups(Tables.documents(spark, dir), maxHamming = 3)
 
   private def textStats(spark: SparkSession, dir: String): DataFrame = {
     val t = col("text")
@@ -193,6 +224,15 @@ object SparkEntry {
         .otherwise("es")
     })
   }
+
+  /** Composite document-quality scoring (C4/Gopher-style filter flags). */
+  private def textQuality(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("flags", TextFunctions.qualityFlags(col("text")))
+      .select(col("doc_id"),
+        col("flags.too_short"), col("flags.low_stopword_ratio"),
+        col("flags.high_punct_ratio"),
+        TextFunctions.qualityScore(col("flags")).as("quality_score"))
 
   private def tokenCount(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).select(
@@ -230,6 +270,13 @@ object SparkEntry {
     val queries = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     Similarity.bruteForceTopK(e.select("vec_id", "embedding"), queries, k = 5)
+  }
+
+  private def simIvf(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    Similarity.ivfTopK(e.select("vec_id", "embedding"), queries, dim = 64, k = 5)
   }
 
   private def simLsh(spark: SparkSession, dir: String): DataFrame = {
@@ -354,7 +401,11 @@ object SparkEntry {
     "cdc_parse" -> (cdcParse(_, _)),
     "json_extract" -> (jsonExtract(_, _)),
     "window_topk" -> (windowTopk(_, _)),
+    "rollup_agg" -> (rollupAgg(_, _)),
+    "sessionize" -> (sessionize(_, _)),
     "events_window_agg" -> (eventsWindowAgg(_, _)),
+    "text_quality" -> (textQuality(_, _)),
+    "sim_ivf" -> (simIvf(_, _)),
     "dedup_exact" -> (dedupExact(_, _)),
     "dedup_minhash" -> (dedupMinhash(_, _)),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard(_, _)),
@@ -464,6 +515,49 @@ object SparkEntry {
         |  SELECT o_custkey, o_orderkey, o_totalprice,
         |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
         |  FROM orders) WHERE rn <= 3""".stripMargin,
+    "rollup_agg" ->
+      s"""${TaxiShape.stagingSql}
+         |SELECT year, month, count(*) AS n_trips,
+         |  CAST(SUM(CAST(fare_amount AS DECIMAL(18,2))) AS DOUBLE) AS sum_fare,
+         |  CAST(GROUPING(year) AS INT) AS g_year,
+         |  CAST(GROUPING(month) AS INT) AS g_month
+         |FROM staging GROUP BY ROLLUP(year, month)""".stripMargin,
+    "sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN LAG(ts) OVER w IS NULL
+        |           OR epoch(ts) - epoch(LAG(ts) OVER w) > 1800
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM g)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |  count(*) AS n_events, min(ts) AS session_start, max(ts) AS session_end
+        |FROM s GROUP BY 1, 2""".stripMargin,
+    "text_quality" ->
+      s"""SELECT doc_id,
+         |  n_tokens < ${TextFunctions.minTokens} AS too_short,
+         |  CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+         |    < ${TextFunctions.minStopwordRatio} AS low_stopword_ratio,
+         |  CAST(n_punct AS DOUBLE) / CAST(len_chars AS DOUBLE)
+         |    > ${TextFunctions.maxPunctRatio} AS high_punct_ratio,
+         |  CAST(10
+         |    - CASE WHEN n_tokens < ${TextFunctions.minTokens} THEN 4 ELSE 0 END
+         |    - CASE WHEN CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+         |        < ${TextFunctions.minStopwordRatio} THEN 3 ELSE 0 END
+         |    - CASE WHEN CAST(n_punct AS DOUBLE) / CAST(len_chars AS DOUBLE)
+         |        > ${TextFunctions.maxPunctRatio} THEN 3 ELSE 0 END AS DOUBLE) / 10.0 AS quality_score
+         |FROM (
+         |  SELECT doc_id,
+         |    CAST(length(text) AS BIGINT) AS len_chars,
+         |    CAST(len($toksSql) AS BIGINT) AS n_tokens,
+         |    CAST(len(list_filter($toksSql, t -> list_contains($stopwordsSql, t))) AS BIGINT) AS n_stopwords,
+         |    CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS BIGINT) AS n_punct
+         |  FROM documents)""".stripMargin,
     "events_window_agg" ->
       """SELECT date_trunc('hour', ts) AS hour_start, event_type,
         |  count(*) AS n_events,

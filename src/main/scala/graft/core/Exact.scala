@@ -16,6 +16,20 @@ import org.apache.spark.sql.types.DecimalType
   * Oracle-side equivalent of `dsum(c)`:
   *   `CAST(SUM(CAST(c AS DECIMAL(18,2))) AS DOUBLE)`
   */
+/** Partitioning guards. */
+object Parallelism {
+  /** CPU-bound per-row operators (hash signatures, dot products) are
+    * throughput-limited by input partition count, and a small parquet
+    * file arrives as ONE partition. Repartition up to the cluster's
+    * default parallelism when the input has fewer partitions; a no-op
+    * on inputs that are already well-split (the 100 TB case, where the
+    * scan itself produces thousands of splits). */
+  def ensure(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+}
+
 object Exact {
   private val D = DecimalType(18, 2)
 

@@ -34,7 +34,8 @@ object Dedup {
   def minhashSignatures(df: DataFrame, k: Int = 12,
                         textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val sh = shingleSet(col(textCol))
-    df.select(col(idCol).as("doc_id"), sh.as("shingles"))
+    graft.core.Parallelism.ensure(df)
+      .select(col(idCol).as("doc_id"), sh.as("shingles"))
       .filter(size(col("shingles")) > 0)
       .withColumn("sig", bound(col("shingles")) { s0 =>
         transform(sequence(lit(0), lit(k - 1)), j =>
@@ -117,7 +118,8 @@ object Dedup {
   def simhashNearDups(df: DataFrame, maxHamming: Int = 3,
                       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     // Persisted: the block self-join consumes the signatures twice.
-    val sigs = df.select(col(idCol).as("doc_id"), simhash60(col(textCol)).as("sig"))
+    val sigs = graft.core.Parallelism.ensure(df)
+      .select(col(idCol).as("doc_id"), simhash60(col(textCol)).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nBlocks = math.min(60, maxHamming + 1)
     // distribute 60 bits as evenly as possible across the blocks

@@ -98,6 +98,35 @@ object TextFunctions {
     best
   }
 
+  /** Composite quality heuristics (training-data filtering): boolean
+    * flags for degenerate documents plus a weighted score in [0,1].
+    * Thresholds follow common web-corpus filtering practice (e.g.
+    * C4/Gopher-style length + symbol-ratio rules, public papers). */
+  val minTokens = 10
+  val minStopwordRatio = 0.05
+  val maxPunctRatio = 0.10
+
+  def qualityFlags(text: Column): Column = {
+    val nTok = wsTokenCount(text)
+    val stopRatio = stopwordCount(text).cast("double") / nTok.cast("double")
+    val punctRatio = punctCount(text).cast("double") / length(text).cast("double")
+    struct(
+      (nTok < minTokens).as("too_short"),
+      (stopRatio < minStopwordRatio).as("low_stopword_ratio"),
+      (punctRatio > maxPunctRatio).as("high_punct_ratio"))
+  }
+
+  /** score = 1 − 0.4·too_short − 0.3·low_stopword − 0.3·high_punct.
+    * Computed as integer tenths with one final division so the double
+    * result is bit-identical in any engine (0.4+0.3 chained double
+    * subtraction is not). */
+  def qualityScore(flags: Column): Column =
+    (lit(10) -
+      when(flags.getField("too_short"), 4).otherwise(0) -
+      when(flags.getField("low_stopword_ratio"), 3).otherwise(0) -
+      when(flags.getField("high_punct_ratio"), 3).otherwise(0))
+      .cast("double") / 10.0
+
   /** Document fingerprint: md5 of whitespace-normalized lowercase text
     * (the SQL-expressible normalize-then-hash form). */
   def fingerprint(text: Column): Column =

@@ -33,7 +33,8 @@ object Similarity {
     * single dot product. */
   def bruteForceTopK(candidates: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cand = candidates.withColumn("c_norm", norm(col("embedding")))
+    val cand = graft.core.Parallelism.ensure(candidates)
+      .withColumn("c_norm", norm(col("embedding")))
     val qs = queries.withColumn("q_norm", norm(col("q_emb")))
     val scored = cand.crossJoin(broadcast(qs))
       .filter(col("vec_id") =!= col("q_id"))
@@ -97,6 +98,48 @@ object Similarity {
     bits.reduce((a, b) => a.bitwiseOR(b))
   }
 
+  /** IVF (inverted-file) ANN — the scale path: candidates are coarse-
+    * quantized once to their nearest of `nCells` centroids (one narrow
+    * shuffle keyed by cell), and each query probes only its `nProbe`
+    * nearest cells instead of scanning the full corpus. Centroids here
+    * are a deterministic sample (lowest `vec_id`s); swapping in k-means
+    * centroids changes only the centroid frame, not the plan shape.
+    * Approximate by construction (recall grows with nProbe) — no SQL
+    * oracle; verified against brute force in tests. */
+  def ivfTopK(candidates: DataFrame, queries: DataFrame, dim: Int, k: Int,
+              nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = broadcast(
+      candidates.orderBy(col("vec_id").asc).limit(nCells)
+        .select(col("vec_id").as("cell_id"), col("embedding").as("c_emb"),
+          norm(col("embedding")).as("c_norm")))
+    // nearest-centroid assignment: min over the broadcast centroid set;
+    // ties broken by cell_id via lexicographic struct-min. One narrow
+    // aggregate keyed by vec_id — no all-pairs shuffle.
+    def assignCells(df: DataFrame, idCol: String, embCol: String, keep: Int): DataFrame =
+      df.crossJoin(cents)
+        .select(col(idCol), col(embCol),
+          struct((-dot(col(embCol), col("c_emb")) / (norm(col(embCol)) * col("c_norm"))).as("d"),
+            col("cell_id")).as("dc"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col(idCol)).orderBy(col("dc.d").asc, col("dc.cell_id").asc)))
+        .filter(col("rn") <= keep)
+        .select(col(idCol), col(embCol), col("dc.cell_id").as("cell_id"))
+    val assigned = assignCells(candidates, "vec_id", "embedding", keep = 1)
+      .withColumn("c_norm2", norm(col("embedding")))
+    val probed = assignCells(queries, "q_id", "q_emb", keep = nProbe)
+      .withColumn("q_norm2", norm(col("q_emb")))
+    val scored = assigned.join(broadcast(probed), "cell_id")
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        (dot(col("embedding"), col("q_emb")) / (col("c_norm2") * col("q_norm2"))).as("cos"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id"), col("rank"), round(col("cos"), 9).as("cos"))
+  }
+
   /** Embedding-cosine near-duplicate pairs via multi-table LSH:
     * `nTables` independent hyperplane tables (amplifies recall — a pair
     * is a candidate if it collides in ANY table), verified by exact
@@ -104,7 +147,8 @@ object Similarity {
     * embeddings of bucket-mates; never the full cross product. */
   def cosineNearDups(df: DataFrame, dim: Int, threshold: Double,
                      nPlanes: Int = 6, nTables: Int = 4): DataFrame = {
-    val b = df.select(col("vec_id"), col("embedding"),
+    val b = graft.core.Parallelism.ensure(df)
+      .select(col("vec_id"), col("embedding"),
       norm(col("embedding")).as("nrm"), posexplode(
         array((0 until nTables).map(t =>
           lshBucketSeeded(col("embedding"), dim, nPlanes, t * nPlanes)): _*)))

@@ -85,4 +85,21 @@ class TextDedupSpec extends SparkSpec {
     assert(out(0).getLong(1) == 2L && out(0).getDouble(3) == 1.0)
     assert(out(1).getLong(1) == 3L && out(1).getDouble(3) == 0.0)
   }
+
+  test("ivfTopK matches brute force when probing all cells") {
+    // deterministic pseudo-random vectors in 8 dims
+    def vec(seed: Long): Array[Float] =
+      Array.tabulate(8)(d => (((seed * 31 + d * 17) % 13) - 6).toFloat)
+    val e = (0L until 40L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    val q = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val brute = Similarity.bruteForceTopK(e, q, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val ivfAll = Similarity.ivfTopK(e, q, dim = 8, k = 3, nCells = 4, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(ivfAll == brute) // nProbe = nCells → exhaustive → exact
+    val ivfPartial = Similarity.ivfTopK(e, q, dim = 8, k = 3, nCells = 4, nProbe = 1)
+      .collect()
+    assert(ivfPartial.nonEmpty) // partial probe still returns ranked rows
+  }
 }

@@ -118,6 +118,19 @@ class StreamingSpec extends SparkSpec {
       && rows(1).getAs[Long]("n_events") == 1L)
   }
 
+  test("SQL surface over streams: temp view + spark.sql passthrough (P13)") {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[Int]
+    input.addData(1, 2, 3)
+    input.toDF().createOrReplaceTempView("stream_view")
+    val out = spark.sql("SELECT value * 2 AS doubled FROM stream_view")
+    assert(out.isStreaming)
+    val q = out.writeStream.format("memory").queryName("sqlpass")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    assert(spark.table("sqlpass").as[Int].collect().sorted.toSeq == Seq(2, 4, 6))
+  }
+
   test("dedupStream drops CDC re-deliveries within the watermark") {
     implicit val sql = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, Int)]

@@ -18,10 +18,12 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Double-precision dot product of two float arrays. */
+  /** Double-precision dot product of two float arrays — a native
+    * codegen'd expression ([[graft.expressions.FloatDotProduct]]); the
+    * accumulation order matches the built-in
+    * `aggregate(zip_with(...))` fold, so results are bit-identical. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    graft.expressions.VectorFunctions.floatDot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 

@@ -1,0 +1,55 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.core.Skew
+import graft.streaming.StatefulSessions
+
+class StatefulSkewSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("sessionizeStream closes sessions after the gap via event-time timeout") {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp)]
+    def t(s: String) = Timestamp.valueOf(s)
+    // user 1: two events 10s apart (one session); user 2: one event
+    input.addData((1L, t("2024-01-01 10:00:00")), (1L, t("2024-01-01 10:00:10")),
+      (2L, t("2024-01-01 10:00:05")))
+    val sessions = StatefulSessions.sessionizeStreamDF(
+      input.toDF().toDF("user_id", "ts"), "ts", "user_id",
+      watermarkDelay = "5 seconds", gapSeconds = 60)
+    val q = sessions.writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    // watermark still at 10:00:10-5s → nothing closed yet
+    assert(spark.table("sess_out").count() == 0)
+    // an event far in the future advances the watermark past both
+    // sessions' (last + gap) timeouts → they close
+    input.addData((3L, t("2024-01-01 12:00:00")))
+    q.processAllAvailable()
+    input.addData((3L, t("2024-01-01 12:00:01"))) // extra batch to fire timers
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("sess_out").orderBy("user_id").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getLong(0) == 1L && rows(0).getAs[Long]("n_events") == 2L)
+    assert(rows(0).getAs[Timestamp]("session_start") == t("2024-01-01 10:00:00"))
+    assert(rows(0).getAs[Timestamp]("session_end") == t("2024-01-01 10:00:10"))
+    assert(rows(1).getLong(0) == 2L && rows(1).getAs[Long]("n_events") == 1L)
+  }
+
+  test("saltedJoin equals the plain join under a hot key") {
+    // hot key: 90% of large rows share key 7
+    val large = spark.range(0, 1000)
+      .select(col("id"), when(col("id") % 10 =!= 0, 7L).otherwise(col("id") % 5).as("k"))
+    val small = Seq((7L, "hot"), (0L, "a"), (1L, "b"), (2L, "c")).toDF("k", "v")
+    val plain = large.join(small, "k").select("id", "k", "v")
+    val salted = Skew.saltedJoin(large, small, "k", nSalts = 8, saltBy = col("id"))
+      .select("id", "k", "v")
+    assert(salted.count() == plain.count())
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+}

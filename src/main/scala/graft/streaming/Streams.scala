@@ -113,6 +113,23 @@ object Streams {
 
   // ---- extensions beyond reference parity (SURVEY.md §2.11) ----
 
+  /** Op-aware CDC merge (extension; the reference decodes inserts only,
+    * SURVEY.md §2.11 "CDC decode"). Input: decoded change rows with a
+    * Debezium `op` column (c/r/u = upsert, d = delete), a primary key,
+    * and a monotonically increasing change ordinal (`ts_ms` or the
+    * source LSN). Output: latest-wins snapshot with deletes applied —
+    * one window pass, shuffled only by key. */
+  def cdcMerge(changes: DataFrame, keyCols: Seq[String], ordinalCol: String,
+               opCol: String = "op"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(ordinalCol).desc)
+    changes
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && col(opCol) =!= "d")
+      .drop("__rn", opCol)
+  }
+
   /** Watermarked tumbling-window count/sum — the stateful streaming
     * extension; state is dropped once the watermark passes the window
     * end. */

@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Bucketing
+import graft.streaming.Streams
+
+class BucketingCdcSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bucketed join elides both shuffle exchanges") {
+    spark.sql("DROP TABLE IF EXISTS graft_bkt_a")
+    spark.sql("DROP TABLE IF EXISTS graft_bkt_b")
+    Bucketing.writeBucketed(
+      spark.range(0, 1000).select(col("id").as("k"), (col("id") * 2).as("va")),
+      "graft_bkt_a", "k", nBuckets = 4)
+    Bucketing.writeBucketed(
+      spark.range(0, 1000).select(col("id").as("k"), (col("id") * 3).as("vb")),
+      "graft_bkt_b", "k", nBuckets = 4)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = Bucketing.bucketedJoin(spark, "graft_bkt_a", "graft_bkt_b", "k")
+      assert(joined.count() == 1000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"expected exchange-free plan:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+
+  test("cdcMerge applies latest-wins upserts and deletes") {
+    val changes = Seq(
+      (1L, "v1", 100L, "c"),
+      (1L, "v2", 200L, "u"), // latest for key 1
+      (2L, "x1", 100L, "c"),
+      (2L, null, 300L, "d"), // key 2 deleted
+      (3L, "y1", 50L, "r")
+    ).toDF("id", "payload", "ts_ms", "op")
+    val snap = Streams.cdcMerge(changes, Seq("id"), "ts_ms")
+      .orderBy("id").collect()
+    assert(snap.map(_.getLong(0)).toSeq == Seq(1L, 3L))
+    assert(snap(0).getString(1) == "v2" && snap(1).getString(1) == "y1")
+  }
+}

@@ -97,6 +97,20 @@ object SparkEntry {
     Expectations.report(s, Expectations.referenceSuite)
   }
 
+  /** Extended validation-rule kinds (dbt unique/accepted_values + GX
+    * regex) over the events table, with an injected duplicate so the
+    * unique count is non-trivial. */
+  private def validateExtended(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val withDup = ev.unionAll(ev.orderBy(col("event_id").asc).limit(7)) // 7 dup ids
+    Expectations.report(withDup, Seq(
+      Expectations.NotNull("event_id"),
+      Expectations.Unique(Seq("event_id")),
+      Expectations.InSet("event_type",
+        Seq("click", "view", "purchase", "signup")), // 'error' rows violate
+      Expectations.MatchesRegex("event_type", "^[a-z]+$")))
+  }
+
   /** U1 — union all (reference example model). */
   private def unionAll(spark: SparkSession, dir: String): DataFrame = {
     val r = Tables.region(spark, dir).select(col("r_regionkey"), col("r_name"))
@@ -397,6 +411,7 @@ object SparkEntry {
     "dim_dropoff_location" -> ((s, d) => Warehouse.dimDropoffLocation(stagingOf(s, d))),
     "fact_trip" -> ((s, d) => Warehouse.factTrip(stagingOf(s, d))),
     "validate_suite" -> (validateSuite(_, _)),
+    "validate_extended" -> (validateExtended(_, _)),
     "union_all" -> (unionAll(_, _)),
     "cdc_parse" -> (cdcParse(_, _)),
     "json_extract" -> (jsonExtract(_, _)),
@@ -498,6 +513,22 @@ object SparkEntry {
          |  CAST(SUM(CASE WHEN trip_distance IS NOT NULL AND (trip_distance < 0 OR trip_distance > 100) THEN 1 ELSE 0 END) AS BIGINT) AS between_trip_distance,
          |  CAST(SUM(CASE WHEN extra IS NOT NULL AND (extra < 0 OR extra > 3) THEN 1 ELSE 0 END) AS BIGINT) AS between_extra
          |FROM v""".stripMargin,
+    "validate_extended" ->
+      """WITH d AS (
+        |  SELECT * FROM events
+        |  UNION ALL
+        |  SELECT * FROM (SELECT * FROM events ORDER BY event_id LIMIT 7))
+        |SELECT
+        |  CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS not_null_event_id,
+        |  CAST(SUM(CASE WHEN event_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    - COUNT(DISTINCT event_id) AS BIGINT) AS unique_event_id,
+        |  CAST(SUM(CASE WHEN event_type IS NOT NULL
+        |    AND event_type NOT IN ('click','view','purchase','signup')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS in_set_event_type,
+        |  CAST(SUM(CASE WHEN event_type IS NOT NULL
+        |    AND NOT regexp_matches(event_type, '^[a-z]+$')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS regex_event_type
+        |FROM d""".stripMargin,
     "union_all" ->
       """SELECT r_regionkey, r_name FROM region
         |UNION ALL

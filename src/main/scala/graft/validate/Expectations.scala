@@ -13,28 +13,64 @@ object Expectations {
 
   sealed trait Expectation {
     def name: String
+    /** Violation count as an aggregate expression (evaluated in the
+      * shared single-pass `report` aggregate). */
+    def agg: Column
+  }
+
+  /** Per-row rules: a boolean violation predicate summed up. */
+  sealed trait RowRule extends Expectation {
     /** true ⇔ the row violates the rule. */
     def violation: Column
+    final def agg: Column = sum(when(violation, 1L).otherwise(0L))
   }
 
   /** expect_column_values_to_not_be_null. */
-  final case class NotNull(column: String) extends Expectation {
+  final case class NotNull(column: String) extends RowRule {
     val name = s"not_null_$column"
     def violation: Column = col(column).isNull
   }
 
   /** expect_column_values_to_be_between — GX ignores nulls for range
     * rules, so null is not a violation here (NotNull covers it). */
-  final case class Between(column: String, lo: Double, hi: Double) extends Expectation {
+  final case class Between(column: String, lo: Double, hi: Double) extends RowRule {
     val name = s"between_$column"
     def violation: Column =
       col(column).isNotNull && (col(column) < lo || col(column) > hi)
   }
 
-  /** One row; one BIGINT violation-count column per rule. */
+  /** expect_column_values_to_be_in_set / dbt accepted_values. Nulls
+    * are not violations (NotNull covers them). */
+  final case class InSet(column: String, values: Seq[String]) extends RowRule {
+    val name = s"in_set_$column"
+    def violation: Column =
+      col(column).isNotNull && !col(column).isin(values: _*)
+  }
+
+  /** expect_column_values_to_match_regex (keep patterns to the common
+    * RE2-compatible subset so any oracle engine agrees). */
+  final case class MatchesRegex(column: String, pattern: String) extends RowRule {
+    val name = s"regex_$column"
+    def violation: Column =
+      col(column).isNotNull && !col(column).rlike(pattern)
+  }
+
+  /** dbt `unique` schema test. Violations = duplicate extras: the count
+    * of fully-non-null key tuples minus the count of distinct tuples —
+    * still one aggregate, no second scan. */
+  final case class Unique(columns: Seq[String]) extends Expectation {
+    val name = s"unique_${columns.mkString("_")}"
+    def agg: Column = {
+      val allNonNull = columns.map(col(_).isNotNull).reduce(_ && _)
+      sum(when(allNonNull, 1L).otherwise(0L)) -
+        count_distinct(col(columns.head), columns.tail.map(col): _*)
+    }
+  }
+
+  /** One row; one BIGINT violation-count column per rule — all rules in
+    * ONE scan regardless of suite size. */
   def report(df: DataFrame, suite: Seq[Expectation]): DataFrame = {
-    val aggs = suite.map(e =>
-      sum(when(e.violation, 1L).otherwise(0L)).as(e.name))
+    val aggs = suite.map(e => e.agg.as(e.name))
     df.agg(aggs.head, aggs.tail: _*)
   }
 

@@ -11,6 +11,19 @@ class BucketingCdcSpec extends SparkSpec {
   test("bucketed join elides both shuffle exchanges") {
     spark.sql("DROP TABLE IF EXISTS graft_bkt_a")
     spark.sql("DROP TABLE IF EXISTS graft_bkt_b")
+    // the in-memory catalog forgets tables between JVM runs, but the
+    // warehouse dirs persist — remove stale locations
+    Seq("graft_bkt_a", "graft_bkt_b").foreach { t =>
+      val dir = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+      if (dir.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(dir)
+      }
+    }
     Bucketing.writeBucketed(
       spark.range(0, 1000).select(col("id").as("k"), (col("id") * 2).as("va")),
       "graft_bkt_a", "k", nBuckets = 4)

@@ -254,6 +254,9 @@ object SparkEntry {
       TextFunctions.wsTokenCount(col("text")).as("ws_tokens"),
       TextFunctions.bpeTokenCount(col("text")).as("bpe_tokens"))
 
+  private def tfidfTopTerms(spark: SparkSession, dir: String): DataFrame =
+    TextFunctions.tfidfTopTerms(Tables.documents(spark, dir), k = 5)
+
   private def docFingerprint(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).select(
       col("doc_id"), TextFunctions.fingerprint(col("text")).as("fingerprint"))
@@ -429,6 +432,7 @@ object SparkEntry {
     "text_langid" -> (textLangId(_, _)),
     "token_count" -> (tokenCount(_, _)),
     "doc_fingerprint" -> (docFingerprint(_, _)),
+    "tfidf_top_terms" -> (tfidfTopTerms(_, _)),
     "multimodal_features" -> (multimodalFeatures(_, _)),
     "multimodal_frames" -> (multimodalFrames(_, _)),
     "sim_topk" -> (simTopK(_, _)),
@@ -667,6 +671,21 @@ object SparkEntry {
          |  CAST(len($toksSql) AS BIGINT) AS ws_tokens,
          |  CAST(len(regexp_extract_all(text, '${TextFunctions.bpeTokenPattern}')) AS BIGINT) AS bpe_tokens
          |FROM documents""".stripMargin,
+    "tfidf_top_terms" ->
+      s"""WITH terms AS (
+         |  SELECT doc_id, unnest($toksSql) AS term FROM documents),
+         |t AS (SELECT doc_id, term, count(*) AS tf FROM terms
+         |      WHERE length(term) > 0 GROUP BY 1, 2),
+         |d AS (SELECT term, count(*) AS df FROM t GROUP BY 1),
+         |n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+         |s AS (SELECT t.doc_id, t.term, t.tf, d.df,
+         |    CAST(t.tf * (n.n + 1) AS DOUBLE) / CAST(d.df + 1 AS DOUBLE) AS tfidf
+         |  FROM t JOIN d USING(term), n)
+         |SELECT doc_id, term, tf, df, tfidf, rank FROM (
+         |  SELECT *, ROW_NUMBER() OVER (
+         |    PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rank
+         |  FROM s)
+         |WHERE rank <= 5""".stripMargin,
     "doc_fingerprint" ->
       """SELECT doc_id,
         |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint

@@ -147,4 +147,36 @@ object TextFunctions {
 
   /** Hamming distance between two simhash values. */
   def hammingDist(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** TF-IDF top terms per document. The relevance score uses the
+    * log-free rational form `tf * (N + 1) / (df + 1)` — monotone in the
+    * classic tf·idf for fixed tf, and (unlike `ln`) exactly reproducible
+    * across engines, so results stay hash-comparable to a SQL oracle.
+    *
+    * Plan shape at scale: explode → two hash aggregates (term counts,
+    * doc frequencies) → broadcast-join the (small) per-corpus df table →
+    * per-doc top-k via rank filter, which Spark bounds map-side with
+    * WindowGroupLimit. The corpus vocabulary frame is the only
+    * broadcast; document text never shuffles.
+    */
+  def tfidfTopTerms(docs: org.apache.spark.sql.DataFrame, k: Int = 5,
+                    textCol: String = "text", idCol: String = "doc_id")
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = docs.select(col(idCol).as("doc_id"),
+        explode(tokens(col(textCol))).as("term"))
+      .filter(length(col("term")) > 0)
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.select(col(idCol)).distinct().count()
+    val scored = tf.join(broadcast(df), "term")
+      .withColumn("tfidf",
+        (col("tf") * (n + 1)).cast("double") / (col("df") + 1).cast("double"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        col("tfidf"), col("rank"))
+  }
 }

@@ -177,6 +177,32 @@ object SparkEntry {
         min(col("ts")).as("session_start"), max(col("ts")).as("session_end"))
   }
 
+  import graft.operators.Joins
+
+  /** As-of join: each click picks up the user's most recent
+    * purchase-value at or before the click time (union + window carry —
+    * no range-join explosion; oracle is DuckDB's native ASOF JOIN). */
+  private def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(Exact.dsum(col("value")).as("purchase_value"))
+    Joins.asOfJoin(clicks, purchases, Seq("user_id"), "ts", Seq("purchase_value"))
+  }
+
+  /** Grouped summary statistics with engine-exact aggregates only
+    * (min/max/exact-decimal avg/count/count-distinct). */
+  private def statsSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"),
+        Exact.davg(col("value")).as("avg_value"),
+        count_distinct(col("user_id")).as("n_users"))
+
   /** Event-time tumbling (hourly) aggregation — the batch twin of the
     * streaming windowed count (§2.11 extension). */
   private def eventsWindowAgg(spark: SparkSession, dir: String): DataFrame =
@@ -420,6 +446,8 @@ object SparkEntry {
     "json_extract" -> (jsonExtract(_, _)),
     "window_topk" -> (windowTopk(_, _)),
     "rollup_agg" -> (rollupAgg(_, _)),
+    "asof_join" -> (asofJoin(_, _)),
+    "stats_summary" -> (statsSummary(_, _)),
     "sessionize" -> (sessionize(_, _)),
     "events_window_agg" -> (eventsWindowAgg(_, _)),
     "text_quality" -> (textQuality(_, _)),
@@ -557,6 +585,23 @@ object SparkEntry {
          |  CAST(GROUPING(year) AS INT) AS g_year,
          |  CAST(GROUPING(month) AS INT) AS g_month
          |FROM staging GROUP BY ROLLUP(year, month)""".stripMargin,
+    "asof_join" ->
+      """WITH clicks AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |p AS (
+        |  SELECT user_id, ts,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS purchase_value
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT c.event_id, c.user_id, c.ts, p.purchase_value
+        |FROM clicks c ASOF LEFT JOIN p
+        |  ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin,
+    "stats_summary" ->
+      """SELECT event_type, count(*) AS n,
+        |  min(value) AS min_value, max(value) AS max_value,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |    / count(value) AS DOUBLE) AS avg_value,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type""".stripMargin,
     "sessionize" ->
       """WITH g AS (
         |  SELECT user_id, ts,

@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Join operators beyond Spark's built-in set. */
+object Joins {
+
+  /** As-of (point-in-time) LEFT join: for each left row, attach the
+    * latest right-side payload with `right.ts <= left.ts` on the same
+    * key; null when no earlier right row exists.
+    *
+    * Implementation is the scalable union + ordered window carry — NOT
+    * a range join: tag right rows to sort before left rows at equal
+    * timestamps, union the two sides, and carry
+    * `last(payload, ignoreNulls)` forward within each key ordered by
+    * (ts, tag). One shuffle by key + one partition-local sort; no
+    * per-row range probe, no candidate-pair blowup, and skew follows
+    * ordinary key salting rules. Right side should be unique per
+    * (key, ts) — pre-aggregate if not — so the "latest" row is
+    * well-defined.
+    */
+  def asOfJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+               tsCol: String, payloadCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    require(payloadCols.nonEmpty, "payloadCols must be non-empty")
+    require(payloadCols.forall(right.columns.contains), "payload missing from right")
+
+    // align schemas: left rows carry null payload slots, right rows
+    // carry null left-only slots
+    val leftOnly = leftCols.filterNot(c => keyCols.contains(c) || c == tsCol)
+    val rightTagged = right.select(
+      (keyCols.map(col) :+ col(tsCol)) ++
+        leftOnly.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        payloadCols.map(c => col(c).as(s"__p_$c")) :+ lit(0).as("__side"): _*)
+    val leftTagged = left.select(
+      (keyCols.map(col) :+ col(tsCol)) ++
+        leftOnly.map(col) ++
+        payloadCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__p_$c")) :+
+        lit(1).as("__side"): _*)
+
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol).asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = payloadCols.foldLeft(rightTagged.unionByName(leftTagged)) {
+      (df, c) => df.withColumn(s"__p_$c", last(col(s"__p_$c"), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("__side") === 1)
+      .select(leftCols.map(col) ++
+        payloadCols.map(c => col(s"__p_$c").as(c)): _*)
+  }
+}

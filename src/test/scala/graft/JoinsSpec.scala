@@ -1,0 +1,38 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.operators.Joins
+
+class JoinsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def t(s: String) = Timestamp.valueOf(s)
+
+  test("asOfJoin picks the latest right row at-or-before each left ts") {
+    val left = Seq(
+      (1L, 10L, t("2024-01-01 09:00:00")), // before any right row -> null
+      (2L, 10L, t("2024-01-01 10:00:00")), // equal ts -> matches r@10:00
+      (3L, 10L, t("2024-01-01 11:30:00")), // between -> r@11:00
+      (4L, 20L, t("2024-01-01 12:00:00"))  // other key -> r2@09:00
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (10L, t("2024-01-01 10:00:00"), 100.0),
+      (10L, t("2024-01-01 11:00:00"), 200.0),
+      (20L, t("2024-01-01 09:00:00"), 999.0)
+    ).toDF("user_id", "ts", "purchase_value")
+    val out = Joins.asOfJoin(left, right, Seq("user_id"), "ts", Seq("purchase_value"))
+      .orderBy("event_id").collect()
+    assert(out.map(r => if (r.isNullAt(3)) null else r.getDouble(3)).toSeq ==
+      Seq(null, 100.0, 200.0, 999.0))
+    // left columns pass through untouched
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("asOfJoin keeps every left row (left-join semantics)") {
+    val left = Seq((1L, 1L, t("2024-01-01 00:00:00"))).toDF("event_id", "user_id", "ts")
+    val right = Seq.empty[(Long, Timestamp, Double)].toDF("user_id", "ts", "purchase_value")
+    val out = Joins.asOfJoin(left, right, Seq("user_id"), "ts", Seq("purchase_value"))
+    assert(out.count() == 1 && out.head().isNullAt(3))
+  }
+}

@@ -322,6 +322,15 @@ object SparkEntry {
     Similarity.ivfTopK(e.select("vec_id", "embedding"), queries, dim = 64, k = 5)
   }
 
+  private def simIvfKmeans(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val cents = Similarity.kmeansCentroids(e.select("vec_id", "embedding"), nCells = 16)
+    Similarity.ivfTopK(e.select("vec_id", "embedding"), queries,
+      dim = 64, k = 5, nCells = 16, nProbe = 4, centroids = Some(cents))
+  }
+
   private def simLsh(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     val queries = e.filter(col("vec_id") < 10)
@@ -452,6 +461,7 @@ object SparkEntry {
     "events_window_agg" -> (eventsWindowAgg(_, _)),
     "text_quality" -> (textQuality(_, _)),
     "sim_ivf" -> (simIvf(_, _)),
+    "sim_ivf_kmeans" -> (simIvfKmeans(_, _)),
     "dedup_exact" -> (dedupExact(_, _)),
     "dedup_minhash" -> (dedupMinhash(_, _)),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard(_, _)),

@@ -109,12 +109,13 @@ object Similarity {
     * Approximate by construction (recall grows with nProbe) — no SQL
     * oracle; verified against brute force in tests. */
   def ivfTopK(candidates: DataFrame, queries: DataFrame, dim: Int, k: Int,
-              nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+              nCells: Int = 16, nProbe: Int = 4,
+              centroids: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cents = broadcast(
+    val cents = broadcast(centroids.getOrElse(
       candidates.orderBy(col("vec_id").asc).limit(nCells)
         .select(col("vec_id").as("cell_id"), col("embedding").as("c_emb"),
-          norm(col("embedding")).as("c_norm")))
+          norm(col("embedding")).as("c_norm"))))
     // nearest-centroid assignment: min over the broadcast centroid set;
     // ties broken by cell_id via lexicographic struct-min. One narrow
     // aggregate keyed by vec_id — no all-pairs shuffle.
@@ -140,6 +141,29 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w).cast("bigint"))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("vec_id"), col("rank"), round(col("cos"), 9).as("cos"))
+  }
+
+  /** K-means-trained IVF centroids (the production centroid source;
+    * the deterministic-sample default in [[ivfTopK]] is the model-free
+    * fallback). Fixed seed + capped iterations keep training
+    * reproducible; at 100 TB one trains on a sample, not the corpus.
+    * Returns a (cell_id, c_emb, c_norm) frame for `ivfTopK(centroids=)`.
+    */
+  def kmeansCentroids(candidates: DataFrame, nCells: Int,
+                      seed: Long = 42L, maxIter: Int = 5): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val train = candidates.select(array_to_vector(
+      col("embedding").cast("array<double>")).as("features"))
+    val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(maxIter)
+      .setFeaturesCol("features").fit(train)
+    val centers = model.clusterCenters.zipWithIndex.map { case (v, i) =>
+      (i.toLong, v.toArray.map(_.toFloat))
+    }.toSeq
+    centers.toDF("cell_id", "c_emb")
+      .withColumn("c_norm", norm(col("c_emb")))
   }
 
   /** Embedding-cosine near-duplicate pairs via multi-table LSH:

@@ -203,6 +203,31 @@ object SparkEntry {
         Exact.davg(col("value")).as("avg_value"),
         count_distinct(col("user_id")).as("n_users"))
 
+  /** Conversion funnel: per viewing user, first view and first
+    * purchase at-or-after it (min-aggregates + one equi-join — exact
+    * timestamps, no float math). */
+  private def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("first_view"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(v, "user_id")
+      .filter(col("ts") >= col("first_view"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("first_purchase_after"))
+    v.join(p, Seq("user_id"), "left")
+  }
+
+  /** Exact interpolated percentiles per group (Spark `percentile` and
+    * DuckDB `quantile_cont` share the p*(n-1) linear-interpolation
+    * definition). */
+  private def percentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        expr("percentile(value, 0.25)").as("p25"),
+        expr("percentile(value, 0.5)").as("p50"),
+        expr("percentile(value, 0.75)").as("p75"))
+
   /** Event-time tumbling (hourly) aggregation — the batch twin of the
     * streaming windowed count (§2.11 extension). */
   private def eventsWindowAgg(spark: SparkSession, dir: String): DataFrame =
@@ -457,6 +482,8 @@ object SparkEntry {
     "rollup_agg" -> (rollupAgg(_, _)),
     "asof_join" -> (asofJoin(_, _)),
     "stats_summary" -> (statsSummary(_, _)),
+    "funnel" -> (funnel(_, _)),
+    "percentiles" -> (percentiles(_, _)),
     "sessionize" -> (sessionize(_, _)),
     "events_window_agg" -> (eventsWindowAgg(_, _)),
     "text_quality" -> (textQuality(_, _)),
@@ -611,6 +638,23 @@ object SparkEntry {
         |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
         |    / count(value) AS DOUBLE) AS avg_value,
         |  count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type""".stripMargin,
+    "funnel" ->
+      """WITH v AS (
+        |  SELECT user_id, min(ts) AS first_view FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |p AS (
+        |  SELECT e.user_id, min(e.ts) AS first_purchase_after
+        |  FROM events e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts >= v.first_view
+        |  GROUP BY 1)
+        |SELECT v.user_id, v.first_view, p.first_purchase_after
+        |FROM v LEFT JOIN p ON v.user_id = p.user_id""".stripMargin,
+    "percentiles" ->
+      """SELECT event_type,
+        |  quantile_cont(value, 0.25) AS p25,
+        |  quantile_cont(value, 0.5) AS p50,
+        |  quantile_cont(value, 0.75) AS p75
         |FROM events GROUP BY event_type""".stripMargin,
     "sessionize" ->
       """WITH g AS (

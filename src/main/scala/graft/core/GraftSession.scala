@@ -16,6 +16,7 @@ object GraftSession {
 
   def builder(appName: String, cores: Int = defaultCores): SparkSession.Builder =
     SparkSession.builder()
+      .withExtensions(new graft.expressions.GraftExtensions)
       .master(s"local[$cores]")
       .appName(appName)
       .config("spark.sql.shuffle.partitions", cores.toString)

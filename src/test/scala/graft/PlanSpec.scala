@@ -1,0 +1,54 @@
+package graft
+
+/** Physical-plan regression guards: the scale-critical plan shapes
+  * (broadcasts, pushdown, map-side window limits) must survive
+  * refactors. String-level assertions on explain output are coarse but
+  * catch the failure modes that matter (a broadcast silently becoming
+  * a shuffle, a filter no longer reaching the scan).
+  */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, dir)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("zone_enrich: both lookup joins broadcast, no shuffle exchange") {
+    val p = plan("zone_enrich")
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 2, p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
+  test("fact_trip: all three dim joins broadcast") {
+    val p = plan("fact_trip")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p)
+  }
+
+  test("q1_agg: partial aggregation before the exchange") {
+    val p = plan("q1_agg")
+    assert(p.contains("partial_sum") || p.contains("partial_count"), p)
+  }
+
+  test("window_topk: rank filter bounded map-side by WindowGroupLimit") {
+    val p = plan("window_topk")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("column pruning: q1_agg reads only the needed lineitem columns") {
+    val p = plan("q1_agg")
+    // lineitem has 16 columns; the query needs 4
+    val readSchemas = "ReadSchema: [^\n]*lineitem[^\n]*".r.findAllIn(p).toList
+    val scan = "struct<[^>]*l_orderkey[^>]*>".r.findFirstIn(p)
+    assert(scan.exists(s => s.count(_ == ',') <= 4), s"unpruned scan: $scan")
+  }
+
+  test("filter pushdown reaches the parquet scan") {
+    import org.apache.spark.sql.functions.col
+    val df = graft.core.Tables.lineitem(spark, dir)
+      .filter(col("l_quantity") > 40).select("l_orderkey", "l_quantity")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [") && p.contains("GreaterThan(l_quantity"), p)
+  }
+}

@@ -112,26 +112,32 @@ object Similarity {
               nCells: Int = 16, nProbe: Int = 4,
               centroids: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cents = broadcast(centroids.getOrElse(
+    // The centroid table is small BY DESIGN (coarse quantizer), so it
+    // collects to the driver and inlines as literals: nearest-cell
+    // assignment becomes a map-only projection — no candidate x cell
+    // explode, no shuffle. Ties break toward the lower cell_id via
+    // lexicographic struct ordering.
+    val cents = centroids.getOrElse(
       candidates.orderBy(col("vec_id").asc).limit(nCells)
         .select(col("vec_id").as("cell_id"), col("embedding").as("c_emb"),
-          norm(col("embedding")).as("c_norm"))))
-    // nearest-centroid assignment: min over the broadcast centroid set;
-    // ties broken by cell_id via lexicographic struct-min. One narrow
-    // aggregate keyed by vec_id — no all-pairs shuffle.
-    def assignCells(df: DataFrame, idCol: String, embCol: String, keep: Int): DataFrame =
-      df.crossJoin(cents)
-        .select(col(idCol), col(embCol),
-          struct((-dot(col(embCol), col("c_emb")) / (norm(col(embCol)) * col("c_norm"))).as("d"),
-            col("cell_id")).as("dc"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col(idCol)).orderBy(col("dc.d").asc, col("dc.cell_id").asc)))
-        .filter(col("rn") <= keep)
-        .select(col(idCol), col(embCol), col("dc.cell_id").as("cell_id"))
-    val assigned = assignCells(candidates, "vec_id", "embedding", keep = 1)
+          norm(col("embedding")).as("c_norm")))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1), r.getDouble(2)))
+    def cellDists(emb: Column, nrm: Column): Column =
+      array(cents.map { case (id, ce, cn) =>
+        struct((-dot(emb, typedLit(ce)) / (nrm * lit(cn))).as("d"),
+          lit(id).as("cell_id"))
+      }.toIndexedSeq: _*)
+    val assigned = graft.core.Parallelism.ensure(candidates)
       .withColumn("c_norm2", norm(col("embedding")))
-    val probed = assignCells(queries, "q_id", "q_emb", keep = nProbe)
+      .withColumn("cell_id", element_at(
+        array_sort(cellDists(col("embedding"), col("c_norm2"))), 1).getField("cell_id"))
+    val probed = queries
       .withColumn("q_norm2", norm(col("q_emb")))
+      .withColumn("probe", explode(slice(
+        array_sort(cellDists(col("q_emb"), col("q_norm2"))), 1, nProbe)))
+      .select(col("q_id"), col("q_emb"), col("q_norm2"),
+        col("probe.cell_id").as("cell_id"))
     val scored = assigned.join(broadcast(probed), "cell_id")
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),

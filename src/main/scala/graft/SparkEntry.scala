@@ -388,6 +388,20 @@ object SparkEntry {
   private def dotSql(a: String, b: String): String =
     s"list_sum(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
 
+  /** DuckDB literal for hyperplane p (same md5-derived signs as
+    * [[Similarity.planeVector]]). */
+  private def planeSqlList(p: Int): String =
+    Similarity.planeVector(p, 64).map(v => if (v > 0) "1.0" else "-1.0")
+      .mkString("[", ", ", "]")
+
+  /** Bucket id from `nPlanes` sign bits of `emb` against planes
+    * [seedOffset, seedOffset+nPlanes) — SQL twin of lshBucketSeeded. */
+  private def bucketSql(emb: String, nPlanes: Int, seedOffset: Int): String =
+    (0 until nPlanes).map { p =>
+      val proj = s"list_sum(list_transform(range(1, 65), i -> CAST($emb[i] AS DOUBLE) * (${planeSqlList(seedOffset + p)})[i]))"
+      s"(CASE WHEN $proj >= 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString(" + ")
+
   // =================================================================
   // oracle SQL fragments
   // =================================================================
@@ -807,6 +821,44 @@ object SparkEntry {
         |    + greatest(1, len // n_frames))
         |    - least(len, i * greatest(1, len // n_frames)) AS BIGINT) AS n_frame_bytes
         |FROM f""".stripMargin,
+    "sim_lsh" -> {
+      val dotEq = dotSql("cb.embedding", "qb.q_emb")
+      val normE = dotSql("cb.embedding", "cb.embedding")
+      val normQ = dotSql("qb.q_emb", "qb.q_emb")
+      s"""WITH qb AS (
+         |  SELECT vec_id AS q_id, embedding AS q_emb,
+         |    ${bucketSql("embedding", 8, 0)} AS bucket
+         |  FROM embeddings WHERE vec_id < 10),
+         |cb AS (
+         |  SELECT vec_id, embedding,
+         |    ${bucketSql("embedding", 8, 0)} AS bucket
+         |  FROM embeddings),
+         |pairs AS (
+         |  SELECT qb.q_id, cb.vec_id,
+         |    $dotEq / (sqrt($normE) * sqrt($normQ)) AS cos
+         |  FROM cb JOIN qb USING (bucket) WHERE cb.vec_id <> qb.q_id)
+         |SELECT q_id, vec_id, rank, round(cos, 9) AS cos FROM (
+         |  SELECT q_id, vec_id, cos,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rank
+         |  FROM pairs) WHERE rank <= 5""".stripMargin
+    },
+    "embed_neardup" -> {
+      val buckets = (0 until 4).map(t => bucketSql("embedding", 6, t * 6))
+        .mkString("[", ",\n      ", "]")
+      val dotXY = dotSql("x.embedding", "y.embedding")
+      s"""WITH v AS (
+         |  SELECT vec_id, embedding, sqrt(${dotSql("embedding", "embedding")}) AS nrm,
+         |    $buckets AS bks
+         |  FROM embeddings),
+         |b AS (
+         |  SELECT vec_id, embedding, nrm, t.i AS table_idx, bks[CAST(t.i AS INT) + 1] AS bucket
+         |  FROM v, range(0, 4) t(i))
+         |SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b,
+         |  round($dotXY / (x.nrm * y.nrm), 9) AS cos
+         |FROM b x JOIN b y ON x.table_idx = y.table_idx AND x.bucket = y.bucket
+         |WHERE x.vec_id < y.vec_id
+         |  AND $dotXY / (x.nrm * y.nrm) >= 0.4""".stripMargin
+    },
     "sim_topk" -> {
       val dotEq = dotSql("e.embedding", "q.q_emb")
       val normE = dotSql("e.embedding", "e.embedding")

@@ -58,10 +58,24 @@ object Dedup {
   }
 
   /** Candidate pairs: docs sharing at least one LSH bucket. Shuffles
-    * only the narrow band triples; bucket-local self-join. */
-  def lshCandidates(bandsDf: DataFrame): DataFrame = {
-    val a = bandsDf.select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_a"))
-    val b = bandsDf.select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_b"))
+    * only the narrow band triples; bucket-local self-join.
+    *
+    * `maxBucketSize` is the standard scale guard: a degenerate bucket
+    * of m docs contributes m² candidate pairs, so one templated-boiler-
+    * plate cluster can dominate the whole job. Buckets above the cap
+    * are dropped (their members still pair via their other, more
+    * selective bands). None = exact reference of the oracle SQL. */
+  def lshCandidates(bandsDf: DataFrame, maxBucketSize: Option[Int] = None): DataFrame = {
+    val bounded = maxBucketSize match {
+      case Some(cap) =>
+        val sizes = bandsDf.groupBy("band_idx", "band_hash")
+          .agg(count(lit(1)).as("__bucket_n"))
+        bandsDf.join(sizes, Seq("band_idx", "band_hash"))
+          .filter(col("__bucket_n") <= cap).drop("__bucket_n")
+      case None => bandsDf
+    }
+    val a = bounded.select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_a"))
+    val b = bounded.select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_b"))
     a.join(b, Seq("band_idx", "band_hash"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()

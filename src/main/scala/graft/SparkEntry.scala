@@ -821,6 +821,34 @@ object SparkEntry {
         |    + greatest(1, len // n_frames))
         |    - least(len, i * greatest(1, len // n_frames)) AS BIGINT) AS n_frame_bytes
         |FROM f""".stripMargin,
+    "dedup_simhash" -> {
+      // 60-bit simhash rebuilt in SQL: token md5 -> 60-bit int (first
+      // 15 hex chars), per-bit +/-1 votes, sign-packed. Bit powers are
+      // exact BIGINT literals.
+      val sigTerms = (0 until 60).map { b =>
+        val pow = (1L << b).toString
+        s"""(CASE WHEN list_sum(list_transform(hs,
+           |      h -> CASE WHEN (h // $pow) % 2 = 1 THEN 1 ELSE -1 END)) > 0
+           |    THEN $pow ELSE 0 END)""".stripMargin
+      }.mkString(" +\n    ")
+      val blockDivisors = (0 until 4).map(b => (1L << (15 * b)).toString)
+      s"""WITH h AS (
+         |  SELECT doc_id, list_transform($toksSql,
+         |    t -> CAST(concat('0x', substring(md5(t), 1, 15)) AS BIGINT)) AS hs
+         |  FROM documents),
+         |sigs AS (
+         |  SELECT doc_id, CAST($sigTerms AS BIGINT) AS sig FROM h),
+         |blocks AS (
+         |  SELECT doc_id, sig, t.i AS block_idx,
+         |    (sig // (${blockDivisors.mkString("[", ", ", "]")})[CAST(t.i AS INT) + 1]) % 32768 AS block_val
+         |  FROM sigs, range(0, 4) t(i))
+         |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         |  CAST(bit_count(xor(x.sig, y.sig)) AS INT) AS hamming
+         |FROM blocks x JOIN blocks y
+         |  ON x.block_idx = y.block_idx AND x.block_val = y.block_val
+         |WHERE x.doc_id < y.doc_id
+         |  AND bit_count(xor(x.sig, y.sig)) <= 3""".stripMargin
+    },
     "sim_lsh" -> {
       val dotEq = dotSql("cb.embedding", "qb.q_emb")
       val normE = dotSql("cb.embedding", "cb.embedding")

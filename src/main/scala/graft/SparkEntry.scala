@@ -134,6 +134,25 @@ object SparkEntry {
       .withColumn("event_ts", timestamp_micros(col("ts_us")).cast("timestamp_ntz"))
   }
 
+  /** Multi-join analytic THROUGH THE SQL SURFACE: temp views +
+    * spark.sql (the engine's Trino-replacement path, SURVEY.md §3.3).
+    * Four-table join tree left to Catalyst's join reordering; sums via
+    * the registered-view twin of Exact.dsum. */
+  private def revenueByNation(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("v_customer")
+    Tables.orders(spark, dir).createOrReplaceTempView("v_orders")
+    Tables.lineitem(spark, dir).createOrReplaceTempView("v_lineitem")
+    Tables.nation(spark, dir).createOrReplaceTempView("v_nation")
+    spark.sql(
+      """SELECT n.n_name AS nation, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM v_customer c
+        |JOIN v_orders o ON c.c_custkey = o.o_custkey
+        |JOIN v_lineitem l ON o.o_orderkey = l.l_orderkey
+        |JOIN v_nation n ON c.c_nationkey = n.n_nationkey
+        |GROUP BY n.n_name""".stripMargin)
+  }
+
   /** JSON property extraction from the events `props` column. */
   private def jsonExtract(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir).select(
@@ -492,6 +511,7 @@ object SparkEntry {
     "union_all" -> (unionAll(_, _)),
     "cdc_parse" -> (cdcParse(_, _)),
     "json_extract" -> (jsonExtract(_, _)),
+    "revenue_by_nation" -> (revenueByNation(_, _)),
     "window_topk" -> (windowTopk(_, _)),
     "rollup_agg" -> (rollupAgg(_, _)),
     "asof_join" -> (asofJoin(_, _)),
@@ -620,6 +640,14 @@ object SparkEntry {
       """SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
         |  make_timestamp(epoch_us(ts)) AS event_ts
         |FROM events""".stripMargin,
+    "revenue_by_nation" ->
+      """SELECT n.n_name AS nation, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM customer c
+        |JOIN orders o ON c.c_custkey = o.o_custkey
+        |JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |GROUP BY n.n_name""".stripMargin,
     "json_extract" ->
       """SELECT event_id,
         |  CAST(json_extract_string(props, '$.k') AS INT) AS k

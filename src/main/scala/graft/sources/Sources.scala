@@ -28,6 +28,18 @@ object Sources {
     schema.fold(r.option("inferSchema", "true"))(s => r.schema(s)).csv(path)
   }
 
+  /** JSON-lines scan (the events `props` column shape as a file
+    * format); explicit schema avoids the inference pass. */
+  def jsonLines(spark: SparkSession, path: String,
+                schema: Option[StructType] = None): DataFrame = {
+    val r = spark.read
+    schema.fold(r)(s => r.schema(s)).json(path)
+  }
+
+  /** ORC scan — Spark-native columnar alternative to parquet. */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** S5 — bounded row prefix (reference: utils/streaming_data_db.py:42-44). */
   def parquetHead(spark: SparkSession, path: String, n: Int): DataFrame =
     spark.read.parquet(path).limit(n)

@@ -750,11 +750,13 @@ object SparkEntry {
          |  SELECT doc_id, shingles,
          |    list_transform(range(0, 12), j ->
          |      list_aggregate(list_transform(shingles,
-         |        s -> md5(CAST(j AS VARCHAR) || ':' || s)), 'min')) AS sig
+         |        s -> (CAST(concat('0x', substring(md5(s), 1, 15)) AS BIGINT) % 2147483648
+         |              + j * (CAST(concat('0x', substring(md5(s), 16, 15)) AS BIGINT) % 2147483648))
+         |             % 2147483648), 'min')) AS sig
          |  FROM docs WHERE len(shingles) > 0),
          |bands AS (
          |  SELECT doc_id, b AS band_idx,
-         |    md5(sig[b*3+1] || sig[b*3+2] || sig[b*3+3]) AS band_hash
+         |    concat_ws(',', sig[b*3+1], sig[b*3+2], sig[b*3+3]) AS band_hash
          |  FROM sigs, range(0, 4) AS t(b)),
          |cands AS (
          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b

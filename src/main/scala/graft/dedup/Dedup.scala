@@ -25,34 +25,46 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("text_hash"))
       .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("keep_id"))
 
-  /** Per-document MinHash signature: k independent min-hashes over the
-    * distinct 3-token shingles. The "hash family" is md5 seeded by the
-    * hash index — engine-portable and deterministic; the minimum is
-    * taken lexicographically over hex strings (uniform, so a valid
-    * min-hash). Docs with <3 tokens produce an empty signature and are
-    * excluded from LSH. */
+  /** Modulus for the Kirsch-Mitzenmacher hash family (2^31; keeps
+    * h1%M + k*(h2%M) far below 2^63 for any practical k). */
+  val minhashModulus: Long = 1L << 31
+
+  /** Per-document MinHash signature: k min-hashes over the distinct
+    * 3-token shingles via the Kirsch-Mitzenmacher construction —
+    * ONE md5 per shingle yields (h1, h2) (hex chars 1-15 / 16-30 as
+    * 60-bit ints), and hash_j = (h1 + j*h2) mod 2^31. Engine-portable
+    * (the same derivation is spelled out in the oracle SQL) and 12x
+    * cheaper than one seeded md5 per hash index. Docs with <3 tokens
+    * produce an empty signature and are excluded from LSH. */
   def minhashSignatures(df: DataFrame, k: Int = 12,
                         textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val sh = shingleSet(col(textCol))
+    val m = minhashModulus
     graft.core.Parallelism.ensure(df)
       .select(col(idCol).as("doc_id"), sh.as("shingles"))
       .filter(size(col("shingles")) > 0)
-      .withColumn("sig", bound(col("shingles")) { s0 =>
+      .withColumn("sig", bound(transform(col("shingles"), s => bound(md5(s)) { h =>
+        struct(
+          (conv(substring(h, 1, 15), 16, 10).cast("long") % m).as("h1"),
+          (conv(substring(h, 16, 15), 16, 10).cast("long") % m).as("h2"))
+      })) { hs =>
         transform(sequence(lit(0), lit(k - 1)), j =>
-          array_min(transform(s0, s =>
-            md5(concat(j.cast("string"), lit(":"), s)))))
+          array_min(transform(hs, p =>
+            (p.getField("h1") + j * p.getField("h2")) % m)))
       })
   }
 
   /** LSH banding: k-length signature → `bands` bands of r rows each;
-    * band hash = md5 of the concatenated band slice. Output is the
-    * narrow exploded (doc_id, band_idx, band_hash). */
+    * band key = comma-joined band slice (the values are already 31-bit
+    * min-hashes — no re-hash needed). Output is the narrow exploded
+    * (doc_id, band_idx, band_hash). */
   def lshBands(sigs: DataFrame, k: Int = 12, bands: Int = 4): DataFrame = {
     val r = k / bands
     require(bands * r == k, s"bands=$bands must divide k=$k")
     sigs.select(col("doc_id"), posexplode(
       transform(sequence(lit(0), lit(bands - 1)), b =>
-        md5(concat_ws("", slice(col("sig"), b * r + 1, lit(r)))))))
+        concat_ws(",", transform(slice(col("sig"), b * r + 1, lit(r)),
+          v => v.cast("string"))))))
       .withColumnRenamed("pos", "band_idx")
       .withColumnRenamed("col", "band_hash")
   }

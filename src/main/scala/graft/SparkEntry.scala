@@ -153,6 +153,42 @@ object SparkEntry {
         |GROUP BY n.n_name""".stripMargin)
   }
 
+  /** LEFT SEMI: customers that placed at least one order. */
+  private def semiJoin(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+
+  /** LEFT ANTI: customers with no orders (referential complement). */
+  private def antiJoin(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+
+  /** INTERSECT / EXCEPT over derived key sets. */
+  private def setOps(spark: SparkSession, dir: String): DataFrame = {
+    val orderCust = Tables.orders(spark, dir).select(col("o_custkey").as("custkey"))
+    val bigSpenders = Tables.orders(spark, dir)
+      .filter(col("o_totalprice") > 100000).select(col("o_custkey").as("custkey"))
+    val both = orderCust.intersect(bigSpenders)
+      .withColumn("op", lit("intersect"))
+    val onlySmall = orderCust.except(bigSpenders)
+      .withColumn("op", lit("except"))
+    both.unionAll(onlySmall)
+  }
+
+  /** PIVOT: per-user-bucket event-type counts as columns (explicit
+    * value list keeps the output schema static). */
+  private def pivotEvents(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("user_bucket", (col("user_id") % 10).cast("int"))
+      .groupBy(col("user_bucket"))
+      .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+      .count()
+      .na.fill(0L)
+
   /** JSON property extraction from the events `props` column. */
   private def jsonExtract(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir).select(
@@ -512,6 +548,10 @@ object SparkEntry {
     "cdc_parse" -> (cdcParse(_, _)),
     "json_extract" -> (jsonExtract(_, _)),
     "revenue_by_nation" -> (revenueByNation(_, _)),
+    "semi_join" -> (semiJoin(_, _)),
+    "anti_join" -> (antiJoin(_, _)),
+    "set_ops" -> (setOps(_, _)),
+    "pivot_events" -> (pivotEvents(_, _)),
     "window_topk" -> (windowTopk(_, _)),
     "rollup_agg" -> (rollupAgg(_, _)),
     "asof_join" -> (asofJoin(_, _)),
@@ -648,6 +688,30 @@ object SparkEntry {
         |JOIN lineitem l ON o.o_orderkey = l.l_orderkey
         |JOIN nation n ON c.c_nationkey = n.n_nationkey
         |GROUP BY n.n_name""".stripMargin,
+    "semi_join" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin,
+    "anti_join" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin,
+    "set_ops" ->
+      """SELECT custkey, 'intersect' AS op FROM (
+        |  SELECT o_custkey AS custkey FROM orders
+        |  INTERSECT
+        |  SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 100000)
+        |UNION ALL
+        |SELECT custkey, 'except' AS op FROM (
+        |  SELECT o_custkey AS custkey FROM orders
+        |  EXCEPT
+        |  SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 100000)""".stripMargin,
+    "pivot_events" ->
+      """SELECT CAST(user_id % 10 AS INT) AS user_bucket,
+        |  SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
+        |  SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view,
+        |  SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+        |  SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
+        |  SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error
+        |FROM events GROUP BY 1""".stripMargin,
     "json_extract" ->
       """SELECT event_id,
         |  CAST(json_extract_string(props, '$.k') AS INT) AS k

@@ -147,6 +147,22 @@ object Streams {
       agged.columns.filter(c => c == "n_events" || c == "sum_value").map(col)): _*)
   }
 
+  /** Watermarked stream-stream inner join: matches right events within
+    * `[left.ts, left.ts + intervalSeconds]` per key. Both sides carry
+    * watermarks so join state is evicted once event time passes the
+    * interval bound (bounded state at any stream length). */
+  def streamStreamJoin(left: DataFrame, right: DataFrame, keyCol: String,
+                       leftTs: String, rightTs: String,
+                       watermarkDelay: String, intervalSeconds: Long): DataFrame = {
+    val l = left.withWatermark(leftTs, watermarkDelay).alias("l")
+    val r = right.withWatermark(rightTs, watermarkDelay).alias("r")
+    l.join(r,
+      col(s"l.$keyCol") === col(s"r.$keyCol") &&
+        col(s"r.$rightTs") >= col(s"l.$leftTs") &&
+        col(s"r.$rightTs") <= col(s"l.$leftTs") + expr(s"INTERVAL $intervalSeconds SECONDS"),
+      "inner")
+  }
+
   /** Watermarked streaming dedup on key columns — the CDC re-delivery
     * guard the reference lacks (§2.11 "Dedup: none"). */
   def dedupStream(df: DataFrame, tsCol: String, watermarkDelay: String,

@@ -118,6 +118,26 @@ class StreamingSpec extends SparkSpec {
       && rows(1).getAs[Long]("n_events") == 1L)
   }
 
+  test("streamStreamJoin matches right events inside the interval window") {
+    implicit val sql = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val clicks = MemoryStream[(Long, java.sql.Timestamp)]
+    val buys = MemoryStream[(Long, java.sql.Timestamp)]
+    clicks.addData((1L, t("2024-01-01 10:00:00")), (2L, t("2024-01-01 10:00:00")))
+    buys.addData(
+      (1L, t("2024-01-01 10:00:30")),  // inside 60s window -> match
+      (2L, t("2024-01-01 10:05:00")))  // outside -> no match
+    val joined = graft.streaming.Streams.streamStreamJoin(
+      clicks.toDF().toDF("user_id", "click_ts"),
+      buys.toDF().toDF("user_id", "buy_ts"),
+      "user_id", "click_ts", "buy_ts", "10 seconds", 60L)
+    val q = joined.writeStream.format("memory").queryName("ssj_out")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("ssj_out").collect()
+    assert(rows.length == 1 && rows(0).getLong(0) == 1L)
+  }
+
   test("SQL surface over streams: temp view + spark.sql passthrough (P13)") {
     implicit val sql = spark.sqlContext
     val input = MemoryStream[Int]

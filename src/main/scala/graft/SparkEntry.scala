@@ -187,7 +187,9 @@ object SparkEntry {
       .groupBy(col("user_bucket"))
       .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
       .count()
-      .na.fill(0L)
+      // fill only the pivoted counts — a NULL user_bucket (null
+      // user_id) must survive as NULL to match the oracle's grouping
+      .na.fill(0L, Seq("click", "view", "purchase", "signup", "error"))
 
   /** JSON property extraction from the events `props` column. */
   private def jsonExtract(spark: SparkSession, dir: String): DataFrame =
@@ -336,12 +338,16 @@ object SparkEntry {
         TextFunctions.langMarkers.map { case (l, m) =>
           TextFunctions.langScore(t, m).as(s"s_$l") }): _*)
     scored.withColumn("lang_pred", {
-      val all = TextFunctions.langMarkers.map { case (l, _) => col(s"s_$l") }
-      when(all.reduce(_ + _) === 0, "und")
-        .when(col("s_en") >= greatest(col("s_de"), col("s_fr"), col("s_es")), "en")
-        .when(col("s_de") >= greatest(col("s_en"), col("s_fr"), col("s_es")), "de")
-        .when(col("s_fr") >= greatest(col("s_en"), col("s_de"), col("s_es")), "fr")
-        .otherwise("es")
+      // argmax chain generated from langMarkers so language list and
+      // priority order stay single-sourced (mirrors the oracle SQL,
+      // which is generated from the same table)
+      val langs = TextFunctions.langMarkers.map(_._1)
+      val all = langs.map(l => col(s"s_$l"))
+      val chain = langs.init.foldRight(lit(langs.last): Column) { (l, rest) =>
+        val others = langs.filterNot(_ == l).map(o => col(s"s_$o"))
+        when(col(s"s_$l") >= greatest(others: _*), l).otherwise(rest)
+      }
+      when(all.reduce(_ + _) === 0, "und").otherwise(chain)
     })
   }
 
@@ -764,7 +770,7 @@ object SparkEntry {
         |FROM events GROUP BY event_type""".stripMargin,
     "sessionize" ->
       """WITH g AS (
-        |  SELECT user_id, ts,
+        |  SELECT user_id, ts, event_id,
         |    CASE WHEN LAG(ts) OVER w IS NULL
         |           OR epoch(ts) - epoch(LAG(ts) OVER w) > 1800
         |         THEN 1 ELSE 0 END AS is_new
@@ -772,7 +778,7 @@ object SparkEntry {
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |s AS (
         |  SELECT user_id, ts,
-        |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+        |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |      ROWS UNBOUNDED PRECEDING) AS session_id
         |  FROM g)
         |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,

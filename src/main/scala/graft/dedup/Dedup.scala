@@ -112,6 +112,11 @@ object Dedup {
                       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     // The signature frame feeds three consumers (banding + both sides of
     // the verification join); persist so shingling/minhashing runs once.
+    // Lifecycle note: the cache lives until the session ends (narrow
+    // id+signature rows, MEMORY_AND_DISK — spills, never OOMs); a
+    // long-lived service embedding this operator should unpersist via
+    // spark.sharedState.cacheManager or session catalog after
+    // consuming the result.
     val sigs = minhashSignatures(df, k, textCol, idCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     verifyJaccard(lshCandidates(lshBands(sigs, k, bands)), sigs)

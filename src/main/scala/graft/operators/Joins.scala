@@ -27,27 +27,32 @@ object Joins {
     require(payloadCols.nonEmpty, "payloadCols must be non-empty")
     require(payloadCols.forall(right.columns.contains), "payload missing from right")
 
-    // align schemas: left rows carry null payload slots, right rows
-    // carry null left-only slots
+    // Align schemas: left rows carry null payload slots, right rows
+    // carry null left-only slots. The payload travels as ONE struct
+    // that is non-null for every right row (even when its fields are
+    // null), so the ignoreNulls carry always picks the LATEST right
+    // row atomically — a genuinely-null payload value propagates, and
+    // multiple payload columns can never stitch across rows.
     val leftOnly = leftCols.filterNot(c => keyCols.contains(c) || c == tsCol)
+    val payloadStruct = struct(payloadCols.map(col): _*)
     val rightTagged = right.select(
       (keyCols.map(col) :+ col(tsCol)) ++
-        leftOnly.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        payloadCols.map(c => col(c).as(s"__p_$c")) :+ lit(0).as("__side"): _*)
+        leftOnly.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        payloadStruct.as("__p") :+ lit(0).as("__side"): _*)
+    val payloadType = rightTagged.schema("__p").dataType
     val leftTagged = left.select(
       (keyCols.map(col) :+ col(tsCol)) ++
-        leftOnly.map(col) ++
-        payloadCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__p_$c")) :+
+        leftOnly.map(col) :+
+        lit(null).cast(payloadType).as("__p") :+
         lit(1).as("__side"): _*)
 
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col(tsCol).asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = payloadCols.foldLeft(rightTagged.unionByName(leftTagged)) {
-      (df, c) => df.withColumn(s"__p_$c", last(col(s"__p_$c"), ignoreNulls = true).over(w))
-    }
+    val carried = rightTagged.unionByName(leftTagged)
+      .withColumn("__p", last(col("__p"), ignoreNulls = true).over(w))
     carried.filter(col("__side") === 1)
       .select(leftCols.map(col) ++
-        payloadCols.map(c => col(s"__p_$c").as(c)): _*)
+        payloadCols.map(c => col(s"__p.$c").as(c)): _*)
   }
 }

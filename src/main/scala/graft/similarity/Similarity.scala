@@ -123,6 +123,8 @@ object Similarity {
           norm(col("embedding")).as("c_norm")))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1), r.getDouble(2)))
+    cents.foreach { case (id, ce, _) =>
+      require(ce.length == dim, s"centroid $id has dim ${ce.length}, expected $dim") }
     def cellDists(emb: Column, nrm: Column): Column =
       array(cents.map { case (id, ce, cn) =>
         struct((-dot(emb, typedLit(ce)) / (nrm * lit(cn))).as("d"),

@@ -45,7 +45,10 @@ object StatefulSessions {
             sorted.foreach { t =>
               open match {
                 case Some(s) if t - s.last <= gapMs =>
-                  open = Some(s.copy(last = math.max(s.last, t), n = s.n + 1))
+                  // out-of-order (within-watermark) events may extend
+                  // the session backwards as well as forwards
+                  open = Some(s.copy(start = math.min(s.start, t),
+                    last = math.max(s.last, t), n = s.n + 1))
                 case Some(s) =>
                   closed += flush(userId, s)
                   open = Some(OpenSession(t, t, 1))

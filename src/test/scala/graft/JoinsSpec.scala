@@ -29,6 +29,16 @@ class JoinsSpec extends SparkSpec {
     assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L))
   }
 
+  test("asOfJoin propagates a genuinely-null payload from the latest right row") {
+    val left = Seq((1L, 10L, t("2024-01-01 11:30:00"))).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (10L, t("2024-01-01 10:00:00"), Some(5.0)),
+      (10L, t("2024-01-01 11:00:00"), None) // latest row carries NULL
+    ).toDF("user_id", "ts", "purchase_value")
+    val out = Joins.asOfJoin(left, right, Seq("user_id"), "ts", Seq("purchase_value"))
+    assert(out.head().isNullAt(3)) // NOT the stale 5.0
+  }
+
   test("asOfJoin keeps every left row (left-join semantics)") {
     val left = Seq((1L, 1L, t("2024-01-01 00:00:00"))).toDF("event_id", "user_id", "ts")
     val right = Seq.empty[(Long, Timestamp, Double)].toDF("user_id", "ts", "purchase_value")

@@ -111,6 +111,16 @@ object SparkEntry {
       Expectations.MatchesRegex("event_type", "^[a-z]+$")))
   }
 
+  /** Row-level quarantine annotation over events (violation names per
+    * row + validity flag). */
+  private def validateRows(spark: SparkSession, dir: String): DataFrame =
+    Expectations.annotate(
+      Tables.events(spark, dir).select(col("event_id"), col("event_type"), col("value")),
+      Seq(
+        Expectations.InSet("event_type", Seq("click", "view", "purchase", "signup")),
+        Expectations.Between("value", 0, 50),
+        Expectations.NotNull("event_id")))
+
   /** U1 — union all (reference example model). */
   private def unionAll(spark: SparkSession, dir: String): DataFrame = {
     val r = Tables.region(spark, dir).select(col("r_regionkey"), col("r_name"))
@@ -550,6 +560,7 @@ object SparkEntry {
     "fact_trip" -> ((s, d) => Warehouse.factTrip(stagingOf(s, d))),
     "validate_suite" -> (validateSuite(_, _)),
     "validate_extended" -> (validateExtended(_, _)),
+    "validate_rows" -> (validateRows(_, _)),
     "union_all" -> (unionAll(_, _)),
     "cdc_parse" -> (cdcParse(_, _)),
     "json_extract" -> (jsonExtract(_, _)),
@@ -662,6 +673,25 @@ object SparkEntry {
          |  CAST(SUM(CASE WHEN trip_distance IS NOT NULL AND (trip_distance < 0 OR trip_distance > 100) THEN 1 ELSE 0 END) AS BIGINT) AS between_trip_distance,
          |  CAST(SUM(CASE WHEN extra IS NOT NULL AND (extra < 0 OR extra > 3) THEN 1 ELSE 0 END) AS BIGINT) AS between_extra
          |FROM v""".stripMargin,
+    "validate_rows" ->
+      """SELECT event_id, event_type, value,
+        |  list_filter([
+        |    CASE WHEN event_type IS NOT NULL
+        |      AND event_type NOT IN ('click','view','purchase','signup')
+        |      THEN 'in_set_event_type' END,
+        |    CASE WHEN value IS NOT NULL AND (value < 0 OR value > 50)
+        |      THEN 'between_value' END,
+        |    CASE WHEN event_id IS NULL THEN 'not_null_event_id' END
+        |  ], v -> v IS NOT NULL) AS violations,
+        |  len(list_filter([
+        |    CASE WHEN event_type IS NOT NULL
+        |      AND event_type NOT IN ('click','view','purchase','signup')
+        |      THEN 'in_set_event_type' END,
+        |    CASE WHEN value IS NOT NULL AND (value < 0 OR value > 50)
+        |      THEN 'between_value' END,
+        |    CASE WHEN event_id IS NULL THEN 'not_null_event_id' END
+        |  ], v -> v IS NOT NULL)) = 0 AS is_valid
+        |FROM events""".stripMargin,
     "validate_extended" ->
       """WITH d AS (
         |  SELECT * FROM events

@@ -163,6 +163,44 @@ object Streams {
       "inner")
   }
 
+  /** Streaming upsert-to-lake without a table format: each micro-batch
+    * merges into a parquet snapshot via [[cdcMerge]] (latest-wins +
+    * deletes) — read current snapshot, union the batch, merge,
+    * overwrite. Exactly-once per sink because the merge is idempotent
+    * (re-applying a batch yields the same snapshot). For heavy update
+    * rates a transactional format (Delta/Iceberg) replaces the
+    * rewrite; the merge semantics stay identical. */
+  def foreachBatchMerge(changes: DataFrame, snapshotPath: String,
+                        checkpoint: String, keyCols: Seq[String],
+                        ordinalCol: String, opCol: String = "op"): DataStreamWriter[Row] = {
+    val spark = changes.sparkSession
+    changes.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        val existing =
+          try {
+            // snapshot rows re-enter the merge as upserts older than
+            // any change in this batch is NOT assumed — the ordinal
+            // column decides, so replays stay idempotent
+            Some(spark.read.parquet(snapshotPath)
+              .withColumn(opCol, lit("r")))
+          } catch { case _: Throwable => None }
+        val all = existing.fold(batch.toDF())(e =>
+          batch.toDF().unionByName(e, allowMissingColumns = false))
+        val merged = cdcMerge(all, keyCols, ordinalCol, opCol)
+        // write to a temp dir then swap: the snapshot being read above
+        // cannot be overwritten in place mid-scan
+        val tmp = snapshotPath + "__tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        val conf = spark.sparkContext.hadoopConfiguration
+        val fs = new org.apache.hadoop.fs.Path(snapshotPath).getFileSystem(conf)
+        fs.delete(new org.apache.hadoop.fs.Path(snapshotPath), true)
+        fs.rename(new org.apache.hadoop.fs.Path(tmp),
+          new org.apache.hadoop.fs.Path(snapshotPath))
+        ()
+      }
+  }
+
   /** Watermarked streaming dedup on key columns — the CDC re-delivery
     * guard the reference lacks (§2.11 "Dedup: none"). */
   def dedupStream(df: DataFrame, tsCol: String, watermarkDelay: String,

@@ -74,6 +74,24 @@ object Expectations {
     df.agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Row-level quarantine: annotate each row with the names of the
+    * row-rules it violates (suite order) and a validity flag —
+    * the split-good/bad pattern for training-data pipelines. Aggregate
+    * rules (Unique) are corpus-level and don't apply per row. */
+  def annotate(df: DataFrame, suite: Seq[RowRule]): DataFrame =
+    df.withColumn("violations",
+      filter(array(suite.map(e =>
+        when(e.violation, e.name).otherwise(lit(null).cast("string"))): _*),
+        v => v.isNotNull))
+      .withColumn("is_valid", size(col("violations")) === 0)
+
+  /** (valid rows, quarantined rows with their violation lists). */
+  def partitionValid(df: DataFrame, suite: Seq[RowRule]): (DataFrame, DataFrame) = {
+    val a = annotate(df, suite)
+    (a.filter(col("is_valid")).drop("violations", "is_valid"),
+      a.filter(!col("is_valid")))
+  }
+
   /** Boolean per-rule pass view over a report row. */
   def passed(reportRow: DataFrame): DataFrame =
     reportRow.select(reportRow.columns.toIndexedSeq.map(c => (col(c) === 0L).as(c)): _*)

@@ -40,6 +40,27 @@ class BucketingCdcSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
 
+  test("foreachBatchMerge maintains an upsert snapshot across micro-batches") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql = spark.sqlContext
+    val snap = Files.createTempDirectory("graft_snap").toString + "/t"
+    val ckpt = Files.createTempDirectory("graft_snap_ckpt").toString
+    val input = MemoryStream[(Long, String, Long, String)]
+    val writer = graft.streaming.Streams.foreachBatchMerge(
+      input.toDF().toDF("id", "payload", "ts_ms", "op"),
+      snap, ckpt, Seq("id"), "ts_ms")
+    val q = writer.start()
+    input.addData((1L, "v1", 100L, "c"), (2L, "x1", 100L, "c"))
+    q.processAllAvailable()
+    input.addData((1L, "v2", 200L, "u"), (2L, null, 300L, "d"), (3L, "y1", 150L, "c"))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.read.parquet(snap).orderBy("id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 3L))
+    assert(out(0).getString(1) == "v2" && out(1).getString(1) == "y1")
+  }
+
   test("cdcMerge applies latest-wins upserts and deletes") {
     val changes = Seq(
       (1L, "v1", 100L, "c"),

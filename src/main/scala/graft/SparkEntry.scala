@@ -163,6 +163,31 @@ object SparkEntry {
         |GROUP BY n.n_name""".stripMargin)
   }
 
+  /** Q3-shaped analytic: segment filter + date filter pushed to the
+    * scans, 3-way join, revenue agg, deterministic top-10. */
+  private def q3Priority(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(spark, dir).filter(col("o_orderdate") < lit("1995-03-15").cast("timestamp_ntz"))
+    val l = Tables.lineitem(spark, dir)
+    c.join(o, col("c_custkey") === col("o_custkey"))
+      .join(l, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
+        (lit(1).cast(DecimalType(18, 2)) - col("l_discount").cast(DecimalType(18, 2))))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(10)
+  }
+
+  /** Aggregation over the part catalog: per-brand counts and exact
+    * retail-value sums. */
+  private def partsByBrand(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_parts"),
+        Exact.dsum(col("p_retailprice")).as("retail_value"),
+        min(col("p_size")).as("min_size"), max(col("p_size")).as("max_size"))
+
   /** LEFT SEMI: customers that placed at least one order. */
   private def semiJoin(spark: SparkSession, dir: String): DataFrame =
     Tables.customer(spark, dir)
@@ -565,6 +590,8 @@ object SparkEntry {
     "cdc_parse" -> (cdcParse(_, _)),
     "json_extract" -> (jsonExtract(_, _)),
     "revenue_by_nation" -> (revenueByNation(_, _)),
+    "q3_priority" -> (q3Priority(_, _)),
+    "parts_by_brand" -> (partsByBrand(_, _)),
     "semi_join" -> (semiJoin(_, _)),
     "anti_join" -> (antiJoin(_, _)),
     "set_ops" -> (setOps(_, _)),
@@ -724,6 +751,23 @@ object SparkEntry {
         |JOIN lineitem l ON o.o_orderkey = l.l_orderkey
         |JOIN nation n ON c.c_nationkey = n.n_nationkey
         |GROUP BY n.n_name""".stripMargin,
+    "q3_priority" ->
+      """SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
+        |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+        |    * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM customer c
+        |JOIN orders o ON c.c_custkey = o.o_custkey
+        |JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |  AND o.o_orderdate < TIMESTAMP '1995-03-15'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, l_orderkey ASC
+        |LIMIT 10""".stripMargin,
+    "parts_by_brand" ->
+      """SELECT p_brand, count(*) AS n_parts,
+        |  CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS retail_value,
+        |  min(p_size) AS min_size, max(p_size) AS max_size
+        |FROM part GROUP BY p_brand""".stripMargin,
     "semi_join" ->
       """SELECT c_custkey, c_name FROM customer c
         |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin,

@@ -195,10 +195,12 @@ object SparkEntry {
         col("c_custkey") === col("o_custkey"), "left_semi")
       .select(col("c_custkey"), col("c_name"))
 
-  /** LEFT ANTI: customers with no orders (referential complement). */
+  /** LEFT ANTI: customers with no high-value order (the referential
+    * complement; the value filter keeps the result non-empty at every
+    * scale factor — the plain complement is empty in this data). */
   private def antiJoin(spark: SparkSession, dir: String): DataFrame =
     Tables.customer(spark, dir)
-      .join(Tables.orders(spark, dir),
+      .join(Tables.orders(spark, dir).filter(col("o_totalprice") > 400000),
         col("c_custkey") === col("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_name"))
 
@@ -773,7 +775,8 @@ object SparkEntry {
         |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin,
     "anti_join" ->
       """SELECT c_custkey, c_name FROM customer c
-        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin,
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)""".stripMargin,
     "set_ops" ->
       """SELECT custkey, 'intersect' AS op FROM (
         |  SELECT o_custkey AS custkey FROM orders

@@ -39,19 +39,13 @@ object Dedup {
   def minhashSignatures(df: DataFrame, k: Int = 12,
                         textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val sh = shingleSet(col(textCol))
-    val m = minhashModulus
     graft.core.Parallelism.ensure(df)
       .select(col(idCol).as("doc_id"), sh.as("shingles"))
       .filter(size(col("shingles")) > 0)
-      .withColumn("sig", bound(transform(col("shingles"), s => bound(md5(s)) { h =>
-        struct(
-          (conv(substring(h, 1, 15), 16, 10).cast("long") % m).as("h1"),
-          (conv(substring(h, 16, 15), 16, 10).cast("long") % m).as("h2"))
-      })) { hs =>
-        transform(sequence(lit(0), lit(k - 1)), j =>
-          array_min(transform(hs, p =>
-            (p.getField("h1") + j * p.getField("h2")) % m)))
-      })
+      // native whole-signature kernel (graft.expressions.MinHashSignature)
+      // — one md5 per shingle in a tight loop, no interpreted HOFs
+      .withColumn("sig",
+        graft.expressions.MinHashFunctions.minhashSignature(col("shingles"), k))
   }
 
   /** LSH banding: k-length signature → `bands` bands of r rows each;

@@ -431,6 +431,20 @@ object SparkEntry {
       .select(col("asset_id"), col("frame_idx"),
         length(col("frame_bytes")).cast("bigint").as("n_frame_bytes"))
 
+  /** Composed multimodal pipeline: decode → resize → featurize over
+    * the typed asset table (three chained mapPartitions stages; the
+    * stub codecs are deterministic, but XOR-roll decode is not
+    * SQL-expressible → rows-only check). */
+  private def multimodalPipeline(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.featurize(
+      Multimodal.resize(
+        Multimodal.decode(
+          Multimodal.syntheticAssets(Tables.documents(spark, dir))),
+        dstW = 16, dstH = 12))
+      .toDF()
+      .select(col("asset_id"), col("media_type"), col("n_bytes"),
+        col("mean_byte"), col("byte_entropy_bits"), col("content_hash"))
+
   private def simTopK(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     val queries = e.filter(col("vec_id") < 10)
@@ -620,6 +634,7 @@ object SparkEntry {
     "tfidf_top_terms" -> (tfidfTopTerms(_, _)),
     "multimodal_features" -> (multimodalFeatures(_, _)),
     "multimodal_frames" -> (multimodalFrames(_, _)),
+    "multimodal_pipeline" -> (multimodalPipeline(_, _)),
     "sim_topk" -> (simTopK(_, _)),
     "sim_lsh" -> (simLsh(_, _)),
     "embed_neardup" -> (embedNearDup(_, _)),

@@ -118,6 +118,26 @@ class StreamingSpec extends SparkSpec {
       && rows(1).getAs[Long]("n_events") == 1L)
   }
 
+  test("fileSource streams a parquet directory through a windowed agg") {
+    val dir = Files.createTempDirectory("graft_fsrc").toString
+    Seq(
+      (java.sql.Timestamp.valueOf("2024-01-01 10:00:10"), "click", 1.0),
+      (java.sql.Timestamp.valueOf("2024-01-01 10:00:40"), "click", 2.0))
+      .toDF("ts", "event_type", "value")
+      .write.parquet(s"$dir/batch1")
+    val schema = spark.read.parquet(s"$dir/batch1").schema
+    val stream = Streams.fileSource(spark, s"$dir/batch1", schema)
+    assert(stream.isStreaming)
+    val agg = Streams.windowedAgg(stream, "ts", "1 minute", "5 seconds",
+      Seq("event_type"), Some("value"))
+    val q = agg.writeStream.format("memory").queryName("fsrc_out")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    // append mode emits nothing until the watermark passes the window —
+    // the point here is the source+agg plumbing runs; state is bounded
+    assert(spark.table("fsrc_out").columns.contains("n_events"))
+  }
+
   test("streamStreamJoin matches right events inside the interval window") {
     implicit val sql = spark.sqlContext
     def t(s: String) = java.sql.Timestamp.valueOf(s)

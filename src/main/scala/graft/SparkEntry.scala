@@ -1041,6 +1041,44 @@ object SparkEntry {
          |WHERE x.doc_id < y.doc_id
          |  AND bit_count(xor(x.sig, y.sig)) <= 3""".stripMargin
     },
+    "sim_ivf" -> {
+      val dotEC = dotSql("e.embedding", "c.c_emb")
+      val dotAQ = dotSql("a.embedding", "p.q_emb")
+      s"""WITH cents AS (
+         |  SELECT vec_id AS cell_id, embedding AS c_emb,
+         |    sqrt(${dotSql("embedding", "embedding")}) AS c_norm
+         |  FROM embeddings ORDER BY vec_id ASC LIMIT 16),
+         |assigned AS (
+         |  SELECT vec_id, embedding, c_norm2, cell_id FROM (
+         |    SELECT e.vec_id, e.embedding,
+         |      sqrt(${dotSql("e.embedding", "e.embedding")}) AS c_norm2,
+         |      c.cell_id,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+         |        -($dotEC) / (sqrt(${dotSql("e.embedding", "e.embedding")}) * c.c_norm) ASC,
+         |        c.cell_id ASC) AS rn
+         |    FROM embeddings e CROSS JOIN cents c)
+         |  WHERE rn = 1),
+         |probed AS (
+         |  SELECT q_id, q_emb, q_norm2, cell_id FROM (
+         |    SELECT e.vec_id AS q_id, e.embedding AS q_emb,
+         |      sqrt(${dotSql("e.embedding", "e.embedding")}) AS q_norm2,
+         |      c.cell_id,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+         |        -($dotEC) / (sqrt(${dotSql("e.embedding", "e.embedding")}) * c.c_norm) ASC,
+         |        c.cell_id ASC) AS rn
+         |    FROM embeddings e CROSS JOIN cents c
+         |    WHERE e.vec_id < 10)
+         |  WHERE rn <= 4),
+         |pairs AS (
+         |  SELECT p.q_id, a.vec_id,
+         |    ($dotAQ) / (a.c_norm2 * p.q_norm2) AS cos
+         |  FROM assigned a JOIN probed p USING (cell_id)
+         |  WHERE a.vec_id <> p.q_id)
+         |SELECT q_id, vec_id, rank, round(cos, 9) AS cos FROM (
+         |  SELECT q_id, vec_id, cos,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rank
+         |  FROM pairs) WHERE rank <= 5""".stripMargin
+    },
     "sim_lsh" -> {
       val dotEq = dotSql("cb.embedding", "qb.q_emb")
       val normE = dotSql("cb.embedding", "cb.embedding")

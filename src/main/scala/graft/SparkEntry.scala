@@ -410,6 +410,12 @@ object SparkEntry {
     Tables.documents(spark, dir).select(
       col("doc_id"), TextFunctions.fingerprint(col("text")).as("fingerprint"))
 
+  /** Order-sensitive rolling-hash fingerprint (vs the whitespace-
+    * normalized md5 of doc_fingerprint). */
+  private def docRollingHash(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"), TextFunctions.rollingHash(col("text")).as("rolling_hash"))
+
   import graft.multimodal.Multimodal
 
   /** Multimodal plumbing: typed binary asset table → mapPartitions
@@ -631,6 +637,7 @@ object SparkEntry {
     "text_langid" -> (textLangId(_, _)),
     "token_count" -> (tokenCount(_, _)),
     "doc_fingerprint" -> (docFingerprint(_, _)),
+    "doc_rolling_hash" -> (docRollingHash(_, _)),
     "tfidf_top_terms" -> (tfidfTopTerms(_, _)),
     "multimodal_features" -> (multimodalFeatures(_, _)),
     "multimodal_frames" -> (multimodalFrames(_, _)),
@@ -975,6 +982,13 @@ object SparkEntry {
       s"""SELECT doc_id,
          |  CAST(len($toksSql) AS BIGINT) AS ws_tokens,
          |  CAST(len(regexp_extract_all(text, '${TextFunctions.bpeTokenPattern}')) AS BIGINT) AS bpe_tokens
+         |FROM documents""".stripMargin,
+    "doc_rolling_hash" ->
+      s"""SELECT doc_id,
+         |  list_reduce(
+         |    list_transform($toksSql,
+         |      t -> CAST(concat('0x', substring(md5(t), 1, 15)) AS BIGINT) % 2147483648),
+         |    (acc, x) -> (acc * 31 + x) % 2147483648) AS rolling_hash
          |FROM documents""".stripMargin,
     "tfidf_top_terms" ->
       s"""WITH terms AS (

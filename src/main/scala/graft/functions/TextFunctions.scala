@@ -148,6 +148,23 @@ object TextFunctions {
   /** Hamming distance between two simhash values. */
   def hammingDist(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Rolling (polynomial) document hash over token hashes:
+    * h = fold(h·31 + hash(tokenᵢ)) mod 2^31, seeded with the first
+    * token's hash — order-sensitive (unlike the set-based fingerprint)
+    * so token transpositions change the value. Engine-portable: the
+    * fold is left-to-right integer arithmetic. */
+  def rollingHash(text: Column): Column = {
+    val m = 1L << 31
+    val hs = transform(tokens(text), t =>
+      conv(substring(md5(t), 1, 15), 16, 10).cast("long") % m)
+    bound(hs) { h =>
+      aggregate(
+        slice(h, lit(2), greatest(size(h) - 1, lit(0))),
+        element_at(h, 1),
+        (acc, x) => (acc * 31L + x) % m)
+    }
+  }
+
   /** TF-IDF top terms per document. The relevance score uses the
     * log-free rational form `tf * (N + 1) / (df + 1)` — monotone in the
     * classic tf·idf for fixed tf, and (unlike `ln`) exactly reproducible

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.GraftSession
+import graft.pipeline.BatchPipeline
+import graft.taxi.TaxiShape
+import graft.validate.Expectations
+import graft.warehouse.Warehouse
+
+class HardeningSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("annotate/partitionValid split rows by violation lists in suite order") {
+    val df = Seq(
+      (1L, "click", 10.0),   // valid
+      (2L, "error", 10.0),   // in_set violation
+      (3L, "click", 99.0),   // between violation
+      (4L, "error", -1.0)    // both
+    ).toDF("event_id", "event_type", "value")
+    val suite = Seq(
+      Expectations.InSet("event_type", Seq("click", "view")),
+      Expectations.Between("value", 0, 50))
+    val annotated = Expectations.annotate(df, suite).orderBy("event_id").collect()
+    assert(annotated.map(_.getAs[scala.collection.Seq[String]]("violations").toList).toSeq == Seq(
+      List(), List("in_set_event_type"), List("between_value"),
+      List("in_set_event_type", "between_value")))
+    val (good, bad) = Expectations.partitionValid(df, suite)
+    assert(good.as[(Long, String, Double)].collect().map(_._1).toSeq == Seq(1L))
+    assert(bad.count() == 3)
+    assert(good.columns.toSeq == df.columns.toSeq) // quarantine cols stripped
+  }
+
+  test("star schema referential integrity: every fact key resolves to a dim") {
+    val staging = TaxiShape.staging(spark, "/root/testdata/sf0.001")
+    val fact = Warehouse.factTrip(staging)
+    val dimV = Warehouse.dimVendor(staging).select("vendor_key")
+    val dimR = Warehouse.dimRateCode(staging).select("rate_code_key")
+    val dimP = Warehouse.dimPayment(staging).select("payment_type_key")
+    assert(fact.join(dimV, Seq("vendor_key"), "left_anti").count() == 0)
+    assert(fact.join(dimR, Seq("rate_code_key"), "left_anti").count() == 0)
+    assert(fact.join(dimP, Seq("payment_type_key"), "left_anti").count() == 0)
+    // surrogate keys are 32-hex md5s
+    assert(fact.select("trip_id").as[String].head().matches("[0-9a-f]{32}"))
+  }
+
+  test("GraftSession applies engine config and registers float_dot") {
+    val s = GraftSession.builder("graft-config-test", cores = 2).getOrCreate()
+    try {
+      assert(s.conf.get("spark.sql.session.timeZone") == "UTC")
+      assert(s.conf.get("spark.sql.adaptive.enabled") == "true")
+      // extensions took effect only if this builder created the session
+      // (a shared test JVM may reuse TestSession); assert on a fresh one
+      import org.apache.spark.sql.SparkSession
+      SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+      val fresh = GraftSession.builder("graft-config-fresh", cores = 2).getOrCreate()
+      import fresh.implicits._
+      Seq((Array(1.0f, 2.0f), Array(2.0f, 0.5f))).toDF("a", "b")
+        .createOrReplaceTempView("hs_v")
+      assert(fresh.sql("SELECT float_dot(a, b) AS d FROM hs_v").head().getDouble(0) == 3.0)
+    } finally {
+      org.apache.spark.sql.SparkSession.setActiveSession(spark)
+      org.apache.spark.sql.SparkSession.setDefaultSession(spark)
+    }
+  }
+
+  test("BatchPipeline.clean skips zone enrichment when coordinates pre-exist (pre-2017 shape)") {
+    val raw = Seq((1, java.sql.Timestamp.valueOf("2016-06-01 10:00:00"),
+      java.sql.Timestamp.valueOf("2016-06-01 10:10:00"),
+      40.7, -73.9, 40.8, -73.8, 12.5))
+      .toDF("VendorID", "pickup_datetime", "dropoff_datetime",
+        "pickup_latitude", "pickup_longitude",
+        "dropoff_latitude", "dropoff_longitude", "fare_amount")
+    val lookup = Seq((10, "B", "z", "s", 1.0, 2.0))
+      .toDF("LocationID", "Borough", "zone", "service_zone", "latitude", "longitude")
+    val cleaned = BatchPipeline.clean(raw, Some(lookup))
+    assert(cleaned.count() == 1)
+    // original coordinates survive untouched; no lookup columns leak in
+    assert(cleaned.head().getAs[Double]("pickup_latitude") == 40.7)
+    assert(!cleaned.columns.contains("locationid") && !cleaned.columns.contains("LocationID"))
+  }
+}

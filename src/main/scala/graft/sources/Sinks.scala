@@ -69,6 +69,24 @@ object Sinks {
       .option("batchsize", batchSize)
       .option("numPartitions", numPartitions)
 
+  /** Small-file compaction: rewrite a parquet directory into
+    * ~targetMB-sized files (streaming sinks and per-file loops leave
+    * many small files; at scale, scan overhead is per-file). Uses the
+    * source's on-disk byte size to pick the output file count, writes
+    * to a temp dir, then atomically swaps. Returns the new file count. */
+  def compact(spark: SparkSession, dir: String, targetMB: Int = 128): Int = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(p).getLength
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / (targetMB.toLong << 20)).toInt)
+    val df = spark.read.parquet(dir)
+    val tmp = dir.stripSuffix("/") + "__compact_tmp"
+    df.repartition(nFiles).write.mode(SaveMode.Overwrite).parquet(tmp)
+    fs.delete(p, true)
+    fs.rename(new Path(tmp), p)
+    nFiles
+  }
+
   /** K6 — table materialization (dbt `materialized='table'` CTAS
     * equivalent): register the frame as a named view; callers wanting
     * physical tables use `saveAsTable` against a real catalog. */

@@ -79,6 +79,18 @@ class SourcesSinksSpec extends SparkSpec {
     assert(spark.read.format(fmt).load(path).count() == 1)
   }
 
+  test("compact rewrites many small files into few and preserves rows") {
+    val dir = Files.createTempDirectory("graft_compact").toString + "/lake"
+    // 20 tiny files
+    spark.range(0, 2000).repartition(20).write.parquet(dir)
+    val before = new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(before >= 20)
+    val n = Sinks.compact(spark, dir, targetMB = 128)
+    val after = new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(n == 1 && after == 1)
+    assert(spark.read.parquet(dir).count() == 2000)
+  }
+
   test("jdbcStagingWriter carries the reference write discipline") {
     val w = Sinks.jdbcStagingWriter(Seq(1).toDF("x"),
       "jdbc:postgresql://example/db", "staging.nyc_taxi", "u", "p")

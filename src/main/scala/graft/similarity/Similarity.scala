@@ -68,7 +68,13 @@ object Similarity {
 
   /** LSH-bucketed ANN: queries only compare against candidates in the
     * same hyperplane bucket (approximate — trades recall for a
-    * bucket-local join instead of a full scan). */
+    * bucket-local join instead of a full scan).
+    *
+    * Regime note: angular LSH pays off when true near neighbors exist
+    * (cosine ≳ 0.8, e.g. near-duplicate embeddings) — collision odds
+    * per plane are 1 − θ/π, so weakly-correlated corpora (max cosine
+    * ~0.5) collide near-randomly and [[ivfTopK]] is the better scale
+    * path there (its recall degrades with distance, not correlation). */
   def lshTopK(candidates: DataFrame, queries: DataFrame, dim: Int,
               k: Int, nPlanes: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -44,6 +44,28 @@ class HardeningSpec extends SparkSpec {
     assert(fact.select("trip_id").as[String].head().matches("[0-9a-f]{32}"))
   }
 
+  test("IVF recall vs brute force stays high on the real embedding table") {
+    import graft.core.Tables
+    import graft.similarity.Similarity
+    val dir = "/root/testdata/sf0.001"
+    val e = Tables.embeddings(spark, dir)
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("q_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairs(Similarity.bruteForceTopK(e.select("vec_id", "embedding"), q, 5))
+    val ivf = pairs(Similarity.ivfTopK(e.select("vec_id", "embedding"), q,
+      dim = 64, k = 5, nCells = 16, nProbe = 4))
+    val recall = (ivf & brute).size.toDouble / brute.size
+    assert(recall >= 0.8, s"IVF recall@5 dropped to $recall")
+    // Angular LSH is the wrong tool for THIS corpus (max pairwise
+    // cosine ~0.5 — no true near neighbors, so bucket collisions are
+    // ~random); its mechanism is covered on near-dup fixtures in
+    // TextDedupSpec. IVF probes cells by distance and degrades
+    // gracefully instead.
+  }
+
   test("GraftSession applies engine config and registers float_dot") {
     val s = GraftSession.builder("graft-config-test", cores = 2).getOrCreate()
     try {

@@ -86,6 +86,17 @@ class HardeningSpec extends SparkSpec {
     }
   }
 
+  test("Engine.attach exposes the star schema to plain spark.sql") {
+    Engine.attach(spark, "/root/testdata/sf0.001")
+    val out = spark.sql(
+      """SELECT dv.vendor_name, count(*) AS n, sum(f.total_amount) AS amt
+        |FROM fact_trip f JOIN dim_vendor dv ON f.vendor_key = dv.vendor_key
+        |GROUP BY dv.vendor_name ORDER BY n DESC""".stripMargin).collect()
+    assert(out.nonEmpty && out.forall(_.getLong(1) > 0))
+    assert(spark.sql("SELECT count(*) FROM staging_nyc_taxi").head().getLong(0) > 0)
+    assert(spark.sql("SELECT count(*) FROM dim_service_type").head().getLong(0) == 2)
+  }
+
   test("BatchPipeline.clean skips zone enrichment when coordinates pre-exist (pre-2017 shape)") {
     val raw = Seq((1, java.sql.Timestamp.valueOf("2016-06-01 10:00:00"),
       java.sql.Timestamp.valueOf("2016-06-01 10:10:00"),

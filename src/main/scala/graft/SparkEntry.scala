@@ -343,6 +343,12 @@ object SparkEntry {
   private def dedupMinhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashNearDups(Tables.documents(spark, dir))
 
+  /** Near-dup pairs → connected components → keep/drop decision. */
+  private def dedupClusters(spark: SparkSession, dir: String): DataFrame =
+    Dedup.nearDupClusters(
+      Dedup.minhashNearDups(Tables.documents(spark, dir)).select("doc_a", "doc_b"))
+      .withColumn("keep", col("doc_id") === col("cluster_id"))
+
   private def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardPairs(Tables.documents(spark, dir), maxId = 40L)
 
@@ -632,6 +638,7 @@ object SparkEntry {
     "dedup_exact" -> (dedupExact(_, _)),
     "dedup_minhash" -> (dedupMinhash(_, _)),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard(_, _)),
+    "dedup_clusters" -> (dedupClusters(_, _)),
     "dedup_simhash" -> (dedupSimhash(_, _)),
     "text_stats" -> (textStats(_, _)),
     "text_langid" -> (textLangId(_, _)),
@@ -942,6 +949,35 @@ object SparkEntry {
          |FROM cands c
          |JOIN sigs sa ON c.doc_a = sa.doc_id
          |JOIN sigs sb ON c.doc_b = sb.doc_id""".stripMargin,
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE docs AS (
+         |  SELECT doc_id, $shinglesSql AS shingles FROM documents),
+         |sigs AS (
+         |  SELECT doc_id, shingles,
+         |    list_transform(range(0, 12), j ->
+         |      list_aggregate(list_transform(shingles,
+         |        s -> (CAST(concat('0x', substring(md5(s), 1, 15)) AS BIGINT) % 2147483648
+         |              + j * (CAST(concat('0x', substring(md5(s), 16, 15)) AS BIGINT) % 2147483648))
+         |             % 2147483648), 'min')) AS sig
+         |  FROM docs WHERE len(shingles) > 0),
+         |bands AS (
+         |  SELECT doc_id, b AS band_idx,
+         |    concat_ws(',', sig[b*3+1], sig[b*3+2], sig[b*3+3]) AS band_hash
+         |  FROM sigs, range(0, 4) AS t(b)),
+         |cands AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         |  WHERE a.doc_id < b.doc_id),
+         |e AS (SELECT doc_a AS a, doc_b AS b FROM cands
+         |      UNION SELECT doc_b, doc_a FROM cands),
+         |reach(src, dst) AS (
+         |  SELECT a, a FROM (SELECT DISTINCT a FROM e)
+         |  UNION
+         |  SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a)
+         |SELECT src AS doc_id, min(dst) AS cluster_id,
+         |  min(dst) = src AS keep
+         |FROM reach GROUP BY src""".stripMargin,
     "dedup_ngram_jaccard" ->
       s"""WITH docs AS (
          |  SELECT doc_id, $shinglesSql AS sh FROM documents WHERE doc_id < 40),

@@ -133,6 +133,47 @@ object Dedup {
         (col("n_inter").cast("double") / col("n_union").cast("double")).as("jaccard"))
   }
 
+  /** Connected components over near-dup pairs → (doc_id, cluster_id)
+    * with cluster_id = the component's minimum doc id; the dedup KEEP
+    * decision is then "keep doc_id == cluster_id".
+    *
+    * Pregel-style min-label propagation: each iteration joins labels
+    * across the (symmetrized) edge set and keeps the elementwise min —
+    * one shuffle per iteration, iteration count = component diameter
+    * (near-dup clusters are shallow: usually 1-3 hops). The driver only
+    * checks a change COUNTER per iteration; labels stay distributed.
+    */
+  def nearDupClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var iter = 0
+    var converged = false
+    while (iter < maxIters && !converged) {
+      // candidate label for each node: min of own and neighbors' labels
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("id", "dst"), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min(col("label")).as("nlabel"))
+      val next = labels.join(viaNeighbors, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val changed = next.join(labels.withColumnRenamed("label", "old"), "id")
+        .filter(col("label") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
   /** SimHash near-dup: 60-bit signatures; block-LSH candidate
     * generation splits the signature into `maxHamming + 1` blocks, so by
     * pigeonhole any pair within `maxHamming` shares at least one exact

@@ -86,6 +86,14 @@ class TextDedupSpec extends SparkSpec {
     assert(out(1).getLong(1) == 3L && out(1).getDouble(3) == 0.0)
   }
 
+  test("nearDupClusters: min-label propagation finds components across hops") {
+    // chain 1-2-3-4 (diameter 3) + isolated pair 10-11
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val out = Dedup.nearDupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("ivfTopK matches brute force when probing all cells") {
     // deterministic pseudo-random vectors in 8 dims
     def vec(seed: Long): Array[Float] =

@@ -174,6 +174,21 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 
+  /** One-call corpus dedup: MinHash-LSH near-dup pairs above
+    * `minJaccard` → connected components → drop every doc that is not
+    * its cluster's representative (minimum id). Exact duplicates are
+    * near-dups with jaccard 1.0, so they are removed too. */
+  def dedupCorpus(df: DataFrame, minJaccard: Double = 0.8,
+                  textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val pairs = minhashNearDups(df, textCol = textCol, idCol = idCol)
+      .filter(col("jaccard") >= minJaccard)
+      .select("doc_a", "doc_b")
+    val drop = nearDupClusters(pairs)
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id"))
+    df.join(drop.withColumnRenamed("doc_id", idCol), Seq(idCol), "left_anti")
+  }
+
   /** SimHash near-dup: 60-bit signatures; block-LSH candidate
     * generation splits the signature into `maxHamming + 1` blocks, so by
     * pigeonhole any pair within `maxHamming` shares at least one exact

@@ -94,6 +94,17 @@ class TextDedupSpec extends SparkSpec {
     assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("dedupCorpus keeps one representative per duplicate group") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight"), // dup of 1
+      (3L, "an entirely different document about spark engines and scale"),
+      (4L, "the quick brown fox jumps over the lazy dog tonight")  // dup of 1
+    ).toDF("doc_id", "text")
+    val kept = Dedup.dedupCorpus(docs).select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 3L))
+  }
+
   test("ivfTopK matches brute force when probing all cells") {
     // deterministic pseudo-random vectors in 8 dims
     def vec(seed: Long): Array[Float] =

@@ -228,6 +228,21 @@ object SparkEntry {
       // user_id) must survive as NULL to match the oracle's grouping
       .na.fill(0L, Seq("click", "view", "purchase", "signup", "error"))
 
+  /** Deterministic hash-based sample: 20% of events by event_id, plus
+    * a stratified variant keeping 50% of purchases / 10% of clicks. */
+  private def hashSample(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sampling
+    val ev = Tables.events(spark, dir)
+    Sampling.hashSample(ev, "event_id", 20, salt = "r1")
+      .select(col("event_id"), col("event_type"))
+      .withColumn("stratum", lit("uniform20"))
+      .unionAll(
+        Sampling.stratified(ev, "event_id", "event_type",
+          Map("purchase" -> 50, "click" -> 10), salt = "r1")
+          .select(col("event_id"), col("event_type"))
+          .withColumn("stratum", lit("stratified")))
+  }
+
   /** JSON property extraction from the events `props` column. */
   private def jsonExtract(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir).select(
@@ -617,6 +632,7 @@ object SparkEntry {
     "union_all" -> (unionAll(_, _)),
     "cdc_parse" -> (cdcParse(_, _)),
     "json_extract" -> (jsonExtract(_, _)),
+    "hash_sample" -> (hashSample(_, _)),
     "revenue_by_nation" -> (revenueByNation(_, _)),
     "q3_priority" -> (q3Priority(_, _)),
     "parts_by_brand" -> (partsByBrand(_, _)),
@@ -824,6 +840,16 @@ object SparkEntry {
         |  SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
         |  SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error
         |FROM events GROUP BY 1""".stripMargin,
+    "hash_sample" ->
+      """WITH b AS (
+        |  SELECT event_id, event_type,
+        |    CAST(concat('0x', substring(md5(concat(CAST(event_id AS VARCHAR), 'r1')), 1, 15)) AS BIGINT) % 100 AS bucket
+        |  FROM events)
+        |SELECT event_id, event_type, 'uniform20' AS stratum FROM b WHERE bucket < 20
+        |UNION ALL
+        |SELECT event_id, event_type, 'stratified' AS stratum FROM b
+        |WHERE bucket < (CASE WHEN event_type = 'click' THEN 10
+        |                     WHEN event_type = 'purchase' THEN 50 ELSE 0 END)""".stripMargin,
     "json_extract" ->
       """SELECT event_id,
         |  CAST(json_extract_string(props, '$.k') AS INT) AS k

@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, engine-portable sampling — the reproducible-split
+  * primitive a training-data pipeline needs (RNG-based `sample()` is
+  * implementation-specific and changes across engines/partitionings;
+  * hash-based sampling is stable given (key, salt)).
+  */
+object Sampling {
+
+  /** Uniform bucket in [0, 100) from the row key: md5-derived, salted.
+    * The same derivation is expressible in any SQL engine. */
+  def hashBucket(key: Column, salt: String = ""): Column =
+    conv(substring(md5(concat(key.cast("string"), lit(salt))), 1, 15), 16, 10)
+      .cast("long") % 100
+
+  /** Keep ~pct% of rows, deterministically by key. */
+  def hashSample(df: DataFrame, keyCol: String, pct: Int, salt: String = ""): DataFrame = {
+    require(pct >= 0 && pct <= 100, s"pct must be in [0,100], got $pct")
+    df.filter(hashBucket(col(keyCol), salt) < pct)
+  }
+
+  /** Disjoint reproducible train/validation/test split: buckets
+    * [0,trainPct) / [trainPct,trainPct+valPct) / rest. */
+  def split(df: DataFrame, keyCol: String, trainPct: Int, valPct: Int,
+            salt: String = ""): (DataFrame, DataFrame, DataFrame) = {
+    require(trainPct + valPct <= 100, "trainPct + valPct must be <= 100")
+    val b = hashBucket(col(keyCol), salt)
+    (df.filter(b < trainPct),
+      df.filter(b >= trainPct && b < trainPct + valPct),
+      df.filter(b >= trainPct + valPct))
+  }
+
+  /** Stratified deterministic sampling: per-stratum keep percentages
+    * (strata absent from the map keep `defaultPct`). */
+  def stratified(df: DataFrame, keyCol: String, stratumCol: String,
+                 pcts: Map[String, Int], defaultPct: Int = 0,
+                 salt: String = ""): DataFrame = {
+    val threshold = pcts.foldLeft(lit(defaultPct)) { case (acc, (s, p)) =>
+      when(col(stratumCol) === s, p).otherwise(acc)
+    }
+    df.filter(hashBucket(col(keyCol), salt) < threshold)
+  }
+}

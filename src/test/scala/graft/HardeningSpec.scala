@@ -86,6 +86,23 @@ class HardeningSpec extends SparkSpec {
     }
   }
 
+  test("hash sampling is deterministic; split is disjoint and covering") {
+    import graft.operators.Sampling
+    val df = spark.range(0, 10000).select(col("id").as("k"))
+    val s1 = Sampling.hashSample(df, "k", 20, "s").as[Long].collect().toSet
+    val s2 = Sampling.hashSample(df, "k", 20, "s").as[Long].collect().toSet
+    assert(s1 == s2) // deterministic
+    assert(math.abs(s1.size - 2000) < 200) // ~20%
+    val other = Sampling.hashSample(df, "k", 20, "other-salt").as[Long].collect().toSet
+    assert(other != s1) // salt changes the sample
+    val (tr, va, te) = Sampling.split(df, "k", 80, 10, "s")
+    val (a, b, c) = (tr.as[Long].collect().toSet, va.as[Long].collect().toSet,
+      te.as[Long].collect().toSet)
+    assert((a & b).isEmpty && (a & c).isEmpty && (b & c).isEmpty)
+    assert(a.size + b.size + c.size == 10000)
+    assert(a.subsetOf((0L until 10000L).toSet))
+  }
+
   test("Engine.attach exposes the star schema to plain spark.sql") {
     Engine.attach(spark, "/root/testdata/sf0.001")
     val out = spark.sql(

@@ -243,6 +243,11 @@ object SparkEntry {
           .withColumn("stratum", lit("stratified")))
   }
 
+  /** One-pass long-format dataset profile of the events table. */
+  private def profileEvents(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Profiler.profile(
+      Tables.events(spark, dir), Seq("event_id", "user_id", "event_type", "value"))
+
   /** JSON property extraction from the events `props` column. */
   private def jsonExtract(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir).select(
@@ -633,6 +638,7 @@ object SparkEntry {
     "cdc_parse" -> (cdcParse(_, _)),
     "json_extract" -> (jsonExtract(_, _)),
     "hash_sample" -> (hashSample(_, _)),
+    "profile_events" -> (profileEvents(_, _)),
     "revenue_by_nation" -> (revenueByNation(_, _)),
     "q3_priority" -> (q3Priority(_, _)),
     "parts_by_brand" -> (partsByBrand(_, _)),
@@ -850,6 +856,17 @@ object SparkEntry {
         |SELECT event_id, event_type, 'stratified' AS stratum FROM b
         |WHERE bucket < (CASE WHEN event_type = 'click' THEN 10
         |                     WHEN event_type = 'purchase' THEN 50 ELSE 0 END)""".stripMargin,
+    "profile_events" -> {
+      def one(c: String) =
+        s"""SELECT '$c' AS "column", count(*) AS n_rows,
+           |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  CAST(min($c) AS VARCHAR) AS min_value,
+           |  CAST(max($c) AS VARCHAR) AS max_value
+           |FROM events""".stripMargin
+      Seq("event_id", "user_id", "event_type", "value").map(one)
+        .mkString("\nUNION ALL\n")
+    },
     "json_extract" ->
       """SELECT event_id,
         |  CAST(json_extract_string(props, '$.k') AS INT) AS k

@@ -22,7 +22,12 @@ object Engine {
     * the staging frame. Views are lazy — nothing materializes until
     * queried; call `spark.catalog.cacheTable` on hot ones. */
   def attach(spark: SparkSession, dir: String): DataFrame = {
-    lakeTables.foreach(t => Tables.load(spark, dir, t).createOrReplaceTempView(t))
+    lakeTables.foreach { t =>
+      // Tables.events applies the nanos-long -> timestamp_ntz repair;
+      // raw load would expose ts as BIGINT through the SQL facade
+      val df = if (t == "events") Tables.events(spark, dir) else Tables.load(spark, dir, t)
+      df.createOrReplaceTempView(t)
+    }
     val staging = TaxiShape.staging(spark, dir)
     staging.createOrReplaceTempView("staging_nyc_taxi")
     Warehouse.dimVendor(staging).createOrReplaceTempView("dim_vendor")

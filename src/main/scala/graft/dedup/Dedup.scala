@@ -156,9 +156,11 @@ object Dedup {
     var labels = nodes.withColumn("label", col("id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // labels only ever decrease, so sum(label) is a monotone
-    // convergence witness — no per-iteration old-vs-new join needed
+    // convergence witness — no per-iteration old-vs-new join needed.
+    // coalesce(0): sum over an empty frame is NULL (no near-dup pairs
+    // at all is the common healthy case).
     def labelSum(df: DataFrame): Long =
-      df.agg(sum(col("label"))).head().getLong(0)
+      df.agg(coalesce(sum(col("label")), lit(0L))).head().getLong(0)
     var prevSum = labelSum(labels)
     var iter = 0
     var converged = false
@@ -175,7 +177,13 @@ object Dedup {
       prevSum = nextSum
       iter += 1
     }
+    if (!converged)
+      System.err.println(s"[graft] nearDupClusters: NOT converged after " +
+        s"$maxIters iterations (component diameter exceeds the cap); " +
+        "cluster ids may split real components — raise maxIters")
     edges.unpersist()
+    // NOTE: the returned frame stays persisted (it usually feeds a join
+    // right away); long-lived services should unpersist after consuming.
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 

@@ -30,7 +30,7 @@ case class MinHashSignature(child: Expression, k: Int)
     case t => TypeCheckResult.TypeCheckFailure(
       s"minhash_signature expects array<string> (k > 0), got ($t, k=$k)")
   }
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "minhash_signature"
 
@@ -74,7 +74,9 @@ case class MinHashSignature(child: Expression, k: Int)
       }
       i += 1
     }
-    if (n == 0) new GenericArrayData(Array.empty[Any])
+    // empty shingle set → k nulls, matching the built-in composition
+    // (array_min over an empty array is null per hash index)
+    if (n == 0) new GenericArrayData(Array.fill[Any](k)(null))
     else new GenericArrayData(mins.map(v => v: Any))
   }
 

@@ -11,9 +11,12 @@ import org.apache.spark.sql.functions._
 object Sampling {
 
   /** Uniform bucket in [0, 100) from the row key: md5-derived, salted.
-    * The same derivation is expressible in any SQL engine. */
+    * NULL keys hash as the empty string (they land in a bucket instead
+    * of silently vanishing from every split — and this matches SQL
+    * engines whose concat skips NULLs). The same derivation is
+    * expressible in any SQL engine. */
   def hashBucket(key: Column, salt: String = ""): Column =
-    conv(substring(md5(concat(key.cast("string"), lit(salt))), 1, 15), 16, 10)
+    conv(substring(md5(concat(coalesce(key.cast("string"), lit("")), lit(salt))), 1, 15), 16, 10)
       .cast("long") % 100
 
   /** Keep ~pct% of rows, deterministically by key. */

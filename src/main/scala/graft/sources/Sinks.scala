@@ -73,17 +73,24 @@ object Sinks {
     * ~targetMB-sized files (streaming sinks and per-file loops leave
     * many small files; at scale, scan overhead is per-file). Uses the
     * source's on-disk byte size to pick the output file count, writes
-    * to a temp dir, then atomically swaps. Returns the new file count. */
+    * to a temp dir, then swaps via rename-aside (current -> __old,
+    * tmp -> current, drop __old): NOT one atomic operation, but every
+    * crash point leaves a complete copy under either the directory,
+    * `__old`, or `__compact_tmp` for recovery. Returns the new file
+    * count. */
   def compact(spark: SparkSession, dir: String, targetMB: Int = 128): Int = {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val bytes = fs.getContentSummary(p).getLength
     val nFiles = math.max(1, math.ceil(bytes.toDouble / (targetMB.toLong << 20)).toInt)
     val df = spark.read.parquet(dir)
-    val tmp = dir.stripSuffix("/") + "__compact_tmp"
-    df.repartition(nFiles).write.mode(SaveMode.Overwrite).parquet(tmp)
-    fs.delete(p, true)
-    fs.rename(new Path(tmp), p)
+    val tmp = new Path(dir.stripSuffix("/") + "__compact_tmp")
+    val old = new Path(dir.stripSuffix("/") + "__old")
+    df.repartition(nFiles).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    fs.delete(old, true)
+    fs.rename(p, old)
+    fs.rename(tmp, p)
+    fs.delete(old, true)
     nFiles
   }
 

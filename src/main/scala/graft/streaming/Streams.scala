@@ -164,12 +164,14 @@ object Streams {
   }
 
   /** Streaming upsert-to-lake without a table format: each micro-batch
-    * merges into a parquet snapshot via [[cdcMerge]] (latest-wins +
-    * deletes) — read current snapshot, union the batch, merge,
-    * overwrite. Exactly-once per sink because the merge is idempotent
-    * (re-applying a batch yields the same snapshot). For heavy update
-    * rates a transactional format (Delta/Iceberg) replaces the
-    * rewrite; the merge semantics stay identical. */
+    * merges into a parquet snapshot — read current snapshot, union the
+    * batch, keep the latest row per key BY ORDINAL (deletes are
+    * retained as tombstone rows, so a late lower-ordinal update can
+    * never resurrect a deleted key). Read the live view with
+    * [[readMergeSnapshot]] (filters tombstones). Idempotent per batch:
+    * re-applying yields the same snapshot. For heavy update rates a
+    * transactional format (Delta/Iceberg) replaces the rewrite; the
+    * merge semantics stay identical. */
   def foreachBatchMerge(changes: DataFrame, snapshotPath: String,
                         checkpoint: String, keyCols: Seq[String],
                         ordinalCol: String, opCol: String = "op"): DataStreamWriter[Row] = {
@@ -177,29 +179,45 @@ object Streams {
     changes.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        import org.apache.spark.sql.expressions.Window
+        // only path-not-found means "no snapshot yet"; any other read
+        // failure must abort the batch, not silently drop the snapshot
         val existing =
-          try {
-            // snapshot rows re-enter the merge as upserts older than
-            // any change in this batch is NOT assumed — the ordinal
-            // column decides, so replays stay idempotent
-            Some(spark.read.parquet(snapshotPath)
-              .withColumn(opCol, lit("r")))
-          } catch { case _: Throwable => None }
+          try Some(spark.read.parquet(snapshotPath))
+          catch {
+            case e: org.apache.spark.sql.AnalysisException
+              if e.getMessage.contains("PATH_NOT_FOUND") ||
+                e.getMessage.toLowerCase.contains("path does not exist") => None
+          }
         val all = existing.fold(batch.toDF())(e =>
           batch.toDF().unionByName(e, allowMissingColumns = false))
-        val merged = cdcMerge(all, keyCols, ordinalCol, opCol)
+        val w = Window.partitionBy(keyCols.map(col): _*)
+          .orderBy(col(ordinalCol).desc)
+        val merged = all.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
         // write to a temp dir then swap: the snapshot being read above
-        // cannot be overwritten in place mid-scan
-        val tmp = snapshotPath + "__tmp"
-        merged.write.mode("overwrite").parquet(tmp)
+        // cannot be overwritten in place mid-scan. Swap order keeps a
+        // recoverable copy at every step: current -> __old, tmp ->
+        // current, drop __old (a crash leaves __old or __tmp intact).
         val conf = spark.sparkContext.hadoopConfiguration
-        val fs = new org.apache.hadoop.fs.Path(snapshotPath).getFileSystem(conf)
-        fs.delete(new org.apache.hadoop.fs.Path(snapshotPath), true)
-        fs.rename(new org.apache.hadoop.fs.Path(tmp),
-          new org.apache.hadoop.fs.Path(snapshotPath))
+        val p = new org.apache.hadoop.fs.Path(snapshotPath)
+        val fs = p.getFileSystem(conf)
+        val tmp = new org.apache.hadoop.fs.Path(snapshotPath + "__tmp")
+        val old = new org.apache.hadoop.fs.Path(snapshotPath + "__old")
+        merged.write.mode("overwrite").parquet(tmp.toString)
+        fs.delete(old, true)
+        if (fs.exists(p)) fs.rename(p, old)
+        fs.rename(tmp, p)
+        fs.delete(old, true)
         ()
       }
   }
+
+  /** Live view over a [[foreachBatchMerge]] snapshot (tombstones
+    * filtered, op column dropped). */
+  def readMergeSnapshot(spark: SparkSession, snapshotPath: String,
+                        opCol: String = "op"): DataFrame =
+    spark.read.parquet(snapshotPath).filter(col(opCol) =!= "d").drop(opCol)
 
   /** Watermarked streaming dedup on key columns — the CDC re-delivery
     * guard the reference lacks (§2.11 "Dedup: none"). */

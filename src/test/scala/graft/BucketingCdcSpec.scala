@@ -56,9 +56,15 @@ class BucketingCdcSpec extends SparkSpec {
     input.addData((1L, "v2", 200L, "u"), (2L, null, 300L, "d"), (3L, "y1", 150L, "c"))
     q.processAllAvailable()
     q.stop()
-    val out = spark.read.parquet(snap).orderBy("id").collect()
-    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 3L))
-    assert(out(0).getString(1) == "v2" && out(1).getString(1) == "y1")
+    val live = graft.streaming.Streams.readMergeSnapshot(spark, snap)
+      .orderBy("id").collect()
+    assert(live.map(_.getLong(0)).toSeq == Seq(1L, 3L))
+    assert(live(0).getString(1) == "v2" && live(1).getString(1) == "y1")
+    // the tombstone for key 2 is RETAINED in the raw snapshot, so a
+    // late lower-ordinal update cannot resurrect the deleted key
+    val raw = spark.read.parquet(snap)
+    assert(raw.count() == 3)
+    assert(raw.filter(col("id") === 2L).head().getString(3) == "d")
   }
 
   test("cdcMerge applies latest-wins upserts and deletes") {

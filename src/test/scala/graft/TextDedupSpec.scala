@@ -94,6 +94,14 @@ class TextDedupSpec extends SparkSpec {
     assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("dedupCorpus is the identity on a corpus with no near-duplicates") {
+    val docs = Seq(
+      (1L, "completely original text about database engines and joins"),
+      (2L, "an unrelated poem regarding mountains rivers and weather")
+    ).toDF("doc_id", "text")
+    assert(Dedup.dedupCorpus(docs).count() == 2) // no NPE on empty pairs
+  }
+
   test("dedupCorpus keeps one representative per duplicate group") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog tonight"),

@@ -91,14 +91,19 @@ object Streams {
     * processing-time trigger (streaming_to_minio_fixed.py:70-77). */
   def parquetSink(df: DataFrame, path: String, checkpoint: String,
                   partitionCols: Seq[String] = Seq("date_partition"),
-                  triggerSeconds: Option[Int] = Some(10)): DataStreamWriter[Row] = {
+                  triggerSeconds: Option[Int] = Some(10),
+                  availableNow: Boolean = false): DataStreamWriter[Row] = {
     val w = df.writeStream
       .format("parquet")
       .outputMode("append")
       .option("path", path)
       .option("checkpointLocation", checkpoint)
     val p = if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w
-    triggerSeconds.fold(p)(s => p.trigger(Trigger.ProcessingTime(s * 1000L)))
+    // AvailableNow: drain everything currently available in rate-
+    // limited batches, then stop — the modern bounded-run form of the
+    // reference's awaitTermination(60) demos
+    if (availableNow) p.trigger(Trigger.AvailableNow())
+    else triggerSeconds.fold(p)(s => p.trigger(Trigger.ProcessingTime(s * 1000L)))
   }
 
   /** Bounded run helper (K5): start, process everything currently

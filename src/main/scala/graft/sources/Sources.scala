@@ -17,6 +17,14 @@ object Sources {
   def parquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Drift-tolerant multi-file scan: unions the schemas of all footers
+    * (columns absent from a file read as null) — the whole-directory
+    * alternative to the per-file variant handling in `Clean`
+    * (yellow/green/year drift, SURVEY.md §1.3). Costs a footer read
+    * per file at planning time; prefer a fixed schema once known. */
+  def parquetMergeSchema(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
   /** S3 — header CSV scan with an explicit schema contract (the
     * zone-lookup table: LocationID,Borough,zone,service_zone,
     * latitude,longitude — reference: scripts/transform_data.py:43).

@@ -79,6 +79,16 @@ class SourcesSinksSpec extends SparkSpec {
     assert(spark.read.format(fmt).load(path).count() == 1)
   }
 
+  test("parquetMergeSchema unions drifted file schemas, nulling absent columns") {
+    val dir = Files.createTempDirectory("graft_drift").toString
+    Seq((1L, 2.5)).toDF("vendorid", "fare_amount").write.parquet(s"$dir/p=1")
+    Seq((2L, 0.5, "J")).toDF("vendorid", "ehail_fee", "trip_type").write.parquet(s"$dir/p=2")
+    val df = Sources.parquetMergeSchema(spark, dir)
+    assert(df.columns.toSet == Set("vendorid", "fare_amount", "ehail_fee", "trip_type", "p"))
+    val yellow = df.filter($"vendorid" === 1L).head()
+    assert(yellow.getAs[Double]("fare_amount") == 2.5 && yellow.isNullAt(df.columns.indexOf("trip_type")))
+  }
+
   test("compact rewrites many small files into few and preserves rows") {
     val dir = Files.createTempDirectory("graft_compact").toString + "/lake"
     // 20 tiny files

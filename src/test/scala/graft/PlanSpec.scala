@@ -44,6 +44,17 @@ class PlanSpec extends SparkSpec {
     assert(scan.exists(s => s.count(_ == ',') <= 4), s"unpruned scan: $scan")
   }
 
+  test("q3_priority: top-10 runs as TakeOrderedAndProject, not a global sort") {
+    val p = plan("q3_priority")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("tfidf_top_terms: document-frequency join broadcasts") {
+    val p = plan("tfidf_top_terms")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("WindowGroupLimit"), p) // per-doc top-k bounded map-side
+  }
+
   test("filter pushdown reaches the parquet scan") {
     import org.apache.spark.sql.functions.col
     val df = graft.core.Tables.lineitem(spark, dir)

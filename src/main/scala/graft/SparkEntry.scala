@@ -429,6 +429,20 @@ object SparkEntry {
       TextFunctions.wsTokenCount(col("text")).as("ws_tokens"),
       TextFunctions.bpeTokenCount(col("text")).as("bpe_tokens"))
 
+  /** LLM-prep chunking: one row per 32-token window per document. */
+  private def textChunks(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(TextFunctions.chunks(col("text"), 32)))
+      .withColumnRenamed("pos", "chunk_idx")
+      .withColumnRenamed("col", "chunk_text")
+      .withColumn("chunk_idx", col("chunk_idx").cast("int"))
+      .withColumn("n_chunk_tokens", TextFunctions.wsTokenCount(col("chunk_text")))
+
+  /** PII-style scrubbing over documents. */
+  private def textScrub(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"), TextFunctions.scrub(col("text")).as("scrubbed"))
+
   private def tfidfTopTerms(spark: SparkSession, dir: String): DataFrame =
     TextFunctions.tfidfTopTerms(Tables.documents(spark, dir), k = 5)
 
@@ -668,6 +682,8 @@ object SparkEntry {
     "doc_fingerprint" -> (docFingerprint(_, _)),
     "doc_rolling_hash" -> (docRollingHash(_, _)),
     "tfidf_top_terms" -> (tfidfTopTerms(_, _)),
+    "text_chunks" -> (textChunks(_, _)),
+    "text_scrub" -> (textScrub(_, _)),
     "multimodal_features" -> (multimodalFeatures(_, _)),
     "multimodal_frames" -> (multimodalFrames(_, _)),
     "multimodal_pipeline" -> (multimodalPipeline(_, _)),
@@ -1084,6 +1100,21 @@ object SparkEntry {
          |    PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rank
          |  FROM s)
          |WHERE rank <= 5""".stripMargin,
+    "text_chunks" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |c AS (SELECT doc_id, toks,
+         |    unnest(range(0, CAST(ceil(len(toks) / 32.0) AS INT))) AS i
+         |  FROM t)
+         |SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+         |  array_to_string(list_slice(toks, i*32 + 1, least((i+1)*32, len(toks))), ' ') AS chunk_text,
+         |  CAST(len(list_slice(toks, i*32 + 1, least((i+1)*32, len(toks)))) AS BIGINT) AS n_chunk_tokens
+         |FROM c""".stripMargin,
+    "text_scrub" ->
+      """SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |    '[0-9]{4,}', '[NUM]', 'g') AS scrubbed
+        |FROM documents""".stripMargin,
     "doc_fingerprint" ->
       """SELECT doc_id,
         |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint

@@ -165,6 +165,28 @@ object TextFunctions {
     }
   }
 
+  /** Fixed-window token chunking for LLM context packing: tokens are
+    * grouped into windows of `chunkTokens` (last window ragged) and
+    * re-joined with single spaces. Emits an array; explode it for one
+    * row per chunk. */
+  def chunks(text: Column, chunkTokens: Int): Column = {
+    require(chunkTokens > 0, "chunkTokens must be positive")
+    bound(tokens(text)) { t =>
+      transform(
+        sequence(lit(0), ceil(size(t).cast("double") / chunkTokens).cast("int") - 1),
+        i => concat_ws(" ", slice(t, i * chunkTokens + 1, lit(chunkTokens))))
+    }
+  }
+
+  /** PII-style scrubbing (RE2-safe patterns shared with any oracle
+    * engine): email-shaped tokens → [EMAIL], digit runs of 4+ → [NUM].
+    * Order matters — emails first, so their digits survive as part of
+    * the email redaction, not as [NUM]. */
+  def scrub(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]"),
+      "[0-9]{4,}", "[NUM]")
+
   /** TF-IDF top terms per document. The relevance score uses the
     * log-free rational form `tf * (N + 1) / (df + 1)` — monotone in the
     * classic tf·idf for fixed tf, and (unlike `ln`) exactly reproducible

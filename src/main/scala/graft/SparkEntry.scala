@@ -342,6 +342,31 @@ object SparkEntry {
         expr("percentile(value, 0.5)").as("p50"),
         expr("percentile(value, 0.75)").as("p75"))
 
+  /** Population covariance per group, derived from engine-exact
+    * decimal sums (sum(x), sum(y), sum(x*y) are exact; the final
+    * double arithmetic is the same three operations in any engine —
+    * unlike covar_pop's streaming accumulation, which is
+    * order-dependent). */
+  private def lineitemCov(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    // operand precisions sized so the product (27,4) stays inside the
+    // 38-digit decimal cap in EVERY engine — a (28,4)^2 product would
+    // overflow and round engine-specifically
+    val Dx = DecimalType(12, 2)
+    val Dy = DecimalType(14, 2)
+    l.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast(Dx)).as("sx"),
+        sum(col("l_extendedprice").cast(Dy)).as("sy"),
+        sum((col("l_quantity").cast(Dx) * col("l_extendedprice").cast(Dy))).as("sxy"))
+      .select(col("l_returnflag"), col("n"),
+        col("sx").cast("double").as("sum_qty"),
+        col("sy").cast("double").as("sum_price"),
+        ((col("sxy").cast("double") -
+          col("sx").cast("double") * col("sy").cast("double") / col("n"))
+          / col("n")).as("covar_pop"))
+  }
+
   /** Event-time tumbling (hourly) aggregation — the batch twin of the
     * streaming windowed count (§2.11 extension). */
   private def eventsWindowAgg(spark: SparkSession, dir: String): DataFrame =
@@ -664,6 +689,7 @@ object SparkEntry {
     "rollup_agg" -> (rollupAgg(_, _)),
     "asof_join" -> (asofJoin(_, _)),
     "stats_summary" -> (statsSummary(_, _)),
+    "lineitem_cov" -> (lineitemCov(_, _)),
     "funnel" -> (funnel(_, _)),
     "percentiles" -> (percentiles(_, _)),
     "sessionize" -> (sessionize(_, _)),
@@ -916,6 +942,18 @@ object SparkEntry {
         |    / count(value) AS DOUBLE) AS avg_value,
         |  count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY event_type""".stripMargin,
+    "lineitem_cov" ->
+      """WITH s AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sx,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS sy,
+        |    SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(14,2))) AS sxy
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, n,
+        |  CAST(sx AS DOUBLE) AS sum_qty,
+        |  CAST(sy AS DOUBLE) AS sum_price,
+        |  (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n) / n AS covar_pop
+        |FROM s""".stripMargin,
     "funnel" ->
       """WITH v AS (
         |  SELECT user_id, min(ts) AS first_view FROM events

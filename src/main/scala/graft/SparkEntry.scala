@@ -690,6 +690,10 @@ object SparkEntry {
     "asof_join" -> (asofJoin(_, _)),
     "stats_summary" -> (statsSummary(_, _)),
     "lineitem_cov" -> (lineitemCov(_, _)),
+    "value_histogram" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy((floor(col("value") / 5) * 5).cast("double").as("bucket_start"))
+        .agg(count(lit(1)).as("n"))),
     "funnel" -> (funnel(_, _)),
     "percentiles" -> (percentiles(_, _)),
     "sessionize" -> (sessionize(_, _)),
@@ -942,6 +946,9 @@ object SparkEntry {
         |    / count(value) AS DOUBLE) AS avg_value,
         |  count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY event_type""".stripMargin,
+    "value_histogram" ->
+      """SELECT CAST(floor(value / 5) * 5 AS DOUBLE) AS bucket_start, count(*) AS n
+        |FROM events GROUP BY 1""".stripMargin,
     "lineitem_cov" ->
       """WITH s AS (
         |  SELECT l_returnflag, count(*) AS n,

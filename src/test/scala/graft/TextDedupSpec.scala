@@ -86,6 +86,25 @@ class TextDedupSpec extends SparkSpec {
     assert(out(1).getLong(1) == 3L && out(1).getDouble(3) == 0.0)
   }
 
+  test("chunks: fixed token windows with ragged tail") {
+    val df = Seq("a b c d e f g").toDF("text")
+    val out = df.select(TextFunctions.chunks(col("text"), 3).as("c"))
+      .as[Seq[String]].head()
+    assert(out == Seq("a b c", "d e f", "g"))
+    val single = Seq("x").toDF("text")
+      .select(TextFunctions.chunks(col("text"), 3).as("c")).as[Seq[String]].head()
+    assert(single == Seq("x"))
+  }
+
+  test("scrub redacts emails before digit runs") {
+    val df = Seq(
+      "contact me at john.doe99@example.com or call 5551234567",
+      "short 123 stays but 20240101 goes").toDF("text")
+    val out = df.select(TextFunctions.scrub(col("text"))).as[String].collect()
+    assert(out(0) == "contact me at [EMAIL] or call [NUM]")
+    assert(out(1) == "short 123 stays but [NUM] goes")
+  }
+
   test("nearDupClusters: min-label propagation finds components across hops") {
     // chain 1-2-3-4 (diameter 3) + isolated pair 10-11
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("doc_a", "doc_b")

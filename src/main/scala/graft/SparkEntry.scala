@@ -694,6 +694,12 @@ object SparkEntry {
       Tables.events(s, d)
         .groupBy((floor(col("value") / 5) * 5).cast("double").as("bucket_start"))
         .agg(count(lit(1)).as("n"))),
+    "user_event_types" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"))
+        // sort makes the collected set deterministic and comparable
+        .agg(array_sort(collect_set(col("event_type"))).as("event_types"),
+          count(lit(1)).as("n_events"))),
     "funnel" -> (funnel(_, _)),
     "percentiles" -> (percentiles(_, _)),
     "sessionize" -> (sessionize(_, _)),
@@ -949,6 +955,10 @@ object SparkEntry {
     "value_histogram" ->
       """SELECT CAST(floor(value / 5) * 5 AS DOUBLE) AS bucket_start, count(*) AS n
         |FROM events GROUP BY 1""".stripMargin,
+    "user_event_types" ->
+      """SELECT user_id, list_sort(list(DISTINCT event_type)) AS event_types,
+        |  count(*) AS n_events
+        |FROM events GROUP BY user_id""".stripMargin,
     "lineitem_cov" ->
       """WITH s AS (
         |  SELECT l_returnflag, count(*) AS n,

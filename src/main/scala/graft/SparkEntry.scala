@@ -254,6 +254,21 @@ object SparkEntry {
       col("event_id"),
       get_json_object(col("props"), "$.k").cast("int").as("k"))
 
+  /** Explicit frame spec: per-customer running order total. The sum
+    * accumulates in DECIMAL inside the frame, so the result is exact
+    * regardless of each engine's window-aggregation order (running
+    * accumulation vs segment tree). */
+  private def runningTotal(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, dir)
+      .filter(col("o_custkey") < 100)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w)
+          .cast("double").as("running_total"))
+  }
+
   /** Window ranking extension: top-3 orders per customer. */
   private def windowTopk(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("o_custkey"))
@@ -686,6 +701,7 @@ object SparkEntry {
     "set_ops" -> (setOps(_, _)),
     "pivot_events" -> (pivotEvents(_, _)),
     "window_topk" -> (windowTopk(_, _)),
+    "running_total" -> (runningTotal(_, _)),
     "rollup_agg" -> (rollupAgg(_, _)),
     "asof_join" -> (asofJoin(_, _)),
     "stats_summary" -> (statsSummary(_, _)),
@@ -928,6 +944,12 @@ object SparkEntry {
         |  SELECT o_custkey, o_orderkey, o_totalprice,
         |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
         |  FROM orders) WHERE rn <= 3""".stripMargin,
+    "running_total" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+        |FROM orders WHERE o_custkey < 100""".stripMargin,
     "rollup_agg" ->
       s"""${TaxiShape.stagingSql}
          |SELECT year, month, count(*) AS n_trips,

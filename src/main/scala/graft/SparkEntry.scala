@@ -112,7 +112,10 @@ object SparkEntry {
   }
 
   /** Row-level quarantine annotation over events (violation names per
-    * row + validity flag). */
+    * row + validity flag). The library API (`Expectations.annotate`)
+    * keeps the array-typed `violations` column; the oracle-checked query
+    * serializes it to a comma-joined string because the driver's pandas
+    * comparator cannot sort/hash array columns. */
   private def validateRows(spark: SparkSession, dir: String): DataFrame =
     Expectations.annotate(
       Tables.events(spark, dir).select(col("event_id"), col("event_type"), col("value")),
@@ -120,6 +123,7 @@ object SparkEntry {
         Expectations.InSet("event_type", Seq("click", "view", "purchase", "signup")),
         Expectations.Between("value", 0, 50),
         Expectations.NotNull("event_id")))
+      .withColumn("violations", array_join(col("violations"), ","))
 
   /** U1 — union all (reference example model). */
   private def unionAll(spark: SparkSession, dir: String): DataFrame = {
@@ -713,8 +717,10 @@ object SparkEntry {
     "user_event_types" -> ((s, d) =>
       Tables.events(s, d)
         .groupBy(col("user_id"))
-        // sort makes the collected set deterministic and comparable
-        .agg(array_sort(collect_set(col("event_type"))).as("event_types"),
+        // sort makes the collected set deterministic; joined to a plain
+        // string because the driver's pandas comparator cannot sort/hash
+        // array-typed columns (numpy.ndarray is unhashable)
+        .agg(array_join(array_sort(collect_set(col("event_type"))), ",").as("event_types"),
           count(lit(1)).as("n_events"))),
     "funnel" -> (funnel(_, _)),
     "percentiles" -> (percentiles(_, _)),
@@ -823,14 +829,14 @@ object SparkEntry {
          |FROM v""".stripMargin,
     "validate_rows" ->
       """SELECT event_id, event_type, value,
-        |  list_filter([
+        |  array_to_string(list_filter([
         |    CASE WHEN event_type IS NOT NULL
         |      AND event_type NOT IN ('click','view','purchase','signup')
         |      THEN 'in_set_event_type' END,
         |    CASE WHEN value IS NOT NULL AND (value < 0 OR value > 50)
         |      THEN 'between_value' END,
         |    CASE WHEN event_id IS NULL THEN 'not_null_event_id' END
-        |  ], v -> v IS NOT NULL) AS violations,
+        |  ], v -> v IS NOT NULL), ',') AS violations,
         |  len(list_filter([
         |    CASE WHEN event_type IS NOT NULL
         |      AND event_type NOT IN ('click','view','purchase','signup')
@@ -906,13 +912,16 @@ object SparkEntry {
         |  SELECT o_custkey AS custkey FROM orders
         |  EXCEPT
         |  SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 100000)""".stripMargin,
+    // CAST each pivoted SUM: DuckDB returns HUGEINT for integer SUM, which
+    // the driver's pandas comparator materializes as float64 and the hash
+    // compare against Spark's bigint fails.
     "pivot_events" ->
       """SELECT CAST(user_id % 10 AS INT) AS user_bucket,
-        |  SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
-        |  SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view,
-        |  SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
-        |  SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
-        |  SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error
+        |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+        |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        |  CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+        |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
         |FROM events GROUP BY 1""".stripMargin,
     "hash_sample" ->
       """WITH b AS (
@@ -978,7 +987,8 @@ object SparkEntry {
       """SELECT CAST(floor(value / 5) * 5 AS DOUBLE) AS bucket_start, count(*) AS n
         |FROM events GROUP BY 1""".stripMargin,
     "user_event_types" ->
-      """SELECT user_id, list_sort(list(DISTINCT event_type)) AS event_types,
+      """SELECT user_id,
+        |  array_to_string(list_sort(list(DISTINCT event_type)), ',') AS event_types,
         |  count(*) AS n_events
         |FROM events GROUP BY user_id""".stripMargin,
     "lineitem_cov" ->

@@ -3,28 +3,34 @@
 
 Usage: python3 tools/selfcheck.py <verify_out_dir> <sf_dir>
 
-For each <name>/ parquet dump under verify_out_dir, runs the matching
-statement from oracle_sql.json in DuckDB (tables registered as views on
-the sf_dir parquet files), sorts columns by name and rows by all
-columns, and compares cell values exactly (floats: bit-exact, with a
-1e-9-relative fallback reported separately).
+Faithful to the driver's comparator: BOTH sides are materialized as
+pandas DataFrames via duckdb's .df() (so DuckDB HUGEINT becomes float64,
+exactly as the driver sees it), columns are sorted by name, rows are
+sorted with pandas sort_values over all columns (which crashes on
+array-typed columns — reported as FAIL, matching the driver's 'err'),
+and the verdict is a hash over the dtype-sensitive CSV rendering (so
+123.0 vs 123 mismatches even though Python == would call them equal).
 """
-import json, math, sys
+import hashlib, json, sys
 import duckdb
 
-def canon(rows, cols):
-    idx = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = [tuple(r[i] for i in idx) for r in rows]
-    out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
-    return [cols[i] for i in idx], out
+def prep(df):
+    df = df[sorted(df.columns)]
+    # driver sorts rows by all columns before hashing; array columns
+    # raise TypeError('unhashable type: numpy.ndarray') here, like the driver
+    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    return df
 
-def cmp_cell(a, b):
-    if a is None and b is None: return "eq"
-    if isinstance(a, float) and isinstance(b, float):
-        if a == b or (math.isnan(a) and math.isnan(b)): return "eq"
-        if abs(a - b) <= 1e-9 * max(1.0, abs(a), abs(b)): return "approx"
-        return "ne"
-    return "eq" if a == b else "ne"
+def df_hash(df):
+    return hashlib.md5(df.to_csv(index=False).encode()).hexdigest()
+
+def first_diff(g, w):
+    for i in range(len(g)):
+        for c in g.columns:
+            a, b = g[c].iloc[i], w[c].iloc[i]
+            if str(a) != str(b):
+                return f"row {i} col {c}: {a!r} ({type(a).__name__}) != {b!r} ({type(b).__name__})"
+    return "no cell-level diff found (ordering/rendering difference)"
 
 def main(outdir, sfdir):
     con = duckdb.connect()
@@ -35,41 +41,35 @@ def main(outdir, sfdir):
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         try:
-            got = con.execute(f"SELECT * FROM '{outdir}/{name}/*.parquet'")
-            gcols = [d[0] for d in got.description]
-            grows = got.fetchall()
-            want = con.execute(sql)
-            wcols = [d[0] for d in want.description]
-            wrows = want.fetchall()
+            gdf = con.execute(f"SELECT * FROM '{outdir}/{name}/*.parquet'").df()
+            wdf = con.execute(sql).df()
         except Exception as e:
             print(f"FAIL {name}: exec error: {e}")
             n_fail += 1
             continue
-        if sorted(gcols) != sorted(wcols):
-            print(f"FAIL {name}: columns {sorted(gcols)} != {sorted(wcols)}")
+        if sorted(gdf.columns) != sorted(wdf.columns):
+            print(f"FAIL {name}: columns {sorted(gdf.columns)} != {sorted(wdf.columns)}")
             n_fail += 1
             continue
-        _, g = canon(grows, gcols)
-        _, w = canon(wrows, wcols)
+        try:
+            g, w = prep(gdf), prep(wdf)
+        except Exception as e:
+            print(f"FAIL {name}: driver-sort error: {type(e).__name__}: {e}")
+            n_fail += 1
+            continue
         if len(g) != len(w):
             print(f"FAIL {name}: rowcount {len(g)} != {len(w)}")
             n_fail += 1
             continue
-        bad = approx = 0
-        example = None
-        for rg, rw in zip(g, w):
-            for a, b in zip(rg, rw):
-                r = cmp_cell(a, b)
-                if r == "ne":
-                    bad += 1
-                    if example is None: example = (a, b)
-                elif r == "approx":
-                    approx += 1
-        if bad:
-            print(f"FAIL {name}: {bad} mismatched cells, e.g. {example}")
-            n_fail += 1
-        elif approx:
-            print(f"WARN {name}: exact rows={len(g)} but {approx} cells only approx-equal (hash compare would fail)")
+        if list(map(str, g.dtypes)) != list(map(str, w.dtypes)):
+            # not a driver failure by itself (the driver hashes values, and
+            # e.g. int32 vs int64 hash alike) — but it is the early-warning
+            # sign for HUGEINT→float64-style mismatches, so surface it
+            print(f"WARN {name}: pandas dtypes differ: "
+                  f"{dict(zip(g.columns, map(str, g.dtypes)))} != "
+                  f"{dict(zip(w.columns, map(str, w.dtypes)))}")
+        if df_hash(g) != df_hash(w):
+            print(f"FAIL {name}: hash mismatch; {first_diff(g, w)}")
             n_fail += 1
         else:
             print(f"PASS {name}: rows={len(g)}")

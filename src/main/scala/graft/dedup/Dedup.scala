@@ -137,54 +137,87 @@ object Dedup {
     * with cluster_id = the component's minimum doc id; the dedup KEEP
     * decision is then "keep doc_id == cluster_id".
     *
-    * Pregel-style min-label propagation: each iteration joins labels
-    * across the (symmetrized) edge set and keeps the elementwise min —
-    * one shuffle per iteration, iteration count = component diameter
-    * (near-dup clusters are shallow: usually 1-3 hops). The driver only
-    * checks a change COUNTER per iteration; labels stay distributed.
+    * Alternating large-star / small-star (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14): each round rewires
+    * every node toward its neighborhood minimum, halving-or-better the
+    * component diameter, so convergence takes O(log d) rounds instead of
+    * the d rounds of one-hop label propagation. Each round costs exactly
+    * ONE driver action (a count+checksum fingerprint of the new edge
+    * set); edges stay distributed throughout — nothing proportional to
+    * the graph ever reaches the driver. At the fixpoint the edge set is
+    * a collection of stars (v, m) with m = the component's minimum id.
     */
   def nearDupClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
-    val undirected = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    // canonical (u > v) orientation; both star steps preserve it
+    val init = pairs
+      .select(greatest(col("doc_a"), col("doc_b")).as("u"),
+        least(col("doc_a"), col("doc_b")).as("v"))
+      .filter(col("u") =!= col("v"))
       .distinct()
-    val nodes = undirected.select(col("src").as("id")).distinct()
-    // self-loops fold "own label" into the neighbor min: one join + one
-    // aggregate per iteration
-    val edges = undirected
-      .unionAll(nodes.select(col("id").as("src"), col("id").as("dst")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = nodes.withColumn("label", col("id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // labels only ever decrease, so sum(label) is a monotone
-    // convergence witness — no per-iteration old-vs-new join needed.
-    // coalesce(0): sum over an empty frame is NULL (no near-dup pairs
-    // at all is the common healthy case).
-    def labelSum(df: DataFrame): Long =
-      df.agg(coalesce(sum(col("label")), lit(0L))).head().getLong(0)
-    var prevSum = labelSum(labels)
+
+    // large-star: symmetrize, then for each node u with neighborhood
+    // minimum m = min(N(u) ∪ {u}) connect every LARGER neighbor to m.
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy("u").agg(min(col("v")).as("mn"))
+      sym.join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), least(col("mn"), col("u")).as("v"))
+        .distinct()
+    }
+
+    // small-star (input oriented u > v): connect u and all its smaller
+    // neighbors to their minimum m = min(N<(u)).
+    def smallStar(e: DataFrame): DataFrame = {
+      val mins = e.groupBy("u").agg(min(col("v")).as("m"))
+      val moved = e.join(mins, "u")
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+      moved.unionAll(mins.select(col("u"), col("m").as("v"))).distinct()
+    }
+
+    // Edge-set fingerprint: one action per round. Equal fingerprints ⇒
+    // equal sets (mod a ~2^-64 checksum collision) ⇒ fixpoint, because
+    // both star steps are deterministic functions of the set.
+    // decimal(38,0) accumulator: a sum of 64-bit hashes overflows LONG
+    // under ANSI mode; decimal has headroom for ~10^18 edges
+    def fingerprint(e: DataFrame): (Long, String) = {
+      val r = e.agg(count(lit(1)),
+        coalesce(sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")),
+          lit(0).cast("decimal(38,0)"))).head()
+      (r.getLong(0), r.getDecimal(1).toPlainString)
+    }
+
+    // localCheckpoint (eager) truncates lineage each round: with plain
+    // persist the logical plan nests round-over-round (cache matching +
+    // AQE replanning of an ever-growing tree dominated the runtime —
+    // ~10 s/round at 32 cores for a 250-edge graph); a checkpointed
+    // round is a flat LogicalRDD, so per-round planning cost is constant.
+    // Old checkpoint blocks are released by the ContextCleaner.
+    var edges = init.localCheckpoint()
+    var fp = fingerprint(edges)
     var iter = 0
     var converged = false
     while (iter < maxIters && !converged) {
-      val next = edges
-        .join(labels.withColumnRenamed("id", "dst"), "dst")
-        .groupBy(col("src").as("id"))
-        .agg(min(col("label")).as("label"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val nextSum = labelSum(next)
-      labels.unpersist()
-      labels = next
-      converged = nextSum == prevSum
-      prevSum = nextSum
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val nfp = fingerprint(next)
+      edges = next
+      converged = nfp == fp
+      fp = nfp
       iter += 1
     }
     if (!converged)
       System.err.println(s"[graft] nearDupClusters: NOT converged after " +
-        s"$maxIters iterations (component diameter exceeds the cap); " +
-        "cluster ids may split real components — raise maxIters")
-    edges.unpersist()
-    // NOTE: the returned frame stays persisted (it usually feeds a join
-    // right away); long-lived services should unpersist after consuming.
-    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+        s"$maxIters rounds; cluster ids may split real components — raise maxIters")
+    else
+      System.err.println(s"[graft] nearDupClusters: converged in $iter rounds " +
+        s"(${fp._1} star edges)")
+    // fixpoint stars: non-roots are (u → root); roots appear only as v.
+    // The parent is a materialized local checkpoint, so downstream
+    // consumers re-read executor-local blocks, never the LSH lineage.
+    edges.select(col("u").as("doc_id"), col("v").as("cluster_id"))
+      .unionAll(edges.select(col("v"), col("v")).distinct()
+        .toDF("doc_id", "cluster_id"))
   }
 
   /** One-call corpus dedup: MinHash-LSH near-dup pairs above

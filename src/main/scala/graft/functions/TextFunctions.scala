@@ -193,10 +193,15 @@ object TextFunctions {
     * across engines, so results stay hash-comparable to a SQL oracle.
     *
     * Plan shape at scale: explode → two hash aggregates (term counts,
-    * doc frequencies) → broadcast-join the (small) per-corpus df table →
+    * doc frequencies) → join tf↔df on `term` (strategy left to
+    * Catalyst/AQE: at web scale the distinct-term table is billions of
+    * rows, so a mandatory broadcast would OOM the driver — both sides
+    * are already keyed by `term` and shuffle-hash-join cleanly) →
     * per-doc top-k via rank filter, which Spark bounds map-side with
-    * WindowGroupLimit. The corpus vocabulary frame is the only
-    * broadcast; document text never shuffles.
+    * WindowGroupLimit. The corpus size N is folded into the plan as a
+    * one-row aggregate broadcast-nested-loop-joined onto tf — no eager
+    * driver action at operator-construction time. Document text never
+    * shuffles.
     */
   def tfidfTopTerms(docs: org.apache.spark.sql.DataFrame, k: Int = 5,
                     textCol: String = "text", idCol: String = "doc_id")
@@ -207,10 +212,13 @@ object TextFunctions {
       .filter(length(col("term")) > 0)
     val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val n = docs.select(col(idCol)).distinct().count()
-    val scored = tf.join(broadcast(df), "term")
+    // one row, always broadcast-safe; same semantics as distinct().count()
+    val n = docs.select(col(idCol)).distinct().agg(count(lit(1)).as("__n"))
+    val scored = tf.join(df, "term")
+      .crossJoin(broadcast(n))
       .withColumn("tfidf",
-        (col("tf") * (n + 1)).cast("double") / (col("df") + 1).cast("double"))
+        (col("tf") * (col("__n") + 1)).cast("double") / (col("df") + 1).cast("double"))
+      .drop("__n")
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("tfidf").desc, col("term").asc)
     scored.withColumn("rank", row_number().over(w).cast("bigint"))

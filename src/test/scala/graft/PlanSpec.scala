@@ -49,9 +49,12 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
-  test("tfidf_top_terms: document-frequency join broadcasts") {
+  test("tfidf_top_terms: no mandatory vocabulary broadcast; 1-row N folded in") {
     val p = plan("tfidf_top_terms")
-    assert(p.contains("BroadcastHashJoin"), p)
+    // the corpus-size side is one row and broadcast-nested-loop joined;
+    // the tf<->df join strategy is left to Catalyst/AQE (a forced
+    // broadcast of the full vocabulary would OOM at web scale)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
     assert(p.contains("WindowGroupLimit"), p) // per-doc top-k bounded map-side
   }
 

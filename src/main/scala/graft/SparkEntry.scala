@@ -522,18 +522,25 @@ object SparkEntry {
         length(col("frame_bytes")).cast("bigint").as("n_frame_bytes"))
 
   /** Composed multimodal pipeline: decode → resize → featurize over
-    * the typed asset table (three chained mapPartitions stages; the
-    * stub codecs are deterministic, but XOR-roll decode is not
-    * SQL-expressible → rows-only check). */
-  private def multimodalPipeline(spark: SparkSession, dir: String): DataFrame =
-    Multimodal.featurize(
-      Multimodal.resize(
-        Multimodal.decode(
-          Multimodal.syntheticAssets(Tables.documents(spark, dir))),
-        dstW = 16, dstH = 12))
-      .toDF()
-      .select(col("asset_id"), col("media_type"), col("n_bytes"),
-        col("mean_byte"), col("byte_entropy_bits"), col("content_hash"))
+    * the typed asset table (three chained mapPartitions stages). The
+    * XOR-roll decode + nearest-neighbor resize are pure byte arithmetic,
+    * so the whole pipeline IS oracle-expressible: the DuckDB twin
+    * replays the prefix-XOR with a bit_xor window and the resize with a
+    * list_transform index map. The checked hash is md5 over the
+    * lowercase hex rendering of the resized bytes (DuckDB's md5 takes
+    * VARCHAR only); byte_entropy_bits stays library-only (log2 is not
+    * bit-reproducible across engines). */
+  private def multimodalPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val resized = Multimodal.resize(
+      Multimodal.decode(
+        Multimodal.syntheticAssets(Tables.documents(spark, dir))),
+      dstW = 16, dstH = 12)
+    val hashes = resized.toDF().select(col("asset_id"),
+      md5(lower(hex(col("content")))).as("content_hash"))
+    Multimodal.featurize(resized).toDF()
+      .select(col("asset_id"), col("media_type"), col("n_bytes"), col("mean_byte"))
+      .join(hashes, "asset_id")
+  }
 
   private def simTopK(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
@@ -1224,6 +1231,38 @@ object SparkEntry {
         |    + greatest(1, len // n_frames))
         |    - least(len, i * greatest(1, len // n_frames)) AS BIGINT) AS n_frame_bytes
         |FROM f""".stripMargin,
+    // full decode->resize->featurize replay: prefix-XOR via a bit_xor
+    // window, nearest-neighbor resize via a list_transform index map,
+    // hash over the lowercase hex rendering (DuckDB md5 is VARCHAR-only)
+    "multimodal_pipeline" ->
+      """WITH base AS (
+        |  SELECT doc_id AS asset_id,
+        |    ['image','audio','video'][CAST(doc_id % 3 + 1 AS INT)] AS media_type,
+        |    text,
+        |    CAST(doc_id % 64 + 16 AS INT) AS w,
+        |    CAST(doc_id % 48 + 12 AS INT) AS h
+        |  FROM documents),
+        |bytes AS (
+        |  SELECT asset_id, media_type, w, h, i, ord(substr(text, CAST(i AS INT), 1)) AS b
+        |  FROM (SELECT *, unnest(range(1, length(text)+1)) AS i FROM base)),
+        |dec AS (
+        |  SELECT asset_id, media_type, w, h, i,
+        |    bit_xor(b) OVER (PARTITION BY asset_id ORDER BY i) AS d
+        |  FROM bytes),
+        |declist AS (
+        |  SELECT asset_id, media_type, w, h, list(d ORDER BY i) AS dl
+        |  FROM dec GROUP BY asset_id, media_type, w, h),
+        |resized AS (
+        |  SELECT asset_id, media_type,
+        |    list_transform(range(0, 192), p ->
+        |      dl[CAST(((least(h-1, (p // 16) * h // 12) * w
+        |               + least(w-1, (p % 16) * w // 16)) % len(dl)) + 1 AS INT)]) AS r
+        |  FROM declist)
+        |SELECT asset_id, media_type,
+        |  CAST(len(r) AS BIGINT) AS n_bytes,
+        |  CAST(list_sum(r) AS DOUBLE) / 192.0 AS mean_byte,
+        |  md5(array_to_string(list_transform(r, v -> format('{:02x}', v)), '')) AS content_hash
+        |FROM resized""".stripMargin,
     "dedup_simhash" -> {
       // 60-bit simhash rebuilt in SQL: token md5 -> 60-bit int (first
       // 15 hex chars), per-bit +/-1 votes, sign-packed. Bit powers are

@@ -95,8 +95,80 @@ object Multimodal {
   }
 
   // ------------------------------------------------------------------
+  // REAL image codec kernels — javax.imageio ships in the JDK, so the
+  // image modality needs no stub: these encode/decode actual JPEG/PNG
+  // bitstreams. (Audio/video kernels above remain documented stand-ins
+  // for the absent ffmpeg-class libraries.)
+  // ------------------------------------------------------------------
+
+  /** Encode an 8-bit grayscale plane as a real image bitstream
+    * ("jpg" or "png") via javax.imageio. */
+  def encodeImageKernel(gray: Array[Byte], w: Int, h: Int, format: String): Array[Byte] = {
+    require(gray.length == w * h, s"plane ${gray.length} != ${w}x$h")
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    img.getRaster.setDataElements(0, 0, w, h, gray)
+    val baos = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(img, format, baos), s"no writer for $format")
+    baos.toByteArray
+  }
+
+  /** REAL decode via javax.imageio: any format the JDK reads (JPEG,
+    * PNG, BMP, GIF); returns the luminance plane + true dimensions. */
+  def decodeImageKernel(content: Array[Byte]): (Array[Byte], Int, Int) = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+    require(img != null, "undecodable image payload")
+    val (w, h) = (img.getWidth, img.getHeight)
+    val gray =
+      if (img.getType == java.awt.image.BufferedImage.TYPE_BYTE_GRAY) img
+      else {
+        val g = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val gr = g.createGraphics()
+        gr.drawImage(img, 0, 0, null)
+        gr.dispose()
+        g
+      }
+    val plane = new Array[Byte](w * h)
+    gray.getRaster.getDataElements(0, 0, w, h, plane)
+    (plane, w, h)
+  }
+
+  // ------------------------------------------------------------------
   // Spark operators (real plumbing)
   // ------------------------------------------------------------------
+
+  /** Decode image payloads with the REAL codec (mapPartitions, zero
+    * shuffle): content becomes the luminance plane, width/height are
+    * replaced by the bitstream's true dimensions. Non-image rows pass
+    * through untouched. */
+  def decodeImages(assets: Dataset[MediaAsset]): Dataset[MediaAsset] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(_.map { a =>
+      if (a.media_type != "image") a
+      else {
+        val (plane, w, h) = decodeImageKernel(a.content)
+        a.copy(content = plane, width = w, height = h)
+      }
+    })
+  }
+
+  /** Deterministic synthetic table of REAL JPEG (or PNG) image assets:
+    * the grayscale plane is the document's XOR-rolled text bytes tiled
+    * to (doc_id%32+16) x (doc_id%24+12), encoded with the JDK codec.
+    * Every row is a valid bitstream a third-party decoder would read. */
+  def syntheticImageAssets(documents: DataFrame, format: String = "jpg"): Dataset[MediaAsset] = {
+    import documents.sparkSession.implicits._
+    documents.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val w = (id % 32 + 16).toInt
+        val h = (id % 24 + 12).toInt
+        val src = decodeBytes(text.getBytes("UTF-8"))
+        val plane = Array.tabulate[Byte](w * h)(i => src(i % src.length))
+        MediaAsset(id, "image", encodeImageKernel(plane, w, h, format),
+          w, h, n_frames = 1)
+      })
+  }
 
   /** Decode payloads in place (mapPartitions; batch shape = the
     * partition iterator, zero shuffle). */

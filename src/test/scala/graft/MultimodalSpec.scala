@@ -60,4 +60,49 @@ class MultimodalSpec extends SparkSpec {
     assert(assets(0).content.toSeq == "hello world".getBytes("UTF-8").toSeq)
     assert(assets(0).width == 17 && assets(0).n_frames == 2)
   }
+
+  test("real JPEG roundtrip: encodeImageKernel output decodes with true dims") {
+    val (w, h) = (24, 16)
+    val plane = Array.tabulate[Byte](w * h)(i => (i % 251).toByte)
+    val jpeg = Multimodal.encodeImageKernel(plane, w, h, "jpg")
+    // a real JFIF bitstream: SOI marker 0xFFD8
+    assert((jpeg(0) & 0xff) == 0xff && (jpeg(1) & 0xff) == 0xd8)
+    val (decoded, dw, dh) = Multimodal.decodeImageKernel(jpeg)
+    assert(dw == w && dh == h && decoded.length == w * h)
+    // JPEG is lossy but close on an 8-bit plane; decode is deterministic
+    val mad = decoded.zip(plane).map { case (a, b) =>
+      math.abs((a & 0xff) - (b & 0xff)) }.sum.toDouble / (w * h)
+    assert(mad < 48.0, s"mean abs diff $mad")
+    assert(Multimodal.decodeImageKernel(jpeg)._1.toSeq == decoded.toSeq)
+  }
+
+  test("real PNG roundtrip is bit-exact (lossless codec)") {
+    val (w, h) = (9, 7)
+    val plane = Array.tabulate[Byte](w * h)(i => (i * 37 % 256).toByte)
+    val png = Multimodal.encodeImageKernel(plane, w, h, "png")
+    val (decoded, dw, dh) = Multimodal.decodeImageKernel(png)
+    assert(dw == w && dh == h && decoded.toSeq == plane.toSeq)
+  }
+
+  test("decodeImages runs the real codec distributed over synthetic JPEG assets") {
+    val docs = Seq((1L, "the quick brown fox"), (2L, "jumps over"), (3L, "lazy dogs"))
+      .toDF("doc_id", "text")
+    val assets = Multimodal.syntheticImageAssets(docs)
+    val decoded = Multimodal.decodeImages(assets).collect().sortBy(_.asset_id)
+    assert(decoded.length == 3)
+    decoded.foreach { a =>
+      assert(a.media_type == "image")
+      assert(a.content.length == a.width * a.height) // plane, not bitstream
+      assert(a.width == (a.asset_id % 32 + 16).toInt &&
+        a.height == (a.asset_id % 24 + 12).toInt)
+    }
+    // PNG variant decodes to the exact tiled source plane
+    val png = Multimodal.decodeImages(
+      Multimodal.syntheticImageAssets(docs, format = "png"))
+      .collect().sortBy(_.asset_id)
+    val jpgMad = decoded.zip(png).map { case (j, p) =>
+      j.content.zip(p.content).map { case (a, b) =>
+        math.abs((a & 0xff) - (b & 0xff)) }.sum.toDouble / j.content.length }
+    assert(jpgMad.forall(_ < 48.0), s"jpeg drifted: $jpgMad")
+  }
 }

@@ -69,28 +69,91 @@ object Sinks {
       .option("batchsize", batchSize)
       .option("numPartitions", numPartitions)
 
+  /** Rename-aside swap with failure checks: dest → `old`, `src` →
+    * dest, drop `old`. Every rename's boolean return is verified — a
+    * silently failed rename must NOT be followed by the final delete,
+    * or the only complete copy would be destroyed. On any failure the
+    * swap aborts with the surviving copy intact (under dest, `old`, or
+    * `src`), so recovery is always possible. NOT one atomic operation
+    * (HDFS-style single-dir renames are; the 3-step swap is not). */
+  private[graft] def swapInPlace(fs: org.apache.hadoop.fs.FileSystem,
+                                 src: Path, dest: Path, old: Path): Unit = {
+    fs.delete(old, true)
+    if (fs.exists(old))
+      throw new java.io.IOException(s"cannot clear $old; aborting swap")
+    if (fs.exists(dest) && !fs.rename(dest, old))
+      throw new java.io.IOException(
+        s"rename $dest -> $old failed; current data untouched at $dest")
+    if (!fs.rename(src, dest))
+      throw new java.io.IOException(
+        s"rename $src -> $dest failed; previous copy preserved at $old")
+    if (!fs.exists(dest))
+      throw new java.io.IOException(
+        s"$dest missing after swap; copies remain at $old and/or $src")
+    fs.delete(old, true)
+    ()
+  }
+
+  /** Partition columns of a Hive-layout directory tree, outermost
+    * first (`year=…/month=…` → Seq("year", "month")); empty for flat
+    * layouts. */
+  private[graft] def detectPartitionCols(fs: org.apache.hadoop.fs.FileSystem,
+                                         root: Path): Seq[String] = {
+    val cols = scala.collection.mutable.ArrayBuffer.empty[String]
+    var cur = root
+    var descending = true
+    while (descending) {
+      val partDirs = fs.listStatus(cur).filter(_.isDirectory)
+        .map(_.getPath)
+        .filter { q =>
+          val n = q.getName
+          n.contains("=") && !n.startsWith("_") && !n.startsWith(".")
+        }
+      partDirs.headOption match {
+        case Some(d) => cols += d.getName.takeWhile(_ != '='); cur = d
+        case None => descending = false
+      }
+    }
+    cols.toSeq
+  }
+
   /** Small-file compaction: rewrite a parquet directory into
     * ~targetMB-sized files (streaming sinks and per-file loops leave
     * many small files; at scale, scan overhead is per-file). Uses the
     * source's on-disk byte size to pick the output file count, writes
-    * to a temp dir, then swaps via rename-aside (current -> __old,
-    * tmp -> current, drop __old): NOT one atomic operation, but every
-    * crash point leaves a complete copy under either the directory,
-    * `__old`, or `__compact_tmp` for recovery. Returns the new file
-    * count. */
-  def compact(spark: SparkSession, dir: String, targetMB: Int = 128): Int = {
+    * to a temp dir, then swaps via the checked rename-aside
+    * [[swapInPlace]] — NOT one atomic operation, but every crash or
+    * rename failure leaves a complete copy under either the directory,
+    * `__old`, or `__compact_tmp` for recovery.
+    *
+    * Hive-partitioned layouts (`col=value` dirs) are preserved: the
+    * rewrite re-partitions by the detected (or caller-supplied)
+    * partition columns so directory pruning survives compaction.
+    * Directories carrying a `_spark_metadata` streaming-sink log are
+    * refused — rewriting them would orphan the sink's file manifest
+    * while a stream may still own it. Returns the new file count. */
+  def compact(spark: SparkSession, dir: String, targetMB: Int = 128,
+              partitionCols: Seq[String] = Seq.empty): Int = {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!fs.exists(new Path(p, "_spark_metadata")),
+      s"$dir holds a _spark_metadata streaming-sink log; compacting would " +
+        "orphan the sink's manifest — stop the stream and drop the log first")
+    val parts =
+      if (partitionCols.nonEmpty) partitionCols else detectPartitionCols(fs, p)
     val bytes = fs.getContentSummary(p).getLength
     val nFiles = math.max(1, math.ceil(bytes.toDouble / (targetMB.toLong << 20)).toInt)
     val df = spark.read.parquet(dir)
     val tmp = new Path(dir.stripSuffix("/") + "__compact_tmp")
     val old = new Path(dir.stripSuffix("/") + "__old")
-    df.repartition(nFiles).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    fs.delete(old, true)
-    fs.rename(p, old)
-    fs.rename(tmp, p)
-    fs.delete(old, true)
+    val repartitioned =
+      // hash-partitioning by the layout columns gives one writer task
+      // per partition dir, so each dir compacts to a single file
+      if (parts.nonEmpty) df.repartition(nFiles, parts.map(org.apache.spark.sql.functions.col): _*)
+      else df.repartition(nFiles)
+    val writer = repartitioned.write.mode(SaveMode.Overwrite)
+    (if (parts.nonEmpty) writer.partitionBy(parts: _*) else writer).parquet(tmp.toString)
+    swapInPlace(fs, tmp, p, old)
     nFiles
   }
 

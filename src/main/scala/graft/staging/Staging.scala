@@ -20,6 +20,18 @@ object Staging {
       .withColumn("month", date_format(col(tsCol), "MMMM"))
       .withColumn("dow", date_format(col(tsCol), "EEEE"))
 
+  /** Reference lake layout for the staging output: the streaming sink
+    * partitions by `date_partition` (reference:
+    * streaming_to_minio_fixed.py:63-64,75); the batch staging
+    * equivalent partitions by (year, month), so a reader filtering one
+    * month lists and scans only that directory — at 100 TB the
+    * difference between touching one month and touching the whole lake.
+    * Use SaveMode.Append when loading month-by-month (each load lands
+    * in fresh partition dirs); Overwrite rebuilds the lake. */
+  def writeLake(staged: DataFrame, lakeDir: String,
+                mode: org.apache.spark.sql.SaveMode = org.apache.spark.sql.SaveMode.Overwrite): Unit =
+    graft.sources.Sinks.partitionedParquet(staged, lakeDir, Seq("year", "month"), mode)
+
   /** P5 — canonical key renames (reference: datalake_to_dw.py:108-112). */
   val keyRenames: Map[String, String] = Map(
     "vendorid" -> "vendor_id",

@@ -201,20 +201,17 @@ object Streams {
         val merged = all.withColumn("__rn", row_number().over(w))
           .filter(col("__rn") === 1).drop("__rn")
         // write to a temp dir then swap: the snapshot being read above
-        // cannot be overwritten in place mid-scan. Swap order keeps a
-        // recoverable copy at every step: current -> __old, tmp ->
-        // current, drop __old (a crash leaves __old or __tmp intact).
+        // cannot be overwritten in place mid-scan. The checked
+        // rename-aside (Sinks.swapInPlace) verifies each rename, so a
+        // crash or failed rename always leaves a complete copy under
+        // the snapshot path, __old, or __tmp.
         val conf = spark.sparkContext.hadoopConfiguration
         val p = new org.apache.hadoop.fs.Path(snapshotPath)
         val fs = p.getFileSystem(conf)
         val tmp = new org.apache.hadoop.fs.Path(snapshotPath + "__tmp")
         val old = new org.apache.hadoop.fs.Path(snapshotPath + "__old")
         merged.write.mode("overwrite").parquet(tmp.toString)
-        fs.delete(old, true)
-        if (fs.exists(p)) fs.rename(p, old)
-        fs.rename(tmp, p)
-        fs.delete(old, true)
-        ()
+        graft.sources.Sinks.swapInPlace(fs, tmp, p, old)
       }
   }
 

@@ -72,6 +72,40 @@ class SourcesSinksSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters") || pruned.inputFiles.length == 1)
   }
 
+  test("staging lake layout: (year,month) write prunes reads to one partition") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val lake = Files.createTempDirectory("graft_stlake").toString + "/staging"
+    val staged = graft.taxi.TaxiShape.staging(spark, "/root/testdata/sf0.001")
+    graft.staging.Staging.writeLake(staged, lake)
+    val partitions = new java.io.File(lake).listFiles().filter(_.getName.startsWith("year="))
+    assert(partitions.nonEmpty)
+    def countParquet(f: java.io.File): Int =
+      if (f.isDirectory) f.listFiles().map(countParquet).sum
+      else if (f.getName.endsWith(".parquet")) 1 else 0
+    val nTotalFiles = countParquet(new java.io.File(lake))
+    // pick a real (year, month) and read it back with a partition filter
+    // partition-dir type inference may read year= back as int; compare stringly
+    val one = spark.read.parquet(lake).select("year", "month").head()
+    val rd = spark.read.parquet(lake)
+      .filter($"year" === one.get(0).toString && $"month" === one.get(1).toString)
+    val plan = rd.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && plan.contains("year"), plan)
+    assert(rd.count() > 0)
+    // hard proof: the scan touched fewer files than the lake holds.
+    // Drive THIS queryExecution (count() above spawns its own), then
+    // read the scan node's numFiles metric.
+    rd.queryExecution.toRdd.count()
+    val executed = rd.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val scans = executed.collect { case s: FileSourceScanExec => s }
+    assert(scans.nonEmpty)
+    val filesRead = scans.map(_.metrics("numFiles").value).sum
+    assert(filesRead > 0 && filesRead < nTotalFiles,
+      s"scan read $filesRead of $nTotalFiles files — no pruning")
+  }
+
   test("deltaOrParquet falls back to parquet when delta is absent") {
     val path = Files.createTempDirectory("graft_delta").toString + "/t"
     val fmt = Sinks.deltaOrParquet(Seq(1).toDF("x"), path)
@@ -99,6 +133,34 @@ class SourcesSinksSpec extends SparkSpec {
     val after = new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
     assert(n == 1 && after == 1)
     assert(spark.read.parquet(dir).count() == 2000)
+  }
+
+  test("compact preserves a Hive-partitioned layout and its pruning") {
+    val dir = Files.createTempDirectory("graft_cpart").toString + "/lake"
+    spark.range(0, 300)
+      .selectExpr("id", "CAST(id % 3 AS INT) AS bucket")
+      .repartition(10)
+      .write.partitionBy("bucket").parquet(dir)
+    val n = Sinks.compact(spark, dir, targetMB = 128)
+    assert(n == 1)
+    val dirs = new java.io.File(dir).listFiles().map(_.getName).filter(_.startsWith("bucket="))
+    assert(dirs.toSet == Set("bucket=0", "bucket=1", "bucket=2"), dirs.toSeq)
+    // each partition dir compacted to a single file
+    dirs.foreach { d =>
+      val files = new java.io.File(s"$dir/$d").listFiles().count(_.getName.endsWith(".parquet"))
+      assert(files == 1, s"$d has $files files")
+    }
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 300)
+    assert(back.filter($"bucket" === 1).count() == 100)
+  }
+
+  test("compact refuses directories owned by a streaming file sink") {
+    val dir = Files.createTempDirectory("graft_cmeta").toString + "/sink"
+    Seq(1, 2).toDF("x").write.parquet(dir)
+    Files.createDirectory(java.nio.file.Paths.get(dir, "_spark_metadata"))
+    val e = intercept[IllegalArgumentException](Sinks.compact(spark, dir))
+    assert(e.getMessage.contains("_spark_metadata"))
   }
 
   test("jdbcStagingWriter carries the reference write discipline") {

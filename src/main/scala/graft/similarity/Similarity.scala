@@ -116,36 +116,71 @@ object Similarity {
     * oracle; verified against brute force in tests. */
   def ivfTopK(candidates: DataFrame, queries: DataFrame, dim: Int, k: Int,
               nCells: Int = 16, nProbe: Int = 4,
-              centroids: Option[DataFrame] = None): DataFrame = {
+              centroids: Option[DataFrame] = None,
+              inlineCellThreshold: Int = 64): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // The centroid table is small BY DESIGN (coarse quantizer), so it
-    // collects to the driver and inlines as literals: nearest-cell
-    // assignment becomes a map-only projection — no candidate x cell
-    // explode, no shuffle. Ties break toward the lower cell_id via
-    // lexicographic struct ordering.
-    val cents = centroids.getOrElse(
+    val centFrame = centroids.getOrElse(
       candidates.orderBy(col("vec_id").asc).limit(nCells)
         .select(col("vec_id").as("cell_id"), col("embedding").as("c_emb"),
           norm(col("embedding")).as("c_norm")))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1), r.getDouble(2)))
-    cents.foreach { case (id, ce, _) =>
-      require(ce.length == dim, s"centroid $id has dim ${ce.length}, expected $dim") }
-    def cellDists(emb: Column, nrm: Column): Column =
-      array(cents.map { case (id, ce, cn) =>
-        struct((-dot(emb, typedLit(ce)) / (nrm * lit(cn))).as("d"),
-          lit(id).as("cell_id"))
-      }.toIndexedSeq: _*)
-    val assigned = graft.core.Parallelism.ensure(candidates)
-      .withColumn("c_norm2", norm(col("embedding")))
-      .withColumn("cell_id", element_at(
-        array_sort(cellDists(col("embedding"), col("c_norm2"))), 1).getField("cell_id"))
-    val probed = queries
-      .withColumn("q_norm2", norm(col("q_emb")))
-      .withColumn("probe", explode(slice(
-        array_sort(cellDists(col("q_emb"), col("q_norm2"))), 1, nProbe)))
-      .select(col("q_id"), col("q_emb"), col("q_norm2"),
-        col("probe.cell_id").as("cell_id"))
+    // Two assignment strategies with identical semantics (nearest cell,
+    // ties toward the lower cell_id):
+    //  - nCells <= inlineCellThreshold: collect the centroid table and
+    //    inline it as literals — nearest-cell assignment is a map-only
+    //    projection, no join at all. The expression tree grows with
+    //    nCells, so this is capped: at production quantizer sizes
+    //    (256-65536 cells) a per-row literal array would bloat codegen.
+    //  - above the cap: broadcast-join the centroid frame and take
+    //    min_by over the narrow (d, cell_id) pairs — plan size is
+    //    constant in nCells; the per-candidate partial aggregation
+    //    happens map-side before the one narrow shuffle.
+    val (assigned, probed) =
+      if (nCells <= inlineCellThreshold) {
+        val cents = centFrame.collect()
+          .map(r => (r.getLong(0), r.getSeq[Float](1), r.getDouble(2)))
+        cents.foreach { case (id, ce, _) =>
+          require(ce.length == dim, s"centroid $id has dim ${ce.length}, expected $dim") }
+        def cellDists(emb: Column, nrm: Column): Column =
+          array(cents.map { case (id, ce, cn) =>
+            struct((-dot(emb, typedLit(ce)) / (nrm * lit(cn))).as("d"),
+              lit(id).as("cell_id"))
+          }.toIndexedSeq: _*)
+        val a = graft.core.Parallelism.ensure(candidates)
+          .withColumn("c_norm2", norm(col("embedding")))
+          .withColumn("cell_id", element_at(
+            array_sort(cellDists(col("embedding"), col("c_norm2"))), 1).getField("cell_id"))
+        val p = queries
+          .withColumn("q_norm2", norm(col("q_emb")))
+          .withColumn("probe", explode(slice(
+            array_sort(cellDists(col("q_emb"), col("q_norm2"))), 1, nProbe)))
+          .select(col("q_id"), col("q_emb"), col("q_norm2"),
+            col("probe.cell_id").as("cell_id"))
+        (a, p)
+      } else {
+        val c = broadcast(centFrame)
+        val a = graft.core.Parallelism.ensure(candidates)
+          .withColumn("c_norm2", norm(col("embedding")))
+          .crossJoin(c)
+          .withColumn("d",
+            -dot(col("embedding"), col("c_emb")) / (col("c_norm2") * col("c_norm")))
+          .groupBy(col("vec_id"))
+          .agg(min_by(
+            struct(col("cell_id"), col("embedding"), col("c_norm2")),
+            struct(col("d"), col("cell_id"))).as("best"))
+          .select(col("vec_id"), col("best.cell_id").as("cell_id"),
+            col("best.embedding").as("embedding"), col("best.c_norm2").as("c_norm2"))
+        val wq = Window.partitionBy(col("q_id"))
+          .orderBy(col("d").asc, col("cell_id").asc)
+        val p = queries
+          .withColumn("q_norm2", norm(col("q_emb")))
+          .crossJoin(c)
+          .withColumn("d",
+            -dot(col("q_emb"), col("c_emb")) / (col("q_norm2") * col("c_norm")))
+          .withColumn("__rk", row_number().over(wq))
+          .filter(col("__rk") <= nProbe)
+          .select(col("q_id"), col("q_emb"), col("q_norm2"), col("cell_id"))
+        (a, p)
+      }
     val scored = assigned.join(broadcast(probed), "cell_id")
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
@@ -160,16 +195,26 @@ object Similarity {
   /** K-means-trained IVF centroids (the production centroid source;
     * the deterministic-sample default in [[ivfTopK]] is the model-free
     * fallback). Fixed seed + capped iterations keep training
-    * reproducible; at 100 TB one trains on a sample, not the corpus.
+    * reproducible. At 100 TB one trains on a sample, not the corpus:
+    * `trainSamplePct` < 100 trains on a deterministic hash sample of
+    * the candidate ids ([[graft.operators.Sampling.hashSample]] —
+    * engine-portable, stable across partitionings), which is the
+    * standard IVF recipe (quantizer quality degrades slowly with
+    * sample rate; assignment still covers every row).
     * Returns a (cell_id, c_emb, c_norm) frame for `ivfTopK(centroids=)`.
     */
   def kmeansCentroids(candidates: DataFrame, nCells: Int,
-                      seed: Long = 42L, maxIter: Int = 5): DataFrame = {
+                      seed: Long = 42L, maxIter: Int = 5,
+                      trainSamplePct: Int = 100): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val spark = candidates.sparkSession
     import spark.implicits._
-    val train = candidates.select(array_to_vector(
+    val base =
+      if (trainSamplePct >= 100) candidates
+      else graft.operators.Sampling.hashSample(
+        candidates, "vec_id", trainSamplePct, salt = "kmeans")
+    val train = base.select(array_to_vector(
       col("embedding").cast("array<double>")).as("features"))
     val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(maxIter)
       .setFeaturesCol("features").fit(train)

@@ -163,6 +163,28 @@ class SourcesSinksSpec extends SparkSpec {
     assert(e.getMessage.contains("_spark_metadata"))
   }
 
+  test("TrinoDdl generates schema + external table DDL from a real parquet schema") {
+    import graft.sources.TrinoDdl
+    val df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val ddl = TrinoDdl.script(df, "datalake", "batch", "lineitem",
+      "s3://raw/", "s3://raw/batch")
+    assert(ddl.contains("CREATE SCHEMA IF NOT EXISTS datalake.batch"))
+    assert(ddl.contains("CREATE TABLE IF NOT EXISTS datalake.batch.lineitem ("))
+    assert(ddl.contains("\"l_orderkey\" BIGINT"))
+    assert(ddl.contains("\"l_quantity\" DOUBLE"))
+    assert(ddl.contains("\"l_returnflag\" VARCHAR"))
+    assert(ddl.contains("external_location = 's3://raw/batch'"))
+    assert(ddl.contains("format = 'PARQUET'"))
+    // nested types map recursively
+    import org.apache.spark.sql.types._
+    val nested = StructType(Seq(
+      StructField("tags", ArrayType(StringType)),
+      StructField("kv", MapType(StringType, LongType)),
+      StructField("pt", StructType(Seq(StructField("x", DoubleType))))))
+    assert(TrinoDdl.trinoType(nested) ==
+      """ROW("tags" ARRAY(VARCHAR), "kv" MAP(VARCHAR, BIGINT), "pt" ROW("x" DOUBLE))""")
+  }
+
   test("jdbcStagingWriter carries the reference write discipline") {
     val w = Sinks.jdbcStagingWriter(Seq(1).toDF("x"),
       "jdbc:postgresql://example/db", "staging.nyc_taxi", "u", "p")

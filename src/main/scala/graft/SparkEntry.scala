@@ -490,6 +490,16 @@ object SparkEntry {
   private def tfidfTopTerms(spark: SparkSession, dir: String): DataFrame =
     TextFunctions.tfidfTopTerms(Tables.documents(spark, dir), k = 5)
 
+  /** Decontamination stage: 80/20 deterministic hash split of the
+    * corpus, then the train→test 3-gram contamination fraction per
+    * held-out document. */
+  private def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val bucket = graft.operators.Sampling.hashBucket(col("doc_id"), "decon")
+    TextFunctions.contamination(
+      docs.filter(bucket < 80), docs.filter(bucket >= 80))
+  }
+
   private def docFingerprint(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).select(
       col("doc_id"), TextFunctions.fingerprint(col("text")).as("fingerprint"))
@@ -749,6 +759,10 @@ object SparkEntry {
     "tfidf_top_terms" -> (tfidfTopTerms(_, _)),
     "text_chunks" -> (textChunks(_, _)),
     "text_scrub" -> (textScrub(_, _)),
+    "doc_pack" -> ((s, d) =>
+      TextFunctions.packDocuments(Tables.documents(s, d),
+        windowTokens = 256, nShards = 8)),
+    "decontaminate" -> (decontaminate(_, _)),
     "multimodal_features" -> (multimodalFeatures(_, _)),
     "multimodal_frames" -> (multimodalFrames(_, _)),
     "multimodal_pipeline" -> (multimodalPipeline(_, _)),
@@ -1213,6 +1227,43 @@ object SparkEntry {
       """SELECT doc_id,
         |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
         |FROM documents""".stripMargin,
+    // streaming sequence packing: per-shard running token total → window cuts
+    "doc_pack" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, CAST(doc_id % 8 AS INT) AS shard,
+         |    CAST(len($toksSql) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |p AS (
+         |  SELECT doc_id, shard, n_tokens,
+         |    CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id)
+         |      - n_tokens AS BIGINT) AS start_tok
+         |  FROM t)
+         |SELECT doc_id, shard, n_tokens, start_tok,
+         |  CAST(start_tok // 256 AS BIGINT) AS bin_id,
+         |  CAST(start_tok % 256 AS BIGINT) AS offset_in_bin
+         |FROM p""".stripMargin,
+    // decontamination: 80/20 md5-bucket split, train-shingle hash set,
+    // per-test-doc matched fraction (same 60-bit md5 hash both engines)
+    "decontaminate" ->
+      s"""WITH split AS (
+         |  SELECT doc_id, text,
+         |    CAST(concat('0x', substring(md5(concat(CAST(doc_id AS VARCHAR), 'decon')), 1, 15)) AS BIGINT) % 100 AS bucket
+         |  FROM documents),
+         |tr AS (SELECT doc_id, text FROM split WHERE bucket < 80),
+         |te AS (SELECT doc_id, text FROM split WHERE bucket >= 80),
+         |tsh AS (SELECT DISTINCT CAST(concat('0x', substring(md5(sh), 1, 15)) AS BIGINT) AS h
+         |        FROM (SELECT unnest($shinglesSql) AS sh FROM tr)),
+         |tesh AS (SELECT doc_id, CAST(concat('0x', substring(md5(sh), 1, 15)) AS BIGINT) AS h
+         |         FROM (SELECT doc_id, unnest($shinglesSql) AS sh FROM te)),
+         |tot AS (SELECT doc_id, CAST(len($shinglesSql) AS BIGINT) AS n_shingles FROM te),
+         |m AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matched
+         |      FROM tesh WHERE h IN (SELECT h FROM tsh) GROUP BY doc_id)
+         |SELECT t.doc_id, t.n_shingles,
+         |  CAST(COALESCE(m.n_matched, 0) AS BIGINT) AS n_matched,
+         |  CASE WHEN t.n_shingles = 0 THEN 0.0
+         |       ELSE CAST(COALESCE(m.n_matched, 0) AS DOUBLE) / CAST(t.n_shingles AS DOUBLE)
+         |  END AS contamination
+         |FROM tot t LEFT JOIN m ON t.doc_id = m.doc_id""".stripMargin,
     "multimodal_features" ->
       """SELECT doc_id AS asset_id,
         |  ['image','audio','video'][CAST(doc_id % 3 + 1 AS INT)] AS media_type,

@@ -187,6 +187,68 @@ object TextFunctions {
       regexp_replace(text, "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]"),
       "[0-9]{4,}", "[NUM]")
 
+  /** Streaming sequence packing for LLM training: documents are
+    * concatenated in id order within `nShards` deterministic shards
+    * (id % nShards) and cut into fixed `windowTokens` context windows —
+    * each doc reports the window (`bin_id`) its first token lands in
+    * and its token offset there, the boundary-agnostic packing used
+    * when training sequences may cross document boundaries.
+    *
+    * Scale: the running total is a window sum PARTITIONED BY shard, so
+    * packing parallelizes across shards (a single global order would
+    * serialize the sort at 100 TB); one narrow shuffle of
+    * (doc_id, n_tokens) pairs per shard. */
+  def packDocuments(docs: org.apache.spark.sql.DataFrame,
+                    windowTokens: Int, nShards: Int = 32,
+                    textCol: String = "text", idCol: String = "doc_id")
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(windowTokens > 0 && nShards > 0)
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+    docs.select(col(idCol).as("doc_id"),
+        (col(idCol) % nShards).cast("int").as("shard"),
+        wsTokenCount(col(textCol)).as("n_tokens"))
+      .withColumn("start_tok", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("bin_id", floor(col("start_tok") / windowTokens).cast("bigint"))
+      .withColumn("offset_in_bin", col("start_tok") % windowTokens)
+  }
+
+  /** 60-bit shingle hash (md5 hex chars 1-15) — the same derivation
+    * the MinHash family uses; engine-portable. */
+  def shingleHash(sh: Column): Column =
+    conv(substring(md5(sh), 1, 15), 16, 10).cast("long")
+
+  /** Train→test contamination check (decontamination stage): for each
+    * test document, the fraction of its distinct 3-token shingles that
+    * appear ANYWHERE in the training corpus.
+    *
+    * Scale: shingles are hashed to 60-bit longs before anything
+    * shuffles — the join is (hash) against (doc_id, hash), never text;
+    * the distinct train-shingle table is corpus-sized, so no broadcast
+    * hint (Catalyst/AQE picks; at 100 TB it is a shuffled hash join
+    * keyed by the hash). */
+  def contamination(train: org.apache.spark.sql.DataFrame,
+                    test: org.apache.spark.sql.DataFrame,
+                    textCol: String = "text", idCol: String = "doc_id")
+      : org.apache.spark.sql.DataFrame = {
+    val th = train
+      .select(explode(shingleSet(col(textCol))).as("sh"))
+      .select(shingleHash(col("sh")).as("h")).distinct()
+    val te = test
+      .select(col(idCol).as("doc_id"), explode(shingleSet(col(textCol))).as("sh"))
+      .select(col("doc_id"), shingleHash(col("sh")).as("h"))
+    val totals = test.select(col(idCol).as("doc_id"),
+      size(shingleSet(col(textCol))).cast("bigint").as("n_shingles"))
+    val matched = te.join(th, "h")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_matched"))
+    totals.join(matched, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_matched"), lit(0L)).as("n_matched"),
+        when(col("n_shingles") === 0, lit(0.0))
+          .otherwise(coalesce(col("n_matched"), lit(0L)).cast("double") /
+            col("n_shingles").cast("double")).as("contamination"))
+  }
+
   /** TF-IDF top terms per document. The relevance score uses the
     * log-free rational form `tf * (N + 1) / (df + 1)` — monotone in the
     * classic tf·idf for fixed tf, and (unlike `ln`) exactly reproducible

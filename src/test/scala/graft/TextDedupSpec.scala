@@ -113,6 +113,42 @@ class TextDedupSpec extends SparkSpec {
     assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("packDocuments: per-shard running totals cut fixed token windows") {
+    import graft.functions.TextFunctions
+    val docs = Seq(
+      (0L, "a b c"),      // 3 tokens, start 0 -> bin 0, offset 0
+      (8L, "d e f g"),    // 4 tokens, start 3 -> bin 0, offset 3
+      (16L, "h i"),       // 2 tokens, start 7 -> bin 1, offset 2
+      (3L, "x y z w v")   // other shard: start 0 -> bin 0
+    ).toDF("doc_id", "text")
+    val packed = TextFunctions.packDocuments(docs, windowTokens = 5, nShards = 8)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(packed(0L) == (0, 3, 0, 0, 0))
+    assert(packed(8L) == (0, 4, 3, 0, 3))
+    assert(packed(16L) == (0, 2, 7, 1, 2))
+    assert(packed(3L) == (3, 5, 0, 0, 0))
+  }
+
+  test("contamination: copied test docs score 1.0, fresh docs 0.0") {
+    import graft.functions.TextFunctions
+    val train = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "spark engines shuffle data across the cluster")
+    ).toDF("doc_id", "text")
+    val test = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"), // full copy
+      (11L, "completely novel sentence about gardening tulips daily"), // fresh
+      (12L, "spark engines shuffle words never seen here")  // partial
+    ).toDF("doc_id", "text")
+    val out = TextFunctions.contamination(train, test).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(10L)._3 == 1.0)
+    assert(out(11L)._3 == 0.0 && out(11L)._2 == 0L)
+    // "spark engines shuffle" is the only shared 3-gram of doc 12
+    assert(out(12L)._2 == 1L && out(12L)._3 == 1.0 / out(12L)._1)
+  }
+
   test("dedupCorpus is the identity on a corpus with no near-duplicates") {
     val docs = Seq(
       (1L, "completely original text about database engines and joins"),

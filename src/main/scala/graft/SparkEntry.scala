@@ -763,6 +763,10 @@ object SparkEntry {
       TextFunctions.packDocuments(Tables.documents(s, d),
         windowTokens = 256, nShards = 8)),
     "decontaminate" -> (decontaminate(_, _)),
+    "repetition" -> ((s, d) =>
+      TextFunctions.repetition(Tables.documents(s, d))),
+    "corpus_filter" -> ((s, d) =>
+      TextFunctions.corpusFilter(Tables.documents(s, d))),
     "multimodal_features" -> (multimodalFeatures(_, _)),
     "multimodal_frames" -> (multimodalFrames(_, _)),
     "multimodal_pipeline" -> (multimodalPipeline(_, _)),
@@ -1242,6 +1246,57 @@ object SparkEntry {
          |  CAST(start_tok // 256 AS BIGINT) AS bin_id,
          |  CAST(start_tok % 256 AS BIGINT) AS offset_in_bin
          |FROM p""".stripMargin,
+    // Gopher-style repetition metrics: non-distinct 2-grams hashed and
+    // counted with two hash aggregates
+    "repetition" ->
+      s"""WITH g AS (
+         |  SELECT doc_id, CAST(concat('0x', substring(md5(gr), 1, 15)) AS BIGINT) AS h
+         |  FROM (SELECT doc_id,
+         |          unnest(list_transform(range(1, len($toksSql)),
+         |            i -> $toksSql[i] || ' ' || $toksSql[i+1])) AS gr
+         |        FROM documents)),
+         |per AS (SELECT doc_id, h, count(*) AS c FROM g GROUP BY doc_id, h),
+         |rep AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_2grams,
+         |          CAST(count(*) AS BIGINT) AS n_distinct,
+         |          CAST(max(c) AS BIGINT) AS top_count
+         |        FROM per GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  CAST(COALESCE(r.n_2grams, 0) AS BIGINT) AS n_2grams,
+         |  CAST(COALESCE(r.n_distinct, 0) AS BIGINT) AS n_distinct,
+         |  CASE WHEN COALESCE(r.n_2grams, 0) = 0 THEN 0.0
+         |       ELSE CAST(r.n_2grams - r.n_distinct AS DOUBLE) / CAST(r.n_2grams AS DOUBLE)
+         |  END AS dup_2gram_frac,
+         |  CASE WHEN COALESCE(r.n_2grams, 0) = 0 THEN 0.0
+         |       ELSE CAST(r.top_count AS DOUBLE) / CAST(r.n_2grams AS DOUBLE)
+         |  END AS top_2gram_frac
+         |FROM documents d LEFT JOIN rep r ON d.doc_id = r.doc_id""".stripMargin,
+    // composite C4-style filter: length + exact-dup representative +
+    // repetition dominance, with per-rule audit flags
+    "corpus_filter" ->
+      s"""WITH f AS (
+         |  SELECT doc_id,
+         |    len($toksSql) >= 20 AS len_ok,
+         |    doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS not_dup
+         |  FROM documents),
+         |g AS (
+         |  SELECT doc_id, CAST(concat('0x', substring(md5(gr), 1, 15)) AS BIGINT) AS h
+         |  FROM (SELECT doc_id,
+         |          unnest(list_transform(range(1, len($toksSql)),
+         |            i -> $toksSql[i] || ' ' || $toksSql[i+1])) AS gr
+         |        FROM documents)),
+         |per AS (SELECT doc_id, h, count(*) AS c FROM g GROUP BY doc_id, h),
+         |rep AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_2grams,
+         |          CAST(max(c) AS BIGINT) AS top_count
+         |        FROM per GROUP BY doc_id),
+         |r2 AS (
+         |  SELECT d.doc_id,
+         |    CASE WHEN COALESCE(r.n_2grams, 0) = 0 THEN 0.0
+         |         ELSE CAST(r.top_count AS DOUBLE) / CAST(r.n_2grams AS DOUBLE)
+         |    END < 0.2 AS rep_ok
+         |  FROM documents d LEFT JOIN rep r ON d.doc_id = r.doc_id)
+         |SELECT f.doc_id, f.len_ok, f.not_dup, r2.rep_ok,
+         |  f.len_ok AND f.not_dup AND r2.rep_ok AS keep
+         |FROM f JOIN r2 ON f.doc_id = r2.doc_id""".stripMargin,
     // decontamination: 80/20 md5-bucket split, train-shingle hash set,
     // per-test-doc matched fraction (same 60-bit md5 hash both engines)
     "decontaminate" ->

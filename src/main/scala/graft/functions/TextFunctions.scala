@@ -249,6 +249,65 @@ object TextFunctions {
             col("n_shingles").cast("double")).as("contamination"))
   }
 
+  /** Intra-document repetition metrics (Gopher-style quality rules):
+    * duplicate-2-gram fraction and most-frequent-2-gram share per doc.
+    * Docs with fewer than 2 tokens report zero metrics.
+    *
+    * Scale: 2-grams are hashed to 60-bit longs and counted with two
+    * hash aggregates — only (doc_id, hash) pairs shuffle, never text;
+    * no per-row O(n²) higher-order scan, so a 10k-token document costs
+    * 10k narrow rows, not 10^8 comparisons. */
+  def repetition(docs: org.apache.spark.sql.DataFrame,
+                 textCol: String = "text", idCol: String = "doc_id")
+      : org.apache.spark.sql.DataFrame = {
+    val grams = docs
+      .select(col(idCol).as("doc_id"), explode(shingles(col(textCol), 2)).as("g"))
+      .select(col("doc_id"), shingleHash(col("g")).as("h"))
+    val per = grams.groupBy("doc_id", "h").agg(count(lit(1)).as("c"))
+    val rep = per.groupBy("doc_id").agg(
+      sum(col("c")).as("n_2grams"),
+      count(lit(1)).as("n_distinct"),
+      max(col("c")).as("top_count"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(rep, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_2grams"), lit(0L)).as("n_2grams"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        when(coalesce(col("n_2grams"), lit(0L)) === 0, lit(0.0))
+          .otherwise((col("n_2grams") - col("n_distinct")).cast("double") /
+            col("n_2grams").cast("double")).as("dup_2gram_frac"),
+        when(coalesce(col("n_2grams"), lit(0L)) === 0, lit(0.0))
+          .otherwise(col("top_count").cast("double") /
+            col("n_2grams").cast("double")).as("top_2gram_frac"))
+  }
+
+  /** C4/Gopher-style corpus filter, composed from the engine's own
+    * primitives: keep a document iff it (a) has at least `minTokens`
+    * whitespace tokens, (b) is its exact-duplicate group's
+    * representative (minimum id per md5(text)), and (c) is not
+    * dominated by one repeated 2-gram (share < `maxTopGramFrac`).
+    * Returns every doc with its three flags + the final keep verdict,
+    * so downstream can audit why a row dropped.
+    *
+    * Scale: (b) is one narrow (md5, id) shuffle — the window min runs
+    * over the text hash, text itself never moves; (c) reuses
+    * [[repetition]]'s two hash aggregates. */
+  def corpusFilter(docs: org.apache.spark.sql.DataFrame,
+                   minTokens: Int = 20, maxTopGramFrac: Double = 0.2,
+                   textCol: String = "text", idCol: String = "doc_id")
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(md5(col(textCol)))
+    val flags = docs.select(col(idCol).as("doc_id"),
+        (wsTokenCount(col(textCol)) >= minTokens).as("len_ok"),
+        (col(idCol) === min(col(idCol)).over(w)).as("not_dup"))
+    flags.join(repetition(docs, textCol, idCol)
+        .select(col("doc_id"), (col("top_2gram_frac") < maxTopGramFrac).as("rep_ok")),
+        "doc_id")
+      .select(col("doc_id"), col("len_ok"), col("not_dup"), col("rep_ok"),
+        (col("len_ok") && col("not_dup") && col("rep_ok")).as("keep"))
+  }
+
   /** TF-IDF top terms per document. The relevance score uses the
     * log-free rational form `tf * (N + 1) / (df + 1)` — monotone in the
     * classic tf·idf for fixed tf, and (unlike `ln`) exactly reproducible

@@ -149,6 +149,37 @@ class TextDedupSpec extends SparkSpec {
     assert(out(12L)._2 == 1L && out(12L)._3 == 1.0 / out(12L)._1)
   }
 
+  test("repetition: dup and top 2-gram fractions, zero for tiny docs") {
+    import graft.functions.TextFunctions
+    val docs = Seq(
+      (1L, "a b a b a b"),   // grams: ab,ba,ab,ba,ab -> 5 total, 2 distinct, top 3
+      (2L, "w x y z"),       // 3 grams, all distinct
+      (3L, "solo")           // <2 tokens -> zeros
+    ).toDF("doc_id", "text")
+    val r = TextFunctions.repetition(docs).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getDouble(3), x.getDouble(4))).toMap
+    assert(r(1L) == ((5L, 2L, 3.0 / 5.0, 3.0 / 5.0)))
+    assert(r(2L) == ((3L, 3L, 0.0, 1.0 / 3.0)))
+    assert(r(3L) == ((0L, 0L, 0.0, 0.0)))
+  }
+
+  test("corpusFilter keeps only long, unique, non-repetitive docs") {
+    import graft.functions.TextFunctions
+    val good = "the quick brown fox jumps over one lazy dog while seven other animals watch from a nearby grassy hill today"
+    val docs = Seq(
+      (1L, good),                       // keep
+      (2L, good),                       // exact dup of 1 -> drop
+      (3L, "short text"),               // too short -> drop
+      (4L, ("spam ham " * 15).trim)     // long enough but one dominant 2-gram -> drop
+    ).toDF("doc_id", "text")
+    val out = TextFunctions.corpusFilter(docs).collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3), r.getBoolean(4))).toMap
+    assert(out(1L) == ((true, true, true, true)))
+    assert(out(2L) == ((true, false, true, false)))
+    assert(out(3L)._1 == false && out(3L)._4 == false)
+    assert(out(4L)._1 == true && out(4L)._3 == false && out(4L)._4 == false)
+  }
+
   test("dedupCorpus is the identity on a corpus with no near-duplicates") {
     val docs = Seq(
       (1L, "completely original text about database engines and joins"),

@@ -297,10 +297,14 @@ object TextFunctions {
                    textCol: String = "text", idCol: String = "doc_id")
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(md5(col(textCol)))
-    val flags = docs.select(col(idCol).as("doc_id"),
-        (wsTokenCount(col(textCol)) >= minTokens).as("len_ok"),
-        (col(idCol) === min(col(idCol)).over(w)).as("not_dup"))
+    // narrow (id, token count, text hash) projection BEFORE the window:
+    // the dup-group exchange then shuffles 3 slim columns, not the text
+    val slim = docs.select(col(idCol).as("doc_id"),
+      wsTokenCount(col(textCol)).as("__nt"), md5(col(textCol)).as("__th"))
+    val w = Window.partitionBy(col("__th"))
+    val flags = slim.select(col("doc_id"),
+        (col("__nt") >= minTokens).as("len_ok"),
+        (col("doc_id") === min(col("doc_id")).over(w)).as("not_dup"))
     flags.join(repetition(docs, textCol, idCol)
         .select(col("doc_id"), (col("top_2gram_frac") < maxTopGramFrac).as("rep_ok")),
         "doc_id")

@@ -7,17 +7,23 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 object Sinks {
 
   /** K2 — cleaned-file parquet write, one deterministic output path per
-    * input (reference: scripts/transform_data.py:169-171). */
+    * input (reference: scripts/transform_data.py:169-171).
+    * `compression`: parquet codec ("snappy" default; "zstd" trades
+    * ~1.3-2x smaller files for slightly more write CPU — the usual
+    * choice for a long-lived 100 TB lake where scan IO dominates). */
   def parquet(df: DataFrame, path: String,
-              mode: SaveMode = SaveMode.Overwrite): Unit =
-    df.write.mode(mode).parquet(path)
+              mode: SaveMode = SaveMode.Overwrite,
+              compression: String = "snappy"): Unit =
+    df.write.mode(mode).option("compression", compression).parquet(path)
 
   /** Partitioned lake write — the batch twin of the streaming sink's
     * `partitionBy(date_partition)` layout, giving readers directory
     * pruning (reference: streaming_to_minio_fixed.py:75). */
   def partitionedParquet(df: DataFrame, path: String, partitionCols: Seq[String],
-                         mode: SaveMode = SaveMode.Overwrite): Unit =
-    df.write.mode(mode).partitionBy(partitionCols: _*).parquet(path)
+                         mode: SaveMode = SaveMode.Overwrite,
+                         compression: String = "snappy"): Unit =
+    df.write.mode(mode).option("compression", compression)
+      .partitionBy(partitionCols: _*).parquet(path)
 
   /** K7 semantics — idempotent load: deterministic target path +
     * skip-if-exists (reference: scripts/extract_load.py:49-89 checks

@@ -29,8 +29,10 @@ object Staging {
     * Use SaveMode.Append when loading month-by-month (each load lands
     * in fresh partition dirs); Overwrite rebuilds the lake. */
   def writeLake(staged: DataFrame, lakeDir: String,
-                mode: org.apache.spark.sql.SaveMode = org.apache.spark.sql.SaveMode.Overwrite): Unit =
-    graft.sources.Sinks.partitionedParquet(staged, lakeDir, Seq("year", "month"), mode)
+                mode: org.apache.spark.sql.SaveMode = org.apache.spark.sql.SaveMode.Overwrite,
+                compression: String = "snappy"): Unit =
+    graft.sources.Sinks.partitionedParquet(staged, lakeDir, Seq("year", "month"),
+      mode, compression)
 
   /** P5 — canonical key renames (reference: datalake_to_dw.py:108-112). */
   val keyRenames: Map[String, String] = Map(

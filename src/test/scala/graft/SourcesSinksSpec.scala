@@ -135,6 +135,14 @@ class SourcesSinksSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() == 2000)
   }
 
+  test("zstd compression option lands in the parquet files and reads back") {
+    val path = Files.createTempDirectory("graft_zstd").toString + "/out"
+    Sinks.parquet(spark.range(0, 1000).toDF("x"), path, compression = "zstd")
+    val files = new java.io.File(path).listFiles().map(_.getName)
+    assert(files.exists(_.endsWith(".zstd.parquet")), files.toSeq)
+    assert(spark.read.parquet(path).count() == 1000)
+  }
+
   test("compact preserves a Hive-partitioned layout and its pruning") {
     val dir = Files.createTempDirectory("graft_cpart").toString + "/lake"
     spark.range(0, 300)

@@ -773,6 +773,13 @@ object SparkEntry {
     "sim_topk" -> (simTopK(_, _)),
     "sim_lsh" -> (simLsh(_, _)),
     "embed_neardup" -> (embedNearDup(_, _)),
+    // q serialized to a string: the driver's pandas comparator cannot
+    // sort/hash array-typed columns
+    "embed_quantize" -> ((s, d) =>
+      Similarity.quantizeInt8(Tables.embeddings(s, d).select("vec_id", "embedding"))
+        .select(col("vec_id"), col("scale"),
+          array_join(transform(col("q"), _.cast("string")), ",").as("q_str"),
+          col("max_abs_err"))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1231,6 +1238,23 @@ object SparkEntry {
       """SELECT doc_id,
         |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
         |FROM documents""".stripMargin,
+    // int8 scalar quantization: identical arithmetic step-for-step
+    "embed_quantize" ->
+      """WITH s AS (
+        |  SELECT vec_id, embedding,
+        |    list_aggregate(list_transform(embedding, v -> abs(CAST(v AS DOUBLE))), 'max') / 127.0 AS scale
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT vec_id, embedding, scale,
+        |    CASE WHEN scale = 0.0 THEN list_transform(embedding, v -> 0)
+        |         ELSE list_transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) / scale) AS INT))
+        |    END AS qv
+        |  FROM s)
+        |SELECT vec_id, scale,
+        |  array_to_string(qv, ',') AS q_str,
+        |  list_aggregate(list_transform(range(1, len(embedding)+1),
+        |    i -> abs(CAST(embedding[i] AS DOUBLE) - qv[i] * scale)), 'max') AS max_abs_err
+        |FROM q""".stripMargin,
     // streaming sequence packing: per-shard running token total → window cuts
     "doc_pack" ->
       s"""WITH t AS (

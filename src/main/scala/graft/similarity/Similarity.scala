@@ -225,6 +225,33 @@ object Similarity {
       .withColumn("c_norm", norm(col("c_emb")))
   }
 
+  /** Symmetric int8 scalar quantization of an embedding column — the
+    * standard 4x storage reduction for embedding corpora. Per-vector
+    * scale = max|x| / 127; q_i = round(x_i / scale) ∈ [-127, 127];
+    * reported `max_abs_err` is the true dequantization error bound per
+    * row. Zero vectors quantize to zeros with scale 0.
+    *
+    * Pure per-row projection (no shuffle, stays in whole-stage
+    * codegen); every arithmetic step is written identically in the
+    * DuckDB oracle, so results are bit-exact cross-engine. */
+  def quantizeInt8(df: DataFrame, embCol: String = "embedding",
+                   idCol: String = "vec_id"): DataFrame = {
+    val maxAbs = aggregate(col(embCol), lit(0.0),
+      (acc, v) => greatest(acc, abs(v.cast("double"))))
+    val withScale = df.select(col(idCol), col(embCol),
+      (maxAbs / 127.0).as("scale"))
+    val q = when(col("scale") === 0.0,
+        transform(col(embCol), _ => lit(0)))
+      .otherwise(transform(col(embCol),
+        v => round(v.cast("double") / col("scale")).cast("int")))
+    val withQ = withScale.withColumn("q", q)
+    val err = aggregate(
+      zip_with(col(embCol), col("q"),
+        (v, qi) => abs(v.cast("double") - qi * col("scale"))),
+      lit(0.0), (acc, e) => greatest(acc, e))
+    withQ.select(col(idCol), col("scale"), col("q"), err.as("max_abs_err"))
+  }
+
   /** Embedding-cosine near-duplicate pairs via multi-table LSH:
     * `nTables` independent hyperplane tables (amplifies recall — a pair
     * is a candidate if it collides in ANY table), verified by exact

@@ -44,6 +44,26 @@ class SimilarityScaleSpec extends SparkSpec {
     assert(joined.groupBy("q_id").count().collect().forall(_.getLong(1) == 5))
   }
 
+  test("int8 quantization: bounded error, range, zero-vector handling") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array(1.0f, -0.5f, 0.25f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f)),   // zero vector
+      (3L, Array(127.0f, -127.0f, 63.5f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.quantizeInt8(df).collect()
+      .map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getSeq[Int](2), r.getDouble(3))).toMap
+    // q in [-127, 127]; reconstruction error bounded by scale/2
+    out.values.foreach { case (scale, q, err) =>
+      assert(q.forall(v => v >= -127 && v <= 127))
+      assert(err <= scale / 2 + 1e-12, s"err $err > scale/2 ${scale / 2}")
+    }
+    assert(out(1L)._2 == Seq(127, -64, 32, 0))
+    assert(out(2L) == ((0.0, Seq(0, 0, 0, 0), 0.0)))
+    assert(out(3L)._2.head == 127 && out(3L)._2(1) == -127)
+  }
+
   test("sampled k-means training keeps recall@5: nProbe sweep vs brute force") {
     // This corpus is isotropic (max pairwise cosine ~0.5 — no true near
     // neighbors), which is IVF's documented worst regime: recall tracks

@@ -11,6 +11,51 @@ import graft.warehouse.Warehouse
 class HardeningSpec extends SparkSpec {
   import spark.implicits._
 
+  test("swapInPlace aborts without data loss when a rename silently fails") {
+    import org.apache.hadoop.fs.{FileSystem, FilterFileSystem, Path}
+    import java.nio.file.Files
+    val root = Files.createTempDirectory("graft_swap").toString
+    val conf = spark.sparkContext.hadoopConfiguration
+    val real = new Path(root).getFileSystem(conf)
+
+    def mkdirs(paths: String*): Unit = paths.foreach { p =>
+      real.mkdirs(new Path(p))
+      real.create(new Path(p, "part-0")).close()
+    }
+
+    class FlakyFs(failSrcName: String) extends FilterFileSystem(real) {
+      override def rename(src: Path, dst: Path): Boolean =
+        if (src.getName == failSrcName) false else super.rename(src, dst)
+    }
+
+    // failure moving current aside: current data must be untouched
+    val destA = s"$root/a"; val tmpA = s"$root/a__tmp"; val oldA = s"$root/a__old"
+    mkdirs(destA, tmpA)
+    val e1 = intercept[java.io.IOException] {
+      graft.sources.Sinks.swapInPlace(new FlakyFs("a"),
+        new Path(tmpA), new Path(destA), new Path(oldA))
+    }
+    assert(e1.getMessage.contains("untouched"))
+    assert(real.exists(new Path(destA, "part-0")) && real.exists(new Path(tmpA, "part-0")))
+
+    // failure moving the new copy in: previous copy must survive in __old
+    val destB = s"$root/b"; val tmpB = s"$root/b__tmp"; val oldB = s"$root/b__old"
+    mkdirs(destB, tmpB)
+    val e2 = intercept[java.io.IOException] {
+      graft.sources.Sinks.swapInPlace(new FlakyFs("b__tmp"),
+        new Path(tmpB), new Path(destB), new Path(oldB))
+    }
+    assert(e2.getMessage.contains("preserved"))
+    assert(real.exists(new Path(oldB, "part-0")) && real.exists(new Path(tmpB, "part-0")))
+
+    // clean swap: dest replaced, tmp and old gone
+    val destC = s"$root/c"; val tmpC = s"$root/c__tmp"; val oldC = s"$root/c__old"
+    mkdirs(destC, tmpC)
+    graft.sources.Sinks.swapInPlace(real, new Path(tmpC), new Path(destC), new Path(oldC))
+    assert(real.exists(new Path(destC, "part-0")))
+    assert(!real.exists(new Path(tmpC)) && !real.exists(new Path(oldC)))
+  }
+
   test("annotate/partitionValid split rows by violation lists in suite order") {
     val df = Seq(
       (1L, "click", 10.0),   // valid

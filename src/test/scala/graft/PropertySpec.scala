@@ -61,6 +61,59 @@ class PropertySpec extends SparkSpec {
     assert(back.toSeq == us)
   }
 
+  test("packDocuments invariants: offsets in-window, totals conserved, bins monotone") {
+    val docGen = Gen.nonEmptyListOf(
+      Gen.nonEmptyListOf(Gen.alphaChar).map(_.mkString.take(8))).map(_.take(40).mkString(" "))
+    val docs = cases(docGen, 30).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val window = 16
+    val packed = TextFunctions.packDocuments(docs, window, nShards = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    packed.foreach { case (_, _, nTok, start, bin, off) =>
+      assert(off >= 0 && off < window)
+      assert(bin == start / window)
+      assert(nTok >= 1)
+    }
+    // per shard: running totals are consistent (start = sum of earlier docs)
+    packed.groupBy(_._2).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._1)
+      var cum = 0L
+      sorted.foreach { case (_, _, nTok, start, _, _) =>
+        assert(start == cum); cum += nTok
+      }
+    }
+  }
+
+  test("contamination fraction is always in [0,1] and n_matched <= n_shingles") {
+    val docGen = Gen.nonEmptyListOf(
+      Gen.oneOf("alpha", "beta", "gamma", "delta", "epsilon", "zeta"))
+      .map(_.take(20).mkString(" "))
+    val all = cases(docGen, 30).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val train = all.filter(_._1 % 2 == 0).toDF("doc_id", "text")
+    val test_ = all.filter(_._1 % 2 == 1).toDF("doc_id", "text")
+    val out = TextFunctions.contamination(train, test_).collect()
+    assert(out.length == all.count(_._1 % 2 == 1))
+    out.foreach { r =>
+      val (n, m, f) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(m >= 0 && m <= n)
+      assert(f >= 0.0 && f <= 1.0)
+      if (n > 0) assert(math.abs(f - m.toDouble / n) < 1e-15) else assert(f == 0.0)
+    }
+  }
+
+  test("quantizeInt8 roundtrip error bounded by scale/2 for random vectors") {
+    val vecGen = Gen.listOfN(16, Gen.chooseNum(-100.0f, 100.0f))
+    val vecs = cases(vecGen, 30).zipWithIndex.map { case (v, i) => (i.toLong, v.toArray) }
+      .toDF("vec_id", "embedding")
+    val out = graft.similarity.Similarity.quantizeInt8(vecs).collect()
+    out.foreach { r =>
+      val (scale, q, err) = (r.getDouble(1), r.getSeq[Int](2), r.getDouble(3))
+      assert(q.forall(x => x >= -127 && x <= 127))
+      assert(err <= scale / 2 + 1e-9)
+    }
+  }
+
   test("token counts: 0 <= stopwords <= tokens; fingerprint whitespace-invariant") {
     val wordGen = Gen.nonEmptyListOf(Gen.oneOf(
       Gen.oneOf(TextFunctions.stopwords),

@@ -180,6 +180,29 @@ class TextDedupSpec extends SparkSpec {
     assert(out(4L)._1 == true && out(4L)._3 == false && out(4L)._4 == false)
   }
 
+  test("CorpusPipeline.prepare drops low-quality, dup, near-dup, and contaminated docs") {
+    import graft.pipeline.CorpusPipeline
+    val good1 = "the quick brown fox jumps over one lazy dog while seven other animals watch from a nearby grassy hill today"
+    val good2 = "large distributed systems aggregate partial results before any exchange happens so the network moves only compact summaries between all workers efficiently"
+    val evalTxt = "benchmark question about the capital city of a very small european country surrounded by tall snowy mountain ranges"
+    val docs = Seq(
+      (1L, good1),                                   // keep
+      (2L, good2),                                   // keep
+      (3L, good1),                                   // exact dup of 1 -> dropped by filter
+      (4L, good1 + " tonight"),                      // near dup of 1 -> dropped by dedup
+      (5L, "too short"),                             // dropped by filter
+      (6L, evalTxt + " and some extra filler words here") // contaminated -> dropped
+    ).toDF("doc_id", "text")
+    val ev = Seq((100L, evalTxt)).toDF("doc_id", "text")
+    val p = CorpusPipeline.prepare(docs, Some(ev),
+      windowTokens = 16, nShards = 2, maxEvalOverlap = 0.3)
+    assert(p.filtered.select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 4L, 6L))
+    assert(p.deduped.select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 6L))
+    assert(p.decontaminated.select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    val packed = p.packed.collect()
+    assert(packed.length == 2 && packed.forall(_.schema.fieldNames.contains("bin_id")))
+  }
+
   test("dedupCorpus is the identity on a corpus with no near-duplicates") {
     val docs = Seq(
       (1L, "completely original text about database engines and joins"),

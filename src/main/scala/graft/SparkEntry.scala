@@ -125,6 +125,19 @@ object SparkEntry {
         Expectations.NotNull("event_id")))
       .withColumn("violations", array_join(col("violations"), ","))
 
+  /** Bucketized range join: events.value against nation-derived
+    * intervals [2k, 2k+3] — the equi-join-on-bucket rewrite of a
+    * BETWEEN predicate (Joins.rangeJoin), oracle-checked against the
+    * plain BETWEEN join. */
+  private def rangeJoinQuery(spark: SparkSession, dir: String): DataFrame = {
+    val pts = Tables.events(spark, dir).select(col("event_id"), col("value"))
+    val iv = Tables.nation(spark, dir).select(col("n_nationkey"),
+      (col("n_nationkey") * 2.0).as("lo"),
+      (col("n_nationkey") * 2.0 + 3.0).as("hi"))
+    graft.operators.Joins.rangeJoin(pts, iv, "value", "lo", "hi", bucketWidth = 4.0)
+      .select(col("event_id"), col("n_nationkey"), col("value"))
+  }
+
   /** U1 — union all (reference example model). */
   private def unionAll(spark: SparkSession, dir: String): DataFrame = {
     val r = Tables.region(spark, dir).select(col("r_regionkey"), col("r_name"))
@@ -720,6 +733,7 @@ object SparkEntry {
     "semi_join" -> (semiJoin(_, _)),
     "anti_join" -> (antiJoin(_, _)),
     "set_ops" -> (setOps(_, _)),
+    "range_join" -> (rangeJoinQuery(_, _)),
     "pivot_events" -> (pivotEvents(_, _)),
     "window_topk" -> (windowTopk(_, _)),
     "running_total" -> (runningTotal(_, _)),
@@ -1238,6 +1252,11 @@ object SparkEntry {
       """SELECT doc_id,
         |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
         |FROM documents""".stripMargin,
+    "range_join" ->
+      """SELECT e.event_id, n.n_nationkey, e.value
+        |FROM events e JOIN nation n
+        |  ON e.value >= n.n_nationkey * 2.0
+        | AND e.value <= n.n_nationkey * 2.0 + 3.0""".stripMargin,
     // int8 scalar quantization: identical arithmetic step-for-step
     "embed_quantize" ->
       """WITH s AS (

@@ -55,4 +55,35 @@ object Joins {
       .select(leftCols.map(col) ++
         payloadCols.map(c => col(s"__p.$c").as(c)): _*)
   }
+
+  /** Bucketized range join: pairs every point row with every interval
+    * row whose `[lo, hi]` contains its `value`. Spark's native plan
+    * for a BETWEEN join predicate is a broadcast-nested-loop (or
+    * cartesian) — every point probes every interval. This rewrites it
+    * as an EQUI-join on a bucket id: points land in the single
+    * `floor(value / bucketWidth)` bucket; intervals replicate into
+    * each bucket they span. A matching pair meets in exactly the one
+    * bucket holding the point, so no post-join dedup is needed; the
+    * residual `BETWEEN` filter discards same-bucket non-matches.
+    *
+    * Scale: shuffle is hash-partitioned by bucket (narrow rows), and
+    * interval replication factor is span/bucketWidth — pick
+    * `bucketWidth` near the typical interval width so replication
+    * stays O(1). Degenerate wide intervals replicate proportionally
+    * (cap them upstream or pre-split). */
+  def rangeJoin(points: DataFrame, intervals: DataFrame,
+                valueCol: String, loCol: String, hiCol: String,
+                bucketWidth: Double): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val p = points.withColumn("__b",
+      floor(col(valueCol) / bucketWidth).cast("long"))
+    val iv = intervals
+      .filter(col(loCol) <= col(hiCol))
+      .withColumn("__b", explode(sequence(
+        floor(col(loCol) / bucketWidth).cast("long"),
+        floor(col(hiCol) / bucketWidth).cast("long"))))
+    p.join(iv, Seq("__b"))
+      .filter(col(valueCol) >= col(loCol) && col(valueCol) <= col(hiCol))
+      .drop("__b")
+  }
 }

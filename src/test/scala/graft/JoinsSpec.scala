@@ -45,4 +45,22 @@ class JoinsSpec extends SparkSpec {
     val out = Joins.asOfJoin(left, right, Seq("user_id"), "ts", Seq("purchase_value"))
     assert(out.count() == 1 && out.head().isNullAt(3))
   }
+
+  test("rangeJoin matches the naive BETWEEN join exactly, as an equi-join plan") {
+    import org.apache.spark.sql.functions._
+    val pts = Seq((1L, 0.0), (2L, 3.9), (3L, 4.0), (4L, 17.5), (5L, 99.0), (6L, -2.0))
+      .toDF("pid", "v")
+    val iv = Seq((10L, 0.0, 4.0), (11L, 3.5, 20.0), (12L, 98.0, 98.5), (13L, 5.0, 1.0))
+      .toDF("iid", "lo", "hi") // 13 is inverted -> contributes nothing
+    val got = Joins.rangeJoin(pts, iv, "v", "lo", "hi", bucketWidth = 2.0)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = pts.crossJoin(iv)
+      .filter(col("v") >= col("lo") && col("v") <= col("hi"))
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want && want.nonEmpty)
+    // the point of the rewrite: no nested-loop / cartesian in the plan
+    val plan = Joins.rangeJoin(pts, iv, "v", "lo", "hi", bucketWidth = 2.0)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"), plan)
+  }
 }

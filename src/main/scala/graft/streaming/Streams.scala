@@ -227,4 +227,21 @@ object Streams {
                   keyCols: Seq[String]): DataFrame =
     df.withWatermark(tsCol, watermarkDelay)
       .dropDuplicates(keyCols :+ tsCol)
+
+  /** Continuous corpus ingest transform: quality-gate an unbounded
+    * document stream (whitespace-token floor) and drop re-delivered or
+    * duplicated texts by whitespace-normalized fingerprint, with state
+    * bounded by the watermark (`dropDuplicatesWithinWatermark` evicts
+    * fingerprints older than the delay — exact-once per fingerprint
+    * inside the window, bounded memory at any corpus rate). The batch
+    * twin of this gate is [[graft.pipeline.CorpusPipeline.prepare]]'s
+    * filter stage. */
+  def corpusIngest(docs: DataFrame, tsCol: String, watermarkDelay: String,
+                   minTokens: Int = 20, textCol: String = "text"): DataFrame = {
+    import graft.functions.TextFunctions
+    docs.withWatermark(tsCol, watermarkDelay)
+      .filter(TextFunctions.wsTokenCount(col(textCol)) >= minTokens)
+      .withColumn("fingerprint", TextFunctions.fingerprint(col(textCol)))
+      .dropDuplicatesWithinWatermark("fingerprint")
+  }
 }

@@ -183,4 +183,29 @@ class StreamingSpec extends SparkSpec {
     q.processAllAvailable(); q.stop()
     assert(spark.table("dedup_out").count() == 2)
   }
+
+  test("corpusIngest quality-gates and fingerprint-dedups a document stream") {
+    implicit val sql = spark.sqlContext
+    val longDoc = "the quick brown fox jumps over one lazy dog while seven " +
+      "other animals watch from a nearby grassy hill today"
+    val otherDoc = "large distributed systems aggregate partial results before " +
+      "any exchange happens so the network moves only compact summaries between all workers"
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    input.addData(
+      (java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), longDoc),
+      (java.sql.Timestamp.valueOf("2024-01-01 10:00:05"), "  " + longDoc + " "), // same fingerprint
+      (java.sql.Timestamp.valueOf("2024-01-01 10:00:10"), "too short"),          // quality-dropped
+      (java.sql.Timestamp.valueOf("2024-01-01 10:00:15"), otherDoc))
+    val out = Streams.corpusIngest(
+      input.toDF().toDF("ts", "text"), "ts", "10 minutes")
+    val q = out.writeStream.format("memory").queryName("corpus_out")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    // a later re-delivery inside the watermark is still suppressed
+    input.addData((java.sql.Timestamp.valueOf("2024-01-01 10:01:00"), longDoc))
+    q.processAllAvailable(); q.stop()
+    val texts = spark.table("corpus_out").collect().map(_.getAs[String]("text"))
+    assert(texts.length == 2)
+    assert(texts.map(_.trim).toSet == Set(longDoc, otherDoc))
+  }
 }

@@ -1,0 +1,57 @@
+package graft.core
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+
+/** Post-execution plan metrics — the numbers that matter when a query
+  * moves from local testing to a 1000-executor cluster: how much was
+  * shuffled, whether anything spilled, how many files the scans
+  * touched. Reads the executed plan's SQL metrics after driving the
+  * query, descending through AQE stage wrappers.
+  */
+object Metrics {
+
+  final case class PlanMetrics(
+      rowsOut: Long,
+      shuffleBytesWritten: Long,
+      shuffleRecordsWritten: Long,
+      spillBytesDisk: Long,
+      spillBytesMemory: Long,
+      filesRead: Long,
+      scanRowsRead: Long) {
+    def spilled: Boolean = spillBytesDisk > 0
+  }
+
+  /** Drive `df`'s own query execution to completion (full output
+    * materialization) and sum its plan-tree metrics. */
+  def measure(df: DataFrame): PlanMetrics = {
+    val rows = df.queryExecution.toRdd.count()
+    val nodes = scala.collection.mutable.ArrayBuffer.empty[SparkPlan]
+    def walk(p: SparkPlan): Unit = {
+      nodes += p
+      p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case q: QueryStageExec => walk(q.plan)
+        case r: ReusedExchangeExec => walk(r.child)
+        case other => other.children.foreach(walk)
+      }
+    }
+    walk(df.queryExecution.executedPlan)
+    def sumOf(keys: String*): Long = nodes.flatMap(_.metrics).collect {
+      case (name, m) if keys.contains(name) && m.value > 0 => m.value
+    }.sum
+    PlanMetrics(
+      rowsOut = rows,
+      shuffleBytesWritten = sumOf("shuffleBytesWritten", "bytesWritten"),
+      shuffleRecordsWritten = sumOf("shuffleRecordsWritten", "recordsWritten"),
+      spillBytesDisk = sumOf("spillSize", "diskBytesSpilled"),
+      spillBytesMemory = sumOf("memoryBytesSpilled"),
+      filesRead = sumOf("numFiles"),
+      scanRowsRead = nodes.collect {
+        case s if s.nodeName.contains("Scan") =>
+          s.metrics.get("numOutputRows").map(_.value).getOrElse(0L)
+      }.sum)
+  }
+}

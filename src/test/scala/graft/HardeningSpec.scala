@@ -56,6 +56,23 @@ class HardeningSpec extends SparkSpec {
     assert(!real.exists(new Path(tmpC)) && !real.exists(new Path(oldC)))
   }
 
+  test("Metrics.measure reports shuffle/scan volumes for real plans") {
+    import graft.core.{Metrics, Tables}
+    val dir = "/root/testdata/sf0.001"
+    // aggregation: must show a shuffle and the parquet scan
+    val agg = Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+    val m1 = Metrics.measure(agg)
+    assert(m1.rowsOut == 3)
+    assert(m1.shuffleRecordsWritten > 0 && m1.shuffleBytesWritten > 0)
+    assert(m1.filesRead > 0 && m1.scanRowsRead > 0)
+    assert(!m1.spilled) // sf0.001 must never spill
+    // map-only projection: zero shuffle
+    val proj = Tables.lineitem(spark, dir).select("l_orderkey", "l_quantity")
+    val m2 = Metrics.measure(proj)
+    assert(m2.shuffleRecordsWritten == 0 && m2.rowsOut == m2.scanRowsRead)
+  }
+
   test("annotate/partitionValid split rows by violation lists in suite order") {
     val df = Seq(
       (1L, "click", 10.0),   // valid

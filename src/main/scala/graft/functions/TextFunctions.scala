@@ -234,18 +234,22 @@ object TextFunctions {
     val th = train
       .select(explode(shingleSet(col(textCol))).as("sh"))
       .select(shingleHash(col("sh")).as("h")).distinct()
+    // ONE tokenization pass over the test corpus: explode_outer keeps
+    // zero-shingle docs alive (null hash never joins), and the shingle
+    // count rides along each exploded row, so totals need no second
+    // scan of the text
     val te = test
-      .select(col(idCol).as("doc_id"), explode(shingleSet(col(textCol))).as("sh"))
-      .select(col("doc_id"), shingleHash(col("sh")).as("h"))
-    val totals = test.select(col(idCol).as("doc_id"),
-      size(shingleSet(col(textCol))).cast("bigint").as("n_shingles"))
-    val matched = te.join(th, "h")
-      .groupBy("doc_id").agg(count(lit(1)).as("n_matched"))
-    totals.join(matched, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_shingles"),
-        coalesce(col("n_matched"), lit(0L)).as("n_matched"),
+      .select(col(idCol).as("doc_id"), shingleSet(col(textCol)).as("__sh"))
+      .select(col("doc_id"), size(col("__sh")).as("__n"),
+        explode_outer(col("__sh")).as("__s"))
+      .select(col("doc_id"), col("__n"), shingleHash(col("__s")).as("h"))
+    te.join(th.withColumn("__m", lit(1)), Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg(first(col("__n")).cast("bigint").as("n_shingles"),
+        sum(coalesce(col("__m"), lit(0))).as("n_matched"))
+      .select(col("doc_id"), col("n_shingles"), col("n_matched"),
         when(col("n_shingles") === 0, lit(0.0))
-          .otherwise(coalesce(col("n_matched"), lit(0L)).cast("double") /
+          .otherwise(col("n_matched").cast("double") /
             col("n_shingles").cast("double")).as("contamination"))
   }
 

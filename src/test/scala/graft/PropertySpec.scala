@@ -114,6 +114,36 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("nearDupClusters equals union-find ground truth on random graphs") {
+    val edgeGen = Gen.listOfN(35, for {
+      a <- Gen.choose(0L, 24L); b <- Gen.choose(0L, 24L)
+    } yield (a, b))
+    cases(edgeGen, 6).foreach { edges =>
+      val pairs = edges.filter(e => e._1 != e._2)
+      if (pairs.nonEmpty) {
+        // driver-side union-find reference
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        pairs.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val nodes = pairs.flatMap(e => Seq(e._1, e._2)).distinct
+        // min id per component
+        val want = nodes.map { n =>
+          val root = find(n)
+          n -> nodes.filter(m => find(m) == root).min
+        }.toMap
+        val got = graft.dedup.Dedup.nearDupClusters(pairs.toDF("doc_a", "doc_b"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == want, s"edges=$pairs")
+      }
+    }
+  }
+
   test("token counts: 0 <= stopwords <= tokens; fingerprint whitespace-invariant") {
     val wordGen = Gen.nonEmptyListOf(Gen.oneOf(
       Gen.oneOf(TextFunctions.stopwords),

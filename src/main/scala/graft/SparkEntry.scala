@@ -762,6 +762,9 @@ object SparkEntry {
     "sim_ivf_kmeans" -> (simIvfKmeans(_, _)),
     "dedup_exact" -> (dedupExact(_, _)),
     "dedup_minhash" -> (dedupMinhash(_, _)),
+    "dedup_containment" -> ((s, d) =>
+      graft.dedup.Dedup.containmentNearDups(Tables.documents(s, d))
+        .filter(col("containment") >= 0.5)),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard(_, _)),
     "dedup_clusters" -> (dedupClusters(_, _)),
     "dedup_simhash" -> (dedupSimhash(_, _)),
@@ -1141,6 +1144,39 @@ object SparkEntry {
          |FROM cands c
          |JOIN sigs sa ON c.doc_a = sa.doc_id
          |JOIN sigs sb ON c.doc_b = sb.doc_id""".stripMargin,
+    // containment re-scoring of the same LSH candidates
+    "dedup_containment" ->
+      s"""WITH docs AS (
+         |  SELECT doc_id, $shinglesSql AS shingles FROM documents),
+         |sigs AS (
+         |  SELECT doc_id, shingles,
+         |    list_transform(range(0, 12), j ->
+         |      list_aggregate(list_transform(shingles,
+         |        s -> (CAST(concat('0x', substring(md5(s), 1, 15)) AS BIGINT) % 2147483648
+         |              + j * (CAST(concat('0x', substring(md5(s), 16, 15)) AS BIGINT) % 2147483648))
+         |             % 2147483648), 'min')) AS sig
+         |  FROM docs WHERE len(shingles) > 0),
+         |bands AS (
+         |  SELECT doc_id, b AS band_idx,
+         |    concat_ws(',', sig[b*3+1], sig[b*3+2], sig[b*3+3]) AS band_hash
+         |  FROM sigs, range(0, 4) AS t(b)),
+         |cands AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         |  WHERE a.doc_id < b.doc_id),
+         |scored AS (
+         |  SELECT c.doc_a, c.doc_b,
+         |    CAST(len(list_intersect(sa.shingles, sb.shingles)) AS BIGINT) AS n_inter,
+         |    CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+         |      / CAST(len(sa.shingles) + len(sb.shingles)
+         |          - len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) AS jaccard,
+         |    CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+         |      / CAST(least(len(sa.shingles), len(sb.shingles)) AS DOUBLE) AS containment
+         |  FROM cands c
+         |  JOIN sigs sa ON c.doc_a = sa.doc_id
+         |  JOIN sigs sb ON c.doc_b = sb.doc_id)
+         |SELECT * FROM scored WHERE containment >= 0.5""".stripMargin,
     "dedup_clusters" ->
       s"""WITH RECURSIVE docs AS (
          |  SELECT doc_id, $shinglesSql AS shingles FROM documents),

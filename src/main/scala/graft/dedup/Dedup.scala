@@ -100,6 +100,40 @@ object Dedup {
         (col("n_inter").cast("double") / col("n_union").cast("double")).as("jaccard"))
   }
 
+  /** Jaccard + containment verification of candidate pairs:
+    * containment = |A∩B| / min(|A|, |B|) scores a short document fully
+    * embedded in a longer one at 1.0 where symmetric Jaccard
+    * under-scores it — the boilerplate-inclusion case (RefinedWeb-style
+    * dedup filters on containment for exactly this reason).
+    *
+    * Regime note: candidates here still come from Jaccard-LSH, whose
+    * collision probability tracks Jaccard, not containment — a tiny
+    * doc inside a huge one may never collide. Use it to re-score and
+    * filter LSH candidates; for full containment recall, generate
+    * candidates from the short side's shingles directly. */
+  def verifyContainment(candidates: DataFrame, sigs: DataFrame): DataFrame = {
+    val sa = sigs.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
+    val sb = sigs.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
+    candidates.join(sa, "doc_a").join(sb, "doc_b")
+      .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("bigint"))
+      .select(col("doc_a"), col("doc_b"), col("n_inter"),
+        (col("n_inter").cast("double") /
+          ((size(col("sh_a")) + size(col("sh_b"))).cast("bigint") - col("n_inter")).cast("double"))
+          .as("jaccard"),
+        (col("n_inter").cast("double") /
+          least(size(col("sh_a")), size(col("sh_b"))).cast("double"))
+          .as("containment"))
+  }
+
+  /** MinHash-LSH candidates re-scored by containment (see
+    * [[verifyContainment]]); same plan shape as [[minhashNearDups]]. */
+  def containmentNearDups(df: DataFrame, k: Int = 12, bands: Int = 4,
+                          textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val sigs = minhashSignatures(df, k, textCol, idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    verifyContainment(lshCandidates(lshBands(sigs, k, bands)), sigs)
+  }
+
   /** Full MinHash-LSH near-dup pipeline: signature → bands → bucket
     * join → exact-Jaccard verify. */
   def minhashNearDups(df: DataFrame, k: Int = 12, bands: Int = 4,

@@ -105,6 +105,18 @@ class TextDedupSpec extends SparkSpec {
     assert(out(1) == "short 123 stays but [NUM] goes")
   }
 
+  test("verifyContainment scores subset-inclusion at 1.0 where jaccard is low") {
+    val sigs = Seq(
+      (1L, Seq("a b c", "b c d", "c d e", "d e f", "e f g", "f g h")), // 6 shingles
+      (2L, Seq("a b c", "b c d"))                                      // subset of 1
+    ).toDF("doc_id", "shingles")
+    val cands = Seq((1L, 2L)).toDF("doc_a", "doc_b")
+    val r = Dedup.verifyContainment(cands, sigs).head()
+    assert(r.getAs[Long]("n_inter") == 2L)
+    assert(r.getAs[Double]("containment") == 1.0)
+    assert(r.getAs[Double]("jaccard") == 2.0 / 6.0)
+  }
+
   test("nearDupClusters: min-label propagation finds components across hops") {
     // chain 1-2-3-4 (diameter 3) + isolated pair 10-11
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("doc_a", "doc_b")

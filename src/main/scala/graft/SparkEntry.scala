@@ -790,6 +790,15 @@ object SparkEntry {
     "sim_topk" -> (simTopK(_, _)),
     "sim_lsh" -> (simLsh(_, _)),
     "embed_neardup" -> (embedNearDup(_, _)),
+    // unit vector serialized as fixed-point micros (round(u*1e6)):
+    // identical double arithmetic both engines, and a string column the
+    // pandas comparator can hash (float formatting differs across
+    // engines, so raw doubles-in-strings would not)
+    "embed_normalize" -> ((s, d) =>
+      Similarity.l2Normalize(Tables.embeddings(s, d).select("vec_id", "embedding"))
+        .select(col("vec_id"), col("norm"),
+          array_join(transform(col("unit"),
+            u => round(u * 1e6).cast("long").cast("string")), ",").as("unit_fp"))),
     // q serialized to a string: the driver's pandas comparator cannot
     // sort/hash array-typed columns
     "embed_quantize" -> ((s, d) =>
@@ -1293,6 +1302,17 @@ object SparkEntry {
         |FROM events e JOIN nation n
         |  ON e.value >= n.n_nationkey * 2.0
         | AND e.value <= n.n_nationkey * 2.0 + 3.0""".stripMargin,
+    "embed_normalize" ->
+      """WITH n AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(embedding,
+        |      v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) AS norm
+        |  FROM embeddings)
+        |SELECT vec_id, norm,
+        |  array_to_string(list_transform(embedding, v ->
+        |    CAST(CAST(round(CASE WHEN norm = 0.0 THEN CAST(v AS DOUBLE)
+        |                         ELSE CAST(v AS DOUBLE) / norm END * 1e6) AS BIGINT) AS VARCHAR)), ',') AS unit_fp
+        |FROM n""".stripMargin,
     // int8 scalar quantization: identical arithmetic step-for-step
     "embed_quantize" ->
       """WITH s AS (

@@ -225,6 +225,19 @@ object Similarity {
       .withColumn("c_norm", norm(col("c_emb")))
   }
 
+  /** L2-normalize an embedding column to unit vectors (the standard
+    * pre-step that turns cosine into a plain dot product, halving ANN
+    * scoring cost). Zero vectors pass through as zeros. Pure per-row
+    * projection; arithmetic written identically in the oracle. */
+  def l2Normalize(df: DataFrame, embCol: String = "embedding",
+                  idCol: String = "vec_id"): DataFrame = {
+    val withNorm = df.select(col(idCol), col(embCol), norm(col(embCol)).as("norm"))
+    withNorm.select(col(idCol), col("norm"),
+      when(col("norm") === 0.0, transform(col(embCol), v => v.cast("double")))
+        .otherwise(transform(col(embCol), v => v.cast("double") / col("norm")))
+        .as("unit"))
+  }
+
   /** Symmetric int8 scalar quantization of an embedding column — the
     * standard 4x storage reduction for embedding corpora. Per-vector
     * scale = max|x| / 127; q_i = round(x_i / scale) ∈ [-127, 127];

@@ -44,6 +44,19 @@ class SimilarityScaleSpec extends SparkSpec {
     assert(joined.groupBy("q_id").count().collect().forall(_.getLong(1) == 5))
   }
 
+  test("l2Normalize produces unit vectors; zero vectors pass through") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array(3.0f, 4.0f)),
+      (2L, Array(0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.l2Normalize(df).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getSeq[Double](2))).toMap
+    assert(out(1L)._1 == 5.0)
+    assert(out(1L)._2 == Seq(0.6, 0.8))
+    assert(out(2L) == ((0.0, Seq(0.0, 0.0))))
+  }
+
   test("int8 quantization: bounded error, range, zero-vector handling") {
     import spark.implicits._
     val df = Seq(

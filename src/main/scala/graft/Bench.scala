@@ -51,7 +51,8 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$nRuns,"timing":"min-of-$nRuns, full materialization via toRdd"}""")
+    val ccRounds = graft.dedup.Dedup.lastCcRounds.get()
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$nRuns,"cc_rounds":$ccRounds,"timing":"min-of-$nRuns, full materialization via toRdd"}""")
     spark.stop()
   }
 }

@@ -19,6 +19,11 @@ import graft.functions.TextFunctions._
   */
 object Dedup {
 
+  /** Rounds the last [[nearDupClusters]] call took to converge (-1
+    * before any call) — surfaced so harnesses (e.g. `graft.Bench`) can
+    * report iteration counts alongside timings without parsing logs. */
+  val lastCcRounds = new java.util.concurrent.atomic.AtomicInteger(-1)
+
   /** Exact dedup via hash-groupBy on the text hash: one shuffle of
     * (md5, id) pairs, never the full text. */
   def exact(df: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
@@ -240,6 +245,7 @@ object Dedup {
       fp = nfp
       iter += 1
     }
+    lastCcRounds.set(iter)
     if (!converged)
       System.err.println(s"[graft] nearDupClusters: NOT converged after " +
         s"$maxIters rounds; cluster ids may split real components — raise maxIters")

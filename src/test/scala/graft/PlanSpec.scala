@@ -58,6 +58,32 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p) // per-doc top-k bounded map-side
   }
 
+  test("corpus operators never shuffle the document text") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    def shuffledColumns(name: String): Seq[String] = {
+      val df = SparkEntry.queries(name)(spark, dir)
+      val nodes = scala.collection.mutable.ArrayBuffer.empty[SparkPlan]
+      def walk(p: SparkPlan): Unit = {
+        nodes += p
+        p match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => walk(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => walk(q.plan)
+          case other => other.children.foreach(walk)
+        }
+      }
+      walk(df.queryExecution.executedPlan)
+      nodes.collect { case s: ShuffleExchangeExec => s.output.map(_.name) }.flatten.toSeq
+    }
+    // dedup/text pipelines shuffle hashes, signatures, ids — never the
+    // raw document text column
+    Seq("dedup_exact", "dedup_minhash", "dedup_containment", "decontaminate",
+      "repetition", "corpus_filter", "doc_pack", "tfidf_top_terms").foreach { q =>
+      val cols = shuffledColumns(q)
+      assert(!cols.contains("text"), s"$q shuffles text: $cols")
+    }
+  }
+
   test("filter pushdown reaches the parquet scan") {
     import org.apache.spark.sql.functions.col
     val df = graft.core.Tables.lineitem(spark, dir)

@@ -29,11 +29,17 @@ object Metrics {
   def measure(df: DataFrame): PlanMetrics = {
     val rows = df.queryExecution.toRdd.count()
     val nodes = scala.collection.mutable.ArrayBuffer.empty[SparkPlan]
-    def walk(p: SparkPlan): Unit = {
+    val seen = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[SparkPlan, java.lang.Boolean]())
+    def walk(p: SparkPlan): Unit = if (seen.add(p)) {
       nodes += p
       p match {
         case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
         case q: QueryStageExec => walk(q.plan)
+        // ReusedExchangeExec points back at an exchange subtree that is
+        // already reachable from its own branch; counting it again would
+        // inflate shuffle/scan sums (identity-dedup makes the revisit a
+        // no-op even when the reuse target sits in a later sibling).
         case r: ReusedExchangeExec => walk(r.child)
         case other => other.children.foreach(walk)
       }

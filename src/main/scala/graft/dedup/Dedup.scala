@@ -131,7 +131,11 @@ object Dedup {
   }
 
   /** MinHash-LSH candidates re-scored by containment (see
-    * [[verifyContainment]]); same plan shape as [[minhashNearDups]]. */
+    * [[verifyContainment]]); same plan shape as [[minhashNearDups]].
+    * Same cache lifecycle as [[minhashNearDups]]: the signature frame
+    * stays persisted (narrow id+signature rows, MEMORY_AND_DISK) until
+    * the session ends; long-lived services should unpersist after
+    * consuming the result. */
   def containmentNearDups(df: DataFrame, k: Int = 12, bands: Int = 4,
                           textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val sigs = minhashSignatures(df, k, textCol, idCol)

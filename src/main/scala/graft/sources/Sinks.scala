@@ -84,6 +84,15 @@ object Sinks {
     * (HDFS-style single-dir renames are; the 3-step swap is not). */
   private[graft] def swapInPlace(fs: org.apache.hadoop.fs.FileSystem,
                                  src: Path, dest: Path, old: Path): Unit = {
+    // A prior swap that crashed between dest->old and src->dest leaves
+    // `old` as the only copy of the previous data with `dest` missing;
+    // deleting `old` here would destroy it before `dest` is
+    // re-established. Refuse and point the operator at the copies.
+    if (fs.exists(old) && !fs.exists(dest))
+      throw new java.io.IOException(
+        s"$dest is missing but $old exists — a previous swap crashed " +
+          s"mid-way. Recover manually: previous data is at $old, a new " +
+          s"copy may be at $src; restore one to $dest before retrying")
     fs.delete(old, true)
     if (fs.exists(old))
       throw new java.io.IOException(s"cannot clear $old; aborting swap")
@@ -137,7 +146,10 @@ object Sinks {
     * partition columns so directory pruning survives compaction.
     * Directories carrying a `_spark_metadata` streaming-sink log are
     * refused — rewriting them would orphan the sink's file manifest
-    * while a stream may still own it. Returns the new file count. */
+    * while a stream may still own it. Returns the actual data-file
+    * count under the destination after the swap (with partitionBy each
+    * writer task emits one file per partition value it holds, so the
+    * result can exceed the repartition task count). */
   def compact(spark: SparkSession, dir: String, targetMB: Int = 128,
               partitionCols: Seq[String] = Seq.empty): Int = {
     val p = new Path(dir)
@@ -160,7 +172,20 @@ object Sinks {
     val writer = repartitioned.write.mode(SaveMode.Overwrite)
     (if (parts.nonEmpty) writer.partitionBy(parts: _*) else writer).parquet(tmp.toString)
     swapInPlace(fs, tmp, p, old)
-    nFiles
+    countDataFiles(fs, p)
+  }
+
+  /** Recursive count of data files (non-hidden, non-metadata) under a
+    * directory — the truthful post-compaction file count. */
+  private def countDataFiles(fs: org.apache.hadoop.fs.FileSystem, root: Path): Int = {
+    val it = fs.listFiles(root, true)
+    var n = 0
+    while (it.hasNext) {
+      val f = it.next()
+      val name = f.getPath.getName
+      if (!name.startsWith("_") && !name.startsWith(".")) n += 1
+    }
+    n
   }
 
   /** K6 — table materialization (dbt `materialized='table'` CTAS

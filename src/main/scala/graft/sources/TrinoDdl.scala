@@ -40,10 +40,19 @@ object TrinoDdl {
 
   private def quote(name: String): String = "\"" + name.replace("\"", "\"\"") + "\""
 
+  /** Quote an identifier only when it needs it (keeps simple names
+    * readable while making reserved words / mixed case / punctuation
+    * valid DDL instead of a syntax error or injection vector). */
+  private def ident(name: String): String =
+    if (name.matches("[a-z_][a-z0-9_]*")) name else quote(name)
+
+  /** Single-quote-escape a string literal (locations, formats). */
+  private def lit(s: String): String = "'" + s.replace("'", "''") + "'"
+
   /** `CREATE SCHEMA IF NOT EXISTS catalog.schema WITH (location=...)`. */
   def createSchemaSql(catalog: String, schema: String, location: String): String =
-    s"""CREATE SCHEMA IF NOT EXISTS $catalog.$schema
-       |WITH (location = '$location');""".stripMargin
+    s"""CREATE SCHEMA IF NOT EXISTS ${ident(catalog)}.${ident(schema)}
+       |WITH (location = ${lit(location)});""".stripMargin
 
   /** External-table DDL for a frame's schema (the reference's
     * CREATE TABLE ... WITH (external_location, format) shape). */
@@ -53,11 +62,11 @@ object TrinoDdl {
     val cols = df.schema.fields
       .map(f => s"  ${quote(f.name)} ${trinoType(f.dataType)}")
       .mkString(",\n")
-    s"""CREATE TABLE IF NOT EXISTS $catalog.$schema.$table (
+    s"""CREATE TABLE IF NOT EXISTS ${ident(catalog)}.${ident(schema)}.${ident(table)} (
        |$cols
        |) WITH (
-       |  external_location = '$externalLocation',
-       |  format = '$format'
+       |  external_location = ${lit(externalLocation)},
+       |  format = ${lit(format)}
        |);""".stripMargin
   }
 

@@ -54,6 +54,16 @@ class HardeningSpec extends SparkSpec {
     graft.sources.Sinks.swapInPlace(real, new Path(tmpC), new Path(destC), new Path(oldC))
     assert(real.exists(new Path(destC, "part-0")))
     assert(!real.exists(new Path(tmpC)) && !real.exists(new Path(oldC)))
+
+    // crashed-prior-swap state (__old exists, dest missing): a retry
+    // must refuse instead of deleting the only previous copy
+    val destD = s"$root/d"; val tmpD = s"$root/d__tmp"; val oldD = s"$root/d__old"
+    mkdirs(tmpD, oldD) // no dest: simulates crash between dest->old and src->dest
+    val e3 = intercept[java.io.IOException] {
+      graft.sources.Sinks.swapInPlace(real, new Path(tmpD), new Path(destD), new Path(oldD))
+    }
+    assert(e3.getMessage.contains("crashed"))
+    assert(real.exists(new Path(oldD, "part-0")) && real.exists(new Path(tmpD, "part-0")))
   }
 
   test("Metrics.measure reports shuffle/scan volumes for real plans") {

@@ -150,7 +150,8 @@ class SourcesSinksSpec extends SparkSpec {
       .repartition(10)
       .write.partitionBy("bucket").parquet(dir)
     val n = Sinks.compact(spark, dir, targetMB = 128)
-    assert(n == 1)
+    // truthful count: one file per partition dir, not the task count
+    assert(n == 3)
     val dirs = new java.io.File(dir).listFiles().map(_.getName).filter(_.startsWith("bucket="))
     assert(dirs.toSet == Set("bucket=0", "bucket=1", "bucket=2"), dirs.toSeq)
     // each partition dir compacted to a single file
@@ -191,6 +192,10 @@ class SourcesSinksSpec extends SparkSpec {
       StructField("pt", StructType(Seq(StructField("x", DoubleType))))))
     assert(TrinoDdl.trinoType(nested) ==
       """ROW("tags" ARRAY(VARCHAR), "kv" MAP(VARCHAR, BIGINT), "pt" ROW("x" DOUBLE))""")
+    // identifiers that need quoting get it; string literals are escaped
+    val odd = TrinoDdl.createSchemaSql("Data-Lake", "batch", "s3://it's/raw")
+    assert(odd.contains("\"Data-Lake\".batch"))
+    assert(odd.contains("'s3://it''s/raw'"))
   }
 
   test("jdbcStagingWriter carries the reference write discipline") {

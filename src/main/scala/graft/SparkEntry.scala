@@ -704,6 +704,40 @@ object SparkEntry {
   }
 
   // =================================================================
+  // runtime-filter + sketch operators
+  // =================================================================
+
+  /** Bloom-pre-filtered join ([[graft.operators.BloomJoin]]): probe
+    * lineitems that cannot match the selective part build side die at
+    * the scan, before the join's exchange. The bloom is false-positive
+    * -only, so the result is identical to the plain join — which is
+    * exactly what the oracle states. */
+  private def bloomJoin(spark: SparkSession, dir: String): DataFrame = {
+    val probe = Tables.lineitem(spark, dir).select("l_partkey", "l_quantity")
+    val build = Tables.part(spark, dir).filter(col("p_size") < 10)
+      .select("p_partkey", "p_brand")
+    graft.operators.BloomJoin.join(probe, build, "l_partkey", "p_partkey",
+        expectedItems = 4096)
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_items"), Exact.dsum(col("l_quantity")).as("sum_qty"))
+  }
+
+  /** KMV distinct sketch ([[graft.expressions.KmvDistinctAgg]] — the
+    * UDAF surface): per event type, a k=64 bottom-k sketch of user_id
+    * next to the exact distinct count. The sketch's minima are
+    * md5-derived, so the oracle reproduces estimate AND sketch state
+    * bit-for-bit via window functions. */
+  private def distinctSketch(spark: SparkSession, dir: String): DataFrame = {
+    import graft.expressions.SketchAggregates
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(SketchAggregates.kmvDistinct(col("user_id"), 64).as("sk"),
+        countDistinct(col("user_id")).as("n_exact"))
+      .select(col("event_type"), col("sk.estimate").as("distinct_est"),
+        array_join(col("sk.kmin"), ",").as("kmin"), col("n_exact"))
+  }
+
+  // =================================================================
   // registry
   // =================================================================
 
@@ -734,6 +768,8 @@ object SparkEntry {
     "anti_join" -> (antiJoin(_, _)),
     "set_ops" -> (setOps(_, _)),
     "range_join" -> (rangeJoinQuery(_, _)),
+    "bloom_join" -> (bloomJoin(_, _)),
+    "distinct_sketch" -> (distinctSketch(_, _)),
     "pivot_events" -> (pivotEvents(_, _)),
     "window_topk" -> (windowTopk(_, _)),
     "running_total" -> (runningTotal(_, _)),
@@ -1302,6 +1338,39 @@ object SparkEntry {
         |FROM events e JOIN nation n
         |  ON e.value >= n.n_nationkey * 2.0
         | AND e.value <= n.n_nationkey * 2.0 + 3.0""".stripMargin,
+    // The bloom pre-filter is false-positive-only; the exact join after
+    // it makes the result identical to the plain join the oracle runs.
+    "bloom_join" ->
+      """SELECT p.p_brand, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE p.p_size < 10
+        |GROUP BY p.p_brand""".stripMargin,
+    // KMV sketch: k smallest distinct 60-bit md5 hashes per group;
+    // estimate = (k-1) * 2^60 / h_k (exact count when < k distinct).
+    // Same double arithmetic both engines; minima serialized as a
+    // joined string so the pandas comparator can hash them.
+    "distinct_sketch" ->
+      """WITH h AS (
+        |  SELECT DISTINCT event_type,
+        |    CAST(concat('0x', substring(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+        |  FROM events WHERE user_id IS NOT NULL),
+        |r AS (
+        |  SELECT event_type, hv,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+        |  FROM h),
+        |x AS (SELECT event_type, count(DISTINCT user_id) AS n_exact
+        |      FROM events WHERE user_id IS NOT NULL GROUP BY event_type)
+        |SELECT r.event_type,
+        |  CAST(CASE WHEN max(r.rn) < 64 THEN max(r.rn)
+        |       ELSE FLOOR(63 * 1152921504606846976.0
+        |                  / max(CASE WHEN r.rn = 64 THEN r.hv END)) END AS BIGINT)
+        |    AS distinct_est,
+        |  string_agg(r.hv, ',' ORDER BY r.hv) AS kmin,
+        |  any_value(x.n_exact) AS n_exact
+        |FROM r JOIN x ON r.event_type = x.event_type
+        |WHERE r.rn <= 64
+        |GROUP BY r.event_type""".stripMargin,
     "embed_normalize" ->
       """WITH n AS (
         |  SELECT vec_id, embedding,

@@ -1,0 +1,132 @@
+package graft.expressions
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graftinterop.ColumnInterop
+import org.apache.spark.sql.types._
+
+/** KMV (K-Minimum-Values) distinct-count sketch as a native
+  * `TypedImperativeAggregate` — the engine's UDAF surface.
+  *
+  * The buffer is the set of the k smallest *distinct* hash values seen;
+  * buffers merge by set-union-then-truncate, so partial aggregation
+  * (map-side combine) works exactly like any built-in agg: each
+  * partition ships at most k longs to the final merge, independent of
+  * partition size. That mergeability is the whole point at 100 TB —
+  * `COUNT(DISTINCT x)` shuffles every distinct value; the sketch
+  * shuffles k of them per group for a (k-1)/h_k estimate with
+  * ~1/sqrt(k) relative error (Bar-Yossef et al., "Counting distinct
+  * elements in a data stream", RANDOM 2002).
+  *
+  * The input must already be a uniform hash in [0, 2^60): callers feed
+  * `conv(substring(md5(x), 1, 15), 16, 10)::long` (15 hex digits =
+  * 60 bits) so the estimate — and the k minima themselves — are
+  * reproducible in any engine with md5, which is what the DuckDB
+  * oracle does. Output is a struct of the estimate and the sorted
+  * minima (the sketch itself, so downstream unions can re-merge).
+  */
+case class KmvDistinctAgg(child: Expression, k: Int,
+                          override val mutableAggBufferOffset: Int = 0,
+                          override val inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]]
+    with UnaryLike[Expression] {
+
+  private val HashSpace = 1L << 60
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType if k > 1 => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"kmv_distinct expects a long hash column (k > 1), got ($t, k=$k)")
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("estimate", LongType, nullable = false),
+    StructField("kmin", ArrayType(LongType, containsNull = false), nullable = false)))
+  override def nullable: Boolean = false
+  override def prettyName: String = "kmv_distinct"
+
+  override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
+    new java.util.TreeSet[java.lang.Long]()
+
+  private def add(buf: java.util.TreeSet[java.lang.Long], v: Long): Unit = {
+    // Insert-then-truncate keeps the k smallest distinct values; once
+    // the buffer is full, values >= the current k-th minimum are
+    // rejected without mutating (the common case on big groups).
+    if (buf.size() < k) { buf.add(v); () }
+    else if (v < buf.last()) {
+      if (buf.add(v)) { buf.pollLast(); () }
+    }
+  }
+
+  override def update(buf: java.util.TreeSet[java.lang.Long],
+                      input: InternalRow): java.util.TreeSet[java.lang.Long] = {
+    val v = child.eval(input)
+    if (v != null) add(buf, v.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(buf: java.util.TreeSet[java.lang.Long],
+                     other: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] = {
+    val it = other.iterator()
+    while (it.hasNext) add(buf, it.next())
+    buf
+  }
+
+  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any = {
+    val mins = new Array[Long](buf.size())
+    val it = buf.iterator()
+    var i = 0
+    while (it.hasNext) { mins(i) = it.next(); i += 1 }
+    val estimate =
+      if (mins.length < k) mins.length.toLong // saw fewer than k distinct: exact
+      else math.floor((k - 1).toDouble * HashSpace.toDouble / mins(k - 1).toDouble).toLong
+    new GenericInternalRow(Array[Any](estimate, new GenericArrayData(mins)))
+  }
+
+  override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + 8 * buf.size())
+    bb.putInt(buf.size())
+    val it = buf.iterator()
+    while (it.hasNext) bb.putLong(it.next())
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = createAggregationBuffer()
+    var i = 0
+    while (i < n) { buf.add(bb.getLong); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvDistinctAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvDistinctAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): KmvDistinctAgg =
+    copy(child = newChild)
+}
+
+object SketchAggregates {
+  import org.apache.spark.sql.functions._
+
+  /** The 60-bit md5-derived hash both engines can compute (same
+    * derivation as `Sampling.hashBucket`, full 15-hex-digit value). */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+
+  /** KMV distinct sketch over a raw value column: hashes then
+    * aggregates; returns struct(estimate, kmin). */
+  def kmvDistinct(c: Column, k: Int): Column =
+    ColumnInterop.column(
+      KmvDistinctAgg(ColumnInterop.expression(hash60(c)), k).toAggregateExpression())
+}

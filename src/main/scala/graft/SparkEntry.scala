@@ -737,6 +737,31 @@ object SparkEntry {
         array_join(col("sk.kmin"), ",").as("kmin"), col("n_exact"))
   }
 
+  /** Span-level exact dedup ([[graft.dedup.Dedup.spanDedup]]): drop
+    * repeated 20-token chunks corpus-wide, rebuild each document from
+    * its surviving chunks. */
+  private def spanDedupQuery(spark: SparkSession, dir: String): DataFrame =
+    graft.dedup.Dedup.spanDedup(Tables.documents(spark, dir), window = 20)
+
+  /** Deterministic shard + shuffle for training export
+    * ([[graft.operators.Sampling.shardShuffle]]). */
+  private def corpusShuffle(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.shardShuffle(
+      Tables.documents(spark, dir).select("doc_id"), "doc_id", nShards = 8, salt = "r4")
+
+  /** Domain-weighted mix ([[graft.pipeline.CorpusPipeline.mixSources]]):
+    * per-source keep rates, reported as kept docs + whitespace tokens
+    * (the budget currency). */
+  private def corpusMix(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val weights = Map("src0" -> 80, "src1" -> 60, "src2" -> 40, "src3" -> 20)
+    graft.pipeline.CorpusPipeline
+      .mixSources(Tables.documents(spark, dir), weights, defaultPct = 10, salt = "mix")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(TextFunctions.tokens(col("text"))).cast("bigint")).as("n_tokens"))
+  }
+
   // =================================================================
   // registry
   // =================================================================
@@ -770,6 +795,9 @@ object SparkEntry {
     "range_join" -> (rangeJoinQuery(_, _)),
     "bloom_join" -> (bloomJoin(_, _)),
     "distinct_sketch" -> (distinctSketch(_, _)),
+    "span_dedup" -> (spanDedupQuery(_, _)),
+    "corpus_shuffle" -> (corpusShuffle(_, _)),
+    "corpus_mix" -> (corpusMix(_, _)),
     "pivot_events" -> (pivotEvents(_, _)),
     "window_topk" -> (windowTopk(_, _)),
     "running_total" -> (runningTotal(_, _)),
@@ -1371,6 +1399,50 @@ object SparkEntry {
         |FROM r JOIN x ON r.event_type = x.event_type
         |WHERE r.rn <= 64
         |GROUP BY r.event_type""".stripMargin,
+    // Span dedup: first (doc_id, idx) occurrence of each 20-token chunk
+    // hash wins; docs rebuild from surviving chunks (empty string when
+    // every chunk was seen earlier).
+    "span_dedup" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |chunks AS (
+        |  SELECT doc_id, t,
+        |    unnest(range(0, CAST(ceil(len(t) / 20.0) AS INT))) AS idx
+        |  FROM toks),
+        |hashed AS (
+        |  SELECT doc_id, idx,
+        |    md5(array_to_string(t[idx*20+1 : idx*20+20], ' ')) AS h
+        |  FROM chunks),
+        |win AS (
+        |  SELECT doc_id, idx,
+        |    row_number() OVER (PARTITION BY h ORDER BY doc_id, idx) AS rn
+        |  FROM hashed),
+        |kept AS (SELECT doc_id, idx FROM win WHERE rn = 1)
+        |SELECT tk.doc_id,
+        |  coalesce(array_to_string(
+        |    flatten(list(tk.t[k.idx*20+1 : k.idx*20+20] ORDER BY k.idx)
+        |            FILTER (k.idx IS NOT NULL)), ' '), '') AS text_dedup,
+        |  CAST(count(k.idx) AS INT) AS n_chunks_kept
+        |FROM toks tk LEFT JOIN kept k ON tk.doc_id = k.doc_id
+        |GROUP BY tk.doc_id""".stripMargin,
+    "corpus_shuffle" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    CAST(concat('0x', substring(md5(concat(CAST(doc_id AS VARCHAR), 'r4')), 1, 15)) AS BIGINT) AS hv
+        |  FROM documents)
+        |SELECT doc_id, CAST(hv % 8 AS INT) AS shard,
+        |  row_number() OVER (PARTITION BY hv % 8 ORDER BY hv, doc_id) AS pos
+        |FROM h""".stripMargin,
+    "corpus_mix" ->
+      """WITH b AS (
+        |  SELECT source, text,
+        |    CAST(concat('0x', substring(md5(concat(CAST(doc_id AS VARCHAR), 'mix')), 1, 15)) AS BIGINT) % 100 AS bucket
+        |  FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(SUM(CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT)) AS BIGINT) AS n_tokens
+        |FROM b
+        |WHERE bucket < (CASE source WHEN 'src0' THEN 80 WHEN 'src1' THEN 60
+        |                WHEN 'src2' THEN 40 WHEN 'src3' THEN 20 ELSE 10 END)
+        |GROUP BY source""".stripMargin,
     "embed_normalize" ->
       """WITH n AS (
         |  SELECT vec_id, embedding,

@@ -314,4 +314,46 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Span-level exact dedup: drop repeated `window`-token chunks
+    * corpus-wide (boilerplate headers, license blocks, navigation
+    * chrome survive document-level dedup because the *documents*
+    * differ; the repeated *spans* are what inflate the corpus).
+    *
+    * Scale shape: chunk text is hashed inside the map-side projection
+    * — only (doc_id, idx, 32-char hash) reaches the winner-election
+    * exchange, never text. First occurrence (by doc_id, then chunk
+    * position) wins; each document then rebuilds its text from its
+    * surviving chunk indices. The final stitch is an equi-join of the
+    * narrow keep-list against the docs; at corpus scale, store docs
+    * bucketed by id ([[graft.sources.Bucketing]]) and that join plans
+    * exchange-free on the text side.
+    *
+    * Returns (doc_id, text_dedup, n_chunks_kept); documents whose
+    * every chunk was seen earlier come back with empty text rather
+    * than vanishing, so callers can distinguish "all boilerplate"
+    * from "dropped". */
+  def spanDedup(df: DataFrame, window: Int = 20,
+                textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = window
+    val docs = df.select(col(idCol).cast("long").as("doc_id"),
+      split(col(textCol), " ").as("t"))
+    val nChunks = ceil(size(col("t")) / lit(w.toDouble)).cast("int")
+    val hashes = docs.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), nChunks - 1),
+        i => md5(array_join(slice(col("t"), i * w + 1, lit(w)), " "))))
+        .as(Seq("idx", "h")))
+    val firstSeen = Window.partitionBy(col("h")).orderBy(col("doc_id"), col("idx"))
+    val kept = hashes.withColumn("rn", row_number().over(firstSeen))
+      .filter(col("rn") === 1)
+      .groupBy("doc_id").agg(sort_array(collect_list(col("idx"))).as("keep"))
+    docs.join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("keep").isNull, lit(""))
+          .otherwise(array_join(
+            flatten(transform(col("keep"), i => slice(col("t"), i * w + 1, lit(w)))), " "))
+          .as("text_dedup"),
+        coalesce(size(col("keep")), lit(0)).as("n_chunks_kept"))
+  }
 }

@@ -36,6 +36,29 @@ object Sampling {
       df.filter(b >= trainPct + valPct))
   }
 
+  /** Deterministic shard + global shuffle for training-data export:
+    * every row gets a shard (hash mod nShards) and a position within
+    * its shard (hash order) — the "shuffle the corpus, write N shard
+    * files, stream them in order" step before training. Reproducible
+    * given (key, salt), unlike `orderBy(rand())`.
+    *
+    * Scale shape: one exchange on `shard` (narrow: key + 60-bit hash,
+    * never payload columns) and a per-shard sort — the payload joins
+    * back by key at write time, ideally against a bucketed-by-key
+    * layout. No global single-partition sort anywhere. */
+  def shardShuffle(df: DataFrame, keyCol: String, nShards: Int,
+                   salt: String = ""): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val h = conv(substring(md5(concat(coalesce(col(keyCol).cast("string"), lit("")),
+      lit(salt))), 1, 15), 16, 10).cast("long")
+    df.select(col(keyCol), h.as("h"))
+      .withColumn("shard", (col("h") % nShards).cast("int"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("shard")).orderBy(col("h"), col(keyCol))))
+      .drop("h")
+  }
+
   /** Stratified deterministic sampling: per-stratum keep percentages
     * (strata absent from the map keep `defaultPct`). */
   def stratified(df: DataFrame, keyCol: String, stratumCol: String,

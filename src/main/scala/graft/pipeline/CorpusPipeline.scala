@@ -66,4 +66,21 @@ object CorpusPipeline {
       .join(decontaminated.select(col(idCol).as("doc_id"), col(textCol)), "doc_id")
     Prepared(filtered, deduped, decontaminated, packed)
   }
+
+  /** Domain-weighted corpus mixing: keep each source's documents at
+    * its configured rate (percent, deterministic by document id — see
+    * [[graft.operators.Sampling.stratified]]), the knob used to hit a
+    * per-domain token budget when assembling a training mix (e.g.
+    * upsample curated sources, downsample crawl). Sources absent from
+    * `weights` keep `defaultPct`.
+    *
+    * Pure map-side filter — no shuffle; the rate predicate is an
+    * md5-derived bucket, so re-running over a grown corpus keeps
+    * exactly the previously-kept documents (stable mixes across
+    * snapshots). */
+  def mixSources(docs: DataFrame, weights: Map[String, Int],
+                 defaultPct: Int = 0, salt: String = "",
+                 sourceCol: String = "source",
+                 idCol: String = "doc_id"): DataFrame =
+    graft.operators.Sampling.stratified(docs, idCol, sourceCol, weights, defaultPct, salt)
 }

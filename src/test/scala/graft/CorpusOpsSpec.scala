@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.operators.Sampling
+import graft.pipeline.CorpusPipeline
+
+class CorpusOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("spanDedup drops repeated chunks, keeps first occurrence, rebuilds text") {
+    val boiler = (1 to 20).map(i => s"b$i").mkString(" ") // one full 20-token chunk
+    val uniq = (1 to 20).map(i => s"u$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$boiler $uniq"),       // first occurrence of boiler + unique
+      (2L, s"$boiler ${uniq.replace("u", "v")}"), // boiler repeated → dropped
+      (3L, boiler)                  // all chunks seen before → empty
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanDedup(docs, window = 20).orderBy("doc_id").collect()
+    assert(out(0).getString(1) == s"$boiler $uniq" && out(0).getInt(2) == 2)
+    assert(out(1).getString(1) == uniq.replace("u", "v") && out(1).getInt(2) == 1)
+    assert(out(2).getString(1) == "" && out(2).getInt(2) == 0)
+  }
+
+  test("spanDedup keeps short documents whole when unique") {
+    val docs = Seq((1L, "only five little tokens here")).toDF("doc_id", "text")
+    val out = Dedup.spanDedup(docs, window = 20).head()
+    assert(out.getString(1) == "only five little tokens here" && out.getInt(2) == 1)
+  }
+
+  test("shardShuffle covers all rows exactly once with dense per-shard positions") {
+    val df = spark.range(0, 1000).toDF("doc_id")
+    val out = Sampling.shardShuffle(df, "doc_id", nShards = 8, salt = "t")
+    assert(out.count() == 1000)
+    assert(out.select("doc_id").distinct().count() == 1000)
+    assert(out.agg(max("shard")).head().getInt(0) <= 7)
+    // positions within each shard are 1..n_shard with no gaps
+    val bad = out.groupBy("shard")
+      .agg(count(lit(1)).as("n"), max("pos").as("mx"), min("pos").as("mn"))
+      .filter(col("mx") =!= col("n") || col("mn") =!= 1)
+    assert(bad.isEmpty)
+  }
+
+  test("shardShuffle is deterministic and salt-sensitive") {
+    val df = spark.range(0, 200).toDF("doc_id")
+    val a = Sampling.shardShuffle(df, "doc_id", 4, "s1").orderBy("doc_id").collect()
+    val b = Sampling.shardShuffle(df, "doc_id", 4, "s1").orderBy("doc_id").collect()
+    val c = Sampling.shardShuffle(df, "doc_id", 4, "s2").orderBy("doc_id").collect()
+    assert(a.toSeq == b.toSeq)
+    assert(a.toSeq != c.toSeq)
+  }
+
+  test("mixSources keeps rates per source and is a pure filter of the input") {
+    val docs = (0 until 2000).map(i => (i.toLong, s"src${i % 2}", s"text $i")).toDF("doc_id", "source", "text")
+    val kept = CorpusPipeline.mixSources(docs, Map("src0" -> 100, "src1" -> 0), defaultPct = 0)
+    val bySource = kept.groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(bySource.getOrElse("src0", 0L) == 1000 && !bySource.contains("src1"))
+    // rate ~50%: binomial bounds, deterministic given salt
+    val half = CorpusPipeline.mixSources(docs, Map("src0" -> 50), defaultPct = 50, salt = "m")
+    val n = half.count()
+    assert(n > 800 && n < 1200, s"~50% of 2000 expected, got $n")
+    assert(half.exceptAll(docs).isEmpty) // strictly a subset, rows unmodified
+  }
+}

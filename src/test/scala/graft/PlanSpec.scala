@@ -78,9 +78,13 @@ class PlanSpec extends SparkSpec {
     // dedup/text pipelines shuffle hashes, signatures, ids — never the
     // raw document text column
     Seq("dedup_exact", "dedup_minhash", "dedup_containment", "decontaminate",
-      "repetition", "corpus_filter", "doc_pack", "tfidf_top_terms").foreach { q =>
+      "repetition", "corpus_filter", "doc_pack", "tfidf_top_terms",
+      "span_dedup", "corpus_shuffle").foreach { q =>
       val cols = shuffledColumns(q)
       assert(!cols.contains("text"), s"$q shuffles text: $cols")
+      // span_dedup additionally must not shuffle the token array
+      if (q == "span_dedup")
+        assert(!cols.contains("t"), s"$q shuffles token arrays: $cols")
     }
   }
 

@@ -73,10 +73,26 @@ object VectorFunctions {
       ColumnInterop.expression(a), ColumnInterop.expression(b)))
 }
 
-/** SQL-surface registration: `float_dot(a, b)` becomes available to
-  * `spark.sql` / `expr` when the session is built
-  * `.withExtensions(new GraftExtensions)`. */
+/** The engine's `SparkSessionExtensions` entry point — build sessions
+  * `.withExtensions(new GraftExtensions)` or set
+  * `spark.sql.extensions=graft.expressions.GraftExtensions`.
+  *
+  * Injects:
+  *  - SQL functions for the native kernels — `float_dot(a, b)`,
+  *    `minhash_signature(shingles, k)`, `kmv_distinct(hash60, k)` —
+  *    so pure-SQL users get the codegen'd/mergeable forms;
+  *  - the [[graft.plans.NativeDotRewrite]] optimizer rule, which
+  *    rewrites the equivalent declarative `aggregate(zip_with(...))`
+  *    fold into [[FloatDotProduct]] automatically.
+  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def intLit(e: Expression, fn: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a literal integer k, got $other")
+  }
+
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((
       new FunctionIdentifier("float_dot"),
@@ -86,5 +102,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"float_dot(array<float>, array<float>) takes 2 arguments, got ${exprs.length}")
         FloatDotProduct(exprs(0), exprs(1))
       }))
+    e.injectFunction((
+      new FunctionIdentifier("minhash_signature"),
+      new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_signature"),
+      (exprs: Seq[Expression]) => {
+        if (exprs.length != 2) throw new IllegalArgumentException(
+          s"minhash_signature(array<string>, k) takes 2 arguments, got ${exprs.length}")
+        MinHashSignature(exprs(0), intLit(exprs(1), "minhash_signature"))
+      }))
+    e.injectFunction((
+      new FunctionIdentifier("kmv_distinct"),
+      new ExpressionInfo(classOf[KmvDistinctAgg].getName, "kmv_distinct"),
+      (exprs: Seq[Expression]) => {
+        if (exprs.length != 2) throw new IllegalArgumentException(
+          s"kmv_distinct(hash_long, k) takes 2 arguments, got ${exprs.length}")
+        KmvDistinctAgg(exprs(0), intLit(exprs(1), "kmv_distinct"))
+      }))
+    e.injectOptimizerRule(_ => graft.plans.NativeDotRewrite)
   }
 }

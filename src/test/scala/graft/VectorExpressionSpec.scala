@@ -30,7 +30,7 @@ class VectorExpressionSpec extends SparkSpec {
     assert(out.head.isNullAt(0))
   }
 
-  test("float_dot is SQL-callable via GraftExtensions") {
+  test("GraftExtensions: SQL functions + NativeDotRewrite optimizer rule") {
     val base = spark // ensure the shared context exists
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
@@ -46,6 +46,50 @@ class VectorExpressionSpec extends SparkSpec {
         .createOrReplaceTempView("v")
       val r = s.sql("SELECT float_dot(a, b) AS d FROM v").head()
       assert(r.getDouble(0) == 11.0)
+
+      // minhash_signature SQL surface matches the Column API kernel
+      Seq(Tuple1(Seq("a b c", "b c d", "c d e"))).toDF("sh")
+        .createOrReplaceTempView("vs")
+      val sqlSig = s.sql("SELECT minhash_signature(sh, 4) AS sig FROM vs")
+        .head().getSeq[Long](0)
+      val apiSig = Seq(Tuple1(Seq("a b c", "b c d", "c d e"))).toDF("sh")
+        .select(graft.expressions.MinHashFunctions.minhashSignature(col("sh"), 4))
+        .head().getSeq[Long](0)
+      assert(sqlSig == apiSig)
+
+      // kmv_distinct is SQL-callable as an aggregate
+      s.range(0, 500).selectExpr("id % 37 AS v").createOrReplaceTempView("vk")
+      val est = s.sql(
+        """SELECT kmv_distinct(
+          |  CAST(conv(substring(md5(CAST(v AS STRING)), 1, 15), 16, 10) AS BIGINT),
+          |  64).estimate AS e FROM vk""".stripMargin).head().getLong(0)
+      assert(est == 37)
+
+      // the optimizer rule rewrites the HOF fold into FloatDotProduct
+      // (non-foldable input — literal views constant-fold to a
+      // LocalRelation before the plan can be inspected)
+      s.range(1, 3).selectExpr(
+        "array(CAST(id AS FLOAT), CAST(2.0 AS FLOAT)) AS a",
+        "array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT)) AS b")
+        .createOrReplaceTempView("vr")
+      val hof = s.sql(
+        """SELECT aggregate(zip_with(a, b,
+          |  (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+          |  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) AS d FROM vr ORDER BY d""".stripMargin)
+      val optimized = hof.queryExecution.optimizedPlan
+      def hasNativeDot(pl: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+        pl.exists(_.expressions.exists(_.exists(
+          _.isInstanceOf[graft.expressions.FloatDotProduct])))
+      assert(hasNativeDot(optimized), s"NativeDotRewrite did not fire:\n$optimized")
+      assert(hof.collect().map(_.getDouble(0)).toSeq == Seq(11.0, 14.0))
+
+      // a structurally different fold (zero = 1.0) is left alone
+      val other = s.sql(
+        """SELECT aggregate(zip_with(a, b,
+          |  (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+          |  CAST(1.0 AS DOUBLE), (acc, v) -> acc + v) AS d FROM vr ORDER BY d""".stripMargin)
+      assert(!hasNativeDot(other.queryExecution.optimizedPlan))
+      assert(other.collect().map(_.getDouble(0)).toSeq == Seq(12.0, 15.0))
     } finally {
       SparkSession.setActiveSession(base)
       SparkSession.setDefaultSession(base)

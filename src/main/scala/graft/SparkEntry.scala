@@ -762,6 +762,19 @@ object SparkEntry {
         sum(size(TextFunctions.tokens(col("text"))).cast("bigint")).as("n_tokens"))
   }
 
+  /** Morton z-values for the (user_id, value) plane
+    * ([[graft.sources.ZOrder]]) — the clustering key behind
+    * 2-dimensional file pruning; the oracle re-derives the bit
+    * interleave from the same shift/mask table. */
+  private def zorderCells(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.ZOrder
+    Tables.events(spark, dir).select(col("event_id"),
+      col("user_id").bitwiseAND(lit(65535L)).as("x"),
+      floor(coalesce(col("value"), lit(0.0))).cast("long")
+        .bitwiseAND(lit(65535L)).as("y"))
+      .withColumn("z", ZOrder.zValue(col("x"), col("y")))
+  }
+
   // =================================================================
   // registry
   // =================================================================
@@ -798,6 +811,7 @@ object SparkEntry {
     "span_dedup" -> (spanDedupQuery(_, _)),
     "corpus_shuffle" -> (corpusShuffle(_, _)),
     "corpus_mix" -> (corpusMix(_, _)),
+    "zorder_cells" -> (zorderCells(_, _)),
     "pivot_events" -> (pivotEvents(_, _)),
     "window_topk" -> (windowTopk(_, _)),
     "running_total" -> (runningTotal(_, _)),
@@ -1432,6 +1446,15 @@ object SparkEntry {
         |SELECT doc_id, CAST(hv % 8 AS INT) AS shard,
         |  row_number() OVER (PARTITION BY hv % 8 ORDER BY hv, doc_id) AS pos
         |FROM h""".stripMargin,
+    "zorder_cells" -> {
+      val z = graft.sources.ZOrder.zValueSql("x", "y")
+      s"""WITH c AS (
+         |  SELECT event_id,
+         |    user_id & 65535 AS x,
+         |    CAST(floor(coalesce(value, 0.0)) AS BIGINT) & 65535 AS y
+         |  FROM events)
+         |SELECT event_id, x, y, $z AS z FROM c""".stripMargin
+    },
     "corpus_mix" ->
       """WITH b AS (
         |  SELECT source, text,

@@ -762,6 +762,18 @@ object SparkEntry {
         sum(size(TextFunctions.tokens(col("text"))).cast("bigint")).as("n_tokens"))
   }
 
+  /** Incremental catalog dedup ([[graft.dedup.Dedup.incrementalDedup]]):
+    * docs < 250 form the accepted-fingerprint catalog; the rest are
+    * the incoming batch. Output = the catalog delta. */
+  private def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val catalog = docs.filter(col("doc_id") < 250)
+      .select(md5(col("text")).as("fingerprint")).distinct()
+    graft.dedup.Dedup
+      .incrementalDedup(docs.filter(col("doc_id") >= 250), catalog)
+      .catalogDelta
+  }
+
   /** Morton z-values for the (user_id, value) plane
     * ([[graft.sources.ZOrder]]) — the clustering key behind
     * 2-dimensional file pruning; the oracle re-derives the bit
@@ -812,6 +824,7 @@ object SparkEntry {
     "corpus_shuffle" -> (corpusShuffle(_, _)),
     "corpus_mix" -> (corpusMix(_, _)),
     "zorder_cells" -> (zorderCells(_, _)),
+    "dedup_incremental" -> (dedupIncremental(_, _)),
     "pivot_events" -> (pivotEvents(_, _)),
     "window_topk" -> (windowTopk(_, _)),
     "running_total" -> (runningTotal(_, _)),
@@ -1446,6 +1459,14 @@ object SparkEntry {
         |SELECT doc_id, CAST(hv % 8 AS INT) AS shard,
         |  row_number() OVER (PARTITION BY hv % 8 ORDER BY hv, doc_id) AS pos
         |FROM h""".stripMargin,
+    "dedup_incremental" ->
+      """WITH cat AS (
+        |  SELECT DISTINCT md5(text) AS fingerprint FROM documents WHERE doc_id < 250),
+        |fp AS (
+        |  SELECT md5(text) AS fingerprint, min(doc_id) AS doc_id
+        |  FROM documents WHERE doc_id >= 250 GROUP BY 1)
+        |SELECT fp.fingerprint, fp.doc_id
+        |FROM fp ANTI JOIN cat ON fp.fingerprint = cat.fingerprint""".stripMargin,
     "zorder_cells" -> {
       val z = graft.sources.ZOrder.zValueSql("x", "y")
       s"""WITH c AS (

@@ -315,6 +315,37 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Result of one [[incrementalDedup]] ingest step. */
+  final case class Incremental(fresh: DataFrame, catalogDelta: DataFrame)
+
+  /** Incremental exact dedup against a fingerprint catalog — the batch
+    * twin of the streaming watermarked fingerprint dedup
+    * ([[graft.pipeline.StreamPipeline]]): a continuously-ingested
+    * corpus can't re-dedup 100 TB per day, it anti-joins each new
+    * batch against the catalog of everything already accepted.
+    *
+    *  - `fresh`: batch docs that are new corpus-wide (first occurrence
+    *    within the batch by min id, fingerprint absent from catalog);
+    *  - `catalogDelta`: (fingerprint, doc_id) rows to append to the
+    *    catalog — exactly the fresh winners, so catalog maintenance is
+    *    an append, never a rewrite.
+    *
+    * Shuffle budget: fingerprints + ids only (the winner election and
+    * the anti-join both key on the 32-char md5); the text column moves
+    * once, in the final id semi-join. The catalog side is narrow
+    * enough to bucket by fingerprint, making the recurring anti-join
+    * exchange-free on re-ingest. */
+  def incrementalDedup(batch: DataFrame, catalog: DataFrame,
+                       textCol: String = "text", idCol: String = "doc_id"): Incremental = {
+    val winners = batch
+      .select(col(idCol).as("doc_id"), md5(col(textCol)).as("fingerprint"))
+      .groupBy("fingerprint").agg(min(col("doc_id")).as("doc_id"))
+      .join(catalog.select(col("fingerprint")), Seq("fingerprint"), "left_anti")
+    val fresh = batch.join(
+      winners.select(col("doc_id").as(idCol)), Seq(idCol), "left_semi")
+    Incremental(fresh, winners.select("fingerprint", "doc_id"))
+  }
+
   /** Span-level exact dedup: drop repeated `window`-token chunks
     * corpus-wide (boilerplate headers, license blocks, navigation
     * chrome survive document-level dedup because the *documents*

@@ -16,6 +16,26 @@ object Sinks {
               compression: String = "snappy"): Unit =
     df.write.mode(mode).option("compression", compression).parquet(path)
 
+  /** Parquet write with per-column bloom filters — the file-level data
+    * skipping that complements min/max stats: point lookups on a
+    * high-cardinality key (trip id, doc id, user id) skip whole row
+    * groups whose bloom says "definitely absent", where min/max ranges
+    * on an unsorted key prune nothing. The footer cost is a few hundred
+    * KB per column per row group; worth it on any 100 TB table queried
+    * by key. `ndv` sizes each filter (expected distinct values per row
+    * group). */
+  def parquetWithBloom(df: DataFrame, path: String, bloomCols: Seq[String],
+                       ndv: Long = 100000L,
+                       mode: SaveMode = SaveMode.Overwrite,
+                       compression: String = "snappy"): Unit = {
+    val w = df.write.mode(mode).option("compression", compression)
+    val withBloom = bloomCols.foldLeft(w) { (acc, c) =>
+      acc.option(s"parquet.bloom.filter.enabled#$c", "true")
+        .option(s"parquet.bloom.filter.expected.ndv#$c", ndv.toString)
+    }
+    withBloom.parquet(path)
+  }
+
   /** Partitioned lake write — the batch twin of the streaming sink's
     * `partitionBy(date_partition)` layout, giving readers directory
     * pruning (reference: streaming_to_minio_fixed.py:75). */

@@ -51,6 +51,24 @@ class CorpusOpsSpec extends SparkSpec {
     assert(a.toSeq != c.toSeq)
   }
 
+  test("incrementalDedup accepts only corpus-new docs and emits an append-only delta") {
+    val catalogDocs = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+    val catalog = catalogDocs.select(md5($"text").as("fingerprint")).distinct()
+    val batch = Seq(
+      (10L, "alpha"),  // already in catalog → dropped
+      (11L, "gamma"),  // new → kept
+      (12L, "gamma"),  // intra-batch dup → min id 11 wins
+      (13L, "delta")   // new → kept
+    ).toDF("doc_id", "text")
+    val r = Dedup.incrementalDedup(batch, catalog)
+    assert(r.fresh.select("doc_id").as[Long].collect().sorted.toSeq == Seq(11L, 13L))
+    val delta = r.catalogDelta.collect().map(x => (x.getString(0), x.getLong(1))).toMap
+    assert(delta.size == 2 && delta.values.toSet == Set(11L, 13L))
+    // re-ingesting the same batch against the grown catalog yields nothing
+    val grown = catalog.union(r.catalogDelta.select("fingerprint"))
+    assert(Dedup.incrementalDedup(batch, grown).fresh.isEmpty)
+  }
+
   test("mixSources keeps rates per source and is a pure filter of the input") {
     val docs = (0 until 2000).map(i => (i.toLong, s"src${i % 2}", s"text $i")).toDF("doc_id", "source", "text")
     val kept = CorpusPipeline.mixSources(docs, Map("src0" -> 100, "src1" -> 0), defaultPct = 0)

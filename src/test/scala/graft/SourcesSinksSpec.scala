@@ -135,6 +135,33 @@ class SourcesSinksSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() == 2000)
   }
 
+  test("parquetWithBloom writes bloom filters readers can skip on") {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    val root = Files.createTempDirectory("graft_bloom").toString
+    val df = spark.range(0, 50000).selectExpr("id AS doc_id", "id % 100 AS v")
+    Sinks.parquetWithBloom(df, s"$root/b", Seq("doc_id"), ndv = 50000)
+    Sinks.parquet(df, s"$root/plain")
+    def bloomOffsets(dir: String): Seq[(String, Long)] = {
+      val f = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val in = HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(f.getAbsolutePath),
+        spark.sparkContext.hadoopConfiguration)
+      val r = ParquetFileReader.open(in)
+      try r.getFooter.getBlocks.asScala.flatMap(_.getColumns.asScala.map(c =>
+        (c.getPath.toDotString, c.getBloomFilterOffset))).toSeq
+      finally r.close()
+    }
+    val withBloom = bloomOffsets(s"$root/b").toMap
+    val plain = bloomOffsets(s"$root/plain").toMap
+    assert(withBloom("doc_id") >= 0, s"doc_id should carry a bloom filter: $withBloom")
+    assert(withBloom("v") == -1, "v was not requested and should have none")
+    assert(plain("doc_id") == -1, "plain write should carry no bloom filter")
+    assert(spark.read.parquet(s"$root/b").count() == 50000)
+  }
+
   test("zstd compression option lands in the parquet files and reads back") {
     val path = Files.createTempDirectory("graft_zstd").toString + "/out"
     Sinks.parquet(spark.range(0, 1000).toDF("x"), path, compression = "zstd")

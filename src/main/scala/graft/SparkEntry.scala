@@ -774,6 +774,23 @@ object SparkEntry {
       .catalogDelta
   }
 
+  /** KMV sketch algebra ([[graft.expressions.SketchAggregates]]):
+    * audience overlap of the click/view user sets computed purely from
+    * two 64-value sketches — union, Jaccard, intersection — never
+    * touching the raw ID sets. Jaccard serialized as fixed-point
+    * micros for the comparator. */
+  private def audienceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    import graft.expressions.SketchAggregates
+    val ev = Tables.events(spark, dir)
+    def sketchOf(t: String) = ev.filter(col("event_type") === t)
+      .agg(SketchAggregates.kmvDistinct(col("user_id"), 64).as(s"sk_$t"))
+    val o = sketchOf("click").crossJoin(sketchOf("view"))
+      .select(SketchAggregates.kmvOverlap(col("sk_click"), col("sk_view"), 64).as("o"))
+    o.select(
+      round(col("o.jaccard") * 1e6).cast("long").as("jaccard_micros"),
+      col("o.intersection_est"), col("o.union_est"))
+  }
+
   /** Morton z-values for the (user_id, value) plane
     * ([[graft.sources.ZOrder]]) — the clustering key behind
     * 2-dimensional file pruning; the oracle re-derives the bit
@@ -825,6 +842,7 @@ object SparkEntry {
     "corpus_mix" -> (corpusMix(_, _)),
     "zorder_cells" -> (zorderCells(_, _)),
     "dedup_incremental" -> (dedupIncremental(_, _)),
+    "audience_overlap" -> (audienceOverlap(_, _)),
     "pivot_events" -> (pivotEvents(_, _)),
     "window_topk" -> (windowTopk(_, _)),
     "running_total" -> (runningTotal(_, _)),
@@ -1459,6 +1477,34 @@ object SparkEntry {
         |SELECT doc_id, CAST(hv % 8 AS INT) AS shard,
         |  row_number() OVER (PARTITION BY hv % 8 ORDER BY hv, doc_id) AS pos
         |FROM h""".stripMargin,
+    // KMV set algebra replayed in SQL: k-min lists per audience, union
+    // sketch via list ops, Beyer-et-al. Jaccard from the union sketch.
+    "audience_overlap" ->
+      """WITH h AS (
+        |  SELECT DISTINCT event_type,
+        |    CAST(concat('0x', substring(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+        |  FROM events WHERE user_id IS NOT NULL AND event_type IN ('click', 'view')),
+        |r AS (SELECT event_type, hv,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn FROM h),
+        |s AS (SELECT event_type, list(hv ORDER BY hv) AS kmin
+        |      FROM r WHERE rn <= 64 GROUP BY event_type),
+        |c AS (SELECT
+        |    (SELECT kmin FROM s WHERE event_type = 'click') AS ka,
+        |    (SELECT kmin FROM s WHERE event_type = 'view') AS kb),
+        |e AS (SELECT ka, kb,
+        |    list_slice(list_sort(list_distinct(ka || kb)), 1, 64) AS uk FROM c),
+        |f AS (SELECT
+        |    CASE WHEN len(uk) < 64 THEN CAST(len(uk) AS BIGINT)
+        |         ELSE CAST(FLOOR(63 * 1152921504606846976.0 / uk[64]) AS BIGINT) END AS union_est,
+        |    CASE WHEN len(uk) = 0 THEN 0.0
+        |         ELSE CAST(len(list_filter(uk, v -> list_contains(ka, v)
+        |                                        AND list_contains(kb, v))) AS DOUBLE)
+        |              / CAST(len(uk) AS DOUBLE) END AS j
+        |  FROM e)
+        |SELECT CAST(round(j * 1e6) AS BIGINT) AS jaccard_micros,
+        |  CAST(FLOOR(j * CAST(union_est AS DOUBLE)) AS BIGINT) AS intersection_est,
+        |  union_est
+        |FROM f""".stripMargin,
     "dedup_incremental" ->
       """WITH cat AS (
         |  SELECT DISTINCT md5(text) AS fingerprint FROM documents WHERE doc_id < 250),

@@ -129,4 +129,41 @@ object SketchAggregates {
   def kmvDistinct(c: Column, k: Int): Column =
     ColumnInterop.column(
       KmvDistinctAgg(ColumnInterop.expression(hash60(c)), k).toAggregateExpression())
+
+  private val HashSpaceD = (1L << 60).toDouble
+
+  private def estimateOf(kmin: Column, k: Int): Column =
+    when(size(kmin) < k, size(kmin).cast("long"))
+      .otherwise(floor(lit((k - 1).toDouble * HashSpaceD) /
+        element_at(kmin, k).cast("double")).cast("long"))
+
+  /** Sketch algebra — union: the k smallest distinct hashes of the
+    * combined minima ARE the KMV sketch of A ∪ B, so two sketches
+    * built independently (different tables, different days) combine
+    * without touching the raw data. Pure array built-ins: usable on
+    * stored sketch columns. */
+  def kmvUnion(a: Column, b: Column, k: Int): Column = {
+    val m = slice(array_sort(array_distinct(
+      concat(a.getField("kmin"), b.getField("kmin")))), 1, k)
+    struct(estimateOf(m, k).as("estimate"), m.as("kmin"))
+  }
+
+  /** Sketch algebra — overlap (Beyer et al., SIGMOD 2007): among the
+    * union sketch's values, the fraction present in BOTH input
+    * sketches estimates Jaccard(A, B); scaled by the union estimate it
+    * gives |A ∩ B|. The audience-overlap primitive: intersecting
+    * billion-row ID sets at the cost of 2k longs. Returns
+    * struct(jaccard, intersection_est, union_est). */
+  def kmvOverlap(a: Column, b: Column, k: Int): Column = {
+    val u = kmvUnion(a, b, k)
+    val uk = u.getField("kmin")
+    val inBoth = size(filter(uk, v =>
+      array_contains(a.getField("kmin"), v) && array_contains(b.getField("kmin"), v)))
+    val j = when(size(uk) === 0, lit(0.0))
+      .otherwise(inBoth.cast("double") / size(uk).cast("double"))
+    val uEst = u.getField("estimate")
+    struct(j.as("jaccard"),
+      floor(j * uEst.cast("double")).cast("long").as("intersection_est"),
+      uEst.as("union_est"))
+  }
 }

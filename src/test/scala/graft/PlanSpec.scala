@@ -58,6 +58,26 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p) // per-doc top-k bounded map-side
   }
 
+  test("bloom_join: might_contain prefilter sits below the join, above the scan") {
+    val p = plan("bloom_join")
+    assert(p.contains("might_contain"), p)
+    // the probe-side filter must be planned before the join, i.e. the
+    // join node appears earlier (higher) in the tree printout than the
+    // bloom predicate applied at the scan side
+    val joinAt = p.indexOfSlice("HashJoin")
+    val bloomAt = p.indexOf("might_contain")
+    assert(joinAt >= 0 && bloomAt > joinAt,
+      s"bloom filter should be on the probe branch below the join: $p")
+  }
+
+  test("distinct_sketch: KMV aggregate runs partial (map-side) before the exchange") {
+    val p = plan("distinct_sketch")
+    // TypedImperativeAggregate plans as ObjectHashAggregate with a
+    // partial mode pass — k longs per group cross the shuffle, not rows
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(p.contains("partial_kmv_distinct"), p)
+  }
+
   test("corpus operators never shuffle the document text") {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec

@@ -55,6 +55,44 @@ class SketchBloomSpec extends SparkSpec {
     assert(r1.getString(1) == r8.getString(1))
   }
 
+  test("kmvDistinct works as a streaming windowed aggregate (state round-trips)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long)]
+    input.addData((1 to 50).map(i =>
+      (java.sql.Timestamp.valueOf("2024-01-01 10:00:05"), (i % 20).toLong)): _*)
+    val df = input.toDF().toDF("ts", "user_id")
+    val agg = df.withWatermark("ts", "10 seconds")
+      .groupBy(window(col("ts"), "1 minute"))
+      .agg(SketchAggregates.kmvDistinct(col("user_id"), 64).as("sk"))
+      .select(col("window.start").as("ws"), col("sk.estimate").as("est"))
+    val q = agg.writeStream.format("memory").queryName("kmv_out")
+      .outputMode("append").start()
+    // advance the watermark past the window so it finalizes
+    input.addData((java.sql.Timestamp.valueOf("2024-01-01 10:05:00"), 999L))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("kmv_out").collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[Long]("est") == 20L) // below k → exact, across state store round-trips
+  }
+
+  test("kmv sketch algebra: union is exact-composable, overlap tracks true Jaccard") {
+    // A = [0, 1200), B = [800, 2000): |A∪B| = 2000, |A∩B| = 400, J = 0.2
+    val a = spark.range(0, 1200).agg(SketchAggregates.kmvDistinct(col("id"), 256).as("ska"))
+    val b = spark.range(800, 2000).agg(SketchAggregates.kmvDistinct(col("id"), 256).as("skb"))
+    val both = a.crossJoin(b).select(
+      SketchAggregates.kmvUnion(col("ska"), col("skb"), 256).as("u"),
+      SketchAggregates.kmvOverlap(col("ska"), col("skb"), 256).as("o"))
+    val r = both.select(col("u.estimate"), col("o.jaccard"), col("o.intersection_est")).head()
+    assert(math.abs(r.getLong(0) - 2000.0) / 2000.0 < 0.2, s"union est ${r.getLong(0)}")
+    assert(math.abs(r.getDouble(1) - 0.2) < 0.1, s"jaccard ${r.getDouble(1)}")
+    assert(math.abs(r.getLong(2) - 400.0) / 400.0 < 0.5, s"intersection ${r.getLong(2)}")
+    // union of a sketch with itself is itself (idempotent)
+    val self = a.select(SketchAggregates.kmvUnion(col("ska"), col("ska"), 256).as("u"),
+      col("ska")).head()
+    assert(self.getStruct(0) == self.getStruct(1))
+  }
+
   test("kmvDistinct per-group sketches merge under partial aggregation") {
     val df = spark.range(0, 2000)
       .select((col("id") % 3).as("g"), (col("id") % 211).as("v"))

@@ -36,6 +36,24 @@ object ZOrder {
   def zValue(x: Column, y: Column): Column =
     spread(x).bitwiseOR(shiftleft(spread(y), 1))
 
+  /** Inverse of [[spread]]: collapse even bit positions back into the
+    * low 16 bits (the steps run in reverse with right shifts). */
+  def unspread(c: Column): Column =
+    steps.reverse.foldLeft(c.cast("long").bitwiseAND(lit(0x55555555L))) {
+      case (v, (s, _)) =>
+        val m = s match {
+          case 1 => 0x33333333L
+          case 2 => 0x0F0F0F0FL
+          case 4 => 0x00FF00FFL
+          case 8 => 0x0000FFFFL
+        }
+        v.bitwiseOR(shiftright(v, s)).bitwiseAND(lit(m))
+    }
+
+  /** Recover the coordinates from a z-value (inverse of [[zValue]]). */
+  def xOf(z: Column): Column = unspread(z)
+  def yOf(z: Column): Column = unspread(shiftright(z.cast("long"), 1))
+
   /** The same spreading as a SQL string (ANSI shifts/and/or — runs in
     * DuckDB, Trino, Spark SQL identically). Each step substitutes the
     * previous expression textually; fine for an oracle statement. */

@@ -144,6 +144,59 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("zValue round-trips through xOf/yOf for arbitrary 16-bit coordinates") {
+    import graft.sources.ZOrder
+    val coordGen = for {
+      x <- Gen.chooseNum(0L, 65535L); y <- Gen.chooseNum(0L, 65535L)
+    } yield (x, y)
+    val rows = cases(coordGen, 60).toDF("x", "y")
+      .withColumn("z", ZOrder.zValue(col("x"), col("y")))
+      .select(col("x"), col("y"),
+        ZOrder.xOf(col("z")).as("xr"), ZOrder.yOf(col("z")).as("yr")).collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) == r.getLong(2) && r.getLong(1) == r.getLong(3),
+        s"roundtrip broke at (${r.getLong(0)}, ${r.getLong(1)})")
+    }
+  }
+
+  test("spanDedup output is a chunk-subset; unique corpora pass through unchanged") {
+    val docGen = Gen.nonEmptyListOf(
+      Gen.chooseNum(0, 30).map(i => s"w$i")).map(_.take(50).mkString(" "))
+    val texts = cases(docGen, 15).distinct
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val out = graft.dedup.Dedup.spanDedup(docs, window = 5)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val byId = texts.zipWithIndex.map { case (t, i) => i.toLong -> t }.toMap
+    out.foreach { case (id, dedup) =>
+      // the rebuilt text only ever shrinks, and every original chunk
+      // either survives verbatim or is gone (subset property)
+      val orig = byId(id).split(" ").grouped(5).map(_.mkString(" ")).toSet
+      val keptChunks =
+        if (dedup.isEmpty) Set.empty[String] else orig.filter(dedup.contains)
+      assert(keptChunks.forall(orig.contains))
+      assert(dedup.length <= byId(id).length)
+    }
+    // a corpus with no repeated chunks must come back identical
+    val uniqueDocs = Seq((1L, (1 to 12).map(i => s"a$i").mkString(" ")),
+      (2L, (1 to 12).map(i => s"b$i").mkString(" "))).toDF("doc_id", "text")
+    val u = graft.dedup.Dedup.spanDedup(uniqueDocs, window = 5)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(u(1L) == (1 to 12).map(i => s"a$i").mkString(" "))
+    assert(u(2L) == (1 to 12).map(i => s"b$i").mkString(" "))
+  }
+
+  test("bloomJoin equals the plain join for arbitrary key sets") {
+    val setGen = Gen.listOf(Gen.chooseNum(0L, 500L)).map(_.distinct.take(60))
+    cases(setGen, 6).filter(_.nonEmpty).foreach { keys =>
+      val probe = spark.range(0, 500).toDF("k")
+      val build = keys.toDF("bk")
+      val plain = probe.join(build, col("k") === col("bk")).count()
+      val bloomed = graft.operators.BloomJoin
+        .join(probe, build, "k", "bk", expectedItems = 64).count()
+      assert(bloomed == plain, s"keys=$keys")
+    }
+  }
+
   test("token counts: 0 <= stopwords <= tokens; fingerprint whitespace-invariant") {
     val wordGen = Gen.nonEmptyListOf(Gen.oneOf(
       Gen.oneOf(TextFunctions.stopwords),

@@ -791,6 +791,19 @@ object SparkEntry {
       col("o.intersection_est"), col("o.union_est"))
   }
 
+  /** Token-budget sampling ([[graft.operators.Sampling.weightedSample]]):
+    * keep ~1 document per 2000 tokens of cumulative weight,
+    * deterministic integer arithmetic, inclusion probability ∝ token
+    * count. */
+  private def corpusSampleTokens(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(TextFunctions.tokens(col("text"))).cast("long").as("n_tokens"))
+    graft.operators.Sampling.weightedSample(
+      docs, "doc_id", "n_tokens", step = 2000L, nShards = 8, salt = "tb")
+  }
+
   /** Morton z-values for the (user_id, value) plane
     * ([[graft.sources.ZOrder]]) — the clustering key behind
     * 2-dimensional file pruning; the oracle re-derives the bit
@@ -843,6 +856,7 @@ object SparkEntry {
     "zorder_cells" -> (zorderCells(_, _)),
     "dedup_incremental" -> (dedupIncremental(_, _)),
     "audience_overlap" -> (audienceOverlap(_, _)),
+    "corpus_sample_tokens" -> (corpusSampleTokens(_, _)),
     "pivot_events" -> (pivotEvents(_, _)),
     "window_topk" -> (windowTopk(_, _)),
     "running_total" -> (runningTotal(_, _)),
@@ -1477,6 +1491,21 @@ object SparkEntry {
         |SELECT doc_id, CAST(hv % 8 AS INT) AS shard,
         |  row_number() OVER (PARTITION BY hv % 8 ORDER BY hv, doc_id) AS pos
         |FROM h""".stripMargin,
+    // Weighted systematic sampling replayed exactly: same salted hash
+    // order, same per-shard integer cumsum, same floor-division test.
+    "corpus_sample_tokens" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS n_tokens,
+        |    CAST(concat('0x', substring(md5(concat(CAST(doc_id AS VARCHAR), 'tb')), 1, 15)) AS BIGINT) AS hv
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    SUM(n_tokens) OVER (PARTITION BY hv % 8 ORDER BY hv, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM d)
+        |SELECT doc_id, source, n_tokens
+        |FROM c WHERE (cum // 2000) > ((cum - n_tokens) // 2000)""".stripMargin,
     // KMV set algebra replayed in SQL: k-min lists per audience, union
     // sketch via list ops, Beyer-et-al. Jaccard from the union sketch.
     "audience_overlap" ->

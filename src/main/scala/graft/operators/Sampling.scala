@@ -59,6 +59,40 @@ object Sampling {
       .drop("h")
   }
 
+  /** Weighted systematic sampling: keep one row per `step` units of
+    * cumulative weight, deterministically. The token-budget sampler —
+    * with weight = token count and step = S, the kept set holds
+    * ~total_tokens/S documents with inclusion probability ∝ size, and
+    * every document of ≥ S tokens is guaranteed in.
+    *
+    * Mechanics: rows order by a salted 60-bit hash (stable, uniform)
+    * within `nShards` hash shards; a row is kept iff its cumulative-
+    * weight interval (cum - w, cum] straddles a multiple of `step`.
+    * All-integer arithmetic — no RNG, no transcendentals — so any
+    * engine reproduces the exact sample. Sharding keeps the running
+    * sum a bounded per-shard window instead of a single-partition
+    * global cumsum (the classic scale trap of systematic sampling);
+    * hash uniformity spreads weight evenly across shards, so the
+    * sample rate is preserved.
+    *
+    * Weights must be positive integers (tokens, bytes, rows). */
+  def weightedSample(df: DataFrame, keyCol: String, weightCol: String,
+                     step: Long, nShards: Int = 32, salt: String = ""): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(step > 0 && nShards > 0, s"step/nShards must be positive")
+    val h = conv(substring(md5(concat(coalesce(col(keyCol).cast("string"), lit("")),
+      lit(salt))), 1, 15), 16, 10).cast("long")
+    val w = col(weightCol).cast("long")
+    val shard = (h % nShards).cast("int")
+    val cum = sum(w).over(Window.partitionBy(shard)
+      .orderBy(h, col(keyCol)).rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    df.withColumn("__w", w).withColumn("__cum", cum)
+      // integer floor-division (SQL `div`) keeps the arithmetic exact
+      // at any corpus size — no double rounding at 2^53 token counts
+      .filter(expr(s"(__cum div $step) > ((__cum - __w) div $step)"))
+      .drop("__w", "__cum")
+  }
+
   /** Stratified deterministic sampling: per-stratum keep percentages
     * (strata absent from the map keep `defaultPct`). */
   def stratified(df: DataFrame, keyCol: String, stratumCol: String,

@@ -69,6 +69,28 @@ class CorpusOpsSpec extends SparkSpec {
     assert(Dedup.incrementalDedup(batch, grown).fresh.isEmpty)
   }
 
+  test("weightedSample hits the budget, always keeps over-step rows, is deterministic") {
+    // 2000 docs of 100 tokens each + 5 giants of 5000 tokens
+    val docs = ((0 until 2000).map(i => (i.toLong, 100L)) ++
+      (9000L until 9005L).map(i => (i, 5000L))).toDF("doc_id", "w")
+    val step = 1000L
+    val out = Sampling.weightedSample(docs, "doc_id", "w", step, nShards = 8, salt = "s")
+    val totalW = 2000L * 100 + 5 * 5000
+    val kept = out.count()
+    // kept ≈ slots − collapsed giant slots (a 5000-token row straddles
+    // 5 multiples but is one row) − per-shard tail slack
+    val want = totalW / step - 5 * 4
+    assert(math.abs(kept - want) <= 8, s"kept=$kept want≈$want")
+    // every row heavier than step straddles a multiple — always in
+    assert(out.filter(col("w") === 5000L).count() == 5)
+    // deterministic
+    val again = Sampling.weightedSample(docs, "doc_id", "w", step, nShards = 8, salt = "s")
+    assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
+    // inclusion is weight-proportional: a 100-token doc keeps ~10%
+    val lightRate = out.filter(col("w") === 100L).count().toDouble / 2000
+    assert(lightRate > 0.05 && lightRate < 0.15, s"light-doc rate $lightRate")
+  }
+
   test("mixSources keeps rates per source and is a pure filter of the input") {
     val docs = (0 until 2000).map(i => (i.toLong, s"src${i % 2}", s"text $i")).toDF("doc_id", "source", "text")
     val kept = CorpusPipeline.mixSources(docs, Map("src0" -> 100, "src1" -> 0), defaultPct = 0)

@@ -804,6 +804,18 @@ object SparkEntry {
       docs, "doc_id", "n_tokens", step = 2000L, nShards = 8, salt = "tb")
   }
 
+  /** Binary-code ANN ([[graft.similarity.Similarity.binarize]] /
+    * `hammingTopK`): sign-bit codes (8 bytes/vector) + Hamming top-5 —
+    * the memory-bound scale path next to the float brute force of
+    * `sim_topk`. */
+  private def simHamming(spark: SparkSession, dir: String): DataFrame = {
+    val codes = Similarity.binarize(
+      Tables.embeddings(spark, dir).select("vec_id", "embedding"))
+    val queries = codes.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("code0").as("q0"), col("code1").as("q1"))
+    Similarity.hammingTopK(codes, queries, k = 5)
+  }
+
   /** Morton z-values for the (user_id, value) plane
     * ([[graft.sources.ZOrder]]) — the clustering key behind
     * 2-dimensional file pruning; the oracle re-derives the bit
@@ -911,6 +923,7 @@ object SparkEntry {
     "multimodal_frames" -> (multimodalFrames(_, _)),
     "multimodal_pipeline" -> (multimodalPipeline(_, _)),
     "sim_topk" -> (simTopK(_, _)),
+    "sim_hamming" -> (simHamming(_, _)),
     "sim_lsh" -> (simLsh(_, _)),
     "embed_neardup" -> (embedNearDup(_, _)),
     // unit vector serialized as fixed-point micros (round(u*1e6)):
@@ -1491,6 +1504,29 @@ object SparkEntry {
         |SELECT doc_id, CAST(hv % 8 AS INT) AS shard,
         |  row_number() OVER (PARTITION BY hv % 8 ORDER BY hv, doc_id) AS pos
         |FROM h""".stripMargin,
+    // Sign-bit codes replayed with a seeded list_reduce fold (prepended
+    // BIGINT 0 matches Spark aggregate's explicit zero), Hamming via
+    // bit_count(xor) on each 32-bit half.
+    "sim_hamming" ->
+      """WITH codes AS (
+        |  SELECT vec_id,
+        |    list_reduce([CAST(0 AS BIGINT)] ||
+        |      list_transform(embedding[1:32], v -> CASE WHEN v > 0 THEN 1 ELSE 0 END),
+        |      (acc, b) -> acc * 2 + b) AS code0,
+        |    list_reduce([CAST(0 AS BIGINT)] ||
+        |      list_transform(embedding[33:64], v -> CASE WHEN v > 0 THEN 1 ELSE 0 END),
+        |      (acc, b) -> acc * 2 + b) AS code1
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, code0 AS q0, code1 AS q1
+        |      FROM codes WHERE vec_id < 10),
+        |d AS (SELECT q.q_id, c.vec_id,
+        |    CAST(bit_count(xor(c.code0, q.q0))
+        |       + bit_count(xor(c.code1, q.q1)) AS INT) AS hamming
+        |  FROM codes c, q WHERE c.vec_id <> q.q_id),
+        |r AS (SELECT q_id, vec_id, hamming,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY hamming, vec_id) AS rnk
+        |  FROM d)
+        |SELECT q_id, vec_id, hamming, rnk FROM r WHERE rnk <= 5""".stripMargin,
     // Weighted systematic sampling replayed exactly: same salted hash
     // order, same per-shard integer cumsum, same floor-division test.
     "corpus_sample_tokens" ->

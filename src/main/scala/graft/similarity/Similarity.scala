@@ -290,4 +290,44 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("cos"), 9).as("cos"))
       .distinct()
   }
+
+  /** One 32-dim half of a sign-bit code: fold `acc*2 + (v > 0)` over
+    * the slice — first element lands in the highest bit. Two 32-bit
+    * halves instead of one 64-bit code so the fold never overflows a
+    * signed long in ANY engine (DuckDB/Trino BIGINT overflow is an
+    * error, not a wrap). */
+  private def signHalf(emb: Column, from: Int): Column =
+    aggregate(slice(emb, from, 32), lit(0L),
+      (acc, v) => acc * 2 + when(v > lit(0f), 1L).otherwise(0L))
+
+  /** Binary (sign-bit) embedding codes: 64 float dims → two 32-bit
+    * ints = 8 bytes/vector, a 32x memory shrink over float32. Hamming
+    * distance on codes approximates angular distance (the SimHash
+    * bound: P[bits differ] = angle/pi per dim) — the standard first
+    * stage for billion-scale ANN, where the code table fits in memory
+    * and bit_count(xor) is one SIMD instruction per 64 dims. */
+  def binarize(df: DataFrame, embCol: String = "embedding",
+               idCol: String = "vec_id"): DataFrame =
+    df.select(col(idCol),
+      signHalf(col(embCol), 1).as("code0"),
+      signHalf(col(embCol), 33).as("code1"))
+
+  /** Brute-force Hamming top-k over binary codes: broadcast the query
+    * codes, scan candidate codes once, rank by (hamming, vec_id). The
+    * scan side is 8 bytes/row — at 100 TB of embeddings this is the
+    * path that still fits: ~1 GB of codes per 125M vectors, prunable
+    * further with the SimHash pigeonhole blocks
+    * ([[graft.dedup.Dedup.simhashNearDups]] uses the same trick). */
+  def hammingTopK(candidates: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val joined = candidates.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("hamming",
+        (bit_count(col("code0").bitwiseXOR(col("q0"))) +
+          bit_count(col("code1").bitwiseXOR(col("q1")))).cast("int"))
+    joined.withColumn("rnk", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("hamming"), col("vec_id"))))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("vec_id"), col("hamming"), col("rnk"))
+  }
 }

@@ -111,4 +111,40 @@ class SimilarityScaleSpec extends SparkSpec {
     val delta = full.toMap.apply(4) - sampled.toMap.apply(4)
     assert(delta <= 0.1, s"sampled training lost $delta recall at nProbe=4")
   }
+
+  test("binarize packs sign bits exactly; hammingTopK ranks by true Hamming") {
+    import spark.implicits._
+    // a vector with known signs: dims 0 and 33 positive, rest negative
+    val emb = Array.tabulate(64)(i => if (i == 0 || i == 33) 1.0f else -1.0f)
+    val code = Similarity.binarize(Seq((7L, emb)).toDF("vec_id", "embedding")).head()
+    // fold is acc*2+bit, so dim 0 is the HIGHEST bit of code0 (bit 31)
+    assert(code.getLong(1) == (1L << 31), s"code0=${code.getLong(1)}")
+    assert(code.getLong(2) == (1L << 30), s"code1=${code.getLong(2)}")
+
+    // hammingTopK must agree with Hamming computed on collected codes
+    val e = Tables.embeddings(spark, dir01).select("vec_id", "embedding")
+    val codes = Similarity.binarize(e)
+    val q = codes.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("code0").as("q0"), col("code1").as("q1"))
+    val got = Similarity.hammingTopK(codes, q, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    val all = codes.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expected = all.filter(_._1 < 10).flatMap { case (qid, q0, q1) =>
+      all.filter(_._1 != qid)
+        .map { case (id, c0, c1) =>
+          (qid, id, java.lang.Long.bitCount(c0 ^ q0) + java.lang.Long.bitCount(c1 ^ q1)) }
+        .sortBy { case (_, id, h) => (h, id) }.take(5)
+    }.toSeq
+    assert(got.sorted == expected.sorted)
+
+    // sanity: binary codes keep meaningful recall vs float cosine top-5
+    val brute = Similarity.bruteForceTopK(e, queries(Tables.embeddings(spark, dir01)), k = 5)
+      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hamm = got.map { case (a, b, _) => (a, b) }.toSet
+    val recall = (hamm & brute).size.toDouble / brute.size
+    System.err.println(s"[graft] hamming recall@5 vs cosine: $recall")
+    // well above the random baseline of k/(n-1) ~= 0.05; sign bits are
+    // a recall-stage, not a ranking replacement
+    assert(recall >= 0.15, s"sign-bit recall collapsed: $recall")
+  }
 }

@@ -810,8 +810,12 @@ object SparkEntry {
     * count. */
   private def corpusSampleTokens(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.TextFunctions
+    // text rides through the sampler on purpose: weightedSample windows
+    // over a narrow internal (key, weight, hash) projection and
+    // semi-joins the kept keys back, so the payload column must cross
+    // no exchange — PlanSpec asserts exactly that on this query
     val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("source"),
+      .select(col("doc_id"), col("source"), col("text"),
         size(TextFunctions.tokens(col("text"))).cast("long").as("n_tokens"))
     graft.operators.Sampling.weightedSample(
       docs, "doc_id", "n_tokens", step = 2000L, nShards = 8, salt = "tb")
@@ -1554,8 +1558,9 @@ object SparkEntry {
         |    SUM(n_tokens) OVER (PARTITION BY hv % 8 ORDER BY hv, doc_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
         |  FROM d)
-        |SELECT doc_id, source, n_tokens
-        |FROM c WHERE (cum // 2000) > ((cum - n_tokens) // 2000)""".stripMargin,
+        |SELECT c.doc_id, c.source, t.text, c.n_tokens
+        |FROM c JOIN documents t ON c.doc_id = t.doc_id
+        |WHERE (cum // 2000) > ((cum - n_tokens) // 2000)""".stripMargin,
     // KMV set algebra replayed in SQL: k-min lists per audience, union
     // sketch via list ops, Beyer-et-al. Jaccard from the union sketch.
     "audience_overlap" ->

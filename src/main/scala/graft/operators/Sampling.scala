@@ -75,22 +75,34 @@ object Sampling {
     * hash uniformity spreads weight evenly across shards, so the
     * sample rate is preserved.
     *
-    * Weights must be positive integers (tokens, bytes, rows). */
+    * Weights must be positive integers (tokens, bytes, rows); `keyCol`
+    * must be unique (it is the sampling identity the kept set joins
+    * back on). */
   def weightedSample(df: DataFrame, keyCol: String, weightCol: String,
                      step: Long, nShards: Int = 32, salt: String = ""): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(step > 0 && nShards > 0, s"step/nShards must be positive")
     val h = conv(substring(md5(concat(coalesce(col(keyCol).cast("string"), lit("")),
       lit(salt))), 1, 15), 16, 10).cast("long")
-    val w = col(weightCol).cast("long")
-    val shard = (h % nShards).cast("int")
-    val cum = sum(w).over(Window.partitionBy(shard)
-      .orderBy(h, col(keyCol)).rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    df.withColumn("__w", w).withColumn("__cum", cum)
+    // Narrow internal projection: only (key, weight, hash) flows
+    // through the cumsum exchange — payload columns (the document text
+    // at 100 TB) never shuffle. The kept keys — ~total_weight/step
+    // rows, small by construction — semi-join back, which AQE turns
+    // into a broadcast, so the caller's frame crosses no exchange at
+    // all. A fresh select also means caller columns named __w/__cum
+    // can never be clobbered.
+    val slim = df.select(col(keyCol).as("__k"),
+      col(weightCol).cast("long").as("__w"), h.as("__h"))
+      .withColumn("__shard", (col("__h") % nShards).cast("int"))
+    val cum = sum(col("__w")).over(Window.partitionBy(col("__shard"))
+      .orderBy(col("__h"), col("__k"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    val keep = slim.withColumn("__cum", cum)
       // integer floor-division (SQL `div`) keeps the arithmetic exact
       // at any corpus size — no double rounding at 2^53 token counts
       .filter(expr(s"(__cum div $step) > ((__cum - __w) div $step)"))
-      .drop("__w", "__cum")
+      .select(col("__k").as(keyCol))
+    df.join(keep, Seq(keyCol), "left_semi")
   }
 
   /** Stratified deterministic sampling: per-stratum keep percentages

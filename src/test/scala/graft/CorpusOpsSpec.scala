@@ -91,6 +91,17 @@ class CorpusOpsSpec extends SparkSpec {
     assert(lightRate > 0.05 && lightRate < 0.15, s"light-doc rate $lightRate")
   }
 
+  test("weightedSample preserves caller columns, even ones named __w/__cum") {
+    // the sampler windows over its own internal projection, so caller
+    // columns colliding with its old working names must survive intact
+    val docs = (0 until 200).map(i => (i.toLong, 100L, i * 7L, i * 11L))
+      .toDF("doc_id", "w", "__w", "__cum")
+    val out = Sampling.weightedSample(docs, "doc_id", "w", 1000L, nShards = 4, salt = "s")
+    assert(out.columns.toSeq == Seq("doc_id", "w", "__w", "__cum"))
+    assert(out.exceptAll(docs).isEmpty) // strictly a subset, rows unmodified
+    assert(out.count() > 0)
+  }
+
   test("mixSources keeps rates per source and is a pure filter of the input") {
     val docs = (0 until 2000).map(i => (i.toLong, s"src${i % 2}", s"text $i")).toDF("doc_id", "source", "text")
     val kept = CorpusPipeline.mixSources(docs, Map("src0" -> 100, "src1" -> 0), defaultPct = 0)

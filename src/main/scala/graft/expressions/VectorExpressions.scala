@@ -18,10 +18,15 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * of the custom-operator preference order (custom `Expression` before
   * custom physical plans).
   *
-  * Semantics: double-precision left-to-right accumulation over the
-  * common prefix of the two float arrays — bit-identical to the
-  * built-in fold on equal-length null-free arrays (the embedding-table
-  * contract).
+  * Semantics: exactly the built-in fold's, for ANY input — double-
+  * precision left-to-right accumulation on equal-length null-free
+  * arrays (bit-identical), and NULL whenever the fold is NULL: arrays
+  * of different lengths (zip_with pads the shorter side with nulls, so
+  * the fold nulls out) or any null element. This exact equivalence is
+  * what licenses [[graft.plans.NativeDotRewrite]] to fire on arbitrary
+  * user plans; the per-element null branch is only generated when the
+  * static schema says elements can be null, so the embedding hot path
+  * (containsNull=false) keeps the tight two-instruction loop.
   */
 case class FloatDotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -34,16 +39,31 @@ case class FloatDotProduct(left: Expression, right: Expression)
         s"float_dot expects (array<float>, array<float>), got ($l, $r)")
     }
   override def dataType: DataType = DoubleType
+  // NULL on ragged or null-element inputs, even when both arrays are
+  // themselves non-null
+  override def nullable: Boolean = true
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "float_dot"
+
+  /** Can either side's elements be null per the static schema? */
+  private def elementsNullable: Boolean = Seq(left, right).exists(_.dataType match {
+    case ArrayType(_, n) => n
+    case _ => true
+  })
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    val checkNulls = elementsNullable
     var s = 0.0
     var i = 0
-    while (i < n) { s += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
+    while (i < n) {
+      if (checkNulls && (x.isNullAt(i) || y.isNullAt(i))) return null
+      s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
     s
   }
 
@@ -52,13 +72,21 @@ case class FloatDotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val s = ctx.freshName("s")
+      val nullCheck = if (elementsNullable)
+        s"if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }"
+      else ""
       s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += (double) $x.getFloat($i) * (double) $y.getFloat($i);
+         |int $n = $x.numElements();
+         |if ($n != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullCheck
+         |    $s += (double) $x.getFloat($i) * (double) $y.getFloat($i);
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $s;
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 

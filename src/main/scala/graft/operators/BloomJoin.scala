@@ -33,22 +33,37 @@ import org.apache.spark.sql.types.BinaryType
 object BloomJoin {
 
   /** Max bits we'll ever allocate (16 MiB of filter). Past this the
-    * fpp degrades gracefully rather than the driver OOMing. */
+    * fpp degrades gracefully rather than the driver OOMing. The
+    * effective cap is the min of this and the session's runtime-bloom
+    * limits, so the aggregate never exceeds what Spark's own runtime
+    * filtering would allocate. */
   val MaxBits: Long = 128L << 20
 
-  private def optimalBits(expectedItems: Long, fpp: Double): Long = {
+  private def confLong(df: DataFrame, key: String, default: Long): Long =
+    try df.sparkSession.conf.get(key).toLong
+    catch { case scala.util.control.NonFatal(_) => default }
+
+  private def optimalBits(expectedItems: Long, fpp: Double, cap: Long): Long = {
     val m = math.ceil(-expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong
-    math.min(math.max(m, 64L), MaxBits)
+    math.min(math.max(m, 64L), cap)
   }
 
   /** One-pass build: aggregate the build side's join key into a bloom
     * filter, returned as its serialized bytes (a few MB — the same
-    * payload Spark's runtime filter ships in a scalar subquery). */
+    * payload Spark's runtime filter ships in a scalar subquery).
+    * `expectedItems`/bits are clamped to the session's
+    * `runtime.bloomFilter.maxNumItems`/`maxNumBits`, so an oversized
+    * estimate degrades the fpp instead of over-allocating. */
   def buildFilter(build: DataFrame, key: Column,
                   expectedItems: Long, fpp: Double = 0.01): Array[Byte] = {
+    val bitsCap = math.min(MaxBits,
+      confLong(build, "spark.sql.optimizer.runtime.bloomFilter.maxNumBits", 67108864L))
+    val itemsCap =
+      confLong(build, "spark.sql.optimizer.runtime.bloomFilter.maxNumItems", 4000000L)
+    val items = math.min(math.max(expectedItems, 1L), itemsCap)
     val hashed = ColumnInterop.expression(xxhash64(key))
     val agg = new BloomFilterAggregate(hashed,
-      Literal(expectedItems), Literal(optimalBits(expectedItems, fpp)))
+      Literal(items), Literal(optimalBits(items, fpp, bitsCap)))
     val row = build.agg(ColumnInterop.column(agg.toAggregateExpression())).head()
     if (row.isNullAt(0)) Array.emptyByteArray else row.getAs[Array[Byte]](0)
   }
@@ -64,16 +79,32 @@ object BloomJoin {
     probe.filter(ColumnInterop.column(pred))
   }
 
+  /** Join types for which dropping non-matching PROBE (left) rows
+    * before the join is result-preserving: probe rows only surface
+    * through a match. Left/full outer preserve unmatched probe rows
+    * and left_anti preserves exactly the non-matching ones, so for
+    * those the prefilter would silently delete output rows. */
+  private val prefilterSafe = Set(
+    "inner", "cross", "leftsemi", "left_semi", "semi",
+    "right", "rightouter", "right_outer")
+
   /** Bloom-pre-filtered equi-join: build a bloom over `build`'s key,
     * drop probe rows that cannot match map-side, then run the exact
-    * join. Result is identical to `probe.join(build, ...)`; the bloom
-    * only changes *where* non-matching rows die. */
+    * join. Result is identical to `probe.join(build, ...)` for EVERY
+    * join type: the prefilter only runs where it is result-preserving
+    * (inner / cross / left_semi / right_outer — see [[prefilterSafe]]);
+    * probe-preserving types (left/full outer, left_anti) fall through
+    * to the plain join rather than silently dropping their preserved
+    * rows. */
   def join(probe: DataFrame, build: DataFrame,
            probeKey: String, buildKey: String,
            expectedItems: Long, fpp: Double = 0.01,
            joinType: String = "inner"): DataFrame = {
-    val bloom = buildFilter(build, col(buildKey), expectedItems, fpp)
-    prefilter(probe, col(probeKey), bloom)
-      .join(build, col(probeKey) === col(buildKey), joinType)
+    val normalized = joinType.toLowerCase(java.util.Locale.ROOT).replace(" ", "")
+    val left =
+      if (prefilterSafe(normalized))
+        prefilter(probe, col(probeKey), buildFilter(build, col(buildKey), expectedItems, fpp))
+      else probe
+    left.join(build, col(probeKey) === col(buildKey), joinType)
   }
 }

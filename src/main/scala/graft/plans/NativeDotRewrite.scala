@@ -18,12 +18,15 @@ import graft.expressions.FloatDotProduct
   * This is the (c) tier of the custom-operator ladder put to its
   * intended use: users keep writing the composable built-in form (or
   * inherit it from saved views / SQL), and the session extension swaps
-  * in the tight primitive loop. The rewrite is semantics-preserving by
-  * construction — FloatDotProduct accumulates `double(x[i]) *
-  * double(y[i])` left-to-right over the common prefix, which is
-  * bit-identical to the HOF fold above (pinned by
-  * VectorExpressionSpec); anything structurally different (other
-  * zero, other lambda shape, non-float arrays) is left untouched.
+  * in the tight primitive loop. The rewrite is semantics-preserving
+  * for ANY `array<float>` input, not just the well-formed embedding
+  * case: FloatDotProduct accumulates `double(x[i]) * double(y[i])`
+  * left-to-right (bit-identical to the HOF fold on equal-length
+  * null-free arrays) and returns NULL exactly where the fold does —
+  * length mismatch (zip_with null-pads the shorter side) or a null
+  * element. Parity on ragged/null inputs is pinned by
+  * VectorExpressionSpec; anything structurally different (other zero,
+  * other lambda shape, non-float arrays) is left untouched.
   */
 object NativeDotRewrite extends Rule[LogicalPlan] {
 

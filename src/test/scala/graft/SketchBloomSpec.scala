@@ -34,6 +34,33 @@ class SketchBloomSpec extends SparkSpec {
     assert(BloomJoin.join(probe, build, "k", "bk", expectedItems = 10).isEmpty)
   }
 
+  test("bloomJoin preserves probe rows for outer/anti join types") {
+    // left outer and left_anti PRESERVE unmatched probe rows — exactly
+    // the ones a bloom prefilter would drop; the join must bypass the
+    // prefilter for them and still equal the plain join
+    val probe = spark.range(0, 1000).select(col("id").as("k"), (col("id") % 3).as("v"))
+    val build = spark.range(0, 1000, 50).select(col("id").as("bk"), lit("x").as("tag"))
+    for (jt <- Seq("left_outer", "full_outer", "left_anti")) {
+      val plain = probe.join(build, col("k") === col("bk"), jt)
+      val bloomed = BloomJoin.join(probe, build, "k", "bk", expectedItems = 20, joinType = jt)
+      assert(bloomed.count() == plain.count(), s"$jt row count")
+      assert(bloomed.exceptAll(plain).isEmpty && plain.exceptAll(bloomed).isEmpty, jt)
+    }
+    // left_semi stays on the prefiltered path and stays exact
+    val semiPlain = probe.join(build, col("k") === col("bk"), "left_semi")
+    val semiBloom = BloomJoin.join(probe, build, "k", "bk", expectedItems = 20, joinType = "left_semi")
+    assert(semiBloom.exceptAll(semiPlain).isEmpty && semiPlain.exceptAll(semiBloom).isEmpty)
+  }
+
+  test("bloomJoin clamps oversized expectedItems to the session's runtime-bloom caps") {
+    // 10x past the default maxNumItems (4M): must degrade (coarser
+    // filter), not fail analysis or over-allocate
+    val probe = spark.range(0, 1000).toDF("k")
+    val build = spark.range(0, 1000, 100).toDF("bk")
+    val out = BloomJoin.join(probe, build, "k", "bk", expectedItems = 40_000_000L)
+    assert(out.count() == 10)
+  }
+
   test("kmvDistinct estimate tracks the exact distinct count") {
     // 5000 rows, 1000 distinct keys, k=256 → expect ~1/sqrt(k)≈6% error
     val df = spark.range(0, 5000).select((col("id") % 1000).as("v"))

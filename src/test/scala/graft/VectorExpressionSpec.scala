@@ -30,6 +30,30 @@ class VectorExpressionSpec extends SparkSpec {
     assert(out.head.isNullAt(0))
   }
 
+  test("floatDot matches the fold's NULL semantics on ragged and null-element arrays") {
+    // the fold nulls out on length mismatch (zip_with pads with nulls)
+    // and on any null element; the kernel must agree EXACTLY, or the
+    // optimizer rewrite would silently change user results
+    val rows: Seq[(Array[java.lang.Float], Array[java.lang.Float])] = Seq(
+      (Array[java.lang.Float](1.0f, 2.0f), Array[java.lang.Float](3.0f)),           // ragged
+      (Array[java.lang.Float](1.0f), Array[java.lang.Float](1.0f, 2.0f, 3.0f)),     // ragged other way
+      (Array[java.lang.Float](1.0f, null, 3.0f), Array[java.lang.Float](1.0f, 2.0f, 3.0f)), // null element
+      (Array[java.lang.Float](), Array[java.lang.Float]()),                          // both empty → 0.0
+      (Array[java.lang.Float](2.0f, 4.0f), Array[java.lang.Float](0.5f, 0.25f)))     // well-formed
+    val df = rows.toDF("a", "b")
+    val out = df.select(
+      VectorFunctions.floatDot(col("a"), col("b")).as("native"),
+      aggregate(zip_with(col("a"), col("b"),
+        (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, v) => acc + v).as("hof")).collect()
+    out.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1), s"null parity broken: $r")
+      if (!r.isNullAt(0))
+        assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+          java.lang.Double.doubleToLongBits(r.getDouble(1)), s"value parity broken: $r")
+    }
+  }
+
   test("GraftExtensions: SQL functions + NativeDotRewrite optimizer rule") {
     val base = spark // ensure the shared context exists
     SparkSession.clearActiveSession()

@@ -291,40 +291,64 @@ object Similarity {
       .distinct()
   }
 
-  /** One 32-dim half of a sign-bit code: fold `acc*2 + (v > 0)` over
-    * the slice — first element lands in the highest bit. Two 32-bit
-    * halves instead of one 64-bit code so the fold never overflows a
+  /** One up-to-32-dim word of a sign-bit code: fold `acc*2 + (v > 0)`
+    * over the slice — first element lands in the highest bit. 32-bit
+    * words instead of one 64-bit code so the fold never overflows a
     * signed long in ANY engine (DuckDB/Trino BIGINT overflow is an
     * error, not a wrap). */
-  private def signHalf(emb: Column, from: Int): Column =
-    aggregate(slice(emb, from, 32), lit(0L),
+  private def signWord(emb: Column, from: Int, len: Int): Column =
+    aggregate(slice(emb, from, len), lit(0L),
       (acc, v) => acc * 2 + when(v > lit(0f), 1L).otherwise(0L))
 
-  /** Binary (sign-bit) embedding codes: 64 float dims → two 32-bit
-    * ints = 8 bytes/vector, a 32x memory shrink over float32. Hamming
-    * distance on codes approximates angular distance (the SimHash
-    * bound: P[bits differ] = angle/pi per dim) — the standard first
-    * stage for billion-scale ANN, where the code table fits in memory
-    * and bit_count(xor) is one SIMD instruction per 64 dims. */
-  def binarize(df: DataFrame, embCol: String = "embedding",
-               idCol: String = "vec_id"): DataFrame =
-    df.select(col(idCol),
-      signHalf(col(embCol), 1).as("code0"),
-      signHalf(col(embCol), 33).as("code1"))
+  /** Binary (sign-bit) embedding codes: `dim` float dims →
+    * `ceil(dim/32)` 32-bit words (`code0..codeN`) = dim/8 bytes per
+    * vector, a 32x memory shrink over float32. Hamming distance on
+    * codes approximates angular distance (the SimHash bound:
+    * P[bits differ] = angle/pi per dim) — the standard first stage for
+    * billion-scale ANN, where the code table fits in memory and
+    * bit_count(xor) is one SIMD instruction per 64 dims.
+    *
+    * Vectors whose length differs from `dim` raise at execution rather
+    * than silently truncating or folding short — a wrong `dim` is a
+    * caller bug, not data to guess around. */
+  def binarize(df: DataFrame, dim: Int = 64, embCol: String = "embedding",
+               idCol: String = "vec_id"): DataFrame = {
+    require(dim > 0, s"dim must be positive, got $dim")
+    val checked = when(size(col(embCol)) === dim, col(embCol)).otherwise(
+      raise_error(concat(
+        lit(s"binarize: embedding must have exactly $dim dims, got "),
+        size(col(embCol)).cast("string"))))
+    val nWords = (dim + 31) / 32
+    val words = (0 until nWords).map { w =>
+      signWord(checked, w * 32 + 1, math.min(32, dim - w * 32)).as(s"code$w")
+    }
+    df.select(col(idCol) +: words: _*)
+  }
 
   /** Brute-force Hamming top-k over binary codes: broadcast the query
     * codes, scan candidate codes once, rank by (hamming, vec_id). The
-    * scan side is 8 bytes/row — at 100 TB of embeddings this is the
-    * path that still fits: ~1 GB of codes per 125M vectors, prunable
-    * further with the SimHash pigeonhole blocks
+    * code word count adapts to whatever `code0..codeN` columns
+    * [[binarize]] produced (queries carry the same words as `q0..qN`).
+    * The scan side is dim/8 bytes/row — at 100 TB of embeddings this
+    * is the path that still fits: ~1 GB of codes per 125M 64-dim
+    * vectors, prunable further with the SimHash pigeonhole blocks
     * ([[graft.dedup.Dedup.simhashNearDups]] uses the same trick). */
   def hammingTopK(candidates: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val words = candidates.columns.filter(_.matches("code\\d+"))
+      .sortBy(_.stripPrefix("code").toInt)
+    require(words.nonEmpty,
+      "candidates must carry the code0..codeN columns binarize produces")
+    words.foreach { w =>
+      val q = "q" + w.stripPrefix("code")
+      require(queries.columns.contains(q), s"queries missing column $q for $w")
+    }
+    val ham = words.map { w =>
+      bit_count(col(w).bitwiseXOR(col("q" + w.stripPrefix("code"))))
+    }.reduce(_ + _).cast("int")
     val joined = candidates.crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("hamming",
-        (bit_count(col("code0").bitwiseXOR(col("q0"))) +
-          bit_count(col("code1").bitwiseXOR(col("q1")))).cast("int"))
+      .withColumn("hamming", ham)
     joined.withColumn("rnk", row_number().over(
         Window.partitionBy(col("q_id")).orderBy(col("hamming"), col("vec_id"))))
       .filter(col("rnk") <= k)

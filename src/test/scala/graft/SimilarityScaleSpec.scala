@@ -147,4 +147,29 @@ class SimilarityScaleSpec extends SparkSpec {
     // a recall-stage, not a ranking replacement
     assert(recall >= 0.15, s"sign-bit recall collapsed: $recall")
   }
+
+  test("binarize generalizes past 64 dims and fails loudly on a dim mismatch") {
+    import spark.implicits._
+    // 80 dims → 3 words: 32 + 32 + 16 bits; dims 0, 40, 79 positive
+    val emb = Array.tabulate(80)(i => if (i == 0 || i == 40 || i == 79) 1.0f else -1.0f)
+    val df = Seq((1L, emb)).toDF("vec_id", "embedding")
+    val code = Similarity.binarize(df, dim = 80).head()
+    assert(code.getLong(1) == (1L << 31), s"code0=${code.getLong(1)}") // dim 0 → top bit of word 0
+    assert(code.getLong(2) == (1L << 23), s"code1=${code.getLong(2)}") // dim 40 → bit 8 of 32
+    assert(code.getLong(3) == 1L, s"code2=${code.getLong(3)}")         // dim 79 → last bit of 16-wide word
+    // hammingTopK picks up all three words from the schema
+    val codes = Similarity.binarize(Seq(
+      (1L, Array.fill(80)(1.0f)), (2L, Array.fill(80)(-1.0f)),
+      (3L, Array.tabulate(80)(i => if (i < 40) 1.0f else -1.0f))).toDF("vec_id", "embedding"),
+      dim = 80)
+    val q = codes.filter(col("vec_id") === 1L).select(col("vec_id").as("q_id"),
+      col("code0").as("q0"), col("code1").as("q1"), col("code2").as("q2"))
+    val got = Similarity.hammingTopK(codes, q, k = 2).collect()
+      .map(r => (r.getLong(1), r.getInt(2))).toMap
+    assert(got == Map(2L -> 80, 3L -> 40), s"got $got")
+    // a 64-dim row under dim=80 must raise, not truncate or fold short
+    val bad = Seq((9L, Array.fill(64)(1.0f))).toDF("vec_id", "embedding")
+    val e = intercept[Exception] { Similarity.binarize(bad, dim = 80).collect() }
+    assert(e.getMessage != null)
+  }
 }

@@ -1292,9 +1292,15 @@ object SparkEntry {
          |  SELECT doc_id, b AS band_idx,
          |    concat_ws(',', sig[b*3+1], sig[b*3+2], sig[b*3+3]) AS band_hash
          |  FROM sigs, range(0, 4) AS t(b)),
+         |bsz AS (
+         |  SELECT band_idx, band_hash FROM bands
+         |  GROUP BY band_idx, band_hash HAVING count(*) <= 1000),
+         |bands2 AS (
+         |  SELECT b.doc_id, b.band_idx, b.band_hash
+         |  FROM bands b JOIN bsz USING (band_idx, band_hash)),
          |cands AS (
          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bands a JOIN bands b
+         |  FROM bands2 a JOIN bands2 b
          |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
          |  WHERE a.doc_id < b.doc_id)
          |SELECT c.doc_a, c.doc_b,
@@ -1323,9 +1329,15 @@ object SparkEntry {
          |  SELECT doc_id, b AS band_idx,
          |    concat_ws(',', sig[b*3+1], sig[b*3+2], sig[b*3+3]) AS band_hash
          |  FROM sigs, range(0, 4) AS t(b)),
+         |bsz AS (
+         |  SELECT band_idx, band_hash FROM bands
+         |  GROUP BY band_idx, band_hash HAVING count(*) <= 1000),
+         |bands2 AS (
+         |  SELECT b.doc_id, b.band_idx, b.band_hash
+         |  FROM bands b JOIN bsz USING (band_idx, band_hash)),
          |cands AS (
          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bands a JOIN bands b
+         |  FROM bands2 a JOIN bands2 b
          |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
          |  WHERE a.doc_id < b.doc_id),
          |scored AS (
@@ -1355,9 +1367,15 @@ object SparkEntry {
          |  SELECT doc_id, b AS band_idx,
          |    concat_ws(',', sig[b*3+1], sig[b*3+2], sig[b*3+3]) AS band_hash
          |  FROM sigs, range(0, 4) AS t(b)),
+         |bsz AS (
+         |  SELECT band_idx, band_hash FROM bands
+         |  GROUP BY band_idx, band_hash HAVING count(*) <= 1000),
+         |bands2 AS (
+         |  SELECT b.doc_id, b.band_idx, b.band_hash
+         |  FROM bands b JOIN bsz USING (band_idx, band_hash)),
          |cands AS (
          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bands a JOIN bands b
+         |  FROM bands2 a JOIN bands2 b
          |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
          |  WHERE a.doc_id < b.doc_id),
          |e AS (SELECT doc_a AS a, doc_b AS b FROM cands
@@ -1783,9 +1801,15 @@ object SparkEntry {
          |  SELECT doc_id, b AS band_idx,
          |    concat_ws(',', sig[b*3+1], sig[b*3+2], sig[b*3+3]) AS band_hash
          |  FROM sigs, range(0, 4) AS t(b)),
+         |bsz AS (
+         |  SELECT band_idx, band_hash FROM bands
+         |  GROUP BY band_idx, band_hash HAVING count(*) <= 1000),
+         |bands2 AS (
+         |  SELECT b.doc_id, b.band_idx, b.band_hash
+         |  FROM bands b JOIN bsz USING (band_idx, band_hash)),
          |cands AS (
          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bands a JOIN bands b
+         |  FROM bands2 a JOIN bands2 b
          |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
          |  WHERE a.doc_id < b.doc_id),
          |ver AS (

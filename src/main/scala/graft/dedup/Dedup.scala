@@ -34,6 +34,14 @@ object Dedup {
     * h1%M + k*(h2%M) far below 2^63 for any practical k). */
   val minhashModulus: Long = 1L << 31
 
+  /** Default LSH bucket cap for the public near-dup entry points: a
+    * bucket of m members contributes m² candidate pairs, so one
+    * degenerate boilerplate bucket (empty pages, templated headers)
+    * otherwise turns the whole job quadratic at 100 TB. 1000 keeps the
+    * worst single bucket at ~500k pairs — bounded, while real near-dup
+    * clusters (typically ≪1000 per bucket) are untouched. */
+  val DefaultBucketCap: Int = 1000
+
   /** Per-document MinHash signature: k min-hashes over the distinct
     * 3-token shingles via the Kirsch-Mitzenmacher construction —
     * ONE md5 per shingle yields (h1, h2) (hex chars 1-15 / 16-30 as
@@ -137,16 +145,25 @@ object Dedup {
     * the session ends; long-lived services should unpersist after
     * consuming the result. */
   def containmentNearDups(df: DataFrame, k: Int = 12, bands: Int = 4,
-                          textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+                          textCol: String = "text", idCol: String = "doc_id",
+                          maxBucketSize: Option[Int] = Some(DefaultBucketCap)): DataFrame = {
     val sigs = minhashSignatures(df, k, textCol, idCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    verifyContainment(lshCandidates(lshBands(sigs, k, bands)), sigs)
+    verifyContainment(lshCandidates(lshBands(sigs, k, bands), maxBucketSize), sigs)
   }
 
   /** Full MinHash-LSH near-dup pipeline: signature → bands → bucket
-    * join → exact-Jaccard verify. */
+    * join → exact-Jaccard verify.
+    *
+    * `maxBucketSize` defaults to [[DefaultBucketCap]]: one degenerate
+    * boilerplate bucket of m docs is m² candidate pairs, so an
+    * unbounded default is quadratic at corpus scale. Members of a
+    * dropped bucket still pair via their other, more selective bands;
+    * pass None for the exact unbounded semantics. The oracle SQL
+    * encodes the same cap. */
   def minhashNearDups(df: DataFrame, k: Int = 12, bands: Int = 4,
-                      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+                      textCol: String = "text", idCol: String = "doc_id",
+                      maxBucketSize: Option[Int] = Some(DefaultBucketCap)): DataFrame = {
     // The signature frame feeds three consumers (banding + both sides of
     // the verification join); persist so shingling/minhashing runs once.
     // Lifecycle note: the cache lives until the session ends (narrow
@@ -156,7 +173,7 @@ object Dedup {
     // consuming the result.
     val sigs = minhashSignatures(df, k, textCol, idCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    verifyJaccard(lshCandidates(lshBands(sigs, k, bands)), sigs)
+    verifyJaccard(lshCandidates(lshBands(sigs, k, bands), maxBucketSize), sigs)
   }
 
   /** Brute-force n-gram Jaccard over a bounded id range (the exact

@@ -66,6 +66,24 @@ class TextDedupSpec extends SparkSpec {
     assert(!out.exists(r => r.getLong(1) == 3L && r.getDouble(4) > 0.5))
   }
 
+  test("LSH bucket cap drops degenerate boilerplate buckets, keeps selective ones") {
+    // 60 copies of one boilerplate text (all four of its bands form
+    // 60-member buckets) + one genuine near-dup pair elsewhere
+    val boiler = "this exact same boilerplate footer text repeats on every single page of the site"
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val docs = ((0 until 60).map(i => (100L + i, boiler)) ++
+      Seq((1L, a), (2L, a))).toDF("doc_id", "text")
+    // capped: the 60-member buckets are dropped — no quadratic pair
+    // blowup — while the 2-member bucket still pairs
+    val capped = Dedup.minhashNearDups(docs, maxBucketSize = Some(50)).collect()
+    assert(capped.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L))
+    assert(!capped.exists(r => r.getLong(0) >= 100L), s"boilerplate pairs leaked: ${capped.length}")
+    // the default cap (1000) leaves this small corpus exactly unbounded
+    val dflt = Dedup.minhashNearDups(docs).collect()
+    val unbounded = Dedup.minhashNearDups(docs, maxBucketSize = None).collect()
+    assert(dflt.length == unbounded.length && dflt.length == capped.length + 60 * 59 / 2)
+  }
+
   test("simhash near-dup finds near-identical docs") {
     val a = "one two three four five six seven eight nine ten"
     val b = "one two three four five six seven eight nine eleven"

@@ -23,12 +23,15 @@ object Sinks {
     * on an unsorted key prune nothing. The footer cost is a few hundred
     * KB per column per row group; worth it on any 100 TB table queried
     * by key. `ndv` sizes each filter (expected distinct values per row
-    * group). */
+    * group). `options` passes through extra parquet writer knobs
+    * (e.g. `parquet.block.size` to bound row groups,
+    * `parquet.enable.dictionary` when plain encoding is wanted). */
   def parquetWithBloom(df: DataFrame, path: String, bloomCols: Seq[String],
                        ndv: Long = 100000L,
                        mode: SaveMode = SaveMode.Overwrite,
-                       compression: String = "snappy"): Unit = {
-    val w = df.write.mode(mode).option("compression", compression)
+                       compression: String = "snappy",
+                       options: Map[String, String] = Map.empty): Unit = {
+    val w = df.write.mode(mode).option("compression", compression).options(options)
     val withBloom = bloomCols.foldLeft(w) { (acc, c) =>
       acc.option(s"parquet.bloom.filter.enabled#$c", "true")
         .option(s"parquet.bloom.filter.expected.ndv#$c", ndv.toString)

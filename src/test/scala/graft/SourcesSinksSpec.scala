@@ -162,6 +162,41 @@ class SourcesSinksSpec extends SparkSpec {
     assert(spark.read.parquet(s"$root/b").count() == 50000)
   }
 
+  test("parquet bloom read path: point lookup on an unsorted key skips row groups") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.functions.{col, xxhash64}
+    val root = Files.createTempDirectory("graft_bloom_read").toString
+    // high-entropy unsorted key: every row group's min/max spans the
+    // full range, so stats pruning is useless — only the bloom can
+    // skip. Dictionary encoding is disabled so parquet-mr's dictionary
+    // row-group filter can't mask the effect; 1 MiB blocks force many
+    // row groups.
+    val knobs = Map("parquet.block.size" -> "1048576",
+      "parquet.enable.dictionary" -> "false")
+    val df = spark.range(0, 500000).select(xxhash64(col("id")).as("k"), col("id").as("v"))
+    Sinks.parquetWithBloom(df, s"$root/bloom", Seq("k"), ndv = 70000, options = knobs)
+    df.write.options(knobs).parquet(s"$root/plain")
+    val needle = spark.read.parquet(s"$root/bloom").select("k").head().getLong(0)
+    def scanRows(dir: String): Long = {
+      val q = spark.read.parquet(dir).filter(col("k") === needle)
+      // collect() drives THIS queryExecution, so its scan metrics fill
+      assert(q.collect().length == 1) // the lookup itself is exact either way
+      val scan = q.queryExecution.executedPlan.collectLeaves().collectFirst {
+        case s: FileSourceScanExec => s
+      }.get
+      assert(scan.metadata("PushedFilters").contains("EqualTo"),
+        s"lookup not pushed: ${scan.metadata("PushedFilters")}")
+      scan.metrics("numOutputRows").value
+    }
+    val bloomRows = scanRows(s"$root/bloom")
+    val plainRows = scanRows(s"$root/plain")
+    // without blooms every row group is decoded; with them only the
+    // group(s) whose filter might contain the key surface rows
+    assert(plainRows >= 400000, s"plain scan should decode ~all rows, got $plainRows")
+    assert(bloomRows * 3 <= plainRows,
+      s"bloom scan should skip most row groups: bloom=$bloomRows plain=$plainRows")
+  }
+
   test("zstd compression option lands in the parquet files and reads back") {
     val path = Files.createTempDirectory("graft_zstd").toString + "/out"
     Sinks.parquet(spark.range(0, 1000).toDF("x"), path, compression = "zstd")

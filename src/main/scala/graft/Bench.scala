@@ -1,6 +1,20 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
 object Bench {
+
+  /** Queries whose documented semantics are quadratic baselines or
+    * fixed-query-set brute force: their scaling ratios are recorded
+    * but exempt from the ≲-linear expectation. */
+  private val scalingExempt = Map(
+    "dedup_ngram_jaccard" -> "documented O(n^2) exact Jaccard baseline (maxId-bounded)",
+    "sim_topk" -> "brute-force float cosine top-k baseline",
+    "sim_hamming" -> "brute-force Hamming top-k baseline",
+    "embed_neardup" -> "pair-verifying near-dup: candidate pairs grow with bucket density",
+    "sim_lsh" -> "LSH bucket self-join pair baseline")
+
+  private def fmt(d: Double): String = f"$d%.3f"
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -21,38 +35,100 @@ object Bench {
       try spark.read.parquet(s"$sfDir/$t.parquet").count()
       catch { case _: Throwable => () }
     }
-    // min of three timed runs per query: this VM's run-to-run variance
-    // is ±30%, and the steady-state minimum is the honest throughput
-    // figure. Failed runs report -1 (never a fast-failure latency).
     // Full evaluation via queryExecution.toRdd.count(): a plain count()
     // lets Catalyst prune every projection not needed for counting, so
     // map-only queries (text_scrub, token_count, ...) would be timed as
     // bare scans; driving the unsummarized plan materializes every
-    // output column. All per-run times go to stderr so a regression is
-    // attributable from the bench log alone (alongside the operators'
-    // own [graft] diagnostics, e.g. nearDupClusters' converged-round
-    // count).
+    // output column. Each run builds a FRESH plan (AQE reuses shuffle
+    // stages of a re-executed DataFrame instance, which would not be an
+    // honest timing).
+    def timeOne(name: String,
+                fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+                dir: String): Option[Double] = {
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, dir).queryExecution.toRdd.count()
+        Some((System.nanoTime() - t0) / 1e9)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        None
+      }
+    }
+    // min of three timed runs per query: this VM's run-to-run variance
+    // is ±30%, and the steady-state minimum is the honest throughput
+    // figure. ALL per-run times ship in the artifact (runs_s), so a
+    // cross-round delta is self-adjudicating: per-run spread >> delta
+    // means box noise, tight runs that all moved means code. Failed
+    // queries report min -1 (never a fast-failure latency).
     val nRuns = 3
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to nRuns).flatMap { _ =>
-        val t0 = System.nanoTime()
-        try {
-          fn(spark, sfDir).queryExecution.toRdd.count()
-          Some((System.nanoTime() - t0) / 1e9)
-        } catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          None
-        }
-      }
+      val times = (1 to nRuns).flatMap(_ => timeOne(name, fn, sfDir))
       System.err.println(s"[bench] $name runs=" +
-        times.map(t => f"$t%.3f").mkString("[", ",", "]"))
-      name -> (if (times.nonEmpty) times.min else -1.0)
+        times.map(fmt).mkString("[", ",", "]"))
+      name -> times
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val mins = results.map { case (n, ts) => n -> (if (ts.nonEmpty) ts.min else -1.0) }
+    val total = mins.collect { case (_, t) if t > 0 => t }.sum
+
+    // Scaling curve: the 10 heaviest queries re-timed at each sibling
+    // scale factor (10x data per step). Ratios near (or below) the data
+    // ratio mean the plan scales ~linearly; marked-exempt baselines are
+    // recorded but documented quadratic. min-of-2 fresh plans per point
+    // (first run warms that SF's page cache).
+    val sfNames = Seq("sf0.001", "sf0.01", "sf0.1")
+    val baseDir = Option(new java.io.File(sfDir).getParentFile)
+    val scalingCompact = new scala.collection.mutable.ArrayBuffer[String]
+    val scalingJson = baseDir match {
+      case Some(base) if sfNames.forall(n => new java.io.File(base, n).isDirectory) =>
+        val heavy = mins.filter(_._2 > 0).sortBy(-_._2).take(10).map(_._1)
+        val entries = heavy.map { name =>
+          val fn = SparkEntry.queries(name)
+          val times = sfNames.map { sn =>
+            val ts = (1 to 2).flatMap(_ =>
+              timeOne(name, fn, new java.io.File(base, sn).getPath))
+            if (ts.nonEmpty) ts.min else -1.0
+          }
+          System.err.println(s"[bench][scaling] $name " +
+            sfNames.zip(times).map { case (s, t) => s"$s=${fmt(t)}" }.mkString(" "))
+          // growth per 10x data step; null when a leg failed or is too
+          // fast to attribute (fixed session overhead dominates <50ms)
+          val ratios = times.sliding(2).map {
+            case Seq(a, b) if a > 0.05 && b > 0 => fmt(b / a)
+            case _ => "null"
+          }.mkString("[", ",", "]")
+          val exempt = scalingExempt.get(name)
+            .map(r => s"""{"exempt":true,"why":"$r"}""").getOrElse("""{"exempt":false}""")
+          scalingCompact +=
+            s""""$name${if (scalingExempt.contains(name)) "(exempt)" else ""}":$ratios"""
+          s""""$name":{"times_s":${times.map(fmt).mkString("[", ",", "]")},"growth_per_10x":$ratios,"label":$exempt}"""
+        }
+        s"""{"sf_points":${sfNames.map("\"" + _ + "\"").mkString("[", ",", "]")},"data_ratio_per_step":10,"timing":"min-of-2 fresh plans","queries":{${entries.mkString(",")}}}"""
+      case _ => "null"
+    }
+
+    val qs = mins.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val perRun = results.map { case (k, ts) =>
+      "\"" + k + "\":" + ts.map(fmt).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val ccRounds = graft.dedup.Dedup.lastCcRounds.get()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$nRuns,"cc_rounds":$ccRounds,"timing":"min-of-$nRuns, full materialization via toRdd"}""")
+    val detail =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_s":${fmt(total)},"sf":"$sfDir","runs":$nRuns,"timing":"min-of-$nRuns, full materialization via toRdd, fresh plan per run","cc_rounds":$ccRounds,"queries":$qs,"scaling":$scalingJson,"runs_s":$perRun}"""
+    // The harness capturing stdout keeps only a bounded TAIL (~2 KB) of
+    // it — a full 79-query detail line can never survive that whole. So
+    // the complete evidence (per-run times for self-adjudication,
+    // per-query mins, the scaling curve) goes to a file, and stdout
+    // carries one compact line, sized to fit the tail window entirely:
+    // totals, the 10 heaviest mins, and the scaling growth ratios.
+    val detailPath = java.nio.file.Paths.get("BENCH_detail.json")
+    try java.nio.file.Files.writeString(detailPath, detail + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
+    val top10 = mins.filter(_._2 > 0).sortBy(-_._2).take(10)
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    val scalingBrief =
+      if (scalingCompact.isEmpty) "null" else scalingCompact.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_s":${fmt(total)},"sf":"$sfDir","runs":$nRuns,"cc_rounds":$ccRounds,"queries_n":${mins.size},"failed_n":${mins.count(_._2 < 0)},"top10_min_s":$top10,"scaling_growth_per_10x":$scalingBrief,"detail_file":"${detailPath.toAbsolutePath}"}""")
     spark.stop()
   }
 }

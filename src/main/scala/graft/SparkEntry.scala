@@ -608,6 +608,17 @@ object SparkEntry {
     Similarity.lshTopK(e.select("vec_id", "embedding"), queries, dim = 64, k = 5)
   }
 
+  /** Multi-probe LSH ([[graft.similarity.Similarity.lshMultiProbeTopK]]):
+    * each query also probes the two flipped lowest-|margin| buckets —
+    * several hash tables' recall at one table's memory. */
+  private def simLshMultiprobe(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    Similarity.lshMultiProbeTopK(e.select("vec_id", "embedding"), queries,
+      dim = 64, k = 5, nPlanes = 8, extraProbes = 2)
+  }
+
   /** Threshold 0.4: the synthetic embeddings carry no true near-dups
     * (max pairwise cosine ≈ 0.51), so a production-style 0.95 cutoff
     * would legitimately return zero rows; 0.4 keeps the pipeline
@@ -646,6 +657,22 @@ object SparkEntry {
       val proj = s"list_sum(list_transform(range(1, 65), i -> CAST($emb[i] AS DOUBLE) * (${planeSqlList(seedOffset + p)})[i]))"
       s"(CASE WHEN $proj >= 0 THEN ${1L << p} ELSE 0 END)"
     }.mkString(" + ")
+
+  /** DuckDB list of probed buckets — own bucket + `extraProbes`
+    * flipped lowest-|margin| sign bits (ties toward the lower plane
+    * index via the mask field) — SQL twin of
+    * [[Similarity.lshProbeBuckets]]. */
+  private def probeBucketsSql(emb: String, nPlanes: Int, extraProbes: Int,
+                              seedOffset: Int): String = {
+    val base = bucketSql(emb, nPlanes, seedOffset)
+    val margins = (0 until nPlanes).map { p =>
+      val proj = s"list_sum(list_transform(range(1, 65), i -> CAST($emb[i] AS DOUBLE) * (${planeSqlList(seedOffset + p)})[i]))"
+      s"{'m': abs($proj), 'mask': ${1L << p}}"
+    }.mkString("[", ",\n    ", "]")
+    s"""list_concat([$base],
+       |  list_transform(list_slice(list_sort($margins), 1, $extraProbes),
+       |    s -> xor($base, CAST(s.mask AS BIGINT))))""".stripMargin
+  }
 
   // =================================================================
   // oracle SQL fragments
@@ -787,6 +814,20 @@ object SparkEntry {
       .catalogDelta
   }
 
+  /** Incremental MinHash near-dup dedup
+    * ([[graft.dedup.Dedup.incrementalNearDup]]): docs < 250's LSH
+    * bands form the accepted-corpus band catalog; the rest are the
+    * incoming batch, screened band-against-catalog then near-dup'd
+    * within the batch. Output = the append-only catalog delta. */
+  private def dedupIncrementalMinhash(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val catalog = graft.dedup.Dedup.lshBands(
+      graft.dedup.Dedup.minhashSignatures(docs.filter(col("doc_id") < 250)))
+    graft.dedup.Dedup
+      .incrementalNearDup(docs.filter(col("doc_id") >= 250), catalog)
+      .catalogDelta
+  }
+
   /** KMV sketch algebra ([[graft.expressions.SketchAggregates]]):
     * audience overlap of the click/view user sets computed purely from
     * two 64-value sketches — union, Jaccard, intersection — never
@@ -820,6 +861,15 @@ object SparkEntry {
     graft.operators.Sampling.weightedSample(
       docs, "doc_id", "n_tokens", step = 2000L, nShards = 8, salt = "tb")
   }
+
+  /** Fixed-size per-source sample
+    * ([[graft.operators.Sampling.topKPerStratum]]): the 3 smallest-
+    * hash docs per source — text rides through to prove the payload
+    * stays out of the rank exchange. */
+  private def corpusSamplePerSource(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.topKPerStratum(
+      Tables.documents(spark, dir).select("doc_id", "source", "text"),
+      "doc_id", "source", k = 3, salt = "ps")
 
   /** Binary-code ANN ([[graft.similarity.Similarity.binarize]] /
     * `hammingTopK`): sign-bit codes (8 bytes/vector) + Hamming top-5 —
@@ -884,8 +934,10 @@ object SparkEntry {
     "corpus_mix" -> (corpusMix(_, _)),
     "zorder_cells" -> (zorderCells(_, _)),
     "dedup_incremental" -> (dedupIncremental(_, _)),
+    "dedup_incremental_minhash" -> (dedupIncrementalMinhash(_, _)),
     "audience_overlap" -> (audienceOverlap(_, _)),
     "corpus_sample_tokens" -> (corpusSampleTokens(_, _)),
+    "corpus_sample_per_source" -> (corpusSamplePerSource(_, _)),
     "pivot_events" -> (pivotEvents(_, _)),
     "window_topk" -> (windowTopk(_, _)),
     "running_total" -> (runningTotal(_, _)),
@@ -943,6 +995,7 @@ object SparkEntry {
     "sim_topk" -> (simTopK(_, _)),
     "sim_hamming" -> (simHamming(_, _)),
     "sim_lsh" -> (simLsh(_, _)),
+    "sim_lsh_multiprobe" -> (simLshMultiprobe(_, _)),
     "embed_neardup" -> (embedNearDup(_, _)),
     // unit vector serialized as fixed-point micros (round(u*1e6)):
     // identical double arithmetic both engines, and a string column the
@@ -1579,6 +1632,20 @@ object SparkEntry {
         |SELECT c.doc_id, c.source, t.text, c.n_tokens
         |FROM c JOIN documents t ON c.doc_id = t.doc_id
         |WHERE (cum // 2000) > ((cum - n_tokens) // 2000)""".stripMargin,
+    // fixed-size per-stratum sample: same salted-hash rank, text joined
+    // back by key exactly as the semi-join does
+    "corpus_sample_per_source" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    CAST(concat('0x', substring(md5(concat(CAST(doc_id AS VARCHAR), 'ps')), 1, 15)) AS BIGINT) AS hv
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source ORDER BY hv, doc_id) AS rn
+        |  FROM d)
+        |SELECT r.doc_id, r.source, t.text
+        |FROM r JOIN documents t ON r.doc_id = t.doc_id
+        |WHERE r.rn <= 3""".stripMargin,
     // KMV set algebra replayed in SQL: k-min lists per audience, union
     // sketch via list ops, Beyer-et-al. Jaccard from the union sketch.
     "audience_overlap" ->
@@ -1615,6 +1682,57 @@ object SparkEntry {
         |  FROM documents WHERE doc_id >= 250 GROUP BY 1)
         |SELECT fp.fingerprint, fp.doc_id
         |FROM fp ANTI JOIN cat ON fp.fingerprint = cat.fingerprint""".stripMargin,
+    // incremental MinHash near-dup: catalog = bands of docs < 250;
+    // batch docs sharing ANY band with the catalog are dropped, the
+    // rest run the capped within-batch LSH → jaccard ≥ 0.8 → CC keep-
+    // min pipeline; output = the fresh docs' band rows (catalog delta)
+    "dedup_incremental_minhash" ->
+      s"""WITH RECURSIVE docs AS (
+         |  SELECT doc_id, $shinglesSql AS shingles FROM documents),
+         |sigs AS (
+         |  SELECT doc_id, shingles,
+         |    list_transform(range(0, 12), j ->
+         |      list_aggregate(list_transform(shingles,
+         |        s -> (CAST(concat('0x', substring(md5(s), 1, 15)) AS BIGINT) % 2147483648
+         |              + j * (CAST(concat('0x', substring(md5(s), 16, 15)) AS BIGINT) % 2147483648))
+         |             % 2147483648), 'min')) AS sig
+         |  FROM docs WHERE len(shingles) > 0),
+         |bands_all AS (
+         |  SELECT doc_id, b AS band_idx,
+         |    concat_ws(',', sig[b*3+1], sig[b*3+2], sig[b*3+3]) AS band_hash
+         |  FROM sigs, range(0, 4) AS t(b)),
+         |cat AS (SELECT DISTINCT band_idx, band_hash FROM bands_all WHERE doc_id < 250),
+         |bb AS (SELECT doc_id, band_idx, band_hash FROM bands_all WHERE doc_id >= 250),
+         |hit AS (SELECT DISTINCT bb.doc_id FROM bb JOIN cat USING (band_idx, band_hash)),
+         |sb AS (SELECT * FROM bb WHERE doc_id NOT IN (SELECT doc_id FROM hit)),
+         |bsz AS (
+         |  SELECT band_idx, band_hash FROM sb
+         |  GROUP BY band_idx, band_hash HAVING count(*) <= 1000),
+         |sb2 AS (
+         |  SELECT s.doc_id, s.band_idx, s.band_hash
+         |  FROM sb s JOIN bsz USING (band_idx, band_hash)),
+         |cands AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM sb2 a JOIN sb2 b
+         |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         |  WHERE a.doc_id < b.doc_id),
+         |ver AS (
+         |  SELECT c.doc_a, c.doc_b
+         |  FROM cands c JOIN sigs a ON c.doc_a = a.doc_id
+         |    JOIN sigs b ON c.doc_b = b.doc_id
+         |  WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+         |    / CAST(len(a.shingles) + len(b.shingles)
+         |           - len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) >= 0.8),
+         |e AS (SELECT doc_a AS a, doc_b AS b FROM ver
+         |      UNION SELECT doc_b, doc_a FROM ver),
+         |reach(src, dst) AS (
+         |  SELECT a, a FROM (SELECT DISTINCT a FROM e)
+         |  UNION
+         |  SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a),
+         |dropped AS (SELECT src AS doc_id FROM reach GROUP BY src HAVING min(dst) <> src),
+         |rej AS (SELECT doc_id FROM hit UNION ALL SELECT doc_id FROM dropped)
+         |SELECT doc_id, CAST(band_idx AS INT) AS band_idx, band_hash
+         |FROM bb WHERE doc_id NOT IN (SELECT doc_id FROM rej)""".stripMargin,
     "zorder_cells" -> {
       val z = graft.sources.ZOrder.zValueSql("x", "y")
       s"""WITH c AS (
@@ -1988,6 +2106,28 @@ object SparkEntry {
          |  SELECT qb.q_id, cb.vec_id,
          |    $dotEq / (sqrt($normE) * sqrt($normQ)) AS cos
          |  FROM cb JOIN qb USING (bucket) WHERE cb.vec_id <> qb.q_id)
+         |SELECT q_id, vec_id, rank, round(cos, 9) AS cos FROM (
+         |  SELECT q_id, vec_id, cos,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rank
+         |  FROM pairs) WHERE rank <= 5""".stripMargin
+    },
+    "sim_lsh_multiprobe" -> {
+      val dotEq = dotSql("cb.embedding", "qp.q_emb")
+      val normE = dotSql("cb.embedding", "cb.embedding")
+      val normQ = dotSql("qp.q_emb", "qp.q_emb")
+      s"""WITH qb AS (
+         |  SELECT vec_id AS q_id, embedding AS q_emb,
+         |    ${probeBucketsSql("embedding", 8, 2, 0)} AS probes
+         |  FROM embeddings WHERE vec_id < 10),
+         |qp AS (SELECT q_id, q_emb, unnest(probes) AS bucket FROM qb),
+         |cb AS (
+         |  SELECT vec_id, embedding,
+         |    ${bucketSql("embedding", 8, 0)} AS bucket
+         |  FROM embeddings),
+         |pairs AS (
+         |  SELECT qp.q_id, cb.vec_id,
+         |    $dotEq / (sqrt($normE) * sqrt($normQ)) AS cos
+         |  FROM cb JOIN qp USING (bucket) WHERE cb.vec_id <> qp.q_id)
          |SELECT q_id, vec_id, rank, round(cos, 9) AS cos FROM (
          |  SELECT q_id, vec_id, cos,
          |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rank

@@ -363,6 +363,65 @@ object Dedup {
     Incremental(fresh, winners.select("fingerprint", "doc_id"))
   }
 
+  /** Result of one [[incrementalNearDup]] ingest step. */
+  final case class IncrementalNearDup(fresh: DataFrame, catalogDelta: DataFrame)
+
+  /** Incremental MinHash near-dup dedup against a BAND catalog — the
+    * near-duplicate twin of [[incrementalDedup]]: a continuously-
+    * ingested corpus cannot re-run LSH over 100 TB per day, so the
+    * accepted corpus is summarized as its LSH band hashes (narrow
+    * (band_idx, band_hash) rows, ~`bands` rows per accepted doc) and
+    * each new batch is screened against that catalog.
+    *
+    * Decision rule, batch doc by batch doc:
+    *  1. shares ANY band with the catalog → near-dup of an already-
+    *     accepted doc at LSH confidence → dropped (band collision is
+    *     the same evidence the full pipeline feeds its verifier; the
+    *     catalog intentionally keeps no shingles, so this stage trades
+    *     the exact-Jaccard verify for an append-only narrow catalog —
+    *     the standard at-scale compromise);
+    *  2. survivors near-dup WITHIN the batch: capped-bucket LSH →
+    *     exact-Jaccard ≥ `minJaccard` → connected components → keep
+    *     each cluster's minimum id (exactly [[dedupCorpus]] semantics);
+    *  3. docs too short to shingle carry no bands and pass through.
+    *
+    *  - `fresh`: batch docs accepted corpus-wide;
+    *  - `catalogDelta`: the fresh docs' (doc_id, band_idx, band_hash)
+    *    rows to APPEND to the catalog — maintenance is an append,
+    *    never a rewrite.
+    *
+    * Shuffle budget: bands and ids only — text moves once, in the
+    * final semi-join. Bucket the catalog by band_hash
+    * ([[graft.sources.Bucketing]]) and the recurring screen join plans
+    * exchange-free on the catalog side. */
+  def incrementalNearDup(batch: DataFrame, bandCatalog: DataFrame,
+                         k: Int = 12, bands: Int = 4, minJaccard: Double = 0.8,
+                         maxBucketSize: Option[Int] = Some(DefaultBucketCap),
+                         textCol: String = "text", idCol: String = "doc_id")
+      : IncrementalNearDup = {
+    val sigs = minhashSignatures(batch, k, textCol, idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val batchBands = lshBands(sigs, k, bands)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hitIds = batchBands
+      .join(bandCatalog.select(col("band_idx"), col("band_hash")),
+        Seq("band_idx", "band_hash"), "left_semi")
+      .select(col("doc_id")).distinct()
+    val survivorBands = batchBands.join(hitIds, Seq("doc_id"), "left_anti")
+    val pairs = verifyJaccard(lshCandidates(survivorBands, maxBucketSize), sigs)
+      .filter(col("jaccard") >= minJaccard)
+      .select("doc_a", "doc_b")
+    val dropped = nearDupClusters(pairs)
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id"))
+    val rejected = hitIds.unionAll(dropped)
+    val fresh = batch.join(
+      rejected.withColumnRenamed("doc_id", idCol), Seq(idCol), "left_anti")
+    val delta = batchBands.join(rejected, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("band_idx"), col("band_hash"))
+    IncrementalNearDup(fresh, delta)
+  }
+
   /** Span-level exact dedup: drop repeated `window`-token chunks
     * corpus-wide (boilerplate headers, license blocks, navigation
     * chrome survive document-level dedup because the *documents*

@@ -93,17 +93,67 @@ object Similarity {
       .select(col("q_id"), col("vec_id"), col("rank"), round(col("cos"), 9).as("cos"))
   }
 
+  /** Signed projection of `emb` onto deterministic plane `p` — the
+    * shared kernel of bucket assignment and multi-probe margins. */
+  private def planeProj(emb: Column, dim: Int, p: Int): Column =
+    aggregate(
+      zip_with(emb, typedLit(planeVector(p, dim)), (x, s) => x.cast("double") * s),
+      lit(0.0), (acc, v) => acc + v)
+
   /** Random-hyperplane LSH bucket id using planes
     * [seedOffset, seedOffset + nPlanes). */
-  def lshBucketSeeded(emb: Column, dim: Int, nPlanes: Int, seedOffset: Int): Column = {
-    val bits = (0 until nPlanes).map { p =>
-      val plane = typedLit(planeVector(seedOffset + p, dim))
-      val proj = aggregate(
-        zip_with(emb, plane, (x, s) => x.cast("double") * s),
-        lit(0.0), (acc, v) => acc + v)
-      when(proj >= 0, 1L << p).otherwise(0L)
-    }
-    bits.reduce((a, b) => a.bitwiseOR(b))
+  def lshBucketSeeded(emb: Column, dim: Int, nPlanes: Int, seedOffset: Int): Column =
+    (0 until nPlanes).map { p =>
+      when(planeProj(emb, dim, seedOffset + p) >= 0, 1L << p).otherwise(0L)
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+  /** Multi-probe bucket list (Lv et al., VLDB'07): the point's own
+    * bucket plus the buckets reached by flipping each of the
+    * `extraProbes` smallest-|margin| sign bits — the planes a query
+    * sits closest to are exactly the ones likeliest to disagree for a
+    * true neighbor, so probing those flips recovers most of the recall
+    * of running several independent hash tables at ONE table's memory
+    * and build cost. Ties on |margin| break toward the lower plane
+    * index; fully deterministic, same derivation expressible in SQL. */
+  def lshProbeBuckets(emb: Column, dim: Int, nPlanes: Int = 8,
+                      extraProbes: Int = 2, seedOffset: Int = 0): Column = {
+    require(extraProbes >= 0 && extraProbes <= nPlanes,
+      s"extraProbes must be in [0, $nPlanes], got $extraProbes")
+    val base = lshBucketSeeded(emb, dim, nPlanes, seedOffset)
+    val margins = array_sort(array((0 until nPlanes).map { p =>
+      struct(abs(planeProj(emb, dim, seedOffset + p)).as("m"),
+        lit(1L << p).as("mask"))
+    }: _*))
+    val flips = transform(slice(margins, 1, extraProbes),
+      s => base.bitwiseXOR(s.getField("mask")))
+    concat(array(base), flips)
+  }
+
+  /** Multi-probe LSH ANN: candidates are bucketed ONCE (single narrow
+    * table, same as [[lshTopK]]); each query probes its own bucket
+    * plus `extraProbes` flipped-margin buckets. The probed buckets are
+    * distinct and a candidate lives in exactly one, so no dedup pass
+    * is needed before ranking. Same scale shape as [[lshTopK]] — the
+    * exploded query side stays tiny and broadcasts; the corpus is
+    * never re-hashed per probe. */
+  def lshMultiProbeTopK(candidates: DataFrame, queries: DataFrame, dim: Int,
+                        k: Int, nPlanes: Int = 8, extraProbes: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cb = candidates.withColumn("bucket", lshBucket(col("embedding"), dim, nPlanes))
+      .withColumn("c_norm", norm(col("embedding")))
+    val qb = queries
+      .withColumn("bucket",
+        explode(lshProbeBuckets(col("q_emb"), dim, nPlanes, extraProbes)))
+      .withColumn("q_norm", norm(col("q_emb")))
+    val scored = cb.join(broadcast(qb), "bucket")
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        (dot(col("embedding"), col("q_emb")) / (col("c_norm") * col("q_norm"))).as("cos"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id"), col("rank"), round(col("cos"), 9).as("cos"))
   }
 
   /** IVF (inverted-file) ANN — the scale path: candidates are coarse-

@@ -148,6 +148,28 @@ class SimilarityScaleSpec extends SparkSpec {
     assert(recall >= 0.15, s"sign-bit recall collapsed: $recall")
   }
 
+  test("multi-probe LSH recall dominates single-probe at the same table cost") {
+    val e = Tables.embeddings(spark, dir01).select("vec_id", "embedding")
+    val q = queries(Tables.embeddings(spark, dir01))
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairs(Similarity.bruteForceTopK(e, q, k = 5))
+    val single = pairs(Similarity.lshTopK(e, q, dim = 64, k = 5))
+    val multi = pairs(Similarity.lshMultiProbeTopK(e, q, dim = 64, k = 5, extraProbes = 2))
+    val rSingle = (single & brute).size.toDouble / brute.size
+    val rMulti = (multi & brute).size.toDouble / brute.size
+    System.err.println(s"[graft] lsh recall@5: single=$rSingle multi-probe=$rMulti")
+    // probing 3 buckets only adds candidates, and a true-top-5 hit can
+    // only be evicted by a better candidate — itself a true-top-5 hit —
+    // so recall is monotone by construction
+    assert(rMulti >= rSingle, s"multi-probe lost recall: $rMulti < $rSingle")
+    assert((single & brute).subsetOf(multi & brute),
+      "multi-probe dropped a true hit the single probe had")
+    // and on this corpus the extra probes must actually surface new
+    // true neighbors, or the margin flips are dead code
+    assert(rMulti > rSingle, s"multi-probe added nothing: single=$rSingle multi=$rMulti")
+  }
+
   test("binarize generalizes past 64 dims and fails loudly on a dim mismatch") {
     import spark.implicits._
     // 80 dims → 3 words: 32 + 32 + 16 bits; dims 0, 40, 79 positive

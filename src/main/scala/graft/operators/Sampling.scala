@@ -105,6 +105,31 @@ object Sampling {
     df.join(keep, Seq(keyCol), "left_semi")
   }
 
+  /** Deterministic fixed-size per-stratum sample: the `k` rows with
+    * the smallest salted hash within each stratum — "k examples per
+    * domain/language/source" for training mixes and eval sets, stable
+    * given (key, salt) where an RNG reservoir is not (rerun, engine, or
+    * partitioning changes resample it).
+    *
+    * Scale shape: same as [[weightedSample]] — the rank window runs
+    * over an internal (key, stratum, hash) projection, so payload
+    * columns never cross the exchange; kept keys (≤ k per stratum,
+    * small by construction) semi-join back, which AQE broadcasts.
+    * `keyCol` must be unique. */
+  def topKPerStratum(df: DataFrame, keyCol: String, stratumCol: String,
+                     k: Int, salt: String = ""): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0, s"k must be positive, got $k")
+    val h = conv(substring(md5(concat(coalesce(col(keyCol).cast("string"), lit("")),
+      lit(salt))), 1, 15), 16, 10).cast("long")
+    val keep = df.select(col(keyCol).as("__k"), col(stratumCol).as("__s"), h.as("__h"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("__s")).orderBy(col("__h"), col("__k"))))
+      .filter(col("__rn") <= k)
+      .select(col("__k").as(keyCol))
+    df.join(keep, Seq(keyCol), "left_semi")
+  }
+
   /** Stratified deterministic sampling: per-stratum keep percentages
     * (strata absent from the map keep `defaultPct`). */
   def stratified(df: DataFrame, keyCol: String, stratumCol: String,

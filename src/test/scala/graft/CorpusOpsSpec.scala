@@ -91,6 +91,32 @@ class CorpusOpsSpec extends SparkSpec {
     assert(lightRate > 0.05 && lightRate < 0.15, s"light-doc rate $lightRate")
   }
 
+  test("incrementalNearDup screens vs the band catalog, dedups within batch, re-ingest is empty") {
+    val accepted = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "completely different archival content about medieval trade routes and spice markets"))
+      .toDF("doc_id", "text")
+    val catalog = Dedup.lshBands(Dedup.minhashSignatures(accepted))
+    val nearDupOfAccepted = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val batchDup = "unique fresh reporting on deep sea exploration and hydrothermal vent ecosystems found"
+    val batch = Seq(
+      (10L, nearDupOfAccepted),           // exact twin of doc 1 → band hit → dropped
+      (11L, batchDup), (12L, batchDup),   // within-batch pair → keep min id 11
+      (13L, "short"))                      // no shingles → passes through
+      .toDF("doc_id", "text")
+    val out = Dedup.incrementalNearDup(batch, catalog)
+    val freshIds = out.fresh.select("doc_id").as[Long].collect().toSet
+    assert(freshIds == Set(11L, 13L), s"fresh=$freshIds")
+    // delta carries only the fresh banded docs' rows, ready to append
+    val deltaIds = out.catalogDelta.select("doc_id").distinct().as[Long].collect().toSet
+    assert(deltaIds == Set(11L), s"delta=$deltaIds")
+    // append the delta; re-ingesting the accepted doc drops it
+    val grown = catalog.select("band_idx", "band_hash")
+      .unionAll(out.catalogDelta.select("band_idx", "band_hash"))
+    val again = Dedup.incrementalNearDup(Seq((20L, batchDup)).toDF("doc_id", "text"), grown)
+    assert(again.fresh.isEmpty && again.catalogDelta.isEmpty)
+  }
+
   test("weightedSample preserves caller columns, even ones named __w/__cum") {
     // the sampler windows over its own internal projection, so caller
     // columns colliding with its old working names must survive intact
@@ -100,6 +126,20 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out.columns.toSeq == Seq("doc_id", "w", "__w", "__cum"))
     assert(out.exceptAll(docs).isEmpty) // strictly a subset, rows unmodified
     assert(out.count() > 0)
+  }
+
+  test("topKPerStratum keeps exactly k rows per stratum, deterministically") {
+    val docs = (0 until 300).map(i => (i.toLong, s"src${i % 3}", s"text $i"))
+      .toDF("doc_id", "source", "text")
+    val out = Sampling.topKPerStratum(docs, "doc_id", "source", k = 5, salt = "s")
+    val bySource = out.groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(bySource.values.toSet == Set(5L) && bySource.size == 3, s"$bySource")
+    assert(out.exceptAll(docs).isEmpty) // strictly a subset, rows unmodified
+    val again = Sampling.topKPerStratum(docs, "doc_id", "source", k = 5, salt = "s")
+    assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
+    // a stratum smaller than k keeps all its rows
+    val tiny = Sampling.topKPerStratum(docs.filter(col("doc_id") < 2), "doc_id", "source", k = 5)
+    assert(tiny.count() == 2)
   }
 
   test("mixSources keeps rates per source and is a pure filter of the input") {

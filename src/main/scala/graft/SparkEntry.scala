@@ -1013,6 +1013,18 @@ object SparkEntry {
         .select(col("vec_id"), col("scale"),
           array_join(transform(col("q"), _.cast("string")), ",").as("q_str"),
           col("max_abs_err"))),
+    // chunk→doc pooling over the int8-quantized embeddings: integer-
+    // valued sums are exact (order-independent below 2^53), so the
+    // mergeable (n, sums) form hash-compares across engines where a
+    // float mean would be summation-order noise
+    "embed_pool" -> ((s, d) => {
+      val q = Similarity.quantizeInt8(Tables.embeddings(s, d).select("vec_id", "embedding"))
+        .select((col("vec_id") % 25).as("grp"), col("q").as("embedding"))
+      Similarity.poolEmbeddings(q, "grp")
+        .select(col("group_id"), col("n_vectors"),
+          array_join(transform(col("sum_emb"), v => v.cast("long").cast("string")), ",")
+            .as("sum_fp"))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1781,6 +1793,28 @@ object SparkEntry {
         |  list_aggregate(list_transform(range(1, len(embedding)+1),
         |    i -> abs(CAST(embedding[i] AS DOUBLE) - qv[i] * scale)), 'max') AS max_abs_err
         |FROM q""".stripMargin,
+    // chunk→doc pooling of the quantized embeddings: same quantization
+    // replay as embed_quantize, then per-(group, position) integer sums
+    "embed_pool" ->
+      """WITH s AS (
+        |  SELECT vec_id, embedding,
+        |    list_aggregate(list_transform(embedding, v -> abs(CAST(v AS DOUBLE))), 'max') / 127.0 AS scale
+        |  FROM embeddings),
+        |qz AS (
+        |  SELECT vec_id % 25 AS group_id,
+        |    CASE WHEN scale = 0.0 THEN list_transform(embedding, v -> 0)
+        |         ELSE list_transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) / scale) AS INT))
+        |    END AS q
+        |  FROM s),
+        |ex AS (
+        |  SELECT group_id, CAST(r.pos AS INT) AS pos, q[CAST(r.pos AS INT)] AS v
+        |  FROM qz, range(1, 65) r(pos)),
+        |ag AS (
+        |  SELECT group_id, pos, CAST(sum(v) AS BIGINT) AS sv, count(*) AS n
+        |  FROM ex GROUP BY group_id, pos)
+        |SELECT group_id, CAST(min(n) AS BIGINT) AS n_vectors,
+        |  array_to_string(list(CAST(sv AS VARCHAR) ORDER BY pos), ',') AS sum_fp
+        |FROM ag GROUP BY group_id""".stripMargin,
     // streaming sequence packing: per-shard running token total → window cuts
     "doc_pack" ->
       s"""WITH t AS (

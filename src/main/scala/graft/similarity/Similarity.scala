@@ -315,6 +315,30 @@ object Similarity {
     withQ.select(col(idCol), col("scale"), col("q"), err.as("max_abs_err"))
   }
 
+  /** Mergeable element-wise pooling of equal-length vectors per group —
+    * the chunk→document aggregation step of an embedding pipeline
+    * (documents are embedded chunk-wise, then pooled). Returns
+    * `(group_id, n_vectors, sum_emb)`: sums rather than means, because
+    * sums are MERGEABLE — partial pools from different partitions,
+    * batches, or days combine by element-wise addition plus a count,
+    * where means cannot be combined without carrying the count anyway.
+    * `mean = transform(sum_emb, _ / n_vectors)` downstream when wanted.
+    *
+    * Plan shape at scale: posexplode → ONE partially-aggregated shuffle
+    * of narrow (group, pos, partial-sum) triples — vectors never cross
+    * the exchange whole, and map-side combine collapses each partition
+    * to ≤ groups×dim rows — then per-group ordered reassembly. */
+  def poolEmbeddings(df: DataFrame, groupCol: String,
+                     embCol: String = "embedding"): DataFrame =
+    df.select(col(groupCol).as("group_id"),
+        posexplode(col(embCol).cast("array<double>")).as(Seq("pos", "v")))
+      .groupBy(col("group_id"), col("pos"))
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+      .groupBy(col("group_id"))
+      .agg(min(col("n")).as("n_vectors"),
+        transform(array_sort(collect_list(struct(col("pos"), col("s")))),
+          t => t.getField("s")).as("sum_emb"))
+
   /** Embedding-cosine near-duplicate pairs via multi-table LSH:
     * `nTables` independent hyperplane tables (amplifies recall — a pair
     * is a candidate if it collides in ANY table), verified by exact

@@ -148,6 +148,25 @@ class SimilarityScaleSpec extends SparkSpec {
     assert(recall >= 0.15, s"sign-bit recall collapsed: $recall")
   }
 
+  test("poolEmbeddings: element-wise sums, mergeable across splits") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(1.0f, 2.0f, 3.0f)), (1L, Array(10.0f, 20.0f, 30.0f)),
+      (1L, Array(100.0f, 200.0f, 300.0f)), (2L, Array(5.0f, 5.0f, 5.0f)))
+      .toDF("grp", "embedding")
+    val pooled = Similarity.poolEmbeddings(vecs, "grp").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getSeq[Double](2)))).toMap
+    assert(pooled(1L) == ((3L, Seq(111.0, 222.0, 333.0))))
+    assert(pooled(2L) == ((1L, Seq(5.0, 5.0, 5.0))))
+    // mergeable: pools of disjoint splits add element-wise to the full pool
+    val half1 = Seq((1L, Array(1.0f, 2.0f, 3.0f)), (1L, Array(10.0f, 20.0f, 30.0f)))
+      .toDF("grp", "embedding")
+    val half2 = Seq((1L, Array(100.0f, 200.0f, 300.0f))).toDF("grp", "embedding")
+    val a = Similarity.poolEmbeddings(half1, "grp").head().getSeq[Double](2)
+    val b = Similarity.poolEmbeddings(half2, "grp").head().getSeq[Double](2)
+    assert(a.zip(b).map { case (x, y) => x + y } == pooled(1L)._2)
+  }
+
   test("multi-probe LSH recall dominates single-probe at the same table cost") {
     val e = Tables.embeddings(spark, dir01).select("vec_id", "embedding")
     val q = queries(Tables.embeddings(spark, dir01))

@@ -480,6 +480,22 @@ object SparkEntry {
         col("flags.high_punct_ratio"),
         TextFunctions.qualityScore(col("flags")).as("quality_score"))
 
+  /** Gopher-rules quality filter (Rae et al. 2021): integer measures +
+    * cross-multiplied ratio flags, engine-exact. `minRequiredHits = 1`
+    * because the synthetic corpus vocabulary carries only one of the
+    * closed-class required words (the paper's web-text default is 2). */
+  private def qualityGopher(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("m", TextFunctions.gopherMeasures(col("text")))
+      .withColumn("f", TextFunctions.gopherFlags(col("m"), minRequiredHits = 1))
+      .select(col("doc_id"),
+        col("m.n_words"), col("m.word_len_sum"), col("m.n_alpha_words"),
+        col("m.n_symbols"), col("m.n_lines"), col("m.n_bullet_lines"),
+        col("m.n_ellipsis_lines"), col("m.req_stop_hits"),
+        col("f.word_count_ok"), col("f.word_len_ok"), col("f.symbol_ok"),
+        col("f.bullet_ok"), col("f.ellipsis_ok"), col("f.alpha_ok"),
+        col("f.stopword_ok"), col("f.keep"))
+
   private def tokenCount(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).select(
       col("doc_id"),
@@ -962,6 +978,7 @@ object SparkEntry {
     "sessionize" -> (sessionize(_, _)),
     "events_window_agg" -> (eventsWindowAgg(_, _)),
     "text_quality" -> (textQuality(_, _)),
+    "quality_gopher" -> (qualityGopher(_, _)),
     "sim_ivf" -> (simIvf(_, _)),
     "sim_ivf_kmeans" -> (simIvfKmeans(_, _)),
     "dedup_exact" -> (dedupExact(_, _)),
@@ -1333,6 +1350,39 @@ object SparkEntry {
          |    CAST(len(list_filter($toksSql, t -> list_contains($stopwordsSql, t))) AS BIGINT) AS n_stopwords,
          |    CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS BIGINT) AS n_punct
          |  FROM documents)""".stripMargin,
+    "quality_gopher" ->
+      s"""WITH m AS (
+         |  SELECT doc_id,
+         |    CAST(len(toks) AS BIGINT) AS n_words,
+         |    CAST(list_sum(list_transform(toks, w -> CAST(length(w) AS BIGINT))) AS BIGINT) AS word_len_sum,
+         |    CAST(len(list_filter(toks, w -> regexp_matches(w, '[a-z]'))) AS BIGINT) AS n_alpha_words,
+         |    CAST(len(regexp_extract_all(text, '#|\\.\\.\\.|…')) AS BIGINT) AS n_symbols,
+         |    CAST(len(lines) AS BIGINT) AS n_lines,
+         |    CAST(len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*•]'))) AS BIGINT) AS n_bullet_lines,
+         |    CAST(len(list_filter(lines, l -> regexp_matches(trim(l), '(\\.\\.\\.|…)$$'))) AS BIGINT) AS n_ellipsis_lines,
+         |    CAST(len(list_filter(${markersSqlList(TextFunctions.gopherRequiredStops)},
+         |      w -> list_contains(toks, w))) AS BIGINT) AS req_stop_hits
+         |  FROM (SELECT doc_id, text, $toksSql AS toks,
+         |          string_split(text, chr(10)) AS lines FROM documents))
+         |SELECT doc_id, n_words, word_len_sum, n_alpha_words, n_symbols,
+         |  n_lines, n_bullet_lines, n_ellipsis_lines, req_stop_hits,
+         |  n_words >= ${TextFunctions.gopherMinWords} AND n_words <= ${TextFunctions.gopherMaxWords} AS word_count_ok,
+         |  word_len_sum >= n_words * ${TextFunctions.gopherMinMeanWordLen}
+         |    AND word_len_sum <= n_words * ${TextFunctions.gopherMaxMeanWordLen} AS word_len_ok,
+         |  n_symbols * 10 <= n_words AS symbol_ok,
+         |  n_bullet_lines * 10 <= n_lines * 9 AS bullet_ok,
+         |  n_ellipsis_lines * 10 <= n_lines * 3 AS ellipsis_ok,
+         |  n_alpha_words * 10 >= n_words * 8 AS alpha_ok,
+         |  (n_words >= ${TextFunctions.gopherMinWords} AND n_words <= ${TextFunctions.gopherMaxWords})
+         |    AND (word_len_sum >= n_words * ${TextFunctions.gopherMinMeanWordLen}
+         |         AND word_len_sum <= n_words * ${TextFunctions.gopherMaxMeanWordLen})
+         |    AND n_symbols * 10 <= n_words
+         |    AND n_bullet_lines * 10 <= n_lines * 9
+         |    AND n_ellipsis_lines * 10 <= n_lines * 3
+         |    AND n_alpha_words * 10 >= n_words * 8
+         |    AND req_stop_hits >= 1 AS keep,
+         |  req_stop_hits >= 1 AS stopword_ok
+         |FROM m""".stripMargin,
     "events_window_agg" ->
       """SELECT date_trunc('hour', ts) AS hour_start, event_type,
         |  count(*) AS n_events,

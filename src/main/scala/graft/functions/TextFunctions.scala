@@ -332,6 +332,76 @@ object TextFunctions {
     * driver action at operator-construction time. Document text never
     * shuffles.
     */
+  /** Gopher-style document quality rules (Rae et al. 2021, "Scaling
+    * Language Models: ... Gopher", table A1 — public paper): word-count
+    * bounds, mean-word-length bounds, symbol-to-word ratio, bullet- and
+    * ellipsis-line fractions, alphabetic-word fraction, and
+    * required-stopword hits. All measures are INTEGER counts and every
+    * ratio rule is compared cross-multiplied (`sum*10 <= n*ratio*10`)
+    * so the flags are engine-exact with no floating-point divide.
+    *
+    * Pure per-row projection (codegen'd built-ins, token array bound
+    * once) — no shuffle, embarrassingly parallel at any scale.
+    *
+    * `minRequiredHits` defaults to Gopher's 2; corpora whose vocabulary
+    * lacks most closed-class words (e.g. keyword-soup logs) can lower
+    * it — the registered `quality_gopher` query uses 1 for the
+    * synthetic corpus.
+    */
+  val gopherMinWords = 50
+  val gopherMaxWords = 100000
+  val gopherMinMeanWordLen = 3 // inclusive bounds, integer-exact
+  val gopherMaxMeanWordLen = 10
+  val gopherRequiredStops: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  def gopherMeasures(text: Column): Column =
+    bound(tokens(text)) { t =>
+      bound(split(text, "\n")) { lines =>
+        val req = array(gopherRequiredStops.map(lit): _*)
+        struct(
+          size(t).cast("bigint").as("n_words"),
+          aggregate(transform(t, w => length(w).cast("bigint")),
+            lit(0L), (acc, x) => acc + x).as("word_len_sum"),
+          size(filter(t, w => w.rlike("[a-z]"))).cast("bigint").as("n_alpha_words"),
+          size(regexp_extract_all(text, lit("#|\\.\\.\\.|…"), lit(0)))
+            .cast("bigint").as("n_symbols"),
+          size(lines).cast("bigint").as("n_lines"),
+          size(filter(lines, l => trim(l).rlike("^[-*•]")))
+            .cast("bigint").as("n_bullet_lines"),
+          size(filter(lines, l => trim(l).rlike("(\\.\\.\\.|…)$")))
+            .cast("bigint").as("n_ellipsis_lines"),
+          size(filter(req, w => array_contains(t, w)))
+            .cast("bigint").as("req_stop_hits"))
+      }
+    }
+
+  /** Rule flags + keep decision from `gopherMeasures`. Ratio rules:
+    * symbols/words <= 0.1, bullet lines <= 0.9, ellipsis lines <= 0.3,
+    * alpha words >= 0.8 — all cross-multiplied integer comparisons. */
+  def gopherFlags(m: Column, minRequiredHits: Int = 2): Column = {
+    val n = m.getField("n_words")
+    val nl = m.getField("n_lines")
+    val wordCountOk = n >= gopherMinWords && n <= gopherMaxWords
+    val wordLenOk = m.getField("word_len_sum") >= n * gopherMinMeanWordLen &&
+      m.getField("word_len_sum") <= n * gopherMaxMeanWordLen
+    val symbolOk = m.getField("n_symbols") * 10 <= n
+    val bulletOk = m.getField("n_bullet_lines") * 10 <= nl * 9
+    val ellipsisOk = m.getField("n_ellipsis_lines") * 10 <= nl * 3
+    val alphaOk = m.getField("n_alpha_words") * 10 >= n * 8
+    val stopOk = m.getField("req_stop_hits") >= minRequiredHits
+    struct(
+      wordCountOk.as("word_count_ok"),
+      wordLenOk.as("word_len_ok"),
+      symbolOk.as("symbol_ok"),
+      bulletOk.as("bullet_ok"),
+      ellipsisOk.as("ellipsis_ok"),
+      alphaOk.as("alpha_ok"),
+      stopOk.as("stopword_ok"),
+      (wordCountOk && wordLenOk && symbolOk && bulletOk &&
+        ellipsisOk && alphaOk && stopOk).as("keep"))
+  }
+
   def tfidfTopTerms(docs: org.apache.spark.sql.DataFrame, k: Int = 5,
                     textCol: String = "text", idCol: String = "doc_id")
       : org.apache.spark.sql.DataFrame = {

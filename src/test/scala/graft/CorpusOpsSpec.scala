@@ -153,4 +153,35 @@ class CorpusOpsSpec extends SparkSpec {
     assert(n > 800 && n < 1200, s"~50% of 2000 expected, got $n")
     assert(half.exceptAll(docs).isEmpty) // strictly a subset, rows unmodified
   }
+
+  test("gopher rules: each rule fires on a crafted violator and passes clean prose") {
+    import graft.functions.TextFunctions._
+    val clean = (("the and of that have with be to " * 8) + "solid prose words here").trim
+    val docs = Seq(
+      (1L, clean),                                        // passes everything
+      (2L, "too short"),                                  // word_count
+      (3L, ("ab " * 60).trim),                            // mean word len < 3
+      (4L, (("the of " * 30) + "# ## ### # # # # # # # # # # #").trim), // symbols > 10%
+      (5L, (1 to 10).map(i => s"- bullet $i the of and that have with be to").mkString("\n")), // 100% bullet lines
+      (6L, (1 to 10).map(i => s"line $i the of and that have with be to...").mkString("\n")), // 100% ellipsis lines
+      (7L, (("the of " * 30) + ("42 17 99 " * 30)).trim), // <80% alphabetic words
+      (8L, ("zeta koro miro vala tesh " * 12).trim)       // no required stopwords
+    ).toDF("doc_id", "text")
+    val out = docs
+      .withColumn("m", gopherMeasures(col("text")))
+      .withColumn("f", gopherFlags(col("m"), minRequiredHits = 2))
+      .select(col("doc_id"), col("f.*"))
+      .orderBy("doc_id").collect()
+    def flags(i: Int) = (0 until 8).map(j => out(i).getBoolean(j + 1))
+    assert(flags(0).forall(identity), s"clean doc should pass all: ${out(0)}")
+    assert(!out(1).getBoolean(1) && !out(1).getBoolean(8))  // word_count_ok, keep
+    assert(!out(2).getBoolean(2))                           // word_len_ok
+    assert(!out(3).getBoolean(3))                           // symbol_ok
+    assert(!out(4).getBoolean(4))                           // bullet_ok
+    assert(!out(5).getBoolean(5))                           // ellipsis_ok
+    assert(!out(6).getBoolean(6))                           // alpha_ok
+    assert(!out(7).getBoolean(7))                           // stopword_ok
+    // every violator is rejected
+    (1 to 7).foreach(i => assert(!out(i).getBoolean(8), s"doc ${i + 1} must not keep"))
+  }
 }

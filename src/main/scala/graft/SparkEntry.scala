@@ -496,6 +496,18 @@ object SparkEntry {
         col("f.bullet_ok"), col("f.ellipsis_ok"), col("f.alpha_ok"),
         col("f.stopword_ok"), col("f.keep"))
 
+  /** Per-source/per-language corpus report with ROLLUP subtotals —
+    * the "what's in my training mix" dashboard query. One partial+final
+    * hash aggregate; rollup adds no extra shuffle. */
+  private def corpusStatsBySource(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("toks", TextFunctions.wsTokenCount(col("text")))
+      .rollup(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum("toks").as("sum_tokens"),
+        sum("n_chars").as("sum_chars"),
+        grouping_id().as("grp"))
+
   private def tokenCount(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).select(
       col("doc_id"),
@@ -616,6 +628,14 @@ object SparkEntry {
     Similarity.ivfTopK(e.select("vec_id", "embedding"), queries,
       dim = 64, k = 5, nCells = 16, nProbe = 4, centroids = Some(cents))
   }
+
+  /** Semantic coverage sampling ([[graft.similarity.Similarity.diversitySample]]):
+    * 3 highest-norm representatives per 6-plane LSH bucket. */
+  private def embedDiversity(spark: SparkSession, dir: String): DataFrame =
+    Similarity.diversitySample(
+        Tables.embeddings(spark, dir).select("vec_id", "embedding"),
+        dim = 64, perBucket = 3, nPlanes = 6)
+      .select("vec_id", "bucket", "bucket_rank")
 
   private def simLsh(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
@@ -979,6 +999,21 @@ object SparkEntry {
     "events_window_agg" -> (eventsWindowAgg(_, _)),
     "text_quality" -> (textQuality(_, _)),
     "quality_gopher" -> (qualityGopher(_, _)),
+    "corpus_stats_by_source" -> (corpusStatsBySource(_, _)),
+    "corpus_curriculum" -> ((s, d) =>
+      graft.operators.Sampling.quantileBuckets(
+          Tables.documents(s, d).select("doc_id", "n_chars"),
+          scoreCol = "n_chars", nBuckets = 10)),
+    // Misra-Gries frequent-items UDAF in its exact regime (k=32 >= 25
+    // distinct brands): counters provably exact, so the sketch output
+    // hash-matches the full GROUP BY it replaces at scale.
+    "heavy_hitters" -> ((s, d) =>
+      Tables.part(s, d)
+        .agg(graft.expressions.SketchAggregates
+          .misraGries(col("p_brand"), 32).as("hh"))
+        .select(posexplode(col("hh")))
+        .select((col("pos") + 1).cast("bigint").as("rank"),
+          col("col.item").as("item"), col("col.cnt").as("cnt"))),
     "sim_ivf" -> (simIvf(_, _)),
     "sim_ivf_kmeans" -> (simIvfKmeans(_, _)),
     "dedup_exact" -> (dedupExact(_, _)),
@@ -1013,6 +1048,7 @@ object SparkEntry {
     "sim_hamming" -> (simHamming(_, _)),
     "sim_lsh" -> (simLsh(_, _)),
     "sim_lsh_multiprobe" -> (simLshMultiprobe(_, _)),
+    "embed_diversity" -> (embedDiversity(_, _)),
     "embed_neardup" -> (embedNearDup(_, _)),
     // unit vector serialized as fixed-point micros (round(u*1e6)):
     // identical double arithmetic both engines, and a string column the
@@ -1350,6 +1386,24 @@ object SparkEntry {
          |    CAST(len(list_filter($toksSql, t -> list_contains($stopwordsSql, t))) AS BIGINT) AS n_stopwords,
          |    CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS BIGINT) AS n_punct
          |  FROM documents)""".stripMargin,
+    "heavy_hitters" ->
+      """SELECT CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, item ASC) AS BIGINT) AS rank,
+        |  item, cnt
+        |FROM (SELECT p_brand AS item, count(*) AS cnt FROM part GROUP BY 1)""".stripMargin,
+    "corpus_curriculum" ->
+      s"""WITH c AS (SELECT quantile_cont(n_chars,
+         |    [${(1 until 10).map(i => i / 10.0).mkString(", ")}]) AS cuts
+         |  FROM documents)
+         |SELECT doc_id, n_chars,
+         |  CAST(1 + len(list_filter(c.cuts, x -> x < CAST(n_chars AS DOUBLE))) AS BIGINT) AS bucket
+         |FROM documents, c""".stripMargin,
+    "corpus_stats_by_source" ->
+      s"""SELECT source, lang,
+         |  count(*) AS n_docs,
+         |  CAST(SUM(CAST(len($toksSql) AS BIGINT)) AS BIGINT) AS sum_tokens,
+         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+         |  CAST(GROUPING(source, lang) AS BIGINT) AS grp
+         |FROM documents GROUP BY ROLLUP(source, lang)""".stripMargin,
     "quality_gopher" ->
       s"""WITH m AS (
          |  SELECT doc_id,
@@ -2173,6 +2227,17 @@ object SparkEntry {
          |  SELECT q_id, vec_id, cos,
          |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rank
          |  FROM pairs) WHERE rank <= 5""".stripMargin
+    },
+    "embed_diversity" -> {
+      s"""WITH b AS (
+         |  SELECT vec_id, ${bucketSql("embedding", 6, 0)} AS bucket,
+         |    sqrt(${dotSql("embedding", "embedding")}) AS nrm
+         |  FROM embeddings)
+         |SELECT vec_id, CAST(bucket AS BIGINT) AS bucket,
+         |  CAST(rnk AS BIGINT) AS bucket_rank FROM (
+         |  SELECT vec_id, bucket,
+         |    ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY nrm DESC, vec_id ASC) AS rnk
+         |  FROM b) WHERE rnk <= 3""".stripMargin
     },
     "sim_lsh" -> {
       val dotEq = dotSql("cb.embedding", "qb.q_emb")

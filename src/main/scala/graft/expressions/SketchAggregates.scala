@@ -116,6 +116,147 @@ case class KmvDistinctAgg(child: Expression, k: Int,
     copy(child = newChild)
 }
 
+/** Misra-Gries heavy-hitters sketch as a native
+  * `TypedImperativeAggregate` — bounded-memory frequent-items over an
+  * unbounded key domain (Misra & Gries 1982; mergeable form from
+  * Agarwal et al., "Mergeable summaries", PODS 2012).
+  *
+  * The buffer holds at most `k` (item → counter) pairs. Update: bump an
+  * existing counter, insert if there is room, else decrement ALL
+  * counters (dropping zeros) — the classic frequent algorithm. Merge:
+  * pointwise-sum two buffers, then subtract the (k+1)-th largest
+  * counter from every entry and drop non-positives, which restores the
+  * size bound while preserving the error guarantee. Each partition
+  * therefore ships at most k pairs to the final merge regardless of
+  * partition size — the exact `GROUP BY item ORDER BY count` it
+  * replaces shuffles every distinct item.
+  *
+  * Guarantees (n = group row count): every item with true frequency
+  * > n/(k+1) survives, and every reported counter c satisfies
+  * true − n/(k+1) ≤ c ≤ true. With k ≥ the number of distinct items no
+  * decrement ever fires, counters are EXACT, and the output is
+  * deterministic — the regime the SQL oracle checks; the lossy regime
+  * is spec-checked against the bounds.
+  *
+  * Output: array of struct(item, cnt), ordered (cnt desc, item asc).
+  */
+case class MisraGriesAgg(child: Expression, k: Int,
+                         override val mutableAggBufferOffset: Int = 0,
+                         override val inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[java.util.HashMap[String, Long]]
+    with UnaryLike[Expression] {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType if k > 0 => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"misra_gries expects a string column (k > 0), got ($t, k=$k)")
+  }
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("item", StringType, nullable = false),
+    StructField("cnt", LongType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "misra_gries"
+
+  override def createAggregationBuffer(): java.util.HashMap[String, Long] =
+    new java.util.HashMap[String, Long]()
+
+  override def update(buf: java.util.HashMap[String, Long],
+                      input: InternalRow): java.util.HashMap[String, Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val item = v.toString
+      val cur = buf.get(item)
+      if (cur != 0L || buf.containsKey(item)) buf.put(item, cur + 1L)
+      else if (buf.size() < k) buf.put(item, 1L)
+      else {
+        // decrement-all: the one O(k) step, amortized over k inserts
+        val it = buf.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          if (e.getValue == 1L) it.remove() else e.setValue(e.getValue - 1L)
+        }
+      }
+    }
+    buf
+  }
+
+  override def merge(buf: java.util.HashMap[String, Long],
+                     other: java.util.HashMap[String, Long]): java.util.HashMap[String, Long] = {
+    val it = other.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      buf.merge(e.getKey, e.getValue, (a, b) => a + b)
+    }
+    if (buf.size() > k) {
+      // subtract the (k+1)-th largest counter, drop non-positives
+      val counts = new Array[Long](buf.size())
+      var i = 0
+      val vs = buf.values().iterator()
+      while (vs.hasNext) { counts(i) = vs.next(); i += 1 }
+      java.util.Arrays.sort(counts)
+      val d = counts(counts.length - 1 - k) // (k+1)-th largest
+      val es = buf.entrySet().iterator()
+      while (es.hasNext) {
+        val e = es.next()
+        if (e.getValue <= d) es.remove() else e.setValue(e.getValue - d)
+      }
+    }
+    buf
+  }
+
+  override def eval(buf: java.util.HashMap[String, Long]): Any = {
+    val entries = new Array[(String, Long)](buf.size())
+    var i = 0
+    val it = buf.entrySet().iterator()
+    while (it.hasNext) { val e = it.next(); entries(i) = (e.getKey, e.getValue); i += 1 }
+    val sorted = entries.sortBy { case (item, c) => (-c, item) }
+    new GenericArrayData(sorted.map { case (item, c) =>
+      new GenericInternalRow(Array[Any](
+        org.apache.spark.unsafe.types.UTF8String.fromString(item), c))
+    })
+  }
+
+  override def serialize(buf: java.util.HashMap[String, Long]): Array[Byte] = {
+    var bytes = 4
+    val it0 = buf.entrySet().iterator()
+    while (it0.hasNext) {
+      bytes += 4 + it0.next().getKey.getBytes("UTF-8").length + 8
+    }
+    val bb = ByteBuffer.allocate(bytes)
+    bb.putInt(buf.size())
+    val it = buf.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val kb = e.getKey.getBytes("UTF-8")
+      bb.putInt(kb.length); bb.put(kb); bb.putLong(e.getValue)
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.HashMap[String, Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = createAggregationBuffer()
+    var i = 0
+    while (i < n) {
+      val len = bb.getInt
+      val kb = new Array[Byte](len)
+      bb.get(kb)
+      buf.put(new String(kb, "UTF-8"), bb.getLong)
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): MisraGriesAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): MisraGriesAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): MisraGriesAgg =
+    copy(child = newChild)
+}
+
 object SketchAggregates {
   import org.apache.spark.sql.functions._
 
@@ -129,6 +270,14 @@ object SketchAggregates {
   def kmvDistinct(c: Column, k: Int): Column =
     ColumnInterop.column(
       KmvDistinctAgg(ColumnInterop.expression(hash60(c)), k).toAggregateExpression())
+
+  /** Misra-Gries heavy-hitters sketch over a string column: returns
+    * array<struct(item, cnt)> ordered (cnt desc, item asc). Exact when
+    * k >= #distinct; otherwise counters are within n/(k+1) below true
+    * frequency and no item above that threshold is missed. */
+  def misraGries(c: Column, k: Int): Column =
+    ColumnInterop.column(
+      MisraGriesAgg(ColumnInterop.expression(c), k).toAggregateExpression())
 
   private val HashSpaceD = (1L << 60).toDouble
 

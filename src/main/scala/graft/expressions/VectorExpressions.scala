@@ -146,6 +146,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"kmv_distinct(hash_long, k) takes 2 arguments, got ${exprs.length}")
         KmvDistinctAgg(exprs(0), intLit(exprs(1), "kmv_distinct"))
       }))
+    e.injectFunction((
+      new FunctionIdentifier("misra_gries"),
+      new ExpressionInfo(classOf[MisraGriesAgg].getName, "misra_gries"),
+      (exprs: Seq[Expression]) => {
+        if (exprs.length != 2) throw new IllegalArgumentException(
+          s"misra_gries(item_string, k) takes 2 arguments, got ${exprs.length}")
+        MisraGriesAgg(exprs(0), intLit(exprs(1), "misra_gries"))
+      }))
     e.injectOptimizerRule(_ => graft.plans.NativeDotRewrite)
   }
 }

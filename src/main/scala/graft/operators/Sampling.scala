@@ -132,6 +132,32 @@ object Sampling {
 
   /** Stratified deterministic sampling: per-stratum keep percentages
     * (strata absent from the map keep `defaultPct`). */
+  /** Curriculum bucketing: assign each row a bucket in [1, nBuckets]
+    * from EXACT score quantile cut points — the scalable alternative to
+    * a global rank for curriculum ordering ("train easy→hard"): the
+    * cut points are one tiny aggregate row broadcast back onto the
+    * data, so there is no global sort and no single-partition window.
+    * A row whose score equals a cut point lands in the lower bucket
+    * (`cut < score` strictly); duplicate-heavy scores therefore give
+    * uneven buckets, which is the honest answer (ntile's forced-even
+    * split would separate equal scores nondeterministically).
+    *
+    * The interpolated `percentile` aggregate is exact (sort-based
+    * within the aggregate) and matches `quantile_cont` in ANSI
+    * engines, so the bucket edges are engine-portable. */
+  def quantileBuckets(df: DataFrame, scoreCol: String, nBuckets: Int,
+                      outCol: String = "bucket"): DataFrame = {
+    require(nBuckets > 1, s"nBuckets must be > 1, got $nBuckets")
+    val probs = (1 until nBuckets).map(i => i.toDouble / nBuckets)
+    val cuts = df.agg(
+      expr(s"percentile($scoreCol, array(${probs.mkString(", ")}))").as("__cuts"))
+    df.crossJoin(broadcast(cuts))
+      .withColumn(outCol,
+        (lit(1) + size(filter(col("__cuts"),
+          c => c < col(scoreCol).cast("double")))).cast("bigint"))
+      .drop("__cuts")
+  }
+
   def stratified(df: DataFrame, keyCol: String, stratumCol: String,
                  pcts: Map[String, Int], defaultPct: Int = 0,
                  salt: String = ""): DataFrame = {

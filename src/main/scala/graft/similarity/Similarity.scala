@@ -156,6 +156,40 @@ object Similarity {
       .select(col("q_id"), col("vec_id"), col("rank"), round(col("cos"), 9).as("cos"))
   }
 
+  /** Semantic coverage / diversity sampling (SemDeDup-flavored,
+    * Abbas et al. 2023, public): partition the embedding space into
+    * hyperplane-LSH buckets and keep the `perBucket` most central
+    * representatives of each bucket — a corpus-wide "one per semantic
+    * neighborhood" downsample that removes redundant regions without
+    * any pairwise comparison.
+    *
+    * Election is deterministic: rank by (L2 norm desc, id asc) inside
+    * each bucket — highest-energy vector first; a hash-salted rank
+    * would work equally, the point is reproducibility.
+    *
+    * Scale shape: ONE narrow shuffle of (id, bucket, norm) triples for
+    * the rank window (Spark bounds it map-side via WindowGroupLimit);
+    * the embedding payload itself never crosses an exchange — the kept
+    * id set (≤ perBucket·2^nPlanes rows, bounded by construction) joins
+    * back onto the input, broadcast at any sane bucket count (AQE picks
+    * it up from the runtime size otherwise). Bucket count is 2^nPlanes:
+    * size it so corpus/2^nPlanes ≈ the neighborhood granularity. */
+  def diversitySample(embeddings: DataFrame, dim: Int, perBucket: Int,
+                      nPlanes: Int = 8, idCol: String = "vec_id",
+                      embCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(perBucket > 0, s"perBucket must be positive, got $perBucket")
+    val keep = embeddings.select(col(idCol).as("__id"),
+        lshBucket(col(embCol), dim, nPlanes).as("__b"),
+        norm(col(embCol)).as("__n"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("__b")).orderBy(col("__n").desc, col("__id").asc)))
+      .filter(col("__rn") <= perBucket)
+      .select(col("__id").as(idCol), col("__b").as("bucket"),
+        col("__rn").cast("bigint").as("bucket_rank"))
+    embeddings.join(keep, Seq(idCol))
+  }
+
   /** IVF (inverted-file) ANN — the scale path: candidates are coarse-
     * quantized once to their nearest of `nCells` centroids (one narrow
     * shuffle keyed by cell), and each query probes only its `nProbe`

@@ -154,6 +154,26 @@ class CorpusOpsSpec extends SparkSpec {
     assert(half.exceptAll(docs).isEmpty) // strictly a subset, rows unmodified
   }
 
+  test("quantileBuckets: monotone in score, ties co-bucketed, no global sort") {
+    val df = (0 until 1000).map(i => (i.toLong, (i % 100).toLong)).toDF("id", "score")
+    val out = Sampling.quantileBuckets(df, "score", nBuckets = 4)
+    assert(out.count() == 1000)
+    // bucket range and monotonicity: higher score never lands lower
+    val pairs = out.select("score", "bucket").distinct()
+      .as[(Long, Long)].collect().sortBy(_._1)
+    assert(pairs.forall { case (_, b) => b >= 1 && b <= 4 })
+    assert(pairs.sliding(2).forall {
+      case Array((_, b1), (_, b2)) => b1 <= b2
+      case _ => true
+    })
+    // equal scores always share a bucket (distinct (score,bucket) pairs == distinct scores)
+    assert(pairs.length == 100)
+    // scale guard: no single-partition window — the plan's only window-free;
+    // the cut points come from one broadcast aggregate row
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"global window found:\n$plan")
+  }
+
   test("gopher rules: each rule fires on a crafted violator and passes clean prose") {
     import graft.functions.TextFunctions._
     val clean = (("the and of that have with be to " * 8) + "solid prose words here").trim

@@ -213,4 +213,26 @@ class SimilarityScaleSpec extends SparkSpec {
     val e = intercept[Exception] { Similarity.binarize(bad, dim = 80).collect() }
     assert(e.getMessage != null)
   }
+
+  test("diversitySample keeps <= perBucket per bucket, covers every bucket, deterministic") {
+    val e = Tables.embeddings(spark, dir01).select("vec_id", "embedding")
+    val out = Similarity.diversitySample(e, dim = 64, perBucket = 2, nPlanes = 4)
+    // strictly a subset of the input rows, unmodified
+    assert(out.select("vec_id", "embedding").exceptAll(e).isEmpty)
+    // per-bucket cap honored, ranks dense from 1
+    val byBucket = out.groupBy("bucket")
+      .agg(count(lit(1)).as("n"), max("bucket_rank").as("mx"), min("bucket_rank").as("mn"))
+    assert(byBucket.filter(col("n") > 2 || col("mx") =!= col("n") || col("mn") =!= 1).isEmpty)
+    // every non-empty bucket of the input is represented
+    val allBuckets = e.select(Similarity.lshBucket(col("embedding"), 64, 4).as("bucket"))
+      .distinct()
+    assert(out.select("bucket").distinct().count() == allBuckets.count())
+    // kept rows sit in their own bucket
+    val mismatch = out.filter(
+      Similarity.lshBucket(col("embedding"), 64, 4) =!= col("bucket"))
+    assert(mismatch.isEmpty)
+    // deterministic across runs
+    val again = Similarity.diversitySample(e, dim = 64, perBucket = 2, nPlanes = 4)
+    assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
+  }
 }

@@ -133,4 +133,40 @@ class SketchBloomSpec extends SparkSpec {
     rows.foreach(r => assert(math.abs(r.getLong(1) - 211.0) / 211.0 < 0.25,
       s"g=${r.getLong(0)} est=${r.getLong(1)}"))
   }
+
+  test("misraGries is exact and partition-invariant when k >= #distinct") {
+    val df = spark.range(0, 5000)
+      .select(concat(lit("item"), col("id") % 17).as("x"))
+    val exact = df.groupBy("x").count().as[(String, Long)].collect().toMap
+    for (parts <- Seq(1, 13)) {
+      val hh = df.repartition(parts)
+        .agg(SketchAggregates.misraGries(col("x"), 32).as("hh"))
+        .select(explode(col("hh"))).select("col.item", "col.cnt")
+        .as[(String, Long)].collect().toMap
+      assert(hh == exact, s"parts=$parts")
+    }
+  }
+
+  test("misraGries lossy regime honors the n/(k+1) guarantee on skewed data") {
+    // 6000 rows: 'heavy' 3000 times, 'warm' 1500, and 1500 singletons
+    val heavy = spark.range(0, 3000).select(lit("heavy").as("x"))
+    val warm = spark.range(0, 1500).select(lit("warm").as("x"))
+    val tail = spark.range(0, 1500).select(concat(lit("t"), col("id")).as("x"))
+    val df = heavy.union(warm).union(tail).repartition(8)
+    val k = 9
+    val n = 6000.0
+    val got = df.agg(SketchAggregates.misraGries(col("x"), k).as("hh"))
+      .select(explode(col("hh"))).select("col.item", "col.cnt")
+      .as[(String, Long)].collect().toMap
+    assert(got.size <= k)
+    // anything above n/(k+1) = 600 must be present
+    assert(got.contains("heavy") && got.contains("warm"), s"got $got")
+    // counters never overestimate and undershoot by at most n/(k+1)
+    val truth = Map("heavy" -> 3000L, "warm" -> 1500L).withDefaultValue(1L)
+    got.foreach { case (item, c) =>
+      assert(c <= truth(item), s"$item overestimated: $c > ${truth(item)}")
+      assert(c >= truth(item) - n / (k + 1), s"$item undershot: $c")
+    }
+  }
+
 }

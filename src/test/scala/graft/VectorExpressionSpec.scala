@@ -89,6 +89,14 @@ class VectorExpressionSpec extends SparkSpec {
           |  64).estimate AS e FROM vk""".stripMargin).head().getLong(0)
       assert(est == 37)
 
+      // misra_gries is SQL-callable as an aggregate (exact regime)
+      s.range(0, 100).selectExpr("CAST(id % 5 AS STRING) AS x")
+        .createOrReplaceTempView("vm")
+      val hh = s.sql("SELECT misra_gries(x, 8) AS hh FROM vm")
+        .select(explode(col("hh"))).select("col.item", "col.cnt")
+        .as[(String, Long)].collect().toMap
+      assert(hh == (0 until 5).map(i => i.toString -> 20L).toMap)
+
       // the optimizer rule rewrites the HOF fold into FloatDotProduct
       // (non-foldable input — literal views constant-fold to a
       // LocalRelation before the plan can be inspected)

@@ -1007,6 +1007,12 @@ object SparkEntry {
     // Misra-Gries frequent-items UDAF in its exact regime (k=32 >= 25
     // distinct brands): counters provably exact, so the sketch output
     // hash-matches the full GROUP BY it replaces at scale.
+    // native Generator (UDTF tier): streams one row per 3-token window
+    // without materializing the per-document shingle array
+    "text_shingles" -> ((s, d) =>
+      Tables.documents(s, d).filter(col("doc_id") < 50)
+        .select(col("doc_id"),
+          graft.expressions.TextGenerators.shingleRows(col("text"), 3))),
     "heavy_hitters" -> ((s, d) =>
       Tables.part(s, d)
         .agg(graft.expressions.SketchAggregates
@@ -1386,6 +1392,12 @@ object SparkEntry {
          |    CAST(len(list_filter($toksSql, t -> list_contains($stopwordsSql, t))) AS BIGINT) AS n_stopwords,
          |    CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS BIGINT) AS n_punct
          |  FROM documents)""".stripMargin,
+    "text_shingles" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks
+         |           FROM documents WHERE doc_id < 50)
+         |SELECT doc_id, CAST(u.i - 1 AS INTEGER) AS pos,
+         |  toks[u.i] || ' ' || toks[u.i+1] || ' ' || toks[u.i+2] AS shingle
+         |FROM t, unnest(generate_series(1, len(toks) - 2)) AS u(i)""".stripMargin,
     "heavy_hitters" ->
       """SELECT CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, item ASC) AS BIGINT) AS rank,
         |  item, cnt

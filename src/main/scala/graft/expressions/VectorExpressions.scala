@@ -147,6 +147,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         KmvDistinctAgg(exprs(0), intLit(exprs(1), "kmv_distinct"))
       }))
     e.injectFunction((
+      new FunctionIdentifier("shingle_rows"),
+      new ExpressionInfo(classOf[ShingleRows].getName, "shingle_rows"),
+      (exprs: Seq[Expression]) => {
+        if (exprs.length != 2) throw new IllegalArgumentException(
+          s"shingle_rows(text, n) takes 2 arguments, got ${exprs.length}")
+        ShingleRows(exprs(0), intLit(exprs(1), "shingle_rows"))
+      }))
+    e.injectFunction((
       new FunctionIdentifier("misra_gries"),
       new ExpressionInfo(classOf[MisraGriesAgg].getName, "misra_gries"),
       (exprs: Seq[Expression]) => {

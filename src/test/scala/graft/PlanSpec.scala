@@ -100,7 +100,8 @@ class PlanSpec extends SparkSpec {
     Seq("dedup_exact", "dedup_minhash", "dedup_containment", "decontaminate",
       "repetition", "corpus_filter", "doc_pack", "tfidf_top_terms",
       "span_dedup", "corpus_shuffle", "corpus_sample_tokens", "corpus_mix",
-      "corpus_sample_per_source").foreach { q =>
+      "corpus_sample_per_source", "corpus_stats_by_source",
+      "quality_gopher", "text_shingles").foreach { q =>
       val cols = shuffledColumns(q)
       assert(!cols.contains("text"), s"$q shuffles text: $cols")
       // span_dedup additionally must not shuffle the token array

@@ -97,6 +97,16 @@ class VectorExpressionSpec extends SparkSpec {
         .as[(String, Long)].collect().toMap
       assert(hh == (0 until 5).map(i => i.toString -> 20L).toMap)
 
+      // shingle_rows generator is SQL-callable, incl. LATERAL VIEW
+      Seq((1L, "The quick Brown fox jumps")).toDF("id", "txt")
+        .createOrReplaceTempView("vg")
+      val lat = s.sql(
+        """SELECT id, pos, shingle FROM vg
+          |LATERAL VIEW shingle_rows(txt, 3) AS pos, shingle""".stripMargin)
+        .as[(Long, Int, String)].collect().toSeq
+      assert(lat == Seq((1L, 0, "the quick brown"), (1L, 1, "quick brown fox"),
+        (1L, 2, "brown fox jumps")))
+
       // the optimizer rule rewrites the HOF fold into FloatDotProduct
       // (non-foldable input — literal views constant-fold to a
       // LocalRelation before the plan can be inspected)
@@ -126,5 +136,23 @@ class VectorExpressionSpec extends SparkSpec {
       SparkSession.setActiveSession(base)
       SparkSession.setDefaultSession(base)
     }
+  }
+
+  test("ShingleRows generator matches posexplode(shingles(text, n)) row-for-row") {
+    import graft.functions.TextFunctions
+    import graft.expressions.TextGenerators
+    val docs = Seq(
+      (1L, "  The quick   brown FOX jumps over the lazy dog  "), // mixed case/space
+      (2L, "one two"),   // shorter than n → no rows
+      (3L, null: String) // null text → no rows
+    ).toDF("doc_id", "text")
+    val gen = docs.select(col("doc_id"), TextGenerators.shingleRows(col("text"), 3))
+    val hof = docs.select(col("doc_id"),
+        posexplode(TextFunctions.shingles(col("text"), 3)))
+      .withColumn("pos", col("pos").cast("int"))
+      .withColumnRenamed("col", "shingle")
+    assert(gen.exceptAll(hof).isEmpty && hof.exceptAll(gen).isEmpty,
+      s"gen=${gen.collect().toSeq} hof=${hof.collect().toSeq}")
+    assert(gen.filter(col("doc_id") >= 2).isEmpty)
   }
 }

@@ -1007,6 +1007,20 @@ object SparkEntry {
     // Misra-Gries frequent-items UDAF in its exact regime (k=32 >= 25
     // distinct brands): counters provably exact, so the sketch output
     // hash-matches the full GROUP BY it replaces at scale.
+    // inverted-index keyword search, exact-rational tf-idf score
+    "keyword_search" -> ((s, d) =>
+      TextFunctions.keywordSearch(Tables.documents(s, d),
+        Seq("spark", "merge", "window"), k = 20)),
+    // regular-grid resample + forward fill (gap-filled hourly series)
+    "events_resample" -> ((s, d) =>
+      graft.operators.TimeSeries.resampleFfill(
+        Tables.events(s, d).filter(col("user_id") < 5),
+        "user_id", "ts", "value", "hour")),
+    // SCD Type 2 validity intervals from the event change log
+    "scd2_user_state" -> ((s, d) =>
+      graft.operators.TimeSeries.scd2(
+        Tables.events(s, d).filter(col("user_id") < 10),
+        "user_id", "ts", "event_id", "event_type")),
     // native Generator (UDTF tier): streams one row per 3-token window
     // without materializing the per-document shingle array
     "text_shingles" -> ((s, d) =>
@@ -1392,6 +1406,64 @@ object SparkEntry {
          |    CAST(len(list_filter($toksSql, t -> list_contains($stopwordsSql, t))) AS BIGINT) AS n_stopwords,
          |    CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS BIGINT) AS n_punct
          |  FROM documents)""".stripMargin,
+    "keyword_search" ->
+      s"""WITH posting AS (
+         |  SELECT doc_id, term FROM (
+         |    SELECT doc_id, unnest($toksSql) AS term FROM documents)
+         |  WHERE term IN ('spark', 'merge', 'window')),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM posting GROUP BY 1, 2),
+         |dfs AS (SELECT
+         |    count(*) FILTER (term = 'spark') AS df_spark,
+         |    count(*) FILTER (term = 'merge') AS df_merge,
+         |    count(*) FILTER (term = 'window') AS df_window
+         |  FROM tf),
+         |n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+         |doctf AS (SELECT doc_id,
+         |    CAST(coalesce(sum(tf) FILTER (term = 'spark'), 0) AS BIGINT) AS tf_spark,
+         |    CAST(coalesce(sum(tf) FILTER (term = 'merge'), 0) AS BIGINT) AS tf_merge,
+         |    CAST(coalesce(sum(tf) FILTER (term = 'window'), 0) AS BIGINT) AS tf_window
+         |  FROM tf GROUP BY 1),
+         |scored AS (SELECT doc_id, tf_spark, tf_merge, tf_window,
+         |    CAST(tf_spark * (n + 1) * (df_merge + 1) * (df_window + 1)
+         |       + tf_merge * (n + 1) * (df_spark + 1) * (df_window + 1)
+         |       + tf_window * (n + 1) * (df_spark + 1) * (df_merge + 1) AS BIGINT) AS score_num,
+         |    CAST((df_spark + 1) * (df_merge + 1) * (df_window + 1) AS BIGINT) AS denom
+         |  FROM doctf, dfs, n)
+         |SELECT doc_id, tf_spark, tf_merge, tf_window, score_num,
+         |  CAST(score_num AS DOUBLE) / CAST(denom AS DOUBLE) AS score
+         |FROM scored WHERE score_num > 0
+         |ORDER BY score_num DESC, doc_id ASC LIMIT 20""".stripMargin,
+    "events_resample" ->
+      """WITH base AS (
+        |  SELECT user_id, date_trunc('hour', ts) AS bucket,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS bucket_sum,
+        |    count(*) AS n_events
+        |  FROM events WHERE user_id < 5 GROUP BY 1, 2),
+        |span AS (SELECT user_id, min(bucket) AS mn, max(bucket) AS mx
+        |         FROM base GROUP BY 1),
+        |grid AS (SELECT user_id,
+        |    unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS bucket
+        |  FROM span)
+        |SELECT g.user_id, g.bucket,
+        |  CAST(coalesce(b.n_events, 0) AS BIGINT) AS n_events,
+        |  b.bucket_sum IS NULL AS gap,
+        |  last_value(b.bucket_sum IGNORE NULLS) OVER (
+        |    PARTITION BY g.user_id ORDER BY g.bucket
+        |    ROWS UNBOUNDED PRECEDING) AS filled_sum
+        |FROM grid g LEFT JOIN base b USING (user_id, bucket)""".stripMargin,
+    "scd2_user_state" ->
+      """WITH ordered AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    lag(event_type) OVER w AS prev,
+        |    ROW_NUMBER() OVER w AS rn
+        |  FROM events WHERE user_id < 10
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |runs AS (SELECT user_id, ts, event_id, event_type FROM ordered
+        |  WHERE rn = 1 OR prev IS DISTINCT FROM event_type)
+        |SELECT user_id, event_type, ts AS valid_from,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
+        |FROM runs""".stripMargin,
     "text_shingles" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks
          |           FROM documents WHERE doc_id < 50)

@@ -402,6 +402,60 @@ object TextFunctions {
         ellipsisOk && alphaOk && stopOk).as("keep"))
   }
 
+  /** Keyword search over the corpus: score every document against a
+    * literal query-term list with the tf·idf-monotone rational
+    * `Σ_i tf_i · (N+1) / (df_i+1)` and return the top-k. To keep the
+    * score ENGINE-EXACT the sum is carried as one integer numerator
+    * over the common denominator `Π_j (df_j+1)`:
+    * `score_num = Σ_i tf_i · (N+1) · Π_{j≠i} (df_j+1)` — no double
+    * accumulates across terms (double + is order-sensitive; integer +
+    * is not), and the reported double is a single final division.
+    * Bounded: numerator ≤ |q| · tf · (N+1) · (N+1)^(|q|-1); with the
+    * default 3-term query this needs N·tf ≲ 10^4·10^2 — inside long
+    * range below ~10^5 docs per shard; larger corpora should shard or
+    * drop to the per-term double form.
+    *
+    * Plan shape: explode → tf hash-agg (term-filtered FIRST, so only
+    * query-term postings survive the explode) → two one-row broadcast
+    * stats (per-term df pivot, corpus N) → map-side score → global
+    * top-k via TakeOrderedAndProject. The inverted-index pattern
+    * without materializing an index; document text never shuffles.
+    */
+  def keywordSearch(docs: org.apache.spark.sql.DataFrame, terms: Seq[String],
+                    k: Int = 20, textCol: String = "text",
+                    idCol: String = "doc_id"): org.apache.spark.sql.DataFrame = {
+    require(terms.nonEmpty && terms.size <= 8, s"1..8 literal terms, got ${terms.size}")
+    val posting = docs.select(col(idCol).as("doc_id"),
+        explode(tokens(col(textCol))).as("term"))
+      .filter(col("term").isin(terms: _*))
+    val tf = posting.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    // per-term document frequency, pivoted to ONE broadcastable row
+    val dfRow = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .groupBy().pivot("term", terms).agg(first("df"))
+      .select(terms.map(t => coalesce(col(s"`$t`"), lit(0L)).as(s"__df_$t")): _*)
+    val nRow = docs.select(col(idCol)).distinct().agg(count(lit(1)).as("__n"))
+    val docTf = tf.groupBy("doc_id").pivot("term", terms).agg(first("tf"))
+      .select(col("doc_id") +:
+        terms.map(t => coalesce(col(s"`$t`"), lit(0L)).as(s"__tf_$t")): _*)
+    val scored = docTf.crossJoin(broadcast(dfRow)).crossJoin(broadcast(nRow))
+    val denom = terms.map(t => col(s"__df_$t") + 1L).reduce(_ * _)
+    val num = terms.map { t =>
+      val others = terms.filterNot(_ == t)
+      val prodOthers =
+        if (others.isEmpty) lit(1L)
+        else others.map(o => col(s"__df_$o") + 1L).reduce(_ * _)
+      col(s"__tf_$t") * (col("__n") + 1L) * prodOthers
+    }.reduce(_ + _)
+    scored
+      .withColumn("score_num", num)
+      .withColumn("score", col("score_num").cast("double") / denom.cast("double"))
+      .filter(col("score_num") > 0)
+      .orderBy(col("score_num").desc, col("doc_id").asc)
+      .limit(k)
+      .select(col("doc_id") +: terms.map(t => col(s"__tf_$t").as(s"tf_$t")) :+
+        col("score_num") :+ col("score"): _*)
+  }
+
   def tfidfTopTerms(docs: org.apache.spark.sql.DataFrame, k: Int = 5,
                     textCol: String = "text", idCol: String = "doc_id")
       : org.apache.spark.sql.DataFrame = {

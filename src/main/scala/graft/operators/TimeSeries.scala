@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Exact
+
+/** Regular-grid time-series operators: gap-filling resample with
+  * forward fill, and SCD Type 2 interval construction — the two
+  * "shape time into rows" primitives warehouse and feature pipelines
+  * need beyond as-of/range joins and sessionization.
+  *
+  * Scale shape, both operators: everything is keyed by the series /
+  * dimension key, so there is exactly ONE shuffle (hash by key) and
+  * all windows run inside it with narrow columns; the dense grid is
+  * generated per key with `sequence` (span/step rows per key,
+  * distributed — never a driver-side calendar table).
+  */
+object TimeSeries {
+
+  /** Resample events onto a regular `unit` grid (one row per key per
+    * bucket from the key's first to last bucket), with exact bucket
+    * sums, event counts, a gap flag for empty buckets, and the
+    * last-observation-carried-forward sum.
+    *
+    * `unit` is a calendar unit accepted by `date_trunc` / `interval`
+    * ("minute", "hour", "day"). The value aggregate goes through
+    * [[Exact.dsum]] (integer-cents) so the doubles are bit-identical
+    * in any engine.
+    */
+  def resampleFfill(df: DataFrame, keyCol: String, tsCol: String,
+                    valueCol: String, unit: String = "hour"): DataFrame = {
+    val base = df
+      .groupBy(col(keyCol),
+        date_trunc(unit, col(tsCol)).cast("timestamp_ntz").as("bucket"))
+      .agg(Exact.dsum(col(valueCol)).as("bucket_sum"),
+        count(lit(1)).as("n_events"))
+    val grid = base.groupBy(col(keyCol))
+      .agg(min(col("bucket")).as("__mn"), max(col("bucket")).as("__mx"))
+      .select(col(keyCol),
+        explode(sequence(col("__mn"), col("__mx"),
+          expr(s"interval 1 $unit"))).as("bucket"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(base, Seq(keyCol, "bucket"), "left")
+      .select(col(keyCol), col("bucket"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        col("bucket_sum").isNull.as("gap"),
+        last(col("bucket_sum"), ignoreNulls = true).over(w).as("filled_sum"))
+  }
+
+  /** SCD Type 2 from a change log: collapse consecutive identical
+    * states per key, then emit one validity interval per state run —
+    * (key, state, valid_from, valid_to, is_current), half-open
+    * [valid_from, valid_to), NULL valid_to on the current row.
+    *
+    * `tieCol` breaks equal-timestamp ordering deterministically.
+    * Two windows over the same (key) partitioning = one shuffle. */
+  def scd2(df: DataFrame, keyCol: String, tsCol: String, tieCol: String,
+           stateCol: String): DataFrame = {
+    val wOrd = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    val changes = df
+      .select(col(keyCol), col(tsCol), col(tieCol), col(stateCol))
+      .withColumn("__prev", lag(col(stateCol), 1).over(wOrd))
+      .withColumn("__rn", row_number().over(wOrd))
+      // state runs: keep the first row of each run. The partition
+      // start is detected by row number, NOT by `__prev IS NULL` —
+      // a NULL *state* also makes lag() null, and must still collapse
+      // into runs (null-safe <=> comparison)
+      .filter(col("__rn") === 1 || !(col("__prev") <=> col(stateCol)))
+      .drop("__rn")
+    changes
+      .withColumn("valid_to", lead(col(tsCol), 1).over(wOrd))
+      .select(col(keyCol), col(stateCol),
+        col(tsCol).as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+  }
+}

@@ -154,6 +154,25 @@ class CorpusOpsSpec extends SparkSpec {
     assert(half.exceptAll(docs).isEmpty) // strictly a subset, rows unmodified
   }
 
+  test("keywordSearch ranks by the exact rational tf-idf and drops zero-score docs") {
+    import graft.functions.TextFunctions
+    val docs = Seq(
+      (1L, "spark spark spark join"),  // tf(spark)=3
+      (2L, "spark merge merge"),       // tf(spark)=1, tf(merge)=2
+      (3L, "window"),                  // rare term only
+      (4L, "nothing relevant here")    // zero score: dropped
+    ).toDF("doc_id", "text")
+    val out = TextFunctions.keywordSearch(docs, Seq("spark", "merge", "window"), k = 10)
+      .collect()
+    // N=4; df: spark=2, merge=1, window=1 → denom=(3)(2)(2)=12, N+1=5
+    // doc1: 3*5*(2*2)=60; doc2: 1*5*4 + 2*5*(3*2)=20+60=80; doc3: 1*5*(3*2)=30
+    val got = out.map(r => (r.getLong(0), r.getAs[Long]("score_num"))).toSeq
+    assert(got == Seq((2L, 80L), (1L, 60L), (3L, 30L)), s"got $got")
+    // reported double is exactly num/denom
+    out.foreach(r =>
+      assert(r.getAs[Double]("score") == r.getAs[Long]("score_num").toDouble / 12.0))
+  }
+
   test("quantileBuckets: monotone in score, ties co-bucketed, no global sort") {
     val df = (0 until 1000).map(i => (i.toLong, (i % 100).toLong)).toDF("id", "score")
     val out = Sampling.quantileBuckets(df, "score", nBuckets = 4)

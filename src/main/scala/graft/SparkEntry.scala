@@ -1007,6 +1007,13 @@ object SparkEntry {
     // Misra-Gries frequent-items UDAF in its exact regime (k=32 >= 25
     // distinct brands): counters provably exact, so the sketch output
     // hash-matches the full GROUP BY it replaces at scale.
+    // real WAV codec end-to-end: synth square wave → RIFF encode →
+    // decode → features; oracle predicts features in closed form from
+    // doc_id, so a codec bug breaks the hash compare
+    "audio_features" -> ((s, d) =>
+      graft.multimodal.Multimodal.featurizeAudio(
+        graft.multimodal.Multimodal.syntheticAudioAssets(
+          Tables.documents(s, d))).toDF()),
     // inverted-index keyword search, exact-rational tf-idf score
     "keyword_search" -> ((s, d) =>
       TextFunctions.keywordSearch(Tables.documents(s, d),
@@ -1406,6 +1413,16 @@ object SparkEntry {
          |    CAST(len(list_filter($toksSql, t -> list_contains($stopwordsSql, t))) AS BIGINT) AS n_stopwords,
          |    CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS BIGINT) AS n_punct
          |  FROM documents)""".stripMargin,
+    "audio_features" ->
+      """SELECT doc_id AS asset_id,
+        |  CAST(doc_id % 400 + 100 AS BIGINT) AS n_samples,
+        |  CAST(1 AS INTEGER) AS n_channels,
+        |  CAST(8000 AS INTEGER) AS sample_rate,
+        |  CAST((doc_id % 400 + 100) * 1000 AS DOUBLE) / 8000 AS duration_ms,
+        |  CAST((doc_id % 5 + 1) * 4000 AS DOUBLE) AS rms,
+        |  CAST((doc_id % 400 + 100 - 1) // (doc_id % 37 + 8) AS BIGINT) AS zero_crossings,
+        |  CAST((doc_id % 5 + 1) * 4000 AS INTEGER) AS peak
+        |FROM documents""".stripMargin,
     "keyword_search" ->
       s"""WITH posting AS (
          |  SELECT doc_id, term FROM (

@@ -8,11 +8,13 @@ import org.apache.spark.sql.functions._
   * frame-sample operators.
   *
   * The Spark-side plumbing — schemas, typed Datasets, mapPartitions
-  * batch shape, partitioning — is real and tested. The codec kernels
-  * (`decodeBytes`, `resizeKernel`, `sampleFrame`) are DETERMINISTIC
-  * STUBS: the container has no image/audio libraries, so they stand in
-  * for e.g. libjpeg/ffmpeg calls with pure byte arithmetic. Swapping in
-  * a real codec changes only those three private functions.
+  * batch shape, partitioning — is real and tested. So are two of the
+  * three codecs: IMAGE via javax.imageio (real JPEG/PNG bitstreams)
+  * and AUDIO via a RIFF/PCM16 WAV reader+writer below (plain byte
+  * format, no library needed). Only VIDEO keeps DETERMINISTIC STUB
+  * kernels (`decodeBytes`, `resizeKernel`, `sampleFrame`) standing in
+  * for the absent ffmpeg-class demuxer; swapping in a real one changes
+  * only those private functions.
   *
   * Scale notes: every operator is a per-partition map over the binary
   * column — no shuffle. Batched iteration inside `mapPartitions` keeps
@@ -43,7 +45,8 @@ object Multimodal {
   case class Frame(asset_id: Long, frame_idx: Int, frame_bytes: Array[Byte])
 
   // ------------------------------------------------------------------
-  // STUB codec kernels — deterministic fakes for the absent media libs.
+  // STUB codec kernels — deterministic fakes for the absent VIDEO libs
+  // (image and audio have real codecs further down).
   // ------------------------------------------------------------------
 
   /** STUB decode: a real implementation would run libjpeg/libpng here.
@@ -132,6 +135,126 @@ object Multimodal {
     val plane = new Array[Byte](w * h)
     gray.getRaster.getDataElements(0, 0, w, h, plane)
     (plane, w, h)
+  }
+
+  // ------------------------------------------------------------------
+  // REAL audio codec kernels — WAV/RIFF PCM16 is a plain byte format,
+  // so the audio modality needs no external library either: these
+  // write and parse actual RIFF containers any audio tool reads.
+  // (Video remains the one documented stand-in — there is no pure-JVM
+  // ffmpeg equivalent.)
+  // ------------------------------------------------------------------
+
+  /** Decoded audio features. */
+  case class AudioFeatures(
+      asset_id: Long, n_samples: Long, n_channels: Int, sample_rate: Int,
+      duration_ms: Double, rms: Double, zero_crossings: Long, peak: Int)
+
+  /** Encode 16-bit PCM samples as a real WAV (RIFF little-endian)
+    * bitstream: RIFF/WAVE header + fmt chunk + data chunk. */
+  def encodeWavKernel(samples: Array[Short], sampleRate: Int,
+                      channels: Int): Array[Byte] = {
+    require(channels >= 1 && sampleRate > 0 && samples.length % channels == 0,
+      s"bad WAV params: ${samples.length} samples, $channels ch, $sampleRate Hz")
+    val dataLen = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(36 + dataLen)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")); bb.putInt(16)
+    bb.putShort(1) // PCM
+    bb.putShort(channels.toShort)
+    bb.putInt(sampleRate)
+    bb.putInt(sampleRate * channels * 2) // byte rate
+    bb.putShort((channels * 2).toShort)  // block align
+    bb.putShort(16)                      // bits per sample
+    bb.put("data".getBytes("US-ASCII")); bb.putInt(dataLen)
+    var i = 0
+    while (i < samples.length) { bb.putShort(samples(i)); i += 1 }
+    bb.array()
+  }
+
+  /** Decode a WAV bitstream: walks RIFF chunks (tolerating unknown
+    * chunks and odd-size padding per the spec), requires PCM16, returns
+    * (samples, sampleRate, channels). */
+  def decodeWavKernel(content: Array[Byte]): (Array[Short], Int, Int) = {
+    val bb = java.nio.ByteBuffer.wrap(content)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag4(): String = {
+      val b = new Array[Byte](4); bb.get(b); new String(b, "US-ASCII")
+    }
+    require(bb.remaining() >= 12 && tag4() == "RIFF", "not a RIFF container")
+    bb.getInt // declared RIFF size (unchecked: some writers get it wrong)
+    require(tag4() == "WAVE", "RIFF but not WAVE")
+    var rate = 0
+    var channels = 0
+    var samples: Array[Short] = null
+    while ((rate == 0 || samples == null) && bb.remaining() >= 8) {
+      val id = tag4()
+      val size = bb.getInt
+      id match {
+        case "fmt " =>
+          require(size >= 16, s"fmt chunk too small: $size")
+          val fmt = bb.getShort
+          channels = bb.getShort.toInt
+          rate = bb.getInt
+          bb.getInt; bb.getShort
+          val bits = bb.getShort
+          require(fmt == 1 && bits == 16,
+            s"only PCM16 supported, got format=$fmt bits=$bits")
+          bb.position(bb.position() + (size - 16) + (size & 1))
+        case "data" =>
+          val n = math.min(size, bb.remaining()) / 2
+          samples = new Array[Short](n)
+          var i = 0
+          while (i < n) { samples(i) = bb.getShort; i += 1 }
+        case _ => // skip unknown chunk (+ pad byte on odd sizes)
+          bb.position(bb.position() + math.min(size + (size & 1), bb.remaining()))
+      }
+    }
+    require(rate > 0 && samples != null, "missing fmt or data chunk")
+    (samples, rate, channels)
+  }
+
+  /** Deterministic synthetic table of REAL WAV audio assets: a square
+    * wave whose length / period / amplitude derive from doc_id, encoded
+    * as a PCM16 RIFF bitstream any audio tool reads. */
+  def syntheticAudioAssets(documents: DataFrame,
+                           sampleRate: Int = 8000): Dataset[MediaAsset] = {
+    import documents.sparkSession.implicits._
+    documents.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val n = (id % 400 + 100).toInt
+      val period = (id % 37 + 8).toInt
+      val amp = ((id % 5 + 1) * 4000).toInt
+      val samples = Array.tabulate[Short](n)(i =>
+        (if ((i / period) % 2 == 0) amp else -amp).toShort)
+      MediaAsset(id, "audio", encodeWavKernel(samples, sampleRate, 1),
+        width = 0, height = 0, n_frames = 0)
+    })
+  }
+
+  /** Decode audio payloads with the REAL codec and extract features
+    * (mapPartitions, zero shuffle): sample/channel/rate metadata,
+    * duration, RMS, zero crossings, peak amplitude. */
+  def featurizeAudio(assets: Dataset[MediaAsset]): Dataset[AudioFeatures] = {
+    import assets.sparkSession.implicits._
+    assets.filter(_.media_type == "audio").mapPartitions(_.map { a =>
+      val (s, rate, ch) = decodeWavKernel(a.content)
+      var sumSq = 0.0
+      var zc = 0L
+      var peak = 0
+      var i = 0
+      while (i < s.length) {
+        val v = s(i).toInt
+        sumSq += v.toDouble * v.toDouble
+        if (i > 0 && (s(i - 1).toInt ^ v) < 0 && s(i - 1) != 0 && v != 0) zc += 1
+        if (math.abs(v) > peak) peak = math.abs(v)
+        i += 1
+      }
+      val rms = if (s.isEmpty) 0.0 else math.sqrt(sumSq / s.length)
+      AudioFeatures(a.asset_id, s.length.toLong, ch, rate,
+        s.length.toDouble * 1000.0 / (rate * math.max(ch, 1)), rms, zc, peak)
+    })
   }
 
   // ------------------------------------------------------------------

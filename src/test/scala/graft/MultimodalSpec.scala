@@ -105,4 +105,45 @@ class MultimodalSpec extends SparkSpec {
         math.abs((a & 0xff) - (b & 0xff)) }.sum.toDouble / j.content.length }
     assert(jpgMad.forall(_ < 48.0), s"jpeg drifted: $jpgMad")
   }
+
+  test("real WAV roundtrip is bit-exact and tolerates unknown RIFF chunks") {
+    val samples = Array.tabulate[Short](777)(i => ((i * 31 - 9000) % 32767).toShort)
+    val wav = Multimodal.encodeWavKernel(samples, 44100, 1)
+    val (back, rate, ch) = Multimodal.decodeWavKernel(wav)
+    assert(back.sameElements(samples) && rate == 44100 && ch == 1)
+    // stereo block alignment honored
+    val st = Multimodal.encodeWavKernel(Array[Short](1, -1, 2, -2), 8000, 2)
+    assert(Multimodal.decodeWavKernel(st)._3 == 2)
+    // an unknown (odd-sized, padded) chunk before `data` is skipped
+    val listChunk = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](3, 0, 0, 0, 65, 66, 67, 0) // size 3 + pad byte
+    val patched = wav.take(36) ++ listChunk ++ wav.drop(36)
+    val patchedBuf = java.nio.ByteBuffer.wrap(patched)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    patchedBuf.putInt(4, patched.length - 8) // fix RIFF size
+    val (back2, _, _) = Multimodal.decodeWavKernel(patched)
+    assert(back2.sameElements(samples))
+    // junk and non-PCM16 payloads fail loudly, not silently
+    intercept[Exception] { Multimodal.decodeWavKernel("not a wav".getBytes) }
+    val bad = wav.clone()
+    bad(34) = 8 // bits-per-sample: claim PCM8
+    intercept[Exception] { Multimodal.decodeWavKernel(bad) }
+  }
+
+  test("featurizeAudio decodes the real WAV assets distributed, features match closed form") {
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001").limit(60)
+    val feats = Multimodal.featurizeAudio(Multimodal.syntheticAudioAssets(docs))
+      .collect().sortBy(_.asset_id)
+    assert(feats.length == 60)
+    feats.foreach { f =>
+      val id = f.asset_id
+      val n = id % 400 + 100
+      val period = id % 37 + 8
+      val amp = ((id % 5 + 1) * 4000).toInt
+      assert(f.n_samples == n && f.sample_rate == 8000 && f.n_channels == 1)
+      assert(f.rms == amp.toDouble && f.peak == amp)
+      assert(f.zero_crossings == (n - 1) / period,
+        s"id=$id zc=${f.zero_crossings} expected ${(n - 1) / period}")
+    }
+  }
 }

@@ -134,6 +134,26 @@ class SketchBloomSpec extends SparkSpec {
       s"g=${r.getLong(0)} est=${r.getLong(1)}"))
   }
 
+  test("misraGries works as a streaming windowed aggregate (state round-trips)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long)]
+    input.addData((1 to 60).map(i =>
+      (java.sql.Timestamp.valueOf("2024-01-01 10:00:05"), (i % 3).toLong)): _*)
+    val df = input.toDF().toDF("ts", "item_id")
+    val agg = df.withWatermark("ts", "10 seconds")
+      .groupBy(window(col("ts"), "1 minute"))
+      .agg(SketchAggregates.misraGries(col("item_id").cast("string"), 8).as("hh"))
+      .select(explode(col("hh")))
+      .select(col("col.item"), col("col.cnt"))
+    val q = agg.writeStream.format("memory").queryName("mg_out")
+      .outputMode("append").start()
+    input.addData((java.sql.Timestamp.valueOf("2024-01-01 10:05:00"), 999L))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("mg_out").as[(String, Long)].collect().toMap
+    assert(rows == Map("0" -> 20L, "1" -> 20L, "2" -> 20L))
+  }
+
   test("misraGries is exact and partition-invariant when k >= #distinct") {
     val df = spark.range(0, 5000)
       .select(concat(lit("item"), col("id") % 17).as("x"))

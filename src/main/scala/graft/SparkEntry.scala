@@ -1007,6 +1007,23 @@ object SparkEntry {
     // Misra-Gries frequent-items UDAF in its exact regime (k=32 >= 25
     // distinct brands): counters provably exact, so the sketch output
     // hash-matches the full GROUP BY it replaces at scale.
+    // fixed-point PageRank over the MinHash near-dup graph: integer
+    // micro-unit ranks, floor division each step — engine-exact after
+    // any number of iterations (a floating-point PageRank never
+    // survives a cross-engine hash compare)
+    "pagerank_neardup" -> ((s, d) =>
+      graft.operators.Graph.pageRank(
+          graft.operators.Graph.symmetrize(
+            Dedup.minhashNearDups(Tables.documents(s, d))
+              .select("doc_a", "doc_b"),
+            "doc_a", "doc_b"))
+        .select(col("id").as("doc_id"), col("rank_micro"))),
+    // per-group 3-sigma outliers with engine-exact integer-moment test
+    "value_outliers" -> ((s, d) =>
+      graft.validate.Expectations.outliers(
+          Tables.events(s, d).select("event_id", "event_type", "value"),
+          "value", Seq("event_type"), z = 3)
+        .select("event_id", "event_type", "value")),
     // real WAV codec end-to-end: synth square wave → RIFF encode →
     // decode → features; oracle predicts features in closed form from
     // doc_id, so a codec bug breaks the hash compare
@@ -1107,7 +1124,65 @@ object SparkEntry {
     }),
   )
 
+  /** The MinHash-LSH candidate-pair CTE chain (docs→sigs→bands→capped
+    * buckets→cands), shared verbatim with the dedup_minhash oracle. */
+  private val minhashCandsSql: String =
+    s"""docs AS (
+       |  SELECT doc_id, $shinglesSql AS shingles FROM documents),
+       |sigs AS (
+       |  SELECT doc_id, shingles,
+       |    list_transform(range(0, 12), j ->
+       |      list_aggregate(list_transform(shingles,
+       |        s -> (CAST(concat('0x', substring(md5(s), 1, 15)) AS BIGINT) % 2147483648
+       |              + j * (CAST(concat('0x', substring(md5(s), 16, 15)) AS BIGINT) % 2147483648))
+       |             % 2147483648), 'min')) AS sig
+       |  FROM docs WHERE len(shingles) > 0),
+       |bands AS (
+       |  SELECT doc_id, b AS band_idx,
+       |    concat_ws(',', sig[b*3+1], sig[b*3+2], sig[b*3+3]) AS band_hash
+       |  FROM sigs, range(0, 4) AS t(b)),
+       |bsz AS (
+       |  SELECT band_idx, band_hash FROM bands
+       |  GROUP BY band_idx, band_hash HAVING count(*) <= 1000),
+       |bands2 AS (
+       |  SELECT b.doc_id, b.band_idx, b.band_hash
+       |  FROM bands b JOIN bsz USING (band_idx, band_hash)),
+       |cands AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands2 a JOIN bands2 b
+       |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+       |  WHERE a.doc_id < b.doc_id)""".stripMargin
+
+  /** Fixed-point PageRank oracle: the candidate chain, symmetrized
+    * edges, then `iterations` UNROLLED integer-arithmetic rounds (all
+    * floor division, mirrors [[graft.operators.Graph.pageRank]]). */
+  private def pagerankSql(iterations: Int): String = {
+    val setup =
+      s"""WITH $minhashCandsSql,
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM cands
+         |          UNION SELECT doc_b, doc_a FROM cands),
+         |nodes AS (SELECT DISTINCT src AS id FROM edges),
+         |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+         |base AS (SELECT CAST(1000000 // count(*) AS BIGINT) AS r0,
+         |                CAST(150000 // count(*) AS BIGINT) AS b FROM nodes),
+         |it0 AS (SELECT id, (SELECT r0 FROM base) AS r FROM nodes)""".stripMargin
+    val iters = (1 to iterations).map { i =>
+      s""",
+         |it$i AS (SELECT n.id,
+         |    (SELECT b FROM base)
+         |      + CAST((85 * COALESCE(s.cs, 0)) // 100 AS BIGINT) AS r
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS id, CAST(SUM(p.r // d.deg) AS BIGINT) AS cs
+         |    FROM edges e JOIN it${i - 1} p ON p.id = e.src
+         |    JOIN deg d ON d.src = e.src
+         |    GROUP BY 1) s USING (id))""".stripMargin
+    }.mkString
+    setup + iters +
+      s"\nSELECT id AS doc_id, CAST(r AS BIGINT) AS rank_micro FROM it$iterations"
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "pagerank_neardup" -> pagerankSql(5),
     "q1_agg" ->
       s"""${TaxiShape.stagingSql}
          |SELECT year, month, dow, service_type, count(*) AS n_trips,
@@ -1413,6 +1488,18 @@ object SparkEntry {
          |    CAST(len(list_filter($toksSql, t -> list_contains($stopwordsSql, t))) AS BIGINT) AS n_stopwords,
          |    CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS BIGINT) AS n_punct
          |  FROM documents)""".stripMargin,
+    "value_outliers" ->
+      """WITH c AS (SELECT event_id, event_type, value,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc FROM events),
+        |st AS (SELECT event_type, count(*) AS n,
+        |    CAST(SUM(vc) AS BIGINT) AS s,
+        |    CAST(SUM(vc * vc) AS BIGINT) AS ss
+        |  FROM c GROUP BY 1)
+        |SELECT event_id, event_type, value
+        |FROM c JOIN st USING (event_type)
+        |WHERE CAST(vc * n - s AS DOUBLE) * CAST(vc * n - s AS DOUBLE)
+        |  > 9.0 * (CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)
+        |           - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))""".stripMargin,
     "audio_features" ->
       """SELECT doc_id AS asset_id,
         |  CAST(doc_id % 400 + 100 AS BIGINT) AS n_samples,

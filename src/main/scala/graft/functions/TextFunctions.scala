@@ -429,14 +429,17 @@ object TextFunctions {
         explode(tokens(col(textCol))).as("term"))
       .filter(col("term").isin(terms: _*))
     val tf = posting.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    // per-term document frequency, pivoted to ONE broadcastable row
-    val dfRow = tf.groupBy("term").agg(count(lit(1)).as("df"))
-      .groupBy().pivot("term", terms).agg(first("df"))
-      .select(terms.map(t => coalesce(col(s"`$t`"), lit(0L)).as(s"__df_$t")): _*)
-    val nRow = docs.select(col(idCol)).distinct().agg(count(lit(1)).as("__n"))
     val docTf = tf.groupBy("doc_id").pivot("term", terms).agg(first("tf"))
       .select(col("doc_id") +:
         terms.map(t => coalesce(col(s"`$t`"), lit(0L)).as(s"__tf_$t")): _*)
+    // per-term document frequency as ONE broadcastable row, derived
+    // from docTf (not from a second pass over `tf`) so the expensive
+    // scan→explode→tf subtree is IDENTICAL in both branches and
+    // ReuseExchange runs it once
+    val dfCols = terms.map(t =>
+      sum(when(col(s"__tf_$t") > 0, 1L).otherwise(0L)).as(s"__df_$t"))
+    val dfRow = docTf.agg(dfCols.head, dfCols.tail: _*)
+    val nRow = docs.select(col(idCol)).distinct().agg(count(lit(1)).as("__n"))
     val scored = docTf.crossJoin(broadcast(dfRow)).crossJoin(broadcast(nRow))
     val denom = terms.map(t => col(s"__df_$t") + 1L).reduce(_ * _)
     val num = terms.map { t =>

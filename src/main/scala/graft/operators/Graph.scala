@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph operators beyond connected components (which lives
+  * with its consumer in [[graft.dedup.Dedup]]).
+  *
+  * PageRank here is FIXED-POINT: ranks are integer micro-units
+  * (`scale` = 1e6) and every step uses floor division, so after any
+  * number of iterations the ranks are bit-identical in any engine —
+  * a DuckDB oracle can replay the same iterations with `//` and match
+  * hashes exactly, which a floating-point PageRank never survives
+  * (double sums are order-dependent).
+  *
+  * Scale shape per iteration: join ranks to edges by src (hash
+  * shuffle), aggregate contributions by dst (partial+final hash agg),
+  * left-join back onto the node set — the classic distributed PageRank
+  * data flow, nothing driver-side. Lineage is cut with
+  * `localCheckpoint()` every round; without it the plan nests
+  * round-over-round and replanning dominates (measured on the CC
+  * implementation, see Dedup.nearDupClusters).
+  */
+object Graph {
+
+  /** Undirected edge list from ordered pairs: both directions, no
+    * self-loops, deduplicated. */
+  def symmetrize(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val ab = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+    ab.union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+  }
+
+  /** Fixed-point PageRank. `dampingPct` is the damping factor in
+    * percent (85 = the classic 0.85). Dangling mass (nodes with no
+    * out-edges) is dropped, the standard simplification; on a
+    * symmetrized graph every node has out-edges so nothing is lost.
+    * Returns (id, rank_micro) with Σ rank_micro ≲ scale (floor
+    * division leaks at most a few micro-units per node per round). */
+  def pageRank(edges: DataFrame, srcCol: String = "src",
+               dstCol: String = "dst", iterations: Int = 5,
+               scale: Long = 1000000L, dampingPct: Int = 85): DataFrame = {
+    require(iterations >= 1 && dampingPct > 0 && dampingPct < 100,
+      s"bad params: iterations=$iterations dampingPct=$dampingPct")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .localCheckpoint() // reused every round: materialize once
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct().localCheckpoint()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg")).localCheckpoint()
+    // one-row frame: node count, init rank, per-round base term —
+    // folded in by broadcast, never a driver-side collect
+    val baseRow = nodes.agg(count(lit(1)).as("__n")).select(
+      floor(lit(scale).cast("double") / col("__n")).cast("long").as("__r0"),
+      floor(lit(scale * (100 - dampingPct) / 100).cast("double") / col("__n"))
+        .cast("long").as("__base"))
+    var rank = nodes.crossJoin(broadcast(baseRow))
+      .select(col("id"), col("__r0").as("r"))
+      .localCheckpoint()
+    for (_ <- 1 to iterations) {
+      val contrib = e.join(rank, col("src") === col("id")).join(deg, "src")
+        .select(col("dst").as("id"),
+          floor(col("r").cast("double") / col("deg")).cast("long").as("c"))
+      val sums = contrib.groupBy("id").agg(sum("c").as("cs"))
+      rank = nodes.join(sums, Seq("id"), "left").crossJoin(broadcast(baseRow))
+        .select(col("id"),
+          (col("__base") + floor(lit(dampingPct).cast("double") *
+            coalesce(col("cs"), lit(0L)) / 100).cast("long")).as("r"))
+        .localCheckpoint()
+    }
+    rank.select(col("id"), col("r").as("rank_micro"))
+  }
+}

@@ -96,6 +96,34 @@ object Expectations {
   def passed(reportRow: DataFrame): DataFrame =
     reportRow.select(reportRow.columns.toIndexedSeq.map(c => (col(c) === 0L).as(c)): _*)
 
+  /** Per-group z-score outlier detection with ENGINE-EXACT decisions:
+    * a row is an outlier iff |v − mean| > z·σ_pop over its group. The
+    * test is evaluated as `(v·n − S)² > z²·(n·SS − S²)` on integer-cents
+    * moments (n, S = Σcents, SS = Σcents²) — every input to the final
+    * double comparison is an exactly-represented integer, and both
+    * sides use the same two IEEE multiplications in any engine, so the
+    * flag never wobbles the way a streaming mean/stddev would.
+    *
+    * Plan shape: one grouped aggregate for the moments (3 longs per
+    * group), joined back by group key — AQE broadcasts the tiny stats
+    * side; the fact side never shuffles. Returns only the outlier rows,
+    * originals untouched. */
+  def outliers(df: DataFrame, valueCol: String, groupCols: Seq[String],
+               z: Int = 3): DataFrame = {
+    require(z > 0 && groupCols.nonEmpty, s"need z > 0 and group columns")
+    val cents = round(col(valueCol) * 100).cast("long")
+    val stats = df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"), sum(cents).as("__s"),
+        sum(cents * cents).as("__ss"))
+    val d = (cents * col("__n") - col("__s")).cast("double")
+    val rhs = lit((z * z).toDouble) *
+      (col("__n").cast("double") * col("__ss").cast("double") -
+        col("__s").cast("double") * col("__s").cast("double"))
+    df.join(stats, groupCols)
+      .filter(d * d > rhs)
+      .drop("__n", "__s", "__ss")
+  }
+
   /** The reference's 12-rule suite (validate_trip_data.json:5-92):
     * 10 not-null columns + 2 range rules. */
   val referenceSuite: Seq[Expectation] = Seq(

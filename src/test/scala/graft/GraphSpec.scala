@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Graph
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("symmetrize yields both directions, no self-loops, no duplicates") {
+    val pairs = Seq((1L, 2L), (2L, 1L), (2L, 3L), (4L, 4L)).toDF("a", "b")
+    val e = Graph.symmetrize(pairs, "a", "b")
+      .as[(Long, Long)].collect().toSet
+    assert(e == Set((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)))
+  }
+
+  test("pageRank: star hub dominates, mass conserved within floor leak, deterministic") {
+    // star: hub 0 connected to 1..8
+    val pairs = (1L to 8L).map(i => (0L, i)).toDF("a", "b")
+    val edges = Graph.symmetrize(pairs, "a", "b")
+    val ranks = Graph.pageRank(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(ranks.size == 9)
+    val hub = ranks(0L)
+    (1L to 8L).foreach(i => assert(hub > ranks(i) * 3,
+      s"hub $hub should dominate spoke ${ranks(i)}"))
+    // spokes are symmetric → identical ranks
+    assert((1L to 8L).map(ranks).toSet.size == 1)
+    // total mass ~ scale, leaking only floor remainders
+    val total = ranks.values.sum
+    assert(total <= 1000000L && total > 1000000L - 9 * 10 * 5,
+      s"mass leaked too far: $total")
+    // invariant to input partitioning
+    val again = Graph.pageRank(edges.repartition(13)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(again == ranks)
+  }
+
+  test("pageRank on two disconnected pairs splits mass evenly") {
+    val edges = Graph.symmetrize(Seq((1L, 2L), (3L, 4L)).toDF("a", "b"), "a", "b")
+    val ranks = Graph.pageRank(edges, iterations = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(ranks.values.toSet.size == 1, s"symmetric nodes must tie: $ranks")
+  }
+}

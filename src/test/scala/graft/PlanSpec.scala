@@ -101,7 +101,7 @@ class PlanSpec extends SparkSpec {
       "repetition", "corpus_filter", "doc_pack", "tfidf_top_terms",
       "span_dedup", "corpus_shuffle", "corpus_sample_tokens", "corpus_mix",
       "corpus_sample_per_source", "corpus_stats_by_source",
-      "quality_gopher", "text_shingles").foreach { q =>
+      "quality_gopher", "text_shingles", "keyword_search").foreach { q =>
       val cols = shuffledColumns(q)
       assert(!cols.contains("text"), s"$q shuffles text: $cols")
       // span_dedup additionally must not shuffle the token array
@@ -116,5 +116,13 @@ class PlanSpec extends SparkSpec {
       .filter(col("l_quantity") > 40).select("l_orderkey", "l_quantity")
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("PushedFilters: [") && p.contains("GreaterThan(l_quantity"), p)
+  }
+
+  test("keyword_search runs the scan→explode→tf subtree once (AQE exchange reuse)") {
+    val df = SparkEntry.queries("keyword_search")(spark, dir)
+    df.collect() // AQE reuse materializes at runtime, not in the static plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange"),
+      s"tf/df branches should share the exploded-corpus exchange:\n$p")
   }
 }

@@ -56,4 +56,22 @@ class StagingWarehouseSpec extends SparkSpec {
     assert(r.getLong(0) == 2) // two null vendor ids
     assert(r.getLong(1) == 2) // 200 and -1 out of range
   }
+
+  test("outliers flags exactly the rows beyond z sigma, per group") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // group a: 20 values at 10.0 plus one at 1000.0 — the spike is the
+    // only point beyond 3 sigma; group b: constant, sigma 0, no outliers
+    val a = (1 to 20).map(i => (i.toLong, "a", 10.0)) :+ (99L, "a", 1000.0)
+    val b = (1 to 10).map(i => (100L + i, "b", 7.0))
+    val df = (a ++ b).toDF("id", "grp", "v")
+    val out = Expectations.outliers(df, "v", Seq("grp"), z = 3)
+      .select("id").as[Long].collect().toSet
+    assert(out == Set(99L), s"got $out")
+    // z large enough → nothing flagged
+    assert(Expectations.outliers(df, "v", Seq("grp"), z = 5).isEmpty)
+    // original columns pass through untouched
+    val cols = Expectations.outliers(df, "v", Seq("grp")).columns.toSeq
+    assert(cols.sorted == Seq("grp", "id", "v"))
+  }
 }

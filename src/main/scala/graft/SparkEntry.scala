@@ -1007,6 +1007,20 @@ object SparkEntry {
     // Misra-Gries frequent-items UDAF in its exact regime (k=32 >= 25
     // distinct brands): counters provably exact, so the sketch output
     // hash-matches the full GROUP BY it replaces at scale.
+    // bucketized interval-overlap join (no nested loop); intervals are
+    // [ts, ts + floor(value) seconds] per event, two user cohorts
+    "interval_join" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_id"), col("user_id"),
+        unix_timestamp(col("ts")).as("lo"),
+        (unix_timestamp(col("ts")) + floor(col("value")).cast("long") * 60).as("hi"))
+      val a = ev.filter(col("user_id") < 3)
+        .select(col("event_id").as("a_id"), col("lo").as("a_lo"), col("hi").as("a_hi"))
+      val b = ev.filter(col("user_id") >= 3 && col("user_id") < 6)
+        .select(col("event_id").as("b_id"), col("lo").as("b_lo"), col("hi").as("b_hi"))
+      graft.operators.Joins.intervalJoin(a, b,
+          "a_lo", "a_hi", "b_lo", "b_hi", bucketWidth = 3600)
+        .select("a_id", "b_id", "a_lo", "a_hi", "b_lo", "b_hi")
+    }),
     // fixed-point PageRank over the MinHash near-dup graph: integer
     // micro-unit ranks, floor division each step — engine-exact after
     // any number of iterations (a floating-point PageRank never
@@ -1488,6 +1502,17 @@ object SparkEntry {
          |    CAST(len(list_filter($toksSql, t -> list_contains($stopwordsSql, t))) AS BIGINT) AS n_stopwords,
          |    CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS BIGINT) AS n_punct
          |  FROM documents)""".stripMargin,
+    "interval_join" ->
+      """WITH ev AS (SELECT event_id, user_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS lo,
+        |    CAST(floor(epoch(ts)) AS BIGINT) + CAST(floor(value) AS BIGINT) * 60 AS hi
+        |  FROM events),
+        |a AS (SELECT event_id AS a_id, lo AS a_lo, hi AS a_hi
+        |      FROM ev WHERE user_id < 3),
+        |b AS (SELECT event_id AS b_id, lo AS b_lo, hi AS b_hi
+        |      FROM ev WHERE user_id >= 3 AND user_id < 6)
+        |SELECT a_id, b_id, a_lo, a_hi, b_lo, b_hi
+        |FROM a JOIN b ON a_lo <= b_hi AND b_lo <= a_hi""".stripMargin,
     "value_outliers" ->
       """WITH c AS (SELECT event_id, event_type, value,
         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc FROM events),

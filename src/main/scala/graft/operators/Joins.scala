@@ -71,6 +71,37 @@ object Joins {
     * `bucketWidth` near the typical interval width so replication
     * stays O(1). Degenerate wide intervals replicate proportionally
     * (cap them upstream or pre-split). */
+  /** Interval-overlap join without a nested loop: two interval tables
+    * are joined on [lo, hi] OVERLAP (half-closed inequality pair
+    * `a.lo <= b.hi AND b.lo <= a.hi`) by exploding each interval onto
+    * fixed-width buckets and equi-joining on the bucket id — a
+    * shuffle-hash/broadcast join Catalyst can plan, instead of the
+    * BroadcastNestedLoopJoin a raw inequality join degenerates to.
+    *
+    * A pair overlapping several buckets would match once per shared
+    * bucket; rather than a `distinct()` (extra wide shuffle), each pair
+    * is emitted ONLY in the bucket containing `greatest(a.lo, b.lo)` —
+    * the overlap's left edge, which both sides share — so output is
+    * exactly-once by construction.
+    *
+    * `bucketWidth` tunes the explode factor vs bucket selectivity:
+    * ~the median interval length is a good default. */
+  def intervalJoin(a: DataFrame, b: DataFrame,
+                   aLo: String, aHi: String, bLo: String, bHi: String,
+                   bucketWidth: Double): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    def bucketed(df: DataFrame, lo: String, hi: String) = df
+      .filter(col(lo) <= col(hi))
+      .withColumn("__b", explode(sequence(
+        floor(col(lo) / bucketWidth).cast("long"),
+        floor(col(hi) / bucketWidth).cast("long"))))
+    bucketed(a, aLo, aHi).join(bucketed(b, bLo, bHi), Seq("__b"))
+      .filter(col(aLo) <= col(bHi) && col(bLo) <= col(aHi))
+      .filter(col("__b") ===
+        floor(greatest(col(aLo), col(bLo)) / bucketWidth).cast("long"))
+      .drop("__b")
+  }
+
   def rangeJoin(points: DataFrame, intervals: DataFrame,
                 valueCol: String, loCol: String, hiCol: String,
                 bucketWidth: Double): DataFrame = {

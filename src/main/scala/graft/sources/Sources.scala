@@ -2,6 +2,7 @@ package graft.sources
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.StructType
 
 import scala.util.{Failure, Success, Try}
@@ -16,6 +17,16 @@ object Sources {
   /** S1/S2 — parquet scan (single file, directory, or glob). */
   def parquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Scan with row-level provenance from Spark's hidden `_metadata`
+    * struct: every row carries its source file and row index — the
+    * lineage/audit columns an incremental pipeline needs for replays
+    * and bad-record forensics. Zero cost beyond the two extra columns
+    * (populated by the reader itself; no join, no UDF). */
+  def parquetWithProvenance(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path).select(col("*"),
+      col("_metadata.file_path").as("src_file"),
+      col("_metadata.row_index").as("src_row"))
 
   /** Drift-tolerant multi-file scan: unions the schemas of all footers
     * (columns absent from a file read as null) — the whole-directory

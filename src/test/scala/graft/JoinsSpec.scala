@@ -63,4 +63,34 @@ class JoinsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"), plan)
   }
+
+  test("intervalJoin matches the inequality-pair semantics exactly once per pair") {
+    import spark.implicits._
+    val a = Seq((1L, 0L, 10L), (2L, 20L, 25L), (3L, 30L, 30L))
+      .toDF("a_id", "a_lo", "a_hi")
+    val b = Seq(
+      (10L, 10L, 12L), // touches a1's right edge → overlap (closed)
+      (11L, 5L, 40L),  // spans many buckets, overlaps all three As
+      (12L, 26L, 29L), // gap between a2 and a3 → no match
+      (13L, 0L, 2L)    // overlaps a1 only
+    ).toDF("b_id", "b_lo", "b_hi")
+    // tiny bucket (width 3) forces multi-bucket pairs: exactly-once law
+    val got = Joins.intervalJoin(a, b, "a_lo", "a_hi", "b_lo", "b_hi", 3.0)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSeq
+    val want = for {
+      (ai, alo, ahi) <- Seq((1L, 0L, 10L), (2L, 20L, 25L), (3L, 30L, 30L))
+      (bi, blo, bhi) <- Seq((10L, 10L, 12L), (11L, 5L, 40L), (12L, 26L, 29L), (13L, 0L, 2L))
+      if alo <= bhi && blo <= ahi
+    } yield (ai, bi)
+    assert(got.sorted == want.sorted, s"got ${got.sorted} want ${want.sorted}")
+    assert(got.size == got.toSet.size, "pair emitted more than once")
+    // wider buckets give the same answer
+    val wide = Joins.intervalJoin(a, b, "a_lo", "a_hi", "b_lo", "b_hi", 100.0)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSeq
+    assert(wide.sorted == want.sorted)
+    // no nested loop in the plan
+    val plan = Joins.intervalJoin(a, b, "a_lo", "a_hi", "b_lo", "b_hi", 3.0)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"), plan)
+  }
 }

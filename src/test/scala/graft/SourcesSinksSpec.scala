@@ -266,4 +266,25 @@ class SourcesSinksSpec extends SparkSpec {
     // options are private; assert via the writer's string form
     assert(w.toString != null) // constructible without a database
   }
+
+  test("parquetWithProvenance attaches real file paths and per-file row indexes") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("prov").toString
+    spark.range(0, 100).toDF("id").repartition(4)
+      .write.mode("overwrite").parquet(dir)
+    val df = Sources.parquetWithProvenance(spark, dir)
+    assert(df.columns.toSeq.takeRight(2) == Seq("src_file", "src_row"))
+    assert(df.count() == 100)
+    // every src_file is a real parquet part of this directory
+    val files = df.select("src_file").distinct().collect().map(_.getString(0))
+    assert(files.nonEmpty && files.forall(f =>
+      f.contains(dir.substring(1)) && f.endsWith(".parquet")))
+    // row index is dense 0..n-1 within each file
+    val bad = df.groupBy("src_file")
+      .agg(count(lit(1)).as("n"), min("src_row").as("mn"), max("src_row").as("mx"))
+      .filter(col("mn") =!= 0 || col("mx") =!= col("n") - 1)
+    assert(bad.isEmpty)
+    // (file, row) uniquely identifies a row — the replay/forensics key
+    assert(df.select("src_file", "src_row").distinct().count() == 100)
+  }
 }

@@ -629,6 +629,13 @@ object SparkEntry {
       dim = 64, k = 5, nCells = 16, nProbe = 4, centroids = Some(cents))
   }
 
+  /** SemDeDup ([[graft.similarity.Similarity.semanticDedup]]): drop
+    * bucket members within cosine 0.2 of their representative. */
+  private def semanticDedup(spark: SparkSession, dir: String): DataFrame =
+    Similarity.semanticDedup(
+      Tables.embeddings(spark, dir).select("vec_id", "embedding"),
+      dim = 64, tau = 0.2, nPlanes = 6)
+
   /** Semantic coverage sampling ([[graft.similarity.Similarity.diversitySample]]):
     * 3 highest-norm representatives per 6-plane LSH bucket. */
   private def embedDiversity(spark: SparkSession, dir: String): DataFrame =
@@ -1107,6 +1114,7 @@ object SparkEntry {
     "sim_lsh" -> (simLsh(_, _)),
     "sim_lsh_multiprobe" -> (simLshMultiprobe(_, _)),
     "embed_diversity" -> (embedDiversity(_, _)),
+    "semantic_dedup" -> (semanticDedup(_, _)),
     "embed_neardup" -> (embedNearDup(_, _)),
     // unit vector serialized as fixed-point micros (round(u*1e6)):
     // identical double arithmetic both engines, and a string column the
@@ -2440,6 +2448,24 @@ object SparkEntry {
          |  SELECT q_id, vec_id, cos,
          |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rank
          |  FROM pairs) WHERE rank <= 5""".stripMargin
+    },
+    "semantic_dedup" -> {
+      val cosExpr =
+        s"round(${dotSql("b.embedding", "r.rep_emb")} / (b.nrm * r.rep_norm), 9)"
+      s"""WITH b AS (
+         |  SELECT vec_id, embedding, ${bucketSql("embedding", 6, 0)} AS bucket,
+         |    sqrt(${dotSql("embedding", "embedding")}) AS nrm
+         |  FROM embeddings),
+         |reps AS (
+         |  SELECT bucket, vec_id AS rep_id, embedding AS rep_emb,
+         |    nrm AS rep_norm FROM (
+         |    SELECT *, ROW_NUMBER() OVER (
+         |        PARTITION BY bucket ORDER BY nrm DESC, vec_id ASC) AS rn
+         |    FROM b) WHERE rn = 1)
+         |SELECT b.vec_id, CAST(b.bucket AS BIGINT) AS bucket, r.rep_id,
+         |  $cosExpr AS cos,
+         |  (b.vec_id = r.rep_id OR $cosExpr < 0.2) AS keep
+         |FROM b JOIN reps r USING (bucket)""".stripMargin
     },
     "embed_diversity" -> {
       s"""WITH b AS (

@@ -190,6 +190,40 @@ object Similarity {
     embeddings.join(keep, Seq(idCol))
   }
 
+  /** Semantic deduplication (SemDeDup, Abbas et al. 2023, public):
+    * inside each hyperplane-LSH bucket, keep the single highest-norm
+    * representative and DROP every other member whose cosine to it
+    * exceeds `tau` — removing semantically redundant documents with
+    * zero pairwise comparisons across buckets (each member is compared
+    * to exactly ONE representative, so work is linear in corpus size).
+    *
+    * Returns every input row annotated with (bucket, rep_id, cos,
+    * keep): representatives keep themselves; members with
+    * cos ≥ tau are dropped. Filter `keep` for the deduped corpus.
+    *
+    * Scale shape: the representative set (≤ 2^nPlanes rows) broadcasts
+    * back onto the bucketed corpus — one narrow election shuffle (via
+    * [[diversitySample]]), no embedding ever crosses an exchange. */
+  def semanticDedup(embeddings: DataFrame, dim: Int, tau: Double,
+                    nPlanes: Int = 8, idCol: String = "vec_id",
+                    embCol: String = "embedding"): DataFrame = {
+    require(tau > 0 && tau <= 1, s"tau in (0,1], got $tau")
+    val reps = diversitySample(embeddings, dim, perBucket = 1, nPlanes,
+        idCol, embCol)
+      .select(col("bucket"), col(idCol).as("__rep_id"),
+        col(embCol).as("__rep_emb"), norm(col(embCol)).as("__rep_norm"))
+    embeddings
+      .withColumn("bucket", lshBucket(col(embCol), dim, nPlanes))
+      .join(broadcast(reps), "bucket")
+      .withColumn("cos",
+        round(dot(col(embCol), col("__rep_emb")) /
+          (norm(col(embCol)) * col("__rep_norm")), 9))
+      .withColumn("keep",
+        col(idCol) === col("__rep_id") || col("cos") < tau)
+      .select(col(idCol), col("bucket"), col("__rep_id").as("rep_id"),
+        col("cos"), col("keep"))
+  }
+
   /** IVF (inverted-file) ANN — the scale path: candidates are coarse-
     * quantized once to their nearest of `nCells` centroids (one narrow
     * shuffle keyed by cell), and each query probes only its `nProbe`

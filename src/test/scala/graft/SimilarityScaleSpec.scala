@@ -235,4 +235,28 @@ class SimilarityScaleSpec extends SparkSpec {
     val again = Similarity.diversitySample(e, dim = 64, perBucket = 2, nPlanes = 4)
     assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
   }
+
+  test("semanticDedup keeps reps, drops only >= tau members, covers all rows") {
+    val e = Tables.embeddings(spark, dir01).select("vec_id", "embedding")
+    val tau = 0.2
+    val out = Similarity.semanticDedup(e, dim = 64, tau = tau, nPlanes = 4)
+    assert(out.count() == e.count(), "every input row must be annotated")
+    // every representative keeps itself
+    assert(out.filter(col("vec_id") === col("rep_id") && !col("keep")).isEmpty)
+    // drops are exactly the non-rep members at cos >= tau
+    assert(out.filter(!col("keep") &&
+      (col("cos") < tau || col("vec_id") === col("rep_id"))).isEmpty)
+    assert(out.filter(col("keep") && col("vec_id") =!= col("rep_id") &&
+      col("cos") >= tau).isEmpty)
+    // the rep of each bucket is its member with the highest norm
+    val withNorm = e.select(col("vec_id"),
+      Similarity.lshBucket(col("embedding"), 64, 4).as("bucket"),
+      Similarity.norm(col("embedding")).as("nrm"))
+    val best = withNorm.groupBy("bucket").agg(max("nrm").as("mx"))
+    val reps = out.filter(col("vec_id") === col("rep_id"))
+      .select("bucket", "rep_id").distinct()
+      .join(withNorm.withColumnRenamed("vec_id", "rep_id"), Seq("bucket", "rep_id"))
+      .join(best, "bucket")
+    assert(reps.filter(col("nrm") =!= col("mx")).isEmpty)
+  }
 }

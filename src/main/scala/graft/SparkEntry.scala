@@ -1066,6 +1066,13 @@ object SparkEntry {
       graft.operators.TimeSeries.scd2(
         Tables.events(s, d).filter(col("user_id") < 10),
         "user_id", "ts", "event_id", "event_type")),
+    // corpus n-gram count table (LM-data prep): ShingleRows generator
+    // streams windows into a hash agg; min-count pruning after the agg
+    "ngram_counts" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(graft.expressions.TextGenerators.shingleRows(col("text"), 3))
+        .groupBy("shingle").agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= 3)),
     // native Generator (UDTF tier): streams one row per 3-token window
     // without materializing the per-document shingle array
     "text_shingles" -> ((s, d) =>
@@ -1601,6 +1608,12 @@ object SparkEntry {
         |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
         |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
         |FROM runs""".stripMargin,
+    "ngram_counts" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |g AS (SELECT toks[u.i] || ' ' || toks[u.i+1] || ' ' || toks[u.i+2] AS shingle
+         |      FROM t, unnest(generate_series(1, len(toks) - 2)) AS u(i))
+         |SELECT shingle, count(*) AS cnt FROM g
+         |GROUP BY 1 HAVING count(*) >= 3""".stripMargin,
     "text_shingles" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks
          |           FROM documents WHERE doc_id < 50)

@@ -50,10 +50,14 @@ object Graph {
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg")).localCheckpoint()
     // one-row frame: node count, init rank, per-round base term —
     // folded in by broadcast, never a driver-side collect
+    // greatest(n, 1): the one baseRow row exists even for an empty
+    // graph (global agg), and ANSI mode makes scale/0 an error rather
+    // than null — the crossJoin against zero nodes discards it anyway
     val baseRow = nodes.agg(count(lit(1)).as("__n")).select(
-      floor(lit(scale).cast("double") / col("__n")).cast("long").as("__r0"),
-      floor(lit(scale * (100 - dampingPct) / 100).cast("double") / col("__n"))
-        .cast("long").as("__base"))
+      floor(lit(scale).cast("double") / greatest(col("__n"), lit(1L)))
+        .cast("long").as("__r0"),
+      floor(lit(scale * (100 - dampingPct) / 100).cast("double") /
+        greatest(col("__n"), lit(1L))).cast("long").as("__base"))
     var rank = nodes.crossJoin(broadcast(baseRow))
       .select(col("id"), col("__r0").as("r"))
       .localCheckpoint()

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.dedup.Dedup
+import graft.functions.TextFunctions
+import graft.operators.{Graph, Joins, Sampling, TimeSeries}
+import graft.similarity.Similarity
+
+/** Zero-row inputs must flow through every operator without crashing —
+  * a real pipeline hits them constantly (an empty ingest hour, a filter
+  * that drops everything, a new source with no history yet). Each case
+  * asserts the operator returns an EMPTY, correctly-schemed frame
+  * rather than throwing from a degenerate aggregate/window/explode. */
+class EmptyInputSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def emptyDocs: DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", LongType))))
+
+  private def emptyEmb: DataFrame =
+    Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+
+  test("text/dedup operators accept an empty corpus") {
+    assert(Dedup.exact(emptyDocs).isEmpty)
+    assert(Dedup.minhashNearDups(emptyDocs).isEmpty)
+    assert(Dedup.simhashNearDups(emptyDocs).isEmpty)
+    assert(Dedup.spanDedup(emptyDocs).isEmpty)
+    assert(TextFunctions.corpusFilter(emptyDocs).isEmpty)
+    assert(TextFunctions.tfidfTopTerms(emptyDocs).isEmpty)
+    assert(TextFunctions.keywordSearch(emptyDocs, Seq("spark")).isEmpty)
+    assert(TextFunctions.packDocuments(emptyDocs, 256, 8).isEmpty)
+    assert(emptyDocs.select(TextFunctions.gopherMeasures(col("text"))).isEmpty)
+  }
+
+  test("sampling and time-series operators accept empty inputs") {
+    assert(Sampling.hashSample(emptyDocs, "doc_id", 50).isEmpty)
+    assert(Sampling.shardShuffle(emptyDocs, "doc_id", 8, "s").isEmpty)
+    assert(Sampling.topKPerStratum(emptyDocs, "doc_id", "source", 5).isEmpty)
+    assert(Sampling.quantileBuckets(emptyDocs, "n_chars", 10).isEmpty)
+    val emptyEv = Seq.empty[(Long, java.sql.Timestamp, Double)]
+      .toDF("user_id", "ts", "value")
+      .withColumn("ts", col("ts").cast("timestamp_ntz"))
+    assert(TimeSeries.resampleFfill(emptyEv, "user_id", "ts", "value").isEmpty)
+    val emptyLog = Seq.empty[(Long, java.sql.Timestamp, Long, String)]
+      .toDF("user_id", "ts", "event_id", "event_type")
+    assert(TimeSeries.scd2(emptyLog, "user_id", "ts", "event_id", "event_type").isEmpty)
+  }
+
+  test("similarity and graph operators accept empty inputs") {
+    assert(Similarity.diversitySample(emptyEmb, dim = 64, perBucket = 2).isEmpty)
+    assert(Similarity.semanticDedup(emptyEmb, dim = 64, tau = 0.5).isEmpty)
+    assert(Similarity.bruteForceTopK(emptyEmb, emptyEmb
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
+      k = 5).isEmpty)
+    val emptyEdges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(Graph.pageRank(emptyEdges).isEmpty)
+    assert(Joins.intervalJoin(
+      Seq.empty[(Long, Long, Long)].toDF("a", "al", "ah"),
+      Seq.empty[(Long, Long, Long)].toDF("b", "bl", "bh"),
+      "al", "ah", "bl", "bh", 10.0).isEmpty)
+  }
+}

@@ -1014,6 +1014,19 @@ object SparkEntry {
     // Misra-Gries frequent-items UDAF in its exact regime (k=32 >= 25
     // distinct brands): counters provably exact, so the sketch output
     // hash-matches the full GROUP BY it replaces at scale.
+    // mergeable quantile sketch in its exact regime (k=32768 >= group
+    // sizes at verify scale): weighted-sample quantiles == the
+    // ceil(p*n)-th order statistics
+    "quantile_sketch" -> ((s, d) => {
+      import graft.expressions.SketchAggregates
+      Tables.events(s, d).groupBy("event_type")
+        .agg(SketchAggregates.quantileSketch(col("value"), 32768).as("sk"))
+        .select(col("event_type"),
+          SketchAggregates.sketchQuantileDisc(col("sk"), 25).as("p25"),
+          SketchAggregates.sketchQuantileDisc(col("sk"), 50).as("p50"),
+          SketchAggregates.sketchQuantileDisc(col("sk"), 75).as("p75"),
+          SketchAggregates.sketchQuantileDisc(col("sk"), 90).as("p90"))
+    }),
     // bucketized interval-overlap join (no nested loop); intervals are
     // [ts, ts + floor(value) seconds] per event, two user cohorts
     "interval_join" -> ((s, d) => {
@@ -1517,6 +1530,17 @@ object SparkEntry {
          |    CAST(len(list_filter($toksSql, t -> list_contains($stopwordsSql, t))) AS BIGINT) AS n_stopwords,
          |    CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS BIGINT) AS n_punct
          |  FROM documents)""".stripMargin,
+    "quantile_sketch" ->
+      """WITH r AS (SELECT event_type, value,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events)
+        |SELECT event_type,
+        |  max(CASE WHEN rn = (n * 25 + 99) // 100 THEN value END) AS p25,
+        |  max(CASE WHEN rn = (n * 50 + 99) // 100 THEN value END) AS p50,
+        |  max(CASE WHEN rn = (n * 75 + 99) // 100 THEN value END) AS p75,
+        |  max(CASE WHEN rn = (n * 90 + 99) // 100 THEN value END) AS p90
+        |FROM r GROUP BY 1""".stripMargin,
     "interval_join" ->
       """WITH ev AS (SELECT event_id, user_id,
         |    CAST(floor(epoch(ts)) AS BIGINT) AS lo,

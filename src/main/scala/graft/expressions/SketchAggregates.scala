@@ -257,6 +257,155 @@ case class MisraGriesAgg(child: Expression, k: Int,
     copy(child = newChild)
 }
 
+/** Mutable MRL/KLL-style quantile sketch buffer: `levels(i)` holds
+  * values of weight 2^i; a level reaching `k` items is compacted —
+  * sorted, every other element promoted to level i+1 (weight doubles),
+  * the rest dropped. The promotion offset alternates per level so
+  * successive compactions cancel rank bias (deterministic, no RNG).
+  * Below k items nothing compacts and the sketch is EXACT. */
+final class QuantileBuffer(val k: Int) {
+  import scala.collection.mutable.ArrayBuffer
+  val levels: ArrayBuffer[ArrayBuffer[Double]] = ArrayBuffer(ArrayBuffer[Double]())
+  val parity: ArrayBuffer[Int] = ArrayBuffer(0)
+
+  private def level(i: Int): ArrayBuffer[Double] = {
+    while (levels.size <= i) { levels += ArrayBuffer[Double](); parity += 0 }
+    levels(i)
+  }
+
+  def insert(v: Double): Unit = { level(0) += v; compactFrom(0) }
+
+  def compactFrom(start: Int): Unit = {
+    var i = start
+    while (i < levels.size && levels(i).size >= k) {
+      val buf = levels(i)
+      val sorted = buf.toArray
+      java.util.Arrays.sort(sorted)
+      val o = parity(i)
+      parity(i) = 1 - o
+      val up = level(i + 1) // materialize BEFORE clearing (may grow `levels`)
+      var j = o
+      while (j < sorted.length) { up += sorted(j); j += 2 }
+      buf.clear()
+      i += 1
+    }
+  }
+
+  def mergeIn(other: QuantileBuffer): Unit = {
+    var i = 0
+    while (i < other.levels.size) {
+      if (other.levels(i).nonEmpty) { level(i) ++= other.levels(i); compactFrom(i) }
+      i += 1
+    }
+  }
+
+  /** (value, weight) pairs sorted by value. */
+  def weightedSample: Array[(Double, Long)] = {
+    val out = ArrayBuffer[(Double, Long)]()
+    var i = 0
+    while (i < levels.size) {
+      val w = 1L << i
+      levels(i).foreach(v => out += ((v, w)))
+      i += 1
+    }
+    out.sortBy(_._1).toArray
+  }
+}
+
+/** Mergeable quantile sketch as a native `TypedImperativeAggregate` —
+  * the scale path for percentiles: Spark's exact `percentile` buffers
+  * and sorts EVERY group value; this sketch caps state at
+  * O(k·log(n/k)) per group and merges map-side like any built-in agg
+  * (Manku-Rajagopalan-Lindsay SIGMOD'98 / Karnin-Lang-Liberty
+  * FOCS'16 — public papers; deterministic alternating-offset variant,
+  * no RNG, so results are reproducible run-over-run).
+  *
+  * Below `k` values per group nothing compacts and the sketch is the
+  * full sorted sample — quantiles are EXACT (the regime the SQL
+  * oracle checks); above it, rank error grows with the compaction
+  * depth (spec-checked against a 10% rank bound at 150x overflow).
+  *
+  * Output: array<struct<v double, w bigint>> — the weighted sorted
+  * sample, queryable with [[SketchAggregates.sketchQuantileDisc]].
+  */
+case class QuantileSketchAgg(child: Expression, k: Int,
+                             override val mutableAggBufferOffset: Int = 0,
+                             override val inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[QuantileBuffer]
+    with UnaryLike[Expression] {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case DoubleType if k >= 4 && k % 2 == 0 => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"quantile_sketch expects (double, even k >= 4), got ($t, k=$k)")
+  }
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("v", DoubleType, nullable = false),
+    StructField("w", LongType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "quantile_sketch"
+
+  override def createAggregationBuffer(): QuantileBuffer = new QuantileBuffer(k)
+
+  override def update(buf: QuantileBuffer, input: InternalRow): QuantileBuffer = {
+    val v = child.eval(input)
+    if (v != null) buf.insert(v.asInstanceOf[Double])
+    buf
+  }
+
+  override def merge(buf: QuantileBuffer, other: QuantileBuffer): QuantileBuffer = {
+    buf.mergeIn(other)
+    buf
+  }
+
+  override def eval(buf: QuantileBuffer): Any =
+    new GenericArrayData(buf.weightedSample.map { case (v, w) =>
+      new GenericInternalRow(Array[Any](v, w))
+    })
+
+  override def serialize(buf: QuantileBuffer): Array[Byte] = {
+    val n = buf.levels.map(_.size).sum
+    val bb = ByteBuffer.allocate(4 + buf.levels.size * 8 + n * 8)
+    bb.putInt(buf.levels.size)
+    buf.levels.indices.foreach { i =>
+      bb.putInt(buf.levels(i).size)
+      bb.putInt(buf.parity(i))
+      buf.levels(i).foreach(bb.putDouble)
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): QuantileBuffer = {
+    val bb = ByteBuffer.wrap(bytes)
+    val nLevels = bb.getInt
+    val buf = new QuantileBuffer(k)
+    var i = 0
+    while (i < nLevels) {
+      val sz = bb.getInt
+      val par = bb.getInt
+      var j = 0
+      val lvl = scala.collection.mutable.ArrayBuffer[Double]()
+      while (j < sz) { lvl += bb.getDouble; j += 1 }
+      while (buf.levels.size <= i) {
+        buf.levels += scala.collection.mutable.ArrayBuffer[Double]()
+        buf.parity += 0
+      }
+      buf.levels(i) = lvl
+      buf.parity(i) = par
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): QuantileSketchAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): QuantileSketchAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): QuantileSketchAgg =
+    copy(child = newChild)
+}
+
 object SketchAggregates {
   import org.apache.spark.sql.functions._
 
@@ -270,6 +419,34 @@ object SketchAggregates {
   def kmvDistinct(c: Column, k: Int): Column =
     ColumnInterop.column(
       KmvDistinctAgg(ColumnInterop.expression(hash60(c)), k).toAggregateExpression())
+
+  /** Mergeable quantile sketch over a numeric column: returns the
+    * weighted sorted sample array<struct(v, w)>. Exact below k values
+    * per group. */
+  def quantileSketch(c: Column, k: Int): Column =
+    ColumnInterop.column(
+      QuantileSketchAgg(ColumnInterop.expression(c.cast("double")), k)
+        .toAggregateExpression())
+
+  /** Lower discrete quantile from a stored sketch: the smallest value
+    * whose cumulative weight reaches ceil(pPct% of total weight) —
+    * pure array built-ins, so it runs on persisted sketch columns.
+    * Matches the ceil(p·n)-th order statistic when the sketch is
+    * exact. */
+  def sketchQuantileDisc(sk: Column, pPct: Int): Column = {
+    require(pPct >= 1 && pPct <= 100, s"pPct in [1,100], got $pPct")
+    val total = aggregate(sk, lit(0L), (acc, e) => acc + e.getField("w"))
+    val target = floor((total * pPct + 99).cast("double") / 100).cast("long")
+    val folded = aggregate(sk,
+      struct(lit(0L).as("cum"), lit(null).cast("double").as("res")),
+      (acc, e) => {
+        val cum2 = acc.getField("cum") + e.getField("w")
+        struct(cum2.as("cum"),
+          coalesce(acc.getField("res"),
+            when(cum2 >= target, e.getField("v"))).as("res"))
+      })
+    folded.getField("res")
+  }
 
   /** Misra-Gries heavy-hitters sketch over a string column: returns
     * array<struct(item, cnt)> ordered (cnt desc, item asc). Exact when

@@ -162,6 +162,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"misra_gries(item_string, k) takes 2 arguments, got ${exprs.length}")
         MisraGriesAgg(exprs(0), intLit(exprs(1), "misra_gries"))
       }))
+    e.injectFunction((
+      new FunctionIdentifier("quantile_sketch"),
+      new ExpressionInfo(classOf[QuantileSketchAgg].getName, "quantile_sketch"),
+      (exprs: Seq[Expression]) => {
+        if (exprs.length != 2) throw new IllegalArgumentException(
+          s"quantile_sketch(x_double, k) takes 2 arguments, got ${exprs.length}")
+        QuantileSketchAgg(exprs(0), intLit(exprs(1), "quantile_sketch"))
+      }))
     e.injectOptimizerRule(_ => graft.plans.NativeDotRewrite)
   }
 }

@@ -134,6 +134,42 @@ class SketchBloomSpec extends SparkSpec {
       s"g=${r.getLong(0)} est=${r.getLong(1)}"))
   }
 
+  test("quantileSketch is exact and partition-invariant below k") {
+    val vs = (1 to 1000).map(i => ((i * 37) % 1000).toDouble) // permutation of 0..999
+    for (parts <- Seq(1, 7)) {
+      val df = vs.toDF("v").repartition(parts)
+      val got = df.agg(SketchAggregates.quantileSketch(col("v"), 2048).as("sk"))
+        .select(
+          SketchAggregates.sketchQuantileDisc(col("sk"), 25),
+          SketchAggregates.sketchQuantileDisc(col("sk"), 50),
+          SketchAggregates.sketchQuantileDisc(col("sk"), 90)).head()
+      // ceil(p*n)-th order statistic of 0..999 (n=1000): 249, 499, 899
+      assert((got.getDouble(0), got.getDouble(1), got.getDouble(2))
+        == ((249.0, 499.0, 899.0)), s"parts=$parts got $got")
+    }
+  }
+
+  test("quantileSketch lossy regime stays within a 10% rank bound at 150x overflow") {
+    val n = 30000
+    val k = 200
+    val df = spark.range(0, n).select(
+      ((col("id") * 2654435761L) % n).cast("double").as("v")) // scrambled 0..n-1
+      .repartition(8)
+    val sample = df.agg(SketchAggregates.quantileSketch(col("v"), k).as("sk"))
+    val state = sample.select(explode(col("sk"))).select("col.v", "col.w")
+      .as[(Double, Long)].collect()
+    // bounded state: far fewer than n entries survive
+    assert(state.length < 3 * k, s"state ${state.length} should be ~k, n=$n")
+    for (p <- Seq(25, 50, 90)) {
+      val est = sample.select(SketchAggregates.sketchQuantileDisc(col("sk"), p))
+        .head().getDouble(0)
+      val trueRank = est // values are 0..n-1, so the value IS its rank
+      val target = math.ceil(n * p / 100.0)
+      assert(math.abs(trueRank - target) <= 0.1 * n,
+        s"p$p: est=$est rank off by ${math.abs(trueRank - target)} (n=$n)")
+    }
+  }
+
   test("misraGries works as a streaming windowed aggregate (state round-trips)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sql = spark.sqlContext

@@ -97,6 +97,14 @@ class VectorExpressionSpec extends SparkSpec {
         .as[(String, Long)].collect().toMap
       assert(hh == (0 until 5).map(i => i.toString -> 20L).toMap)
 
+      // quantile_sketch is SQL-callable (exact regime: median of 1..99)
+      s.range(1, 100).selectExpr("CAST(id AS DOUBLE) AS x")
+        .createOrReplaceTempView("vq")
+      val med = s.sql("SELECT quantile_sketch(x, 256) AS sk FROM vq")
+        .select(graft.expressions.SketchAggregates
+          .sketchQuantileDisc(col("sk"), 50)).head().getDouble(0)
+      assert(med == 50.0, s"median $med")
+
       // shingle_rows generator is SQL-callable, incl. LATERAL VIEW
       Seq((1L, "The quick Brown fox jumps")).toDF("id", "txt")
         .createOrReplaceTempView("vg")

@@ -456,6 +456,36 @@ object SketchAggregates {
     ColumnInterop.column(
       MisraGriesAgg(ColumnInterop.expression(c), k).toAggregateExpression())
 
+  /** Sketch algebra — union of two STORED Misra-Gries arrays: counters
+    * sum pointwise; if more than k items survive, the (k+1)-th largest
+    * counter is subtracted from all and non-positives drop — the same
+    * reduction [[MisraGriesAgg.merge]] applies, so stored per-shard /
+    * per-day sketches compose without touching raw data, with the same
+    * n/(k+1) undercount guarantee. Pure array built-ins (arrays are
+    * ≤ 2k entries, so the quadratic item-matching is O(k²) on tiny k). */
+  def mgUnion(a: Column, b: Column, k: Int): Column = {
+    require(k > 0, s"k must be positive, got $k")
+    val combined = concat(a, b)
+    val items = array_distinct(transform(combined, e => e.getField("item")))
+    val summed = transform(items, i => struct(
+      i.as("item"),
+      aggregate(filter(combined, e => e.getField("item") === i),
+        lit(0L), (acc, e) => acc + e.getField("cnt")).as("cnt")))
+    val sorted = array_sort(summed, (l, r) =>
+      when(l.getField("cnt") > r.getField("cnt"), -1)
+        .when(l.getField("cnt") < r.getField("cnt"), 1)
+        .when(l.getField("item") < r.getField("item"), -1)
+        .when(l.getField("item") > r.getField("item"), 1)
+        .otherwise(0))
+    when(size(sorted) <= k, sorted).otherwise {
+      val d = element_at(sorted, k + 1).getField("cnt")
+      slice(filter(transform(sorted, e => struct(
+        e.getField("item").as("item"),
+        (e.getField("cnt") - d).as("cnt"))),
+        e => e.getField("cnt") > 0), 1, k)
+    }
+  }
+
   private val HashSpaceD = (1L << 60).toDouble
 
   private def estimateOf(kmin: Column, k: Int): Column =

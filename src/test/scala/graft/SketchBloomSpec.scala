@@ -134,6 +134,30 @@ class SketchBloomSpec extends SparkSpec {
       s"g=${r.getLong(0)} est=${r.getLong(1)}"))
   }
 
+  test("mgUnion composes stored sketches like the aggregate's own merge") {
+    // two shards, overlapping items, exact regime (k >= total distinct)
+    val s1 = spark.range(0, 300).select((col("id") % 3).cast("string").as("x"))
+    val s2 = spark.range(0, 200).select((col("id") % 5).cast("string").as("x"))
+    def sk(df: org.apache.spark.sql.DataFrame) =
+      df.agg(SketchAggregates.misraGries(col("x"), 8).as("hh"))
+    val union = sk(s1).crossJoin(sk(s2).withColumnRenamed("hh", "hh2"))
+      .select(SketchAggregates.mgUnion(col("hh"), col("hh2"), 8).as("u"))
+      .select(explode(col("u"))).select("col.item", "col.cnt")
+      .as[(String, Long)].collect().toMap
+    val direct = sk(s1.union(s2))
+      .select(explode(col("hh"))).select("col.item", "col.cnt")
+      .as[(String, Long)].collect().toMap
+    assert(union == direct, s"union=$union direct=$direct")
+    // lossy regime: a dominant item survives union and stays bounded
+    val heavy = spark.range(0, 900).select(lit("H").as("x"))
+    val noise = spark.range(0, 64).select(concat(lit("n"), col("id")).as("x"))
+    val u2 = sk(heavy).crossJoin(sk(noise).withColumnRenamed("hh", "hh2"))
+      .select(SketchAggregates.mgUnion(col("hh"), col("hh2"), 4).as("u"))
+      .select(explode(col("u"))).select("col.item", "col.cnt")
+      .as[(String, Long)].collect().toMap
+    assert(u2.contains("H") && u2("H") <= 900 && u2.size <= 4, s"got $u2")
+  }
+
   test("quantileSketch is exact and partition-invariant below k") {
     val vs = (1 to 1000).map(i => ((i * 37) % 1000).toDouble) // permutation of 0..999
     for (parts <- Seq(1, 7)) {

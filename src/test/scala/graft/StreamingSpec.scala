@@ -208,4 +208,37 @@ class StreamingSpec extends SparkSpec {
     assert(texts.length == 2)
     assert(texts.map(_.trim).toSet == Set(longDoc, otherDoc))
   }
+
+  test("stream-static enrichment against SCD2 validity intervals picks the right version") {
+    import graft.operators.TimeSeries
+    // static side: an SCD2 dimension built from a change log —
+    // user 1 was "bronze" until 12:00, "gold" after
+    val log = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1L, "bronze"),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 12:00:00"), 2L, "gold")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+      .withColumn("ts", col("ts").cast("timestamp_ntz"))
+    val dim = TimeSeries.scd2(log, "user_id", "ts", "event_id", "event_type")
+      .withColumnRenamed("event_type", "tier")
+    // stream side: events at 08:00 (bronze era) and 15:00 (gold era)
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long, Double)]
+    input.addData(
+      (java.sql.Timestamp.valueOf("2024-01-01 08:00:00"), 1L, 10.0),
+      (java.sql.Timestamp.valueOf("2024-01-01 15:00:00"), 1L, 20.0))
+    val stream = input.toDF().toDF("ts", "user_id", "amount")
+      .withColumn("ts", col("ts").cast("timestamp_ntz"))
+    // stream-static join: point-in-validity-interval (half-open)
+    val enriched = stream.join(dim,
+      stream("user_id") === dim("user_id") &&
+        stream("ts") >= dim("valid_from") &&
+        (dim("valid_to").isNull || stream("ts") < dim("valid_to")))
+      .select(stream("ts"), stream("user_id"), col("amount"), col("tier"))
+    val q = enriched.writeStream.format("memory").queryName("scd2_enriched")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("scd2_enriched")
+      .select("amount", "tier").as[(Double, String)].collect().toSet
+    assert(rows == Set((10.0, "bronze"), (20.0, "gold")), s"got $rows")
+  }
 }

@@ -1014,6 +1014,23 @@ object SparkEntry {
     // Misra-Gries frequent-items UDAF in its exact regime (k=32 >= 25
     // distinct brands): counters provably exact, so the sketch output
     // hash-matches the full GROUP BY it replaces at scale.
+    // ensemble near-dup verdict: lexical (MinHash Jaccard) and
+    // semantic (embedding cosine) evidence joined on the same LSH
+    // candidate pairs; agree = both signals past threshold
+    "dedup_ensemble" -> ((s, d) => {
+      val pairs = Dedup.minhashNearDups(Tables.documents(s, d))
+        .select("doc_a", "doc_b", "jaccard")
+      val e = Tables.embeddings(s, d)
+      val ea = e.select(col("vec_id").as("doc_a"), col("embedding").as("emb_a"),
+        Similarity.norm(col("embedding")).as("na"))
+      val eb = e.select(col("vec_id").as("doc_b"), col("embedding").as("emb_b"),
+        Similarity.norm(col("embedding")).as("nb"))
+      pairs.join(ea, "doc_a").join(eb, "doc_b")
+        .select(col("doc_a"), col("doc_b"), col("jaccard"),
+          round(Similarity.dot(col("emb_a"), col("emb_b")) /
+            (col("na") * col("nb")), 9).as("cos"))
+        .withColumn("agree", col("jaccard") >= 0.5 && col("cos") >= 0.2)
+    }),
     // mergeable quantile sketch in its exact regime (k=32768 >= group
     // sizes at verify scale): weighted-sample quantiles == the
     // ceil(p*n)-th order statistics
@@ -1530,6 +1547,26 @@ object SparkEntry {
          |    CAST(len(list_filter($toksSql, t -> list_contains($stopwordsSql, t))) AS BIGINT) AS n_stopwords,
          |    CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS BIGINT) AS n_punct
          |  FROM documents)""".stripMargin,
+    "dedup_ensemble" -> {
+      val dotAb = dotSql("ea.embedding", "eb.embedding")
+      val na = dotSql("ea.embedding", "ea.embedding")
+      val nb = dotSql("eb.embedding", "eb.embedding")
+      s"""WITH $minhashCandsSql,
+         |jac AS (
+         |  SELECT c.doc_a, c.doc_b,
+         |    CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+         |      / CAST(len(sa.shingles) + len(sb.shingles)
+         |          - len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) AS jaccard
+         |  FROM cands c
+         |  JOIN sigs sa ON c.doc_a = sa.doc_id
+         |  JOIN sigs sb ON c.doc_b = sb.doc_id)
+         |SELECT j.doc_a, j.doc_b, j.jaccard,
+         |  round($dotAb / (sqrt($na) * sqrt($nb)), 9) AS cos,
+         |  (j.jaccard >= 0.5 AND round($dotAb / (sqrt($na) * sqrt($nb)), 9) >= 0.2) AS agree
+         |FROM jac j
+         |JOIN embeddings ea ON j.doc_a = ea.vec_id
+         |JOIN embeddings eb ON j.doc_b = eb.vec_id""".stripMargin
+    },
     "quantile_sketch" ->
       """WITH r AS (SELECT event_type, value,
         |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rn,

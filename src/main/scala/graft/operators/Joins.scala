@@ -102,6 +102,35 @@ object Joins {
       .drop("__b")
   }
 
+  /** [[intervalJoin]] with the bucket width chosen FROM THE DATA: the
+    * median interval length of both sides, estimated by the mergeable
+    * quantile sketch and folded in as a one-row broadcast — width
+    * tuning without a driver-side action or a magic constant. The
+    * width rides the plan as a Column, so `floor(lo / width)` works
+    * exactly as with a literal. */
+  def intervalJoinAuto(a: DataFrame, b: DataFrame,
+                       aLo: String, aHi: String,
+                       bLo: String, bHi: String): DataFrame = {
+    import graft.expressions.SketchAggregates
+    val lens = a.select((col(aHi) - col(aLo)).cast("double").as("__len"))
+      .union(b.select((col(bHi) - col(bLo)).cast("double").as("__len")))
+    val w = lens
+      .agg(SketchAggregates.quantileSketch(col("__len"), 4096).as("__sk"))
+      .select(greatest(SketchAggregates.sketchQuantileDisc(col("__sk"), 50),
+        lit(1.0)).as("__w"))
+    def bucketed(df: DataFrame, lo: String, hi: String) = df
+      .crossJoin(broadcast(w))
+      .filter(col(lo) <= col(hi))
+      .withColumn("__b", explode(sequence(
+        floor(col(lo) / col("__w")).cast("long"),
+        floor(col(hi) / col("__w")).cast("long"))))
+    bucketed(a, aLo, aHi).join(bucketed(b, bLo, bHi).drop("__w"), Seq("__b"))
+      .filter(col(aLo) <= col(bHi) && col(bLo) <= col(aHi))
+      .filter(col("__b") ===
+        floor(greatest(col(aLo), col(bLo)) / col("__w")).cast("long"))
+      .drop("__b", "__w")
+  }
+
   def rangeJoin(points: DataFrame, intervals: DataFrame,
                 valueCol: String, loCol: String, hiCol: String,
                 bucketWidth: Double): DataFrame = {

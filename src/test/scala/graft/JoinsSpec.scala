@@ -92,5 +92,10 @@ class JoinsSpec extends SparkSpec {
     val plan = Joins.intervalJoin(a, b, "a_lo", "a_hi", "b_lo", "b_hi", 3.0)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"), plan)
+
+    // the auto-width variant (sketch-chosen median length) agrees
+    val auto = Joins.intervalJoinAuto(a, b, "a_lo", "a_hi", "b_lo", "b_hi")
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSeq
+    assert(auto.sorted == want.sorted, s"auto got ${auto.sorted}")
   }
 }

@@ -428,6 +428,15 @@ object SketchAggregates {
       QuantileSketchAgg(ColumnInterop.expression(c.cast("double")), k)
         .toAggregateExpression())
 
+  /** Let-binding (same trick as `TextFunctions.bound`): evaluate `e`
+    * once and expose it to `f` as a lambda variable — otherwise
+    * CollapseProject re-inlines the sub-expression at every use site,
+    * and an aggregate-over-the-array used inside another fold's lambda
+    * turns O(n) into O(n²) per row (measured: 338 s for the
+    * quantile_sketch query at sf0.1 without this; 0.2 s with it). */
+  private def bound(e: Column)(f: Column => Column): Column =
+    element_at(transform(array(e), f), 1)
+
   /** Lower discrete quantile from a stored sketch: the smallest value
     * whose cumulative weight reaches ceil(pPct% of total weight) —
     * pure array built-ins, so it runs on persisted sketch columns.
@@ -435,17 +444,19 @@ object SketchAggregates {
     * exact. */
   def sketchQuantileDisc(sk: Column, pPct: Int): Column = {
     require(pPct >= 1 && pPct <= 100, s"pPct in [1,100], got $pPct")
-    val total = aggregate(sk, lit(0L), (acc, e) => acc + e.getField("w"))
-    val target = floor((total * pPct + 99).cast("double") / 100).cast("long")
-    val folded = aggregate(sk,
-      struct(lit(0L).as("cum"), lit(null).cast("double").as("res")),
-      (acc, e) => {
-        val cum2 = acc.getField("cum") + e.getField("w")
-        struct(cum2.as("cum"),
-          coalesce(acc.getField("res"),
-            when(cum2 >= target, e.getField("v"))).as("res"))
-      })
-    folded.getField("res")
+    bound(sk) { s =>
+      val total = aggregate(s, lit(0L), (acc, e) => acc + e.getField("w"))
+      bound(floor((total * pPct + 99).cast("double") / 100).cast("long")) { target =>
+        aggregate(s,
+          struct(lit(0L).as("cum"), lit(null).cast("double").as("res")),
+          (acc, e) => {
+            val cum2 = acc.getField("cum") + e.getField("w")
+            struct(cum2.as("cum"),
+              coalesce(acc.getField("res"),
+                when(cum2 >= target, e.getField("v"))).as("res"))
+          }).getField("res")
+      }
+    }
   }
 
   /** Misra-Gries heavy-hitters sketch over a string column: returns

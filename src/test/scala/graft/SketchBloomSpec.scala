@@ -194,6 +194,25 @@ class SketchBloomSpec extends SparkSpec {
     }
   }
 
+  test("quantileSketch works as a streaming windowed aggregate (state round-trips)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Double)]
+    input.addData((1 to 99).map(i =>
+      (java.sql.Timestamp.valueOf("2024-01-01 10:00:05"), i.toDouble)): _*)
+    val df = input.toDF().toDF("ts", "v")
+    val agg = df.withWatermark("ts", "10 seconds")
+      .groupBy(window(col("ts"), "1 minute"))
+      .agg(SketchAggregates.quantileSketch(col("v"), 256).as("sk"))
+      .select(SketchAggregates.sketchQuantileDisc(col("sk"), 50).as("med"))
+    val q = agg.writeStream.format("memory").queryName("qs_out")
+      .outputMode("append").start()
+    input.addData((java.sql.Timestamp.valueOf("2024-01-01 10:05:00"), 0.0))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("qs_out").collect()
+    assert(rows.length == 1 && rows.head.getDouble(0) == 50.0) // exact below k
+  }
+
   test("misraGries works as a streaming windowed aggregate (state round-trips)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sql = spark.sqlContext

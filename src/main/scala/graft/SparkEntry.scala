@@ -1014,6 +1014,20 @@ object SparkEntry {
     // Misra-Gries frequent-items UDAF in its exact regime (k=32 >= 25
     // distinct brands): counters provably exact, so the sketch output
     // hash-matches the full GROUP BY it replaces at scale.
+    // one-row corpus health dashboard: volume, token mass, exact dup
+    // rate (fingerprint distinct), length extremes
+    "corpus_health" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(TextFunctions.wsTokenCount(col("text")).as("toks"),
+          TextFunctions.fingerprint(col("text")).as("fp"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum("toks").as("n_tokens"),
+          countDistinct(col("fp")).as("n_distinct_docs"),
+          min("toks").as("min_tokens"),
+          max("toks").as("max_tokens"))
+        .withColumn("dup_rate",
+          (col("n_docs") - col("n_distinct_docs")).cast("double") /
+            col("n_docs").cast("double"))),
     // ensemble near-dup verdict: lexical (MinHash Jaccard) and
     // semantic (embedding cosine) evidence joined on the same LSH
     // candidate pairs; agree = both signals past threshold
@@ -1547,6 +1561,15 @@ object SparkEntry {
          |    CAST(len(list_filter($toksSql, t -> list_contains($stopwordsSql, t))) AS BIGINT) AS n_stopwords,
          |    CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS BIGINT) AS n_punct
          |  FROM documents)""".stripMargin,
+    "corpus_health" ->
+      s"""SELECT count(*) AS n_docs,
+         |  CAST(SUM(CAST(len($toksSql) AS BIGINT)) AS BIGINT) AS n_tokens,
+         |  count(DISTINCT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))) AS n_distinct_docs,
+         |  CAST(MIN(CAST(len($toksSql) AS BIGINT)) AS BIGINT) AS min_tokens,
+         |  CAST(MAX(CAST(len($toksSql) AS BIGINT)) AS BIGINT) AS max_tokens,
+         |  CAST(count(*) - count(DISTINCT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE) AS dup_rate
+         |FROM documents""".stripMargin,
     "dedup_ensemble" -> {
       val dotAb = dotSql("ea.embedding", "eb.embedding")
       val na = dotSql("ea.embedding", "ea.embedding")

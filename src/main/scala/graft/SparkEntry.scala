@@ -1014,6 +1014,18 @@ object SparkEntry {
     // Misra-Gries frequent-items UDAF in its exact regime (k=32 >= 25
     // distinct brands): counters provably exact, so the sketch output
     // hash-matches the full GROUP BY it replaces at scale.
+    // per-source TOKEN-budget mixing (doc-percent mixing can't hit
+    // token targets when lengths differ by source); text rides through
+    // the semi-join, never an exchange
+    "corpus_mix_tokens" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("text"),
+          TextFunctions.wsTokenCount(col("text")).as("n_tokens"))
+      graft.operators.Sampling.budgetPerStratum(docs, "doc_id", "n_tokens",
+          "source", Map("src0" -> 800L, "src1" -> 400L, "src2" -> 0L),
+          defaultBudget = 200L, salt = "mx")
+        .select("doc_id", "source", "text", "n_tokens")
+    }),
     // one-row corpus health dashboard: volume, token mass, exact dup
     // rate (fingerprint distinct), length extremes
     "corpus_health" -> ((s, d) =>
@@ -1561,6 +1573,21 @@ object SparkEntry {
          |    CAST(len(list_filter($toksSql, t -> list_contains($stopwordsSql, t))) AS BIGINT) AS n_stopwords,
          |    CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS BIGINT) AS n_punct
          |  FROM documents)""".stripMargin,
+    "corpus_mix_tokens" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS n_tokens,
+        |    CAST(concat('0x', substring(md5(concat(CAST(doc_id AS VARCHAR), 'mx')), 1, 15)) AS BIGINT) AS hv
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    SUM(n_tokens) OVER (PARTITION BY source ORDER BY hv, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM d)
+        |SELECT c.doc_id, c.source, t.text, c.n_tokens
+        |FROM c JOIN documents t ON c.doc_id = t.doc_id
+        |WHERE cum <= CASE c.source WHEN 'src0' THEN 800 WHEN 'src1' THEN 400
+        |                           WHEN 'src2' THEN 0 ELSE 200 END""".stripMargin,
     "corpus_health" ->
       s"""SELECT count(*) AS n_docs,
          |  CAST(SUM(CAST(len($toksSql) AS BIGINT)) AS BIGINT) AS n_tokens,

@@ -132,6 +132,39 @@ object Sampling {
 
   /** Stratified deterministic sampling: per-stratum keep percentages
     * (strata absent from the map keep `defaultPct`). */
+  /** Per-stratum weight-budget mixing — "this many TOKENS from each
+    * source", the data-mixture recipe primitive (doc-percent mixing
+    * can't hit token targets when document lengths differ by source).
+    * Rows are taken greedily in salted-hash order until each stratum's
+    * budget is filled; the boundary row that would cross the budget is
+    * dropped. Deterministic given (key, salt); strata absent from
+    * `budgets` get `defaultBudget`.
+    *
+    * Scale shape: same as [[weightedSample]] — the cumsum window runs
+    * over an internal (key, stratum, weight, hash) projection and kept
+    * keys semi-join back, so the payload never crosses an exchange. */
+  def budgetPerStratum(df: DataFrame, keyCol: String, weightCol: String,
+                       stratumCol: String, budgets: Map[String, Long],
+                       defaultBudget: Long = 0L,
+                       salt: String = ""): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budgets.values.forall(_ >= 0) && defaultBudget >= 0,
+      "budgets must be non-negative")
+    val h = conv(substring(md5(concat(coalesce(col(keyCol).cast("string"), lit("")),
+      lit(salt))), 1, 15), 16, 10).cast("long")
+    val slim = df.select(col(keyCol).as("__k"), col(stratumCol).as("__s"),
+      col(weightCol).cast("long").as("__w"), h.as("__h"))
+    val w = Window.partitionBy(col("__s")).orderBy(col("__h"), col("__k"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val budget =
+      if (budgets.isEmpty) lit(defaultBudget)
+      else coalesce(element_at(typedLit(budgets), col("__s")), lit(defaultBudget))
+    val keep = slim.withColumn("__cum", sum(col("__w")).over(w))
+      .filter(col("__cum") <= budget)
+      .select(col("__k").as(keyCol))
+    df.join(keep, Seq(keyCol), "left_semi")
+  }
+
   /** Curriculum bucketing: assign each row a bucket in [1, nBuckets]
     * from EXACT score quantile cut points — the scalable alternative to
     * a global rank for curriculum ordering ("train easy→hard"): the

@@ -154,6 +154,24 @@ class CorpusOpsSpec extends SparkSpec {
     assert(half.exceptAll(docs).isEmpty) // strictly a subset, rows unmodified
   }
 
+  test("budgetPerStratum fills each stratum's token budget greedily, never over") {
+    val docs = (0 until 400).map(i =>
+      (i.toLong, s"src${i % 4}", 10L + i % 7)).toDF("doc_id", "source", "w")
+    val out = Sampling.budgetPerStratum(docs, "doc_id", "w", "source",
+      Map("src0" -> 100L, "src1" -> 0L), defaultBudget = 50L, salt = "t")
+    val taken = out.groupBy("source").agg(sum("w").as("tw"))
+      .as[(String, Long)].collect().toMap
+    assert(taken("src0") <= 100 && taken("src0") > 100 - 17) // filled to the boundary doc
+    assert(!taken.contains("src1"))
+    Seq("src2", "src3").foreach(s =>
+      assert(taken(s) <= 50 && taken(s) > 50 - 17, s"$s -> ${taken(s)}"))
+    // strictly a subset of the input, rows unmodified, deterministic
+    assert(out.exceptAll(docs).isEmpty)
+    val again = Sampling.budgetPerStratum(docs, "doc_id", "w", "source",
+      Map("src0" -> 100L, "src1" -> 0L), defaultBudget = 50L, salt = "t")
+    assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
+  }
+
   test("keywordSearch ranks by the exact rational tf-idf and drops zero-score docs") {
     import graft.functions.TextFunctions
     val docs = Seq(

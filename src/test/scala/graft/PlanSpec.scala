@@ -101,7 +101,8 @@ class PlanSpec extends SparkSpec {
       "repetition", "corpus_filter", "doc_pack", "tfidf_top_terms",
       "span_dedup", "corpus_shuffle", "corpus_sample_tokens", "corpus_mix",
       "corpus_sample_per_source", "corpus_stats_by_source",
-      "quality_gopher", "text_shingles", "keyword_search").foreach { q =>
+      "quality_gopher", "text_shingles", "keyword_search",
+      "corpus_mix_tokens").foreach { q =>
       val cols = shuffledColumns(q)
       assert(!cols.contains("text"), s"$q shuffles text: $cols")
       // span_dedup additionally must not shuffle the token array

@@ -213,4 +213,61 @@ class PropertySpec extends SparkSpec {
       assert(r.getString(2) == r.getString(3))
     }
   }
+
+  test("intervalJoin equals the brute-force inequality join on random interval sets") {
+    import graft.operators.Joins
+    val ivGen = for {
+      lo <- Gen.choose(0L, 500L)
+      len <- Gen.choose(0L, 60L)
+    } yield (lo, lo + len)
+    val as = cases(ivGen, 60).zipWithIndex.map { case ((l, h), i) => (i.toLong, l, h) }
+    val bs = cases(ivGen.map(p => (p._1 + 13, p._2 + 13)), 60).zipWithIndex
+      .map { case ((l, h), i) => (i.toLong, l, h) }
+    val want = (for {
+      (ai, alo, ahi) <- as; (bi, blo, bhi) <- bs
+      if alo <= bhi && blo <= ahi
+    } yield (ai, bi)).sorted
+    for (width <- Seq(1.0, 7.0, 64.0, 1000.0)) {
+      val got = Joins.intervalJoin(
+        as.toDF("a_id", "a_lo", "a_hi"), bs.toDF("b_id", "b_lo", "b_hi"),
+        "a_lo", "a_hi", "b_lo", "b_hi", width)
+        .select("a_id", "b_id").as[(Long, Long)].collect().toSeq.sorted
+      assert(got == want, s"width=$width: ${got.size} vs ${want.size} pairs")
+    }
+  }
+
+  test("quantileSketch rank error stays bounded for random data and small k") {
+    import graft.expressions.SketchAggregates
+    val n = 5000
+    val vs = cases(Gen.choose(0, 1000000), n).map(_.toDouble)
+    val sorted = vs.sorted
+    val sk = vs.toDF("v").repartition(6)
+      .agg(SketchAggregates.quantileSketch(col("v"), 128).as("sk"))
+    for (p <- Seq(10, 50, 95)) {
+      val est = sk.select(SketchAggregates.sketchQuantileDisc(col("sk"), p))
+        .head().getDouble(0)
+      // true rank of the estimate vs the target rank
+      val rank = sorted.count(_ <= est)
+      val target = math.ceil(n * p / 100.0)
+      assert(math.abs(rank - target) <= 0.1 * n,
+        s"p$p: est=$est rank=$rank target=$target")
+    }
+  }
+
+  test("pageRank conserves mass within floor leak on random graphs") {
+    import graft.operators.Graph
+    val edgeGen = for {
+      a <- Gen.choose(0L, 30L); b <- Gen.choose(0L, 30L) if a != b
+    } yield (a, b)
+    val pairs = cases(edgeGen, 80).distinct
+    val edges = Graph.symmetrize(pairs.toDF("a", "b"), "a", "b")
+    val ranks = Graph.pageRank(edges, iterations = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nodes = ranks.length
+    assert(ranks.forall(_._2 >= 0))
+    val total = ranks.map(_._2).sum
+    // each node leaks <= ~1 micro-unit per floor division per round
+    assert(total <= 1000000L && total >= 1000000L - nodes.toLong * 5 * 4,
+      s"mass $total over $nodes nodes")
+  }
 }

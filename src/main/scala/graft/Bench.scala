@@ -46,13 +46,20 @@ object Bench {
                 fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
                 dir: String): Option[Double] = {
       val t0 = System.nanoTime()
-      try {
-        fn(spark, dir).queryExecution.toRdd.count()
-        Some((System.nanoTime() - t0) / 1e9)
-      } catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        None
-      }
+      val timed =
+        try {
+          fn(spark, dir).queryExecution.toRdd.count()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          None
+        }
+      // Isolation between timed runs (outside the timer): operators
+      // scope their own persists since round 7, so this is a defensive
+      // guard — any CacheManager entry a query DID leave behind would
+      // distort every later query's memory budget and timing.
+      spark.catalog.clearCache()
+      timed
     }
     // min of three timed runs per query: this VM's run-to-run variance
     // is ±30%, and the steady-state minimum is the honest throughput
@@ -78,6 +85,10 @@ object Bench {
     val sfNames = Seq("sf0.001", "sf0.01", "sf0.1")
     val baseDir = Option(new java.io.File(sfDir).getParentFile)
     val scalingCompact = new scala.collection.mutable.ArrayBuffer[String]
+    // sweep-min vs scaling-block agreement per heavy query (task: the
+    // two timing paths must adjudicate each other — a 12x disagreement
+    // on the same query at the same SF means cross-query interference)
+    val consistency = new scala.collection.mutable.ArrayBuffer[(String, Double, Double)]
     val scalingJson = baseDir match {
       case Some(base) if sfNames.forall(n => new java.io.File(base, n).isDirectory) =>
         val heavy = mins.filter(_._2 > 0).sortBy(-_._2).take(10).map(_._1)
@@ -90,6 +101,10 @@ object Bench {
           }
           System.err.println(s"[bench][scaling] $name " +
             sfNames.zip(times).map { case (s, t) => s"$s=${fmt(t)}" }.mkString(" "))
+          sfNames.zip(times).find(_._1 == new java.io.File(sfDir).getName)
+            .filter(_._2 > 0).foreach { case (_, iso) =>
+              consistency += ((name, mins.toMap.apply(name), iso))
+            }
           // growth per 10x data step; null when a leg failed or is too
           // fast to attribute (fixed session overhead dominates <50ms)
           val ratios = times.sliding(2).map {
@@ -106,6 +121,23 @@ object Bench {
       case _ => "null"
     }
 
+    // Self-adjudication: the sweep and the scaling block time the same
+    // query at the same SF through the same timeOne — beyond ~2x apart
+    // (min-of-3 vs min-of-2 plus box noise) means queries are
+    // interfering (e.g. leaked caches), which round 6 proved can hide a
+    // 12x error. Loud on stderr + recorded in the artifact.
+    val inconsistent = consistency.filter { case (_, sweep, iso) =>
+      sweep > 0 && iso > 0.05 && (sweep / iso > 2.0 || iso / sweep > 2.0)
+    }
+    inconsistent.foreach { case (n, sweep, iso) =>
+      System.err.println(s"[bench][WARNING] TIMING PATHS DISAGREE on $n: " +
+        s"sweep-min ${fmt(sweep)}s vs scaling-block ${fmt(iso)}s (>2x) — " +
+        "suspect cross-query interference; per-query numbers untrustworthy")
+    }
+    val consistencyJson = consistency.map { case (n, sweep, iso) =>
+      s""""$n":{"sweep_min_s":${fmt(sweep)},"scaling_min_s":${fmt(iso)},"agree_2x":${!inconsistent.exists(_._1 == n)}}"""
+    }.mkString("{", ",", "}")
+
     val qs = mins.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val perRun = results.map { case (k, ts) =>
@@ -113,7 +145,7 @@ object Bench {
     }.mkString("{", ",", "}")
     val ccRounds = graft.dedup.Dedup.lastCcRounds.get()
     val detail =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_s":${fmt(total)},"sf":"$sfDir","runs":$nRuns,"timing":"min-of-$nRuns, full materialization via toRdd, fresh plan per run","cc_rounds":$ccRounds,"queries":$qs,"scaling":$scalingJson,"runs_s":$perRun}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_s":${fmt(total)},"sf":"$sfDir","runs":$nRuns,"timing":"min-of-$nRuns, full materialization via toRdd, fresh plan per run, cache cleared between runs","cc_rounds":$ccRounds,"timing_consistency":$consistencyJson,"queries":$qs,"scaling":$scalingJson,"runs_s":$perRun}"""
     // The harness capturing stdout keeps only a bounded TAIL (~2 KB) of
     // it — a full 79-query detail line can never survive that whole. So
     // the complete evidence (per-run times for self-adjudication,
@@ -128,7 +160,8 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val scalingBrief =
       if (scalingCompact.isEmpty) "null" else scalingCompact.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_s":${fmt(total)},"sf":"$sfDir","runs":$nRuns,"cc_rounds":$ccRounds,"queries_n":${mins.size},"failed_n":${mins.count(_._2 < 0)},"top10_min_s":$top10,"scaling_growth_per_10x":$scalingBrief,"detail_file":"${detailPath.toAbsolutePath}"}""")
+    val disagree = inconsistent.map("\"" + _._1 + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_s":${fmt(total)},"sf":"$sfDir","runs":$nRuns,"cc_rounds":$ccRounds,"queries_n":${mins.size},"failed_n":${mins.count(_._2 < 0)},"timing_disagree_2x":$disagree,"top10_min_s":$top10,"scaling_growth_per_10x":$scalingBrief,"detail_file":"${detailPath.toAbsolutePath}"}""")
     spark.stop()
   }
 }

@@ -39,16 +39,38 @@ object SparkEntry {
         Exact.dsum(col("fare_amount")).as("sum_fare"),
         Exact.dsum(col("total_amount")).as("sum_total"))
 
+  /** The A1 grouping-key set (reference: datalake_to_dw.py:104-130). */
+  private val stagingAggKeys = Seq("year", "month", "dow", "vendor_id",
+    "rate_code_id", "pickup_location_id", "dropoff_location_id",
+    "payment_type_id", "pickup_datetime", "dropoff_datetime",
+    "pickup_latitude", "pickup_longitude",
+    "dropoff_latitude", "dropoff_longitude")
+
   /** A1 full: the reference's staging aggregate — grouping keys include
-    * the raw timestamps (dedup-and-sum semantics, datalake_to_dw.py:104-130). */
+    * the raw timestamps (dedup-and-sum semantics, datalake_to_dw.py:104-130).
+    * Near-unique keys mean partial aggregation removes almost nothing,
+    * so the WHOLE table crosses the exchange — semantics-exact but
+    * superlinear at scale; [[stagingAggBucketed]] is the scale path. */
   private def stagingAgg(spark: SparkSession, dir: String): DataFrame =
-    Staging.stagingAggregate(
-      TaxiShape.staging(spark, dir),
-      keys = Seq("year", "month", "dow", "vendor_id", "rate_code_id",
-        "pickup_location_id", "dropoff_location_id", "payment_type_id",
-        "pickup_datetime", "dropoff_datetime",
-        "pickup_latitude", "pickup_longitude",
-        "dropoff_latitude", "dropoff_longitude"))
+    Staging.stagingAggregate(TaxiShape.staging(spark, dir), keys = stagingAggKeys)
+
+  /** A1 at scale: identical semantics (and oracle SQL) to
+    * [[stagingAgg]], but the staging frame is first laid out BUCKETED
+    * on `pickup_datetime` — a member of the grouping-key set, so the
+    * bucketed scan's hash partitioning already satisfies the
+    * aggregation's required distribution and the re-aggregation plans
+    * with NO Exchange (PlanSpec-guarded). At 100 TB this converts the
+    * recurring whole-table shuffle (the dominant cost of the exact
+    * dedup-and-sum) into a one-time write-side layout cost, amortized
+    * over every downstream aggregate/join keyed on the bucket column
+    * ([[graft.sources.Bucketing]]). */
+  private def stagingAggBucketed(spark: SparkSession, dir: String): DataFrame = {
+    val table = "graft_staging_bucketed"
+    graft.sources.Bucketing.writeBucketed(
+      TaxiShape.staging(spark, dir), table,
+      bucketCol = "pickup_datetime", nBuckets = 32)
+    Staging.stagingAggregate(spark.table(table), keys = stagingAggKeys)
+  }
 
   /** P1+P3+P6+P12+F2 — the clean-stage pipeline on `events`, fed
     * mixed-case input to exercise lowercase normalization. */
@@ -946,6 +968,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg(_, _)),
     "staging_agg" -> (stagingAgg(_, _)),
+    "staging_agg_bucketed" -> (stagingAggBucketed(_, _)),
     "clean_normalize" -> (cleanNormalize(_, _)),
     "zone_enrich" -> (zoneEnrich(_, _)),
     "dim_vendor" -> ((s, d) => Warehouse.dimVendor(stagingOf(s, d))),
@@ -1266,6 +1289,28 @@ object SparkEntry {
       s"\nSELECT id AS doc_id, CAST(r AS BIGINT) AS rank_micro FROM it$iterations"
   }
 
+  /** Shared by `staging_agg` and `staging_agg_bucketed` (same
+    * semantics; they differ only in physical layout). */
+  private val stagingAggOracleSql: String =
+    s"""${TaxiShape.stagingSql}
+       |SELECT year, month, dow, vendor_id, rate_code_id, pickup_location_id,
+       |  dropoff_location_id, payment_type_id, pickup_datetime, dropoff_datetime,
+       |  pickup_latitude, pickup_longitude, dropoff_latitude, dropoff_longitude,
+       |  CAST(SUM(CAST(passenger_count AS DECIMAL(18,2))) AS DOUBLE) AS passenger_count,
+       |  CAST(SUM(CAST(trip_distance AS DECIMAL(18,2))) AS DOUBLE) AS trip_distance,
+       |  CAST(SUM(CAST(extra AS DECIMAL(18,2))) AS DOUBLE) AS extra,
+       |  CAST(SUM(CAST(mta_tax AS DECIMAL(18,2))) AS DOUBLE) AS mta_tax,
+       |  CAST(SUM(CAST(fare_amount AS DECIMAL(18,2))) AS DOUBLE) AS fare_amount,
+       |  CAST(SUM(CAST(tip_amount AS DECIMAL(18,2))) AS DOUBLE) AS tip_amount,
+       |  CAST(SUM(CAST(tolls_amount AS DECIMAL(18,2))) AS DOUBLE) AS tolls_amount,
+       |  CAST(SUM(CAST(total_amount AS DECIMAL(18,2))) AS DOUBLE) AS total_amount,
+       |  CAST(SUM(CAST(improvement_surcharge AS DECIMAL(18,2))) AS DOUBLE) AS improvement_surcharge,
+       |  CAST(SUM(CAST(congestion_surcharge AS DECIMAL(18,2))) AS DOUBLE) AS congestion_surcharge
+       |FROM staging
+       |GROUP BY year, month, dow, vendor_id, rate_code_id, pickup_location_id,
+       |  dropoff_location_id, payment_type_id, pickup_datetime, dropoff_datetime,
+       |  pickup_latitude, pickup_longitude, dropoff_latitude, dropoff_longitude""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "pagerank_neardup" -> pagerankSql(5),
     "q1_agg" ->
@@ -1275,25 +1320,10 @@ object SparkEntry {
          |  CAST(SUM(CAST(fare_amount AS DECIMAL(18,2))) AS DOUBLE) AS sum_fare,
          |  CAST(SUM(CAST(total_amount AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
          |FROM staging GROUP BY year, month, dow, service_type""".stripMargin,
-    "staging_agg" ->
-      s"""${TaxiShape.stagingSql}
-         |SELECT year, month, dow, vendor_id, rate_code_id, pickup_location_id,
-         |  dropoff_location_id, payment_type_id, pickup_datetime, dropoff_datetime,
-         |  pickup_latitude, pickup_longitude, dropoff_latitude, dropoff_longitude,
-         |  CAST(SUM(CAST(passenger_count AS DECIMAL(18,2))) AS DOUBLE) AS passenger_count,
-         |  CAST(SUM(CAST(trip_distance AS DECIMAL(18,2))) AS DOUBLE) AS trip_distance,
-         |  CAST(SUM(CAST(extra AS DECIMAL(18,2))) AS DOUBLE) AS extra,
-         |  CAST(SUM(CAST(mta_tax AS DECIMAL(18,2))) AS DOUBLE) AS mta_tax,
-         |  CAST(SUM(CAST(fare_amount AS DECIMAL(18,2))) AS DOUBLE) AS fare_amount,
-         |  CAST(SUM(CAST(tip_amount AS DECIMAL(18,2))) AS DOUBLE) AS tip_amount,
-         |  CAST(SUM(CAST(tolls_amount AS DECIMAL(18,2))) AS DOUBLE) AS tolls_amount,
-         |  CAST(SUM(CAST(total_amount AS DECIMAL(18,2))) AS DOUBLE) AS total_amount,
-         |  CAST(SUM(CAST(improvement_surcharge AS DECIMAL(18,2))) AS DOUBLE) AS improvement_surcharge,
-         |  CAST(SUM(CAST(congestion_surcharge AS DECIMAL(18,2))) AS DOUBLE) AS congestion_surcharge
-         |FROM staging
-         |GROUP BY year, month, dow, vendor_id, rate_code_id, pickup_location_id,
-         |  dropoff_location_id, payment_type_id, pickup_datetime, dropoff_datetime,
-         |  pickup_latitude, pickup_longitude, dropoff_latitude, dropoff_longitude""".stripMargin,
+    "staging_agg" -> stagingAggOracleSql,
+    // identical semantics, bucketed physical layout — the oracle can't
+    // see layout, so the SQL is the same statement
+    "staging_agg_bucketed" -> stagingAggOracleSql,
     "clean_normalize" ->
       """SELECT event_id, event_type, ts, CAST(user_id AS INT) AS user_id, value
         |FROM events

@@ -34,6 +34,22 @@ object Dedup {
     * h1%M + k*(h2%M) far below 2^63 for any practical k). */
   val minhashModulus: Long = 1L << 31
 
+  /** Loan-scoped cache for multi-consumer intermediate frames: persist
+    * `frames`, force `body`'s result to full materialization via an
+    * EAGER `localCheckpoint`, then unpersist in a `finally`. The
+    * checkpoint blocks are plain RDD cache entries released by the
+    * ContextCleaner when the result is garbage-collected — they are
+    * never registered in the session CacheManager, so repeated calls
+    * on the same input can't collide ("Asked to cache already cached
+    * data") and nothing outlives the call. The eager materialization
+    * is what makes the unpersist safe: the cached frames are consumed
+    * exactly once, inside this scope. */
+  private def withScopedCache(frames: DataFrame*)(body: => DataFrame): DataFrame = {
+    frames.foreach(_.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    try body.localCheckpoint(true)
+    finally frames.foreach { f => f.unpersist(blocking = false); () }
+  }
+
   /** Default LSH bucket cap for the public near-dup entry points: a
     * bucket of m members contributes m² candidate pairs, so one
     * degenerate boilerplate bucket (empty pages, templated headers)
@@ -139,17 +155,16 @@ object Dedup {
   }
 
   /** MinHash-LSH candidates re-scored by containment (see
-    * [[verifyContainment]]); same plan shape as [[minhashNearDups]].
-    * Same cache lifecycle as [[minhashNearDups]]: the signature frame
-    * stays persisted (narrow id+signature rows, MEMORY_AND_DISK) until
-    * the session ends; long-lived services should unpersist after
-    * consuming the result. */
+    * [[verifyContainment]]); same plan shape and cache lifecycle as
+    * [[minhashNearDups]] (scoped persist, eager result, nothing
+    * outlives the call). */
   def containmentNearDups(df: DataFrame, k: Int = 12, bands: Int = 4,
                           textCol: String = "text", idCol: String = "doc_id",
                           maxBucketSize: Option[Int] = Some(DefaultBucketCap)): DataFrame = {
     val sigs = minhashSignatures(df, k, textCol, idCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    verifyContainment(lshCandidates(lshBands(sigs, k, bands), maxBucketSize), sigs)
+    withScopedCache(sigs) {
+      verifyContainment(lshCandidates(lshBands(sigs, k, bands), maxBucketSize), sigs)
+    }
   }
 
   /** Full MinHash-LSH near-dup pipeline: signature → bands → bucket
@@ -166,14 +181,15 @@ object Dedup {
                       maxBucketSize: Option[Int] = Some(DefaultBucketCap)): DataFrame = {
     // The signature frame feeds three consumers (banding + both sides of
     // the verification join); persist so shingling/minhashing runs once.
-    // Lifecycle note: the cache lives until the session ends (narrow
-    // id+signature rows, MEMORY_AND_DISK — spills, never OOMs); a
-    // long-lived service embedding this operator should unpersist via
-    // spark.sharedState.cacheManager or session catalog after
-    // consuming the result.
+    // Lifecycle: scoped — the verified pair set (small: near-dup pairs
+    // only, bounded further by the bucket cap) is materialized eagerly
+    // and the signature cache is released before this returns, so
+    // back-to-back calls never accumulate session-lifetime cache
+    // entries.
     val sigs = minhashSignatures(df, k, textCol, idCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    verifyJaccard(lshCandidates(lshBands(sigs, k, bands), maxBucketSize), sigs)
+    withScopedCache(sigs) {
+      verifyJaccard(lshCandidates(lshBands(sigs, k, bands), maxBucketSize), sigs)
+    }
   }
 
   /** Brute-force n-gram Jaccard over a bounded id range (the exact
@@ -305,13 +321,14 @@ object Dedup {
     * large radii degrade gracefully toward more candidates. */
   def simhashNearDups(df: DataFrame, maxHamming: Int = 3,
                       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    // Persisted: the block self-join consumes the signatures twice.
+    // Persisted (scoped): the block self-join consumes the signatures
+    // twice; the cache is released before this returns.
     val sigs = graft.core.Parallelism.ensure(df)
       .select(col(idCol).as("doc_id"), simhash60(col(textCol)).as("sig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nBlocks = math.min(60, maxHamming + 1)
     // distribute 60 bits as evenly as possible across the blocks
     val bounds = (0 to nBlocks).map(i => i * 60 / nBlocks)
+    withScopedCache(sigs) {
     val blocks = sigs.select(col("doc_id"), col("sig"), posexplode(
       array((0 until nBlocks).map { b =>
         val start = bounds(b)
@@ -330,6 +347,7 @@ object Dedup {
         hammingDist(col("sig_a"), col("sig_b")).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+    }
   }
 
   /** Result of one [[incrementalDedup]] ingest step. */
@@ -399,27 +417,37 @@ object Dedup {
                          maxBucketSize: Option[Int] = Some(DefaultBucketCap),
                          textCol: String = "text", idCol: String = "doc_id")
       : IncrementalNearDup = {
+    // Scoped persists (signatures feed banding + verification, bands
+    // feed screening + candidates + delta): both results are
+    // materialized eagerly — bounded by ONE ingest batch, not the
+    // corpus — and the caches are released before returning.
     val sigs = minhashSignatures(batch, k, textCol, idCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val batchBands = lshBands(sigs, k, bands)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val hitIds = batchBands
-      .join(bandCatalog.select(col("band_idx"), col("band_hash")),
-        Seq("band_idx", "band_hash"), "left_semi")
-      .select(col("doc_id")).distinct()
-    val survivorBands = batchBands.join(hitIds, Seq("doc_id"), "left_anti")
-    val pairs = verifyJaccard(lshCandidates(survivorBands, maxBucketSize), sigs)
-      .filter(col("jaccard") >= minJaccard)
-      .select("doc_a", "doc_b")
-    val dropped = nearDupClusters(pairs)
-      .filter(col("doc_id") =!= col("cluster_id"))
-      .select(col("doc_id"))
-    val rejected = hitIds.unionAll(dropped)
-    val fresh = batch.join(
-      rejected.withColumnRenamed("doc_id", idCol), Seq(idCol), "left_anti")
-    val delta = batchBands.join(rejected, Seq("doc_id"), "left_anti")
-      .select(col("doc_id"), col("band_idx"), col("band_hash"))
-    IncrementalNearDup(fresh, delta)
+    try {
+      val hitIds = batchBands
+        .join(bandCatalog.select(col("band_idx"), col("band_hash")),
+          Seq("band_idx", "band_hash"), "left_semi")
+        .select(col("doc_id")).distinct()
+      val survivorBands = batchBands.join(hitIds, Seq("doc_id"), "left_anti")
+      val pairs = verifyJaccard(lshCandidates(survivorBands, maxBucketSize), sigs)
+        .filter(col("jaccard") >= minJaccard)
+        .select("doc_a", "doc_b")
+      val dropped = nearDupClusters(pairs)
+        .filter(col("doc_id") =!= col("cluster_id"))
+        .select(col("doc_id"))
+      val rejected = hitIds.unionAll(dropped)
+      val fresh = batch.join(
+        rejected.withColumnRenamed("doc_id", idCol), Seq(idCol), "left_anti")
+      val delta = batchBands.join(rejected, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("band_idx"), col("band_hash"))
+      IncrementalNearDup(fresh.localCheckpoint(true), delta.localCheckpoint(true))
+    } finally {
+      sigs.unpersist(blocking = false)
+      batchBands.unpersist(blocking = false)
+      ()
+    }
   }
 
   /** Span-level exact dedup: drop repeated `window`-token chunks

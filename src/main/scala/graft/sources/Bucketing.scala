@@ -11,14 +11,25 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 object Bucketing {
 
   /** Write `df` as a bucketed managed table (sorted within buckets for
-    * merge-friendly reads). */
+    * merge-friendly reads). Overwrite also clears an ORPHANED table
+    * location: with the default in-memory catalog, a previous JVM's
+    * managed-table files survive while its metadata doesn't, and CTAS
+    * refuses the existing directory. */
   def writeBucketed(df: DataFrame, table: String, bucketCol: String,
-                    nBuckets: Int, mode: SaveMode = SaveMode.Overwrite): Unit =
+                    nBuckets: Int, mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val spark = df.sparkSession
+    if (mode == SaveMode.Overwrite && !spark.catalog.tableExists(table)) {
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
     df.write.mode(mode)
       .bucketBy(nBuckets, bucketCol)
       .sortBy(bucketCol)
       .format("parquet")
       .saveAsTable(table)
+  }
 
   /** Join two tables bucketed on the same key with the same bucket
     * count — planner elides both exchanges. */

@@ -71,6 +71,14 @@ object Sinks {
     * fallback per SURVEY.md §7.4 — no delta jars in this build env). */
   def deltaOrParquet(df: DataFrame, path: String): String = {
     val fmt = if (deltaAvailable) "delta" else "parquet"
+    if (fmt == "parquet")
+      // loud, not silent: a caller expecting Delta's ACID log/time
+      // travel must see the degradation, not discover it at read time
+      org.slf4j.LoggerFactory.getLogger(Sinks.getClass).warn(
+        s"deltaOrParquet: Delta connector NOT on classpath — writing plain " +
+        s"parquet to $path (overwrite snapshot semantics preserved; no " +
+        "transaction log, no time travel). Add delta-spark jars to restore " +
+        "the Delta format.")
     df.write.format(fmt).mode(SaveMode.Overwrite).save(path)
     fmt
   }

@@ -111,6 +111,16 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("staging_agg_bucketed: re-aggregation over the bucketed layout plans NO exchange") {
+    // the bucketed scan's hash partitioning (pickup_datetime ∈ group
+    // keys) must satisfy the aggregation's distribution — the whole
+    // point of the layout; a regression here silently reintroduces the
+    // whole-table shuffle staging_agg pays
+    val p = plan("staging_agg_bucketed")
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(p.contains("Bucketed: true"), p)
+  }
+
   test("filter pushdown reaches the parquet scan") {
     import org.apache.spark.sql.functions.col
     val df = graft.core.Tables.lineitem(spark, dir)

@@ -19,6 +19,14 @@ class StagingWarehouseSpec extends SparkSpec {
     assert(out.getString(2) == "Saturday")
   }
 
+  test("staging_agg_bucketed is value-identical to staging_agg") {
+    val dir = "/root/testdata/sf0.001"
+    val exact = SparkEntry.queries("staging_agg")(spark, dir)
+    val bucketed = SparkEntry.queries("staging_agg_bucketed")(spark, dir)
+    assert(exact.exceptAll(bucketed).isEmpty, "rows in exact but not bucketed")
+    assert(bucketed.exceptAll(exact).isEmpty, "rows in bucketed but not exact")
+  }
+
   test("stagingAggregate sums present measures and zeros absent ones") {
     val df = Seq(("a", 1.0), ("a", 2.0), ("b", 4.0)).toDF("k", "passenger_count")
     val out = Staging.stagingAggregate(df, keys = Seq("k"),

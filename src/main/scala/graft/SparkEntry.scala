@@ -597,15 +597,16 @@ object SparkEntry {
       .toDF()
       .select(col("asset_id"), col("media_type"), col("n_bytes"), col("content_hash"))
 
-  /** Frame sampling over the synthetic video assets: one row per frame
-    * with the sliced-chunk byte count (validates the flatMap expansion
-    * numerically). */
+  /** Real-codec frame pipeline: synthetic Y4M containers → container
+    * demux ([[graft.multimodal.Multimodal.frameSample]]) → per-frame
+    * features. The constant-luma construction makes every feature a
+    * closed-form function of (doc_id, frame_idx), so the oracle
+    * predicts the decoded bytes exactly — the same proof shape as
+    * `audio_features`. */
   private def multimodalFrames(spark: SparkSession, dir: String): DataFrame =
-    Multimodal.frameSample(
-      Multimodal.syntheticAssets(Tables.documents(spark, dir)))
+    Multimodal.frameFeatures(Multimodal.frameSample(
+      Multimodal.syntheticVideoAssets(Tables.documents(spark, dir))))
       .toDF()
-      .select(col("asset_id"), col("frame_idx"),
-        length(col("frame_bytes")).cast("bigint").as("n_frame_bytes"))
 
   /** Composed multimodal pipeline: decode → resize → featurize over
     * the typed asset table (three chained mapPartitions stages). The
@@ -2493,17 +2494,22 @@ object SparkEntry {
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  md5(text) AS content_hash
         |FROM documents""".stripMargin,
+    // closed-form prediction of the DECODED Y4M frames: asset id
+    // carries id%8+1 constant-luma (id*31+f*7 mod 256) planes of
+    // (id%16+8)x(id%12+6) — the oracle states what every decoded byte
+    // must be, the engine proves it by demuxing the real container
     "multimodal_frames" ->
       """WITH a AS (
-        |  SELECT doc_id, octet_length(encode(text)) AS len,
+        |  SELECT doc_id,
+        |    CAST(doc_id % 16 + 8 AS BIGINT) * CAST(doc_id % 12 + 6 AS BIGINT) AS plane,
         |    CAST(doc_id % 8 + 1 AS INT) AS n_frames
-        |  FROM documents WHERE doc_id % 3 = 2),
-        |f AS (SELECT doc_id, len, n_frames,
-        |    unnest(range(0, n_frames)) AS i FROM a)
+        |  FROM documents),
+        |f AS (SELECT doc_id, plane, unnest(range(0, n_frames)) AS i FROM a)
         |SELECT doc_id AS asset_id, CAST(i AS INT) AS frame_idx,
-        |  CAST(least(len, least(len, i * greatest(1, len // n_frames))
-        |    + greatest(1, len // n_frames))
-        |    - least(len, i * greatest(1, len // n_frames)) AS BIGINT) AS n_frame_bytes
+        |  CAST(plane AS BIGINT) AS n_frame_bytes,
+        |  CAST(((doc_id * 31 + i * 7) % 256) * plane AS BIGINT) AS sum_bytes,
+        |  CAST((doc_id * 31 + i * 7) % 256 AS INT) AS min_byte,
+        |  CAST((doc_id * 31 + i * 7) % 256 AS INT) AS max_byte
         |FROM f""".stripMargin,
     // full decode->resize->featurize replay: prefix-XOR via a bit_xor
     // window, nearest-neighbor resize via a list_transform index map,

@@ -7,14 +7,16 @@ import org.apache.spark.sql.functions._
   * with typed metadata, plus decode / feature-extract / resize /
   * frame-sample operators.
   *
-  * The Spark-side plumbing — schemas, typed Datasets, mapPartitions
-  * batch shape, partitioning — is real and tested. So are two of the
-  * three codecs: IMAGE via javax.imageio (real JPEG/PNG bitstreams)
-  * and AUDIO via a RIFF/PCM16 WAV reader+writer below (plain byte
-  * format, no library needed). Only VIDEO keeps DETERMINISTIC STUB
-  * kernels (`decodeBytes`, `resizeKernel`, `sampleFrame`) standing in
-  * for the absent ffmpeg-class demuxer; swapping in a real one changes
-  * only those private functions.
+  * All three codecs are REAL bitstream formats, no external library
+  * needed: IMAGE via javax.imageio (JPEG/PNG), AUDIO via a RIFF/PCM16
+  * WAV reader+writer, VIDEO via a YUV4MPEG2 (Y4M, Cmono) container
+  * reader+writer — every encoded payload is a file a third-party tool
+  * (ffmpeg, mplayer, sox, any image viewer) would read. Compressed
+  * video bitstreams (H.264 etc.) would need an ffmpeg-class native
+  * demuxer that the JVM doesn't ship; the container layer — which is
+  * what the Spark operators touch — is complete, and a compressed
+  * decoder would slot in behind [[decodeVideoKernel]] without touching
+  * any operator.
   *
   * Scale notes: every operator is a per-partition map over the binary
   * column — no shuffle. Batched iteration inside `mapPartitions` keeps
@@ -45,13 +47,19 @@ object Multimodal {
   case class Frame(asset_id: Long, frame_idx: Int, frame_bytes: Array[Byte])
 
   // ------------------------------------------------------------------
-  // STUB codec kernels — deterministic fakes for the absent VIDEO libs
-  // (image and audio have real codecs further down).
+  // Byte-plane kernels shared by the generic (format-agnostic)
+  // operators `decode` and `resize`.
   // ------------------------------------------------------------------
 
-  /** STUB decode: a real implementation would run libjpeg/libpng here.
-    * The fake "decodes" by XOR-rolling the payload — deterministic,
-    * length-preserving, and cheap. */
+  /** Deterministic, invertible byte-mixing transform (prefix-XOR
+    * rolling): the format-agnostic payload transform behind the
+    * generic [[decode]] operator and the plane scrambler for
+    * [[syntheticImageAssets]]. Cheap, length-preserving, and exactly
+    * reproducible in the DuckDB oracle (a bit_xor window), which is
+    * what makes the composed multimodal pipeline hash-checkable
+    * end-to-end. Format-aware decoding lives in the real codec
+    * kernels ([[decodeImageKernel]], [[decodeWavKernel]],
+    * [[decodeVideoKernel]]). */
   private def decodeBytes(content: Array[Byte]): Array[Byte] = {
     val out = new Array[Byte](content.length)
     var acc: Byte = 0
@@ -64,9 +72,12 @@ object Multimodal {
     out
   }
 
-  /** STUB resize kernel: a real implementation would do bilinear
-    * resampling; the fake nearest-neighbor-samples the byte plane to
-    * the target size (deterministic). */
+  /** Nearest-neighbor plane resampler (the standard cheap resize;
+    * bilinear would change only this kernel). Indexing is guarded
+    * modulo the payload length so metadata-declared dims that exceed
+    * the actual plane can't read out of bounds — for a true
+    * `srcW*srcH` plane the modulo is a no-op. Exactly reproduced in
+    * the DuckDB oracle via the same index map. */
   private def resizeKernel(content: Array[Byte], srcW: Int, srcH: Int,
                            dstW: Int, dstH: Int): Array[Byte] = {
     if (content.isEmpty || srcW <= 0 || srcH <= 0) return Array.emptyByteArray
@@ -85,16 +96,84 @@ object Multimodal {
     out
   }
 
-  /** STUB frame extraction: a real implementation would demux with
-    * ffmpeg; the fake slices the payload into `n_frames` equal chunks. */
-  private def sampleFrame(content: Array[Byte], nFrames: Int, idx: Int): Array[Byte] = {
-    if (nFrames <= 0 || content.isEmpty) Array.emptyByteArray
-    else {
-      val chunk = math.max(1, content.length / nFrames)
-      val start = math.min(content.length, idx * chunk)
-      val end = math.min(content.length, start + chunk)
-      java.util.Arrays.copyOfRange(content, start, end)
+  // ------------------------------------------------------------------
+  // REAL video codec kernels — YUV4MPEG2 (Y4M) with the mono
+  // colorspace is a plain byte container (ASCII header + raw luma
+  // planes) that ffmpeg/mplayer/x264 all read, so uncompressed video
+  // needs no external library either. A compressed bitstream decoder
+  // (H.264 etc.) would require a native demuxer the JVM doesn't ship;
+  // it would slot in behind decodeVideoKernel without touching any
+  // operator.
+  // ------------------------------------------------------------------
+
+  /** Encode luma frames as a real YUV4MPEG2 stream: ASCII stream
+    * header `YUV4MPEG2 W.. H.. F<fps>:1 Ip A1:1 Cmono\n`, then per
+    * frame an ASCII `FRAME\n` marker followed by the raw `w*h` luma
+    * plane. Any Y4M-aware tool plays the result. */
+  def encodeVideoKernel(frames: Array[Array[Byte]], w: Int, h: Int,
+                        fps: Int = 25): Array[Byte] = {
+    require(w > 0 && h > 0 && fps > 0, s"bad Y4M params: ${w}x$h @$fps")
+    frames.zipWithIndex.foreach { case (f, i) =>
+      require(f.length == w * h, s"frame $i: ${f.length} bytes != ${w}x$h") }
+    val header = s"YUV4MPEG2 W$w H$h F$fps:1 Ip A1:1 Cmono\n".getBytes("US-ASCII")
+    val marker = "FRAME\n".getBytes("US-ASCII")
+    val out = java.nio.ByteBuffer.allocate(
+      header.length + frames.map(marker.length + _.length).sum)
+    out.put(header)
+    frames.foreach { f => out.put(marker); out.put(f) }
+    out.array()
+  }
+
+  /** Decode a YUV4MPEG2 stream by walking the container: parse the
+    * stream-header tags (W/H required, C must be mono; F/I/A/X
+    * tolerated per the spec), then each `FRAME` record — marker,
+    * optional frame parameters up to the newline, then exactly one
+    * `w*h` luma plane. Truncated or non-Y4M payloads fail loudly.
+    * Returns (frames, width, height). */
+  def decodeVideoKernel(content: Array[Byte]): (Array[Array[Byte]], Int, Int) = {
+    val magic = "YUV4MPEG2".getBytes("US-ASCII")
+    require(content.length >= magic.length &&
+      java.util.Arrays.equals(content, 0, magic.length, magic, 0, magic.length),
+      "not a YUV4MPEG2 stream")
+    var i = magic.length
+    def restOfLine(): String = {
+      val start = i
+      while (i < content.length && content(i) != '\n') i += 1
+      require(i < content.length, "truncated Y4M header line")
+      val s = new String(content, start, i - start, "US-ASCII")
+      i += 1
+      s
     }
+    var w = -1
+    var h = -1
+    var colorspace = "420" // the Y4M default when no C tag is present
+    restOfLine().split(' ').filter(_.nonEmpty).foreach { tag =>
+      tag.charAt(0) match {
+        case 'W' => w = tag.tail.toInt
+        case 'H' => h = tag.tail.toInt
+        case 'C' => colorspace = tag.tail
+        case _ => () // F (rate) / I (interlace) / A (aspect) / X (meta)
+      }
+    }
+    require(w > 0 && h > 0, s"Y4M header missing W/H")
+    require(colorspace.startsWith("mono"),
+      s"only Cmono is supported, got C$colorspace")
+    val planeLen = w * h
+    val frameMagic = "FRAME".getBytes("US-ASCII")
+    val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    while (i < content.length) {
+      require(content.length - i >= frameMagic.length &&
+        java.util.Arrays.equals(content, i, i + frameMagic.length,
+          frameMagic, 0, frameMagic.length),
+        s"bad FRAME marker at byte $i (frame ${frames.length})")
+      i += frameMagic.length
+      restOfLine() // optional frame parameters, ignored
+      require(content.length - i >= planeLen,
+        s"truncated frame ${frames.length}: ${content.length - i} of $planeLen bytes")
+      frames += java.util.Arrays.copyOfRange(content, i, i + planeLen)
+      i += planeLen
+    }
+    (frames.toArray, w, h)
   }
 
   // ------------------------------------------------------------------
@@ -340,15 +419,66 @@ object Multimodal {
     })
   }
 
-  /** Sample every `everyNth` frame of video assets → one row per frame
-    * (flatMap: rows expand, still no shuffle). */
+  /** Sample every `everyNth` frame of video assets by demuxing the
+    * REAL Y4M container → one row per sampled frame (flatMap: rows
+    * expand, still no shuffle). `frame_idx` is the frame's position in
+    * the stream; metadata that disagrees with the container fails
+    * loudly rather than silently trusting either side. */
   def frameSample(assets: Dataset[MediaAsset], everyNth: Int = 1): Dataset[Frame] = {
     import assets.sparkSession.implicits._
     require(everyNth >= 1, "everyNth must be >= 1")
     assets.filter(_.media_type == "video").flatMap { a =>
-      (0 until a.n_frames by everyNth).map(i =>
-        Frame(a.asset_id, i, sampleFrame(a.content, a.n_frames, i)))
+      val (frames, w, h) = decodeVideoKernel(a.content)
+      require(frames.length == a.n_frames && w == a.width && h == a.height,
+        s"asset ${a.asset_id}: container says ${frames.length} frames ${w}x$h, " +
+          s"metadata says ${a.n_frames} frames ${a.width}x${a.height}")
+      (0 until frames.length by everyNth).map(i => Frame(a.asset_id, i, frames(i)))
     }
+  }
+
+  /** Per-frame features over sampled frames (mapPartitions, zero
+    * shuffle): byte count, exact byte sum, min/max byte. */
+  case class FrameFeatures(asset_id: Long, frame_idx: Int,
+                           n_frame_bytes: Long, sum_bytes: Long,
+                           min_byte: Int, max_byte: Int)
+
+  def frameFeatures(frames: Dataset[Frame]): Dataset[FrameFeatures] = {
+    import frames.sparkSession.implicits._
+    frames.mapPartitions(_.map { fr =>
+      var sum = 0L
+      var mn = 256
+      var mx = -1
+      var i = 0
+      while (i < fr.frame_bytes.length) {
+        val v = fr.frame_bytes(i) & 0xff
+        sum += v
+        if (v < mn) mn = v
+        if (v > mx) mx = v
+        i += 1
+      }
+      FrameFeatures(fr.asset_id, fr.frame_idx, fr.frame_bytes.length.toLong,
+        sum, if (mn == 256) 0 else mn, if (mx == -1) 0 else mx)
+    })
+  }
+
+  /** Deterministic synthetic table of REAL Y4M video assets: asset
+    * `id` carries `id%8+1` constant-luma frames of `(id%16+8) x
+    * (id%12+6)` — frame `f`'s fill byte is `(id*31 + f*7) % 256`, so
+    * every per-frame feature is predictable in closed form by the SQL
+    * oracle while the bytes still round-trip a real container any
+    * Y4M-aware tool plays. */
+  def syntheticVideoAssets(documents: DataFrame, fps: Int = 25): Dataset[MediaAsset] = {
+    import documents.sparkSession.implicits._
+    documents.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val w = (id % 16 + 8).toInt
+      val h = (id % 12 + 6).toInt
+      val n = (id % 8 + 1).toInt
+      val frames = Array.tabulate(n) { f =>
+        val fill = ((id * 31 + f * 7) % 256).toByte
+        Array.fill[Byte](w * h)(fill)
+      }
+      MediaAsset(id, "video", encodeVideoKernel(frames, w, h, fps), w, h, n)
+    })
   }
 
   /** Deterministic synthetic asset table derived from the documents

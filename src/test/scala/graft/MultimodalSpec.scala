@@ -41,15 +41,66 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.resize(ds, 2, 2).collect().head.content.toSeq == r.content.toSeq)
   }
 
-  test("frameSample slices videos into n_frames chunks, every Nth") {
-    val ds = Seq(
-      asset(1, "video", Array.tabulate[Byte](8)(_.toByte), frames = 4),
+  test("real Y4M roundtrip is frame-exact; junk and truncation fail loudly") {
+    val (w, h) = (6, 4)
+    // gradient frames (not constant fill) prove byte ORDER survives
+    val frames = Array.tabulate(3)(f =>
+      Array.tabulate[Byte](w * h)(i => ((f * 89 + i * 13) % 256).toByte))
+    val y4m = Multimodal.encodeVideoKernel(frames, w, h, fps = 30)
+    // a real Y4M stream any tool reads: ASCII magic + tagged header
+    assert(new String(y4m.take(9), "US-ASCII") == "YUV4MPEG2")
+    assert(new String(y4m.takeWhile(_ != '\n'.toByte), "US-ASCII")
+      .contains(s"W$w"))
+    val (back, dw, dh) = Multimodal.decodeVideoKernel(y4m)
+    assert(dw == w && dh == h && back.length == 3)
+    back.zip(frames).foreach { case (a, b) => assert(a.sameElements(b)) }
+    // unknown header tags and frame parameters are tolerated per spec
+    val tagged = ("YUV4MPEG2 W2 H2 F25:1 Ip A1:1 Cmono Xgraft\n" +
+      "FRAME Xtag\n").getBytes("US-ASCII") ++ Array[Byte](1, 2, 3, 4)
+    val (tf, _, _) = Multimodal.decodeVideoKernel(tagged)
+    assert(tf.length == 1 && tf(0).toSeq == Seq[Byte](1, 2, 3, 4))
+    // loud failures: junk, truncated frame, non-mono colorspace
+    intercept[Exception] { Multimodal.decodeVideoKernel("not video".getBytes) }
+    intercept[Exception] { Multimodal.decodeVideoKernel(y4m.dropRight(1)) }
+    intercept[Exception] { Multimodal.decodeVideoKernel(
+      "YUV4MPEG2 W2 H2 C420\nFRAME\n".getBytes("US-ASCII") ++ new Array[Byte](6)) }
+  }
+
+  test("frameSample demuxes the real container distributed, every Nth") {
+    val (w, h) = (4, 3)
+    def vid(id: Long, n: Int) = MediaAsset(id, "video",
+      Multimodal.encodeVideoKernel(
+        Array.tabulate(n)(f => Array.tabulate[Byte](w * h)(i => (f * 10 + i).toByte)),
+        w, h), w, h, n)
+    val ds = Seq(vid(1, 4),
       asset(2, "image", Array.tabulate[Byte](8)(_.toByte), frames = 4)).toDS()
     val all = Multimodal.frameSample(ds).collect().sortBy(f => (f.asset_id, f.frame_idx))
     assert(all.map(_.asset_id).toSet == Set(1L)) // images skipped
-    assert(all.length == 4 && all.forall(_.frame_bytes.length == 2))
+    assert(all.length == 4 && all.forall(_.frame_bytes.length == w * h))
+    // frame content is the decoded plane, not a byte slice of the container
+    assert(all(1).frame_bytes.toSeq ==
+      Array.tabulate[Byte](w * h)(i => (10 + i).toByte).toSeq)
     val everyOther = Multimodal.frameSample(ds, everyNth = 2).collect()
     assert(everyOther.map(_.frame_idx).sorted.toSeq == Seq(0, 2))
+    // metadata/container disagreement is loud, not silent
+    val lying = Seq(vid(3, 2).copy(n_frames = 5)).toDS()
+    intercept[Exception] { Multimodal.frameSample(lying).collect() }
+  }
+
+  test("syntheticVideoAssets: closed-form features match the demuxed frames") {
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001").limit(40)
+    val feats = Multimodal.frameFeatures(
+      Multimodal.frameSample(Multimodal.syntheticVideoAssets(docs)))
+      .collect().sortBy(f => (f.asset_id, f.frame_idx))
+    assert(feats.nonEmpty)
+    feats.foreach { f =>
+      val id = f.asset_id
+      val plane = (id % 16 + 8) * (id % 12 + 6)
+      val fill = (id * 31 + f.frame_idx * 7) % 256
+      assert(f.n_frame_bytes == plane)
+      assert(f.sum_bytes == fill * plane)
+      assert(f.min_byte == fill && f.max_byte == fill)
+    }
   }
 
   test("syntheticAssets derives a typed binary asset table from documents") {

@@ -894,6 +894,21 @@ object SparkEntry {
       .catalogDelta
   }
 
+  /** Verified variant ([[graft.dedup.Dedup.incrementalNearDupVerified]]):
+    * same split, but a catalog band collision only drops a batch doc
+    * after exact-Jaccard confirmation against the colliding catalog
+    * doc's shingles — the precision-recovering mode. */
+  private def dedupIncrementalMinhashVerified(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val catalogDocs = docs.filter(col("doc_id") < 250)
+    val catalogSigs = graft.dedup.Dedup.minhashSignatures(catalogDocs)
+    graft.dedup.Dedup
+      .incrementalNearDupVerified(docs.filter(col("doc_id") >= 250),
+        graft.dedup.Dedup.lshBands(catalogSigs),
+        catalogSigs.select(col("doc_id"), col("shingles")))
+      .catalogDelta
+  }
+
   /** KMV sketch algebra ([[graft.expressions.SketchAggregates]]):
     * audience overlap of the click/view user sets computed purely from
     * two 64-value sketches — union, Jaccard, intersection — never
@@ -1002,6 +1017,7 @@ object SparkEntry {
     "zorder_cells" -> (zorderCells(_, _)),
     "dedup_incremental" -> (dedupIncremental(_, _)),
     "dedup_incremental_minhash" -> (dedupIncrementalMinhash(_, _)),
+    "dedup_incremental_minhash_verified" -> (dedupIncrementalMinhashVerified(_, _)),
     "audience_overlap" -> (audienceOverlap(_, _)),
     "corpus_sample_tokens" -> (corpusSampleTokens(_, _)),
     "corpus_sample_per_source" -> (corpusSamplePerSource(_, _)),
@@ -2196,6 +2212,67 @@ object SparkEntry {
          |cat AS (SELECT DISTINCT band_idx, band_hash FROM bands_all WHERE doc_id < 250),
          |bb AS (SELECT doc_id, band_idx, band_hash FROM bands_all WHERE doc_id >= 250),
          |hit AS (SELECT DISTINCT bb.doc_id FROM bb JOIN cat USING (band_idx, band_hash)),
+         |sb AS (SELECT * FROM bb WHERE doc_id NOT IN (SELECT doc_id FROM hit)),
+         |bsz AS (
+         |  SELECT band_idx, band_hash FROM sb
+         |  GROUP BY band_idx, band_hash HAVING count(*) <= 1000),
+         |sb2 AS (
+         |  SELECT s.doc_id, s.band_idx, s.band_hash
+         |  FROM sb s JOIN bsz USING (band_idx, band_hash)),
+         |cands AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM sb2 a JOIN sb2 b
+         |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         |  WHERE a.doc_id < b.doc_id),
+         |ver AS (
+         |  SELECT c.doc_a, c.doc_b
+         |  FROM cands c JOIN sigs a ON c.doc_a = a.doc_id
+         |    JOIN sigs b ON c.doc_b = b.doc_id
+         |  WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+         |    / CAST(len(a.shingles) + len(b.shingles)
+         |           - len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) >= 0.8),
+         |e AS (SELECT doc_a AS a, doc_b AS b FROM ver
+         |      UNION SELECT doc_b, doc_a FROM ver),
+         |reach(src, dst) AS (
+         |  SELECT a, a FROM (SELECT DISTINCT a FROM e)
+         |  UNION
+         |  SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a),
+         |dropped AS (SELECT src AS doc_id FROM reach GROUP BY src HAVING min(dst) <> src),
+         |rej AS (SELECT doc_id FROM hit UNION ALL SELECT doc_id FROM dropped)
+         |SELECT doc_id, CAST(band_idx AS INT) AS band_idx, band_hash
+         |FROM bb WHERE doc_id NOT IN (SELECT doc_id FROM rej)""".stripMargin,
+    // verified variant: identical pipeline, but a catalog band
+    // collision only drops the batch doc after exact-Jaccard
+    // confirmation against the colliding catalog doc's shingle set
+    "dedup_incremental_minhash_verified" ->
+      s"""WITH RECURSIVE docs AS (
+         |  SELECT doc_id, $shinglesSql AS shingles FROM documents),
+         |sigs AS (
+         |  SELECT doc_id, shingles,
+         |    list_transform(range(0, 12), j ->
+         |      list_aggregate(list_transform(shingles,
+         |        s -> (CAST(concat('0x', substring(md5(s), 1, 15)) AS BIGINT) % 2147483648
+         |              + j * (CAST(concat('0x', substring(md5(s), 16, 15)) AS BIGINT) % 2147483648))
+         |             % 2147483648), 'min')) AS sig
+         |  FROM docs WHERE len(shingles) > 0),
+         |bands_all AS (
+         |  SELECT doc_id, b AS band_idx,
+         |    concat_ws(',', sig[b*3+1], sig[b*3+2], sig[b*3+3]) AS band_hash
+         |  FROM sigs, range(0, 4) AS t(b)),
+         |cat AS (SELECT DISTINCT doc_id, band_idx, band_hash
+         |        FROM bands_all WHERE doc_id < 250),
+         |bb AS (SELECT doc_id, band_idx, band_hash FROM bands_all WHERE doc_id >= 250),
+         |hitp AS (
+         |  SELECT DISTINCT bb.doc_id AS b_id, cat.doc_id AS c_id
+         |  FROM bb JOIN cat
+         |    ON bb.band_idx = cat.band_idx AND bb.band_hash = cat.band_hash),
+         |hit AS (
+         |  SELECT DISTINCT h.b_id AS doc_id
+         |  FROM hitp h JOIN sigs a ON h.b_id = a.doc_id
+         |    JOIN sigs c ON h.c_id = c.doc_id
+         |  WHERE CAST(len(list_intersect(a.shingles, c.shingles)) AS DOUBLE)
+         |    / CAST(len(a.shingles) + len(c.shingles)
+         |           - len(list_intersect(a.shingles, c.shingles)) AS DOUBLE) >= 0.8),
          |sb AS (SELECT * FROM bb WHERE doc_id NOT IN (SELECT doc_id FROM hit)),
          |bsz AS (
          |  SELECT band_idx, band_hash FROM sb

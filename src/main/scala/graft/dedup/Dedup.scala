@@ -416,6 +416,43 @@ object Dedup {
                          k: Int = 12, bands: Int = 4, minJaccard: Double = 0.8,
                          maxBucketSize: Option[Int] = Some(DefaultBucketCap),
                          textCol: String = "text", idCol: String = "doc_id")
+      : IncrementalNearDup =
+    incrementalNearDupImpl(batch, bandCatalog, None, k, bands, minJaccard,
+      maxBucketSize, textCol, idCol)
+
+  /** [[incrementalNearDup]] with VERIFIED catalog screening: a band
+    * collision against the catalog is confirmed by exact Jaccard
+    * against the colliding catalog doc's shingle set before the batch
+    * doc is dropped — eliminating the unverified mode's false
+    * positives (quantified in `TextDedupSpec`: band collision alone is
+    * LSH-confident, not exact; sub-threshold pairs do collide).
+    *
+    * `shingleCatalog` is (doc_id, shingles) for the accepted corpus —
+    * wider than the band catalog but still a bounded per-doc summary
+    * (distinct 3-token shingles), append-only like the bands.
+    *
+    * Shuffle budget: the verification join moves shingle sets for
+    * COLLIDING (batch_doc, catalog_doc) pairs only — proportional to
+    * the band false-positive rate times batch size, not to the
+    * catalog. At 100 TB, bucket both catalogs ([[graft.sources
+    * .Bucketing]]: bands by band_hash, shingles by doc_id) and the
+    * recurring screen+verify joins plan exchange-free on the catalog
+    * side. */
+  def incrementalNearDupVerified(batch: DataFrame, bandCatalog: DataFrame,
+                                 shingleCatalog: DataFrame,
+                                 k: Int = 12, bands: Int = 4,
+                                 minJaccard: Double = 0.8,
+                                 maxBucketSize: Option[Int] = Some(DefaultBucketCap),
+                                 textCol: String = "text", idCol: String = "doc_id")
+      : IncrementalNearDup =
+    incrementalNearDupImpl(batch, bandCatalog, Some(shingleCatalog), k, bands,
+      minJaccard, maxBucketSize, textCol, idCol)
+
+  private def incrementalNearDupImpl(batch: DataFrame, bandCatalog: DataFrame,
+                                     shingleCatalog: Option[DataFrame],
+                                     k: Int, bands: Int, minJaccard: Double,
+                                     maxBucketSize: Option[Int],
+                                     textCol: String, idCol: String)
       : IncrementalNearDup = {
     // Scoped persists (signatures feed banding + verification, bands
     // feed screening + candidates + delta): both results are
@@ -426,10 +463,33 @@ object Dedup {
     val batchBands = lshBands(sigs, k, bands)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val hitIds = batchBands
-        .join(bandCatalog.select(col("band_idx"), col("band_hash")),
-          Seq("band_idx", "band_hash"), "left_semi")
-        .select(col("doc_id")).distinct()
+      val hitIds = shingleCatalog match {
+        case None =>
+          // band collision alone drops the doc: LSH-confidence
+          // screening, no catalog shingles needed (append-only narrow
+          // catalog; trades precision — see incrementalNearDupVerified)
+          batchBands
+            .join(bandCatalog.select(col("band_idx"), col("band_hash")),
+              Seq("band_idx", "band_hash"), "left_semi")
+            .select(col("doc_id")).distinct()
+        case Some(catSh) =>
+          // collision pairs carry catalog doc ids; confirm each by
+          // exact Jaccard against the catalog shingle set
+          val collisions = batchBands
+            .join(bandCatalog.select(col("doc_id").as("cat_id"),
+              col("band_idx"), col("band_hash")), Seq("band_idx", "band_hash"))
+            .select(col("doc_id"), col("cat_id")).distinct()
+          val nInter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("bigint")
+          collisions
+            .join(sigs.select(col("doc_id"), col("shingles").as("sh_a")), "doc_id")
+            .join(catSh.select(col("doc_id").as("cat_id"),
+              col("shingles").as("sh_b")), "cat_id")
+            .withColumn("n_inter", nInter)
+            .filter(col("n_inter").cast("double") /
+              ((size(col("sh_a")) + size(col("sh_b"))).cast("bigint")
+                - col("n_inter")).cast("double") >= minJaccard)
+            .select(col("doc_id")).distinct()
+      }
       val survivorBands = batchBands.join(hitIds, Seq("doc_id"), "left_anti")
       val pairs = verifyJaccard(lshCandidates(survivorBands, maxBucketSize), sigs)
         .filter(col("jaccard") >= minJaccard)

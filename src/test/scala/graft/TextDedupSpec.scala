@@ -233,6 +233,54 @@ class TextDedupSpec extends SparkSpec {
     assert(packed.length == 2 && packed.forall(_.schema.fieldNames.contains("bin_id")))
   }
 
+  test("incremental near-dup: unverified band screening has false positives; " +
+       "verified mode eliminates them (FP rate quantified)") {
+    // catalog doc and batch docs share long runs of tokens (sub-0.8
+    // Jaccard) — enough overlap that SOME band of minhashes collides,
+    // which is precisely the unverified mode's false-positive shape
+    val base = (0 until 30).map(i => s"tok$i").mkString(" ")
+    val catDocs = Seq((1L, base)).toDF("doc_id", "text")
+    val batch = ((0 until 40).map { i =>
+      // vary a sliding window of tokens: overlapping-but-distinct docs
+      (100L + i, (0 until 30).map(j =>
+        if (j >= i % 10 && j < i % 10 + 4) s"alt${i}_$j" else s"tok$j")
+        .mkString(" "))
+    } :+ (999L, base)) // one TRUE duplicate of the catalog doc
+      .toDF("doc_id", "text")
+    val catSigs = Dedup.minhashSignatures(catDocs)
+    val bandCat = Dedup.lshBands(catSigs)
+    val shCat = catSigs.select(col("doc_id"), col("shingles"))
+
+    val unverified = Dedup.incrementalNearDup(batch, bandCat)
+    val verified = Dedup.incrementalNearDupVerified(batch, bandCat, shCat)
+    val uDropped = batch.select("doc_id").except(unverified.fresh.select("doc_id"))
+      .as[Long].collect().toSet
+    val vDropped = batch.select("doc_id").except(verified.fresh.select("doc_id"))
+      .as[Long].collect().toSet
+
+    // ground truth: true near-dups of the catalog doc at jaccard >= 0.8
+    val trueDups = Dedup.verifyJaccard(
+      batch.select(col("doc_id").as("doc_a")).crossJoin(
+        catDocs.select(col("doc_id").as("doc_b"))),
+      Dedup.minhashSignatures(batch.unionAll(catDocs)))
+      .filter(col("jaccard") >= 0.8).select("doc_a").as[Long].collect().toSet
+
+    // verified = exactly the ground truth (keeps every sub-threshold
+    // collider, still drops the true duplicate); unverified ⊇ verified
+    assert(trueDups == Set(999L))
+    assert(vDropped == trueDups, s"verified dropped $vDropped, truth $trueDups")
+    assert(uDropped.subsetOf(uDropped ++ vDropped) && vDropped.subsetOf(uDropped))
+    val falsePositives = uDropped -- trueDups
+    assert(falsePositives.nonEmpty,
+      "fixture should produce band collisions below the Jaccard threshold")
+    val fpRate = falsePositives.size.toDouble / uDropped.size
+    info(f"unverified FP rate on overlapping-doc fixture: $fpRate%.2f " +
+      s"(${falsePositives.size} of ${uDropped.size} drops)")
+    // the documented trade: band collision is LSH evidence, not proof —
+    // on this adversarial fixture most unverified drops are wrong
+    assert(fpRate > 0.0 && fpRate <= 1.0)
+  }
+
   test("dedupCorpus is the identity on a corpus with no near-duplicates") {
     val docs = Seq(
       (1L, "completely original text about database engines and joins"),

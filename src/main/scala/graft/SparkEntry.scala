@@ -643,11 +643,37 @@ object SparkEntry {
     Similarity.ivfTopK(e.select("vec_id", "embedding"), queries, dim = 64, k = 5)
   }
 
+  /** IVF over Spark-ML-trained k-means centroids. CONTRACT NOTE: this
+    * is the one registered query that is rows-only by design — ML
+    * KMeans accumulates float partial sums in partition order, so its
+    * centroids (and therefore cell assignment at the decision
+    * boundary) are not bit-reproducible outside Spark, and no SQL
+    * oracle can restate them. The oracle-checkable twin is
+    * `sim_ivf_lloyd`, whose exact fixed-point trainer
+    * ([[graft.similarity.Similarity.lloydCentroidsExact]]) makes every
+    * training step engine-portable; its green hash row is the proof
+    * that the IVF machinery itself (assignment, probing, scoring) is
+    * exact — only the ML trainer's float summation order is not. */
   private def simIvfKmeans(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     val queries = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     val cents = Similarity.kmeansCentroids(e.select("vec_id", "embedding"), nCells = 16)
+    Similarity.ivfTopK(e.select("vec_id", "embedding"), queries,
+      dim = 64, k = 5, nCells = 16, nProbe = 4, centroids = Some(cents))
+  }
+
+  /** IVF over exactly-trained Lloyd centroids
+    * ([[graft.similarity.Similarity.lloydCentroidsExact]]): integer
+    * micro-unit arithmetic end-to-end, so the DuckDB oracle replays the
+    * full 2-iteration training verbatim — the oracle-checkable trained-
+    * centroid path that `sim_ivf_kmeans` (ML floats) cannot be. */
+  private def simIvfLloyd(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val cents = Similarity.lloydCentroidsExact(
+      e.select("vec_id", "embedding"), nCells = 16, iters = 2)
     Similarity.ivfTopK(e.select("vec_id", "embedding"), queries,
       dim = 64, k = 5, nCells = 16, nProbe = 4, centroids = Some(cents))
   }
@@ -709,6 +735,92 @@ object SparkEntry {
 
   private def dotSql(a: String, b: String): String =
     s"list_sum(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+
+  /** The ivfTopK scoring chain (assign → probe → score → top-k) as a
+    * suffix to an arbitrary centroid CTE chain ending in
+    * `cents(cell_id, c_emb, c_norm)` — shared by `sim_ivf`
+    * (deterministic-sample centroids) and `sim_ivf_lloyd` (exact
+    * fixed-point trained centroids). */
+  private def ivfScoringSql(centsCtes: String): String = {
+    val dotEC = dotSql("e.embedding", "c.c_emb")
+    val dotAQ = dotSql("a.embedding", "p.q_emb")
+    s"""$centsCtes,
+       |assigned AS (
+       |  SELECT vec_id, embedding, c_norm2, cell_id FROM (
+       |    SELECT e.vec_id, e.embedding,
+       |      sqrt(${dotSql("e.embedding", "e.embedding")}) AS c_norm2,
+       |      c.cell_id,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+       |        -($dotEC) / (sqrt(${dotSql("e.embedding", "e.embedding")}) * c.c_norm) ASC,
+       |        c.cell_id ASC) AS rn
+       |    FROM embeddings e CROSS JOIN cents c)
+       |  WHERE rn = 1),
+       |probed AS (
+       |  SELECT q_id, q_emb, q_norm2, cell_id FROM (
+       |    SELECT e.vec_id AS q_id, e.embedding AS q_emb,
+       |      sqrt(${dotSql("e.embedding", "e.embedding")}) AS q_norm2,
+       |      c.cell_id,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+       |        -($dotEC) / (sqrt(${dotSql("e.embedding", "e.embedding")}) * c.c_norm) ASC,
+       |        c.cell_id ASC) AS rn
+       |    FROM embeddings e CROSS JOIN cents c
+       |    WHERE e.vec_id < 10)
+       |  WHERE rn <= 4),
+       |pairs AS (
+       |  SELECT p.q_id, a.vec_id,
+       |    ($dotAQ) / (a.c_norm2 * p.q_norm2) AS cos
+       |  FROM assigned a JOIN probed p USING (cell_id)
+       |  WHERE a.vec_id <> p.q_id)
+       |SELECT q_id, vec_id, rank, round(cos, 9) AS cos FROM (
+       |  SELECT q_id, vec_id, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rank
+       |  FROM pairs) WHERE rank <= 5""".stripMargin
+  }
+
+  /** Unrolled exact fixed-point Lloyd training
+    * ([[Similarity.lloydCentroidsExact]] twin): micro-unit
+    * quantization, integer squared-Euclidean assignment, exact integer
+    * sums with explicit floor division, empty cells keeping their
+    * previous centroid. Ends in the `cents` CTE [[ivfScoringSql]]
+    * consumes. */
+  private def lloydCentsSql(iters: Int): String = {
+    val setup =
+      """WITH f AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    v -> CAST(round(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT)) AS fv
+        |  FROM embeddings),
+        |c0 AS (SELECT vec_id AS cell_id, fv AS cv
+        |       FROM f ORDER BY vec_id ASC LIMIT 16)""".stripMargin
+    val its = (1 to iters).map { i =>
+      s""",
+         |a$i AS (
+         |  SELECT cell_id, fv FROM (
+         |    SELECT f.vec_id, f.fv, c.cell_id,
+         |      ROW_NUMBER() OVER (PARTITION BY f.vec_id ORDER BY
+         |        list_sum(list_transform(range(1, 65),
+         |          i -> (f.fv[i] - c.cv[i]) * (f.fv[i] - c.cv[i]))) ASC,
+         |        c.cell_id ASC) AS rn
+         |    FROM f CROSS JOIN c${i - 1} c) WHERE rn = 1),
+         |s$i AS (
+         |  SELECT cell_id, p, SUM(fv[CAST(p AS INT) + 1]) AS s, COUNT(*) AS n
+         |  FROM a$i, range(0, 64) t(p) GROUP BY cell_id, p),
+         |n$i AS (
+         |  SELECT cell_id,
+         |    list(CAST((s - ((s % n + n) % n)) // n AS BIGINT) ORDER BY p) AS cv
+         |  FROM s$i GROUP BY cell_id),
+         |c$i AS (SELECT c${i - 1}.cell_id, COALESCE(n$i.cv, c${i - 1}.cv) AS cv
+         |        FROM c${i - 1} LEFT JOIN n$i USING (cell_id))""".stripMargin
+    }.mkString
+    setup + its +
+      s""",
+         |cemb AS (
+         |  SELECT cell_id, list_transform(cv,
+         |    x -> CAST(CAST(x AS DOUBLE) / 1000000.0 AS FLOAT)) AS c_emb
+         |  FROM c$iters),
+         |cents AS (
+         |  SELECT cell_id, c_emb,
+         |    sqrt(${dotSql("c_emb", "c_emb")}) AS c_norm FROM cemb)""".stripMargin
+  }
 
   /** DuckDB literal for hyperplane p (same md5-derived signs as
     * [[Similarity.planeVector]]). */
@@ -1184,6 +1296,7 @@ object SparkEntry {
           col("col.item").as("item"), col("col.cnt").as("cnt"))),
     "sim_ivf" -> (simIvf(_, _)),
     "sim_ivf_kmeans" -> (simIvfKmeans(_, _)),
+    "sim_ivf_lloyd" -> (simIvfLloyd(_, _)),
     "dedup_exact" -> (dedupExact(_, _)),
     "dedup_minhash" -> (dedupMinhash(_, _)),
     "dedup_containment" -> ((s, d) =>
@@ -2648,44 +2761,16 @@ object SparkEntry {
          |WHERE x.doc_id < y.doc_id
          |  AND bit_count(xor(x.sig, y.sig)) <= 3""".stripMargin
     },
-    "sim_ivf" -> {
-      val dotEC = dotSql("e.embedding", "c.c_emb")
-      val dotAQ = dotSql("a.embedding", "p.q_emb")
+    "sim_ivf" -> ivfScoringSql(
       s"""WITH cents AS (
          |  SELECT vec_id AS cell_id, embedding AS c_emb,
          |    sqrt(${dotSql("embedding", "embedding")}) AS c_norm
-         |  FROM embeddings ORDER BY vec_id ASC LIMIT 16),
-         |assigned AS (
-         |  SELECT vec_id, embedding, c_norm2, cell_id FROM (
-         |    SELECT e.vec_id, e.embedding,
-         |      sqrt(${dotSql("e.embedding", "e.embedding")}) AS c_norm2,
-         |      c.cell_id,
-         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
-         |        -($dotEC) / (sqrt(${dotSql("e.embedding", "e.embedding")}) * c.c_norm) ASC,
-         |        c.cell_id ASC) AS rn
-         |    FROM embeddings e CROSS JOIN cents c)
-         |  WHERE rn = 1),
-         |probed AS (
-         |  SELECT q_id, q_emb, q_norm2, cell_id FROM (
-         |    SELECT e.vec_id AS q_id, e.embedding AS q_emb,
-         |      sqrt(${dotSql("e.embedding", "e.embedding")}) AS q_norm2,
-         |      c.cell_id,
-         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
-         |        -($dotEC) / (sqrt(${dotSql("e.embedding", "e.embedding")}) * c.c_norm) ASC,
-         |        c.cell_id ASC) AS rn
-         |    FROM embeddings e CROSS JOIN cents c
-         |    WHERE e.vec_id < 10)
-         |  WHERE rn <= 4),
-         |pairs AS (
-         |  SELECT p.q_id, a.vec_id,
-         |    ($dotAQ) / (a.c_norm2 * p.q_norm2) AS cos
-         |  FROM assigned a JOIN probed p USING (cell_id)
-         |  WHERE a.vec_id <> p.q_id)
-         |SELECT q_id, vec_id, rank, round(cos, 9) AS cos FROM (
-         |  SELECT q_id, vec_id, cos,
-         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rank
-         |  FROM pairs) WHERE rank <= 5""".stripMargin
-    },
+         |  FROM embeddings ORDER BY vec_id ASC LIMIT 16)""".stripMargin),
+    // exact fixed-point Lloyd training unrolled (2 iterations), then
+    // the same IVF scoring chain — the trained-centroid twin that IS
+    // hash-checkable (see SparkEntry.simIvfKmeans for why the ML
+    // trainer is not)
+    "sim_ivf_lloyd" -> ivfScoringSql(lloydCentsSql(2)),
     "semantic_dedup" -> {
       val cosExpr =
         s"round(${dotSql("b.embedding", "r.rep_emb")} / (b.nrm * r.rep_norm), 9)"

@@ -343,6 +343,68 @@ object Similarity {
       .withColumn("c_norm", norm(col("c_emb")))
   }
 
+  /** Exact fixed-point Lloyd (k-means) IVF centroids — the ORACLE-
+    * CHECKABLE trainer: [[kmeansCentroids]] (Spark ML) produces
+    * centroids that depend on partition-order float summation, so its
+    * output can only ever be rows-only checked; this variant makes
+    * every step engine-portable and order-independent, the same recipe
+    * as the fixed-point PageRank:
+    *
+    *  - embeddings quantized to integer MICRO-UNITS
+    *    (`round(v * 1e6)` as long — identical double arithmetic in
+    *    any engine);
+    *  - assignment by INTEGER squared Euclidean distance (exact
+    *    comparisons, ties toward the lower cell id);
+    *  - centroid update by exact integer sums (order-independent,
+    *    far below 2^63) and explicit floor division; empty cells keep
+    *    their previous centroid;
+    *  - fixed deterministic init (lowest `nCells` vec_ids) and a fixed
+    *    iteration count, so the whole training unrolls to pure
+    *    relational algebra that a SQL oracle replays verbatim.
+    *
+    * Scale shape per iteration: one broadcast of `nCells` centroids,
+    * one narrow (cell, pos, partial-sum) shuffle — vectors never cross
+    * an exchange whole. Returns (cell_id, c_emb float, c_norm) for
+    * `ivfTopK(centroids = ...)`. */
+  def lloydCentroidsExact(candidates: DataFrame, nCells: Int = 16,
+                          iters: Int = 2): DataFrame = {
+    val f = graft.core.Parallelism.ensure(candidates)
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          v => round(v.cast("double") * 1e6).cast("long")).as("fv"))
+    var cents = f.orderBy(col("vec_id").asc).limit(nCells)
+      .select(col("vec_id").as("cell_id"), col("fv").as("cv"))
+    for (_ <- 1 to iters) {
+      val d2 = aggregate(
+        zip_with(col("fv"), col("cv"), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x)
+      val assigned = f.crossJoin(broadcast(cents))
+        .withColumn("d", d2)
+        .groupBy(col("vec_id"))
+        .agg(min_by(struct(col("cell_id"), col("fv")),
+          struct(col("d"), col("cell_id"))).as("best"))
+        .select(col("best.cell_id").as("cell_id"), col("best.fv").as("fv"))
+      val sums = assigned
+        .select(col("cell_id"), posexplode(col("fv")).as(Seq("p", "v")))
+        .groupBy(col("cell_id"), col("p"))
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+        // explicit floor division (s can be negative; `div` truncates,
+        // but s - nnmod is exactly divisible so the two agree)
+        .withColumn("m", expr("(s - ((s % n + n) % n)) div n"))
+      val updated = sums.groupBy(col("cell_id"))
+        .agg(transform(array_sort(collect_list(struct(col("p"), col("m")))),
+          x => x.getField("m")).as("cv"))
+      cents = cents.select(col("cell_id"), col("cv").as("cv_prev"))
+        .join(updated, Seq("cell_id"), "left")
+        .select(col("cell_id"),
+          coalesce(col("cv"), col("cv_prev")).as("cv"))
+    }
+    cents
+      .select(col("cell_id"),
+        transform(col("cv"), x => (x.cast("double") / 1e6).cast("float")).as("c_emb"))
+      .withColumn("c_norm", norm(col("c_emb")))
+  }
+
   /** L2-normalize an embedding column to unit vectors (the standard
     * pre-step that turns cosine into a plain dot product, halving ANN
     * scoring cost). Zero vectors pass through as zeros. Pure per-row

@@ -112,6 +112,48 @@ class SimilarityScaleSpec extends SparkSpec {
     assert(delta <= 0.1, s"sampled training lost $delta recall at nProbe=4")
   }
 
+  test("lloydCentroidsExact: deterministic under repartitioning, reduces " +
+       "quantization error, keeps ivfTopK recall at full probe") {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir01).select("vec_id", "embedding")
+    def centroidMap(df: DataFrame): Map[Long, Seq[Float]] =
+      df.select("cell_id", "c_emb").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    // exact arithmetic ⇒ partitioning CANNOT change the result
+    // (this is the property ML KMeans float sums lack)
+    val c1 = centroidMap(Similarity.lloydCentroidsExact(e, nCells = 8, iters = 2))
+    val c2 = centroidMap(Similarity.lloydCentroidsExact(
+      e.repartition(7), nCells = 8, iters = 2))
+    assert(c1 == c2, "centroids changed under repartitioning")
+    // Lloyd iterations monotonically reduce within-cell SSE vs the
+    // raw first-k init (measured in the same micro-unit metric)
+    def sse(cents: DataFrame): Double = {
+      val micro = e.select(col("vec_id"),
+        transform(col("embedding"),
+          v => round(v.cast("double") * 1e6).cast("long")).as("fv"))
+      val cm = cents.select(col("cell_id"),
+        transform(col("c_emb"),
+          v => round(v.cast("double") * 1e6).cast("long")).as("cv"))
+      micro.crossJoin(broadcast(cm))
+        .select(aggregate(zip_with(col("fv"), col("cv"),
+          (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x).as("d"),
+          col("vec_id"))
+        .groupBy("vec_id").agg(min(col("d")).as("d"))
+        .agg(sum(col("d"))).head().getLong(0).toDouble
+    }
+    val init = Similarity.lloydCentroidsExact(e, nCells = 8, iters = 0)
+    val trained = Similarity.lloydCentroidsExact(e, nCells = 8, iters = 2)
+    assert(sse(trained) <= sse(init), "training increased quantization error")
+    // full-probe IVF over trained centroids is still exact top-k
+    val q = queries(Tables.embeddings(spark, dir01))
+    val brute = Similarity.bruteForceTopK(e, q, 5)
+      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(e, q, dim = 64, k = 5, nCells = 8, nProbe = 8,
+        centroids = Some(trained))
+      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivf == brute, "full probe over trained centroids must be exact")
+  }
+
   test("binarize packs sign bits exactly; hammingTopK ranks by true Hamming") {
     import spark.implicits._
     // a vector with known signs: dims 0 and 33 positive, rest negative

@@ -85,20 +85,40 @@ object Bench {
     val sfNames = Seq("sf0.001", "sf0.01", "sf0.1")
     val baseDir = Option(new java.io.File(sfDir).getParentFile)
     val scalingCompact = new scala.collection.mutable.ArrayBuffer[String]
+    val attributionCompact = new scala.collection.mutable.ArrayBuffer[String]
     // sweep-min vs scaling-block agreement per heavy query (task: the
     // two timing paths must adjudicate each other — a 12x disagreement
     // on the same query at the same SF means cross-query interference)
     val consistency = new scala.collection.mutable.ArrayBuffer[(String, Double, Double)]
     val scalingJson = baseDir match {
       case Some(base) if sfNames.forall(n => new java.io.File(base, n).isDirectory) =>
-        val heavy = mins.filter(_._2 > 0).sortBy(-_._2).take(10).map(_._1)
+        // 10 heaviest + a fixed watchlist (queries whose growth curves
+        // past rounds flagged), so round-over-round curves stay
+        // comparable even when the heavy set churns
+        val watchlist = Seq("fact_trip", "revenue_by_nation", "corpus_filter",
+          "staging_agg", "span_dedup").filter(n =>
+          mins.exists { case (m, t) => m == n && t > 0 })
+        val heavy = (mins.filter(_._2 > 0).sortBy(-_._2).take(10).map(_._1) ++
+          watchlist).distinct
         val entries = heavy.map { name =>
           val fn = SparkEntry.queries(name)
-          val times = sfNames.map { sn =>
-            val ts = (1 to 2).flatMap(_ =>
-              timeOne(name, fn, new java.io.File(base, sn).getPath))
-            if (ts.nonEmpty) ts.min else -1.0
+          val points = sfNames.map { sn =>
+            val dir = new java.io.File(base, sn).getPath
+            val ts = (1 to 2).flatMap(_ => timeOne(name, fn, dir))
+            // One metered (untimed) run per point: its shuffle volume,
+            // spill, and scan-row counts ATTRIBUTE the time curve — a
+            // time ratio at or below the shuffle/scan-volume ratio is
+            // data-proportional cost (scale-fine); time outgrowing both
+            // would mean the plan itself changed shape across SFs.
+            // measureAllJobs (stage listener) rather than the plan
+            // walk: iterative operators shuffle in earlier jobs the
+            // final plan no longer references.
+            val m = try Some(graft.core.Metrics.measureAllJobs(fn(spark, dir)))
+                    catch { case _: Throwable => None }
+            spark.catalog.clearCache()
+            ((if (ts.nonEmpty) ts.min else -1.0), m)
           }
+          val times = points.map(_._1)
           System.err.println(s"[bench][scaling] $name " +
             sfNames.zip(times).map { case (s, t) => s"$s=${fmt(t)}" }.mkString(" "))
           sfNames.zip(times).find(_._1 == new java.io.File(sfDir).getName)
@@ -111,13 +131,39 @@ object Bench {
             case Seq(a, b) if a > 0.05 && b > 0 => fmt(b / a)
             case _ => "null"
           }.mkString("[", ",", "]")
+          def mSeries(f: graft.core.Metrics.PlanMetrics => Long): Seq[Long] =
+            points.map(_._2.map(f).getOrElse(-1L))
+          val shufB = mSeries(_.shuffleBytesWritten)
+          val shufR = mSeries(_.shuffleRecordsWritten)
+          val scanR = mSeries(_.scanRowsRead)
+          val spill = mSeries(_.spillBytesDisk)
+          def lastRatio(xs: Seq[Long]): Option[Double] = (xs.init.last, xs.last) match {
+            case (a, b) if a > 0 && b >= 0 => Some(b.toDouble / a)
+            case _ => None
+          }
+          // Attribution of the final 10x step (the one local[32] is most
+          // likely to distort): sublinear-in-data is always fine; else
+          // time must not outgrow the max of shuffle-record and scan-row
+          // growth by more than 1.5x, or we flag a suspected plan change.
+          val tG = if (times.init.last > 0.05 && times.last > 0)
+            Some(times.last / times.init.last) else None
+          val volG = (lastRatio(shufR).toSeq ++ lastRatio(scanR).toSeq ++ Seq(1.0)).max
+          val attribution = tG match {
+            case None => "too-fast-to-attribute"
+            case Some(g) if g <= 2.0 => "near-flat"
+            case Some(g) if g <= 10.0 && g <= 1.5 * volG => "data-proportional (sublinear-in-data)"
+            case Some(g) if g <= 1.5 * volG => "volume-proportional"
+            case Some(_) => "SUSPECT: time outgrows shuffle+scan volume — possible plan change"
+          }
           val exempt = scalingExempt.get(name)
             .map(r => s"""{"exempt":true,"why":"$r"}""").getOrElse("""{"exempt":false}""")
           scalingCompact +=
             s""""$name${if (scalingExempt.contains(name)) "(exempt)" else ""}":$ratios"""
-          s""""$name":{"times_s":${times.map(fmt).mkString("[", ",", "]")},"growth_per_10x":$ratios,"label":$exempt}"""
+          attributionCompact += s""""$name":"$attribution""""
+          def arr(xs: Seq[Long]) = xs.mkString("[", ",", "]")
+          s""""$name":{"times_s":${times.map(fmt).mkString("[", ",", "]")},"growth_per_10x":$ratios,"shuffle_bytes":${arr(shufB)},"shuffle_records":${arr(shufR)},"scan_rows":${arr(scanR)},"spill_bytes":${arr(spill)},"attribution":"$attribution","label":$exempt}"""
         }
-        s"""{"sf_points":${sfNames.map("\"" + _ + "\"").mkString("[", ",", "]")},"data_ratio_per_step":10,"timing":"min-of-2 fresh plans","queries":{${entries.mkString(",")}}}"""
+        s"""{"sf_points":${sfNames.map("\"" + _ + "\"").mkString("[", ",", "]")},"data_ratio_per_step":10,"timing":"min-of-2 fresh plans + one metered run per point","queries":{${entries.mkString(",")}}}"""
       case _ => "null"
     }
 
@@ -160,8 +206,10 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val scalingBrief =
       if (scalingCompact.isEmpty) "null" else scalingCompact.mkString("{", ",", "}")
+    val attributionBrief =
+      if (attributionCompact.isEmpty) "null" else attributionCompact.mkString("{", ",", "}")
     val disagree = inconsistent.map("\"" + _._1 + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_s":${fmt(total)},"sf":"$sfDir","runs":$nRuns,"cc_rounds":$ccRounds,"queries_n":${mins.size},"failed_n":${mins.count(_._2 < 0)},"timing_disagree_2x":$disagree,"top10_min_s":$top10,"scaling_growth_per_10x":$scalingBrief,"detail_file":"${detailPath.toAbsolutePath}"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_s":${fmt(total)},"sf":"$sfDir","runs":$nRuns,"cc_rounds":$ccRounds,"queries_n":${mins.size},"failed_n":${mins.count(_._2 < 0)},"timing_disagree_2x":$disagree,"top10_min_s":$top10,"scaling_growth_per_10x":$scalingBrief,"scaling_attribution":$attributionBrief,"detail_file":"${detailPath.toAbsolutePath}"}""")
     spark.stop()
   }
 }

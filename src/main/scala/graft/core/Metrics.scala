@@ -60,4 +60,53 @@ object Metrics {
           s.metrics.get("numOutputRows").map(_.value).getOrElse(0L)
       }.sum)
   }
+
+  /** Like [[measure]], but sums task metrics across EVERY job the
+    * evaluation triggers, via a stage listener. The plan-walk in
+    * [[measure]] sees only the final query's executed plan — an
+    * iterative operator (connected components, PageRank, a pipeline
+    * with `localCheckpoint` rounds) does most of its shuffling in
+    * earlier jobs whose plans are gone by the time the result
+    * materializes, so plan-walk volumes under-report exactly the
+    * operators whose scaling most needs attribution. `filesRead` is
+    * not a task metric; it is taken from the final plan as before.
+    *
+    * Only this query may be executing on the session while measuring —
+    * a concurrent job's stages would be counted too (fine in Bench,
+    * which is strictly sequential). */
+  def measureAllJobs(df: DataFrame): PlanMetrics = {
+    import java.util.concurrent.atomic.AtomicLong
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+    val sc = df.sparkSession.sparkContext
+    val shufB = new AtomicLong; val shufR = new AtomicLong
+    val spillD = new AtomicLong; val spillM = new AtomicLong
+    val inRecs = new AtomicLong
+    val listener = new SparkListener {
+      override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
+        val m = s.stageInfo.taskMetrics
+        if (m != null) {
+          shufB.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          shufR.addAndGet(m.shuffleWriteMetrics.recordsWritten)
+          spillD.addAndGet(m.diskBytesSpilled)
+          spillM.addAndGet(m.memoryBytesSpilled)
+          inRecs.addAndGet(m.inputMetrics.recordsRead)
+        }
+      }
+    }
+    sc.addSparkListener(listener)
+    val planSide =
+      try {
+        val r = measure(df)
+        org.apache.spark.GraftListenerAccess.waitUntilListenerBusEmpty(sc)
+        r
+      } finally sc.removeSparkListener(listener)
+    PlanMetrics(
+      rowsOut = planSide.rowsOut,
+      shuffleBytesWritten = shufB.get(),
+      shuffleRecordsWritten = shufR.get(),
+      spillBytesDisk = spillD.get(),
+      spillBytesMemory = spillM.get(),
+      filesRead = planSide.filesRead,
+      scanRowsRead = inRecs.get())
+  }
 }

@@ -643,6 +643,18 @@ object SparkEntry {
     Similarity.ivfTopK(e.select("vec_id", "embedding"), queries, dim = 64, k = 5)
   }
 
+  /** Product-quantization ADC ANN
+    * ([[graft.similarity.Similarity.pqTopK]]): 64 float dims → 4
+    * one-byte codes against a 16-centroid codebook per subspace;
+    * distance = sum of per-subspace lookups. All-integer fixed-point
+    * arithmetic, so the oracle replays assignment and ADC exactly. */
+  private def simPq(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    Similarity.pqTopK(e.select("vec_id", "embedding"), queries, dim = 64, k = 5)
+  }
+
   /** IVF over Spark-ML-trained k-means centroids. CONTRACT NOTE: this
     * is the one registered query that is rows-only by design — ML
     * KMeans accumulates float partial sums in partition order, so its
@@ -1297,6 +1309,31 @@ object SparkEntry {
     "sim_ivf" -> (simIvf(_, _)),
     "sim_ivf_kmeans" -> (simIvfKmeans(_, _)),
     "sim_ivf_lloyd" -> (simIvfLloyd(_, _)),
+    "sim_pq" -> (simPq(_, _)),
+    // Okapi BM25 (rational constants k1=6/5, b=3/4; per-term scores
+    // are single long-ratio divisions summed in one fixed-order
+    // projection) over the same literal query as keyword_search
+    "bm25_search" -> ((s, d) =>
+      TextFunctions.bm25Search(Tables.documents(s, d),
+        Seq("spark", "merge", "window"), k = 20)),
+    // corpus-trained bigram-LM quality score in fixed-point millionths
+    // (CCNet-style "how surprising is this doc under the corpus LM")
+    "lm_bigram_score" -> ((s, d) =>
+      TextFunctions.lmBigramScore(Tables.documents(s, d))),
+    // per-doc duplicated 8-token-span fraction (the exact-substring
+    // dedup decision metric)
+    "span_dup_stats" -> ((s, d) =>
+      TextFunctions.dupSpanStats(Tables.documents(s, d))),
+    // temperature (alpha=1/2) source mixing: budgets derived from
+    // per-source token mass in pure integer arithmetic
+    "corpus_mix_temperature" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          TextFunctions.wsTokenCount(col("text")).as("n_tokens"))
+      graft.operators.Sampling.temperatureMix(docs, "doc_id", "n_tokens",
+          "source", totalBudget = 2000L, salt = "tmx")
+        .select("doc_id", "source", "n_tokens")
+    }),
     "dedup_exact" -> (dedupExact(_, _)),
     "dedup_minhash" -> (dedupMinhash(_, _)),
     "dedup_containment" -> ((s, d) =>
@@ -1848,6 +1885,102 @@ object SparkEntry {
          |  CAST(score_num AS DOUBLE) / CAST(denom AS DOUBLE) AS score
          |FROM scored WHERE score_num > 0
          |ORDER BY score_num DESC, doc_id ASC LIMIT 20""".stripMargin,
+    // Okapi BM25 with rational constants: each term's score is one
+    // division of two exactly-computed BIGINTs; the 3-term sum is a
+    // fixed-order double expression (same association both engines)
+    "bm25_search" -> {
+      def ts(t: String) =
+        s"""(CASE WHEN tf_$t > 0 THEN
+           |    CAST(44 * tf_$t * t * (n + 1) AS DOUBLE)
+           |    / CAST((df_$t + 1) * (20 * t * tf_$t + 6 * t + 18 * dl * n) AS DOUBLE)
+           |    ELSE 0.0 END)""".stripMargin
+      s"""WITH posting AS (
+         |  SELECT doc_id, term FROM (
+         |    SELECT doc_id, unnest($toksSql) AS term FROM documents)
+         |  WHERE term IN ('spark', 'merge', 'window')),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM posting GROUP BY 1, 2),
+         |dfs AS (SELECT
+         |    count(*) FILTER (term = 'spark') AS df_spark,
+         |    count(*) FILTER (term = 'merge') AS df_merge,
+         |    count(*) FILTER (term = 'window') AS df_window
+         |  FROM tf),
+         |doctf AS (SELECT doc_id,
+         |    CAST(coalesce(sum(tf) FILTER (term = 'spark'), 0) AS BIGINT) AS tf_spark,
+         |    CAST(coalesce(sum(tf) FILTER (term = 'merge'), 0) AS BIGINT) AS tf_merge,
+         |    CAST(coalesce(sum(tf) FILTER (term = 'window'), 0) AS BIGINT) AS tf_window
+         |  FROM tf GROUP BY 1),
+         |dls AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS dl FROM documents),
+         |st AS (SELECT count(*) AS n, CAST(SUM(dl) AS BIGINT) AS t FROM dls),
+         |scored AS (SELECT d.doc_id, l.dl, d.tf_spark, d.tf_merge, d.tf_window,
+         |    ${ts("spark")} + ${ts("merge")} + ${ts("window")} AS score_raw
+         |  FROM doctf d JOIN dls l USING (doc_id), dfs, st)
+         |SELECT doc_id, dl, tf_spark, tf_merge, tf_window,
+         |  round(score_raw, 9) AS score
+         |FROM scored WHERE score_raw > 0
+         |ORDER BY score_raw DESC, doc_id ASC LIMIT 20""".stripMargin
+    },
+    // bigram-LM quality score: MLE p(w2|w1) in fixed-point millionths
+    // via integer floor division — the per-doc SUM is integer, so
+    // accumulation order cannot diverge the engines
+    "lm_bigram_score" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |bg AS (SELECT doc_id, toks[u.i] || ' ' || toks[u.i+1] AS bigram,
+         |         toks[u.i] AS prefix
+         |       FROM t, unnest(generate_series(1, len(toks) - 1)) AS u(i)),
+         |c2 AS (SELECT bigram, count(*) AS c2 FROM bg GROUP BY 1),
+         |c1 AS (SELECT prefix, count(*) AS c1 FROM bg GROUP BY 1),
+         |pd AS (SELECT b.doc_id, count(*) AS n_bigrams,
+         |    CAST(SUM((1000000 * c2.c2) // c1.c1) AS BIGINT) AS sum_p_fp
+         |  FROM bg b JOIN c2 USING (bigram) JOIN c1 ON b.prefix = c1.prefix
+         |  GROUP BY 1)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(pd.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+         |  CAST(coalesce(pd.sum_p_fp, 0) AS BIGINT) AS sum_p_fp,
+         |  CASE WHEN coalesce(pd.n_bigrams, 0) > 0
+         |    THEN CAST(pd.sum_p_fp AS DOUBLE) / CAST(pd.n_bigrams AS DOUBLE)
+         |    ELSE 0.0 END AS avg_p_fp
+         |FROM (SELECT DISTINCT doc_id FROM documents) d
+         |LEFT JOIN pd USING (doc_id)""".stripMargin,
+    // duplicated 8-token-span stats: DISTINCT spans per doc, md5-folded
+    // to a BIGINT before counting (identical fold both engines, so even
+    // a hash collision cannot diverge the comparison)
+    "span_dup_stats" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |sp0 AS (SELECT DISTINCT doc_id, array_to_string(toks[u.i : u.i+7], ' ') AS sp
+         |        FROM t, unnest(generate_series(1, len(toks) - 7)) AS u(i)),
+         |sp AS (SELECT doc_id,
+         |    CAST(concat('0x', substring(md5(sp), 1, 15)) AS BIGINT) AS sp_h
+         |  FROM sp0),
+         |counts AS (SELECT sp_h, count(DISTINCT doc_id) AS nd FROM sp GROUP BY 1),
+         |pd AS (SELECT doc_id, count(*) AS n_spans,
+         |    CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans
+         |  FROM sp JOIN counts USING (sp_h) GROUP BY 1)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(pd.n_spans, 0) AS BIGINT) AS n_spans,
+         |  CAST(coalesce(pd.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+         |  CASE WHEN coalesce(pd.n_spans, 0) > 0
+         |    THEN CAST(pd.n_dup_spans AS DOUBLE) / CAST(pd.n_spans AS DOUBLE)
+         |    ELSE 0.0 END AS dup_frac
+         |FROM (SELECT DISTINCT doc_id FROM documents) d
+         |LEFT JOIN pd USING (doc_id)""".stripMargin,
+    // temperature (alpha=1/2) mixing: integer-derived per-source
+    // budgets (floor-sqrt weights), then the same greedy hash-order
+    // cumulative fill as corpus_mix_tokens
+    "corpus_mix_temperature" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, source, CAST(len($toksSql) AS BIGINT) AS n_tokens,
+         |    CAST(concat('0x', substring(md5(concat(CAST(doc_id AS VARCHAR), 'tmx')), 1, 15)) AS BIGINT) AS hv
+         |  FROM documents),
+         |t AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS ws FROM d GROUP BY 1),
+         |q AS (SELECT source, CAST(floor(sqrt(CAST(ws AS DOUBLE))) AS BIGINT) AS sq FROM t),
+         |z AS (SELECT CAST(SUM(sq) AS BIGINT) AS z FROM q),
+         |b AS (SELECT source, (2000 * sq) // z AS budget FROM q, z),
+         |c AS (SELECT doc_id, source, n_tokens,
+         |    SUM(n_tokens) OVER (PARTITION BY source ORDER BY hv, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM d)
+         |SELECT c.doc_id, c.source, c.n_tokens
+         |FROM c JOIN b USING (source) WHERE c.cum <= b.budget""".stripMargin,
     "events_resample" ->
       """WITH base AS (
         |  SELECT user_id, date_trunc('hour', ts) AS bucket,
@@ -2771,6 +2904,42 @@ object SparkEntry {
     // hash-checkable (see SparkEntry.simIvfKmeans for why the ML
     // trainer is not)
     "sim_ivf_lloyd" -> ivfScoringSql(lloydCentsSql(2)),
+    // PQ-ADC: fixed-point subvectors, integer code assignment (ties ->
+    // lower centroid id), integer ADC sums — replayed exactly
+    "sim_pq" -> {
+      val sq16 = (a: String, b: String) =>
+        s"list_sum(list_transform(range(1, 17), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))"
+      s"""WITH f AS (
+         |  SELECT vec_id, list_transform(embedding,
+         |    v -> CAST(round(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT)) AS fv
+         |  FROM embeddings),
+         |sub AS (
+         |  SELECT vec_id, CAST(t.j AS INTEGER) AS sub_id,
+         |    fv[t.j*16+1 : t.j*16+16] AS sv
+         |  FROM f, range(0, 4) t(j)),
+         |cb AS (
+         |  SELECT sub_id, vec_id AS cent_id, sv AS cv FROM sub
+         |  WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id ASC LIMIT 16)),
+         |codes AS (
+         |  SELECT vec_id, sub_id, cent_id FROM (
+         |    SELECT s.vec_id, s.sub_id, c.cent_id,
+         |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.sub_id ORDER BY
+         |        ${sq16("s.sv", "c.cv")} ASC, c.cent_id ASC) AS rn
+         |    FROM sub s JOIN cb c USING (sub_id)) WHERE rn = 1),
+         |dtab AS (
+         |  SELECT s.vec_id AS q_id, s.sub_id, c.cent_id,
+         |    CAST(${sq16("s.sv", "c.cv")} AS BIGINT) AS d
+         |  FROM sub s JOIN cb c USING (sub_id) WHERE s.vec_id < 10),
+         |adc AS (
+         |  SELECT t.q_id, k.vec_id, CAST(SUM(t.d) AS BIGINT) AS adc
+         |  FROM codes k JOIN dtab t ON k.sub_id = t.sub_id AND k.cent_id = t.cent_id
+         |  WHERE k.vec_id <> t.q_id GROUP BY 1, 2)
+         |SELECT q_id, vec_id, rank, adc FROM (
+         |  SELECT q_id, vec_id, adc,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+         |      ORDER BY adc ASC, vec_id ASC) AS BIGINT) AS rank
+         |  FROM adc) WHERE rank <= 5""".stripMargin
+    },
     "semantic_dedup" -> {
       val cosExpr =
         s"round(${dotSql("b.embedding", "r.rep_emb")} / (b.nrm * r.rep_norm), 9)"

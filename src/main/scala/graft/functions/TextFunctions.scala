@@ -482,4 +482,145 @@ object TextFunctions {
       .select(col("doc_id"), col("term"), col("tf"), col("df"),
         col("tfidf"), col("rank"))
   }
+
+  /** Okapi BM25 ranking for a literal query-term list, with the
+    * standard constants expressed as rationals (k1 = 6/5, b = 3/4) so
+    * every per-term score is ONE division of two exactly-computed
+    * longs:
+    *
+    *   tf-part = tf·(k1+1) / (tf + k1·(1−b) + k1·b·dl·N/T)
+    *           = 44·tf·T / (20·T·tf + 6·T + 18·dl·N)
+    *   idf     = (N+1)/(df+1)   (same monotone surrogate as
+    *                             [[keywordSearch]] — no ln, exact)
+    *   score_t = 44·tf·T·(N+1) / ((df+1)·(20·T·tf + 6·T + 18·dl·N))
+    *
+    * where dl = document token count, N = corpus docs, T = corpus
+    * tokens (avgdl = T/N is never materialized as a double). The ≤8
+    * per-term doubles are summed inside a single fixed-order
+    * projection expression — deterministic IEEE arithmetic, never a
+    * SUM across rows — so the result is hash-exact cross-engine.
+    * Long bounds: num ≤ 44·tf·T·(N+1) needs tf·T·N ≲ 2·10^17 —
+    * fine to ~10^7 docs/shard; larger corpora score per shard.
+    *
+    * Plan shape mirrors [[keywordSearch]]: term-filtered explode →
+    * tf hash-agg → pivot, plus two one-row broadcast stat frames
+    * (per-term df, corpus N/T); document text never shuffles and the
+    * top-k is a TakeOrderedAndProject, not a global sort. */
+  def bm25Search(docs: org.apache.spark.sql.DataFrame, terms: Seq[String],
+                 k: Int = 20, textCol: String = "text",
+                 idCol: String = "doc_id"): org.apache.spark.sql.DataFrame = {
+    require(terms.nonEmpty && terms.size <= 8, s"1..8 literal terms, got ${terms.size}")
+    val posting = docs.select(col(idCol).as("doc_id"),
+        explode(tokens(col(textCol))).as("term"))
+      .filter(col("term").isin(terms: _*))
+    val tf = posting.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val docTf = tf.groupBy("doc_id").pivot("term", terms).agg(first("tf"))
+      .select(col("doc_id") +:
+        terms.map(t => coalesce(col(s"`$t`"), lit(0L)).as(s"__tf_$t")): _*)
+    val dl = docs.select(col(idCol).as("doc_id"),
+      wsTokenCount(col(textCol)).as("dl"))
+    val dfCols = terms.map(t =>
+      sum(when(col(s"__tf_$t") > 0, 1L).otherwise(0L)).as(s"__df_$t"))
+    val dfRow = docTf.agg(dfCols.head, dfCols.tail: _*)
+    val statsRow = dl.agg(count(lit(1)).as("__n"), sum(col("dl")).as("__t"))
+    val scored = docTf.join(dl, "doc_id")
+      .crossJoin(broadcast(dfRow)).crossJoin(broadcast(statsRow))
+    def termScore(t: String): Column = {
+      val num = (lit(44L) * col(s"__tf_$t") * col("__t") * (col("__n") + 1L))
+        .cast("double")
+      val den = ((col(s"__df_$t") + 1L) *
+        (lit(20L) * col("__t") * col(s"__tf_$t") + lit(6L) * col("__t") +
+          lit(18L) * col("dl") * col("__n"))).cast("double")
+      when(col(s"__tf_$t") > 0, num / den).otherwise(lit(0.0))
+    }
+    val score = terms.map(termScore).reduce(_ + _)
+    scored.withColumn("__score", score)
+      .filter(col("__score") > 0)
+      .orderBy(col("__score").desc, col("doc_id").asc)
+      .limit(k)
+      .select(col("doc_id") +: col("dl") +:
+        terms.map(t => col(s"__tf_$t").as(s"tf_$t")) :+
+        round(col("__score"), 9).as("score"): _*)
+  }
+
+  /** Corpus-trained bigram-LM quality score — the CCNet-style signal
+    * "how surprising is this document under a language model of the
+    * corpus itself". MLE bigram probabilities p(w₂|w₁) =
+    * c(w₁w₂)/c(w₁·) are carried in fixed-point millionths via integer
+    * floor division, so the per-document SUM is an integer sum —
+    * order-independent and engine-portable (a double log-prob sum
+    * would be order-sensitive and never hash-stable). Low
+    * `avg_p_fp` = improbable token transitions = low-quality /
+    * out-of-distribution text. Counts are self-trained (the document's
+    * own mass included — standard for corpus-level filtering; no
+    * leave-one-out join).
+    *
+    * Plan shape: one shingle projection feeds both count aggregations
+    * and the posting — bigram counts and prefix counts are slim
+    * (string, long) hash-aggs; the posting joins carry only
+    * (doc_id, bigram, prefix), never the text. At 100 TB the count
+    * tables get a `HAVING count >= minCount` prune before the join
+    * (unseen-bigram smoothing), and the bigram join key should be a
+    * 64-bit hash of the string. */
+  def lmBigramScore(docs: org.apache.spark.sql.DataFrame,
+                    textCol: String = "text", idCol: String = "doc_id")
+      : org.apache.spark.sql.DataFrame = {
+    val posting = docs.select(col(idCol).as("doc_id"),
+        explode(shingles(col(textCol), 2)).as("bigram"))
+      .withColumn("prefix", substring_index(col("bigram"), " ", 1))
+    val c2 = posting.groupBy("bigram").agg(count(lit(1)).as("c2"))
+    val c1 = posting.groupBy("prefix").agg(count(lit(1)).as("c1"))
+    val perDoc = posting
+      .join(c2, "bigram")
+      .join(c1, "prefix")
+      // fixed-point millionths, floor division: exact integers both
+      // engines, so the sum below is order-independent
+      .withColumn("p_fp", expr("(1000000 * c2) div c1"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("p_fp")).as("sum_p_fp"))
+    docs.select(col(idCol).as("doc_id")).distinct()
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("sum_p_fp"), lit(0L)).as("sum_p_fp"))
+      .withColumn("avg_p_fp",
+        when(col("n_bigrams") > 0,
+          col("sum_p_fp").cast("double") / col("n_bigrams").cast("double"))
+          .otherwise(lit(0.0)))
+  }
+
+  /** Per-document duplicated-span statistics — the "what fraction of
+    * this document's n-token windows also occur elsewhere" metric that
+    * drives exact-substring dedup decisions (Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better",
+    * measures dup fraction before cutting). Spans are DISTINCT
+    * `width`-token shingles per document; a span is duplicated when
+    * ≥2 distinct documents carry it.
+    *
+    * Scale shape: spans are md5-folded to a long BEFORE the exchange,
+    * so only (doc_id, span_hash) pairs shuffle — never span text, and
+    * both engines fold identically so hash collisions (if any) cannot
+    * diverge the oracle. Two narrow hash-aggs + one narrow join. */
+  def dupSpanStats(docs: org.apache.spark.sql.DataFrame, width: Int = 8,
+                   textCol: String = "text", idCol: String = "doc_id")
+      : org.apache.spark.sql.DataFrame = {
+    val sp = docs.select(col(idCol).as("doc_id"),
+        explode(shingleSet(col(textCol), width)).as("sp"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("sp")), 1, 15), 16, 10).cast("long").as("sp_h"))
+    val counts = sp.groupBy("sp_h").agg(countDistinct(col("doc_id")).as("nd"))
+    val perDoc = sp.join(counts, "sp_h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup_spans"))
+    docs.select(col(idCol).as("doc_id")).distinct()
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"))
+      .withColumn("dup_frac",
+        when(col("n_spans") > 0,
+          col("n_dup_spans").cast("double") / col("n_spans").cast("double"))
+          .otherwise(lit(0.0)))
+  }
 }

@@ -199,4 +199,43 @@ object Sampling {
     }
     df.filter(hashBucket(col(keyCol), salt) < threshold)
   }
+
+  /** Temperature-based source mixing at α = 1/2 — the data-mixture
+    * recipe that up-weights low-resource sources relative to
+    * proportional sampling (sampling probability ∝ W_s^α; α = 1 is
+    * proportional, α → 0 uniform). Unlike [[budgetPerStratum]] the
+    * budgets are DERIVED from the data: budget_s =
+    * totalBudget·⌊√W_s⌋ ÷ Σ⌊√W_s⌋ in pure integer arithmetic
+    * (⌊√x⌋ of a correctly-rounded IEEE sqrt is exact for
+    * x ≲ 2^52 — engine-portable), then rows fill each budget greedily
+    * in salted-hash order, boundary row dropped.
+    *
+    * Scale shape: the per-stratum totals are one narrow hash-agg; the
+    * derived budget frame (one row per source) broadcast-joins onto
+    * the slim (key, stratum, weight, hash) projection, so the payload
+    * never crosses an exchange and the cumsum window is the same
+    * single narrow shuffle [[budgetPerStratum]] pays. */
+  def temperatureMix(df: DataFrame, keyCol: String, weightCol: String,
+                     stratumCol: String, totalBudget: Long,
+                     salt: String = ""): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(totalBudget > 0, s"totalBudget must be positive, got $totalBudget")
+    val h = conv(substring(md5(concat(coalesce(col(keyCol).cast("string"), lit("")),
+      lit(salt))), 1, 15), 16, 10).cast("long")
+    val slim = df.select(col(keyCol).as("__k"), col(stratumCol).as("__s"),
+      col(weightCol).cast("long").as("__w"), h.as("__h"))
+    val sq = slim.groupBy(col("__s")).agg(sum(col("__w")).as("__ws"))
+      .withColumn("__sq", floor(sqrt(col("__ws").cast("double"))).cast("long"))
+    val z = sq.agg(sum(col("__sq")).as("__z"))
+    val budgets = sq.crossJoin(broadcast(z))
+      .select(col("__s"),
+        expr(s"($totalBudget * __sq) div __z").as("__budget"))
+    val w = Window.partitionBy(col("__s")).orderBy(col("__h"), col("__k"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val keep = slim.join(broadcast(budgets), "__s")
+      .withColumn("__cum", sum(col("__w")).over(w))
+      .filter(col("__cum") <= col("__budget"))
+      .select(col("__k").as(keyCol))
+    df.join(keep, Seq(keyCol), "left_semi")
+  }
 }

@@ -558,4 +558,67 @@ object Similarity {
       .filter(col("rnk") <= k)
       .select(col("q_id"), col("vec_id"), col("hamming"), col("rnk"))
   }
+
+  /** Product-quantization ANN with ADC (asymmetric distance
+    * computation) scoring — the memory tier below [[binarize]]:
+    * `dim` float dims become `nSub` one-byte codes (a 256x shrink at
+    * nSub=dim/16, codebook shared), and query↔candidate distance is
+    * approximated by summing per-subspace distances from the query to
+    * each candidate's ASSIGNED centroid — a table lookup per subspace,
+    * never a full-vector computation (Jégou et al., "Product
+    * Quantization for Nearest Neighbor Search", TPAMI 2011).
+    *
+    * Exactness: embeddings are quantized to fixed-point millionths
+    * (the [[lloydCentroidsExact]] convention), so every squared
+    * distance, code assignment (ties → lower centroid id), and ADC sum
+    * is INTEGER arithmetic — hash-exact across engines, no float
+    * accumulation order anywhere.
+    *
+    * Scale shape: the codebook (nSub·nCents subvectors, derived from
+    * the deterministic lowest-id sample) broadcasts; code assignment
+    * is a map-side min_by per (vector, subspace); the ADC join fans
+    * each candidate code row out to the (tiny, broadcast) per-query
+    * distance table and partial-aggregates the nSub terms map-side —
+    * one narrow (q_id, vec_id, partial-sum) exchange; embeddings
+    * themselves never shuffle past the assignment stage. */
+  def pqTopK(candidates: DataFrame, queries: DataFrame, dim: Int, k: Int,
+             nSub: Int = 4, nCents: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nSub > 0 && dim % nSub == 0, s"dim=$dim must divide into nSub=$nSub")
+    require(nCents > 0, s"nCents must be positive, got $nCents")
+    val sw = dim / nSub
+    def fp(c: Column): Column =
+      transform(c, v => round(v.cast("double") * 1000000.0).cast("long"))
+    // one row per (id, subspace): the fixed-point subvector
+    def subRows(df: DataFrame, idCol: String, embCol: String,
+                idOut: String, svOut: String): DataFrame =
+      df.select(col(idCol).as(idOut), fp(col(embCol)).as("__fv"))
+        .select(col(idOut),
+          posexplode(transform(sequence(lit(0), lit(nSub - 1)),
+            j => slice(col("__fv"), j * sw + 1, lit(sw)))).as(Seq("sub_id", svOut)))
+    val codebook = subRows(
+        candidates.orderBy(col("vec_id").asc).limit(nCents),
+        "vec_id", "embedding", "cent_id", "cv")
+    def sqd(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), _ + _)
+    val codes = subRows(candidates, "vec_id", "embedding", "vec_id", "sv")
+      .join(broadcast(codebook), "sub_id")
+      .withColumn("d", sqd(col("sv"), col("cv")))
+      .groupBy(col("vec_id"), col("sub_id"))
+      .agg(min_by(col("cent_id"), struct(col("d"), col("cent_id"))).as("cent_id"))
+    // per-query ADC lookup table: distance to every (subspace, centroid)
+    val dtab = subRows(queries, "q_id", "q_emb", "q_id", "sv")
+      .join(broadcast(codebook), "sub_id")
+      .select(col("q_id"), col("sub_id"), col("cent_id"),
+        sqd(col("sv"), col("cv")).as("d"))
+    val adc = codes.join(broadcast(dtab), Seq("sub_id", "cent_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("d")).as("adc"))
+    adc.withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("adc").asc, col("vec_id").asc)).cast("bigint"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id"), col("rank"), col("adc"))
+  }
 }

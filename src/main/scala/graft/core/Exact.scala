@@ -24,6 +24,9 @@ object Parallelism {
     * on inputs that are already well-split (the 100 TB case, where the
     * scan itself produces thousands of splits). */
   def ensure(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    // Streaming frames can't expose an RDD pre-start (and micro-batch
+    // parallelism is the source's concern) — pass through untouched.
+    if (df.isStreaming) return df
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }

@@ -81,13 +81,20 @@ object Dedup {
     * band key = comma-joined band slice (the values are already 31-bit
     * min-hashes — no re-hash needed). Output is the narrow exploded
     * (doc_id, band_idx, band_hash). */
-  def lshBands(sigs: DataFrame, k: Int = 12, bands: Int = 4): DataFrame = {
+  /** The band-key array expression shared by batch [[lshBands]] and
+    * the streaming screen ([[graft.streaming.StreamingNearDup]]):
+    * element b = comma-joined band slice b of the signature. */
+  def bandKeys(sig: org.apache.spark.sql.Column, k: Int, bands: Int)
+      : org.apache.spark.sql.Column = {
     val r = k / bands
     require(bands * r == k, s"bands=$bands must divide k=$k")
-    sigs.select(col("doc_id"), posexplode(
-      transform(sequence(lit(0), lit(bands - 1)), b =>
-        concat_ws(",", transform(slice(col("sig"), b * r + 1, lit(r)),
-          v => v.cast("string"))))))
+    transform(sequence(lit(0), lit(bands - 1)), b =>
+      concat_ws(",", transform(slice(sig, b * r + 1, lit(r)),
+        v => v.cast("string"))))
+  }
+
+  def lshBands(sigs: DataFrame, k: Int = 12, bands: Int = 4): DataFrame = {
+    sigs.select(col("doc_id"), posexplode(bandKeys(col("sig"), k, bands)))
       .withColumnRenamed("pos", "band_idx")
       .withColumnRenamed("col", "band_hash")
   }

@@ -26,6 +26,12 @@ class PlanSpec extends SparkSpec {
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p)
   }
 
+  test("sim_pq: codebook and distance-table joins broadcast, never sort-merge") {
+    val p = plan("sim_pq")
+    assert(!p.contains("SortMergeJoin"), p)
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+  }
+
   test("q1_agg: partial aggregation before the exchange") {
     val p = plan("q1_agg")
     assert(p.contains("partial_sum") || p.contains("partial_count"), p)
@@ -102,7 +108,8 @@ class PlanSpec extends SparkSpec {
       "span_dedup", "corpus_shuffle", "corpus_sample_tokens", "corpus_mix",
       "corpus_sample_per_source", "corpus_stats_by_source",
       "quality_gopher", "text_shingles", "keyword_search",
-      "corpus_mix_tokens").foreach { q =>
+      "corpus_mix_tokens", "bm25_search", "lm_bigram_score",
+      "span_dup_stats", "corpus_mix_temperature").foreach { q =>
       val cols = shuffledColumns(q)
       assert(!cols.contains("text"), s"$q shuffles text: $cols")
       // span_dedup additionally must not shuffle the token array

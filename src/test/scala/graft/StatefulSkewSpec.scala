@@ -6,10 +6,39 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
 import graft.core.Skew
-import graft.streaming.StatefulSessions
+import graft.streaming.{StatefulSessions, StreamingNearDup}
 
 class StatefulSkewSpec extends SparkSpec {
   import spark.implicits._
+
+  test("nearDupStream screens arrivals against the banded state catalog") {
+    implicit val sql = spark.sqlContext
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    val nearA = (1 to 59).map(i => s"w$i").mkString(" ") + " zz"
+    val other = (1 to 60).map(i => s"q$i").mkString(" ")
+    val input = MemoryStream[(Long, String)]
+    val verdicts = StreamingNearDup.nearDupStream(
+      input.toDF().toDF("doc_id", "text"), threshold = 0.7)
+    val q = verdicts.writeStream.format("memory").queryName("neardup_out")
+      .outputMode("append").start()
+    // batch 1: base admitted (first in doc_id order), near-dup caught,
+    // unrelated doc admitted silently
+    input.addData((1L, base), (2L, nearA), (3L, other))
+    q.processAllAvailable()
+    val b1 = spark.table("neardup_out").collect()
+    assert(b1.forall(_.getLong(0) == 2L), b1.mkString(","))
+    assert(b1.nonEmpty && b1.forall(_.getLong(2) == 1L)) // dup_of = doc 1
+    // batch 2: exact replay of doc 1 collides in EVERY band at est 1.0;
+    // a fresh doc stays silent
+    val fresh = (1 to 60).map(i => s"z$i").mkString(" ")
+    input.addData((10L, base), (11L, fresh))
+    q.processAllAvailable()
+    q.stop()
+    val b2 = spark.table("neardup_out").collect().filter(_.getLong(0) >= 10L)
+    assert(b2.nonEmpty && b2.forall(r => r.getLong(0) == 10L &&
+      r.getLong(2) == 1L && r.getDouble(3) == 1.0), b2.mkString(","))
+    assert(b2.length == 4) // all 4 bands collide on an exact dup
+  }
 
   test("sessionizeStream closes sessions after the gap via event-time timeout") {
     implicit val sql = spark.sqlContext

@@ -1177,6 +1177,13 @@ object SparkEntry {
           count(lit(1)).as("n_events"))),
     "funnel" -> (funnel(_, _)),
     "percentiles" -> (percentiles(_, _)),
+    // per-group winsorization: clip to exact [p05, p95] — robust
+    // scaling for score columns ahead of thresholding/mixing
+    "value_winsorize" -> ((s, d) =>
+      graft.operators.Robust.winsorize(Tables.events(s, d)
+          .select("event_id", "event_type", "value"),
+          "value", "event_type")
+        .select("event_id", "event_type", "value", "value_w")),
     "sessionize" -> (sessionize(_, _)),
     "events_window_agg" -> (eventsWindowAgg(_, _)),
     "text_quality" -> (textQuality(_, _)),
@@ -1745,6 +1752,16 @@ object SparkEntry {
         |  quantile_cont(value, 0.5) AS p50,
         |  quantile_cont(value, 0.75) AS p75
         |FROM events GROUP BY event_type""".stripMargin,
+    "value_winsorize" ->
+      """WITH cuts AS (
+        |  SELECT event_type,
+        |    quantile_cont(value, 0.05) AS lo,
+        |    quantile_cont(value, 0.95) AS hi
+        |  FROM events GROUP BY 1)
+        |SELECT e.event_id, e.event_type, e.value,
+        |  CASE WHEN e.value IS NULL THEN NULL
+        |       ELSE least(greatest(e.value, c.lo), c.hi) END AS value_w
+        |FROM events e JOIN cuts c USING (event_type)""".stripMargin,
     "sessionize" ->
       """WITH g AS (
         |  SELECT user_id, ts, event_id,

@@ -123,6 +123,20 @@ class RankingLmSpec extends SparkSpec {
     }
   }
 
+  test("winsorize clips to per-group percentile cut points, keeps NULLs NULL") {
+    val df = ((1 to 100).map(i => (i.toLong, "a", Some(i.toDouble))) :+
+      (101L, "a", None) :+ (102L, "b", Some(5.0))).toDF("id", "g", "v")
+    val out = graft.operators.Robust.winsorize(df, "v", "g", lo = 0.10, hi = 0.90)
+      .collect().map(r => r.getLong(r.fieldIndex("id")) ->
+        (if (r.isNullAt(r.fieldIndex("v_w"))) None else Some(r.getDouble(r.fieldIndex("v_w"))))).toMap
+    // group a: p10 of 1..100 = 10.9, p90 = 90.1 (linear interpolation)
+    assert(out(1L).contains(10.9) &&
+      out(100L).exists(v => math.abs(v - 90.1) < 1e-9))
+    assert(out(50L).contains(50.0)) // interior values untouched
+    assert(out(101L).isEmpty)       // NULL stays NULL
+    assert(out(102L).contains(5.0)) // single-value group clips to itself
+  }
+
   test("pqTopK codes are bounded by the codebook and ADC is non-negative") {
     val n = 60
     val dim = 16

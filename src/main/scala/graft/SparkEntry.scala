@@ -1342,6 +1342,22 @@ object SparkEntry {
     // dedup decision metric)
     "span_dup_stats" -> ((s, d) =>
       TextFunctions.dupSpanStats(Tables.documents(s, d))),
+    // feature-hashed TF vectors (hashing trick — no vocab, no model),
+    // serialized for the pandas comparator
+    "text_hash_vector" -> ((s, d) =>
+      TextFunctions.hashedTf(Tables.documents(s, d))
+        .select(col("doc_id"),
+          array_join(transform(col("vec"), _.cast("string")), ",").as("vec_str"))),
+    // text-only similarity search: cosine top-k over the hashed-TF
+    // vectors (integer-valued floats — engine-exact dot products)
+    "text_knn" -> ((s, d) => {
+      val v = TextFunctions.hashedTf(Tables.documents(s, d))
+      val cands = v.select(col("doc_id").as("vec_id"),
+        transform(col("vec"), _.cast("float")).as("embedding"))
+      val queries = cands.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      Similarity.bruteForceTopK(cands, queries, k = 5)
+    }),
     // temperature (alpha=1/2) source mixing: budgets derived from
     // per-source token mass in pure integer arithmetic
     "corpus_mix_temperature" -> ((s, d) => {
@@ -1991,6 +2007,48 @@ object SparkEntry {
          |    ELSE 0.0 END AS dup_frac
          |FROM (SELECT DISTINCT doc_id FROM documents) d
          |LEFT JOIN pd USING (doc_id)""".stripMargin,
+    // feature hashing: same md5-bucket derivation, dense 64-vector
+    // assembled with an ordered list aggregate over a (doc x bucket)
+    // grid left-joined to the counts
+    "text_hash_vector" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS t FROM documents),
+         |b AS (SELECT doc_id,
+         |    CAST(concat('0x', substring(md5(t), 1, 15)) AS BIGINT) % 64 AS bucket,
+         |    count(*) AS c
+         |  FROM tok GROUP BY 1, 2),
+         |grid AS (SELECT d.doc_id, t.i
+         |  FROM (SELECT DISTINCT doc_id FROM documents) d, range(0, 64) t(i)),
+         |v AS (SELECT g.doc_id,
+         |    list(CAST(coalesce(b.c, 0) AS BIGINT) ORDER BY g.i) AS vec
+         |  FROM grid g LEFT JOIN b ON g.doc_id = b.doc_id AND g.i = b.bucket
+         |  GROUP BY g.doc_id)
+         |SELECT doc_id,
+         |  array_to_string(list_transform(vec, x -> CAST(x AS VARCHAR)), ',') AS vec_str
+         |FROM v""".stripMargin,
+    "text_knn" -> {
+      val hv = (a: String, b: String) => dotSql(a, b)
+      s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS t FROM documents),
+         |b AS (SELECT doc_id,
+         |    CAST(concat('0x', substring(md5(t), 1, 15)) AS BIGINT) % 64 AS bucket,
+         |    count(*) AS c
+         |  FROM tok GROUP BY 1, 2),
+         |grid AS (SELECT d.doc_id, t.i
+         |  FROM (SELECT DISTINCT doc_id FROM documents) d, range(0, 64) t(i)),
+         |v AS (SELECT g.doc_id,
+         |    list(CAST(coalesce(b.c, 0) AS BIGINT) ORDER BY g.i) AS vec
+         |  FROM grid g LEFT JOIN b ON g.doc_id = b.doc_id AND g.i = b.bucket
+         |  GROUP BY g.doc_id),
+         |q AS (SELECT doc_id AS q_id, vec AS q_vec FROM v WHERE doc_id < 5),
+         |pairs AS (
+         |  SELECT q.q_id, v.doc_id AS vec_id,
+         |    ${hv("v.vec", "q.q_vec")}
+         |      / (sqrt(${hv("v.vec", "v.vec")}) * sqrt(${hv("q.q_vec", "q.q_vec")})) AS cos
+         |  FROM v, q WHERE v.doc_id <> q.q_id)
+         |SELECT q_id, vec_id, rank, round(cos, 9) AS cos FROM (
+         |  SELECT q_id, vec_id, cos,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rank
+         |  FROM pairs) WHERE rank <= 5""".stripMargin
+    },
     // temperature (alpha=1/2) mixing: integer-derived per-source
     // budgets (floor-sqrt weights), then the same greedy hash-order
     // cumulative fill as corpus_mix_tokens

@@ -589,6 +589,37 @@ object TextFunctions {
           .otherwise(lit(0.0)))
   }
 
+  /** Feature-hashed term-frequency vectors (the "hashing trick",
+    * Weinberger et al. 2009): token → 60-bit md5 → bucket = hash mod
+    * `dim`; vec[b] = tokens landing in bucket b. Vectorizes text with
+    * NO trained model and NO vocabulary dictionary — the standard
+    * corpus-scale choice, where a vocab table would itself be big
+    * data — and bridges the text tier to the similarity/ANN tier
+    * (counts are small integers, exact in float32, so cosine over
+    * hashed vectors is engine-exact).
+    *
+    * Plan: explode → (doc, bucket, count) hash-agg → per-doc map →
+    * dense array fill; only slim (doc_id, bucket, count) triples cross
+    * an exchange, never tokens or text. Null-text docs get the zero
+    * vector (total via the left join). */
+  def hashedTf(docs: org.apache.spark.sql.DataFrame, dim: Int = 64,
+               textCol: String = "text", idCol: String = "doc_id")
+      : org.apache.spark.sql.DataFrame = {
+    require(dim > 0, s"dim must be positive, got $dim")
+    val tok = docs.select(col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("t"))
+    val b = tok.withColumn("bucket",
+        (conv(substring(md5(col("t")), 1, 15), 16, 10).cast("long") % dim).cast("int"))
+      .groupBy("doc_id", "bucket").agg(count(lit(1)).as("c"))
+    val m = b.groupBy("doc_id")
+      .agg(map_from_entries(collect_list(struct(col("bucket"), col("c")))).as("__m"))
+    docs.select(col(idCol).as("doc_id")).distinct()
+      .join(m, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        transform(sequence(lit(0), lit(dim - 1)),
+          i => coalesce(element_at(col("__m"), i.cast("int")), lit(0L))).as("vec"))
+  }
+
   /** Per-document duplicated-span statistics — the "what fraction of
     * this document's n-token windows also occur elsewhere" metric that
     * drives exact-substring dedup decisions (Lee et al.,

@@ -123,6 +123,25 @@ class RankingLmSpec extends SparkSpec {
     }
   }
 
+  test("hashedTf buckets conserve token mass and find identical docs at cos 1.0") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"), // identical to doc 1
+      (3L, "zeta eta theta iota kappa lambda")
+    ).toDF("doc_id", "text")
+    val v = TextFunctions.hashedTf(docs, dim = 16)
+    val sums = v.select(col("doc_id"),
+        aggregate(col("vec"), lit(0L), _ + _).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sums == Map(1L -> 5L, 2L -> 5L, 3L -> 6L)) // mass = token count
+    val cands = v.select(col("doc_id").as("vec_id"),
+      transform(col("vec"), _.cast("float")).as("embedding"))
+    val queries = cands.filter(col("vec_id") === 1L)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val knn = Similarity.bruteForceTopK(cands, queries, k = 2).collect()
+    assert(knn.head.getLong(1) == 2L && knn.head.getDouble(3) == 1.0) // twin first
+  }
+
   test("winsorize clips to per-group percentile cut points, keeps NULLs NULL") {
     val df = ((1 to 100).map(i => (i.toLong, "a", Some(i.toDouble))) :+
       (101L, "a", None) :+ (102L, "b", Some(5.0))).toDF("id", "g", "v")

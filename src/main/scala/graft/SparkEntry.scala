@@ -1184,6 +1184,17 @@ object SparkEntry {
           .select("event_id", "event_type", "value"),
           "value", "event_type")
         .select("event_id", "event_type", "value", "value_w")),
+    // median/MAD robust z per group — the outlier scale heavy tails
+    // can't corrupt; zero-MAD groups honestly score NULL
+    "value_robust_z" -> ((s, d) =>
+      graft.operators.Robust.robustZ(Tables.events(s, d)
+          .select("event_id", "event_type", "value"),
+          "value", "event_type")
+        .select("event_id", "event_type", "value", "robust_z")),
+    // cross-source span-overlap matrix (corpus forensics: which
+    // sources share boilerplate/quoted passages)
+    "source_overlap" -> ((s, d) =>
+      TextFunctions.sourceSpanOverlap(Tables.documents(s, d))),
     "sessionize" -> (sessionize(_, _)),
     "events_window_agg" -> (eventsWindowAgg(_, _)),
     "text_quality" -> (textQuality(_, _)),
@@ -1778,6 +1789,27 @@ object SparkEntry {
         |  CASE WHEN e.value IS NULL THEN NULL
         |       ELSE least(greatest(e.value, c.lo), c.hi) END AS value_w
         |FROM events e JOIN cuts c USING (event_type)""".stripMargin,
+    "value_robust_z" ->
+      """WITH med AS (
+        |  SELECT event_type, quantile_cont(value, 0.5) AS med
+        |  FROM events GROUP BY 1),
+        |mad AS (
+        |  SELECT e.event_type, quantile_cont(abs(e.value - m.med), 0.5) AS mad
+        |  FROM events e JOIN med m USING (event_type) GROUP BY 1)
+        |SELECT e.event_id, e.event_type, e.value,
+        |  CASE WHEN e.value IS NULL OR mad.mad = 0 THEN NULL
+        |       ELSE (e.value - med.med) / mad.mad END AS robust_z
+        |FROM events e JOIN med USING (event_type) JOIN mad USING (event_type)""".stripMargin,
+    "source_overlap" ->
+      s"""WITH t AS (SELECT source, $toksSql AS toks FROM documents),
+         |sp0 AS (SELECT DISTINCT source, array_to_string(toks[u.i : u.i+7], ' ') AS sp
+         |        FROM t, unnest(generate_series(1, len(toks) - 7)) AS u(i)),
+         |sp AS (SELECT DISTINCT source,
+         |    CAST(concat('0x', substring(md5(sp), 1, 15)) AS BIGINT) AS sp_h
+         |  FROM sp0)
+         |SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+         |FROM sp a JOIN sp b ON a.sp_h = b.sp_h AND a.source < b.source
+         |GROUP BY 1, 2""".stripMargin,
     "sessionize" ->
       """WITH g AS (
         |  SELECT user_id, ts, event_id,

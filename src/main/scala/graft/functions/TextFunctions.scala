@@ -589,6 +589,33 @@ object TextFunctions {
           .otherwise(lit(0.0)))
   }
 
+  /** Cross-source span-overlap matrix — corpus forensics for "which
+    * sources plagiarize/mirror each other": for every source pair, the
+    * number of DISTINCT `width`-token spans both carry. Exact
+    * fingerprints rarely cross source boundaries (mirrors edit
+    * headers/footers); spans catch the shared boilerplate and quoted
+    * passages that matter for mixing decisions and contamination
+    * triage.
+    *
+    * Scale shape: spans md5-fold to longs before the exchange (same
+    * convention as [[dupSpanStats]] — identical fold both engines);
+    * the per-span self-join fans out at most nSources rows per span
+    * side, and only (source, span_hash) pairs ever shuffle. */
+  def sourceSpanOverlap(docs: org.apache.spark.sql.DataFrame, width: Int = 8,
+                        textCol: String = "text",
+                        sourceCol: String = "source")
+      : org.apache.spark.sql.DataFrame = {
+    val sp = docs.select(col(sourceCol).as("source"),
+        explode(shingleSet(col(textCol), width)).as("sp"))
+      .select(col("source"),
+        conv(substring(md5(col("sp")), 1, 15), 16, 10).cast("long").as("sp_h"))
+      .distinct()
+    val a = sp.select(col("source").as("source_a"), col("sp_h"))
+    val b = sp.select(col("source").as("source_b"), col("sp_h"))
+    a.join(b, "sp_h").filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b").agg(count(lit(1)).as("n_shared"))
+  }
+
   /** Feature-hashed term-frequency vectors (the "hashing trick",
     * Weinberger et al. 2009): token → 60-bit md5 → bucket = hash mod
     * `dim`; vec[b] = tokens landing in bucket b. Vectorizes text with

@@ -32,4 +32,32 @@ object Robust {
           .otherwise(least(greatest(col(valueCol), col("__lo")), col("__hi"))))
       .drop("__lo", "__hi")
   }
+
+  /** Robust z-score: (v − median) / MAD per group — the outlier scale
+    * that heavy tails cannot corrupt (mean/stddev move with the
+    * outliers being scored; median/MAD do not). MAD = median of
+    * |v − median|, the raw (unscaled) form. Groups whose MAD is 0
+    * (over half the values identical) score NULL rather than ±∞ —
+    * "no robust scale exists" is the honest answer there.
+    *
+    * Scale shape: two tiny per-group percentile aggregates (median,
+    * then MAD over the deviations), each broadcast back — two
+    * passes over the data but ZERO wide shuffles of it; the fact
+    * rows themselves never cross an exchange. */
+  def robustZ(df: DataFrame, valueCol: String, groupCol: String,
+              outCol: String = "robust_z"): DataFrame = {
+    val med = df.groupBy(col(groupCol))
+      .agg(expr(s"percentile($valueCol, 0.5)").as("__med"))
+    val withMed = df.join(broadcast(med), groupCol)
+    val mad = withMed
+      .withColumn("__dev", abs(col(valueCol) - col("__med")))
+      .groupBy(col(groupCol))
+      .agg(expr("percentile(__dev, 0.5)").as("__mad"))
+    withMed.join(broadcast(mad), groupCol)
+      .withColumn(outCol,
+        when(col(valueCol).isNull || col("__mad") === 0.0,
+          lit(null).cast("double"))
+          .otherwise((col(valueCol) - col("__med")) / col("__mad")))
+      .drop("__med", "__mad")
+  }
 }

@@ -156,6 +156,35 @@ class RankingLmSpec extends SparkSpec {
     assert(out(102L).contains(5.0)) // single-value group clips to itself
   }
 
+  test("robustZ scores by median/MAD and NULLs zero-MAD groups") {
+    val df = (Seq((1L, "a", 1.0), (2L, "a", 2.0), (3L, "a", 3.0),
+      (4L, "a", 4.0), (5L, "a", 103.0)) ++
+      (1 to 5).map(i => (10L + i, "b", 7.0))).toDF("id", "g", "v")
+    val out = graft.operators.Robust.robustZ(df, "v", "g")
+      .collect().map(r => r.getLong(r.fieldIndex("id")) ->
+        (if (r.isNullAt(r.fieldIndex("robust_z"))) None
+         else Some(r.getDouble(r.fieldIndex("robust_z"))))).toMap
+    // group a: median 3, deviations {2,1,0,1,100} → MAD 1
+    assert(out(3L).contains(0.0) && out(5L).contains(100.0) && out(1L).contains(-2.0))
+    // classic stddev would have been dragged to ~44 by the outlier —
+    // robust z keeps the spike at 100 MADs
+    assert((11L to 15L).forall(i => out(i).isEmpty)) // MAD 0 → NULL
+  }
+
+  test("sourceSpanOverlap counts distinct shared spans per source pair") {
+    val boiler = (1 to 10).map(i => s"c$i").mkString(" ") // spans shared below
+    val docs = Seq(
+      (1L, "s1", s"$boiler unique one text body"),
+      (2L, "s2", s"$boiler other words entirely here"),
+      (3L, "s3", "totally different content with no shared spans at all")
+    ).toDF("doc_id", "source", "text")
+    val out = TextFunctions.sourceSpanOverlap(docs, width = 8)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // the 10-token boilerplate yields 3 common 8-token windows
+    assert(out(("s1", "s2")) == 3L)
+    assert(!out.contains(("s1", "s3")) && !out.contains(("s2", "s3")))
+  }
+
   test("pqTopK codes are bounded by the codebook and ADC is non-negative") {
     val n = 60
     val dim = 16

@@ -1406,6 +1406,13 @@ object SparkEntry {
     "corpus_prepare" -> (corpusPrepare(_, _)),
     "multimodal_features" -> (multimodalFeatures(_, _)),
     "multimodal_frames" -> (multimodalFrames(_, _)),
+    // consecutive-frame |luma diff| motion proxy over the REAL Y4M
+    // demux; constant-luma synthetic frames make every transition a
+    // closed-form function of (doc_id, frame_idx) for the oracle
+    "video_motion" -> ((s, d) =>
+      Multimodal.frameMotion(Multimodal.frameSample(
+        Multimodal.syntheticVideoAssets(Tables.documents(s, d))))
+        .toDF()),
     "multimodal_pipeline" -> (multimodalPipeline(_, _)),
     "sim_topk" -> (simTopK(_, _)),
     "sim_hamming" -> (simHamming(_, _)),
@@ -1800,6 +1807,16 @@ object SparkEntry {
         |  CASE WHEN e.value IS NULL OR mad.mad = 0 THEN NULL
         |       ELSE (e.value - med.med) / mad.mad END AS robust_z
         |FROM events e JOIN med USING (event_type) JOIN mad USING (event_type)""".stripMargin,
+    // closed-form motion: frame f's constant fill is (id*31+f*7)%256
+    // over (id%16+8)x(id%12+6) pixels; transitions exist for
+    // f = 1 .. id%8 (assets carry id%8+1 frames)
+    "video_motion" ->
+      """SELECT doc_id AS asset_id, CAST(u.f AS INTEGER) AS frame_idx,
+        |  CAST((doc_id % 16 + 8) * (doc_id % 12 + 6)
+        |    * abs(((doc_id * 31 + u.f * 7) % 256)
+        |        - ((doc_id * 31 + (u.f - 1) * 7) % 256)) AS BIGINT) AS sum_abs_diff,
+        |  CAST((doc_id % 16 + 8) * (doc_id % 12 + 6) AS BIGINT) AS n_bytes
+        |FROM documents, unnest(generate_series(1, doc_id % 8)) AS u(f)""".stripMargin,
     "source_overlap" ->
       s"""WITH t AS (SELECT source, $toksSql AS toks FROM documents),
          |sp0 AS (SELECT DISTINCT source, array_to_string(toks[u.i : u.i+7], ' ') AS sp

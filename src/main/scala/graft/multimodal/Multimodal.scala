@@ -436,6 +436,38 @@ object Multimodal {
     }
   }
 
+  /** Per-transition motion proxy: sum of per-pixel |luma diff| between
+    * consecutive sampled frames — the scene-cut / static-content
+    * signal a video-curation pipeline thresholds on (static slideshows
+    * score ~0, cuts spike). Emitted against the LATER frame's index.
+    *
+    * Shape: one groupByKey per asset; a group holds that asset's
+    * sampled frames only (bounded by the sample stride and clip
+    * length — at scale, sample before motion, not after). Integer
+    * arithmetic throughout. Frames of one asset must share
+    * dimensions; a mismatch raises rather than guessing. */
+  case class FrameMotion(asset_id: Long, frame_idx: Int,
+                         sum_abs_diff: Long, n_bytes: Long)
+
+  def frameMotion(frames: Dataset[Frame]): Dataset[FrameMotion] = {
+    import frames.sparkSession.implicits._
+    frames.groupByKey(_.asset_id).flatMapGroups { (id, it) =>
+      val fs = it.toSeq.sortBy(_.frame_idx)
+      fs.sliding(2).collect { case Seq(a, b) =>
+        require(a.frame_bytes.length == b.frame_bytes.length,
+          s"asset $id: frame ${a.frame_idx} has ${a.frame_bytes.length} bytes " +
+            s"but frame ${b.frame_idx} has ${b.frame_bytes.length}")
+        var s = 0L
+        var i = 0
+        while (i < a.frame_bytes.length) {
+          s += math.abs((a.frame_bytes(i) & 0xff) - (b.frame_bytes(i) & 0xff))
+          i += 1
+        }
+        FrameMotion(id, b.frame_idx, s, b.frame_bytes.length.toLong)
+      }.toSeq
+    }
+  }
+
   /** Per-frame features over sampled frames (mapPartitions, zero
     * shuffle): byte count, exact byte sum, min/max byte. */
   case class FrameFeatures(asset_id: Long, frame_idx: Int,

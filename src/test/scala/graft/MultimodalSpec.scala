@@ -103,6 +103,33 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("frameMotion sums per-pixel |luma diff| between consecutive frames") {
+    import graft.multimodal.Multimodal.Frame
+    val frames = Seq(
+      Frame(1L, 0, Array[Byte](10, 20, 30)),
+      Frame(1L, 1, Array[Byte](12, 17, 30)), // |2| + |3| + |0| = 5
+      Frame(1L, 2, Array[Byte](0, 0, 0)),    // 12 + 17 + 30 = 59
+      Frame(2L, 0, Array[Byte](5, 5))        // single frame: no transition
+    ).toDS()
+    val out = Multimodal.frameMotion(frames).collect()
+      .sortBy(m => (m.asset_id, m.frame_idx))
+    assert(out.length == 2)
+    assert(out(0).frame_idx == 1 && out(0).sum_abs_diff == 5L && out(0).n_bytes == 3L)
+    assert(out(1).frame_idx == 2 && out(1).sum_abs_diff == 59L)
+    // closed form on the real Y4M demux path
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001").limit(40)
+    val motion = Multimodal.frameMotion(Multimodal.frameSample(
+      Multimodal.syntheticVideoAssets(docs))).collect()
+    assert(motion.nonEmpty)
+    motion.foreach { m =>
+      val id = m.asset_id
+      val plane = (id % 16 + 8) * (id % 12 + 6)
+      val diff = math.abs((id * 31 + m.frame_idx * 7) % 256 -
+        (id * 31 + (m.frame_idx - 1) * 7) % 256)
+      assert(m.n_bytes == plane && m.sum_abs_diff == plane * diff)
+    }
+  }
+
   test("syntheticAssets derives a typed binary asset table from documents") {
     val docs = Seq((1L, "hello world"), (2L, "abc"), (5L, "xyz"))
       .toDF("doc_id", "text")

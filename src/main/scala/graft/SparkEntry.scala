@@ -407,6 +407,42 @@ object SparkEntry {
         expr("percentile(value, 0.5)").as("p50"),
         expr("percentile(value, 0.75)").as("p75"))
 
+  /** Weekly retention cohorts: users grouped by the ISO week of their
+    * first event; each later event credits the (cohort_week,
+    * weeks_since) cell with one distinct user. The classic
+    * product-analytics matrix, all in exact integer time arithmetic
+    * (micros difference / week length — both engines truncate weeks
+    * to ISO Monday). Two shuffles: the per-user min and the
+    * user-keyed join back (same key, so AQE can reuse the exchange);
+    * the distinct-count recount is partial-agg friendly. */
+  private def retentionCohorts(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val first = ev.groupBy(col("user_id"))
+      .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
+    val weekMicros = 7L * 86400L * 1000000L
+    ev.join(first, "user_id")
+      .withColumn("weeks_since",
+        ((unix_micros(date_trunc("week", col("ts")).cast("timestamp")) -
+          unix_micros(col("cohort_week").cast("timestamp"))) / weekMicros)
+          .cast("long"))
+      .groupBy(col("cohort_week").cast("timestamp_ntz").as("cohort_week"),
+        col("weeks_since"))
+      .agg(count_distinct(col("user_id")).as("n_users"))
+  }
+
+  /** CUBE totals over (event_type, year): all four grouping-set
+    * combinations in one pass — the full-lattice twin of
+    * [[rollupAgg]]'s hierarchy (§2.6 note). Partial aggregation holds
+    * per grouping set, so the exchange carries only group cells. */
+  private def cubeAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("year", year(col("ts")).cast("int"))
+      .cube(col("event_type"), col("year"))
+      .agg(count(lit(1)).as("n"),
+        Exact.dsum(col("value")).as("sum_value"),
+        grouping(col("event_type")).cast("int").as("g_type"),
+        grouping(col("year")).cast("int").as("g_year"))
+
   /** Population covariance per group, derived from engine-exact
     * decimal sums (sum(x), sum(y), sum(x*y) are exact; the final
     * double arithmetic is the same three operations in any engine —
@@ -1195,6 +1231,17 @@ object SparkEntry {
     // sources share boilerplate/quoted passages)
     "source_overlap" -> ((s, d) =>
       TextFunctions.sourceSpanOverlap(Tables.documents(s, d))),
+    // per-group decile + percent-rank features (distribution-free
+    // scaling; unique total order via the event_id tiebreak)
+    "value_ntile" -> ((s, d) =>
+      graft.operators.Robust.rankTransform(Tables.events(s, d)
+          .select("event_id", "event_type", "value"),
+          "value", "event_type", "event_id")),
+    // prefix-boilerplate verdict: docs sharing their first 80 chars
+    "prefix_dup" -> ((s, d) =>
+      graft.dedup.Dedup.prefixDups(Tables.documents(s, d))),
+    "retention_cohorts" -> (retentionCohorts(_, _)),
+    "cube_agg" -> (cubeAgg(_, _)),
     "sessionize" -> (sessionize(_, _)),
     "events_window_agg" -> (eventsWindowAgg(_, _)),
     "text_quality" -> (textQuality(_, _)),
@@ -1807,6 +1854,42 @@ object SparkEntry {
         |  CASE WHEN e.value IS NULL OR mad.mad = 0 THEN NULL
         |       ELSE (e.value - med.med) / mad.mad END AS robust_z
         |FROM events e JOIN med USING (event_type) JOIN mad USING (event_type)""".stripMargin,
+    // unique ordering (value, event_id tiebreak) makes ntile and
+    // percent_rank deterministic in both engines; NULL values are
+    // excluded (the engines disagree on NULL sort order)
+    "value_ntile" ->
+      """SELECT event_id, event_type, value,
+        |  CAST(ntile(10) OVER (PARTITION BY event_type ORDER BY value, event_id) AS INT) AS decile,
+        |  percent_rank() OVER (PARTITION BY event_type ORDER BY value, event_id) AS pct_rank
+        |FROM events WHERE value IS NOT NULL""".stripMargin,
+    "prefix_dup" ->
+      """WITH keyed AS (
+        |  SELECT doc_id, md5(substr(text, 1, 80)) AS prefix_hash FROM documents),
+        |g AS (
+        |  SELECT prefix_hash, count(*) AS n_docs, min(doc_id) AS keep_id
+        |  FROM keyed GROUP BY 1)
+        |SELECT k.doc_id, k.prefix_hash, g.n_docs,
+        |  (g.n_docs > 1 AND k.doc_id <> g.keep_id) AS is_prefix_dup
+        |FROM keyed k JOIN g USING (prefix_hash)""".stripMargin,
+    // both engines truncate weeks to ISO Monday; the week index is
+    // exact integer day arithmetic
+    "retention_cohorts" ->
+      """WITH f AS (
+        |  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+        |  FROM events GROUP BY 1)
+        |SELECT f.cohort_week,
+        |  CAST(date_diff('day', f.cohort_week, date_trunc('week', e.ts)) // 7 AS BIGINT) AS weeks_since,
+        |  count(DISTINCT e.user_id) AS n_users
+        |FROM events e JOIN f USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
+    "cube_agg" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(year(ts) AS INT) AS year, value FROM events)
+        |SELECT event_type, year, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |  CAST(GROUPING(event_type) AS INT) AS g_type,
+        |  CAST(GROUPING(year) AS INT) AS g_year
+        |FROM e GROUP BY CUBE(event_type, year)""".stripMargin,
     // closed-form motion: frame f's constant fill is (id*31+f*7)%256
     // over (id%16+8)x(id%12+6) pixels; transitions exist for
     // f = 1 .. id%8 (assets carry id%8+1 frames)

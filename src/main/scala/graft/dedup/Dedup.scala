@@ -30,6 +30,29 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("text_hash"))
       .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("keep_id"))
 
+  /** Prefix-boilerplate detection: per-document verdict on whether the
+    * document shares its first `prefixLen` characters with another
+    * document (templated headers, mirrored license preambles, scraped
+    * navigation chrome — the prefix-dup class that whole-document
+    * hashing misses because the bodies diverge). Groups on
+    * md5(prefix); the keeper is the min doc id, every other member is
+    * flagged. Same one-narrow-shuffle shape as [[exact]]: only
+    * (prefix_hash, id) crosses the exchange, never the text.
+    *
+    * Reference scope: the reference has no prefix-level dedup; this is
+    * engine capability for the LLM-pipeline tier (SURVEY.md §2 note). */
+  def prefixDups(df: DataFrame, prefixLen: Int = 80,
+                 textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(prefixLen > 0, s"need prefixLen > 0, got $prefixLen")
+    val keyed = df.select(col(idCol),
+      md5(substring(col(textCol), 1, prefixLen)).as("prefix_hash"))
+    val groups = keyed.groupBy(col("prefix_hash"))
+      .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("keep_id"))
+    keyed.join(groups, "prefix_hash")
+      .select(col(idCol), col("prefix_hash"), col("n_docs"),
+        (col("n_docs") > 1 && col(idCol) =!= col("keep_id")).as("is_prefix_dup"))
+  }
+
   /** Modulus for the Kirsch-Mitzenmacher hash family (2^31; keeps
     * h1%M + k*(h2%M) far below 2^63 for any practical k). */
   val minhashModulus: Long = 1L << 31

@@ -33,6 +33,35 @@ object Robust {
       .drop("__lo", "__hi")
   }
 
+  /** Rank-transform normalization: per-group decile (`ntile`) and
+    * percent-rank features — the distribution-free scaling used when
+    * scores from different sources are incomparable in magnitude but
+    * comparable in order (mixing quality scores ahead of curriculum
+    * ordering). Ties are broken by `tieCol` so every row has a unique
+    * rank and both engines agree bit-for-bit (percent_rank over a
+    * unique ordering is exactly (row_number−1)/(n−1), the same two
+    * integer operands and one IEEE division everywhere). NULL values
+    * are excluded up front: the two engines disagree on NULL sort
+    * order (Spark NULLS FIRST vs DuckDB NULLS LAST asc default), and
+    * an unscored row has no rank.
+    *
+    * Scale shape: one sort per group partition — rank features need a
+    * per-group total order, so this is for bounded-size groups (score
+    * columns per source/type). For groups too large to sort, the
+    * sketch path ([[graft.expressions.SketchAggregates]] quantile) or
+    * the percentile-broadcast path ([[winsorize]]) is the 100 TB
+    * variant. */
+  def rankTransform(df: DataFrame, valueCol: String, groupCol: String,
+                    tieCol: String, nTiles: Int = 10): DataFrame = {
+    require(nTiles >= 2, s"need nTiles >= 2, got $nTiles")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(col(valueCol).asc, col(tieCol).asc)
+    df.filter(col(valueCol).isNotNull)
+      .withColumn("decile", ntile(nTiles).over(w))
+      .withColumn("pct_rank", percent_rank().over(w))
+  }
+
   /** Robust z-score: (v − median) / MAD per group — the outlier scale
     * that heavy tails cannot corrupt (mean/stddev move with the
     * outliers being scored; median/MAD do not). MAD = median of

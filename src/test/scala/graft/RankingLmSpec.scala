@@ -171,6 +171,20 @@ class RankingLmSpec extends SparkSpec {
     assert((11L to 15L).forall(i => out(i).isEmpty)) // MAD 0 → NULL
   }
 
+  test("rankTransform assigns deciles and percent ranks over a unique order") {
+    val df = ((1 to 20).map(i => (i.toLong, "a", Some(i.toDouble))) :+
+      (21L, "a", None) :+ (22L, "b", Some(3.0))).toDF("id", "g", "v")
+    val out = graft.operators.Robust.rankTransform(df, "v", "g", "id")
+      .collect().map(r => r.getLong(r.fieldIndex("id")) ->
+        (r.getInt(r.fieldIndex("decile")), r.getDouble(r.fieldIndex("pct_rank")))).toMap
+    assert(!out.contains(21L))              // NULL excluded, not ranked
+    assert(out(1L) == (1, 0.0))             // min of group a
+    assert(out(20L) == (10, 1.0))           // max of group a
+    assert(out(10L)._1 == 5 &&              // pr = (rn-1)/(n-1) exactly
+      out(10L)._2 == 9.0 / 19.0)
+    assert(out(22L) == (1, 0.0))            // single-row group
+  }
+
   test("sourceSpanOverlap counts distinct shared spans per source pair") {
     val boiler = (1 to 10).map(i => s"c$i").mkString(" ") // spans shared below
     val docs = Seq(

@@ -56,6 +56,22 @@ class TextDedupSpec extends SparkSpec {
     assert(out(1).getLong(1) == 1 && out(1).getLong(2) == 3L)
   }
 
+  test("prefixDups flags shared prefixes, keeps the min-id doc") {
+    val header = "x" * 80
+    val docs = Seq(
+      (1L, header + " body one"),
+      (2L, header + " completely different body"),
+      (3L, "no shared header here"),
+      (4L, "short") // shorter than prefixLen: its own group
+    ).toDF("doc_id", "text")
+    val out = Dedup.prefixDups(docs, prefixLen = 80)
+      .collect().map(r => r.getLong(r.fieldIndex("doc_id")) ->
+        (r.getLong(r.fieldIndex("n_docs")), r.getBoolean(r.fieldIndex("is_prefix_dup")))).toMap
+    assert(out(1L) == (2L, false)) // keeper: min id of the shared-prefix group
+    assert(out(2L) == (2L, true))  // flagged: same 80-char header, diverging body
+    assert(out(3L) == (1L, false) && out(4L) == (1L, false))
+  }
+
   test("minhash LSH surfaces an identical pair with jaccard 1.0") {
     val text = "the quick brown fox jumps over the lazy dog again and again"
     val df = Seq((1L, text), (2L, text), (3L, "completely unrelated content with many different tokens present"))

@@ -87,6 +87,19 @@ object Sinks {
     try { Class.forName("org.apache.spark.sql.delta.sources.DeltaDataSource"); true }
     catch { case _: ClassNotFoundException => false }
 
+  /** K3 with ACID semantics everywhere: Delta when the connector is on
+    * the classpath, else [[TxnLog]] — the engine's own manifest-log
+    * format, which preserves what the parquet fallback of
+    * [[deltaOrParquet]] loses (atomic commit point, time travel,
+    * idempotent append). Returns the format used ("delta" or
+    * "txnlog"). */
+  def acidOverwrite(df: DataFrame, path: String): String =
+    if (deltaAvailable) {
+      df.write.format("delta").mode(SaveMode.Overwrite).save(path); "delta"
+    } else {
+      TxnLog.overwrite(df, path); "txnlog"
+    }
+
   /** K1 — staging JDBC append with the reference's write discipline:
     * coalesce(4) → 4 connections, 10k-row batches, append mode
     * (reference: batch_processing_optimized.py:182-197). Returns the

@@ -1,0 +1,224 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Minimal ACID-ish transaction log over plain parquet — the offline
+  * stand-in for the Delta format gap (reference:
+  * scripts/convert_to_delta.py:85-88; no delta jars exist in this
+  * build env, see [[Sinks.deltaOrParquet]]).
+  *
+  * Layout (all under one table root):
+  * {{{
+  *   <root>/data/<uuid>/part-*.parquet   one directory per commit
+  *   <root>/_graft_log/<%020d>.json      one manifest per version
+  * }}}
+  *
+  * Protocol:
+  *  - A commit first writes its parquet files to a fresh `data/<uuid>/`
+  *    directory (invisible to readers — readers only trust the log),
+  *    then publishes a manifest via create-exclusive (`O_EXCL`) on the
+  *    next version number. The exclusive create is the commit point:
+  *    two racing writers cannot both create `_graft_log/…N.json`, the
+  *    loser re-reads the log and retries on N+1. Crash before the
+  *    manifest lands = an orphan data directory that no reader ever
+  *    sees (and `vacuum` eventually deletes).
+  *  - `overwrite` resets the visible set to the new directory;
+  *    `append` adds to it. Old directories stay on disk, so every
+  *    earlier version remains readable (time travel) until `vacuum`.
+  *  - Idempotent append: a caller-supplied `txnId` is recorded in the
+  *    manifest; an append whose txnId already appears anywhere in the
+  *    log is a no-op (safe re-runs; exactly-once `foreachBatch` sinks
+  *    use `batch-<batchId>`).
+  *
+  * At 100 TB the log stays tiny (one small JSON per commit — file
+  * listing is per commit directory, never a full-table scan), readers
+  * plan directly on the manifest's directory list (partition pruning
+  * and predicate pushdown inside each directory still apply), and the
+  * commit point is one filesystem metadata operation. This is the same
+  * shape Delta/Iceberg use; what is deliberately NOT here: multi-table
+  * transactions, column-level stats in the manifest, and compaction
+  * (use [[Sinks.parquetWithBloom]]-style rewrites + `overwrite`).
+  */
+object TxnLog {
+
+  private val LogDir = "_graft_log"
+  private val MaxRetries = 10
+
+  private case class Commit(version: Long, action: String,
+                            dirs: Seq[String], txnId: Option[String])
+
+  /** Overwrite the table with `df` as a new version. Returns the
+    * committed version number. */
+  def overwrite(df: DataFrame, root: String): Long =
+    commit(df, root, "overwrite", None)
+
+  /** Append `df` as a new version. If `txnId` is given and already
+    * committed, the append is a no-op returning the existing version
+    * that carried it (idempotent retry). */
+  def append(df: DataFrame, root: String, txnId: Option[String] = None): Long = {
+    txnId.foreach { id =>
+      history(df.sparkSession, root).find(_.txnId.contains(id)) match {
+        case Some(c) => return c.version
+        case None =>
+      }
+    }
+    commit(df, root, "append", txnId)
+  }
+
+  /** Read the table at `asOf` (defaults to the latest version).
+    * Only directories named by the log are read — orphans from
+    * crashed writers are invisible. */
+  def read(spark: SparkSession, root: String, asOf: Option[Long] = None): DataFrame = {
+    val snap = snapshotDirs(spark, root, asOf)
+    require(snap.nonEmpty, s"TxnLog table at $root has no data at version ${asOf.getOrElse("latest")}")
+    spark.read.parquet(snap.map(d => s"$root/data/$d"): _*)
+  }
+
+  /** (version, action, n_dirs, txn_id) per commit — the audit trail. */
+  def versions(spark: SparkSession, root: String): Seq[(Long, String, Int, Option[String])] =
+    history(spark, root).map(c => (c.version, c.action, c.dirs.size, c.txnId))
+
+  /** Latest committed version, or -1 for an empty/absent table. */
+  def latestVersion(spark: SparkSession, root: String): Long =
+    history(spark, root).lastOption.map(_.version).getOrElse(-1L)
+
+  /** Drop time travel older than `retainVersions` back from latest:
+    * deletes data directories referenced ONLY by expired versions, and
+    * the expired manifests themselves (so a read at an expired version
+    * fails loudly instead of returning partial data). Orphan data
+    * directories (crashed pre-commit writers) are also removed. */
+  def vacuum(spark: SparkSession, root: String, retainVersions: Int = 1): Unit = {
+    require(retainVersions >= 1, s"need retainVersions >= 1, got $retainVersions")
+    val fs = fileSystem(spark, root)
+    val commits = history(spark, root)
+    if (commits.isEmpty) return
+    val cutoff = commits.last.version - (retainVersions - 1)
+    val keepDirs = commits.filter(_.version >= cutoff)
+      .flatMap(c => snapshotAt(commits, c.version)).toSet
+    val dataRoot = new Path(s"$root/data")
+    if (fs.exists(dataRoot))
+      fs.listStatus(dataRoot).foreach { st =>
+        if (st.isDirectory && !keepDirs.contains(st.getPath.getName)) {
+          fs.delete(st.getPath, true); ()
+        }
+      }
+    commits.filter(_.version < cutoff).foreach { c =>
+      fs.delete(logPath(root, c.version), false); ()
+    }
+  }
+
+  /** Exactly-once streaming sink body: use from `foreachBatch`. The
+    * batchId-derived txnId makes micro-batch replays (checkpoint
+    * recovery re-delivers the last batch) no-ops instead of dups. */
+  def foreachBatchAppend(root: String): (DataFrame, Long) => Unit =
+    (df, batchId) => { append(df, root, Some(s"batch-$batchId")); () }
+
+  // ----------------------------------------------------------------
+  // internals
+  // ----------------------------------------------------------------
+
+  private def commit(df: DataFrame, root: String, action: String,
+                     txnId: Option[String]): Long = {
+    val spark = df.sparkSession
+    val fs = fileSystem(spark, root)
+    val dir = java.util.UUID.randomUUID.toString
+    df.write.parquet(s"$root/data/$dir")
+    var attempt = 0
+    while (attempt < MaxRetries) {
+      val commits = history(spark, root)
+      val version = commits.lastOption.map(_.version + 1).getOrElse(0L)
+      // idempotency re-check under the latest log (a racing retry of
+      // the same txn may have won a version since our first look)
+      txnId.foreach { id =>
+        commits.find(_.txnId.contains(id)).foreach { c =>
+          fs.delete(new Path(s"$root/data/$dir"), true)
+          return c.version
+        }
+      }
+      val dirs = action match {
+        case "overwrite" => Seq(dir)
+        case "append"    => snapshotAt(commits, version - 1) :+ dir
+      }
+      if (tryPublish(fs, root, Commit(version, action, dirs, txnId))) return version
+      attempt += 1 // lost the race: someone else took this version
+    }
+    throw new IllegalStateException(
+      s"TxnLog: lost $MaxRetries consecutive commit races on $root — giving up")
+  }
+
+  /** The commit point: create-exclusive on the manifest path. */
+  private def tryPublish(fs: FileSystem, root: String, c: Commit): Boolean = {
+    val path = logPath(root, c.version)
+    fs.mkdirs(path.getParent)
+    val out = try fs.create(path, false)
+    catch { case _: java.io.IOException => return false } // version taken
+    try out.write(render(c).getBytes("UTF-8")) finally out.close()
+    true
+  }
+
+  /** Visible data directories at `asOf` (names under `<root>/data/`). */
+  private def snapshotDirs(spark: SparkSession, root: String,
+                           asOf: Option[Long]): Seq[String] = {
+    val commits = history(spark, root)
+    val v = asOf.getOrElse(commits.lastOption.map(_.version).getOrElse(-1L))
+    require(asOf.isEmpty || commits.exists(_.version == v),
+      s"TxnLog: version $v does not exist at $root (vacuumed or never written); " +
+        s"available: ${commits.map(_.version).mkString(",")}")
+    snapshotAt(commits, v)
+  }
+
+  /** Fold the log up to and including `v`. Manifests are
+    * self-contained (each carries its full visible set), so this is
+    * just "the manifest at v" — kept as a fold point for clarity. */
+  private def snapshotAt(commits: Seq[Commit], v: Long): Seq[String] =
+    commits.filter(_.version <= v).lastOption.map(_.dirs).getOrElse(Seq.empty)
+
+  private def history(spark: SparkSession, root: String): Seq[Commit] = {
+    val fs = fileSystem(spark, root)
+    val dir = new Path(s"$root/$LogDir")
+    if (!fs.exists(dir)) return Seq.empty
+    fs.listStatus(dir).toSeq
+      .filter(_.getPath.getName.endsWith(".json"))
+      .sortBy(_.getPath.getName)
+      .map { st =>
+        val in = fs.open(st.getPath)
+        val body = try {
+          val buf = new java.io.ByteArrayOutputStream()
+          org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 8192, false)
+          buf.toString("UTF-8")
+        } finally in.close()
+        parse(body)
+      }
+  }
+
+  private def logPath(root: String, version: Long): Path =
+    new Path(f"$root/$LogDir/$version%020d.json")
+
+  private def render(c: Commit): String = {
+    import org.json4s.JsonDSL._
+    import org.json4s.jackson.JsonMethods
+    val j = ("version" -> c.version) ~ ("action" -> c.action) ~
+      ("dirs" -> c.dirs) ~ ("txn_id" -> c.txnId)
+    JsonMethods.compact(JsonMethods.render(j))
+  }
+
+  private def parse(body: String): Commit = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val j = JsonMethods.parse(body)
+    def str(f: JValue): String = f match { case JString(s) => s; case _ => "" }
+    val version = j \ "version" match {
+      case JInt(v) => v.toLong; case JLong(v) => v
+      case other => throw new IllegalStateException(s"TxnLog: bad manifest version: $other")
+    }
+    val dirs = j \ "dirs" match {
+      case JArray(xs) => xs.map(str); case _ => Seq.empty
+    }
+    val txn = j \ "txn_id" match { case JString(s) => Some(s); case _ => None }
+    Commit(version, str(j \ "action"), dirs, txn)
+  }
+
+  private def fileSystem(spark: SparkSession, root: String): FileSystem =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+}

@@ -1,0 +1,75 @@
+package graft
+
+import java.nio.file.Files
+import graft.sources.TxnLog
+
+class TxnLogSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("overwrite versions snapshot; time travel reads each version") {
+    val root = Files.createTempDirectory("graft_txn").toString + "/t"
+    val v0 = TxnLog.overwrite(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), root)
+    val v1 = TxnLog.overwrite(Seq((3L, "c")).toDF("id", "s"), root)
+    assert(v0 == 0L && v1 == 1L)
+    assert(TxnLog.read(spark, root).count() == 1)
+    assert(TxnLog.read(spark, root, asOf = Some(0L)).count() == 2)
+    assert(TxnLog.latestVersion(spark, root) == 1L)
+  }
+
+  test("append accumulates; txnId makes retries no-ops") {
+    val root = Files.createTempDirectory("graft_txn").toString + "/t"
+    TxnLog.overwrite(Seq((1L, "a")).toDF("id", "s"), root)
+    val v1 = TxnLog.append(Seq((2L, "b")).toDF("id", "s"), root, Some("load-42"))
+    val v2 = TxnLog.append(Seq((2L, "b")).toDF("id", "s"), root, Some("load-42"))
+    assert(v1 == 1L && v2 == 1L) // replay returned the original commit
+    assert(TxnLog.read(spark, root).count() == 2)
+    assert(TxnLog.latestVersion(spark, root) == 1L)
+    // distinct txn appends normally
+    TxnLog.append(Seq((3L, "c")).toDF("id", "s"), root, Some("load-43"))
+    assert(TxnLog.read(spark, root).count() == 3)
+  }
+
+  test("readers only trust the log: orphan data dirs are invisible") {
+    val root = Files.createTempDirectory("graft_txn").toString + "/t"
+    TxnLog.overwrite(Seq((1L, "a")).toDF("id", "s"), root)
+    // simulate a crashed writer: data landed, manifest never did
+    Seq((99L, "orphan")).toDF("id", "s")
+      .write.parquet(s"$root/data/crashed-writer-uuid")
+    assert(TxnLog.read(spark, root).count() == 1)
+  }
+
+  test("vacuum drops expired versions but keeps the retained window") {
+    val root = Files.createTempDirectory("graft_txn").toString + "/t"
+    TxnLog.overwrite(Seq((1L, "a")).toDF("id", "s"), root)   // v0
+    TxnLog.append(Seq((2L, "b")).toDF("id", "s"), root)      // v1
+    TxnLog.overwrite(Seq((3L, "c")).toDF("id", "s"), root)   // v2
+    TxnLog.vacuum(spark, root, retainVersions = 1)
+    assert(TxnLog.read(spark, root).count() == 1)            // latest intact
+    intercept[IllegalArgumentException] {
+      TxnLog.read(spark, root, asOf = Some(0L))              // expired → loud
+    }
+    // v0/v1's data dirs are gone from disk, not just unreferenced
+    val dataDirs = new java.io.File(s"$root/data").listFiles().filter(_.isDirectory)
+    assert(dataDirs.length == 1)
+  }
+
+  test("acidOverwrite falls back to txnlog (no delta jars here) with time travel") {
+    val root = Files.createTempDirectory("graft_txn").toString + "/t"
+    val fmt = graft.sources.Sinks.acidOverwrite(Seq((1L, "a")).toDF("id", "s"), root)
+    assert(fmt == "txnlog") // this env has no delta connector
+    graft.sources.Sinks.acidOverwrite(Seq((2L, "b"), (3L, "c")).toDF("id", "s"), root)
+    assert(TxnLog.read(spark, root).count() == 2)
+    assert(TxnLog.read(spark, root, asOf = Some(0L)).count() == 1)
+  }
+
+  test("foreachBatchAppend replays of the same batchId are exactly-once") {
+    val root = Files.createTempDirectory("graft_txn").toString + "/t"
+    val sink = TxnLog.foreachBatchAppend(root)
+    sink(Seq((1L, "a")).toDF("id", "s"), 0L)
+    sink(Seq((1L, "a")).toDF("id", "s"), 0L) // checkpoint-recovery replay
+    sink(Seq((2L, "b")).toDF("id", "s"), 1L)
+    assert(TxnLog.read(spark, root).count() == 2)
+    assert(TxnLog.versions(spark, root).map(_._4) ==
+      Seq(Some("batch-0"), Some("batch-1")))
+  }
+}

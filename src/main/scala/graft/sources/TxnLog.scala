@@ -108,6 +108,29 @@ object TxnLog {
     }
   }
 
+  /** Compaction: rewrite the CURRENT snapshot into ~`targetBytes`
+    * files and publish it as a new overwrite version. Readers never
+    * block (old versions stay readable; the commit point is the same
+    * exclusive manifest create), so this is the online answer to the
+    * small-file problem a long-lived append table accumulates —
+    * thousands of micro-batch files become a handful of scan-sized
+    * ones, and time travel to pre-compaction versions still works
+    * until `vacuum`. Returns the new version. */
+  def compact(spark: SparkSession, root: String,
+              targetBytes: Long = 128L * 1024 * 1024): Long = {
+    require(targetBytes > 0, s"need targetBytes > 0, got $targetBytes")
+    val fs = fileSystem(spark, root)
+    val snap = snapshotDirs(spark, root, None)
+    require(snap.nonEmpty, s"TxnLog: nothing to compact at $root")
+    val bytes = snap.map(d =>
+      fs.getContentSummary(new Path(s"$root/data/$d")).getLength).sum
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    val expected = latestVersion(spark, root)
+    val current = read(spark, root)
+    commit(current.coalesce(nFiles), root, "overwrite", None,
+      expectedLatest = Some(expected))
+  }
+
   /** Exactly-once streaming sink body: use from `foreachBatch`. The
     * batchId-derived txnId makes micro-batch replays (checkpoint
     * recovery re-delivers the last batch) no-ops instead of dups. */
@@ -118,8 +141,9 @@ object TxnLog {
   // internals
   // ----------------------------------------------------------------
 
-  private def commit(df: DataFrame, root: String, action: String,
-                     txnId: Option[String]): Long = {
+  private[graft] def commit(df: DataFrame, root: String, action: String,
+                            txnId: Option[String],
+                            expectedLatest: Option[Long] = None): Long = {
     val spark = df.sparkSession
     val fs = fileSystem(spark, root)
     val dir = java.util.UUID.randomUUID.toString
@@ -128,6 +152,17 @@ object TxnLog {
     while (attempt < MaxRetries) {
       val commits = history(spark, root)
       val version = commits.lastOption.map(_.version + 1).getOrElse(0L)
+      // CAS writers (compaction): the rewrite was derived FROM a
+      // specific snapshot — publishing over a table that moved since
+      // would silently drop the interleaved commit's rows. Abort; the
+      // caller re-runs against the new snapshot.
+      expectedLatest.foreach { exp =>
+        if (version != exp + 1) {
+          fs.delete(new Path(s"$root/data/$dir"), true)
+          throw new java.util.ConcurrentModificationException(
+            s"TxnLog: table at $root moved (expected latest $exp, found ${version - 1}) — rewrite aborted")
+        }
+      }
       // idempotency re-check under the latest log (a racing retry of
       // the same txn may have won a version since our first look)
       txnId.foreach { id =>

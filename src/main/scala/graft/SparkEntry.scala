@@ -1242,6 +1242,16 @@ object SparkEntry {
       graft.dedup.Dedup.prefixDups(Tables.documents(s, d))),
     "retention_cohorts" -> (retentionCohorts(_, _)),
     "cube_agg" -> (cubeAgg(_, _)),
+    // skew-salted join (result ≡ the plain join, which is the oracle):
+    // per-row salt from the unique order key, customer replicated 8×
+    "salted_join" -> ((s, d) =>
+      graft.operators.Joins.saltedJoin(
+        Tables.orders(s, d).select(col("o_custkey").as("custkey"),
+          col("o_orderkey"), col("o_totalprice")),
+        Tables.customer(s, d).select(col("c_custkey").as("custkey"),
+          col("c_name")),
+        key = "custkey", tieCol = "o_orderkey", saltFactor = 8,
+        joinType = "left")),
     "sessionize" -> (sessionize(_, _)),
     "events_window_agg" -> (eventsWindowAgg(_, _)),
     "text_quality" -> (textQuality(_, _)),
@@ -1882,6 +1892,9 @@ object SparkEntry {
         |  count(DISTINCT e.user_id) AS n_users
         |FROM events e JOIN f USING (user_id)
         |GROUP BY 1, 2""".stripMargin,
+    "salted_join" ->
+      """SELECT o.o_custkey AS custkey, o.o_orderkey, o.o_totalprice, c.c_name
+        |FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey""".stripMargin,
     "cube_agg" ->
       """WITH e AS (
         |  SELECT event_type, CAST(year(ts) AS INT) AS year, value FROM events)

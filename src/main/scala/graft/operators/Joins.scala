@@ -7,6 +7,40 @@ import org.apache.spark.sql.functions._
 /** Join operators beyond Spark's built-in set. */
 object Joins {
 
+  /** Skew-salted equi-join: spreads each hot left-side key across
+    * `saltFactor` partitions by deriving a deterministic per-row salt
+    * from `tieCol` (a unique row id — NOT the join key, whose salt
+    * would be constant per key and spread nothing), and replicating
+    * every right row once per salt value. Joining on (key, salt) then
+    * lands each left row in exactly one of the `saltFactor` buckets of
+    * its key, so one degenerate key (the null-island zone, the empty
+    * document hash, the bot user) costs 1/saltFactor of a partition
+    * instead of one straggler task holding the whole stage hostage.
+    *
+    * Result-identical to `left.join(right, key, joinType)`: each left
+    * row carries exactly one salt, each (key, salt) finds the one
+    * replicated right row — inner and left joins both preserve their
+    * semantics (an unmatched left row fails in its one bucket → one
+    * null row, as unsalted).
+    *
+    * Cost: the right side shuffles saltFactor× its size — use when the
+    * right side is too big to broadcast (else `broadcast()` wins) and
+    * |R|·saltFactor ≪ the hot key's row count. AQE's skew-join split
+    * handles moderate skew for free; this is for the extreme single-key
+    * case AQE can't split (one key > one partition AFTER splitting, or
+    * disabled AQE). `joinType` ∈ inner | left. */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String,
+                 tieCol: String, saltFactor: Int = 8,
+                 joinType: String = "inner"): DataFrame = {
+    require(saltFactor >= 1, s"need saltFactor >= 1, got $saltFactor")
+    require(Seq("inner", "left").contains(joinType),
+      s"saltedJoin supports inner|left, got $joinType")
+    val l = left.withColumn("__salt", pmod(hash(col(tieCol)), lit(saltFactor)))
+    val r = right.withColumn("__salt",
+      explode(array((0 until saltFactor).map(lit(_)): _*)))
+    l.join(r, Seq(key, "__salt"), joinType).drop("__salt")
+  }
+
   /** As-of (point-in-time) LEFT join: for each left row, attach the
     * latest right-side payload with `right.ts <= left.ts` on the same
     * key; null when no earlier right row exists.

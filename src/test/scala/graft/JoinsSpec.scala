@@ -46,6 +46,30 @@ class JoinsSpec extends SparkSpec {
     assert(out.count() == 1 && out.head().isNullAt(3))
   }
 
+  test("saltedJoin is result-identical to the plain join on a skewed key") {
+    import org.apache.spark.sql.functions._
+    // one hot key (0) with 500 rows, a cold tail, and an unmatched key
+    val left = ((1 to 500).map(i => (i.toLong, 0L)) ++
+      (501 to 520).map(i => (i.toLong, (i % 5 + 1).toLong)) :+
+      (999L, 77L)).toDF("row_id", "k") // 77 has no right row
+    val right = Seq((0L, "hot"), (1L, "a"), (2L, "b"), (3L, "c"),
+      (4L, "d"), (5L, "e")).toDF("k", "v")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("row_id", "k", "v").collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) null else r.getString(2))).sortBy(t => (t._1, t._2))
+    for (jt <- Seq("inner", "left")) {
+      val salted = canon(Joins.saltedJoin(left, right, "k", "row_id", 8, jt))
+      val plain = canon(left.join(right, Seq("k"), jt))
+      assert(salted.toSeq == plain.toSeq, s"$jt: salted != plain")
+    }
+    // the hot key really is spread: its rows land in >1 salt bucket
+    val spread = left.filter(col("k") === 0L)
+      .select(pmod(hash(col("row_id")), lit(8)).as("s"))
+      .distinct().count()
+    assert(spread > 1, s"salt spread only $spread buckets")
+  }
+
   test("rangeJoin matches the naive BETWEEN join exactly, as an equi-join plan") {
     import org.apache.spark.sql.functions._
     val pts = Seq((1L, 0.0), (2L, 3.9), (3L, 4.0), (4L, 17.5), (5L, 99.0), (6L, -2.0))

@@ -109,7 +109,8 @@ class PlanSpec extends SparkSpec {
       "corpus_sample_per_source", "corpus_stats_by_source",
       "quality_gopher", "text_shingles", "keyword_search",
       "corpus_mix_tokens", "bm25_search", "lm_bigram_score",
-      "span_dup_stats", "corpus_mix_temperature").foreach { q =>
+      "span_dup_stats", "corpus_mix_temperature", "prefix_dup",
+      "source_overlap").foreach { q =>
       val cols = shuffledColumns(q)
       assert(!cols.contains("text"), s"$q shuffles text: $cols")
       // span_dedup additionally must not shuffle the token array

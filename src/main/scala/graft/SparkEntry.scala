@@ -1242,6 +1242,12 @@ object SparkEntry {
       graft.dedup.Dedup.prefixDups(Tables.documents(s, d))),
     "retention_cohorts" -> (retentionCohorts(_, _)),
     "cube_agg" -> (cubeAgg(_, _)),
+    // per-vertex triangle counts over the span-share candidate graph
+    // (clique-like boilerplate families vs star-shaped template hubs)
+    "triangle_count" -> ((s, d) =>
+      graft.operators.Graph.triangleCounts(
+          TextFunctions.spanShareEdges(Tables.documents(s, d)), "a", "b")
+        .select(col("id").as("doc_id"), col("n_triangles"))),
     // skew-salted join (result ≡ the plain join, which is the oracle):
     // per-row salt from the unique order key, customer replicated 8×
     "salted_join" -> ((s, d) =>
@@ -1892,6 +1898,27 @@ object SparkEntry {
         |  count(DISTINCT e.user_id) AS n_users
         |FROM events e JOIN f USING (user_id)
         |GROUP BY 1, 2""".stripMargin,
+    // triangle set is orientation-independent: the oracle enumerates
+    // by id order (a<b<c), the engine by degree order — same triangles,
+    // same per-vertex counts
+    "triangle_count" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |sp0 AS (SELECT DISTINCT doc_id, array_to_string(toks[u.i : u.i+7], ' ') AS sp
+         |        FROM t, unnest(generate_series(1, len(toks) - 7)) AS u(i)),
+         |sp AS (SELECT doc_id,
+         |    CAST(concat('0x', substring(md5(sp), 1, 15)) AS BIGINT) AS sp_h
+         |  FROM sp0),
+         |sel AS (SELECT sp_h FROM sp GROUP BY 1
+         |        HAVING count(DISTINCT doc_id) BETWEEN 2 AND 20),
+         |e AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+         |      FROM sp a JOIN sp b USING (sp_h) JOIN sel USING (sp_h)
+         |      WHERE a.doc_id < b.doc_id),
+         |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         |        FROM e e1 JOIN e e2 ON e2.a = e1.b
+         |        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+         |v AS (SELECT x AS id FROM tri
+         |      UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
+         |SELECT id AS doc_id, count(*) AS n_triangles FROM v GROUP BY 1""".stripMargin,
     "salted_join" ->
       """SELECT o.o_custkey AS custkey, o.o_orderkey, o.o_totalprice, c.c_name
         |FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey""".stripMargin,

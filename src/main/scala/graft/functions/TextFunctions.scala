@@ -659,6 +659,37 @@ object TextFunctions {
     * so only (doc_id, span_hash) pairs shuffle — never span text, and
     * both engines fold identically so hash collisions (if any) cannot
     * diverge the oracle. Two narrow hash-aggs + one narrow join. */
+  /** Span-share candidate graph: one undirected edge per document
+    * pair sharing at least one duplicated `width`-token span — the
+    * exact-substring analogue of an LSH candidate graph, feeding the
+    * graph operators (triangle counts separate clique-like boilerplate
+    * families from star-shaped template hubs).
+    *
+    * `maxDocsPerSpan` is the boilerplate guard: a span carried by m
+    * docs yields C(m,2) pairs, so one universal footer would turn the
+    * build quadratic at scale; spans above the cap are dropped (they
+    * are boilerplate, not kinship evidence — same rationale as
+    * [[graft.dedup.Dedup.DefaultBucketCap]]). Spans md5-fold to longs
+    * before the exchange; span text never shuffles. */
+  def spanShareEdges(docs: org.apache.spark.sql.DataFrame, width: Int = 8,
+                     maxDocsPerSpan: Int = 20,
+                     textCol: String = "text", idCol: String = "doc_id")
+      : org.apache.spark.sql.DataFrame = {
+    val sp = docs.select(col(idCol).as("doc_id"),
+        explode(shingleSet(col(textCol), width)).as("sp"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("sp")), 1, 15), 16, 10).cast("long").as("sp_h"))
+    val sel = sp.groupBy("sp_h")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd").between(2, maxDocsPerSpan))
+      .select("sp_h")
+    val member = sp.join(sel, "sp_h")
+    member.select(col("sp_h"), col("doc_id").as("a"))
+      .join(member.select(col("sp_h"), col("doc_id").as("b")), "sp_h")
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+  }
+
   def dupSpanStats(docs: org.apache.spark.sql.DataFrame, width: Int = 8,
                    textCol: String = "text", idCol: String = "doc_id")
       : org.apache.spark.sql.DataFrame = {

@@ -32,6 +32,66 @@ object Graph {
       .distinct()
   }
 
+  /** Per-vertex triangle counts — the local clustering signal that
+    * separates tight near-dup cliques (every pair similar: one
+    * boilerplate family) from star-shaped false-positive clusters (one
+    * template hub matching many unrelated docs: few triangles).
+    *
+    * Input is an UNORDERED pair list (one row per undirected edge in
+    * either order); self-loops and duplicate/mirrored pairs are
+    * cleaned here. Output: (id, n_triangles) for every vertex in at
+    * least one triangle.
+    *
+    * Implementation is the degree-oriented node-iterator (the MapReduce
+    * triangle algorithm of Suri & Vassilvitskii, WWW'11): each edge is
+    * oriented from its lower-(degree, id) endpoint to the higher, then
+    * 2-paths are built only from each vertex's OUT-edges and closed
+    * against the oriented edge set. Orientation bounds each vertex's
+    * out-degree by O(√m), so the 2-path join cannot blow up on a hub
+    * vertex the way a naive a<b<c id-ordering does (a 10^6-degree hub
+    * contributes 10^12 id-ordered 2-paths but only O(m) oriented
+    * ones) — the difference between surviving 100 TB and not. The
+    * orientation changes the join sizes, never the answer: each
+    * triangle has exactly one lowest-(degree, id) vertex and is
+    * emitted exactly once. Three hash-join shuffles of slim
+    * (id, id) tuples; nothing driver-side. */
+  def triangleCounts(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    // canonical undirected edges: a < b, no self-loops, distinct
+    val canon = pairs.select(
+        least(col(aCol), col(bCol)).as("a"),
+        greatest(col(aCol), col(bCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val degrees = canon.select(col("a").as("id"))
+      .union(canon.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    // orient by (deg, id): lower endpoint -> higher endpoint
+    val withDegs = canon
+      .join(degrees.withColumnRenamed("id", "a").withColumnRenamed("deg", "deg_a"), "a")
+      .join(degrees.withColumnRenamed("id", "b").withColumnRenamed("deg", "deg_b"), "b")
+    val aFirst = col("deg_a") < col("deg_b") ||
+      (col("deg_a") === col("deg_b") && col("a") < col("b"))
+    val oriented = withDegs.select(
+      when(aFirst, col("a")).otherwise(col("b")).as("src"),
+      when(aFirst, col("b")).otherwise(col("a")).as("dst"),
+      when(aFirst, col("deg_a")).otherwise(col("deg_b")).as("deg_src"),
+      when(aFirst, col("deg_b")).otherwise(col("deg_a")).as("deg_dst"))
+    // 2-paths from each source's out-edges, ordered so (y, z) is itself
+    // oriented: then one semi-probe of the oriented edge set closes them
+    val e1 = oriented.select(col("src").as("x"), col("dst").as("y"),
+      col("deg_dst").as("deg_y"))
+    val e2 = oriented.select(col("src").as("x"), col("dst").as("z"),
+      col("deg_dst").as("deg_z"))
+    val paths = e1.join(e2, "x")
+      .filter(col("deg_y") < col("deg_z") ||
+        (col("deg_y") === col("deg_z") && col("y") < col("z")))
+      .select("x", "y", "z")
+    val closing = oriented.select(col("src").as("y"), col("dst").as("z"))
+    val triangles = paths.join(closing, Seq("y", "z"))
+    triangles.select(explode(array(col("x"), col("y"), col("z"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("n_triangles"))
+  }
+
   /** Fixed-point PageRank. `dampingPct` is the damping factor in
     * percent (85 = the classic 0.85). Dangling mass (nodes with no
     * out-edges) is dropped, the standard simplification; on a

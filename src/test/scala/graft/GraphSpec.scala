@@ -14,6 +14,20 @@ class GraphSpec extends SparkSpec {
     assert(e == Set((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)))
   }
 
+  test("triangleCounts: K4 + pendant triangle + star, duplicate-input-proof") {
+    // K4 on 1-4 (4 triangles), pendant triangle 4-5-6, star at 10
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val edges = (k4 ++ Seq((4L, 5L), (4L, 6L), (5L, 6L),
+      (10L, 11L), (10L, 12L), (10L, 13L)))
+    // feed every edge twice, once mirrored — cleaning is the operator's job
+    val noisy = (edges ++ edges.map(_.swap)).toDF("a", "b")
+    val got = Graph.triangleCounts(noisy, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 4L, 5L -> 1L, 6L -> 1L))
+    // star vertices are in no triangle -> absent, not zero
+    assert(!got.contains(10L) && !got.contains(11L))
+  }
+
   test("pageRank: star hub dominates, mass conserved within floor leak, deterministic") {
     // star: hub 0 connected to 1..8
     val pairs = (1L to 8L).map(i => (0L, i)).toDF("a", "b")

@@ -341,7 +341,9 @@ object SparkEntry {
 
   /** Gap-based sessionization of the event stream: a new session starts
     * after >30 min of user inactivity (window lag + running sum). */
-  private def sessionize(spark: SparkSession, dir: String): DataFrame = {
+  /** Session assignment shared by [[sessionize]] and [[eventPairs]]:
+    * every event tagged with its user's running session index. */
+  private def sessionAssign(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
     val prev = lag(col("ts"), 1).over(w)
     Tables.events(spark, dir)
@@ -351,9 +353,31 @@ object SparkEntry {
             unix_micros(prev.cast("timestamp"))) > 1800L * 1000000L, 1L).otherwise(0L))
       .withColumn("session_id",
         sum(col("is_new")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  private def sessionize(spark: SparkSession, dir: String): DataFrame =
+    sessionAssign(spark, dir)
       .groupBy(col("user_id"), col("session_id"))
       .agg(count(lit(1)).as("n_events"),
         min(col("ts")).as("session_start"), max(col("ts")).as("session_end"))
+
+  /** Market-basket co-occurrence over sessions: for each unordered
+    * event-type pair, in how many sessions both occur — the
+    * association signal behind "users who X also Y" (support counts;
+    * lift is a read-time divide by the singleton counts). The
+    * per-session distinct type set is tiny (≤ #types), so the
+    * within-session self-join is bounded C(#types, 2) per session —
+    * never quadratic in events. */
+  private def eventPairs(spark: SparkSession, dir: String): DataFrame = {
+    val st = sessionAssign(spark, dir)
+      .select(col("user_id"), col("session_id"), col("event_type"))
+      .distinct()
+    val a = st.withColumnRenamed("event_type", "type_a")
+    val b = st.withColumnRenamed("event_type", "type_b")
+    a.join(b, Seq("user_id", "session_id"))
+      .filter(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n_sessions"))
   }
 
   import graft.operators.Joins
@@ -442,6 +466,31 @@ object SparkEntry {
         Exact.dsum(col("value")).as("sum_value"),
         grouping(col("event_type")).cast("int").as("g_type"),
         grouping(col("year")).cast("int").as("g_year"))
+
+  /** Incremental view maintenance, proven against the full recompute:
+    * history (event_id % 5 < 4) and the "new batch" (% 5 == 4) are
+    * aggregated separately in mergeable integer domains, merged with
+    * [[graft.operators.Incremental.mergeAggregates]], and the result
+    * must equal the one-shot aggregate over everything — which is
+    * exactly what the oracle computes. Money stays in cents (long)
+    * until the final divide, so merge order cannot drift the sum. */
+  private def incrementalAgg(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("value"), col("ts"))
+    def aggOf(df: DataFrame) = df.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n"),
+      Exact.centsSum(col("value")).as("value_cents"),
+      min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"))
+    val merged = graft.operators.Incremental.mergeAggregates(
+      aggOf(ev.filter(pmod(col("event_id"), lit(5)) < 4)),
+      aggOf(ev.filter(pmod(col("event_id"), lit(5)) === 4)),
+      Seq("event_type"),
+      Map("n" -> "sum", "value_cents" -> "sum",
+        "first_ts" -> "min", "last_ts" -> "max"))
+    merged.select(col("event_type"), col("n"),
+      (col("value_cents") / 100.0).as("sum_value"),
+      col("first_ts"), col("last_ts"))
+  }
 
   /** Population covariance per group, derived from engine-exact
     * decimal sums (sum(x), sum(y), sum(x*y) are exact; the final
@@ -1242,6 +1291,13 @@ object SparkEntry {
       graft.dedup.Dedup.prefixDups(Tables.documents(s, d))),
     "retention_cohorts" -> (retentionCohorts(_, _)),
     "cube_agg" -> (cubeAgg(_, _)),
+    "incremental_agg" -> (incrementalAgg(_, _)),
+    "event_pairs" -> (eventPairs(_, _)),
+    // pseudonymize customer PII: salted sha2 tokens, joins survive
+    "mask_pii" -> ((s, d) =>
+      graft.clean.Clean.pseudonymize(
+        Tables.customer(s, d).select("c_custkey", "c_name", "c_mktsegment"),
+        Seq("c_name"), salt = "graft-salt-v1")),
     // per-vertex triangle counts over the span-share candidate graph
     // (clique-like boilerplate families vs star-shaped template hubs)
     "triangle_count" -> ((s, d) =>
@@ -1919,6 +1975,36 @@ object SparkEntry {
          |v AS (SELECT x AS id FROM tri
          |      UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
          |SELECT id AS doc_id, count(*) AS n_triangles FROM v GROUP BY 1""".stripMargin,
+    "event_pairs" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN LAG(ts) OVER w IS NULL
+        |           OR epoch(ts) - epoch(LAG(ts) OVER w) > 1800
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT DISTINCT user_id, event_type,
+        |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM g)
+        |SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |  count(*) AS n_sessions
+        |FROM s a JOIN s b ON a.user_id = b.user_id
+        |  AND a.session_id = b.session_id AND a.event_type < b.event_type
+        |GROUP BY 1, 2""".stripMargin,
+    // the merge of history + batch partials must equal the one-shot
+    // aggregate — which is what the oracle computes directly
+    "incremental_agg" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |  min(ts) AS first_ts, max(ts) AS last_ts
+        |FROM events GROUP BY 1""".stripMargin,
+    "mask_pii" ->
+      """SELECT c_custkey,
+        |  sha256(concat('graft-salt-v1', c_name)) AS c_name,
+        |  c_mktsegment
+        |FROM customer""".stripMargin,
     "salted_join" ->
       """SELECT o.o_custkey AS custkey, o.o_orderkey, o.o_totalprice, c.c_name
         |FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey""".stripMargin,

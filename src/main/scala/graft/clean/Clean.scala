@@ -43,6 +43,25 @@ object Clean {
   /** F2 — drop rows with any null (reference: transform_data.py:117). */
   def dropNullRows(df: DataFrame): DataFrame = df.na.drop("any")
 
+  /** Deterministic pseudonymization: replace each named column with
+    * `sha2(salt || value, 256)` — referential integrity survives (the
+    * same value maps to the same token everywhere, so joins and
+    * distinct-counts still work) while the cleartext leaves the lake.
+    * A pure codegen'd projection: no shuffle, no UDF, safe to run
+    * inline in any 100 TB scan. The salt defeats rainbow-table
+    * reversal of low-entropy columns (names, phones); rotate it and
+    * every token rotates. NULLs stay NULL ("unknown" must not collide
+    * with a real token). */
+  def pseudonymize(df: DataFrame, cols: Seq[String], salt: String): DataFrame = {
+    require(cols.nonEmpty && cols.forall(df.columns.contains),
+      s"pseudonymize columns missing from frame: ${cols.filterNot(df.columns.contains)}")
+    cols.foldLeft(df) { (acc, c) =>
+      acc.withColumn(c,
+        when(col(c).isNull, lit(null).cast("string"))
+          .otherwise(sha2(concat(lit(salt), col(c).cast("string")), 256)))
+    }
+  }
+
   /** P2 — canonicalize datetime column names across schema-drift
     * variants: `tpep_*` (yellow) / `lpep_*` (green) / already-plain
     * (reference: batch_processing_optimized.py:104-125).

@@ -56,6 +56,14 @@ object Exact {
     *   `CAST(SUM(CAST(c AS DECIMAL(18,2))) AS DOUBLE)` */
   def dsum(c: Column): Column = sum(cents(c)) / 100.0
 
+  /** Mergeable form of [[dsum]]: the raw cents total as LONG. Partial
+    * aggregates that must be merged later (incremental view
+    * maintenance, cross-batch rollup) stay in integer cents — long
+    * addition is associative, so merge order can never perturb the
+    * result the way re-summing doubles would. Divide by 100.0 once,
+    * at the final read. */
+  def centsSum(c: Column): Column = sum(cents(c))
+
   /** Exact average (cents sum / long count), returned as double. */
   def davg(c: Column): Column =
     (sum(cents(c)) / 100.0 / count(c)).cast("double")

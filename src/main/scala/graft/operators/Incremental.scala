@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Incremental view maintenance for additive aggregates: merge an
+  * already-aggregated table with a new batch's partial aggregate
+  * instead of recomputing over all history — the only shape that
+  * survives a 100 TB fact table growing by the hour (the recompute
+  * touches everything ever ingested; the merge touches one batch plus
+  * one group-cell table that is orders of magnitude smaller than the
+  * facts).
+  *
+  * Only MERGEABLE measures are accepted: `sum` (including counts —
+  * a count merges as the sum of counts), `min`, `max`. Averages are
+  * derived (sum/count) at read time; count-distinct is NOT mergeable
+  * exactly — that is precisely what the KMV sketch with its union
+  * algebra is for ([[graft.expressions.SketchAggregates]]).
+  *
+  * Exactness: merge sums in integer domains (`Exact.centsSum` for
+  * money) — long addition is associative, so the result is identical
+  * no matter how many batches arrived in what order. Double sums
+  * merged repeatedly drift by accumulation order.
+  */
+object Incremental {
+
+  /** Merge two aggregate tables sharing the schema
+    * `keys ++ measures.keys`. `measures` maps each measure column to
+    * its merge function: "sum" | "min" | "max". One narrow shuffle of
+    * group cells; the underlying facts are never touched. */
+  def mergeAggregates(stored: DataFrame, delta: DataFrame,
+                      keys: Seq[String],
+                      measures: Map[String, String]): DataFrame = {
+    require(keys.nonEmpty, "need at least one group key")
+    require(measures.nonEmpty, "need at least one measure")
+    val bad = measures.values.toSet -- Set("sum", "min", "max")
+    require(bad.isEmpty, s"unmergeable merge functions: $bad " +
+      "(avg: derive from sum/count; count-distinct: use the KMV sketch)")
+    val cols = keys ++ measures.keys.toSeq.sorted
+    require(cols.forall(stored.columns.contains) && cols.forall(delta.columns.contains),
+      s"stored/delta missing columns from ${cols.mkString(",")}")
+    val aligned = stored.select(cols.map(col): _*)
+      .unionByName(delta.select(cols.map(col): _*))
+    val aggs = measures.toSeq.sortBy(_._1).map {
+      case (c, "sum") => sum(col(c)).as(c)
+      case (c, "min") => min(col(c)).as(c)
+      case (c, _)     => max(col(c)).as(c) // "max"; others rejected above
+    }
+    aligned.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+}

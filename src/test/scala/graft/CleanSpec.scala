@@ -40,6 +40,27 @@ class CleanSpec extends SparkSpec {
     assert(row.getInt(0) == 1 && row.getInt(1) == 0)
   }
 
+  test("pseudonymize: deterministic tokens, NULLs stay NULL, joins survive") {
+    val a = Seq((1L, "alice"), (2L, "bob"), (3L, null)).toDF("id", "name")
+    val b = Seq(("alice", 10L), ("carol", 20L)).toDF("name", "score")
+    val ma = Clean.pseudonymize(a, Seq("name"), "s1")
+    val mb = Clean.pseudonymize(b, Seq("name"), "s1")
+    val rows = ma.collect().map(r => r.getLong(0) ->
+      (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(rows(1L) != "alice" && rows(1L).length == 64) // sha2-256 hex
+    assert(rows(3L) == null)                             // NULL is not a token
+    // referential integrity: the masked join matches the clear join
+    assert(ma.join(mb, "name").count() == 1)
+    // salt rotation rotates every token
+    val rot = Clean.pseudonymize(a, Seq("name"), "s2")
+      .collect().map(r => if (r.isNullAt(1)) null else r.getString(1))
+    assert(!rot.contains(rows(1L)))
+    // missing column is rejected loudly
+    intercept[IllegalArgumentException] {
+      Clean.pseudonymize(a, Seq("nope"), "s1")
+    }
+  }
+
   test("zoneEnrich drops unmatched ids (inner-join pandas-merge parity)") {
     val trips = Seq((1, 10), (2, 99)).toDF("trip_id", "pulocationid")
     val lookup = Seq((10, 40.7, -74.0)).toDF("LocationID", "latitude", "longitude")

@@ -82,4 +82,24 @@ class StagingWarehouseSpec extends SparkSpec {
     val cols = Expectations.outliers(df, "v", Seq("grp")).columns.toSeq
     assert(cols.sorted == Seq("grp", "id", "v"))
   }
+
+  test("mergeAggregates: merge of partials equals the one-shot aggregate") {
+    import graft.operators.Incremental
+    val stored = Seq(("a", 3L, 100L, 5L), ("b", 1L, 40L, 9L))
+      .toDF("k", "n", "cents", "mx")
+    val delta = Seq(("a", 2L, 50L, 7L), ("c", 4L, 10L, 1L))
+      .toDF("k", "n", "cents", "mx")
+    val got = Incremental.mergeAggregates(stored, delta, Seq("k"),
+        Map("n" -> "sum", "cents" -> "sum", "mx" -> "max"))
+      .collect().map(r => r.getString(r.fieldIndex("k")) ->
+        (r.getLong(r.fieldIndex("n")), r.getLong(r.fieldIndex("cents")),
+          r.getLong(r.fieldIndex("mx")))).toMap
+    assert(got == Map("a" -> ((5L, 150L, 7L)),   // merged
+      "b" -> ((1L, 40L, 9L)),                    // history-only survives
+      "c" -> ((4L, 10L, 1L))))                   // new-in-batch appears
+    // unmergeable functions are rejected, not silently mis-merged
+    intercept[IllegalArgumentException] {
+      Incremental.mergeAggregates(stored, delta, Seq("k"), Map("n" -> "avg"))
+    }
+  }
 }

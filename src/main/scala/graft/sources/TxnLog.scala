@@ -49,9 +49,19 @@ object TxnLog {
                             dirs: Seq[String], txnId: Option[String])
 
   /** Overwrite the table with `df` as a new version. Returns the
-    * committed version number. */
-  def overwrite(df: DataFrame, root: String): Long =
-    commit(df, root, "overwrite", None)
+    * committed version number. A `txnId` already in the log makes the
+    * overwrite a no-op returning its version (idempotent retry —
+    * the streaming materialized view depends on this: a replayed
+    * micro-batch must not re-merge). */
+  def overwrite(df: DataFrame, root: String, txnId: Option[String] = None): Long = {
+    txnId.foreach { id =>
+      history(df.sparkSession, root).find(_.txnId.contains(id)) match {
+        case Some(c) => return c.version
+        case None =>
+      }
+    }
+    commit(df, root, "overwrite", txnId)
+  }
 
   /** Append `df` as a new version. If `txnId` is given and already
     * committed, the append is a no-op returning the existing version

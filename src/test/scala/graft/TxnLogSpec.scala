@@ -104,6 +104,31 @@ class TxnLogSpec extends SparkSpec {
       Seq(Some("batch-0"), Some("batch-1")))
   }
 
+  test("materialized view: stream merges equal the one-shot aggregate, replay-proof") {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.MaterializedView
+    val root = Files.createTempDirectory("graft_mv").toString + "/view"
+    val measures = Map("n" -> "sum", "cents" -> "sum")
+    def aggOf(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("k").agg(count(lit(1)).as("n"), sum("cents").as("cents"))
+    val b0 = Seq(("a", 100L), ("a", 50L), ("b", 10L)).toDF("k", "cents")
+    val b1 = Seq(("a", 1L), ("c", 7L)).toDF("k", "cents")
+    MaterializedView.mergeBatch(root, Seq("k"), measures)(aggOf(b0), 0L)
+    MaterializedView.mergeBatch(root, Seq("k"), measures)(aggOf(b1), 1L)
+    // checkpoint-recovery replay of batch 1: must NOT double-merge
+    MaterializedView.mergeBatch(root, Seq("k"), measures)(aggOf(b1), 1L)
+    val got = MaterializedView.read(spark, root)
+      .collect().map(r => r.getString(r.fieldIndex("k")) ->
+        (r.getLong(r.fieldIndex("n")), r.getLong(r.fieldIndex("cents")))).toMap
+    // equals the one-shot aggregate over b0 ∪ b1
+    assert(got == Map("a" -> ((3L, 151L)), "b" -> ((1L, 10L)), "c" -> ((1L, 7L))))
+    // the view's own history is queryable: version 0 = b0 alone
+    val v0 = TxnLog.read(spark, root, asOf = Some(0L))
+      .collect().map(r => r.getString(r.fieldIndex("k")) ->
+        r.getLong(r.fieldIndex("cents"))).toMap
+    assert(v0 == Map("a" -> 150L, "b" -> 10L))
+  }
+
   test("a real micro-batch stream lands exactly-once through the txn log") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

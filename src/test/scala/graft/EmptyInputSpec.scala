@@ -53,6 +53,35 @@ class EmptyInputSpec extends SparkSpec {
     assert(TimeSeries.scd2(emptyLog, "user_id", "ts", "event_id", "event_type").isEmpty)
   }
 
+  test("round-7 additions accept empty inputs") {
+    import graft.operators.{Incremental, Robust}
+    // prefix/span/triangle chain on an empty corpus
+    assert(Dedup.prefixDups(emptyDocs).isEmpty)
+    assert(TextFunctions.spanShareEdges(emptyDocs).isEmpty)
+    val emptyPairs = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(Graph.triangleCounts(emptyPairs, "a", "b").isEmpty)
+    // robust stats: empty groups produce empty outputs, not div-by-zero
+    val emptyVals = Seq.empty[(Long, String, Option[Double])].toDF("id", "g", "v")
+    assert(Robust.winsorize(emptyVals, "v", "g").isEmpty)
+    assert(Robust.robustZ(emptyVals, "v", "g").isEmpty)
+    assert(Robust.rankTransform(emptyVals, "v", "g", "id").isEmpty)
+    // IVM: empty delta leaves the stored aggregate unchanged
+    val stored = Seq(("a", 2L)).toDF("k", "n")
+    val emptyAgg = Seq.empty[(String, Long)].toDF("k", "n")
+    val merged = Incremental.mergeAggregates(stored, emptyAgg, Seq("k"), Map("n" -> "sum"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(merged == Map("a" -> 2L))
+    // both sides empty -> empty, schema intact
+    assert(Incremental.mergeAggregates(emptyAgg, emptyAgg, Seq("k"),
+      Map("n" -> "sum")).isEmpty)
+    // salted join: empty left, empty right, both
+    val emptyL = Seq.empty[(Long, Long)].toDF("row_id", "k")
+    val r = Seq((1L, "x")).toDF("k", "v")
+    assert(Joins.saltedJoin(emptyL, r, "k", "row_id").isEmpty)
+    assert(Joins.saltedJoin(Seq((1L, 1L)).toDF("row_id", "k"), r.limit(0),
+      "k", "row_id", joinType = "left").count() == 1) // left row survives
+  }
+
   test("similarity and graph operators accept empty inputs") {
     assert(Similarity.diversitySample(emptyEmb, dim = 64, perBucket = 2).isEmpty)
     assert(Similarity.semanticDedup(emptyEmb, dim = 64, tau = 0.5).isEmpty)

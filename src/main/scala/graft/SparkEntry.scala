@@ -1293,6 +1293,9 @@ object SparkEntry {
     "cube_agg" -> (cubeAgg(_, _)),
     "incremental_agg" -> (incrementalAgg(_, _)),
     "event_pairs" -> (eventPairs(_, _)),
+    // exact integer PMI inputs over the top-50 document-frequency terms
+    "term_pairs" -> ((s, d) =>
+      TextFunctions.termCooccurrence(Tables.documents(s, d))),
     // pseudonymize customer PII: salted sha2 tokens, joins survive
     "mask_pii" -> ((s, d) =>
       graft.clean.Clean.pseudonymize(
@@ -1975,6 +1978,19 @@ object SparkEntry {
          |v AS (SELECT x AS id FROM tri
          |      UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
          |SELECT id AS doc_id, count(*) AS n_triangles FROM v GROUP BY 1""".stripMargin,
+    "term_pairs" ->
+      s"""WITH dt AS (
+         |  SELECT DISTINCT doc_id, t.term FROM (
+         |    SELECT doc_id, unnest($toksSql) AS term FROM documents) t
+         |  WHERE t.term <> ''),
+         |top AS (
+         |  SELECT term, count(*) AS df FROM dt GROUP BY 1
+         |  ORDER BY df DESC, term ASC LIMIT 50),
+         |m AS (SELECT dt.doc_id, dt.term, top.df FROM dt JOIN top USING (term))
+         |SELECT a.term AS term_a, b.term AS term_b,
+         |  a.df AS n_a, b.df AS n_b, count(*) AS n_both
+         |FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.term < b.term
+         |GROUP BY 1, 2, 3, 4""".stripMargin,
     "event_pairs" ->
       """WITH g AS (
         |  SELECT user_id, ts, event_id, event_type,

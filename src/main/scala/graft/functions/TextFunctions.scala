@@ -659,6 +659,38 @@ object TextFunctions {
     * so only (doc_id, span_hash) pairs shuffle — never span text, and
     * both engines fold identically so hash collisions (if any) cannot
     * diverge the oracle. Two narrow hash-aggs + one narrow join. */
+  /** Term co-occurrence over the `topN` highest-document-frequency
+    * tokens: for each unordered term pair, in how many documents both
+    * occur, alongside each term's own document frequency — the exact
+    * integer inputs to PMI/lift (PMI = ln(N·n_both/(n_a·n_b)); the
+    * log is left to the reader so the table stays engine-exact —
+    * cross-engine ln differs in final ulps, integer counts never do).
+    *
+    * Scale shape: the vocabulary is cut to `topN` FIRST (tie-broken
+    * by token text, so the cut is deterministic), and the tiny term
+    * list broadcasts back onto the (doc, token) pairs — the
+    * within-doc self-join is then bounded by C(topN, 2) per document,
+    * never vocabulary-squared. Token text crosses the exchange only
+    * for the topN survivors. */
+  def termCooccurrence(docs: org.apache.spark.sql.DataFrame, topN: Int = 50,
+                       textCol: String = "text", idCol: String = "doc_id")
+      : org.apache.spark.sql.DataFrame = {
+    require(topN >= 2, s"need topN >= 2, got $topN")
+    val dt = docs.select(col(idCol).as("doc_id"),
+        explode(array_distinct(tokens(col(textCol)))).as("term"))
+      .filter(col("term") =!= "")
+    val top = dt.groupBy("term").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("term").asc).limit(topN)
+    val member = dt.join(broadcast(top), "term")
+    member.select(col("doc_id"), col("term").as("term_a"), col("df").as("n_a"))
+      .join(member.select(col("doc_id"), col("term").as("term_b"), col("df").as("n_b")),
+        "doc_id")
+      .filter(col("term_a") < col("term_b"))
+      .groupBy("term_a", "term_b", "n_a", "n_b")
+      .agg(count(lit(1)).as("n_both"))
+      .select("term_a", "term_b", "n_a", "n_b", "n_both")
+  }
+
   /** Span-share candidate graph: one undirected edge per document
     * pair sharing at least one duplicated `width`-token span — the
     * exact-substring analogue of an LSH candidate graph, feeding the

@@ -171,6 +171,24 @@ class RankingLmSpec extends SparkSpec {
     assert((11L to 15L).forall(i => out(i).isEmpty)) // MAD 0 → NULL
   }
 
+  test("termCooccurrence: topN cut is deterministic, counts are doc-level") {
+    val docs = Seq(
+      (1L, "spark data data engine"),   // duplicates count once per doc
+      (2L, "spark data pipeline"),
+      (3L, "spark engine"),
+      (4L, "noise floor")
+    ).toDF("doc_id", "text")
+    val out = TextFunctions.termCooccurrence(docs, topN = 3)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // df: spark 3, data 2, engine 2, pipeline 1, noise 1, floor 1
+    // top3 by (df desc, term asc) = spark, data, engine
+    assert(out.keySet == Set(("data", "spark"), ("engine", "spark"), ("data", "engine")))
+    assert(out(("data", "spark")) == ((2L, 3L, 2L)))  // both in docs 1,2
+    assert(out(("engine", "spark")) == ((2L, 3L, 2L)))
+    assert(out(("data", "engine")) == ((2L, 2L, 1L))) // only doc 1
+  }
+
   test("rankTransform assigns deciles and percent ranks over a unique order") {
     val df = ((1 to 20).map(i => (i.toLong, "a", Some(i.toDouble))) :+
       (21L, "a", None) :+ (22L, "b", Some(3.0))).toDF("id", "g", "v")

@@ -1,0 +1,96 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.{FileSourceScanExec, FilterExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+
+/** Static lint over a physical plan: the anti-patterns this engine's
+  * PlanSpec guards assert away, packaged as a reusable advisor any
+  * pipeline can run before committing cluster-hours to a query. A
+  * finding is advice, not an error — some plans legitimately contain
+  * a tiny cartesian (a documented quadratic baseline, a 1-row config
+  * cross) — but at 100 TB each of these patterns is usually the
+  * difference between minutes and days:
+  *
+  *  - `cartesian`: CartesianProduct / BroadcastNestedLoopJoin — the
+  *    O(|L|·|R|) shapes; a missing equi-condition usually caused it.
+  *  - `wide-shuffle`: a named wide column (document text, media
+  *    bytes) crossing a ShuffleExchange — ship hashes/ids instead
+  *    (every dedup/corpus operator here does; the guard keeps it so).
+  *  - `unpushed-filter`: a Filter sitting directly on a parquet scan
+  *    that pushed NO filters down — data-skipping (row groups,
+  *    [[graft.sources.FileIndex]] file pruning) is being left on the
+  *    table. Non-convertible predicates (UDF-like, regex) are real,
+  *    but the common cause is a cast or wrapped column defeating
+  *    pushdown.
+  */
+object PlanLint {
+
+  final case class Finding(rule: String, severity: String, detail: String)
+
+  /** Lint the frame's executed plan. `wideCols`: column names whose
+    * shuffle is worth flagging (defaults to the corpus convention). */
+  def lint(df: DataFrame,
+           wideCols: Set[String] = Set("text", "bytes", "payload")): Seq[Finding] = {
+    val nodes = collect(df.queryExecution.executedPlan)
+    val cartesian = nodes.collect {
+      case c: CartesianProductExec =>
+        Finding("cartesian", "error", s"CartesianProduct over ${c.output.size} columns")
+      case b: BroadcastNestedLoopJoinExec =>
+        Finding("cartesian", "error",
+          s"BroadcastNestedLoopJoin (${b.joinType}) — no equi-condition")
+    }
+    val wide = nodes.collect {
+      case s: ShuffleExchangeExec
+          if s.output.exists(a => wideCols.contains(a.name)) =>
+        val cols = s.output.map(_.name).filter(wideCols.contains)
+        Finding("wide-shuffle", "warn",
+          s"shuffle carries wide column(s): ${cols.mkString(",")}")
+    }
+    val unpushed = nodes.collect {
+      case f: FilterExec => scanBelow(f.child) match {
+        case Some(scan) if scanPushedNothing(scan) =>
+          Seq(Finding("unpushed-filter", "warn",
+            s"filter above ${scan.nodeName} pushed no usable predicates"))
+        case _ => Seq.empty
+      }
+    }.flatten
+    cartesian ++ wide ++ unpushed
+  }
+
+  /** The scan this node sits directly on top of, descending through
+    * single-child wrappers (ColumnarToRow, InputAdapter, codegen). */
+  private def scanBelow(p: SparkPlan): Option[FileSourceScanExec] = p match {
+    case s: FileSourceScanExec => Some(s)
+    case u if u.children.size == 1 => scanBelow(u.children.head)
+    case _ => None
+  }
+
+  /** "Pushed nothing USABLE": an empty list, or only the IsNotNull
+    * guards Catalyst infers for free — a cast/function-wrapped column
+    * defeats the comparative predicate but still yields IsNotNull, so
+    * bare non-emptiness would hide exactly the defect this rule is
+    * for. */
+  private def scanPushedNothing(scan: FileSourceScanExec): Boolean =
+    scan.metadata.get("PushedFilters").forall { v =>
+      val inner = v.trim.stripPrefix("[").stripSuffix("]").trim
+      inner.isEmpty ||
+        inner.split(",").map(_.trim).forall(_.startsWith("IsNotNull"))
+    }
+
+  private def collect(p: SparkPlan): Seq[SparkPlan] = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[SparkPlan]
+    def walk(n: SparkPlan): Unit = {
+      buf += n
+      n match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case q: QueryStageExec        => walk(q.plan)
+        case other                    => other.children.foreach(walk)
+      }
+    }
+    walk(p)
+    buf.toSeq
+  }
+}

@@ -20,7 +20,14 @@ object ExplainPlans {
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>
       println(s"\n===================== $n =====================")
-      SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+      val df = SparkEntry.queries(n)(spark, sfDir)
+      df.explain("formatted")
+      // pre-flight advisor: same rules the PlanSpec guards assert
+      graft.plans.PlanLint.lint(df) match {
+        case Seq() => println("[lint] clean")
+        case fs => fs.foreach(f =>
+          println(s"[lint] ${f.severity} ${f.rule}: ${f.detail}"))
+      }
     }
     spark.stop()
   }

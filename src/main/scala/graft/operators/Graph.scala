@@ -56,12 +56,19 @@ object Graph {
     * emitted exactly once. Three hash-join shuffles of slim
     * (id, id) tuples; nothing driver-side. */
   def triangleCounts(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
-    // canonical undirected edges: a < b, no self-loops, distinct
+    // canonical undirected edges: a < b, no self-loops, distinct.
+    // localCheckpoint: canon is consumed SIX times downstream (degrees
+    // ×2, orientation, both 2-path sides, the closing probe) and each
+    // consumer would otherwise clone the entire upstream plan — with a
+    // non-trivial edge producer (the span-share subtree) that measured
+    // ~120 duplicated scan nodes in one plan. The cut pins a slim
+    // (a, b) RDD instead; same pattern as the CC/PageRank rounds.
     val canon = pairs.select(
         least(col(aCol), col(bCol)).as("a"),
         greatest(col(aCol), col(bCol)).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
+      .localCheckpoint(true)
     val degrees = canon.select(col("a").as("id"))
       .union(canon.select(col("b").as("id")))
       .groupBy("id").agg(count(lit(1)).as("deg"))

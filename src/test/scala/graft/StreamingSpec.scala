@@ -241,4 +241,29 @@ class StreamingSpec extends SparkSpec {
       .select("amount", "tier").as[(Double, String)].collect().toSet
     assert(rows == Set((10.0, "bronze"), (20.0, "gold")), s"got $rows")
   }
+
+  test("StreamMetrics records per-batch rows and rates through the listener") {
+    import graft.streaming.StreamMetrics
+    val metrics = new StreamMetrics(maxEvents = 100)
+    spark.streams.addListener(metrics)
+    try {
+      implicit val sql = spark.sqlContext
+      val in = MemoryStream[Long]
+      val q = in.toDF().toDF("v").writeStream
+        .format("memory").queryName("metrics_probe").start()
+      in.addData(1L, 2L, 3L); q.processAllAvailable()
+      in.addData(4L); q.processAllAvailable()
+      q.stop()
+      // listener events are async — give the bus a moment to drain
+      spark.streams.awaitAnyTermination(1)
+      val deadline = System.currentTimeMillis() + 10000
+      def batches() = metrics.frame(spark)
+        .filter(col("queryName") === "metrics_probe" && col("numInputRows") > 0)
+        .select("batchId", "numInputRows")
+        .as[(Long, Long)].collect().sortBy(_._1).toSeq
+      while (batches().size < 2 && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      assert(batches().map(_._2) == Seq(3L, 1L), s"got ${batches()}")
+    } finally spark.streams.removeListener(metrics)
+  }
 }

@@ -270,4 +270,48 @@ class PropertySpec extends SparkSpec {
     assert(total <= 1000000L && total >= 1000000L - nodes.toLong * 5 * 4,
       s"mass $total over $nodes nodes")
   }
+
+  test("TxnLog matches an in-memory model over random op sequences") {
+    import graft.sources.TxnLog
+    // ops: 0 = overwrite, 1 = append, 2 = idempotent-append replay
+    val opsGen = Gen.listOfN(8, Gen.choose(0, 2))
+    for ((ops, caseIdx) <- cases(opsGen, 4).zipWithIndex) {
+      val root = java.nio.file.Files
+        .createTempDirectory(s"graft_prop_txn$caseIdx").toString + "/t"
+      var model = Vector.empty[Seq[Long]] // expected contents per version
+      var nextRow = 0L
+      var lastTxn = Option.empty[String]
+      ops.foreach { op =>
+        val rows = Seq(nextRow, nextRow + 1)
+        val df = rows.toDF("id")
+        op match {
+          case 0 =>
+            TxnLog.overwrite(df, root)
+            model :+= rows
+            nextRow += 2
+          case 1 =>
+            val txn = s"t$nextRow"
+            TxnLog.append(df, root, Some(txn))
+            model :+= (model.lastOption.getOrElse(Seq.empty) ++ rows)
+            lastTxn = Some(txn)
+            nextRow += 2
+          case 2 => lastTxn match {
+            case Some(txn) => // replay: NO new version, contents unchanged
+              TxnLog.append(df, root, Some(txn))
+            case None => // nothing to replay yet: treat as overwrite
+              TxnLog.overwrite(df, root)
+              model :+= rows
+              nextRow += 2
+          }
+        }
+        // every historical version must still read back exactly
+        model.zipWithIndex.foreach { case (want, v) =>
+          val got = TxnLog.read(spark, root, asOf = Some(v.toLong))
+            .as[Long].collect().sorted.toSeq
+          assert(got == want.sorted, s"case $caseIdx v$v: $got != $want (ops $ops)")
+        }
+        assert(TxnLog.latestVersion(spark, root) == model.size - 1)
+      }
+    }
+  }
 }

@@ -1063,6 +1063,31 @@ object SparkEntry {
         array_join(col("sk.kmin"), ",").as("kmin"), col("n_exact"))
   }
 
+  /** Incremental distinct-count: history and batch sketched
+    * separately, sketches unioned with
+    * [[graft.operators.Incremental.mergeKmv]] — by KMV mergeability
+    * the unioned minima are byte-identical to sketching everything at
+    * once, so the oracle is the whole-data sketch replay. The shape
+    * that keeps "distinct users per day" maintainable at 100 TB:
+    * per-batch partials of ≤ k longs per group, never a re-scan. */
+  private def distinctSketchIncremental(spark: SparkSession, dir: String): DataFrame = {
+    import graft.expressions.SketchAggregates
+    val ev = Tables.events(spark, dir)
+    def sketch(df: DataFrame) = df.groupBy(col("event_type"))
+      .agg(SketchAggregates.kmvDistinct(col("user_id"), 64).as("sk"))
+      .select(col("event_type"), col("sk.kmin").as("kmin_arr"))
+    val merged = graft.operators.Incremental.mergeKmv(
+      sketch(ev.filter(pmod(col("event_id"), lit(5)) < 4)),
+      sketch(ev.filter(pmod(col("event_id"), lit(5)) === 4)),
+      Seq("event_type"), "kmin_arr", 64)
+    merged.select(col("event_type"),
+      when(size(col("kmin_arr")) < 64, size(col("kmin_arr")).cast("long"))
+        .otherwise(floor(lit(63D) * lit(1152921504606846976D) /
+          element_at(col("kmin_arr"), 64)).cast("long"))
+        .as("distinct_est"),
+      array_join(col("kmin_arr"), ",").as("kmin"))
+  }
+
   /** Span-level exact dedup ([[graft.dedup.Dedup.spanDedup]]): drop
     * repeated 20-token chunks corpus-wide, rebuild each document from
     * its surviving chunks. */
@@ -1292,6 +1317,7 @@ object SparkEntry {
     "retention_cohorts" -> (retentionCohorts(_, _)),
     "cube_agg" -> (cubeAgg(_, _)),
     "incremental_agg" -> (incrementalAgg(_, _)),
+    "distinct_sketch_incremental" -> (distinctSketchIncremental(_, _)),
     "event_pairs" -> (eventPairs(_, _)),
     // exact integer PMI inputs over the top-50 document-frequency terms
     "term_pairs" -> ((s, d) =>
@@ -2672,6 +2698,26 @@ object SparkEntry {
         |  string_agg(r.hv, ',' ORDER BY r.hv) AS kmin,
         |  any_value(x.n_exact) AS n_exact
         |FROM r JOIN x ON r.event_type = x.event_type
+        |WHERE r.rn <= 64
+        |GROUP BY r.event_type""".stripMargin,
+    // KMV mergeability makes the incremental sketch bit-identical to
+    // the whole-data sketch — same replay as distinct_sketch
+    "distinct_sketch_incremental" ->
+      """WITH h AS (
+        |  SELECT DISTINCT event_type,
+        |    CAST(concat('0x', substring(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+        |  FROM events WHERE user_id IS NOT NULL),
+        |r AS (
+        |  SELECT event_type, hv,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+        |  FROM h)
+        |SELECT r.event_type,
+        |  CAST(CASE WHEN max(r.rn) < 64 THEN max(r.rn)
+        |       ELSE FLOOR(63 * 1152921504606846976.0
+        |                  / max(CASE WHEN r.rn = 64 THEN r.hv END)) END AS BIGINT)
+        |    AS distinct_est,
+        |  string_agg(r.hv, ',' ORDER BY r.hv) AS kmin
+        |FROM r
         |WHERE r.rn <= 64
         |GROUP BY r.event_type""".stripMargin,
     // Span dedup: first (doc_id, idx) occurrence of each 20-token chunk

@@ -48,4 +48,24 @@ object Incremental {
     }
     aligned.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Incremental COUNT DISTINCT via KMV sketch union — the mergeable
+    * path [[mergeAggregates]] points count-distinct at. Both sides
+    * carry the sketch's k-minima array (`sk.kmin` from
+    * `SketchAggregates.kmvDistinct`); the union of two k-minima sets
+    * truncated back to k IS the k-minima of the union (the KMV
+    * mergeability property), so merging partial sketches gives
+    * byte-identical state to sketching all the data at once — pure
+    * built-ins, no re-hashing, each group cell carries ≤ 2k longs
+    * through the merge. */
+  def mergeKmv(stored: DataFrame, delta: DataFrame, keys: Seq[String],
+               kminCol: String, k: Int): DataFrame = {
+    require(keys.nonEmpty && k > 1, s"need keys and k > 1, got $keys, k=$k")
+    val cols = keys :+ kminCol
+    val aligned = stored.select(cols.map(col): _*)
+      .unionByName(delta.select(cols.map(col): _*))
+    aligned.groupBy(keys.map(col): _*)
+      .agg(slice(array_sort(array_distinct(flatten(collect_list(col(kminCol))))),
+        1, k).as(kminCol))
+  }
 }

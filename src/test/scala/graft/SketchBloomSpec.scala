@@ -120,6 +120,19 @@ class SketchBloomSpec extends SparkSpec {
     assert(self.getStruct(0) == self.getStruct(1))
   }
 
+  test("mergeKmv: incremental sketch state is byte-identical to one-shot") {
+    import graft.operators.Incremental
+    def sk(lo: Long, hi: Long) = spark.range(lo, hi)
+      .select((col("id") % 2).as("g"), (col("id") % 500).as("v"))
+      .groupBy("g").agg(SketchAggregates.kmvDistinct(col("v"), 64).as("sk"))
+      .select(col("g"), col("sk.kmin").as("kmin"))
+    val merged = Incremental.mergeKmv(sk(0, 1200), sk(1200, 2000), Seq("g"), "kmin", 64)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val oneShot = sk(0, 2000)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(merged == oneShot) // KMV mergeability: exact state equality
+  }
+
   test("kmvDistinct per-group sketches merge under partial aggregation") {
     val df = spark.range(0, 2000)
       .select((col("id") % 3).as("g"), (col("id") % 211).as("v"))

@@ -1314,6 +1314,9 @@ object SparkEntry {
     // prefix-boilerplate verdict: docs sharing their first 80 chars
     "prefix_dup" -> ((s, d) =>
       graft.dedup.Dedup.prefixDups(Tables.documents(s, d))),
+    // suffix twin: templated footers / licence trailers
+    "suffix_dup" -> ((s, d) =>
+      graft.dedup.Dedup.suffixDups(Tables.documents(s, d))),
     "retention_cohorts" -> (retentionCohorts(_, _)),
     "cube_agg" -> (cubeAgg(_, _)),
     "incremental_agg" -> (incrementalAgg(_, _)),
@@ -1963,6 +1966,15 @@ object SparkEntry {
         |  CAST(ntile(10) OVER (PARTITION BY event_type ORDER BY value, event_id) AS INT) AS decile,
         |  percent_rank() OVER (PARTITION BY event_type ORDER BY value, event_id) AS pct_rank
         |FROM events WHERE value IS NOT NULL""".stripMargin,
+    "suffix_dup" ->
+      """WITH keyed AS (
+        |  SELECT doc_id, md5(right(text, 80)) AS prefix_hash FROM documents),
+        |g AS (
+        |  SELECT prefix_hash, count(*) AS n_docs, min(doc_id) AS keep_id
+        |  FROM keyed GROUP BY 1)
+        |SELECT k.doc_id, k.prefix_hash, g.n_docs,
+        |  (g.n_docs > 1 AND k.doc_id <> g.keep_id) AS is_prefix_dup
+        |FROM keyed k JOIN g USING (prefix_hash)""".stripMargin,
     "prefix_dup" ->
       """WITH keyed AS (
         |  SELECT doc_id, md5(substr(text, 1, 80)) AS prefix_hash FROM documents),

@@ -44,8 +44,21 @@ object Dedup {
   def prefixDups(df: DataFrame, prefixLen: Int = 80,
                  textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(prefixLen > 0, s"need prefixLen > 0, got $prefixLen")
-    val keyed = df.select(col(idCol),
-      md5(substring(col(textCol), 1, prefixLen)).as("prefix_hash"))
+    affixDups(df, substring(col(textCol), 1, prefixLen), idCol)
+  }
+
+  /** Suffix twin of [[prefixDups]]: groups on the LAST `suffixLen`
+    * characters — templated footers, signature blocks, licence
+    * trailers. `right()` (not negative-position substring) because
+    * both engines agree on its short-string semantics. */
+  def suffixDups(df: DataFrame, suffixLen: Int = 80,
+                 textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(suffixLen > 0, s"need suffixLen > 0, got $suffixLen")
+    affixDups(df, expr(s"right($textCol, $suffixLen)"), idCol)
+  }
+
+  private def affixDups(df: DataFrame, affix: Column, idCol: String): DataFrame = {
+    val keyed = df.select(col(idCol), md5(affix).as("prefix_hash"))
     val groups = keyed.groupBy(col("prefix_hash"))
       .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("keep_id"))
     keyed.join(groups, "prefix_hash")

@@ -72,6 +72,23 @@ class TextDedupSpec extends SparkSpec {
     assert(out(3L) == (1L, false) && out(4L) == (1L, false))
   }
 
+  test("suffixDups flags shared trailers the prefix pass misses") {
+    val footer = "f" * 80
+    val docs = Seq(
+      (1L, s"alpha body $footer"),
+      (2L, s"completely different opener $footer"),
+      (3L, "no shared footer here")
+    ).toDF("doc_id", "text")
+    val suf = Dedup.suffixDups(docs, suffixLen = 80)
+      .collect().map(r => r.getLong(r.fieldIndex("doc_id")) ->
+        r.getBoolean(r.fieldIndex("is_prefix_dup"))).toMap
+    assert(suf == Map(1L -> false, 2L -> true, 3L -> false))
+    // the prefix pass sees nothing (openers differ)
+    val pre = Dedup.prefixDups(docs, prefixLen = 80)
+      .collect().map(r => r.getBoolean(r.fieldIndex("is_prefix_dup")))
+    assert(pre.forall(!_))
+  }
+
   test("minhash LSH surfaces an identical pair with jaccard 1.0") {
     val text = "the quick brown fox jumps over the lazy dog again and again"
     val df = Seq((1L, text), (2L, text), (3L, "completely unrelated content with many different tokens present"))

@@ -83,6 +83,27 @@ class StagingWarehouseSpec extends SparkSpec {
     assert(cols.sorted == Seq("grp", "id", "v"))
   }
 
+  test("Drift.compare flags null-rate, distinct, row-count, and schema drift") {
+    import graft.operators.Profiler
+    import graft.validate.Drift
+    val before = Profiler.profile(
+      (1L to 100L).map(i => (i, Some(i % 50), s"u$i")).toDF("id", "k", "u"),
+      Seq("id", "k", "u"))
+    // after: k went 40% null AND constant; u dropped (schema drift)
+    val after = Profiler.profile(
+      (1L to 100L).map(i => (i, if (i <= 40) None else Some(7L))).toDF("id", "k"),
+      Seq("id", "k"))
+    val v = Drift.compare(before, after)
+      .collect().map(r => r.getString(0) -> r.getString(r.fieldIndex("verdict"))).toMap
+    assert(v("id") == "ok")
+    assert(v("k") == "null_rate_drift")   // 0% -> 40% nulls fires first
+    assert(v("u") == "schema_drift")      // present only in `before`
+    // same snapshot twice: everything ok
+    val same = Drift.compare(before, before)
+      .collect().map(_.getString(5)).toSet
+    assert(same == Set("ok"))
+  }
+
   test("mergeAggregates: merge of partials equals the one-shot aggregate") {
     import graft.operators.Incremental
     val stored = Seq(("a", 3L, 100L, 5L), ("b", 1L, 40L, 9L))

@@ -50,14 +50,31 @@ object PlanLint {
           s"shuffle carries wide column(s): ${cols.mkString(",")}")
     }
     val unpushed = nodes.collect {
-      case f: FilterExec => scanBelow(f.child) match {
-        case Some(scan) if scanPushedNothing(scan) =>
-          Seq(Finding("unpushed-filter", "warn",
-            s"filter above ${scan.nodeName} pushed no usable predicates"))
-        case _ => Seq.empty
-      }
+      case f: FilterExec if !isNotNullOnly(f.condition) =>
+        scanBelow(f.child) match {
+          case Some(scan) if scanPushedNothing(scan) =>
+            Seq(Finding("unpushed-filter", "warn",
+              s"filter above ${scan.nodeName} pushed no usable predicates"))
+          case _ => Seq.empty
+        }
+      case _: FilterExec => Seq.empty
     }.flatten
     cartesian ++ wide ++ unpushed
+  }
+
+  /** A condition that is nothing but IsNotNull conjuncts — the
+    * null-safety guards Catalyst infers for join keys and computed
+    * expressions. These are inherently unpushable when the operand is
+    * derived (isnotnull(md5(...))) and carry no user intent, so they
+    * are not evidence of defeated pushdown. */
+  private def isNotNullOnly(
+      cond: org.apache.spark.sql.catalyst.expressions.Expression): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions.{And, IsNotNull}
+    cond match {
+      case And(l, r)    => isNotNullOnly(l) && isNotNullOnly(r)
+      case _: IsNotNull => true
+      case _            => false
+    }
   }
 
   /** The scan this node sits directly on top of, descending through

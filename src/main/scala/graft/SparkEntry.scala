@@ -1466,6 +1466,18 @@ object SparkEntry {
       graft.operators.TimeSeries.scd2(
         Tables.events(s, d).filter(col("user_id") < 10),
         "user_id", "ts", "event_id", "event_type")),
+    // trailing 7-day rolling sum/count per user (RANGE frame over
+    // epoch micros — deterministic among equal timestamps, no ROWS
+    // order dependence; exact integer-cents sum)
+    "events_rolling" -> ((s, d) =>
+      graft.operators.TimeSeries.rollingAgg(
+        Tables.events(s, d), "user_id", "ts", "value",
+        windowMicros = 7L * 86400L * 1000000L)),
+    // feed-dropout detection: same-key event pairs spaced > 1 hour
+    "events_gaps" -> ((s, d) =>
+      graft.operators.TimeSeries.gaps(
+        Tables.events(s, d), "user_id", "ts", "event_id",
+        minGapMicros = 3600L * 1000000L)),
     // corpus n-gram count table (LM-data prep): ShingleRows generator
     // streams windows into a hash agg; min-count pruning after the agg
     "ngram_counts" -> ((s, d) =>
@@ -2410,6 +2422,22 @@ object SparkEntry {
         |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
         |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
         |FROM runs""".stripMargin,
+    "events_rolling" ->
+      """SELECT event_id, ts, user_id, event_type, value, props,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS rolling_sum,
+        |  count(*) OVER w AS rolling_n
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |  RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)""".stripMargin,
+    "events_gaps" ->
+      """WITH l AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |    lag(epoch_us(ts)) OVER w AS prev_us,
+        |    lag(event_id) OVER w AS prev_event_id
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
+        |SELECT user_id, prev_event_id, event_id, ts_us - prev_us AS gap_us
+        |FROM l WHERE ts_us - prev_us > 3600000000""".stripMargin,
     "ngram_counts" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |g AS (SELECT toks[u.i] || ' ' || toks[u.i+1] || ' ' || toks[u.i+2] AS shingle

@@ -50,6 +50,54 @@ object TimeSeries {
         last(col("bucket_sum"), ignoreNulls = true).over(w).as("filled_sum"))
   }
 
+  /** Rolling trailing-window aggregate: for every event, the exact sum
+    * and count of the key's events in `(ts − window, ts]`-style closed
+    * trailing range `[ts − windowMicros, ts]`.
+    *
+    * The frame is a RANGE frame over integer epoch **micros** — not a
+    * ROWS frame (which would be order-dependent among equal
+    * timestamps) and not a `cast(ts as long)` frame (which truncates
+    * sub-second parts and silently widens the window). Equal-micros
+    * rows are frame peers in every engine, so the result is
+    * deterministic without a tiebreaker. The rolling sum goes through
+    * integer cents ([[Exact]] discipline) so the double is
+    * bit-identical cross-engine.
+    *
+    * Scale shape: one hash shuffle by key, then a partition-local sort
+    * + a sliding two-pointer frame per key — no self-join, no
+    * per-row range probe, memory O(active window) per key. */
+  def rollingAgg(df: DataFrame, keyCol: String, tsCol: String,
+                 valueCol: String, windowMicros: Long): DataFrame = {
+    require(windowMicros >= 0, s"need windowMicros >= 0, got $windowMicros")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__ts_us"))
+      .rangeBetween(-windowMicros, Window.currentRow)
+    df.withColumn("__ts_us", unix_micros(col(tsCol).cast("timestamp")))
+      .withColumn("rolling_sum",
+        sum(round(col(valueCol) * 100).cast("long")).over(w) / 100.0)
+      .withColumn("rolling_n", count(lit(1)).over(w))
+      .drop("__ts_us")
+  }
+
+  /** Gap detection: one row per consecutive same-key event pair whose
+    * spacing exceeds `minGapMicros` — the monitoring primitive for
+    * "did the feed stop?" (sensor dropout, ingestion stalls, silent
+    * upstream failures).
+    *
+    * Ordering is (epoch micros, tieCol) so equal-timestamp rows have a
+    * deterministic predecessor. Emits (key, prev_tie, tie, gap_us).
+    * One shuffle by key; narrow columns only. */
+  def gaps(df: DataFrame, keyCol: String, tsCol: String, tieCol: String,
+           minGapMicros: Long): DataFrame = {
+    val wOrd = Window.partitionBy(col(keyCol))
+      .orderBy(col("__ts_us"), col(tieCol))
+    df.withColumn("__ts_us", unix_micros(col(tsCol).cast("timestamp")))
+      .withColumn("__prev_us", lag(col("__ts_us"), 1).over(wOrd))
+      .withColumn("__prev_tie", lag(col(tieCol), 1).over(wOrd))
+      .filter(col("__ts_us") - col("__prev_us") > minGapMicros)
+      .select(col(keyCol), col("__prev_tie").as("prev_" + tieCol),
+        col(tieCol), (col("__ts_us") - col("__prev_us")).as("gap_us"))
+  }
+
   /** SCD Type 2 from a change log: collapse consecutive identical
     * states per key, then emit one validity interval per state run —
     * (key, state, valid_from, valid_to, is_current), half-open

@@ -78,6 +78,58 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out.count() == 3)
     assert(out.filter(col("event_type").isNull).count() == 1)
   }
+
+  test("rollingAgg trailing window includes boundary, excludes past-window, sums exactly") {
+    val df = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1.10),
+      (1L, ts("2024-01-01 00:30:00"), 2.20),
+      (1L, ts("2024-01-01 01:00:00"), 4.40), // exactly 1h after first: in window
+      (1L, ts("2024-01-01 02:00:00"), 8.80), // exactly 1h after third: still in
+      (2L, ts("2024-01-01 00:45:00"), 1.00)  // other key: isolated
+    ).toDF("user_id", "ts", "value")
+      .withColumn("ts", col("ts").cast("timestamp_ntz"))
+    val out = TimeSeries.rollingAgg(df, "user_id", "ts", "value",
+      windowMicros = 3600L * 1000000L)
+      .orderBy("user_id", "ts").collect()
+    val sums = out.map(r => (r.getAs[Double]("rolling_sum"), r.getAs[Long]("rolling_n")))
+    assert(sums(0) == (1.10, 1L))
+    assert(sums(1) == (3.30, 2L)) // 1.10 + 2.20 exact in cents
+    assert(sums(2) == (7.70, 3L)) // boundary row included (closed trailing range)
+    assert(sums(3) == (13.20, 2L)) // 4.40 + 8.80; first two aged out of [01:00, 02:00]
+    assert(sums(4) == (1.00, 1L)) // no cross-key leakage
+  }
+
+  test("rollingAgg equal timestamps are frame peers (order-independent)") {
+    val df = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1.0, "a"),
+      (1L, ts("2024-01-01 00:00:00"), 2.0, "b") // same micros: peers
+    ).toDF("user_id", "ts", "value", "tag")
+      .withColumn("ts", col("ts").cast("timestamp_ntz"))
+    val out = TimeSeries.rollingAgg(df, "user_id", "ts", "value", 1000000L)
+    // both rows see BOTH peers — a ROWS frame would give one of them
+    // a partial sum depending on arrival order
+    assert(out.select("rolling_sum").as[Double].collect().toSeq == Seq(3.0, 3.0))
+  }
+
+  test("gaps emits only pairs spaced past the threshold, with deterministic predecessor") {
+    val df = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 10L),
+      (1L, ts("2024-01-01 00:30:00"), 11L), // 30 min: below threshold
+      (1L, ts("2024-01-01 02:00:00"), 12L), // 90 min gap from 11
+      (2L, ts("2024-01-01 00:00:00"), 20L),
+      (2L, ts("2024-01-01 09:00:00"), 21L)  // 9h gap
+    ).toDF("user_id", "ts", "event_id")
+      .withColumn("ts", col("ts").cast("timestamp_ntz"))
+    val out = TimeSeries.gaps(df, "user_id", "ts", "event_id",
+      minGapMicros = 3600L * 1000000L)
+      .orderBy("user_id").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Long]("prev_event_id") == 11L &&
+      out(0).getAs[Long]("event_id") == 12L &&
+      out(0).getAs[Long]("gap_us") == 5400L * 1000000L)
+    assert(out(1).getAs[Long]("prev_event_id") == 20L &&
+      out(1).getAs[Long]("gap_us") == 9L * 3600L * 1000000L)
+  }
 }
 
 /** sf0.01 table loader shared by specs that want real data. */

@@ -1317,6 +1317,14 @@ object SparkEntry {
     // suffix twin: templated footers / licence trailers
     "suffix_dup" -> ((s, d) =>
       graft.dedup.Dedup.suffixDups(Tables.documents(s, d))),
+    // edit-distance near-dup pairs over bounded 200-char prefixes,
+    // blocked on the exact first 10 chars (record-linkage blocking —
+    // no all-pairs compare; thresholded banded-DP Levenshtein)
+    "dedup_fuzzy" -> ((s, d) =>
+      graft.dedup.Dedup.editDistancePairs(
+        Tables.documents(s, d)
+          .select(col("doc_id"), substring(col("text"), 1, 200).as("s")),
+        "doc_id", "s", maxDist = 10, blockPrefix = 10)),
     "retention_cohorts" -> (retentionCohorts(_, _)),
     "cube_agg" -> (cubeAgg(_, _)),
     "incremental_agg" -> (incrementalAgg(_, _)),
@@ -1512,6 +1520,11 @@ object SparkEntry {
     // (CCNet-style "how surprising is this doc under the corpus LM")
     "lm_bigram_score" -> ((s, d) =>
       TextFunctions.lmBigramScore(Tables.documents(s, d))),
+    // BPE tokenizer training (Sennrich et al. 2016): the first two
+    // learned merges — per-round work is vocabulary-sized, the winner
+    // rides a 1-row broadcast (never the driver)
+    "bpe_merges" -> ((s, d) =>
+      TextFunctions.bpeTrain(Tables.documents(s, d), nMerges = 2)),
     // per-doc duplicated 8-token-span fraction (the exact-substring
     // dedup decision metric)
     "span_dup_stats" -> ((s, d) =>
@@ -1996,6 +2009,15 @@ object SparkEntry {
         |SELECT k.doc_id, k.prefix_hash, g.n_docs,
         |  (g.n_docs > 1 AND k.doc_id <> g.keep_id) AS is_prefix_dup
         |FROM keyed k JOIN g USING (prefix_hash)""".stripMargin,
+    "dedup_fuzzy" ->
+      """WITH d AS (
+        |  SELECT doc_id, substring(text, 1, 10) AS blk,
+        |    substring(text, 1, 200) AS s
+        |  FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+        |FROM d a JOIN d b USING (blk)
+        |WHERE a.doc_id < b.doc_id AND levenshtein(a.s, b.s) <= 10""".stripMargin,
     // both engines truncate weeks to ISO Monday; the week index is
     // exact integer day arithmetic
     "retention_cohorts" ->
@@ -2287,6 +2309,50 @@ object SparkEntry {
          |FROM scored WHERE score_raw > 0
          |ORDER BY score_raw DESC, doc_id ASC LIMIT 20""".stripMargin
     },
+    // BPE training, 2 unrolled rounds: the merge application is the
+    // same left-to-right non-overlapping fold as the engine's, run by
+    // list_reduce over a '|'-delimited accumulator (symbols are
+    // [a-z]+ fusions, so the delimiter can't collide)
+    "bpe_merges" ->
+      """WITH words AS (
+        |  SELECT w AS word, count(*) AS freq
+        |  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+        |        FROM documents)
+        |  GROUP BY 1),
+        |segs1 AS (
+        |  SELECT word, freq,
+        |    list_transform(range(1, length(word)+1),
+        |      i -> substring(word, i, 1)) AS syms
+        |  FROM words),
+        |x1 AS (
+        |  SELECT freq, unnest(list_transform(range(1, len(syms)),
+        |    j -> struct_pack(l := syms[j], r := syms[j+1]))) AS p
+        |  FROM segs1),
+        |pairs1 AS (
+        |  SELECT p.l AS l, p.r AS r, CAST(sum(freq) AS BIGINT) AS pair_count
+        |  FROM x1 GROUP BY 1, 2),
+        |win1 AS (SELECT l, r, pair_count FROM pairs1
+        |         ORDER BY pair_count DESC, l, r LIMIT 1),
+        |segs2 AS (
+        |  SELECT word, freq,
+        |    string_split(list_reduce(syms, (acc, x) ->
+        |      CASE WHEN regexp_extract(acc, '[^|]*$') = w.l AND x = w.r
+        |           THEN regexp_replace(acc, '[^|]*$', w.l || w.r)
+        |           ELSE acc || '|' || x END), '|') AS syms
+        |  FROM segs1, win1 w),
+        |x2 AS (
+        |  SELECT freq, unnest(list_transform(range(1, len(syms)),
+        |    j -> struct_pack(l := syms[j], r := syms[j+1]))) AS p
+        |  FROM segs2),
+        |pairs2 AS (
+        |  SELECT p.l AS l, p.r AS r, CAST(sum(freq) AS BIGINT) AS pair_count
+        |  FROM x2 GROUP BY 1, 2),
+        |win2 AS (SELECT l, r, pair_count FROM pairs2
+        |         ORDER BY pair_count DESC, l, r LIMIT 1)
+        |SELECT CAST(1 AS BIGINT) AS iter, l AS sym_left, r AS sym_right, pair_count
+        |FROM win1
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), l, r, pair_count FROM win2""".stripMargin,
     // bigram-LM quality score: MLE p(w2|w1) in fixed-point millionths
     // via integer floor division — the per-doc SUM is integer, so
     // accumulation order cannot diverge the engines

@@ -66,6 +66,48 @@ object Dedup {
         (col("n_docs") > 1 && col(idCol) =!= col("keep_id")).as("is_prefix_dup"))
   }
 
+  /** Edit-distance near-dup pairs (approximate string matching /
+    * record-linkage blocking): id pairs whose `strCol` values are
+    * within `maxDist` Levenshtein edits, found WITHOUT an all-pairs
+    * comparison by blocking on the exact first `blockPrefix`
+    * characters — only same-block rows are compared, so a divergent
+    * first line already prunes the pair. The standard record-linkage
+    * trade: an edit inside the block prefix hides the pair (recall
+    * loss, documented), in exchange for join-sized instead of
+    * quadratic work.
+    *
+    * Scale shape: one shuffle on the block key; the compared string
+    * crosses the exchange, so callers should pass a BOUNDED slice
+    * (`substring(text, 1, n)`), not whole documents. The distance
+    * uses Spark's thresholded Levenshtein (banded DP, O(len·maxDist)
+    * per pair, -1 past the threshold) — the cap is a compute guard as
+    * much as a semantic one. `maxBlockSize` drops degenerate blocks
+    * (boilerplate floods) exactly like [[lshCandidates]]'s bucket cap:
+    * a block of m rows is m² candidate pairs.
+    *
+    * Returns (id_a, id_b, dist), id_a < id_b. */
+  def editDistancePairs(df: DataFrame, idCol: String, strCol: String,
+                        maxDist: Int, blockPrefix: Int = 10,
+                        maxBlockSize: Option[Int] = None): DataFrame = {
+    require(maxDist >= 0, s"need maxDist >= 0, got $maxDist")
+    require(blockPrefix > 0, s"need blockPrefix > 0, got $blockPrefix")
+    val keyed = df.select(col(idCol), col(strCol).as("__s"),
+      substring(col(strCol), 1, blockPrefix).as("__blk"))
+    val bounded = maxBlockSize match {
+      case Some(cap) =>
+        val sizes = keyed.groupBy("__blk").agg(count(lit(1)).as("__n"))
+        keyed.join(sizes, Seq("__blk")).filter(col("__n") <= cap).drop("__n")
+      case None => keyed
+    }
+    val a = bounded.select(col("__blk"), col(idCol).as("id_a"), col("__s").as("__sa"))
+    val b = bounded.select(col("__blk"), col(idCol).as("id_b"), col("__s").as("__sb"))
+    a.join(b, Seq("__blk"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("dist", levenshtein(col("__sa"), col("__sb"), maxDist))
+      .filter(col("dist") >= 0)
+      .select(col("id_a"), col("id_b"), col("dist").cast("bigint").as("dist"))
+  }
+
   /** Modulus for the Kirsch-Mitzenmacher hash family (2^31; keeps
     * h1%M + k*(h2%M) far below 2^63 for any practical k). */
   val minhashModulus: Long = 1L << 31

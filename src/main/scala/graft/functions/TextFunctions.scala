@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines:
@@ -743,5 +743,85 @@ object TextFunctions {
         when(col("n_spans") > 0,
           col("n_dup_spans").cast("double") / col("n_spans").cast("double"))
           .otherwise(lit(0.0)))
+  }
+
+  // ----------------------------------------------------------------
+  // BPE tokenizer training (Sennrich et al., ACL 2016)
+  // ----------------------------------------------------------------
+
+  /** One BPE training step's pair table: weighted counts of ADJACENT
+    * symbol pairs across the current word segmentations, each word
+    * type weighted by its corpus frequency (adjacent duplicates count
+    * with multiplicity, per the algorithm). `segs` has
+    * (word, freq, syms: array<string>). */
+  private def bpePairCounts(segs: DataFrame): DataFrame = {
+    val pairs = when(size(col("syms")) >= 2,
+      transform(sequence(lit(1), size(col("syms")) - 1), j =>
+        struct(element_at(col("syms"), j).as("l"),
+          element_at(col("syms"), (j + 1).cast("int")).as("r"))))
+      .otherwise(array().cast("array<struct<l:string,r:string>>"))
+    segs.select(col("freq"), explode(pairs).as("p"))
+      .groupBy(col("p.l").as("sym_left"), col("p.r").as("sym_right"))
+      .agg(sum(col("freq")).as("pair_count"))
+  }
+
+  /** Apply one merge (the 1-row `winner` frame, broadcast) to every
+    * segmentation: left-to-right non-overlapping replacement of the
+    * adjacent pair (l, r) by the fused symbol l||r — a fold that
+    * replaces the accumulator's last element when it is `l` and the
+    * incoming symbol is `r`. After fusing, the new last element is
+    * l||r (strictly longer than l), so it can never re-match as the
+    * left of the same pair — exactly the scan semantics. */
+  private def bpeApplyMerge(segs: DataFrame, winner: DataFrame): DataFrame = {
+    val merged = aggregate(
+      slice(col("syms"), lit(2), size(col("syms")) - 1),
+      array(element_at(col("syms"), 1)),
+      (acc, x) =>
+        when(element_at(acc, -1) === col("__ml") && x === col("__mr"),
+          concat(slice(acc, lit(1), size(acc) - 1),
+            array(concat(col("__ml"), col("__mr")))))
+          .otherwise(concat(acc, array(x))))
+    segs.crossJoin(broadcast(
+        winner.select(col("sym_left").as("__ml"), col("sym_right").as("__mr"))))
+      .select(col("word"), col("freq"), merged.as("syms"))
+  }
+
+  /** BPE tokenizer-training merge table: the first `nMerges` merges
+    * learned from the corpus, `(iter, sym_left, sym_right,
+    * pair_count)` — the most frequent adjacent symbol pair per round,
+    * ties broken lexicographically so the trained vocabulary is
+    * deterministic in any engine.
+    *
+    * Scale shape: training runs over the word-TYPE table (words ×
+    * their corpus frequency), not the token stream — the per-round
+    * work is proportional to the vocabulary, not the corpus, after
+    * the single initial word-count aggregation over the text. Each
+    * round is: narrow pair-count aggregate → 1-row argmax broadcast →
+    * codegen'd fold re-segmentation; the winner never touches the
+    * driver (no collect — a 1-row crossJoin carries it into the
+    * lambda), and `localCheckpoint` cuts the growing plan per round
+    * exactly like the connected-components loop. */
+  def bpeTrain(df: DataFrame, textCol: String = "text",
+               nMerges: Int = 2): DataFrame = {
+    require(nMerges >= 1, s"need nMerges >= 1, got $nMerges")
+    val words = df.select(
+        explode(regexp_extract_all(lower(col(textCol)), lit("[a-z]+"), lit(0)))
+          .as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    var segs = words.select(col("word"), col("freq"),
+      transform(sequence(lit(1), length(col("word"))), i =>
+        col("word").substr(i, lit(1))).as("syms"))
+    val merges = Seq.newBuilder[DataFrame]
+    for (i <- 1 to nMerges) {
+      segs = segs.localCheckpoint()
+      val winner = bpePairCounts(segs)
+        .orderBy(col("pair_count").desc, col("sym_left"), col("sym_right"))
+        .limit(1)
+        .localCheckpoint()
+      merges += winner.select(lit(i.toLong).as("iter"),
+        col("sym_left"), col("sym_right"), col("pair_count"))
+      if (i < nMerges) segs = bpeApplyMerge(segs, winner)
+    }
+    merges.result().reduce(_ unionAll _)
   }
 }

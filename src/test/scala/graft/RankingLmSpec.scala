@@ -234,4 +234,32 @@ class RankingLmSpec extends SparkSpec {
     assert(perQ.forall { case (_, rs) =>
       rs.map(_.getLong(2)).sorted.sameElements(1L to 5L) })
   }
+
+  test("bpeTrain learns the paper's merges with deterministic tie-breaks") {
+    // Sennrich et al. 2016 shape: low*5, lower*2, newest*6, widest*3.
+    // (e,s) and (s,t) tie at 9 -> lexicographic pick (e,s); after the
+    // merge (es,t) stands alone at 9; then (l,o) and (o,w) tie at 7.
+    val corpus = Seq(
+      ("low " * 5) + ("lower " * 2),
+      ("newest " * 6) + ("widest " * 3)
+    ).toDF("text")
+    val out = TextFunctions.bpeTrain(corpus, nMerges = 3)
+      .orderBy("iter").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(out(0) == ((1L, "e", "s", 9L)))
+    assert(out(1) == ((2L, "es", "t", 9L)))
+    assert(out(2) == ((3L, "l", "o", 7L)))
+  }
+
+  test("bpeTrain counts overlapping pairs with multiplicity and merges left-to-right") {
+    // "aaaa" x3: initial (a,a) appears 3 adjacent times per word -> 9.
+    // Left-to-right merge yields (aa)(aa), NOT a(aa)a — iteration 2's
+    // top pair must be (aa,aa), weight 3.
+    val corpus = Seq.fill(3)("aaaa").toDF("text")
+    val out = TextFunctions.bpeTrain(corpus, nMerges = 2)
+      .orderBy("iter").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(out(0) == ((1L, "a", "a", 9L)))
+    assert(out(1) == ((2L, "aa", "aa", 3L)))
+  }
 }

@@ -333,6 +333,30 @@ class TextDedupSpec extends SparkSpec {
     assert(kept.toSeq == Seq(1L, 3L))
   }
 
+  test("editDistancePairs finds near-miss pairs in-block, prunes cross-block and past-threshold") {
+    val df = Seq(
+      (1L, "PREFIX____ the quick brown fox"),
+      (2L, "PREFIX____ the quick brewn fox"),   // dist 1 from doc 1
+      (3L, "PREFIX____ a totally different tail of text"), // same block, far
+      (4L, "OTHERBLOCK the quick brown fox")    // dist would be small, block differs
+    ).toDF("doc_id", "s")
+    val out = Dedup.editDistancePairs(df, "doc_id", "s", maxDist = 3,
+      blockPrefix = 10).collect()
+    assert(out.length == 1)
+    assert(out(0).getLong(0) == 1L && out(0).getLong(1) == 2L &&
+      out(0).getAs[Long]("dist") == 1L)
+  }
+
+  test("editDistancePairs block cap drops degenerate blocks, keeps selective ones") {
+    val flood = (1L to 20L).map(i => (i, "SAMEBLOCK_ filler " + i))
+    val pair = Seq((100L, "UNIQUEBLK_ hello"), (101L, "UNIQUEBLK_ hellp"))
+    val df = (flood ++ pair).toDF("doc_id", "s")
+    val out = Dedup.editDistancePairs(df, "doc_id", "s", maxDist = 5,
+      blockPrefix = 10, maxBlockSize = Some(10)).collect()
+    // the 20-row block (190 candidate pairs) is dropped; the 2-row block survives
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((100L, 101L)))
+  }
+
   test("ivfTopK matches brute force when probing all cells") {
     // deterministic pseudo-random vectors in 8 dims
     def vec(seed: Long): Array[Float] =

@@ -1506,6 +1506,18 @@ object SparkEntry {
         .select(posexplode(col("hh")))
         .select((col("pos") + 1).cast("bigint").as("rank"),
           col("col.item").as("item"), col("col.cnt").as("cnt"))),
+    // Count-Min frequency sketch (depth 4 × width 32): per-brand point
+    // estimates read back from the ONE stored counter matrix — the
+    // md5-derived buckets make even the collision error deterministic,
+    // so the oracle checks the estimates themselves, not just bounds
+    "freq_sketch" -> ((s, d) => {
+      import graft.expressions.SketchAggregates._
+      val sk = Tables.part(s, d).agg(countMin(col("p_brand"), 4, 32).as("sk"))
+      Tables.part(s, d).select(col("p_brand")).distinct()
+        .crossJoin(broadcast(sk))
+        .select(col("p_brand"),
+          cmEstimate(col("sk"), col("p_brand"), 4, 32).as("est"))
+    }),
     "sim_ivf" -> (simIvf(_, _)),
     "sim_ivf_kmeans" -> (simIvfKmeans(_, _)),
     "sim_ivf_lloyd" -> (simIvfLloyd(_, _)),
@@ -2520,6 +2532,25 @@ object SparkEntry {
       """SELECT CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, item ASC) AS BIGINT) AS rank,
         |  item, cnt
         |FROM (SELECT p_brand AS item, count(*) AS cnt FROM part GROUP BY 1)""".stripMargin,
+    // CMS estimates recomputed from first principles: per-(row j,
+    // bucket) counter sums over the same md5 bucket family, then the
+    // min over rows at each brand's buckets
+    "freq_sketch" ->
+      """WITH h AS (
+        |  SELECT p_brand,
+        |    CAST(concat('0x', substring(md5(p_brand), 1, 15)) AS BIGINT)
+        |      % 2147483648 AS h1,
+        |    CAST(concat('0x', substring(md5(p_brand), 16, 15)) AS BIGINT)
+        |      % 2147483648 AS h2
+        |  FROM part),
+        |cnt AS (
+        |  SELECT j, (h1 + j * h2) % 2147483648 % 32 AS b,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM h, range(0, 4) AS t(j) GROUP BY 1, 2),
+        |d AS (SELECT DISTINCT p_brand, h1, h2 FROM h)
+        |SELECT d.p_brand, min(cnt.c) AS est
+        |FROM d JOIN cnt ON cnt.b = (d.h1 + cnt.j * d.h2) % 2147483648 % 32
+        |GROUP BY 1""".stripMargin,
     "corpus_curriculum" ->
       s"""WITH c AS (SELECT quantile_cont(n_chars,
          |    [${(1 until 10).map(i => i / 10.0).mkString(", ")}]) AS cuts

@@ -406,6 +406,123 @@ case class QuantileSketchAgg(child: Expression, k: Int,
     copy(child = newChild)
 }
 
+/** Count-Min frequency sketch as a native `TypedImperativeAggregate`
+  * (Cormode & Muthukrishnan, "An improved data stream summary: the
+  * count-min sketch and its applications", J. Algorithms 2005).
+  *
+  * The buffer is a fixed `depth × width` counter matrix: each input
+  * increments one counter per row, at column `(h1 + j·h2) mod 2^31
+  * mod width` — the Kirsch-Mitzenmacher two-hash family over the
+  * item's md5 this engine already uses for MinHash, so every bucket
+  * index (and therefore every counter and every point estimate) is
+  * reproducible in any engine with md5. Merge is POINTWISE ADDITION —
+  * the sketch is a linear projection of the frequency vector, which is
+  * why per-partition partials, per-day shards, and streaming state all
+  * compose exactly; each partition ships depth·width longs regardless
+  * of row count where the exact `GROUP BY item` ships every distinct
+  * item.
+  *
+  * Point estimate (see [[SketchAggregates.cmEstimate]]): min over the
+  * depth rows of the item's counter — always ≥ the true count, and
+  * ≤ true + 2n/width with probability 1 − 2^−depth. Deterministic
+  * given the data (the hashes are fixed), so the estimates themselves
+  * are oracle-checkable, not just their bounds.
+  *
+  * Output: the flattened row-major counter matrix (array<long> of
+  * depth·width), queryable in place by [[SketchAggregates.cmEstimate]]
+  * and composable by [[SketchAggregates.cmUnion]].
+  */
+case class CountMinAgg(child: Expression, depth: Int, width: Int,
+                       override val mutableAggBufferOffset: Int = 0,
+                       override val inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Long]]
+    with UnaryLike[Expression] {
+
+  private val M = 1L << 31
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType if depth >= 1 && width >= 1 => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"count_min expects a string column (depth, width >= 1), got ($t, depth=$depth, width=$width)")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "count_min"
+
+  override def createAggregationBuffer(): Array[Long] =
+    new Array[Long](depth * width)
+
+  @transient private lazy val md =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+
+  /** 15 hex nibbles of the digest starting at nibble `from`, as a
+    * long — the same derivation as the MinHash kernel and the
+    * `conv(substring(md5(x), 1|16, 15), 16, 10)` SQL form. */
+  private def hex15(digest: Array[Byte], from: Int): Long = {
+    var v = 0L
+    var i = from
+    while (i < from + 15) {
+      val b = digest(i >> 1) & 0xff
+      v = (v << 4) | (if ((i & 1) == 0) b >> 4 else b & 0xf)
+      i += 1
+    }
+    v
+  }
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val digestFn = md.get()
+      digestFn.reset()
+      val digest = digestFn.digest(
+        v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes)
+      val h1 = hex15(digest, 0) % M
+      val h2 = hex15(digest, 15) % M
+      var j = 0
+      while (j < depth) {
+        buf(j * width + (((h1 + j * h2) % M) % width).toInt) += 1L
+        j += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(buf: Array[Long], other: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < buf.length) { buf(i) += other(i); i += 1 }
+    buf
+  }
+
+  override def eval(buf: Array[Long]): Any =
+    new GenericArrayData(buf.map(v => v: Any))
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(8 * buf.length)
+    var i = 0
+    while (i < buf.length) { bb.putLong(buf(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val buf = createAggregationBuffer()
+    var i = 0
+    while (i < buf.length) { buf(i) = bb.getLong; i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): CountMinAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): CountMinAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): CountMinAgg =
+    copy(child = newChild)
+}
+
 object SketchAggregates {
   import org.apache.spark.sql.functions._
 
@@ -533,4 +650,37 @@ object SketchAggregates {
       floor(j * uEst.cast("double")).cast("long").as("intersection_est"),
       uEst.as("union_est"))
   }
+
+  /** Count-Min frequency sketch over a string column: returns the
+    * flattened row-major depth×width counter matrix. */
+  def countMin(c: Column, depth: Int, width: Int): Column =
+    ColumnInterop.column(
+      CountMinAgg(ColumnInterop.expression(c.cast("string")), depth, width)
+        .toAggregateExpression())
+
+  /** The (h1, h2) md5 halves the CMS buckets derive from — the same
+    * 31-bit Kirsch-Mitzenmacher family as MinHash, SQL-expressible. */
+  private def cmHash(item: Column, fromHex: Int): Column =
+    conv(substring(md5(item.cast("string")), fromHex, 15), 16, 10)
+      .cast("long") % (1L << 31)
+
+  /** Point estimate from a STORED Count-Min sketch: min over the depth
+    * rows of the item's counter. Always ≥ the item's true count;
+    * within 2n/width of it w.p. 1 − 2^−depth. Pure array built-ins, so
+    * it runs against persisted sketch columns, and — because the
+    * hashes are fixed md5 derivations — the estimate is deterministic
+    * and reproducible in any engine. */
+  def cmEstimate(sketch: Column, item: Column, depth: Int, width: Int): Column =
+    bound(cmHash(item, 1)) { h1 =>
+      bound(cmHash(item, 16)) { h2 =>
+        array_min(transform(sequence(lit(0), lit(depth - 1)), j =>
+          element_at(sketch,
+            (j * width + ((h1 + j * h2) % (1L << 31)) % width + 1).cast("int"))))
+      }
+    }
+
+  /** Sketch algebra — union: the CMS is a linear projection of the
+    * frequency vector, so pointwise addition of two stored sketches IS
+    * the sketch of the combined data — exactly, not approximately. */
+  def cmUnion(a: Column, b: Column): Column = zip_with(a, b, _ + _)
 }

@@ -259,6 +259,43 @@ class SketchBloomSpec extends SparkSpec {
     }
   }
 
+  test("countMin estimates are >= true counts, exact at wide width, partition-invariant") {
+    val df = Seq.tabulate(500)(i => s"key${i % 23}").toDF("k")
+    val exact = df.groupBy("k").count()
+    // narrow sketch: the overestimate-only law must hold per key
+    val narrow = df.agg(SketchAggregates.countMin(col("k"), 4, 8).as("sk"))
+    val ests = exact.crossJoin(narrow)
+      .select(col("k"), col("count"),
+        SketchAggregates.cmEstimate(col("sk"), col("k"), 4, 8).as("est"))
+      .collect()
+    assert(ests.forall(r => r.getAs[Long]("est") >= r.getAs[Long]("count")),
+      "CMS must never underestimate")
+    // wide sketch: 23 keys in 4x4096 counters — no all-row collision, exact
+    val wide = df.agg(SketchAggregates.countMin(col("k"), 4, 4096).as("sk"))
+    val wideEsts = exact.crossJoin(wide)
+      .select(col("count"),
+        SketchAggregates.cmEstimate(col("sk"), col("k"), 4, 4096).as("est"))
+      .collect()
+    assert(wideEsts.forall(r => r.getAs[Long]("est") == r.getAs[Long]("count")))
+    // linearity: the counter matrix is identical under any partitioning
+    val a = df.repartition(7).agg(SketchAggregates.countMin(col("k"), 4, 8)).head.getSeq[Long](0)
+    val b = df.repartition(2).agg(SketchAggregates.countMin(col("k"), 4, 8)).head.getSeq[Long](0)
+    assert(a == b)
+  }
+
+  test("cmUnion of stored sketches equals the sketch of the combined data exactly") {
+    val dfA = Seq.tabulate(200)(i => s"k${i % 11}").toDF("k")
+    val dfB = Seq.tabulate(300)(i => s"k${i % 17}").toDF("k")
+    val skA = dfA.agg(SketchAggregates.countMin(col("k"), 4, 16).as("a"))
+    val skB = dfB.agg(SketchAggregates.countMin(col("k"), 4, 16).as("b"))
+    val unioned = skA.crossJoin(skB)
+      .select(SketchAggregates.cmUnion(col("a"), col("b")).as("u"))
+      .head.getSeq[Long](0)
+    val oneShot = dfA.unionAll(dfB)
+      .agg(SketchAggregates.countMin(col("k"), 4, 16)).head.getSeq[Long](0)
+    assert(unioned == oneShot, "CMS is linear: union must be exact")
+  }
+
   test("misraGries lossy regime honors the n/(k+1) guarantee on skewed data") {
     // 6000 rows: 'heavy' 3000 times, 'warm' 1500, and 1500 singletons
     val heavy = spark.range(0, 3000).select(lit("heavy").as("x"))

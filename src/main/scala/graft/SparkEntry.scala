@@ -380,6 +380,40 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_sessions"))
   }
 
+  /** Clickstream path analysis: the top-20 session event-type
+    * sequences. The per-session collect is bounded by session length
+    * and sorted explicitly on (ts, event_id) before joining, so the
+    * path string is deterministic; the global top-k is a
+    * TakeOrderedAndProject, not a full sort. */
+  private def sessionPaths(spark: SparkSession, dir: String): DataFrame =
+    sessionAssign(spark, dir)
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(concat_ws(">", transform(
+        array_sort(collect_list(struct(col("ts"), col("event_id"), col("event_type")))),
+        e => e.getField("event_type"))).as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path").asc)
+      .limit(20)
+
+  /** Key-skew diagnostic for shuffle planning: one row with the row /
+    * key counts, the heaviest key, its share in basis points, and the
+    * max-over-mean skew factor ×100 — all integer floor arithmetic so
+    * the report is engine-exact. skew_x100 = 100 means perfectly
+    * uniform; the salting / AQE-skew-join decision threshold is
+    * typically 10-20× (1000-2000). */
+  private def skewReport(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.events(spark, dir)
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+    val top = counts.orderBy(col("n").desc, col("user_id").desc).limit(1)
+      .select(col("user_id").as("top_key"), col("n").as("top_n"))
+    counts.agg(sum(col("n")).cast("bigint").as("n_rows"),
+        count(lit(1)).as("n_keys"))
+      .crossJoin(broadcast(top))
+      .select(col("n_rows"), col("n_keys"), col("top_key"), col("top_n"),
+        expr("top_n * 10000 DIV n_rows").as("top_share_bp"),
+        expr("top_n * n_keys * 100 DIV n_rows").as("skew_x100"))
+  }
+
   import graft.operators.Joins
 
   /** As-of join: each click picks up the user's most recent
@@ -1330,6 +1364,8 @@ object SparkEntry {
     "incremental_agg" -> (incrementalAgg(_, _)),
     "distinct_sketch_incremental" -> (distinctSketchIncremental(_, _)),
     "event_pairs" -> (eventPairs(_, _)),
+    "session_paths" -> (sessionPaths(_, _)),
+    "skew_report" -> (skewReport(_, _)),
     // exact integer PMI inputs over the top-50 document-frequency terms
     "term_pairs" -> ((s, d) =>
       TextFunctions.termCooccurrence(Tables.documents(s, d))),
@@ -2152,6 +2188,34 @@ object SparkEntry {
         |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
         |  count(*) AS n_events, min(ts) AS session_start, max(ts) AS session_end
         |FROM s GROUP BY 1, 2""".stripMargin,
+    "session_paths" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN LAG(ts) OVER w IS NULL
+        |           OR epoch(ts) - epoch(LAG(ts) OVER w) > 1800
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM g),
+        |p AS (
+        |  SELECT user_id, session_id,
+        |    string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        |  FROM s GROUP BY 1, 2)
+        |SELECT path, count(*) AS n_sessions FROM p
+        |GROUP BY 1 ORDER BY n_sessions DESC, path ASC LIMIT 20""".stripMargin,
+    "skew_report" ->
+      """WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1),
+        |t AS (SELECT user_id AS top_key, n AS top_n FROM c
+        |      ORDER BY n DESC, user_id DESC LIMIT 1),
+        |a AS (SELECT CAST(sum(n) AS BIGINT) AS n_rows, count(*) AS n_keys FROM c)
+        |SELECT n_rows, n_keys, top_key, top_n,
+        |  top_n * 10000 // n_rows AS top_share_bp,
+        |  top_n * n_keys * 100 // n_rows AS skew_x100
+        |FROM a, t""".stripMargin,
     "text_quality" ->
       s"""SELECT doc_id,
          |  n_tokens < ${TextFunctions.minTokens} AS too_short,

@@ -246,6 +246,28 @@ class SketchBloomSpec extends SparkSpec {
     assert(rows == Map("0" -> 20L, "1" -> 20L, "2" -> 20L))
   }
 
+  test("countMin works as a streaming windowed aggregate (state round-trips)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long)]
+    input.addData((1 to 60).map(i =>
+      (java.sql.Timestamp.valueOf("2024-01-01 10:00:05"), (i % 3).toLong)): _*)
+    val df = input.toDF().toDF("ts", "item_id")
+    val agg = df.withWatermark("ts", "10 seconds")
+      .groupBy(window(col("ts"), "1 minute"))
+      .agg(SketchAggregates.countMin(col("item_id").cast("string"), 4, 64).as("sk"))
+      .select(
+        SketchAggregates.cmEstimate(col("sk"), lit("0"), 4, 64).as("e0"),
+        SketchAggregates.cmEstimate(col("sk"), lit("1"), 4, 64).as("e1"))
+    val q = agg.writeStream.format("memory").queryName("cm_out")
+      .outputMode("append").start()
+    input.addData((java.sql.Timestamp.valueOf("2024-01-01 10:05:00"), 999L))
+    q.processAllAvailable(); q.stop()
+    // 3 keys in 4x64 buckets: no all-row collision, estimates exact
+    val rows = spark.table("cm_out").as[(Long, Long)].collect()
+    assert(rows.toSeq == Seq((20L, 20L)))
+  }
+
   test("misraGries is exact and partition-invariant when k >= #distinct") {
     val df = spark.range(0, 5000)
       .select(concat(lit("item"), col("id") % 17).as("x"))

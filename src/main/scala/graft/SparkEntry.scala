@@ -1573,6 +1573,10 @@ object SparkEntry {
     // rides a 1-row broadcast (never the driver)
     "bpe_merges" -> ((s, d) =>
       TextFunctions.bpeTrain(Tables.documents(s, d), nMerges = 2)),
+    // the trained tokenizer's emission: top symbols of the final
+    // segmentations after both learned merges are applied
+    "bpe_vocab" -> ((s, d) =>
+      TextFunctions.bpeVocab(Tables.documents(s, d), nMerges = 2, topN = 30)),
     // per-doc duplicated 8-token-span fraction (the exact-substring
     // dedup decision metric)
     "span_dup_stats" -> ((s, d) =>
@@ -2429,6 +2433,52 @@ object SparkEntry {
         |FROM win1
         |UNION ALL
         |SELECT CAST(2 AS BIGINT), l, r, pair_count FROM win2""".stripMargin,
+    "bpe_vocab" ->
+      """WITH words AS (
+        |  SELECT w AS word, count(*) AS freq
+        |  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+        |        FROM documents)
+        |  GROUP BY 1),
+        |segs1 AS (
+        |  SELECT word, freq,
+        |    list_transform(range(1, length(word)+1),
+        |      i -> substring(word, i, 1)) AS syms
+        |  FROM words),
+        |x1 AS (
+        |  SELECT freq, unnest(list_transform(range(1, len(syms)),
+        |    j -> struct_pack(l := syms[j], r := syms[j+1]))) AS p
+        |  FROM segs1),
+        |pairs1 AS (
+        |  SELECT p.l AS l, p.r AS r, CAST(sum(freq) AS BIGINT) AS pair_count
+        |  FROM x1 GROUP BY 1, 2),
+        |win1 AS (SELECT l, r FROM pairs1
+        |         ORDER BY pair_count DESC, l, r LIMIT 1),
+        |segs2 AS (
+        |  SELECT word, freq,
+        |    string_split(list_reduce(syms, (acc, x) ->
+        |      CASE WHEN regexp_extract(acc, '[^|]*$') = w.l AND x = w.r
+        |           THEN regexp_replace(acc, '[^|]*$', w.l || w.r)
+        |           ELSE acc || '|' || x END), '|') AS syms
+        |  FROM segs1, win1 w),
+        |x2 AS (
+        |  SELECT freq, unnest(list_transform(range(1, len(syms)),
+        |    j -> struct_pack(l := syms[j], r := syms[j+1]))) AS p
+        |  FROM segs2),
+        |pairs2 AS (
+        |  SELECT p.l AS l, p.r AS r, CAST(sum(freq) AS BIGINT) AS pair_count
+        |  FROM x2 GROUP BY 1, 2),
+        |win2 AS (SELECT l, r FROM pairs2
+        |         ORDER BY pair_count DESC, l, r LIMIT 1),
+        |segs3 AS (
+        |  SELECT word, freq,
+        |    string_split(list_reduce(syms, (acc, x) ->
+        |      CASE WHEN regexp_extract(acc, '[^|]*$') = w.l AND x = w.r
+        |           THEN regexp_replace(acc, '[^|]*$', w.l || w.r)
+        |           ELSE acc || '|' || x END), '|') AS syms
+        |  FROM segs2, win2 w)
+        |SELECT sym, CAST(sum(freq) AS BIGINT) AS cnt
+        |FROM (SELECT freq, unnest(syms) AS sym FROM segs3)
+        |GROUP BY 1 ORDER BY cnt DESC, sym ASC LIMIT 30""".stripMargin,
     // bigram-LM quality score: MLE p(w2|w1) in fixed-point millionths
     // via integer floor division — the per-doc SUM is integer, so
     // accumulation order cannot diverge the engines

@@ -802,7 +802,27 @@ object TextFunctions {
     * lambda), and `localCheckpoint` cuts the growing plan per round
     * exactly like the connected-components loop. */
   def bpeTrain(df: DataFrame, textCol: String = "text",
-               nMerges: Int = 2): DataFrame = {
+               nMerges: Int = 2): DataFrame =
+    bpeRounds(df, textCol, nMerges)._1
+
+  /** Vocabulary after `nMerges` BPE rounds: the top-`topN` symbols of
+    * the final segmentations by corpus-weighted count — the train →
+    * encode loop closed (what the learned tokenizer would actually
+    * emit). Ties break lexicographically; counts are exact integers. */
+  def bpeVocab(df: DataFrame, textCol: String = "text",
+               nMerges: Int = 2, topN: Int = 30): DataFrame =
+    bpeRounds(df, textCol, nMerges)._2
+      .select(col("freq"), explode(col("syms")).as("sym"))
+      .groupBy("sym").agg(sum(col("freq")).as("cnt"))
+      .orderBy(col("cnt").desc, col("sym").asc)
+      .limit(topN)
+
+  /** The shared training loop: returns (merge table, final
+    * segmentations). The final-round apply is plan-only until someone
+    * consumes the segmentations — lazy evaluation makes `bpeTrain`
+    * pay nothing for it. */
+  private def bpeRounds(df: DataFrame, textCol: String,
+                        nMerges: Int): (DataFrame, DataFrame) = {
     require(nMerges >= 1, s"need nMerges >= 1, got $nMerges")
     val words = df.select(
         explode(regexp_extract_all(lower(col(textCol)), lit("[a-z]+"), lit(0)))
@@ -820,8 +840,8 @@ object TextFunctions {
         .localCheckpoint()
       merges += winner.select(lit(i.toLong).as("iter"),
         col("sym_left"), col("sym_right"), col("pair_count"))
-      if (i < nMerges) segs = bpeApplyMerge(segs, winner)
+      segs = bpeApplyMerge(segs, winner)
     }
-    merges.result().reduce(_ unionAll _)
+    (merges.result().reduce(_ unionAll _), segs)
   }
 }

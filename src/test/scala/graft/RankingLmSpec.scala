@@ -251,6 +251,18 @@ class RankingLmSpec extends SparkSpec {
     assert(out(2) == ((3L, "l", "o", 7L)))
   }
 
+  test("bpeVocab emits the merged symbols' corpus-weighted counts") {
+    // After (e,s) then (es,t): low=l,o,w ×5; lower=l,o,w,e,r ×2;
+    // newest=n,e,w,est ×6; widest=w,i,d,est ×3 — so w:16, est:9, e:8.
+    val corpus = Seq(
+      ("low " * 5) + ("lower " * 2),
+      ("newest " * 6) + ("widest " * 3)
+    ).toDF("text")
+    val out = TextFunctions.bpeVocab(corpus, nMerges = 2, topN = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out.take(3).toSeq == Seq(("w", 16L), ("est", 9L), ("e", 8L)))
+  }
+
   test("bpeTrain counts overlapping pairs with multiplicity and merges left-to-right") {
     // "aaaa" x3: initial (a,a) appears 3 adjacent times per word -> 9.
     // Left-to-right merge yields (aa)(aa), NOT a(aa)a — iteration 2's

@@ -38,7 +38,8 @@ object PlanLint {
     val cartesian = nodes.collect {
       case c: CartesianProductExec =>
         Finding("cartesian", "error", s"CartesianProduct over ${c.output.size} columns")
-      case b: BroadcastNestedLoopJoinExec =>
+      case b: BroadcastNestedLoopJoinExec
+          if !(singleRow(b.left) || singleRow(b.right)) =>
         Finding("cartesian", "error",
           s"BroadcastNestedLoopJoin (${b.joinType}) — no equi-condition")
     }
@@ -74,6 +75,23 @@ object PlanLint {
       case And(l, r)    => isNotNullOnly(l) && isNotNullOnly(r)
       case _: IsNotNull => true
       case _            => false
+    }
+  }
+
+  /** Provably ≤1-row subtree: a global (no-grouping) aggregate or a
+    * limit-1 somewhere below bounds the side to one row, which turns
+    * the nested-loop join into a linear scalar-broadcast — the
+    * standard "attach the sketch / the percentile row / the top key
+    * to every row" pattern, not a missing join condition. */
+  private def singleRow(p: SparkPlan): Boolean = {
+    import org.apache.spark.sql.execution.{CollectLimitExec, GlobalLimitExec, TakeOrderedAndProjectExec}
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    collect(p).exists {
+      case a: BaseAggregateExec => a.groupingExpressions.isEmpty
+      case l: GlobalLimitExec => l.limit <= 1
+      case l: CollectLimitExec => l.limit <= 1
+      case t: TakeOrderedAndProjectExec => t.limit <= 1
+      case _ => false
     }
   }
 

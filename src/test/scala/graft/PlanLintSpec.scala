@@ -14,6 +14,19 @@ class PlanLintSpec extends SparkSpec {
     assert(f.exists(_.rule == "cartesian"), f.mkString("; "))
   }
 
+  test("passes the scalar-broadcast pattern: cross join against a provably 1-row side") {
+    val facts = spark.range(0, 100).select(col("id"), (col("id") % 7).as("v"))
+    // global aggregate side: one stats row attached to every fact row
+    val stats = facts.agg(max("v").as("mx"))
+    val f1 = PlanLint.lint(facts.crossJoin(broadcast(stats)))
+    assert(!f1.exists(_.rule == "cartesian"), f1.mkString("; "))
+    // limit-1 side: the top key attached to every row
+    val top = facts.orderBy(col("v").desc, col("id").desc).limit(1)
+      .select(col("id").as("top_id"))
+    val f2 = PlanLint.lint(facts.crossJoin(broadcast(top)))
+    assert(!f2.exists(_.rule == "cartesian"), f2.mkString("; "))
+  }
+
   test("flags a wide column crossing a shuffle, passes the hash-only shape") {
     // NOTE no repartition here: a round-robin repartition would itself
     // shuffle the text and (correctly) trip the linter

@@ -1351,6 +1351,13 @@ object SparkEntry {
     // suffix twin: templated footers / licence trailers
     "suffix_dup" -> ((s, d) =>
       graft.dedup.Dedup.suffixDups(Tables.documents(s, d))),
+    // leakage-safe split: near-dup CLUSTERS (not docs) are the split
+    // unit, so a held-out doc's near-twin can never land in train
+    "split_leakage_safe" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.dedup.Dedup.leakageSafeSplit(docs,
+        graft.dedup.Dedup.minhashNearDups(docs).select("doc_a", "doc_b"))
+    }),
     // edit-distance near-dup pairs over bounded 200-char prefixes,
     // blocked on the exact first 10 chars (record-linkage blocking —
     // no all-pairs compare; thresholded banded-DP Levenshtein)
@@ -2831,6 +2838,47 @@ object SparkEntry {
          |SELECT src AS doc_id, min(dst) AS cluster_id,
          |  min(dst) = src AS keep
          |FROM reach GROUP BY src""".stripMargin,
+    "split_leakage_safe" ->
+      s"""WITH RECURSIVE docs AS (
+         |  SELECT doc_id, $shinglesSql AS shingles FROM documents),
+         |sigs AS (
+         |  SELECT doc_id, shingles,
+         |    list_transform(range(0, 12), j ->
+         |      list_aggregate(list_transform(shingles,
+         |        s -> (CAST(concat('0x', substring(md5(s), 1, 15)) AS BIGINT) % 2147483648
+         |              + j * (CAST(concat('0x', substring(md5(s), 16, 15)) AS BIGINT) % 2147483648))
+         |             % 2147483648), 'min')) AS sig
+         |  FROM docs WHERE len(shingles) > 0),
+         |bands AS (
+         |  SELECT doc_id, b AS band_idx,
+         |    concat_ws(',', sig[b*3+1], sig[b*3+2], sig[b*3+3]) AS band_hash
+         |  FROM sigs, range(0, 4) AS t(b)),
+         |bsz AS (
+         |  SELECT band_idx, band_hash FROM bands
+         |  GROUP BY band_idx, band_hash HAVING count(*) <= 1000),
+         |bands2 AS (
+         |  SELECT b.doc_id, b.band_idx, b.band_hash
+         |  FROM bands b JOIN bsz USING (band_idx, band_hash)),
+         |cands AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands2 a JOIN bands2 b
+         |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         |  WHERE a.doc_id < b.doc_id),
+         |e AS (SELECT doc_a AS a, doc_b AS b FROM cands
+         |      UNION SELECT doc_b, doc_a FROM cands),
+         |reach(src, dst) AS (
+         |  SELECT a, a FROM (SELECT DISTINCT a FROM e)
+         |  UNION
+         |  SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a),
+         |cc AS (SELECT src AS doc_id, min(dst) AS cluster_id
+         |       FROM reach GROUP BY src)
+         |SELECT d.doc_id,
+         |  coalesce(cc.cluster_id, d.doc_id) AS cluster_id,
+         |  CASE WHEN CAST(concat('0x', substring(md5(concat(
+         |         CAST(coalesce(cc.cluster_id, d.doc_id) AS VARCHAR), '')), 1, 15))
+         |       AS BIGINT) % 100 < 90
+         |    THEN 'train' ELSE 'heldout' END AS split
+         |FROM documents d LEFT JOIN cc USING (doc_id)""".stripMargin,
     "dedup_ngram_jaccard" ->
       s"""WITH docs AS (
          |  SELECT doc_id, $shinglesSql AS sh FROM documents WHERE doc_id < 40),

@@ -108,6 +108,33 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("dist").cast("bigint").as("dist"))
   }
 
+  /** Leakage-safe train/heldout split: assignment is by NEAR-DUP
+    * CLUSTER, not by document — a doc-level hash split puts one copy
+    * of a near-duplicate in train and its twin in heldout, silently
+    * contaminating every evaluation run on the held-out slice. Docs in
+    * no near-dup pair form singleton clusters (their own id); each
+    * cluster's representative id is hash-bucketed with the engine's
+    * md5 split convention, so the split is deterministic, reproducible
+    * cross-engine, and re-derivable after the corpus grows (a new
+    * near-dup of a held-out doc lands in heldout, never train).
+    *
+    * Scale shape: the O(log d) connected-components rounds over the
+    * narrow pair set, one broadcast-sized left join back to ids, and a
+    * codegen'd hash projection — document text is never touched. */
+  def leakageSafeSplit(docs: DataFrame, pairs: DataFrame,
+                       idCol: String = "doc_id", trainPct: Int = 90,
+                       salt: String = ""): DataFrame = {
+    require(trainPct >= 0 && trainPct <= 100, s"trainPct in [0,100], got $trainPct")
+    val clusters = nearDupClusters(pairs)
+      .select(col("doc_id").as(idCol), col("cluster_id"))
+    docs.select(col(idCol))
+      .join(clusters, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("cluster_id"), col(idCol)).as("cluster_id"))
+      .withColumn("split",
+        when(graft.operators.Sampling.hashBucket(col("cluster_id"), salt) < trainPct,
+          "train").otherwise("heldout"))
+  }
+
   /** Modulus for the Kirsch-Mitzenmacher hash family (2^31; keeps
     * h1%M + k*(h2%M) far below 2^63 for any practical k). */
   val minhashModulus: Long = 1L << 31

@@ -357,6 +357,20 @@ class TextDedupSpec extends SparkSpec {
     assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((100L, 101L)))
   }
 
+  test("leakageSafeSplit keeps every near-dup cluster on one side of the split") {
+    val docs = (1L to 20L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val out = Dedup.leakageSafeSplit(docs, pairs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(out.size == 20, "every doc gets an assignment")
+    // chained pair {1,2,3}: one cluster, one split side
+    assert(Set(out(1L), out(2L), out(3L)).size == 1 && out(1L)._1 == 1L)
+    assert(out(10L) == out(11L) && out(10L)._1 == 10L)
+    // singletons cluster as themselves
+    assert(out(7L)._1 == 7L)
+    assert(out.values.map(_._2).toSet.subsetOf(Set("train", "heldout")))
+  }
+
   test("ivfTopK matches brute force when probing all cells") {
     // deterministic pseudo-random vectors in 8 dims
     def vec(seed: Long): Array[Float] =

@@ -92,6 +92,43 @@ object Expectations {
       a.filter(!col("is_valid")))
   }
 
+  /** Inline (zero-extra-pass) validation: attaches the suite's
+    * violation counters to the frame as OBSERVED metrics — Spark's
+    * `CollectMetrics` node computes them on the rows flowing through
+    * the MAIN job, so validation costs nothing beyond the action the
+    * caller was already running (vs [[report]], a second full scan).
+    * Read the counts from the returned [[org.apache.spark.sql.Observation]]
+    * after any action; in Structured Streaming the same node surfaces
+    * per-batch in `StreamingQueryProgress.observedMetrics` — the
+    * continuous-quality-monitoring shape.
+    *
+    * The metric set must be aggregates over the observed plan node,
+    * which RowRule violation sums are; a row count rides along so
+    * rates can be derived. */
+  def observed(df: DataFrame, suite: Seq[RowRule],
+               name: String = "graft_checks")
+      : (DataFrame, org.apache.spark.sql.Observation) = {
+    require(!df.isStreaming, "streaming frames: use observedStream " +
+      "(Observation handles are batch-only; metrics arrive per micro-batch)")
+    val obs = org.apache.spark.sql.Observation(name)
+    val metrics = suiteMetrics(suite)
+    (df.observe(obs, metrics.head, metrics.tail: _*), obs)
+  }
+
+  /** Streaming twin of [[observed]]: same `CollectMetrics` node via the
+    * name-based overload (Observation handles are batch-only). Each
+    * micro-batch's counts surface in
+    * `StreamingQueryProgress.observedMetrics(name)` — continuous
+    * quality monitoring with zero extra passes. */
+  def observedStream(df: DataFrame, suite: Seq[RowRule],
+                     name: String = "graft_checks"): DataFrame = {
+    val metrics = suiteMetrics(suite)
+    df.observe(name, metrics.head, metrics.tail: _*)
+  }
+
+  private def suiteMetrics(suite: Seq[RowRule]): Seq[Column] =
+    count(lit(1)).as("n_rows") +: suite.map(e => e.agg.as(e.name))
+
   /** Boolean per-rule pass view over a report row. */
   def passed(reportRow: DataFrame): DataFrame =
     reportRow.select(reportRow.columns.toIndexedSeq.map(c => (col(c) === 0L).as(c)): _*)

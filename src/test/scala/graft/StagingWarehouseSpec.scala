@@ -65,6 +65,21 @@ class StagingWarehouseSpec extends SparkSpec {
     assert(r.getLong(1) == 2) // 200 and -1 out of range
   }
 
+  test("observed metrics ride the main action and match the two-pass report") {
+    val df = Seq(
+      (Some(1), 5.0), (None, 50.0), (Some(2), 200.0), (None, -1.0)
+    ).toDF("vendor_id", "trip_distance")
+    val suite = Seq(Expectations.NotNull("vendor_id"),
+      Expectations.Between("trip_distance", 0, 100))
+    val (observedDf, obs) = Expectations.observed(df, suite)
+    // the caller's own action — no second validation scan runs
+    assert(observedDf.filter(col("trip_distance") > 0).count() == 3)
+    val m = obs.get
+    assert(m("n_rows") == 4L)
+    assert(m("not_null_vendor_id") == 2L)
+    assert(m("between_trip_distance") == 2L)
+  }
+
   test("outliers flags exactly the rows beyond z sigma, per group") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

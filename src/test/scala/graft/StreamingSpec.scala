@@ -266,4 +266,27 @@ class StreamingSpec extends SparkSpec {
       assert(batches().map(_._2) == Seq(3L, 1L), s"got ${batches()}")
     } finally spark.streams.removeListener(metrics)
   }
+
+  test("observed validation metrics surface per micro-batch in streaming progress") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[(Option[Int], Double)]
+    val df = input.toDF().toDF("vendor_id", "trip_distance")
+    val suite = Seq(graft.validate.Expectations.NotNull("vendor_id"),
+      graft.validate.Expectations.Between("trip_distance", 0, 100))
+    // Observation objects are batch-only; streaming reads the same
+    // CollectMetrics node back through progress.observedMetrics
+    val observedDf = graft.validate.Expectations.observedStream(df, suite, "sq_checks")
+    val q = observedDf.writeStream.format("memory").queryName("obs_out")
+      .outputMode("append").start()
+    try {
+      input.addData((Some(1), 5.0), (None, 200.0), (Some(2), 50.0))
+      q.processAllAvailable()
+      val m = q.recentProgress.flatMap(p =>
+        Option(p.observedMetrics.get("sq_checks"))).last
+      assert(m.getAs[Long]("n_rows") == 3L)
+      assert(m.getAs[Long]("not_null_vendor_id") == 1L)
+      assert(m.getAs[Long]("between_trip_distance") == 1L)
+    } finally q.stop()
+  }
 }

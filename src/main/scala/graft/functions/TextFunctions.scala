@@ -786,6 +786,13 @@ object TextFunctions {
       .select(col("word"), col("freq"), merged.as("syms"))
   }
 
+  /** Test hook: the merge fold behind [[bpeTrain]], callable on a
+    * crafted (segs, winner) pair so the property spec can compare it
+    * against a reference scan implementation. */
+  private[graft] def bpeApplyMergeForTest(segs: DataFrame,
+                                          winner: DataFrame): DataFrame =
+    bpeApplyMerge(segs, winner)
+
   /** BPE tokenizer-training merge table: the first `nMerges` merges
     * learned from the corpus, `(iter, sym_left, sym_right,
     * pair_count)` — the most frequent adjacent symbol pair per round,

@@ -82,6 +82,34 @@ class EmptyInputSpec extends SparkSpec {
       "k", "row_id", joinType = "left").count() == 1) // left row survives
   }
 
+  test("late round-7 additions accept empty inputs") {
+    val emptyEvents = Seq.empty[(Long, java.sql.Timestamp, Double)]
+      .toDF("user_id", "ts", "value")
+      .withColumn("ts", col("ts").cast("timestamp_ntz"))
+    assert(TimeSeries.rollingAgg(emptyEvents, "user_id", "ts", "value",
+      3600L * 1000000L).isEmpty)
+    assert(TimeSeries.gaps(
+      emptyEvents.withColumn("event_id", col("user_id")),
+      "user_id", "ts", "event_id", 1000000L).isEmpty)
+    // edit-distance pairs: empty frame, and capped-empty
+    val emptyIdStr = Seq.empty[(Long, String)].toDF("doc_id", "s")
+    assert(Dedup.editDistancePairs(emptyIdStr, "doc_id", "s", 3).isEmpty)
+    assert(Dedup.editDistancePairs(emptyIdStr, "doc_id", "s", 3,
+      maxBlockSize = Some(5)).isEmpty)
+    // BPE on an empty corpus: empty merge table / vocab, schema intact
+    val bpeOut = TextFunctions.bpeTrain(emptyDocs, nMerges = 2)
+    assert(bpeOut.isEmpty &&
+      bpeOut.columns.toSeq == Seq("iter", "sym_left", "sym_right", "pair_count"))
+    assert(TextFunctions.bpeVocab(emptyDocs, nMerges = 1).isEmpty)
+    // leakage-safe split: empty pair set -> every doc a train/heldout singleton
+    val docs = (1L to 5L).toDF("doc_id")
+    val emptyPairs2 = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    val split = Dedup.leakageSafeSplit(docs, emptyPairs2).collect()
+    assert(split.length == 5 && split.forall(r => r.getLong(0) == r.getLong(1)))
+    // and an empty doc set flows through whole
+    assert(Dedup.leakageSafeSplit(docs.limit(0), emptyPairs2).isEmpty)
+  }
+
   test("similarity and graph operators accept empty inputs") {
     assert(Similarity.diversitySample(emptyEmb, dim = 64, perBucket = 2).isEmpty)
     assert(Similarity.semanticDedup(emptyEmb, dim = 64, tau = 0.5).isEmpty)

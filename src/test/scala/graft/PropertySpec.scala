@@ -314,4 +314,67 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("rollingAgg equals the brute-force trailing-window definition on random series") {
+    val evGen = Gen.listOfN(30, for {
+      key <- Gen.choose(1L, 3L)
+      us <- Gen.choose(0L, 600L * 1000000L)
+      cents <- Gen.choose(-10000L, 10000L)
+    } yield (key, us, cents / 100.0))
+    val events = cases(evGen, 8).zipWithIndex.flatMap { case (evs, i) =>
+      evs.map { case (k, us, v) => (k + i * 10L, us, v) } // isolate batches by key
+    }
+    val win = 120L * 1000000L
+    val df = events.toDF("user_id", "us", "value")
+      .withColumn("ts", timestamp_micros(col("us")).cast("timestamp_ntz"))
+      .drop("us")
+    val got = graft.operators.TimeSeries.rollingAgg(df, "user_id", "ts", "value", win)
+      .select(col("user_id"), unix_micros(col("ts").cast("timestamp")).as("us"),
+        col("value"), col("rolling_sum"), col("rolling_n"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)) ->
+        ((r.getDouble(3), r.getLong(4)))).toMap
+    // brute force: per row, sum cents of same-key rows in [us-win, us]
+    events.foreach { case (k, us, v) =>
+      val inWin = events.filter { case (k2, us2, _) => k2 == k && us2 >= us - win && us2 <= us }
+      val expSum = inWin.map { case (_, _, v2) => math.round(v2 * 100) }.sum / 100.0
+      val (gotSum, gotN) = got((k, us, v))
+      assert(gotN == inWin.size && gotSum == expSum,
+        s"key=$k us=$us: got ($gotSum, $gotN), want ($expSum, ${inWin.size})")
+    }
+  }
+
+  test("BPE fold-merge equals the reference scan-merge on random symbol runs") {
+    // reference: scan left-to-right, fuse non-overlapping (a,b) pairs
+    def scanMerge(syms: List[String], a: String, b: String): List[String] = {
+      val out = scala.collection.mutable.ListBuffer.empty[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+          out += (a + b); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.toList
+    }
+    val wordGen = Gen.listOfN(12, Gen.oneOf("a", "b")).map(_.mkString)
+    val words = cases(wordGen, 30).distinct
+    for ((a, b) <- Seq(("a", "a"), ("a", "b"), ("b", "a"))) {
+      val df = words.toDF("word")
+        .select(col("word"), lit(1L).as("freq"),
+          transform(sequence(lit(1), length(col("word"))), i =>
+            col("word").substr(i, lit(1))).as("syms"))
+      val winner = Seq((a, b)).toDF("sym_left", "sym_right")
+      // private fold exercised through the public API: one training
+      // round on a corpus whose top pair is forced to (a, b) is not
+      // constructible generically, so apply via the vocab path instead
+      val applied = graft.functions.TextFunctions.bpeApplyMergeForTest(df, winner)
+        .select(col("word"), col("syms")).as[(String, Seq[String])]
+        .collect().toMap
+      words.foreach { w =>
+        val want = scanMerge(w.map(_.toString).toList, a, b)
+        assert(applied(w).toList == want,
+          s"word=$w merge=($a,$b): got ${applied(w)}, want $want")
+      }
+    }
+  }
 }

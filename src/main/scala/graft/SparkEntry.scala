@@ -1584,6 +1584,19 @@ object SparkEntry {
     // segmentations after both learned merges are applied
     "bpe_vocab" -> ((s, d) =>
       TextFunctions.bpeVocab(Tables.documents(s, d), nMerges = 2, topN = 30)),
+    // the trained tokenizer APPLIED: per-doc token counts under the
+    // learned merge table — encoding joins the corpus word stream to
+    // the vocabulary-sized segmentation table, never re-running merges
+    "bpe_encode" -> ((s, d) =>
+      TextFunctions.bpeEncodeStats(Tables.documents(s, d), nMerges = 2)),
+    // classifier-based quality filtering: fixed-weight linear model
+    // over integer fixed-point ratio features (per-row projection)
+    "quality_score_linear" -> ((s, d) =>
+      TextFunctions.qualityLinear(Tables.documents(s, d))),
+    // CCNet head/middle/tail perplexity bucketing + per-bucket
+    // deterministic sampling policy (keep head, sample middle/tail)
+    "corpus_ppl_sample" -> ((s, d) =>
+      TextFunctions.pplSample(Tables.documents(s, d))),
     // per-doc duplicated 8-token-span fraction (the exact-substring
     // dedup decision metric)
     "span_dup_stats" -> ((s, d) =>
@@ -1656,6 +1669,13 @@ object SparkEntry {
     "embed_diversity" -> (embedDiversity(_, _)),
     "semantic_dedup" -> (semanticDedup(_, _)),
     "embed_neardup" -> (embedNearDup(_, _)),
+    // cluster-balanced coverage sampling: nearest-centroid assignment
+    // (broadcast argmin, embeddings never shuffle) capped per cell in
+    // salted-hash order — density-flattening curation before training
+    "embed_cluster_sample" -> ((s, d) =>
+      Similarity.clusterBalancedSample(
+        Tables.embeddings(s, d).select("vec_id", "embedding"),
+        dim = 64, nCells = 8, perCell = 20)),
     // unit vector serialized as fixed-point micros (round(u*1e6)):
     // identical double arithmetic both engines, and a string column the
     // pandas comparator can hash (float formatting differs across
@@ -2486,6 +2506,154 @@ object SparkEntry {
         |SELECT sym, CAST(sum(freq) AS BIGINT) AS cnt
         |FROM (SELECT freq, unnest(syms) AS sym FROM segs3)
         |GROUP BY 1 ORDER BY cnt DESC, sym ASC LIMIT 30""".stripMargin,
+    // the trained tokenizer applied per doc: the same 2-round merge
+    // chain as bpe_vocab down to segs3, then the corpus word stream
+    // joins the vocabulary-sized (word → token count) table
+    "bpe_encode" ->
+      """WITH words AS (
+        |  SELECT w AS word, count(*) AS freq
+        |  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+        |        FROM documents)
+        |  GROUP BY 1),
+        |segs1 AS (
+        |  SELECT word, freq,
+        |    list_transform(range(1, length(word)+1),
+        |      i -> substring(word, i, 1)) AS syms
+        |  FROM words),
+        |x1 AS (
+        |  SELECT freq, unnest(list_transform(range(1, len(syms)),
+        |    j -> struct_pack(l := syms[j], r := syms[j+1]))) AS p
+        |  FROM segs1),
+        |pairs1 AS (
+        |  SELECT p.l AS l, p.r AS r, CAST(sum(freq) AS BIGINT) AS pair_count
+        |  FROM x1 GROUP BY 1, 2),
+        |win1 AS (SELECT l, r FROM pairs1
+        |         ORDER BY pair_count DESC, l, r LIMIT 1),
+        |segs2 AS (
+        |  SELECT word, freq,
+        |    string_split(list_reduce(syms, (acc, x) ->
+        |      CASE WHEN regexp_extract(acc, '[^|]*$') = w.l AND x = w.r
+        |           THEN regexp_replace(acc, '[^|]*$', w.l || w.r)
+        |           ELSE acc || '|' || x END), '|') AS syms
+        |  FROM segs1, win1 w),
+        |x2 AS (
+        |  SELECT freq, unnest(list_transform(range(1, len(syms)),
+        |    j -> struct_pack(l := syms[j], r := syms[j+1]))) AS p
+        |  FROM segs2),
+        |pairs2 AS (
+        |  SELECT p.l AS l, p.r AS r, CAST(sum(freq) AS BIGINT) AS pair_count
+        |  FROM x2 GROUP BY 1, 2),
+        |win2 AS (SELECT l, r FROM pairs2
+        |         ORDER BY pair_count DESC, l, r LIMIT 1),
+        |segs3 AS (
+        |  SELECT word, freq,
+        |    string_split(list_reduce(syms, (acc, x) ->
+        |      CASE WHEN regexp_extract(acc, '[^|]*$') = w.l AND x = w.r
+        |           THEN regexp_replace(acc, '[^|]*$', w.l || w.r)
+        |           ELSE acc || '|' || x END), '|') AS syms
+        |  FROM segs2, win2 w),
+        |lens AS (
+        |  SELECT word, CAST(len(syms) AS BIGINT) AS n_syms,
+        |    CAST(length(word) AS BIGINT) AS n_chars
+        |  FROM segs3),
+        |docw AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+        |  FROM documents),
+        |pd AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+        |    CAST(sum(n_syms) AS BIGINT) AS n_bpe_tokens,
+        |    CAST(sum(n_chars) AS BIGINT) AS n_char_tokens
+        |  FROM docw JOIN lens USING (word) GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(pd.n_words, 0) AS BIGINT) AS n_words,
+        |  CAST(coalesce(pd.n_bpe_tokens, 0) AS BIGINT) AS n_bpe_tokens,
+        |  CAST(coalesce(pd.n_char_tokens, 0) AS BIGINT) AS n_char_tokens,
+        |  CAST(CASE WHEN coalesce(pd.n_bpe_tokens, 0) > 0
+        |    THEN (1000000 * pd.n_char_tokens) // pd.n_bpe_tokens
+        |    ELSE 0 END AS BIGINT) AS compression_fp
+        |FROM (SELECT DISTINCT doc_id FROM documents) d
+        |LEFT JOIN pd USING (doc_id)""".stripMargin,
+    // fixed-weight linear quality model: integer fixed-point ratio
+    // features, integer score — bit-exact in both engines
+    "quality_score_linear" ->
+      s"""WITH f AS (
+         |  SELECT doc_id,
+         |    CAST(len($toksSql) AS BIGINT) AS n_tokens,
+         |    CAST(len(list_filter($toksSql, t -> list_contains($stopwordsSql, t))) AS BIGINT) AS n_stopwords,
+         |    CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS BIGINT) AS n_punct,
+         |    CAST(list_sum(list_transform($toksSql, t -> CAST(length(t) AS BIGINT))) AS BIGINT) AS token_len_sum,
+         |    CAST(length(text) AS BIGINT) AS len_chars
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id,
+         |    CAST(CASE WHEN n_tokens > 0 THEN (1000000 * n_stopwords) // n_tokens
+         |      ELSE 0 END AS BIGINT) AS stop_fp,
+         |    CAST(CASE WHEN len_chars > 0 THEN (1000000 * n_punct) // len_chars
+         |      ELSE 0 END AS BIGINT) AS punct_fp,
+         |    CAST(CASE WHEN n_tokens > 0
+         |      THEN abs((1000000 * token_len_sum) // n_tokens - 5000000)
+         |      ELSE 5000000 END AS BIGINT) AS len_dev_fp
+         |  FROM f)
+         |SELECT doc_id, stop_fp, punct_fp, len_dev_fp,
+         |  CAST(400000 + 3 * stop_fp - 10 * punct_fp - len_dev_fp // 5 AS BIGINT) AS score_fp,
+         |  (400000 + 3 * stop_fp - 10 * punct_fp - len_dev_fp // 5) > 0 AS keep
+         |FROM r""".stripMargin,
+    // CCNet bucketing: the lm_bigram_score chain reduced to an integer
+    // ranking key, exact-quantile cut points, hash-sampled keep policy
+    "corpus_ppl_sample" -> {
+      val probs = (1 until 3).map(i => i.toDouble / 3).mkString(", ")
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |bg AS (SELECT doc_id, toks[u.i] || ' ' || toks[u.i+1] AS bigram,
+         |         toks[u.i] AS prefix
+         |       FROM t, unnest(generate_series(1, len(toks) - 1)) AS u(i)),
+         |c2 AS (SELECT bigram, count(*) AS c2 FROM bg GROUP BY 1),
+         |c1 AS (SELECT prefix, count(*) AS c1 FROM bg GROUP BY 1),
+         |pd AS (SELECT b.doc_id, count(*) AS n_bigrams,
+         |    CAST(SUM((1000000 * c2.c2) // c1.c1) AS BIGINT) AS sum_p_fp
+         |  FROM bg b JOIN c2 USING (bigram) JOIN c1 ON b.prefix = c1.prefix
+         |  GROUP BY 1),
+         |keyed AS (
+         |  SELECT d.doc_id,
+         |    CAST(CASE WHEN coalesce(pd.n_bigrams, 0) > 0
+         |      THEN (1000000 * pd.sum_p_fp) // pd.n_bigrams
+         |      ELSE -1 END AS BIGINT) AS avg_fp
+         |  FROM (SELECT DISTINCT doc_id FROM documents) d
+         |  LEFT JOIN pd USING (doc_id)),
+         |c AS (SELECT quantile_cont(avg_fp, [$probs]) AS cuts FROM keyed),
+         |b AS (
+         |  SELECT doc_id, avg_fp,
+         |    CAST(1 + len(list_filter(c.cuts, x -> x < CAST(avg_fp AS DOUBLE))) AS BIGINT) AS bucket
+         |  FROM keyed, c)
+         |SELECT doc_id, avg_fp, bucket,
+         |  (CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100) <
+         |    (CASE WHEN bucket = 3 THEN 100 WHEN bucket = 2 THEN 50 ELSE 10 END) AS keep
+         |FROM b""".stripMargin
+    },
+    // cluster-balanced coverage sample: nearest-centroid assignment
+    // (same argmin convention as sim_ivf) capped per cell in
+    // deterministic hash order
+    "embed_cluster_sample" -> {
+      val dotEC = dotSql("e.embedding", "c.c_emb")
+      s"""WITH cents AS (
+         |  SELECT vec_id AS cell_id, embedding AS c_emb,
+         |    sqrt(${dotSql("embedding", "embedding")}) AS c_norm
+         |  FROM embeddings ORDER BY vec_id ASC LIMIT 8),
+         |assigned AS (
+         |  SELECT vec_id, cell_id FROM (
+         |    SELECT e.vec_id, c.cell_id,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+         |        -($dotEC) / (sqrt(${dotSql("e.embedding", "e.embedding")}) * c.c_norm) ASC,
+         |        c.cell_id ASC) AS rn
+         |    FROM embeddings e CROSS JOIN cents c)
+         |  WHERE rn = 1)
+         |SELECT vec_id, cell_id FROM (
+         |  SELECT vec_id, cell_id,
+         |    ROW_NUMBER() OVER (PARTITION BY cell_id ORDER BY
+         |      CAST(concat('0x', substring(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) ASC,
+         |      vec_id ASC) AS rn
+         |  FROM assigned)
+         |WHERE rn <= 20""".stripMargin
+    },
     // bigram-LM quality score: MLE p(w2|w1) in fixed-point millionths
     // via integer floor division — the per-doc SUM is integer, so
     // accumulation order cannot diverge the engines

@@ -851,4 +851,119 @@ object TextFunctions {
     }
     (merges.result().reduce(_ unionAll _), segs)
   }
+
+  /** The trained tokenizer APPLIED to the corpus — per-document token
+    * counts under the learned merge table, closing the train → encode
+    * loop at the document level: `n_bpe_tokens` is what the tokenizer
+    * of [[bpeTrain]] would emit for each doc, `compression_fp` the
+    * chars-per-token ratio in fixed-point millionths (the standard
+    * "how well does this tokenizer fit this corpus" measure).
+    *
+    * Scale shape: encoding never re-runs the merge fold per document —
+    * each word TYPE's token count comes from the training
+    * segmentations (vocabulary-sized), and the corpus-sized side only
+    * tokenizes to words and joins on the word key. That join is the
+    * plan's one wide edge; the vocabulary side is aggregate-shrunk
+    * (word, n_syms, n_chars) and AQE broadcasts it when it fits —
+    * at web scale it stays a shuffle join on the word key, which is
+    * exactly how distributed tokenizer encoding is done. Docs with no
+    * `[a-z]+` word count zero (left join). */
+  def bpeEncodeStats(df: DataFrame, textCol: String = "text",
+                     idCol: String = "doc_id", nMerges: Int = 2): DataFrame = {
+    val lens = bpeRounds(df, textCol, nMerges)._2
+      .select(col("word"), size(col("syms")).cast("bigint").as("n_syms"),
+        length(col("word")).cast("bigint").as("n_chars"))
+    val docWords = df.select(col(idCol).as("doc_id"),
+      explode(regexp_extract_all(lower(col(textCol)), lit("[a-z]+"), lit(0)))
+        .as("word"))
+    val perDoc = docWords.join(lens, "word")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_syms")).as("n_bpe_tokens"),
+        sum(col("n_chars")).as("n_char_tokens"))
+    df.select(col(idCol).as("doc_id")).distinct()
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"),
+        coalesce(col("n_char_tokens"), lit(0L)).as("n_char_tokens"))
+      .withColumn("compression_fp",
+        when(col("n_bpe_tokens") > 0,
+          expr("(1000000 * n_char_tokens) div n_bpe_tokens"))
+          .otherwise(lit(0L)))
+  }
+
+  /** Fixed-weight linear quality model — the classifier-based
+    * filtering stage (a fastText-style quality model's scoring pass,
+    * with the learned weights stood in by fixed public-heuristic
+    * weights; swapping in trained weights changes only the
+    * coefficients). Features are fixed-point-millionth ratios computed
+    * with integer floor division, and the score is an integer linear
+    * combination — bit-exact in any engine, no float accumulation.
+    *
+    * score_fp = 400000 + 3·stopword_ratio_fp − 10·punct_ratio_fp
+    *            − |avg_token_len_fp − 5e6| ÷ 5, keep ⇔ score_fp > 0:
+    * rewards stopword density (fluent prose), penalizes
+    * punctuation-heavy noise and token lengths far from English's
+    * typical ~5 chars.
+    *
+    * Scale shape: a pure per-row projection — no shuffle, no model
+    * table; stays inside whole-stage codegen. */
+  def qualityLinear(docs: DataFrame, textCol: String = "text",
+                    idCol: String = "doc_id"): DataFrame = {
+    val t = col(textCol)
+    docs.select(col(idCol).as("doc_id"),
+        wsTokenCount(t).as("n_tokens"),
+        stopwordCount(t).as("n_stopwords"),
+        punctCount(t).as("n_punct"),
+        tokenLenSum(t).as("token_len_sum"),
+        length(t).cast("bigint").as("len_chars"))
+      .withColumn("stop_fp",
+        when(col("n_tokens") > 0,
+          expr("(1000000 * n_stopwords) div n_tokens")).otherwise(lit(0L)))
+      .withColumn("punct_fp",
+        when(col("len_chars") > 0,
+          expr("(1000000 * n_punct) div len_chars")).otherwise(lit(0L)))
+      .withColumn("len_dev_fp",
+        when(col("n_tokens") > 0,
+          abs(expr("(1000000 * token_len_sum) div n_tokens") - lit(5000000L)))
+          .otherwise(lit(5000000L)))
+      .select(col("doc_id"), col("stop_fp"), col("punct_fp"), col("len_dev_fp"))
+      .withColumn("score_fp",
+        lit(400000L) + lit(3L) * col("stop_fp") - lit(10L) * col("punct_fp")
+          - expr("len_dev_fp div 5"))
+      .withColumn("keep", col("score_fp") > 0)
+  }
+
+  /** CCNet-style perplexity bucketing + per-bucket sampling policy
+    * (Wenzek et al. 2020): score every doc under the corpus bigram LM
+    * ([[lmBigramScore]]), cut the score distribution into
+    * head/middle/tail thirds by exact quantile cut points, then keep
+    * head fully, sample middle at `midPct`% and tail at `tailPct`% by
+    * deterministic doc-id hash. The ranking key is the average bigram
+    * probability in fixed-point millionths (higher = more fluent =
+    * head); docs with no bigrams sink below every scored doc (key −1).
+    *
+    * Scale shape: [[lmBigramScore]]'s narrow count joins, then
+    * [[graft.operators.Sampling.quantileBuckets]]'s
+    * one-tiny-aggregate-row broadcast — no global sort, no
+    * single-partition window; the keep decision is a per-row hash
+    * projection. */
+  def pplSample(docs: DataFrame, textCol: String = "text",
+                idCol: String = "doc_id", midPct: Int = 50,
+                tailPct: Int = 10, salt: String = ""): DataFrame = {
+    require(midPct >= 0 && midPct <= 100 && tailPct >= 0 && tailPct <= 100,
+      "pcts must be in [0,100]")
+    val keyed = lmBigramScore(docs, textCol, idCol)
+      .withColumn("avg_fp",
+        when(col("n_bigrams") > 0,
+          expr("(1000000 * sum_p_fp) div n_bigrams")).otherwise(lit(-1L)))
+      .select(col("doc_id"), col("avg_fp"))
+    graft.operators.Sampling.quantileBuckets(keyed, "avg_fp", 3, "bucket")
+      .withColumn("keep",
+        graft.operators.Sampling.hashBucket(col("doc_id"), salt) <
+          when(col("bucket") === 3, lit(100))
+            .when(col("bucket") === 2, lit(midPct))
+            .otherwise(lit(tailPct)))
+  }
 }

@@ -621,4 +621,50 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("q_id"), col("vec_id"), col("rank"), col("adc"))
   }
+
+  /** Nearest-cell assignment only — (vec_id, cell_id) for every
+    * candidate against the deterministic first-`nCells` centroid set
+    * (same centroid convention as [[ivfTopK]]'s default; nearest by
+    * cosine, ties toward the lower cell_id).
+    *
+    * Always takes the broadcast-join + `min_by` route rather than
+    * inlined centroid literals: plan size is constant in `nCells`, the
+    * per-candidate argmin partially aggregates map-side, and only
+    * (vec_id, d, cell_id) triples ever reach the one narrow exchange —
+    * embeddings never shuffle. */
+  def assignCells(candidates: DataFrame, dim: Int, nCells: Int): DataFrame = {
+    require(nCells >= 1, s"need nCells >= 1, got $nCells")
+    val cents = candidates.orderBy(col("vec_id").asc).limit(nCells)
+      .select(col("vec_id").as("cell_id"), col("embedding").as("c_emb"),
+        norm(col("embedding")).as("c_norm"))
+    graft.core.Parallelism.ensure(candidates)
+      .withColumn("c_norm2", norm(col("embedding")))
+      .crossJoin(broadcast(cents))
+      .withColumn("d",
+        -dot(col("embedding"), col("c_emb")) / (col("c_norm2") * col("c_norm")))
+      .groupBy(col("vec_id"))
+      .agg(min_by(col("cell_id"), struct(col("d"), col("cell_id"))).as("cell_id"))
+  }
+
+  /** Cluster-balanced coverage sampling (the embedding-space analogue
+    * of per-source stratified sampling): assign every vector to its
+    * nearest centroid, then keep at most `perCell` vectors per cell in
+    * salted-hash order. Where proportional sampling mirrors the
+    * corpus's density (head clusters dominate), this caps every
+    * region of embedding space at the same budget — the standard
+    * diversity-preserving curation step before training.
+    *
+    * Scale shape: [[assignCells]]'s narrow argmin plus
+    * [[graft.operators.Sampling.topKPerStratum]]'s slim rank window —
+    * the window runs over (vec_id, cell_id, hash) triples, so neither
+    * embeddings nor payloads cross an exchange; with k-means-sized
+    * cell counts (thousands), per-cell windows parallelize across the
+    * cluster. */
+  def clusterBalancedSample(candidates: DataFrame, dim: Int, nCells: Int,
+                            perCell: Int, salt: String = ""): DataFrame = {
+    val cells = assignCells(candidates, dim, nCells)
+    graft.operators.Sampling
+      .topKPerStratum(cells, "vec_id", "cell_id", perCell, salt)
+      .orderBy(col("vec_id").asc)
+  }
 }

@@ -101,6 +101,9 @@ class EmptyInputSpec extends SparkSpec {
     assert(bpeOut.isEmpty &&
       bpeOut.columns.toSeq == Seq("iter", "sym_left", "sym_right", "pair_count"))
     assert(TextFunctions.bpeVocab(emptyDocs, nMerges = 1).isEmpty)
+    assert(TextFunctions.bpeEncodeStats(emptyDocs).isEmpty)
+    assert(TextFunctions.qualityLinear(emptyDocs).isEmpty)
+    assert(TextFunctions.pplSample(emptyDocs).isEmpty)
     // leakage-safe split: empty pair set -> every doc a train/heldout singleton
     val docs = (1L to 5L).toDF("doc_id")
     val emptyPairs2 = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
@@ -113,6 +116,8 @@ class EmptyInputSpec extends SparkSpec {
   test("similarity and graph operators accept empty inputs") {
     assert(Similarity.diversitySample(emptyEmb, dim = 64, perBucket = 2).isEmpty)
     assert(Similarity.semanticDedup(emptyEmb, dim = 64, tau = 0.5).isEmpty)
+    assert(Similarity.clusterBalancedSample(emptyEmb, dim = 64, nCells = 8,
+      perCell = 5).isEmpty)
     assert(Similarity.bruteForceTopK(emptyEmb, emptyEmb
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
       k = 5).isEmpty)

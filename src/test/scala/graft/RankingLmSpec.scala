@@ -274,4 +274,83 @@ class RankingLmSpec extends SparkSpec {
     assert(out(0) == ((1L, "a", "a", 9L)))
     assert(out(1) == ((2L, "aa", "aa", 3L)))
   }
+
+  test("bpeEncodeStats applies the learned merges per document in closed form") {
+    // Merges learned on this corpus: (e,s) then (es,t) — so
+    // low→[l,o,w]=3 tokens, lower→5, newest→[n,e,w,est]=4, widest→4.
+    val docs = Seq(
+      (1L, ("low " * 5) + ("lower " * 2)),
+      (2L, ("newest " * 6) + ("widest " * 3)),
+      (3L, "???") // no [a-z]+ word at all
+    ).toDF("doc_id", "text")
+    val out = TextFunctions.bpeEncodeStats(docs, nMerges = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // doc1: 7 words, 5·3+2·5=25 bpe tokens, 5·3+2·5=25 chars → ratio 1.0
+    assert(out(0) == ((1L, 7L, 25L, 25L, 1000000L)))
+    // doc2: 9 words, 9·4=36 tokens, 9·6=54 chars → ratio 1.5
+    assert(out(1) == ((2L, 9L, 36L, 54L, 1500000L)))
+    // wordless doc: zero counts, zero ratio (not a crash, not dropped)
+    assert(out(2) == ((3L, 0L, 0L, 0L, 0L)))
+  }
+
+  test("qualityLinear scores match hand-computed fixed-point arithmetic") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat."), // fluent: 6 tokens, 3 stopwords
+      (2L, "!!! ??? ;;;")              // punctuation noise
+    ).toDF("doc_id", "text")
+    val out = TextFunctions.qualityLinear(docs).orderBy("doc_id").collect()
+    // doc1: stop_fp=3e6/6=500000, punct_fp=1e6/23=43478,
+    //       avg_len=18e6/6=3e6 → dev=2e6;
+    //       score=400000+1500000−434780−400000=1065220
+    assert(out(0).getLong(1) == 500000L && out(0).getLong(2) == 43478L &&
+      out(0).getLong(3) == 2000000L && out(0).getLong(4) == 1065220L &&
+      out(0).getBoolean(5))
+    // doc2: stop_fp=0, punct_fp=9e6/11=818181, dev=2e6 →
+    //       score=400000+0−8181810−400000 < 0 → dropped
+    assert(out(1).getLong(2) == 818181L && !out(1).getBoolean(5))
+  }
+
+  test("pplSample buckets monotonically in the LM score and keeps the whole head") {
+    // 3 fluency tiers: repeated high-probability bigrams, mixed, unique
+    val docs = (
+      (1L to 4L).map(i => (i, "the cat sat on the mat " * 4)) ++
+      (5L to 8L).map(i => (i, s"the cat rides bus line $i to work")) ++
+      (9L to 12L).map(i => (i, s"zx$i qw$i er$i ty$i ui$i op$i"))
+    ).toDF("doc_id", "text")
+    val out = TextFunctions.pplSample(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(out.length == 12)
+    assert(out.forall { case (_, _, b, _) => b >= 1 && b <= 3 })
+    // value-based buckets: a higher score can never land in a lower bucket
+    for ((_, sa, ba, _) <- out; (_, sb, bb, _) <- out if sa < sb)
+      assert(ba <= bb, s"score $sa in bucket $ba but $sb in bucket $bb")
+    // the head (top bucket) is kept in full
+    assert(out.filter(_._3 == 3).forall(_._4))
+    // deterministic: a rerun produces the identical decision set
+    val again = TextFunctions.pplSample(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(out.sortBy(_._1).sameElements(again.sortBy(_._1)))
+  }
+
+  test("clusterBalancedSample caps every cell and assigns by nearest centroid") {
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),      // centroid of cell 0
+      (1L, Array(0f, 1f, 0f, 0f)),      // centroid of cell 1
+      (2L, Array(0.9f, 0.1f, 0f, 0f)),  // → cell 0
+      (3L, Array(0.8f, 0.2f, 0f, 0f)),  // → cell 0
+      (4L, Array(0.1f, 0.9f, 0f, 0f)),  // → cell 1
+      (5L, Array(0f, 0.8f, 0f, 0f))     // → cell 1
+    ).toDF("vec_id", "embedding")
+    // uncapped: all 6 rows, assignments as constructed
+    val all = Similarity.clusterBalancedSample(vecs, dim = 4, nCells = 2,
+        perCell = 10).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(all == Map(0L -> 0L, 2L -> 0L, 3L -> 0L, 1L -> 1L, 4L -> 1L, 5L -> 1L))
+    // capped: exactly perCell per cell, and a subset of the assignment
+    val capped = Similarity.clusterBalancedSample(vecs, dim = 4, nCells = 2,
+        perCell = 2).collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(capped.length == 4)
+    assert(capped.groupBy(_._2).forall(_._2.length == 2))
+    assert(capped.forall { case (v, c) => all(v) == c })
+  }
 }

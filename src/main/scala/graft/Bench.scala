@@ -59,6 +59,13 @@ object Bench {
       // guard — any CacheManager entry a query DID leave behind would
       // distort every later query's memory budget and timing.
       spark.catalog.clearCache()
+      // localCheckpoint-backed results are plain RDD blocks the
+      // ContextCleaner frees only after the result is GARBAGE-
+      // COLLECTED — clearCache() does not touch them, and without a GC
+      // nudge each run's orphaned blocks stack up in the storage pool
+      // until later runs pay eviction/spill (bench-proven: containment
+      // runs [2.9, 12.8, 12.1] s with the same fresh plan each time).
+      System.gc()
       timed
     }
     // min of three timed runs per query: this VM's run-to-run variance

@@ -845,6 +845,11 @@ object TextFunctions {
         .orderBy(col("pair_count").desc, col("sym_left"), col("sym_right"))
         .limit(1)
         .localCheckpoint()
+        // the checkpoint replaces the plan with a bare RDD scan, erasing
+        // the provable 1-row bound; re-asserting it is free (the frame
+        // IS one row) and keeps the downstream crossJoin visibly linear
+        // to plan linting
+        .limit(1)
       merges += winner.select(lit(i.toLong).as("iter"),
         col("sym_left"), col("sym_right"), col("pair_count"))
       segs = bpeApplyMerge(segs, winner)

@@ -39,7 +39,7 @@ object PlanLint {
       case c: CartesianProductExec =>
         Finding("cartesian", "error", s"CartesianProduct over ${c.output.size} columns")
       case b: BroadcastNestedLoopJoinExec
-          if !(singleRow(b.left) || singleRow(b.right)) =>
+          if !(boundedRows(b.left) || boundedRows(b.right)) =>
         Finding("cartesian", "error",
           s"BroadcastNestedLoopJoin (${b.joinType}) — no equi-condition")
     }
@@ -78,19 +78,21 @@ object PlanLint {
     }
   }
 
-  /** Provably ≤1-row subtree: a global (no-grouping) aggregate or a
-    * limit-1 somewhere below bounds the side to one row, which turns
-    * the nested-loop join into a linear scalar-broadcast — the
-    * standard "attach the sketch / the percentile row / the top key
-    * to every row" pattern, not a missing join condition. */
-  private def singleRow(p: SparkPlan): Boolean = {
+  /** Provably row-bounded subtree: a global (no-grouping) aggregate
+    * (1 row) or a limit ≤ `cap` somewhere below. A nested-loop join
+    * against such a side is a LINEAR per-row fan-out of at most `cap`
+    * — the scalar-broadcast pattern ("attach the sketch / percentile
+    * row to every row") and its small-table generalization (nearest-
+    * centroid argmin against a ≤256-row centroid table) — not a
+    * missing join condition. An unbounded side still flags. */
+  private def boundedRows(p: SparkPlan, cap: Int = 256): Boolean = {
     import org.apache.spark.sql.execution.{CollectLimitExec, GlobalLimitExec, TakeOrderedAndProjectExec}
     import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
     collect(p).exists {
       case a: BaseAggregateExec => a.groupingExpressions.isEmpty
-      case l: GlobalLimitExec => l.limit <= 1
-      case l: CollectLimitExec => l.limit <= 1
-      case t: TakeOrderedAndProjectExec => t.limit <= 1
+      case l: GlobalLimitExec => l.limit <= cap
+      case l: CollectLimitExec => l.limit <= cap
+      case t: TakeOrderedAndProjectExec => t.limit <= cap
       case _ => false
     }
   }

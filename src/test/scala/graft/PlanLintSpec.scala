@@ -59,7 +59,9 @@ class PlanLintSpec extends SparkSpec {
     // representative parity + corpus queries; exempt quadratic
     // baselines (dedup_ngram_jaccard) are not in this list by design
     for (q <- Seq("q1_agg", "fact_trip", "dedup_minhash", "span_dedup",
-        "corpus_filter", "triangle_count", "salted_join")) {
+        "corpus_filter", "triangle_count", "salted_join",
+        "bpe_encode", "quality_score_linear", "corpus_ppl_sample",
+        "embed_cluster_sample")) {
       val f = PlanLint.lint(SparkEntry.queries(q)(spark, dir))
         .filterNot(_.rule == "unpushed-filter") // full-table reads scan all
       assert(f.isEmpty, s"$q: ${f.mkString("; ")}")

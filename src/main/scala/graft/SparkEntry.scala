@@ -198,6 +198,30 @@ object SparkEntry {
     * spark.sql (the engine's Trino-replacement path, SURVEY.md §3.3).
     * Four-table join tree left to Catalyst's join reordering; sums via
     * the registered-view twin of Exact.dsum. */
+  /** Month-over-month revenue: cents-exact monthly totals
+    * ([[graft.core.Exact.centsSum]]) with lag/delta/basis-point change
+    * in pure integer arithmetic. The ordered window runs over the
+    * month axis — BOUNDED (dozens of aggregate rows), so the
+    * single-partition sort it implies is over aggregates, never facts;
+    * the facts themselves take one hash-agg exchange on the month key. */
+  private def periodOverPeriod(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val monthly = Tables.orders(spark, dir)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(graft.core.Exact.centsSum(col("o_totalprice")).as("rev_cents"))
+    val w = Window.orderBy(col("month"))
+    monthly
+      .withColumn("prev_cents", lag(col("rev_cents"), 1).over(w))
+      .withColumn("delta_cents", col("rev_cents") - col("prev_cents"))
+      .withColumn("pct_bp",
+        // integer division of NEGATIVE operands rounds differently
+        // across engines (truncate vs floor) — divide magnitudes and
+        // re-apply the sign so both engines agree bit-for-bit
+        when(col("prev_cents").isNotNull && col("prev_cents") > 0,
+          when(col("delta_cents") < 0, lit(-1L)).otherwise(lit(1L)) *
+            expr("(10000 * abs(delta_cents)) div prev_cents")))
+  }
+
   private def revenueByNation(spark: SparkSession, dir: String): DataFrame = {
     Tables.customer(spark, dir).createOrReplaceTempView("v_customer")
     Tables.orders(spark, dir).createOrReplaceTempView("v_orders")
@@ -1277,6 +1301,20 @@ object SparkEntry {
     "validate_extended" -> (validateExtended(_, _)),
     "validate_rows" -> (validateRows(_, _)),
     "union_all" -> (unionAll(_, _)),
+    // wide→long melt of the lineitem measures (the native unpivot
+    // operator — a per-row expansion, no shuffle)
+    "unpivot_measures" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_quantity",
+          "l_extendedprice", "l_discount", "l_tax")
+        .unpivot(Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"),
+            col("l_discount"), col("l_tax")),
+          "measure", "value")),
+    // month-over-month revenue deltas: cents-exact monthly totals,
+    // lag window over the BOUNDED month axis (dozens of rows — the
+    // single-partition window is over aggregates, never facts)
+    "period_over_period" -> (periodOverPeriod(_, _)),
     "cdc_parse" -> (cdcParse(_, _)),
     "json_extract" -> (jsonExtract(_, _)),
     "hash_sample" -> (hashSample(_, _)),
@@ -1597,6 +1635,11 @@ object SparkEntry {
     // deterministic sampling policy (keep head, sample middle/tail)
     "corpus_ppl_sample" -> ((s, d) =>
       TextFunctions.pplSample(Tables.documents(s, d))),
+    // C4-style wordlist safety filter: per-doc blocklist hit counts +
+    // verdict, pure codegen projection
+    "blocklist_filter" -> ((s, d) =>
+      TextFunctions.blocklistFilter(Tables.documents(s, d),
+        Seq("slow", "dup"), maxHits = 2)),
     // per-doc duplicated 8-token-span fraction (the exact-substring
     // dedup decision metric)
     "span_dup_stats" -> ((s, d) =>
@@ -1676,6 +1719,16 @@ object SparkEntry {
       Similarity.clusterBalancedSample(
         Tables.embeddings(s, d).select("vec_id", "embedding"),
         dim = 64, nCells = 8, perCell = 20)),
+    // contrastive hard-negative mining: per-query top-k in the
+    // similar-but-not-duplicate cosine band, banded map-side before
+    // the rank exchange
+    "hard_negatives" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.hardNegatives(e.select("vec_id", "embedding"),
+        e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
+        k = 5, loCos = 0.2, hiCos = 0.4)
+    }),
     // unit vector serialized as fixed-point micros (round(u*1e6)):
     // identical double arithmetic both engines, and a string column the
     // pandas comparator can hash (float formatting differs across
@@ -1887,6 +1940,33 @@ object SparkEntry {
       """SELECT r_regionkey, r_name FROM region
         |UNION ALL
         |SELECT r_regionkey, r_name FROM region WHERE r_regionkey < 3""".stripMargin,
+    "unpivot_measures" ->
+      """SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem""".stripMargin,
+    // month-over-month deltas in exact integer cents; the basis-point
+    // change divides MAGNITUDES and re-applies the sign (negative
+    // integer division rounds differently across engines)
+    "period_over_period" ->
+      """WITH m AS (
+        |  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT) AS rev_cents
+        |  FROM orders GROUP BY 1),
+        |l AS (
+        |  SELECT month, rev_cents,
+        |    lag(rev_cents) OVER (ORDER BY month) AS prev_cents
+        |  FROM m)
+        |SELECT month, rev_cents, prev_cents,
+        |  rev_cents - prev_cents AS delta_cents,
+        |  CAST(CASE WHEN prev_cents IS NOT NULL AND prev_cents > 0
+        |    THEN (CASE WHEN rev_cents - prev_cents < 0 THEN -1 ELSE 1 END) *
+        |         ((10000 * abs(rev_cents - prev_cents)) // prev_cents)
+        |  END AS BIGINT) AS pct_bp
+        |FROM l""".stripMargin,
     "cdc_parse" ->
       """SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
         |  make_timestamp(epoch_us(ts)) AS event_ts
@@ -2598,6 +2678,16 @@ object SparkEntry {
          |  CAST(400000 + 3 * stop_fp - 10 * punct_fp - len_dev_fp // 5 AS BIGINT) AS score_fp,
          |  (400000 + 3 * stop_fp - 10 * punct_fp - len_dev_fp // 5) > 0 AS keep
          |FROM r""".stripMargin,
+    // wordlist filter: n_blocked counts token hits (multiplicity),
+    // n_blocked_distinct counts blocklist terms present (iterate the
+    // SMALL fixed list against the token set — multiset-semantics-proof
+    // in both engines)
+    "blocklist_filter" ->
+      s"""SELECT doc_id,
+         |  CAST(len(list_filter($toksSql, t -> list_contains(['slow', 'dup'], t))) AS BIGINT) AS n_blocked,
+         |  CAST(len(list_filter(['slow', 'dup'], w -> list_contains($toksSql, w))) AS BIGINT) AS n_blocked_distinct,
+         |  len(list_filter($toksSql, t -> list_contains(['slow', 'dup'], t))) <= 2 AS keep
+         |FROM documents""".stripMargin,
     // CCNet bucketing: the lm_bigram_score chain reduced to an integer
     // ranking key, exact-quantile cut points, hash-sampled keep policy
     "corpus_ppl_sample" -> {
@@ -3915,6 +4005,23 @@ object SparkEntry {
          |  SELECT q_id, vec_id, cos,
          |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rank
          |  FROM pairs) WHERE rank <= 5""".stripMargin
+    },
+    // sim_topk banded to the hard-negative zone before ranking — same
+    // dot-product fold, same tie-breaks
+    "hard_negatives" -> {
+      val dotEq = dotSql("e.embedding", "q.q_emb")
+      val normE = dotSql("e.embedding", "e.embedding")
+      val normQ = dotSql("q.q_emb", "q.q_emb")
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),
+         |pairs AS (
+         |  SELECT q.q_id, e.vec_id,
+         |    $dotEq / (sqrt($normE) * sqrt($normQ)) AS cos
+         |  FROM embeddings e, q WHERE e.vec_id <> q.q_id),
+         |banded AS (SELECT * FROM pairs WHERE cos >= 0.2 AND cos < 0.4)
+         |SELECT q_id, vec_id, rank, round(cos, 9) AS cos FROM (
+         |  SELECT q_id, vec_id, cos,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rank
+         |  FROM banded) WHERE rank <= 5""".stripMargin
     },
   )
 }

@@ -940,6 +940,34 @@ object TextFunctions {
       .withColumn("keep", col("score_fp") > 0)
   }
 
+  /** Wordlist-based safety filtering (the C4-style "bad words" pass):
+    * per-document hit counts against a fixed blocklist, with
+    * `keep ⇔ total hits ≤ maxHits`. Counts are reported rather than
+    * just the verdict so the threshold can be re-tuned from the stats
+    * table without re-scanning the corpus.
+    *
+    * Scale shape: the blocklist is a literal array in the expression
+    * tree (real-world lists are hundreds of terms — well under literal
+    * limits); the whole operator is a per-row codegen projection, no
+    * shuffle, no join. */
+  def blocklistFilter(docs: DataFrame, terms: Seq[String], maxHits: Int = 0,
+                      textCol: String = "text", idCol: String = "doc_id")
+      : DataFrame = {
+    require(terms.nonEmpty, "blocklist must not be empty")
+    val termArr = array(terms.map(lit): _*)
+    docs.select(col(idCol).as("doc_id"),
+        bound(tokens(col(textCol))) { t =>
+          struct(
+            size(filter(t, w => array_contains(termArr, w))).cast("bigint")
+              .as("n_blocked"),
+            size(array_intersect(array_distinct(t), termArr)).cast("bigint")
+              .as("n_blocked_distinct"))
+        }.as("__b"))
+      .select(col("doc_id"), col("__b.n_blocked").as("n_blocked"),
+        col("__b.n_blocked_distinct").as("n_blocked_distinct"))
+      .withColumn("keep", col("n_blocked") <= maxHits)
+  }
+
   /** CCNet-style perplexity bucketing + per-bucket sampling policy
     * (Wenzek et al. 2020): score every doc under the corpus bigram LM
     * ([[lmBigramScore]]), cut the score distribution into

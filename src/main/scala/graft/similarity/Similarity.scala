@@ -33,20 +33,50 @@ object Similarity {
     * candidate; rank by (score desc, vec_id) for determinism. Norms are
     * precomputed once per row on each side, so the per-pair work is a
     * single dot product. */
-  def bruteForceTopK(candidates: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  def bruteForceTopK(candidates: DataFrame, queries: DataFrame, k: Int): DataFrame =
+    rankScored(scoredPairs(candidates, queries), k)
+
+  /** The shared brute-force scoring frame: (q_id, vec_id, cos) for
+    * every (query, candidate) pair, queries broadcast, self-pairs
+    * excluded. Map-side only — no shuffle until a consumer ranks. */
+  private def scoredPairs(candidates: DataFrame, queries: DataFrame): DataFrame = {
     val cand = graft.core.Parallelism.ensure(candidates)
       .withColumn("c_norm", norm(col("embedding")))
     val qs = queries.withColumn("q_norm", norm(col("q_emb")))
-    val scored = cand.crossJoin(broadcast(qs))
+    cand.crossJoin(broadcast(qs))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
         (dot(col("embedding"), col("q_emb")) / (col("c_norm") * col("q_norm"))).as("cos"))
+  }
+
+  /** Deterministic per-query top-k of a (q_id, vec_id, cos) frame. */
+  private def rankScored(scored: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("vec_id").asc)
     scored.withColumn("rank", row_number().over(w).cast("bigint"))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("vec_id"), col("rank"), round(col("cos"), 9).as("cos"))
+  }
+
+  /** Hard-negative mining for contrastive training: per query, the
+    * top-k candidates whose cosine lands in [loCos, hiCos) — similar
+    * enough to be informative, below the near-duplicate band that
+    * would make them FALSE negatives. (Random negatives are trivially
+    * separable; the pairs that teach a bi-encoder sit just under the
+    * duplicate threshold.)
+    *
+    * Scale shape: identical to [[bruteForceTopK]] — the band filter
+    * runs map-side before the rank exchange, so the shuffle carries
+    * only banded (q_id, vec_id, cos) triples, strictly fewer than the
+    * unbanded search. The LSH/IVF paths compose the same way when the
+    * query batch outgrows brute force. */
+  def hardNegatives(candidates: DataFrame, queries: DataFrame, k: Int,
+                    loCos: Double, hiCos: Double): DataFrame = {
+    require(loCos < hiCos, s"need loCos < hiCos, got [$loCos, $hiCos)")
+    rankScored(
+      scoredPairs(candidates, queries)
+        .filter(col("cos") >= loCos && col("cos") < hiCos), k)
   }
 
   private def md5Hex(s: String): String =

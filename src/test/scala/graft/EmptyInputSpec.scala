@@ -104,6 +104,7 @@ class EmptyInputSpec extends SparkSpec {
     assert(TextFunctions.bpeEncodeStats(emptyDocs).isEmpty)
     assert(TextFunctions.qualityLinear(emptyDocs).isEmpty)
     assert(TextFunctions.pplSample(emptyDocs).isEmpty)
+    assert(TextFunctions.blocklistFilter(emptyDocs, Seq("slow")).isEmpty)
     // leakage-safe split: empty pair set -> every doc a train/heldout singleton
     val docs = (1L to 5L).toDF("doc_id")
     val emptyPairs2 = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
@@ -118,6 +119,9 @@ class EmptyInputSpec extends SparkSpec {
     assert(Similarity.semanticDedup(emptyEmb, dim = 64, tau = 0.5).isEmpty)
     assert(Similarity.clusterBalancedSample(emptyEmb, dim = 64, nCells = 8,
       perCell = 5).isEmpty)
+    assert(Similarity.hardNegatives(emptyEmb, emptyEmb
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
+      k = 5, loCos = 0.2, hiCos = 0.4).isEmpty)
     assert(Similarity.bruteForceTopK(emptyEmb, emptyEmb
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
       k = 5).isEmpty)

@@ -333,6 +333,39 @@ class RankingLmSpec extends SparkSpec {
     assert(out.sortBy(_._1).sameElements(again.sortBy(_._1)))
   }
 
+  test("blocklistFilter counts hits with multiplicity and distinct terms separately") {
+    val docs = Seq(
+      (1L, "slow slow dup fast"),   // 3 hits, 2 distinct terms
+      (2L, "fast join merge"),      // clean
+      (3L, "slow slow slow")        // 3 hits, 1 distinct — over maxHits=2
+    ).toDF("doc_id", "text")
+    val out = TextFunctions.blocklistFilter(docs, Seq("slow", "dup"), maxHits = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(out(0) == ((3L, 2L, false)))
+    assert(out(1) == ((0L, 0L, true)))
+    assert(out(2) == ((3L, 1L, false)))
+  }
+
+  test("hardNegatives stays inside the cosine band and under the near-dup tier") {
+    val mk = (a: Float, b: Float) => Array(a, b, 0f, 0f)
+    val vecs = Seq(
+      (0L, mk(1f, 0f)),        // query
+      (1L, mk(0.99f, 0.14f)),  // near-dup (cos ~0.99) — excluded
+      (2L, mk(0.3f, 0.954f)),  // cos ~0.3 — the hard negative
+      (3L, mk(0f, 1f)),        // orthogonal — excluded
+      (4L, mk(0.25f, 0.97f))   // cos ~0.25 — hard negative
+    ).toDF("vec_id", "embedding")
+    val q = vecs.filter(col("vec_id") === 0L)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val out = Similarity.hardNegatives(vecs, q, k = 5, loCos = 0.2, hiCos = 0.4)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.map(_._1).toSet == Set(2L, 4L))
+    assert(out.forall { case (_, _, c) => c >= 0.2 && c < 0.4 })
+    // ranking is by cosine descending with contiguous ranks
+    assert(out.sortBy(_._2).map(_._1).toSeq == Seq(2L, 4L))
+  }
+
   test("clusterBalancedSample caps every cell and assigns by nearest centroid") {
     val vecs = Seq(
       (0L, Array(1f, 0f, 0f, 0f)),      // centroid of cell 0

@@ -138,4 +138,39 @@ class StagingWarehouseSpec extends SparkSpec {
       Incremental.mergeAggregates(stored, delta, Seq("k"), Map("n" -> "avg"))
     }
   }
+
+  test("period_over_period: lag/delta/basis points in exact cents, sign-safe") {
+    val dir = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("period_over_period")(spark, dir)
+      .orderBy("month").collect()
+    assert(out.length > 2)
+    // first month has no predecessor: null prev/delta/pct
+    assert(out.head.isNullAt(2) && out.head.isNullAt(3) && out.head.isNullAt(4))
+    // every later row: delta = rev - prev; pct_bp = sign * (1e4*|delta|) div prev
+    for (r <- out.tail) {
+      val (rev, prev, delta, pct) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(delta == rev - prev)
+      val expect = (if (delta < 0) -1L else 1L) * ((10000L * math.abs(delta)) / prev)
+      assert(pct == expect, s"month ${r.getString(0)}")
+    }
+    // totals conserved: sum of monthly cents = cents of the table total
+    val totalCents = out.map(_.getLong(1)).sum
+    val direct = graft.core.Tables.orders(spark, dir)
+      .agg(sum(round(col("o_totalprice") * 100).cast("long"))).collect()(0).getLong(0)
+    assert(totalCents == direct)
+  }
+
+  test("unpivot_measures melts 4 measures per lineitem row, value-faithful") {
+    val dir = "/root/testdata/sf0.001"
+    val li = graft.core.Tables.lineitem(spark, dir)
+    val out = SparkEntry.queries("unpivot_measures")(spark, dir)
+    assert(out.count() == li.count() * 4)
+    // spot-faithfulness: re-pivoting quantity recovers the original column
+    val qty = out.filter(col("measure") === "l_quantity")
+      .select(col("l_orderkey"), col("l_linenumber"), col("value"))
+    val orig = li.select(col("l_orderkey"), col("l_linenumber"),
+      col("l_quantity").as("value"))
+    assert(qty.exceptAll(orig).isEmpty && orig.exceptAll(qty).isEmpty)
+  }
 }

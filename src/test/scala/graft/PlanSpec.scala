@@ -84,10 +84,54 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_kmv_distinct"), p)
   }
 
-  test("corpus operators never shuffle the document text") {
+  private def shuffledColumns(name: String): Seq[String] = {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
-    def shuffledColumns(name: String): Seq[String] = {
+    val df = SparkEntry.queries(name)(spark, dir)
+    val nodes = scala.collection.mutable.ArrayBuffer.empty[SparkPlan]
+    def walk(p: SparkPlan): Unit = {
+      nodes += p
+      p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => walk(q.plan)
+        case other => other.children.foreach(walk)
+      }
+    }
+    walk(df.queryExecution.executedPlan)
+    nodes.collect { case s: ShuffleExchangeExec => s.output.map(_.name) }.flatten.toSeq
+  }
+
+  test("corpus operators never shuffle the document text") {
+    // dedup/text pipelines shuffle hashes, signatures, ids — never the
+    // raw document text column
+    Seq("dedup_exact", "dedup_minhash", "dedup_containment", "decontaminate",
+      "repetition", "corpus_filter", "doc_pack", "tfidf_top_terms",
+      "span_dedup", "corpus_shuffle", "corpus_sample_tokens", "corpus_mix",
+      "corpus_sample_per_source", "corpus_stats_by_source",
+      "quality_gopher", "text_shingles", "keyword_search",
+      "corpus_mix_tokens", "bm25_search", "lm_bigram_score",
+      "span_dup_stats", "corpus_mix_temperature", "prefix_dup",
+      "source_overlap", "bpe_encode", "corpus_ppl_sample",
+      "blocklist_filter", "quality_score_linear").foreach { q =>
+      val cols = shuffledColumns(q)
+      assert(!cols.contains("text"), s"$q shuffles text: $cols")
+      // span_dedup additionally must not shuffle the token array
+      if (q == "span_dedup")
+        assert(!cols.contains("t"), s"$q shuffles token arrays: $cols")
+    }
+  }
+
+  test("embedding-space operators never hash/range-shuffle the vectors") {
+    // search/assignment consume embeddings map-side (broadcast query
+    // sets, broadcast centroid argmin); rank and argmin exchanges
+    // carry only (id, cell/score) tuples — the 100 TB contract. The
+    // one exchange allowed to carry vectors is Parallelism.ensure's
+    // ROUND-ROBIN repartition: the small-local-input guard, a no-op on
+    // a real multi-split scan, and never keyed (no co-location cost).
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.plans.physical.RoundRobinPartitioning
+    def keyedShuffleCols(name: String): Seq[String] = {
       val df = SparkEntry.queries(name)(spark, dir)
       val nodes = scala.collection.mutable.ArrayBuffer.empty[SparkPlan]
       def walk(p: SparkPlan): Unit = {
@@ -99,23 +143,17 @@ class PlanSpec extends SparkSpec {
         }
       }
       walk(df.queryExecution.executedPlan)
-      nodes.collect { case s: ShuffleExchangeExec => s.output.map(_.name) }.flatten.toSeq
+      nodes.collect {
+        case s: ShuffleExchangeExec
+            if !s.outputPartitioning.isInstanceOf[RoundRobinPartitioning] =>
+          s.output.map(_.name)
+      }.flatten.toSeq
     }
-    // dedup/text pipelines shuffle hashes, signatures, ids — never the
-    // raw document text column
-    Seq("dedup_exact", "dedup_minhash", "dedup_containment", "decontaminate",
-      "repetition", "corpus_filter", "doc_pack", "tfidf_top_terms",
-      "span_dedup", "corpus_shuffle", "corpus_sample_tokens", "corpus_mix",
-      "corpus_sample_per_source", "corpus_stats_by_source",
-      "quality_gopher", "text_shingles", "keyword_search",
-      "corpus_mix_tokens", "bm25_search", "lm_bigram_score",
-      "span_dup_stats", "corpus_mix_temperature", "prefix_dup",
-      "source_overlap").foreach { q =>
-      val cols = shuffledColumns(q)
-      assert(!cols.contains("text"), s"$q shuffles text: $cols")
-      // span_dedup additionally must not shuffle the token array
-      if (q == "span_dedup")
-        assert(!cols.contains("t"), s"$q shuffles token arrays: $cols")
+    Seq("sim_topk", "hard_negatives", "embed_cluster_sample",
+      "semantic_dedup").foreach { q =>
+      val cols = keyedShuffleCols(q)
+      assert(!cols.contains("embedding") && !cols.contains("q_emb"),
+        s"$q hash/range-shuffles embeddings: $cols")
     }
   }
 

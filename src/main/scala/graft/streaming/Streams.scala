@@ -168,6 +168,21 @@ object Streams {
       "inner")
   }
 
+  /** Stream-static dimension enrichment: the streaming side joins a
+    * STATIC dim frame per micro-batch — no state store, no watermark;
+    * Spark re-resolves the static side each batch, so a dim refreshed
+    * in place is picked up without restarting the query. The broadcast
+    * hint keeps the join map-side (dims are small by definition);
+    * "left" preserves events with no dim match, mirroring the batch
+    * zone-enrichment contract. */
+  def enrichWithStatic(stream: DataFrame, dim: DataFrame,
+                       keys: Seq[String],
+                       joinType: String = "left"): DataFrame = {
+    require(stream.isStreaming, "left side must be a streaming frame")
+    require(!dim.isStreaming, "dim side must be static")
+    stream.join(org.apache.spark.sql.functions.broadcast(dim), keys, joinType)
+  }
+
   /** Streaming upsert-to-lake without a table format: each micro-batch
     * merges into a parquet snapshot — read current snapshot, union the
     * batch, keep the latest row per key BY ORDINAL (deletes are

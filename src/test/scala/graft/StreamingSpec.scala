@@ -289,4 +289,25 @@ class StreamingSpec extends SparkSpec {
       assert(m.getAs[Long]("between_trip_distance") == 1L)
     } finally q.stop()
   }
+
+  test("enrichWithStatic joins each micro-batch against the static dim, left-preserving") {
+    implicit val sql = spark.sqlContext
+    val dim = Seq((1, "Manhattan"), (2, "Queens")).toDF("zone_id", "borough")
+    val input = MemoryStream[(Int, Double)]
+    input.addData((1, 10.0), (2, 7.5), (9, 3.0)) // 9 has no dim row
+    val out = Streams.enrichWithStatic(
+      input.toDF().select(col("_1").as("zone_id"), col("_2").as("fare")),
+      dim, Seq("zone_id"))
+    val q = out.writeStream.format("memory").queryName("enrich_out")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("enrich_out").orderBy("zone_id").collect()
+    assert(rows.length == 3)
+    assert(rows(0).getString(2) == "Manhattan" && rows(1).getString(2) == "Queens")
+    assert(rows(2).isNullAt(2)) // unmatched event survives the left join
+    // contract guards: sides must be stream + static respectively
+    intercept[IllegalArgumentException] {
+      Streams.enrichWithStatic(dim, dim, Seq("zone_id"))
+    }
+  }
 }

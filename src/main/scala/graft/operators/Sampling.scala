@@ -177,7 +177,16 @@ object Sampling {
     *
     * The interpolated `percentile` aggregate is exact (sort-based
     * within the aggregate) and matches `quantile_cont` in ANSI
-    * engines, so the bucket edges are engine-portable. */
+    * engines, so the bucket edges are engine-portable.
+    *
+    * Memory honesty: Spark's exact `percentile` BUFFERS the group's
+    * values in the aggregation buffer — fine for bounded-cardinality
+    * scores (lengths, fixed-point ratios, anything bucketable), but an
+    * unbounded-cardinality score column at corpus scale should derive
+    * its cut points from the mergeable quantile sketch
+    * ([[graft.expressions.SketchAggregates]], KLL/MRL — constant
+    * memory, approximate cuts) and broadcast them back through this
+    * same crossJoin shape. */
   def quantileBuckets(df: DataFrame, scoreCol: String, nBuckets: Int,
                       outCol: String = "bucket"): DataFrame = {
     require(nBuckets > 1, s"nBuckets must be > 1, got $nBuckets")

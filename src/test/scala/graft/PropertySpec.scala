@@ -377,4 +377,48 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("blocklistFilter invariants: multiplicity >= distinct; verdict is the threshold") {
+    val textGen = Gen.listOfN(12,
+      Gen.oneOf("slow", "dup", "fast", "join", "merge", "agg")).map(_.mkString(" "))
+    val docs = cases(textGen, 60).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val rows = TextFunctions.blocklistFilter(docs, Seq("slow", "dup"), maxHits = 2)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    rows.foreach { case (n, d, keep) =>
+      assert(n >= d, s"multiplicity $n < distinct $d")
+      assert(d <= 2, s"distinct $d exceeds blocklist size")
+      assert(keep == (n <= 2))
+    }
+  }
+
+  test("qualityLinear score decomposes linearly from its own reported features") {
+    val textGen = Gen.listOfN(10,
+      Gen.oneOf("the", "cat", "on", "and", "verylongtokenword", "x.", "!!")).map(_.mkString(" "))
+    val docs = cases(textGen, 60).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    TextFunctions.qualityLinear(docs).collect().foreach { r =>
+      val (stop, punct, dev, score) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(score == 400000L + 3 * stop - 10 * punct - dev / 5)
+      assert(r.getBoolean(5) == (score > 0))
+      assert(stop >= 0 && stop <= 1000000 && punct >= 0 && punct <= 1000000)
+    }
+  }
+
+  test("hardNegatives is exactly the banded slice of the brute-force ranking") {
+    val vecGen = Gen.listOfN(4, Gen.choose(-1f, 1f)).map(_.toArray)
+    val vecs = cases(vecGen, 30).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }
+      .filter(_._2.exists(_ != 0f)).toDF("vec_id", "embedding")
+    val q = vecs.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val banded = graft.similarity.Similarity
+      .hardNegatives(vecs, q, k = 1000, loCos = -0.5, hiCos = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSet
+    val full = graft.similarity.Similarity.bruteForceTopK(vecs, q, k = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+      .filter { case (_, _, c) => c >= -0.5 && c < 0.5 }.toSet
+    assert(banded == full)
+  }
 }

@@ -310,4 +310,33 @@ class StreamingSpec extends SparkSpec {
       Streams.enrichWithStatic(dim, dim, Seq("zone_id"))
     }
   }
+
+  test("corpus quality and blocklist filters run unchanged on a streaming frame") {
+    // the per-doc filter tier is pure codegen projections, so the SAME
+    // operator instances screen the firehose — no streaming twin needed
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    input.addData((1L, "the cat sat on the mat."), (2L, "slow slow slow dup"))
+    val docs = input.toDF().select(col("_1").as("doc_id"), col("_2").as("text"))
+    val out = graft.functions.TextFunctions
+      .blocklistFilter(docs, Seq("slow", "dup"), maxHits = 2)
+      .join(broadcast(
+        Seq((1L, true)).toDF("doc_id", "expect_keep")), Seq("doc_id"), "left")
+    val q = out.writeStream.format("memory").queryName("bl_out")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("bl_out").orderBy("doc_id").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getBoolean(3) && !rows(1).getBoolean(3))
+    // and the linear quality model streams the same way
+    val input2 = MemoryStream[(Long, String)]
+    input2.addData((1L, "the cat sat on the mat."))
+    val q2 = graft.functions.TextFunctions
+      .qualityLinear(input2.toDF().select(col("_1").as("doc_id"), col("_2").as("text")))
+      .writeStream.format("memory").queryName("ql_out")
+      .outputMode("append").start()
+    q2.processAllAvailable(); q2.stop()
+    val r2 = spark.table("ql_out").head()
+    assert(r2.getLong(4) == 1065220L && r2.getBoolean(5))
+  }
 }

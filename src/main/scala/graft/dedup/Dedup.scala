@@ -609,12 +609,19 @@ object Dedup {
       val dropped = nearDupClusters(pairs)
         .filter(col("doc_id") =!= col("cluster_id"))
         .select(col("doc_id"))
-      val rejected = hitIds.unionAll(dropped)
+      // Materialize the NARROW frames only: `rejected` (id list) and
+      // `delta` (band triples) depend on the scoped caches, so they
+      // checkpoint eagerly before the caches are released. `fresh`
+      // stays LAZY — it derives from the caller's own `batch` frame
+      // plus the checkpointed id list, touching no scoped cache, so
+      // eagerly copying the whole surviving batch (text included) into
+      // block storage would be pure waste for catalog-only consumers.
+      val rejected = hitIds.unionAll(dropped).localCheckpoint(true)
       val fresh = batch.join(
         rejected.withColumnRenamed("doc_id", idCol), Seq(idCol), "left_anti")
       val delta = batchBands.join(rejected, Seq("doc_id"), "left_anti")
         .select(col("doc_id"), col("band_idx"), col("band_hash"))
-      IncrementalNearDup(fresh.localCheckpoint(true), delta.localCheckpoint(true))
+      IncrementalNearDup(fresh, delta.localCheckpoint(true))
     } finally {
       sigs.unpersist(blocking = false)
       batchBands.unpersist(blocking = false)

@@ -419,6 +419,54 @@ object SparkEntry {
       .orderBy(col("n_sessions").desc, col("path").asc)
       .limit(20)
 
+  /** Session transition matrix — the first-order Markov input for
+    * sequence modeling: consecutive in-session event-type pairs
+    * counted per (from, to), with the row-normalized transition
+    * probability in fixed-point millionths (exact integer floor
+    * division, engine-portable). Consecutive means adjacent under the
+    * (ts, event_id) total order within a session — the same ordering
+    * convention as `session_paths`.
+    *
+    * Scale shape: the lag window rides the existing per-(user,
+    * session) partitioning; the matrix is (|types|², count) — tiny —
+    * and the row totals broadcast back onto it. */
+  private def transitionMatrix(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"), col("session_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val pairs = sessionAssign(spark, dir)
+      .withColumn("from_type", lag(col("event_type"), 1).over(w))
+      .filter(col("from_type").isNotNull)
+      .select(col("from_type"), col("event_type").as("to_type"))
+    val counts = pairs.groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy("from_type").agg(sum(col("n")).as("row_total"))
+    counts.join(broadcast(totals), "from_type")
+      .select(col("from_type"), col("to_type"), col("n"),
+        expr("(1000000 * n) div row_total").as("p_fp"))
+  }
+
+  /** Calendar date-spine dimension over the fact table's date span —
+    * the dbt-utils date-spine staple: one row per day with surrogate
+    * key, names, and weekend flag. Dates serialize as ISO strings (the
+    * comparator-stable form). Bounded output (years × 365), generated
+    * from one min/max aggregate — no source rows expand. */
+  private def dimDate(spark: SparkSession, dir: String): DataFrame = {
+    val span = Tables.orders(spark, dir)
+      .agg(to_date(min(col("o_orderdate"))).as("lo"),
+        to_date(max(col("o_orderdate"))).as("hi"))
+    span.select(explode(sequence(col("lo"), col("hi"))).as("d"))
+      .select(
+        date_format(col("d"), "yyyyMMdd").cast("long").as("date_key"),
+        date_format(col("d"), "yyyy-MM-dd").as("date_iso"),
+        year(col("d")).cast("long").as("year"),
+        date_format(col("d"), "MMMM").as("month_name"),
+        month(col("d")).cast("long").as("month"),
+        date_format(col("d"), "EEEE").as("dow_name"),
+        dayofweek(col("d")).cast("long").as("dow"),
+        dayofweek(col("d")).isin(1, 7).as("is_weekend"))
+  }
+
   /** Key-skew diagnostic for shuffle planning: one row with the row /
     * key counts, the heaviest key, its share in basis points, and the
     * max-over-mean skew factor ×100 — all integer floor arithmetic so
@@ -1410,6 +1458,15 @@ object SparkEntry {
     "distinct_sketch_incremental" -> (distinctSketchIncremental(_, _)),
     "event_pairs" -> (eventPairs(_, _)),
     "session_paths" -> (sessionPaths(_, _)),
+    // first-order Markov transition counts + fixed-point row
+    // probabilities over in-session consecutive event pairs
+    "transition_matrix" -> (transitionMatrix(_, _)),
+    // dbt-style calendar date spine over the fact span
+    "dim_date" -> (dimDate(_, _)),
+    // corpus-uniqueness curation score: fraction of a doc's shingles
+    // with df=1 — catches boilerplate assemblies pairwise dedup misses
+    "ngram_novelty" -> ((s, d) =>
+      TextFunctions.ngramNovelty(Tables.documents(s, d))),
     "skew_report" -> (skewReport(_, _)),
     // exact integer PMI inputs over the top-50 document-frequency terms
     "term_pairs" -> ((s, d) =>
@@ -2318,6 +2375,69 @@ object SparkEntry {
         |  FROM s GROUP BY 1, 2)
         |SELECT path, count(*) AS n_sessions FROM p
         |GROUP BY 1 ORDER BY n_sessions DESC, path ASC LIMIT 20""".stripMargin,
+    // same gap-sessionization CTEs as session_paths, then LAG within
+    // the session and exact fixed-point row normalization
+    "transition_matrix" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN LAG(ts) OVER w IS NULL
+        |           OR epoch(ts) - epoch(LAG(ts) OVER w) > 1800
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM g),
+        |pr AS (
+        |  SELECT LAG(event_type) OVER (PARTITION BY user_id, session_id
+        |      ORDER BY ts, event_id) AS from_type,
+        |    event_type AS to_type
+        |  FROM s),
+        |c AS (
+        |  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM pr WHERE from_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS row_total FROM c GROUP BY 1)
+        |SELECT c.from_type, c.to_type, c.n,
+        |  CAST((1000000 * c.n) // t.row_total AS BIGINT) AS p_fp
+        |FROM c JOIN t USING (from_type)""".stripMargin,
+    // DuckDB dayofweek is 0=Sunday..6; Spark is 1=Sunday..7 — shift
+    "dim_date" ->
+      """WITH span AS (
+        |  SELECT CAST(min(o_orderdate) AS DATE) AS lo,
+        |    CAST(max(o_orderdate) AS DATE) AS hi
+        |  FROM orders),
+        |d AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS d FROM span)
+        |SELECT CAST(strftime(d, '%Y%m%d') AS BIGINT) AS date_key,
+        |  strftime(d, '%Y-%m-%d') AS date_iso,
+        |  CAST(year(d) AS BIGINT) AS year,
+        |  monthname(d) AS month_name,
+        |  CAST(month(d) AS BIGINT) AS month,
+        |  dayname(d) AS dow_name,
+        |  CAST(dayofweek(d) + 1 AS BIGINT) AS dow,
+        |  dayofweek(d) IN (0, 6) AS is_weekend
+        |FROM d""".stripMargin,
+    // novelty: distinct-shingle posting md5-folded to longs, df
+    // aggregate, per-doc df=1 fraction in fixed point
+    "ngram_novelty" ->
+      s"""WITH sp AS (
+         |  SELECT doc_id,
+         |    CAST(concat('0x', substring(md5(sh), 1, 15)) AS BIGINT) AS sh_h
+         |  FROM (SELECT doc_id, unnest($shinglesSql) AS sh FROM documents)),
+         |dfc AS (SELECT sh_h, count(*) AS df FROM sp GROUP BY 1),
+         |pd AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+         |    CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique
+         |  FROM sp JOIN dfc USING (sh_h) GROUP BY 1)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(pd.n_shingles, 0) AS BIGINT) AS n_shingles,
+         |  CAST(coalesce(pd.n_unique, 0) AS BIGINT) AS n_unique,
+         |  CAST(CASE WHEN coalesce(pd.n_shingles, 0) > 0
+         |    THEN (1000000 * pd.n_unique) // pd.n_shingles
+         |    ELSE 0 END AS BIGINT) AS novelty_fp
+         |FROM (SELECT DISTINCT doc_id FROM documents) d
+         |LEFT JOIN pd USING (doc_id)""".stripMargin,
     "skew_report" ->
       """WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1),
         |t AS (SELECT user_id AS top_key, n AS top_n FROM c

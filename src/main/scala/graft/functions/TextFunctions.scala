@@ -940,6 +940,38 @@ object TextFunctions {
       .withColumn("keep", col("score_fp") > 0)
   }
 
+  /** N-gram novelty scoring — the curation signal for "does this doc
+    * add anything": the fraction of a document's distinct 3-token
+    * shingles that appear NOWHERE else in the corpus (df = 1), in
+    * fixed-point millionths. High novelty = unique content worth
+    * keeping; near-zero = the doc is assembled from corpus-common
+    * spans (boilerplate, mirrors, quote farms) even when no single
+    * near-dup partner exists — the case pairwise dedup can't see.
+    *
+    * Scale shape: shingles md5-fold to longs map-side (same convention
+    * as [[dupSpanStats]]); the df aggregate and the posting join carry
+    * only (doc_id, hash) — text never shuffles. Shingle-less docs
+    * (< 3 tokens) score zero via the left join. */
+  def ngramNovelty(docs: DataFrame, textCol: String = "text",
+                   idCol: String = "doc_id"): DataFrame = {
+    val sp = docs.select(col(idCol).as("doc_id"),
+        explode(shingleSet(col(textCol))).as("sh"))
+      .select(col("doc_id"), shingleHash(col("sh")).as("sh_h"))
+    val dfCounts = sp.groupBy("sh_h").agg(count(lit(1)).as("df"))
+    val perDoc = sp.join(dfCounts, "sh_h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+    docs.select(col(idCol).as("doc_id")).distinct()
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_unique"), lit(0L)).as("n_unique"))
+      .withColumn("novelty_fp",
+        when(col("n_shingles") > 0,
+          expr("(1000000 * n_unique) div n_shingles")).otherwise(lit(0L)))
+  }
+
   /** Wordlist-based safety filtering (the C4-style "bad words" pass):
     * per-document hit counts against a fixed blocklist, with
     * `keep ⇔ total hits ≤ maxHits`. Counts are reported rather than

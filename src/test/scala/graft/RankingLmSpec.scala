@@ -333,6 +333,21 @@ class RankingLmSpec extends SparkSpec {
     assert(out.sortBy(_._1).sameElements(again.sortBy(_._1)))
   }
 
+  test("ngramNovelty scores the df=1 shingle fraction in closed form") {
+    val docs = Seq(
+      (1L, "a b c d"),   // shingles: "a b c"(df2), "b c d"(df1) → 1/2
+      (2L, "a b c x"),   // shingles: "a b c"(df2), "b c x"(df1) → 1/2
+      (3L, "p q r s t"), // all unique → 3/3
+      (4L, "zz")         // <3 tokens → no shingles
+    ).toDF("doc_id", "text")
+    val out = TextFunctions.ngramNovelty(docs).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out(0) == ((1L, 2L, 1L, 500000L)))
+    assert(out(1) == ((2L, 2L, 1L, 500000L)))
+    assert(out(2) == ((3L, 3L, 3L, 1000000L)))
+    assert(out(3) == ((4L, 0L, 0L, 0L)))
+  }
+
   test("blocklistFilter counts hits with multiplicity and distinct terms separately") {
     val docs = Seq(
       (1L, "slow slow dup fast"),   // 3 hits, 2 distinct terms

@@ -161,6 +161,43 @@ class StagingWarehouseSpec extends SparkSpec {
     assert(totalCents == direct)
   }
 
+  test("dim_date spine is contiguous, key-consistent, and weekend-correct") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("dim_date")(spark, dir)
+      .orderBy("date_key").collect()
+    assert(rows.length > 300)
+    // contiguous daily spine: row count equals the inclusive day span
+    val first = java.time.LocalDate.parse(rows.head.getString(1))
+    val last = java.time.LocalDate.parse(rows.last.getString(1))
+    assert(java.time.temporal.ChronoUnit.DAYS.between(first, last) + 1 == rows.length)
+    rows.foreach { r =>
+      val d = java.time.LocalDate.parse(r.getString(1))
+      assert(r.getLong(0) == d.format(
+        java.time.format.DateTimeFormatter.BASIC_ISO_DATE).toLong)
+      // java DOW: Mon=1..Sun=7; engine DOW: Sun=1..Sat=7
+      val expectDow = (d.getDayOfWeek.getValue % 7) + 1
+      assert(r.getLong(6) == expectDow, s"$d")
+      assert(r.getBoolean(7) == (expectDow == 1 || expectDow == 7))
+    }
+  }
+
+  test("transition_matrix row-normalizes exactly and ties to its own totals") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("transition_matrix")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val totals = rows.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    rows.foreach { case (from, _, n, pFp) =>
+      assert(pFp == 1000000L * n / totals(from))
+    }
+    // a row's probabilities sum to ~1 (floor division loses < |row| ulps)
+    totals.keys.foreach { from =>
+      val s = rows.filter(_._1 == from).map(_._4).sum
+      val k = rows.count(_._1 == from)
+      assert(s <= 1000000L && s > 1000000L - k, s"$from sums to $s")
+    }
+  }
+
   test("unpivot_measures melts 4 measures per lineitem row, value-faithful") {
     val dir = "/root/testdata/sf0.001"
     val li = graft.core.Tables.lineitem(spark, dir)

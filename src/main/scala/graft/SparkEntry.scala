@@ -438,10 +438,13 @@ object SparkEntry {
       .withColumn("from_type", lag(col("event_type"), 1).over(w))
       .filter(col("from_type").isNotNull)
       .select(col("from_type"), col("event_type").as("to_type"))
-    val counts = pairs.groupBy("from_type", "to_type")
+    // row totals via a window over the (tiny) matrix itself — a
+    // totals-aggregate-plus-join would plan the whole sessionize
+    // subtree TWICE (once per side); the window reuses the single pass
+    val wTot = Window.partitionBy(col("from_type"))
+    pairs.groupBy("from_type", "to_type")
       .agg(count(lit(1)).as("n"))
-    val totals = counts.groupBy("from_type").agg(sum(col("n")).as("row_total"))
-    counts.join(broadcast(totals), "from_type")
+      .withColumn("row_total", sum(col("n")).over(wTot))
       .select(col("from_type"), col("to_type"), col("n"),
         expr("(1000000 * n) div row_total").as("p_fp"))
   }

@@ -954,11 +954,16 @@ object TextFunctions {
     * (< 3 tokens) score zero via the left join. */
   def ngramNovelty(docs: DataFrame, textCol: String = "text",
                    idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val sp = docs.select(col(idCol).as("doc_id"),
         explode(shingleSet(col(textCol))).as("sh"))
       .select(col("doc_id"), shingleHash(col("sh")).as("sh_h"))
-    val dfCounts = sp.groupBy("sh_h").agg(count(lit(1)).as("df"))
-    val perDoc = sp.join(dfCounts, "sh_h")
+    // df via a window over the posting's own hash partitioning — a
+    // count-aggregate-plus-join would scan and explode the corpus
+    // TWICE (the posting feeds both sides); the window pays the same
+    // one exchange on sh_h and reuses the single pass
+    val perDoc = sp
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("sh_h"))))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shingles"),
         sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))

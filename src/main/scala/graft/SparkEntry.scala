@@ -470,6 +470,23 @@ object SparkEntry {
         dayofweek(col("d")).isin(1, 7).as("is_weekend"))
   }
 
+  /** LSH banding s-curve — the tuning table for choosing (bands, rows):
+    * for Jaccard similarity s on a 0.05 grid, the candidate probability
+    * 1 − (1 − s^r)^b of the engine's MinHash convention (k = 12,
+    * b = 4, r = 3), in exact basis-point integer arithmetic (every
+    * power is a chain of int64 floor divisions — engine-portable,
+    * overflow-safe: q^4 ≤ 10^16). Generated, not scanned: a constant
+    * 19-row planning table. */
+  private def lshTuning(spark: SparkSession, dir: String): DataFrame = {
+    spark.range(1, 20).toDF("i")
+      .select((col("i") * 500L).as("s_bp"))
+      .withColumn("s3_bp", expr("(s_bp * s_bp * s_bp) div 100000000"))
+      .withColumn("q_bp", lit(10000L) - col("s3_bp"))
+      .withColumn("p_candidate_bp",
+        lit(10000L) - expr("(q_bp * q_bp * q_bp * q_bp) div 1000000000000"))
+      .select("s_bp", "s3_bp", "p_candidate_bp")
+  }
+
   /** Key-skew diagnostic for shuffle planning: one row with the row /
     * key counts, the heaviest key, its share in basis points, and the
     * max-over-mean skew factor ×100 — all integer floor arithmetic so
@@ -1471,6 +1488,9 @@ object SparkEntry {
     "ngram_novelty" -> ((s, d) =>
       TextFunctions.ngramNovelty(Tables.documents(s, d))),
     "skew_report" -> (skewReport(_, _)),
+    // MinHash banding s-curve in exact basis points — the (bands,
+    // rows) tuning table for the engine's LSH convention
+    "lsh_tuning" -> (lshTuning(_, _)),
     // exact integer PMI inputs over the top-50 document-frequency terms
     "term_pairs" -> ((s, d) =>
       TextFunctions.termCooccurrence(Tables.documents(s, d))),
@@ -2450,6 +2470,15 @@ object SparkEntry {
         |  top_n * 10000 // n_rows AS top_share_bp,
         |  top_n * n_keys * 100 // n_rows AS skew_x100
         |FROM a, t""".stripMargin,
+    "lsh_tuning" ->
+      """WITH g AS (SELECT CAST(i * 500 AS BIGINT) AS s_bp FROM range(1, 20) t(i)),
+        |p AS (SELECT s_bp,
+        |    CAST((s_bp * s_bp * s_bp) // 100000000 AS BIGINT) AS s3_bp
+        |  FROM g)
+        |SELECT s_bp, s3_bp,
+        |  CAST(10000 - ((10000 - s3_bp) * (10000 - s3_bp) * (10000 - s3_bp)
+        |    * (10000 - s3_bp)) // 1000000000000 AS BIGINT) AS p_candidate_bp
+        |FROM p""".stripMargin,
     "text_quality" ->
       s"""SELECT doc_id,
          |  n_tokens < ${TextFunctions.minTokens} AS too_short,

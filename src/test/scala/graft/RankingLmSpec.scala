@@ -333,6 +333,19 @@ class RankingLmSpec extends SparkSpec {
     assert(out.sortBy(_._1).sameElements(again.sortBy(_._1)))
   }
 
+  test("lsh_tuning s-curve is monotone with the known value at s=0.5") {
+    val rows = SparkEntry.queries("lsh_tuning")(spark, "")
+      .orderBy("s_bp").collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(rows.length == 19)
+    // monotone nondecreasing candidate probability in s
+    rows.sliding(2).foreach { case Array((_, a), (_, b)) => assert(a <= b) }
+    // s=0.5: 1-(1-0.5^3)^4 = 0.41381... -> 4139 bp under floor chains
+    assert(rows.find(_._1 == 5000L).get._2 == 4139L)
+    // tails: near-zero candidate rate at s=0.05, near-certain at 0.95
+    assert(rows.head._2 < 100 && rows.last._2 > 9900)
+  }
+
   test("ngramNovelty scores the df=1 shingle fraction in closed form") {
     val docs = Seq(
       (1L, "a b c d"),   // shingles: "a b c"(df2), "b c d"(df1) → 1/2

@@ -314,6 +314,27 @@ class TextDedupSpec extends SparkSpec {
     assert(fpRate > 0.0 && fpRate <= 1.0)
   }
 
+  test("minhash LSH recall vs the exact Jaccard baseline on the real corpus") {
+    // the quadratic baseline is the ground truth the LSH path
+    // approximates; the hash family is md5-derived (no RNG), so recall
+    // here is a DETERMINISTIC property of the (k=12, b=4) convention —
+    // this pins it against silent banding regressions
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.01")
+    val bound = 250L
+    val truth = Dedup.ngramJaccardPairs(docs, bound)
+      .filter(col("jaccard") >= 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty, "baseline found no pairs — test is vacuous")
+    val lsh = Dedup.minhashNearDups(docs.filter(col("doc_id") < bound))
+      .filter(col("jaccard") >= 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // precision 1.0 by construction (pairs are exact-Jaccard verified)
+    assert(lsh.subsetOf(truth), s"LSH emitted non-true pairs: ${lsh -- truth}")
+    // recall: with banding P(candidate | s=0.8) ≈ 0.94 per the
+    // lsh_tuning s-curve; on this corpus the convention finds them all
+    assert(lsh == truth, s"missed: ${truth -- lsh}")
+  }
+
   test("dedupCorpus is the identity on a corpus with no near-duplicates") {
     val docs = Seq(
       (1L, "completely original text about database engines and joins"),

@@ -546,6 +546,32 @@ object SparkEntry {
     v.join(p, Seq("user_id"), "left")
   }
 
+  /** Ordered 3-step funnel depth counts (view → click → purchase,
+    * each step strictly at-or-after the previous step's first
+    * occurrence): the product-analytics conversion table. Each stage
+    * is one slim per-user min aggregate joined forward — no
+    * self-join of the event stream against itself, no window over
+    * raw events; at 100 TB each stage shuffles one row per user. */
+  private def funnelSteps(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    def firstAfter(tpe: String, prev: Option[DataFrame], prevCol: String,
+                   outCol: String): DataFrame = {
+      val base = ev.filter(col("event_type") === tpe)
+      val gated = prev match {
+        case Some(p) => base.join(p, "user_id").filter(col("ts") >= col(prevCol))
+        case None => base
+      }
+      gated.groupBy(col("user_id")).agg(min(col("ts")).as(outCol))
+    }
+    val v = firstAfter("view", None, "", "t_view")
+    val c = firstAfter("click", Some(v), "t_view", "t_click")
+    val p = firstAfter("purchase", Some(c), "t_click", "t_purchase")
+    def cnt(df: DataFrame, step: String, depth: Int) =
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(depth.toLong).as("depth"), lit(step).as("step"), col("n_users"))
+    cnt(v, "view", 1).unionAll(cnt(c, "click", 2)).unionAll(cnt(p, "purchase", 3))
+  }
+
   /** Exact interpolated percentiles per group (Spark `percentile` and
     * DuckDB `quantile_cont` share the p*(n-1) linear-interpolation
     * definition). */
@@ -1426,6 +1452,9 @@ object SparkEntry {
         .agg(array_join(array_sort(collect_set(col("event_type"))), ",").as("event_types"),
           count(lit(1)).as("n_events"))),
     "funnel" -> (funnel(_, _)),
+    // ordered 3-step funnel depth counts (view -> click -> purchase),
+    // each stage one slim per-user min aggregate joined forward
+    "funnel_steps" -> (funnelSteps(_, _)),
     "percentiles" -> (percentiles(_, _)),
     // per-group winsorization: clip to exact [p05, p95] — robust
     // scaling for score columns ahead of thresholding/mixing
@@ -2195,6 +2224,22 @@ object SparkEntry {
         |  GROUP BY 1)
         |SELECT v.user_id, v.first_view, p.first_purchase_after
         |FROM v LEFT JOIN p ON v.user_id = p.user_id""".stripMargin,
+    "funnel_steps" ->
+      """WITH v AS (
+        |  SELECT user_id, min(ts) AS t_view FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c AS (
+        |  SELECT e.user_id, min(e.ts) AS t_click
+        |  FROM events e JOIN v USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts >= v.t_view GROUP BY 1),
+        |p AS (
+        |  SELECT e.user_id, min(e.ts) AS t_purchase
+        |  FROM events e JOIN c USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts >= c.t_click GROUP BY 1)
+        |SELECT CAST(1 AS BIGINT) AS depth, 'view' AS step,
+        |  CAST((SELECT count(*) FROM v) AS BIGINT) AS n_users
+        |UNION ALL SELECT 2, 'click', CAST((SELECT count(*) FROM c) AS BIGINT)
+        |UNION ALL SELECT 3, 'purchase', CAST((SELECT count(*) FROM p) AS BIGINT)""".stripMargin,
     "percentiles" ->
       """SELECT event_type,
         |  quantile_cont(value, 0.25) AS p25,

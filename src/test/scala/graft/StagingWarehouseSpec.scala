@@ -198,6 +198,18 @@ class StagingWarehouseSpec extends SparkSpec {
     }
   }
 
+  test("funnel_steps depth counts are monotone nonincreasing and tie to the 2-step funnel") {
+    val dir = "/root/testdata/sf0.001"
+    val steps = SparkEntry.queries("funnel_steps")(spark, dir)
+      .orderBy("depth").collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(steps.map(_._1).toSeq == Seq(1L, 2L, 3L))
+    // a later step can never have more users than an earlier one
+    assert(steps(0)._2 >= steps(1)._2 && steps(1)._2 >= steps(2)._2)
+    // depth-1 ties to the 2-step funnel's view-user universe
+    val funnelUsers = SparkEntry.queries("funnel")(spark, dir).count()
+    assert(steps(0)._2 == funnelUsers)
+  }
+
   test("unpivot_measures melts 4 measures per lineitem row, value-faithful") {
     val dir = "/root/testdata/sf0.001"
     val li = graft.core.Tables.lineitem(spark, dir)

@@ -203,7 +203,10 @@ object SparkEntry {
     * in pure integer arithmetic. The ordered window runs over the
     * month axis — BOUNDED (dozens of aggregate rows), so the
     * single-partition sort it implies is over aggregates, never facts;
-    * the facts themselves take one hash-agg exchange on the month key. */
+    * the facts themselves take one hash-agg exchange on the month key.
+    * Months with zero orders emit no row, so "previous" means the
+    * previous PRESENT month — date-spine-join against [[dimDate]]
+    * first when calendar-adjacent semantics are needed. */
   private def periodOverPeriod(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val monthly = Tables.orders(spark, dir)

@@ -991,7 +991,9 @@ object TextFunctions {
                       textCol: String = "text", idCol: String = "doc_id")
       : DataFrame = {
     require(terms.nonEmpty, "blocklist must not be empty")
-    val termArr = array(terms.map(lit): _*)
+    // tokens() lowercases, so match case-insensitively regardless of
+    // how the list was authored
+    val termArr = array(terms.map(t => lit(t.toLowerCase)): _*)
     docs.select(col(idCol).as("doc_id"),
         bound(tokens(col(textCol))) { t =>
           struct(

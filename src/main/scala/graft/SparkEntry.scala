@@ -2976,10 +2976,10 @@ object SparkEntry {
          |sp AS (SELECT doc_id,
          |    CAST(concat('0x', substring(md5(sp), 1, 15)) AS BIGINT) AS sp_h
          |  FROM sp0),
-         |counts AS (SELECT sp_h, count(DISTINCT doc_id) AS nd FROM sp GROUP BY 1),
+         |w AS (SELECT doc_id, count(*) OVER (PARTITION BY sp_h) AS nd FROM sp),
          |pd AS (SELECT doc_id, count(*) AS n_spans,
          |    CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans
-         |  FROM sp JOIN counts USING (sp_h) GROUP BY 1)
+         |  FROM w GROUP BY 1)
          |SELECT d.doc_id,
          |  CAST(coalesce(pd.n_spans, 0) AS BIGINT) AS n_spans,
          |  CAST(coalesce(pd.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,

@@ -729,8 +729,16 @@ object TextFunctions {
         explode(shingleSet(col(textCol), width)).as("sp"))
       .select(col("doc_id"),
         conv(substring(md5(col("sp")), 1, 15), 16, 10).cast("long").as("sp_h"))
-    val counts = sp.groupBy("sp_h").agg(countDistinct(col("doc_id")).as("nd"))
-    val perDoc = sp.join(counts, "sp_h")
+    // per-span doc count via a window over the posting's own hash
+    // partitioning: the count-distinct-aggregate-plus-join form scans
+    // and explodes the corpus TWICE (the posting feeds both sides).
+    // shingleSet is distinct per doc, so rows per sp_h ≡ distinct docs
+    // per sp_h (modulo a same-doc 60-bit md5 collision, ~2^-61 per
+    // span pair — and the oracle counts the same folded rows, so even
+    // that cannot diverge the comparison)
+    import org.apache.spark.sql.expressions.Window
+    val perDoc = sp
+      .withColumn("nd", count(lit(1)).over(Window.partitionBy(col("sp_h"))))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_spans"),
         sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup_spans"))
@@ -949,9 +957,10 @@ object TextFunctions {
     * near-dup partner exists — the case pairwise dedup can't see.
     *
     * Scale shape: shingles md5-fold to longs map-side (same convention
-    * as [[dupSpanStats]]); the df aggregate and the posting join carry
-    * only (doc_id, hash) — text never shuffles. Shingle-less docs
-    * (< 3 tokens) score zero via the left join. */
+    * as [[dupSpanStats]]); the df window and the doc aggregate carry
+    * only (doc_id, hash) — text never shuffles, and the corpus is
+    * scanned exactly once. Shingle-less docs (< 3 tokens) score zero
+    * via the left join. */
   def ngramNovelty(docs: DataFrame, textCol: String = "text",
                    idCol: String = "doc_id"): DataFrame = {
     import org.apache.spark.sql.expressions.Window

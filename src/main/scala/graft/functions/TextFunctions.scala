@@ -555,24 +555,27 @@ object TextFunctions {
     * own mass included — standard for corpus-level filtering; no
     * leave-one-out join).
     *
-    * Plan shape: one shingle projection feeds both count aggregations
-    * and the posting — bigram counts and prefix counts are slim
-    * (string, long) hash-aggs; the posting joins carry only
-    * (doc_id, bigram, prefix), never the text. At 100 TB the count
-    * tables get a `HAVING count >= minCount` prune before the join
-    * (unseen-bigram smoothing), and the bigram join key should be a
-    * 64-bit hash of the string. */
+    * Plan shape: ONE shingle projection, scanned once — bigram and
+    * prefix counts ride two count windows over the posting's own
+    * partitionings (the aggregate-plus-join form re-scans the corpus
+    * per count table); only (doc_id, bigram, prefix) rows cross the
+    * exchanges, never the text. At 100 TB hash the bigram strings to
+    * 64-bit keys before the exchanges, and add unseen-bigram
+    * smoothing via a `c2 >= minCount` gate inside the projection. */
   def lmBigramScore(docs: org.apache.spark.sql.DataFrame,
                     textCol: String = "text", idCol: String = "doc_id")
       : org.apache.spark.sql.DataFrame = {
     val posting = docs.select(col(idCol).as("doc_id"),
         explode(shingles(col(textCol), 2)).as("bigram"))
       .withColumn("prefix", substring_index(col("bigram"), " ", 1))
-    val c2 = posting.groupBy("bigram").agg(count(lit(1)).as("c2"))
-    val c1 = posting.groupBy("prefix").agg(count(lit(1)).as("c1"))
+    // bigram and prefix counts via windows over the posting's own
+    // partitionings — the aggregate-plus-join form scans and explodes
+    // the corpus THREE times (the posting feeds both count tables and
+    // the join); two windows pay comparable exchanges and scan once
+    import org.apache.spark.sql.expressions.Window
     val perDoc = posting
-      .join(c2, "bigram")
-      .join(c1, "prefix")
+      .withColumn("c2", count(lit(1)).over(Window.partitionBy(col("bigram"))))
+      .withColumn("c1", count(lit(1)).over(Window.partitionBy(col("prefix"))))
       // fixed-point millionths, floor division: exact integers both
       // engines, so the sum below is order-independent
       .withColumn("p_fp", expr("(1000000 * c2) div c1"))

@@ -218,6 +218,20 @@ object TextFunctions {
   def shingleHash(sh: Column): Column =
     conv(substring(md5(sh), 1, 15), 16, 10).cast("long")
 
+  /** The shared distinct-shingle posting: one row per (doc_id,
+    * 60-bit span hash), spans hashed map-side so text never reaches
+    * an exchange. `shingleSet` is distinct per doc, so rows per hash
+    * equal distinct docs per hash (modulo a same-doc 60-bit md5
+    * collision, ~2^-61 per span pair — and every oracle counts the
+    * same folded rows, so even that cannot diverge a comparison).
+    * Feeds [[dupSpanStats]] and [[ngramNovelty]]. */
+  private def spanPosting(docs: org.apache.spark.sql.DataFrame, width: Int,
+                          textCol: String, idCol: String)
+      : org.apache.spark.sql.DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(shingleSet(col(textCol), width)).as("sp"))
+      .select(col("doc_id"), shingleHash(col("sp")).as("sp_h"))
+
   /** Train→test contamination check (decontamination stage): for each
     * test document, the fraction of its distinct 3-token shingles that
     * appear ANYWHERE in the training corpus.
@@ -728,19 +742,12 @@ object TextFunctions {
   def dupSpanStats(docs: org.apache.spark.sql.DataFrame, width: Int = 8,
                    textCol: String = "text", idCol: String = "doc_id")
       : org.apache.spark.sql.DataFrame = {
-    val sp = docs.select(col(idCol).as("doc_id"),
-        explode(shingleSet(col(textCol), width)).as("sp"))
-      .select(col("doc_id"),
-        conv(substring(md5(col("sp")), 1, 15), 16, 10).cast("long").as("sp_h"))
     // per-span doc count via a window over the posting's own hash
     // partitioning: the count-distinct-aggregate-plus-join form scans
-    // and explodes the corpus TWICE (the posting feeds both sides).
-    // shingleSet is distinct per doc, so rows per sp_h ≡ distinct docs
-    // per sp_h (modulo a same-doc 60-bit md5 collision, ~2^-61 per
-    // span pair — and the oracle counts the same folded rows, so even
-    // that cannot diverge the comparison)
+    // and explodes the corpus TWICE (the posting feeds both sides);
+    // see [[spanPosting]] for the rows-equal-distinct-docs argument
     import org.apache.spark.sql.expressions.Window
-    val perDoc = sp
+    val perDoc = spanPosting(docs, width, textCol, idCol)
       .withColumn("nd", count(lit(1)).over(Window.partitionBy(col("sp_h"))))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_spans"),
@@ -967,14 +974,12 @@ object TextFunctions {
   def ngramNovelty(docs: DataFrame, textCol: String = "text",
                    idCol: String = "doc_id"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sp = docs.select(col(idCol).as("doc_id"),
-        explode(shingleSet(col(textCol))).as("sh"))
-      .select(col("doc_id"), shingleHash(col("sh")).as("sh_h"))
     // df via a window over the posting's own hash partitioning — a
     // count-aggregate-plus-join would scan and explode the corpus
     // TWICE (the posting feeds both sides); the window pays the same
     // one exchange on sh_h and reuses the single pass
-    val perDoc = sp
+    val perDoc = spanPosting(docs, 3, textCol, idCol)
+      .withColumnRenamed("sp_h", "sh_h")
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("sh_h"))))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shingles"),

@@ -78,21 +78,40 @@ object PlanLint {
     }
   }
 
-  /** Provably row-bounded subtree: a global (no-grouping) aggregate
-    * (1 row) or a limit ≤ `cap` somewhere below. A nested-loop join
-    * against such a side is a LINEAR per-row fan-out of at most `cap`
-    * — the scalar-broadcast pattern ("attach the sketch / percentile
-    * row to every row") and its small-table generalization (nearest-
-    * centroid argmin against a ≤256-row centroid table) — not a
-    * missing join condition. An unbounded side still flags. */
+  /** Provably row-bounded subtree: descending ONLY through
+    * row-preserving-or-reducing wrappers (project/filter/sort/
+    * exchange/codegen plumbing), the side's top is a global
+    * (no-grouping) aggregate (1 row) or a limit ≤ `cap`. A
+    * nested-loop join against such a side is a LINEAR per-row fan-out
+    * of at most `cap` — the scalar-broadcast pattern ("attach the
+    * sketch / percentile row to every row") and its small-table
+    * generalization (nearest-centroid argmin against a ≤256-row
+    * centroid table) — not a missing join condition.
+    *
+    * The descent is deliberately NOT a subtree search: a limit with a
+    * row-EXPANDING operator above it (explode, join, union) bounds
+    * nothing, so `bigTable JOIN (x LIMIT 200)` still flags. */
   private def boundedRows(p: SparkPlan, cap: Int = 256): Boolean = {
-    import org.apache.spark.sql.execution.{CollectLimitExec, GlobalLimitExec, TakeOrderedAndProjectExec}
+    import org.apache.spark.sql.execution.{CollectLimitExec, GlobalLimitExec, InputAdapter, ProjectExec, SortExec, TakeOrderedAndProjectExec, WholeStageCodegenExec}
     import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
-    collect(p).exists {
-      case a: BaseAggregateExec => a.groupingExpressions.isEmpty
+    import org.apache.spark.sql.execution.exchange.{Exchange, ReusedExchangeExec}
+    import org.apache.spark.sql.execution.ColumnarToRowExec
+    p match {
+      case a: BaseAggregateExec if a.groupingExpressions.isEmpty => true
+      case a: BaseAggregateExec => boundedRows(a.child, cap)
       case l: GlobalLimitExec => l.limit <= cap
       case l: CollectLimitExec => l.limit <= cap
       case t: TakeOrderedAndProjectExec => t.limit <= cap
+      case w: ProjectExec => boundedRows(w.child, cap)
+      case w: FilterExec => boundedRows(w.child, cap)
+      case w: SortExec => boundedRows(w.child, cap)
+      case e: Exchange => boundedRows(e.child, cap)
+      case r: ReusedExchangeExec => boundedRows(r.child, cap)
+      case a: AdaptiveSparkPlanExec => boundedRows(a.executedPlan, cap)
+      case q: QueryStageExec => boundedRows(q.plan, cap)
+      case w: WholeStageCodegenExec => boundedRows(w.child, cap)
+      case i: InputAdapter => boundedRows(i.child, cap)
+      case c: ColumnarToRowExec => boundedRows(c.child, cap)
       case _ => false
     }
   }

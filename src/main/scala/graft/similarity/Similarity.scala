@@ -667,7 +667,17 @@ object Similarity {
     val cents = candidates.orderBy(col("vec_id").asc).limit(nCells)
       .select(col("vec_id").as("cell_id"), col("embedding").as("c_emb"),
         norm(col("embedding")).as("c_norm"))
+    // dim is enforced on the candidate side — centroids are a subset
+    // of candidates, so every vector (centroid included) is checked,
+    // and the top-k centroid subtree stays a clean
+    // TakeOrderedAndProject (a raise_error in its projection would
+    // defeat that pattern and force a real sort exchange)
+    val checked = when(size(col("embedding")) === dim, col("embedding"))
+      .otherwise(raise_error(concat(
+        lit(s"assignCells: embedding dim != $dim for vec_id "),
+        col("vec_id").cast("string"))))
     graft.core.Parallelism.ensure(candidates)
+      .withColumn("embedding", checked)
       .withColumn("c_norm2", norm(col("embedding")))
       .crossJoin(broadcast(cents))
       .withColumn("d",
@@ -695,6 +705,5 @@ object Similarity {
     val cells = assignCells(candidates, dim, nCells)
     graft.operators.Sampling
       .topKPerStratum(cells, "vec_id", "cell_id", perCell, salt)
-      .orderBy(col("vec_id").asc)
   }
 }

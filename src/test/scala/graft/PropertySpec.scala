@@ -415,10 +415,18 @@ class PropertySpec extends SparkSpec {
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     val banded = graft.similarity.Similarity
       .hardNegatives(vecs, q, k = 1000, loCos = -0.5, hiCos = 0.5)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSet
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the operator bands on RAW cosine but only the 9-decimal-rounded
+    // value is observable here, so sandwich: everything strictly
+    // inside the band (by rounded value, 1e-9 margin) must be present,
+    // and nothing clearly outside it may be
     val full = graft.similarity.Similarity.bruteForceTopK(vecs, q, k = 1000)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
-      .filter { case (_, _, c) => c >= -0.5 && c < 0.5 }.toSet
-    assert(banded == full)
+    val mustHave = full.filter { case (_, _, c) => c >= -0.5 + 1e-9 && c < 0.5 - 1e-9 }
+      .map(t => (t._1, t._2)).toSet
+    val mayHave = full.filter { case (_, _, c) => c >= -0.5 - 1e-9 && c < 0.5 + 1e-9 }
+      .map(t => (t._1, t._2)).toSet
+    assert(mustHave.subsetOf(banded), s"missing: ${mustHave -- banded}")
+    assert(banded.subsetOf(mayHave), s"out of band: ${banded -- mayHave}")
   }
 }

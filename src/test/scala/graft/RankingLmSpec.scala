@@ -413,5 +413,10 @@ class RankingLmSpec extends SparkSpec {
     assert(capped.length == 4)
     assert(capped.groupBy(_._2).forall(_._2.length == 2))
     assert(capped.forall { case (v, c) => all(v) == c })
+    // a wrong dim fails loudly at the first action, not silently
+    intercept[Exception] {
+      Similarity.clusterBalancedSample(vecs, dim = 64, nCells = 2,
+        perCell = 2).collect()
+    }
   }
 }

@@ -13,7 +13,51 @@ object Bench {
     "embed_neardup" -> "pair-verifying near-dup: candidate pairs grow with bucket density",
     "sim_lsh" -> "LSH bucket self-join pair baseline")
 
+  /** PlanLint findings expected by design, keyed by query name →
+    * (rule, why). A finding matching an entry here is recorded as
+    * exempt; anything else in the lint sweep is a defect to fix. */
+  private val lintExempt: Map[String, Map[String, String]] = Map(
+    "sim_topk" -> Map("cartesian" ->
+      "brute-force cosine baseline: every doc scored against a bounded query set"),
+    "sim_hamming" -> Map("cartesian" ->
+      "brute-force Hamming baseline: bounded query set vs corpus"),
+    "dedup_ngram_jaccard" -> Map("cartesian" ->
+      "documented O(n^2) exact-Jaccard baseline (maxId-bounded)"),
+    "corpus_shuffle" -> Map("wide-shuffle" ->
+      "shard-shuffle IS the operator: redistributing payload rows is the point"),
+    "doc_pack" -> Map("wide-shuffle" ->
+      "sequence packing redistributes document text into shards by design"))
+
   private def fmt(d: Double): String = f"$d%.3f"
+
+  /** Per-query minimums and per-run arrays from a previous round's
+    * BENCH_detail.json (read BEFORE this run overwrites it). Parsed
+    * with the Jackson bundled in Spark's own classpath. */
+  private def readPrevDetail(path: String, sfName: String)
+      : Option[(Double, Map[String, Double], Map[String, Seq[Double]])] =
+    try {
+      val f = new java.io.File(path)
+      if (!f.isFile) None
+      else {
+        import scala.jdk.CollectionConverters._
+        val om = new com.fasterxml.jackson.databind.ObjectMapper()
+        val root = om.readTree(f)
+        def obj(name: String): Map[String, com.fasterxml.jackson.databind.JsonNode] =
+          Option(root.get(name)).filter(_.isObject).map { n =>
+            n.fieldNames().asScala.map(k => k -> n.get(k)).toMap
+          }.getOrElse(Map.empty)
+        val mins = obj("queries").map { case (k, v) => k -> v.asDouble() }
+        val runs = obj("runs_s").map { case (k, v) =>
+          k -> v.elements().asScala.map(_.asDouble()).toSeq
+        }
+        val total = Option(root.get("total_s")).map(_.asDouble()).getOrElse(-1.0)
+        // Cross-SF comparison is meaningless — only diff when the
+        // previous detail ran at the same scale factor.
+        val prevSf = Option(root.get("sf")).map(_.asText()).getOrElse("")
+        if (new java.io.File(prevSf).getName != sfName) None
+        else Some((total, mins, runs))
+      }
+    } catch { case _: Throwable => None }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -25,8 +69,24 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // The live status stores retain per-execution plan graphs and
+      // per-stage rollups even with the UI off; at 150 queries x 3 runs
+      // the defaults (1000 executions / 1000 jobs) accumulate hundreds
+      // of MB of driver state over the sweep — steady GC pressure that
+      // taxes LATER queries more than earlier ones. Bound them hard.
+      .config("spark.sql.ui.retainedExecutions", "8")
+      .config("spark.ui.retainedJobs", "100")
+      .config("spark.ui.retainedStages", "200")
+      .config("spark.ui.retainedTasks", "1000")
+      .config("spark.ui.retainedDeadExecutors", "0")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Previous round's per-query numbers, read before we overwrite the
+    // detail file: the round-over-round regression gate diffs against
+    // these (driver archives BENCH_r{N}.json, but the detail file is
+    // the one with per-query minimums and run arrays).
+    val prevDetailPath = sys.env.getOrElse("SPARK_GRAFT_PREV_DETAIL", "BENCH_detail.json")
+    val prev = readPrevDetail(prevDetailPath, new java.io.File(sfDir).getName)
     // Warm-up: JIT/codegen/parquet-reader init and page cache are not
     // operator cost; run one shuffle + every table scan before timing.
     spark.range(1000000).selectExpr("sum(id % 7)").collect()
@@ -35,6 +95,13 @@ object Bench {
       try spark.read.parquet(s"$sfDir/$t.parquet").count()
       catch { case _: Throwable => () }
     }
+    // Leftover persisted RDDs per query (localCheckpoint blocks whose
+    // owners went out of scope): freed deterministically below, and
+    // counted here so any query that leaks blocks is named in the
+    // artifact instead of taxing its successors invisibly.
+    val leftoverBlocks = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    val lintFindings =
+      scala.collection.mutable.LinkedHashMap.empty[String, Seq[graft.plans.PlanLint.Finding]]
     // Full evaluation via queryExecution.toRdd.count(): a plain count()
     // lets Catalyst prune every projection not needed for counting, so
     // map-only queries (text_scrub, token_count, ...) would be timed as
@@ -44,27 +111,40 @@ object Bench {
     // honest timing).
     def timeOne(name: String,
                 fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
-                dir: String): Option[Double] = {
+                dir: String,
+                lint: Boolean = false): Option[Double] = {
       val t0 = System.nanoTime()
       val timed =
         try {
-          fn(spark, dir).queryExecution.toRdd.count()
-          Some((System.nanoTime() - t0) / 1e9)
+          val df = fn(spark, dir)
+          df.queryExecution.toRdd.count()
+          val t = (System.nanoTime() - t0) / 1e9
+          // Lint the EXECUTED plan (AQE-final) — a plan walk, done
+          // after the clock stops so it costs the timing nothing.
+          if (lint)
+            try lintFindings(name) = graft.plans.PlanLint.lint(df)
+            catch { case e: Throwable =>
+              System.err.println(s"[bench] lint $name failed: ${e.getMessage}") }
+          Some(t)
         } catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           None
         }
-      // Isolation between timed runs (outside the timer): operators
-      // scope their own persists since round 7, so this is a defensive
-      // guard — any CacheManager entry a query DID leave behind would
-      // distort every later query's memory budget and timing.
+      // Isolation between timed runs (outside the timer). Operators
+      // scope their own persists since round 7, but a localCheckpoint
+      // result is a plain persisted RDD the ContextCleaner frees only
+      // after the referencing object is GARBAGE-COLLECTED — across a
+      // 150-query sweep those orphaned blocks stack up in the storage
+      // pool until later queries pay eviction/spill (the unattributed
+      // r6->r7 drift on untouched queries). Unpersisting every leftover
+      // persistent RDD is deterministic and synchronous; clearCache
+      // handles DataFrame-level cache entries; the GC nudge releases
+      // broadcast/weak refs.
       spark.catalog.clearCache()
-      // localCheckpoint-backed results are plain RDD blocks the
-      // ContextCleaner frees only after the result is GARBAGE-
-      // COLLECTED — clearCache() does not touch them, and without a GC
-      // nudge each run's orphaned blocks stack up in the storage pool
-      // until later runs pay eviction/spill (bench-proven: containment
-      // runs [2.9, 12.8, 12.1] s with the same fresh plan each time).
+      val leftovers = spark.sparkContext.getPersistentRDDs
+      if (leftovers.nonEmpty)
+        leftoverBlocks(name) = leftoverBlocks.getOrElse(name, 0) + leftovers.size
+      leftovers.values.foreach(_.unpersist(blocking = true))
       System.gc()
       timed
     }
@@ -76,13 +156,95 @@ object Bench {
     // queries report min -1 (never a fast-failure latency).
     val nRuns = 3
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to nRuns).flatMap(_ => timeOne(name, fn, sfDir))
+      val times = (1 to nRuns).flatMap(r => timeOne(name, fn, sfDir, lint = r == nRuns))
       System.err.println(s"[bench] $name runs=" +
         times.map(fmt).mkString("[", ",", "]"))
       name -> times
     }
     val mins = results.map { case (n, ts) => n -> (if (ts.nonEmpty) ts.min else -1.0) }
     val total = mins.collect { case (_, t) if t > 0 => t }.sum
+
+    // ---- Round-over-round regression gate ----
+    // Diff per-query minimums against the previous round's detail file.
+    // Movement beyond 1.3x in either direction (on queries slow enough
+    // to measure, >0.3s on the slower side) is flagged; flags are
+    // adjudicated against BOTH rounds' per-run spreads — if the two
+    // [min,max] run intervals overlap, the movement is within box
+    // noise, not code. Regressions that survive adjudication get one
+    // metered run (stage-listener totals) so the artifact carries the
+    // shuffle/scan/spill numbers that attribute them, and those
+    // metrics persist per-query for the NEXT round to diff against.
+    val minsMap = mins.toMap
+    val runsMap = results.toMap
+    val vsPrevJson = prev match {
+      case None => "null"
+      case Some((prevTotal, prevMins, prevRuns)) =>
+        val compared = mins.collect {
+          case (name, cur) if cur > 0 && prevMins.get(name).exists(_ > 0) =>
+            val p = prevMins(name)
+            (name, p, cur, cur / p)
+        }
+        val flagged = compared.filter { case (_, p, cur, r) =>
+          (r > 1.3 || r < 1.0 / 1.3) && math.max(p, cur) > 0.3
+        }
+        val adjudicated = flagged.map { case (name, p, cur, r) =>
+          val pr = prevRuns.getOrElse(name, Seq(p)).filter(_ > 0)
+          val cr = runsMap.getOrElse(name, Seq(cur)).filter(_ > 0)
+          val overlap = pr.nonEmpty && cr.nonEmpty &&
+            cr.min <= pr.max && pr.min <= cr.max
+          val verdict =
+            if (overlap) "within-run-spread"
+            else if (r > 1.0) "regressed" else "improved"
+          (name, p, cur, r, verdict)
+        }
+        // Attribute surviving regressions (cap the extra metered runs).
+        val attributed = adjudicated
+          .filter { case (_, _, cur, _, v) => v == "regressed" && cur > 0.3 }
+          .take(10).map { case (name, _, _, _, _) =>
+            val m = try Some(graft.core.Metrics.measureAllJobs(
+                      SparkEntry.queries(name)(spark, sfDir)))
+                    catch { case _: Throwable => None }
+            spark.catalog.clearCache()
+            spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+            System.gc()
+            name -> m
+          }.toMap
+        val flaggedJson = adjudicated.map { case (name, p, cur, r, verdict) =>
+          val metricsJson = attributed.get(name).flatten.map { m =>
+            s""","metrics":{"shuffle_bytes":${m.shuffleBytesWritten},"shuffle_records":${m.shuffleRecordsWritten},"scan_rows":${m.scanRowsRead},"spill_disk_bytes":${m.spillBytesDisk},"spill_mem_bytes":${m.spillBytesMemory}}"""
+          }.getOrElse("")
+          s""""$name":{"prev_min_s":${fmt(p)},"cur_min_s":${fmt(cur)},"ratio":${fmt(r)},"verdict":"$verdict"$metricsJson}"""
+        }.mkString("{", ",", "}")
+        val ratiosJson = compared.map { case (name, _, _, r) =>
+          s""""$name":${fmt(r)}"""
+        }.mkString("{", ",", "}")
+        adjudicated.foreach { case (name, p, cur, r, verdict) =>
+          System.err.println(s"[bench][vs_prev] $name ${fmt(p)} -> ${fmt(cur)} " +
+            s"(${fmt(r)}x) $verdict")
+        }
+        s"""{"prev_file":"$prevDetailPath","prev_total_s":${fmt(prevTotal)},"n_compared":${compared.size},"n_flagged":${adjudicated.size},"flagged":$flaggedJson,"ratios":$ratiosJson}"""
+    }
+
+    // ---- PlanLint sweep over every executed plan ----
+    // Findings matching a named exemption are recorded as expected;
+    // anything else is a defect surfaced in the artifact.
+    val lintRows = lintFindings.toSeq.flatMap { case (q, fs) =>
+      fs.map { f =>
+        val exempt = lintExempt.get(q).flatMap(_.get(f.rule))
+        (q, f, exempt)
+      }
+    }
+    val lintUnexpected = lintRows.collect { case (q, f, None) => (q, f) }
+    lintUnexpected.foreach { case (q, f) =>
+      System.err.println(s"[bench][lint][UNEXPECTED] $q: ${f.rule} ${f.detail}")
+    }
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    val lintJson = {
+      val rows = lintRows.map { case (q, f, ex) =>
+        s"""{"query":"$q","rule":"${f.rule}","severity":"${f.severity}","detail":"${esc(f.detail)}","exempt":${ex.isDefined}${ex.map(w => s""","why":"${esc(w)}"""").getOrElse("")}}"""
+      }
+      s"""{"plans_linted":${lintFindings.size},"findings_n":${lintRows.size},"unexpected_n":${lintUnexpected.size},"findings":[${rows.mkString(",")}]}"""
+    }
 
     // Scaling curve: the 10 heaviest queries re-timed at each sibling
     // scale factor (10x data per step). Ratios near (or below) the data
@@ -123,6 +285,7 @@ object Bench {
             val m = try Some(graft.core.Metrics.measureAllJobs(fn(spark, dir)))
                     catch { case _: Throwable => None }
             spark.catalog.clearCache()
+            spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
             ((if (ts.nonEmpty) ts.min else -1.0), m)
           }
           val times = points.map(_._1)
@@ -130,7 +293,7 @@ object Bench {
             sfNames.zip(times).map { case (s, t) => s"$s=${fmt(t)}" }.mkString(" "))
           sfNames.zip(times).find(_._1 == new java.io.File(sfDir).getName)
             .filter(_._2 > 0).foreach { case (_, iso) =>
-              consistency += ((name, mins.toMap.apply(name), iso))
+              consistency += ((name, minsMap(name), iso))
             }
           // growth per 10x data step; null when a leg failed or is too
           // fast to attribute (fixed session overhead dominates <50ms)
@@ -196,15 +359,18 @@ object Bench {
     val perRun = results.map { case (k, ts) =>
       "\"" + k + "\":" + ts.map(fmt).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
+    val leftoverJson = leftoverBlocks.map { case (k, v) => s""""$k":$v""" }
+      .mkString("{", ",", "}")
     val ccRounds = graft.dedup.Dedup.lastCcRounds.get()
     val detail =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_s":${fmt(total)},"sf":"$sfDir","runs":$nRuns,"timing":"min-of-$nRuns, full materialization via toRdd, fresh plan per run, cache cleared between runs","cc_rounds":$ccRounds,"timing_consistency":$consistencyJson,"queries":$qs,"scaling":$scalingJson,"runs_s":$perRun}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_s":${fmt(total)},"sf":"$sfDir","runs":$nRuns,"timing":"min-of-$nRuns, full materialization via toRdd, fresh plan per run, caches+leftover RDD blocks cleared between runs","cc_rounds":$ccRounds,"timing_consistency":$consistencyJson,"leftover_persisted_rdds":$leftoverJson,"vs_prev":$vsPrevJson,"lint":$lintJson,"queries":$qs,"scaling":$scalingJson,"runs_s":$perRun}"""
     // The harness capturing stdout keeps only a bounded TAIL (~2 KB) of
-    // it — a full 79-query detail line can never survive that whole. So
+    // it — a full 150-query detail line can never survive that whole. So
     // the complete evidence (per-run times for self-adjudication,
-    // per-query mins, the scaling curve) goes to a file, and stdout
-    // carries one compact line, sized to fit the tail window entirely:
-    // totals, the 10 heaviest mins, and the scaling growth ratios.
+    // per-query mins, the scaling curve, vs_prev, lint) goes to a file,
+    // and stdout carries one compact line, sized to fit the tail window
+    // entirely: totals, the 10 heaviest mins, scaling ratios, and the
+    // vs_prev/lint verdict counts.
     val detailPath = java.nio.file.Paths.get("BENCH_detail.json")
     try java.nio.file.Files.writeString(detailPath, detail + "\n")
     catch { case e: Throwable =>
@@ -216,7 +382,18 @@ object Bench {
     val attributionBrief =
       if (attributionCompact.isEmpty) "null" else attributionCompact.mkString("{", ",", "}")
     val disagree = inconsistent.map("\"" + _._1 + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_s":${fmt(total)},"sf":"$sfDir","runs":$nRuns,"cc_rounds":$ccRounds,"queries_n":${mins.size},"failed_n":${mins.count(_._2 < 0)},"timing_disagree_2x":$disagree,"top10_min_s":$top10,"scaling_growth_per_10x":$scalingBrief,"scaling_attribution":$attributionBrief,"detail_file":"${detailPath.toAbsolutePath}"}""")
+    val vsPrevBrief = prev match {
+      case None => "null"
+      case Some(_) =>
+        // recompute the brief from the detail-side flags (names only)
+        val r = """"(\w+)":\{"prev_min_s":[^}]*"verdict":"regressed"""".r
+        val i = """"(\w+)":\{"prev_min_s":[^}]*"verdict":"improved"""".r
+        val n = """"(\w+)":\{"prev_min_s":[^}]*"verdict":"within-run-spread"""".r
+        def names(rx: scala.util.matching.Regex) =
+          rx.findAllMatchIn(vsPrevJson).map(_.group(1)).take(12).toSeq
+        s"""{"regressed":[${names(r).map("\"" + _ + "\"").mkString(",")}],"improved":[${names(i).map("\"" + _ + "\"").mkString(",")}],"noise":[${names(n).map("\"" + _ + "\"").mkString(",")}]}"""
+    }
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_s":${fmt(total)},"sf":"$sfDir","runs":$nRuns,"cc_rounds":$ccRounds,"queries_n":${mins.size},"failed_n":${mins.count(_._2 < 0)},"timing_disagree_2x":$disagree,"lint_unexpected_n":${lintUnexpected.size},"vs_prev":$vsPrevBrief,"top10_min_s":$top10,"scaling_growth_per_10x":$scalingBrief,"scaling_attribution":$attributionBrief,"detail_file":"${detailPath.toAbsolutePath}"}""")
     spark.stop()
   }
 }

@@ -244,18 +244,31 @@ object TextFunctions {
   def contamination(train: org.apache.spark.sql.DataFrame,
                     test: org.apache.spark.sql.DataFrame,
                     textCol: String = "text", idCol: String = "doc_id")
+      : org.apache.spark.sql.DataFrame =
+    contaminationOfSets(train,
+      test.select(col(idCol).as("doc_id"), shingleSet(col(textCol)).as("shingles")),
+      textCol)
+
+  /** [[contamination]] against PRECOMPUTED test-side distinct-shingle
+    * sets (doc_id, shingles) — the reuse entry point for pipelines
+    * that already shingled the test corpus (e.g.
+    * [[graft.pipeline.CorpusPipeline.prepare]]'s MinHash stage
+    * produces exactly this frame), saving a full re-tokenization scan
+    * of the test text. */
+  def contaminationOfSets(train: org.apache.spark.sql.DataFrame,
+                          testShingles: org.apache.spark.sql.DataFrame,
+                          textCol: String = "text")
       : org.apache.spark.sql.DataFrame = {
     val th = train
       .select(explode(shingleSet(col(textCol))).as("sh"))
       .select(shingleHash(col("sh")).as("h")).distinct()
-    // ONE tokenization pass over the test corpus: explode_outer keeps
+    // ONE pass over the test shingle sets: explode_outer keeps
     // zero-shingle docs alive (null hash never joins), and the shingle
     // count rides along each exploded row, so totals need no second
-    // scan of the text
-    val te = test
-      .select(col(idCol).as("doc_id"), shingleSet(col(textCol)).as("__sh"))
-      .select(col("doc_id"), size(col("__sh")).as("__n"),
-        explode_outer(col("__sh")).as("__s"))
+    // scan
+    val te = testShingles
+      .select(col("doc_id"), size(col("shingles")).as("__n"),
+        explode_outer(col("shingles")).as("__s"))
       .select(col("doc_id"), col("__n"), shingleHash(col("__s")).as("h"))
     te.join(th.withColumn("__m", lit(1)), Seq("h"), "left")
       .groupBy("doc_id")

@@ -97,7 +97,14 @@ object PlanLint {
     import org.apache.spark.sql.execution.exchange.{Exchange, ReusedExchangeExec}
     import org.apache.spark.sql.execution.ColumnarToRowExec
     p match {
-      case a: BaseAggregateExec if a.groupingExpressions.isEmpty => true
+      // A no-grouping aggregate is 1 row only in Final/Complete mode; a
+      // Partial one emits a row PER INPUT PARTITION (valid plans always
+      // top it with a Final agg, but make the bound robust if the
+      // descent ever reaches a bare partial), so descend instead.
+      case a: BaseAggregateExec if a.groupingExpressions.isEmpty =>
+        import org.apache.spark.sql.catalyst.expressions.aggregate.{Complete, Final}
+        if (a.aggregateExpressions.forall(e => e.mode == Final || e.mode == Complete)) true
+        else boundedRows(a.child, cap)
       case a: BaseAggregateExec => boundedRows(a.child, cap)
       case l: GlobalLimitExec => l.limit <= cap
       case l: CollectLimitExec => l.limit <= cap

@@ -493,7 +493,13 @@ object Dedup {
     Incremental(fresh, winners.select("fingerprint", "doc_id"))
   }
 
-  /** Result of one [[incrementalNearDup]] ingest step. */
+  /** Result of one [[incrementalNearDup]] ingest step.
+    *
+    * `catalogDelta` is eagerly materialized (checkpointed) inside the
+    * call; `fresh` is LAZY — it re-reads the caller's batch frame (plus
+    * a checkpointed rejected-id list) on each action, so consume or
+    * checkpoint it BEFORE mutating/overwriting the batch's underlying
+    * storage, or it will recompute against the clobbered data. */
   final case class IncrementalNearDup(fresh: DataFrame, catalogDelta: DataFrame)
 
   /** Incremental MinHash near-dup dedup against a BAND catalog — the
@@ -567,9 +573,10 @@ object Dedup {
                                      textCol: String, idCol: String)
       : IncrementalNearDup = {
     // Scoped persists (signatures feed banding + verification, bands
-    // feed screening + candidates + delta): both results are
-    // materialized eagerly — bounded by ONE ingest batch, not the
-    // corpus — and the caches are released before returning.
+    // feed screening + candidates + delta): the narrow outputs
+    // (rejected ids, catalog delta) are materialized eagerly — bounded
+    // by ONE ingest batch, not the corpus — and the caches are
+    // released before returning. `fresh` stays lazy (see below).
     val sigs = minhashSignatures(batch, k, textCol, idCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val batchBands = lshBands(sigs, k, bands)

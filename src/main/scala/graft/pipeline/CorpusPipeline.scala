@@ -22,13 +22,20 @@ import graft.functions.TextFunctions
   *     `windowTokens` context windows across `nShards` parallel
   *     shards.
   *
-  * Every stage is a lazy DataFrame transform — nothing executes until
-  * the caller acts on a stage frame, so intermediate counts are
-  * opt-in, and Catalyst sees the whole composition.
+  * Execution shape: the near-dup connected-components fixpoint is
+  * inherently eager (driver-coordinated rounds), and `prepare` rides
+  * that eagerness to shingle the corpus exactly ONCE — the MinHash
+  * signature frame (which carries each doc's distinct-shingle set) is
+  * loan-scope persisted and feeds BOTH the LSH dedup and the
+  * decontamination overlap join, instead of re-tokenizing the full
+  * corpus per stage. Only narrow id lists are materialized inside the
+  * scope; the returned stage frames stay lazy over those lists plus
+  * the caller's `docs`, so no cache outlives the call.
   */
 object CorpusPipeline {
 
-  /** Lazy stage frames; act on whichever you need. `packed` is the
+  /** Stage frames — lazy over `docs` plus the narrow id lists
+    * `prepare` materialized; act on whichever you need. `packed` is the
     * training-ready output: (doc_id, shard, n_tokens, start_tok,
     * bin_id, offset_in_bin) joined back to the text. */
   final case class Prepared(
@@ -51,16 +58,55 @@ object CorpusPipeline {
       .corpusFilter(docs, minTokens, maxTopGramFrac, textCol, idCol)
       .filter(col("keep")).select(col("doc_id").as(idCol))
     val filtered = docs.join(keepIds, Seq(idCol), "left_semi")
-    val deduped = Dedup.dedupCorpus(filtered, minJaccard, textCol, idCol)
-    val decontaminated = evalDocs match {
-      case Some(ev) =>
-        val cleanIds = TextFunctions
-          .contamination(train = ev, test = deduped, textCol, idCol)
-          .filter(col("contamination") <= maxEvalOverlap)
-          .select(col("doc_id").as(idCol))
-        deduped.join(cleanIds, Seq(idCol), "left_semi")
-      case None => deduped
-    }
+    // One shingling/minhash pass feeds dedup AND decontamination: the
+    // signature frame carries (doc_id, shingles, sig). Persist for the
+    // scope of the two consumers; everything that reads it (the CC
+    // fixpoint's eager rounds, the narrow id-list checkpoints below)
+    // materializes before the unpersist, so nothing leaks.
+    val sigs = Dedup.minhashSignatures(filtered, textCol = textCol, idCol = idCol)
+    sigs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (deduped, decontaminated) =
+      try {
+        // identical construction to Dedup.dedupCorpus/minhashNearDups
+        // (same k/bands/bucket-cap defaults), minus its private scoped
+        // cache — `sigs` is our loan here
+        val pairs = Dedup.verifyJaccard(
+            Dedup.lshCandidates(Dedup.lshBands(sigs),
+              Some(Dedup.DefaultBucketCap)), sigs)
+          .filter(col("jaccard") >= minJaccard)
+          .select("doc_a", "doc_b")
+        // eager fixpoint; consumes the cached sigs, returns stars over
+        // its own checkpointed edge set (no sigs lineage)
+        val dupIds = Dedup.nearDupClusters(pairs)
+          .filter(col("doc_id") =!= col("cluster_id"))
+          .select(col("doc_id"))
+        val deduped0 = filtered.join(
+          dupIds.withColumnRenamed("doc_id", idCol), Seq(idCol), "left_anti")
+        val decon0 = evalDocs match {
+          case Some(ev) =>
+            // decontamination reads the PRECOMPUTED shingle sets
+            // instead of re-shingling the deduped text. Deduped docs
+            // too short to shingle (possible only when minTokens < 3)
+            // have no sigs row; a left join + empty-set default keeps
+            // them at contamination 0.0, exactly as re-shingling would.
+            // The clean-id list is narrow, checkpointed eagerly inside
+            // the loan scope so the returned frame carries no sigs
+            // lineage.
+            val testShingles = filtered.select(col(idCol).as("doc_id"))
+              .join(dupIds, Seq("doc_id"), "left_anti")
+              .join(sigs.select(col("doc_id"), col("shingles")), Seq("doc_id"), "left")
+              .select(col("doc_id"),
+                coalesce(col("shingles"), lit(Array.empty[String])).as("shingles"))
+            val cleanIds = TextFunctions
+              .contaminationOfSets(train = ev, testShingles, textCol)
+              .filter(col("contamination") <= maxEvalOverlap)
+              .select(col("doc_id").as(idCol))
+              .localCheckpoint(true)
+            deduped0.join(cleanIds, Seq(idCol), "left_semi")
+          case None => deduped0
+        }
+        (deduped0, decon0)
+      } finally { sigs.unpersist(blocking = false); () }
     val packed = TextFunctions
       .packDocuments(decontaminated, windowTokens, nShards, textCol, idCol)
       .join(decontaminated.select(col(idCol).as("doc_id"), col(textCol)), "doc_id")

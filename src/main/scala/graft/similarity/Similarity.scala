@@ -70,7 +70,13 @@ object Similarity {
     * runs map-side before the rank exchange, so the shuffle carries
     * only banded (q_id, vec_id, cos) triples, strictly fewer than the
     * unbanded search. The LSH/IVF paths compose the same way when the
-    * query batch outgrows brute force. */
+    * query batch outgrows brute force.
+    *
+    * Note: the band test uses the RAW cosine; the reported `cos`
+    * column is rounded to 9 decimals (engine-portable display). A row
+    * whose raw value sits within [loCos, hiCos) can therefore DISPLAY
+    * a rounded cos equal to hiCos — filter downstream on the band you
+    * requested, not on equality against the rounded column. */
   def hardNegatives(candidates: DataFrame, queries: DataFrame, k: Int,
                     loCos: Double, hiCos: Double): DataFrame = {
     require(loCos < hiCos, s"need loCos < hiCos, got [$loCos, $hiCos)")

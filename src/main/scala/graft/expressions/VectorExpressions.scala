@@ -111,7 +111,10 @@ object VectorFunctions {
   *    so pure-SQL users get the codegen'd/mergeable forms;
   *  - the [[graft.plans.NativeDotRewrite]] optimizer rule, which
   *    rewrites the equivalent declarative `aggregate(zip_with(...))`
-  *    fold into [[FloatDotProduct]] automatically.
+  *    fold into [[FloatDotProduct]] automatically;
+  *  - the [[graft.plans.CastRoundtripSimplify]] optimizer rule, which
+  *    collapses exact int→double→int cast roundtrips so staging-layer
+  *    double columns don't defeat parquet predicate pushdown.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -171,5 +174,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         QuantileSketchAgg(exprs(0), intLit(exprs(1), "quantile_sketch"))
       }))
     e.injectOptimizerRule(_ => graft.plans.NativeDotRewrite)
+    e.injectOptimizerRule(_ => graft.plans.CastRoundtripSimplify)
   }
 }

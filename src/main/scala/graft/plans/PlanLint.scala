@@ -51,11 +51,12 @@ object PlanLint {
           s"shuffle carries wide column(s): ${cols.mkString(",")}")
     }
     val unpushed = nodes.collect {
-      case f: FilterExec if !isNotNullOnly(f.condition) =>
+      case f: FilterExec if !isNotNullOnly(f.condition) && pushableShaped(f.condition) =>
         scanBelow(f.child) match {
           case Some(scan) if scanPushedNothing(scan) =>
             Seq(Finding("unpushed-filter", "warn",
-              s"filter above ${scan.nodeName} pushed no usable predicates"))
+              s"filter above ${scan.nodeName} pushed no usable predicates: " +
+                f.condition.sql.take(160)))
           case _ => Seq.empty
         }
       case _: FilterExec => Seq.empty
@@ -78,6 +79,41 @@ object PlanLint {
     }
   }
 
+  /** A condition with at least one conjunct of the shape parquet CAN
+    * push — an attribute (possibly cast-wrapped) compared/matched
+    * against literals. A filter made only of derived expressions
+    * (`size(split(text)) > 0`, an md5 hash-bucket test) can never
+    * reach the scan no matter how it is written, so its presence on a
+    * scan is not a defect; a cast-wrapped comparison IS flagged — the
+    * uncast predicate would push, which is exactly the miss this rule
+    * exists to catch. Disjunctions push only whole, so `Or` requires
+    * both arms shaped. */
+  private def pushableShaped(
+      cond: org.apache.spark.sql.catalyst.expressions.Expression): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions._
+    def stripCast(e: Expression): Expression = e match {
+      case c: Cast => stripCast(c.child)
+      case o => o
+    }
+    def isAttr(e: Expression): Boolean =
+      stripCast(e).isInstanceOf[AttributeReference]
+    def attrVsLit(l: Expression, r: Expression): Boolean =
+      (isAttr(l) && r.foldable) || (isAttr(r) && l.foldable)
+    def shaped(e: Expression): Boolean = e match {
+      case And(l, r) => shaped(l) || shaped(r)
+      case Or(l, r) => shaped(l) && shaped(r)
+      case Not(x) => shaped(x)
+      case b: BinaryComparison => attrVsLit(b.left, b.right)
+      case In(v, list) => isAttr(v) && list.forall(_.foldable)
+      case i: InSet => isAttr(i.child)
+      case s: StartsWith => attrVsLit(s.left, s.right)
+      case s: EndsWith => attrVsLit(s.left, s.right)
+      case s: Contains => attrVsLit(s.left, s.right)
+      case _ => false
+    }
+    shaped(cond)
+  }
+
   /** Provably row-bounded subtree: descending ONLY through
     * row-preserving-or-reducing wrappers (project/filter/sort/
     * exchange/codegen plumbing), the side's top is a global
@@ -87,6 +123,14 @@ object PlanLint {
     * sketch / percentile row to every row") and its small-table
     * generalization (nearest-centroid argmin against a ≤256-row
     * centroid table) — not a missing join condition.
+    *
+    * An AQE query stage that has MATERIALIZED carries exact runtime
+    * row counts; a stage of ≤ `cap` rows is bounded no matter what
+    * plan produced it. This is what keeps the rule honest under AQE
+    * rewrites (e.g. a GlobalLimit elided at runtime leaves only a
+    * LocalLimit below a shuffle — statically unbounded, actually one
+    * row) and recognizes genuinely tiny broadcast sides (a filtered
+    * 5-row query set) without guessing at filter selectivity.
     *
     * The descent is deliberately NOT a subtree search: a limit with a
     * row-EXPANDING operator above it (explode, join, union) bounds
@@ -115,7 +159,8 @@ object PlanLint {
       case e: Exchange => boundedRows(e.child, cap)
       case r: ReusedExchangeExec => boundedRows(r.child, cap)
       case a: AdaptiveSparkPlanExec => boundedRows(a.executedPlan, cap)
-      case q: QueryStageExec => boundedRows(q.plan, cap)
+      case q: QueryStageExec =>
+        runtimeRowCount(q).exists(_ <= cap) || boundedRows(q.plan, cap)
       case w: WholeStageCodegenExec => boundedRows(w.child, cap)
       case i: InputAdapter => boundedRows(i.child, cap)
       case c: ColumnarToRowExec => boundedRows(c.child, cap)
@@ -123,12 +168,26 @@ object PlanLint {
     }
   }
 
-  /** The scan this node sits directly on top of, descending through
-    * single-child wrappers (ColumnarToRow, InputAdapter, codegen). */
-  private def scanBelow(p: SparkPlan): Option[FileSourceScanExec] = p match {
-    case s: FileSourceScanExec => Some(s)
-    case u if u.children.size == 1 => scanBelow(u.children.head)
-    case _ => None
+  /** Exact output row count of a materialized AQE stage (None before
+    * materialization or when the stage kind exposes no count). */
+  private def runtimeRowCount(q: QueryStageExec): Option[BigInt] =
+    try q.getRuntimeStatistics.rowCount catch { case _: Throwable => None }
+
+  /** The scan this node sits directly on top of, descending ONLY
+    * through the codegen/columnar plumbing Spark inserts between a
+    * filter and its scan. Deliberately NOT any single-child operator:
+    * a Generate (explode) or Expand between them means the filter
+    * consumes generated rows and could never have pushed to the scan,
+    * so attributing it to the scan would be a false finding. */
+  private def scanBelow(p: SparkPlan): Option[FileSourceScanExec] = {
+    import org.apache.spark.sql.execution.{ColumnarToRowExec, InputAdapter, WholeStageCodegenExec}
+    p match {
+      case s: FileSourceScanExec => Some(s)
+      case w: WholeStageCodegenExec => scanBelow(w.child)
+      case i: InputAdapter => scanBelow(i.child)
+      case c: ColumnarToRowExec => scanBelow(c.child)
+      case _ => None
+    }
   }
 
   /** "Pushed nothing USABLE": an empty list, or only the IsNotNull

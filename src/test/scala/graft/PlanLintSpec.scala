@@ -54,6 +54,56 @@ class PlanLintSpec extends SparkSpec {
       PlanLint.lint(defeated).mkString("; "))
   }
 
+  test("passes a runtime-bounded broadcast side AQE rewrote past the static bound") {
+    // a filtered side is statically unbounded (no limit/aggregate shape),
+    // but once executed the AQE broadcast stage carries an exact row
+    // count — a materialized <=cap side is provably linear fan-out
+    val facts = spark.range(0, 500).select(col("id"), (col("id") % 7).as("v"))
+    val tiny = facts.filter(col("id") < 5).select(col("id").as("q_id"))
+    val joined = facts.crossJoin(broadcast(tiny))
+    joined.queryExecution.toRdd.count()
+    val f = PlanLint.lint(joined)
+    assert(!f.exists(_.rule == "cartesian"), f.mkString("; "))
+  }
+
+  test("never-pushable filters don't flag: derived expressions and post-explode columns") {
+    val dir = Files.createTempDirectory("graft_lint2").toString
+    (1L to 100L).map(i => (i, s"w$i body $i"))
+      .toDF("id", "text").write.parquet(dir + "/docs")
+    val docs = spark.read.parquet(dir + "/docs")
+    // predicate on a derived expression — no possible pushdown, no finding
+    val derived = docs.filter(size(split(col("text"), " ")) > 1)
+    assert(!PlanLint.lint(derived).exists(_.rule == "unpushed-filter"),
+      PlanLint.lint(derived).mkString("; "))
+    // predicate on an exploded (generated) column — the filter consumes
+    // rows the scan never produced; attributing it to the scan would be
+    // a false finding
+    val exploded = docs
+      .select(col("id"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") === "body")
+    assert(!PlanLint.lint(exploded).exists(_.rule == "unpushed-filter"),
+      PlanLint.lint(exploded).mkString("; "))
+  }
+
+  test("CastRoundtripSimplify: int→double→int predicate reaches the parquet scan") {
+    val dir = Files.createTempDirectory("graft_lint3").toString + "/t"
+    (1 to 100).map(i => (i, i * 2)).toDF("id", "v").write.parquet(dir)
+    // the staging-layer shape: an int column kept as double, guarded by
+    // a cast-back comparison (Warehouse.dimRateCode over TaxiShape)
+    val staged = spark.read.parquet(dir)
+      .select(col("id").cast("double").as("rate_code_id"))
+    val guarded = staged.filter(col("rate_code_id").cast("int") < 7)
+    assert(!PlanLint.lint(guarded).exists(_.rule == "unpushed-filter"),
+      PlanLint.lint(guarded).mkString("; "))
+    val pushed = guarded.queryExecution.executedPlan.collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.metadata.getOrElse("PushedFilters", "[]")
+    }
+    assert(pushed.exists(p => p.contains("LessThan") || p.contains("id")),
+      s"expected a pushed comparison, got $pushed")
+    assert(guarded.count() === 6L)
+  }
+
   test("the engine's own heavy queries lint clean") {
     val dir = "/root/testdata/sf0.001"
     // representative parity + corpus queries; exempt quadratic

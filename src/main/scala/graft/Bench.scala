@@ -66,6 +66,7 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.extensions", "graft.expressions.GraftExtensions")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
@@ -154,9 +155,20 @@ object Bench {
     // cross-round delta is self-adjudicating: per-run spread >> delta
     // means box noise, tight runs that all moved means code. Failed
     // queries report min -1 (never a fast-failure latency).
+    //
+    // ADAPTIVE: a query whose 3-run spread exceeds 2× (the eager
+    // fixpoint family under GC/storage pressure) gets 2 extra runs —
+    // min-of-3 with a 4–7× spread gated the round-8 regression list on
+    // noise; 5 samples tighten both the min estimate and the interval
+    // the vs_prev adjudication overlaps. The extra runs ship in runs_s
+    // like any other, so the artifact self-documents which queries
+    // needed them.
     val nRuns = 3
+    val maxExtraRuns = 2
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to nRuns).flatMap(r => timeOne(name, fn, sfDir, lint = r == nRuns))
+      var times = (1 to nRuns).flatMap(r => timeOne(name, fn, sfDir, lint = r == nRuns))
+      if (times.size >= 2 && times.min > 0.3 && times.max / times.min > 2.0)
+        times = times ++ (1 to maxExtraRuns).flatMap(_ => timeOne(name, fn, sfDir))
       System.err.println(s"[bench] $name runs=" +
         times.map(fmt).mkString("[", ",", "]"))
       name -> times
@@ -363,7 +375,7 @@ object Bench {
       .mkString("{", ",", "}")
     val ccRounds = graft.dedup.Dedup.lastCcRounds.get()
     val detail =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_s":${fmt(total)},"sf":"$sfDir","runs":$nRuns,"timing":"min-of-$nRuns, full materialization via toRdd, fresh plan per run, caches+leftover RDD blocks cleared between runs","cc_rounds":$ccRounds,"timing_consistency":$consistencyJson,"leftover_persisted_rdds":$leftoverJson,"vs_prev":$vsPrevJson,"lint":$lintJson,"queries":$qs,"scaling":$scalingJson,"runs_s":$perRun}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_s":${fmt(total)},"sf":"$sfDir","runs":$nRuns,"timing":"min-of-$nRuns (+$maxExtraRuns adaptive runs when 3-run spread > 2x), full materialization via toRdd, fresh plan per run, caches+leftover RDD blocks cleared between runs","cc_rounds":$ccRounds,"timing_consistency":$consistencyJson,"leftover_persisted_rdds":$leftoverJson,"vs_prev":$vsPrevJson,"lint":$lintJson,"queries":$qs,"scaling":$scalingJson,"runs_s":$perRun}"""
     // The harness capturing stdout keeps only a bounded TAIL (~2 KB) of
     // it — a full 150-query detail line can never survive that whole. So
     // the complete evidence (per-run times for self-adjudication,

@@ -73,11 +73,20 @@ object Metrics {
     *
     * Only this query may be executing on the session while measuring —
     * a concurrent job's stages would be counted too (fine in Bench,
-    * which is strictly sequential). */
-  def measureAllJobs(df: DataFrame): PlanMetrics = {
+    * which is strictly sequential).
+    *
+    * `df` is BY-NAME, and that is load-bearing: the eager fixpoint
+    * operators (connected components, PageRank, the corpus pipeline)
+    * run most of their jobs while the query CONSTRUCTOR evaluates, so
+    * a by-value parameter would finish those jobs before the listener
+    * registers and attribute near-zero volumes to exactly the queries
+    * whose attribution matters most (the round-8 128-row ghosts).
+    * Requires an active session (the listener must attach before the
+    * frame exists). */
+  def measureAllJobs(df: => DataFrame): PlanMetrics = {
     import java.util.concurrent.atomic.AtomicLong
     import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
-    val sc = df.sparkSession.sparkContext
+    val sc = org.apache.spark.sql.SparkSession.active.sparkContext
     val shufB = new AtomicLong; val shufR = new AtomicLong
     val spillD = new AtomicLong; val spillM = new AtomicLong
     val inRecs = new AtomicLong
@@ -96,7 +105,7 @@ object Metrics {
     sc.addSparkListener(listener)
     val planSide =
       try {
-        val r = measure(df)
+        val r = measure(df) // by-name: constructor-time jobs count too
         org.apache.spark.GraftListenerAccess.waitUntilListenerBusEmpty(sc)
         r
       } finally sc.removeSparkListener(listener)

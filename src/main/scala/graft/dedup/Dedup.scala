@@ -304,6 +304,22 @@ object Dedup {
     }
   }
 
+  /** Verified near-dup pair list from a PRECOMPUTED signature frame
+    * (doc_id, shingles, sig): banded LSH candidates (bucket-capped) →
+    * exact-Jaccard verify → pairs at or above `minJaccard`. This is
+    * THE construction behind [[dedupCorpus]], extracted so a
+    * multi-consumer caller ([[graft.pipeline.CorpusPipeline.prepare]]
+    * shares one shingling pass between dedup and decontamination) can
+    * persist `sigs` itself and still get pair semantics that cannot
+    * drift from the one-call path — the k/bands/cap defaults live in
+    * exactly one place. */
+  def pairsFromSigs(sigs: DataFrame, minJaccard: Double,
+                    k: Int = 12, bands: Int = 4,
+                    maxBucketSize: Option[Int] = Some(DefaultBucketCap)): DataFrame =
+    verifyJaccard(lshCandidates(lshBands(sigs, k, bands), maxBucketSize), sigs)
+      .filter(col("jaccard") >= minJaccard)
+      .select("doc_a", "doc_b")
+
   /** Brute-force n-gram Jaccard over a bounded id range (the exact
     * baseline the LSH path approximates; O(n²) — keep n small). */
   def ngramJaccardPairs(df: DataFrame, maxId: Long,
@@ -389,6 +405,10 @@ object Dedup {
     while (iter < maxIters && !converged) {
       val next = smallStar(largeStar(edges)).localCheckpoint()
       val nfp = fingerprint(next)
+      // round N is materialized (eager checkpoint + fingerprint action);
+      // round N−1's blocks are dead — release them now instead of
+      // stranding O(rounds) checkpoints for the ContextCleaner
+      graft.core.Checkpoints.releaseAll(edges)
       edges = next
       converged = nfp == fp
       fp = nfp
@@ -415,9 +435,8 @@ object Dedup {
     * near-dups with jaccard 1.0, so they are removed too. */
   def dedupCorpus(df: DataFrame, minJaccard: Double = 0.8,
                   textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val pairs = minhashNearDups(df, textCol = textCol, idCol = idCol)
-      .filter(col("jaccard") >= minJaccard)
-      .select("doc_a", "doc_b")
+    val sigs = minhashSignatures(df, textCol = textCol, idCol = idCol)
+    val pairs = withScopedCache(sigs) { pairsFromSigs(sigs, minJaccard) }
     val drop = nearDupClusters(pairs)
       .filter(col("doc_id") =!= col("cluster_id"))
       .select(col("doc_id"))
@@ -527,9 +546,12 @@ object Dedup {
     *    never a rewrite.
     *
     * Shuffle budget: bands and ids only — text moves once, in the
-    * final semi-join. Bucket the catalog by band_hash
-    * ([[graft.sources.Bucketing]]) and the recurring screen join plans
-    * exchange-free on the catalog side. */
+    * final semi-join. Bucket the catalog by (band_idx, band_hash) —
+    * EXACTLY the screen-join keys ([[graft.sources.Bucketing]]) — and
+    * the recurring screen join plans exchange-free on the catalog
+    * side (proven by PlanSpec's bucketed-screen guard; the
+    * `dedup_incremental_minhash_bucketed` oracle row pins the
+    * semantics). */
   def incrementalNearDup(batch: DataFrame, bandCatalog: DataFrame,
                          k: Int = 12, bands: Int = 4, minJaccard: Double = 0.8,
                          maxBucketSize: Option[Int] = Some(DefaultBucketCap),
@@ -553,9 +575,9 @@ object Dedup {
     * COLLIDING (batch_doc, catalog_doc) pairs only — proportional to
     * the band false-positive rate times batch size, not to the
     * catalog. At 100 TB, bucket both catalogs ([[graft.sources
-    * .Bucketing]]: bands by band_hash, shingles by doc_id) and the
-    * recurring screen+verify joins plan exchange-free on the catalog
-    * side. */
+    * .Bucketing]]: bands by (band_idx, band_hash) — the exact screen
+    * keys — shingles by doc_id) and the recurring screen+verify joins
+    * plan exchange-free on the catalog side. */
   def incrementalNearDupVerified(batch: DataFrame, bandCatalog: DataFrame,
                                  shingleCatalog: DataFrame,
                                  k: Int = 12, bands: Int = 4,
@@ -613,7 +635,8 @@ object Dedup {
       val pairs = verifyJaccard(lshCandidates(survivorBands, maxBucketSize), sigs)
         .filter(col("jaccard") >= minJaccard)
         .select("doc_a", "doc_b")
-      val dropped = nearDupClusters(pairs)
+      val clusters = nearDupClusters(pairs)
+      val dropped = clusters
         .filter(col("doc_id") =!= col("cluster_id"))
         .select(col("doc_id"))
       // Materialize the NARROW frames only: `rejected` (id list) and
@@ -624,6 +647,9 @@ object Dedup {
       // eagerly copying the whole surviving batch (text included) into
       // block storage would be pure waste for catalog-only consumers.
       val rejected = hitIds.unionAll(dropped).localCheckpoint(true)
+      // the rejected-id list is materialized: the CC fixpoint's final
+      // star-edge checkpoint (which `dropped` lazily read) is dead
+      graft.core.Checkpoints.releaseAll(clusters)
       val fresh = batch.join(
         rejected.withColumnRenamed("doc_id", idCol), Seq(idCol), "left_anti")
       val delta = batchBands.join(rejected, Seq("doc_id"), "left_anti")

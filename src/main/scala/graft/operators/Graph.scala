@@ -133,12 +133,20 @@ object Graph {
         .select(col("dst").as("id"),
           floor(col("r").cast("double") / col("deg")).cast("long").as("c"))
       val sums = contrib.groupBy("id").agg(sum("c").as("cs"))
-      rank = nodes.join(sums, Seq("id"), "left").crossJoin(broadcast(baseRow))
+      val next = nodes.join(sums, Seq("id"), "left").crossJoin(broadcast(baseRow))
         .select(col("id"),
           (col("__base") + floor(lit(dampingPct).cast("double") *
             coalesce(col("cs"), lit(0L)) / 100).cast("long")).as("r"))
         .localCheckpoint()
+      // round N materialized ⇒ round N−1's checkpoint blocks are dead
+      graft.core.Checkpoints.releaseAll(rank)
+      rank = next
     }
+    // the final rank is its own checkpoint; the loop-invariant frames
+    // (edges, node set, out-degrees) are never read past this point
+    graft.core.Checkpoints.releaseAll(e)
+    graft.core.Checkpoints.releaseAll(nodes)
+    graft.core.Checkpoints.releaseAll(deg)
     rank.select(col("id"), col("r").as("rank_micro"))
   }
 }

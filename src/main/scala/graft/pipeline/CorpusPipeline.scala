@@ -11,33 +11,42 @@ import graft.functions.TextFunctions
   *
   *  1. quality gate — [[TextFunctions.corpusFilter]]: length floor,
   *     exact-duplicate representative, repetition dominance;
-  *  2. near-duplicate removal — [[Dedup.dedupCorpus]]: MinHash+LSH
-  *     candidate pairs, exact-Jaccard verify, connected components,
-  *     keep each cluster's minimum id;
+  *  2. near-duplicate removal — [[Dedup.pairsFromSigs]] (the exact
+  *     [[Dedup.dedupCorpus]] pair construction, over a shared
+  *     signature frame) → [[Dedup.nearDupClusters]] → keep each
+  *     cluster's minimum id;
   *  3. benchmark decontamination (optional) — drop documents whose
   *     3-gram overlap with a held-out eval set exceeds
-  *     `maxEvalOverlap` ([[TextFunctions.contamination]] with the eval
-  *     set as the reference corpus);
+  *     `maxEvalOverlap` ([[TextFunctions.contaminationOfSets]] over
+  *     the same precomputed shingle sets, with the eval set as the
+  *     reference corpus);
   *  4. sequence packing — [[TextFunctions.packDocuments]] into fixed
   *     `windowTokens` context windows across `nShards` parallel
   *     shards.
   *
-  * Execution shape: the near-dup connected-components fixpoint is
-  * inherently eager (driver-coordinated rounds), and `prepare` rides
-  * that eagerness to shingle the corpus exactly ONCE — the MinHash
-  * signature frame (which carries each doc's distinct-shingle set) is
-  * loan-scope persisted and feeds BOTH the LSH dedup and the
-  * decontamination overlap join, instead of re-tokenizing the full
-  * corpus per stage. Only narrow id lists are materialized inside the
-  * scope; the returned stage frames stay lazy over those lists plus
-  * the caller's `docs`, so no cache outlives the call.
+  * Execution shape: the corpus is shingled exactly ONCE — the MinHash
+  * signature frame (doc_id, shingles, sig) is loan-scope persisted
+  * and BOTH of its narrow consumers (the verified near-dup pair list
+  * and the contaminated-id list) are materialized before the cache is
+  * released; only then does the eager connected-components fixpoint
+  * run, over the narrow pair checkpoint, with nothing wide left in
+  * the storage pool. The returned stage frames stay lazy over those
+  * id lists plus the caller's `docs`, so no cache outlives the call.
   */
 object CorpusPipeline {
 
   /** Stage frames — lazy over `docs` plus the narrow id lists
     * `prepare` materialized; act on whichever you need. `packed` is the
     * training-ready output: (doc_id, shard, n_tokens, start_tok,
-    * bin_id, offset_in_bin) joined back to the text. */
+    * bin_id, offset_in_bin) joined back to the text.
+    *
+    * Durability caveat: the materialized lists are `localCheckpoint`
+    * blocks on executors, not replicated storage — if an executor is
+    * lost between `prepare()` and a downstream action, the action
+    * fails unrecoverably (lineage is truncated). For long-lived
+    * consumers, write the stage you need to storage promptly (or
+    * re-run `prepare`); the same caveat is documented on
+    * [[graft.dedup.Dedup.IncrementalNearDup]]. */
   final case class Prepared(
       filtered: DataFrame,
       deduped: DataFrame,
@@ -54,59 +63,69 @@ object CorpusPipeline {
               nShards: Int = 32,
               textCol: String = "text",
               idCol: String = "doc_id"): Prepared = {
+    // The keep-list is narrow (ids only) but its producer is a real
+    // aggregate (exact-dup representative election + repetition stats);
+    // every returned stage frame re-derives `filtered`, and `packed`
+    // contains it in TWO subtrees — checkpoint the id list once instead
+    // of re-running the quality aggregate per consumer action.
     val keepIds = TextFunctions
       .corpusFilter(docs, minTokens, maxTopGramFrac, textCol, idCol)
       .filter(col("keep")).select(col("doc_id").as(idCol))
+      .localCheckpoint(true)
     val filtered = docs.join(keepIds, Seq(idCol), "left_semi")
-    // One shingling/minhash pass feeds dedup AND decontamination: the
-    // signature frame carries (doc_id, shingles, sig). Persist for the
-    // scope of the two consumers; everything that reads it (the CC
-    // fixpoint's eager rounds, the narrow id-list checkpoints below)
-    // materializes before the unpersist, so nothing leaks.
+    // One shingling/minhash pass feeds dedup AND decontamination. The
+    // cache discipline is the round-8 lesson: materialize BOTH narrow
+    // consumers of the signature frame first — the verified pair list
+    // and the contaminated-id list — and release the cache BEFORE the
+    // eager CC fixpoint starts. Persisting (doc_id, shingles, sig)
+    // across the fixpoint pinned the pipeline's widest intermediate in
+    // the storage pool for the whole call, and the checkpoint rounds
+    // paid for it in eviction (8.9 s → 14.1 s with 4× run spread).
     val sigs = Dedup.minhashSignatures(filtered, textCol = textCol, idCol = idCol)
     sigs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val (deduped, decontaminated) =
+    val (pairs, dirtyIds) =
       try {
-        // identical construction to Dedup.dedupCorpus/minhashNearDups
-        // (same k/bands/bucket-cap defaults), minus its private scoped
-        // cache — `sigs` is our loan here
-        val pairs = Dedup.verifyJaccard(
-            Dedup.lshCandidates(Dedup.lshBands(sigs),
-              Some(Dedup.DefaultBucketCap)), sigs)
-          .filter(col("jaccard") >= minJaccard)
-          .select("doc_a", "doc_b")
-        // eager fixpoint; consumes the cached sigs, returns stars over
-        // its own checkpointed edge set (no sigs lineage)
-        val dupIds = Dedup.nearDupClusters(pairs)
-          .filter(col("doc_id") =!= col("cluster_id"))
-          .select(col("doc_id"))
-        val deduped0 = filtered.join(
-          dupIds.withColumnRenamed("doc_id", idCol), Seq(idCol), "left_anti")
-        val decon0 = evalDocs match {
-          case Some(ev) =>
-            // decontamination reads the PRECOMPUTED shingle sets
-            // instead of re-shingling the deduped text. Deduped docs
-            // too short to shingle (possible only when minTokens < 3)
-            // have no sigs row; a left join + empty-set default keeps
-            // them at contamination 0.0, exactly as re-shingling would.
-            // The clean-id list is narrow, checkpointed eagerly inside
-            // the loan scope so the returned frame carries no sigs
-            // lineage.
-            val testShingles = filtered.select(col(idCol).as("doc_id"))
-              .join(dupIds, Seq("doc_id"), "left_anti")
-              .join(sigs.select(col("doc_id"), col("shingles")), Seq("doc_id"), "left")
-              .select(col("doc_id"),
-                coalesce(col("shingles"), lit(Array.empty[String])).as("shingles"))
-            val cleanIds = TextFunctions
-              .contaminationOfSets(train = ev, testShingles, textCol)
-              .filter(col("contamination") <= maxEvalOverlap)
-              .select(col("doc_id").as(idCol))
-              .localCheckpoint(true)
-            deduped0.join(cleanIds, Seq(idCol), "left_semi")
-          case None => deduped0
+        // the exact dedupCorpus pair construction (shared helper: same
+        // k/bands/bucket-cap defaults by construction)
+        val p = Dedup.pairsFromSigs(sigs, minJaccard).localCheckpoint(true)
+        // Contamination is a PER-DOC score — independent of which docs
+        // dedup later drops — so it is scored for every filtered doc
+        // now, while the shingle sets are warm, instead of after the
+        // fixpoint (which would re-pin sigs). The handful of near-dup
+        // docs scored needlessly is far cheaper than holding shingle
+        // arrays across the fixpoint. Docs too short to shingle have
+        // no sigs row, hence no score row, hence never land in the
+        // dirty list — exactly the contamination-0.0 semantics the
+        // re-shingling path gave them. (Measured: running this overlap
+        // join CONCURRENTLY with the pair/CC chain is net slower on 32
+        // cores — the fixpoint rounds are latency-bound and the extra
+        // job lengthens every round's tail — so the stages stay
+        // sequential and the fixpoint runs with nothing cached.)
+        val dirty = evalDocs.map { ev =>
+          TextFunctions
+            .contaminationOfSets(train = ev,
+              sigs.select(col("doc_id"), col("shingles")), textCol)
+            .filter(col("contamination") > maxEvalOverlap)
+            .select(col("doc_id").as(idCol))
+            .localCheckpoint(true)
         }
-        (deduped0, decon0)
+        (p, dirty)
       } finally { sigs.unpersist(blocking = false); () }
+    // eager fixpoint over the narrow checkpointed pair list — nothing
+    // else occupies the storage pool while the rounds run
+    val clusters = Dedup.nearDupClusters(pairs)
+    // the fixpoint consumed `pairs` in its (materialized) first round;
+    // the returned stage frames read only the fixpoint's own edge set
+    graft.core.Checkpoints.releaseAll(pairs)
+    val dupIds = clusters
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id"))
+    val deduped = filtered.join(
+      dupIds.withColumnRenamed("doc_id", idCol), Seq(idCol), "left_anti")
+    val decontaminated = dirtyIds match {
+      case Some(dirty) => deduped.join(dirty, Seq(idCol), "left_anti")
+      case None => deduped
+    }
     val packed = TextFunctions
       .packDocuments(decontaminated, windowTokens, nShards, textCol, idCol)
       .join(decontaminated.select(col(idCol).as("doc_id"), col(textCol)), "doc_id")

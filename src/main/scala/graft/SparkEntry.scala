@@ -1280,6 +1280,39 @@ object SparkEntry {
       .catalogDelta
   }
 
+  /** Bounded batch replay of [[graft.streaming.StreamingNearDup]]'s
+    * screen decision rule at threshold 1.0 (exact-signature
+    * screening; the cap is set far above any bucket at these SFs so
+    * admission depends only on matching): the streaming query runs
+    * AvailableNow over the parquet source — one batch, so per-bucket
+    * processing is globally doc_id-ordered — into a memory sink. At
+    * est-Jaccard 1.0 a document matches iff its FULL MinHash
+    * signature equals an earlier-ADMITTED doc's; since only each
+    * signature-group's minimum id is ever admitted, the oracle is
+    * closed-form SQL: one verdict per band for every non-min member
+    * of a (band bucket, signature) group, dup_of = the group min.
+    * Sub-1.0 thresholds and the cap path are spec-covered
+    * (StreamingSpec); this row pins the end-to-end decision rule
+    * against DuckDB. */
+  private def streamingNeardupReplay(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    // documents.parquet is a bare FILE at these SFs; the file stream
+    // source needs a glob (its base path — the non-glob prefix — must
+    // be a directory), so wrap the name in a {} glob
+    val src = spark.readStream.schema(schema)
+      .parquet(s"$dir/{documents.parquet}")
+      .select(col("doc_id"), col("text"))
+    val sink = "graft_neardup_replay_" +
+      java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = graft.streaming.StreamingNearDup
+      .nearDupStream(src, threshold = 1.0, bucketCap = 1 << 20)
+      .writeStream.format("memory").queryName(sink).outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sink)
+  }
+
   /** Incremental MinHash near-dup dedup
     * ([[graft.dedup.Dedup.incrementalNearDup]]): docs < 250's LSH
     * bands form the accepted-corpus band catalog; the rest are the
@@ -1298,6 +1331,33 @@ object SparkEntry {
     * same split, but a catalog band collision only drops a batch doc
     * after exact-Jaccard confirmation against the colliding catalog
     * doc's shingles — the precision-recovering mode. */
+  /** [[dedupIncrementalMinhash]] with the band catalog stored as a
+    * BUCKETED table (bucketBy band_hash): the recurring screen join
+    * plans exchange-free on the catalog side — only the daily ingest
+    * batch shuffles, never the ever-growing accepted-corpus catalog.
+    * This is the 100 TB re-ingest shape [[graft.dedup.Dedup
+    * .incrementalNearDup]]'s Scaladoc promises; `PlanSpec` asserts the
+    * no-Exchange plan. Layout cost is paid once per source snapshot
+    * (same fingerprint-keyed reuse as `staging_agg_bucketed`). */
+  private def dedupIncrementalMinhashBucketed(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val table = "graft_band_catalog_" +
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    if (!spark.catalog.tableExists(table)) {
+      // bucketed on EXACTLY the screen-join keys — subset-key bucketing
+      // fails Spark's co-partition check and the planner would shuffle
+      // both sides anyway (see Bucketing.writeBucketed)
+      graft.sources.Bucketing.writeBucketed(
+        graft.dedup.Dedup.lshBands(
+          graft.dedup.Dedup.minhashSignatures(docs.filter(col("doc_id") < 250))),
+        table, Seq("band_idx", "band_hash"), nBuckets = 8,
+        mode = org.apache.spark.sql.SaveMode.Overwrite)
+    }
+    graft.dedup.Dedup
+      .incrementalNearDup(docs.filter(col("doc_id") >= 250), spark.table(table))
+      .catalogDelta
+  }
   private def dedupIncrementalMinhashVerified(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val catalogDocs = docs.filter(col("doc_id") < 250)
@@ -1430,7 +1490,9 @@ object SparkEntry {
     "corpus_mix" -> (corpusMix(_, _)),
     "zorder_cells" -> (zorderCells(_, _)),
     "dedup_incremental" -> (dedupIncremental(_, _)),
+    "streaming_neardup_replay" -> (streamingNeardupReplay(_, _)),
     "dedup_incremental_minhash" -> (dedupIncrementalMinhash(_, _)),
+    "dedup_incremental_minhash_bucketed" -> (dedupIncrementalMinhashBucketed(_, _)),
     "dedup_incremental_minhash_verified" -> (dedupIncrementalMinhashVerified(_, _)),
     "audience_overlap" -> (audienceOverlap(_, _)),
     "corpus_sample_tokens" -> (corpusSampleTokens(_, _)),
@@ -1949,6 +2011,57 @@ object SparkEntry {
        |GROUP BY year, month, dow, vendor_id, rate_code_id, pickup_location_id,
        |  dropoff_location_id, payment_type_id, pickup_datetime, dropoff_datetime,
        |  pickup_latitude, pickup_longitude, dropoff_latitude, dropoff_longitude""".stripMargin
+
+  /** Shared by `dedup_incremental_minhash` and its `_bucketed`
+    * twin (same semantics; they differ only in the catalog's
+    * physical layout, which the oracle cannot see). */
+  private val dedupIncrMinhashOracleSql: String =
+    s"""WITH RECURSIVE docs AS (
+         |  SELECT doc_id, $shinglesSql AS shingles FROM documents),
+         |sigs AS (
+         |  SELECT doc_id, shingles,
+         |    list_transform(range(0, 12), j ->
+         |      list_aggregate(list_transform(shingles,
+         |        s -> (CAST(concat('0x', substring(md5(s), 1, 15)) AS BIGINT) % 2147483648
+         |              + j * (CAST(concat('0x', substring(md5(s), 16, 15)) AS BIGINT) % 2147483648))
+         |             % 2147483648), 'min')) AS sig
+         |  FROM docs WHERE len(shingles) > 0),
+         |bands_all AS (
+         |  SELECT doc_id, b AS band_idx,
+         |    concat_ws(',', sig[b*3+1], sig[b*3+2], sig[b*3+3]) AS band_hash
+         |  FROM sigs, range(0, 4) AS t(b)),
+         |cat AS (SELECT DISTINCT band_idx, band_hash FROM bands_all WHERE doc_id < 250),
+         |bb AS (SELECT doc_id, band_idx, band_hash FROM bands_all WHERE doc_id >= 250),
+         |hit AS (SELECT DISTINCT bb.doc_id FROM bb JOIN cat USING (band_idx, band_hash)),
+         |sb AS (SELECT * FROM bb WHERE doc_id NOT IN (SELECT doc_id FROM hit)),
+         |bsz AS (
+         |  SELECT band_idx, band_hash FROM sb
+         |  GROUP BY band_idx, band_hash HAVING count(*) <= 1000),
+         |sb2 AS (
+         |  SELECT s.doc_id, s.band_idx, s.band_hash
+         |  FROM sb s JOIN bsz USING (band_idx, band_hash)),
+         |cands AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM sb2 a JOIN sb2 b
+         |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         |  WHERE a.doc_id < b.doc_id),
+         |ver AS (
+         |  SELECT c.doc_a, c.doc_b
+         |  FROM cands c JOIN sigs a ON c.doc_a = a.doc_id
+         |    JOIN sigs b ON c.doc_b = b.doc_id
+         |  WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+         |    / CAST(len(a.shingles) + len(b.shingles)
+         |           - len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) >= 0.8),
+         |e AS (SELECT doc_a AS a, doc_b AS b FROM ver
+         |      UNION SELECT doc_b, doc_a FROM ver),
+         |reach(src, dst) AS (
+         |  SELECT a, a FROM (SELECT DISTINCT a FROM e)
+         |  UNION
+         |  SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a),
+         |dropped AS (SELECT src AS doc_id FROM reach GROUP BY src HAVING min(dst) <> src),
+         |rej AS (SELECT doc_id FROM hit UNION ALL SELECT doc_id FROM dropped)
+         |SELECT doc_id, CAST(band_idx AS INT) AS band_idx, band_hash
+         |FROM bb WHERE doc_id NOT IN (SELECT doc_id FROM rej)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "pagerank_neardup" -> pagerankSql(5),
@@ -3603,11 +3716,18 @@ object SparkEntry {
     // batch docs sharing ANY band with the catalog are dropped, the
     // rest run the capped within-batch LSH → jaccard ≥ 0.8 → CC keep-
     // min pipeline; output = the fresh docs' band rows (catalog delta)
-    "dedup_incremental_minhash" ->
-      s"""WITH RECURSIVE docs AS (
+    "dedup_incremental_minhash" -> dedupIncrMinhashOracleSql,
+    // identical semantics, bucketed catalog layout
+    "dedup_incremental_minhash_bucketed" -> dedupIncrMinhashOracleSql,
+    // streaming screen replay at threshold 1.0: a doc matches iff its
+    // full signature equals an earlier-admitted doc's, so the admitted
+    // doc per (band bucket, signature) group is the group min and
+    // every later member emits one verdict per band
+    "streaming_neardup_replay" ->
+      s"""WITH docs AS (
          |  SELECT doc_id, $shinglesSql AS shingles FROM documents),
          |sigs AS (
-         |  SELECT doc_id, shingles,
+         |  SELECT doc_id,
          |    list_transform(range(0, 12), j ->
          |      list_aggregate(list_transform(shingles,
          |        s -> (CAST(concat('0x', substring(md5(s), 1, 15)) AS BIGINT) % 2147483648
@@ -3616,40 +3736,17 @@ object SparkEntry {
          |  FROM docs WHERE len(shingles) > 0),
          |bands_all AS (
          |  SELECT doc_id, b AS band_idx,
-         |    concat_ws(',', sig[b*3+1], sig[b*3+2], sig[b*3+3]) AS band_hash
+         |    concat_ws(',', sig[b*3+1], sig[b*3+2], sig[b*3+3]) AS band_hash, sig
          |  FROM sigs, range(0, 4) AS t(b)),
-         |cat AS (SELECT DISTINCT band_idx, band_hash FROM bands_all WHERE doc_id < 250),
-         |bb AS (SELECT doc_id, band_idx, band_hash FROM bands_all WHERE doc_id >= 250),
-         |hit AS (SELECT DISTINCT bb.doc_id FROM bb JOIN cat USING (band_idx, band_hash)),
-         |sb AS (SELECT * FROM bb WHERE doc_id NOT IN (SELECT doc_id FROM hit)),
-         |bsz AS (
-         |  SELECT band_idx, band_hash FROM sb
-         |  GROUP BY band_idx, band_hash HAVING count(*) <= 1000),
-         |sb2 AS (
-         |  SELECT s.doc_id, s.band_idx, s.band_hash
-         |  FROM sb s JOIN bsz USING (band_idx, band_hash)),
-         |cands AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM sb2 a JOIN sb2 b
-         |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
-         |  WHERE a.doc_id < b.doc_id),
-         |ver AS (
-         |  SELECT c.doc_a, c.doc_b
-         |  FROM cands c JOIN sigs a ON c.doc_a = a.doc_id
-         |    JOIN sigs b ON c.doc_b = b.doc_id
-         |  WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-         |    / CAST(len(a.shingles) + len(b.shingles)
-         |           - len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) >= 0.8),
-         |e AS (SELECT doc_a AS a, doc_b AS b FROM ver
-         |      UNION SELECT doc_b, doc_a FROM ver),
-         |reach(src, dst) AS (
-         |  SELECT a, a FROM (SELECT DISTINCT a FROM e)
-         |  UNION
-         |  SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a),
-         |dropped AS (SELECT src AS doc_id FROM reach GROUP BY src HAVING min(dst) <> src),
-         |rej AS (SELECT doc_id FROM hit UNION ALL SELECT doc_id FROM dropped)
-         |SELECT doc_id, CAST(band_idx AS INT) AS band_idx, band_hash
-         |FROM bb WHERE doc_id NOT IN (SELECT doc_id FROM rej)""".stripMargin,
+         |grp AS (
+         |  SELECT band_idx, band_hash, sig, min(doc_id) AS dup_of
+         |  FROM bands_all GROUP BY band_idx, band_hash, sig)
+         |SELECT b.doc_id, CAST(b.band_idx AS INT) AS band_idx, g.dup_of,
+         |  CAST(1.0 AS DOUBLE) AS est_jaccard
+         |FROM bands_all b JOIN grp g
+         |  ON b.band_idx = g.band_idx AND b.band_hash = g.band_hash
+         |    AND b.sig = g.sig
+         |WHERE b.doc_id > g.dup_of""".stripMargin,
     // verified variant: identical pipeline, but a catalog band
     // collision only drops the batch doc after exact-Jaccard
     // confirmation against the colliding catalog doc's shingle set

@@ -14,9 +14,21 @@ object Bucketing {
     * merge-friendly reads). Overwrite also clears an ORPHANED table
     * location: with the default in-memory catalog, a previous JVM's
     * managed-table files survive while its metadata doesn't, and CTAS
-    * refuses the existing directory. */
+    * refuses the existing directory.
+    *
+    * Bucket on EXACTLY the keys later joins/aggregations cluster on:
+    * Spark's co-partition check (`requireAllClusterKeysForCoPartition`,
+    * default true) rejects subset-key bucketing for joins, and the
+    * planner then silently disables the bucketed scan and shuffles
+    * BOTH sides — the layout cost paid for nothing. */
   def writeBucketed(df: DataFrame, table: String, bucketCol: String,
-                    nBuckets: Int, mode: SaveMode = SaveMode.Overwrite): Unit = {
+                    nBuckets: Int, mode: SaveMode = SaveMode.Overwrite): Unit =
+    writeBucketed(df, table, Seq(bucketCol), nBuckets, mode)
+
+  /** Multi-column variant: bucket (and sort) by a composite key. */
+  def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
+                    nBuckets: Int, mode: SaveMode): Unit = {
+    require(bucketCols.nonEmpty, "need at least one bucket column")
     val spark = df.sparkSession
     if (mode == SaveMode.Overwrite && !spark.catalog.tableExists(table)) {
       val loc = new org.apache.hadoop.fs.Path(
@@ -25,8 +37,8 @@ object Bucketing {
       if (fs.exists(loc)) fs.delete(loc, true)
     }
     df.write.mode(mode)
-      .bucketBy(nBuckets, bucketCol)
-      .sortBy(bucketCol)
+      .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
       .format("parquet")
       .saveAsTable(table)
   }

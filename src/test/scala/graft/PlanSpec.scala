@@ -167,12 +167,93 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Bucketed: true"), p)
   }
 
+  test("bucketed band catalog: the recurring screen join never re-shuffles the catalog side") {
+    // the 100 TB re-ingest claim made concrete: the accepted-corpus
+    // catalog (bucketed by band_hash ⊆ the screen join keys) must plan
+    // exchange-free — only the ingest batch may shuffle. Broadcast is
+    // disabled so the proof is about bucketing, not about the batch
+    // side happening to be tiny at this SF. Asserted on the screen
+    // join itself: the registered query's RETURNED frame is an eager
+    // checkpoint (its executed plan is a bare RDD scan), so the join
+    // plan must be rebuilt here the way incrementalNearDup builds it.
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // materializes the fingerprint-keyed bucketed catalog table
+      SparkEntry.queries("dedup_incremental_minhash_bucketed")(spark, dir)
+      val table = spark.catalog.listTables().collect()
+        .map(_.name).find(_.startsWith("graft_band_catalog_"))
+        .getOrElse(fail("bucketed band catalog table was not created"))
+      val docs = graft.core.Tables.documents(spark, dir)
+      val batchBands = graft.dedup.Dedup.lshBands(
+        graft.dedup.Dedup.minhashSignatures(docs.filter(col("doc_id") >= 250)))
+      val screen = batchBands.join(
+        spark.table(table).select(col("band_idx"), col("band_hash")),
+        Seq("band_idx", "band_hash"), "left_semi")
+      screen.queryExecution.toRdd.count() // AQE-final plan
+      def nodes(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+        case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+        case q: QueryStageExec => nodes(q.plan)
+        case o => o.children.flatMap(nodes)
+      })
+      val all = nodes(screen.queryExecution.executedPlan)
+      def isCatalogScan(p: SparkPlan): Boolean = p match {
+        case s: FileSourceScanExec =>
+          s.relation.location.rootPaths.exists(_.toString.contains("graft_band_catalog_"))
+        case _ => false
+      }
+      val catalogScans = all.collect { case s: FileSourceScanExec if isCatalogScan(s) => s }
+      assert(catalogScans.nonEmpty, "expected a scan of the bucketed band catalog")
+      assert(catalogScans.forall(_.relation.bucketSpec.isDefined),
+        "catalog scan lost its bucket spec")
+      val shuffledCatalog = all.collect {
+        case e: ShuffleExchangeExec if nodes(e).exists(isCatalogScan) => e
+      }
+      assert(shuffledCatalog.isEmpty,
+        s"catalog side re-shuffled:\n${shuffledCatalog.map(_.treeString).mkString}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("filter pushdown reaches the parquet scan") {
     import org.apache.spark.sql.functions.col
     val df = graft.core.Tables.lineitem(spark, dir)
       .filter(col("l_quantity") > 40).select("l_orderkey", "l_quantity")
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("PushedFilters: [") && p.contains("GreaterThan(l_quantity"), p)
+  }
+
+  test("retention_cohorts: two user_id exchanges max, cohort side partially aggregated") {
+    // The cohort derivation and the join back both cluster events by
+    // user_id. Exchange REUSE is deliberately absent: the cohort side
+    // partial-aggregates (partial_min per map partition) BELOW its
+    // exchange, so it shuffles per-user rows while the join side
+    // shuffles events — different payloads, and trading the partial
+    // agg for a shared raw exchange would shuffle MORE bytes at 100 TB,
+    // not fewer. The guard pins what actually matters: exactly the two
+    // user_id exchanges (a third would mean the join re-shuffles one
+    // side) and the map-side combine surviving on the cohort branch.
+    // Broadcast disabled = the 100 TB regime (per-user cohorts are not
+    // broadcastable at scale; at tiny SF AQE would broadcast and hide
+    // the join's distribution requirements).
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = SparkEntry.queries("retention_cohorts")(spark, dir)
+      df.collect() // AQE-final plan
+      // count in the FINAL plan only — AdaptiveSparkPlan.toString
+      // appends the initial plan, which would double every match
+      val p = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      val userIdExchanges =
+        "Exchange hashpartitioning\\(user_id".r.findAllIn(p).size
+      assert(userIdExchanges <= 2, s"events shuffled $userIdExchanges times on user_id:\n$p")
+      assert(p.contains("partial_min"),
+        s"cohort branch lost its map-side partial aggregation:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
   test("keyword_search runs the scan→explode→tf subtree once (AQE exchange reuse)") {

@@ -226,15 +226,35 @@ object TxnLog {
     fs.listStatus(dir).toSeq
       .filter(_.getPath.getName.endsWith(".json"))
       .sortBy(_.getPath.getName)
-      .map { st =>
-        val in = fs.open(st.getPath)
-        val body = try {
-          val buf = new java.io.ByteArrayOutputStream()
-          org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 8192, false)
-          buf.toString("UTF-8")
-        } finally in.close()
-        parse(body)
-      }
+      .map(st => readManifest(fs, st.getPath))
+  }
+
+  /** Read+parse one manifest, retrying briefly on empty/partial
+    * content: the create-exclusive call is the commit point, so a
+    * concurrent reader can list the manifest in the microseconds
+    * between its creation and the content write+close landing. The
+    * version is already claimed by exactly one writer — the content
+    * WILL appear — so a bounded wait is correct, and a manifest still
+    * unreadable after it means a writer crashed mid-publish (fail
+    * loudly; recover by deleting the torn manifest, which un-claims
+    * the version). Found by the racing-writers spec. */
+  private def readManifest(fs: FileSystem, path: Path): Commit = {
+    val deadline = System.nanoTime() + 2L * 1000 * 1000 * 1000
+    var last: Throwable = null
+    while (System.nanoTime() < deadline) {
+      val in = fs.open(path)
+      val body = try {
+        val buf = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 8192, false)
+        buf.toString("UTF-8")
+      } finally in.close()
+      try return parse(body)
+      catch { case e: Throwable => last = e; Thread.sleep(10) }
+    }
+    throw new IllegalStateException(
+      s"TxnLog: manifest $path unreadable after 2s — a writer crashed between " +
+        "claiming the version and publishing its content; delete the torn " +
+        "manifest to un-claim the version", last)
   }
 
   private def logPath(root: String, version: Long): Path =

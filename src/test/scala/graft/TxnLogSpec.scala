@@ -129,6 +129,50 @@ class TxnLogSpec extends SparkSpec {
     assert(v0 == Map("a" -> 150L, "b" -> 10L))
   }
 
+  test("racing writers: one exclusive-create wins per version; losers retry onto the new snapshot") {
+    val root = Files.createTempDirectory("graft_txn").toString + "/t"
+    TxnLog.overwrite(Seq((0L, "base")).toDF("id", "s"), root) // v0
+    // Two writers, three appends each, released together: every commit
+    // attempt that loses the create-exclusive race must re-read the
+    // log and retry on the NEXT version — the loser's manifest then
+    // carries the winner's directories (appends fold the latest
+    // snapshot), so no commit ever drops interleaved rows.
+    val nWriters = 2
+    val perWriter = 3
+    val start = new java.util.concurrent.CyclicBarrier(nWriters)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(nWriters)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val futures = (0 until nWriters).map { w =>
+      scala.concurrent.Future {
+        start.await()
+        (0 until perWriter).map { i =>
+          TxnLog.append(Seq((100L * w + i, s"w$w-$i")).toDF("id", "s"), root)
+        }
+      }
+    }
+    val versionsPerWriter = scala.concurrent.Await.result(
+      scala.concurrent.Future.sequence(futures),
+      scala.concurrent.duration.Duration.Inf)
+    pool.shutdown()
+    val committed = versionsPerWriter.flatten
+    // every append won SOME version, and no two share one
+    assert(committed.size == nWriters * perWriter)
+    assert(committed.distinct.size == committed.size, s"duplicate versions: $committed")
+    val vs = TxnLog.versions(spark, root)
+    assert(vs.map(_._1) == (0L to (nWriters * perWriter).toLong),
+      s"non-contiguous versions: $vs")
+    // each append's manifest folds ALL prior directories: n_dirs is
+    // strictly increasing 1..7 — the loser saw the winner's snapshot
+    assert(vs.map(_._3) == (1 to nWriters * perWriter + 1),
+      s"a commit dropped interleaved dirs: $vs")
+    // and the final table carries every row exactly once
+    val rows = TxnLog.read(spark, root).collect().map(_.getString(1)).sorted
+    val expected = ("base" +: (for (w <- 0 until nWriters; i <- 0 until perWriter)
+      yield s"w$w-$i")).sorted
+    assert(rows.toSeq == expected, s"rows: ${rows.mkString(",")}")
+  }
+
   test("a real micro-batch stream lands exactly-once through the txn log") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

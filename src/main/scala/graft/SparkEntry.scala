@@ -1085,6 +1085,19 @@ object SparkEntry {
          |    sqrt(${dotSql("c_emb", "c_emb")}) AS c_norm FROM cemb)""".stripMargin
   }
 
+  /** One plane's SELECT for the `embed_project` oracle: the engine's
+    * md5-derived ±1 signs (seed offset 100 = [[Similarity
+    * .randomProject]]'s default) inlined as an integer literal list,
+    * the same micro-quantize-then-integer-sum arithmetic. */
+  private def projectPlaneSql(p: Int): String = {
+    val signs = Similarity.planeVector(100 + p, 64)
+      .map(v => if (v > 0) "1" else "-1").mkString("[", ", ", "]")
+    s"""SELECT vec_id, CAST($p AS INT) AS plane_idx,
+       |  CAST(list_sum(list_transform(range(1, 65), i ->
+       |    CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) * ($signs)[i])) AS BIGINT) AS proj_micro
+       |FROM embeddings""".stripMargin
+  }
+
   /** DuckDB literal for hyperplane p (same md5-derived signs as
     * [[Similarity.planeVector]]). */
   private def planeSqlList(p: Int): String =
@@ -1907,6 +1920,21 @@ object SparkEntry {
     // identical double arithmetic both engines, and a string column the
     // pandas comparator can hash (float formatting differs across
     // engines, so raw doubles-in-strings would not)
+    // JL ±1 random projection: the pre-LSH dimensionality shrink,
+    // integer-exact micro arithmetic, pure map-side projection
+    "embed_project" -> ((s, d) =>
+      Similarity.randomProject(
+        Tables.embeddings(s, d).select("vec_id", "embedding"),
+        dim = 64, outDim = 8)),
+    // coarse-to-fine ANN: integer projected dot product prunes to 50
+    // per query, exact cosine re-ranks the survivors to top-5
+    "sim_project_rerank" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.projectedRerankTopK(e.select("vec_id", "embedding"),
+        e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
+        dim = 64, outDim = 32, coarseK = 100, k = 5)
+    }),
     "embed_normalize" -> ((s, d) =>
       Similarity.l2Normalize(Tables.embeddings(s, d).select("vec_id", "embedding"))
         .select(col("vec_id"), col("norm"),
@@ -3839,6 +3867,10 @@ object SparkEntry {
         |    CAST(CAST(round(CASE WHEN norm = 0.0 THEN CAST(v AS DOUBLE)
         |                         ELSE CAST(v AS DOUBLE) / norm END * 1e6) AS BIGINT) AS VARCHAR)), ',') AS unit_fp
         |FROM n""".stripMargin,
+    // JL ±1 random projection: per-plane sign literals replayed, one
+    // quantization round then pure integer sums — hash-exact
+    "embed_project" ->
+      (0 until 8).map(projectPlaneSql).mkString("\nUNION ALL\n"),
     // int8 scalar quantization: identical arithmetic step-for-step
     "embed_quantize" ->
       """WITH s AS (
@@ -4298,6 +4330,44 @@ object SparkEntry {
          |  SELECT q.q_id, e.vec_id,
          |    $dotEq / (sqrt($normE) * sqrt($normQ)) AS cos
          |  FROM embeddings e, q WHERE e.vec_id <> q.q_id)
+         |SELECT q_id, vec_id, rank, round(cos, 9) AS cos FROM (
+         |  SELECT q_id, vec_id, cos,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rank
+         |  FROM pairs) WHERE rank <= 5""".stripMargin
+    },
+    // coarse-to-fine over the JL projection: integer coarse scores are
+    // replayed from the same plane literals as embed_project, the fine
+    // stage is sim_topk's cosine restricted to the coarse survivors
+    "sim_project_rerank" -> {
+      def projCol(src: String, p: Int): String = {
+        val signs = Similarity.planeVector(100 + p, 64)
+          .map(v => if (v > 0) "1" else "-1").mkString("[", ", ", "]")
+        s"CAST(list_sum(list_transform(range(1, 65), i -> " +
+          s"CAST(round(CAST($src[i] AS DOUBLE) * 1000000) AS BIGINT) * ($signs)[i])) AS BIGINT) AS p$p"
+      }
+      val cpCols = (0 until 32).map(p => projCol("embedding", p)).mkString(",\n  ")
+      val coarseSum = (0 until 32).map(p => s"cp.p$p * qp.p$p").mkString(" + ")
+      val dotEq = dotSql("e.embedding", "q.embedding")
+      val normE = dotSql("e.embedding", "e.embedding")
+      val normQ = dotSql("q.embedding", "q.embedding")
+      s"""WITH cp AS (SELECT vec_id,
+         |  $cpCols
+         |FROM embeddings),
+         |qp AS (SELECT * FROM cp WHERE vec_id < 10),
+         |coarse AS (
+         |  SELECT qp.vec_id AS q_id, cp.vec_id, ($coarseSum) AS coarse
+         |  FROM cp, qp WHERE cp.vec_id <> qp.vec_id),
+         |surv AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT q_id, vec_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY coarse DESC, vec_id ASC) AS crank
+         |    FROM coarse) WHERE crank <= 100),
+         |pairs AS (
+         |  SELECT s.q_id, s.vec_id,
+         |    $dotEq / (sqrt($normE) * sqrt($normQ)) AS cos
+         |  FROM surv s
+         |  JOIN embeddings e ON e.vec_id = s.vec_id
+         |  JOIN embeddings q ON q.vec_id = s.q_id)
          |SELECT q_id, vec_id, rank, round(cos, 9) AS cos FROM (
          |  SELECT q_id, vec_id, cos,
          |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rank

@@ -454,6 +454,100 @@ object Similarity {
         .as("unit"))
   }
 
+  /** Deterministic ±1 random projection (the dense-sign
+    * Johnson–Lindenstrauss variant, Achlioptas 2003): `outDim` output
+    * coordinates, out_p = Σ_i sign(p, i) · q_i over the
+    * micro-quantized embedding q_i = round(emb_i · 1e6) — one
+    * quantization round per element, then pure integer arithmetic, so
+    * projections are hash-exact in any engine (a float Σ would be
+    * summation-order noise). The sign planes are the engine's
+    * md5-derived family ([[planeVector]], dedicated seed offset so
+    * projection planes never collide with the LSH bucket planes),
+    * materialized driver-side into literal arrays — executors never
+    * hash per (row, plane, dim) cell.
+    *
+    * This is the pre-LSH/pre-scoring shrink for embedding corpora: at
+    * 100 TB, reducing dim → outDim cuts every downstream
+    * band/scoring pass by the same factor while JL preserves pairwise
+    * geometry to within the usual ε for outDim = O(log n / ε²).
+    *
+    * Scale shape: pure map-side projection — no shuffle, stays in
+    * whole-stage codegen. Returns narrow (id, plane_idx, proj_micro)
+    * long rows: hash-checkable directly and pivotable back to a
+    * reduced vector table. */
+  def randomProject(df: DataFrame, dim: Int, outDim: Int,
+                    seedOffset: Int = 100,
+                    embCol: String = "embedding",
+                    idCol: String = "vec_id"): DataFrame = {
+    require(dim > 0 && outDim > 0, s"need dim/outDim > 0, got $dim/$outDim")
+    val projs = projExprs(col(embCol), dim, outDim, seedOffset)
+    df.select(col(idCol),
+      posexplode(array(projs: _*)).as(Seq("plane_idx", "proj_micro")))
+  }
+
+  /** The per-plane projection expressions behind [[randomProject]],
+    * reusable wherever the projected vector is wanted as an array. */
+  private def projExprs(emb: Column, dim: Int, outDim: Int,
+                        seedOffset: Int): Seq[Column] =
+    (0 until outDim).map { p =>
+      val signs = planeVector(seedOffset + p, dim).map(v => if (v > 0) 1L else -1L)
+      aggregate(
+        zip_with(emb, typedlit(signs),
+          (x, s) => round(x.cast("double") * 1e6).cast("long") * s),
+        lit(0L), (acc, v) => acc + v)
+    }
+
+  /** Coarse-to-fine ANN over the JL projection: rank every candidate
+    * per query by the INTEGER dot product of the two `outDim`-dim sign
+    * projections ([[randomProject]]'s planes — exact, order-free
+    * arithmetic), keep the coarse top-`coarseK`, then re-score just
+    * those with the full-dimension exact cosine and return top-`k` in
+    * [[bruteForceTopK]]'s output convention.
+    *
+    * This is the standard two-stage retrieval shape at corpus scale:
+    * the expensive full-width scoring touches `coarseK` candidates per
+    * query instead of the corpus, while the coarse pass reads
+    * `outDim` longs per row instead of `dim` floats — with JL
+    * distortion bounded the recall loss is the usual ε for
+    * `outDim = O(log n / ε²)` (and the spec pins recall on the test
+    * corpus).
+    *
+    * Scale shape: embeddings NEVER cross an exchange — the coarse
+    * stage broadcasts the projected queries and shuffles only narrow
+    * (q_id, vec_id, score) triples into the rank window; the
+    * surviving (q_id, vec_id) pairs (≤ queries × coarseK) broadcast
+    * back onto the candidate and query tables, so the fine stage is
+    * map-side joins plus one more narrow rank exchange. */
+  def projectedRerankTopK(candidates: DataFrame, queries: DataFrame,
+                          dim: Int, outDim: Int, coarseK: Int, k: Int,
+                          seedOffset: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(coarseK >= k, s"need coarseK >= k, got $coarseK < $k")
+    val cand = graft.core.Parallelism.ensure(candidates)
+      .select(col("vec_id"),
+        array(projExprs(col("embedding"), dim, outDim, seedOffset): _*).as("cproj"))
+    val qs = queries
+      .select(col("q_id"),
+        array(projExprs(col("q_emb"), dim, outDim, seedOffset): _*).as("qproj"))
+    val coarseScore = aggregate(
+      zip_with(col("cproj"), col("qproj"), (a, b) => a * b),
+      lit(0L), (acc, v) => acc + v)
+    val wCoarse = Window.partitionBy(col("q_id"))
+      .orderBy(col("coarse").desc, col("vec_id").asc)
+    val survivors = cand.crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), coarseScore.as("coarse"))
+      .withColumn("crank", row_number().over(wCoarse))
+      .filter(col("crank") <= coarseK)
+      .select("q_id", "vec_id")
+    val fine = candidates.join(broadcast(survivors), "vec_id")
+      .join(broadcast(queries), "q_id")
+      .withColumn("cos",
+        dot(col("embedding"), col("q_emb")) /
+          (norm(col("embedding")) * norm(col("q_emb"))))
+    rankScored(fine.select(col("q_id"), col("vec_id"), col("cos")), k)
+  }
+
   /** Symmetric int8 scalar quantization of an embedding column — the
     * standard 4x storage reduction for embedding corpora. Per-vector
     * scale = max|x| / 127; q_i = round(x_i / scale) ∈ [-127, 127];

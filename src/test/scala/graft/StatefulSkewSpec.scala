@@ -40,6 +40,42 @@ class StatefulSkewSpec extends SparkSpec {
     assert(b2.length == 4) // all 4 bands collide on an exact dup
   }
 
+  test("nearDupStream restarts against a snapshotted catalog (initial state bootstrap)") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    val other = (1 to 60).map(i => s"q$i").mkString(" ")
+    // "yesterday's" accepted corpus lives in the lake; snapshot it in
+    // the stream's bootstrap shape
+    val accepted = Seq((1L, base), (3L, other)).toDF("doc_id", "text")
+    val catalog = StreamingNearDup.catalogFrom(accepted)
+    assert(catalog.count() == 8) // 2 docs x 4 bands
+    // a NEW query incarnation seeded from the snapshot: no batch ever
+    // contained docs 1/3, yet their near-dups are caught immediately
+    val input = MemoryStream[(Long, String)]
+    val verdicts = StreamingNearDup.nearDupStream(
+      input.toDF().toDF("doc_id", "text"), threshold = 0.7,
+      initialCatalog = Some(catalog))
+    val q = verdicts.writeStream.format("memory").queryName("neardup_boot")
+      .outputMode("append").start()
+    val fresh = (1 to 60).map(i => s"z$i").mkString(" ")
+    input.addData((10L, base), (11L, fresh))
+    q.processAllAvailable()
+    // the fresh doc must also have been ADMITTED to the restored
+    // catalog: its later exact replay gets screened
+    input.addData((20L, fresh))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("neardup_boot").collect()
+    val exactDup = rows.filter(_.getLong(0) == 10L)
+    assert(exactDup.length == 4 && exactDup.forall(r =>
+      r.getLong(2) == 1L && r.getDouble(3) == 1.0), rows.mkString(","))
+    assert(!rows.exists(_.getLong(0) == 11L), rows.mkString(","))
+    val replay = rows.filter(_.getLong(0) == 20L)
+    assert(replay.length == 4 && replay.forall(_.getLong(2) == 11L),
+      rows.mkString(","))
+  }
+
   test("sessionizeStream closes sessions after the gap via event-time timeout") {
     implicit val sql = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp)]

@@ -693,6 +693,15 @@ object SparkEntry {
   private def dedupMinhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashNearDups(Tables.documents(spark, dir))
 
+  /** Cross-corpus overlap audit ([[graft.dedup.Dedup.crossNearDups]]):
+    * docs < 250 play the accepted corpus, the rest the incoming crawl;
+    * scored near-dup pairs BETWEEN the two only. */
+  private def dedupCross(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    Dedup.crossNearDups(docs.filter(col("doc_id") < 250),
+      docs.filter(col("doc_id") >= 250))
+  }
+
   /** Near-dup pairs → connected components → keep/drop decision. */
   private def dedupClusters(spark: SparkSession, dir: String): DataFrame =
     Dedup.nearDupClusters(
@@ -1859,6 +1868,7 @@ object SparkEntry {
     }),
     "dedup_exact" -> (dedupExact(_, _)),
     "dedup_minhash" -> (dedupMinhash(_, _)),
+    "dedup_cross" -> (dedupCross(_, _)),
     "dedup_containment" -> ((s, d) =>
       graft.dedup.Dedup.containmentNearDups(Tables.documents(s, d))
         .filter(col("containment") >= 0.5)),
@@ -3744,6 +3754,44 @@ object SparkEntry {
     // batch docs sharing ANY band with the catalog are dropped, the
     // rest run the capped within-batch LSH → jaccard ≥ 0.8 → CC keep-
     // min pipeline; output = the fresh docs' band rows (catalog delta)
+    // bipartite near-dup audit: candidates only ACROSS the id split,
+    // per-side bucket caps, exact-Jaccard scores
+    "dedup_cross" ->
+      s"""WITH docs AS (
+         |  SELECT doc_id, $shinglesSql AS shingles FROM documents),
+         |sigs AS (
+         |  SELECT doc_id, shingles,
+         |    list_transform(range(0, 12), j ->
+         |      list_aggregate(list_transform(shingles,
+         |        s -> (CAST(concat('0x', substring(md5(s), 1, 15)) AS BIGINT) % 2147483648
+         |              + j * (CAST(concat('0x', substring(md5(s), 16, 15)) AS BIGINT) % 2147483648))
+         |             % 2147483648), 'min')) AS sig
+         |  FROM docs WHERE len(shingles) > 0),
+         |bands_all AS (
+         |  SELECT doc_id, b AS band_idx,
+         |    concat_ws(',', sig[b*3+1], sig[b*3+2], sig[b*3+3]) AS band_hash
+         |  FROM sigs, range(0, 4) AS t(b)),
+         |ba AS (SELECT * FROM bands_all WHERE doc_id < 250),
+         |bb AS (SELECT * FROM bands_all WHERE doc_id >= 250),
+         |sza AS (SELECT band_idx, band_hash FROM ba
+         |        GROUP BY band_idx, band_hash HAVING count(*) <= 1000),
+         |szb AS (SELECT band_idx, band_hash FROM bb
+         |        GROUP BY band_idx, band_hash HAVING count(*) <= 1000),
+         |cands AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM (SELECT ba.* FROM ba JOIN sza USING (band_idx, band_hash)) a
+         |  JOIN (SELECT bb.* FROM bb JOIN szb USING (band_idx, band_hash)) b
+         |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash)
+         |SELECT c.doc_a, c.doc_b,
+         |  CAST(len(list_intersect(sa.shingles, sb.shingles)) AS BIGINT) AS n_inter,
+         |  CAST(len(sa.shingles) + len(sb.shingles)
+         |       - len(list_intersect(sa.shingles, sb.shingles)) AS BIGINT) AS n_union,
+         |  CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+         |    / CAST(len(sa.shingles) + len(sb.shingles)
+         |           - len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) AS jaccard
+         |FROM cands c
+         |JOIN sigs sa ON c.doc_a = sa.doc_id
+         |JOIN sigs sb ON c.doc_b = sb.doc_id""".stripMargin,
     "dedup_incremental_minhash" -> dedupIncrMinhashOracleSql,
     // identical semantics, bucketed catalog layout
     "dedup_incremental_minhash_bucketed" -> dedupIncrMinhashOracleSql,

@@ -320,6 +320,54 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
       .select("doc_a", "doc_b")
 
+  /** Bipartite (cross-corpus) near-dup pairs: MinHash-LSH candidates
+    * BETWEEN corpus `a` and corpus `b` only — never within either —
+    * verified by exact Jaccard. The overlap-audit operator: "how much
+    * of the new crawl duplicates the accepted corpus", "which eval
+    * documents leak into train", scored pair by pair where
+    * [[incrementalNearDup]] silently drops. Returns (a_id, b_id,
+    * n_inter, n_union, jaccard).
+    *
+    * Scale shape: same as [[minhashNearDups]] — signatures are
+    * map-side, candidate generation shuffles only narrow band
+    * triples, and the bucket join is a×b within each bucket (the
+    * bucket cap guards degenerate boilerplate buckets on EITHER
+    * side). Shingle sets cross an exchange only for colliding pairs.
+    * Both signature frames are loan-scoped persisted; nothing
+    * outlives the call. */
+  def crossNearDups(a: DataFrame, b: DataFrame, k: Int = 12, bands: Int = 4,
+                    textCol: String = "text", idCol: String = "doc_id",
+                    maxBucketSize: Option[Int] = Some(DefaultBucketCap)): DataFrame = {
+    val sigsA = minhashSignatures(a, k, textCol, idCol)
+    val sigsB = minhashSignatures(b, k, textCol, idCol)
+    withScopedCache(sigsA, sigsB) {
+      val bandsA = lshBands(sigsA, k, bands)
+      val bandsB = lshBands(sigsB, k, bands)
+      def bounded(bandsDf: DataFrame): DataFrame = maxBucketSize match {
+        case Some(cap) =>
+          val sizes = bandsDf.groupBy("band_idx", "band_hash")
+            .agg(count(lit(1)).as("__n"))
+          bandsDf.join(sizes, Seq("band_idx", "band_hash"))
+            .filter(col("__n") <= cap).drop("__n")
+        case None => bandsDf
+      }
+      val cands = bounded(bandsA).select(col("band_idx"), col("band_hash"),
+          col("doc_id").as("doc_a"))
+        .join(bounded(bandsB).select(col("band_idx"), col("band_hash"),
+          col("doc_id").as("doc_b")), Seq("band_idx", "band_hash"))
+        .select("doc_a", "doc_b").distinct()
+      cands
+        .join(sigsA.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
+        .join(sigsB.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
+        .withColumn("n_inter",
+          size(array_intersect(col("sh_a"), col("sh_b"))).cast("bigint"))
+        .withColumn("n_union",
+          (size(col("sh_a")) + size(col("sh_b"))).cast("bigint") - col("n_inter"))
+        .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_union"),
+          (col("n_inter").cast("double") / col("n_union").cast("double")).as("jaccard"))
+    }
+  }
+
   /** Brute-force n-gram Jaccard over a bounded id range (the exact
     * baseline the LSH path approximates; O(n²) — keep n small). */
   def ngramJaccardPairs(df: DataFrame, maxId: Long,

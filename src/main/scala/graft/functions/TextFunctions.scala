@@ -870,8 +870,13 @@ object TextFunctions {
       transform(sequence(lit(1), length(col("word"))), i =>
         col("word").substr(i, lit(1))).as("syms"))
     val merges = Seq.newBuilder[DataFrame]
+    var prevSegsCp: Option[DataFrame] = None
     for (i <- 1 to nMerges) {
       segs = segs.localCheckpoint()
+      // checkpointing round i consumed round i−1's blocks (the lazy
+      // merge-apply chain reads them exactly once) — release them
+      prevSegsCp.foreach(graft.core.Checkpoints.releaseAll)
+      prevSegsCp = Some(segs)
       val winner = bpePairCounts(segs)
         .orderBy(col("pair_count").desc, col("sym_left"), col("sym_right"))
         .limit(1)

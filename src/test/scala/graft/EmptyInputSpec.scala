@@ -125,6 +125,10 @@ class EmptyInputSpec extends SparkSpec {
     assert(Similarity.bruteForceTopK(emptyEmb, emptyEmb
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
       k = 5).isEmpty)
+    assert(Similarity.randomProject(emptyEmb, dim = 64, outDim = 8).isEmpty)
+    assert(Similarity.projectedRerankTopK(emptyEmb, emptyEmb
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
+      dim = 64, outDim = 8, coarseK = 50, k = 5).isEmpty)
     val emptyEdges = Seq.empty[(Long, Long)].toDF("src", "dst")
     assert(Graph.pageRank(emptyEdges).isEmpty)
     assert(Joins.intervalJoin(

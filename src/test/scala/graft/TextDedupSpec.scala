@@ -392,6 +392,32 @@ class TextDedupSpec extends SparkSpec {
     assert(out.values.map(_._2).toSet.subsetOf(Set("train", "heldout")))
   }
 
+  test("crossNearDups scores only ACROSS corpora, never within either") {
+    import spark.implicits._
+    val base = (1 to 40).map(i => s"t$i").mkString(" ")
+    val near = (1 to 39).map(i => s"t$i").mkString(" ") + " zz"
+    val other = (1 to 40).map(i => s"u$i").mkString(" ")
+    // corpus A carries an internal duplicate pair (1, 2) — it must NOT
+    // appear in the output; doc 3 is unrelated
+    val a = Seq((1L, base), (2L, base), (3L, other)).toDF("doc_id", "text")
+    // corpus B: a near-dup of A's base family, plus a fresh doc
+    val fresh = (1 to 40).map(i => s"v$i").mkString(" ")
+    val b = Seq((10L, near), (11L, fresh)).toDF("doc_id", "text")
+    val out = graft.dedup.Dedup.crossNearDups(a, b)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(4)))
+    // every pair is bipartite: a-side id from A, b-side id from B
+    assert(out.forall { case (aId, bId, _) => aId <= 3L && bId >= 10L },
+      out.mkString(","))
+    // the within-A exact duplicate never pairs (1,2)
+    assert(!out.exists(p => p._1 == 1L && p._2 == 2L))
+    // both base copies hit the near-dup in B with the same high score
+    val hits = out.filter(_._2 == 10L)
+    assert(hits.map(_._1).toSet == Set(1L, 2L), out.mkString(","))
+    assert(hits.forall(_._3 > 0.8))
+    // the fresh doc matches nothing
+    assert(!out.exists(_._2 == 11L))
+  }
+
   test("ivfTopK matches brute force when probing all cells") {
     // deterministic pseudo-random vectors in 8 dims
     def vec(seed: Long): Array[Float] =

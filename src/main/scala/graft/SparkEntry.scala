@@ -1324,8 +1324,14 @@ object SparkEntry {
     val src = spark.readStream.schema(schema)
       .parquet(s"$dir/{documents.parquet}")
       .select(col("doc_id"), col("text"))
-    val sink = "graft_neardup_replay_" +
-      java.util.UUID.randomUUID.toString.replace("-", "")
+    // stable sink name, previous incarnation dropped first: a memory
+    // sink pins its full result set in driver memory for as long as
+    // the temp view references it, so UUID-per-call names would leak
+    // one verdict set per invocation across a bench sweep. The query
+    // map runs each name at most once concurrently, so the stable
+    // name cannot race with itself.
+    val sink = "graft_neardup_replay_sink"
+    spark.catalog.dropTempView(sink)
     val q = graft.streaming.StreamingNearDup
       .nearDupStream(src, threshold = 1.0, bucketCap = 1 << 20)
       .writeStream.format("memory").queryName(sink).outputMode("append")
@@ -1349,18 +1355,15 @@ object SparkEntry {
       .catalogDelta
   }
 
-  /** Verified variant ([[graft.dedup.Dedup.incrementalNearDupVerified]]):
-    * same split, but a catalog band collision only drops a batch doc
-    * after exact-Jaccard confirmation against the colliding catalog
-    * doc's shingles — the precision-recovering mode. */
   /** [[dedupIncrementalMinhash]] with the band catalog stored as a
-    * BUCKETED table (bucketBy band_hash): the recurring screen join
-    * plans exchange-free on the catalog side — only the daily ingest
-    * batch shuffles, never the ever-growing accepted-corpus catalog.
-    * This is the 100 TB re-ingest shape [[graft.dedup.Dedup
-    * .incrementalNearDup]]'s Scaladoc promises; `PlanSpec` asserts the
-    * no-Exchange plan. Layout cost is paid once per source snapshot
-    * (same fingerprint-keyed reuse as `staging_agg_bucketed`). */
+    * BUCKETED table — bucketBy (band_idx, band_hash), EXACTLY the
+    * screen-join keys: the recurring screen join plans exchange-free
+    * on the catalog side — only the daily ingest batch shuffles,
+    * never the ever-growing accepted-corpus catalog. This is the
+    * 100 TB re-ingest shape [[graft.dedup.Dedup.incrementalNearDup]]'s
+    * Scaladoc promises; `PlanSpec` asserts the no-Exchange plan.
+    * Layout cost is paid once per source snapshot (same
+    * fingerprint-keyed reuse as `staging_agg_bucketed`). */
   private def dedupIncrementalMinhashBucketed(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val table = "graft_band_catalog_" +
@@ -1380,6 +1383,10 @@ object SparkEntry {
       .incrementalNearDup(docs.filter(col("doc_id") >= 250), spark.table(table))
       .catalogDelta
   }
+  /** Verified variant ([[graft.dedup.Dedup.incrementalNearDupVerified]]):
+    * same split, but a catalog band collision only drops a batch doc
+    * after exact-Jaccard confirmation against the colliding catalog
+    * doc's shingles — the precision-recovering mode. */
   private def dedupIncrementalMinhashVerified(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val catalogDocs = docs.filter(col("doc_id") < 250)

@@ -212,8 +212,12 @@ object Dedup {
     * plate cluster can dominate the whole job. Buckets above the cap
     * are dropped (their members still pair via their other, more
     * selective bands). None = exact reference of the oracle SQL. */
-  def lshCandidates(bandsDf: DataFrame, maxBucketSize: Option[Int] = None): DataFrame = {
-    val bounded = maxBucketSize match {
+  /** Drop LSH buckets over `cap` members (None = unbounded) — the
+    * shared degenerate-bucket guard of [[lshCandidates]] and
+    * [[crossNearDups]]; one definition so the cap semantics (count
+    * per (band_idx, band_hash), inclusive ≤) cannot drift. */
+  private def capBuckets(bandsDf: DataFrame, maxBucketSize: Option[Int]): DataFrame =
+    maxBucketSize match {
       case Some(cap) =>
         val sizes = bandsDf.groupBy("band_idx", "band_hash")
           .agg(count(lit(1)).as("__bucket_n"))
@@ -221,6 +225,9 @@ object Dedup {
           .filter(col("__bucket_n") <= cap).drop("__bucket_n")
       case None => bandsDf
     }
+
+  def lshCandidates(bandsDf: DataFrame, maxBucketSize: Option[Int] = None): DataFrame = {
+    val bounded = capBuckets(bandsDf, maxBucketSize)
     val a = bounded.select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_a"))
     val b = bounded.select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_b"))
     a.join(b, Seq("band_idx", "band_hash"))
@@ -341,19 +348,11 @@ object Dedup {
     val sigsA = minhashSignatures(a, k, textCol, idCol)
     val sigsB = minhashSignatures(b, k, textCol, idCol)
     withScopedCache(sigsA, sigsB) {
-      val bandsA = lshBands(sigsA, k, bands)
-      val bandsB = lshBands(sigsB, k, bands)
-      def bounded(bandsDf: DataFrame): DataFrame = maxBucketSize match {
-        case Some(cap) =>
-          val sizes = bandsDf.groupBy("band_idx", "band_hash")
-            .agg(count(lit(1)).as("__n"))
-          bandsDf.join(sizes, Seq("band_idx", "band_hash"))
-            .filter(col("__n") <= cap).drop("__n")
-        case None => bandsDf
-      }
-      val cands = bounded(bandsA).select(col("band_idx"), col("band_hash"),
+      val bandsA = capBuckets(lshBands(sigsA, k, bands), maxBucketSize)
+      val bandsB = capBuckets(lshBands(sigsB, k, bands), maxBucketSize)
+      val cands = bandsA.select(col("band_idx"), col("band_hash"),
           col("doc_id").as("doc_a"))
-        .join(bounded(bandsB).select(col("band_idx"), col("band_hash"),
+        .join(bandsB.select(col("band_idx"), col("band_hash"),
           col("doc_id").as("doc_b")), Seq("band_idx", "band_hash"))
         .select("doc_a", "doc_b").distinct()
       cands

@@ -99,10 +99,7 @@ object PlanLint {
       stripCast(e).isInstanceOf[AttributeReference]
     def attrVsLit(l: Expression, r: Expression): Boolean =
       (isAttr(l) && r.foldable) || (isAttr(r) && l.foldable)
-    def shaped(e: Expression): Boolean = e match {
-      case And(l, r) => shaped(l) || shaped(r)
-      case Or(l, r) => shaped(l) && shaped(r)
-      case Not(x) => shaped(x)
+    def leaf(e: Expression): Boolean = e match {
       case b: BinaryComparison => attrVsLit(b.left, b.right)
       case In(v, list) => isAttr(v) && list.forall(_.foldable)
       case i: InSet => isAttr(i.child)
@@ -110,6 +107,22 @@ object PlanLint {
       case s: EndsWith => attrVsLit(s.left, s.right)
       case s: Contains => attrVsLit(s.left, s.right)
       case _ => false
+    }
+    // A disjunction — or anything under a Not — pushes only WHOLE
+    // (Spark's translateFilter translates Not/Or iff every child
+    // translates), so those subtrees must be fully shaped; only a
+    // top-level conjunction can push one conjunct and drop the rest.
+    def fully(e: Expression): Boolean = e match {
+      case And(l, r) => fully(l) && fully(r)
+      case Or(l, r) => fully(l) && fully(r)
+      case Not(x) => fully(x)
+      case x => leaf(x)
+    }
+    def shaped(e: Expression): Boolean = e match {
+      case And(l, r) => shaped(l) || shaped(r)
+      case Or(l, r) => fully(l) && fully(r)
+      case Not(x) => fully(x)
+      case x => leaf(x)
     }
     shaped(cond)
   }

@@ -242,13 +242,18 @@ object TxnLog {
     val deadline = System.nanoTime() + 2L * 1000 * 1000 * 1000
     var last: Throwable = null
     while (System.nanoTime() < deadline) {
-      val in = fs.open(path)
-      val body = try {
-        val buf = new java.io.ByteArrayOutputStream()
-        org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 8192, false)
-        buf.toString("UTF-8")
-      } finally in.close()
-      try return parse(body)
+      // the OPEN and READ are inside the retry too: local FS surfaces
+      // the in-flight window as empty content (parse failure), but
+      // HDFS/object stores surface it as an IOException from open or
+      // the block read — both are the same claimed-but-unwritten state
+      try return parse {
+        val in = fs.open(path)
+        try {
+          val buf = new java.io.ByteArrayOutputStream()
+          org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 8192, false)
+          buf.toString("UTF-8")
+        } finally in.close()
+      }
       catch { case e: Throwable => last = e; Thread.sleep(10) }
     }
     throw new IllegalStateException(

@@ -30,6 +30,7 @@ class EmptyInputSpec extends SparkSpec {
   test("text/dedup operators accept an empty corpus") {
     assert(Dedup.exact(emptyDocs).isEmpty)
     assert(Dedup.minhashNearDups(emptyDocs).isEmpty)
+    assert(Dedup.crossNearDups(emptyDocs, emptyDocs).isEmpty)
     assert(Dedup.simhashNearDups(emptyDocs).isEmpty)
     assert(Dedup.spanDedup(emptyDocs).isEmpty)
     assert(TextFunctions.corpusFilter(emptyDocs).isEmpty)

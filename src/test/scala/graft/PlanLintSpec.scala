@@ -83,6 +83,12 @@ class PlanLintSpec extends SparkSpec {
       .filter(col("term") === "body")
     assert(!PlanLint.lint(exploded).exists(_.rule == "unpushed-filter"),
       PlanLint.lint(exploded).mkString("; "))
+    // a NEGATED mixed conjunction pushes only whole (translateFilter
+    // translates Not iff its entire child translates), so with one
+    // never-pushable arm there is nothing any rewrite could push
+    val negMixed = docs.filter(!(col("id") > 50 && length(col("text")) % 3 > 1))
+    assert(!PlanLint.lint(negMixed).exists(_.rule == "unpushed-filter"),
+      PlanLint.lint(negMixed).mkString("; "))
   }
 
   test("CastRoundtripSimplify: int→double→int predicate reaches the parquet scan") {

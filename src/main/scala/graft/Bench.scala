@@ -375,7 +375,7 @@ object Bench {
       .mkString("{", ",", "}")
     val ccRounds = graft.dedup.Dedup.lastCcRounds.get()
     val detail =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_s":${fmt(total)},"sf":"$sfDir","runs":$nRuns,"timing":"min-of-$nRuns (+$maxExtraRuns adaptive runs when 3-run spread > 2x), full materialization via toRdd, fresh plan per run, caches+leftover RDD blocks cleared between runs","cc_rounds":$ccRounds,"timing_consistency":$consistencyJson,"leftover_persisted_rdds":$leftoverJson,"vs_prev":$vsPrevJson,"lint":$lintJson,"queries":$qs,"scaling":$scalingJson,"runs_s":$perRun}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_s":${fmt(total)},"sf":"$sfDir","runs":$nRuns,"runs_max":${nRuns + maxExtraRuns},"timing":"min-of-$nRuns (+$maxExtraRuns adaptive runs when 3-run spread > 2x; runs_s carries every run), full materialization via toRdd, fresh plan per run, caches+leftover RDD blocks cleared between runs","cc_rounds":$ccRounds,"timing_consistency":$consistencyJson,"leftover_persisted_rdds":$leftoverJson,"vs_prev":$vsPrevJson,"lint":$lintJson,"queries":$qs,"scaling":$scalingJson,"runs_s":$perRun}"""
     // The harness capturing stdout keeps only a bounded TAIL (~2 KB) of
     // it — a full 150-query detail line can never survive that whole. So
     // the complete evidence (per-run times for self-adjudication,

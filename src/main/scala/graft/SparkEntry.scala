@@ -64,6 +64,15 @@ object SparkEntry {
     * dedup-and-sum) into a one-time write-side layout cost, amortized
     * over every downstream aggregate/join keyed on the bucket column
     * ([[graft.sources.Bucketing]]). */
+  /** 8-hex-char fingerprint of a source dir — the key under which
+    * session-lifetime bucketed layouts are reused (`staging_agg
+    * _bucketed`, `dedup_incremental_minhash_bucketed`): same dir ⇒
+    * same table name ⇒ reuse; different SF dir ⇒ rebuild. One
+    * definition so the keying policy cannot drift between layouts. */
+  private def dirFingerprint(dir: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+
   private def stagingAggBucketed(spark: SparkSession, dir: String): DataFrame = {
     // Layout cost is paid ONCE per source snapshot and amortized — the
     // operator's whole point. The table name carries the source-dir
@@ -72,9 +81,7 @@ object SparkEntry {
     // rebuilds; a fresh JVM also rebuilds (in-memory catalog), which
     // writeBucketed's orphan-location sweep makes safe. Production
     // would key this on a snapshot/version id instead of a path.
-    val table = "graft_staging_bucketed_" +
-      java.security.MessageDigest.getInstance("MD5")
-        .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    val table = "graft_staging_bucketed_" + dirFingerprint(dir)
     if (!spark.catalog.tableExists(table)) {
       graft.sources.Bucketing.writeBucketed(
         TaxiShape.staging(spark, dir), table,
@@ -1098,14 +1105,24 @@ object SparkEntry {
     * md5-derived ±1 signs (seed offset 100 = [[Similarity
     * .randomProject]]'s default) inlined as an integer literal list,
     * the same micro-quantize-then-integer-sum arithmetic. */
-  private def projectPlaneSql(p: Int): String = {
+  /** The JL projection expression for plane `p` over `src` — the
+    * engine's md5-derived ±1 signs (seed offset 100 =
+    * [[Similarity.randomProject]]'s default, dim 64) inlined as an
+    * integer literal list, same micro-quantize-then-integer-sum
+    * arithmetic. ONE generator shared by the `embed_project` and
+    * `sim_project_rerank` oracles so the plane family and the
+    * quantization constant cannot drift between them. */
+  private def projMicroSql(src: String, p: Int): String = {
     val signs = Similarity.planeVector(100 + p, 64)
       .map(v => if (v > 0) "1" else "-1").mkString("[", ", ", "]")
-    s"""SELECT vec_id, CAST($p AS INT) AS plane_idx,
-       |  CAST(list_sum(list_transform(range(1, 65), i ->
-       |    CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) * ($signs)[i])) AS BIGINT) AS proj_micro
-       |FROM embeddings""".stripMargin
+    s"CAST(list_sum(list_transform(range(1, 65), i -> " +
+      s"CAST(round(CAST($src[i] AS DOUBLE) * 1000000) AS BIGINT) * ($signs)[i])) AS BIGINT)"
   }
+
+  private def projectPlaneSql(p: Int): String =
+    s"""SELECT vec_id, CAST($p AS INT) AS plane_idx,
+       |  ${projMicroSql("embedding", p)} AS proj_micro
+       |FROM embeddings""".stripMargin
 
   /** DuckDB literal for hyperplane p (same md5-derived signs as
     * [[Similarity.planeVector]]). */
@@ -1366,9 +1383,7 @@ object SparkEntry {
     * fingerprint-keyed reuse as `staging_agg_bucketed`). */
   private def dedupIncrementalMinhashBucketed(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val table = "graft_band_catalog_" +
-      java.security.MessageDigest.getInstance("MD5")
-        .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    val table = "graft_band_catalog_" + dirFingerprint(dir)
     if (!spark.catalog.tableExists(table)) {
       // bucketed on EXACTLY the screen-join keys — subset-key bucketing
       // fails Spark's co-partition check and the planner would shuffle
@@ -4394,13 +4409,8 @@ object SparkEntry {
     // replayed from the same plane literals as embed_project, the fine
     // stage is sim_topk's cosine restricted to the coarse survivors
     "sim_project_rerank" -> {
-      def projCol(src: String, p: Int): String = {
-        val signs = Similarity.planeVector(100 + p, 64)
-          .map(v => if (v > 0) "1" else "-1").mkString("[", ", ", "]")
-        s"CAST(list_sum(list_transform(range(1, 65), i -> " +
-          s"CAST(round(CAST($src[i] AS DOUBLE) * 1000000) AS BIGINT) * ($signs)[i])) AS BIGINT) AS p$p"
-      }
-      val cpCols = (0 until 32).map(p => projCol("embedding", p)).mkString(",\n  ")
+      val cpCols = (0 until 32)
+        .map(p => projMicroSql("embedding", p) + s" AS p$p").mkString(",\n  ")
       val coarseSum = (0 until 32).map(p => s"cp.p$p * qp.p$p").mkString(" + ")
       val dotEq = dotSql("e.embedding", "q.embedding")
       val normE = dotSql("e.embedding", "e.embedding")

@@ -204,14 +204,6 @@ object Dedup {
       .withColumnRenamed("col", "band_hash")
   }
 
-  /** Candidate pairs: docs sharing at least one LSH bucket. Shuffles
-    * only the narrow band triples; bucket-local self-join.
-    *
-    * `maxBucketSize` is the standard scale guard: a degenerate bucket
-    * of m docs contributes m² candidate pairs, so one templated-boiler-
-    * plate cluster can dominate the whole job. Buckets above the cap
-    * are dropped (their members still pair via their other, more
-    * selective bands). None = exact reference of the oracle SQL. */
   /** Drop LSH buckets over `cap` members (None = unbounded) — the
     * shared degenerate-bucket guard of [[lshCandidates]] and
     * [[crossNearDups]]; one definition so the cap semantics (count
@@ -226,6 +218,14 @@ object Dedup {
       case None => bandsDf
     }
 
+  /** Candidate pairs: docs sharing at least one LSH bucket. Shuffles
+    * only the narrow band triples; bucket-local self-join.
+    *
+    * `maxBucketSize` is the standard scale guard: a degenerate bucket
+    * of m docs contributes m² candidate pairs, so one templated-boiler-
+    * plate cluster can dominate the whole job. Buckets above the cap
+    * are dropped (their members still pair via their other, more
+    * selective bands). None = exact reference of the oracle SQL. */
   def lshCandidates(bandsDf: DataFrame, maxBucketSize: Option[Int] = None): DataFrame = {
     val bounded = capBuckets(bandsDf, maxBucketSize)
     val a = bounded.select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_a"))

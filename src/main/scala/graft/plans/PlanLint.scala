@@ -91,8 +91,19 @@ object PlanLint {
   private def pushableShaped(
       cond: org.apache.spark.sql.catalyst.expressions.Expression): Boolean = {
     import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types.{DateType, NumericType, TimestampType}
+    // Strip only casts whose CHILD could have been compared natively
+    // (numeric/date/timestamp column wrapped in a cast): those
+    // predicates are pushable if rewritten, which is the miss this
+    // rule reports. A cast FROM a string (cast(s AS int) = 5) has no
+    // equivalent uncast form — '05' also casts to 5 — so it is not
+    // evidence of a defeated pushdown.
+    def strippable(t: org.apache.spark.sql.types.DataType): Boolean = t match {
+      case _: NumericType | DateType | TimestampType => true
+      case _ => false
+    }
     def stripCast(e: Expression): Expression = e match {
-      case c: Cast => stripCast(c.child)
+      case c: Cast if strippable(c.child.dataType) => stripCast(c.child)
       case o => o
     }
     def isAttr(e: Expression): Boolean =
@@ -144,6 +155,13 @@ object PlanLint {
     * LocalLimit below a shuffle — statically unbounded, actually one
     * row) and recognizes genuinely tiny broadcast sides (a filtered
     * 5-row query set) without guessing at filter selectivity.
+    * KNOWN TRADE: the runtime count proves boundedness for THIS run's
+    * data only — a side that is small at the linted scale factor but
+    * grows with the corpus (an accidentally dropped join condition on
+    * a data-dependent subquery) passes here and would not have passed
+    * the static shape check. The static shapes remain the scale-
+    * invariant proof; treat a bound that exists only at runtime as a
+    * prompt to check the side's growth law.
     *
     * The descent is deliberately NOT a subtree search: a limit with a
     * row-EXPANDING operator above it (explode, join, union) bounds

@@ -242,19 +242,35 @@ object TxnLog {
     val deadline = System.nanoTime() + 2L * 1000 * 1000 * 1000
     var last: Throwable = null
     while (System.nanoTime() < deadline) {
-      // the OPEN and READ are inside the retry too: local FS surfaces
-      // the in-flight window as empty content (parse failure), but
-      // HDFS/object stores surface it as an IOException from open or
-      // the block read — both are the same claimed-but-unwritten state
-      try return parse {
-        val in = fs.open(path)
+      // The OPEN and READ are inside the retry too: local FS surfaces
+      // the in-flight window as EMPTY content, HDFS/object stores as
+      // an IOException from open or the block read — both mean the
+      // version is claimed but its content hasn't landed, which a
+      // bounded wait resolves. A NON-EMPTY body that fails to parse is
+      // a different failure (corruption, manifest-format drift): the
+      // content DID land, waiting cannot fix it, and "delete to
+      // un-claim" would destroy a published commit — fail immediately
+      // with the right diagnosis.
+      val body =
         try {
-          val buf = new java.io.ByteArrayOutputStream()
-          org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 8192, false)
-          buf.toString("UTF-8")
-        } finally in.close()
+          val in = fs.open(path)
+          try {
+            val buf = new java.io.ByteArrayOutputStream()
+            org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 8192, false)
+            buf.toString("UTF-8")
+          } finally in.close()
+        } catch { case e: Throwable => last = e; Thread.sleep(10); null }
+      if (body != null) {
+        if (body.isEmpty) { Thread.sleep(10) }
+        else
+          try return parse(body)
+          catch {
+            case e: Throwable => throw new IllegalStateException(
+              s"TxnLog: manifest $path is non-empty but unparseable — corrupt " +
+                "or written by an incompatible version; restore it from a " +
+                "backup (do NOT delete it: its version was published)", e)
+          }
       }
-      catch { case e: Throwable => last = e; Thread.sleep(10) }
     }
     throw new IllegalStateException(
       s"TxnLog: manifest $path unreadable after 2s — a writer crashed between " +

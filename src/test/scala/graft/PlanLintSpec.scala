@@ -89,6 +89,11 @@ class PlanLintSpec extends SparkSpec {
     val negMixed = docs.filter(!(col("id") > 50 && length(col("text")) % 3 > 1))
     assert(!PlanLint.lint(negMixed).exists(_.rule == "unpushed-filter"),
       PlanLint.lint(negMixed).mkString("; "))
+    // a cast FROM a string has no equivalent uncast predicate
+    // (cast(s AS int) = 5 also matches '05') — not a pushdown miss
+    val strCast = docs.filter(col("text").cast("int") > 5)
+    assert(!PlanLint.lint(strCast).exists(_.rule == "unpushed-filter"),
+      PlanLint.lint(strCast).mkString("; "))
   }
 
   test("CastRoundtripSimplify: int→double→int predicate reaches the parquet scan") {

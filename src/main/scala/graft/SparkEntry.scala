@@ -1282,6 +1282,62 @@ object SparkEntry {
       array_join(col("kmin_arr"), ",").as("kmin"))
   }
 
+  /** HyperLogLog distinct sketch ([[graft.expressions.HllDistinctAgg]]):
+    * per event type, 2^8 dense byte registers over the md5-hashed
+    * user_id, next to the raw INTEGER estimate (`7213·m³·2^Rmax /
+    * ((10000m+10790)·S)` — the alpha constant in its rational form, so
+    * no floating point anywhere and the oracle reproduces estimate AND
+    * register state bit-for-bit). Registers ship as a joined string
+    * (dense j = 0..255). */
+  private def distinctHll(spark: SparkSession, dir: String): DataFrame = {
+    import graft.expressions.SketchAggregates
+    Tables.events(spark, dir)
+      .filter(col("user_id").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(SketchAggregates.hllDistinct(col("user_id"), 8).as("hll"))
+      .select(col("event_type"), col("hll.est_hll").as("est_hll"),
+        col("hll.n_zero").as("n_zero"), col("hll.pow_sum").as("pow_sum"),
+        array_join(col("hll.regs"), ",").as("regs"))
+  }
+
+  /** HLL union algebra: history and batch sketched separately, stored
+    * register arrays combined with [[graft.expressions.SketchAggregates
+    * .hllUnion]] (pointwise max). Registers only ever record the max
+    * rho seen, so the union IS the whole-data sketch byte-for-byte —
+    * which is exactly what the oracle replays. The shape that keeps
+    * "distinct users per day" maintainable at 100 TB: per-batch
+    * partials of 2^p bytes per group, never a re-scan. */
+  private def distinctHllUnion(spark: SparkSession, dir: String): DataFrame = {
+    import graft.expressions.SketchAggregates
+    val ev = Tables.events(spark, dir).filter(col("user_id").isNotNull)
+    def sketch(df: DataFrame) = df.groupBy(col("event_type"))
+      .agg(SketchAggregates.hllDistinct(col("user_id"), 8).as("hll"))
+      .select(col("event_type"), col("hll.regs").as("regs"))
+    val zeros = array_repeat(lit(0), 256)
+    val merged = sketch(ev.filter(pmod(col("event_id"), lit(5)) < 4))
+      .join(sketch(ev.filter(pmod(col("event_id"), lit(5)) === 4))
+        .withColumnRenamed("regs", "regs_b"), Seq("event_type"), "full")
+      .select(col("event_type"),
+        SketchAggregates.hllUnion(
+          coalesce(col("regs"), zeros), coalesce(col("regs_b"), zeros), 8).as("u"))
+    merged.select(col("event_type"), col("u.n_zero").as("n_zero"),
+      col("u.pow_sum").as("pow_sum"), array_join(col("u.regs"), ",").as("regs"))
+  }
+
+  /** Broadcast-Bloom decontamination ([[graft.functions.TextFunctions
+    * .contaminationBloom]]): the held-out 20% hash split's shingles
+    * fold into a 2^16-bit Bloom bitset, and the 80% training corpus is
+    * screened against it map-side — scan → project, zero exchanges
+    * (spec-asserted), vs the shuffled shingle join of
+    * [[decontaminate]]. False positives over-flag deterministically;
+    * the oracle replays the bitset as a position set. */
+  private def decontaminateBloom(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val bucket = graft.operators.Sampling.hashBucket(col("doc_id"), "decon")
+    val words = TextFunctions.bloomWordsOfEval(docs.filter(bucket >= 80))
+    TextFunctions.contaminationBloom(docs.filter(bucket < 80), words)
+  }
+
   /** Span-level exact dedup ([[graft.dedup.Dedup.spanDedup]]): drop
     * repeated 20-token chunks corpus-wide, rebuild each document from
     * its surviving chunks. */
@@ -1529,6 +1585,9 @@ object SparkEntry {
     "range_join" -> (rangeJoinQuery(_, _)),
     "bloom_join" -> (bloomJoin(_, _)),
     "distinct_sketch" -> (distinctSketch(_, _)),
+    "distinct_hll" -> (distinctHll(_, _)),
+    "distinct_hll_union" -> (distinctHllUnion(_, _)),
+    "decontaminate_bloom" -> (decontaminateBloom(_, _)),
     "span_dedup" -> (spanDedupQuery(_, _)),
     "corpus_shuffle" -> (corpusShuffle(_, _)),
     "corpus_mix" -> (corpusMix(_, _)),
@@ -3650,6 +3709,67 @@ object SparkEntry {
         |FROM r
         |WHERE r.rn <= 64
         |GROUP BY r.event_type""".stripMargin,
+    // HLL p=8: bucket = top 8 of the 60-bit hash (floor-div by 2^52),
+    // rho = 53 - bit_length(tail) via the exact bin() string (never
+    // floor(log2()) — fp rounding can cross the integer boundary),
+    // raw estimate in HUGEINT with alpha as 7213m/(10000m+10790);
+    // nested floor-divisions equal the engine's single BigInt division.
+    "distinct_hll" ->
+      """WITH h AS (
+        |  SELECT event_type,
+        |    CAST(concat('0x', substring(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+        |  FROM events WHERE user_id IS NOT NULL),
+        |b AS (
+        |  SELECT event_type, CAST(hv // 4503599627370496 AS INT) AS j,
+        |         hv % 4503599627370496 AS w
+        |  FROM h),
+        |r AS (
+        |  SELECT event_type, j,
+        |    MAX(CASE WHEN w = 0 THEN 53 ELSE 53 - length(bin(w)) END) AS reg
+        |  FROM b GROUP BY event_type, j),
+        |et AS (SELECT DISTINCT event_type FROM h),
+        |dense AS (
+        |  SELECT et.event_type, g.j, COALESCE(r.reg, 0) AS reg
+        |  FROM et CROSS JOIN (SELECT CAST(k AS INT) AS j FROM range(256) t(k)) g
+        |  LEFT JOIN r ON r.event_type = et.event_type AND r.j = g.j),
+        |agg AS (
+        |  SELECT event_type,
+        |    string_agg(CAST(reg AS VARCHAR), ',' ORDER BY j) AS regs,
+        |    CAST(SUM(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+        |    CAST(SUM(CAST(POW(2, 53 - reg) AS BIGINT)) AS BIGINT) AS pow_sum
+        |  FROM dense GROUP BY event_type)
+        |SELECT event_type,
+        |  CAST(CAST(7213 AS HUGEINT) * 256 * 256 * 256 * 9007199254740992
+        |       // (CAST(10000 AS HUGEINT) * 256 + 10790)
+        |       // CAST(pow_sum AS HUGEINT) AS BIGINT) AS est_hll,
+        |  n_zero, pow_sum, regs
+        |FROM agg""".stripMargin,
+    // HLL register max is trivially mergeable — the engine's two-half
+    // pointwise-max union must equal the whole-data registers
+    // byte-for-byte, so the oracle IS the whole-data replay.
+    "distinct_hll_union" ->
+      """WITH h AS (
+        |  SELECT event_type,
+        |    CAST(concat('0x', substring(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+        |  FROM events WHERE user_id IS NOT NULL),
+        |b AS (
+        |  SELECT event_type, CAST(hv // 4503599627370496 AS INT) AS j,
+        |         hv % 4503599627370496 AS w
+        |  FROM h),
+        |r AS (
+        |  SELECT event_type, j,
+        |    MAX(CASE WHEN w = 0 THEN 53 ELSE 53 - length(bin(w)) END) AS reg
+        |  FROM b GROUP BY event_type, j),
+        |et AS (SELECT DISTINCT event_type FROM h),
+        |dense AS (
+        |  SELECT et.event_type, g.j, COALESCE(r.reg, 0) AS reg
+        |  FROM et CROSS JOIN (SELECT CAST(k AS INT) AS j FROM range(256) t(k)) g
+        |  LEFT JOIN r ON r.event_type = et.event_type AND r.j = g.j)
+        |SELECT event_type,
+        |  string_agg(CAST(reg AS VARCHAR), ',' ORDER BY j) AS regs,
+        |  CAST(SUM(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+        |  CAST(SUM(CAST(POW(2, 53 - reg) AS BIGINT)) AS BIGINT) AS pow_sum
+        |FROM dense GROUP BY event_type""".stripMargin,
     // Span dedup: first (doc_id, idx) occurrence of each 20-token chunk
     // hash wins; docs rebuild from surviving chunks (empty string when
     // every chunk was seen earlier).
@@ -4068,6 +4188,51 @@ object SparkEntry {
          |       ELSE CAST(COALESCE(m.n_matched, 0) AS DOUBLE) / CAST(t.n_shingles AS DOUBLE)
          |  END AS contamination
          |FROM tot t LEFT JOIN m ON t.doc_id = m.doc_id""".stripMargin,
+    // Bloom decontamination replayed exactly: the bitset is the
+    // distinct eval-probe position set (a bit is set iff some eval
+    // shingle probes it), and a corpus shingle is flagged iff all 3
+    // Kirsch-Mitzenmacher positions (two md5 halves) are present —
+    // false positives reproduce identically.
+    "decontaminate_bloom" ->
+      s"""WITH split AS (
+         |  SELECT doc_id, text,
+         |    CAST(concat('0x', substring(md5(concat(CAST(doc_id AS VARCHAR), 'decon')), 1, 15)) AS BIGINT) % 100 AS bucket
+         |  FROM documents),
+         |tr AS (SELECT doc_id, text FROM split WHERE bucket < 80),
+         |te AS (SELECT doc_id, text FROM split WHERE bucket >= 80),
+         |evsh AS (SELECT DISTINCT sh FROM (SELECT unnest($shinglesSql) AS sh FROM te)),
+         |pos AS (
+         |  SELECT DISTINCT (h1 + i * h2) % 1048576 AS p
+         |  FROM (SELECT
+         |          CAST(concat('0x', substring(md5(sh), 1, 15)) AS BIGINT) AS h1,
+         |          CAST(concat('0x', substring(md5(sh), 16, 15)) AS BIGINT) AS h2
+         |        FROM evsh)
+         |  CROSS JOIN range(3) t(i)),
+         |csh AS (SELECT doc_id, sh FROM (SELECT doc_id, unnest($shinglesSql) AS sh FROM tr)),
+         |probe AS (
+         |  SELECT doc_id, sh, (h1 + i * h2) % 1048576 AS p
+         |  FROM (SELECT doc_id, sh,
+         |          CAST(concat('0x', substring(md5(sh), 1, 15)) AS BIGINT) AS h1,
+         |          CAST(concat('0x', substring(md5(sh), 16, 15)) AS BIGINT) AS h2
+         |        FROM csh)
+         |  CROSS JOIN range(3) t(i)),
+         |hits AS (
+         |  SELECT doc_id, sh, count(*) AS nhit
+         |  FROM probe JOIN pos USING (p)
+         |  GROUP BY doc_id, sh),
+         |flg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_flagged
+         |        FROM hits WHERE nhit = 3 GROUP BY doc_id),
+         |tot AS (SELECT doc_id, CAST(len($shinglesSql) AS BIGINT) AS n_shingles FROM tr),
+         |scored AS (
+         |  SELECT t.doc_id, t.n_shingles,
+         |    CAST(COALESCE(f.n_flagged, 0) AS BIGINT) AS n_flagged,
+         |    CASE WHEN t.n_shingles = 0 THEN 0.0
+         |         ELSE CAST(COALESCE(f.n_flagged, 0) AS DOUBLE) / CAST(t.n_shingles AS DOUBLE)
+         |    END AS bloom_frac
+         |  FROM tot t LEFT JOIN flg f ON t.doc_id = f.doc_id)
+         |SELECT doc_id, n_shingles, n_flagged, bloom_frac,
+         |  bloom_frac > 0.1 AS flagged
+         |FROM scored""".stripMargin,
     // one-call corpus prep: the corpus_filter, dedup_clusters,
     // decontaminate and doc_pack oracle fragments chained into a
     // single CTE pipeline over the 80% hash-split corpus (eval = the

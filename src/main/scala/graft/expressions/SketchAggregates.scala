@@ -523,6 +523,111 @@ case class CountMinAgg(child: Expression, depth: Int, width: Int,
     copy(child = newChild)
 }
 
+/** Dense-register HyperLogLog distinct-count sketch as a native
+  * `TypedImperativeAggregate` (Flajolet et al., "HyperLogLog: the
+  * analysis of a near-optimal cardinality estimation algorithm",
+  * AofA 2007).
+  *
+  * The buffer is a fixed array of `m = 2^p` byte registers. Each
+  * 60-bit md5-derived input hash splits into a p-bit bucket index
+  * (top bits) and a `W = 60 − p`-bit tail; the register keeps the
+  * maximum over inputs of `rho = W − floor(log2(tail))` (tail = 0 →
+  * `W + 1`), i.e. 1 + the tail's leading-zero count. Merge is
+  * POINTWISE MAX — per-partition partials, per-shard sketches, and
+  * streaming state all compose exactly, shipping `m` bytes per group
+  * regardless of row count where `COUNT(DISTINCT)` ships every value.
+  *
+  * The raw estimate is kept fully INTEGER so any engine reproduces it
+  * bit-for-bit: with `alpha_m = 0.7213 / (1 + 1.079/m) = 7213·m /
+  * (10000·m + 10790)` (the constant's own published rational form),
+  * and `S = Σ_j 2^(Rmax − reg_j)` (`Rmax = W + 1`, so S is an exact
+  * long ≤ m·2^Rmax),
+  * `est = floor(7213 · m³ · 2^Rmax / ((10000·m + 10790) · S))`
+  * — computed in BigInt here and HUGEINT in the SQL oracle, no
+  * floating point anywhere. The small-range (linear-counting) branch
+  * of the published estimator needs `ln`, so it lives in
+  * [[SketchAggregates.hllCorrectedEstimate]] for callers that want
+  * accuracy over cross-engine exactness; `n_zero` ships in the output
+  * so that correction is computable from the sketch alone.
+  *
+  * Output: struct(est_hll, n_zero, pow_sum, regs) — the raw integer
+  * estimate, the zero-register count, S, and the dense register array
+  * (the sketch itself, so downstream unions can pointwise-max it).
+  */
+case class HllDistinctAgg(child: Expression, p: Int,
+                          override val mutableAggBufferOffset: Int = 0,
+                          override val inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Byte]]
+    with UnaryLike[Expression] {
+
+  private val m = 1 << p
+  private val W = 60 - p
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType if p >= 4 && p <= 16 => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"hll_distinct expects a long hash column (4 <= p <= 16), got ($t, p=$p)")
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("est_hll", LongType, nullable = false),
+    StructField("n_zero", LongType, nullable = false),
+    StructField("pow_sum", LongType, nullable = false),
+    StructField("regs", ArrayType(IntegerType, containsNull = false), nullable = false)))
+  override def nullable: Boolean = false
+  override def prettyName: String = "hll_distinct"
+
+  override def createAggregationBuffer(): Array[Byte] = new Array[Byte](m)
+
+  override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val h = v.asInstanceOf[Long]
+      val j = (h >>> W).toInt // top p bits of the 60-bit hash
+      val tail = h & ((1L << W) - 1)
+      // rho = W - floor(log2(tail)) = leading zeros within W bits + 1
+      val rho = if (tail == 0L) W + 1 else W - (63 - java.lang.Long.numberOfLeadingZeros(tail))
+      if (rho > buf(j)) buf(j) = rho.toByte
+    }
+    buf
+  }
+
+  override def merge(buf: Array[Byte], other: Array[Byte]): Array[Byte] = {
+    var i = 0
+    while (i < m) { if (other(i) > buf(i)) buf(i) = other(i); i += 1 }
+    buf
+  }
+
+  override def eval(buf: Array[Byte]): Any = {
+    val rMax = W + 1
+    var nZero = 0L
+    var powSum = 0L
+    var i = 0
+    while (i < m) {
+      if (buf(i) == 0) nZero += 1
+      powSum += 1L << (rMax - buf(i))
+      i += 1
+    }
+    val est = (BigInt(7213) * m * m * m * (BigInt(1) << rMax) /
+      (BigInt(10000L * m + 10790) * powSum)).toLong
+    new GenericInternalRow(Array[Any](est, nZero, powSum,
+      new GenericArrayData(buf.map(b => b.toInt: Any))))
+  }
+
+  // The buffer IS its wire form; clone on write because the caller may
+  // keep mutating the live buffer after serialize returns.
+  override def serialize(buf: Array[Byte]): Array[Byte] = buf.clone()
+
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): HllDistinctAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): HllDistinctAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): HllDistinctAgg =
+    copy(child = newChild)
+}
+
 object SketchAggregates {
   import org.apache.spark.sql.functions._
 
@@ -683,4 +788,47 @@ object SketchAggregates {
     * frequency vector, so pointwise addition of two stored sketches IS
     * the sketch of the combined data — exactly, not approximately. */
   def cmUnion(a: Column, b: Column): Column = zip_with(a, b, _ + _)
+
+  /** HyperLogLog distinct sketch over a raw value column: hashes to
+    * the shared 60-bit md5 space, then aggregates into `2^p` dense
+    * registers; returns struct(est_hll, n_zero, pow_sum, regs). */
+  def hllDistinct(c: Column, p: Int): Column =
+    ColumnInterop.column(
+      HllDistinctAgg(ColumnInterop.expression(hash60(c)), p).toAggregateExpression())
+
+  /** Sketch algebra — union of two STORED HLL register arrays:
+    * pointwise max IS the sketch of the combined data, exactly —
+    * registers only ever record the max rho seen, so order and
+    * grouping of merges cannot matter. Pure array built-ins; returns
+    * the same struct shape as [[hllDistinct]] minus the raw estimate
+    * (recompute it from `regs`/`pow_sum` where needed — the integer
+    * division needs 128-bit arithmetic, which Spark expressions lack).
+    */
+  def hllUnion(a: Column, b: Column, p: Int): Column = {
+    val rMax = 60 - p + 1
+    bound(zip_with(a, b, (x, y) => greatest(x, y))) { regs =>
+      struct(
+        size(filter(regs, _ === 0)).cast("long").as("n_zero"),
+        aggregate(regs, lit(0L),
+          // 2^(rMax − reg) via double pow: exponent ≤ 57, a pure power
+          // of two — exactly representable, exact in any IEEE engine
+          (acc, r) => acc + pow(lit(2.0), lit(rMax) - r).cast("long")).as("pow_sum"),
+        regs.as("regs"))
+    }
+  }
+
+  /** The published two-branch HLL estimator, small-range correction
+    * included: linear counting `m·ln(m/V)` when the raw estimate is
+    * ≤ 5m/2 and zero registers remain, else the raw bias-corrected
+    * estimate. Needs `ln`, so this is the ACCURACY surface (spec-
+    * checked); the oracle-exact integer surface is the aggregate's own
+    * `est_hll`. */
+  def hllCorrectedEstimate(sketch: Column, p: Int): Column = {
+    val m = 1 << p
+    val raw = sketch.getField("est_hll")
+    val v = sketch.getField("n_zero")
+    when(raw <= lit(5L * m / 2) && v > 0,
+      floor(lit(m.toDouble) * log(lit(m.toDouble) / v.cast("double"))).cast("long"))
+      .otherwise(raw)
+  }
 }

@@ -107,7 +107,8 @@ object VectorFunctions {
   *
   * Injects:
   *  - SQL functions for the native kernels — `float_dot(a, b)`,
-  *    `minhash_signature(shingles, k)`, `kmv_distinct(hash60, k)` —
+  *    `minhash_signature(shingles, k)`, `kmv_distinct(hash60, k)`,
+  *    `hll_distinct(hash60, p)` —
   *    so pure-SQL users get the codegen'd/mergeable forms;
   *  - the [[graft.plans.NativeDotRewrite]] optimizer rule, which
   *    rewrites the equivalent declarative `aggregate(zip_with(...))`
@@ -148,6 +149,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         if (exprs.length != 2) throw new IllegalArgumentException(
           s"kmv_distinct(hash_long, k) takes 2 arguments, got ${exprs.length}")
         KmvDistinctAgg(exprs(0), intLit(exprs(1), "kmv_distinct"))
+      }))
+    e.injectFunction((
+      new FunctionIdentifier("hll_distinct"),
+      new ExpressionInfo(classOf[HllDistinctAgg].getName, "hll_distinct"),
+      (exprs: Seq[Expression]) => {
+        if (exprs.length != 2) throw new IllegalArgumentException(
+          s"hll_distinct(hash_long, p) takes 2 arguments, got ${exprs.length}")
+        HllDistinctAgg(exprs(0), intLit(exprs(1), "hll_distinct"))
       }))
     e.injectFunction((
       new FunctionIdentifier("shingle_rows"),

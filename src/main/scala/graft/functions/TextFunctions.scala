@@ -280,6 +280,103 @@ object TextFunctions {
             col("n_shingles").cast("double")).as("contamination"))
   }
 
+  /** The k Bloom probe positions of one shingle: the Kirsch-
+    * Mitzenmacher two-hash family `(h1 + i·h2) mod mBits` over the two
+    * 60-bit md5 halves — the same construction [[graft.expressions
+    * .SketchAggregates.cmEstimate]] uses for Count-Min buckets, so
+    * every position is reproducible in any engine with md5. The md5 is
+    * bound once per shingle; k ≤ 7 keeps `h1 + i·h2 < 2^63`. */
+  def bloomPositions(sh: Column, mBits: Int, k: Int): Column = {
+    require(k >= 1 && k <= 7, s"k in [1,7], got $k")
+    bound(md5(sh)) { hex =>
+      val h1 = conv(substring(hex, 1, 15), 16, 10).cast("long")
+      val h2 = conv(substring(hex, 16, 15), 16, 10).cast("long")
+      transform(sequence(lit(0L), lit((k - 1).toLong)), i => (h1 + i * h2) % mBits)
+    }
+  }
+
+  /** Fold the eval set's distinct shingles into an `mBits`-wide Bloom
+    * bitset, returned as packed little-endian long words.
+    *
+    * The distinct-position collect is DRIVER-SIDE but bounded by
+    * construction: at most `mBits` distinct positions exist (≤ 8 MB of
+    * longs at the default 2^20 bits, packing to a 128 KB word array),
+    * independent of eval-set size — the same bounded-inline pattern as
+    * the IVF centroid collect ([[graft.similarity.Similarity]]).
+    * The eval set itself is scanned distributively. Size `mBits` ≥
+    * ~10× the eval set's distinct-shingle count × k: a saturated
+    * bitset stays deterministic but over-flags uselessly (fill f →
+    * false-positive rate f^k). */
+  def bloomWordsOfEval(evalDocs: DataFrame, mBits: Int = 1 << 20, k: Int = 3,
+                       textCol: String = "text"): Array[Long] = {
+    require(mBits >= 64 && mBits % 64 == 0 && mBits <= (1 << 24),
+      s"mBits a multiple of 64 in [64, 2^24], got $mBits")
+    val words = new Array[Long](mBits / 64)
+    evalDocs
+      .select(explode(shingleSet(col(textCol))).as("sh"))
+      .select(explode(bloomPositions(col("sh"), mBits, k)).as("p"))
+      .distinct()
+      .collect()
+      .foreach { r =>
+        val p = r.getLong(0)
+        words((p >>> 6).toInt) |= 1L << (p & 63)
+      }
+    words
+  }
+
+  /** Broadcast-Bloom benchmark decontamination — the scale path for
+    * [[contamination]] when the corpus is huge and the eval set small
+    * (the usual regime: a 100 TB training corpus screened against a
+    * fixed benchmark suite). Instead of joining every corpus shingle
+    * against an eval-shingle table, the eval shingles are folded into
+    * a Bloom bitset once ([[bloomWordsOfEval]]), the bitset rides into
+    * the plan as a literal word array, and every corpus document is
+    * screened MAP-SIDE with array built-ins: the query is scan →
+    * project — no join, no aggregate, ZERO exchanges (spec-asserted),
+    * where [[contamination]] shuffles the corpus's exploded shingle
+    * hashes.
+    *
+    * Bloom false positives only OVER-count: `n_flagged` is ≥ the exact
+    * matched-shingle count per document (never below — no contaminated
+    * shingle is missed), so thresholding errs toward dropping a few
+    * clean documents, the safe direction for decontamination. And
+    * because the probe positions are md5 derivations, the screen —
+    * false positives included — is deterministic and reproducible in
+    * any engine: the SQL oracle replays the bitset as a distinct
+    * position set and checks all-k-probes membership.
+    *
+    * Output per corpus document: (doc_id, n_shingles, n_flagged,
+    * bloom_frac, flagged). */
+  def contaminationBloom(corpus: DataFrame, words: Array[Long], mBits: Int = 1 << 20,
+                         k: Int = 3, maxOverlap: Double = 0.1,
+                         textCol: String = "text", idCol: String = "doc_id")
+      : DataFrame = {
+    require(words.length == mBits / 64,
+      s"words.length ${words.length} != mBits/64 ${mBits / 64}")
+    import org.apache.spark.sql.graftinterop.ColumnInterop
+    // variable-distance shift: the DSL's shiftright only takes a
+    // literal distance, the catalyst node takes any expression
+    def shiftR(v: Column, n: Column): Column =
+      ColumnInterop.column(org.apache.spark.sql.catalyst.expressions.ShiftRight(
+        ColumnInterop.expression(v), ColumnInterop.expression(n)))
+    val wlit = typedlit(words.toSeq)
+    def bloomHit(sh: Column): Column =
+      forall(bloomPositions(sh, mBits, k), p =>
+        shiftR(element_at(wlit, (p / 64).cast("int") + 1), (p % 64).cast("int"))
+          .bitwiseAND(1) === 1)
+    corpus.select(col(idCol).as("doc_id"),
+        bound(shingleSet(col(textCol))) { sh =>
+          struct(size(sh).cast("bigint").as("n"),
+            size(filter(sh, s => bloomHit(s))).cast("bigint").as("f"))
+        }.as("__s"))
+      .select(col("doc_id"),
+        col("__s.n").as("n_shingles"), col("__s.f").as("n_flagged"),
+        when(col("__s.n") === 0, lit(0.0))
+          .otherwise(col("__s.f").cast("double") / col("__s.n").cast("double"))
+          .as("bloom_frac"))
+      .withColumn("flagged", col("bloom_frac") > maxOverlap)
+  }
+
   /** Intra-document repetition metrics (Gopher-style quality rules):
     * duplicate-2-gram fraction and most-frequent-2-gram share per doc.
     * Docs with fewer than 2 tokens report zero metrics.

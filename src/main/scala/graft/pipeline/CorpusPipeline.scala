@@ -53,6 +53,15 @@ object CorpusPipeline {
       decontaminated: DataFrame,
       packed: DataFrame)
 
+  /** `bloomDecontaminate = true` swaps stage 3's exact shingle join
+    * for the broadcast-Bloom screen ([[TextFunctions
+    * .contaminationBloom]]): the eval set folds into a `bloomBits`-bit
+    * bitset once, and the corpus is screened MAP-SIDE — no join, no
+    * exchange — at the cost of deterministic false positives that can
+    * only OVER-flag (a few extra clean docs dropped, never a
+    * contaminated doc kept). The scale default for a 100 TB corpus
+    * against a fixed benchmark suite; the exact join remains the
+    * default for parity with the oracle replay. */
   def prepare(docs: DataFrame,
               evalDocs: Option[DataFrame] = None,
               minTokens: Int = 20,
@@ -62,7 +71,10 @@ object CorpusPipeline {
               windowTokens: Int = 2048,
               nShards: Int = 32,
               textCol: String = "text",
-              idCol: String = "doc_id"): Prepared = {
+              idCol: String = "doc_id",
+              bloomDecontaminate: Boolean = false,
+              bloomBits: Int = 1 << 20,
+              bloomK: Int = 3): Prepared = {
     // The keep-list is narrow (ids only) but its producer is a real
     // aggregate (exact-dup representative election + repetition stats);
     // every returned stage frame re-derives `filtered`, and `packed`
@@ -102,7 +114,18 @@ object CorpusPipeline {
         // job lengthens every round's tail — so the stages stay
         // sequential and the fixpoint runs with nothing cached.)
         val dirty = evalDocs.map { ev =>
-          TextFunctions
+          if (bloomDecontaminate) {
+            // map-side screen: no join, no exchange; over-flags only.
+            // The id list still checkpoints so downstream consumers
+            // don't re-scan the corpus text per action.
+            val words = TextFunctions.bloomWordsOfEval(ev, bloomBits, bloomK, textCol)
+            TextFunctions
+              .contaminationBloom(filtered, words, bloomBits, bloomK,
+                maxEvalOverlap, textCol, idCol)
+              .filter(col("flagged"))
+              .select(col("doc_id").as(idCol))
+              .localCheckpoint(true)
+          } else TextFunctions
             .contaminationOfSets(train = ev,
               sigs.select(col("doc_id"), col("shingles")), textCol)
             .filter(col("contamination") > maxEvalOverlap)

@@ -318,6 +318,113 @@ class SketchBloomSpec extends SparkSpec {
     assert(unioned == oneShot, "CMS is linear: union must be exact")
   }
 
+  test("hllDistinct corrected estimate tracks the exact distinct count") {
+    // 50k rows, 20k distinct, p=12 (m=4096): raw regime (20k > 5m/2),
+    // expected relative error ~1.04/sqrt(m) ≈ 1.6%; allow 6%
+    val df = spark.range(0, 50000).select((col("id") % 20000).as("v"))
+    val est = df.agg(SketchAggregates.hllDistinct(col("v"), 12).as("hll"))
+      .select(SketchAggregates.hllCorrectedEstimate(col("hll"), 12)).head().getLong(0)
+    assert(math.abs(est - 20000.0) / 20000.0 < 0.06, s"estimate $est too far from 20000")
+  }
+
+  test("hllDistinct small-range regime: linear counting stays tight") {
+    // 100 distinct in m=4096 registers → the ln-based branch fires and
+    // is near-exact (collision-corrected occupancy count)
+    val df = spark.range(0, 1000).select((col("id") % 100).as("v"))
+    val est = df.agg(SketchAggregates.hllDistinct(col("v"), 12).as("hll"))
+      .select(SketchAggregates.hllCorrectedEstimate(col("hll"), 12)).head().getLong(0)
+    assert(math.abs(est - 100.0) <= 5, s"linear-counting estimate $est far from 100")
+  }
+
+  test("hllDistinct register state is invariant to partitioning") {
+    val df = spark.range(0, 5000).select((col("id") % 700).as("v"))
+    def regs(parts: Int): String =
+      df.repartition(parts).agg(SketchAggregates.hllDistinct(col("v"), 8).as("hll"))
+        .select(array_join(col("hll.regs"), ",")).head().getString(0)
+    assert(regs(1) == regs(13)) // pointwise-max merge: order/grouping free
+  }
+
+  test("hllUnion of stored registers equals the whole-data sketch exactly") {
+    def sk(lo: Long, hi: Long) = spark.range(lo, hi)
+      .select((col("id") % 900).as("v"))
+      .agg(SketchAggregates.hllDistinct(col("v"), 8).as("hll"))
+      .select(col("hll.regs").as("regs"), col("hll.n_zero").as("nz"),
+        col("hll.pow_sum").as("ps"))
+    val u = sk(0, 1200).select(col("regs").as("a"))
+      .crossJoin(sk(1200, 2000).select(col("regs").as("b")))
+      .select(SketchAggregates.hllUnion(col("a"), col("b"), 8).as("u"))
+      .select(array_join(col("u.regs"), ","), col("u.n_zero"), col("u.pow_sum")).head()
+    val whole = sk(0, 2000)
+      .select(array_join(col("regs"), ","), col("nz"), col("ps")).head()
+    assert(u == whole, s"union=$u whole=$whole")
+  }
+
+  test("hllDistinct works as a streaming windowed aggregate (state round-trips)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long)]
+    input.addData((1 to 200).map(i =>
+      (java.sql.Timestamp.valueOf("2024-01-01 10:00:05"), (i % 50).toLong)): _*)
+    val df = input.toDF().toDF("ts", "user_id")
+    val agg = df.withWatermark("ts", "10 seconds")
+      .groupBy(window(col("ts"), "1 minute"))
+      .agg(SketchAggregates.hllDistinct(col("user_id"), 12).as("hll"))
+      .select(SketchAggregates.hllCorrectedEstimate(col("hll"), 12).as("est"))
+    val q = agg.writeStream.format("memory").queryName("hll_out")
+      .outputMode("append").start()
+    input.addData((java.sql.Timestamp.valueOf("2024-01-01 10:05:00"), 999L))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("hll_out").collect()
+    assert(rows.length == 1)
+    // 50 distinct, m=4096 → linear counting, near-exact across state store
+    assert(math.abs(rows.head.getLong(0) - 50.0) <= 3, s"got ${rows.head.getLong(0)}")
+  }
+
+  test("contaminationBloom never under-counts vs the exact shingle join") {
+    import graft.functions.TextFunctions
+    val evalDocs = Seq((1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "pack my box with five dozen liquor jugs right now")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog tonight"), // fully contaminated
+      (11L, "completely unrelated sentence about distributed query engines and parquet"),
+      (12L, "pack my box with five dozen utterly different words here")) // partial overlap
+      .toDF("doc_id", "text")
+    val words = TextFunctions.bloomWordsOfEval(evalDocs, mBits = 1 << 12, k = 3)
+    val bloom = TextFunctions.contaminationBloom(corpus, words, mBits = 1 << 12, k = 3)
+      .select("doc_id", "n_flagged").as[(Long, Long)].collect().toMap
+    val exact = TextFunctions.contamination(evalDocs, corpus)
+      .select("doc_id", "n_matched").as[(Long, Long)].collect().toMap
+    exact.foreach { case (id, m) =>
+      assert(bloom(id) >= m, s"doc $id: bloom ${bloom(id)} under-counts exact $m")
+    }
+    // a fully-contained doc must be fully flagged (no false negatives)
+    val full = TextFunctions.contaminationBloom(corpus, words, mBits = 1 << 12, k = 3)
+      .filter(col("doc_id") === 10L).select("bloom_frac").head().getDouble(0)
+    assert(full == 1.0, s"fully-contaminated doc scored $full")
+  }
+
+  test("contaminationBloom screens the corpus with ZERO exchanges") {
+    import graft.functions.TextFunctions
+    import org.apache.spark.sql.execution.exchange.Exchange
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val corpus = spark.range(0, 200).select(col("id").as("doc_id"),
+      concat(lit("doc words number "), col("id"), lit(" filler text tail")).as("text"))
+    val words = new Array[Long]((1 << 12) / 64) // empty bitset: still probes every path
+    val screened = TextFunctions.contaminationBloom(corpus, words, mBits = 1 << 12, k = 3)
+    screened.queryExecution.toRdd.count()
+    val nodes = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.execution.SparkPlan]
+    def walk(p: org.apache.spark.sql.execution.SparkPlan): Unit = { nodes += p; p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: QueryStageExec => walk(q.plan)
+      case other => other.children.foreach(walk)
+    } }
+    walk(screened.queryExecution.executedPlan)
+    val exchanges = nodes.collect { case e: Exchange => e }
+    assert(exchanges.isEmpty,
+      s"bloom screen must be scan→project, found: ${exchanges.mkString(";")}")
+    assert(screened.count() == 200)
+  }
+
   test("misraGries lossy regime honors the n/(k+1) guarantee on skewed data") {
     // 6000 rows: 'heavy' 3000 times, 'warm' 1500, and 1500 singletons
     val heavy = spark.range(0, 3000).select(lit("heavy").as("x"))

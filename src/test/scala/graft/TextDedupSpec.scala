@@ -266,6 +266,30 @@ class TextDedupSpec extends SparkSpec {
     assert(packed.length == 2 && packed.forall(_.schema.fieldNames.contains("bin_id")))
   }
 
+  test("CorpusPipeline.prepare bloom decontamination drops a superset of the exact path") {
+    import graft.pipeline.CorpusPipeline
+    val evalTxt = "benchmark question about the capital city of a very small european country surrounded by tall snowy mountain ranges"
+    val docs = (0L until 20L).map { i =>
+      (i, s"independent document number $i with its own distinct vocabulary token$i " +
+        s"covering subject area $i in sufficient detail to pass the quality floor easily today")
+    }.toDF("doc_id", "text")
+      .unionAll(Seq((50L, evalTxt + " plus trailing filler tokens to shift the boundaries"))
+        .toDF("doc_id", "text"))
+    val ev = Seq((100L, evalTxt)).toDF("doc_id", "text")
+    def survivors(bloom: Boolean): Set[Long] =
+      CorpusPipeline.prepare(docs, Some(ev), windowTokens = 16, nShards = 2,
+          maxEvalOverlap = 0.3, bloomDecontaminate = bloom)
+        .decontaminated.select("doc_id").as[Long].collect().toSet
+    val exact = survivors(bloom = false)
+    val bloomed = survivors(bloom = true)
+    // Bloom can only OVER-flag: its survivor set is a subset of the
+    // exact path's, and the truly-contaminated doc is gone in both
+    assert(bloomed.subsetOf(exact), s"bloom=$bloomed exact=$exact")
+    assert(!exact.contains(50L) && !bloomed.contains(50L))
+    // at 2^16 bits / ~100 eval positions, false positives are ~0: equal here
+    assert(bloomed == exact, s"unexpected FP at tiny scale: bloom=$bloomed exact=$exact")
+  }
+
   test("incremental near-dup: unverified band screening has false positives; " +
        "verified mode eliminates them (FP rate quantified)") {
     // catalog doc and batch docs share long runs of tokens (sub-0.8

@@ -89,6 +89,16 @@ class VectorExpressionSpec extends SparkSpec {
           |  64).estimate AS e FROM vk""".stripMargin).head().getLong(0)
       assert(est == 37)
 
+      // hll_distinct is SQL-callable; linear-counting correction over
+      // the SQL-built sketch tracks the exact count closely
+      val hllEst = s.sql(
+        """SELECT hll_distinct(
+          |  CAST(conv(substring(md5(CAST(v AS STRING)), 1, 15), 16, 10) AS BIGINT),
+          |  12) AS hll FROM vk""".stripMargin)
+        .select(graft.expressions.SketchAggregates
+          .hllCorrectedEstimate(col("hll"), 12)).head().getLong(0)
+      assert(math.abs(hllEst - 37L) <= 2, s"hll estimate $hllEst far from 37")
+
       // misra_gries is SQL-callable as an aggregate (exact regime)
       s.range(0, 100).selectExpr("CAST(id % 5 AS STRING) AS x")
         .createOrReplaceTempView("vm")

@@ -99,7 +99,10 @@ object Bench {
     // Leftover persisted RDDs per query (localCheckpoint blocks whose
     // owners went out of scope): freed deterministically below, and
     // counted here so any query that leaks blocks is named in the
-    // artifact instead of taxing its successors invisibly.
+    // artifact instead of taxing its successors invisibly. The artifact
+    // records the MAX across that query's runs — blocks are freed after
+    // every run, so the per-call count is what a production caller pays;
+    // summing runs would triple-count the same (result-owned) blocks.
     val leftoverBlocks = scala.collection.mutable.LinkedHashMap.empty[String, Int]
     val lintFindings =
       scala.collection.mutable.LinkedHashMap.empty[String, Seq[graft.plans.PlanLint.Finding]]
@@ -144,7 +147,7 @@ object Bench {
       spark.catalog.clearCache()
       val leftovers = spark.sparkContext.getPersistentRDDs
       if (leftovers.nonEmpty)
-        leftoverBlocks(name) = leftoverBlocks.getOrElse(name, 0) + leftovers.size
+        leftoverBlocks(name) = math.max(leftoverBlocks.getOrElse(name, 0), leftovers.size)
       leftovers.values.foreach(_.unpersist(blocking = true))
       System.gc()
       timed

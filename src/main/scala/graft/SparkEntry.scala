@@ -2050,7 +2050,64 @@ object SparkEntry {
           array_join(transform(col("sum_emb"), v => v.cast("long").cast("string")), ",")
             .as("sum_fp"))
     }),
+    // RefinedWeb-style line dedup: the corpus's repeated 6-token
+    // segments (df > 1, capped top-256 by df) are inlined as a literal
+    // vocabulary and stripped from every doc map-side — document-level
+    // dedup either keeps the chrome or drops the page; this rewrites
+    "boilerplate_strip" -> (boilerplateStrip(_, _)),
+    // DSIR hashed importance weights: English docs as the target
+    // distribution, whole corpus as raw; top-100 flagged selected
+    "dsir_weights" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TextFunctions.dsirWeights(docs, docs.filter(col("lang") === "en"))
+    }),
+    // URL canonicalization + per-site cap key over deterministic
+    // synthetic crawl URLs (scheme case, default ports, tracking
+    // params, unsorted queries, trailing slashes, fragments)
+    "url_normalize" -> ((s, d) => {
+      val u = syntheticUrls(s, d)
+      u.select(col("doc_id"), col("url"),
+        graft.functions.UrlFunctions.urlNormalize(col("url")).as("url_norm"),
+        graft.functions.UrlFunctions.urlHost(col("url")).as("host"),
+        graft.functions.UrlFunctions.registeredDomain(
+          graft.functions.UrlFunctions.urlHost(col("url"))).as("domain"))
+    }),
+    // per-site crawl cap: canonical host as the stratum, 25 docs kept
+    // per site in salted-hash order (the C4-style domain budget)
+    "url_domain_cap" -> ((s, d) => {
+      val hosts = syntheticUrls(s, d).select(col("doc_id"),
+        graft.functions.UrlFunctions.urlHost(col("url")).as("host"))
+      graft.operators.Sampling.topKPerStratum(hosts, "doc_id", "host",
+        k = 25, salt = "dc")
+    }),
   )
+
+  /** Deterministic synthetic crawl URLs over the documents table —
+    * every normalization hazard in one construction: uppercase scheme/
+    * host, explicit default ports, a tracking param, an out-of-order
+    * query, optional trailing slash and fragment, and two TLD families
+    * so the registered-domain cut is non-trivial. */
+  private def syntheticUrls(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(col("doc_id"),
+      concat(
+        when(col("doc_id") % 2 === 0, lit("HTTP://")).otherwise(lit("HTTPS://")),
+        lit("WWW."), upper(col("source")),
+        when(col("doc_id") % 2 === 0, lit(".Example.COM:80"))
+          .otherwise(lit(".Sample.CO.UK:443")),
+        lit("/Docs/"), (col("doc_id") % 7).cast("string"),
+        when(col("doc_id") % 3 === 0, lit("/")).otherwise(lit("")),
+        lit("?utm_source=feed&b=2&a=1"),
+        when(col("doc_id") % 5 === 0, lit("&fbclid=XYZ")).otherwise(lit("")),
+        when(col("doc_id") % 4 === 0, lit("#frag")).otherwise(lit(""))).as("url"))
+
+  /** [[TextFunctions.boilerplateHashes]] (eager, capN-bounded driver
+    * collect — the IVF-centroid inlining convention) feeding the
+    * map-side [[TextFunctions.boilerplateRemove]] rewrite. */
+  private def boilerplateStrip(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    TextFunctions.boilerplateRemove(docs,
+      TextFunctions.boilerplateHashes(docs))
+  }
 
   /** The MinHash-LSH candidate-pair CTE chain (docs→sigs→bands→capped
     * buckets→cands), shared verbatim with the dedup_minhash oracle. */
@@ -4620,5 +4677,121 @@ object SparkEntry {
          |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rank
          |  FROM banded) WHERE rank <= 5""".stripMargin
     },
+    // same 6-token non-overlapping segmentation, same 60-bit md5 fold,
+    // same (df desc, hash asc) capped boilerplate cut, then the same
+    // list-filter rewrite — the bad list rides in on a one-row cross
+    "boilerplate_strip" ->
+      s"""WITH tk AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |cs AS (SELECT doc_id,
+         |  list_transform(range(0, CAST(ceil(len(t) / 6.0) AS INT)),
+         |    i -> array_to_string(t[i*6+1:i*6+6], ' ')) AS segs FROM tk),
+         |sp AS (SELECT doc_id, unnest(list_distinct(segs)) AS seg FROM cs),
+         |dfc AS (SELECT CAST(concat('0x', substring(md5(seg), 1, 15)) AS BIGINT) AS seg_h,
+         |    count(*) AS df FROM sp GROUP BY 1),
+         |bad AS (SELECT seg_h FROM dfc WHERE df > 1
+         |  ORDER BY df DESC, seg_h ASC LIMIT 256),
+         |badl AS (SELECT coalesce(list(seg_h), []) AS bl FROM bad),
+         |r AS (SELECT doc_id, segs,
+         |    list_filter(segs, s -> NOT list_contains(bl,
+         |      CAST(concat('0x', substring(md5(s), 1, 15)) AS BIGINT))) AS keep
+         |  FROM cs, badl)
+         |SELECT doc_id, CAST(len(segs) AS BIGINT) AS n_segments,
+         |  CAST(len(segs) - len(keep) AS BIGINT) AS n_removed,
+         |  array_to_string(keep, ' ') AS text_clean
+         |FROM r""".stripMargin,
+    // hashed-bucket unigram distributions with add-1 smoothing in
+    // fixed-point millionths; score = Σ_tokens (p_en − p_raw); top-100
+    // by (score desc, doc_id) flagged selected
+    "dsir_weights" ->
+      s"""WITH tb AS (
+         |  SELECT doc_id,
+         |    CAST(CAST(concat('0x', substring(md5(t), 1, 15)) AS BIGINT) % 64 AS INT) AS b
+         |  FROM (SELECT doc_id, unnest($toksSql) AS t FROM documents)),
+         |rc AS (SELECT b, count(*) AS c_r FROM tb GROUP BY 1),
+         |tc AS (SELECT b, count(*) AS c_t FROM tb
+         |  WHERE doc_id IN (SELECT doc_id FROM documents WHERE lang = 'en') GROUP BY 1),
+         |rt AS (SELECT sum(c_r) AS n_r FROM rc),
+         |tt AS (SELECT coalesce(sum(c_t), 0) AS n_t FROM tc),
+         |probs AS (
+         |  SELECT rc.b,
+         |    (1000000 * (coalesce(tc.c_t, 0) + 1)) // (tt.n_t + 64) AS p_t_fp,
+         |    (1000000 * (rc.c_r + 1)) // (rt.n_r + 64) AS p_r_fp
+         |  FROM rc LEFT JOIN tc USING (b), rt, tt),
+         |perdoc AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |    CAST(sum(p_t_fp - p_r_fp) AS BIGINT) AS score_fp
+         |  FROM tb JOIN probs USING (b) GROUP BY 1),
+         |sel AS (SELECT doc_id FROM perdoc ORDER BY score_fp DESC, doc_id ASC LIMIT 100)
+         |SELECT doc_id, n_tokens, score_fp,
+         |  doc_id IN (SELECT doc_id FROM sel) AS selected
+         |FROM perdoc""".stripMargin,
+    // the same URL construction, then the normal form replayed rule by
+    // rule: lowercase scheme/authority, default-port strip, tracking-
+    // param drop + bytewise sort, trailing-slash collapse
+    "url_normalize" ->
+      """WITH u0 AS (
+        |  SELECT doc_id,
+        |    concat(
+        |      CASE WHEN doc_id % 2 = 0 THEN 'HTTP://' ELSE 'HTTPS://' END,
+        |      'WWW.', upper(source),
+        |      CASE WHEN doc_id % 2 = 0 THEN '.Example.COM:80' ELSE '.Sample.CO.UK:443' END,
+        |      '/Docs/', CAST(doc_id % 7 AS VARCHAR),
+        |      CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END,
+        |      '?utm_source=feed&b=2&a=1',
+        |      CASE WHEN doc_id % 5 = 0 THEN '&fbclid=XYZ' ELSE '' END,
+        |      CASE WHEN doc_id % 4 = 0 THEN '#frag' ELSE '' END) AS url
+        |  FROM documents),
+        |parts AS (
+        |  SELECT doc_id, url,
+        |    regexp_replace(trim(url), '#.*$', '') AS u
+        |  FROM u0),
+        |pieces AS (
+        |  SELECT doc_id, url, u,
+        |    lower(regexp_extract(u, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+        |    lower(regexp_extract(u, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)) AS auth,
+        |    regexp_extract(u, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS raw_path,
+        |    regexp_extract(u, '\?([^#]*)', 1) AS raw_query
+        |  FROM parts),
+        |norm AS (
+        |  SELECT doc_id, url, scheme,
+        |    CASE WHEN scheme = 'http' THEN regexp_replace(auth, ':80$', '')
+        |         WHEN scheme = 'https' THEN regexp_replace(auth, ':443$', '')
+        |         ELSE auth END AS auth_n,
+        |    regexp_replace(auth, ':[0-9]+$', '') AS host,
+        |    CASE WHEN regexp_replace(raw_path, '/+$', '') = '' THEN '/'
+        |         ELSE regexp_replace(raw_path, '/+$', '') END AS path_n,
+        |    list_sort(list_filter(string_split(raw_query, '&'),
+        |      p -> p <> '' AND NOT regexp_matches(
+        |        regexp_extract(p, '^([^=]*)', 1), '^(utm_[^=]*|fbclid|gclid|ref)$'))) AS params
+        |  FROM pieces),
+        |dom AS (
+        |  SELECT doc_id, url, scheme, auth_n, host, path_n, params,
+        |    string_split(host, '.') AS ls
+        |  FROM norm)
+        |SELECT doc_id, url,
+        |  concat(scheme, '://', auth_n, path_n,
+        |    CASE WHEN len(params) > 0 THEN concat('?', array_to_string(params, '&'))
+        |         ELSE '' END) AS url_norm,
+        |  host,
+        |  CASE WHEN len(ls) <= 1 THEN host
+        |       WHEN len(ls) >= 3 AND concat(ls[-2], '.', ls[-1]) IN
+        |         ('co.uk', 'org.uk', 'ac.uk', 'com.au', 'co.jp', 'com.br', 'co.in', 'com.cn')
+        |         THEN concat(ls[-3], '.', ls[-2], '.', ls[-1])
+        |       ELSE concat(ls[-2], '.', ls[-1]) END AS domain
+        |FROM dom""".stripMargin,
+    // the parsed host equals its closed-form construction; cap = the
+    // corpus_sample_per_source salted-hash rank with host as stratum
+    "url_domain_cap" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    concat('www.', source,
+        |      CASE WHEN doc_id % 2 = 0 THEN '.example.com' ELSE '.sample.co.uk' END) AS host,
+        |    CAST(concat('0x', substring(md5(concat(CAST(doc_id AS VARCHAR), 'dc')), 1, 15)) AS BIGINT) AS hv
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, host,
+        |    row_number() OVER (PARTITION BY host ORDER BY hv, doc_id) AS rn
+        |  FROM d)
+        |SELECT doc_id, host FROM r WHERE rn <= 25""".stripMargin,
   )
 }

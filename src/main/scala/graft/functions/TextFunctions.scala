@@ -1170,4 +1170,143 @@ object TextFunctions {
             .when(col("bucket") === 2, lit(midPct))
             .otherwise(lit(tailPct)))
   }
+
+  /** The corpus's boilerplate vocabulary: 60-bit hashes of the
+    * non-overlapping `width`-token segments that occur in more than
+    * `maxDf` distinct documents, highest document-frequency first
+    * (ties by hash, so the cut is deterministic), capped at `capN`.
+    *
+    * This is the line-dedup signal of RefinedWeb/CCNet-style curation:
+    * headers, footers, cookie banners and navigation chrome repeat
+    * verbatim across pages, and stripping the repeated SEGMENTS keeps
+    * documents whose remaining prose is fine — where document-level
+    * dedup would either keep the noise or drop the whole page.
+    *
+    * Scale shape: segments are hashed map-side (per-doc distinct, so
+    * the count IS document frequency) and only (hash) rows cross the
+    * one aggregation exchange. The returned vocabulary is collected to
+    * the driver — bounded by `capN`, same bounded-inline convention as
+    * the IVF centroid table ([[graft.similarity.Similarity.ivfTopK]]) —
+    * because real boilerplate vocabularies are small (a site's chrome,
+    * not its content) and inlining them makes the removal pass a pure
+    * map-side projection with zero joins. */
+  def boilerplateHashes(docs: DataFrame, width: Int = 6, maxDf: Int = 1,
+                        capN: Int = 256, textCol: String = "text",
+                        idCol: String = "doc_id"): Array[Long] = {
+    require(width > 0, s"width must be positive, got $width")
+    require(capN > 0, s"capN must be positive, got $capN")
+    docs.select(explode(array_distinct(chunks(col(textCol), width))).as("seg"))
+      .select(shingleHash(col("seg")).as("seg_h"))
+      .groupBy("seg_h").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf)
+      .orderBy(col("df").desc, col("seg_h").asc)
+      .limit(capN)
+      .select("seg_h")
+      .collect().map(_.getLong(0))
+  }
+
+  /** Rewrite each document with its boilerplate segments removed:
+    * the text is cut into the same non-overlapping `width`-token
+    * segments as [[boilerplateHashes]], segments whose hash is in
+    * `badHashes` are dropped, and the survivors re-join in order.
+    * Emits (doc_id, n_segments, n_removed, text_clean).
+    *
+    * Scale shape: `badHashes` is an inlined literal array (bounded by
+    * the producer's `capN`), so the whole operator is a per-row
+    * codegen projection — no join, no shuffle; text never leaves its
+    * partition. */
+  def boilerplateRemove(docs: DataFrame, badHashes: Array[Long],
+                        width: Int = 6, textCol: String = "text",
+                        idCol: String = "doc_id"): DataFrame = {
+    require(width > 0, s"width must be positive, got $width")
+    docs.select(col(idCol).as("doc_id"),
+        bound(chunks(col(textCol), width)) { cs =>
+          bound(keptSegments(cs, badHashes)) { keep =>
+            struct(
+              size(cs).cast("bigint").as("n_segments"),
+              (size(cs) - size(keep)).cast("bigint").as("n_removed"),
+              concat_ws(" ", keep).as("text_clean"))
+          }
+        }.as("__b"))
+      .select(col("doc_id"), col("__b.n_segments").as("n_segments"),
+        col("__b.n_removed").as("n_removed"),
+        col("__b.text_clean").as("text_clean"))
+  }
+
+  /** Column form of the boilerplate rewrite — the cleaned text alone,
+    * for callers that replace a text column in place (e.g.
+    * [[graft.pipeline.CorpusPipeline.prepare]]'s optional stage)
+    * without dropping their other columns. Same semantics as
+    * [[boilerplateRemove]]'s `text_clean`. */
+  def stripSegments(text: Column, badHashes: Array[Long], width: Int): Column = {
+    require(width > 0, s"width must be positive, got $width")
+    concat_ws(" ", keptSegments(chunks(text, width), badHashes))
+  }
+
+  private def keptSegments(segments: Column, badHashes: Array[Long]): Column = {
+    val badArr =
+      if (badHashes.isEmpty) array().cast("array<bigint>")
+      else array(badHashes.map(lit(_)): _*)
+    filter(segments, s => !array_contains(badArr, shingleHash(s)))
+  }
+
+  /** DSIR-style hashed importance weights (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling", in its
+    * hashed-feature space): tokens hash into `dim` buckets, the target
+    * and raw corpora each induce an add-1-smoothed bucket distribution,
+    * and a document's importance is the inner product of its hashed
+    * term frequencies with the target-minus-raw probability gap —
+    * score = Σ_tokens (p_target[b] − p_raw[b]) in fixed-point
+    * millionths. The paper ranks by the log-ratio; the difference form
+    * is the same linear-in-hashed-features family and keeps every
+    * number integer-exact across engines (the fixed-point convention
+    * of [[lmBigramScore]] — "the log is left to the reader"). The
+    * `topM` highest-scoring documents (ties by doc_id) are flagged
+    * `selected` — the resampling step at its deterministic limit.
+    *
+    * Scale shape: tokens fold to bucket ids map-side, so only
+    * (doc_id, bucket) pairs cross the exchanges; the bucket
+    * distribution tables are `dim` rows (broadcast), the totals are
+    * one-row aggregates (broadcast cross join, the
+    * [[graft.operators.Sampling.quantileBuckets]] shape), and the
+    * top-M cut is a TakeOrdered over narrow (doc_id, score) — no
+    * global sort, no payload shuffle. */
+  def dsirWeights(raw: DataFrame, target: DataFrame, dim: Int = 64,
+                  topM: Int = 100, textCol: String = "text",
+                  idCol: String = "doc_id"): DataFrame = {
+    require(dim > 0, s"dim must be positive, got $dim")
+    require(topM > 0, s"topM must be positive, got $topM")
+    val bucketOf =
+      (conv(substring(md5(col("__t")), 1, 15), 16, 10).cast("long") % dim)
+        .cast("int").as("b")
+    val posting = raw
+      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("__t"))
+      .select(col("doc_id"), bucketOf)
+    val tgtPosting = target
+      .select(explode(tokens(col(textCol))).as("__t"))
+      .select(bucketOf)
+    val rawCounts = posting.groupBy("b").agg(count(lit(1)).as("c_r"))
+    val tgtCounts = tgtPosting.groupBy("b").agg(count(lit(1)).as("c_t"))
+    // totals fold the dim-row count tables, not the corpus — no third scan
+    val rawTot = rawCounts.agg(sum(col("c_r")).as("n_r"))
+    val tgtTot = tgtCounts.agg(coalesce(sum(col("c_t")), lit(0L)).as("n_t"))
+    // every bucket the raw posting mentions is present in rawCounts by
+    // construction; target-absent buckets smooth to (0 + 1)
+    val probs = rawCounts
+      .join(tgtCounts, Seq("b"), "left")
+      .crossJoin(broadcast(rawTot)).crossJoin(broadcast(tgtTot))
+      .select(col("b"),
+        expr(s"(1000000 * (coalesce(c_t, 0) + 1)) div (n_t + $dim)").as("p_t_fp"),
+        expr(s"(1000000 * (c_r + 1)) div (n_r + $dim)").as("p_r_fp"))
+    val perDoc = posting
+      .join(broadcast(probs), Seq("b"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("p_t_fp") - col("p_r_fp")).as("score_fp"))
+    val top = perDoc.orderBy(col("score_fp").desc, col("doc_id").asc)
+      .limit(topM).select(col("doc_id"), lit(true).as("selected"))
+    perDoc.join(broadcast(top), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("score_fp"),
+        coalesce(col("selected"), lit(false)).as("selected"))
+  }
 }

@@ -10,7 +10,11 @@ import graft.functions.TextFunctions
   * data operators in the canonical order:
   *
   *  1. quality gate — [[TextFunctions.corpusFilter]]: length floor,
-  *     exact-duplicate representative, repetition dominance;
+  *     exact-duplicate representative, repetition dominance; then
+  *     optionally (`boilerplateWidth`) the RefinedWeb-style
+  *     line-dedup pass — [[TextFunctions.boilerplateHashes]] /
+  *     [[TextFunctions.stripSegments]]: corpus-common segments
+  *     stripped from every doc map-side before anything shingles;
   *  2. near-duplicate removal — [[Dedup.pairsFromSigs]] (the exact
   *     [[Dedup.dedupCorpus]] pair construction, over a shared
   *     signature frame) → [[Dedup.nearDupClusters]] → keep each
@@ -74,7 +78,9 @@ object CorpusPipeline {
               idCol: String = "doc_id",
               bloomDecontaminate: Boolean = false,
               bloomBits: Int = 1 << 20,
-              bloomK: Int = 3): Prepared = {
+              bloomK: Int = 3,
+              boilerplateWidth: Option[Int] = None,
+              boilerplateMaxDf: Int = 1): Prepared = {
     // The keep-list is narrow (ids only) but its producer is a real
     // aggregate (exact-dup representative election + repetition stats);
     // every returned stage frame re-derives `filtered`, and `packed`
@@ -84,7 +90,20 @@ object CorpusPipeline {
       .corpusFilter(docs, minTokens, maxTopGramFrac, textCol, idCol)
       .filter(col("keep")).select(col("doc_id").as(idCol))
       .localCheckpoint(true)
-    val filtered = docs.join(keepIds, Seq(idCol), "left_semi")
+    val kept = docs.join(keepIds, Seq(idCol), "left_semi")
+    // Optional RefinedWeb-style line-dedup stage between the quality
+    // gate and near-dup removal: the corpus-common segment vocabulary
+    // (one hash-agg pass, capN-bounded driver collect) is stripped from
+    // every surviving doc MAP-SIDE, so downstream signatures hash the
+    // prose, not the shared chrome. Replaces the text column in place —
+    // all other columns ride through untouched.
+    val filtered = boilerplateWidth match {
+      case Some(w) =>
+        val bad = TextFunctions.boilerplateHashes(
+          kept, w, boilerplateMaxDf, textCol = textCol, idCol = idCol)
+        kept.withColumn(textCol, TextFunctions.stripSegments(col(textCol), bad, w))
+      case None => kept
+    }
     // One shingling/minhash pass feeds dedup AND decontamination. The
     // cache discipline is the round-8 lesson: materialize BOTH narrow
     // consumers of the signature frame first — the verified pair list

@@ -1,0 +1,140 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{TextFunctions, UrlFunctions}
+
+/** Boilerplate segment removal, DSIR importance weights, and URL
+  * canonicalization — the curation-layer additions. */
+class CurationOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val chrome = "cookie notice click accept button to continue" // 7 tokens → spills segments
+  private val banner = "subscribe to our newsletter now today"  // 6 tokens → one segment
+
+  test("boilerplateHashes flags only segments shared across > maxDf docs") {
+    val docs = Seq(
+      (1L, s"$banner alpha beta gamma delta epsilon zeta"),
+      (2L, s"$banner eta theta iota kappa lambda mu"),
+      (3L, "nu xi omicron pi rho sigma")).toDF("doc_id", "text")
+    val bad = TextFunctions.boilerplateHashes(docs, width = 6, maxDf = 1)
+    // exactly the banner's 6-token segment repeats (docs 1 and 2 share
+    // it as their first segment; every other segment is unique)
+    assert(bad.length == 1)
+    val bannerHash = docs.sparkSession.range(1)
+      .select(TextFunctions.shingleHash(lit(banner)).as("h"))
+      .head().getLong(0)
+    assert(bad.head == bannerHash)
+  }
+
+  test("boilerplateRemove strips flagged segments, keeps order and counts") {
+    val docs = Seq(
+      (1L, s"$banner alpha beta gamma delta epsilon zeta"),
+      (2L, s"$banner eta theta iota kappa lambda mu"),
+      (3L, "nu xi omicron pi rho sigma")).toDF("doc_id", "text")
+    val bad = TextFunctions.boilerplateHashes(docs, width = 6, maxDf = 1)
+    val out = TextFunctions.boilerplateRemove(docs, bad, width = 6)
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[String]("text_clean") == "alpha beta gamma delta epsilon zeta")
+    assert(out(0).getAs[Long]("n_segments") == 2 && out(0).getAs[Long]("n_removed") == 1)
+    assert(out(1).getAs[String]("text_clean") == "eta theta iota kappa lambda mu")
+    assert(out(2).getAs[String]("text_clean") == "nu xi omicron pi rho sigma")
+    assert(out(2).getAs[Long]("n_removed") == 0)
+  }
+
+  test("boilerplateRemove with empty vocabulary is a tokenization no-op") {
+    val docs = Seq((1L, "  Mixed   CASE   text  here five six ")).toDF("doc_id", "text")
+    val out = TextFunctions.boilerplateRemove(docs, Array.empty[Long], width = 6).head()
+    // segments re-join over the lowercased, whitespace-collapsed tokens
+    assert(out.getAs[String]("text_clean") == "mixed case text here five six")
+    assert(out.getAs[Long]("n_removed") == 0)
+  }
+
+  test("boilerplate hash cut is deterministic: df desc then hash asc, capped") {
+    val docs = Seq(
+      (1L, s"$banner $chrome x"), (2L, s"$banner $chrome y"),
+      (3L, s"$banner one two three four five six")).toDF("doc_id", "text")
+    // banner appears in 3 docs as first segment; the chrome-derived
+    // second segments of docs 1/2 differ (7-token chrome spills into
+    // the next segment with the differing tail token), so banner is
+    // the clear top hash; capN=1 must keep exactly it
+    val bad1 = TextFunctions.boilerplateHashes(docs, width = 6, maxDf = 1, capN = 1)
+    val badAll = TextFunctions.boilerplateHashes(docs, width = 6, maxDf = 1, capN = 16)
+    assert(bad1.length == 1 && badAll.contains(bad1.head))
+  }
+
+  test("dsirWeights: target == raw gives zero scores everywhere") {
+    val docs = Seq((1L, "a b c"), (2L, "d e f g"), (3L, "h i")).toDF("doc_id", "text")
+    val out = TextFunctions.dsirWeights(docs, docs, dim = 16, topM = 2)
+      .orderBy("doc_id").collect()
+    assert(out.forall(_.getAs[Long]("score_fp") == 0L))
+    assert(out.map(_.getAs[Long]("n_tokens")).toSeq == Seq(3L, 4L, 2L))
+    // all tied at zero: top-2 by doc_id
+    assert(out.map(_.getAs[Boolean]("selected")).toSeq == Seq(true, true, false))
+  }
+
+  test("dsirWeights ranks target-like docs above off-target docs") {
+    val docs = Seq(
+      (1L, "quality prose quality prose quality prose"),
+      (2L, "spam junk spam junk spam junk")).toDF("doc_id", "text")
+    val target = Seq(Tuple1("quality prose quality prose")).toDF("text")
+    val out = TextFunctions.dsirWeights(docs, target, dim = 16, topM = 1)
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[Long]("score_fp") > out(1).getAs[Long]("score_fp"))
+    assert(out(0).getAs[Boolean]("selected") && !out(1).getAs[Boolean]("selected"))
+  }
+
+  test("urlNormalize: case, default port, tracking params, sort, slash, fragment") {
+    val cases = Seq(
+      "HTTP://WWW.Example.COM:80/a/b/?utm_source=x&b=2&a=1#frag" ->
+        "http://www.example.com/a/b?a=1&b=2",
+      "https://Example.com:443/" -> "https://example.com/",
+      "https://example.com" -> "https://example.com/",
+      "http://example.com:8080/x" -> "http://example.com:8080/x",
+      "https://example.com/p?utm_a=1&gclid=2&ref=z" -> "https://example.com/p",
+      "  https://example.com/p?z=1&y=2  " -> "https://example.com/p?y=2&z=1",
+      // no scheme: trimmed + fragment-stripped, otherwise untouched
+      "example.com/x#y" -> "example.com/x")
+    val out = cases.map(_._1).toDF("url")
+      .select(UrlFunctions.urlNormalize(col("url"))).as[String].collect()
+    out.zip(cases.map(_._2)).foreach { case (got, want) => assert(got == want) }
+  }
+
+  test("urlHost and registeredDomain") {
+    val rows = Seq(
+      "https://WWW.BBC.CO.UK:443/news" -> ("www.bbc.co.uk", "bbc.co.uk"),
+      "http://a.b.Example.com/x" -> ("a.b.example.com", "example.com"),
+      "http://localhost:8080/" -> ("localhost", "localhost"))
+    val out = rows.map(_._1).toDF("url")
+      .select(UrlFunctions.urlHost(col("url")).as("h"),
+        UrlFunctions.registeredDomain(UrlFunctions.urlHost(col("url"))).as("d"))
+      .as[(String, String)].collect()
+    out.zip(rows.map(_._2)).foreach { case (got, want) => assert(got == want) }
+  }
+
+  test("CorpusPipeline.prepare boilerplateWidth strips shared chrome in place") {
+    def words(tag: String) = (1 to 24).map(i => s"$tag$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$banner ${words("alpha")}"),
+      (2L, s"$banner ${words("beta")}"),
+      (3L, words("gamma"))).toDF("doc_id", "text")
+    val off = graft.pipeline.CorpusPipeline.prepare(docs)
+    val on = graft.pipeline.CorpusPipeline.prepare(docs, boilerplateWidth = Some(6))
+    assert(off.filtered.filter(col("text").contains("subscribe")).count() == 2)
+    // stage on: the banner segment is gone from every doc, other
+    // columns and the doc set ride through
+    assert(on.filtered.filter(col("text").contains("subscribe")).count() == 0)
+    assert(on.filtered.count() == 3 && on.deduped.count() == 3)
+    val t1 = on.filtered.filter(col("doc_id") === 1).select("text").head().getString(0)
+    assert(t1 == words("alpha"))
+  }
+
+  test("urlNormalize idempotence: normalizing a normal form is a no-op") {
+    val urls = Seq(
+      "HTTP://WWW.Example.COM:80/a/b/?utm_source=x&b=2&a=1#frag",
+      "https://Example.com:443/", "http://h.example.org/p?c=3&a=1&b=2")
+    val df = urls.toDF("url")
+    val once = df.select(UrlFunctions.urlNormalize(col("url")).as("u"))
+    val twice = once.select(UrlFunctions.urlNormalize(col("u")).as("u"))
+    assert(once.as[String].collect().toSeq == twice.as[String].collect().toSeq)
+  }
+}

@@ -24,8 +24,15 @@ import org.apache.spark.sql.execution.LogicalRDD
   *
   * SAFETY: a local checkpoint has no lineage to recompute from, so
   * releasing one is only valid when the frame (and everything derived
-  * from it lazily) will never be read again. Callers release
-  * superseded rounds, not returned results. */
+  * from it lazily) will never be read again. Inside operators, this
+  * releases superseded rounds. For RETURNED results, it is the
+  * caller-side release: a checkpointed result frame
+  * ([[graft.dedup.Dedup.nearDupClusters]], [[graft.operators.Graph]]
+  * outputs) owns 1-3 blocks that otherwise live until the JVM handle
+  * is garbage-collected — call `releaseAll(result)` when done
+  * consuming it (composite results expose it as `release()`:
+  * [[graft.pipeline.CorpusPipeline.Prepared]],
+  * [[graft.dedup.Dedup.IncrementalNearDup]]). */
 object Checkpoints {
 
   /** Unpersist every checkpoint/cached-scan RDD this frame's plan

@@ -566,7 +566,19 @@ object Dedup {
     * a checkpointed rejected-id list) on each action, so consume or
     * checkpoint it BEFORE mutating/overwriting the batch's underlying
     * storage, or it will recompute against the clobbered data. */
-  final case class IncrementalNearDup(fresh: DataFrame, catalogDelta: DataFrame)
+  final case class IncrementalNearDup(fresh: DataFrame, catalogDelta: DataFrame) {
+
+    /** Free the checkpoint blocks this result owns (the rejected-id
+      * list behind `fresh` and the materialized `catalogDelta` —
+      * 2 executor-memory blocks per ingest step). A long-lived ingest
+      * loop calling [[incrementalNearDup]] per batch should release
+      * each step's result once `fresh` is consumed and the delta
+      * appended, or the orphaned blocks accumulate until their JVM
+      * handles are garbage-collected. After release, both frames of
+      * THIS result are unusable (checkpoints truncated their lineage). */
+    def release(): Unit =
+      Seq(fresh, catalogDelta).foreach(graft.core.Checkpoints.releaseAll)
+  }
 
   /** Incremental MinHash near-dup dedup against a BAND catalog — the
     * near-duplicate twin of [[incrementalDedup]]: a continuously-

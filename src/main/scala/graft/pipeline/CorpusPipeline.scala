@@ -55,7 +55,20 @@ object CorpusPipeline {
       filtered: DataFrame,
       deduped: DataFrame,
       decontaminated: DataFrame,
-      packed: DataFrame)
+      packed: DataFrame) {
+
+    /** Free the checkpoint blocks backing the stage frames (the
+      * keep-list, the dirty-id list, and the CC fixpoint's final edge
+      * set — 2-3 executor-memory blocks per `prepare` call). Call when
+      * done consuming: blocks otherwise live until their JVM handles
+      * are garbage-collected, and a long-lived driver looping
+      * `prepare` over corpus snapshots would accumulate them in the
+      * storage pool. After release, every stage frame of THIS result
+      * is unusable (lineage was truncated by the checkpoint). */
+    def release(): Unit =
+      Seq(filtered, deduped, decontaminated, packed)
+        .foreach(graft.core.Checkpoints.releaseAll)
+  }
 
   /** `bloomDecontaminate = true` swaps stage 3's exact shingle join
     * for the broadcast-Bloom screen ([[TextFunctions

@@ -241,4 +241,44 @@ class CorpusOpsSpec extends SparkSpec {
     // every violator is rejected
     (1 to 7).foreach(i => assert(!out(i).getBoolean(8), s"doc ${i + 1} must not keep"))
   }
+
+  // storage levels of the checkpoint blocks a frame's own plan reads —
+  // local to the frame, so the assertion cannot race other suites
+  // sharing the session's persistent-RDD registry
+  private def ckptLevels(df: org.apache.spark.sql.DataFrame) =
+    df.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.getStorageLevel
+    }
+
+  test("Prepared.release frees the result-owned checkpoint blocks") {
+    val docs = (0 until 60).map(i =>
+      (i.toLong, s"document number $i carries its own unique prose about topic $i and subject ${i * 7}"))
+      .toDF("doc_id", "text")
+    val prep = CorpusPipeline.prepare(docs, minTokens = 5, windowTokens = 32, nShards = 4)
+    assert(prep.packed.count() > 0)
+    val before = ckptLevels(prep.packed)
+    assert(before.exists(_ != org.apache.spark.storage.StorageLevel.NONE),
+      "packed should read at least one live checkpoint before release")
+    prep.release()
+    Seq(prep.filtered, prep.deduped, prep.decontaminated, prep.packed).foreach { f =>
+      assert(ckptLevels(f).forall(_ == org.apache.spark.storage.StorageLevel.NONE),
+        "all result-owned checkpoint blocks must be unpersisted after release")
+    }
+  }
+
+  test("IncrementalNearDup.release frees the rejected-id and delta blocks") {
+    val batch = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "completely different archival content about medieval trade routes and spice markets"))
+      .toDF("doc_id", "text")
+    val empty = Seq.empty[(Long, Int, Long)].toDF("doc_id", "band_idx", "band_hash")
+    val out = Dedup.incrementalNearDup(batch, empty)
+    assert(out.fresh.count() == 2 && out.catalogDelta.count() > 0)
+    assert(ckptLevels(out.catalogDelta)
+      .exists(_ != org.apache.spark.storage.StorageLevel.NONE))
+    out.release()
+    Seq(out.fresh, out.catalogDelta).foreach { f =>
+      assert(ckptLevels(f).forall(_ == org.apache.spark.storage.StorageLevel.NONE))
+    }
+  }
 }

@@ -1326,7 +1326,7 @@ object SparkEntry {
 
   /** Broadcast-Bloom decontamination ([[graft.functions.TextFunctions
     * .contaminationBloom]]): the held-out 20% hash split's shingles
-    * fold into a 2^16-bit Bloom bitset, and the 80% training corpus is
+    * fold into a 2^20-bit Bloom bitset (the default), and the 80% training corpus is
     * screened against it map-side — scan → project, zero exchanges
     * (spec-asserted), vs the shuffled shingle join of
     * [[decontaminate]]. False positives over-flag deterministically;
@@ -4784,7 +4784,7 @@ object SparkEntry {
     "url_domain_cap" ->
       """WITH d AS (
         |  SELECT doc_id,
-        |    concat('www.', source,
+        |    concat('www.', lower(source),
         |      CASE WHEN doc_id % 2 = 0 THEN '.example.com' ELSE '.sample.co.uk' END) AS host,
         |    CAST(concat('0x', substring(md5(concat(CAST(doc_id AS VARCHAR), 'dc')), 1, 15)) AS BIGINT) AS hv
         |  FROM documents),

@@ -583,6 +583,15 @@ case class HllDistinctAgg(child: Expression, p: Int,
     val v = child.eval(input)
     if (v != null) {
       val h = v.asInstanceOf[Long]
+      // 60-bit domain contract, checked per row (cheap single compare):
+      // a full-64-bit hash (e.g. xxhash64) would index registers out of
+      // range — fail with the contract named instead of an
+      // ArrayIndexOutOfBounds deep inside an executor task
+      if (h < 0L || h >= (1L << 60))
+        throw new IllegalArgumentException(
+          s"hll_distinct: input hash $h outside the 60-bit domain [0, 2^60) — " +
+            "hash with conv(substring(md5(x),1,15),16,10) (TextFunctions.shingleHash), " +
+            "not a full-64-bit hash like xxhash64")
       val j = (h >>> W).toInt // top p bits of the 60-bit hash
       val tail = h & ((1L << W) - 1)
       // rho = W - floor(log2(tail)) = leading zeros within W bits + 1

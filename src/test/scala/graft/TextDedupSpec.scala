@@ -286,7 +286,7 @@ class TextDedupSpec extends SparkSpec {
     // exact path's, and the truly-contaminated doc is gone in both
     assert(bloomed.subsetOf(exact), s"bloom=$bloomed exact=$exact")
     assert(!exact.contains(50L) && !bloomed.contains(50L))
-    // at 2^16 bits / ~100 eval positions, false positives are ~0: equal here
+    // at the 2^20-bit default / ~100 eval positions, false positives are ~0: equal here
     assert(bloomed == exact, s"unexpected FP at tiny scale: bloom=$bloomed exact=$exact")
   }
 

@@ -147,6 +147,44 @@ object TxnLog {
   def foreachBatchAppend(root: String): (DataFrame, Long) => Unit =
     (df, batchId) => { append(df, root, Some(s"batch-$batchId")); () }
 
+  /** Incremental consumption: the rows committed strictly AFTER
+    * `sinceVersion`, read from ONLY the data directories those commits
+    * added — cost is O(delta), never a snapshot scan, which is what
+    * lets a downstream job poll a 100 TB append table per cycle
+    * ("process what changed since my last checkpoint") for the price
+    * of the new batches. Pass `sinceVersion = -1` to consume from the
+    * beginning.
+    *
+    * Append-only lineage is REQUIRED and checked: an `overwrite`
+    * (including [[compact]]) anywhere in `(sinceVersion, latest]`
+    * rewrites the visible set, so "directories added" no longer means
+    * "rows added" — the call fails loudly and the consumer must
+    * re-baseline from a full [[read]]. A vacuumed `sinceVersion`
+    * fails the same way (the delta's base is gone). */
+  def changesSince(spark: SparkSession, root: String, sinceVersion: Long): DataFrame = {
+    val commits = history(spark, root)
+    require(commits.nonEmpty, s"TxnLog table at $root is empty")
+    val latest = commits.last.version
+    require(sinceVersion <= latest,
+      s"TxnLog: sinceVersion $sinceVersion is ahead of latest $latest at $root")
+    require(sinceVersion == -1L || commits.exists(_.version == sinceVersion),
+      s"TxnLog: version $sinceVersion does not exist at $root (vacuumed?) — " +
+        "re-baseline from a full read of the current snapshot")
+    val delta = commits.filter(_.version > sinceVersion)
+    val broken = delta.filter(c => c.action != "append" &&
+      !(sinceVersion == -1L && c.version == commits.head.version))
+    require(broken.isEmpty,
+      s"TxnLog: non-append commit(s) ${broken.map(c => s"v${c.version}:${c.action}").mkString(", ")} " +
+        s"after version $sinceVersion at $root — the visible set was rewritten, " +
+        "so an additive delta does not exist; re-baseline from a full read")
+    val baseDirs =
+      if (sinceVersion == -1L) Set.empty[String]
+      else snapshotAt(commits, sinceVersion).toSet
+    val newDirs = snapshotAt(commits, latest).filterNot(baseDirs)
+    if (newDirs.isEmpty) read(spark, root).limit(0)
+    else spark.read.parquet(newDirs.map(d => s"$root/data/$d"): _*)
+  }
+
   // ----------------------------------------------------------------
   // internals
   // ----------------------------------------------------------------

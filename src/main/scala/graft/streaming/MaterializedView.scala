@@ -48,8 +48,11 @@ object MaterializedView {
     // the current version, and writing a plan that reads the table
     // being replaced must resolve its input files first
     val frozen = merged.localCheckpoint(true)
-    TxnLog.overwrite(frozen, root, Some(s"mv-batch-$batchId"))
-    ()
+    try { TxnLog.overwrite(frozen, root, Some(s"mv-batch-$batchId")); () }
+    // the commit persisted the view to parquet — the checkpoint block
+    // is dead; without this a long-running stream strands one block
+    // per micro-batch
+    finally graft.core.Checkpoints.releaseAll(frozen)
   }
 
   /** Current view contents (convenience). */

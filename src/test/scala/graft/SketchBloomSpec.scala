@@ -336,6 +336,18 @@ class SketchBloomSpec extends SparkSpec {
     assert(math.abs(est - 100.0) <= 5, s"linear-counting estimate $est far from 100")
   }
 
+  test("hll_distinct rejects out-of-domain hashes with the contract named") {
+    // the SQL surface takes any long column; a full-64-bit hash like
+    // xxhash64 must fail loudly, not index registers out of range
+    val e = intercept[org.apache.spark.SparkException] {
+      spark.range(0, 10).selectExpr("xxhash64(id) AS h")
+        .selectExpr("hll_distinct(h, 12)").collect()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(_.getMessage).mkString("\n")
+    assert(msgs.contains("60-bit domain"), s"wrong failure: $msgs")
+  }
+
   test("hllDistinct register state is invariant to partitioning") {
     val df = spark.range(0, 5000).select((col("id") % 700).as("v"))
     def regs(parts: Int): String =

@@ -191,4 +191,34 @@ class TxnLogSpec extends SparkSpec {
     // every version carries its micro-batch txn marker
     assert(TxnLog.versions(spark, root).forall(_._4.exists(_.startsWith("batch-"))))
   }
+
+  test("changesSince reads only the appended delta; overwrite breaks the lineage loudly") {
+    val root = Files.createTempDirectory("graft_txn").toString + "/t"
+    val v0 = TxnLog.overwrite(Seq((1L, "a")).toDF("id", "s"), root)
+    val v1 = TxnLog.append(Seq((2L, "b"), (3L, "c")).toDF("id", "s"), root)
+    TxnLog.append(Seq((4L, "d")).toDF("id", "s"), root)
+    // delta after v0 = the two appended batches, never the base row
+    val d0 = TxnLog.changesSince(spark, root, v0)
+    assert(d0.select("id").as[Long].collect().toSet == Set(2L, 3L, 4L))
+    val d1 = TxnLog.changesSince(spark, root, v1)
+    assert(d1.select("id").as[Long].collect().toSet == Set(4L))
+    // from the beginning (initial overwrite allowed as the first commit)
+    assert(TxnLog.changesSince(spark, root, -1L).count() == 4)
+    // caught up: empty frame, schema intact
+    val caughtUp = TxnLog.changesSince(spark, root, TxnLog.latestVersion(spark, root))
+    assert(caughtUp.isEmpty && caughtUp.columns.toSeq == Seq("id", "s"))
+    // an overwrite (or compaction) rewrites the visible set: no
+    // additive delta exists across it — consumers must re-baseline
+    TxnLog.overwrite(Seq((9L, "z")).toDF("id", "s"), root)
+    val e = intercept[IllegalArgumentException] {
+      TxnLog.changesSince(spark, root, v0)
+    }
+    assert(e.getMessage.contains("re-baseline"), e.getMessage)
+    // a vacuumed base version fails the same way
+    val e2 = intercept[IllegalArgumentException] {
+      TxnLog.vacuum(spark, root, retainVersions = 1)
+      TxnLog.changesSince(spark, root, v1)
+    }
+    assert(e2.getMessage.contains("re-baseline"), e2.getMessage)
+  }
 }

@@ -110,6 +110,11 @@ object VectorFunctions {
   *    `minhash_signature(shingles, k)`, `kmv_distinct(hash60, k)`,
   *    `hll_distinct(hash60, p)` —
   *    so pure-SQL users get the codegen'd/mergeable forms;
+  *  - SQL names for the Column-composed curation tier —
+  *    `url_normalize/url_host/registered_domain`, `lang_id`,
+  *    `ws_token_count`, `rolling_hash`, `doc_fingerprint`, and
+  *    `shingle_hash` (the shared 60-bit hash the sketch UDAFs
+  *    expect, so `hll_distinct(shingle_hash(w), p)` composes in SQL);
   *  - the [[graft.plans.NativeDotRewrite]] optimizer rule, which
   *    rewrites the equivalent declarative `aggregate(zip_with(...))`
   *    fold into [[FloatDotProduct]] automatically;
@@ -125,7 +130,34 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       s"$fn expects a literal integer k, got $other")
   }
 
+  /** Register a `Column`-composed engine function under a SQL name:
+    * the builder wraps the call-site expressions as Columns, composes
+    * the library function (pure built-in expressions — codegen'd, no
+    * UDF), and hands the composed tree back to the analyzer. This is
+    * what lets pure-SQL users reach the curation tier
+    * (`SELECT url_normalize(url)`, `hll_distinct(shingle_hash(w), 12)`)
+    * with byte-identical semantics to the Scala API. */
+  private def injectColumnFn(e: SparkSessionExtensions, name: String,
+                             arity: Int)(build: Seq[Column] => Column): Unit =
+    e.injectFunction((
+      new FunctionIdentifier(name),
+      new ExpressionInfo(classOf[GraftExtensions].getName, name),
+      (exprs: Seq[Expression]) => {
+        if (exprs.length != arity) throw new IllegalArgumentException(
+          s"$name takes $arity argument(s), got ${exprs.length}")
+        ColumnInterop.catalystExpression(build(exprs.map(ColumnInterop.column)))
+      }))
+
   override def apply(e: SparkSessionExtensions): Unit = {
+    import graft.functions.{TextFunctions, UrlFunctions}
+    injectColumnFn(e, "url_normalize", 1)(cs => UrlFunctions.urlNormalize(cs.head))
+    injectColumnFn(e, "url_host", 1)(cs => UrlFunctions.urlHost(cs.head))
+    injectColumnFn(e, "registered_domain", 1)(cs => UrlFunctions.registeredDomain(cs.head))
+    injectColumnFn(e, "lang_id", 1)(cs => TextFunctions.langId(cs.head))
+    injectColumnFn(e, "ws_token_count", 1)(cs => TextFunctions.wsTokenCount(cs.head))
+    injectColumnFn(e, "rolling_hash", 1)(cs => TextFunctions.rollingHash(cs.head))
+    injectColumnFn(e, "doc_fingerprint", 1)(cs => TextFunctions.fingerprint(cs.head))
+    injectColumnFn(e, "shingle_hash", 1)(cs => TextFunctions.shingleHash(cs.head))
     e.injectFunction((
       new FunctionIdentifier("float_dot"),
       new ExpressionInfo(classOf[FloatDotProduct].getName, "float_dot"),

@@ -14,4 +14,15 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnInterop {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Eager ColumnNode → catalyst conversion. [[expression]] wraps the
+    * node lazily (`ExpressionColumnNode`), which DataFrame plan
+    * construction converts via the session — but an expression
+    * returned from a SQL `FunctionBuilder` never passes through that
+    * path, so the wrapper (with `UnresolvedFunction`s still inside)
+    * survives to codegen and fails. Converting eagerly yields a plain
+    * catalyst tree whose unresolved nodes the analyzer then resolves
+    * like any parsed SQL. */
+  def catalystExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
 }

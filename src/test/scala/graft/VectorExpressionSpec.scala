@@ -173,4 +173,36 @@ class VectorExpressionSpec extends SparkSpec {
       s"gen=${gen.collect().toSeq} hof=${hof.collect().toSeq}")
     assert(gen.filter(col("doc_id") >= 2).isEmpty)
   }
+
+  test("SQL names for the curation tier match the Column API byte-for-byte") {
+    import graft.functions.{TextFunctions, UrlFunctions}
+    val rows = Seq(
+      (1L, "HTTPS://WWW.News.Example.COM:443/A/b/?utm_source=x&b=2&a=1#frag",
+        "The quick brown fox jumps over the lazy dog and keeps running"),
+      (2L, "http://sub.site.co.uk/path", "le chat noir et le chien blanc sont ici"))
+      .toDF("id", "url", "text")
+    rows.createOrReplaceTempView("curation_rows")
+    val viaSql = spark.sql(
+      """SELECT id, url_normalize(url) AS un, url_host(url) AS h,
+        |  registered_domain(url_host(url)) AS dom, lang_id(text) AS lang,
+        |  ws_token_count(text) AS n_tok, rolling_hash(text) AS rh,
+        |  doc_fingerprint(text) AS fp, shingle_hash(text) AS sh
+        |FROM curation_rows""".stripMargin)
+    val viaApi = rows.select(col("id"),
+      UrlFunctions.urlNormalize(col("url")).as("un"),
+      UrlFunctions.urlHost(col("url")).as("h"),
+      UrlFunctions.registeredDomain(UrlFunctions.urlHost(col("url"))).as("dom"),
+      TextFunctions.langId(col("text")).as("lang"),
+      TextFunctions.wsTokenCount(col("text")).as("n_tok"),
+      TextFunctions.rollingHash(col("text")).as("rh"),
+      TextFunctions.fingerprint(col("text")).as("fp"),
+      TextFunctions.shingleHash(col("text")).as("sh"))
+    assert(viaSql.exceptAll(viaApi).isEmpty && viaApi.exceptAll(viaSql).isEmpty,
+      s"sql=${viaSql.collect().toSeq}\napi=${viaApi.collect().toSeq}")
+    // the 60-bit shingle_hash composes with the sketch UDAFs in SQL
+    val est = spark.sql(
+      "SELECT hll_distinct(shingle_hash(text), 12).est_hll FROM curation_rows")
+      .head().getLong(0)
+    assert(est >= 1, s"composed sketch estimate $est")
+  }
 }

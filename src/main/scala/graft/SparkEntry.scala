@@ -1414,6 +1414,58 @@ object SparkEntry {
     spark.table(sink)
   }
 
+  /** TxnLog end-to-end under the oracle: the documents table is
+    * committed in three id-sliced batches (overwrite + two appends)
+    * into a manifest-log table, and the query returns
+    * [[graft.sources.TxnLog.changesSince]] of version 0 — the rows a
+    * downstream incremental consumer would process, which must be
+    * EXACTLY the two appended slices (never the base slice, never a
+    * duplicate). The table root is fingerprint-keyed and the build
+    * idempotent (txnIds make re-runs no-ops), so bench re-runs time
+    * the read path against a stable table. */
+  private def txnlogChanges(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.TxnLog
+    val root = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_txnlog_v2_" + dirFingerprint(dir)).getPath
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    if (TxnLog.latestVersion(spark, root) < 2L) {
+      TxnLog.overwrite(docs.filter(col("doc_id") < 100), root, Some("base"))
+      TxnLog.append(docs.filter(col("doc_id") >= 100 && col("doc_id") < 300),
+        root, Some("batch-a"))
+      TxnLog.append(docs.filter(col("doc_id") >= 300), root, Some("batch-b"))
+    }
+    TxnLog.changesSince(spark, root, 0L).select(col("doc_id"), col("source"))
+  }
+
+  /** Incremental materialized view under the oracle: two id-sliced
+    * event batches merge through [[graft.streaming.MaterializedView
+    * .mergeBatch]] (sum/min/max measure algebra + TxnLog txnId
+    * idempotence) and the final view must equal the one-shot grouped
+    * aggregate over all events — the IVM correctness claim, checked
+    * against DuckDB instead of only a spec. Integer measures keep the
+    * merge bit-exact. */
+  private def mvMerge(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.MaterializedView
+    val root = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_mv_v2_" + dirFingerprint(dir)).getPath
+    val ev = Tables.events(spark, dir)
+    def slice(lo: Long, hi: Long) = ev
+      .filter(col("event_id") >= lo && col("event_id") < hi)
+      .groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        min(col("user_id")).as("min_user"),
+        max(col("user_id")).as("max_user"))
+    val measures = Map("n" -> "sum", "min_user" -> "min", "max_user" -> "max")
+    if (graft.sources.TxnLog.latestVersion(spark, root) < 1L) {
+      MaterializedView.mergeBatch(root, Seq("event_type"), measures)(
+        slice(0L, 500L), 0L)
+      MaterializedView.mergeBatch(root, Seq("event_type"), measures)(
+        slice(500L, Long.MaxValue), 1L)
+    }
+    MaterializedView.read(spark, root)
+      .select(col("event_type"), col("n"), col("min_user"), col("max_user"))
+  }
+
   /** Incremental MinHash near-dup dedup
     * ([[graft.dedup.Dedup.incrementalNearDup]]): docs < 250's LSH
     * bands form the accepted-corpus band catalog; the rest are the
@@ -1594,6 +1646,8 @@ object SparkEntry {
     "zorder_cells" -> (zorderCells(_, _)),
     "dedup_incremental" -> (dedupIncremental(_, _)),
     "streaming_neardup_replay" -> (streamingNeardupReplay(_, _)),
+    "txnlog_changes" -> (txnlogChanges(_, _)),
+    "mv_merge" -> (mvMerge(_, _)),
     "dedup_incremental_minhash" -> (dedupIncrementalMinhash(_, _)),
     "dedup_incremental_minhash_bucketed" -> (dedupIncrementalMinhashBucketed(_, _)),
     "dedup_incremental_minhash_verified" -> (dedupIncrementalMinhashVerified(_, _)),
@@ -3991,6 +4045,15 @@ object SparkEntry {
          |FROM cands c
          |JOIN sigs sa ON c.doc_a = sa.doc_id
          |JOIN sigs sb ON c.doc_b = sb.doc_id""".stripMargin,
+    // the TxnLog table was built from id-sliced commits of documents;
+    // changesSince(0) must be exactly the two appended slices
+    "txnlog_changes" ->
+      "SELECT doc_id, source FROM documents WHERE doc_id >= 100",
+    // the incrementally-merged view must equal the one-shot aggregate
+    "mv_merge" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  min(user_id) AS min_user, max(user_id) AS max_user
+        |FROM events GROUP BY 1""".stripMargin,
     "dedup_incremental_minhash" -> dedupIncrMinhashOracleSql,
     // identical semantics, bucketed catalog layout
     "dedup_incremental_minhash_bucketed" -> dedupIncrMinhashOracleSql,

@@ -1466,6 +1466,41 @@ object SparkEntry {
       .select(col("event_type"), col("n"), col("min_user"), col("max_user"))
   }
 
+  /** CSV reader under the oracle: the scalar document columns round-
+    * trip through [[graft.sources.Sinks]]-style CSV (header + explicit
+    * schema on read — the reference's zone-lookup contract) and must
+    * re-read byte-identically vs the parquet originals in DuckDB.
+    * Fingerprint-keyed write, paid once per source snapshot. */
+  private def csvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val out = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_csv_" + dirFingerprint(dir)).getPath
+    if (!new java.io.File(out, "_SUCCESS").isFile)
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .coalesce(1).write.mode("overwrite").option("header", "true").csv(out)
+    graft.sources.Sources.csv(spark, out, Some(StructType(Seq(
+      StructField("doc_id", LongType), StructField("lang", StringType),
+      StructField("source", StringType), StructField("n_chars", LongType)))))
+  }
+
+  /** JSON-lines reader under the oracle: the FULL document rows —
+    * text included, so JSON string escaping is exercised — written as
+    * JSONL and re-read with an explicit schema must equal the parquet
+    * originals. */
+  private def jsonlRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val out = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_jsonl_" + dirFingerprint(dir)).getPath
+    if (!new java.io.File(out, "_SUCCESS").isFile)
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text"), col("lang"))
+        .coalesce(1).write.mode("overwrite").json(out)
+    graft.sources.Sources.jsonLines(spark, out, Some(StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType)))))
+  }
+
   /** Incremental MinHash near-dup dedup
     * ([[graft.dedup.Dedup.incrementalNearDup]]): docs < 250's LSH
     * bands form the accepted-corpus band catalog; the rest are the
@@ -1648,6 +1683,8 @@ object SparkEntry {
     "streaming_neardup_replay" -> (streamingNeardupReplay(_, _)),
     "txnlog_changes" -> (txnlogChanges(_, _)),
     "mv_merge" -> (mvMerge(_, _)),
+    "csv_roundtrip" -> (csvRoundtrip(_, _)),
+    "jsonl_roundtrip" -> (jsonlRoundtrip(_, _)),
     "dedup_incremental_minhash" -> (dedupIncrementalMinhash(_, _)),
     "dedup_incremental_minhash_bucketed" -> (dedupIncrementalMinhashBucketed(_, _)),
     "dedup_incremental_minhash_verified" -> (dedupIncrementalMinhashVerified(_, _)),
@@ -4049,6 +4086,11 @@ object SparkEntry {
     // changesSince(0) must be exactly the two appended slices
     "txnlog_changes" ->
       "SELECT doc_id, source FROM documents WHERE doc_id >= 100",
+    // CSV/JSONL round-trips must re-read byte-identically
+    "csv_roundtrip" ->
+      "SELECT doc_id, lang, source, n_chars FROM documents",
+    "jsonl_roundtrip" ->
+      "SELECT doc_id, text, lang FROM documents",
     // the incrementally-merged view must equal the one-shot aggregate
     "mv_merge" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,

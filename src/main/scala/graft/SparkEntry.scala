@@ -843,6 +843,13 @@ object SparkEntry {
       windowTokens = 256, nShards = 8).packed
   }
 
+  /** Content-defined chunking ([[TextFunctions.cdcChunkRows]]): w=4
+    * rolling window, 2^3-token expected chunks over the documents
+    * table. The oracle replays the same boundary rule row-wise
+    * (window string_agg + cumulative boundary count). */
+  private def cdcChunks(spark: SparkSession, dir: String): DataFrame =
+    TextFunctions.cdcChunkRows(Tables.documents(spark, dir))
+
   private def docFingerprint(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).select(
       col("doc_id"), TextFunctions.fingerprint(col("text")).as("fingerprint"))
@@ -1685,6 +1692,7 @@ object SparkEntry {
     "mv_merge" -> (mvMerge(_, _)),
     "csv_roundtrip" -> (csvRoundtrip(_, _)),
     "jsonl_roundtrip" -> (jsonlRoundtrip(_, _)),
+    "cdc_chunks" -> (cdcChunks(_, _)),
     "dedup_incremental_minhash" -> (dedupIncrementalMinhash(_, _)),
     "dedup_incremental_minhash_bucketed" -> (dedupIncrementalMinhashBucketed(_, _)),
     "dedup_incremental_minhash_verified" -> (dedupIncrementalMinhashVerified(_, _)),
@@ -4086,6 +4094,32 @@ object SparkEntry {
     // changesSince(0) must be exactly the two appended slices
     "txnlog_changes" ->
       "SELECT doc_id, source FROM documents WHERE doc_id >= 100",
+    // content-defined chunking: the same LBFS-style boundary rule
+    // replayed row-wise — window string_agg rebuilds each w-token
+    // window, the cumulative boundary count assigns chunk ids
+    "cdc_chunks" ->
+      s"""WITH d AS (SELECT doc_id, $toksSql AS ts FROM documents),
+         |tok AS (SELECT doc_id, i AS pos, ts[i] AS tok, len(ts) AS n
+         |        FROM d, unnest(generate_series(1, len(ts))) AS u(i)),
+         |win AS (SELECT doc_id, pos, tok, n,
+         |    string_agg(tok, ' ') OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS wnd,
+         |    count(*) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS wlen
+         |  FROM tok),
+         |b AS (SELECT doc_id, pos, tok,
+         |    (pos = n OR (wlen = 4 AND
+         |      CAST(concat('0x', substring(md5(wnd), 1, 15)) AS BIGINT) % 8 = 0)) AS is_b
+         |  FROM win),
+         |cid AS (SELECT doc_id, pos, tok,
+         |    COALESCE(SUM(CASE WHEN is_b THEN 1 ELSE 0 END) OVER (
+         |      PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_idx
+         |  FROM b)
+         |SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+         |  CAST(count(*) AS BIGINT) AS n_tokens,
+         |  CAST(concat('0x', substring(md5(string_agg(tok, ' ' ORDER BY pos)), 1, 15)) AS BIGINT) AS chunk_hash
+         |FROM cid GROUP BY doc_id, chunk_idx""".stripMargin,
     // CSV/JSONL round-trips must re-read byte-identically
     "csv_roundtrip" ->
       "SELECT doc_id, lang, source, n_chars FROM documents",

@@ -218,6 +218,51 @@ object TextFunctions {
   def shingleHash(sh: Column): Column =
     conv(substring(md5(sh), 1, 15), 16, 10).cast("long")
 
+  /** Content-defined chunking: variable-length chunks whose boundaries
+    * sit wherever the `w`-token rolling window's 60-bit hash is ≡ 0
+    * (mod 2^maskBits) — the storage-dedup boundary rule (LBFS-style)
+    * applied to token streams. A fixed-window scheme ([[graft.dedup
+    * .Dedup.spanDedup]]) loses every window after an insertion shifts
+    * the stream; content-defined boundaries re-synchronize within ~w
+    * tokens, so the unchanged tail hashes to the same chunks again —
+    * the property that makes chunk-level dedup robust to edits.
+    * Expected chunk length 2^maskBits tokens; the final token always
+    * closes the last chunk.
+    *
+    * One row per (doc, chunk): (doc_id, chunk_idx, n_tokens,
+    * chunk_hash). Pure map-side higher-order functions — the token
+    * array is bound once, text never crosses an exchange; downstream
+    * duplicate-chunk analytics group on the 60-bit hash only. */
+  def cdcChunkRows(docs: org.apache.spark.sql.DataFrame,
+                   w: Int = 4, maskBits: Int = 3,
+                   textCol: String = "text", idCol: String = "doc_id")
+      : org.apache.spark.sql.DataFrame = {
+    require(w >= 1, s"need w >= 1, got $w")
+    require(maskBits >= 0 && maskBits < 30, s"need 0 <= maskBits < 30, got $maskBits")
+    val m = 1L << maskBits
+    val chunks = bound(tokens(col(textCol))) { ts =>
+      val n = size(ts)
+      // 0-based boundary positions: rolling-hash rule + forced final
+      // (And short-circuits, so the slice never sees a sub-window)
+      val bIdx = filter(sequence(lit(0), n - 1), i =>
+        (i === n - 1) ||
+          (i >= w - 1 &&
+            shingleHash(concat_ws(" ", slice(ts, i - lit(w - 2), lit(w)))) % m === 0))
+      bound(bIdx) { b =>
+        // previous boundary per chunk (-1 before the first): chunk j
+        // spans 0-based tokens prev+1 .. end
+        val prev = concat(array(lit(-1)), slice(b, lit(1), greatest(size(b) - 1, lit(0))))
+        zip_with(b, prev, (e, p) => struct(
+          concat_ws(" ", slice(ts, p + 2, e - p)).as("chunk"),
+          (e - p).cast("long").as("n_tokens")))
+      }
+    }
+    docs.select(col(idCol).as("doc_id"), posexplode(chunks))
+      .select(col("doc_id"), col("pos").cast("int").as("chunk_idx"),
+        col("col.n_tokens").as("n_tokens"),
+        shingleHash(col("col.chunk")).as("chunk_hash"))
+  }
+
   /** The shared distinct-shingle posting: one row per (doc_id,
     * 60-bit span hash), spans hashed map-side so text never reaches
     * an exchange. `shingleSet` is distinct per doc, so rows per hash

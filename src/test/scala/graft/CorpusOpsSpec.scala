@@ -250,6 +250,27 @@ class CorpusOpsSpec extends SparkSpec {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.getStorageLevel
     }
 
+  test("cdcChunkRows: boundaries re-synchronize after an insertion (the CDC property)") {
+    import graft.functions.TextFunctions
+    val base = (1 to 200).map(i => s"tok${i * 37 % 91}x$i").mkString(" ")
+    val edited = "inserted words here " + base
+    val docs = Seq((1L, base), (2L, edited)).toDF("doc_id", "text")
+    val rows = TextFunctions.cdcChunkRows(docs)
+    val h1 = rows.filter(col("doc_id") === 1).select("chunk_hash").as[Long].collect().toSet
+    val h2 = rows.filter(col("doc_id") === 2).select("chunk_hash").as[Long].collect().toSet
+    // a FIXED-window scheme would share ~0 windows after a 3-token
+    // shift; content-defined boundaries re-sync, so most of the
+    // unchanged tail's chunks hash identically
+    val shared = (h1 & h2).size.toDouble / h1.size
+    assert(shared > 0.5, s"only ${h1 & h2} of $h1 chunks survived the insertion")
+    // chunks partition the token stream exactly
+    val tokSum = rows.filter(col("doc_id") === 1).agg(sum("n_tokens")).head().getLong(0)
+    assert(tokSum == 200L, s"chunks must cover all 200 tokens, got $tokSum")
+    // deterministic: same input, same chunking
+    val again = TextFunctions.cdcChunkRows(docs)
+    assert(rows.exceptAll(again).isEmpty && again.exceptAll(rows).isEmpty)
+  }
+
   test("Prepared.release frees the result-owned checkpoint blocks") {
     val docs = (0 until 60).map(i =>
       (i.toLong, s"document number $i carries its own unique prose about topic $i and subject ${i * 7}"))

@@ -850,6 +850,11 @@ object SparkEntry {
   private def cdcChunks(spark: SparkSession, dir: String): DataFrame =
     TextFunctions.cdcChunkRows(Tables.documents(spark, dir))
 
+  /** Chunk-level CDC dedup ([[TextFunctions.cdcDedup]]): rebuild every
+    * document from its first-occurrence chunks. */
+  private def cdcDedupQ(spark: SparkSession, dir: String): DataFrame =
+    TextFunctions.cdcDedup(Tables.documents(spark, dir))
+
   private def docFingerprint(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).select(
       col("doc_id"), TextFunctions.fingerprint(col("text")).as("fingerprint"))
@@ -1693,6 +1698,7 @@ object SparkEntry {
     "csv_roundtrip" -> (csvRoundtrip(_, _)),
     "jsonl_roundtrip" -> (jsonlRoundtrip(_, _)),
     "cdc_chunks" -> (cdcChunks(_, _)),
+    "cdc_dedup" -> (cdcDedupQ(_, _)),
     "dedup_incremental_minhash" -> (dedupIncrementalMinhash(_, _)),
     "dedup_incremental_minhash_bucketed" -> (dedupIncrementalMinhashBucketed(_, _)),
     "dedup_incremental_minhash_verified" -> (dedupIncrementalMinhashVerified(_, _)),
@@ -4120,6 +4126,41 @@ object SparkEntry {
          |  CAST(count(*) AS BIGINT) AS n_tokens,
          |  CAST(concat('0x', substring(md5(string_agg(tok, ' ' ORDER BY pos)), 1, 15)) AS BIGINT) AS chunk_hash
          |FROM cid GROUP BY doc_id, chunk_idx""".stripMargin,
+    // chunk-level CDC dedup: first occurrence (doc_id, chunk_idx) of
+    // each chunk hash wins; every doc rebuilds from survivors
+    "cdc_dedup" ->
+      s"""WITH d AS (SELECT doc_id, $toksSql AS ts FROM documents),
+         |tok AS (SELECT doc_id, i AS pos, ts[i] AS tok, len(ts) AS n
+         |        FROM d, unnest(generate_series(1, len(ts))) AS u(i)),
+         |win AS (SELECT doc_id, pos, tok, n,
+         |    string_agg(tok, ' ') OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS wnd,
+         |    count(*) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS wlen
+         |  FROM tok),
+         |b AS (SELECT doc_id, pos, tok,
+         |    (pos = n OR (wlen = 4 AND
+         |      CAST(concat('0x', substring(md5(wnd), 1, 15)) AS BIGINT) % 8 = 0)) AS is_b
+         |  FROM win),
+         |cid AS (SELECT doc_id, pos, tok,
+         |    COALESCE(SUM(CASE WHEN is_b THEN 1 ELSE 0 END) OVER (
+         |      PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_idx
+         |  FROM b),
+         |ch AS (SELECT doc_id, chunk_idx,
+         |    string_agg(tok, ' ' ORDER BY pos) AS chunk,
+         |    CAST(concat('0x', substring(md5(string_agg(tok, ' ' ORDER BY pos)), 1, 15)) AS BIGINT) AS h
+         |  FROM cid GROUP BY doc_id, chunk_idx),
+         |keep AS (SELECT doc_id, chunk_idx, chunk FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY h ORDER BY doc_id, chunk_idx) AS rn
+         |    FROM ch) WHERE rn = 1)
+         |SELECT doc.doc_id,
+         |  COALESCE(k.text_dedup, '') AS text_dedup,
+         |  COALESCE(k.nk, 0) AS n_chunks_kept
+         |FROM documents doc LEFT JOIN (
+         |  SELECT doc_id, string_agg(chunk, ' ' ORDER BY chunk_idx) AS text_dedup,
+         |    CAST(count(*) AS INT) AS nk
+         |  FROM keep GROUP BY doc_id) k USING (doc_id)""".stripMargin,
     // CSV/JSONL round-trips must re-read byte-identically
     "csv_roundtrip" ->
       "SELECT doc_id, lang, source, n_chars FROM documents",

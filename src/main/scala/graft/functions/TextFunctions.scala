@@ -233,14 +233,14 @@ object TextFunctions {
     * chunk_hash). Pure map-side higher-order functions — the token
     * array is bound once, text never crosses an exchange; downstream
     * duplicate-chunk analytics group on the 60-bit hash only. */
-  def cdcChunkRows(docs: org.apache.spark.sql.DataFrame,
-                   w: Int = 4, maskBits: Int = 3,
-                   textCol: String = "text", idCol: String = "doc_id")
-      : org.apache.spark.sql.DataFrame = {
+  /** array<struct<chunk,n_tokens>> of [[cdcChunkRows]]'s chunks — the
+    * shared map-side construction, reused by [[cdcDedup]]'s rebuild so
+    * election and reassembly cannot drift. */
+  private def cdcChunksCol(text: Column, w: Int, maskBits: Int): Column = {
     require(w >= 1, s"need w >= 1, got $w")
     require(maskBits >= 0 && maskBits < 30, s"need 0 <= maskBits < 30, got $maskBits")
     val m = 1L << maskBits
-    val chunks = bound(tokens(col(textCol))) { ts =>
+    bound(tokens(text)) { ts =>
       val n = size(ts)
       // 0-based boundary positions: rolling-hash rule + forced final
       // (And short-circuits, so the slice never sees a sub-window)
@@ -257,10 +257,47 @@ object TextFunctions {
           (e - p).cast("long").as("n_tokens")))
       }
     }
-    docs.select(col(idCol).as("doc_id"), posexplode(chunks))
+  }
+
+  def cdcChunkRows(docs: org.apache.spark.sql.DataFrame,
+                   w: Int = 4, maskBits: Int = 3,
+                   textCol: String = "text", idCol: String = "doc_id")
+      : org.apache.spark.sql.DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        posexplode(cdcChunksCol(col(textCol), w, maskBits)))
       .select(col("doc_id"), col("pos").cast("int").as("chunk_idx"),
         col("col.n_tokens").as("n_tokens"),
         shingleHash(col("col.chunk")).as("chunk_hash"))
+
+  /** Chunk-level dedup over content-defined chunks: drop every chunk
+    * whose hash was seen earlier (first occurrence by (doc_id,
+    * chunk_idx) wins) and rebuild each document from its surviving
+    * chunks — the insertion-robust twin of [[graft.dedup.Dedup
+    * .spanDedup]], same scale shape: only (doc_id, idx, 60-bit hash)
+    * reaches the winner-election exchange, never text; the rebuild
+    * recomputes the doc's own chunk array map-side and selects the
+    * kept indices. Documents whose every chunk was seen earlier come
+    * back with empty text rather than vanishing. */
+  def cdcDedup(docs: org.apache.spark.sql.DataFrame,
+               w: Int = 4, maskBits: Int = 3,
+               textCol: String = "text", idCol: String = "doc_id")
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val firstSeen = Window.partitionBy(col("chunk_hash"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+    val kept = cdcChunkRows(docs, w, maskBits, textCol, idCol)
+      .withColumn("rn", row_number().over(firstSeen))
+      .filter(col("rn") === 1)
+      .groupBy("doc_id").agg(sort_array(collect_list(col("chunk_idx"))).as("keep"))
+    docs.select(col(idCol).as("doc_id"), cdcChunksCol(col(textCol), w, maskBits).as("chunks"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("keep").isNull, lit(""))
+          .otherwise(array_join(
+            transform(col("keep"), j => element_at(col("chunks"), j + 1).getField("chunk")),
+            " "))
+          .as("text_dedup"),
+        coalesce(size(col("keep")), lit(0)).as("n_chunks_kept"))
   }
 
   /** The shared distinct-shingle posting: one row per (doc_id,

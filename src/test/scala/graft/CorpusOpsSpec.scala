@@ -271,6 +271,25 @@ class CorpusOpsSpec extends SparkSpec {
     assert(rows.exceptAll(again).isEmpty && again.exceptAll(rows).isEmpty)
   }
 
+  test("cdcDedup keeps first chunk occurrences, survives an insertion shift, empties all-dup docs") {
+    import graft.functions.TextFunctions
+    val base = (1 to 120).map(i => s"tok${i * 37 % 91}x$i").mkString(" ")
+    val docs = Seq(
+      (1L, base),                      // original: keeps everything
+      (2L, "shifted prefix here " + base), // insertion: shared tail chunks dropped
+      (3L, base)                       // exact dup: everything seen → empty
+    ).toDF("doc_id", "text")
+    val out = TextFunctions.cdcDedup(docs).orderBy("doc_id").collect()
+    assert(out(0).getString(1) == base && out(0).getInt(2) > 0)
+    // the re-synchronized tail was deduplicated: doc 2 keeps its novel
+    // prefix (plus at most the few pre-sync chunks) but sheds most tokens
+    val kept2 = out(1).getString(1)
+    assert(kept2.startsWith("shifted prefix here"), kept2.take(60))
+    assert(kept2.length < base.length / 2,
+      s"insertion variant should shed its shared tail, kept ${kept2.length} chars")
+    assert(out(2).getString(1) == "" && out(2).getInt(2) == 0)
+  }
+
   test("Prepared.release frees the result-owned checkpoint blocks") {
     val docs = (0 until 60).map(i =>
       (i.toLong, s"document number $i carries its own unique prose about topic $i and subject ${i * 7}"))

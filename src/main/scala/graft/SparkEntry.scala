@@ -1435,10 +1435,25 @@ object SparkEntry {
     * duplicate). The table root is fingerprint-keyed and the build
     * idempotent (txnIds make re-runs no-ops), so bench re-runs time
     * the read path against a stable table. */
+  /** tmpdir root for a persistent artifact derived from `dir`'s
+    * CURRENT contents — keyed on a content fingerprint (name, size,
+    * mtime of every file), so regenerating the testdata in place
+    * changes the key and the artifact rebuilds instead of silently
+    * serving stale rows (a path-only key survives JVM restarts with
+    * no rebuild trigger). One definition so the keying policy cannot
+    * drift across the four artifact builders. */
+  private def tmpArtifactRoot(prefix: String, dir: String): String = {
+    val sig = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(_.isFile).sortBy(_.getName)
+      .map(f => s"${f.getName}:${f.length}:${f.lastModified}").mkString("|")
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$dir|$sig".getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+    new java.io.File(sys.props("java.io.tmpdir"), s"graft_${prefix}_$h").getPath
+  }
+
   private def txnlogChanges(spark: SparkSession, dir: String): DataFrame = {
     import graft.sources.TxnLog
-    val root = new java.io.File(sys.props("java.io.tmpdir"),
-      "graft_txnlog_v2_" + dirFingerprint(dir)).getPath
+    val root = tmpArtifactRoot("txnlog", dir)
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
     if (TxnLog.latestVersion(spark, root) < 2L) {
       TxnLog.overwrite(docs.filter(col("doc_id") < 100), root, Some("base"))
@@ -1458,11 +1473,12 @@ object SparkEntry {
     * merge bit-exact. */
   private def mvMerge(spark: SparkSession, dir: String): DataFrame = {
     import graft.streaming.MaterializedView
-    val root = new java.io.File(sys.props("java.io.tmpdir"),
-      "graft_mv_v2_" + dirFingerprint(dir)).getPath
+    val root = tmpArtifactRoot("mv", dir)
     val ev = Tables.events(spark, dir)
-    def slice(lo: Long, hi: Long) = ev
-      .filter(col("event_id") >= lo && col("event_id") < hi)
+    // the two predicates TOTALLY partition the table (null event_ids
+    // land in the second slice) — the IVM claim must be tested against
+    // the oracle's unfiltered aggregate, never a silently narrowed input
+    def slice(pred: Column) = ev.filter(pred)
       .groupBy("event_type").agg(
         count(lit(1)).as("n"),
         min(col("user_id")).as("min_user"),
@@ -1470,9 +1486,9 @@ object SparkEntry {
     val measures = Map("n" -> "sum", "min_user" -> "min", "max_user" -> "max")
     if (graft.sources.TxnLog.latestVersion(spark, root) < 1L) {
       MaterializedView.mergeBatch(root, Seq("event_type"), measures)(
-        slice(0L, 500L), 0L)
+        slice(coalesce(col("event_id") < 500L, lit(false))), 0L)
       MaterializedView.mergeBatch(root, Seq("event_type"), measures)(
-        slice(500L, Long.MaxValue), 1L)
+        slice(coalesce(col("event_id") >= 500L, lit(true))), 1L)
     }
     MaterializedView.read(spark, root)
       .select(col("event_type"), col("n"), col("min_user"), col("max_user"))
@@ -1485,8 +1501,7 @@ object SparkEntry {
     * Fingerprint-keyed write, paid once per source snapshot. */
   private def csvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types._
-    val out = new java.io.File(sys.props("java.io.tmpdir"),
-      "graft_csv_" + dirFingerprint(dir)).getPath
+    val out = tmpArtifactRoot("csv", dir)
     if (!new java.io.File(out, "_SUCCESS").isFile)
       Tables.documents(spark, dir)
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
@@ -1502,8 +1517,7 @@ object SparkEntry {
     * originals. */
   private def jsonlRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types._
-    val out = new java.io.File(sys.props("java.io.tmpdir"),
-      "graft_jsonl_" + dirFingerprint(dir)).getPath
+    val out = tmpArtifactRoot("jsonl", dir)
     if (!new java.io.File(out, "_SUCCESS").isFile)
       Tables.documents(spark, dir)
         .select(col("doc_id"), col("text"), col("lang"))

@@ -180,8 +180,16 @@ object TxnLog {
     val baseDirs =
       if (sinceVersion == -1L) Set.empty[String]
       else snapshotAt(commits, sinceVersion).toSet
-    val newDirs = snapshotAt(commits, latest).filterNot(baseDirs)
-    if (newDirs.isEmpty) read(spark, root).limit(0)
+    val snapshot = snapshotAt(commits, latest)
+    val newDirs = snapshot.filterNot(baseDirs)
+    if (newDirs.isEmpty)
+      // caught up — the COMMON poll outcome must stay cheap: an empty
+      // frame with the table's schema from ONE visible directory, not
+      // a re-read of the log plus a plan over the full snapshot
+      snapshot.headOption match {
+        case Some(one) => spark.read.parquet(s"$root/data/$one").limit(0)
+        case None => read(spark, root).limit(0)
+      }
     else spark.read.parquet(newDirs.map(d => s"$root/data/$d"): _*)
   }
 

@@ -214,9 +214,10 @@ class TxnLogSpec extends SparkSpec {
       TxnLog.changesSince(spark, root, v0)
     }
     assert(e.getMessage.contains("re-baseline"), e.getMessage)
-    // a vacuumed base version fails the same way
+    // a vacuumed base version fails the same way (vacuum itself stays
+    // OUTSIDE the intercept: only changesSince is under test here)
+    TxnLog.vacuum(spark, root, retainVersions = 1)
     val e2 = intercept[IllegalArgumentException] {
-      TxnLog.vacuum(spark, root, retainVersions = 1)
       TxnLog.changesSince(spark, root, v1)
     }
     assert(e2.getMessage.contains("re-baseline"), e2.getMessage)

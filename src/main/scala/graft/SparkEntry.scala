@@ -338,6 +338,31 @@ object SparkEntry {
       col("event_id"),
       get_json_object(col("props"), "$.k").cast("int").as("k"))
 
+  /** Semi-structured round-trip through Spark 4's native VARIANT type:
+    * the typed row becomes a binary variant via `to_variant_object`
+    * (no JSON text serialized), the `props` JSON string is parsed ONCE
+    * via `parse_json`, and every downstream field is a typed
+    * `variant_get` path extraction. This is the 100 TB semi-structured
+    * path: `get_json_object` re-parses the string per extraction call,
+    * while VARIANT parses once into a binary encoding that every
+    * subsequent extraction (and any exchange it crosses) reuses — on a
+    * wide telemetry payload read by k extractors that is a k× parse
+    * saving. The oracle is closed-form: extraction inverts
+    * construction, so the round-trip must be the identity on the
+    * typed columns. Pure projection — zero exchanges (PlanSpec). */
+  private def jsonVariant(spark: SparkSession, dir: String): DataFrame = {
+    val v = Tables.events(spark, dir).select(
+      col("event_id"),
+      to_variant_object(struct(
+        col("user_id"), col("event_type"), col("value"))).as("row_v"),
+      parse_json(col("props")).as("props_v"))
+    v.select(col("event_id"),
+      variant_get(col("row_v"), "$.user_id", "bigint").as("user_id"),
+      variant_get(col("row_v"), "$.event_type", "string").as("event_type"),
+      variant_get(col("row_v"), "$.value", "double").as("value"),
+      variant_get(col("props_v"), "$.k", "int").as("k"))
+  }
+
   /** Explicit frame spec: per-customer running order total. The sum
     * accumulates in DECIMAL inside the frame, so the result is exact
     * regardless of each engine's window-aggregation order (running
@@ -1687,6 +1712,7 @@ object SparkEntry {
     "period_over_period" -> (periodOverPeriod(_, _)),
     "cdc_parse" -> (cdcParse(_, _)),
     "json_extract" -> (jsonExtract(_, _)),
+    "json_variant" -> (jsonVariant(_, _)),
     "hash_sample" -> (hashSample(_, _)),
     "profile_events" -> (profileEvents(_, _)),
     "revenue_by_nation" -> (revenueByNation(_, _)),
@@ -2567,6 +2593,12 @@ object SparkEntry {
     },
     "json_extract" ->
       """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS INT) AS k
+        |FROM events""".stripMargin,
+    // The VARIANT round-trip is construct-then-extract, so the oracle
+    // is the identity on the typed source columns.
+    "json_variant" ->
+      """SELECT event_id, user_id, event_type, value,
         |  CAST(json_extract_string(props, '$.k') AS INT) AS k
         |FROM events""".stripMargin,
     "window_topk" ->

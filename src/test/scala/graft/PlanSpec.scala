@@ -15,6 +15,12 @@ class PlanSpec extends SparkSpec {
     df.queryExecution.executedPlan.toString
   }
 
+  test("json_variant: VARIANT round-trip is a pure projection, zero exchanges") {
+    val p = plan("json_variant")
+    assert(!p.contains("Exchange"), p)
+    assert(p.contains("variant_get"), p)
+  }
+
   test("zone_enrich: both lookup joins broadcast, no shuffle exchange") {
     val p = plan("zone_enrich")
     assert("BroadcastHashJoin".r.findAllIn(p).size == 2, p)

@@ -90,6 +90,47 @@ object SparkEntry {
     Staging.stagingAggregate(spark.table(table), keys = stagingAggKeys)
   }
 
+  /** Star-schema scans at 100 TB are only viable when the fact is laid
+    * out partitioned on a join-facing key and the engine prunes fact
+    * DIRECTORIES from a selective dim filter at RUNTIME — Spark's
+    * dynamic partition pruning. The partition-layout twin of
+    * [[stagingAggBucketed]]: staging is written ONCE per source-dir
+    * fingerprint partitioned by month (`ym`), and the query joins a
+    * calendar dim filtered to one quarter. The month list is NOT
+    * derivable at plan time (the filter is on year/quarter, the
+    * partition key is `ym`), so only DPP can prune — the broadcast
+    * build result doubles as the pruning subquery
+    * (reuseBroadcastOnly default: no extra job), and 3 of ~84 month
+    * directories are read. PlanSpec asserts the
+    * dynamicpruningexpression reached the scan's PartitionFilters.
+    * Like the bucketed twin, the one-time layout cost is keyed on the
+    * source-dir fingerprint; production would key on a snapshot id. */
+  private def factPruned(spark: SparkSession, dir: String): DataFrame = {
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_fact_pruned_" + dirFingerprint(dir)).getAbsolutePath
+    if (!new java.io.File(path, "_SUCCESS").exists()) {
+      graft.sources.Sinks.partitionedParquet(
+        TaxiShape.staging(spark, dir).select(
+          date_format(col("pickup_datetime"), "yyyy-MM").as("ym"),
+          col("service_type"), col("payment_type_id"),
+          col("passenger_count"), col("fare_amount"), col("total_amount")),
+        path, Seq("ym"))
+    }
+    val fact = spark.read.parquet(path)
+    val calendar = spark.range(1)
+      .select(explode(sequence(
+        lit(java.sql.Date.valueOf("1992-01-01")),
+        lit(java.sql.Date.valueOf("1998-12-01")),
+        expr("interval 1 month"))).as("m"))
+      .select(date_format(col("m"), "yyyy-MM").as("ym"),
+        year(col("m")).as("y"), quarter(col("m")).as("q"))
+    val dim = calendar.filter(col("y") === 1995 && col("q") === 2)
+    fact.join(broadcast(dim), Seq("ym"))
+      .groupBy(col("ym"), col("service_type"))
+      .agg(count(lit(1)).as("n_trips"),
+        Exact.dsum(col("total_amount")).as("sum_total"))
+  }
+
   /** P1+P3+P6+P12+F2 — the clean-stage pipeline on `events`, fed
     * mixed-case input to exercise lowercase normalization. */
   private def cleanNormalize(spark: SparkSession, dir: String): DataFrame = {
@@ -1683,6 +1724,7 @@ object SparkEntry {
     "q1_agg" -> (q1Agg(_, _)),
     "staging_agg" -> (stagingAgg(_, _)),
     "staging_agg_bucketed" -> (stagingAggBucketed(_, _)),
+    "fact_pruned" -> (factPruned(_, _)),
     "clean_normalize" -> (cleanNormalize(_, _)),
     "zone_enrich" -> (zoneEnrich(_, _)),
     "dim_vendor" -> ((s, d) => Warehouse.dimVendor(stagingOf(s, d))),
@@ -2397,6 +2439,16 @@ object SparkEntry {
     // identical semantics, bucketed physical layout — the oracle can't
     // see layout, so the SQL is the same statement
     "staging_agg_bucketed" -> stagingAggOracleSql,
+    // the oracle can't see the partitioned layout; the quarter filter
+    // expresses the dim-join semantics directly on the staging dates
+    "fact_pruned" ->
+      s"""${TaxiShape.stagingSql}
+         |SELECT strftime(pickup_datetime, '%Y-%m') AS ym, service_type,
+         |  count(*) AS n_trips,
+         |  CAST(SUM(CAST(total_amount AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+         |FROM staging
+         |WHERE year(pickup_datetime) = 1995 AND quarter(pickup_datetime) = 2
+         |GROUP BY 1, 2""".stripMargin,
     "clean_normalize" ->
       """SELECT event_id, event_type, ts, CAST(user_id AS INT) AS user_id, value
         |FROM events

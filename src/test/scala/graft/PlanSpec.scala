@@ -21,6 +21,12 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("variant_get"), p)
   }
 
+  test("fact_pruned: dim quarter filter prunes fact partitions at runtime (DPP)") {
+    val p = plan("fact_pruned")
+    assert(p.contains("dynamicpruning"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("zone_enrich: both lookup joins broadcast, no shuffle exchange") {
     val p = plan("zone_enrich")
     assert("BroadcastHashJoin".r.findAllIn(p).size == 2, p)

@@ -106,6 +106,48 @@ class StatefulSkewSpec extends SparkSpec {
     assert(rows(1).getLong(0) == 2L && rows(1).getAs[Long]("n_events") == 1L)
   }
 
+  test("AQE splits a skewed shuffle-join partition at runtime (skew=true)") {
+    // Salting (below) is the manual fix; AQE's OptimizeSkewedJoin is the
+    // runtime one — the hot partition is split into advisory-sized reader
+    // chunks after the shuffle map stages report their sizes. Thresholds
+    // are production-scale (256 MB); shrink them so a ~MB-scale hot key
+    // trips the same code path the 100 TB cluster relies on.
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "32KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // 80% of left rows share key 0; the padding is REFERENCED by the
+      // aggregate so pruning can't drop it and the hot partition's
+      // shuffle bytes clear the (lowered) skew threshold. The aggregate
+      // is GLOBAL, not keyed on k: a keyed parent would reuse the
+      // join's hash partitioning, and OptimizeSkewedJoin correctly
+      // refuses to split a partition some parent still requires.
+      val left = spark.range(0, 60000).select(
+        when(col("id") % 10 < 8, 0L).otherwise(col("id")).as("k"),
+        lpad(col("id").cast("string"), 60, "x").as("pad"))
+      val right = spark.range(0, 3000).select(
+        (col("id") % 100).as("k"), col("id").as("w"))
+      val joined = left.join(right, "k")
+        .agg(count(lit(1)).as("n"), sum(length(col("pad"))).as("pad_bytes"))
+      val row = joined.collect().head
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"), plan)
+      // correctness under the split: key 0 joins 48000 x 30; the 20
+      // non-hot left keys that land in [0, 100) join 30 right rows each
+      val expected = 48000L * 30 + 20L * 30
+      assert(row.getLong(0) == expected, row)
+      assert(row.getLong(1) == expected * 60, row)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("saltedJoin equals the plain join under a hot key") {
     // hot key: 90% of large rows share key 7
     val large = spark.range(0, 1000)

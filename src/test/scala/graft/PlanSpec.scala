@@ -15,6 +15,36 @@ class PlanSpec extends SparkSpec {
     df.queryExecution.executedPlan.toString
   }
 
+  test("runtime bloom filter injected on the probe side of a selective shuffle join") {
+    // The automatic sibling of operators.BloomJoin: Catalyst's
+    // InjectRuntimeFilter plants a bloom_filter_agg on the filtered
+    // build side and a might_contain prefilter on the probe side, so
+    // probe rows that cannot match die before the shuffle. Production
+    // gates on a 10 GB probe scan; lower it so the sf0.001 fixture
+    // exercises the same rule a 100 TB join depends on.
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val l = spark.read.parquet(s"$dir/lineitem.parquet")
+      val o = spark.read.parquet(s"$dir/orders.parquet")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val j = l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .agg(count(lit(1)).as("n"))
+      val p = j.queryExecution.optimizedPlan.toString
+      assert(p.contains("might_contain"), p)
+      assert(p.contains("bloom_filter_agg"), p)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("json_variant: VARIANT round-trip is a pure projection, zero exchanges") {
     val p = plan("json_variant")
     assert(!p.contains("Exchange"), p)

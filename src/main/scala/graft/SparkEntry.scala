@@ -106,8 +106,17 @@ object SparkEntry {
     * Like the bucketed twin, the one-time layout cost is keyed on the
     * source-dir fingerprint; production would key on a snapshot id. */
   private def factPruned(spark: SparkSession, dir: String): DataFrame = {
+    // Unlike the bucketed twins (session-scoped catalog — a fresh JVM
+    // rebuilds), this layout outlives the JVM, so the key must be
+    // CONTENT-aware: same path with regenerated source parquet must
+    // miss, or a stale layout would replay silently. Size+mtime of the
+    // two source files stand in for a snapshot id.
+    val sig = Seq("lineitem.parquet", "orders.parquet").map { f =>
+      val s = new java.io.File(dir, f)
+      s"$f:${s.length}:${s.lastModified}"
+    }.mkString(dir + "|", "|", "")
     val path = new java.io.File(System.getProperty("java.io.tmpdir"),
-      "graft_fact_pruned_" + dirFingerprint(dir)).getAbsolutePath
+      "graft_fact_pruned_" + dirFingerprint(sig)).getAbsolutePath
     if (!new java.io.File(path, "_SUCCESS").exists()) {
       graft.sources.Sinks.partitionedParquet(
         TaxiShape.staging(spark, dir).select(

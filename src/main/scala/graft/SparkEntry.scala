@@ -73,22 +73,27 @@ object SparkEntry {
     java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
 
-  private def stagingAggBucketed(spark: SparkSession, dir: String): DataFrame = {
-    // Layout cost is paid ONCE per source snapshot and amortized — the
-    // operator's whole point. The table name carries the source-dir
-    // fingerprint, so a same-session re-run (bench steady state, a
-    // downstream consumer) reuses the layout, while a different SF dir
-    // rebuilds; a fresh JVM also rebuilds (in-memory catalog), which
-    // writeBucketed's orphan-location sweep makes safe. Production
-    // would key this on a snapshot/version id instead of a path.
+  /** Build-if-absent of `staging_agg_bucketed`'s layout; returns the
+    * table name. Layout cost is paid ONCE per source snapshot and
+    * amortized — the operator's whole point. The table name carries
+    * the source-dir fingerprint, so a same-session re-run (bench
+    * steady state, a downstream consumer) reuses the layout, while a
+    * different SF dir rebuilds; a fresh JVM also rebuilds (in-memory
+    * catalog), which writeBucketed's orphan-location sweep makes safe.
+    * Production would key this on a snapshot/version id instead. */
+  private def ensureStagingBucketedLayout(spark: SparkSession, dir: String): String = {
     val table = "graft_staging_bucketed_" + dirFingerprint(dir)
     if (!spark.catalog.tableExists(table)) {
       graft.sources.Bucketing.writeBucketed(
         TaxiShape.staging(spark, dir), table,
         bucketCol = "pickup_datetime", nBuckets = 32)
     }
-    Staging.stagingAggregate(spark.table(table), keys = stagingAggKeys)
+    table
   }
+
+  private def stagingAggBucketed(spark: SparkSession, dir: String): DataFrame =
+    Staging.stagingAggregate(
+      spark.table(ensureStagingBucketedLayout(spark, dir)), keys = stagingAggKeys)
 
   /** Star-schema scans at 100 TB are only viable when the fact is laid
     * out partitioned on a join-facing key and the engine prunes fact
@@ -106,27 +111,30 @@ object SparkEntry {
     * Like the bucketed twin, the layout cost is paid once and reused —
     * but keyed on a CONTENT fingerprint of the source files (see
     * below); production would key on a snapshot id. */
-  private def factPruned(spark: SparkSession, dir: String): DataFrame = {
-    // Unlike the bucketed twins (session-scoped catalog — a fresh JVM
-    // rebuilds), this layout outlives the JVM, so the key must be
-    // CONTENT-aware: same path with regenerated source parquet must
-    // miss, or a stale layout would replay silently. Size+mtime of the
-    // two source files stand in for a snapshot id.
-    val sig = Seq("lineitem.parquet", "orders.parquet").map { f =>
-      val s = new java.io.File(dir, f)
-      s"$f:${s.length}:${s.lastModified}"
-    }.mkString(dir + "|", "|", "")
-    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
-      "graft_fact_pruned_" + dirFingerprint(sig)).getAbsolutePath
-    if (!new java.io.File(path, "_SUCCESS").exists()) {
+  /** Build-if-absent of `fact_pruned`'s month-partitioned layout;
+    * returns the layout path. Unlike the bucketed twins
+    * (session-scoped catalog — a fresh JVM rebuilds), this layout
+    * outlives the JVM, so [[graft.sources.LayoutCache]] supplies both
+    * guarantees a cross-JVM cache needs: a sampled CONTENT fingerprint
+    * of the source files (regenerated testdata must miss — size+mtime
+    * alone can silently replay stale bytes) and an atomic
+    * lock-serialized publish (a crashed or racing builder can never
+    * surface a partial layout; stale-fingerprint siblings are swept). */
+  private def ensureFactPrunedLayout(spark: SparkSession, dir: String): String = {
+    val fp = graft.sources.LayoutCache.contentFingerprint(
+      Seq("lineitem.parquet", "orders.parquet").map(new java.io.File(dir, _)))
+    graft.sources.LayoutCache.ensure("graft_fact_pruned", fp) { tmp =>
       graft.sources.Sinks.partitionedParquet(
         TaxiShape.staging(spark, dir).select(
           date_format(col("pickup_datetime"), "yyyy-MM").as("ym"),
           col("service_type"), col("payment_type_id"),
           col("passenger_count"), col("fare_amount"), col("total_amount")),
-        path, Seq("ym"))
+        tmp, Seq("ym"))
     }
-    val fact = spark.read.parquet(path)
+  }
+
+  private def factPruned(spark: SparkSession, dir: String): DataFrame = {
+    val fact = spark.read.parquet(ensureFactPrunedLayout(spark, dir))
     val calendar = spark.range(1)
       .select(explode(sequence(
         lit(java.sql.Date.valueOf("1992-01-01")),
@@ -1647,23 +1655,46 @@ object SparkEntry {
     * Scaladoc promises; `PlanSpec` asserts the no-Exchange plan.
     * Layout cost is paid once per source snapshot (same
     * fingerprint-keyed reuse as `staging_agg_bucketed`). */
-  private def dedupIncrementalMinhashBucketed(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+  /** Build-if-absent of the bucketed band-catalog layout; returns the
+    * table name. Bucketed on EXACTLY the screen-join keys — subset-key
+    * bucketing fails Spark's co-partition check and the planner would
+    * shuffle both sides anyway (see Bucketing.writeBucketed). */
+  private def ensureBandCatalogLayout(spark: SparkSession, dir: String): String = {
     val table = "graft_band_catalog_" + dirFingerprint(dir)
     if (!spark.catalog.tableExists(table)) {
-      // bucketed on EXACTLY the screen-join keys — subset-key bucketing
-      // fails Spark's co-partition check and the planner would shuffle
-      // both sides anyway (see Bucketing.writeBucketed)
       graft.sources.Bucketing.writeBucketed(
         graft.dedup.Dedup.lshBands(
-          graft.dedup.Dedup.minhashSignatures(docs.filter(col("doc_id") < 250))),
+          graft.dedup.Dedup.minhashSignatures(
+            Tables.documents(spark, dir).filter(col("doc_id") < 250))),
         table, Seq("band_idx", "band_hash"), nBuckets = 8,
         mode = org.apache.spark.sql.SaveMode.Overwrite)
     }
+    table
+  }
+
+  private def dedupIncrementalMinhashBucketed(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val table = ensureBandCatalogLayout(spark, dir)
     graft.dedup.Dedup
       .incrementalNearDup(docs.filter(col("doc_id") >= 250), spark.table(table))
       .catalogDelta
   }
+
+  /** One-time layout builders behind the layout-carrying queries, for
+    * the bench to prime and meter SEPARATELY from query time: the
+    * build is the amortized once-per-snapshot cost each operator's doc
+    * tells the caller to amortize, so folding it into timed run 1
+    * (and tripping the adaptive spread gate every sweep) misreports
+    * both numbers. Keys match [[queries]] keys; each builder is
+    * idempotent (build-if-absent). */
+  val layoutBuilds: Map[String, (SparkSession, String) => Unit] = Map(
+    "staging_agg_bucketed" ->
+      ((s, d) => { ensureStagingBucketedLayout(s, d); () }),
+    "dedup_incremental_minhash_bucketed" ->
+      ((s, d) => { ensureBandCatalogLayout(s, d); () }),
+    "fact_pruned" ->
+      ((s, d) => { ensureFactPrunedLayout(s, d); () }),
+  )
   /** Verified variant ([[graft.dedup.Dedup.incrementalNearDupVerified]]):
     * same split, but a catalog band collision only drops a batch doc
     * after exact-Jaccard confirmation against the colliding catalog

@@ -1,0 +1,137 @@
+package graft.sources
+
+import java.io.{File, RandomAccessFile}
+import java.nio.channels.FileChannel
+import java.nio.file.{Files, StandardCopyOption, StandardOpenOption}
+
+/** Cross-JVM cache of derived data layouts (partitioned/bucketed
+  * rewrites of source tables), keyed by a CONTENT fingerprint of the
+  * source files and published ATOMICALLY.
+  *
+  * Why this exists: a layout that outlives the JVM (java.io.tmpdir, a
+  * shared scratch volume) must answer two questions a session-scoped
+  * catalog table never faces —
+  *
+  *  1. *Is the cached layout still derived from these source bytes?*
+  *     Path+size+mtime is not an answer: the test corpus is
+  *     regenerated in place between rounds, and a regenerated file
+  *     with identical size and a preserved/coarse mtime would silently
+  *     replay a stale layout. [[contentFingerprint]] hashes each
+  *     file's length plus its first and last 64 KiB of actual bytes
+  *     (for parquet, the tail covers the footer's row-group stats, which
+  *     change with the data) — a sampled content key. Production would
+  *     use a snapshot/version id from a table format instead.
+  *
+  *  2. *Can a reader ever observe a partial layout?* Not here: the
+  *     builder writes to a process-unique `.tmp-*` sibling and
+  *     publishes with one atomic directory rename, so the destination
+  *     either does not exist or is complete. Concurrent builders are
+  *     serialized by an OS file lock (plus a JVM-level monitor, since
+  *     `FileChannel.lock` throws rather than blocks on same-process
+  *     overlap); the lock holder re-checks completeness before
+  *     building, so a complete layout is never deleted and the race
+  *     loser simply reuses the winner's work. A crashed builder leaves
+  *     only a `.tmp-*` orphan, swept by the next builder under the
+  *     lock.
+  *
+  * Stale layouts for the same prefix but a DIFFERENT fingerprint
+  * (the source was regenerated) are swept when a new fingerprint is
+  * built, so regenerations don't accumulate dead sf0.1-sized copies.
+  */
+object LayoutCache {
+
+  private val SampleBytes = 64 * 1024
+
+  /** JVM-side serialization of builders per destination path —
+    * `FileChannel.lock` is cross-process only and throws
+    * OverlappingFileLockException for a second thread of the same JVM. */
+  private val jvmLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Sampled content fingerprint: md5 over each file's (name, length,
+    * first 64 KiB, last 64 KiB). Changing any sampled byte — or the
+    * length — changes the key; a change confined to the unsampled
+    * middle of a >128 KiB file does not (sampled, not full, content
+    * addressing — the price of keeping the probe O(1) per file). */
+  def contentFingerprint(files: Seq[File]): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    files.foreach { f =>
+      val len = f.length
+      md.update(s"${f.getName}:$len:".getBytes("UTF-8"))
+      if (len > 0) {
+        val raf = new RandomAccessFile(f, "r")
+        try {
+          val head = new Array[Byte](math.min(len, SampleBytes.toLong).toInt)
+          raf.readFully(head)
+          md.update(head)
+          if (len > SampleBytes) {
+            val tail = new Array[Byte](SampleBytes)
+            raf.seek(len - SampleBytes)
+            raf.readFully(tail)
+            md.update(tail)
+          }
+        } finally raf.close()
+      }
+    }
+    md.digest().take(8).map("%02x".format(_)).mkString
+  }
+
+  private def complete(dir: File): Boolean = new File(dir, "_SUCCESS").exists()
+
+  private def deleteRecursively(f: File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(deleteRecursively)
+    f.delete()
+    ()
+  }
+
+  /** Ensure `<base>/<prefix>_<fingerprint>` exists and is complete,
+    * building it with `write(tmpPath)` if absent (the writer must leave
+    * a `_SUCCESS` marker, as Spark's parquet committer does). Returns
+    * the layout path. See the object doc for the atomicity contract. */
+  def ensure(prefix: String, fingerprint: String,
+             base: File = new File(System.getProperty("java.io.tmpdir")))
+            (write: String => Unit): String = {
+    val dest = new File(base, s"${prefix}_$fingerprint")
+    if (complete(dest)) return dest.getAbsolutePath
+    val monitor = jvmLocks.computeIfAbsent(dest.getAbsolutePath, _ => new Object)
+    monitor.synchronized {
+      val lockFile = new File(base, s"${prefix}_$fingerprint.lock")
+      val ch = FileChannel.open(lockFile.toPath,
+        StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+      try {
+        val lock = ch.lock()
+        try {
+          // may have been built while we waited for the lock
+          if (complete(dest)) return dest.getAbsolutePath
+          // a dest without _SUCCESS can only be a torn write from a
+          // pre-atomic-publish version (publication is a single rename
+          // of a complete tree) — remove it before publishing
+          if (dest.exists()) deleteRecursively(dest)
+          sweep(base, prefix, fingerprint)
+          val tmp = new File(base, s"${prefix}_$fingerprint.tmp-" +
+            java.util.UUID.randomUUID.toString.take(8))
+          write(tmp.getAbsolutePath)
+          require(complete(tmp),
+            s"layout writer left no _SUCCESS under $tmp — refusing to publish")
+          Files.move(tmp.toPath, dest.toPath, StandardCopyOption.ATOMIC_MOVE)
+        } finally lock.release()
+      } finally ch.close()
+    }
+    dest.getAbsolutePath
+  }
+
+  /** Under the lock: drop other-fingerprint siblings (the source files
+    * were regenerated — those layouts can never validate again) and
+    * orphaned `.tmp-*` trees from crashed builders. */
+  private def sweep(base: File, prefix: String, keepFingerprint: String): Unit = {
+    val keep = s"${prefix}_$keepFingerprint"
+    Option(base.listFiles()).toSeq.flatten.foreach { f =>
+      val n = f.getName
+      val stale =
+        (n.startsWith(prefix + "_") && n != keep && !n.startsWith(keep + ".") &&
+          !n.endsWith(".lock")) ||
+        (n.startsWith(keep + ".tmp-"))
+      if (stale) deleteRecursively(f)
+    }
+  }
+}

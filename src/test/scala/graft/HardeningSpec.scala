@@ -159,12 +159,19 @@ class HardeningSpec extends SparkSpec {
       assert(fresh.sql("SELECT float_dot(a, b) AS d FROM hs_v").head().getDouble(0) == 3.0)
     } finally {
       val after = spark.conf.getAll
-      after.keys.foreach { k =>
-        before.get(k) match {
-          case Some(v) if after(k) != v =>
-            try spark.conf.set(k, v) catch { case _: Exception => () }
-          case None =>
-            try spark.conf.unset(k) catch { case _: Exception => () }
+      // restore over the UNION of keys: a key present before but
+      // REMOVED during the test would be invisible to after.keys, and
+      // restore failures should be heard, not swallowed
+      (before.keySet ++ after.keySet).foreach { k =>
+        (before.get(k), after.get(k)) match {
+          case (Some(v), cur) if !cur.contains(v) =>
+            try spark.conf.set(k, v)
+            catch { case e: Exception =>
+              System.err.println(s"[HardeningSpec] could not restore conf $k=$v: $e") }
+          case (None, Some(_)) =>
+            try spark.conf.unset(k)
+            catch { case e: Exception =>
+              System.err.println(s"[HardeningSpec] could not unset conf $k: $e") }
           case _ => ()
         }
       }

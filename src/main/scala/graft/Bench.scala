@@ -166,7 +166,9 @@ object Bench {
     // the vs_prev adjudication overlaps. The extra runs ship in runs_s
     // like any other, so the artifact self-documents which queries
     // needed them.
-    val nRuns = 3
+    // SPARK_GRAFT_RUNS: local-iteration override of the per-query run
+    // count (the driver never sets it; default 3 matches the contract)
+    val nRuns = sys.env.get("SPARK_GRAFT_RUNS").flatMap(_.toIntOption).getOrElse(3)
     val maxExtraRuns = 2
     // Optional comma-separated restriction for local iteration (the
     // driver never sets it): SPARK_GRAFT_ONLY=dedup_minhash,q1_agg
@@ -408,8 +410,14 @@ object Bench {
     val layoutJson = layoutTimes.map { case (k, v) => s""""$k":${fmt(v)}""" }
       .mkString("{", ",", "}")
     val ccRounds = graft.dedup.Dedup.lastCcRounds.get()
+    // Eager-stage wall times of corpus_prepare's LAST run in the sweep
+    // (steady state): names the dominant stage so a perf round targets
+    // the right rewrite. The lazy tail (anti-joins + packing) is the
+    // difference to the query total.
+    val prepStagesJson = graft.pipeline.CorpusPipeline.lastStageSeconds.get()
+      .map { case (k, v) => s""""$k":${fmt(v)}""" }.mkString("{", ",", "}")
     val detail =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_s":${fmt(total)},"sf":"$sfDir","runs":$nRuns,"runs_max":${nRuns + maxExtraRuns},"timing":"min-of-$nRuns (+$maxExtraRuns adaptive runs when 3-run spread > 2x; runs_s carries every run), full materialization via toRdd, fresh plan per run, caches+leftover RDD blocks cleared between runs","cc_rounds":$ccRounds,"timing_consistency":$consistencyJson,"layout_build_s":$layoutJson,"leftover_persisted_rdds":$leftoverJson,"vs_prev":$vsPrevJson,"lint":$lintJson,"queries":$qs,"scaling":$scalingJson,"runs_s":$perRun}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_s":${fmt(total)},"sf":"$sfDir","runs":$nRuns,"runs_max":${nRuns + maxExtraRuns},"timing":"min-of-$nRuns (+$maxExtraRuns adaptive runs when 3-run spread > 2x; runs_s carries every run), full materialization via toRdd, fresh plan per run, caches+leftover RDD blocks cleared between runs","cc_rounds":$ccRounds,"corpus_prepare_stages_s":$prepStagesJson,"timing_consistency":$consistencyJson,"layout_build_s":$layoutJson,"leftover_persisted_rdds":$leftoverJson,"vs_prev":$vsPrevJson,"lint":$lintJson,"queries":$qs,"scaling":$scalingJson,"runs_s":$perRun}"""
     // The harness capturing stdout keeps only a bounded TAIL (~2 KB) of
     // it — a full 150-query detail line can never survive that whole. So
     // the complete evidence (per-run times for self-adjudication,

@@ -398,13 +398,56 @@ object Dedup {
     * the graph ever reaches the driver. At the fixpoint the edge set is
     * a collection of stars (v, m) with m = the component's minimum id.
     */
-  def nearDupClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+  def nearDupClusters(pairs: DataFrame, maxIters: Int = 20,
+                      driverEdgeCap: Long = 2L << 20): DataFrame = {
     // canonical (u > v) orientation; both star steps preserve it
     val init = pairs
       .select(greatest(col("doc_a"), col("doc_b")).as("u"),
         least(col("doc_a"), col("doc_b")).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
+    // Small-graph fast path: each distributed round costs two jobs of
+    // pure barrier latency (star step + fingerprint action) — ~0.6 s on
+    // local[32] regardless of data, and a near-dup graph is usually
+    // TINY relative to its corpus (dup pairs, not docs). Under the cap
+    // the edge list is collected (bounded by construction: ≤ 2^21
+    // edges = 32 MB of id pairs — same driver-bound discipline as the
+    // centroid collects in Similarity) and resolved with union-find
+    // linking larger root → smaller root, which yields exactly the
+    // star edges the distributed fixpoint converges to: every node
+    // points at its component minimum. Above the cap the distributed
+    // O(log d) star-contraction below runs unchanged — the 100 TB path.
+    val spark = pairs.sparkSession
+    val edges0 = init.localCheckpoint()
+    val nEdges = edges0.count()
+    if (nEdges <= driverEdgeCap) {
+      import spark.implicits._
+      val es = edges0.select(col("u"), col("v")).as[(Long, Long)].collect()
+      graft.core.Checkpoints.releaseAll(edges0)
+      val parent = new java.util.HashMap[Long, java.lang.Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while ({ val p = parent.get(r); p != null && p != r }) r = parent.get(r)
+        var c = x
+        while ({ val p = parent.get(c); p != null && p != c }) {
+          val n: Long = parent.get(c); parent.put(c, r); c = n
+        }
+        r
+      }
+      es.foreach { case (u, v) =>
+        val ru = find(u); val rv = find(v)
+        if (ru != rv) {
+          if (ru < rv) parent.put(rv, ru) else parent.put(ru, rv)
+        }
+      }
+      val nodes = es.iterator.flatMap { case (u, v) => Iterator(u, v) }
+        .toArray.distinct
+      lastCcRounds.set(0)
+      System.err.println(s"[graft] nearDupClusters: driver union-find over " +
+        s"$nEdges edges (cap $driverEdgeCap)")
+      return spark.createDataset(nodes.toIndexedSeq.map(n => (n, find(n))))
+        .toDF("doc_id", "cluster_id")
+    }
 
     // large-star: symmetrize, then for each node u with neighborhood
     // minimum m = min(N(u) ∪ {u}) connect every LARGER neighbor to m.
@@ -445,7 +488,7 @@ object Dedup {
     // ~10 s/round at 32 cores for a 250-edge graph); a checkpointed
     // round is a flat LogicalRDD, so per-round planning cost is constant.
     // Old checkpoint blocks are released by the ContextCleaner.
-    var edges = init.localCheckpoint()
+    var edges = edges0
     var fp = fingerprint(edges)
     var iter = 0
     var converged = false

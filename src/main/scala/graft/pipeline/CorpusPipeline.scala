@@ -39,6 +39,25 @@ import graft.functions.TextFunctions
   */
 object CorpusPipeline {
 
+  /** Wall-clock seconds of the EAGER stages of the most recent
+    * [[prepare]] call in this JVM, for the bench artifact (same
+    * last-call pattern as [[graft.dedup.Dedup.lastCcRounds]]): the
+    * quality-gate keep-list, the near-dup pair construction, the
+    * contamination id-list, and the CC fixpoint — each ends in a
+    * materializing checkpoint, so the boundary is a real barrier. The
+    * lazy tail (anti-joins + packing) runs inside the caller's action;
+    * its cost is (query total − eager sum). */
+  val lastStageSeconds =
+    new java.util.concurrent.atomic.AtomicReference[Map[String, Double]](Map.empty)
+
+  private def timed[A](acc: scala.collection.mutable.LinkedHashMap[String, Double],
+                       stage: String)(body: => A): A = {
+    val t0 = System.nanoTime()
+    val r = body
+    acc(stage) = (System.nanoTime() - t0) / 1e9
+    r
+  }
+
   /** Stage frames — lazy over `docs` plus the narrow id lists
     * `prepare` materialized; act on whichever you need. `packed` is the
     * training-ready output: (doc_id, shard, n_tokens, start_tok,
@@ -99,10 +118,13 @@ object CorpusPipeline {
     // every returned stage frame re-derives `filtered`, and `packed`
     // contains it in TWO subtrees — checkpoint the id list once instead
     // of re-running the quality aggregate per consumer action.
-    val keepIds = TextFunctions
-      .corpusFilter(docs, minTokens, maxTopGramFrac, textCol, idCol)
-      .filter(col("keep")).select(col("doc_id").as(idCol))
-      .localCheckpoint(true)
+    val stageS = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val keepIds = timed(stageS, "filter_keeplist") {
+      TextFunctions
+        .corpusFilter(docs, minTokens, maxTopGramFrac, textCol, idCol)
+        .filter(col("keep")).select(col("doc_id").as(idCol))
+        .localCheckpoint(true)
+    }
     val kept = docs.join(keepIds, Seq(idCol), "left_semi")
     // Optional RefinedWeb-style line-dedup stage between the quality
     // gate and near-dup removal: the corpus-common segment vocabulary
@@ -131,7 +153,9 @@ object CorpusPipeline {
       try {
         // the exact dedupCorpus pair construction (shared helper: same
         // k/bands/bucket-cap defaults by construction)
-        val p = Dedup.pairsFromSigs(sigs, minJaccard).localCheckpoint(true)
+        val p = timed(stageS, "neardup_pairs") {
+          Dedup.pairsFromSigs(sigs, minJaccard).localCheckpoint(true)
+        }
         // Contamination is a PER-DOC score — independent of which docs
         // dedup later drops — so it is scored for every filtered doc
         // now, while the shingle sets are warm, instead of after the
@@ -145,7 +169,7 @@ object CorpusPipeline {
         // cores — the fixpoint rounds are latency-bound and the extra
         // job lengthens every round's tail — so the stages stay
         // sequential and the fixpoint runs with nothing cached.)
-        val dirty = evalDocs.map { ev =>
+        val dirty = evalDocs.map { ev => timed(stageS, "decontaminate") {
           if (bloomDecontaminate) {
             // map-side screen: no join, no exchange; over-flags only.
             // The id list still checkpoints so downstream consumers
@@ -163,15 +187,16 @@ object CorpusPipeline {
             .filter(col("contamination") > maxEvalOverlap)
             .select(col("doc_id").as(idCol))
             .localCheckpoint(true)
-        }
+        } }
         (p, dirty)
       } finally { sigs.unpersist(blocking = false); () }
     // eager fixpoint over the narrow checkpointed pair list — nothing
     // else occupies the storage pool while the rounds run
-    val clusters = Dedup.nearDupClusters(pairs)
+    val clusters = timed(stageS, "cc_fixpoint") { Dedup.nearDupClusters(pairs) }
     // the fixpoint consumed `pairs` in its (materialized) first round;
     // the returned stage frames read only the fixpoint's own edge set
     graft.core.Checkpoints.releaseAll(pairs)
+    lastStageSeconds.set(stageS.toMap)
     val dupIds = clusters
       .filter(col("doc_id") =!= col("cluster_id"))
       .select(col("doc_id"))

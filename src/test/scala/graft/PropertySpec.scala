@@ -137,9 +137,16 @@ class PropertySpec extends SparkSpec {
           val root = find(n)
           n -> nodes.filter(m => find(m) == root).min
         }.toMap
+        // BOTH execution paths must equal the ground truth: the
+        // driver union-find fast path (default cap) and the
+        // distributed star-contraction (forced via cap 0)
         val got = graft.dedup.Dedup.nearDupClusters(pairs.toDF("doc_a", "doc_b"))
           .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-        assert(got == want, s"edges=$pairs")
+        assert(got == want, s"fast path: edges=$pairs")
+        val gotDist = graft.dedup.Dedup
+          .nearDupClusters(pairs.toDF("doc_a", "doc_b"), driverEdgeCap = 0)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(gotDist == want, s"distributed path: edges=$pairs")
       }
     }
   }

@@ -422,6 +422,36 @@ object SparkEntry {
       variant_get(col("props_v"), "$.k", "int").as("k"))
   }
 
+  /** Variant shredding WRITE path ([[graft.sources.VariantShred]]) —
+    * the write-side twin of [[jsonVariant]]: the merged
+    * `schema_of_variant_agg` schema of each variant column is
+    * materialized as typed parquet columns (+ residual variant only
+    * where types conflict), and read-back extraction of a shredded
+    * field reads ONLY its typed column (ReadSchema-pruned,
+    * PlanSpec-guarded). The oracle is the same identity as
+    * `json_variant` (construct → shred → extract inverts), plus an
+    * array-element extraction through a shredded ARRAY column. The
+    * timed query includes the write — it IS the write path. */
+  private def jsonShred(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.VariantShred
+    val v = Tables.events(spark, dir).select(
+      col("event_id"),
+      to_variant_object(struct(
+        col("user_id"), col("event_type"), col("value"),
+        array(col("value")).as("vals"))).as("payload"),
+      parse_json(col("props")).as("props_v"))
+    val out = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_json_shred_" + dirFingerprint(dir)).getAbsolutePath
+    VariantShred.writeShredded(v, out)
+    val back = spark.read.parquet(out)
+    back.select(col("event_id"),
+      VariantShred.extract(back, "payload", "$.user_id", "bigint").as("user_id"),
+      VariantShred.extract(back, "payload", "$.event_type", "string").as("event_type"),
+      VariantShred.extract(back, "payload", "$.value", "double").as("value"),
+      VariantShred.extract(back, "payload", "$.vals[0]", "double").as("val0"),
+      VariantShred.extract(back, "props_v", "$.k", "int").as("k"))
+  }
+
   /** Explicit frame spec: per-customer running order total. The sum
     * accumulates in DECIMAL inside the frame, so the result is exact
     * regardless of each engine's window-aggregation order (running
@@ -1817,6 +1847,7 @@ object SparkEntry {
     "cdc_parse" -> (cdcParse(_, _)),
     "json_extract" -> (jsonExtract(_, _)),
     "json_variant" -> (jsonVariant(_, _)),
+    "json_shred" -> (jsonShred(_, _)),
     "hash_sample" -> (hashSample(_, _)),
     "profile_events" -> (profileEvents(_, _)),
     "revenue_by_nation" -> (revenueByNation(_, _)),
@@ -2713,6 +2744,12 @@ object SparkEntry {
     // is the identity on the typed source columns.
     "json_variant" ->
       """SELECT event_id, user_id, event_type, value,
+        |  CAST(json_extract_string(props, '$.k') AS INT) AS k
+        |FROM events""".stripMargin,
+    // shred → extract inverts construction, so the oracle is the same
+    // identity; val0 extracts element 0 of the shredded [value] array
+    "json_shred" ->
+      """SELECT event_id, user_id, event_type, value, value AS val0,
         |  CAST(json_extract_string(props, '$.k') AS INT) AS k
         |FROM events""".stripMargin,
     "window_topk" ->

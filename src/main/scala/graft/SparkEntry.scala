@@ -1485,6 +1485,13 @@ object SparkEntry {
     TextFunctions.contaminationBloom(docs.filter(bucket < 80), words)
   }
 
+  /** Cross-document repeated-substring removal
+    * ([[graft.dedup.Dedup.substrDedup]], the ExactSubstr analogue):
+    * sliding 8-token windows, first occurrence corpus-wide survives,
+    * every later occurrence's covered tokens are excised map-side. */
+  private def substrDedupQuery(spark: SparkSession, dir: String): DataFrame =
+    graft.dedup.Dedup.substrDedup(Tables.documents(spark, dir), w = 8)
+
   /** Span-level exact dedup ([[graft.dedup.Dedup.spanDedup]]): drop
     * repeated 20-token chunks corpus-wide, rebuild each document from
     * its surviving chunks. */
@@ -1863,6 +1870,7 @@ object SparkEntry {
     "distinct_hll_union" -> (distinctHllUnion(_, _)),
     "decontaminate_bloom" -> (decontaminateBloom(_, _)),
     "span_dedup" -> (spanDedupQuery(_, _)),
+    "substr_dedup" -> (substrDedupQuery(_, _)),
     "corpus_shuffle" -> (corpusShuffle(_, _)),
     "corpus_mix" -> (corpusMix(_, _)),
     "zorder_cells" -> (zorderCells(_, _)),
@@ -4154,6 +4162,34 @@ object SparkEntry {
         |  CAST(count(k.idx) AS INT) AS n_chunks_kept
         |FROM toks tk LEFT JOIN kept k ON tk.doc_id = k.doc_id
         |GROUP BY tk.doc_id""".stripMargin,
+    // ExactSubstr-style sliding-window removal replayed exactly: same
+    // 60-bit window hash, same scalar occurrence key doc_id*2^20+pos,
+    // same coverage rule (token dies iff a redundant window covers it)
+    "substr_dedup" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ts FROM documents),
+        |occ AS (
+        |  SELECT doc_id, i - 1 AS pos,
+        |    CAST(concat('0x', substring(md5(array_to_string(list_slice(ts, i, i + 7), ' ')), 1, 15)) AS BIGINT) AS whash,
+        |    doc_id * 1048576 + (i - 1) AS occ_key
+        |  FROM d, unnest(generate_series(1, len(ts) - 7)) AS u(i)
+        |  WHERE len(ts) >= 8),
+        |el AS (SELECT whash, min(occ_key) AS min_key, count(*) AS n_occ FROM occ GROUP BY whash),
+        |cut AS (SELECT doc_id, list_sort(list(pos)) AS cuts
+        |        FROM occ JOIN el USING (whash)
+        |        WHERE n_occ >= 2 AND occ_key <> min_key
+        |        GROUP BY doc_id),
+        |r AS (SELECT d.doc_id, ts,
+        |        CASE WHEN cuts IS NULL THEN CAST([] AS BIGINT[]) ELSE cuts END AS cuts
+        |      FROM d LEFT JOIN cut USING (doc_id)),
+        |k AS (SELECT doc_id, ts,
+        |        list_filter(range(0, len(ts)), i ->
+        |          len(list_filter(cuts, s -> i >= s AND i < s + 8)) = 0) AS keep
+        |      FROM r)
+        |SELECT doc_id,
+        |  COALESCE(array_to_string(list_transform(keep, i -> ts[CAST(i + 1 AS INT)]), ' '), '') AS text_dedup,
+        |  CAST(len(ts) AS BIGINT) AS n_tokens,
+        |  CAST(len(ts) - len(keep) AS BIGINT) AS n_removed
+        |FROM k""".stripMargin,
     "corpus_shuffle" ->
       """WITH h AS (
         |  SELECT doc_id,

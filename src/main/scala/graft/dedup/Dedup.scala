@@ -805,4 +805,75 @@ object Dedup {
           .as("text_dedup"),
         coalesce(size(col("keep")), lit(0)).as("n_chunks_kept"))
   }
+
+  /** Cross-document repeated-substring removal — the ExactSubstr dedup
+    * of Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better" (ACL'22), re-expressed for Spark: every `w`-token SLIDING
+    * window of every document is hashed map-side; a window occurrence
+    * is REDUNDANT iff the same hash also occurs at a strictly smaller
+    * (doc_id, pos); a token is removed iff some redundant window
+    * covers it. Overlapping redundant windows merge into maximal
+    * removed spans, so a region repeated anywhere in the corpus is
+    * excised from every occurrence except the first, at ANY alignment
+    * — the insertion-robust property the fixed-stride [[spanDedup]]
+    * lacks (a one-token shift breaks every chunk boundary there; here
+    * the windows re-anchor immediately). Within-doc repeats are
+    * removed by the same rule.
+    *
+    * Approximation vs the suffix-array original: window anchoring only
+    * flags FULL w-token windows inside the shared region, so up to
+    * w−1 boundary tokens of each shared region survive; exact maximal
+    * matches would need a distributed suffix array. The trade buys a
+    * plan that is one narrow shuffle.
+    *
+    * Scale shape: text never crosses an exchange. The election
+    * shuffles (whash, occ_key) pairs only; flagged cut positions
+    * return as one sorted per-doc int list; the rebuild is a map-side
+    * higher-order function over the bound token array (cost
+    * O(n_tokens × n_cuts) per doc — bounded by the per-doc window
+    * count). Occurrence order is the portable scalar key
+    * `doc_id * 2^20 + pos`, so an external engine replays the
+    * election exactly; callers with >2^20-token documents or >2^43
+    * doc ids must re-key.
+    *
+    * Returns (doc_id, text_dedup, n_tokens, n_removed). */
+  def substrDedup(df: DataFrame, w: Int = 8,
+                  textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(w >= 2, s"window must be >= 2 tokens, got $w")
+    val posCap = 1L << 20
+    import graft.functions.TextFunctions.{bound, tokens, shingleHash}
+    val base = df.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
+    val occ = base.select(col("doc_id"),
+        bound(tokens(col("text"))) { ts =>
+          when(size(ts) >= w,
+            transform(sequence(lit(0), size(ts) - w), i =>
+              struct(i.as("pos"),
+                shingleHash(concat_ws(" ", slice(ts, i + 1, lit(w)))).as("whash"))))
+            .otherwise(array().cast("array<struct<pos:int,whash:bigint>>"))
+        }.as("wins"))
+      .select(col("doc_id"), explode(col("wins")).as("wn"))
+      .select(col("doc_id"), col("wn.pos").as("pos"), col("wn.whash").as("whash"),
+        (col("doc_id") * posCap + col("wn.pos")).as("occ_key"))
+    val elect = occ.groupBy("whash")
+      .agg(min(col("occ_key")).as("min_key"), count(lit(1)).as("n_occ"))
+    val cuts = occ.join(elect, "whash")
+      .filter(col("n_occ") >= 2 && col("occ_key") =!= col("min_key"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_set(col("pos"))).as("cuts"))
+    base.join(cuts, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        bound(tokens(col("text"))) { ts =>
+          bound(coalesce(col("cuts"), array().cast("array<int>"))) { cs =>
+            bound(filter(sequence(lit(0), size(ts) - 1), i =>
+              !exists(cs, s => i >= s && i < s + w))) { keep =>
+              struct(
+                concat_ws(" ", transform(keep, i => element_at(ts, i + 1)))
+                  .as("text_dedup"),
+                size(ts).cast("bigint").as("n_tokens"),
+                (size(ts) - size(keep)).cast("bigint").as("n_removed"))
+            }
+          }
+        }.as("r"))
+      .select(col("doc_id"), col("r.text_dedup"), col("r.n_tokens"), col("r.n_removed"))
+  }
 }

@@ -442,6 +442,30 @@ class TextDedupSpec extends SparkSpec {
     assert(!out.exists(_._2 == 11L))
   }
 
+  test("substrDedup excises repeated runs at any alignment, keeps first occurrence") {
+    import graft.dedup.Dedup
+    val docs = Seq(
+      (0L, "a b c d e f g h i j k l"),       // owner of the shared run
+      (1L, "x y a b c d e f g h i j q r"),   // shares 10 tokens at offset 2
+      (2L, "short doc"),                     // under the window — untouched
+      (3L, "a b c d e f g h i j k l")        // exact duplicate — fully excised
+    ).toDF("doc_id", "text")
+    val out = Dedup.substrDedup(docs, w = 8).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(0L) == (("a b c d e f g h i j k l", 12L, 0L)))
+    // windows fully inside the shared run start at 2,3,4 → coverage
+    // 2..11: all 10 shared tokens die, the unshared edges survive
+    assert(out(1L) == (("x y q r", 14L, 10L)))
+    assert(out(2L) == (("short doc", 2L, 0L)))
+    assert(out(3L) == (("", 12L, 12L)))
+    // within-doc repetition is removed by the same rule
+    val rep = Seq((7L, "p q r s t u v w z p q r s t u v w"))
+      .toDF("doc_id", "text")
+    val r7 = Dedup.substrDedup(rep, w = 8).collect().head
+    assert(r7.getString(1) == "p q r s t u v w z", r7.getString(1))
+    assert(r7.getLong(3) == 8L)
+  }
+
   test("ivfTopK matches brute force when probing all cells") {
     // deterministic pseudo-random vectors in 8 dims
     def vec(seed: Long): Array[Float] =

@@ -1086,6 +1086,21 @@ object SparkEntry {
       dim = 64, k = 5, nCells = 16, nProbe = 4, centroids = Some(cents))
   }
 
+  /** KNN-Shapley data valuation
+    * ([[graft.operators.Valuation.knnShapley]]): exact per-training-
+    * point Shapley value under a 5-NN utility against the bounded
+    * eval set (vec_id < 10), labels derived as vec_id % 3, summed
+    * over eval points in integer micro-units. */
+  private def dataShapley(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .withColumn("label", (col("vec_id") % 3).cast("int"))
+    val test = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("label").as("q_label"))
+    graft.operators.Valuation.knnShapley(
+      e.filter(col("vec_id") >= 10).select("vec_id", "embedding", "label"), test)
+  }
+
   /** SemDeDup ([[graft.similarity.Similarity.semanticDedup]]): drop
     * bucket members within cosine 0.2 of their representative. */
   private def semanticDedup(spark: SparkSession, dir: String): DataFrame =
@@ -2165,6 +2180,7 @@ object SparkEntry {
           cmEstimate(col("sk"), col("p_brand"), 4, 32).as("est"))
     }),
     "sim_ivf" -> (simIvf(_, _)),
+    "data_shapley" -> (dataShapley(_, _)),
     "sim_ivf_kmeans" -> (simIvfKmeans(_, _)),
     "sim_ivf_lloyd" -> (simIvfLloyd(_, _)),
     "sim_pq" -> (simPq(_, _)),
@@ -5027,6 +5043,40 @@ object SparkEntry {
          |  AND $dotXY / (x.nrm * y.nrm) >= 0.4""".stripMargin
     },
     "sim_topk" -> bruteTopKSql,
+    // exact KNN-Shapley recurrence replayed verbatim: same rounded
+    // cosine ranking, same positive integer divisions (// == div on
+    // positive operands), same integer suffix sum
+    "data_shapley" -> {
+      val dotTQ = dotSql("t.embedding", "q.q_emb")
+      val normT = dotSql("t.embedding", "t.embedding")
+      val normQ = dotSql("q.q_emb", "q.q_emb")
+      s"""WITH e AS (SELECT vec_id, embedding, CAST(vec_id % 3 AS INT) AS label FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, embedding AS q_emb, label AS q_label FROM e WHERE vec_id < 10),
+         |sc AS (
+         |  SELECT t.vec_id, q.q_id,
+         |    CAST(t.label = q.q_label AS INT) AS a,
+         |    round($dotTQ / (sqrt($normT) * sqrt($normQ)), 9) AS cos
+         |  FROM e t, q WHERE t.vec_id >= 10),
+         |r AS (
+         |  SELECT vec_id, q_id, a,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rnk,
+         |    count(*) OVER (PARTITION BY q_id) AS n,
+         |    lead(a) OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS a_next
+         |  FROM sc),
+         |c AS (
+         |  SELECT vec_id, q_id, rnk,
+         |    CASE WHEN a_next IS NULL THEN (CAST(a AS BIGINT) * 1000000000000) // n
+         |         ELSE (CASE WHEN a > a_next THEN 1 WHEN a < a_next THEN -1 ELSE 0 END)
+         |              * ((1000000000000 * least(5, rnk)) // (5 * rnk)) END AS contrib
+         |  FROM r),
+         |s AS (
+         |  SELECT vec_id, q_id,
+         |    SUM(contrib) OVER (PARTITION BY q_id ORDER BY rnk DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sv
+         |  FROM c)
+         |SELECT vec_id, CAST(SUM(sv) AS BIGINT) AS shapley_micros
+         |FROM s GROUP BY vec_id""".stripMargin
+    },
     // full-probe IVF (nProbe = nCells) scores every pair exactly once,
     // so the result is brute-force top-k regardless of the ML-trained
     // centroids — the same oracle verifies the exact-at-full-probe

@@ -957,6 +957,16 @@ object SparkEntry {
       windowTokens = 256, nShards = 8).packed
   }
 
+  /** Batched model-inference plumbing
+    * ([[graft.operators.Inference.batchScore]]): the deterministic
+    * hash model scores every document through the real batching path
+    * (64-doc batches, per-partition init, contract checks); the
+    * oracle replays the fake model's formula row-wise. */
+  private def modelScore(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Inference.batchScore(
+      Tables.documents(spark, dir),
+      graft.operators.Inference.hashScoreModel, batchSize = 64)
+
   /** Content-defined chunking ([[TextFunctions.cdcChunkRows]]): w=4
     * rolling window, 2^3-token expected chunks over the documents
     * table. The oracle replays the same boundary rule row-wise
@@ -1886,6 +1896,7 @@ object SparkEntry {
     "decontaminate_bloom" -> (decontaminateBloom(_, _)),
     "span_dedup" -> (spanDedupQuery(_, _)),
     "substr_dedup" -> (substrDedupQuery(_, _)),
+    "model_score" -> (modelScore(_, _)),
     "corpus_shuffle" -> (corpusShuffle(_, _)),
     "corpus_mix" -> (corpusMix(_, _)),
     "zorder_cells" -> (zorderCells(_, _)),
@@ -4178,6 +4189,13 @@ object SparkEntry {
         |  CAST(count(k.idx) AS INT) AS n_chunks_kept
         |FROM toks tk LEFT JOIN kept k ON tk.doc_id = k.doc_id
         |GROUP BY tk.doc_id""".stripMargin,
+    // the deterministic fake model is a pure function of the text, so
+    // the oracle replays it row-wise — what's actually being verified
+    // is the batching plumbing (grouping, zip alignment, micro units)
+    "model_score" ->
+      """SELECT doc_id,
+        |  CAST(concat('0x', substring(md5(text), 1, 15)) AS BIGINT) % 1000000 AS score_micros
+        |FROM documents""".stripMargin,
     // ExactSubstr-style sliding-window removal replayed exactly: same
     // 60-bit window hash, same scalar occurrence key doc_id*2^20+pos,
     // same coverage rule (token dies iff a redundant window covers it)

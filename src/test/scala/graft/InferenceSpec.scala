@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Inference
+
+/** Batched-inference plumbing contracts: batch shapes, per-partition
+  * handle init, retry, and loud misalignment failure. */
+class InferenceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(n: Int, parts: Int) =
+    spark.range(n).select(col("id").as("doc_id"),
+      concat(lit("doc "), col("id")).as("text")).repartition(parts)
+
+  test("scores align with ids through batching; batch sizes are bounded") {
+    val batchSizes = spark.sparkContext.collectionAccumulator[Int]("bs")
+    val model: Seq[String] => Seq[Double] = ts => {
+      batchSizes.add(ts.length)
+      ts.map(t => t.stripPrefix("doc ").toDouble / 100.0)
+    }
+    val out = Inference.batchScore(docs(10, 2), model, batchSize = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == (0 until 10).map(i => i.toLong -> i * 10000L).toMap)
+    import scala.jdk.CollectionConverters._
+    val sizes = batchSizes.value.asScala.toList
+    assert(sizes.forall(_ <= 3), sizes.toString)
+    assert(sizes.sum == 10)
+  }
+
+  test("heavy handles initialize once per partition, on the executor") {
+    val inits = spark.sparkContext.longAccumulator("inits")
+    val out = Inference.batchScoreWith(docs(20, 4), () => {
+      inits.add(1) // runs inside mapPartitions — once per partition
+      (ts: Seq[String]) => ts.map(_ => 1.0)
+    }, batchSize = 2).collect()
+    assert(out.length == 20)
+    assert(inits.value == 4, s"expected 4 partition inits, got ${inits.value}")
+  }
+
+  test("a transient batch fault is retried once; persistent faults fail the task") {
+    // partition-local flakiness: first call throws, retry succeeds
+    val flaky: () => Seq[String] => Seq[Double] = () => {
+      var first = true
+      (ts: Seq[String]) => {
+        if (first) { first = false; throw new RuntimeException("transient") }
+        ts.map(_ => 0.5)
+      }
+    }
+    val ok = Inference.batchScoreWith(docs(6, 1), flaky, batchSize = 10).collect()
+    assert(ok.map(_.getLong(1)).toSet == Set(500000L))
+    val broken: Seq[String] => Seq[Double] = _ => throw new RuntimeException("down")
+    intercept[org.apache.spark.SparkException] {
+      Inference.batchScore(docs(3, 1), broken).collect()
+    }
+  }
+
+  test("a model returning the wrong count fails loudly with the id range") {
+    val lossy: Seq[String] => Seq[Double] = ts => ts.drop(1).map(_ => 0.0)
+    val e = intercept[org.apache.spark.SparkException] {
+      Inference.batchScore(docs(4, 1), lossy, batchSize = 4).collect()
+    }
+    assert(e.getMessage.contains("3 scores for 4 inputs") ||
+      Option(e.getCause).exists(_.getMessage.contains("3 scores for 4 inputs")),
+      e.getMessage)
+  }
+}

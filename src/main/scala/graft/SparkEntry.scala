@@ -957,6 +957,19 @@ object SparkEntry {
       windowTokens = 256, nShards = 8).packed
   }
 
+  /** k-anonymity release gate ([[graft.validate.Privacy]]): events
+    * under QI (event_type, day, value decile) — one aggregate keyed
+    * by the QI tuple, one O(1) report row with exposure in exact
+    * basis points. */
+  private def kAnonymity(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir).select(
+      col("event_type"),
+      to_date(col("ts")).as("day"),
+      floor(col("value") / 10).cast("long").as("value_decile"))
+    graft.validate.Privacy.kAnonymityReport(
+      e, Seq("event_type", "day", "value_decile"), k = 5)
+  }
+
   /** Batched model-inference plumbing
     * ([[graft.operators.Inference.batchScore]]): the deterministic
     * hash model scores every document through the real batching path
@@ -1897,6 +1910,7 @@ object SparkEntry {
     "span_dedup" -> (spanDedupQuery(_, _)),
     "substr_dedup" -> (substrDedupQuery(_, _)),
     "model_score" -> (modelScore(_, _)),
+    "k_anonymity" -> (kAnonymity(_, _)),
     "corpus_shuffle" -> (corpusShuffle(_, _)),
     "corpus_mix" -> (corpusMix(_, _)),
     "zorder_cells" -> (zorderCells(_, _)),
@@ -4189,6 +4203,25 @@ object SparkEntry {
         |  CAST(count(k.idx) AS INT) AS n_chunks_kept
         |FROM toks tk LEFT JOIN kept k ON tk.doc_id = k.doc_id
         |GROUP BY tk.doc_id""".stripMargin,
+    // class sizes replayed from the same QI grouping; exposure share
+    // is one integral division of non-negative longs (// == div)
+    "k_anonymity" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(floor(value / 10) AS BIGINT) AS value_decile
+        |  FROM events),
+        |c AS (
+        |  SELECT event_type, day, value_decile, count(*) AS class_size
+        |  FROM e GROUP BY 1, 2, 3)
+        |SELECT CAST(SUM(class_size) AS BIGINT) AS n_rows,
+        |  count(*) AS n_classes,
+        |  CAST(SUM(CASE WHEN class_size < 5 THEN 1 ELSE 0 END) AS BIGINT) AS violating_classes,
+        |  CAST(SUM(CASE WHEN class_size < 5 THEN class_size ELSE 0 END) AS BIGINT) AS exposed_rows,
+        |  CAST((SUM(CASE WHEN class_size < 5 THEN class_size ELSE 0 END) * 10000)
+        |       // SUM(class_size) AS BIGINT) AS exposed_bps,
+        |  CAST(MIN(class_size) AS BIGINT) AS min_class_size,
+        |  SUM(CASE WHEN class_size < 5 THEN 1 ELSE 0 END) = 0 AS k_anonymous
+        |FROM c""".stripMargin,
     // the deterministic fake model is a pure function of the text, so
     // the oracle replays it row-wise — what's actually being verified
     // is the batching plumbing (grouping, zip alignment, micro units)

@@ -957,6 +957,26 @@ object SparkEntry {
       windowTokens = 256, nShards = 8).packed
   }
 
+  /** Sharded training export round-trip
+    * ([[graft.sources.TrainingExport.export]]): documents packed into
+    * 8 shards, exported one-file-per-shard with a content manifest,
+    * read back — the oracle is the identity on the exported columns
+    * (the manifest fingerprints are spec-tier:
+    * `TrainingExportSpec`). */
+  private def exportShards(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val docs = Tables.documents(spark, dir).select(
+      col("doc_id"),
+      (col("doc_id") % 8).cast("int").as("shard"),
+      size(TextFunctions.tokens(col("text"))).cast("long").as("n_tokens"))
+    val out = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_export_" + dirFingerprint(dir)).getAbsolutePath
+    graft.sources.TrainingExport.export(docs, out, "shard", "n_tokens",
+      orderCols = Seq("doc_id"))
+    spark.read.parquet(out)
+      .select(col("doc_id"), col("shard").cast("int").as("shard"), col("n_tokens"))
+  }
+
   /** k-anonymity release gate ([[graft.validate.Privacy]]): events
     * under QI (event_type, day, value decile) — one aggregate keyed
     * by the QI tuple, one O(1) report row with exposure in exact
@@ -1911,6 +1931,7 @@ object SparkEntry {
     "substr_dedup" -> (substrDedupQuery(_, _)),
     "model_score" -> (modelScore(_, _)),
     "k_anonymity" -> (kAnonymity(_, _)),
+    "export_shards" -> (exportShards(_, _)),
     "corpus_shuffle" -> (corpusShuffle(_, _)),
     "corpus_mix" -> (corpusMix(_, _)),
     "zorder_cells" -> (zorderCells(_, _)),
@@ -4203,6 +4224,12 @@ object SparkEntry {
         |  CAST(count(k.idx) AS INT) AS n_chunks_kept
         |FROM toks tk LEFT JOIN kept k ON tk.doc_id = k.doc_id
         |GROUP BY tk.doc_id""".stripMargin,
+    // export → read-back inverts, so the oracle is the identity on
+    // the exported columns (manifest fingerprints are spec-tier)
+    "export_shards" ->
+      """SELECT doc_id, CAST(doc_id % 8 AS INT) AS shard,
+        |  CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS n_tokens
+        |FROM documents""".stripMargin,
     // class sizes replayed from the same QI grouping; exposure share
     // is one integral division of non-negative longs (// == div)
     "k_anonymity" ->

@@ -1550,6 +1550,19 @@ object SparkEntry {
   private def substrDedupQuery(spark: SparkSession, dir: String): DataFrame =
     graft.dedup.Dedup.substrDedup(Tables.documents(spark, dir), w = 8)
 
+  /** Incremental [[substrDedupQuery]]
+    * ([[graft.dedup.Dedup.substrDedupIncremental]]): docs < 250 form
+    * the accepted window-hash catalog; the batch (>= 250) is screened
+    * against it (catalog hit cuts unconditionally) and deduped within
+    * itself. */
+  private def substrDedupIncrementalQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    graft.dedup.Dedup.substrDedupIncremental(
+      docs.filter(col("doc_id") >= 250),
+      graft.dedup.Dedup.windowHashCatalog(docs.filter(col("doc_id") < 250)),
+      w = 8)
+  }
+
   /** Span-level exact dedup ([[graft.dedup.Dedup.spanDedup]]): drop
     * repeated 20-token chunks corpus-wide, rebuild each document from
     * its surviving chunks. */
@@ -1929,6 +1942,7 @@ object SparkEntry {
     "decontaminate_bloom" -> (decontaminateBloom(_, _)),
     "span_dedup" -> (spanDedupQuery(_, _)),
     "substr_dedup" -> (substrDedupQuery(_, _)),
+    "substr_dedup_incremental" -> (substrDedupIncrementalQuery(_, _)),
     "model_score" -> (modelScore(_, _)),
     "k_anonymity" -> (kAnonymity(_, _)),
     "export_shards" -> (exportShards(_, _)),
@@ -4256,6 +4270,37 @@ object SparkEntry {
       """SELECT doc_id,
         |  CAST(concat('0x', substring(md5(text), 1, 15)) AS BIGINT) % 1000000 AS score_micros
         |FROM documents""".stripMargin,
+    // incremental variant: catalog hit cuts unconditionally, plus the
+    // within-batch first-occurrence rule
+    "substr_dedup_incremental" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ts FROM documents),
+        |occ AS (
+        |  SELECT doc_id, i - 1 AS pos,
+        |    CAST(concat('0x', substring(md5(array_to_string(list_slice(ts, i, i + 7), ' ')), 1, 15)) AS BIGINT) AS whash,
+        |    doc_id * 1048576 + (i - 1) AS occ_key
+        |  FROM d, unnest(generate_series(1, len(ts) - 7)) AS u(i)
+        |  WHERE len(ts) >= 8),
+        |cat AS (SELECT DISTINCT whash FROM occ WHERE doc_id < 250),
+        |bocc AS (SELECT * FROM occ WHERE doc_id >= 250),
+        |el AS (SELECT whash, min(occ_key) AS min_key, count(*) AS n_occ FROM bocc GROUP BY whash),
+        |flagged AS (
+        |  SELECT doc_id, pos FROM bocc WHERE whash IN (SELECT whash FROM cat)
+        |  UNION
+        |  SELECT b.doc_id, b.pos FROM bocc b JOIN el USING (whash)
+        |  WHERE el.n_occ >= 2 AND b.occ_key <> el.min_key),
+        |cut AS (SELECT doc_id, list_sort(list(pos)) AS cuts FROM flagged GROUP BY doc_id),
+        |r AS (SELECT d.doc_id, ts,
+        |        CASE WHEN cuts IS NULL THEN CAST([] AS BIGINT[]) ELSE cuts END AS cuts
+        |      FROM d LEFT JOIN cut USING (doc_id) WHERE d.doc_id >= 250),
+        |k AS (SELECT doc_id, ts,
+        |        list_filter(range(0, len(ts)), i ->
+        |          len(list_filter(cuts, s -> i >= s AND i < s + 8)) = 0) AS keep
+        |      FROM r)
+        |SELECT doc_id,
+        |  COALESCE(array_to_string(list_transform(keep, i -> ts[CAST(i + 1 AS INT)]), ' '), '') AS text_dedup,
+        |  CAST(len(ts) AS BIGINT) AS n_tokens,
+        |  CAST(len(ts) - len(keep) AS BIGINT) AS n_removed
+        |FROM k""".stripMargin,
     // ExactSubstr-style sliding-window removal replayed exactly: same
     // 60-bit window hash, same scalar occurrence key doc_id*2^20+pos,
     // same coverage rule (token dies iff a redundant window covers it)

@@ -837,14 +837,53 @@ object Dedup {
     * doc ids must re-key.
     *
     * Returns (doc_id, text_dedup, n_tokens, n_removed). */
-  def substrDedup(df: DataFrame, w: Int = 8,
-                  textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+  /** The distinct `w`-token window hashes of a corpus — the accepted-
+    * corpus catalog [[substrDedupIncremental]] screens against. At
+    * scale, persist it bucketed on `whash`
+    * ([[graft.sources.Bucketing]]) and the recurring screen join
+    * plans exchange-free on the catalog side, exactly like the
+    * band catalog of [[incrementalNearDup]]. */
+  def windowHashCatalog(df: DataFrame, w: Int = 8,
+                        textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    windowOccurrences(df, w, textCol, idCol).select("whash").distinct()
+
+  /** Incremental [[substrDedup]] — the daily-ingest shape: a new
+    * batch's windows are screened against the accepted corpus's
+    * window-hash catalog (a catalog hit cuts the batch occurrence
+    * UNCONDITIONALLY — accepted text always wins), and the batch is
+    * additionally substring-deduped within itself by the same
+    * first-occurrence rule. The accepted corpus is never rescanned,
+    * never rewritten: only the batch's narrow occurrence triples meet
+    * the catalog hash set in the screen join. Returns the cleaned
+    * batch in [[substrDedup]]'s output shape; append
+    * `windowHashCatalog(batch)` to the catalog to accept the batch. */
+  def substrDedupIncremental(batch: DataFrame, catalog: DataFrame, w: Int = 8,
+                             textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val base = batch.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
+    val occ = windowOccurrences(base, w, "text", "doc_id")
+    val inCatalog = occ.join(catalog.select(col("whash")), Seq("whash"), "left_semi")
+      .select(col("doc_id"), col("pos"))
+    val elect = occ.groupBy("whash")
+      .agg(min(col("occ_key")).as("min_key"), count(lit(1)).as("n_occ"))
+    val withinBatch = occ.join(elect, "whash")
+      .filter(col("n_occ") >= 2 && col("occ_key") =!= col("min_key"))
+      .select(col("doc_id"), col("pos"))
+    val cuts = inCatalog.unionAll(withinBatch).distinct()
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("pos"))).as("cuts"))
+    rebuildWithoutCuts(base, cuts, w)
+  }
+
+  /** Shared by [[substrDedup]] and [[substrDedupIncremental]]: one
+    * narrow (doc_id, pos, whash, occ_key) row per full `w`-token
+    * sliding window. */
+  private def windowOccurrences(df: DataFrame, w: Int,
+                                textCol: String, idCol: String): DataFrame = {
     require(w >= 2, s"window must be >= 2 tokens, got $w")
     val posCap = 1L << 20
     import graft.functions.TextFunctions.{bound, tokens, shingleHash}
-    val base = df.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
-    val occ = base.select(col("doc_id"),
-        bound(tokens(col("text"))) { ts =>
+    df.select(col(idCol).cast("long").as("doc_id"),
+        bound(tokens(col(textCol))) { ts =>
           when(size(ts) >= w,
             transform(sequence(lit(0), size(ts) - w), i =>
               struct(i.as("pos"),
@@ -854,12 +893,13 @@ object Dedup {
       .select(col("doc_id"), explode(col("wins")).as("wn"))
       .select(col("doc_id"), col("wn.pos").as("pos"), col("wn.whash").as("whash"),
         (col("doc_id") * posCap + col("wn.pos")).as("occ_key"))
-    val elect = occ.groupBy("whash")
-      .agg(min(col("occ_key")).as("min_key"), count(lit(1)).as("n_occ"))
-    val cuts = occ.join(elect, "whash")
-      .filter(col("n_occ") >= 2 && col("occ_key") =!= col("min_key"))
-      .groupBy("doc_id")
-      .agg(sort_array(collect_set(col("pos"))).as("cuts"))
+  }
+
+  /** Shared rebuild: drop every token covered by a cut window start;
+    * `cuts` is (doc_id, cuts: array<int>), left-joined so uncut docs
+    * pass through whole. */
+  private def rebuildWithoutCuts(base: DataFrame, cuts: DataFrame, w: Int): DataFrame = {
+    import graft.functions.TextFunctions.{bound, tokens}
     base.join(cuts, Seq("doc_id"), "left")
       .select(col("doc_id"),
         bound(tokens(col("text"))) { ts =>
@@ -875,5 +915,18 @@ object Dedup {
           }
         }.as("r"))
       .select(col("doc_id"), col("r.text_dedup"), col("r.n_tokens"), col("r.n_removed"))
+  }
+
+  def substrDedup(df: DataFrame, w: Int = 8,
+                  textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val base = df.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
+    val occ = windowOccurrences(base, w, "text", "doc_id")
+    val elect = occ.groupBy("whash")
+      .agg(min(col("occ_key")).as("min_key"), count(lit(1)).as("n_occ"))
+    val cuts = occ.join(elect, "whash")
+      .filter(col("n_occ") >= 2 && col("occ_key") =!= col("min_key"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_set(col("pos"))).as("cuts"))
+    rebuildWithoutCuts(base, cuts, w)
   }
 }

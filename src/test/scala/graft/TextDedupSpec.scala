@@ -466,6 +466,26 @@ class TextDedupSpec extends SparkSpec {
     assert(r7.getLong(3) == 8L)
   }
 
+  test("substrDedupIncremental: catalog text always wins; batch dedupes within itself") {
+    import graft.dedup.Dedup
+    val accepted = Seq((0L, "a b c d e f g h i j")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "x y a b c d e f g h i j z"), // shares the accepted run
+      (11L, "p q r s t u v w n1"),        // owner within the batch
+      (12L, "p q r s t u v w n2"),        // batch-internal dup of 11
+      (13L, "all fresh tokens here only") // untouched
+    ).toDF("doc_id", "text")
+    val out = Dedup.substrDedupIncremental(
+        batch, Dedup.windowHashCatalog(accepted), w = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(3)))).toMap
+    // catalog hit cuts UNCONDITIONALLY — even though doc 10 is the
+    // batch's first occurrence of the run
+    assert(out(10L) == (("x y z", 10L)))
+    assert(out(11L) == (("p q r s t u v w n1", 0L))) // batch owner survives
+    assert(out(12L) == (("n2", 8L)))
+    assert(out(13L) == (("all fresh tokens here only", 0L)))
+  }
+
   test("ivfTopK matches brute force when probing all cells") {
     // deterministic pseudo-random vectors in 8 dims
     def vec(seed: Long): Array[Float] =

@@ -1202,6 +1202,40 @@ object SparkEntry {
   private def dotSql(a: String, b: String): String =
     s"list_sum(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
 
+  /** Incremental substring-dedup oracle — shared by the plain and
+    * bucketed-catalog variants (layout changes the plan, never the
+    * answer): catalog hit cuts unconditionally, plus the within-batch
+    * first-occurrence rule. */
+  private lazy val substrIncrOracleSql: String =
+    """WITH d AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ts FROM documents),
+      |occ AS (
+      |  SELECT doc_id, i - 1 AS pos,
+      |    CAST(concat('0x', substring(md5(array_to_string(list_slice(ts, i, i + 7), ' ')), 1, 15)) AS BIGINT) AS whash,
+      |    doc_id * 1048576 + (i - 1) AS occ_key
+      |  FROM d, unnest(generate_series(1, len(ts) - 7)) AS u(i)
+      |  WHERE len(ts) >= 8),
+      |cat AS (SELECT DISTINCT whash FROM occ WHERE doc_id < 250),
+      |bocc AS (SELECT * FROM occ WHERE doc_id >= 250),
+      |el AS (SELECT whash, min(occ_key) AS min_key, count(*) AS n_occ FROM bocc GROUP BY whash),
+      |flagged AS (
+      |  SELECT doc_id, pos FROM bocc WHERE whash IN (SELECT whash FROM cat)
+      |  UNION
+      |  SELECT b.doc_id, b.pos FROM bocc b JOIN el USING (whash)
+      |  WHERE el.n_occ >= 2 AND b.occ_key <> el.min_key),
+      |cut AS (SELECT doc_id, list_sort(list(pos)) AS cuts FROM flagged GROUP BY doc_id),
+      |r AS (SELECT d.doc_id, ts,
+      |        CASE WHEN cuts IS NULL THEN CAST([] AS BIGINT[]) ELSE cuts END AS cuts
+      |      FROM d LEFT JOIN cut USING (doc_id) WHERE d.doc_id >= 250),
+      |k AS (SELECT doc_id, ts,
+      |        list_filter(range(0, len(ts)), i ->
+      |          len(list_filter(cuts, s -> i >= s AND i < s + 8)) = 0) AS keep
+      |      FROM r)
+      |SELECT doc_id,
+      |  COALESCE(array_to_string(list_transform(keep, i -> ts[CAST(i + 1 AS INT)]), ' '), '') AS text_dedup,
+      |  CAST(len(ts) AS BIGINT) AS n_tokens,
+      |  CAST(len(ts) - len(keep) AS BIGINT) AS n_removed
+      |FROM k""".stripMargin
+
   /** Brute-force cosine top-k (k=5, queries = vec_id < 10) — the
     * oracle for `sim_topk` and, via the exact-at-full-probe IVF
     * invariant, for `sim_ivf_kmeans`. */
@@ -1563,6 +1597,31 @@ object SparkEntry {
       w = 8)
   }
 
+  /** Build-if-absent of the bucketed window-hash catalog (bucketed on
+    * exactly the screen-join key `whash`, like the band catalog). */
+  private def ensureWindowCatalogLayout(spark: SparkSession, dir: String): String = {
+    val table = "graft_window_catalog_" + dirFingerprint(dir)
+    if (!spark.catalog.tableExists(table)) {
+      graft.sources.Bucketing.writeBucketed(
+        graft.dedup.Dedup.windowHashCatalog(
+          Tables.documents(spark, dir).filter(col("doc_id") < 250)),
+        table, Seq("whash"), nBuckets = 8,
+        mode = org.apache.spark.sql.SaveMode.Overwrite)
+    }
+    table
+  }
+
+  /** [[substrDedupIncrementalQuery]] with the window-hash catalog
+    * stored BUCKETED on `whash` — the recurring screen join plans
+    * exchange-free on the ever-growing catalog side (PlanSpec-
+    * guarded); only the daily batch shuffles. Same oracle. */
+  private def substrDedupIncrementalBucketed(spark: SparkSession, dir: String): DataFrame = {
+    val table = ensureWindowCatalogLayout(spark, dir)
+    graft.dedup.Dedup.substrDedupIncremental(
+      Tables.documents(spark, dir).filter(col("doc_id") >= 250),
+      spark.table(table), w = 8)
+  }
+
   /** Span-level exact dedup ([[graft.dedup.Dedup.spanDedup]]): drop
     * repeated 20-token chunks corpus-wide, rebuild each document from
     * its surviving chunks. */
@@ -1800,6 +1859,8 @@ object SparkEntry {
       ((s, d) => { ensureStagingBucketedLayout(s, d); () }),
     "dedup_incremental_minhash_bucketed" ->
       ((s, d) => { ensureBandCatalogLayout(s, d); () }),
+    "substr_dedup_incremental_bucketed" ->
+      ((s, d) => { ensureWindowCatalogLayout(s, d); () }),
     "fact_pruned" ->
       ((s, d) => { ensureFactPrunedLayout(s, d); () }),
   )
@@ -1943,6 +2004,7 @@ object SparkEntry {
     "span_dedup" -> (spanDedupQuery(_, _)),
     "substr_dedup" -> (substrDedupQuery(_, _)),
     "substr_dedup_incremental" -> (substrDedupIncrementalQuery(_, _)),
+    "substr_dedup_incremental_bucketed" -> (substrDedupIncrementalBucketed(_, _)),
     "model_score" -> (modelScore(_, _)),
     "k_anonymity" -> (kAnonymity(_, _)),
     "export_shards" -> (exportShards(_, _)),
@@ -4270,37 +4332,12 @@ object SparkEntry {
       """SELECT doc_id,
         |  CAST(concat('0x', substring(md5(text), 1, 15)) AS BIGINT) % 1000000 AS score_micros
         |FROM documents""".stripMargin,
+    // the bucketed-catalog twin is value-identical by construction —
+    // same oracle (layout changes the plan, never the answer)
+    "substr_dedup_incremental_bucketed" -> substrIncrOracleSql,
     // incremental variant: catalog hit cuts unconditionally, plus the
     // within-batch first-occurrence rule
-    "substr_dedup_incremental" ->
-      """WITH d AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ts FROM documents),
-        |occ AS (
-        |  SELECT doc_id, i - 1 AS pos,
-        |    CAST(concat('0x', substring(md5(array_to_string(list_slice(ts, i, i + 7), ' ')), 1, 15)) AS BIGINT) AS whash,
-        |    doc_id * 1048576 + (i - 1) AS occ_key
-        |  FROM d, unnest(generate_series(1, len(ts) - 7)) AS u(i)
-        |  WHERE len(ts) >= 8),
-        |cat AS (SELECT DISTINCT whash FROM occ WHERE doc_id < 250),
-        |bocc AS (SELECT * FROM occ WHERE doc_id >= 250),
-        |el AS (SELECT whash, min(occ_key) AS min_key, count(*) AS n_occ FROM bocc GROUP BY whash),
-        |flagged AS (
-        |  SELECT doc_id, pos FROM bocc WHERE whash IN (SELECT whash FROM cat)
-        |  UNION
-        |  SELECT b.doc_id, b.pos FROM bocc b JOIN el USING (whash)
-        |  WHERE el.n_occ >= 2 AND b.occ_key <> el.min_key),
-        |cut AS (SELECT doc_id, list_sort(list(pos)) AS cuts FROM flagged GROUP BY doc_id),
-        |r AS (SELECT d.doc_id, ts,
-        |        CASE WHEN cuts IS NULL THEN CAST([] AS BIGINT[]) ELSE cuts END AS cuts
-        |      FROM d LEFT JOIN cut USING (doc_id) WHERE d.doc_id >= 250),
-        |k AS (SELECT doc_id, ts,
-        |        list_filter(range(0, len(ts)), i ->
-        |          len(list_filter(cuts, s -> i >= s AND i < s + 8)) = 0) AS keep
-        |      FROM r)
-        |SELECT doc_id,
-        |  COALESCE(array_to_string(list_transform(keep, i -> ts[CAST(i + 1 AS INT)]), ' '), '') AS text_dedup,
-        |  CAST(len(ts) AS BIGINT) AS n_tokens,
-        |  CAST(len(ts) - len(keep) AS BIGINT) AS n_removed
-        |FROM k""".stripMargin,
+    "substr_dedup_incremental" -> substrIncrOracleSql,
     // ExactSubstr-style sliding-window removal replayed exactly: same
     // 60-bit window hash, same scalar occurrence key doc_id*2^20+pos,
     // same coverage rule (token dies iff a redundant window covers it)

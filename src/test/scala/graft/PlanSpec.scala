@@ -280,6 +280,62 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("bucketed window-hash catalog screens exchange-free (broadcast off)") {
+    // the substring-dedup twin of the band-catalog guard: with
+    // broadcast disabled (the 100 TB regime — the accepted-corpus
+    // catalog outgrows any broadcast threshold), the screen join must
+    // read the whash-bucketed catalog WITHOUT re-shuffling it
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      SparkEntry.queries("substr_dedup_incremental_bucketed")(spark, dir)
+      val table = spark.catalog.listTables().collect()
+        .map(_.name).find(_.startsWith("graft_window_catalog_"))
+        .getOrElse(fail("bucketed window catalog table was not created"))
+      val docs = graft.core.Tables.documents(spark, dir)
+      val screen = graft.dedup.Dedup.substrDedupIncremental(
+        docs.filter(col("doc_id") >= 250), spark.table(table), w = 8)
+      screen.queryExecution.toRdd.count()
+      def nodes(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+        case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+        case q: QueryStageExec => nodes(q.plan)
+        case o => o.children.flatMap(nodes)
+      })
+      val all = nodes(screen.queryExecution.executedPlan)
+      def isCatalogScan(p: SparkPlan): Boolean = p match {
+        case s: FileSourceScanExec =>
+          s.relation.location.rootPaths.exists(_.toString.contains("graft_window_catalog_"))
+        case _ => false
+      }
+      val catalogScans = all.collect { case s: FileSourceScanExec if isCatalogScan(s) => s }
+      assert(catalogScans.nonEmpty, "expected a scan of the bucketed window catalog")
+      assert(catalogScans.forall(_.relation.bucketSpec.isDefined),
+        "catalog scan lost its bucket spec")
+      // rebuilds/aggregations DOWNSTREAM of the screen join shuffle
+      // post-join batch rows on other keys, legitimately — the claim
+      // is about the join's CATALOG-SIDE input: between the bucketed
+      // scan and the semi join there must be no exchange
+      import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+      // key on whash so the downstream doc_id rebuild join (whose
+      // subtree transitively contains the scan) is not matched
+      val screenJoins = all.collect {
+        case j: SortMergeJoinExec
+          if j.rightKeys.exists(_.sql.toLowerCase.contains("whash")) &&
+            nodes(j.right).exists(isCatalogScan) => j
+      }
+      assert(screenJoins.nonEmpty, "expected a sort-merge screen join over the catalog")
+      screenJoins.foreach { j =>
+        val shuffled = nodes(j.right).collect { case e: ShuffleExchangeExec => e }
+        assert(shuffled.isEmpty,
+          s"catalog side re-shuffled below the screen join:\n${j.right.treeString}")
+      }
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("filter pushdown reaches the parquet scan") {
     import org.apache.spark.sql.functions.col
     val df = graft.core.Tables.lineitem(spark, dir)

@@ -1000,6 +1000,19 @@ object SparkEntry {
       Tables.documents(spark, dir),
       graft.operators.Inference.hashScoreModel, batchSize = 64)
 
+  /** Per-doc provenance of [[corpusPrepare]]
+    * ([[graft.pipeline.CorpusPipeline.Prepared.disposition]]): why
+    * each input document survived or died — quality gate, duplicate
+    * (with the kept representative), contamination — in the
+    * pipeline's own stage order. */
+  private def corpusDisposition(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val bucket = graft.operators.Sampling.hashBucket(col("doc_id"), "decon")
+    graft.pipeline.CorpusPipeline.prepare(
+      docs.filter(bucket < 80), evalDocs = Some(docs.filter(bucket >= 80)),
+      windowTokens = 256, nShards = 8).disposition
+  }
+
   /** Content-defined chunking ([[TextFunctions.cdcChunkRows]]): w=4
     * rolling window, 2^3-token expected chunks over the documents
     * table. The oracle replays the same boundary rule row-wise
@@ -1235,6 +1248,97 @@ object SparkEntry {
       |  CAST(len(ts) AS BIGINT) AS n_tokens,
       |  CAST(len(ts) - len(keep) AS BIGINT) AS n_removed
       |FROM k""".stripMargin
+
+  /** The corpus_prepare oracle's staged CTE chain (quality gate,
+    * near-dup pairs + recursive CC, decontamination) up to the
+    * `clean` survivors — shared by the `corpus_prepare` packing tail
+    * and the `corpus_disposition` provenance tail. */
+  private lazy val corpusStagesCtesSql: String =
+    s"""WITH RECURSIVE split AS (
+       |  SELECT doc_id, text,
+       |    CAST(concat('0x', substring(md5(concat(CAST(doc_id AS VARCHAR), 'decon')), 1, 15)) AS BIGINT) % 100 AS bucket
+       |  FROM documents),
+       |corpus AS (SELECT doc_id, text FROM split WHERE bucket < 80),
+       |ev AS (SELECT doc_id, text FROM split WHERE bucket >= 80),
+       |flt AS (
+       |  SELECT doc_id,
+       |    len($toksSql) >= 20 AS len_ok,
+       |    doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS not_dup
+       |  FROM corpus),
+       |grams AS (
+       |  SELECT doc_id, CAST(concat('0x', substring(md5(gr), 1, 15)) AS BIGINT) AS h
+       |  FROM (SELECT doc_id,
+       |          unnest(list_transform(range(1, len($toksSql)),
+       |            i -> $toksSql[i] || ' ' || $toksSql[i+1])) AS gr
+       |        FROM corpus)),
+       |per AS (SELECT doc_id, h, count(*) AS c FROM grams GROUP BY doc_id, h),
+       |rep AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_2grams,
+       |          CAST(max(c) AS BIGINT) AS top_count
+       |        FROM per GROUP BY doc_id),
+       |repok AS (
+       |  SELECT c.doc_id,
+       |    CASE WHEN COALESCE(r.n_2grams, 0) = 0 THEN 0.0
+       |         ELSE CAST(r.top_count AS DOUBLE) / CAST(r.n_2grams AS DOUBLE)
+       |    END < 0.2 AS rep_ok
+       |  FROM corpus c LEFT JOIN rep r ON c.doc_id = r.doc_id),
+       |kept AS (
+       |  SELECT c.doc_id, c.text
+       |  FROM corpus c JOIN flt f ON c.doc_id = f.doc_id
+       |    JOIN repok r ON c.doc_id = r.doc_id
+       |  WHERE f.len_ok AND f.not_dup AND r.rep_ok),
+       |docs2 AS (SELECT doc_id, $shinglesSql AS shingles FROM kept),
+       |sigs AS (
+       |  SELECT doc_id, shingles,
+       |    list_transform(range(0, 12), j ->
+       |      list_aggregate(list_transform(shingles,
+       |        s -> (CAST(concat('0x', substring(md5(s), 1, 15)) AS BIGINT) % 2147483648
+       |              + j * (CAST(concat('0x', substring(md5(s), 16, 15)) AS BIGINT) % 2147483648))
+       |             % 2147483648), 'min')) AS sig
+       |  FROM docs2 WHERE len(shingles) > 0),
+       |bands AS (
+       |  SELECT doc_id, b AS band_idx,
+       |    concat_ws(',', sig[b*3+1], sig[b*3+2], sig[b*3+3]) AS band_hash
+       |  FROM sigs, range(0, 4) AS t(b)),
+       |bsz AS (
+       |  SELECT band_idx, band_hash FROM bands
+       |  GROUP BY band_idx, band_hash HAVING count(*) <= 1000),
+       |bands2 AS (
+       |  SELECT b.doc_id, b.band_idx, b.band_hash
+       |  FROM bands b JOIN bsz USING (band_idx, band_hash)),
+       |cands AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands2 a JOIN bands2 b
+       |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+       |  WHERE a.doc_id < b.doc_id),
+       |ver AS (
+       |  SELECT c.doc_a, c.doc_b
+       |  FROM cands c JOIN sigs a ON c.doc_a = a.doc_id
+       |    JOIN sigs b ON c.doc_b = b.doc_id
+       |  WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+       |    / CAST(len(a.shingles) + len(b.shingles)
+       |           - len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) >= 0.8),
+       |e AS (SELECT doc_a AS a, doc_b AS b FROM ver
+       |      UNION SELECT doc_b, doc_a FROM ver),
+       |reach(src, dst) AS (
+       |  SELECT a, a FROM (SELECT DISTINCT a FROM e)
+       |  UNION
+       |  SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a),
+       |dd AS (
+       |  SELECT k.doc_id, k.text FROM kept k
+       |  WHERE k.doc_id NOT IN (
+       |    SELECT src FROM reach GROUP BY src HAVING min(dst) <> src)),
+       |tsh AS (SELECT DISTINCT CAST(concat('0x', substring(md5(sh), 1, 15)) AS BIGINT) AS h
+       |        FROM (SELECT unnest($shinglesSql) AS sh FROM ev)),
+       |tesh AS (SELECT doc_id, CAST(concat('0x', substring(md5(sh), 1, 15)) AS BIGINT) AS h
+       |         FROM (SELECT doc_id, unnest($shinglesSql) AS sh FROM dd)),
+       |tot AS (SELECT doc_id, CAST(len($shinglesSql) AS BIGINT) AS n_shingles FROM dd),
+       |m AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matched
+       |      FROM tesh WHERE h IN (SELECT h FROM tsh) GROUP BY doc_id),
+       |clean AS (
+       |  SELECT t.doc_id FROM tot t LEFT JOIN m ON t.doc_id = m.doc_id
+       |  WHERE CASE WHEN t.n_shingles = 0 THEN 0.0
+       |        ELSE CAST(COALESCE(m.n_matched, 0) AS DOUBLE) / CAST(t.n_shingles AS DOUBLE)
+       |        END <= 0.1)""".stripMargin
 
   /** Brute-force cosine top-k (k=5, queries = vec_id < 10) — the
     * oracle for `sim_topk` and, via the exact-at-full-probe IVF
@@ -2399,6 +2503,7 @@ object SparkEntry {
     "corpus_filter" -> ((s, d) =>
       TextFunctions.corpusFilter(Tables.documents(s, d))),
     "corpus_prepare" -> (corpusPrepare(_, _)),
+    "corpus_disposition" -> (corpusDisposition(_, _)),
     "multimodal_features" -> (multimodalFeatures(_, _)),
     "multimodal_frames" -> (multimodalFrames(_, _)),
     // consecutive-frame |luma diff| motion proxy over the REAL Y4M
@@ -4883,92 +4988,7 @@ object SparkEntry {
     // decontaminate and doc_pack oracle fragments chained into a
     // single CTE pipeline over the 80% hash-split corpus (eval = the
     // held-out 20%), mirroring CorpusPipeline.prepare stage for stage
-    "corpus_prepare" ->
-      s"""WITH RECURSIVE split AS (
-         |  SELECT doc_id, text,
-         |    CAST(concat('0x', substring(md5(concat(CAST(doc_id AS VARCHAR), 'decon')), 1, 15)) AS BIGINT) % 100 AS bucket
-         |  FROM documents),
-         |corpus AS (SELECT doc_id, text FROM split WHERE bucket < 80),
-         |ev AS (SELECT doc_id, text FROM split WHERE bucket >= 80),
-         |flt AS (
-         |  SELECT doc_id,
-         |    len($toksSql) >= 20 AS len_ok,
-         |    doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS not_dup
-         |  FROM corpus),
-         |grams AS (
-         |  SELECT doc_id, CAST(concat('0x', substring(md5(gr), 1, 15)) AS BIGINT) AS h
-         |  FROM (SELECT doc_id,
-         |          unnest(list_transform(range(1, len($toksSql)),
-         |            i -> $toksSql[i] || ' ' || $toksSql[i+1])) AS gr
-         |        FROM corpus)),
-         |per AS (SELECT doc_id, h, count(*) AS c FROM grams GROUP BY doc_id, h),
-         |rep AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_2grams,
-         |          CAST(max(c) AS BIGINT) AS top_count
-         |        FROM per GROUP BY doc_id),
-         |repok AS (
-         |  SELECT c.doc_id,
-         |    CASE WHEN COALESCE(r.n_2grams, 0) = 0 THEN 0.0
-         |         ELSE CAST(r.top_count AS DOUBLE) / CAST(r.n_2grams AS DOUBLE)
-         |    END < 0.2 AS rep_ok
-         |  FROM corpus c LEFT JOIN rep r ON c.doc_id = r.doc_id),
-         |kept AS (
-         |  SELECT c.doc_id, c.text
-         |  FROM corpus c JOIN flt f ON c.doc_id = f.doc_id
-         |    JOIN repok r ON c.doc_id = r.doc_id
-         |  WHERE f.len_ok AND f.not_dup AND r.rep_ok),
-         |docs2 AS (SELECT doc_id, $shinglesSql AS shingles FROM kept),
-         |sigs AS (
-         |  SELECT doc_id, shingles,
-         |    list_transform(range(0, 12), j ->
-         |      list_aggregate(list_transform(shingles,
-         |        s -> (CAST(concat('0x', substring(md5(s), 1, 15)) AS BIGINT) % 2147483648
-         |              + j * (CAST(concat('0x', substring(md5(s), 16, 15)) AS BIGINT) % 2147483648))
-         |             % 2147483648), 'min')) AS sig
-         |  FROM docs2 WHERE len(shingles) > 0),
-         |bands AS (
-         |  SELECT doc_id, b AS band_idx,
-         |    concat_ws(',', sig[b*3+1], sig[b*3+2], sig[b*3+3]) AS band_hash
-         |  FROM sigs, range(0, 4) AS t(b)),
-         |bsz AS (
-         |  SELECT band_idx, band_hash FROM bands
-         |  GROUP BY band_idx, band_hash HAVING count(*) <= 1000),
-         |bands2 AS (
-         |  SELECT b.doc_id, b.band_idx, b.band_hash
-         |  FROM bands b JOIN bsz USING (band_idx, band_hash)),
-         |cands AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bands2 a JOIN bands2 b
-         |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
-         |  WHERE a.doc_id < b.doc_id),
-         |ver AS (
-         |  SELECT c.doc_a, c.doc_b
-         |  FROM cands c JOIN sigs a ON c.doc_a = a.doc_id
-         |    JOIN sigs b ON c.doc_b = b.doc_id
-         |  WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-         |    / CAST(len(a.shingles) + len(b.shingles)
-         |           - len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) >= 0.8),
-         |e AS (SELECT doc_a AS a, doc_b AS b FROM ver
-         |      UNION SELECT doc_b, doc_a FROM ver),
-         |reach(src, dst) AS (
-         |  SELECT a, a FROM (SELECT DISTINCT a FROM e)
-         |  UNION
-         |  SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a),
-         |dd AS (
-         |  SELECT k.doc_id, k.text FROM kept k
-         |  WHERE k.doc_id NOT IN (
-         |    SELECT src FROM reach GROUP BY src HAVING min(dst) <> src)),
-         |tsh AS (SELECT DISTINCT CAST(concat('0x', substring(md5(sh), 1, 15)) AS BIGINT) AS h
-         |        FROM (SELECT unnest($shinglesSql) AS sh FROM ev)),
-         |tesh AS (SELECT doc_id, CAST(concat('0x', substring(md5(sh), 1, 15)) AS BIGINT) AS h
-         |         FROM (SELECT doc_id, unnest($shinglesSql) AS sh FROM dd)),
-         |tot AS (SELECT doc_id, CAST(len($shinglesSql) AS BIGINT) AS n_shingles FROM dd),
-         |m AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matched
-         |      FROM tesh WHERE h IN (SELECT h FROM tsh) GROUP BY doc_id),
-         |clean AS (
-         |  SELECT t.doc_id FROM tot t LEFT JOIN m ON t.doc_id = m.doc_id
-         |  WHERE CASE WHEN t.n_shingles = 0 THEN 0.0
-         |        ELSE CAST(COALESCE(m.n_matched, 0) AS DOUBLE) / CAST(t.n_shingles AS DOUBLE)
-         |        END <= 0.1),
+    "corpus_prepare" -> (corpusStagesCtesSql + s""",
          |fin AS (SELECT d.doc_id, d.text FROM dd d JOIN clean USING (doc_id)),
          |tk AS (
          |  SELECT doc_id, CAST(doc_id % 8 AS INT) AS shard,
@@ -4983,7 +5003,24 @@ object SparkEntry {
          |  CAST(p.start_tok // 256 AS BIGINT) AS bin_id,
          |  CAST(p.start_tok % 256 AS BIGINT) AS offset_in_bin,
          |  f.text
-         |FROM pk p JOIN fin f ON p.doc_id = f.doc_id""".stripMargin,
+         |FROM pk p JOIN fin f ON p.doc_id = f.doc_id""".stripMargin),
+    // per-doc provenance over the same staged CTEs: quality gate →
+    // duplicate (with the representative kept instead) →
+    // contamination, in the pipeline's own stage order
+    "corpus_disposition" -> (corpusStagesCtesSql + """
+         |SELECT c.doc_id,
+         |  CASE WHEN NOT (f.len_ok AND f.not_dup AND r.rep_ok) THEN 'quality'
+         |       WHEN dup.rep IS NOT NULL THEN 'duplicate'
+         |       WHEN cl.doc_id IS NULL THEN 'contaminated'
+         |       ELSE 'kept' END AS disposition,
+         |  dup.rep AS dup_of
+         |FROM corpus c
+         |JOIN flt f ON c.doc_id = f.doc_id
+         |JOIN repok r ON c.doc_id = r.doc_id
+         |LEFT JOIN (SELECT src, CAST(min(dst) AS BIGINT) AS rep
+         |           FROM reach GROUP BY src HAVING min(dst) <> src) dup
+         |  ON c.doc_id = dup.src
+         |LEFT JOIN clean cl ON c.doc_id = cl.doc_id""".stripMargin),
     "multimodal_features" ->
       """SELECT doc_id AS asset_id,
         |  ['image','audio','video'][CAST(doc_id % 3 + 1 AS INT)] AS media_type,

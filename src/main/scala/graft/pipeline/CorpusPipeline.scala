@@ -74,7 +74,8 @@ object CorpusPipeline {
       filtered: DataFrame,
       deduped: DataFrame,
       decontaminated: DataFrame,
-      packed: DataFrame) {
+      packed: DataFrame,
+      disposition: DataFrame) {
 
     /** Free the checkpoint blocks backing the stage frames (the
       * keep-list, the dirty-id list, and the CC fixpoint's final edge
@@ -85,7 +86,7 @@ object CorpusPipeline {
       * storage pool. After release, every stage frame of THIS result
       * is unusable (lineage was truncated by the checkpoint). */
     def release(): Unit =
-      Seq(filtered, deduped, decontaminated, packed)
+      Seq(filtered, deduped, decontaminated, packed, disposition)
         .foreach(graft.core.Checkpoints.releaseAll)
   }
 
@@ -209,7 +210,29 @@ object CorpusPipeline {
     val packed = TextFunctions
       .packDocuments(decontaminated, windowTokens, nShards, textCol, idCol)
       .join(decontaminated.select(col(idCol).as("doc_id"), col(textCol)), "doc_id")
-    Prepared(filtered, deduped, decontaminated, packed)
+    // Per-doc PROVENANCE — why did each input document survive or die:
+    // 'quality' (failed the gate), 'duplicate' (non-representative
+    // cluster member; dup_of = the representative kept instead),
+    // 'contaminated' (eval overlap — only after surviving dedup, the
+    // pipeline's own stage order), 'kept'. Lazy over the already-
+    // checkpointed id lists, so the audit costs three narrow
+    // broadcast joins over the input ids — the release-gate
+    // explainability a curation pipeline owes its auditors.
+    val dupOf = clusters.filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as(idCol), col("cluster_id").as("dup_of"))
+    val disposition = docs.select(col(idCol))
+      .join(keepIds.withColumn("__kept", lit(true)), Seq(idCol), "left")
+      .join(dupOf, Seq(idCol), "left")
+      .join(dirtyIds.map(_.withColumn("__dirty", lit(true)))
+        .getOrElse(keepIds.limit(0).withColumn("__dirty", lit(true))),
+        Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("__kept").isNull, lit("quality"))
+          .when(col("dup_of").isNotNull, lit("duplicate"))
+          .when(col("__dirty").isNotNull, lit("contaminated"))
+          .otherwise(lit("kept")).as("disposition"),
+        col("dup_of"))
+    Prepared(filtered, deduped, decontaminated, packed, disposition)
   }
 
   /** Domain-weighted corpus mixing: keep each source's documents at

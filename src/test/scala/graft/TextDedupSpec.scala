@@ -264,6 +264,17 @@ class TextDedupSpec extends SparkSpec {
     assert(p.decontaminated.select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
     val packed = p.packed.collect()
     assert(packed.length == 2 && packed.forall(_.schema.fieldNames.contains("bin_id")))
+    // provenance: every input doc gets a disposition in stage order,
+    // duplicates name the representative kept instead
+    val disp = p.disposition.collect()
+      .map(r => r.getLong(0) -> ((r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))).toMap
+    assert(disp(1L) == (("kept", None)))
+    assert(disp(2L) == (("kept", None)))
+    assert(disp(3L) == (("quality", None)))    // exact dup dies at the gate
+    assert(disp(4L) == (("duplicate", Some(1L))))
+    assert(disp(5L) == (("quality", None)))
+    assert(disp(6L) == (("contaminated", None)))
   }
 
   test("CorpusPipeline.prepare bloom decontamination drops a superset of the exact path") {

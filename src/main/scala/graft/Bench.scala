@@ -26,7 +26,13 @@ object Bench {
     "corpus_shuffle" -> Map("wide-shuffle" ->
       "shard-shuffle IS the operator: redistributing payload rows is the point"),
     "doc_pack" -> Map("wide-shuffle" ->
-      "sequence packing redistributes document text into shards by design"))
+      "sequence packing redistributes document text into shards by design"),
+    "substr_dedup" -> Map("wide-shuffle" ->
+      "Parallelism.ensure round-robins the 1-partition local input before CPU-bound window hashing; no-op at scale where the scan splits naturally"),
+    "substr_dedup_incremental" -> Map("wide-shuffle" ->
+      "Parallelism.ensure round-robins the 1-partition local input before CPU-bound window hashing; no-op at scale where the scan splits naturally"),
+    "substr_dedup_incremental_bucketed" -> Map("wide-shuffle" ->
+      "Parallelism.ensure round-robins the 1-partition local input before CPU-bound window hashing; no-op at scale where the scan splits naturally"))
 
   private def fmt(d: Double): String = f"$d%.3f"
 

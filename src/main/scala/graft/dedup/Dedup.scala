@@ -882,7 +882,14 @@ object Dedup {
     require(w >= 2, s"window must be >= 2 tokens, got $w")
     val posCap = 1L << 20
     import graft.functions.TextFunctions.{bound, tokens, shingleHash}
-    df.select(col(idCol).cast("long").as("doc_id"),
+    // per-position window hashing is CPU-bound: a small local parquet
+    // arrives as ONE partition and would serialize the whole corpus's
+    // md5 work on one core. ensure() round-robins the input up to the
+    // cluster parallelism — a no-op at scale, where the scan itself
+    // produces thousands of splits (lint-exempted: this is the
+    // parallelism bootstrap, not a keyed text exchange)
+    graft.core.Parallelism.ensure(df)
+      .select(col(idCol).cast("long").as("doc_id"),
         bound(tokens(col(textCol))) { ts =>
           when(size(ts) >= w,
             transform(sequence(lit(0), size(ts) - w), i =>

@@ -45,17 +45,21 @@ object Privacy {
     df.groupBy(qiCols.map(col): _*)
       .agg(count(lit(1)).as("class_size"))
       .agg(
-        sum(col("class_size")).as("n_rows"),
+        // coalesce: an EMPTY dataset must gate as vacuously anonymous
+        // (0 rows, 0 violations), not as a row of NULL aggregates
+        coalesce(sum(col("class_size")), lit(0L)).as("n_rows"),
         count(lit(1)).as("n_classes"),
-        sum(when(col("class_size") < k, 1L).otherwise(0L)).as("violating_classes"),
-        sum(when(col("class_size") < k, col("class_size")).otherwise(0L))
-          .as("exposed_rows"),
+        coalesce(sum(when(col("class_size") < k, 1L).otherwise(0L)), lit(0L))
+          .as("violating_classes"),
+        coalesce(sum(when(col("class_size") < k, col("class_size")).otherwise(0L)),
+          lit(0L)).as("exposed_rows"),
         min(col("class_size")).as("min_class_size"))
       .select(col("n_rows"), col("n_classes"), col("violating_classes"),
         col("exposed_rows"),
         // integral division of non-negative longs: floor == trunc on
-        // every engine, so the gate value replays exactly
-        expr("(exposed_rows * 10000) div n_rows").as("exposed_bps"),
+        // every engine, so the gate value replays exactly; greatest
+        // guards the empty-input denominator only
+        expr("(exposed_rows * 10000) div greatest(n_rows, 1)").as("exposed_bps"),
         col("min_class_size"),
         (col("violating_classes") === 0).as("k_anonymous"))
   }

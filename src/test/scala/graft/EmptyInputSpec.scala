@@ -140,6 +140,46 @@ class EmptyInputSpec extends SparkSpec {
     assert(contam.forall(_.getAs[Double]("contamination") == 0.0))
   }
 
+  test("round-10 additions accept empty inputs") {
+    // substring dedup family: no windows, no cuts, no output rows
+    assert(Dedup.substrDedup(emptyDocs).isEmpty)
+    assert(Dedup.windowHashCatalog(emptyDocs).isEmpty)
+    assert(Dedup.substrDedupIncremental(
+      emptyDocs, Dedup.windowHashCatalog(emptyDocs)).isEmpty)
+    // an empty batch against a NON-empty catalog, and vice versa
+    val someDocs = Seq((1L, "a b c d e f g h i j")).toDF("doc_id", "text")
+    assert(Dedup.substrDedupIncremental(
+      emptyDocs, Dedup.windowHashCatalog(someDocs)).isEmpty)
+    assert(Dedup.substrDedupIncremental(
+        someDocs, Dedup.windowHashCatalog(emptyDocs))
+      .collect().head.getString(1) == "a b c d e f g h i j")
+    // valuation: empty train set → no values; empty test set → no work
+    val emptyLabeled = Seq.empty[(Long, Array[Float], Int)]
+      .toDF("vec_id", "embedding", "label")
+    val someTest = Seq((0L, Array(1.0f, 0.0f), 0)).toDF("q_id", "q_emb", "q_label")
+    assert(graft.operators.Valuation.knnShapley(emptyLabeled, someTest).isEmpty)
+    val someTrain = Seq((1L, Array(1.0f, 0.0f), 0)).toDF("vec_id", "embedding", "label")
+    assert(graft.operators.Valuation.knnShapley(someTrain,
+      Seq.empty[(Long, Array[Float], Int)].toDF("q_id", "q_emb", "q_label")).isEmpty)
+    // batched inference: the model is never called on an empty corpus
+    // (a throwing model proves it without capturing the spec instance)
+    assert(graft.operators.Inference.batchScore(
+      emptyDocs, _ => throw new RuntimeException("model called on empty input"))
+      .isEmpty)
+    // privacy gates: empty input is vacuously anonymous, no div-by-zero
+    assert(graft.validate.Privacy.kAnonymityGroups(emptyDocs, Seq("source"), 5).isEmpty)
+    val gate = graft.validate.Privacy.kAnonymityReport(emptyDocs, Seq("source"), 5).head()
+    assert(gate.getBoolean(6), "empty dataset must gate as k-anonymous")
+    // variant shredding: a frame with zero rows has no merged schema —
+    // the column survives unshredded as a residual
+    import org.apache.spark.sql.functions.parse_json
+    val emptyV = Seq.empty[(Long, String)].toDF("id", "j")
+      .select(col("id"), parse_json(col("j")).as("v"))
+    val out = java.nio.file.Files.createTempDirectory("empty_shred").resolve("t").toString
+    graft.sources.VariantShred.writeShredded(emptyV, out)
+    assert(spark.read.parquet(out).isEmpty)
+  }
+
   test("similarity and graph operators accept empty inputs") {
     assert(Similarity.diversitySample(emptyEmb, dim = 64, perBucket = 2).isEmpty)
     assert(Similarity.semanticDedup(emptyEmb, dim = 64, tau = 0.5).isEmpty)

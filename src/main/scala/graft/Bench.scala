@@ -191,21 +191,37 @@ object Bench {
     def primeLayout(name: String, dir: String): Unit =
       SparkEntry.layoutBuilds.get(name).foreach { build =>
         val t0 = System.nanoTime()
-        try build(spark, dir)
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] layout build $name failed: ${e.getMessage}") }
+        val failed =
+          try { build(spark, dir); false }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] layout build $name failed: ${e.getMessage}")
+            true
+          }
         val t = (System.nanoTime() - t0) / 1e9
         if (dir == sfDir)
-          layoutTimes(name) = math.max(layoutTimes.getOrElse(name, 0.0), t)
+          // a failed prime reports -1, never a small elapsed time: the
+          // first timed run will re-attempt the build inside its
+          // window, and the artifact must attribute that, not hide it
+          layoutTimes(name) =
+            if (failed || layoutTimes.get(name).exists(_ < 0)) -1.0
+            else math.max(layoutTimes.getOrElse(name, 0.0), t)
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
         System.gc()
       }
+    // snapshot of CorpusPipeline.lastStageSeconds taken right after
+    // corpus_prepare's OWN sweep runs — the register is shared (the
+    // disposition query and the scaling block's other-SF re-runs also
+    // write it), so reading it at artifact time would mislabel
+    // whichever prepare() happened to run last
+    var prepStages: Map[String, Double] = Map.empty
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
       primeLayout(name, sfDir)
       var times = (1 to nRuns).flatMap(r => timeOne(name, fn, sfDir, lint = r == nRuns))
+      if (name == "corpus_prepare")
+        prepStages = graft.pipeline.CorpusPipeline.lastStageSeconds.get()
       if (times.size >= 2 && times.min > 0.3 && times.max / times.min > 2.0)
         times = times ++ (1 to maxExtraRuns).flatMap(_ => timeOne(name, fn, sfDir))
       System.err.println(s"[bench] $name runs=" +
@@ -416,11 +432,12 @@ object Bench {
     val layoutJson = layoutTimes.map { case (k, v) => s""""$k":${fmt(v)}""" }
       .mkString("{", ",", "}")
     val ccRounds = graft.dedup.Dedup.lastCcRounds.get()
-    // Eager-stage wall times of corpus_prepare's LAST run in the sweep
-    // (steady state): names the dominant stage so a perf round targets
-    // the right rewrite. The lazy tail (anti-joins + packing) is the
-    // difference to the query total.
-    val prepStagesJson = graft.pipeline.CorpusPipeline.lastStageSeconds.get()
+    // Eager-stage wall times of corpus_prepare's LAST run in its own
+    // sweep slot (snapshotted there — see prepStages): names the
+    // dominant stage so a perf round targets the right rewrite. The
+    // lazy tail (anti-joins + packing) is the difference to the query
+    // total.
+    val prepStagesJson = prepStages
       .map { case (k, v) => s""""$k":${fmt(v)}""" }.mkString("{", ",", "}")
     val detail =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_s":${fmt(total)},"sf":"$sfDir","runs":$nRuns,"runs_max":${nRuns + maxExtraRuns},"timing":"min-of-$nRuns (+$maxExtraRuns adaptive runs when 3-run spread > 2x; runs_s carries every run), full materialization via toRdd, fresh plan per run, caches+leftover RDD blocks cleared between runs","cc_rounds":$ccRounds,"corpus_prepare_stages_s":$prepStagesJson,"timing_consistency":$consistencyJson,"layout_build_s":$layoutJson,"leftover_persisted_rdds":$leftoverJson,"vs_prev":$vsPrevJson,"lint":$lintJson,"queries":$qs,"scaling":$scalingJson,"runs_s":$perRun}"""

@@ -123,7 +123,10 @@ object SparkEntry {
   private def ensureFactPrunedLayout(spark: SparkSession, dir: String): String = {
     val fp = graft.sources.LayoutCache.contentFingerprint(
       Seq("lineitem.parquet", "orders.parquet").map(new java.io.File(dir, _)))
-    graft.sources.LayoutCache.ensure("graft_fact_pruned", fp) { tmp =>
+    // scope = the source dir name, so the sf0.001/sf0.01/sf0.1 layouts
+    // coexist and a regeneration evicts only ITS scope's stale copy
+    graft.sources.LayoutCache.ensure("graft_fact_pruned",
+      new java.io.File(dir).getName, fp) { tmp =>
       graft.sources.Sinks.partitionedParquet(
         TaxiShape.staging(spark, dir).select(
           date_format(col("pickup_datetime"), "yyyy-MM").as("ym"),
@@ -440,8 +443,12 @@ object SparkEntry {
         col("user_id"), col("event_type"), col("value"),
         array(col("value")).as("vals"))).as("payload"),
       parse_json(col("props")).as("props_v"))
+    // per-PROCESS path: this query rewrites its output every run (the
+    // write IS the operator); a path shared across JVMs would let a
+    // concurrent bench/test overwrite the directory mid-read
     val out = new java.io.File(System.getProperty("java.io.tmpdir"),
-      "graft_json_shred_" + dirFingerprint(dir)).getAbsolutePath
+      s"graft_json_shred_${dirFingerprint(dir)}_p${ProcessHandle.current().pid()}")
+      .getAbsolutePath
     VariantShred.writeShredded(v, out)
     val back = spark.read.parquet(out)
     back.select(col("event_id"),
@@ -969,8 +976,11 @@ object SparkEntry {
       col("doc_id"),
       (col("doc_id") % 8).cast("int").as("shard"),
       size(TextFunctions.tokens(col("text"))).cast("long").as("n_tokens"))
+    // per-PROCESS path — same rationale as json_shred: the rewrite is
+    // the operator, and cross-JVM sharing would race reader vs writer
     val out = new java.io.File(System.getProperty("java.io.tmpdir"),
-      "graft_export_" + dirFingerprint(dir)).getAbsolutePath
+      s"graft_export_${dirFingerprint(dir)}_p${ProcessHandle.current().pid()}")
+      .getAbsolutePath
     graft.sources.TrainingExport.export(docs, out, "shard", "n_tokens",
       orderCols = Seq("doc_id"))
     spark.read.parquet(out)

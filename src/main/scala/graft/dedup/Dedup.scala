@@ -419,7 +419,23 @@ object Dedup {
     // O(log d) star-contraction below runs unchanged — the 100 TB path.
     val spark = pairs.sparkSession
     val edges0 = init.localCheckpoint()
-    val nEdges = edges0.count()
+    // Edge-set fingerprint: one action per round. Equal fingerprints ⇒
+    // equal sets (mod a ~2^-64 checksum collision) ⇒ fixpoint, because
+    // both star steps are deterministic functions of the set.
+    // decimal(38,0) accumulator: a sum of 64-bit hashes overflows LONG
+    // under ANSI mode; decimal has headroom for ~10^18 edges
+    def fingerprint(e: DataFrame): (Long, String) = {
+      val r = e.agg(count(lit(1)),
+        coalesce(sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")),
+          lit(0).cast("decimal(38,0)"))).head()
+      (r.getLong(0), r.getDecimal(1).toPlainString)
+    }
+
+    // ONE action decides the branch AND seeds the fixpoint: the
+    // fingerprint already computes the edge count, so the large-graph
+    // path pays no extra job for the fast-path probe
+    val fp0 = fingerprint(edges0)
+    val nEdges = fp0._1
     if (nEdges <= driverEdgeCap) {
       import spark.implicits._
       val es = edges0.select(col("u"), col("v")).as[(Long, Long)].collect()
@@ -470,18 +486,6 @@ object Dedup {
       moved.unionAll(mins.select(col("u"), col("m").as("v"))).distinct()
     }
 
-    // Edge-set fingerprint: one action per round. Equal fingerprints ⇒
-    // equal sets (mod a ~2^-64 checksum collision) ⇒ fixpoint, because
-    // both star steps are deterministic functions of the set.
-    // decimal(38,0) accumulator: a sum of 64-bit hashes overflows LONG
-    // under ANSI mode; decimal has headroom for ~10^18 edges
-    def fingerprint(e: DataFrame): (Long, String) = {
-      val r = e.agg(count(lit(1)),
-        coalesce(sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")),
-          lit(0).cast("decimal(38,0)"))).head()
-      (r.getLong(0), r.getDecimal(1).toPlainString)
-    }
-
     // localCheckpoint (eager) truncates lineage each round: with plain
     // persist the logical plan nests round-over-round (cache matching +
     // AQE replanning of an ever-growing tree dominated the runtime —
@@ -489,7 +493,7 @@ object Dedup {
     // round is a flat LogicalRDD, so per-round planning cost is constant.
     // Old checkpoint blocks are released by the ContextCleaner.
     var edges = edges0
-    var fp = fingerprint(edges)
+    var fp = fp0
     var iter = 0
     var converged = false
     while (iter < maxIters && !converged) {
@@ -892,9 +896,15 @@ object Dedup {
       .select(col(idCol).cast("long").as("doc_id"),
         bound(tokens(col(textCol))) { ts =>
           when(size(ts) >= w,
+            // loud guard, not a scaladoc caveat: a doc with >= 2^20
+            // tokens would silently collide its occ_key into the next
+            // doc_id's key space and elect wrong first occurrences
+            when(assert_true(size(ts) - w < lit(posCap.toInt),
+              concat(lit(s"document exceeds the $posCap-token window-position cap "),
+                lit("(occ_key packs doc_id * 2^20 + pos) — re-key or chunk it"))).isNull,
             transform(sequence(lit(0), size(ts) - w), i =>
               struct(i.as("pos"),
-                shingleHash(concat_ws(" ", slice(ts, i + 1, lit(w)))).as("whash"))))
+                shingleHash(concat_ws(" ", slice(ts, i + 1, lit(w)))).as("whash")))))
             .otherwise(array().cast("array<struct<pos:int,whash:bigint>>"))
         }.as("wins"))
       .select(col("doc_id"), explode(col("wins")).as("wn"))

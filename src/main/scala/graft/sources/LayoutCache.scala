@@ -88,14 +88,26 @@ object LayoutCache {
     * building it with `write(tmpPath)` if absent (the writer must leave
     * a `_SUCCESS` marker, as Spark's parquet committer does). Returns
     * the layout path. See the object doc for the atomicity contract. */
-  def ensure(prefix: String, fingerprint: String,
+  /** `scope` names the SOURCE the fingerprint was taken over (e.g. the
+    * source directory name): layouts of DIFFERENT scopes coexist —
+    * sf0.001/sf0.01/sf0.1 each keep their own — while a new
+    * fingerprint within one scope means that scope's source was
+    * regenerated, so its old-fingerprint siblings are swept. The lock
+    * file is PER SCOPE (not per fingerprint), so the sweep of a
+    * scope's stale layouts is serialized against every builder of
+    * that scope and can never delete a directory another builder of
+    * the same scope is mid-publishing; other scopes' layouts are
+    * never touched by either the lock or the sweep. */
+  def ensure(prefix: String, scope: String, fingerprint: String,
              base: File = new File(System.getProperty("java.io.tmpdir")))
             (write: String => Unit): String = {
-    val dest = new File(base, s"${prefix}_$fingerprint")
+    val scopeKey = s"${prefix}_${sanitize(scope)}"
+    val dest = new File(base, s"${scopeKey}_$fingerprint")
     if (complete(dest)) return dest.getAbsolutePath
-    val monitor = jvmLocks.computeIfAbsent(dest.getAbsolutePath, _ => new Object)
+    val monitor = jvmLocks.computeIfAbsent(
+      new File(base, scopeKey).getAbsolutePath, _ => new Object)
     monitor.synchronized {
-      val lockFile = new File(base, s"${prefix}_$fingerprint.lock")
+      val lockFile = new File(base, s"$scopeKey.lock")
       val ch = FileChannel.open(lockFile.toPath,
         StandardOpenOption.CREATE, StandardOpenOption.WRITE)
       try {
@@ -107,8 +119,8 @@ object LayoutCache {
           // pre-atomic-publish version (publication is a single rename
           // of a complete tree) — remove it before publishing
           if (dest.exists()) deleteRecursively(dest)
-          sweep(base, prefix, fingerprint)
-          val tmp = new File(base, s"${prefix}_$fingerprint.tmp-" +
+          sweep(base, scopeKey, fingerprint)
+          val tmp = new File(base, s"${scopeKey}_$fingerprint.tmp-" +
             java.util.UUID.randomUUID.toString.take(8))
           write(tmp.getAbsolutePath)
           require(complete(tmp),
@@ -120,15 +132,19 @@ object LayoutCache {
     dest.getAbsolutePath
   }
 
-  /** Under the lock: drop other-fingerprint siblings (the source files
-    * were regenerated — those layouts can never validate again) and
-    * orphaned `.tmp-*` trees from crashed builders. */
-  private def sweep(base: File, prefix: String, keepFingerprint: String): Unit = {
-    val keep = s"${prefix}_$keepFingerprint"
+  private def sanitize(s: String): String =
+    s.map(c => if (c.isLetterOrDigit || c == '-' || c == '.') c else '_')
+
+  /** Under the SCOPE lock: drop this scope's other-fingerprint
+    * siblings (the scope's source was regenerated — those layouts can
+    * never validate again) and its orphaned `.tmp-*` trees from
+    * crashed builders. Other scopes' layouts are never touched. */
+  private def sweep(base: File, scopeKey: String, keepFingerprint: String): Unit = {
+    val keep = s"${scopeKey}_$keepFingerprint"
     Option(base.listFiles()).toSeq.flatten.foreach { f =>
       val n = f.getName
       val stale =
-        (n.startsWith(prefix + "_") && n != keep && !n.startsWith(keep + ".") &&
+        (n.startsWith(scopeKey + "_") && n != keep && !n.startsWith(keep + ".") &&
           !n.endsWith(".lock")) ||
         (n.startsWith(keep + ".tmp-"))
       if (stale) deleteRecursively(f)

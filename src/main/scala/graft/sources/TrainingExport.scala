@@ -67,10 +67,16 @@ object TrainingExport {
              tokenCol: String, orderCols: Seq[String]): Seq[ShardStat] = {
     require(orderCols.nonEmpty, "need a deterministic in-shard order")
     val spark = df.sparkSession
-    val stats = collectStats(shardStats(df, shardCol, tokenCol))
-    df.repartition(math.max(stats.size, 1), col(shardCol))
+    val nShards = df.select(shardCol).distinct().count().toInt
+    df.repartition(math.max(nShards, 1), col(shardCol))
       .sortWithinPartitions((shardCol +: orderCols).map(col): _*)
       .write.mode("overwrite").partitionBy(shardCol).parquet(path)
+    // the manifest certifies what is ON DISK, so its stats are
+    // recomputed from the written files — a separate pre-write
+    // evaluation of a non-deterministic `df` (or one whose source
+    // mutated between the two jobs) would fingerprint rows that were
+    // never written, and verify() would report phantom tampering
+    val stats = collectStats(shardStats(spark.read.parquet(path), shardCol, tokenCol))
     val manifest = stats.sortBy(_.shard).map { s =>
       s"""{"shard":${s.shard},"rows":${s.rows},"tokens":${s.tokens},"hash_sum":${s.hashSum},"hash_xor":${s.hashXor}}"""
     }.mkString("[\n", ",\n", "\n]")

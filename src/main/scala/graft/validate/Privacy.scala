@@ -53,7 +53,7 @@ object Privacy {
           .as("violating_classes"),
         coalesce(sum(when(col("class_size") < k, col("class_size")).otherwise(0L)),
           lit(0L)).as("exposed_rows"),
-        min(col("class_size")).as("min_class_size"))
+        coalesce(min(col("class_size")), lit(0L)).as("min_class_size"))
       .select(col("n_rows"), col("n_classes"), col("violating_classes"),
         col("exposed_rows"),
         // integral division of non-negative longs: floor == trunc on

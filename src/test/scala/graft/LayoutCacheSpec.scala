@@ -25,10 +25,10 @@ class LayoutCacheSpec extends org.scalatest.funsuite.AnyFunSuite {
   test("builds once, reuses on subsequent calls") {
     val base = tmpBase()
     val builds = new AtomicInteger(0)
-    val p1 = LayoutCache.ensure("lay", "aaaa", base) { tmp =>
+    val p1 = LayoutCache.ensure("lay", "src", "aaaa", base) { tmp =>
       builds.incrementAndGet(); writeLayout(tmp)
     }
-    val p2 = LayoutCache.ensure("lay", "aaaa", base) { tmp =>
+    val p2 = LayoutCache.ensure("lay", "src", "aaaa", base) { tmp =>
       builds.incrementAndGet(); writeLayout(tmp)
     }
     assert(p1 == p2)
@@ -39,10 +39,10 @@ class LayoutCacheSpec extends org.scalatest.funsuite.AnyFunSuite {
 
   test("a destination without _SUCCESS (torn legacy write) is rebuilt") {
     val base = tmpBase()
-    val torn = new File(base, "lay_bbbb")
+    val torn = new File(base, "lay_src_bbbb")
     torn.mkdirs()
     Files.writeString(new File(torn, "part-0").toPath, "partial")
-    val p = LayoutCache.ensure("lay", "bbbb", base)(writeLayout(_, "fresh"))
+    val p = LayoutCache.ensure("lay", "src", "bbbb", base)(writeLayout(_, "fresh"))
     assert(Files.readString(new File(p, "part-0").toPath) == "fresh")
     assert(new File(p, "_SUCCESS").exists())
   }
@@ -50,15 +50,15 @@ class LayoutCacheSpec extends org.scalatest.funsuite.AnyFunSuite {
   test("a builder that crashes leaves no destination; the next builder succeeds") {
     val base = tmpBase()
     intercept[RuntimeException] {
-      LayoutCache.ensure("lay", "cccc", base) { tmp =>
+      LayoutCache.ensure("lay", "src", "cccc", base) { tmp =>
         new File(tmp).mkdirs()
         Files.writeString(new File(tmp, "part-0").toPath, "half")
         throw new RuntimeException("writer crash")
       }
     }
-    assert(!new File(base, "lay_cccc").exists(),
+    assert(!new File(base, "lay_src_cccc").exists(),
       "a crashed builder must not surface any destination directory")
-    val p = LayoutCache.ensure("lay", "cccc", base)(writeLayout(_, "retry"))
+    val p = LayoutCache.ensure("lay", "src", "cccc", base)(writeLayout(_, "retry"))
     assert(Files.readString(new File(p, "part-0").toPath) == "retry")
     // the crashed builder's .tmp-* orphan was swept by the retry
     val orphans = base.listFiles().filter(_.getName.contains(".tmp-"))
@@ -68,12 +68,12 @@ class LayoutCacheSpec extends org.scalatest.funsuite.AnyFunSuite {
   test("a writer that omits _SUCCESS is refused publication") {
     val base = tmpBase()
     intercept[IllegalArgumentException] {
-      LayoutCache.ensure("lay", "dddd", base) { tmp =>
+      LayoutCache.ensure("lay", "src", "dddd", base) { tmp =>
         new File(tmp).mkdirs()
         Files.writeString(new File(tmp, "part-0").toPath, "no marker")
       }
     }
-    assert(!new File(base, "lay_dddd").exists())
+    assert(!new File(base, "lay_src_dddd").exists())
   }
 
   test("concurrent builders: exactly one build, every caller sees a complete layout") {
@@ -85,7 +85,7 @@ class LayoutCacheSpec extends org.scalatest.funsuite.AnyFunSuite {
       scala.concurrent.ExecutionContext.fromExecutor(pool)
     val fs = (1 to threads).map { i =>
       scala.concurrent.Future {
-        LayoutCache.ensure("lay", "eeee", base) { tmp =>
+        LayoutCache.ensure("lay", "src", "eeee", base) { tmp =>
           builds.incrementAndGet()
           Thread.sleep(50) // widen the race window
           writeLayout(tmp, s"builder-$i")
@@ -103,15 +103,33 @@ class LayoutCacheSpec extends org.scalatest.funsuite.AnyFunSuite {
 
   test("stale-fingerprint siblings are swept when a new fingerprint builds") {
     val base = tmpBase()
-    LayoutCache.ensure("lay", "f001", base)(writeLayout(_))
+    LayoutCache.ensure("lay", "src", "f001", base)(writeLayout(_))
     // sources regenerated → new fingerprint; old layout can never validate
-    LayoutCache.ensure("lay", "f002", base)(writeLayout(_))
-    assert(!new File(base, "lay_f001").exists(), "stale layout must be swept")
-    assert(new File(base, "lay_f002/_SUCCESS").exists())
+    LayoutCache.ensure("lay", "src", "f002", base)(writeLayout(_))
+    assert(!new File(base, "lay_src_f001").exists(), "stale layout must be swept")
+    assert(new File(base, "lay_src_f002/_SUCCESS").exists())
     // a different prefix is untouched
-    LayoutCache.ensure("other", "f001", base)(writeLayout(_))
-    LayoutCache.ensure("lay", "f003", base)(writeLayout(_))
-    assert(new File(base, "other_f001/_SUCCESS").exists())
+    LayoutCache.ensure("other", "src", "f001", base)(writeLayout(_))
+    LayoutCache.ensure("lay", "src", "f003", base)(writeLayout(_))
+    assert(new File(base, "other_src_f001/_SUCCESS").exists())
+  }
+
+  test("different scopes coexist; a rebuild sweeps only its own scope") {
+    val base = tmpBase()
+    // three simultaneously-valid sources (sf0.001/sf0.01/sf0.1)
+    LayoutCache.ensure("lay", "sf0.001", "a1", base)(writeLayout(_))
+    LayoutCache.ensure("lay", "sf0.01", "b1", base)(writeLayout(_))
+    LayoutCache.ensure("lay", "sf0.1", "c1", base)(writeLayout(_))
+    assert(new File(base, "lay_sf0.001_a1/_SUCCESS").exists())
+    assert(new File(base, "lay_sf0.01_b1/_SUCCESS").exists())
+    assert(new File(base, "lay_sf0.1_c1/_SUCCESS").exists())
+    // sf0.1 regenerated: only ITS stale layout is evicted
+    LayoutCache.ensure("lay", "sf0.1", "c2", base)(writeLayout(_))
+    assert(!new File(base, "lay_sf0.1_c1").exists())
+    assert(new File(base, "lay_sf0.1_c2/_SUCCESS").exists())
+    assert(new File(base, "lay_sf0.001_a1/_SUCCESS").exists(),
+      "sibling scope evicted by another scope's rebuild")
+    assert(new File(base, "lay_sf0.01_b1/_SUCCESS").exists())
   }
 
   test("content fingerprint tracks sampled bytes, not just size+mtime") {

@@ -151,6 +151,62 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("substrDedup equals a reference coverage computation on random corpora") {
+    // reference: hash windows per doc, flag occurrences that are not
+    // the global (doc, pos)-minimum of their window text, remove every
+    // token covered by a flagged window — computed with plain Scala
+    // collections over the same tokenization
+    val w = 4
+    val docGen = Gen.listOfN(14, Gen.oneOf("a", "b", "c", "d")).map(_.mkString(" "))
+    val corpusGen = Gen.listOfN(6, docGen)
+    cases(corpusGen, 5).foreach { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val want = {
+        val occ = docs.flatMap { case (id, t) =>
+          val ts = t.trim.toLowerCase.split("\\s+").toSeq
+          (0 to ts.length - w).map(p => (ts.slice(p, p + w).mkString(" "), id, p))
+        }
+        val owner = occ.groupBy(_._1).map { case (win, os) =>
+          win -> os.map(o => (o._2, o._3)).min
+        }
+        val flagged = occ.filter { case (win, id, p) =>
+          occ.count(_._1 == win) >= 2 && owner(win) != ((id, p))
+        }.map(o => (o._2, o._3)).toSet
+        docs.map { case (id, t) =>
+          val ts = t.trim.toLowerCase.split("\\s+").toSeq
+          val kept = ts.indices.filterNot(i =>
+            flagged.exists { case (fid, s) => fid == id && i >= s && i < s + w })
+          id -> kept.map(ts).mkString(" ")
+        }.toMap
+      }
+      val got = graft.dedup.Dedup.substrDedup(docs.toDF("doc_id", "text"), w = w)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got == want, s"corpus=$texts")
+    }
+  }
+
+  test("variant shredding extract equals variant_get on random flat payloads") {
+    val rowGen = for {
+      k <- Gen.chooseNum(-1000000L, 1000000L)
+      s <- Gen.listOfN(6, Gen.alphaNumChar).map(_.mkString)
+      hasS <- Gen.oneOf(true, false)
+    } yield if (hasS) s"""{"k": $k, "s": "$s"}""" else s"""{"k": $k}"""
+    val rows = cases(rowGen, 30).zipWithIndex.map { case (j, i) => (i.toLong, j) }
+    val df = rows.toDF("id", "j").select(col("id"), parse_json(col("j")).as("v"))
+    val out = java.nio.file.Files.createTempDirectory("prop_shred").resolve("t").toString
+    graft.sources.VariantShred.writeShredded(df, out)
+    val back = spark.read.parquet(out)
+    val got = back.select(col("id"),
+        graft.sources.VariantShred.extract(back, "v", "$.k", "bigint").as("k"),
+        graft.sources.VariantShred.extract(back, "v", "$.s", "string").as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), Option(r.getString(2)))).toSet
+    val want = df.select(col("id"),
+        variant_get(col("v"), "$.k", "bigint").as("k"),
+        variant_get(col("v"), "$.s", "string").as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), Option(r.getString(2)))).toSet
+    assert(got == want)
+  }
+
   test("zValue round-trips through xOf/yOf for arbitrary 16-bit coordinates") {
     import graft.sources.ZOrder
     val coordGen = for {

@@ -2448,6 +2448,16 @@ object SparkEntry {
     // over integer fixed-point ratio features (per-row projection)
     "quality_score_linear" -> ((s, d) =>
       TextFunctions.qualityLinear(Tables.documents(s, d))),
+    // per-DOMAIN calibrated quality cut: each source keeps its own top
+    // 30% by the linear score — a global threshold would skew the mix
+    // against low-scoring domains ([[graft.operators.Robust.calibratedTopPct]])
+    "quality_calibrated" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val scored = docs.select(col("doc_id"), col("source"))
+        .join(TextFunctions.qualityLinear(docs).select("doc_id", "score_fp"), "doc_id")
+      graft.operators.Robust.calibratedTopPct(
+        scored, "score_fp", "source", keepPct = 30, idCol = "doc_id")
+    }),
     // CCNet head/middle/tail perplexity bucketing + per-bucket
     // deterministic sampling policy (keep head, sample middle/tail)
     "corpus_ppl_sample" -> ((s, d) =>
@@ -3730,6 +3740,37 @@ object SparkEntry {
          |  CAST(400000 + 3 * stop_fp - 10 * punct_fp - len_dev_fp // 5 AS BIGINT) AS score_fp,
          |  (400000 + 3 * stop_fp - 10 * punct_fp - len_dev_fp // 5) > 0 AS keep
          |FROM r""".stripMargin,
+    // the same linear score, then the per-source integer rank cut
+    // (rank*100 <= n*30) replayed with the same tie-break
+    "quality_calibrated" ->
+      s"""WITH f AS (
+         |  SELECT doc_id, source,
+         |    CAST(len($toksSql) AS BIGINT) AS n_tokens,
+         |    CAST(len(list_filter($toksSql, t -> list_contains($stopwordsSql, t))) AS BIGINT) AS n_stopwords,
+         |    CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS BIGINT) AS n_punct,
+         |    CAST(list_sum(list_transform($toksSql, t -> CAST(length(t) AS BIGINT))) AS BIGINT) AS token_len_sum,
+         |    CAST(length(text) AS BIGINT) AS len_chars
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id, source,
+         |    CAST(CASE WHEN n_tokens > 0 THEN (1000000 * n_stopwords) // n_tokens
+         |      ELSE 0 END AS BIGINT) AS stop_fp,
+         |    CAST(CASE WHEN len_chars > 0 THEN (1000000 * n_punct) // len_chars
+         |      ELSE 0 END AS BIGINT) AS punct_fp,
+         |    CAST(CASE WHEN n_tokens > 0
+         |      THEN abs((1000000 * token_len_sum) // n_tokens - 5000000)
+         |      ELSE 5000000 END AS BIGINT) AS len_dev_fp
+         |  FROM f),
+         |s AS (
+         |  SELECT doc_id, source,
+         |    CAST(400000 + 3 * stop_fp - 10 * punct_fp - len_dev_fp // 5 AS BIGINT) AS score_fp
+         |  FROM r),
+         |k AS (
+         |  SELECT doc_id, source, score_fp,
+         |    row_number() OVER (PARTITION BY source ORDER BY score_fp DESC, doc_id ASC) AS rn,
+         |    count(*) OVER (PARTITION BY source) AS n
+         |  FROM s)
+         |SELECT doc_id, source, score_fp FROM k WHERE rn * 100 <= n * 30""".stripMargin,
     // wordlist filter: n_blocked counts token hits (multiplicity),
     // n_blocked_distinct counts blocklist terms present (iterate the
     // SMALL fixed list against the token set — multiset-semantics-proof

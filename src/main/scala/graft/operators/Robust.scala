@@ -89,4 +89,31 @@ object Robust {
           .otherwise((col(valueCol) - col("__med")) / col("__mad")))
       .drop("__med", "__mad")
   }
+
+  /** Per-group CALIBRATED top-percent filter: keep each group's top
+    * `keepPct` percent of rows by `scoreCol` (ties broken by `idCol`,
+    * so the cut is deterministic). The curation use: one GLOBAL
+    * quality threshold over-prunes domains whose scores run low
+    * (code, forums) and under-prunes high-scoring boilerplate
+    * domains — calibrating the cutoff per source preserves the
+    * domain mix while still dropping each domain's worst tail. The
+    * keep test is pure integer arithmetic (rank·100 ≤ n·pct), so any
+    * engine replays the exact cut.
+    *
+    * Scale shape: only (id, group, score) enters the per-group rank
+    * exchange; the full rows come back via a semi-join on the kept
+    * ids — payload columns never cross the rank exchange. */
+  def calibratedTopPct(df: DataFrame, scoreCol: String, groupCol: String,
+                       keepPct: Int, idCol: String): DataFrame = {
+    require(keepPct >= 1 && keepPct <= 100, s"keepPct in [1,100], got $keepPct")
+    import org.apache.spark.sql.expressions.Window
+    val byScore = Window.partitionBy(col(groupCol))
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    val kept = df.select(col(idCol), col(groupCol), col(scoreCol))
+      .withColumn("__rn", row_number().over(byScore))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col(groupCol))))
+      .filter(col("__rn") * 100 <= col("__n") * keepPct)
+      .select(col(idCol))
+    df.join(kept, Seq(idCol), "left_semi")
+  }
 }

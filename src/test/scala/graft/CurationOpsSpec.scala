@@ -128,6 +128,26 @@ class CurationOpsSpec extends SparkSpec {
     assert(t1 == words("alpha"))
   }
 
+  test("calibratedTopPct cuts per group — low-scoring domains keep their share") {
+    import graft.operators.Robust
+    // domain A scores 100..91, domain B scores 10..1: a global top-30%
+    // threshold would keep ONLY A; the calibrated cut keeps 3 of each
+    val rows = (0 until 10).map(i => (i.toLong, "A", 100L - i)) ++
+      (0 until 10).map(i => (100L + i, "B", 10L - i))
+    val df = rows.toDF("doc_id", "source", "score_fp")
+    val kept = Robust.calibratedTopPct(df, "score_fp", "source", 30, "doc_id")
+      .collect().map(r => (r.getString(1), r.getLong(0))).toSeq
+    assert(kept.count(_._1 == "A") == 3)
+    assert(kept.count(_._1 == "B") == 3)
+    assert(kept.filter(_._1 == "A").map(_._2).sorted == Seq(0L, 1L, 2L))
+    assert(kept.filter(_._1 == "B").map(_._2).sorted == Seq(100L, 101L, 102L))
+    // deterministic under ties: equal scores fall back to id order
+    val ties = (0 until 10).map(i => (i.toLong, "C", 7L)).toDF("doc_id", "source", "score_fp")
+    val keptTies = Robust.calibratedTopPct(ties, "score_fp", "source", 30, "doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(keptTies == Seq(0L, 1L, 2L))
+  }
+
   test("urlNormalize idempotence: normalizing a normal form is a no-op") {
     val urls = Seq(
       "HTTP://WWW.Example.COM:80/a/b/?utm_source=x&b=2&a=1#frag",

@@ -933,6 +933,19 @@ object SparkEntry {
       .withColumn("chunk_idx", col("chunk_idx").cast("int"))
       .withColumn("n_chunk_tokens", TextFunctions.wsTokenCount(col("chunk_text")))
 
+  /** Overlapping retrieval chunks
+    * ([[TextFunctions.chunksOverlap]]): 32-token windows every 24
+    * tokens (8-token overlap) — boundary sentences appear whole in at
+    * least one chunk. */
+  private def textChunksOverlap(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        posexplode(TextFunctions.chunksOverlap(col("text"), 32, 24)))
+      .select(col("doc_id"), col("pos").cast("int").as("chunk_idx"),
+        col("col.start_tok").cast("int").as("start_tok"),
+        col("col.chunk_text").as("chunk_text"))
+      .withColumn("n_chunk_tokens", TextFunctions.wsTokenCount(col("chunk_text")))
+
   /** PII-style scrubbing over documents. */
   private def textScrub(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).select(
@@ -2513,6 +2526,7 @@ object SparkEntry {
     "doc_rolling_hash" -> (docRollingHash(_, _)),
     "tfidf_top_terms" -> (tfidfTopTerms(_, _)),
     "text_chunks" -> (textChunks(_, _)),
+    "text_chunks_overlap" -> (textChunksOverlap(_, _)),
     "text_scrub" -> (textScrub(_, _)),
     "doc_pack" -> ((s, d) =>
       TextFunctions.packDocuments(Tables.documents(s, d),
@@ -4301,6 +4315,19 @@ object SparkEntry {
          |SELECT doc_id, CAST(i AS INT) AS chunk_idx,
          |  array_to_string(list_slice(toks, i*32 + 1, least((i+1)*32, len(toks))), ' ') AS chunk_text,
          |  CAST(len(list_slice(toks, i*32 + 1, least((i+1)*32, len(toks)))) AS BIGINT) AS n_chunk_tokens
+         |FROM c""".stripMargin,
+    // overlapping windows every 24 tokens; the last window is the
+    // first one reaching the end (no redundant sub-window tails)
+    "text_chunks_overlap" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |c AS (SELECT doc_id, toks,
+         |    unnest(range(0, CASE WHEN len(toks) <= 32 THEN 1
+         |      ELSE CAST(ceil((len(toks) - 32) / 24.0) AS INT) + 1 END)) AS i
+         |  FROM t)
+         |SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+         |  CAST(i * 24 AS INT) AS start_tok,
+         |  array_to_string(list_slice(toks, i*24 + 1, least(i*24 + 32, len(toks))), ' ') AS chunk_text,
+         |  CAST(len(list_slice(toks, i*24 + 1, least(i*24 + 32, len(toks)))) AS BIGINT) AS n_chunk_tokens
          |FROM c""".stripMargin,
     "text_scrub" ->
       """SELECT doc_id,

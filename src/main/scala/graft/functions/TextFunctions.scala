@@ -178,6 +178,30 @@ object TextFunctions {
     }
   }
 
+  /** OVERLAPPING token windows — the retrieval-chunking pattern:
+    * windows of `chunkTokens` starting every `stride` tokens
+    * (overlap = chunkTokens − stride), so a sentence near a boundary
+    * appears whole in at least one chunk instead of being split across
+    * two — the property retrieval recall depends on, at the cost of
+    * chunkTokens/stride× storage. The last window is the first one
+    * reaching the end (no redundant sub-window tails); docs of ≤
+    * chunkTokens yield exactly one window. Emits an array of
+    * (start_tok, chunk_text) structs; explode for one row per chunk.
+    * Pure map-side — text never crosses an exchange. */
+  def chunksOverlap(text: Column, chunkTokens: Int, stride: Int): Column = {
+    require(chunkTokens > 0, "chunkTokens must be positive")
+    require(stride > 0 && stride <= chunkTokens,
+      s"stride in [1, chunkTokens], got $stride")
+    bound(tokens(text)) { t =>
+      val n = size(t)
+      val nWin = when(n <= chunkTokens, lit(1))
+        .otherwise(ceil((n - chunkTokens).cast("double") / stride).cast("int") + 1)
+      transform(sequence(lit(0), nWin - 1),
+        i => struct((i * stride).as("start_tok"),
+          concat_ws(" ", slice(t, i * stride + 1, lit(chunkTokens))).as("chunk_text")))
+    }
+  }
+
   /** PII-style scrubbing (RE2-safe patterns shared with any oracle
     * engine): email-shaped tokens → [EMAIL], digit runs of 4+ → [NUM].
     * Order matters — emails first, so their digits survive as part of

@@ -55,6 +55,32 @@ class InferenceSpec extends SparkSpec {
     }
   }
 
+  test("the same operator scores a STREAM unchanged (mapPartitions is streaming-safe)") {
+    // the scoring path a streaming ingest pipeline needs is the batch
+    // operator verbatim: mapPartitions + per-partition init compose
+    // with micro-batches without a separate streaming implementation
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val scored = Inference.batchScore(
+      input.toDF().toDF("doc_id", "text"),
+      Inference.hashScoreModel, batchSize = 4)
+    val q = scored.writeStream.format("memory").queryName("inf_stream")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, "alpha"), (2L, "beta"))
+      q.processAllAvailable()
+      input.addData((3L, "gamma"))
+      q.processAllAvailable()
+      val got = spark.table("inf_stream").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = Seq(1L -> "alpha", 2L -> "beta", 3L -> "gamma").map {
+        case (id, t) => id -> math.round(Inference.hashScoreModel(Seq(t)).head * 1e6)
+      }.toMap
+      assert(got == want)
+    } finally q.stop()
+  }
+
   test("a model returning the wrong count fails loudly with the id range") {
     val lossy: Seq[String] => Seq[Double] = ts => ts.drop(1).map(_ => 0.0)
     val e = intercept[org.apache.spark.SparkException] {

@@ -2465,9 +2465,11 @@ object SparkEntry {
     // 30% by the linear score — a global threshold would skew the mix
     // against low-scoring domains ([[graft.operators.Robust.calibratedTopPct]])
     "quality_calibrated" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val scored = docs.select(col("doc_id"), col("source"))
-        .join(TextFunctions.qualityLinear(docs).select("doc_id", "score_fp"), "doc_id")
+      // source rides the scoring projection (carryCols) — one scan,
+      // no corpus self-join to reattach it
+      val scored = TextFunctions
+        .qualityLinear(Tables.documents(s, d), carryCols = Seq("source"))
+        .select("doc_id", "source", "score_fp")
       graft.operators.Robust.calibratedTopPct(
         scored, "score_fp", "source", keepPct = 30, idCol = "doc_id")
     }),

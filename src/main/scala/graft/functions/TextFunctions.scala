@@ -1154,14 +1154,18 @@ object TextFunctions {
     * Scale shape: a pure per-row projection — no shuffle, no model
     * table; stays inside whole-stage codegen. */
   def qualityLinear(docs: DataFrame, textCol: String = "text",
-                    idCol: String = "doc_id"): DataFrame = {
+                    idCol: String = "doc_id",
+                    carryCols: Seq[String] = Seq.empty): DataFrame = {
     val t = col(textCol)
-    docs.select(col(idCol).as("doc_id"),
+    // carryCols ride the projection end-to-end so a grouped consumer
+    // (per-domain calibration) needs no join back onto the corpus
+    val carry = carryCols.map(col)
+    docs.select(Seq(col(idCol).as("doc_id"),
         wsTokenCount(t).as("n_tokens"),
         stopwordCount(t).as("n_stopwords"),
         punctCount(t).as("n_punct"),
         tokenLenSum(t).as("token_len_sum"),
-        length(t).cast("bigint").as("len_chars"))
+        length(t).cast("bigint").as("len_chars")) ++ carry: _*)
       .withColumn("stop_fp",
         when(col("n_tokens") > 0,
           expr("(1000000 * n_stopwords) div n_tokens")).otherwise(lit(0L)))
@@ -1172,7 +1176,8 @@ object TextFunctions {
         when(col("n_tokens") > 0,
           abs(expr("(1000000 * token_len_sum) div n_tokens") - lit(5000000L)))
           .otherwise(lit(5000000L)))
-      .select(col("doc_id"), col("stop_fp"), col("punct_fp"), col("len_dev_fp"))
+      .select(Seq(col("doc_id"), col("stop_fp"), col("punct_fp"),
+        col("len_dev_fp")) ++ carry: _*)
       .withColumn("score_fp",
         lit(400000L) + lit(3L) * col("stop_fp") - lit(10L) * col("punct_fp")
           - expr("len_dev_fp div 5"))

@@ -1036,6 +1036,15 @@ object SparkEntry {
       windowTokens = 256, nShards = 8).disposition
   }
 
+  /** Curation funnel: disposition counts of [[corpusDisposition]] —
+    * the one-row-per-stage survival report an ops dashboard tracks
+    * across corpus snapshots (input → quality gate → dedup →
+    * decontamination). */
+  private def corpusFunnel(spark: SparkSession, dir: String): DataFrame =
+    corpusDisposition(spark, dir)
+      .groupBy(col("disposition"))
+      .agg(count(lit(1)).as("n_docs"))
+
   /** Content-defined chunking ([[TextFunctions.cdcChunkRows]]): w=4
     * rolling window, 2^3-token expected chunks over the documents
     * table. The oracle replays the same boundary rule row-wise
@@ -2540,6 +2549,7 @@ object SparkEntry {
       TextFunctions.corpusFilter(Tables.documents(s, d))),
     "corpus_prepare" -> (corpusPrepare(_, _)),
     "corpus_disposition" -> (corpusDisposition(_, _)),
+    "corpus_funnel" -> (corpusFunnel(_, _)),
     "multimodal_features" -> (multimodalFeatures(_, _)),
     "multimodal_frames" -> (multimodalFrames(_, _)),
     // consecutive-frame |luma diff| motion proxy over the REAL Y4M
@@ -5087,6 +5097,21 @@ object SparkEntry {
     // per-doc provenance over the same staged CTEs: quality gate →
     // duplicate (with the representative kept instead) →
     // contamination, in the pipeline's own stage order
+    // disposition counts — the funnel report, same staged CTEs
+    "corpus_funnel" -> (corpusStagesCtesSql + """
+         |, disp AS (
+         |  SELECT CASE WHEN NOT (f.len_ok AND f.not_dup AND r.rep_ok) THEN 'quality'
+         |       WHEN dup.rep IS NOT NULL THEN 'duplicate'
+         |       WHEN cl.doc_id IS NULL THEN 'contaminated'
+         |       ELSE 'kept' END AS disposition
+         |  FROM corpus c
+         |  JOIN flt f ON c.doc_id = f.doc_id
+         |  JOIN repok r ON c.doc_id = r.doc_id
+         |  LEFT JOIN (SELECT src, CAST(min(dst) AS BIGINT) AS rep
+         |             FROM reach GROUP BY src HAVING min(dst) <> src) dup
+         |    ON c.doc_id = dup.src
+         |  LEFT JOIN clean cl ON c.doc_id = cl.doc_id)
+         |SELECT disposition, count(*) AS n_docs FROM disp GROUP BY disposition""".stripMargin),
     "corpus_disposition" -> (corpusStagesCtesSql + """
          |SELECT c.doc_id,
          |  CASE WHEN NOT (f.len_ok AND f.not_dup AND r.rep_ok) THEN 'quality'

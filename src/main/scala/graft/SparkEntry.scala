@@ -445,10 +445,10 @@ object SparkEntry {
       parse_json(col("props")).as("props_v"))
     // per-PROCESS path: this query rewrites its output every run (the
     // write IS the operator); a path shared across JVMs would let a
-    // concurrent bench/test overwrite the directory mid-read
-    val out = new java.io.File(System.getProperty("java.io.tmpdir"),
-      s"graft_json_shred_${dirFingerprint(dir)}_p${ProcessHandle.current().pid()}")
-      .getAbsolutePath
+    // concurrent bench/test overwrite the directory mid-read. TempDirs
+    // deletes it at JVM exit and sweeps dead predecessors' leftovers.
+    val out = graft.sources.TempDirs.perProcess(
+      s"graft_json_shred_${dirFingerprint(dir)}")
     VariantShred.writeShredded(v, out)
     val back = spark.read.parquet(out)
     back.select(col("event_id"),
@@ -991,9 +991,8 @@ object SparkEntry {
       size(TextFunctions.tokens(col("text"))).cast("long").as("n_tokens"))
     // per-PROCESS path — same rationale as json_shred: the rewrite is
     // the operator, and cross-JVM sharing would race reader vs writer
-    val out = new java.io.File(System.getProperty("java.io.tmpdir"),
-      s"graft_export_${dirFingerprint(dir)}_p${ProcessHandle.current().pid()}")
-      .getAbsolutePath
+    val out = graft.sources.TempDirs.perProcess(
+      s"graft_export_${dirFingerprint(dir)}")
     graft.sources.TrainingExport.export(docs, out, "shard", "n_tokens",
       orderCols = Seq("doc_id"))
     spark.read.parquet(out)
@@ -3766,8 +3765,9 @@ object SparkEntry {
          |  CAST(400000 + 3 * stop_fp - 10 * punct_fp - len_dev_fp // 5 AS BIGINT) AS score_fp,
          |  (400000 + 3 * stop_fp - 10 * punct_fp - len_dev_fp // 5) > 0 AS keep
          |FROM r""".stripMargin,
-    // the same linear score, then the per-source integer rank cut
-    // (rank*100 <= n*30) replayed with the same tie-break
+    // the same linear score, then the per-source integer CEILING rank
+    // cut (rank*100 <= n*30 + 99 ⇔ rank <= ceil(n*0.3): a small domain
+    // keeps at least its best row) replayed with the same tie-break
     "quality_calibrated" ->
       s"""WITH f AS (
          |  SELECT doc_id, source,
@@ -3796,7 +3796,7 @@ object SparkEntry {
          |    row_number() OVER (PARTITION BY source ORDER BY score_fp DESC, doc_id ASC) AS rn,
          |    count(*) OVER (PARTITION BY source) AS n
          |  FROM s)
-         |SELECT doc_id, source, score_fp FROM k WHERE rn * 100 <= n * 30""".stripMargin,
+         |SELECT doc_id, source, score_fp FROM k WHERE rn * 100 <= n * 30 + 99""".stripMargin,
     // wordlist filter: n_blocked counts token hits (multiplicity),
     // n_blocked_distinct counts blocklist terms present (iterate the
     // SMALL fixed list against the token set — multiset-semantics-proof

@@ -40,9 +40,20 @@ object Inference {
                  idCol: String = "doc_id"): DataFrame =
     batchScoreWith(df, () => model, batchSize, textCol, idCol)
 
+  /** `retryOn` gates the one-shot retry: a batch whose first invocation
+    * throws `e` is re-invoked only when `retryOn(e)` — callers with a
+    * real HTTP scorer pass a transient-fault predicate (timeouts,
+    * 5xx) so a DETERMINISTIC failure doesn't run its side effects
+    * twice. The default retries everything, matching the documented
+    * "one retry per batch" contract for models whose faults are
+    * transient by assumption. Either way the FIRST failure is never
+    * discarded: a retry that also fails rethrows the second exception
+    * with the first attached as a suppressed cause, so the task log
+    * shows both attempts. */
   def batchScoreWith(df: DataFrame, init: () => Seq[String] => Seq[Double],
                      batchSize: Int = 64, textCol: String = "text",
-                     idCol: String = "doc_id"): DataFrame = {
+                     idCol: String = "doc_id",
+                     retryOn: Throwable => Boolean = _ => true): DataFrame = {
     require(batchSize >= 1, s"need batchSize >= 1, got $batchSize")
     val spark = df.sparkSession
     import spark.implicits._
@@ -54,7 +65,15 @@ object Inference {
           val texts = batch.map(_._2)
           val scores =
             try model(texts)
-            catch { case _: Exception => model(texts) } // one retry
+            catch {
+              case scala.util.control.NonFatal(first) if retryOn(first) =>
+                try model(texts) // one retry
+                catch {
+                  case scala.util.control.NonFatal(second) =>
+                    second.addSuppressed(first)
+                    throw second
+                }
+            }
           require(scores.length == batch.length,
             s"model returned ${scores.length} scores for ${batch.length} " +
               s"inputs (ids ${batch.head._1}..${batch.last._1})")

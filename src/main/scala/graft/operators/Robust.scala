@@ -96,9 +96,13 @@ object Robust {
     * quality threshold over-prunes domains whose scores run low
     * (code, forums) and under-prunes high-scoring boilerplate
     * domains — calibrating the cutoff per source preserves the
-    * domain mix while still dropping each domain's worst tail. The
-    * keep test is pure integer arithmetic (rank·100 ≤ n·pct), so any
-    * engine replays the exact cut.
+    * domain mix while still dropping each domain's worst tail. Each
+    * group keeps its top ceil(n·keepPct/100) rows — CEILING, so a
+    * group too small for the percentage to reach one row (a 2-doc
+    * domain at 30%) still keeps its best row instead of being wiped
+    * out, which is the whole point of preserving the domain mix. The
+    * keep test is pure integer arithmetic (rank·100 ≤ n·pct + 99 ⇔
+    * rank ≤ ceil(n·pct/100)), so any engine replays the exact cut.
     *
     * Scale shape: only (id, group, score) enters the per-group rank
     * exchange; the full rows come back via a semi-join on the kept
@@ -112,7 +116,7 @@ object Robust {
     val kept = df.select(col(idCol), col(groupCol), col(scoreCol))
       .withColumn("__rn", row_number().over(byScore))
       .withColumn("__n", count(lit(1)).over(Window.partitionBy(col(groupCol))))
-      .filter(col("__rn") * 100 <= col("__n") * keepPct)
+      .filter(col("__rn") * 100 <= col("__n") * keepPct + 99)
       .select(col(idCol))
     df.join(kept, Seq(idCol), "left_semi")
   }

@@ -84,7 +84,7 @@ object LayoutCache {
     ()
   }
 
-  /** Ensure `<base>/<prefix>_<fingerprint>` exists and is complete,
+  /** Ensure `<base>/<scopeKey>_<fingerprint>` exists and is complete,
     * building it with `write(tmpPath)` if absent (the writer must leave
     * a `_SUCCESS` marker, as Spark's parquet committer does). Returns
     * the layout path. See the object doc for the atomicity contract. */
@@ -92,16 +92,27 @@ object LayoutCache {
     * source directory name): layouts of DIFFERENT scopes coexist —
     * sf0.001/sf0.01/sf0.1 each keep their own — while a new
     * fingerprint within one scope means that scope's source was
-    * regenerated, so its old-fingerprint siblings are swept. The lock
+    * regenerated, so its old-fingerprint siblings are swept (retaining
+    * the most recent previous generation — see [[sweep]]). The lock
     * file is PER SCOPE (not per fingerprint), so the sweep of a
     * scope's stale layouts is serialized against every builder of
     * that scope and can never delete a directory another builder of
     * the same scope is mid-publishing; other scopes' layouts are
-    * never touched by either the lock or the sweep. */
+    * never touched by either the lock or the sweep.
+    *
+    * The on-disk scope segment is `sanitize(scope).<md5(scope)/6hex>`:
+    * sanitization alone is ambiguous (scopes "sf0.1" and "sf0.1 extra"
+    * both sanitize to a prefix of the other's layout names, so a
+    * prefix-based stale test could cross-sweep), and the appended
+    * content hash of the RAW scope string plus an exact-shape stale
+    * match (`<scopeKey>_` + exactly 16 hex fingerprint chars) makes
+    * one scope's sweep blind to every other scope's layouts. */
   def ensure(prefix: String, scope: String, fingerprint: String,
              base: File = new File(System.getProperty("java.io.tmpdir")))
             (write: String => Unit): String = {
-    val scopeKey = s"${prefix}_${sanitize(scope)}"
+    require(fingerprint.matches("[0-9a-f]{16}"),
+      s"fingerprint must be 16 lowercase hex chars (contentFingerprint), got '$fingerprint'")
+    val scopeKey = s"${prefix}_${scopeTag(scope)}"
     val dest = new File(base, s"${scopeKey}_$fingerprint")
     if (complete(dest)) return dest.getAbsolutePath
     val monitor = jvmLocks.computeIfAbsent(
@@ -135,19 +146,48 @@ object LayoutCache {
   private def sanitize(s: String): String =
     s.map(c => if (c.isLetterOrDigit || c == '-' || c == '.') c else '_')
 
+  /** Unambiguous on-disk scope segment: the readable sanitized name
+    * plus 6 hex chars of md5 over the RAW scope string. Distinct raw
+    * scopes get distinct tags (up to a 24-bit hash collision AND equal
+    * sanitized names — negligible for the handful of scopes a host
+    * sees), so the exact-shape stale match in [[sweep]] can never
+    * claim another scope's layout. */
+  private def scopeTag(scope: String): String = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(scope.getBytes("UTF-8")).take(3).map("%02x".format(_)).mkString
+    s"${sanitize(scope)}.$h"
+  }
+
   /** Under the SCOPE lock: drop this scope's other-fingerprint
     * siblings (the scope's source was regenerated — those layouts can
     * never validate again) and its orphaned `.tmp-*` trees from
-    * crashed builders. Other scopes' layouts are never touched. */
+    * crashed builders. Matching is exact-shape — `<scopeKey>_` +
+    * exactly 16 hex chars — so a scope whose name extends another's
+    * can never be swept as its sibling. Other scopes' layouts are
+    * never touched.
+    *
+    * READER SAFETY: the most recently modified stale sibling — the
+    * generation that was current until this regeneration — is
+    * RETAINED, not deleted. A reader in another JVM resolves a layout
+    * path without holding the scope lock, so a long scan of the
+    * previous generation must survive one regeneration; it loses files
+    * only if it holds a path across TWO regenerations (the same
+    * one-previous-snapshot discipline as TxnLog's vacuum). Older
+    * generations (and all `.tmp-*` orphans) are deleted. */
   private def sweep(base: File, scopeKey: String, keepFingerprint: String): Unit = {
     val keep = s"${scopeKey}_$keepFingerprint"
-    Option(base.listFiles()).toSeq.flatten.foreach { f =>
+    val gen = java.util.regex.Pattern.compile(
+      java.util.regex.Pattern.quote(scopeKey + "_") + "[0-9a-f]{16}")
+    val all = Option(base.listFiles()).toSeq.flatten
+    val staleGens = all.filter { f =>
       val n = f.getName
-      val stale =
-        (n.startsWith(scopeKey + "_") && n != keep && !n.startsWith(keep + ".") &&
-          !n.endsWith(".lock")) ||
-        (n.startsWith(keep + ".tmp-"))
-      if (stale) deleteRecursively(f)
+      gen.matcher(n).matches() && n != keep
     }
+    val retained = staleGens.sortBy(-_.lastModified()).headOption
+    staleGens.filterNot(retained.contains).foreach(deleteRecursively)
+    all.filter { f =>
+      val n = f.getName
+      n.startsWith(scopeKey + "_") && n.contains(".tmp-")
+    }.foreach(deleteRecursively)
   }
 }

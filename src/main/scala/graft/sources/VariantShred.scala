@@ -33,28 +33,62 @@ object VariantShred {
 
   /** Top-level fields of a merged `OBJECT<name: TYPE, ...>` schema
     * string as (name, variant-DDL type). Non-object schemas (scalar
-    * payloads, or top-level VARIANT = nothing stable) have no fields. */
+    * payloads, or top-level VARIANT = nothing stable) have no fields.
+    *
+    * `schema_of_variant_agg` backtick-quotes field names that need it
+    * (embedded backticks doubled), and a quoted name may legally
+    * contain every structural character this parser otherwise splits
+    * on (':', ',', '<', '(') — so the scan tracks quote state and
+    * treats a quoted run as opaque name characters. */
   private[graft] def objectFields(merged: String): Seq[(String, String)] = {
     val t = merged.trim
     if (!t.startsWith("OBJECT<") || !t.endsWith(">")) return Seq.empty
     val body = t.stripPrefix("OBJECT<").stripSuffix(">")
     if (body.trim.isEmpty) return Seq.empty
     // split on top-level commas: angle brackets (nested OBJECT/ARRAY)
-    // and parens (DECIMAL(p,s)) both nest
+    // and parens (DECIMAL(p,s)) both nest; backtick-quoted runs are
+    // opaque (a doubled backtick inside one is an escaped backtick,
+    // not a quote boundary)
     val parts = scala.collection.mutable.ArrayBuffer.empty[String]
     var depth = 0
+    var inQuote = false
+    var i = 0
     val cur = new StringBuilder
-    body.foreach {
-      case c @ ('<' | '(') => depth += 1; cur += c
-      case c @ ('>' | ')') => depth -= 1; cur += c
-      case ',' if depth == 0 => parts += cur.result(); cur.clear()
-      case c => cur += c
+    while (i < body.length) {
+      val c = body(i)
+      if (c == '`') {
+        if (inQuote && i + 1 < body.length && body(i + 1) == '`') {
+          cur += '`'; cur += '`'; i += 1 // escaped backtick, stay quoted
+        } else { inQuote = !inQuote; cur += c }
+      } else if (inQuote) cur += c
+      else c match {
+        case '<' | '(' => depth += 1; cur += c
+        case '>' | ')' => depth -= 1; cur += c
+        case ',' if depth == 0 => parts += cur.result(); cur.clear()
+        case other => cur += other
+      }
+      i += 1
     }
     parts += cur.result()
     parts.toSeq.map { p =>
-      val i = p.indexOf(':')
-      require(i > 0, s"malformed field in variant schema: '$p' ($merged)")
-      (p.take(i).trim.stripPrefix("`").stripSuffix("`"), p.drop(i + 1).trim)
+      // name/type separator: first ':' at depth 0 OUTSIDE quotes (a
+      // quoted name can itself contain ':')
+      var j = 0; var inQ = false; var colon = -1
+      while (j < p.length && colon < 0) {
+        val c = p(j)
+        if (c == '`') {
+          if (inQ && j + 1 < p.length && p(j + 1) == '`') j += 1
+          else inQ = !inQ
+        } else if (!inQ && c == ':') colon = j
+        j += 1
+      }
+      require(colon > 0, s"malformed field in variant schema: '$p' ($merged)")
+      val raw = p.take(colon).trim
+      val name =
+        if (raw.length >= 2 && raw.startsWith("`") && raw.endsWith("`"))
+          raw.substring(1, raw.length - 1).replace("``", "`")
+        else raw
+      (name, p.drop(colon + 1).trim)
     }
   }
 
@@ -77,6 +111,19 @@ object VariantShred {
   private def shredColName(variantCol: String, field: String) =
     s"$variantCol$$$field"
   private def residualColName(variantCol: String) = s"$variantCol$$residual"
+
+  /** Variant extraction path for a top-level field name, or None when
+    * the name cannot be expressed in Spark's variant path syntax. Dot
+    * form `$.name` accepts any character except '.' and '['; names
+    * containing those go through the quoted bracket form `$['name']`,
+    * which in turn cannot carry a single quote. The (pathological)
+    * leftover — a name with BOTH a dot/bracket and a single quote —
+    * stays in the residual rather than mis-shredding. */
+  private[graft] def pathFor(name: String): Option[String] =
+    if (name.isEmpty) None
+    else if (!name.exists(c => c == '.' || c == '[')) Some(s"$$.$name")
+    else if (!name.exists(c => c == '\'' || c == '?')) Some(s"$$['$name']")
+    else None
 
   /** Merged schema per variant-typed column of `df`, in ONE aggregate
     * pass over all of them. */
@@ -102,12 +149,17 @@ object VariantShred {
       if (f.dataType != VariantType) Seq(col(f.name))
       else {
         val fields = objectFields(merged.getOrElse(f.name, "VARIANT"))
-        val typed = fields.filter { case (_, t) => typable(t) }.map {
-          case (name, t) =>
-            variant_get(col(f.name), s"$$.$name", toSparkDdl(t))
-              .as(shredColName(f.name, name))
+        // a field shreds only when its merged type is stable AND its
+        // name is expressible as a variant extraction path; everything
+        // else stays reachable through the residual
+        val (shredded, residualFields) = fields.partition {
+          case (name, t) => typable(t) && pathFor(name).isDefined
         }
-        val needsResidual = fields.isEmpty || fields.exists { case (_, t) => !typable(t) }
+        val typed = shredded.map { case (name, t) =>
+          variant_get(col(f.name), pathFor(name).get, toSparkDdl(t))
+            .as(shredColName(f.name, name))
+        }
+        val needsResidual = fields.isEmpty || residualFields.nonEmpty
         typed ++ (if (needsResidual)
           Seq(col(f.name).as(residualColName(f.name))) else Seq.empty)
       }

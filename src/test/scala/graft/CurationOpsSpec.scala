@@ -146,6 +146,17 @@ class CurationOpsSpec extends SparkSpec {
     val keptTies = Robust.calibratedTopPct(ties, "score_fp", "source", 30, "doc_id")
       .collect().map(_.getLong(0)).sorted.toSeq
     assert(keptTies == Seq(0L, 1L, 2L))
+    // CEILING semantics: a domain too small for the percentage to
+    // reach a whole row still keeps its best row (preserving the mix),
+    // and ceil(4·0.3)=2 keeps two of four
+    val small = Seq((0L, "S", 9L), (1L, "S", 5L),
+      (10L, "M", 4L), (11L, "M", 3L), (12L, "M", 2L), (13L, "M", 1L))
+      .toDF("doc_id", "source", "score_fp")
+    val keptSmall = Robust.calibratedTopPct(small, "score_fp", "source", 30, "doc_id")
+      .collect().map(r => (r.getString(1), r.getLong(0))).toSeq
+    assert(keptSmall.filter(_._1 == "S").map(_._2) == Seq(0L),
+      s"a 2-doc domain at 30% must keep its best row: $keptSmall")
+    assert(keptSmall.filter(_._1 == "M").map(_._2).sorted == Seq(10L, 11L))
   }
 
   test("urlNormalize idempotence: normalizing a normal form is a no-op") {

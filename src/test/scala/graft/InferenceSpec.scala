@@ -4,6 +4,12 @@ import org.apache.spark.sql.functions._
 
 import graft.operators.Inference
 
+/** Executor-side invocation counter for failure-path tests (see the
+  * retryOn test for why an accumulator can't count failed tasks). */
+object InferenceSpecCounters {
+  val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+}
+
 /** Batched-inference plumbing contracts: batch shapes, per-partition
   * handle init, retry, and loud misalignment failure. */
 class InferenceSpec extends SparkSpec {
@@ -53,6 +59,44 @@ class InferenceSpec extends SparkSpec {
     intercept[org.apache.spark.SparkException] {
       Inference.batchScore(docs(3, 1), broken).collect()
     }
+  }
+
+  test("retryOn=false: deterministic faults run ONCE and the original surfaces") {
+    // accumulators from FAILED tasks never merge; local mode shares the
+    // JVM, so a static counter sees the executor-side invocations
+    InferenceSpecCounters.calls.set(0)
+    val det: Seq[String] => Seq[Double] = _ => {
+      InferenceSpecCounters.calls.incrementAndGet()
+      throw new IllegalStateException("bad request 400")
+    }
+    val e = intercept[org.apache.spark.SparkException] {
+      Inference.batchScoreWith(docs(3, 1), () => det, batchSize = 10,
+        retryOn = _.isInstanceOf[java.io.IOException]).collect()
+    }
+    // one invocation per task ATTEMPT (Spark may retry the task itself;
+    // local default is 1 attempt) — the point is no doubling per attempt
+    assert(InferenceSpecCounters.calls.get() == 1,
+      s"non-retryable fault invoked the model ${InferenceSpecCounters.calls.get()}x")
+    def chain(t: Throwable): Seq[Throwable] =
+      Option(t).toSeq.flatMap(x => x +: chain(x.getCause))
+    assert(chain(e).exists(_.getMessage.contains("bad request 400")), e.getMessage)
+  }
+
+  test("a failed retry carries the FIRST failure as a suppressed cause") {
+    val twice: () => Seq[String] => Seq[Double] = () => {
+      var n = 0
+      _ => { n += 1; throw new RuntimeException(s"attempt-$n") }
+    }
+    val e = intercept[org.apache.spark.SparkException] {
+      Inference.batchScoreWith(docs(3, 1), twice, batchSize = 10).collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Option(t).toSeq.flatMap(x => x +: chain(x.getCause))
+    val withSuppressed = chain(e).find(_.getSuppressed.nonEmpty)
+    assert(withSuppressed.isDefined,
+      s"no exception in the chain carries a suppressed first attempt: $e")
+    assert(withSuppressed.get.getMessage.contains("attempt-2"), withSuppressed.get.getMessage)
+    assert(withSuppressed.get.getSuppressed.head.getMessage.contains("attempt-1"))
   }
 
   test("the same operator scores a STREAM unchanged (mapPartitions is streaming-safe)") {

@@ -27,6 +27,68 @@ class VariantShredSpec extends SparkSpec {
       == "STRUCT<a: STRUCT<b: BIGINT>>")
   }
 
+  test("objectFields is backtick-aware: quoted names may contain ':' ',' '<'") {
+    // schema_of_variant_agg emits names needing quoting as `...` with
+    // embedded backticks doubled — the splitter must treat the quoted
+    // run as opaque name characters, not structure
+    val fs = VariantShred.objectFields(
+      "OBJECT<`a,b`: BIGINT, `ns:key`: STRING, `x<y`: DOUBLE, plain: BIGINT, `tick``ed`: STRING>")
+    assert(fs == Seq(
+      "a,b" -> "BIGINT", "ns:key" -> "STRING", "x<y" -> "DOUBLE",
+      "plain" -> "BIGINT", "tick`ed" -> "STRING"), fs)
+    // a quoted name inside a NESTED object must not split the parent
+    val nested = VariantShred.objectFields(
+      "OBJECT<o: OBJECT<`c:d`: BIGINT>, z: STRING>")
+    assert(nested == Seq("o" -> "OBJECT<`c:d`: BIGINT>", "z" -> "STRING"), nested)
+  }
+
+  test("pathFor picks dot or quoted-bracket form by name shape") {
+    assert(VariantShred.pathFor("plain") == Some("$.plain"))
+    assert(VariantShred.pathFor("ns:key") == Some("$.ns:key"))
+    assert(VariantShred.pathFor("a,b") == Some("$.a,b"))
+    assert(VariantShred.pathFor("do.t") == Some("$['do.t']"))
+    assert(VariantShred.pathFor("br[0") == Some("$['br[0']"))
+    assert(VariantShred.pathFor("q'.uote").isEmpty) // inexpressible
+    assert(VariantShred.pathFor("").isEmpty)
+  }
+
+  test("keys with ':' ',' '<' shred end-to-end and extract correctly") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, """{"ns:key": 10, "a,b": "x", "x<y": 1.5, "do.t": 7}"""),
+      (2L, """{"ns:key": 20, "a,b": "y", "x<y": 2.5, "do.t": 8}""")).toDF("id", "j")
+      .select(col("id"), parse_json(col("j")).as("v"))
+    val out = tmp("shred_oddkeys")
+    val schemas = VariantShred.writeShredded(df, out)
+    assert(schemas("v").startsWith("OBJECT<"), schemas("v"))
+    val back = spark.read.parquet(out)
+    assert(back.columns.toSet ==
+      Set("id", "v$ns:key", "v$a,b", "v$x<y", "v$do.t"), back.columns.mkString(","))
+    val rows = back.select(col("id"),
+        col("`v$ns:key`").as("k"), col("`v$a,b`").as("ab"),
+        col("`v$x<y`").cast("double").as("xy"), col("`v$do.t`").as("dt"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3), r.getLong(4)))
+      .toSet
+    assert(rows == Set((1L, 10L, "x", 1.5, 7L), (2L, 20L, "y", 2.5, 8L)))
+  }
+
+  test("an inexpressible key name stays reachable through the residual") {
+    import spark.implicits._
+    // contains both a dot and a single quote: no variant path can name
+    // it, so it must NOT shred — and the residual must carry it
+    val df = Seq((1L, """{"w.o'e": 5, "k": 1}"""))
+      .toDF("id", "j").select(col("id"), parse_json(col("j")).as("v"))
+    val out = tmp("shred_inexpressible")
+    VariantShred.writeShredded(df, out)
+    val back = spark.read.parquet(out)
+    assert(back.columns.toSet == Set("id", "v$k", "v$residual"),
+      back.columns.mkString(","))
+    val got = back.select(
+      variant_get(col("v$residual"), "$", "string").as("all")).head.getString(0)
+    assert(got.contains("w.o'e"), got)
+  }
+
   test("parsePath handles fields and 0-based array indices") {
     assert(VariantShred.parsePath("$.a") == Seq(Left("a")))
     assert(VariantShred.parsePath("$.a[3].b") ==

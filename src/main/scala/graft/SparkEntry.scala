@@ -1188,6 +1188,25 @@ object SparkEntry {
       e.filter(col("vec_id") >= 10).select("vec_id", "embedding", "label"), test)
   }
 
+  /** ANN-screened KNN-Shapley
+    * ([[graft.operators.Valuation.knnShapleyScreened]]): the
+    * coarse-to-fine JL screen prunes each test point's candidates to
+    * screenK=50 of the 1990 train points, then the exact recurrence
+    * values the retrieved neighborhood (n = candidate count). The
+    * whole chain — integer plane projections, coarse cut, exact
+    * cosine re-rank, recurrence — replays in SQL, so the oracle
+    * checks the screen AND the restricted valuation end-to-end. */
+  private def dataShapleyScreened(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .withColumn("label", (col("vec_id") % 3).cast("int"))
+    val test = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("label").as("q_label"))
+    graft.operators.Valuation.knnShapleyScreened(
+      e.filter(col("vec_id") >= 10).select("vec_id", "embedding", "label"), test,
+      k = 5, screenK = 50, coarseK = 100)
+  }
+
   /** SemDeDup ([[graft.similarity.Similarity.semanticDedup]]): drop
     * bucket members within cosine 0.2 of their representative. */
   private def semanticDedup(spark: SparkSession, dir: String): DataFrame =
@@ -2438,6 +2457,7 @@ object SparkEntry {
     }),
     "sim_ivf" -> (simIvf(_, _)),
     "data_shapley" -> (dataShapley(_, _)),
+    "data_shapley_screened" -> (dataShapleyScreened(_, _)),
     "sim_ivf_kmeans" -> (simIvfKmeans(_, _)),
     "sim_ivf_lloyd" -> (simIvfLloyd(_, _)),
     "sim_pq" -> (simPq(_, _)),
@@ -2480,6 +2500,20 @@ object SparkEntry {
         .select("doc_id", "source", "score_fp")
       graft.operators.Robust.calibratedTopPct(
         scored, "score_fp", "source", keepPct = 30, idCol = "doc_id")
+    }),
+    // the sketch-cutoff twin ([[graft.operators.Robust
+    // .calibratedTopPctSketch]]): per-source threshold from a
+    // mergeable quantile sketch broadcast back, map-side filter — no
+    // per-group rank window, so a dominant domain cannot serialize
+    // into one task. Exact regime at this scale (250 docs/source <<
+    // sketchK), so the oracle replays the order-statistic cutoff.
+    "quality_calibrated_sketch" -> ((s, d) => {
+      val scored = TextFunctions
+        .qualityLinear(Tables.documents(s, d), carryCols = Seq("source"))
+        .select("doc_id", "source", "score_fp")
+      graft.operators.Robust.calibratedTopPctSketch(
+          scored, "score_fp", "source", keepPct = 30)
+        .select("doc_id", "source", "score_fp")
     }),
     // CCNet head/middle/tail perplexity bucketing + per-bucket
     // deterministic sampling policy (keep head, sample middle/tail)
@@ -3797,6 +3831,45 @@ object SparkEntry {
          |    count(*) OVER (PARTITION BY source) AS n
          |  FROM s)
          |SELECT doc_id, source, score_fp FROM k WHERE rn * 100 <= n * 30 + 99""".stripMargin,
+    // sketch-cutoff twin in the sketch's EXACT regime: the cutoff is
+    // the smallest score the rank path would keep — the ascending
+    // order statistic at n - ceil(n*30/100) + 1 — and every row at or
+    // above it (ties included) survives: the score-threshold
+    // semantics the scale path applies map-side
+    "quality_calibrated_sketch" ->
+      s"""WITH f AS (
+         |  SELECT doc_id, source,
+         |    CAST(len($toksSql) AS BIGINT) AS n_tokens,
+         |    CAST(len(list_filter($toksSql, t -> list_contains($stopwordsSql, t))) AS BIGINT) AS n_stopwords,
+         |    CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS BIGINT) AS n_punct,
+         |    CAST(list_sum(list_transform($toksSql, t -> CAST(length(t) AS BIGINT))) AS BIGINT) AS token_len_sum,
+         |    CAST(length(text) AS BIGINT) AS len_chars
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id, source,
+         |    CAST(CASE WHEN n_tokens > 0 THEN (1000000 * n_stopwords) // n_tokens
+         |      ELSE 0 END AS BIGINT) AS stop_fp,
+         |    CAST(CASE WHEN len_chars > 0 THEN (1000000 * n_punct) // len_chars
+         |      ELSE 0 END AS BIGINT) AS punct_fp,
+         |    CAST(CASE WHEN n_tokens > 0
+         |      THEN abs((1000000 * token_len_sum) // n_tokens - 5000000)
+         |      ELSE 5000000 END AS BIGINT) AS len_dev_fp
+         |  FROM f),
+         |s AS (
+         |  SELECT doc_id, source,
+         |    CAST(400000 + 3 * stop_fp - 10 * punct_fp - len_dev_fp // 5 AS BIGINT) AS score_fp
+         |  FROM r),
+         |k AS (
+         |  SELECT doc_id, source, score_fp,
+         |    row_number() OVER (PARTITION BY source ORDER BY score_fp ASC) AS rn,
+         |    count(*) OVER (PARTITION BY source) AS n
+         |  FROM s),
+         |c AS (
+         |  SELECT source,
+         |    max(CASE WHEN rn = n - (n * 30 + 99) // 100 + 1 THEN score_fp END) AS cut
+         |  FROM k GROUP BY 1)
+         |SELECT k.doc_id, k.source, k.score_fp
+         |FROM k JOIN c USING (source) WHERE k.score_fp >= c.cut""".stripMargin,
     // wordlist filter: n_blocked counts token hits (multiplicity),
     // n_blocked_distinct counts blocklist terms present (iterate the
     // SMALL fixed list against the token set — multiset-semantics-proof
@@ -5359,6 +5432,63 @@ object SparkEntry {
          |    CAST(t.label = q.q_label AS INT) AS a,
          |    round($dotTQ / (sqrt($normT) * sqrt($normQ)), 9) AS cos
          |  FROM e t, q WHERE t.vec_id >= 10),
+         |r AS (
+         |  SELECT vec_id, q_id, a,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rnk,
+         |    count(*) OVER (PARTITION BY q_id) AS n,
+         |    lead(a) OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS a_next
+         |  FROM sc),
+         |c AS (
+         |  SELECT vec_id, q_id, rnk,
+         |    CASE WHEN a_next IS NULL THEN (CAST(a AS BIGINT) * 1000000000000) // n
+         |         ELSE (CASE WHEN a > a_next THEN 1 WHEN a < a_next THEN -1 ELSE 0 END)
+         |              * ((1000000000000 * least(5, rnk)) // (5 * rnk)) END AS contrib
+         |  FROM r),
+         |s AS (
+         |  SELECT vec_id, q_id,
+         |    SUM(contrib) OVER (PARTITION BY q_id ORDER BY rnk DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sv
+         |  FROM c)
+         |SELECT vec_id, CAST(SUM(sv) AS BIGINT) AS shapley_micros
+         |FROM s GROUP BY vec_id""".stripMargin
+    },
+    // ANN-screened Shapley: the sim_project_rerank screen (same plane
+    // literals, same raw-cos cut) restricted to train ids, then the
+    // data_shapley recurrence over ONLY the screened candidates with
+    // n = each test point's candidate count
+    "data_shapley_screened" -> {
+      val cpCols = (0 until 32)
+        .map(p => projMicroSql("embedding", p) + s" AS p$p").mkString(",\n  ")
+      val coarseSum = (0 until 32).map(p => s"cp.p$p * qp.p$p").mkString(" + ")
+      val dotEq = dotSql("t.embedding", "q.embedding")
+      val normT = dotSql("t.embedding", "t.embedding")
+      val normQ = dotSql("q.embedding", "q.embedding")
+      s"""WITH cp AS (SELECT vec_id,
+         |  $cpCols
+         |FROM embeddings WHERE vec_id >= 10),
+         |qp AS (SELECT vec_id,
+         |  $cpCols
+         |FROM embeddings WHERE vec_id < 10),
+         |coarse AS (
+         |  SELECT qp.vec_id AS q_id, cp.vec_id, ($coarseSum) AS coarse
+         |  FROM cp, qp),
+         |surv AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT q_id, vec_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY coarse DESC, vec_id ASC) AS crank
+         |    FROM coarse) WHERE crank <= 100),
+         |fine AS (
+         |  SELECT s.q_id, s.vec_id,
+         |    $dotEq / (sqrt($normT) * sqrt($normQ)) AS cos
+         |  FROM surv s
+         |  JOIN embeddings t ON t.vec_id = s.vec_id
+         |  JOIN embeddings q ON q.vec_id = s.q_id),
+         |sc AS (
+         |  SELECT vec_id, q_id, round(cos, 9) AS cos,
+         |    CAST((vec_id % 3) = (q_id % 3) AS INT) AS a FROM (
+         |    SELECT q_id, vec_id, cos,
+         |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rank
+         |    FROM fine) WHERE rank <= 50),
          |r AS (
          |  SELECT vec_id, q_id, a,
          |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rnk,

@@ -690,6 +690,33 @@ object SketchAggregates {
     }
   }
 
+  /** Cutoff score for a keep-top-`keepPct`-percent policy from a
+    * stored sketch: the value at ascending rank
+    * `total − ceil(total·keepPct/100) + 1` — i.e. the SMALLEST score
+    * the rank-based top-pct cut would keep, so `score >= cutoff`
+    * reproduces [[graft.operators.Robust.calibratedTopPct]]'s keep
+    * set exactly when scores are distinct (ties at the cutoff all
+    * survive — a score threshold cannot split equal values). Same
+    * weighted-sample fold as [[sketchQuantileDisc]], different target
+    * rank. */
+  def sketchTopPctCutoff(sk: Column, keepPct: Int): Column = {
+    require(keepPct >= 1 && keepPct <= 100, s"keepPct in [1,100], got $keepPct")
+    bound(sk) { s =>
+      val total = aggregate(s, lit(0L), (acc, e) => acc + e.getField("w"))
+      val keepN = floor((total * keepPct + 99).cast("double") / 100).cast("long")
+      bound(total - keepN + 1) { target =>
+        aggregate(s,
+          struct(lit(0L).as("cum"), lit(null).cast("double").as("res")),
+          (acc, e) => {
+            val cum2 = acc.getField("cum") + e.getField("w")
+            struct(cum2.as("cum"),
+              coalesce(acc.getField("res"),
+                when(cum2 >= target, e.getField("v"))).as("res"))
+          }).getField("res")
+      }
+    }
+  }
+
   /** Misra-Gries heavy-hitters sketch over a string column: returns
     * array<struct(item, cnt)> ordered (cnt desc, item asc). Exact when
     * k >= #distinct; otherwise counters are within n/(k+1) below true

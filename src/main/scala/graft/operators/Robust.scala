@@ -120,4 +120,41 @@ object Robust {
       .select(col(idCol))
     df.join(kept, Seq(idCol), "left_semi")
   }
+
+  /** The 100 TB shape of [[calibratedTopPct]]: per-group cutoff SCORE
+    * from a mergeable quantile sketch, broadcast back, map-side
+    * filter — the [[Sampling.quantileBuckets]]/[[winsorize]] pattern.
+    * The rank-window variant sorts each group's rows in ONE window
+    * partition, so a dominant domain (half a web crawl is one host)
+    * serializes into a single task; here the heavy side never sorts
+    * and never shuffles — the only exchange carries per-group sketch
+    * states of size O(k·log(n/k)), with map-side partial merge.
+    *
+    * Semantics: keep rows whose score is AT OR ABOVE the group's
+    * cutoff — the value at ascending rank n − ceil(n·keepPct/100) + 1,
+    * i.e. the smallest score the rank path would keep
+    * ([[graft.expressions.SketchAggregates.sketchTopPctCutoff]]). On
+    * distinct scores this reproduces [[calibratedTopPct]]'s keep set
+    * EXACTLY; at cutoff ties it keeps every tying row (a score
+    * threshold cannot split equal values), and a group too small for
+    * the percentage still keeps its best row (the cutoff is never
+    * above the group max). Below `sketchK` values per group the
+    * sketch is the full sorted sample and the cutoff is the exact
+    * order statistic — the regime the SQL oracle replays; above it
+    * the cutoff is a near-rank observed score (bounded rank error),
+    * the honest trade at corpus scale. */
+  def calibratedTopPctSketch(df: DataFrame, scoreCol: String, groupCol: String,
+                             keepPct: Int, sketchK: Int = 32768): DataFrame = {
+    require(keepPct >= 1 && keepPct <= 100, s"keepPct in [1,100], got $keepPct")
+    if (keepPct == 100) return df
+    import graft.expressions.SketchAggregates
+    val cuts = df.groupBy(col(groupCol))
+      .agg(SketchAggregates.quantileSketch(col(scoreCol).cast("double"), sketchK)
+        .as("__sk"))
+      .select(col(groupCol),
+        SketchAggregates.sketchTopPctCutoff(col("__sk"), keepPct).as("__cut"))
+    df.join(broadcast(cuts), groupCol)
+      .filter(col(scoreCol).cast("double") >= col("__cut"))
+      .drop("__cut")
+  }
 }

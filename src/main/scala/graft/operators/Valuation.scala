@@ -44,14 +44,24 @@ object Valuation {
     *         units. */
   def knnShapley(train: DataFrame, test: DataFrame, k: Int = 5,
                  micro: Long = 1000000000000L): DataFrame = {
-    require(k >= 1, s"need k >= 1, got $k")
-    import org.apache.spark.sql.expressions.Window
     import graft.similarity.Similarity.{dot, norm}
     val scored = train.crossJoin(broadcast(test))
       .select(col("vec_id"), col("q_id"),
         (col("label") === col("q_label")).cast("int").as("a"),
         round(dot(col("embedding"), col("q_emb")) /
           (norm(col("embedding")) * norm(col("q_emb"))), 9).as("cos"))
+    shapleyFromScored(scored, k, micro)
+  }
+
+  /** The closed-form recurrence over an already-scored candidate
+    * frame (vec_id, q_id, a, cos) — shared by the exact path (every
+    * train point scored) and the ANN-screened path (only the
+    * retrieved neighborhood scored, n = the per-test candidate
+    * count). */
+  private def shapleyFromScored(scored: DataFrame, k: Int,
+                                micro: Long): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
     val byRank = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("vec_id").asc)
     val ranked = scored
@@ -76,5 +86,49 @@ object Valuation {
       .withColumn("s", sum(col("c")).over(suffix))
       .groupBy(col("vec_id"))
       .agg(sum(col("s")).as("shapley_micros"))
+  }
+
+  /** Corpus-scale KNN-Shapley: ANN-SCREEN the train set per test
+    * point, then value only the retrieved neighborhood — the paper's
+    * own large-N recipe (s_i decays as 1/i, so far points contribute
+    * ~0; with screenK ≫ k the truncation error is the tail sum
+    * ≤ micro/screenK per dropped point). The screen is the
+    * coarse-to-fine JL projection
+    * ([[graft.similarity.Similarity.projectedRerankTopK]]): integer
+    * projected dot prunes the corpus to `coarseK` per query, exact
+    * cosine re-ranks to `screenK` — deterministic plane literals, so
+    * the whole chain replays in SQL and the oracle can restate it.
+    *
+    * EXACTNESS INVARIANT (the spec's proof shape, mirroring
+    * `sim_ivf_kmeans`'s full-probe oracle): with screenK ≥ N and
+    * coarseK ≥ N the screen retains everything and the result is
+    * IDENTICAL to [[knnShapley]].
+    *
+    * Scale shape: embeddings never cross an exchange — the coarse
+    * stage shuffles (q_id, vec_id, score) triples, the survivors
+    * broadcast back, and the valuation window partitions hold at most
+    * `screenK` rows per test point (vs the FULL train set in the
+    * exact path — the window shape that would serialize at 100 TB).
+    * Valuation semantics are "exact Shapley restricted to the
+    * retrieved candidate set": each recurrence runs with n = that
+    * test point's candidate count. */
+  def knnShapleyScreened(train: DataFrame, test: DataFrame, k: Int = 5,
+                         screenK: Int = 50, dim: Int = 64, outDim: Int = 32,
+                         coarseK: Int = 100,
+                         micro: Long = 1000000000000L): DataFrame = {
+    require(screenK >= k, s"need screenK >= k, got $screenK < $k")
+    val screened = graft.similarity.Similarity.projectedRerankTopK(
+      train.select(col("vec_id"), col("embedding")),
+      test.select(col("q_id"), col("q_emb")),
+      dim = dim, outDim = outDim, coarseK = coarseK, k = screenK)
+    // labels ride in narrow: the tiny screened pair list broadcasts
+    // onto the train projection (vec_id, label) — embeddings stay out
+    val scored = train.select(col("vec_id"), col("label"))
+      .join(broadcast(screened.select(col("q_id"), col("vec_id"), col("cos"))),
+        "vec_id")
+      .join(broadcast(test.select(col("q_id"), col("q_label"))), "q_id")
+      .select(col("vec_id"), col("q_id"),
+        (col("label") === col("q_label")).cast("int").as("a"), col("cos"))
+    shapleyFromScored(scored, k, micro)
   }
 }

@@ -159,6 +159,51 @@ class CurationOpsSpec extends SparkSpec {
     assert(keptSmall.filter(_._1 == "M").map(_._2).sorted == Seq(10L, 11L))
   }
 
+  test("calibratedTopPctSketch: exact-regime parity with the rank path, no window") {
+    import graft.operators.Robust
+    // distinct scores → threshold semantics == rank semantics exactly
+    val rows = (0 until 40).map(i => (i.toLong, "A", 1000L - i)) ++
+      (0 until 10).map(i => (100L + i, "B", 10L - i)) ++
+      Seq((200L, "S", 5L), (201L, "S", 3L)) // small domain keeps its best
+    val df = rows.toDF("doc_id", "source", "score_fp")
+    val rank = Robust.calibratedTopPct(df, "score_fp", "source", 30, "doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val sketch = Robust.calibratedTopPctSketch(df, "score_fp", "source", 30)
+      .collect().map(r => r.getAs[Long]("doc_id")).toSet
+    assert(sketch == rank, s"sketch $sketch vs rank $rank")
+    // cutoff TIES all survive (score-threshold semantics)
+    val ties = (Seq((0L, "T", 9L)) ++ (1 until 10).map(i => (i.toLong, "T", 5L)))
+      .toDF("doc_id", "source", "score_fp")
+    // n=10, keep 30% → cutoff = 70th-pct ascending = 5 → every 5 survives
+    val keptTies = Robust.calibratedTopPctSketch(ties, "score_fp", "source", 30)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(keptTies == (0L until 10L).toSet, keptTies.toString)
+  }
+
+  test("calibratedTopPctSketch: a dominant group never sorts its rows") {
+    import graft.operators.Robust
+    // one domain holds ~99% of the input — the exact rank path would
+    // serialize it into a single window partition; the sketch path
+    // must plan NO Window and NO per-group Sort of the data rows
+    val big = spark.range(200000).selectExpr(
+      "id AS doc_id", "'dominant' AS source", "(id * 37) % 100000 AS score_fp")
+    val small = spark.range(50).selectExpr(
+      "id + 1000000 AS doc_id", "'minor' AS source", "id AS score_fp")
+    val df = big.unionAll(small)
+    val kept = Robust.calibratedTopPctSketch(df, "score_fp", "source", 20)
+    val plan = kept.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"rank window in the sketch path:\n$plan")
+    assert(!plan.contains("SortExec") && !plan.toLowerCase.contains("\nsort"),
+      s"per-group sort of data rows in the sketch path:\n$plan")
+    // the data side must reach the filter via a BROADCAST of the tiny
+    // cutoff frame — no hash exchange of the 200k rows
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // sanity: roughly the top 20% of the dominant group survives (ties
+    // at the cutoff may add a handful)
+    val n = kept.filter(col("source") === "dominant").count()
+    assert(n >= 39000 && n <= 41000, s"kept $n of 200000 at 20%")
+  }
+
   test("urlNormalize idempotence: normalizing a normal form is a no-op") {
     val urls = Seq(
       "HTTP://WWW.Example.COM:80/a/b/?utm_source=x&b=2&a=1#frag",

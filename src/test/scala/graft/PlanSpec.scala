@@ -212,7 +212,7 @@ class PlanSpec extends SparkSpec {
       }.flatten.toSeq
     }
     Seq("sim_topk", "hard_negatives", "embed_cluster_sample",
-      "semantic_dedup").foreach { q =>
+      "semantic_dedup", "data_shapley_screened").foreach { q =>
       val cols = keyedShuffleCols(q)
       assert(!cols.contains("embedding") && !cols.contains("q_emb"),
         s"$q hash/range-shuffles embeddings: $cols")

@@ -36,6 +36,11 @@ object Bench {
 
   private def fmt(d: Double): String = f"$d%.3f"
 
+  /** Per-run metered volumes from the stage listener wrapped around
+    * every timed run — the attribution record for outlier runs. */
+  final case class RunMeter(shuffleBytes: Long, shuffleRecords: Long,
+                            spillDisk: Long, scanRows: Long)
+
   /** Per-query minimums and per-run arrays from a previous round's
     * BENCH_detail.json (read BEFORE this run overwrites it). Parsed
     * with the Jackson bundled in Spark's own classpath. */
@@ -119,10 +124,35 @@ object Bench {
     // output column. Each run builds a FRESH plan (AQE reuses shuffle
     // stages of a re-executed DataFrame instance, which would not be an
     // honest timing).
+    //
+    // EVERY run is also metered by a stage listener (shuffle volume,
+    // spill, scan rows — a few atomic adds per stage, free at this
+    // scale): when a steady-state run spikes, the artifact carries the
+    // volumes that say whether it recomputed more (real) or just ran
+    // the same work slower (host noise) — no after-the-fact
+    // adjudication. The listener registers BEFORE fn() evaluates, so
+    // eager constructor-time jobs (fixpoints) are counted too.
     def timeOne(name: String,
                 fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
                 dir: String,
-                lint: Boolean = false): Option[Double] = {
+                lint: Boolean = false): Option[(Double, RunMeter)] = {
+      import java.util.concurrent.atomic.AtomicLong
+      import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+      val shufB = new AtomicLong; val shufR = new AtomicLong
+      val spillD = new AtomicLong; val inRecs = new AtomicLong
+      val listener = new SparkListener {
+        override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
+          val m = s.stageInfo.taskMetrics
+          if (m != null) {
+            shufB.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+            shufR.addAndGet(m.shuffleWriteMetrics.recordsWritten)
+            spillD.addAndGet(m.diskBytesSpilled)
+            inRecs.addAndGet(m.inputMetrics.recordsRead)
+            ()
+          }
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
       val t0 = System.nanoTime()
       val timed =
         try {
@@ -139,6 +169,13 @@ object Bench {
         } catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           None
+        } finally {
+          // drain the bus so late stage events land before detaching
+          // (outside the timer either way)
+          try org.apache.spark.GraftListenerAccess
+            .waitUntilListenerBusEmpty(spark.sparkContext)
+          catch { case _: Throwable => () }
+          spark.sparkContext.removeSparkListener(listener)
         }
       // Isolation between timed runs (outside the timer). Operators
       // scope their own persists since round 7, but a localCheckpoint
@@ -156,7 +193,8 @@ object Bench {
         leftoverBlocks(name) = math.max(leftoverBlocks.getOrElse(name, 0), leftovers.size)
       leftovers.values.foreach(_.unpersist(blocking = true))
       System.gc()
-      timed
+      timed.map(t =>
+        (t, RunMeter(shufB.get(), shufR.get(), spillD.get(), inRecs.get())))
     }
     // min of three timed runs per query: this VM's run-to-run variance
     // is ±30%, and the steady-state minimum is the honest throughput
@@ -215,21 +253,41 @@ object Bench {
     // write it), so reading it at artifact time would mislabel
     // whichever prepare() happened to run last
     var prepStages: Map[String, Double] = Map.empty
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val metered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
       primeLayout(name, sfDir)
-      var times = (1 to nRuns).flatMap(r => timeOne(name, fn, sfDir, lint = r == nRuns))
+      var runs = (1 to nRuns).flatMap(r => timeOne(name, fn, sfDir, lint = r == nRuns))
       if (name == "corpus_prepare")
         prepStages = graft.pipeline.CorpusPipeline.lastStageSeconds.get()
-      if (times.size >= 2 && times.min > 0.3 && times.max / times.min > 2.0)
-        times = times ++ (1 to maxExtraRuns).flatMap(_ => timeOne(name, fn, sfDir))
+      def ts = runs.map(_._1)
+      if (runs.size >= 2 && ts.min > 0.3 && ts.max / ts.min > 2.0)
+        runs = runs ++ (1 to maxExtraRuns).flatMap(_ => timeOne(name, fn, sfDir))
       System.err.println(s"[bench] $name runs=" +
-        times.map(fmt).mkString("[", ",", "]"))
-      name -> times
+        runs.map(r => fmt(r._1)).mkString("[", ",", "]"))
+      name -> runs
     }
+    val results = metered.map { case (n, rs) => n -> rs.map(_._1) }
     val mins = results.map { case (n, ts) => n -> (if (ts.nonEmpty) ts.min else -1.0) }
     val total = mins.collect { case (_, t) if t > 0 => t }.sum
+
+    // ---- Outlier attribution ----
+    // For queries whose steady-state run spread exceeded 2x, attach
+    // every run's metered volumes: an outlier whose shuffle/scan
+    // volumes match its siblings ran the SAME work slower (host
+    // noise); inflated volumes mean it genuinely recomputed more
+    // (cache miss, layout rebuild inside the window) — the artifact
+    // decides, not a post-hoc guess.
+    val runAttribution = metered.collect {
+      case (name, rs) if rs.size >= 2 && {
+        val ts = rs.map(_._1); ts.min > 0.3 && ts.max / ts.min > 2.0
+      } =>
+        val rows = rs.map { case (t, m) =>
+          s"""{"s":${fmt(t)},"shuffle_bytes":${m.shuffleBytes},"shuffle_records":${m.shuffleRecords},"spill_disk_bytes":${m.spillDisk},"scan_rows":${m.scanRows}}"""
+        }
+        s""""$name":[${rows.mkString(",")}]"""
+    }
+    val runAttributionJson = runAttribution.mkString("{", ",", "}")
 
     // ---- Round-over-round regression gate ----
     // Diff per-query minimums against the previous round's detail file.
@@ -341,7 +399,7 @@ object Bench {
           val points = sfNames.map { sn =>
             val dir = new java.io.File(base, sn).getPath
             primeLayout(name, dir)
-            val ts = (1 to 2).flatMap(_ => timeOne(name, fn, dir))
+            val ts = (1 to 2).flatMap(_ => timeOne(name, fn, dir)).map(_._1)
             // One metered (untimed) run per point: its shuffle volume,
             // spill, and scan-row counts ATTRIBUTE the time curve — a
             // time ratio at or below the shuffle/scan-volume ratio is
@@ -422,6 +480,68 @@ object Bench {
       s""""$n":{"sweep_min_s":${fmt(sweep)},"scaling_min_s":${fmt(iso)},"agree_2x":${!inconsistent.exists(_._1 == n)}}"""
     }.mkString("{", ",", "}")
 
+    // ---- Derived sf1 decade for the fastest-growing queries ----
+    // /root/testdata tops out at sf0.1, and the sf0.01→sf0.1 step is
+    // where local[32]'s fixed-cost floor amortizes away — so the
+    // queries whose LAST-decade growth runs hottest get one more
+    // decade on a deterministic 10x expansion (ScaleUp: id-offset
+    // union, built once through LayoutCache and metered as
+    // [sf1-expand]). Each point is min-of-2 fresh plans; volumes from
+    // the per-run meters at BOTH SFs attribute the growth with the
+    // scaling block's own rule. SPARK_GRAFT_SF1=0 skips the block.
+    val sf1Watch = Seq("staging_agg", "fact_trip", "triangle_count",
+      "corpus_filter", "revenue_by_nation")
+    val sf1Compact = new scala.collection.mutable.ArrayBuffer[String]
+    val sf1Json =
+      if (sys.env.get("SPARK_GRAFT_SF1").contains("0") ||
+          new java.io.File(sfDir).getName != "sf0.1") "null"
+      else try {
+        val tExp0 = System.nanoTime()
+        val sf1Dir = ScaleUp.ensure(spark, sfDir, factor = 10)
+        layoutTimes("[sf1-expand]") = (System.nanoTime() - tExp0) / 1e9
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+        System.gc()
+        val entries = sf1Watch.filter(n => minsMap.get(n).exists(_ > 0)).map { name =>
+          val fn = SparkEntry.queries(name)
+          primeLayout(name, sf1Dir)
+          // re-meter the sf0.1 leg here (one run) so both legs'
+          // volumes come from the same meter on the same host state
+          val leg01 = timeOne(name, fn, sfDir)
+          val runs1 = (1 to 2).flatMap(_ => timeOne(name, fn, sf1Dir))
+          val t01 = leg01.map(_._1).getOrElse(minsMap(name))
+          val t1 = if (runs1.nonEmpty) runs1.map(_._1).min else -1.0
+          val growth = if (t01 > 0.05 && t1 > 0) Some(t1 / t01) else None
+          def volG(f: RunMeter => Long): Option[Double] =
+            for {
+              a <- leg01.map(r => f(r._2)) if a > 0
+              b = runs1.map(r => f(r._2)).max if runs1.nonEmpty
+            } yield b.toDouble / a
+          val vol = (volG(_.shuffleRecords).toSeq ++ volG(_.scanRows).toSeq ++ Seq(1.0)).max
+          val attribution = growth match {
+            case None => "too-fast-to-attribute"
+            case Some(g) if g <= 2.0 => "near-flat"
+            case Some(g) if g <= 10.0 && g <= 1.5 * vol => "data-proportional (sublinear-in-data)"
+            case Some(g) if g <= 1.5 * vol => "volume-proportional"
+            case Some(_) => "SUSPECT: time outgrows shuffle+scan volume — possible plan change"
+          }
+          System.err.println(s"[bench][sf1] $name sf0.1=${fmt(t01)} sf1=${fmt(t1)} " +
+            s"growth=${growth.map(fmt).getOrElse("n/a")} ($attribution)")
+          def meterArr(f: RunMeter => Long): String =
+            (leg01.map(r => f(r._2)).getOrElse(-1L) +:
+              (if (runs1.nonEmpty) Seq(runs1.map(r => f(r._2)).max) else Seq(-1L)))
+              .mkString("[", ",", "]")
+          (name, growth,
+            s""""$name":{"sf01_s":${fmt(t01)},"sf1_s":${fmt(t1)},"growth_10x":${growth.map(fmt).getOrElse("null")},"shuffle_records":${meterArr(_.shuffleRecords)},"scan_rows":${meterArr(_.scanRows)},"spill_bytes":${meterArr(_.spillDisk)},"attribution":"$attribution"}""")
+        }
+        sf1Compact ++= entries.map { case (n, g, _) =>
+          s""""$n":${g.map(fmt).getOrElse("null")}""" }
+        s"""{"dir":"$sf1Dir","factor":10,"timing":"min-of-2 fresh plans per leg + metered","queries":{${entries.map(_._3).mkString(",")}}}"""
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench][sf1] block failed: ${e.getMessage}")
+        "null"
+      }
+
     val qs = mins.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val perRun = results.map { case (k, ts) =>
@@ -440,7 +560,7 @@ object Bench {
     val prepStagesJson = prepStages
       .map { case (k, v) => s""""$k":${fmt(v)}""" }.mkString("{", ",", "}")
     val detail =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_s":${fmt(total)},"sf":"$sfDir","runs":$nRuns,"runs_max":${nRuns + maxExtraRuns},"timing":"min-of-$nRuns (+$maxExtraRuns adaptive runs when 3-run spread > 2x; runs_s carries every run), full materialization via toRdd, fresh plan per run, caches+leftover RDD blocks cleared between runs","cc_rounds":$ccRounds,"corpus_prepare_stages_s":$prepStagesJson,"timing_consistency":$consistencyJson,"layout_build_s":$layoutJson,"leftover_persisted_rdds":$leftoverJson,"vs_prev":$vsPrevJson,"lint":$lintJson,"queries":$qs,"scaling":$scalingJson,"runs_s":$perRun}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_s":${fmt(total)},"sf":"$sfDir","runs":$nRuns,"runs_max":${nRuns + maxExtraRuns},"timing":"min-of-$nRuns (+$maxExtraRuns adaptive runs when 3-run spread > 2x; runs_s carries every run), full materialization via toRdd, fresh plan per run, caches+leftover RDD blocks cleared between runs","cc_rounds":$ccRounds,"corpus_prepare_stages_s":$prepStagesJson,"timing_consistency":$consistencyJson,"layout_build_s":$layoutJson,"leftover_persisted_rdds":$leftoverJson,"vs_prev":$vsPrevJson,"lint":$lintJson,"queries":$qs,"scaling":$scalingJson,"scaling_sf1":$sf1Json,"run_attribution":$runAttributionJson,"runs_s":$perRun}"""
     // The harness capturing stdout keeps only a bounded TAIL (~2 KB) of
     // it — a full 150-query detail line can never survive that whole. So
     // the complete evidence (per-run times for self-adjudication,
@@ -456,6 +576,8 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val scalingBrief =
       if (scalingCompact.isEmpty) "null" else scalingCompact.mkString("{", ",", "}")
+    val sf1Brief =
+      if (sf1Compact.isEmpty) "null" else sf1Compact.mkString("{", ",", "}")
     val attributionBrief =
       if (attributionCompact.isEmpty) "null" else attributionCompact.mkString("{", ",", "}")
     val disagree = inconsistent.map("\"" + _._1 + "\"").mkString("[", ",", "]")
@@ -470,7 +592,7 @@ object Bench {
           rx.findAllMatchIn(vsPrevJson).map(_.group(1)).take(12).toSeq
         s"""{"regressed":[${names(r).map("\"" + _ + "\"").mkString(",")}],"improved":[${names(i).map("\"" + _ + "\"").mkString(",")}],"noise":[${names(n).map("\"" + _ + "\"").mkString(",")}]}"""
     }
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_s":${fmt(total)},"sf":"$sfDir","runs":$nRuns,"cc_rounds":$ccRounds,"queries_n":${mins.size},"failed_n":${mins.count(_._2 < 0)},"timing_disagree_2x":$disagree,"lint_unexpected_n":${lintUnexpected.size},"layout_build_s":$layoutJson,"vs_prev":$vsPrevBrief,"top10_min_s":$top10,"scaling_growth_per_10x":$scalingBrief,"scaling_attribution":$attributionBrief,"detail_file":"${detailPath.toAbsolutePath}"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_s":${fmt(total)},"sf":"$sfDir","runs":$nRuns,"cc_rounds":$ccRounds,"queries_n":${mins.size},"failed_n":${mins.count(_._2 < 0)},"timing_disagree_2x":$disagree,"lint_unexpected_n":${lintUnexpected.size},"layout_build_s":$layoutJson,"vs_prev":$vsPrevBrief,"top10_min_s":$top10,"scaling_growth_per_10x":$scalingBrief,"sf1_growth":$sf1Brief,"scaling_attribution":$attributionBrief,"detail_file":"${detailPath.toAbsolutePath}"}""")
     spark.stop()
   }
 }

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic N× expansion of a testdata scale-factor directory —
+  * the derived scaling decade the local benchmark needs above the
+  * largest driver-generated SF (sf0.1). Each fact/doc table is the
+  * union of `factor` id-offset copies (every key column shifted by
+  * `copy · OFFSET`, so referential integrity holds within a copy and
+  * copies never collide); the fixed dims (region, nation) are copied
+  * unchanged, matching how real data grows — facts multiply, the
+  * nation list does not. Non-key content (text, prices, dates,
+  * embeddings) repeats verbatim: group COUNTS stay put while rows per
+  * group grow ~N×, which is the load shape a 10× bigger corpus puts
+  * on aggregates and joins.
+  *
+  * Built ONCE per source snapshot through [[graft.sources.LayoutCache]]
+  * (content-fingerprinted, atomically published, cross-JVM), so the
+  * expansion cost is a metered layout build, not a per-run tax. */
+object ScaleUp {
+
+  /** Key shift per copy — far above any real id in the expanded range
+    * (sf1 keys top out in the low millions), far below long overflow
+    * at factor ≤ 10^6. */
+  val Offset: Long = 1000000000L
+
+  /** Key columns shifted per copy; empty = fixed dim (copied once). */
+  private val keyCols: Map[String, Seq[String]] = Map(
+    "region" -> Seq.empty,
+    "nation" -> Seq.empty,
+    "customer" -> Seq("c_custkey"),
+    "supplier" -> Seq("s_suppkey"),
+    "part" -> Seq("p_partkey"),
+    "orders" -> Seq("o_orderkey", "o_custkey"),
+    "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey"),
+    "events" -> Seq("event_id", "user_id"),
+    "documents" -> Seq("doc_id"),
+    "embeddings" -> Seq("vec_id"))
+
+  /** Ensure the expanded directory exists and return its path; tables
+    * land as `<table>.parquet` directories, so every `Tables.*` reader
+    * works against it unchanged. */
+  def ensure(spark: SparkSession, srcDir: String, factor: Int = 10): String = {
+    require(factor >= 2, s"need factor >= 2, got $factor")
+    val tables = keyCols.keys.toSeq.sorted
+    val files = tables.map(t => new java.io.File(srcDir, s"$t.parquet"))
+    require(files.forall(_.exists()), s"missing source tables under $srcDir")
+    val fp = graft.sources.LayoutCache.contentFingerprint(files)
+    graft.sources.LayoutCache.ensure(s"graft_scaleup_x$factor",
+      new java.io.File(srcDir).getName, fp) { tmp =>
+      tables.foreach { t =>
+        val src = spark.read.parquet(s"$srcDir/$t.parquet")
+        val out = expand(src, keyCols(t), factor)
+        out.write.parquet(s"$tmp/$t.parquet")
+      }
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(tmp, "_SUCCESS"), "")
+      ()
+    }
+  }
+
+  private[graft] def expand(src: DataFrame, keys: Seq[String],
+                            factor: Int): DataFrame =
+    if (keys.isEmpty) src
+    else (0 until factor).map { k =>
+      keys.foldLeft(src)((df, c) => df.withColumn(c, col(c) + k * Offset))
+    }.reduce(_ unionAll _)
+}

@@ -58,6 +58,20 @@ object CorpusPipeline {
     r
   }
 
+  /** The three NARROW id lists the eager pipeline produces — the
+    * complete decision record of a prepare run: who passed the
+    * quality gate, who is a duplicate of whom, who is contaminated.
+    * Everything else ([[Prepared]]'s stage frames) is a lazy
+    * re-assembly of these lists against the input docs, so persisting
+    * the lists persists the RUN: write them to storage and every
+    * consumer (training export, audit, funnel dashboard) replays the
+    * same snapshot instead of re-running the pipeline —
+    * [[assemble]]. */
+  final case class PreparedLists(
+      keepIds: DataFrame,
+      dupOf: DataFrame,
+      dirtyIds: Option[DataFrame])
+
   /** Stage frames — lazy over `docs` plus the narrow id lists
     * `prepare` materialized; act on whichever you need. `packed` is the
     * training-ready output: (doc_id, shard, n_tokens, start_tok,
@@ -67,15 +81,17 @@ object CorpusPipeline {
     * blocks on executors, not replicated storage — if an executor is
     * lost between `prepare()` and a downstream action, the action
     * fails unrecoverably (lineage is truncated). For long-lived
-    * consumers, write the stage you need to storage promptly (or
-    * re-run `prepare`); the same caveat is documented on
+    * consumers, write `lists` to storage promptly and [[assemble]]
+    * from it (the production pattern — audit the run you shipped), or
+    * re-run `prepare`; the same caveat is documented on
     * [[graft.dedup.Dedup.IncrementalNearDup]]. */
   final case class Prepared(
       filtered: DataFrame,
       deduped: DataFrame,
       decontaminated: DataFrame,
       packed: DataFrame,
-      disposition: DataFrame) {
+      disposition: DataFrame,
+      lists: PreparedLists) {
 
     /** Free the checkpoint blocks backing the stage frames (the
       * keep-list, the dirty-id list, and the CC fixpoint's final edge
@@ -86,8 +102,59 @@ object CorpusPipeline {
       * storage pool. After release, every stage frame of THIS result
       * is unusable (lineage was truncated by the checkpoint). */
     def release(): Unit =
-      Seq(filtered, deduped, decontaminated, packed, disposition)
+      (Seq(filtered, deduped, decontaminated, packed, disposition,
+        lists.keepIds, lists.dupOf) ++ lists.dirtyIds)
         .foreach(graft.core.Checkpoints.releaseAll)
+  }
+
+  /** Re-assemble every stage frame from a run's persisted id lists —
+    * the SAME lazy tail [[prepare]] returns, so a consumer of a
+    * stored snapshot and the run that produced it cannot drift. Cost:
+    * three narrow joins against `docs`; the eager pipeline does not
+    * run. (Boilerplate stripping is a text TRANSFORM, not a list —
+    * callers that prepared with `boilerplateWidth` must re-strip
+    * before re-deriving signatures; the stage frames here carry the
+    * original text, which is what export/audit consume.) */
+  def assemble(docs: DataFrame, lists: PreparedLists,
+               windowTokens: Int = 2048, nShards: Int = 32,
+               textCol: String = "text", idCol: String = "doc_id"): Prepared =
+    assembleFrom(docs, docs.join(lists.keepIds, Seq(idCol), "left_semi"),
+      lists, windowTokens, nShards, textCol, idCol)
+
+  private def assembleFrom(docs: DataFrame, filtered: DataFrame,
+                           lists: PreparedLists, windowTokens: Int,
+                           nShards: Int, textCol: String,
+                           idCol: String): Prepared = {
+    val dupIds = lists.dupOf.select(col(idCol))
+    val deduped = filtered.join(dupIds, Seq(idCol), "left_anti")
+    val decontaminated = lists.dirtyIds match {
+      case Some(dirty) => deduped.join(dirty, Seq(idCol), "left_anti")
+      case None => deduped
+    }
+    val packed = TextFunctions
+      .packDocuments(decontaminated, windowTokens, nShards, textCol, idCol)
+      .join(decontaminated.select(col(idCol).as("doc_id"), col(textCol)), "doc_id")
+    // Per-doc PROVENANCE — why did each input document survive or die:
+    // 'quality' (failed the gate), 'duplicate' (non-representative
+    // cluster member; dup_of = the representative kept instead),
+    // 'contaminated' (eval overlap — only after surviving dedup, the
+    // pipeline's own stage order), 'kept'. Lazy over the narrow id
+    // lists, so the audit costs three narrow broadcast joins over the
+    // input ids — the release-gate explainability a curation pipeline
+    // owes its auditors.
+    val disposition = docs.select(col(idCol))
+      .join(lists.keepIds.withColumn("__kept", lit(true)), Seq(idCol), "left")
+      .join(lists.dupOf, Seq(idCol), "left")
+      .join(lists.dirtyIds.map(_.withColumn("__dirty", lit(true)))
+        .getOrElse(lists.keepIds.limit(0).withColumn("__dirty", lit(true))),
+        Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("__kept").isNull, lit("quality"))
+          .when(col("dup_of").isNotNull, lit("duplicate"))
+          .when(col("__dirty").isNotNull, lit("contaminated"))
+          .otherwise(lit("kept")).as("disposition"),
+        col("dup_of"))
+    Prepared(filtered, deduped, decontaminated, packed, disposition, lists)
   }
 
   /** `bloomDecontaminate = true` swaps stage 3's exact shingle join
@@ -198,41 +265,11 @@ object CorpusPipeline {
     // the returned stage frames read only the fixpoint's own edge set
     graft.core.Checkpoints.releaseAll(pairs)
     lastStageSeconds.set(stageS.toMap)
-    val dupIds = clusters
-      .filter(col("doc_id") =!= col("cluster_id"))
-      .select(col("doc_id"))
-    val deduped = filtered.join(
-      dupIds.withColumnRenamed("doc_id", idCol), Seq(idCol), "left_anti")
-    val decontaminated = dirtyIds match {
-      case Some(dirty) => deduped.join(dirty, Seq(idCol), "left_anti")
-      case None => deduped
-    }
-    val packed = TextFunctions
-      .packDocuments(decontaminated, windowTokens, nShards, textCol, idCol)
-      .join(decontaminated.select(col(idCol).as("doc_id"), col(textCol)), "doc_id")
-    // Per-doc PROVENANCE — why did each input document survive or die:
-    // 'quality' (failed the gate), 'duplicate' (non-representative
-    // cluster member; dup_of = the representative kept instead),
-    // 'contaminated' (eval overlap — only after surviving dedup, the
-    // pipeline's own stage order), 'kept'. Lazy over the already-
-    // checkpointed id lists, so the audit costs three narrow
-    // broadcast joins over the input ids — the release-gate
-    // explainability a curation pipeline owes its auditors.
     val dupOf = clusters.filter(col("doc_id") =!= col("cluster_id"))
       .select(col("doc_id").as(idCol), col("cluster_id").as("dup_of"))
-    val disposition = docs.select(col(idCol))
-      .join(keepIds.withColumn("__kept", lit(true)), Seq(idCol), "left")
-      .join(dupOf, Seq(idCol), "left")
-      .join(dirtyIds.map(_.withColumn("__dirty", lit(true)))
-        .getOrElse(keepIds.limit(0).withColumn("__dirty", lit(true))),
-        Seq(idCol), "left")
-      .select(col(idCol),
-        when(col("__kept").isNull, lit("quality"))
-          .when(col("dup_of").isNotNull, lit("duplicate"))
-          .when(col("__dirty").isNotNull, lit("contaminated"))
-          .otherwise(lit("kept")).as("disposition"),
-        col("dup_of"))
-    Prepared(filtered, deduped, decontaminated, packed, disposition)
+    assembleFrom(docs, filtered,
+      PreparedLists(keepIds, dupOf, dirtyIds),
+      windowTokens, nShards, textCol, idCol)
   }
 
   /** Domain-weighted corpus mixing: keep each source's documents at

@@ -64,19 +64,58 @@ object TrainingExport {
     * in-file order is the declared sort — not task scheduling.
     * Returns the per-shard stats written. */
   def export(df: DataFrame, path: String, shardCol: String,
-             tokenCol: String, orderCols: Seq[String]): Seq[ShardStat] = {
+             tokenCol: String, orderCols: Seq[String]): Seq[ShardStat] =
+    exportAs(df, path, shardCol, tokenCol, orderCols, "parquet")
+
+  /** JSONL twin of [[export]]: one `.json` (JSON Lines) text file per
+    * shard — the format trainers most commonly stream — under the same
+    * discipline: deterministic in-shard order, manifest recomputed
+    * from the WRITTEN files, create-exclusive commit point. JSON
+    * round-trips integral/boolean/string columns exactly (the training
+    * payload case: ids, token counts, text); floating-point columns
+    * round-trip at JSON text precision, so fingerprints over them are
+    * only stable for values that print exactly. Spark's JSON writer
+    * omits null fields; the explicit read-back schema restores them as
+    * nulls, so the fingerprint is unaffected. */
+  def exportJsonl(df: DataFrame, path: String, shardCol: String,
+                  tokenCol: String, orderCols: Seq[String]): Seq[ShardStat] =
+    exportAs(df, path, shardCol, tokenCol, orderCols, "json")
+
+  private def exportAs(df: DataFrame, path: String, shardCol: String,
+                       tokenCol: String, orderCols: Seq[String],
+                       format: String): Seq[ShardStat] = {
     require(orderCols.nonEmpty, "need a deterministic in-shard order")
     val spark = df.sparkSession
     val nShards = df.select(shardCol).distinct().count().toInt
     df.repartition(math.max(nShards, 1), col(shardCol))
       .sortWithinPartitions((shardCol +: orderCols).map(col): _*)
-      .write.mode("overwrite").partitionBy(shardCol).parquet(path)
+      .write.mode("overwrite").partitionBy(shardCol).format(format).save(path)
     // the manifest certifies what is ON DISK, so its stats are
     // recomputed from the written files — a separate pre-write
     // evaluation of a non-deterministic `df` (or one whose source
     // mutated between the two jobs) would fingerprint rows that were
     // never written, and verify() would report phantom tampering
-    val stats = collectStats(shardStats(spark.read.parquet(path), shardCol, tokenCol))
+    val stats = collectStats(
+      shardStats(readBack(spark, path, df, shardCol, format), shardCol, tokenCol))
+    writeManifest(spark, path, stats)
+    stats
+  }
+
+  /** Written files, read with the WRITER's data schema: parquet is
+    * self-describing; JSON needs the schema pinned (inference would
+    * widen/narrow types and break fingerprint parity — and a verifier
+    * must not let the on-disk text choose its own types). */
+  private def readBack(spark: SparkSession, path: String, like: DataFrame,
+                       shardCol: String, format: String): DataFrame =
+    if (format == "parquet") spark.read.parquet(path)
+    else {
+      val dataSchema = org.apache.spark.sql.types.StructType(
+        like.schema.fields.filterNot(_.name == shardCol))
+      spark.read.schema(dataSchema).format(format).load(path)
+    }
+
+  private def writeManifest(spark: SparkSession, path: String,
+                            stats: Seq[ShardStat]): Unit = {
     val manifest = stats.sortBy(_.shard).map { s =>
       s"""{"shard":${s.shard},"rows":${s.rows},"tokens":${s.tokens},"hash_sum":${s.hashSum},"hash_xor":${s.hashXor}}"""
     }.mkString("[\n", ",\n", "\n]")
@@ -87,7 +126,6 @@ object TrainingExport {
     fs.delete(mPath, false)
     val out = fs.create(mPath, false)
     try out.write(manifest.getBytes("UTF-8")) finally out.close()
-    stats
   }
 
   /** Recompute the per-shard fingerprints from the written files and
@@ -95,8 +133,21 @@ object TrainingExport {
     * intact). The verifier reads ONLY data columns — it never trusts
     * file names or sizes. */
   def verify(spark: SparkSession, path: String, shardCol: String,
-             tokenCol: String): Seq[String] = {
-    val written = spark.read.parquet(path)
+             tokenCol: String): Seq[String] =
+    verifyAgainst(spark.read.parquet(path), spark, path, shardCol, tokenCol)
+
+  /** JSONL twin of [[verify]]: the caller supplies the data schema the
+    * export declared (a verifier pins types; it never lets the on-disk
+    * text infer its own). */
+  def verifyJsonl(spark: SparkSession, path: String,
+                  dataSchema: org.apache.spark.sql.types.StructType,
+                  shardCol: String, tokenCol: String): Seq[String] =
+    verifyAgainst(spark.read.schema(dataSchema).json(path),
+      spark, path, shardCol, tokenCol)
+
+  private def verifyAgainst(written: DataFrame, spark: SparkSession,
+                            path: String, shardCol: String,
+                            tokenCol: String): Seq[String] = {
     val got = collectStats(shardStats(written, shardCol, tokenCol))
       .map(s => s.shard -> s).toMap
     val manifest = readManifest(spark, path)

@@ -277,6 +277,39 @@ class TextDedupSpec extends SparkSpec {
     assert(disp(6L) == (("contaminated", None)))
   }
 
+  test("assemble from persisted lists reproduces prepare's frames exactly") {
+    import graft.pipeline.CorpusPipeline
+    val evalTxt = "benchmark question about the capital city of a very small european country surrounded by tall snowy mountain ranges"
+    val good1 = (0 until 30).map(i => s"alpha$i beta$i").mkString(" ")
+    val good2 = (0 until 30).map(i => s"gamma$i delta$i").mkString(" ")
+    val docs = Seq(
+      (1L, good1), (2L, good2), (3L, good1),
+      (4L, good1 + " tonight"), (5L, "too short"),
+      (6L, evalTxt + " and some extra filler words here")).toDF("doc_id", "text")
+    val ev = Seq((100L, evalTxt)).toDF("doc_id", "text")
+    val p = CorpusPipeline.prepare(docs, Some(ev),
+      windowTokens = 16, nShards = 2, maxEvalOverlap = 0.3)
+    // persist the decision lists — the production snapshot — then
+    // re-assemble in "another consumer" and compare every frame
+    val base = java.nio.file.Files.createTempDirectory("prep_lists").toString
+    p.lists.keepIds.write.parquet(s"$base/keep_ids")
+    p.lists.dupOf.write.parquet(s"$base/dup_of")
+    p.lists.dirtyIds.get.write.parquet(s"$base/dirty_ids")
+    val lists = CorpusPipeline.PreparedLists(
+      spark.read.parquet(s"$base/keep_ids"),
+      spark.read.parquet(s"$base/dup_of"),
+      Some(spark.read.parquet(s"$base/dirty_ids")))
+    val a = CorpusPipeline.assemble(docs, lists, windowTokens = 16, nShards = 2)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.toString).toSet
+    assert(rows(a.filtered) == rows(p.filtered))
+    assert(rows(a.deduped) == rows(p.deduped))
+    assert(rows(a.decontaminated) == rows(p.decontaminated))
+    assert(rows(a.packed) == rows(p.packed))
+    assert(rows(a.disposition) == rows(p.disposition))
+    p.release()
+  }
+
   test("CorpusPipeline.prepare bloom decontamination drops a superset of the exact path") {
     import graft.pipeline.CorpusPipeline
     val evalTxt = "benchmark question about the capital city of a very small european country surrounded by tall snowy mountain ranges"

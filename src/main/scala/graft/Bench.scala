@@ -506,10 +506,15 @@ object Bench {
           val fn = SparkEntry.queries(name)
           primeLayout(name, sf1Dir)
           // re-meter the sf0.1 leg here (one run) so both legs'
-          // volumes come from the same meter on the same host state
+          // volumes come from the same meter on the same host state;
+          // for the TIME ratio, fold in the sweep's own minimum — a
+          // single fresh leg can read several x above steady state
+          // (GC/page-cache phase), and min-of-available-runs is this
+          // bench's honest-throughput convention throughout
           val leg01 = timeOne(name, fn, sfDir)
           val runs1 = (1 to 2).flatMap(_ => timeOne(name, fn, sf1Dir))
-          val t01 = leg01.map(_._1).getOrElse(minsMap(name))
+          val t01 = math.min(
+            leg01.map(_._1).getOrElse(minsMap(name)), minsMap(name))
           val t1 = if (runs1.nonEmpty) runs1.map(_._1).min else -1.0
           val growth = if (t01 > 0.05 && t1 > 0) Some(t1 / t01) else None
           def volG(f: RunMeter => Long): Option[Double] =

@@ -830,6 +830,14 @@ object SparkEntry {
       docs.filter(col("doc_id") >= 250))
   }
 
+  /** Train/val/test split leakage audit
+    * ([[graft.operators.Splits.splitLeakage]]): deterministic salted
+    * hash split (10/10/80), then every val/test document whose
+    * near-duplicate (Jaccard ≥ 0.8) sits in train — the memorized-eval
+    * hazard an exact-dup check misses. */
+  private def splitLeakageQ(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Splits.splitLeakage(Tables.documents(spark, dir))
+
   /** Near-dup pairs → connected components → keep/drop decision. */
   private def dedupClusters(spark: SparkSession, dir: String): DataFrame =
     Dedup.nearDupClusters(
@@ -1076,6 +1084,56 @@ object SparkEntry {
     graft.validate.Privacy.kAnonymityReport(
       e, Seq("event_type", "day", "value_decile"), k = 5)
   }
+
+  /** l-diversity audit ([[graft.validate.Privacy.lDiversityGroups]]):
+    * classes under QI (event_type, day) whose sensitive value-decile
+    * takes < 3 distinct values — the leak k-anonymity misses (a
+    * uniform class re-identifies its sensitive value at ANY k). */
+  private def lDiversity(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir).select(
+      col("event_type"),
+      to_date(col("ts")).as("day"),
+      floor(col("value") / 10).cast("long").as("value_decile"))
+    graft.validate.Privacy.lDiversityGroups(
+      e, Seq("event_type", "day"), "value_decile", l = 3)
+  }
+
+  /** Pipeline capstone: the SHARED prepared snapshot's packed corpus
+    * ([[corpusPreparedShared]]) exported as JSONL training shards with
+    * a recomputed manifest ([[graft.sources.TrainingExport
+    * .exportJsonl]]) and read back schema-pinned — curation → packing
+    * → export → consumption in one oracle-checked chain (the oracle
+    * is `corpus_prepare`'s staged CTE replay: export→read-back is the
+    * identity). */
+  private def corpusExport(spark: SparkSession, dir: String): DataFrame = {
+    val packed = corpusPreparedShared(spark, dir).packed
+    val out = graft.sources.TempDirs.perProcess(
+      s"graft_corpus_export_${dirFingerprint(dir)}")
+    graft.sources.TrainingExport.exportJsonl(packed, out, "shard", "n_tokens",
+      orderCols = Seq("bin_id", "offset_in_bin", "doc_id"))
+    val dataSchema = org.apache.spark.sql.types.StructType(
+      packed.schema.fields.filterNot(_.name == "shard"))
+    spark.read.schema(dataSchema).json(out)
+      .select(col("doc_id"), col("shard").cast("int").as("shard"),
+        col("n_tokens"), col("start_tok"), col("bin_id"),
+        col("offset_in_bin"), col("text"))
+  }
+
+  /** Packing fragmentation report: per shard, how many packed
+    * documents CROSS a context-window boundary (a fragmented document
+    * trains on a truncated prefix/suffix — the packing-quality metric
+    * that decides window size and shard order policies), in exact
+    * basis points. One narrow aggregate over the shared snapshot's
+    * placement frame. */
+  private def packFragmentation(spark: SparkSession, dir: String): DataFrame =
+    corpusPreparedShared(spark, dir).packed
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(expr("start_tok div 256") =!=
+          expr("(start_tok + n_tokens - 1) div 256"), 1L)
+          .otherwise(0L)).as("n_crossing"))
+      .select(col("shard"), col("n_docs"), col("n_crossing"),
+        expr("(n_crossing * 10000) div greatest(n_docs, 1)").as("crossing_bps"))
 
   /** Batched model-inference plumbing
     * ([[graft.operators.Inference.batchScore]]): the deterministic
@@ -2628,6 +2686,7 @@ object SparkEntry {
     "dedup_exact" -> (dedupExact(_, _)),
     "dedup_minhash" -> (dedupMinhash(_, _)),
     "dedup_cross" -> (dedupCross(_, _)),
+    "split_leakage" -> (splitLeakageQ(_, _)),
     "dedup_containment" -> ((s, d) =>
       graft.dedup.Dedup.containmentNearDups(Tables.documents(s, d))
         .filter(col("containment") >= 0.5)),
@@ -2654,6 +2713,9 @@ object SparkEntry {
     "corpus_prepare" -> (corpusPrepare(_, _)),
     "corpus_disposition" -> (corpusDisposition(_, _)),
     "corpus_funnel" -> (corpusFunnel(_, _)),
+    "corpus_export" -> (corpusExport(_, _)),
+    "pack_fragmentation" -> (packFragmentation(_, _)),
+    "l_diversity" -> (lDiversity(_, _)),
     "multimodal_features" -> (multimodalFeatures(_, _)),
     "multimodal_frames" -> (multimodalFrames(_, _)),
     // consecutive-frame |luma diff| motion proxy over the REAL Y4M
@@ -4849,6 +4911,56 @@ object SparkEntry {
          |FROM cands c
          |JOIN sigs sa ON c.doc_a = sa.doc_id
          |JOIN sigs sb ON c.doc_b = sb.doc_id""".stripMargin,
+    // split leakage: the dedup_cross pair construction with the salted
+    // split bucket as the boundary (train vs val/test), jaccard >= 0.8,
+    // and the eval side's split label on each flagged row
+    "split_leakage" ->
+      s"""WITH sp AS (
+         |  SELECT doc_id, text,
+         |    CASE WHEN b < 10 THEN 'val' WHEN b < 20 THEN 'test'
+         |         ELSE 'train' END AS split
+         |  FROM (SELECT doc_id, text,
+         |          CAST(concat('0x', substring(md5(concat(CAST(doc_id AS VARCHAR), 'split')), 1, 15)) AS BIGINT) % 100 AS b
+         |        FROM documents)),
+         |docs AS (
+         |  SELECT doc_id, split, $shinglesSql AS shingles FROM sp),
+         |sigs AS (
+         |  SELECT doc_id, split, shingles,
+         |    list_transform(range(0, 12), j ->
+         |      list_aggregate(list_transform(shingles,
+         |        s -> (CAST(concat('0x', substring(md5(s), 1, 15)) AS BIGINT) % 2147483648
+         |              + j * (CAST(concat('0x', substring(md5(s), 16, 15)) AS BIGINT) % 2147483648))
+         |             % 2147483648), 'min')) AS sig
+         |  FROM docs WHERE len(shingles) > 0),
+         |bands_all AS (
+         |  SELECT doc_id, split, b AS band_idx,
+         |    concat_ws(',', sig[b*3+1], sig[b*3+2], sig[b*3+3]) AS band_hash
+         |  FROM sigs, range(0, 4) AS t(b)),
+         |ba AS (SELECT * FROM bands_all WHERE split = 'train'),
+         |bb AS (SELECT * FROM bands_all WHERE split <> 'train'),
+         |sza AS (SELECT band_idx, band_hash FROM ba
+         |        GROUP BY band_idx, band_hash HAVING count(*) <= 1000),
+         |szb AS (SELECT band_idx, band_hash FROM bb
+         |        GROUP BY band_idx, band_hash HAVING count(*) <= 1000),
+         |cands AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM (SELECT ba.* FROM ba JOIN sza USING (band_idx, band_hash)) a
+         |  JOIN (SELECT bb.* FROM bb JOIN szb USING (band_idx, band_hash)) b
+         |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash),
+         |scored AS (
+         |  SELECT c.doc_a, c.doc_b, sb.split,
+         |    CAST(len(list_intersect(sa.shingles, sb.shingles)) AS BIGINT) AS n_inter,
+         |    CAST(len(sa.shingles) + len(sb.shingles)
+         |         - len(list_intersect(sa.shingles, sb.shingles)) AS BIGINT) AS n_union,
+         |    CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+         |      / CAST(len(sa.shingles) + len(sb.shingles)
+         |             - len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) AS jaccard
+         |  FROM cands c
+         |  JOIN sigs sa ON c.doc_a = sa.doc_id
+         |  JOIN sigs sb ON c.doc_b = sb.doc_id)
+         |SELECT doc_b AS doc_id, split, doc_a AS train_partner,
+         |  n_inter, n_union, jaccard
+         |FROM scored WHERE jaccard >= 0.8""".stripMargin,
     // the TxnLog table was built from id-sliced commits of documents;
     // changesSince(0) must be exactly the two appended slices
     "txnlog_changes" ->
@@ -5243,6 +5355,58 @@ object SparkEntry {
          |  CAST(p.start_tok % 256 AS BIGINT) AS offset_in_bin,
          |  f.text
          |FROM pk p JOIN fin f ON p.doc_id = f.doc_id""".stripMargin),
+    // the capstone chain prepare→pack→exportJsonl→read-back is the
+    // identity on the packed frame, so the oracle IS corpus_prepare's
+    // staged replay (export changes the medium, never the rows)
+    "corpus_export" -> (corpusStagesCtesSql + s""",
+         |fin AS (SELECT d.doc_id, d.text FROM dd d JOIN clean USING (doc_id)),
+         |tk AS (
+         |  SELECT doc_id, CAST(doc_id % 8 AS INT) AS shard,
+         |    CAST(len($toksSql) AS BIGINT) AS n_tokens
+         |  FROM fin),
+         |pk AS (
+         |  SELECT doc_id, shard, n_tokens,
+         |    CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id)
+         |      - n_tokens AS BIGINT) AS start_tok
+         |  FROM tk)
+         |SELECT p.doc_id, p.shard, p.n_tokens, p.start_tok,
+         |  CAST(p.start_tok // 256 AS BIGINT) AS bin_id,
+         |  CAST(p.start_tok % 256 AS BIGINT) AS offset_in_bin,
+         |  f.text
+         |FROM pk p JOIN fin f ON p.doc_id = f.doc_id""".stripMargin),
+    // fragmentation over the same packing CTEs: a doc crosses a window
+    // iff its first and last tokens land in different 256-token bins
+    "pack_fragmentation" -> (corpusStagesCtesSql + s""",
+         |fin AS (SELECT d.doc_id, d.text FROM dd d JOIN clean USING (doc_id)),
+         |tk AS (
+         |  SELECT doc_id, CAST(doc_id % 8 AS INT) AS shard,
+         |    CAST(len($toksSql) AS BIGINT) AS n_tokens
+         |  FROM fin),
+         |pk AS (
+         |  SELECT doc_id, shard, n_tokens,
+         |    CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id)
+         |      - n_tokens AS BIGINT) AS start_tok
+         |  FROM tk)
+         |SELECT shard, count(*) AS n_docs,
+         |  CAST(SUM(CASE WHEN start_tok // 256 <> (start_tok + n_tokens - 1) // 256
+         |       THEN 1 ELSE 0 END) AS BIGINT) AS n_crossing,
+         |  CAST((SUM(CASE WHEN start_tok // 256 <> (start_tok + n_tokens - 1) // 256
+         |       THEN 1 ELSE 0 END) * 10000) // greatest(count(*), 1) AS BIGINT) AS crossing_bps
+         |FROM pk GROUP BY shard""".stripMargin),
+    // l-diversity classes replayed with the same QI grouping and
+    // distinct count
+    "l_diversity" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(floor(value / 10) AS BIGINT) AS value_decile
+        |  FROM events),
+        |c AS (
+        |  SELECT event_type, day,
+        |    count(*) AS class_size,
+        |    CAST(count(DISTINCT value_decile) AS BIGINT) AS sensitive_distinct
+        |  FROM e GROUP BY 1, 2)
+        |SELECT event_type, day, class_size, sensitive_distinct
+        |FROM c WHERE sensitive_distinct < 3""".stripMargin,
     // per-doc provenance over the same staged CTEs: quality gate →
     // duplicate (with the representative kept instead) →
     // contamination, in the pipeline's own stage order

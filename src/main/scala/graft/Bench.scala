@@ -519,9 +519,8 @@ object Bench {
           val growth = if (t01 > 0.05 && t1 > 0) Some(t1 / t01) else None
           def volG(f: RunMeter => Long): Option[Double] =
             for {
-              a <- leg01.map(r => f(r._2)) if a > 0
-              b = runs1.map(r => f(r._2)).max if runs1.nonEmpty
-            } yield b.toDouble / a
+              a <- leg01.map(r => f(r._2)) if a > 0 && runs1.nonEmpty
+            } yield runs1.map(r => f(r._2)).max.toDouble / a
           val vol = (volG(_.shuffleRecords).toSeq ++ volG(_.scanRows).toSeq ++ Seq(1.0)).max
           val attribution = growth match {
             case None => "too-fast-to-attribute"

@@ -1113,7 +1113,13 @@ object SparkEntry {
       orderCols = Seq("bin_id", "offset_in_bin", "doc_id"))
     val dataSchema = org.apache.spark.sql.types.StructType(
       packed.schema.fields.filterNot(_.name == "shard"))
-    spark.read.schema(dataSchema).json(out)
+    val back = spark.read.schema(dataSchema).json(out)
+    // an empty packed corpus (every doc filtered) exports no partition
+    // directories, so the shard column must be restored as typed null
+    val withShard =
+      if (back.columns.contains("shard")) back
+      else back.withColumn("shard", lit(null).cast("int"))
+    withShard
       .select(col("doc_id"), col("shard").cast("int").as("shard"),
         col("n_tokens"), col("start_tok"), col("bin_id"),
         col("offset_in_bin"), col("text"))

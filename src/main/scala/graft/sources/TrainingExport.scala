@@ -47,8 +47,16 @@ object TrainingExport {
     * (catches pair swaps a sum misses). */
   private def shardStats(df: DataFrame, shardCol: String,
                          tokenCol: String): DataFrame = {
-    val canonical = df.columns.sorted.map(c => s"`$c`").mkString(", ")
-    df.groupBy(col(shardCol).cast("int").as("shard"))
+    // An EMPTY export (a filter pipeline can legitimately pass nothing
+    // on a given day) writes no partition directories, so the
+    // read-back frame has no shard column at all — restore it as a
+    // typed null so the stats aggregate yields the empty frame the
+    // manifest/verify contract expects, instead of failing resolution.
+    val withShard =
+      if (df.columns.contains(shardCol)) df
+      else df.withColumn(shardCol, lit(null).cast("int"))
+    val canonical = withShard.columns.sorted.map(c => s"`$c`").mkString(", ")
+    withShard.groupBy(col(shardCol).cast("int").as("shard"))
       .agg(count(lit(1)).as("rows"),
         sum(col(tokenCol)).cast("long").as("tokens"),
         sum(expr(s"pmod(xxhash64($canonical), 2147483648)")).cast("long")
@@ -101,18 +109,17 @@ object TrainingExport {
     stats
   }
 
-  /** Written files, read with the WRITER's data schema: parquet is
-    * self-describing; JSON needs the schema pinned (inference would
-    * widen/narrow types and break fingerprint parity — and a verifier
-    * must not let the on-disk text choose its own types). */
+  /** Written files, read with the WRITER's data schema pinned: JSON
+    * inference would widen/narrow types and break fingerprint parity,
+    * and an EMPTY export (legitimate: a filter pipeline passed
+    * nothing) leaves parquet nothing to infer a schema from — pinning
+    * makes both formats read the empty snapshot as an empty frame. */
   private def readBack(spark: SparkSession, path: String, like: DataFrame,
-                       shardCol: String, format: String): DataFrame =
-    if (format == "parquet") spark.read.parquet(path)
-    else {
-      val dataSchema = org.apache.spark.sql.types.StructType(
-        like.schema.fields.filterNot(_.name == shardCol))
-      spark.read.schema(dataSchema).format(format).load(path)
-    }
+                       shardCol: String, format: String): DataFrame = {
+    val dataSchema = org.apache.spark.sql.types.StructType(
+      like.schema.fields.filterNot(_.name == shardCol))
+    spark.read.schema(dataSchema).format(format).load(path)
+  }
 
   private def writeManifest(spark: SparkSession, path: String,
                             stats: Seq[ShardStat]): Unit = {
@@ -134,7 +141,20 @@ object TrainingExport {
     * file names or sizes. */
   def verify(spark: SparkSession, path: String, shardCol: String,
              tokenCol: String): Seq[String] =
-    verifyAgainst(spark.read.parquet(path), spark, path, shardCol, tokenCol)
+    (try Some(spark.read.parquet(path))
+     catch {
+       // an EMPTY export has no parquet footers to infer from; its
+       // recomputed stats are vacuously empty and the manifest must
+       // agree (UNABLE_TO_INFER_SCHEMA, not a missing directory —
+       // readManifest still requires the commit point)
+       case _: org.apache.spark.sql.AnalysisException => None
+     }) match {
+      case Some(written) =>
+        verifyAgainst(written, spark, path, shardCol, tokenCol)
+      case None =>
+        readManifest(spark, path).keySet.toSeq.sorted
+          .map(s => s"shard $s: in manifest but no rows on disk")
+    }
 
   /** JSONL twin of [[verify]]: the caller supplies the data schema the
     * export declared (a verifier pins types; it never lets the on-disk

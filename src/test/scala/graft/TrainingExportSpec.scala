@@ -123,6 +123,23 @@ class TrainingExportSpec extends SparkSpec {
     assert(!problems.exists(_.startsWith("shard 2:")), problems.toString)
   }
 
+  test("an EMPTY corpus exports cleanly: empty manifest, verify passes") {
+    // a filter pipeline can legitimately pass nothing — the export
+    // must commit an empty (not missing, not crashing) snapshot
+    val empty = corpus.filter(col("doc_id") < 0)
+    val p1 = out("texport_empty_pq")
+    val s1 = TrainingExport.export(empty, p1, "shard", "n_tokens", Seq("doc_id"))
+    assert(s1.isEmpty)
+    assert(TrainingExport.verify(spark, p1, "shard", "n_tokens").isEmpty)
+    val p2 = out("texport_empty_jsonl")
+    val s2 = TrainingExport.exportJsonl(empty, p2, "shard", "n_tokens", Seq("doc_id"))
+    assert(s2.isEmpty)
+    val dataSchema = org.apache.spark.sql.types.StructType(
+      corpus.schema.fields.filterNot(_.name == "shard"))
+    assert(TrainingExport.verifyJsonl(spark, p2, dataSchema,
+      "shard", "n_tokens").isEmpty)
+  }
+
   test("data without a manifest is not a complete export") {
     val path = out("texport_nomanifest")
     TrainingExport.export(corpus, path, "shard", "n_tokens", Seq("doc_id"))

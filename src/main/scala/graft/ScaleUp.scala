@@ -47,7 +47,8 @@ object ScaleUp {
     val files = tables.map(t => new java.io.File(srcDir, s"$t.parquet"))
     require(files.forall(_.exists()), s"missing source tables under $srcDir")
     val fp = graft.sources.LayoutCache.contentFingerprint(files)
-    graft.sources.LayoutCache.ensure(s"graft_scaleup_x$factor",
+    // v1: bump when the expansion semantics (offsets, key columns) change
+    graft.sources.LayoutCache.ensure(s"graft_scaleup_v1_x$factor",
       new java.io.File(srcDir).getName, fp) { tmp =>
       tables.foreach { t =>
         val src = spark.read.parquet(s"$srcDir/$t.parquet")

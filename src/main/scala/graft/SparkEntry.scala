@@ -125,7 +125,8 @@ object SparkEntry {
       Seq("lineitem.parquet", "orders.parquet").map(new java.io.File(dir, _)))
     // scope = the source dir name, so the sf0.001/sf0.01/sf0.1 layouts
     // coexist and a regeneration evicts only ITS scope's stale copy
-    graft.sources.LayoutCache.ensure("graft_fact_pruned",
+    // v1: bump when the staging derivation feeding this layout changes
+    graft.sources.LayoutCache.ensure("graft_fact_pruned_v1",
       new java.io.File(dir).getName, fp) { tmp =>
       graft.sources.Sinks.partitionedParquet(
         TaxiShape.staging(spark, dir).select(
@@ -982,10 +983,19 @@ object SparkEntry {
     * the funnel report and the per-doc audit describe the run that
     * shipped, not three independent re-runs — and the oracles are
     * unchanged because the lists are deterministic. */
+  /** The cached lists are a SEMANTIC artifact: they encode the
+    * pipeline's parameters and algorithm, not just the input bytes —
+    * so the layout prefix carries a version tag that MUST be bumped
+    * whenever the prepare() call below (params) or the pipeline's
+    * algorithms change semantics. Without it, a cross-JVM cache hit
+    * after a code change would replay stale decisions and the oracle
+    * compare would catch it only as an unexplained hash mismatch. */
+  private val CorpusListsVersion = "v1-wt256-ns8-mj0.8-meo0.1"
+
   private def corpusListsDir(spark: SparkSession, dir: String): String = {
     val fp = graft.sources.LayoutCache.contentFingerprint(
       Seq(new java.io.File(dir, "documents.parquet")))
-    graft.sources.LayoutCache.ensure("graft_corpus_lists",
+    graft.sources.LayoutCache.ensure(s"graft_corpus_lists_$CorpusListsVersion",
       new java.io.File(dir).getName, fp) { tmp =>
       val docs = Tables.documents(spark, dir)
       val bucket = graft.operators.Sampling.hashBucket(col("doc_id"), "decon")

@@ -1308,6 +1308,36 @@ object SparkEntry {
       dim = 64, k = 5, nCells = 16, nProbe = 4, centroids = Some(cents))
   }
 
+  /** Build-if-absent of the PERSISTED IVF index
+    * ([[graft.similarity.IvfIndex]]) — the ANN twin of the bucketed /
+    * partitioned table layouts: quantizer training + corpus assignment
+    * run once per source snapshot (content-keyed, metered as a layout
+    * build), queries serve from partition-pruned scans of `cells/`.
+    * v1 tag: dim 64, nCells 16, Lloyd iters 2 — bump on change. */
+  private def ensureIvfIndexLayout(spark: SparkSession, dir: String): String = {
+    val fp = graft.sources.LayoutCache.contentFingerprint(
+      Seq(new java.io.File(dir, "embeddings.parquet")))
+    graft.sources.LayoutCache.ensure("graft_ivf_index_v1-d64-c16-i2",
+      new java.io.File(dir).getName, fp) { tmp =>
+      graft.similarity.IvfIndex.build(
+        Tables.embeddings(spark, dir).select("vec_id", "embedding"),
+        tmp, dim = 64, nCells = 16, iters = 2)
+    }
+  }
+
+  /** ANN served from the persisted index: must equal `sim_ivf_lloyd`
+    * bit-for-bit (same exact-Lloyd quantizer, same shared assignment
+    * expression at build and probe) — which is exactly what the
+    * shared oracle checks; the plan difference is the point (scan
+    * reads only the probed cell PARTITIONS, PlanSpec-guarded). */
+  private def simIvfIndexed(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    graft.similarity.IvfIndex.topK(spark,
+      ensureIvfIndexLayout(spark, dir), queries, dim = 64, k = 5, nProbe = 4)
+  }
+
   /** KNN-Shapley data valuation
     * ([[graft.operators.Valuation.knnShapley]]): exact per-training-
     * point Shapley value under a 5-NN utility against the bounded
@@ -2161,6 +2191,8 @@ object SparkEntry {
       ((s, d) => { corpusListsDir(s, d); () }),
     "corpus_funnel" ->
       ((s, d) => { corpusListsDir(s, d); () }),
+    "sim_ivf_indexed" ->
+      ((s, d) => { ensureIvfIndexLayout(s, d); () }),
   )
   /** Verified variant ([[graft.dedup.Dedup.incrementalNearDupVerified]]):
     * same split, but a catalog band collision only drops a batch doc
@@ -2605,6 +2637,7 @@ object SparkEntry {
     "data_shapley_screened" -> (dataShapleyScreened(_, _)),
     "sim_ivf_kmeans" -> (simIvfKmeans(_, _)),
     "sim_ivf_lloyd" -> (simIvfLloyd(_, _)),
+    "sim_ivf_indexed" -> (simIvfIndexed(_, _)),
     "sim_pq" -> (simPq(_, _)),
     // Okapi BM25 (rational constants k1=6/5, b=3/4; per-term scores
     // are single long-ratio divisions summed in one fixed-order
@@ -5548,6 +5581,10 @@ object SparkEntry {
     // hash-checkable (see SparkEntry.simIvfKmeans for why the ML
     // trainer is not)
     "sim_ivf_lloyd" -> ivfScoringSql(lloydCentsSql(2)),
+    // the persisted index serves the SAME exact-Lloyd IVF search its
+    // build trained — one oracle for both (storage changes the plan,
+    // never the answer; the build/probe shared expression is the proof)
+    "sim_ivf_indexed" -> ivfScoringSql(lloydCentsSql(2)),
     // PQ-ADC: fixed-point subvectors, integer code assignment (ties ->
     // lower centroid id), integer ADC sums — replayed exactly
     "sim_pq" -> {

@@ -1,0 +1,99 @@
+package graft.similarity
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** PERSISTED IVF index — the index-build-amortization shape every
+  * production ANN deployment uses: train the quantizer and assign the
+  * corpus ONCE, write the assignment CELL-PARTITIONED to storage, and
+  * serve every query batch afterwards from partition-pruned scans.
+  * [[Similarity.ivfTopK]] re-quantizes the corpus per call — correct
+  * for ad-hoc search, wasteful for a query service; this is its
+  * storage-backed twin.
+  *
+  * On disk: `<path>/centroids/` (nCells rows — the exact fixed-point
+  * Lloyd centroids, [[Similarity.lloydCentroidsExact]], so the whole
+  * index is oracle-replayable) and `<path>/cells/` partitioned by
+  * `cell_id`, each row carrying (vec_id, embedding, c_norm2 — the
+  * norm precomputed at build so query-time scoring is one dot
+  * product). A root `_SUCCESS` marks the build complete (the
+  * [[graft.sources.LayoutCache]] completeness contract when built
+  * through it).
+  *
+  * Query-time scale shape: a batch probing p of C cells reads p/C of
+  * the corpus — directory-level partition pruning, visible as
+  * `PartitionFilters` on the scan (the static twin of fact_pruned's
+  * dynamic pruning); the probed-query frame broadcasts; the only
+  * exchange is the final narrow (q_id, vec_id, cos) rank. Assignment
+  * at build and probing at query share ONE scoring expression
+  * ([[Similarity.cellDistsLit]]), so results are IDENTICAL to
+  * `ivfTopK(centroids = lloydCentroidsExact(...))` — the invariant
+  * the spec pins and the oracle (shared with `sim_ivf_lloyd`)
+  * hash-checks end-to-end. */
+object IvfIndex {
+
+  /** Train + assign + write. The returned path layout is stable: callers
+    * cache it (content-keyed) and serve [[topK]] from it repeatedly. */
+  def build(embeddings: DataFrame, path: String, dim: Int,
+            nCells: Int = 16, iters: Int = 2): Unit = {
+    val cents = Similarity.lloydCentroidsExact(embeddings, nCells, iters)
+    cents.write.mode("overwrite").parquet(s"$path/centroids")
+    val centArr = readCentroids(embeddings.sparkSession, path, dim)
+    val assigned = graft.core.Parallelism.ensure(embeddings)
+      .withColumn("c_norm2", Similarity.norm(col("embedding")))
+      .withColumn("cell_id", element_at(
+        array_sort(Similarity.cellDistsLit(centArr)(col("embedding"), col("c_norm2"))),
+        1).getField("cell_id"))
+    assigned.write.mode("overwrite").partitionBy("cell_id").parquet(s"$path/cells")
+    // the completion marker IS the commit point (LayoutCache contract)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(path, "_SUCCESS"), "")
+    ()
+  }
+
+  /** Bounded collect: exactly the persisted quantizer (≤ nCells rows),
+    * the same driver-side inlining [[Similarity.ivfTopK]] applies to
+    * its centroid frame. */
+  private def readCentroids(spark: SparkSession, path: String,
+                            dim: Int): Array[(Long, Seq[Float], Double)] = {
+    val cents = spark.read.parquet(s"$path/centroids")
+      .select("cell_id", "c_emb", "c_norm").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1), r.getDouble(2)))
+      .sortBy(_._1)
+    cents.foreach { case (id, ce, _) =>
+      require(ce.length == dim, s"centroid $id has dim ${ce.length}, expected $dim") }
+    cents
+  }
+
+  /** Serve a query batch from the persisted index: probe each query's
+    * `nProbe` nearest cells, scan ONLY those partitions, exact-cosine
+    * score, deterministic top-k in [[Similarity.bruteForceTopK]]'s
+    * output convention. */
+  def topK(spark: SparkSession, path: String, queries: DataFrame,
+           dim: Int, k: Int, nProbe: Int = 4): DataFrame = {
+    require(k >= 1 && nProbe >= 1, s"need k, nProbe >= 1, got $k, $nProbe")
+    val cents = readCentroids(spark, path, dim)
+    val probed = queries
+      .withColumn("q_norm2", Similarity.norm(col("q_emb")))
+      .withColumn("probe", explode(slice(
+        array_sort(Similarity.cellDistsLit(cents)(col("q_emb"), col("q_norm2"))),
+        1, nProbe)))
+      .select(col("q_id"), col("q_emb"), col("q_norm2"),
+        col("probe.cell_id").as("cell_id"))
+    // the probe set is bounded by |queries| x nProbe (and by nCells):
+    // collect it so the cell filter is a PLAN-TIME literal the scan
+    // prunes partitions with — a join-derived filter would read every
+    // cell and discard rows after the fact
+    val probeCells = probed.select("cell_id").distinct()
+      .collect().map(_.getLong(0)).sorted
+    val cells = spark.read.parquet(s"$path/cells")
+      .filter(col("cell_id").isin(probeCells: _*))
+      .withColumn("cell_id", col("cell_id").cast("long"))
+    val scored = cells.join(broadcast(probed), "cell_id")
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        (Similarity.dot(col("embedding"), col("q_emb")) /
+          (col("c_norm2") * col("q_norm2"))).as("cos"))
+    Similarity.rankScored(scored, k)
+  }
+}

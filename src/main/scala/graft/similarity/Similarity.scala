@@ -50,7 +50,7 @@ object Similarity {
   }
 
   /** Deterministic per-query top-k of a (q_id, vec_id, cos) frame. */
-  private def rankScored(scored: DataFrame, k: Int): DataFrame = {
+  private[similarity] def rankScored(scored: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("vec_id").asc)
@@ -295,10 +295,7 @@ object Similarity {
         cents.foreach { case (id, ce, _) =>
           require(ce.length == dim, s"centroid $id has dim ${ce.length}, expected $dim") }
         def cellDists(emb: Column, nrm: Column): Column =
-          array(cents.map { case (id, ce, cn) =>
-            struct((-dot(emb, typedLit(ce)) / (nrm * lit(cn))).as("d"),
-              lit(id).as("cell_id"))
-          }.toIndexedSeq: _*)
+          cellDistsLit(cents)(emb, nrm)
         val a = graft.core.Parallelism.ensure(candidates)
           .withColumn("c_norm2", norm(col("embedding")))
           .withColumn("cell_id", element_at(
@@ -345,6 +342,18 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("q_id"), col("vec_id"), col("rank"), round(col("cos"), 9).as("cos"))
   }
+
+  /** Literal-centroid (cosine-distance, cell_id) struct array — the
+    * inline assignment strategy's scoring expression, shared by
+    * [[ivfTopK]] and the persisted [[IvfIndex]] so build-time and
+    * query-time assignment can never drift. Sorted ascending it
+    * yields nearest-first with ties toward the lower cell id. */
+  private[similarity] def cellDistsLit(
+      cents: Array[(Long, Seq[Float], Double)])(emb: Column, nrm: Column): Column =
+    array(cents.map { case (id, ce, cn) =>
+      struct((-dot(emb, typedLit(ce)) / (nrm * lit(cn))).as("d"),
+        lit(id).as("cell_id"))
+    }.toIndexedSeq: _*)
 
   /** K-means-trained IVF centroids (the production centroid source;
     * the deterministic-sample default in [[ivfTopK]] is the model-free

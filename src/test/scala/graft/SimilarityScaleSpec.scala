@@ -44,6 +44,31 @@ class SimilarityScaleSpec extends SparkSpec {
     assert(joined.groupBy("q_id").count().collect().forall(_.getLong(1) == 5))
   }
 
+  test("persisted IVF index equals the in-memory exact-Lloyd search; scans prune cells") {
+    import graft.similarity.IvfIndex
+    val e = Tables.embeddings(spark, dir01).select("vec_id", "embedding")
+    val path = java.nio.file.Files.createTempDirectory("ivf_idx").resolve("idx").toString
+    IvfIndex.build(e, path, dim = 64, nCells = 16, iters = 2)
+    assert(new java.io.File(path, "_SUCCESS").exists())
+    // build/probe share one assignment expression → identical results
+    val q = queries(Tables.embeddings(spark, dir01))
+    val fromIndex = IvfIndex.topK(spark, path, q, dim = 64, k = 5, nProbe = 4)
+    val inMemory = Similarity.ivfTopK(e, q, dim = 64, k = 5,
+      nCells = 16, nProbe = 4,
+      centroids = Some(Similarity.lloydCentroidsExact(e, nCells = 16, iters = 2)))
+    assert(resultSet(fromIndex) == resultSet(inMemory))
+    // ONE query probing 4 of 16 cells: the scan must carry a
+    // cell_id partition filter — directory-level pruning, the static
+    // twin of fact_pruned's dynamic pruning
+    val one = q.filter(col("q_id") === 0)
+    val pruned = IvfIndex.topK(spark, path, one, dim = 64, k = 5, nProbe = 4)
+    pruned.collect()
+    val plan = pruned.queryExecution.executedPlan.toString
+    val pf = "PartitionFilters: \\[[^\\]]*cell_id[^\\]]*\\]".r.findFirstIn(plan)
+    assert(pf.isDefined, s"no cell_id partition filter on the cells scan:\n$plan")
+    assert(pf.get.contains("IN") || pf.get.contains("in("), pf.get)
+  }
+
   test("l2Normalize produces unit vectors; zero vectors pass through") {
     import spark.implicits._
     val df = Seq(

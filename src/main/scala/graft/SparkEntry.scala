@@ -1338,6 +1338,34 @@ object SparkEntry {
       ensureIvfIndexLayout(spark, dir), queries, dim = 64, k = 5, nProbe = 4)
   }
 
+  /** Incrementally-maintained index: base built (and its quantizer
+    * TRAINED) on vec_id < 250 only, the rest appended with the stored
+    * centroids ([[graft.similarity.IvfIndex.append]] — no retraining,
+    * the daily-ingest maintenance path). The oracle trains its Lloyd
+    * replay on the same subset and searches ALL vectors — exactly the
+    * semantics "assignment is always correct w.r.t. the stored
+    * quantizer". */
+  private def ensureIvfIndexIncLayout(spark: SparkSession, dir: String): String = {
+    val fp = graft.sources.LayoutCache.contentFingerprint(
+      Seq(new java.io.File(dir, "embeddings.parquet")))
+    graft.sources.LayoutCache.ensure("graft_ivf_index_inc_v1-d64-c16-i2-cut250",
+      new java.io.File(dir).getName, fp) { tmp =>
+      val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+      graft.similarity.IvfIndex.build(
+        e.filter(col("vec_id") < 250), tmp, dim = 64, nCells = 16, iters = 2)
+      graft.similarity.IvfIndex.append(
+        spark, tmp, e.filter(col("vec_id") >= 250), dim = 64)
+    }
+  }
+
+  private def simIvfIndexedIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    graft.similarity.IvfIndex.topK(spark,
+      ensureIvfIndexIncLayout(spark, dir), queries, dim = 64, k = 5, nProbe = 4)
+  }
+
   /** KNN-Shapley data valuation
     * ([[graft.operators.Valuation.knnShapley]]): exact per-training-
     * point Shapley value under a 5-NN utility against the bounded
@@ -1620,12 +1648,12 @@ object SparkEntry {
     * sums with explicit floor division, empty cells keeping their
     * previous centroid. Ends in the `cents` CTE [[ivfScoringSql]]
     * consumes. */
-  private def lloydCentsSql(iters: Int): String = {
+  private def lloydCentsSql(iters: Int, trainWhere: String = ""): String = {
     val setup =
-      """WITH f AS (
+      s"""WITH f AS (
         |  SELECT vec_id, list_transform(embedding,
         |    v -> CAST(round(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT)) AS fv
-        |  FROM embeddings),
+        |  FROM embeddings$trainWhere),
         |c0 AS (SELECT vec_id AS cell_id, fv AS cv
         |       FROM f ORDER BY vec_id ASC LIMIT 16)""".stripMargin
     val its = (1 to iters).map { i =>
@@ -2193,6 +2221,8 @@ object SparkEntry {
       ((s, d) => { corpusListsDir(s, d); () }),
     "sim_ivf_indexed" ->
       ((s, d) => { ensureIvfIndexLayout(s, d); () }),
+    "sim_ivf_indexed_incremental" ->
+      ((s, d) => { ensureIvfIndexIncLayout(s, d); () }),
   )
   /** Verified variant ([[graft.dedup.Dedup.incrementalNearDupVerified]]):
     * same split, but a catalog band collision only drops a batch doc
@@ -2638,6 +2668,7 @@ object SparkEntry {
     "sim_ivf_kmeans" -> (simIvfKmeans(_, _)),
     "sim_ivf_lloyd" -> (simIvfLloyd(_, _)),
     "sim_ivf_indexed" -> (simIvfIndexed(_, _)),
+    "sim_ivf_indexed_incremental" -> (simIvfIndexedIncremental(_, _)),
     "sim_pq" -> (simPq(_, _)),
     // Okapi BM25 (rational constants k1=6/5, b=3/4; per-term scores
     // are single long-ratio divisions summed in one fixed-order
@@ -5585,6 +5616,11 @@ object SparkEntry {
     // build trained — one oracle for both (storage changes the plan,
     // never the answer; the build/probe shared expression is the proof)
     "sim_ivf_indexed" -> ivfScoringSql(lloydCentsSql(2)),
+    // incremental index: the quantizer trained on the base subset only,
+    // every vector (base + appended) searchable — assignment w.r.t. the
+    // STORED centroids is what the maintenance path guarantees
+    "sim_ivf_indexed_incremental" ->
+      ivfScoringSql(lloydCentsSql(2, " WHERE vec_id < 250")),
     // PQ-ADC: fixed-point subvectors, integer code assignment (ties ->
     // lower centroid id), integer ADC sums — replayed exactly
     "sim_pq" -> {

@@ -39,17 +39,40 @@ object IvfIndex {
     val cents = Similarity.lloydCentroidsExact(embeddings, nCells, iters)
     cents.write.mode("overwrite").parquet(s"$path/centroids")
     val centArr = readCentroids(embeddings.sparkSession, path, dim)
-    val assigned = graft.core.Parallelism.ensure(embeddings)
-      .withColumn("c_norm2", Similarity.norm(col("embedding")))
-      .withColumn("cell_id", element_at(
-        array_sort(Similarity.cellDistsLit(centArr)(col("embedding"), col("c_norm2"))),
-        1).getField("cell_id"))
-    assigned.write.mode("overwrite").partitionBy("cell_id").parquet(s"$path/cells")
+    assignCells(embeddings, centArr)
+      .write.mode("overwrite").partitionBy("cell_id").parquet(s"$path/cells")
     // the completion marker IS the commit point (LayoutCache contract)
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(path, "_SUCCESS"), "")
     ()
   }
+
+  /** Incremental maintenance: assign a NEW batch with the PERSISTED
+    * quantizer — no retraining, so the centroid files never change and
+    * the batch lands exactly where a query will probe for it; quantizer
+    * drift is accepted until the next rebuild (the standard IVF
+    * maintenance trade: assignment stays correct w.r.t. the stored
+    * centroids, recall decays only as the data distribution drifts
+    * from the training snapshot). Parquet append adds whole files to
+    * the cell partitions, so a reader whose file listing predates the
+    * append simply serves the pre-append snapshot — never a torn one. */
+  def append(spark: SparkSession, path: String, newVectors: DataFrame,
+             dim: Int): Unit = {
+    val cents = readCentroids(spark, path, dim)
+    assignCells(newVectors, cents)
+      .write.mode("append").partitionBy("cell_id").parquet(s"$path/cells")
+  }
+
+  /** The ONE assignment expression (shared with [[Similarity.ivfTopK]]
+    * via [[Similarity.cellDistsLit]]) applied at build, append, and —
+    * on the query side — probe. */
+  private def assignCells(vectors: DataFrame,
+                          cents: Array[(Long, Seq[Float], Double)]): DataFrame =
+    graft.core.Parallelism.ensure(vectors)
+      .withColumn("c_norm2", Similarity.norm(col("embedding")))
+      .withColumn("cell_id", element_at(
+        array_sort(Similarity.cellDistsLit(cents)(col("embedding"), col("c_norm2"))),
+        1).getField("cell_id"))
 
   /** Bounded collect: exactly the persisted quantizer (≤ nCells rows),
     * the same driver-side inlining [[Similarity.ivfTopK]] applies to

@@ -69,6 +69,33 @@ class SimilarityScaleSpec extends SparkSpec {
     assert(pf.get.contains("IN") || pf.get.contains("in("), pf.get)
   }
 
+  test("index append: no retraining, appended batch fully searchable") {
+    import graft.similarity.IvfIndex
+    val e = Tables.embeddings(spark, dir01).select("vec_id", "embedding")
+    val base = e.filter(col("vec_id") < 30)
+    val batch = e.filter(col("vec_id") >= 30)
+    val path = java.nio.file.Files.createTempDirectory("ivf_inc").resolve("idx").toString
+    IvfIndex.build(base, path, dim = 64, nCells = 16, iters = 2)
+    val centsBefore = spark.read.parquet(s"$path/centroids")
+      .collect().map(_.toString).toSet
+    IvfIndex.append(spark, path, batch, dim = 64)
+    // maintenance contract: the quantizer never changes on append
+    val centsAfter = spark.read.parquet(s"$path/centroids")
+      .collect().map(_.toString).toSet
+    assert(centsAfter == centsBefore, "append must not retrain the quantizer")
+    // the whole corpus is searchable, identically to an in-memory
+    // search over ALL vectors with the BASE-trained centroids
+    val q = queries(Tables.embeddings(spark, dir01))
+    val fromIndex = IvfIndex.topK(spark, path, q, dim = 64, k = 5, nProbe = 4)
+    val inMemory = Similarity.ivfTopK(e, q, dim = 64, k = 5,
+      nCells = 16, nProbe = 4,
+      centroids = Some(Similarity.lloydCentroidsExact(base, nCells = 16, iters = 2)))
+    assert(resultSet(fromIndex) == resultSet(inMemory))
+    // appended ids actually surface in results (the batch is reachable)
+    assert(fromIndex.filter(col("vec_id") >= 30).count() > 0,
+      "appended vectors never retrieved")
+  }
+
   test("l2Normalize produces unit vectors; zero vectors pass through") {
     import spark.implicits._
     val df = Seq(

@@ -17,7 +17,14 @@ import org.apache.spark.sql.functions._
   *
   * Built ONCE per source snapshot through [[graft.sources.LayoutCache]]
   * (content-fingerprinted, atomically published, cross-JVM), so the
-  * expansion cost is a metered layout build, not a per-run tax. */
+  * expansion cost is a metered layout build, not a per-run tax.
+  *
+  * Representativeness: right for aggregates, joins, windows, scans —
+  * the watchlist the sf1 decade times. NOT right for near-dup/minhash
+  * measurements: expanded documents are exact copies, so LSH candidate
+  * pairs grow quadratically within each copy group, which real 10×
+  * growth (new text) would not do — keep text-dedup operators off the
+  * expanded decade. */
 object ScaleUp {
 
   /** Key shift per copy — far above any real id in the expanded range

@@ -258,8 +258,14 @@ object Bench {
       .map { case (name, fn) =>
       primeLayout(name, sfDir)
       var runs = (1 to nRuns).flatMap(r => timeOne(name, fn, sfDir, lint = r == nRuns))
-      if (name == "corpus_prepare")
+      if (name == "corpus_prepare") {
         prepStages = graft.pipeline.CorpusPipeline.lastStageSeconds.get()
+        // a cross-JVM cache hit on the corpus lists layout means
+        // prepare() never ran here — the split then comes from the
+        // snapshot itself (written at build time alongside the lists)
+        if (prepStages.isEmpty)
+          prepStages = SparkEntry.corpusListsStages(spark, sfDir)
+      }
       def ts = runs.map(_._1)
       if (runs.size >= 2 && ts.min > 0.3 && ts.max / ts.min > 2.0)
         runs = runs ++ (1 to maxExtraRuns).flatMap(_ => timeOne(name, fn, sfDir))

@@ -990,7 +990,7 @@ object SparkEntry {
     * algorithms change semantics. Without it, a cross-JVM cache hit
     * after a code change would replay stale decisions and the oracle
     * compare would catch it only as an unexplained hash mismatch. */
-  private val CorpusListsVersion = "v1-wt256-ns8-mj0.8-meo0.1"
+  private val CorpusListsVersion = "v2-wt256-ns8-mj0.8-meo0.1" // v2: +stages.json
 
   private def corpusListsDir(spark: SparkSession, dir: String): String = {
     val fp = graft.sources.LayoutCache.contentFingerprint(
@@ -1006,6 +1006,15 @@ object SparkEntry {
         prep.lists.keepIds.write.parquet(s"$tmp/keep_ids")
         prep.lists.dupOf.write.parquet(s"$tmp/dup_of")
         prep.lists.dirtyIds.get.write.parquet(s"$tmp/dirty_ids")
+        // the eager stage split travels WITH the snapshot it describes:
+        // a later JVM serving these lists from cache never ran
+        // prepare(), so the bench reads the split from here instead of
+        // reporting an empty one ([[corpusListsStages]])
+        val stages = graft.pipeline.CorpusPipeline.lastStageSeconds.get()
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(tmp, "stages.json"),
+          stages.map { case (k, v) => s""""$k":$v""" }
+            .mkString("{", ",", "}"))
         // the three Spark writes leave their own markers; LayoutCache's
         // completeness contract wants one at the layout root
         java.nio.file.Files.writeString(
@@ -1014,6 +1023,22 @@ object SparkEntry {
       } finally prep.release()
     }
   }
+
+  /** The eager stage split of the build that produced `dir`'s cached
+    * corpus snapshot — read from the layout itself, so it describes
+    * the run the lists came from even when THIS JVM served them from
+    * cache and never ran the pipeline. */
+  def corpusListsStages(spark: SparkSession, dir: String): Map[String, Double] =
+    try {
+      val f = new java.io.File(corpusListsDir(spark, dir), "stages.json")
+      if (!f.isFile) Map.empty
+      else {
+        val om = new com.fasterxml.jackson.databind.ObjectMapper()
+        val root = om.readTree(f)
+        import scala.jdk.CollectionConverters._
+        root.fieldNames().asScala.map(k => k -> root.get(k).asDouble()).toMap
+      }
+    } catch { case _: Throwable => Map.empty }
 
   private def corpusPreparedShared(spark: SparkSession,
                                    dir: String): graft.pipeline.CorpusPipeline.Prepared = {

@@ -19,6 +19,18 @@ class EntrySpec extends SparkSpec {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
 
+  test("corpus lists layout carries the stage split of the build that made it") {
+    // the split must describe the run the cached lists came from, even
+    // in a JVM that served them from cache and never ran the pipeline
+    val dir = "/root/testdata/sf0.001"
+    val s1 = SparkEntry.corpusListsStages(spark, dir) // builds if absent
+    assert(Set("filter_keeplist", "neardup_pairs", "cc_fixpoint")
+      .subsetOf(s1.keySet), s1.keySet.toString)
+    assert(s1.values.forall(_ >= 0.0))
+    // second read = pure cache hit, same persisted split
+    assert(SparkEntry.corpusListsStages(spark, dir) == s1)
+  }
+
   test("variant schema inference merges heterogeneous payload schemas") {
     // Completes the VARIANT story json_variant starts (parse once,
     // extract typed): schema_of_variant_agg folds one MERGED schema

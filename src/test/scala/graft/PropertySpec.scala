@@ -469,6 +469,57 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("calibratedTopPctSketch vs the rank path on random grouped scores") {
+    import graft.operators.Robust
+    // random group sizes 1..60 with HEAVY ties (scores drawn from a
+    // small range), several keep percentages — the sketch path must
+    // keep the rank path's rows as a subset, differ ONLY by rows tying
+    // the cutoff score, and match EXACTLY when a group's scores are
+    // distinct
+    val corpusGen = for {
+      nGroups <- Gen.choose(2, 6)
+      rows <- Gen.sequence[Seq[(Int, Long)], (Int, Long)](
+        (0 until nGroups).map { g =>
+          for { sz <- Gen.choose(1, 60); s <- Gen.choose(0L, 12L) } yield (g, s)
+        })
+      extra <- Gen.listOfN(120, for {
+        g <- Gen.choose(0, nGroups - 1); s <- Gen.choose(0L, 12L)
+      } yield (g, s))
+    } yield rows ++ extra
+    cases(corpusGen, n = 6).zipWithIndex.foreach { case (rows, ci) =>
+      Seq(1, 30, 85).foreach { pct =>
+        val df = rows.zipWithIndex
+          .map { case ((g, s), i) => (i.toLong, s"g$g", s) }
+          .toDF("doc_id", "source", "score_fp")
+        val rank = Robust.calibratedTopPct(df, "score_fp", "source", pct, "doc_id")
+          .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        val sketch = Robust.calibratedTopPctSketch(df, "score_fp", "source", pct)
+          .collect().map(r =>
+            (r.getAs[Long]("doc_id"), r.getAs[String]("source"), r.getAs[Long]("score_fp")))
+        val rankIds = rank.map(_._1).toSet
+        val sketchIds = sketch.map(_._1).toSet
+        assert(rankIds.subsetOf(sketchIds),
+          s"case $ci pct $pct: sketch lost rank-path rows ${rankIds -- sketchIds}")
+        // the surplus is exactly the cutoff ties: every extra row's
+        // score equals its group's smallest rank-path-kept score
+        val cutoffByGroup = rank.groupBy(_._2).view.mapValues(_.map(_._3).min).toMap
+        (sketch.filterNot(r => rankIds(r._1))).foreach { case (id, g, s) =>
+          assert(cutoffByGroup.get(g).contains(s),
+            s"case $ci pct $pct: extra row $id in $g at score $s != cutoff ${cutoffByGroup.get(g)}")
+        }
+        // groups whose scores are all distinct agree EXACTLY
+        val distinctGroups = rows.groupBy(_._1).collect {
+          case (g, rs) if rs.map(_._2).distinct.size == rs.size => s"g$g"
+        }.toSet
+        distinctGroups.foreach { g =>
+          assert(rank.filter(_._2 == g).map(_._1).toSet ==
+            sketch.filter(_._2 == g).map(_._1).toSet,
+            s"case $ci pct $pct: distinct-score group $g diverged")
+        }
+      }
+    }
+  }
+
   test("hardNegatives is exactly the banded slice of the brute-force ranking") {
     val vecGen = Gen.listOfN(4, Gen.choose(-1f, 1f)).map(_.toArray)
     val vecs = cases(vecGen, 30).zipWithIndex

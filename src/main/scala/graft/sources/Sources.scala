@@ -59,6 +59,45 @@ object Sources {
   def orc(spark: SparkSession, path: String): DataFrame =
     spark.read.orc(path)
 
+  /** JSONL ingest with CORRUPT-RECORD QUARANTINE — the production
+    * ingest contract for feeds you don't control: a malformed line
+    * must neither kill the job (FAILFAST) nor silently vanish
+    * (DROPMALFORMED); it lands in the quarantine frame with the RAW
+    * line preserved for replay after the producer is fixed.
+    *
+    * Shape: read as text, parse with `from_json` against the pinned
+    * schema — pure relational split (no caching workaround for
+    * Spark's internal `_corrupt_record` restrictions), one scan
+    * feeding both frames, everything map-side.
+    *
+    * What quarantines: anything the parser flags — syntactically
+    * malformed lines, non-object JSON (bare scalar/array; the literal
+    * `null` parses to a null struct, indistinguishable by
+    * construction, and quarantines too — the conservative reading for
+    * an ingest gate), and rows whose field VALUES cannot convert to
+    * the declared types (the parser marks those corrupt as well, so
+    * the raw line survives for replay instead of passing with a
+    * silently-nulled field). Benign schema drift — unknown extra
+    * fields — passes. */
+  def jsonLinesQuarantine(spark: SparkSession, path: String,
+                          schema: StructType): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.functions.{from_json, input_file_name}
+    val crpt = "_graft_corrupt"
+    require(!schema.fieldNames.contains(crpt), s"schema may not contain $crpt")
+    val full = schema.add(crpt, org.apache.spark.sql.types.StringType)
+    val parsed = spark.read.textFile(path).toDF("raw")
+      .select(col("raw"), input_file_name().as("src_file"),
+        from_json(col("raw"), full,
+          Map("columnNameOfCorruptRecord" -> crpt)).as("r"))
+    val good = parsed
+      .filter(col("r").isNotNull && col(s"r.$crpt").isNull)
+      .select((schema.fieldNames.map(f => col(s"r.`$f`")).toIndexedSeq): _*)
+    val quarantined = parsed
+      .filter(col("r").isNull || col(s"r.$crpt").isNotNull)
+      .select(col("raw"), col("src_file"))
+    (good, quarantined)
+  }
+
   /** S5 — bounded row prefix (reference: utils/streaming_data_db.py:42-44). */
   def parquetHead(spark: SparkSession, path: String, n: Int): DataFrame =
     spark.read.parquet(path).limit(n)

@@ -27,6 +27,36 @@ class SourcesSinksSpec extends SparkSpec {
     assert(df.filter($"LocationID" === 1).head().getString(1) == "Manhattan")
   }
 
+  test("jsonLinesQuarantine: bad lines survive with raw text; type drift stays PERMISSIVE") {
+    val dir = Files.createTempDirectory("graft_jsonlq")
+    val f = dir.resolve("feed.jsonl")
+    Files.writeString(f,
+      """{"id": 1, "name": "ok"}
+        |{"id": 2 "name": "missing comma"}
+        |[1, 2, 3]
+        |{"id": "not-a-number", "name": "typed wrong"}
+        |null
+        |{"id": 5, "name": "fine", "extra": true}
+        |""".stripMargin)
+    val schema = new StructType()
+      .add("id", LongType).add("name", StringType)
+    val (good, bad) = Sources.jsonLinesQuarantine(spark, f.toString, schema)
+    val goodRows = good.collect()
+      .map(r => (Option(r.get(0)).map(_.asInstanceOf[Long]), r.getString(1))).toSet
+    // well-formed on-schema rows pass; unknown extra fields are benign
+    assert(goodRows == Set((Some(1L), "ok"), (Some(5L), "fine")), goodRows)
+    // malformed syntax, non-object JSON, literal null, AND rows whose
+    // values cannot convert to the declared types all quarantine with
+    // the raw line preserved for replay
+    val badRows = bad.select("raw").collect().map(_.getString(0)).toSet
+    assert(badRows == Set(
+      """{"id": 2 "name": "missing comma"}""", "[1, 2, 3]", "null",
+      """{"id": "not-a-number", "name": "typed wrong"}"""), badRows)
+    assert(bad.columns.toSeq == Seq("raw", "src_file"))
+    // conservation: every input line lands in exactly one frame
+    assert(good.count() + bad.count() == 6)
+  }
+
   test("listFiles + perFile loop processes each file and contains errors") {
     val dir = Files.createTempDirectory("graft_lake").toString
     Seq(1, 2).toDF("a").write.parquet(s"$dir/f1.parquet")

@@ -45,25 +45,51 @@ object Splits {
     * Scale shape: inherits [[graft.dedup.Dedup.crossNearDups]] —
     * candidates only ACROSS the boundary (never the train×train
     * quadratic), narrow band shuffles, per-side bucket caps; the
-    * FLAGGED pair list (tiny — leaked pairs only) broadcasts back
-    * onto the eval projection to pick up the split label, so the
-    * eval side (20% of a 100 TB corpus) never shuffles. */
+    * FLAGGED pair list (leaked pairs only — tiny at any sane leak
+    * rate, so AQE broadcasts it back onto the eval projection at
+    * runtime; a pathological all-leaked corpus degrades to a shuffle
+    * join instead of an OOM'd forced broadcast) picks up the split
+    * label last. */
   def splitLeakage(docs: DataFrame, idCol: String = "doc_id",
                    textCol: String = "text", salt: String = "split",
                    valPct: Int = 10, testPct: Int = 10,
                    minJaccard: Double = 0.8): DataFrame = {
     val s = hashSplit(docs, idCol, salt, valPct, testPct)
-    val train = s.filter(col("split") === "train")
+    leakageTail(s.filter(col("split") === "train").select(col(idCol), col(textCol)),
+      s.filter(col("split") =!= "train"), idCol, textCol, minJaccard)
+  }
+
+  /** Audit an EXTERNAL split assignment — [[graft.dedup.Dedup
+    * .leakageSafeSplit]]'s cluster-unit output (which must audit
+    * CLEAN: no near-dup pair can straddle a cluster-unit boundary —
+    * the coherence spec pins it), or a legacy split inherited from
+    * elsewhere. `splits` is the narrow (idCol, split) table,
+    * "train" vs anything else; the doc sides are formed by semi-joins
+    * against its id lists (AQE broadcasts them when they fit). Same
+    * output shape as [[splitLeakage]]. */
+  def auditSplit(docs: DataFrame, splits: DataFrame,
+                 idCol: String = "doc_id", textCol: String = "text",
+                 minJaccard: Double = 0.8): DataFrame = {
+    val train = docs.join(
+      splits.filter(col("split") === "train").select(idCol), Seq(idCol), "left_semi")
       .select(col(idCol), col(textCol))
-    val eval = s.filter(col("split") =!= "train")
+    val eval = docs.join(
+      splits.filter(col("split") =!= "train").select(idCol), Seq(idCol), "left_semi")
+      .select(col(idCol), col(textCol))
+      .join(splits.select(col(idCol), col("split")), Seq(idCol))
+    leakageTail(train, eval, idCol, textCol, minJaccard)
+  }
+
+  private def leakageTail(train: DataFrame, eval: DataFrame, idCol: String,
+                          textCol: String, minJaccard: Double): DataFrame = {
     val pairs = graft.dedup.Dedup.crossNearDups(
         train, eval.select(col(idCol), col(textCol)),
         textCol = textCol, idCol = idCol)
       .filter(col("jaccard") >= minJaccard)
     eval.select(col(idCol), col("split"))
-      .join(broadcast(pairs.select(col("doc_b").as(idCol),
+      .join(pairs.select(col("doc_b").as(idCol),
         col("doc_a").as("train_partner"),
-        col("n_inter"), col("n_union"), col("jaccard"))), idCol)
+        col("n_inter"), col("n_union"), col("jaccard")), idCol)
       .select(col(idCol), col("split"), col("train_partner"),
         col("n_inter"), col("n_union"), col("jaccard"))
   }

@@ -34,6 +34,28 @@ class SplitsSpec extends SparkSpec {
     assert(salted != s1)
   }
 
+  test("the cluster-unit safe split audits CLEAN; a doc-level split leaks") {
+    // a corpus dense with near-dup pairs: 20 groups of 3 near-identical
+    // docs each — under a naive per-doc split some group straddles the
+    // boundary; the cluster-unit splitter keeps whole groups together,
+    // so the SAME audit must find nothing
+    val docs = (0 until 20).flatMap { g =>
+      val base = (0 until 40).map(i => s"grp${g}tok$i word$i").mkString(" ")
+      Seq((g * 10L, base), (g * 10L + 1, base + " alpha"), (g * 10L + 2, base + " beta"))
+    }.toDF("doc_id", "text")
+    val pairs = graft.dedup.Dedup.minhashNearDups(docs).select("doc_a", "doc_b")
+    val safe = graft.dedup.Dedup.leakageSafeSplit(docs, pairs, trainPct = 80)
+      .select(col("doc_id"),
+        when(col("split") === "train", "train").otherwise("val").as("split"))
+    assert(Splits.auditSplit(docs, safe).count() == 0,
+      "cluster-unit split must have zero near-dup leakage by construction")
+    // sanity: the safe split actually held out SOMETHING
+    assert(safe.filter(col("split") =!= "train").count() > 0)
+    // and the naive doc-level split on the same corpus DOES leak
+    assert(Splits.splitLeakage(docs).count() > 0,
+      "fixture must contain boundary-straddling near-dups for the contrast")
+  }
+
   test("splitLeakage flags an eval doc whose near-dup sits in train, with the partner") {
     // engineer ids on both sides of the boundary: find one train id and
     // one eval id under the same salt the operator uses, give them

@@ -142,7 +142,13 @@ object Robust {
     * sketch is the full sorted sample and the cutoff is the exact
     * order statistic — the regime the SQL oracle replays; above it
     * the cutoff is a near-rank observed score (bounded rank error),
-    * the honest trade at corpus scale. */
+    * the honest trade at corpus scale.
+    *
+    * NULL scores never survive either path here; the one divergence
+    * from the rank path is a group whose scores are ALL null (no
+    * cutoff exists → the sketch path drops the group, where the rank
+    * path would keep arbitrary-by-id rows — dropping unscored-only
+    * groups is the defensible reading). */
   def calibratedTopPctSketch(df: DataFrame, scoreCol: String, groupCol: String,
                              keepPct: Int, sketchK: Int = 32768): DataFrame = {
     require(keepPct >= 1 && keepPct <= 100, s"keepPct in [1,100], got $keepPct")

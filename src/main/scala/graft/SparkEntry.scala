@@ -1383,6 +1383,13 @@ object SparkEntry {
     }
   }
 
+  /** Index health report ([[graft.similarity.IvfIndex.stats]]): cell
+    * populations + corpus share in exact bps over the persisted index —
+    * the rebuild-the-quantizer signal; the oracle replays the Lloyd
+    * assignment and counts per cell. */
+  private def ivfIndexStats(spark: SparkSession, dir: String): DataFrame =
+    graft.similarity.IvfIndex.stats(spark, ensureIvfIndexLayout(spark, dir))
+
   private def simIvfIndexedIncremental(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     val queries = e.filter(col("vec_id") < 10)
@@ -2248,6 +2255,8 @@ object SparkEntry {
       ((s, d) => { ensureIvfIndexLayout(s, d); () }),
     "sim_ivf_indexed_incremental" ->
       ((s, d) => { ensureIvfIndexIncLayout(s, d); () }),
+    "ivf_index_stats" ->
+      ((s, d) => { ensureIvfIndexLayout(s, d); () }),
   )
   /** Verified variant ([[graft.dedup.Dedup.incrementalNearDupVerified]]):
     * same split, but a catalog band collision only drops a batch doc
@@ -2694,6 +2703,7 @@ object SparkEntry {
     "sim_ivf_lloyd" -> (simIvfLloyd(_, _)),
     "sim_ivf_indexed" -> (simIvfIndexed(_, _)),
     "sim_ivf_indexed_incremental" -> (simIvfIndexedIncremental(_, _)),
+    "ivf_index_stats" -> (ivfIndexStats(_, _)),
     "sim_pq" -> (simPq(_, _)),
     // Okapi BM25 (rational constants k1=6/5, b=3/4; per-term scores
     // are single long-ratio divisions summed in one fixed-order
@@ -5646,6 +5656,25 @@ object SparkEntry {
     // STORED centroids is what the maintenance path guarantees
     "sim_ivf_indexed_incremental" ->
       ivfScoringSql(lloydCentsSql(2, " WHERE vec_id < 250")),
+    // index health: the same cosine assignment as the scoring oracle,
+    // reduced to per-cell populations + integral-division share
+    "ivf_index_stats" -> {
+      val dotEC = dotSql("e.embedding", "c.c_emb")
+      lloydCentsSql(2) + s""",
+         |assigned AS (
+         |  SELECT vec_id, cell_id FROM (
+         |    SELECT e.vec_id, c.cell_id,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+         |        -($dotEC) / (sqrt(${dotSql("e.embedding", "e.embedding")}) * c.c_norm) ASC,
+         |        c.cell_id ASC) AS rn
+         |    FROM embeddings e CROSS JOIN cents c)
+         |  WHERE rn = 1),
+         |counts AS (
+         |  SELECT cell_id, count(*) AS n_vectors FROM assigned GROUP BY cell_id)
+         |SELECT cell_id, n_vectors,
+         |  CAST((n_vectors * 10000) // greatest((SELECT SUM(n_vectors) FROM counts), 1) AS BIGINT) AS share_bps
+         |FROM counts""".stripMargin
+    },
     // PQ-ADC: fixed-point subvectors, integer code assignment (ties ->
     // lower centroid id), integer ADC sums — replayed exactly
     "sim_pq" -> {

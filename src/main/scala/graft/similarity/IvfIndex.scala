@@ -88,6 +88,25 @@ object IvfIndex {
     cents
   }
 
+  /** Index health report — the monitoring half of the maintenance
+    * story: per-cell population plus its share of the corpus in exact
+    * basis points. A drifting data distribution shows up here first
+    * (appended batches piling into few cells → hot cells make those
+    * probes scan-heavy and recall lopsided); the report is the signal
+    * to rebuild the quantizer. One narrow aggregate over the cell
+    * partition column — the vectors themselves are never read
+    * (column pruning keeps the scan to cell_id). */
+  def stats(spark: SparkSession, path: String): DataFrame = {
+    val cells = spark.read.parquet(s"$path/cells")
+      .select(col("cell_id").cast("long").as("cell_id"))
+    val counts = cells.groupBy(col("cell_id"))
+      .agg(count(lit(1)).as("n_vectors"))
+    counts
+      .crossJoin(broadcast(counts.agg(sum(col("n_vectors")).as("__total"))))
+      .select(col("cell_id"), col("n_vectors"),
+        expr("(n_vectors * 10000) div greatest(__total, 1)").as("share_bps"))
+  }
+
   /** Serve a query batch from the persisted index: probe each query's
     * `nProbe` nearest cells, scan ONLY those partitions, exact-cosine
     * score, deterministic top-k in [[Similarity.bruteForceTopK]]'s

@@ -81,20 +81,35 @@ object Sources {
     * fields — passes. */
   def jsonLinesQuarantine(spark: SparkSession, path: String,
                           schema: StructType): (DataFrame, DataFrame) = {
-    import org.apache.spark.sql.functions.{from_json, input_file_name}
+    import org.apache.spark.sql.functions.input_file_name
+    quarantineSplit(
+      spark.read.textFile(path).toDF("raw")
+        .select(col("raw"), input_file_name().as("src_file")),
+      schema)
+  }
+
+  /** The parse-and-split core of [[jsonLinesQuarantine]], usable on ANY
+    * frame carrying a raw-line string column — including a STREAMING
+    * one (`readStream.text` / Kafka values): `from_json` and the two
+    * filters are all stateless map-side operations, so the same gate
+    * runs unchanged per micro-batch (two writeStream sinks, or
+    * foreachBatch when both halves must commit atomically together).
+    * Extra columns on `df` (file provenance, Kafka offsets) ride
+    * through on the quarantine side. */
+  def quarantineSplit(df: DataFrame, schema: StructType,
+                      rawCol: String = "raw"): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.functions.from_json
     val crpt = "_graft_corrupt"
     require(!schema.fieldNames.contains(crpt), s"schema may not contain $crpt")
     val full = schema.add(crpt, org.apache.spark.sql.types.StringType)
-    val parsed = spark.read.textFile(path).toDF("raw")
-      .select(col("raw"), input_file_name().as("src_file"),
-        from_json(col("raw"), full,
-          Map("columnNameOfCorruptRecord" -> crpt)).as("r"))
+    val parsed = df.withColumn("__r",
+      from_json(col(rawCol), full, Map("columnNameOfCorruptRecord" -> crpt)))
     val good = parsed
-      .filter(col("r").isNotNull && col(s"r.$crpt").isNull)
-      .select((schema.fieldNames.map(f => col(s"r.`$f`")).toIndexedSeq): _*)
+      .filter(col("__r").isNotNull && col(s"__r.$crpt").isNull)
+      .select(schema.fieldNames.map(f => col(s"__r.`$f`")).toIndexedSeq: _*)
     val quarantined = parsed
-      .filter(col("r").isNull || col(s"r.$crpt").isNotNull)
-      .select(col("raw"), col("src_file"))
+      .filter(col("__r").isNull || col(s"__r.$crpt").isNotNull)
+      .drop("__r")
     (good, quarantined)
   }
 

@@ -56,6 +56,30 @@ class StreamingSpec extends SparkSpec {
     assert(rows(0).getTimestamp(2).toInstant.toString == "2023-11-14T22:13:20Z")
   }
 
+  test("quarantineSplit runs unchanged on a STREAM: bad lines quarantine per micro-batch") {
+    implicit val sql = spark.sqlContext
+    import org.apache.spark.sql.types.{LongType, StringType, StructType}
+    val schema = new StructType().add("id", LongType).add("name", StringType)
+    val input = MemoryStream[String]
+    val (good, bad) = graft.sources.Sources.quarantineSplit(
+      input.toDF().toDF("raw"), schema)
+    val qg = good.writeStream.format("memory").queryName("quar_good")
+      .outputMode("append").start()
+    val qb = bad.writeStream.format("memory").queryName("quar_bad")
+      .outputMode("append").start()
+    try {
+      input.addData("""{"id": 1, "name": "ok"}""", """{"id": 2 broken""")
+      qg.processAllAvailable(); qb.processAllAvailable()
+      input.addData("[3]", """{"id": 4, "name": "late"}""")
+      qg.processAllAvailable(); qb.processAllAvailable()
+      val goodRows = spark.table("quar_good").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(goodRows == Set((1L, "ok"), (4L, "late")), goodRows)
+      val badRows = spark.table("quar_bad").collect().map(_.getString(0)).toSet
+      assert(badRows == Set("""{"id": 2 broken""", "[3]"), badRows)
+    } finally { qg.stop(); qb.stop() }
+  }
+
   test("rawPassthrough projects key/value/partitions and drops null payloads") {
     implicit val sql = spark.sqlContext
     val input = MemoryStream[(String, String)]

@@ -1490,6 +1490,53 @@ object SparkEntry {
   private def dotSql(a: String, b: String): String =
     s"list_sum(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
 
+  /** BM25 scoring chain (posting → tf → dfs/doctf → dls/st → scored)
+    * for the literal 3-term query — the WITH-body shared by the
+    * `bm25_search` oracle and the lexical leg of `hybrid_search`. */
+  private lazy val bm25CtesSql: String = {
+    def ts(t: String) =
+      s"""(CASE WHEN tf_$t > 0 THEN
+         |    CAST(44 * tf_$t * t * (n + 1) AS DOUBLE)
+         |    / CAST((df_$t + 1) * (20 * t * tf_$t + 6 * t + 18 * dl * n) AS DOUBLE)
+         |    ELSE 0.0 END)""".stripMargin
+    s"""posting AS (
+       |  SELECT doc_id, term FROM (
+       |    SELECT doc_id, unnest($toksSql) AS term FROM documents)
+       |  WHERE term IN ('spark', 'merge', 'window')),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM posting GROUP BY 1, 2),
+       |dfs AS (SELECT
+       |    count(*) FILTER (term = 'spark') AS df_spark,
+       |    count(*) FILTER (term = 'merge') AS df_merge,
+       |    count(*) FILTER (term = 'window') AS df_window
+       |  FROM tf),
+       |doctf AS (SELECT doc_id,
+       |    CAST(coalesce(sum(tf) FILTER (term = 'spark'), 0) AS BIGINT) AS tf_spark,
+       |    CAST(coalesce(sum(tf) FILTER (term = 'merge'), 0) AS BIGINT) AS tf_merge,
+       |    CAST(coalesce(sum(tf) FILTER (term = 'window'), 0) AS BIGINT) AS tf_window
+       |  FROM tf GROUP BY 1),
+       |dls AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS dl FROM documents),
+       |st AS (SELECT count(*) AS n, CAST(SUM(dl) AS BIGINT) AS t FROM dls),
+       |scored AS (SELECT d.doc_id, l.dl, d.tf_spark, d.tf_merge, d.tf_window,
+       |    ${ts("spark")} + ${ts("merge")} + ${ts("window")} AS score_raw
+       |  FROM doctf d JOIN dls l USING (doc_id), dfs, st)""".stripMargin
+  }
+
+  /** Hashed-TF document vectors (tok → b → grid → v, 64 buckets) —
+    * the WITH-body shared by the `text_knn` oracle and the dense leg
+    * of `hybrid_search`. */
+  private lazy val hashedVecCtesSql: String =
+    s"""tok AS (SELECT doc_id, unnest($toksSql) AS t FROM documents),
+       |b AS (SELECT doc_id,
+       |    CAST(concat('0x', substring(md5(t), 1, 15)) AS BIGINT) % 64 AS bucket,
+       |    count(*) AS c
+       |  FROM tok GROUP BY 1, 2),
+       |grid AS (SELECT d.doc_id, t.i
+       |  FROM (SELECT DISTINCT doc_id FROM documents) d, range(0, 64) t(i)),
+       |v AS (SELECT g.doc_id,
+       |    list(CAST(coalesce(b.c, 0) AS BIGINT) ORDER BY g.i) AS vec
+       |  FROM grid g LEFT JOIN b ON g.doc_id = b.doc_id AND g.i = b.bucket
+       |  GROUP BY g.doc_id)""".stripMargin
+
   /** Incremental substring-dedup oracle — shared by the plain and
     * bucketed-catalog variants (layout changes the plan, never the
     * answer): catalog hit cuts unconditionally, plus the within-batch
@@ -2711,6 +2758,33 @@ object SparkEntry {
     "bm25_search" -> ((s, d) =>
       TextFunctions.bm25Search(Tables.documents(s, d),
         Seq("spark", "merge", "window"), k = 20)),
+    // RRF hybrid retrieval ([[graft.operators.Fusion.rrfFuse]]): the
+    // BM25 lexical top-20 fused with a dense top-20 — the query's own
+    // hashed-TF vector against the text_knn document vectors — by
+    // reciprocal rank in integer millionths. Both legs are bounded
+    // top-k lists, so the fusion is corpus-size-independent.
+    "hybrid_search" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val terms = Seq("spark", "merge", "window")
+      // rank on the emitted (rounded) score so the ordering is exactly
+      // reproducible from the bm25_search result itself
+      val lex = TextFunctions.bm25Search(docs, terms, k = 20)
+        .select(col("doc_id"), row_number().over(
+            Window.orderBy(col("score").desc, col("doc_id").asc))
+          .cast("bigint").as("rank"))
+      val cands = TextFunctions.hashedTf(docs)
+        .select(col("doc_id").as("vec_id"),
+          transform(col("vec"), _.cast("float")).as("embedding"))
+      val qv = TextFunctions.hashedTf(
+          s.range(1).select(lit(-1L).as("doc_id"),
+            lit(terms.mkString(" ")).as("text")))
+        .select(col("doc_id").as("q_id"),
+          transform(col("vec"), _.cast("float")).as("q_emb"))
+      val dense = Similarity.bruteForceTopK(cands, qv, k = 20)
+        .select(col("vec_id").as("doc_id"), col("rank"))
+      graft.operators.Fusion.rrfFuse(Seq(lex, dense), topK = 20)
+    }),
     // corpus-trained bigram-LM quality score in fixed-point millionths
     // (CCNet-style "how surprising is this doc under the corpus LM")
     "lm_bigram_score" -> ((s, d) =>
@@ -3834,36 +3908,50 @@ object SparkEntry {
     // Okapi BM25 with rational constants: each term's score is one
     // division of two exactly-computed BIGINTs; the 3-term sum is a
     // fixed-order double expression (same association both engines)
-    "bm25_search" -> {
-      def ts(t: String) =
-        s"""(CASE WHEN tf_$t > 0 THEN
-           |    CAST(44 * tf_$t * t * (n + 1) AS DOUBLE)
-           |    / CAST((df_$t + 1) * (20 * t * tf_$t + 6 * t + 18 * dl * n) AS DOUBLE)
-           |    ELSE 0.0 END)""".stripMargin
-      s"""WITH posting AS (
-         |  SELECT doc_id, term FROM (
-         |    SELECT doc_id, unnest($toksSql) AS term FROM documents)
-         |  WHERE term IN ('spark', 'merge', 'window')),
-         |tf AS (SELECT doc_id, term, count(*) AS tf FROM posting GROUP BY 1, 2),
-         |dfs AS (SELECT
-         |    count(*) FILTER (term = 'spark') AS df_spark,
-         |    count(*) FILTER (term = 'merge') AS df_merge,
-         |    count(*) FILTER (term = 'window') AS df_window
-         |  FROM tf),
-         |doctf AS (SELECT doc_id,
-         |    CAST(coalesce(sum(tf) FILTER (term = 'spark'), 0) AS BIGINT) AS tf_spark,
-         |    CAST(coalesce(sum(tf) FILTER (term = 'merge'), 0) AS BIGINT) AS tf_merge,
-         |    CAST(coalesce(sum(tf) FILTER (term = 'window'), 0) AS BIGINT) AS tf_window
-         |  FROM tf GROUP BY 1),
-         |dls AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS dl FROM documents),
-         |st AS (SELECT count(*) AS n, CAST(SUM(dl) AS BIGINT) AS t FROM dls),
-         |scored AS (SELECT d.doc_id, l.dl, d.tf_spark, d.tf_merge, d.tf_window,
-         |    ${ts("spark")} + ${ts("merge")} + ${ts("window")} AS score_raw
-         |  FROM doctf d JOIN dls l USING (doc_id), dfs, st)
+    "bm25_search" ->
+      s"""WITH $bm25CtesSql
          |SELECT doc_id, dl, tf_spark, tf_merge, tf_window,
          |  round(score_raw, 9) AS score
          |FROM scored WHERE score_raw > 0
-         |ORDER BY score_raw DESC, doc_id ASC LIMIT 20""".stripMargin
+         |ORDER BY score_raw DESC, doc_id ASC LIMIT 20""".stripMargin,
+    // RRF hybrid retrieval: both legs replayed from their shared CTE
+    // chains (lexical = the bm25_search statement ranked on its
+    // emitted rounded score; dense = the text_knn vectors against the
+    // literal query's own hashed-TF vector), fused in integer
+    // millionths by floor division — exactly Fusion.rrfFuse
+    "hybrid_search" -> {
+      val hv = (a: String, b: String) => dotSql(a, b)
+      s"""WITH $bm25CtesSql,
+         |$hashedVecCtesSql,
+         |lex AS (
+         |  SELECT doc_id,
+         |    ROW_NUMBER() OVER (ORDER BY round(score_raw, 9) DESC, doc_id) AS rank
+         |  FROM (SELECT doc_id, score_raw FROM scored WHERE score_raw > 0
+         |        ORDER BY score_raw DESC, doc_id LIMIT 20)),
+         |qb AS (SELECT
+         |    CAST(concat('0x', substring(md5(t), 1, 15)) AS BIGINT) % 64 AS bucket,
+         |    count(*) AS c
+         |  FROM (SELECT unnest(['spark', 'merge', 'window']) AS t) GROUP BY 1),
+         |qv AS (SELECT list(CAST(coalesce(qb.c, 0) AS BIGINT) ORDER BY t.i) AS q_vec
+         |  FROM range(0, 64) t(i) LEFT JOIN qb ON t.i = qb.bucket),
+         |dense AS (
+         |  SELECT doc_id, rank FROM (
+         |    SELECT v.doc_id,
+         |      ROW_NUMBER() OVER (ORDER BY
+         |        ${hv("v.vec", "q.q_vec")}
+         |          / (sqrt(${hv("v.vec", "v.vec")}) * sqrt(${hv("q.q_vec", "q.q_vec")}))
+         |        DESC, v.doc_id ASC) AS rank
+         |    FROM v, qv q) WHERE rank <= 20),
+         |contrib AS (
+         |  SELECT doc_id, CAST(1000000 // (60 + rank) AS BIGINT) AS rrf_fp FROM lex
+         |  UNION ALL
+         |  SELECT doc_id, CAST(1000000 // (60 + rank) AS BIGINT) FROM dense),
+         |fused AS (
+         |  SELECT doc_id, count(*) AS n_lists, CAST(SUM(rrf_fp) AS BIGINT) AS rrf_fp
+         |  FROM contrib GROUP BY 1 ORDER BY rrf_fp DESC, doc_id LIMIT 20)
+         |SELECT doc_id, n_lists, rrf_fp,
+         |  ROW_NUMBER() OVER (ORDER BY rrf_fp DESC, doc_id) AS rank
+         |FROM fused""".stripMargin
     },
     // BPE training, 2 unrolled rounds: the merge application is the
     // same left-to-right non-overlapping fold as the engine's, run by
@@ -4248,17 +4336,7 @@ object SparkEntry {
          |FROM v""".stripMargin,
     "text_knn" -> {
       val hv = (a: String, b: String) => dotSql(a, b)
-      s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS t FROM documents),
-         |b AS (SELECT doc_id,
-         |    CAST(concat('0x', substring(md5(t), 1, 15)) AS BIGINT) % 64 AS bucket,
-         |    count(*) AS c
-         |  FROM tok GROUP BY 1, 2),
-         |grid AS (SELECT d.doc_id, t.i
-         |  FROM (SELECT DISTINCT doc_id FROM documents) d, range(0, 64) t(i)),
-         |v AS (SELECT g.doc_id,
-         |    list(CAST(coalesce(b.c, 0) AS BIGINT) ORDER BY g.i) AS vec
-         |  FROM grid g LEFT JOIN b ON g.doc_id = b.doc_id AND g.i = b.bucket
-         |  GROUP BY g.doc_id),
+      s"""WITH $hashedVecCtesSql,
          |q AS (SELECT doc_id AS q_id, vec AS q_vec FROM v WHERE doc_id < 5),
          |pairs AS (
          |  SELECT q.q_id, v.doc_id AS vec_id,

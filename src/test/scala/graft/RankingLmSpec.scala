@@ -419,4 +419,36 @@ class RankingLmSpec extends SparkSpec {
         perCell = 2).collect()
     }
   }
+
+  test("rrfFuse sums exact reciprocal-rank millionths across lists") {
+    import graft.operators.Fusion
+    val lex = Seq((10L, 1L), (20L, 2L), (30L, 3L)).toDF("doc_id", "rank")
+    val den = Seq((20L, 1L), (40L, 2L)).toDF("doc_id", "rank")
+    val out = Fusion.rrfFuse(Seq(lex, den), topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // 1e6 div (60+r): r=1→16393, r=2→16129, r=3→15873
+    assert(out.toSeq == Seq(
+      (20L, 2L, 16129L + 16393L, 1L), // retrieved by both lists → wins
+      (10L, 1L, 16393L, 2L),
+      (40L, 1L, 16129L, 3L),
+      (30L, 1L, 15873L, 4L)))
+  }
+
+  test("rrfFuse breaks fused-score ties by doc_id and honors topK") {
+    import graft.operators.Fusion
+    val a = Seq((7L, 1L), (5L, 2L)).toDF("doc_id", "rank")
+    val b = Seq((5L, 1L), (7L, 2L)).toDF("doc_id", "rank")
+    // both docs score 16393+16129 — tie; 5 < 7 wins rank 1
+    val out = Fusion.rrfFuse(Seq(a, b), topK = 1).collect()
+    assert(out.length == 1)
+    assert(out(0).getLong(0) == 5L && out(0).getLong(3) == 1L)
+  }
+
+  test("rrfFuse single-list fusion preserves the input ranking order") {
+    import graft.operators.Fusion
+    val a = Seq((3L, 1L), (9L, 2L), (4L, 3L)).toDF("doc_id", "rank")
+    val out = Fusion.rrfFuse(Seq(a), topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(3)))
+    assert(out.toSeq == Seq((3L, 1L), (9L, 2L), (4L, 3L)))
+  }
 }

@@ -1521,6 +1521,45 @@ object SparkEntry {
        |  FROM doctf d JOIN dls l USING (doc_id), dfs, st)""".stripMargin
   }
 
+  /** MinHash→LSH-band→CC chain over `documents`, ending in
+    * `cc(doc_id, cluster_id)` — the WITH-body (requires `WITH
+    * RECURSIVE`) shared by `dedup_clusters` and
+    * `dedup_canonical_quality`. */
+  private lazy val minhashCcCtesSql: String =
+    s"""docs AS (
+       |  SELECT doc_id, $shinglesSql AS shingles FROM documents),
+       |sigs AS (
+       |  SELECT doc_id, shingles,
+       |    list_transform(range(0, 12), j ->
+       |      list_aggregate(list_transform(shingles,
+       |        s -> (CAST(concat('0x', substring(md5(s), 1, 15)) AS BIGINT) % 2147483648
+       |              + j * (CAST(concat('0x', substring(md5(s), 16, 15)) AS BIGINT) % 2147483648))
+       |             % 2147483648), 'min')) AS sig
+       |  FROM docs WHERE len(shingles) > 0),
+       |bands AS (
+       |  SELECT doc_id, b AS band_idx,
+       |    concat_ws(',', sig[b*3+1], sig[b*3+2], sig[b*3+3]) AS band_hash
+       |  FROM sigs, range(0, 4) AS t(b)),
+       |bsz AS (
+       |  SELECT band_idx, band_hash FROM bands
+       |  GROUP BY band_idx, band_hash HAVING count(*) <= 1000),
+       |bands2 AS (
+       |  SELECT b.doc_id, b.band_idx, b.band_hash
+       |  FROM bands b JOIN bsz USING (band_idx, band_hash)),
+       |cands AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands2 a JOIN bands2 b
+       |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+       |  WHERE a.doc_id < b.doc_id),
+       |e AS (SELECT doc_a AS a, doc_b AS b FROM cands
+       |      UNION SELECT doc_b, doc_a FROM cands),
+       |reach(src, dst) AS (
+       |  SELECT a, a FROM (SELECT DISTINCT a FROM e)
+       |  UNION
+       |  SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a),
+       |cc AS (SELECT src AS doc_id, min(dst) AS cluster_id
+       |  FROM reach GROUP BY src)""".stripMargin
+
   /** Hashed-TF document vectors (tok → b → grid → v, 64 buckets) —
     * the WITH-body shared by the `text_knn` oracle and the dense leg
     * of `hybrid_search`. */
@@ -2881,6 +2920,16 @@ object SparkEntry {
         .filter(col("containment") >= 0.5)),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard(_, _)),
     "dedup_clusters" -> (dedupClusters(_, _)),
+    // quality-aware canonical selection over the same clusters
+    // ([[graft.dedup.Dedup.canonicalByQuality]]): each cluster keeps
+    // its linear-quality argmax (ties to min id), not the min id
+    "dedup_canonical_quality" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val clusters = Dedup.nearDupClusters(
+        Dedup.minhashNearDups(docs).select("doc_a", "doc_b"))
+      val scores = TextFunctions.qualityLinear(docs).select("doc_id", "score_fp")
+      Dedup.canonicalByQuality(clusters, scores)
+    }),
     "dedup_simhash" -> (dedupSimhash(_, _)),
     "text_stats" -> (textStats(_, _)),
     "text_langid" -> (textLangId(_, _)),
@@ -4580,40 +4629,45 @@ object SparkEntry {
          |  JOIN sigs sb ON c.doc_b = sb.doc_id)
          |SELECT * FROM scored WHERE containment >= 0.5""".stripMargin,
     "dedup_clusters" ->
-      s"""WITH RECURSIVE docs AS (
-         |  SELECT doc_id, $shinglesSql AS shingles FROM documents),
-         |sigs AS (
-         |  SELECT doc_id, shingles,
-         |    list_transform(range(0, 12), j ->
-         |      list_aggregate(list_transform(shingles,
-         |        s -> (CAST(concat('0x', substring(md5(s), 1, 15)) AS BIGINT) % 2147483648
-         |              + j * (CAST(concat('0x', substring(md5(s), 16, 15)) AS BIGINT) % 2147483648))
-         |             % 2147483648), 'min')) AS sig
-         |  FROM docs WHERE len(shingles) > 0),
-         |bands AS (
-         |  SELECT doc_id, b AS band_idx,
-         |    concat_ws(',', sig[b*3+1], sig[b*3+2], sig[b*3+3]) AS band_hash
-         |  FROM sigs, range(0, 4) AS t(b)),
-         |bsz AS (
-         |  SELECT band_idx, band_hash FROM bands
-         |  GROUP BY band_idx, band_hash HAVING count(*) <= 1000),
-         |bands2 AS (
-         |  SELECT b.doc_id, b.band_idx, b.band_hash
-         |  FROM bands b JOIN bsz USING (band_idx, band_hash)),
-         |cands AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bands2 a JOIN bands2 b
-         |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
-         |  WHERE a.doc_id < b.doc_id),
-         |e AS (SELECT doc_a AS a, doc_b AS b FROM cands
-         |      UNION SELECT doc_b, doc_a FROM cands),
-         |reach(src, dst) AS (
-         |  SELECT a, a FROM (SELECT DISTINCT a FROM e)
-         |  UNION
-         |  SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a)
-         |SELECT src AS doc_id, min(dst) AS cluster_id,
-         |  min(dst) = src AS keep
-         |FROM reach GROUP BY src""".stripMargin,
+      s"""WITH RECURSIVE $minhashCcCtesSql
+         |SELECT doc_id, cluster_id, cluster_id = doc_id AS keep
+         |FROM cc""".stripMargin,
+    // same clusters, but the kept member is the cluster's QUALITY
+    // argmax (linear score, ties to min doc_id) — the canonical chain
+    // plus the quality_score_linear features joined on narrow ids
+    "dedup_canonical_quality" ->
+      s"""WITH RECURSIVE $minhashCcCtesSql,
+         |f AS (
+         |  SELECT doc_id,
+         |    CAST(len($toksSql) AS BIGINT) AS n_tokens,
+         |    CAST(len(list_filter($toksSql, t -> list_contains($stopwordsSql, t))) AS BIGINT) AS n_stopwords,
+         |    CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS BIGINT) AS n_punct,
+         |    CAST(list_sum(list_transform($toksSql, t -> CAST(length(t) AS BIGINT))) AS BIGINT) AS token_len_sum,
+         |    CAST(length(text) AS BIGINT) AS len_chars
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id,
+         |    CAST(CASE WHEN n_tokens > 0 THEN (1000000 * n_stopwords) // n_tokens
+         |      ELSE 0 END AS BIGINT) AS stop_fp,
+         |    CAST(CASE WHEN len_chars > 0 THEN (1000000 * n_punct) // len_chars
+         |      ELSE 0 END AS BIGINT) AS punct_fp,
+         |    CAST(CASE WHEN n_tokens > 0
+         |      THEN abs((1000000 * token_len_sum) // n_tokens - 5000000)
+         |      ELSE 5000000 END AS BIGINT) AS len_dev_fp
+         |  FROM f),
+         |q AS (SELECT doc_id,
+         |    CAST(400000 + 3 * stop_fp - 10 * punct_fp - len_dev_fp // 5 AS BIGINT) AS score_fp
+         |  FROM r),
+         |m AS (SELECT cc.doc_id, cc.cluster_id, q.score_fp
+         |  FROM cc JOIN q USING (doc_id)),
+         |best AS (SELECT cluster_id, doc_id AS canonical_id FROM (
+         |  SELECT cluster_id, doc_id,
+         |    ROW_NUMBER() OVER (PARTITION BY cluster_id
+         |      ORDER BY score_fp DESC, doc_id ASC) AS rn
+         |  FROM m) WHERE rn = 1)
+         |SELECT m.doc_id, m.cluster_id, m.score_fp, b.canonical_id,
+         |  m.doc_id = b.canonical_id AS keep
+         |FROM m JOIN best b USING (cluster_id)""".stripMargin,
     "split_leakage_safe" ->
       s"""WITH RECURSIVE docs AS (
          |  SELECT doc_id, $shinglesSql AS shingles FROM documents),

@@ -946,4 +946,42 @@ object Dedup {
       .agg(sort_array(collect_set(col("pos"))).as("cuts"))
     rebuildWithoutCuts(base, cuts, w)
   }
+
+  /** Quality-aware canonical selection over near-dup clusters: keep
+    * the HIGHEST-QUALITY member of each cluster, not the minimum id.
+    * Min-id keep (the [[nearDupClusters]] `cluster_id = doc_id`
+    * convention) is arbitrary — production curation keeps the best
+    * copy of a duplicated page (the one without the truncation, the
+    * boilerplate, the OCR noise); NeMo-Curator's fuzzy-dedup stage
+    * exposes the same policy. Ties on the score fall back to the
+    * minimum doc_id so the choice is total and deterministic.
+    *
+    * `clusters` is (idCol, clusterCol) from [[nearDupClusters]];
+    * `scores` is (idCol, scoreCol) integer quality (e.g.
+    * [[graft.functions.TextFunctions.qualityLinear]]'s `score_fp` —
+    * exact integers make the argmax engine-portable). Docs in no
+    * cluster are implicitly canonical and not emitted.
+    *
+    * Scale shape: both inputs are narrow (ids + one int); the join
+    * shuffles ids only, the per-cluster argmax is one partial-
+    * aggregated hash agg on a struct max (score, -id), and the
+    * mark-back join is id-width. Text never enters the plan. */
+  def canonicalByQuality(clusters: DataFrame, scores: DataFrame,
+                         idCol: String = "doc_id",
+                         clusterCol: String = "cluster_id",
+                         scoreCol: String = "score_fp"): DataFrame = {
+    val member = clusters.select(col(idCol).cast("long").as("doc_id"),
+        col(clusterCol).cast("long").as("cluster_id"))
+      .join(scores.select(col(idCol).cast("long").as("doc_id"),
+        col(scoreCol).cast("long").as("score_fp")), Seq("doc_id"))
+    // struct max = lexicographic (score_fp, -doc_id): highest score,
+    // then lowest id — a total deterministic order on exact integers
+    val best = member.groupBy("cluster_id")
+      .agg(max(struct(col("score_fp"), (-col("doc_id")).as("neg_id"))).as("b"))
+      .select(col("cluster_id"), (-col("b.neg_id")).as("canonical_id"))
+    member.join(best, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("score_fp"),
+        col("canonical_id"),
+        (col("doc_id") === col("canonical_id")).as("keep"))
+  }
 }

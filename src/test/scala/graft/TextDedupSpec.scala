@@ -546,4 +546,32 @@ class TextDedupSpec extends SparkSpec {
       .collect()
     assert(ivfPartial.nonEmpty) // partial probe still returns ranked rows
   }
+
+  test("canonicalByQuality keeps each cluster's quality argmax, ties to min id") {
+    val clusters = Seq(
+      (1L, 1L), (5L, 1L), (9L, 1L), // cluster 1: scores 10, 30, 30
+      (2L, 2L), (4L, 2L)            // cluster 2: scores 7, 7 (full tie)
+    ).toDF("doc_id", "cluster_id")
+    val scores = Seq(
+      (1L, 10L), (5L, 30L), (9L, 30L), (2L, 7L), (4L, 7L),
+      (99L, 999L) // scored but unclustered: must not appear
+    ).toDF("doc_id", "score_fp")
+    val out = Dedup.canonicalByQuality(clusters, scores)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(3), r.getBoolean(4))).toMap
+    assert(out.keySet == Set(1L, 5L, 9L, 2L, 4L))
+    // cluster 1: 5 and 9 tie at 30 → min id 5 is canonical
+    assert(out(1L) == (5L, false) && out(5L) == (5L, true) && out(9L) == (5L, false))
+    // cluster 2: full tie → min id 2
+    assert(out(2L) == (2L, true) && out(4L) == (2L, false))
+  }
+
+  test("canonicalByQuality beats min-id keep: the better duplicate survives") {
+    // two near-identical docs where the LATER id is higher quality
+    val clusters = Seq((10L, 10L), (20L, 10L)).toDF("doc_id", "cluster_id")
+    val scores = Seq((10L, -50L), (20L, 400L)).toDF("doc_id", "score_fp")
+    val kept = Dedup.canonicalByQuality(clusters, scores)
+      .filter(col("keep")).collect()
+    assert(kept.length == 1 && kept(0).getLong(0) == 20L)
+  }
 }

@@ -2968,6 +2968,18 @@ object SparkEntry {
     "sim_hamming" -> (simHamming(_, _)),
     "sim_lsh" -> (simLsh(_, _)),
     "sim_lsh_multiprobe" -> (simLshMultiprobe(_, _)),
+    // recall@k of the LSH index against brute-force ground truth
+    // ([[graft.similarity.Similarity.recallAtK]]) — the acceptance
+    // metric every ANN config ships against; integer millionths
+    "ann_recall" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val queries = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val cands = e.select("vec_id", "embedding")
+      Similarity.recallAtK(
+        Similarity.bruteForceTopK(cands, queries, k = 5),
+        Similarity.lshTopK(cands, queries, dim = 64, k = 5))
+    }),
     "embed_diversity" -> (embedDiversity(_, _)),
     "semantic_dedup" -> (semanticDedup(_, _)),
     "embed_neardup" -> (embedNearDup(_, _)),
@@ -5933,6 +5945,52 @@ object SparkEntry {
          |  AND $dotXY / (x.nrm * y.nrm) >= 0.4""".stripMargin
     },
     "sim_topk" -> bruteTopKSql,
+    // recall@k: both ranking chains replayed (brute truth + LSH
+    // bucket-restricted approx), intersected on (q_id, vec_id),
+    // recall in integer millionths by floor division
+    "ann_recall" -> {
+      val dotEq = dotSql("e.embedding", "q.q_emb")
+      val normE = dotSql("e.embedding", "e.embedding")
+      val normQ = dotSql("q.q_emb", "q.q_emb")
+      val dotL = dotSql("cb.embedding", "qb.q_emb")
+      val normCb = dotSql("cb.embedding", "cb.embedding")
+      val normQb = dotSql("qb.q_emb", "qb.q_emb")
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),
+         |bp AS (
+         |  SELECT q.q_id, e.vec_id,
+         |    $dotEq / (sqrt($normE) * sqrt($normQ)) AS cos
+         |  FROM embeddings e, q WHERE e.vec_id <> q.q_id),
+         |truth AS (SELECT q_id, vec_id FROM (
+         |  SELECT q_id, vec_id,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rank
+         |  FROM bp) WHERE rank <= 5),
+         |qb AS (
+         |  SELECT vec_id AS q_id, embedding AS q_emb,
+         |    ${bucketSql("embedding", 8, 0)} AS bucket
+         |  FROM embeddings WHERE vec_id < 10),
+         |cb AS (
+         |  SELECT vec_id, embedding,
+         |    ${bucketSql("embedding", 8, 0)} AS bucket
+         |  FROM embeddings),
+         |lp AS (
+         |  SELECT qb.q_id, cb.vec_id,
+         |    $dotL / (sqrt($normCb) * sqrt($normQb)) AS cos
+         |  FROM cb JOIN qb USING (bucket) WHERE cb.vec_id <> qb.q_id),
+         |approx AS (SELECT q_id, vec_id FROM (
+         |  SELECT q_id, vec_id,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rank
+         |  FROM lp) WHERE rank <= 5),
+         |hit AS (SELECT t.q_id, count(*) AS n_hit
+         |  FROM truth t JOIN approx a ON t.q_id = a.q_id AND t.vec_id = a.vec_id
+         |  GROUP BY 1),
+         |tsz AS (SELECT q_id, count(*) AS n_truth FROM truth GROUP BY 1),
+         |asz AS (SELECT q_id, count(*) AS n_approx FROM approx GROUP BY 1)
+         |SELECT t.q_id, t.n_truth,
+         |  CAST(coalesce(a.n_approx, 0) AS BIGINT) AS n_approx,
+         |  CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+         |  CAST((1000000 * coalesce(h.n_hit, 0)) // t.n_truth AS BIGINT) AS recall_fp
+         |FROM tsz t LEFT JOIN asz a USING (q_id) LEFT JOIN hit h USING (q_id)""".stripMargin
+    },
     // exact KNN-Shapley recurrence replayed verbatim: same rounded
     // cosine ranking, same positive integer divisions (// == div on
     // positive operands), same integer suffix sum

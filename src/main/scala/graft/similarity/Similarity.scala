@@ -815,4 +815,35 @@ object Similarity {
     graft.operators.Sampling
       .topKPerStratum(cells, "vec_id", "cell_id", perCell, salt)
   }
+
+  /** Per-query recall@k of an approximate ranking against the exact
+    * one — THE acceptance metric for every ANN index in this module
+    * (an IVF/LSH/PQ config is only shippable at a measured recall).
+    * Both inputs are (q_id, vec_id, ...) top-k lists; recall is
+    * |approx ∩ exact| / |exact| carried in integer millionths via
+    * floor division, so rows are engine-exact. Queries the approx
+    * ranking missed entirely (an LSH bucket holding only the query)
+    * still report, with n_approx = 0.
+    *
+    * Scale shape: rankings are bounded top-k lists per query, so
+    * every frame here is (id, id)-narrow; the intersection is one
+    * equi-join on (q_id, vec_id) and the three counts are partial-
+    * aggregated hash aggs. Embeddings never enter the plan — recall
+    * is computed from ids alone. */
+  def recallAtK(exact: DataFrame, approx: DataFrame): DataFrame = {
+    val t = exact.select(col("q_id").cast("long").as("q_id"),
+      col("vec_id").cast("long").as("vec_id"))
+    val a = approx.select(col("q_id").cast("long").as("q_id"),
+      col("vec_id").cast("long").as("vec_id"))
+    val hits = t.join(a, Seq("q_id", "vec_id"))
+      .groupBy("q_id").agg(count(lit(1)).as("n_hit"))
+    val tsz = t.groupBy("q_id").agg(count(lit(1)).as("n_truth"))
+    val asz = a.groupBy("q_id").agg(count(lit(1)).as("n_approx"))
+    tsz.join(asz, Seq("q_id"), "left")
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"), col("n_truth"),
+        coalesce(col("n_approx"), lit(0L)).as("n_approx"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+      .withColumn("recall_fp", expr("(1000000 * n_hit) div n_truth"))
+  }
 }

@@ -430,4 +430,21 @@ class SimilarityScaleSpec extends SparkSpec {
       .join(best, "bucket")
     assert(reps.filter(col("nrm") =!= col("mx")).isEmpty)
   }
+
+  test("recallAtK: exact millionths, self-recall 1.0, missing queries report 0") {
+    import spark.implicits._
+    val truth = Seq((1L, 10L), (1L, 11L), (1L, 12L), // q1: 3 truth rows
+                    (2L, 20L), (2L, 21L))            // q2: 2 truth rows
+      .toDF("q_id", "vec_id")
+    val approx = Seq((1L, 10L), (1L, 99L), (1L, 12L)) // q1: 2/3 hit; q2 absent
+      .toDF("q_id", "vec_id")
+    val out = Similarity.recallAtK(truth, approx).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(out(1L) == ((3L, 3L, 2L, 666666L))) // floor(2e6/3)
+    assert(out(2L) == ((2L, 0L, 0L, 0L)))      // approx missed q2 entirely
+    // an approx ranking equal to the truth is recall 1.0 everywhere
+    val self = Similarity.recallAtK(truth, truth).collect()
+    assert(self.forall(_.getLong(4) == 1000000L))
+  }
 }

@@ -2943,6 +2943,12 @@ object SparkEntry {
     "doc_pack" -> ((s, d) =>
       TextFunctions.packDocuments(Tables.documents(s, d),
         windowTokens = 256, nShards = 8)),
+    // block-diagonal attention-mask map over the same packing
+    // ([[graft.functions.TextFunctions.packAttentionSpans]]): one row
+    // per (shard, window, doc) with the doc's in-window span
+    "pack_attention_spans" -> ((s, d) =>
+      TextFunctions.packAttentionSpans(Tables.documents(s, d),
+        windowTokens = 256, nShards = 8)),
     "decontaminate" -> (decontaminate(_, _)),
     "repetition" -> ((s, d) =>
       TextFunctions.repetition(Tables.documents(s, d))),
@@ -5476,6 +5482,28 @@ object SparkEntry {
          |  CAST(start_tok // 256 AS BIGINT) AS bin_id,
          |  CAST(start_tok % 256 AS BIGINT) AS offset_in_bin
          |FROM p""".stripMargin,
+    // the same packing expanded to per-window segments: a doc spans
+    // windows start//256 .. (end-1)//256, clipped to each window
+    "pack_attention_spans" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, CAST(doc_id % 8 AS INT) AS shard,
+         |    CAST(len($toksSql) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |p AS (
+         |  SELECT doc_id, shard, n_tokens,
+         |    CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id)
+         |      - n_tokens AS BIGINT) AS start_tok
+         |  FROM t),
+         |x AS (
+         |  SELECT doc_id, shard, n_tokens, start_tok,
+         |    unnest(generate_series(start_tok // 256,
+         |      (start_tok + n_tokens - 1) // 256)) AS bin_id
+         |  FROM p WHERE n_tokens > 0)
+         |SELECT shard, CAST(bin_id AS BIGINT) AS bin_id, doc_id,
+         |  CAST(greatest(start_tok - bin_id * 256, 0) AS BIGINT) AS seg_start,
+         |  CAST(least(start_tok + n_tokens - bin_id * 256, 256)
+         |    - greatest(start_tok - bin_id * 256, 0) AS BIGINT) AS seg_len
+         |FROM x""".stripMargin,
     // Gopher-style repetition metrics: non-distinct 2-grams hashed and
     // counted with two hash aggregates
     "repetition" ->

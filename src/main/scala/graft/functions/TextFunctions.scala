@@ -237,6 +237,44 @@ object TextFunctions {
       .withColumn("offset_in_bin", col("start_tok") % windowTokens)
   }
 
+  /** Per-window document segments for packed training — the
+    * block-diagonal attention-mask map that keeps cross-document
+    * attention OFF when sequences are packed boundary-agnostically
+    * ([[packDocuments]] concatenates; the trainer must still mask
+    * token i from attending across the document boundary — the
+    * standard packing discipline from T5/GPT-3 data pipelines). Each
+    * (shard, bin_id) context window lists the documents inside it
+    * with their in-window span; a document crossing window boundaries
+    * contributes one segment per window it touches. Within any
+    * fully-covered window the segments tile [0, windowTokens) exactly
+    * (spec-proven), so the mask is constructible from this frame
+    * alone.
+    *
+    * One row per (shard, bin_id, doc_id): `seg_start` (0-based
+    * in-window first token) and `seg_len`. Zero-token documents
+    * occupy no tokens and emit no segment.
+    *
+    * Scale shape: [[packDocuments]]'s one narrow per-shard shuffle,
+    * then a pure map-side explode over the ≤ n_tokens/windowTokens+1
+    * windows each document touches — no further exchange, text never
+    * enters the plan. */
+  def packAttentionSpans(docs: org.apache.spark.sql.DataFrame,
+                         windowTokens: Int, nShards: Int = 32,
+                         textCol: String = "text", idCol: String = "doc_id")
+      : org.apache.spark.sql.DataFrame = {
+    val wt = lit(windowTokens.toLong)
+    val packed = packDocuments(docs, windowTokens, nShards, textCol, idCol)
+      .filter(col("n_tokens") > 0)
+    val endTok = col("start_tok") + col("n_tokens") // exclusive
+    val segStart = greatest(col("start_tok") - col("bin") * wt, lit(0L))
+    packed
+      .withColumn("bin", explode(sequence(col("bin_id"),
+        floor((endTok - 1) / windowTokens).cast("bigint"))))
+      .select(col("shard"), col("bin").as("bin_id"), col("doc_id"),
+        segStart.as("seg_start"),
+        (least(endTok - col("bin") * wt, wt) - segStart).as("seg_len"))
+  }
+
   /** 60-bit shingle hash (md5 hex chars 1-15) — the same derivation
     * the MinHash family uses; engine-portable. */
   def shingleHash(sh: Column): Column =

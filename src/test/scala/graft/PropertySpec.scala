@@ -61,6 +61,34 @@ class PropertySpec extends SparkSpec {
     assert(back.toSeq == us)
   }
 
+  test("packAttentionSpans tiles every window exactly, conserves doc tokens") {
+    import graft.functions.TextFunctions
+    // shard 0 stream (nShards=1): doc lengths 3, 7, 6, 1 over W=4
+    val docs = Seq(
+      (0L, "a b c"), (1L, "d e f g h i j"), (2L, "k l m n o p"), (3L, "q")
+    ).toDF("doc_id", "text")
+    val spans = TextFunctions.packAttentionSpans(docs, windowTokens = 4, nShards = 1)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // per-doc seg_len sums = token counts
+    val perDoc = spans.groupBy(_._2).view.mapValues(_.map(_._4).sum).toMap
+    assert(perDoc == Map(0L -> 3L, 1L -> 7L, 2L -> 6L, 3L -> 1L))
+    // every window except the last is tiled [0, W) without gaps/overlap
+    val perBin = spans.groupBy(_._1)
+    val lastBin = perBin.keys.max
+    perBin.foreach { case (bin, segs) =>
+      val sorted = segs.sortBy(_._3)
+      // contiguous: each segment starts where the previous ended
+      sorted.foldLeft(0L) { case (expect, (_, _, st, len)) =>
+        assert(st == expect, s"bin $bin: gap/overlap at $st (expected $expect)")
+        st + len
+      }
+      if (bin != lastBin)
+        assert(sorted.map(_._4).sum == 4L, s"bin $bin not fully tiled")
+    }
+    // doc 1 (tokens 3..9) crosses windows 0,1,2 → three segments
+    assert(spans.count(_._2 == 1L) == 3)
+  }
+
   test("packDocuments invariants: offsets in-window, totals conserved, bins monotone") {
     val docGen = Gen.nonEmptyListOf(
       Gen.nonEmptyListOf(Gen.alphaChar).map(_.mkString.take(8))).map(_.take(40).mkString(" "))

@@ -2623,6 +2623,15 @@ object SparkEntry {
     "text_quality" -> (textQuality(_, _)),
     "quality_gopher" -> (qualityGopher(_, _)),
     "corpus_stats_by_source" -> (corpusStatsBySource(_, _)),
+    // snapshot drift report ([[graft.operators.Profiler.corpusDrift]]):
+    // per-source doc/token mass of two corpus versions (here: the
+    // even-id half as the "previous" snapshot vs the full corpus),
+    // token shares in millionths, |share delta| = the TV-distance term
+    "corpus_drift" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.operators.Profiler.corpusDrift(
+        docs.filter(col("doc_id") % 2 === 0), docs)
+    }),
     "corpus_curriculum" -> ((s, d) =>
       graft.operators.Sampling.quantileBuckets(
           Tables.documents(s, d).select("doc_id", "n_chars"),
@@ -4529,6 +4538,32 @@ object SparkEntry {
          |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
          |  CAST(GROUPING(source, lang) AS BIGINT) AS grp
          |FROM documents GROUP BY ROLLUP(source, lang)""".stripMargin,
+    // snapshot drift: even-id half vs full corpus, shares in
+    // millionths via floor division, zero-guarded like the engine
+    "corpus_drift" ->
+      s"""WITH sa AS (
+         |  SELECT source, count(*) AS docs_a,
+         |    CAST(SUM(CAST(len($toksSql) AS BIGINT)) AS BIGINT) AS tokens_a
+         |  FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
+         |sb AS (
+         |  SELECT source, count(*) AS docs_b,
+         |    CAST(SUM(CAST(len($toksSql) AS BIGINT)) AS BIGINT) AS tokens_b
+         |  FROM documents GROUP BY 1),
+         |j AS (
+         |  SELECT coalesce(sa.source, sb.source) AS source,
+         |    CAST(coalesce(docs_a, 0) AS BIGINT) AS docs_a,
+         |    CAST(coalesce(docs_b, 0) AS BIGINT) AS docs_b,
+         |    CAST(coalesce(tokens_a, 0) AS BIGINT) AS tokens_a,
+         |    CAST(coalesce(tokens_b, 0) AS BIGINT) AS tokens_b
+         |  FROM sa FULL OUTER JOIN sb ON sa.source = sb.source),
+         |t AS (SELECT CAST(SUM(tokens_a) AS BIGINT) AS ta,
+         |             CAST(SUM(tokens_b) AS BIGINT) AS tb FROM j)
+         |SELECT source, docs_a, docs_b, tokens_a, tokens_b,
+         |  CAST(CASE WHEN ta > 0 THEN (1000000 * tokens_a) // ta ELSE 0 END AS BIGINT) AS share_a_fp,
+         |  CAST(CASE WHEN tb > 0 THEN (1000000 * tokens_b) // tb ELSE 0 END AS BIGINT) AS share_b_fp,
+         |  CAST(abs(CASE WHEN ta > 0 THEN (1000000 * tokens_a) // ta ELSE 0 END
+         |         - CASE WHEN tb > 0 THEN (1000000 * tokens_b) // tb ELSE 0 END) AS BIGINT) AS share_delta_fp
+         |FROM j, t""".stripMargin,
     "quality_gopher" ->
       s"""WITH m AS (
          |  SELECT doc_id,

@@ -32,4 +32,43 @@ object Profiler {
     }
     stacked.reduce(_ unionAll _)
   }
+
+  /** Corpus snapshot drift: per-source document/token mass of two
+    * corpus versions side by side, with each version's token SHARE in
+    * integer millionths and the absolute share delta — the per-source
+    * terms of the total-variation distance (TV = Σ|share_a−share_b|/2,
+    * left to the reader so every emitted value stays an exact
+    * integer). The ops signal for "did this crawl/filter change shift
+    * the source mix" before a new snapshot ships to training.
+    * Sources present in only one snapshot report zeros on the other —
+    * appearing/disappearing domains are exactly what drift review is
+    * for.
+    *
+    * Scale shape: one hash aggregate per snapshot on (source) —
+    * partial-aggregated, text reduced to a token count inside the
+    * scan projection, never shuffled; a source-width full-outer join;
+    * totals ride a one-row broadcast. Cost is O(distinct sources)
+    * past the scans. */
+  def corpusDrift(a: DataFrame, b: DataFrame, sourceCol: String = "source",
+                  textCol: String = "text"): DataFrame = {
+    def stats(df: DataFrame, s: String) =
+      df.groupBy(col(sourceCol).as("source"))
+        .agg(count(lit(1)).as(s"docs_$s"),
+          sum(graft.functions.TextFunctions.wsTokenCount(col(textCol)))
+            .as(s"tokens_$s"))
+    val j = stats(a, "a").join(stats(b, "b"), Seq("source"), "full_outer")
+      .select(col("source"),
+        coalesce(col("docs_a"), lit(0L)).as("docs_a"),
+        coalesce(col("docs_b"), lit(0L)).as("docs_b"),
+        coalesce(col("tokens_a"), lit(0L)).as("tokens_a"),
+        coalesce(col("tokens_b"), lit(0L)).as("tokens_b"))
+    val tot = j.agg(sum(col("tokens_a")).as("__ta"), sum(col("tokens_b")).as("__tb"))
+    j.crossJoin(broadcast(tot))
+      .withColumn("share_a_fp",
+        when(col("__ta") > 0, expr("(1000000 * tokens_a) div __ta")).otherwise(0L))
+      .withColumn("share_b_fp",
+        when(col("__tb") > 0, expr("(1000000 * tokens_b) div __tb")).otherwise(0L))
+      .withColumn("share_delta_fp", abs(col("share_a_fp") - col("share_b_fp")))
+      .drop("__ta", "__tb")
+  }
 }

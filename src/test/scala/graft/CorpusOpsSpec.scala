@@ -321,4 +321,25 @@ class CorpusOpsSpec extends SparkSpec {
       assert(ckptLevels(f).forall(_ == org.apache.spark.storage.StorageLevel.NONE))
     }
   }
+
+  test("corpusDrift: exact shares, one-sided sources, zero-token snapshot") {
+    import graft.operators.Profiler
+    val vA = Seq(("web", "a b c"), ("web", "d e"), ("books", "f g h i j"))
+      .toDF("source", "text") // web 5 tokens, books 5 → shares 50/50
+    val vB = Seq(("web", "a b c d e f g h"), ("wiki", "x y"))
+      .toDF("source", "text") // web 8, wiki 2 → 80/20; books vanished
+    val out = Profiler.corpusDrift(vA, vB).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+         r.getLong(5), r.getLong(6), r.getLong(7))).toMap
+    assert(out("web") == ((2L, 1L, 5L, 8L, 500000L, 800000L, 300000L)))
+    assert(out("books") == ((1L, 0L, 5L, 0L, 500000L, 0L, 500000L)))
+    assert(out("wiki") == ((0L, 1L, 0L, 2L, 0L, 200000L, 200000L)))
+    // TV distance = Σ|Δ|/2 = (300000+500000+200000)/2 = half a million
+    assert(out.values.map(_._7).sum == 1000000L)
+    // an empty snapshot reports zero shares, not a division error
+    val empty = vA.filter(col("source") === "nope")
+    val z = Profiler.corpusDrift(empty, vB).collect()
+    assert(z.forall(_.getLong(5) == 0L)) // share_a_fp all zero
+  }
 }

@@ -2983,6 +2983,18 @@ object SparkEntry {
     "sim_hamming" -> (simHamming(_, _)),
     "sim_lsh" -> (simLsh(_, _)),
     "sim_lsh_multiprobe" -> (simLshMultiprobe(_, _)),
+    // MMR diversity rerank ([[graft.similarity.Similarity.mmrRerank]],
+    // λ=1/2): pick 3 per query from the brute-force top-20, each round
+    // trading relevance against max-similarity to what's already picked
+    "mmr_rerank" -> ((s, d) => {
+      val e = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val queries = Tables.embeddings(s, d).filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val cand = Similarity.bruteForceTopK(e, queries, k = 20)
+        .select(col("q_id"), col("vec_id"), col("cos").as("rel"))
+        .join(e, "vec_id")
+      Similarity.mmrRerank(cand, k = 3)
+    }),
     // recall@k of the LSH index against brute-force ground truth
     // ([[graft.similarity.Similarity.recallAtK]]) — the acceptance
     // metric every ANN config ships against; integer millionths
@@ -6008,6 +6020,49 @@ object SparkEntry {
          |  AND $dotXY / (x.nrm * y.nrm) >= 0.4""".stripMargin
     },
     "sim_topk" -> bruteTopKSql,
+    // MMR at λ=1/2, 3 unrolled greedy rounds (the bpe_merges
+    // discipline): comparison key is rel − maxsim, one double
+    // subtraction of engine-exact cosines; rel is the top-20 list's
+    // rounded cosine on BOTH sides
+    "mmr_rerank" -> {
+      def cosS(a: String, b: String) =
+        s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),
+         |bp AS (
+         |  SELECT q.q_id, e.vec_id, e.embedding,
+         |    ${cosS("e.embedding", "q.q_emb")} AS cos
+         |  FROM embeddings e, q WHERE e.vec_id <> q.q_id),
+         |cand AS (SELECT q_id, vec_id, embedding, round(cos, 9) AS rel FROM (
+         |  SELECT q_id, vec_id, embedding, cos,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rank
+         |  FROM bp) WHERE rank <= 20),
+         |s1 AS (SELECT q_id, vec_id, embedding, rel FROM (
+         |  SELECT q_id, vec_id, embedding, rel,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY rel DESC, vec_id ASC) AS rn
+         |  FROM cand) WHERE rn = 1),
+         |r2 AS (
+         |  SELECT c.q_id, c.vec_id, c.embedding, c.rel,
+         |    ${cosS("c.embedding", "s1.embedding")} AS maxsim
+         |  FROM cand c JOIN s1 ON c.q_id = s1.q_id AND c.vec_id <> s1.vec_id),
+         |s2 AS (SELECT q_id, vec_id, embedding, rel FROM (
+         |  SELECT q_id, vec_id, embedding, rel,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY rel - maxsim DESC, vec_id ASC) AS rn
+         |  FROM r2) WHERE rn = 1),
+         |r3 AS (
+         |  SELECT c.q_id, c.vec_id, c.rel,
+         |    greatest(${cosS("c.embedding", "s1.embedding")},
+         |             ${cosS("c.embedding", "s2.embedding")}) AS maxsim
+         |  FROM cand c
+         |  JOIN s1 ON c.q_id = s1.q_id AND c.vec_id <> s1.vec_id
+         |  JOIN s2 ON c.q_id = s2.q_id AND c.vec_id <> s2.vec_id),
+         |s3 AS (SELECT q_id, vec_id, rel FROM (
+         |  SELECT q_id, vec_id, rel,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY rel - maxsim DESC, vec_id ASC) AS rn
+         |  FROM r3) WHERE rn = 1)
+         |SELECT q_id, vec_id, CAST(1 AS BIGINT) AS pick, rel FROM s1
+         |UNION ALL SELECT q_id, vec_id, CAST(2 AS BIGINT), rel FROM s2
+         |UNION ALL SELECT q_id, vec_id, CAST(3 AS BIGINT), rel FROM s3""".stripMargin
+    },
     // recall@k: both ranking chains replayed (brute truth + LSH
     // bucket-restricted approx), intersected on (q_id, vec_id),
     // recall in integer millionths by floor division

@@ -816,6 +816,57 @@ object Similarity {
       .topKPerStratum(cells, "vec_id", "cell_id", perCell, salt)
   }
 
+  /** Maximal-marginal-relevance rerank (Carbonell & Goldstein, SIGIR
+    * 1998) at λ = 1/2: greedily pick `k` results per query maximizing
+    * rel(d) − max_{s∈S} sim(d, s) — relevance minus redundancy — the
+    * classic diversity-aware rerank of a retrieval stack (λ = 1/2
+    * makes the MMR objective the pure difference, so the comparison
+    * key is ONE double subtraction of two engine-exact cosines — no
+    * multiplication to diverge). Ties break by vec_id; pick 1 is the
+    * plain relevance argmax.
+    *
+    * `scored` is a bounded candidate frame (q_id, vec_id, rel,
+    * embedding) — typically a top-k list from [[bruteForceTopK]] (or
+    * any ANN) joined back to its embeddings. Selection runs as `k−1`
+    * distributed rounds: each round anti-joins the selected set,
+    * recomputes every remaining candidate's max-similarity to the
+    * selection (a per-query ≤ |cands|·|S| join — bounded because the
+    * candidate list is), and takes the per-query argmax window over
+    * the ≤ |cands| remainder. Rounds localCheckpoint so the plan
+    * doesn't double per round; queries parallelize freely — no
+    * driver-side selection loop over data. */
+  def mmrRerank(scored: DataFrame, k: Int): DataFrame = {
+    require(k >= 1 && k <= 16, s"need 1 <= k <= 16 picks, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val base = scored.select(col("q_id").cast("long").as("q_id"),
+      col("vec_id").cast("long").as("vec_id"), col("rel"), col("embedding"))
+    val w1 = Window.partitionBy(col("q_id"))
+      .orderBy(col("rel").desc, col("vec_id").asc)
+    var selected = base.withColumn("rn", row_number().over(w1))
+      .filter(col("rn") === 1).drop("rn")
+      .withColumn("pick", lit(1L))
+      .localCheckpoint()
+    for (i <- 2 to k) {
+      val rem = base.join(selected.select("q_id", "vec_id"),
+        Seq("q_id", "vec_id"), "left_anti")
+      val sims = rem.select("q_id", "vec_id", "embedding")
+        .join(selected.select(col("q_id"), col("embedding").as("s_emb")), Seq("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          cosine(col("embedding"), col("s_emb")).as("sim"))
+        .groupBy("q_id", "vec_id").agg(max(col("sim")).as("maxsim"))
+      val wi = Window.partitionBy(col("q_id"))
+        .orderBy((col("rel") - col("maxsim")).desc, col("vec_id").asc)
+      val next = rem.join(sims, Seq("q_id", "vec_id"))
+        .withColumn("rn", row_number().over(wi))
+        .filter(col("rn") === 1)
+        .select(col("q_id"), col("vec_id"), col("rel"), col("embedding"),
+          lit(i.toLong).as("pick"))
+      selected = selected.unionAll(next).localCheckpoint()
+    }
+    selected.select(col("q_id"), col("vec_id"), col("pick"),
+      round(col("rel"), 9).as("rel"))
+  }
+
   /** Per-query recall@k of an approximate ranking against the exact
     * one — THE acceptance metric for every ANN index in this module
     * (an IVF/LSH/PQ config is only shippable at a measured recall).

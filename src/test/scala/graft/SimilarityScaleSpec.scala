@@ -431,6 +431,30 @@ class SimilarityScaleSpec extends SparkSpec {
     assert(reps.filter(col("nrm") =!= col("mx")).isEmpty)
   }
 
+  test("mmrRerank trades relevance for diversity; pick 1 is the rel argmax") {
+    import spark.implicits._
+    // candidates for one query: two near-identical high-rel vectors
+    // and one orthogonal mid-rel vector. Plain top-2 keeps the twins;
+    // MMR must pick the orthogonal one second.
+    val cand = Seq(
+      (1L, 10L, 0.95, Array(1f, 0f, 0f, 0f)),
+      (1L, 11L, 0.94, Array(1f, 0f, 0f, 0f)), // twin of 10
+      (1L, 12L, 0.50, Array(0f, 1f, 0f, 0f))  // orthogonal
+    ).toDF("q_id", "vec_id", "rel", "embedding")
+    val out = Similarity.mmrRerank(cand, k = 3).collect()
+      .map(r => r.getLong(2) -> r.getLong(1)).toMap
+    // pick1 = rel argmax (10); pick2: 11 scores 0.94-1.0 < 12's 0.5-0.0
+    assert(out == Map(1L -> 10L, 2L -> 12L, 3L -> 11L))
+    // ties on the MMR key break by vec_id: two identical candidates
+    val tie = Seq(
+      (2L, 5L, 0.9, Array(1f, 0f, 0f, 0f)),
+      (2L, 3L, 0.9, Array(1f, 0f, 0f, 0f))
+    ).toDF("q_id", "vec_id", "rel", "embedding")
+    val t = Similarity.mmrRerank(tie, k = 2).collect()
+      .map(r => r.getLong(2) -> r.getLong(1)).toMap
+    assert(t == Map(1L -> 3L, 2L -> 5L))
+  }
+
   test("recallAtK: exact millionths, self-recall 1.0, missing queries report 0") {
     import spark.implicits._
     val truth = Seq((1L, 10L), (1L, 11L), (1L, 12L), // q1: 3 truth rows

@@ -578,7 +578,11 @@ object Bench {
     // and stdout carries one compact line, sized to fit the tail window
     // entirely: totals, the 10 heaviest mins, scaling ratios, and the
     // vs_prev/lint verdict counts.
-    val detailPath = java.nio.file.Paths.get("BENCH_detail.json")
+    // A restricted (SPARK_GRAFT_ONLY) run is a local iteration aid,
+    // not the round artifact — route its detail to a sibling file so
+    // it can never clobber the committed full-sweep BENCH_detail.json
+    val detailPath = java.nio.file.Paths.get(
+      if (only.isDefined) "BENCH_detail_only.json" else "BENCH_detail.json")
     try java.nio.file.Files.writeString(detailPath, detail + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] detail write failed: ${e.getMessage}") }

@@ -61,6 +61,65 @@ class PropertySpec extends SparkSpec {
     assert(back.toSeq == us)
   }
 
+  test("mmrRerank equals an independent greedy reference on random instances") {
+    import graft.similarity.Similarity
+    val rnd = new scala.util.Random(4242)
+    // the engine's exact double pipeline: sequential-fold dot, cosine
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    def cos(a: Array[Float], b: Array[Float]): Double =
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    for (trial <- 1 to 3) {
+      val cands = for (q <- 0 until 4; c <- 0 until 10) yield
+        (q.toLong, (100 * trial + c).toLong, rnd.nextDouble(),
+          Array.fill(6)((rnd.nextInt(9) + 1).toFloat))
+      val k = 4
+      // reference: per query, greedy argmax of rel − maxsim, ties to min id
+      val expected = cands.groupBy(_._1).flatMap { case (q, cs) =>
+        var sel = Vector.empty[(Long, Array[Float], Long)] // (id, emb, pick)
+        var rem = cs.map(t => (t._2, t._3, t._4)).toVector
+        for (pick <- 1 to k) {
+          val best = rem.minBy { case (id, rel, emb) =>
+            val maxsim = if (sel.isEmpty) 0.0
+                         else sel.map(s => cos(emb, s._2)).max
+            val key = if (sel.isEmpty) rel else rel - maxsim
+            (-key, id)
+          }
+          sel :+= ((best._1, best._3, pick.toLong))
+          rem = rem.filterNot(_._1 == best._1)
+        }
+        sel.map(s => (q, s._1, s._3))
+      }.toSet
+      val df = cands.toDF("q_id", "vec_id", "rel", "embedding")
+      val got = Similarity.mmrRerank(df, k).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == expected, s"trial $trial diverged from reference greedy")
+    }
+  }
+
+  test("rrfFuse equals the brute reciprocal-rank computation on random lists") {
+    import graft.operators.Fusion
+    val rnd = new scala.util.Random(777)
+    val lists = (1 to 3).map { _ =>
+      val ids = rnd.shuffle((1L to 30L).toVector).take(12)
+      ids.zipWithIndex.map { case (id, i) => (id, (i + 1).toLong) }
+    }
+    val expected = lists.flatten
+      .groupBy(_._1).map { case (id, rows) =>
+        (id, rows.size.toLong, rows.map(r => 1000000L / (60L + r._2)).sum)
+      }.toSeq
+      .sortBy(t => (-t._3, t._1)).take(8)
+      .zipWithIndex.map { case ((id, n, fp), i) => (id, n, fp, i + 1L) }
+      .toSet
+    val got = Fusion.rrfFuse(lists.map(_.toDF("doc_id", "rank")), topK = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == expected)
+  }
+
   test("packAttentionSpans tiles every window exactly, conserves doc tokens") {
     import graft.functions.TextFunctions
     // shard 0 stream (nShards=1): doc lengths 3, 7, 6, 1 over W=4

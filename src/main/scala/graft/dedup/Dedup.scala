@@ -960,7 +960,11 @@ object Dedup {
     * `scores` is (idCol, scoreCol) integer quality (e.g.
     * [[graft.functions.TextFunctions.qualityLinear]]'s `score_fp` —
     * exact integers make the argmax engine-portable). Docs in no
-    * cluster are implicitly canonical and not emitted.
+    * cluster are implicitly canonical and not emitted. The score join
+    * is INNER: `scores` must cover every clustered doc (any corpus
+    * scorer here does — they score per row); a member without a score
+    * would silently leave its cluster, so left-join with a default if
+    * a partial scorer is ever used.
     *
     * Scale shape: both inputs are narrow (ids + one int); the join
     * shuffles ids only, the per-cluster argmax is one partial-

@@ -2339,6 +2339,8 @@ object SparkEntry {
       ((s, d) => { corpusListsDir(s, d); () }),
     "sim_ivf_indexed" ->
       ((s, d) => { ensureIvfIndexLayout(s, d); () }),
+    "ann_recall_indexed" ->
+      ((s, d) => { ensureIvfIndexLayout(s, d); () }),
     "sim_ivf_indexed_incremental" ->
       ((s, d) => { ensureIvfIndexIncLayout(s, d); () }),
     "ivf_index_stats" ->
@@ -2797,6 +2799,19 @@ object SparkEntry {
     "sim_ivf_kmeans" -> (simIvfKmeans(_, _)),
     "sim_ivf_lloyd" -> (simIvfLloyd(_, _)),
     "sim_ivf_indexed" -> (simIvfIndexed(_, _)),
+    // the persisted index's ACCEPTANCE number: recall@5 of the
+    // cell-pruned nProbe=4 search against brute-force ground truth —
+    // closes the index lifecycle (build → append → stats → recall)
+    "ann_recall_indexed" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val queries = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val brute = Similarity.bruteForceTopK(
+        e.select("vec_id", "embedding"), queries, k = 5)
+      val approx = graft.similarity.IvfIndex.topK(s,
+        ensureIvfIndexLayout(s, d), queries, dim = 64, k = 5, nProbe = 4)
+      Similarity.recallAtK(brute, approx)
+    }),
     "sim_ivf_indexed_incremental" -> (simIvfIndexedIncremental(_, _)),
     "ivf_index_stats" -> (ivfIndexStats(_, _)),
     "sim_pq" -> (simPq(_, _)),
@@ -5870,6 +5885,36 @@ object SparkEntry {
     // build trained — one oracle for both (storage changes the plan,
     // never the answer; the build/probe shared expression is the proof)
     "sim_ivf_indexed" -> ivfScoringSql(lloydCentsSql(2)),
+    // recall@5 of the indexed search: the whole sim_ivf_indexed
+    // statement embedded as a derived table (its WITH scope is
+    // independent), intersected with brute-force truth
+    "ann_recall_indexed" -> {
+      val dotEq = dotSql("e.embedding", "bq.q_emb")
+      val normE = dotSql("e.embedding", "e.embedding")
+      val normQ = dotSql("bq.q_emb", "bq.q_emb")
+      s"""WITH bq AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),
+         |bp2 AS (
+         |  SELECT bq.q_id, e.vec_id,
+         |    $dotEq / (sqrt($normE) * sqrt($normQ)) AS cos
+         |  FROM embeddings e, bq WHERE e.vec_id <> bq.q_id),
+         |truth AS (SELECT q_id, vec_id FROM (
+         |  SELECT q_id, vec_id,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rank
+         |  FROM bp2) WHERE rank <= 5),
+         |approx AS (SELECT q_id, vec_id FROM (
+         |${ivfScoringSql(lloydCentsSql(2))}
+         |) ivf),
+         |hit AS (SELECT t.q_id, count(*) AS n_hit
+         |  FROM truth t JOIN approx a ON t.q_id = a.q_id AND t.vec_id = a.vec_id
+         |  GROUP BY 1),
+         |tsz AS (SELECT q_id, count(*) AS n_truth FROM truth GROUP BY 1),
+         |asz AS (SELECT q_id, count(*) AS n_approx FROM approx GROUP BY 1)
+         |SELECT t.q_id, t.n_truth,
+         |  CAST(coalesce(a.n_approx, 0) AS BIGINT) AS n_approx,
+         |  CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+         |  CAST((1000000 * coalesce(h.n_hit, 0)) // t.n_truth AS BIGINT) AS recall_fp
+         |FROM tsz t LEFT JOIN asz a USING (q_id) LEFT JOIN hit h USING (q_id)""".stripMargin
+    },
     // incremental index: the quantizer trained on the base subset only,
     // every vector (base + appended) searchable — assignment w.r.t. the
     // STORED centroids is what the maintenance path guarantees

@@ -2353,12 +2353,21 @@ object SparkEntry {
   private def dedupIncrementalMinhashVerified(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val catalogDocs = docs.filter(col("doc_id") < 250)
+    // Scoped persist: the catalog signatures feed BOTH the band catalog
+    // (screen side) and the shingle catalog (verify side) — without the
+    // cache the catalog's shingling + minhash kernel runs once per
+    // branch inside the screen+verify job. Safe to release immediately:
+    // incrementalNearDupVerified materializes every consumer eagerly
+    // (the screen-hit checkpoint) before returning.
     val catalogSigs = graft.dedup.Dedup.minhashSignatures(catalogDocs)
-    graft.dedup.Dedup
-      .incrementalNearDupVerified(docs.filter(col("doc_id") >= 250),
-        graft.dedup.Dedup.lshBands(catalogSigs),
-        catalogSigs.select(col("doc_id"), col("shingles")))
-      .catalogDelta
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      graft.dedup.Dedup
+        .incrementalNearDupVerified(docs.filter(col("doc_id") >= 250),
+          graft.dedup.Dedup.lshBands(catalogSigs),
+          catalogSigs.select(col("doc_id"), col("shingles")))
+        .catalogDelta
+    } finally { catalogSigs.unpersist(blocking = false); () }
   }
 
   /** KMV sketch algebra ([[graft.expressions.SketchAggregates]]):

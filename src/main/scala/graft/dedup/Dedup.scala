@@ -431,14 +431,20 @@ object Dedup {
       (r.getLong(0), r.getDecimal(1).toPlainString)
     }
 
-    // ONE action decides the branch AND seeds the fixpoint: the
-    // fingerprint already computes the edge count, so the large-graph
-    // path pays no extra job for the fast-path probe
-    val fp0 = fingerprint(edges0)
-    val nEdges = fp0._1
-    if (nEdges <= driverEdgeCap) {
-      import spark.implicits._
-      val es = edges0.select(col("u"), col("v")).as[(Long, Long)].collect()
+    // ONE limit-probe collect over the checkpointed edge blocks decides
+    // the branch: length ≤ cap ⇔ the probe IS the full edge set, so the
+    // common small path (dup pairs, not docs) pays no separate count
+    // job — it goes checkpoint → probe → union-find, two jobs total.
+    // Bounded by construction: ≤ cap+1 id pairs ≈ 32 MB at the default
+    // cap. The rare large path pays this (cheap — executor-local block
+    // reads, no recompute) plus the fingerprint that seeds its fixpoint.
+    import spark.implicits._
+    val probeLimit = math.min(driverEdgeCap + 1, Int.MaxValue.toLong).toInt
+    val probe = edges0.select(col("u"), col("v")).as[(Long, Long)]
+      .limit(probeLimit).collect()
+    if (probe.length <= driverEdgeCap) {
+      val es = probe
+      val nEdges = es.length.toLong
       graft.core.Checkpoints.releaseAll(edges0)
       val parent = new java.util.HashMap[Long, java.lang.Long]()
       def find(x: Long): Long = {
@@ -493,7 +499,7 @@ object Dedup {
     // round is a flat LogicalRDD, so per-round planning cost is constant.
     // Old checkpoint blocks are released by the ContextCleaner.
     var edges = edges0
-    var fp = fp0
+    var fp = fingerprint(edges0)
     var iter = 0
     var converged = false
     while (iter < maxIters && !converged) {
@@ -710,7 +716,15 @@ object Dedup {
     val batchBands = lshBands(sigs, k, bands)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val hitIds = shingleCatalog match {
+      // The catalog screen (and, in the verified mode, its exact-Jaccard
+      // confirmation chain) is consumed TWICE — by the survivor anti-join
+      // feeding the within-batch pair pass, and by the rejected-id union.
+      // Materialize it once: the output is a narrow id list bounded by
+      // the batch, and without the checkpoint the whole screen+verify
+      // join chain (catalog scan included) re-executes inside the
+      // rejected materialization — pure recompute, measured as a
+      // three-round upward drift on flat data volumes at bench scale.
+      val hitIds = (shingleCatalog match {
         case None =>
           // band collision alone drops the doc: LSH-confidence
           // screening, no catalog shingles needed (append-only narrow
@@ -736,7 +750,7 @@ object Dedup {
               ((size(col("sh_a")) + size(col("sh_b"))).cast("bigint")
                 - col("n_inter")).cast("double") >= minJaccard)
             .select(col("doc_id")).distinct()
-      }
+      }).localCheckpoint(true)
       val survivorBands = batchBands.join(hitIds, Seq("doc_id"), "left_anti")
       val pairs = verifyJaccard(lshCandidates(survivorBands, maxBucketSize), sigs)
         .filter(col("jaccard") >= minJaccard)
@@ -754,8 +768,10 @@ object Dedup {
       // block storage would be pure waste for catalog-only consumers.
       val rejected = hitIds.unionAll(dropped).localCheckpoint(true)
       // the rejected-id list is materialized: the CC fixpoint's final
-      // star-edge checkpoint (which `dropped` lazily read) is dead
+      // star-edge checkpoint (which `dropped` lazily read) and the
+      // screen-hit checkpoint (folded into `rejected`) are both dead
       graft.core.Checkpoints.releaseAll(clusters)
+      graft.core.Checkpoints.releaseAll(hitIds)
       val fresh = batch.join(
         rejected.withColumnRenamed("doc_id", idCol), Seq(idCol), "left_anti")
       val delta = batchBands.join(rejected, Seq("doc_id"), "left_anti")

@@ -496,7 +496,13 @@ object Bench {
     // the per-run meters at BOTH SFs attribute the growth with the
     // scaling block's own rule. SPARK_GRAFT_SF1=0 skips the block.
     val sf1Watch = Seq("staging_agg", "fact_trip", "triangle_count",
-      "corpus_filter", "revenue_by_nation")
+      "corpus_filter", "revenue_by_nation", "decontaminate_bloom",
+      "substr_dedup_incremental")
+    // Text-dedup queries measure window-hash collision behavior, which
+    // exact id-offset copies inflate quadratically (ScaleUp's
+    // representativeness caveat) — they get the TEXT-PERTURBED
+    // expansion, where duplicate mass grows ~10× like real data.
+    val sf1TextPerturbed = Set("substr_dedup_incremental")
     val sf1Compact = new scala.collection.mutable.ArrayBuffer[String]
     val sf1Json =
       if (sys.env.get("SPARK_GRAFT_SF1").contains("0") ||
@@ -505,12 +511,21 @@ object Bench {
         val tExp0 = System.nanoTime()
         val sf1Dir = ScaleUp.ensure(spark, sfDir, factor = 10)
         layoutTimes("[sf1-expand]") = (System.nanoTime() - tExp0) / 1e9
+        val sf1TextDir =
+          if (sf1Watch.exists(n => sf1TextPerturbed(n) &&
+              minsMap.get(n).exists(_ > 0))) {
+            val t0 = System.nanoTime()
+            val d = ScaleUp.ensureText(spark, sfDir, factor = 10)
+            layoutTimes("[sf1-expand-text]") = (System.nanoTime() - t0) / 1e9
+            d
+          } else null
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
         System.gc()
         val entries = sf1Watch.filter(n => minsMap.get(n).exists(_ > 0)).map { name =>
           val fn = SparkEntry.queries(name)
-          primeLayout(name, sf1Dir)
+          val legDir = if (sf1TextPerturbed(name)) sf1TextDir else sf1Dir
+          primeLayout(name, legDir)
           // re-meter the sf0.1 leg here (one run) so both legs'
           // volumes come from the same meter on the same host state;
           // for the TIME ratio, fold in the sweep's own minimum — a
@@ -518,7 +533,7 @@ object Bench {
           // (GC/page-cache phase), and min-of-available-runs is this
           // bench's honest-throughput convention throughout
           val leg01 = timeOne(name, fn, sfDir)
-          val runs1 = (1 to 2).flatMap(_ => timeOne(name, fn, sf1Dir))
+          val runs1 = (1 to 2).flatMap(_ => timeOne(name, fn, legDir))
           val t01 = math.min(
             leg01.map(_._1).getOrElse(minsMap(name)), minsMap(name))
           val t1 = if (runs1.nonEmpty) runs1.map(_._1).min else -1.0

@@ -48,18 +48,42 @@ object ScaleUp {
   /** Ensure the expanded directory exists and return its path; tables
     * land as `<table>.parquet` directories, so every `Tables.*` reader
     * works against it unchanged. */
-  def ensure(spark: SparkSession, srcDir: String, factor: Int = 10): String = {
+  def ensure(spark: SparkSession, srcDir: String, factor: Int = 10): String =
+    ensureImpl(spark, srcDir, factor, perturbText = false)
+
+  /** [[ensure]] with PERTURBED document text — the expansion the
+    * text-dedup watch queries need: copy k > 0 tags every token of
+    * `documents.text` with `~k`, so the token-window hashes that
+    * substring/minhash dedup operate on are distinct ACROSS copies
+    * while each copy's INTERNAL duplicate structure repeats verbatim.
+    * Total duplicate mass then grows ~N× — the shape of real corpus
+    * growth (new text, same boilerplate rate) — instead of the
+    * quadratic cross-copy collision blow-up exact copies produce
+    * (the representativeness caveat in this object's Scaladoc).
+    * Token counts and document lengths are preserved; token strings
+    * grow by two characters. All other tables expand exactly as
+    * [[ensure]] does. */
+  def ensureText(spark: SparkSession, srcDir: String, factor: Int = 10): String =
+    ensureImpl(spark, srcDir, factor, perturbText = true)
+
+  private def ensureImpl(spark: SparkSession, srcDir: String, factor: Int,
+                         perturbText: Boolean): String = {
     require(factor >= 2, s"need factor >= 2, got $factor")
     val tables = keyCols.keys.toSeq.sorted
     val files = tables.map(t => new java.io.File(srcDir, s"$t.parquet"))
     require(files.forall(_.exists()), s"missing source tables under $srcDir")
     val fp = graft.sources.LayoutCache.contentFingerprint(files)
     // v1: bump when the expansion semantics (offsets, key columns) change
-    graft.sources.LayoutCache.ensure(s"graft_scaleup_v1_x$factor",
+    val scope = if (perturbText) s"graft_scaleup_text_v1_x$factor"
+                else s"graft_scaleup_v1_x$factor"
+    graft.sources.LayoutCache.ensure(scope,
       new java.io.File(srcDir).getName, fp) { tmp =>
       tables.foreach { t =>
         val src = spark.read.parquet(s"$srcDir/$t.parquet")
-        val out = expand(src, keyCols(t), factor)
+        val out =
+          if (perturbText && t == "documents")
+            expandPerturbText(src, keyCols(t), factor)
+          else expand(src, keyCols(t), factor)
         out.write.parquet(s"$tmp/$t.parquet")
       }
       java.nio.file.Files.writeString(
@@ -73,5 +97,19 @@ object ScaleUp {
     if (keys.isEmpty) src
     else (0 until factor).map { k =>
       keys.foldLeft(src)((df, c) => df.withColumn(c, col(c) + k * Offset))
+    }.reduce(_ unionAll _)
+
+  /** [[expand]] for the documents table with per-copy token tagging
+    * (copy 0 stays verbatim, so the expansion contains the original
+    * corpus unchanged). */
+  private[graft] def expandPerturbText(src: DataFrame, keys: Seq[String],
+                                       factor: Int): DataFrame =
+    (0 until factor).map { k =>
+      val shifted =
+        keys.foldLeft(src)((df, c) => df.withColumn(c, col(c) + k * Offset))
+      if (k == 0) shifted
+      else shifted.withColumn("text",
+        array_join(transform(split(col("text"), " "),
+          t => concat(t, lit(s"~$k"))), " "))
     }.reduce(_ unionAll _)
 }

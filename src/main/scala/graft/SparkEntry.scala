@@ -2248,6 +2248,44 @@ object SparkEntry {
       StructField("source", StringType), StructField("n_chars", LongType)))))
   }
 
+  /** Corrupt-record quarantine gate under the oracle
+    * ([[graft.sources.Sources.quarantineSplit]]): a deterministic JSONL
+    * feed is built from the documents table by explicit string concat
+    * (byte-identical to the oracle's SQL concat — no to_json, whose
+    * field ordering the oracle could not replay), with one corruption
+    * class injected per id residue — truncated line (malformed JSON),
+    * bare scalar (non-object), string where the schema says LONG
+    * (type-unconvertible) — plus an unknown-extra-field line that must
+    * PASS (benign drift). The gate splits the feed; the query returns
+    * every line exactly once (conservation) as either its parsed
+    * fields ('ok') or the md5 of its preserved raw line
+    * ('quarantined'). The oracle replays the feed construction and the
+    * documented decision rule, so a parser behavior change on any of
+    * the three corruption classes — or a dropped/duplicated line —
+    * breaks the hash. */
+  private def quarantineSplitQuery(spark: SparkSession, dir: String): DataFrame = {
+    val base = concat(lit("{\"doc_id\":"), col("doc_id").cast("string"),
+      lit(",\"source\":\""), col("source"), lit("\"}"))
+    val feed = Tables.documents(spark, dir).select(
+      when(col("doc_id") % 7 === 0, substring(base, 1, 10))
+        .when(col("doc_id") % 7 === 1, col("doc_id").cast("string"))
+        .when(col("doc_id") % 7 === 2,
+          concat(lit("{\"doc_id\":\"x"), col("doc_id").cast("string"),
+            lit("\",\"source\":\""), col("source"), lit("\"}")))
+        .when(col("doc_id") % 7 === 3,
+          concat(lit("{\"doc_id\":"), col("doc_id").cast("string"),
+            lit(",\"source\":\""), col("source"), lit("\",\"extra\":1}")))
+        .otherwise(base).as("raw"))
+    val (good, quar) = graft.sources.Sources.quarantineSplit(feed,
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("source", StringType))))
+    good.select(col("doc_id"), col("source"),
+        lit("ok").as("disposition"), lit(null).cast("string").as("raw_md5"))
+      .unionAll(quar.select(lit(null).cast("long").as("doc_id"),
+        lit(null).cast("string").as("source"),
+        lit("quarantined").as("disposition"), md5(col("raw")).as("raw_md5")))
+  }
+
   /** JSON-lines reader under the oracle: the FULL document rows —
     * text included, so JSON string escaping is exercised — written as
     * JSONL and re-read with an explicit schema must equal the parquet
@@ -2508,6 +2546,7 @@ object SparkEntry {
     "txnlog_changes" -> (txnlogChanges(_, _)),
     "mv_merge" -> (mvMerge(_, _)),
     "csv_roundtrip" -> (csvRoundtrip(_, _)),
+    "quarantine_split" -> (quarantineSplitQuery(_, _)),
     "jsonl_roundtrip" -> (jsonlRoundtrip(_, _)),
     "cdc_chunks" -> (cdcChunks(_, _)),
     "cdc_dedup" -> (cdcDedupQ(_, _)),
@@ -5367,6 +5406,32 @@ object SparkEntry {
       "SELECT doc_id, lang, source, n_chars FROM documents",
     "jsonl_roundtrip" ->
       "SELECT doc_id, text, lang FROM documents",
+    // quarantine gate conservation: the oracle rebuilds the same
+    // byte-identical JSONL feed and replays the documented decision
+    // rule — residues 0 (truncated), 1 (bare scalar), 2 (long field
+    // carrying a string) quarantine with the raw line preserved;
+    // residue 3 (unknown extra field) and clean lines pass parsed
+    "quarantine_split" ->
+      """WITH feed AS (
+        |  SELECT doc_id, source,
+        |    CASE
+        |      WHEN doc_id % 7 = 0 THEN substr(base, 1, 10)
+        |      WHEN doc_id % 7 = 1 THEN CAST(doc_id AS VARCHAR)
+        |      WHEN doc_id % 7 = 2 THEN '{"doc_id":"x' || CAST(doc_id AS VARCHAR)
+        |        || '","source":"' || source || '"}'
+        |      WHEN doc_id % 7 = 3 THEN '{"doc_id":' || CAST(doc_id AS VARCHAR)
+        |        || ',"source":"' || source || '","extra":1}'
+        |      ELSE base END AS raw,
+        |    doc_id % 7 IN (0, 1, 2) AS is_quar
+        |  FROM (SELECT doc_id, source,
+        |          '{"doc_id":' || CAST(doc_id AS VARCHAR)
+        |          || ',"source":"' || source || '"}' AS base
+        |        FROM documents))
+        |SELECT CASE WHEN is_quar THEN NULL ELSE doc_id END AS doc_id,
+        |  CASE WHEN is_quar THEN NULL ELSE source END AS source,
+        |  CASE WHEN is_quar THEN 'quarantined' ELSE 'ok' END AS disposition,
+        |  CASE WHEN is_quar THEN md5(raw) ELSE NULL END AS raw_md5
+        |FROM feed""".stripMargin,
     // the incrementally-merged view must equal the one-shot aggregate
     "mv_merge" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,

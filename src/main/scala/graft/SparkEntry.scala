@@ -1363,6 +1363,31 @@ object SparkEntry {
       ensureIvfIndexLayout(spark, dir), queries, dim = 64, k = 5, nProbe = 4)
   }
 
+  /** The object-store-safe twin: cells routed through TxnLog
+    * (manifest = commit point, a reader can never list a torn append),
+    * partition pruning preserved inside each version dir. Same oracle
+    * as `sim_ivf_indexed` — the storage mode must not change a single
+    * result bit. */
+  private def ensureIvfIndexTxnLayout(spark: SparkSession, dir: String): String = {
+    val fp = graft.sources.LayoutCache.contentFingerprint(
+      Seq(new java.io.File(dir, "embeddings.parquet")))
+    graft.sources.LayoutCache.ensure("graft_ivf_index_txn_v1-d64-c16-i2",
+      new java.io.File(dir).getName, fp) { tmp =>
+      graft.similarity.IvfIndex.build(
+        Tables.embeddings(spark, dir).select("vec_id", "embedding"),
+        tmp, dim = 64, nCells = 16, iters = 2, txnSafe = true)
+    }
+  }
+
+  private def simIvfIndexedTxn(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    graft.similarity.IvfIndex.topK(spark,
+      ensureIvfIndexTxnLayout(spark, dir), queries, dim = 64, k = 5,
+      nProbe = 4, txnSafe = true)
+  }
+
   /** Incrementally-maintained index: base built (and its quantizer
     * TRAINED) on vec_id < 250 only, the rest appended with the stored
     * centroids ([[graft.similarity.IvfIndex.append]] — no retraining,
@@ -2377,6 +2402,8 @@ object SparkEntry {
       ((s, d) => { corpusListsDir(s, d); () }),
     "sim_ivf_indexed" ->
       ((s, d) => { ensureIvfIndexLayout(s, d); () }),
+    "sim_ivf_indexed_txn" ->
+      ((s, d) => { ensureIvfIndexTxnLayout(s, d); () }),
     "ann_recall_indexed" ->
       ((s, d) => { ensureIvfIndexLayout(s, d); () }),
     "sim_ivf_indexed_incremental" ->
@@ -2847,6 +2874,7 @@ object SparkEntry {
     "sim_ivf_kmeans" -> (simIvfKmeans(_, _)),
     "sim_ivf_lloyd" -> (simIvfLloyd(_, _)),
     "sim_ivf_indexed" -> (simIvfIndexed(_, _)),
+    "sim_ivf_indexed_txn" -> (simIvfIndexedTxn(_, _)),
     // the persisted index's ACCEPTANCE number: recall@5 of the
     // cell-pruned nProbe=4 search against brute-force ground truth —
     // closes the index lifecycle (build → append → stats → recall)
@@ -5959,6 +5987,8 @@ object SparkEntry {
     // build trained — one oracle for both (storage changes the plan,
     // never the answer; the build/probe shared expression is the proof)
     "sim_ivf_indexed" -> ivfScoringSql(lloydCentsSql(2)),
+    // storage mode (TxnLog-backed cells) must not change a result bit
+    "sim_ivf_indexed_txn" -> ivfScoringSql(lloydCentsSql(2)),
     // recall@5 of the indexed search: the whole sim_ivf_indexed
     // statement embedded as a derived table (its WITH scope is
     // independent), intersected with brute-force truth

@@ -33,14 +33,25 @@ import org.apache.spark.sql.functions._
 object IvfIndex {
 
   /** Train + assign + write. The returned path layout is stable: callers
-    * cache it (content-keyed) and serve [[topK]] from it repeatedly. */
+    * cache it (content-keyed) and serve [[topK]] from it repeatedly.
+    *
+    * `txnSafe = true` routes the cells table through
+    * [[graft.sources.TxnLog]] (`<path>/cells` becomes a manifest-logged
+    * table, still Hive-partitioned by `cell_id` inside each version
+    * dir) — see [[append]] for why. */
   def build(embeddings: DataFrame, path: String, dim: Int,
-            nCells: Int = 16, iters: Int = 2): Unit = {
+            nCells: Int = 16, iters: Int = 2,
+            txnSafe: Boolean = false): Unit = {
     val cents = Similarity.lloydCentroidsExact(embeddings, nCells, iters)
     cents.write.mode("overwrite").parquet(s"$path/centroids")
     val centArr = readCentroids(embeddings.sparkSession, path, dim)
-    assignCells(embeddings, centArr)
-      .write.mode("overwrite").partitionBy("cell_id").parquet(s"$path/cells")
+    val assigned = assignCells(embeddings, centArr)
+    if (txnSafe)
+      graft.sources.TxnLog.overwrite(assigned, s"$path/cells",
+        partitionBy = Seq("cell_id"))
+    else
+      assigned.write.mode("overwrite").partitionBy("cell_id")
+        .parquet(s"$path/cells")
     // the completion marker IS the commit point (LayoutCache contract)
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(path, "_SUCCESS"), "")
@@ -53,15 +64,39 @@ object IvfIndex {
     * drift is accepted until the next rebuild (the standard IVF
     * maintenance trade: assignment stays correct w.r.t. the stored
     * centroids, recall decays only as the data distribution drifts
-    * from the training snapshot). Parquet append adds whole files to
-    * the cell partitions, so a reader whose file listing predates the
-    * append simply serves the pre-append snapshot — never a torn one. */
+    * from the training snapshot).
+    *
+    * Atomicity: with `txnSafe = false`, parquet append adds whole files
+    * to the cell partitions, so on a filesystem with atomic directory
+    * listings (HDFS, local) a reader whose listing predates the append
+    * serves the pre-append snapshot — never a torn one. On an
+    * S3-style object store there is no such listing snapshot: a
+    * partitioned append commits per-file, and a concurrent lister can
+    * see SOME of the batch's files. `txnSafe = true` closes that gap by
+    * routing the cells table through [[graft.sources.TxnLog]] — the
+    * manifest is the commit point, a reader resolves its snapshot from
+    * the log and can never observe a half-published batch (spec:
+    * a reader resolved mid-append serves exactly the pre-append
+    * snapshot; the appended batch's data dir is invisible until its
+    * manifest lands). Build and read must agree on the mode. */
   def append(spark: SparkSession, path: String, newVectors: DataFrame,
-             dim: Int): Unit = {
+             dim: Int, txnSafe: Boolean = false): Unit = {
     val cents = readCentroids(spark, path, dim)
-    assignCells(newVectors, cents)
-      .write.mode("append").partitionBy("cell_id").parquet(s"$path/cells")
+    val assigned = assignCells(newVectors, cents)
+    if (txnSafe) {
+      graft.sources.TxnLog.append(assigned, s"$path/cells",
+        partitionBy = Seq("cell_id"))
+      ()
+    } else
+      assigned.write.mode("append").partitionBy("cell_id")
+        .parquet(s"$path/cells")
   }
+
+  /** The cells table in the mode it was built with ([[append]]). */
+  private def readCells(spark: SparkSession, path: String,
+                        txnSafe: Boolean): DataFrame =
+    if (txnSafe) graft.sources.TxnLog.read(spark, s"$path/cells")
+    else spark.read.parquet(s"$path/cells")
 
   /** The ONE assignment expression (shared with [[Similarity.ivfTopK]]
     * via [[Similarity.cellDistsLit]]) applied at build, append, and —
@@ -96,8 +131,9 @@ object IvfIndex {
     * to rebuild the quantizer. One narrow aggregate over the cell
     * partition column — the vectors themselves are never read
     * (column pruning keeps the scan to cell_id). */
-  def stats(spark: SparkSession, path: String): DataFrame = {
-    val cells = spark.read.parquet(s"$path/cells")
+  def stats(spark: SparkSession, path: String,
+            txnSafe: Boolean = false): DataFrame = {
+    val cells = readCells(spark, path, txnSafe)
       .select(col("cell_id").cast("long").as("cell_id"))
     val counts = cells.groupBy(col("cell_id"))
       .agg(count(lit(1)).as("n_vectors"))
@@ -112,7 +148,8 @@ object IvfIndex {
     * score, deterministic top-k in [[Similarity.bruteForceTopK]]'s
     * output convention. */
   def topK(spark: SparkSession, path: String, queries: DataFrame,
-           dim: Int, k: Int, nProbe: Int = 4): DataFrame = {
+           dim: Int, k: Int, nProbe: Int = 4,
+           txnSafe: Boolean = false): DataFrame = {
     require(k >= 1 && nProbe >= 1, s"need k, nProbe >= 1, got $k, $nProbe")
     val cents = readCentroids(spark, path, dim)
     val probed = queries
@@ -128,7 +165,7 @@ object IvfIndex {
     // cell and discard rows after the fact
     val probeCells = probed.select("cell_id").distinct()
       .collect().map(_.getLong(0)).sorted
-    val cells = spark.read.parquet(s"$path/cells")
+    val cells = readCells(spark, path, txnSafe)
       .filter(col("cell_id").isin(probeCells: _*))
       .withColumn("cell_id", col("cell_id").cast("long"))
     val scored = cells.join(broadcast(probed), "cell_id")

@@ -53,27 +53,29 @@ object TxnLog {
     * overwrite a no-op returning its version (idempotent retry —
     * the streaming materialized view depends on this: a replayed
     * micro-batch must not re-merge). */
-  def overwrite(df: DataFrame, root: String, txnId: Option[String] = None): Long = {
+  def overwrite(df: DataFrame, root: String, txnId: Option[String] = None,
+                partitionBy: Seq[String] = Nil): Long = {
     txnId.foreach { id =>
       history(df.sparkSession, root).find(_.txnId.contains(id)) match {
         case Some(c) => return c.version
         case None =>
       }
     }
-    commit(df, root, "overwrite", txnId)
+    commit(df, root, "overwrite", txnId, partitionBy = partitionBy)
   }
 
   /** Append `df` as a new version. If `txnId` is given and already
     * committed, the append is a no-op returning the existing version
     * that carried it (idempotent retry). */
-  def append(df: DataFrame, root: String, txnId: Option[String] = None): Long = {
+  def append(df: DataFrame, root: String, txnId: Option[String] = None,
+             partitionBy: Seq[String] = Nil): Long = {
     txnId.foreach { id =>
       history(df.sparkSession, root).find(_.txnId.contains(id)) match {
         case Some(c) => return c.version
         case None =>
       }
     }
-    commit(df, root, "append", txnId)
+    commit(df, root, "append", txnId, partitionBy = partitionBy)
   }
 
   /** Read the table at `asOf` (defaults to the latest version).
@@ -82,7 +84,13 @@ object TxnLog {
   def read(spark: SparkSession, root: String, asOf: Option[Long] = None): DataFrame = {
     val snap = snapshotDirs(spark, root, asOf)
     require(snap.nonEmpty, s"TxnLog table at $root has no data at version ${asOf.getOrElse("latest")}")
-    spark.read.parquet(snap.map(d => s"$root/data/$d"): _*)
+    // one read PER version dir, unioned by name — a single multi-path
+    // read cannot infer Hive partition columns across several roots
+    // (CONFLICTING_DIRECTORY_STRUCTURES); per-dir reads infer them per
+    // root, and filters push into every branch's scan, so partition
+    // pruning survives the union for partitioned commits
+    snap.map(d => spark.read.parquet(s"$root/data/$d"))
+      .reduce(_ unionByName _)
   }
 
   /** (version, action, n_dirs, txn_id) per commit — the audit trail. */
@@ -199,11 +207,21 @@ object TxnLog {
 
   private[graft] def commit(df: DataFrame, root: String, action: String,
                             txnId: Option[String],
-                            expectedLatest: Option[Long] = None): Long = {
+                            expectedLatest: Option[Long] = None,
+                            partitionBy: Seq[String] = Nil): Long = {
     val spark = df.sparkSession
     val fs = fileSystem(spark, root)
     val dir = java.util.UUID.randomUUID.toString
-    df.write.parquet(s"$root/data/$dir")
+    // Hive-style partition dirs INSIDE the version directory: readers
+    // get directory-level partition pruning per snapshot dir (the
+    // version dirs are the read's base paths, so discovery sees the
+    // partition column under each), while the commit point stays the
+    // manifest — a partitioned append is exactly as atomic as a flat
+    // one. Mixing partitioned and unpartitioned commits in one table
+    // is the caller's error (the read would see a schema mismatch).
+    val w = df.write
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(s"$root/data/$dir")
     var attempt = 0
     while (attempt < MaxRetries) {
       val commits = history(spark, root)

@@ -96,6 +96,50 @@ class SimilarityScaleSpec extends SparkSpec {
       "appended vectors never retrieved")
   }
 
+  test("txn-safe index: torn append invisible, manifest is the commit point, pruning retained") {
+    import graft.similarity.IvfIndex
+    import graft.sources.TxnLog
+    val e = Tables.embeddings(spark, dir01).select("vec_id", "embedding")
+    val base = e.filter(col("vec_id") < 30)
+    val batch = e.filter(col("vec_id") >= 30)
+    val path = java.nio.file.Files.createTempDirectory("ivf_txn").resolve("idx").toString
+    IvfIndex.build(base, path, dim = 64, nCells = 16, iters = 2, txnSafe = true)
+    val q = queries(Tables.embeddings(spark, dir01))
+    def serve() = resultSet(
+      IvfIndex.topK(spark, path, q, dim = 64, k = 5, nProbe = 4, txnSafe = true))
+    val before = serve()
+    // the storage commit protocol must not change a result bit
+    val plainPath = java.nio.file.Files.createTempDirectory("ivf_plain").resolve("idx").toString
+    IvfIndex.build(base, plainPath, dim = 64, nCells = 16, iters = 2)
+    assert(before == resultSet(
+      IvfIndex.topK(spark, plainPath, q, dim = 64, k = 5, nProbe = 4)))
+    // The torn state an S3-style lister can observe mid-append: the
+    // batch's data FILES exist, its manifest does not (TxnLog.commit
+    // writes data before tryPublish — this is also exactly a crashed
+    // writer). Stage it with an orphan data dir of valid cell rows:
+    // the log names no such dir, so a reader must not see a row of it.
+    TxnLog.read(spark, s"$path/cells").limit(5)
+      .write.partitionBy("cell_id")
+      .parquet(s"$path/cells/data/${java.util.UUID.randomUUID}")
+    assert(serve() == before, "reader saw an unmanifested (torn/orphan) append")
+    val preVersion = TxnLog.latestVersion(spark, s"$path/cells")
+    IvfIndex.append(spark, path, batch, dim = 64, txnSafe = true)
+    // append committed: the batch is fully reachable...
+    assert(serve().exists(_._2 >= 30), "appended vectors never retrieved")
+    // ...while a reader pinned to the pre-append version still serves
+    // exactly the pre-append snapshot (never a torn one)
+    val preCells = TxnLog.read(spark, s"$path/cells", asOf = Some(preVersion))
+    assert(preCells.agg(max(col("vec_id"))).head.getLong(0) < 30)
+    // directory-level cell pruning survives the txn-logged layout
+    val one = q.filter(col("q_id") === 0)
+    val pruned = IvfIndex.topK(spark, path, one, dim = 64, k = 5,
+      nProbe = 4, txnSafe = true)
+    pruned.collect()
+    val plan = pruned.queryExecution.executedPlan.toString
+    val pf = "PartitionFilters: \\[[^\\]]*cell_id[^\\]]*\\]".r.findFirstIn(plan)
+    assert(pf.isDefined, s"no cell_id partition filter on the txn cells scan:\n$plan")
+  }
+
   test("l2Normalize produces unit vectors; zero vectors pass through") {
     import spark.implicits._
     val df = Seq(

@@ -1415,6 +1415,14 @@ object SparkEntry {
   private def ivfIndexStats(spark: SparkSession, dir: String): DataFrame =
     graft.similarity.IvfIndex.stats(spark, ensureIvfIndexLayout(spark, dir))
 
+  /** Rebuild decision ([[graft.similarity.IvfIndex.rebuildAdvice]]):
+    * the monitoring→action close of the index lifecycle — hot-cell
+    * imbalance and empty-cell thresholds in exact bps over the stats
+    * row; the oracle replays the stats and the threshold arithmetic. */
+  private def ivfRebuildAdvice(spark: SparkSession, dir: String): DataFrame =
+    graft.similarity.IvfIndex.rebuildAdvice(spark,
+      ensureIvfIndexLayout(spark, dir))
+
   private def simIvfIndexedIncremental(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     val queries = e.filter(col("vec_id") < 10)
@@ -1783,6 +1791,27 @@ object SparkEntry {
        |  SELECT q_id, vec_id, cos,
        |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rank
        |  FROM pairs) WHERE rank <= 5""".stripMargin
+  }
+
+  /** The ivf_index_stats replay (Lloyd assignment → per-cell counts +
+    * integral share), shared with the rebuild-advice oracle, which
+    * wraps it in the decision rule's threshold arithmetic. */
+  private lazy val ivfStatsOracleSql: String = {
+    val dotEC = dotSql("e.embedding", "c.c_emb")
+    lloydCentsSql(2) + s""",
+       |assigned AS (
+       |  SELECT vec_id, cell_id FROM (
+       |    SELECT e.vec_id, c.cell_id,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+       |        -($dotEC) / (sqrt(${dotSql("e.embedding", "e.embedding")}) * c.c_norm) ASC,
+       |        c.cell_id ASC) AS rn
+       |    FROM embeddings e CROSS JOIN cents c)
+       |  WHERE rn = 1),
+       |counts AS (
+       |  SELECT cell_id, count(*) AS n_vectors FROM assigned GROUP BY cell_id)
+       |SELECT cell_id, n_vectors,
+       |  CAST((n_vectors * 10000) // greatest((SELECT SUM(n_vectors) FROM counts), 1) AS BIGINT) AS share_bps
+       |FROM counts""".stripMargin
   }
 
   /** Unrolled exact fixed-point Lloyd training
@@ -2410,6 +2439,8 @@ object SparkEntry {
       ((s, d) => { ensureIvfIndexIncLayout(s, d); () }),
     "ivf_index_stats" ->
       ((s, d) => { ensureIvfIndexLayout(s, d); () }),
+    "ivf_rebuild_advice" ->
+      ((s, d) => { ensureIvfIndexLayout(s, d); () }),
   )
   /** Verified variant ([[graft.dedup.Dedup.incrementalNearDupVerified]]):
     * same split, but a catalog band collision only drops a batch doc
@@ -2890,6 +2921,7 @@ object SparkEntry {
     }),
     "sim_ivf_indexed_incremental" -> (simIvfIndexedIncremental(_, _)),
     "ivf_index_stats" -> (ivfIndexStats(_, _)),
+    "ivf_rebuild_advice" -> (ivfRebuildAdvice(_, _)),
     "sim_pq" -> (simPq(_, _)),
     // Okapi BM25 (rational constants k1=6/5, b=3/4; per-term scores
     // are single long-ratio divisions summed in one fixed-order
@@ -6026,23 +6058,27 @@ object SparkEntry {
       ivfScoringSql(lloydCentsSql(2, " WHERE vec_id < 250")),
     // index health: the same cosine assignment as the scoring oracle,
     // reduced to per-cell populations + integral-division share
-    "ivf_index_stats" -> {
-      val dotEC = dotSql("e.embedding", "c.c_emb")
-      lloydCentsSql(2) + s""",
-         |assigned AS (
-         |  SELECT vec_id, cell_id FROM (
-         |    SELECT e.vec_id, c.cell_id,
-         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
-         |        -($dotEC) / (sqrt(${dotSql("e.embedding", "e.embedding")}) * c.c_norm) ASC,
-         |        c.cell_id ASC) AS rn
-         |    FROM embeddings e CROSS JOIN cents c)
-         |  WHERE rn = 1),
-         |counts AS (
-         |  SELECT cell_id, count(*) AS n_vectors FROM assigned GROUP BY cell_id)
-         |SELECT cell_id, n_vectors,
-         |  CAST((n_vectors * 10000) // greatest((SELECT SUM(n_vectors) FROM counts), 1) AS BIGINT) AS share_bps
-         |FROM counts""".stripMargin
-    },
+    "ivf_index_stats" -> ivfStatsOracleSql,
+    // the stats replay wrapped in the decision rule's exact-integer
+    // threshold arithmetic (nCells = 16, maxImbalanceBps = 30000,
+    // maxEmptyCells = 0 — the registered query's defaults)
+    "ivf_rebuild_advice" ->
+      s"""WITH stats_out AS ($ivfStatsOracleSql)
+         |SELECT CAST(16 AS BIGINT) AS n_cells,
+         |  count(*) AS populated_cells,
+         |  CAST(16 AS BIGINT) - count(*) AS empty_cells,
+         |  CAST(SUM(n_vectors) AS BIGINT) AS total_vectors,
+         |  MAX(share_bps) AS max_share_bps,
+         |  MAX(share_bps) * 16 AS imbalance_bps,
+         |  CAST(MAX(share_bps) * 16 > 30000
+         |       OR CAST(16 AS BIGINT) - count(*) > 0 AS INT) AS rebuild,
+         |  CASE
+         |    WHEN MAX(share_bps) * 16 > 30000
+         |         AND CAST(16 AS BIGINT) - count(*) > 0 THEN 'hot-cell+empty-cells'
+         |    WHEN MAX(share_bps) * 16 > 30000 THEN 'hot-cell'
+         |    WHEN CAST(16 AS BIGINT) - count(*) > 0 THEN 'empty-cells'
+         |    ELSE 'balanced' END AS reason
+         |FROM stats_out""".stripMargin,
     // PQ-ADC: fixed-point subvectors, integer code assignment (ties ->
     // lower centroid id), integer ADC sums — replayed exactly
     "sim_pq" -> {

@@ -143,6 +143,53 @@ object IvfIndex {
         expr("(n_vectors * 10000) div greatest(__total, 1)").as("share_bps"))
   }
 
+  /** The monitoring→ACTION half of the maintenance loop: consume
+    * [[stats]] plus the stored quantizer size and issue a rebuild
+    * verdict — the operator a maintenance scheduler keys off, so index
+    * health is a decision, not a dashboard. All arithmetic is exact
+    * integer bps (oracle-replayable).
+    *
+    * Decision rule:
+    *  - hot cell: `imbalance_bps = max(share_bps) · nCells` is the
+    *    hottest cell's load as bps of the balanced share (10000 =
+    *    perfectly balanced). Over `maxImbalanceBps` → rebuild: probes
+    *    landing there scan `imbalance/10000ths` of the balanced work,
+    *    and appended batches piling into one cell are exactly the
+    *    drift signature [[append]]'s no-retrain trade accepts only
+    *    until rebuild.
+    *  - empty cells: more than `maxEmptyCells` centroids own no
+    *    vectors → rebuild: the quantizer no longer tessellates the
+    *    data; probes spent on empty cells retrieve nothing and recall
+    *    concentrates in the survivors.
+    *
+    * One row: (n_cells, populated_cells, empty_cells, total_vectors,
+    * max_share_bps, imbalance_bps, rebuild 0/1, reason). Cost: the
+    * [[stats]] aggregate plus a ≤ nCells centroid count — vectors are
+    * never read. */
+  def rebuildAdvice(spark: SparkSession, path: String,
+                    maxImbalanceBps: Long = 30000,
+                    maxEmptyCells: Long = 0,
+                    txnSafe: Boolean = false): DataFrame = {
+    val nCells = spark.read.parquet(s"$path/centroids").count()
+    stats(spark, path, txnSafe)
+      .agg(count(lit(1)).as("populated_cells"),
+        sum(col("n_vectors")).as("total_vectors"),
+        max(col("share_bps")).as("max_share_bps"))
+      .select(lit(nCells).as("n_cells"), col("populated_cells"),
+        (lit(nCells) - col("populated_cells")).as("empty_cells"),
+        col("total_vectors"), col("max_share_bps"),
+        (col("max_share_bps") * nCells).as("imbalance_bps"))
+      .withColumn("__hot", col("imbalance_bps") > maxImbalanceBps)
+      .withColumn("__empty", col("empty_cells") > maxEmptyCells)
+      .select(col("n_cells"), col("populated_cells"), col("empty_cells"),
+        col("total_vectors"), col("max_share_bps"), col("imbalance_bps"),
+        (col("__hot") || col("__empty")).cast("int").as("rebuild"),
+        coalesce(nullif(concat_ws("+",
+          when(col("__hot"), lit("hot-cell")),
+          when(col("__empty"), lit("empty-cells"))), lit("")),
+          lit("balanced")).as("reason"))
+  }
+
   /** Serve a query batch from the persisted index: probe each query's
     * `nProbe` nearest cells, scan ONLY those partitions, exact-cosine
     * score, deterministic top-k in [[Similarity.bruteForceTopK]]'s

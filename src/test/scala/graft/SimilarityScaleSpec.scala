@@ -140,6 +140,39 @@ class SimilarityScaleSpec extends SparkSpec {
     assert(pf.isDefined, s"no cell_id partition filter on the txn cells scan:\n$plan")
   }
 
+  test("rebuildAdvice: a skewed append flips the verdict to hot-cell rebuild") {
+    import graft.similarity.IvfIndex
+    val e = Tables.embeddings(spark, dir01).select("vec_id", "embedding")
+    val path = java.nio.file.Files.createTempDirectory("ivf_adv").resolve("idx").toString
+    IvfIndex.build(e, path, dim = 64, nCells = 16, iters = 2)
+    // pin the hot-cell threshold just above the base imbalance so the
+    // flip is about the APPEND, not about the base distribution
+    // (maxEmptyCells = 16 neutralizes the empty-cell arm for the same
+    // reason); sanity-check the base isn't already degenerate
+    val baseImb = IvfIndex.rebuildAdvice(spark, path, maxEmptyCells = 16)
+      .head.getAs[Long]("imbalance_bps")
+    assert(baseImb < 100000, s"base index degenerately skewed: $baseImb bps")
+    val thresh = baseImb + 1000
+    val ok = IvfIndex.rebuildAdvice(spark, path,
+      maxImbalanceBps = thresh, maxEmptyCells = 16).head
+    assert(ok.getAs[Int]("rebuild") == 0)
+    assert(ok.getAs[String]("reason") == "balanced")
+    assert(ok.getAs[Long]("n_cells") == 16)
+    // skewed batch: 2x the corpus, every vector a copy of one existing
+    // embedding — all land in ONE cell (shared assignment expression),
+    // the drift signature append's no-retrain trade accepts until rebuild
+    val emb = e.orderBy("vec_id").limit(1).select("embedding").head.getSeq[Float](0)
+    val n = e.count()
+    val skew = spark.range(2 * n).select((col("id") + 10000000L).as("vec_id"),
+      typedlit(emb).as("embedding"))
+    IvfIndex.append(spark, path, skew, dim = 64)
+    val bad = IvfIndex.rebuildAdvice(spark, path,
+      maxImbalanceBps = thresh, maxEmptyCells = 16).head
+    assert(bad.getAs[Int]("rebuild") == 1, bad.toString)
+    assert(bad.getAs[String]("reason") == "hot-cell")
+    assert(bad.getAs[Long]("total_vectors") == 3 * n)
+  }
+
   test("l2Normalize produces unit vectors; zero vectors pass through") {
     import spark.implicits._
     val df = Seq(

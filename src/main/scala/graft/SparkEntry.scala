@@ -3223,6 +3223,20 @@ object SparkEntry {
       graft.operators.Sampling.topKPerStratum(hosts, "doc_id", "host",
         k = 25, salt = "dc")
     }),
+    // per-REGISTERED-DOMAIN crawl cap capstone — the standard crawl-
+    // curation composition (C4/RefinedWeb: ≤ k pages per registered
+    // domain, deterministic salted-hash order, never an RNG reservoir):
+    // registeredDomain ∘ urlHost as the stratum, topKPerStratum as the
+    // cap, and the page TEXT riding through — the production shape,
+    // with PlanSpec proving the payload never crosses the rank exchange
+    "domain_cap" -> ((s, d) => {
+      val pages = syntheticUrls(s, d, keep = Seq("text"))
+      val withDomain = pages.select(col("doc_id"), col("text"),
+        graft.functions.UrlFunctions.registeredDomain(
+          graft.functions.UrlFunctions.urlHost(col("url"))).as("domain"))
+      graft.operators.Sampling.topKPerStratum(withDomain, "doc_id", "domain",
+        k = 40, salt = "cap")
+    }),
   )
 
   /** Deterministic synthetic crawl URLs over the documents table —
@@ -3230,8 +3244,9 @@ object SparkEntry {
     * host, explicit default ports, a tracking param, an out-of-order
     * query, optional trailing slash and fragment, and two TLD families
     * so the registered-domain cut is non-trivial. */
-  private def syntheticUrls(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir).select(col("doc_id"),
+  private def syntheticUrls(spark: SparkSession, dir: String,
+                            keep: Seq[String] = Nil): DataFrame =
+    Tables.documents(spark, dir).select(col("doc_id") +: keep.map(col) :+
       concat(
         when(col("doc_id") % 2 === 0, lit("HTTP://")).otherwise(lit("HTTPS://")),
         lit("WWW."), upper(col("source")),
@@ -3241,7 +3256,8 @@ object SparkEntry {
         when(col("doc_id") % 3 === 0, lit("/")).otherwise(lit("")),
         lit("?utm_source=feed&b=2&a=1"),
         when(col("doc_id") % 5 === 0, lit("&fbclid=XYZ")).otherwise(lit("")),
-        when(col("doc_id") % 4 === 0, lit("#frag")).otherwise(lit(""))).as("url"))
+        when(col("doc_id") % 4 === 0, lit("#frag")).otherwise(lit(""))).as("url")
+      : _*)
 
   /** [[TextFunctions.boilerplateHashes]] (eager, capN-bounded driver
     * collect — the IVF-centroid inlining convention) feeding the
@@ -6556,5 +6572,19 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY host ORDER BY hv, doc_id) AS rn
         |  FROM d)
         |SELECT doc_id, host FROM r WHERE rn <= 25""".stripMargin,
+    // registered-domain cut of the synthetic URL families (even ids →
+    // example.com, odd → sample.co.uk), same salted-hash rank replay
+    "domain_cap" ->
+      """WITH d AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'example.com'
+        |         ELSE 'sample.co.uk' END AS domain,
+        |    CAST(concat('0x', substring(md5(concat(CAST(doc_id AS VARCHAR), 'cap')), 1, 15)) AS BIGINT) AS hv
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, text, domain,
+        |    row_number() OVER (PARTITION BY domain ORDER BY hv, doc_id) AS rn
+        |  FROM d)
+        |SELECT doc_id, text, domain FROM r WHERE rn <= 40""".stripMargin,
   )
 }

@@ -174,7 +174,7 @@ class PlanSpec extends SparkSpec {
       "corpus_mix_tokens", "bm25_search", "lm_bigram_score",
       "span_dup_stats", "corpus_mix_temperature", "prefix_dup",
       "source_overlap", "bpe_encode", "corpus_ppl_sample",
-      "blocklist_filter", "quality_score_linear").foreach { q =>
+      "blocklist_filter", "quality_score_linear", "domain_cap").foreach { q =>
       val cols = shuffledColumns(q)
       assert(!cols.contains("text"), s"$q shuffles text: $cols")
       // span_dedup additionally must not shuffle the token array

@@ -45,7 +45,8 @@ object Bench {
     * BENCH_detail.json (read BEFORE this run overwrites it). Parsed
     * with the Jackson bundled in Spark's own classpath. */
   private def readPrevDetail(path: String, sfName: String)
-      : Option[(Double, Map[String, Double], Map[String, Seq[Double]])] =
+      : Option[(Double, Map[String, Double], Map[String, Seq[Double]],
+                Map[String, Map[String, Long]])] =
     try {
       val f = new java.io.File(path)
       if (!f.isFile) None
@@ -61,12 +62,17 @@ object Bench {
         val runs = obj("runs_s").map { case (k, v) =>
           k -> v.elements().asScala.map(_.asDouble()).toSeq
         }
+        // per-query steady-state volumes (older artifacts lack the
+        // block — vs_prev then falls back to the unclassified verdict)
+        val vols = obj("volumes").map { case (k, v) =>
+          k -> v.fieldNames().asScala.map(f2 => f2 -> v.get(f2).asLong()).toMap
+        }
         val total = Option(root.get("total_s")).map(_.asDouble()).getOrElse(-1.0)
         // Cross-SF comparison is meaningless — only diff when the
         // previous detail ran at the same scale factor.
         val prevSf = Option(root.get("sf")).map(_.asText()).getOrElse("")
         if (new java.io.File(prevSf).getName != sfName) None
-        else Some((total, mins, runs))
+        else Some((total, mins, runs, vols))
       }
     } catch { case _: Throwable => None }
 
@@ -295,6 +301,19 @@ object Bench {
     }
     val runAttributionJson = runAttribution.mkString("{", ",", "}")
 
+    // ---- Per-query steady-state volumes ----
+    // The fastest run's meter per query, persisted in the artifact as
+    // the NEXT round's attribution baseline: vs_prev classifies a
+    // surviving regression as barrier/host-class (flat volumes) vs real
+    // recompute (volume growth) from data, not from a manual read.
+    val volByQuery: Map[String, RunMeter] = metered.collect {
+      case (name, rs) if rs.nonEmpty => name -> rs.minBy(_._1)._2
+    }.toMap
+    val volumesJson = metered.collect { case (name, rs) if rs.nonEmpty =>
+      val m = rs.minBy(_._1)._2
+      s""""$name":{"shuffle_bytes":${m.shuffleBytes},"shuffle_records":${m.shuffleRecords},"scan_rows":${m.scanRows},"spill_disk_bytes":${m.spillDisk}}"""
+    }.mkString("{", ",", "}")
+
     // ---- Round-over-round regression gate ----
     // Diff per-query minimums against the previous round's detail file.
     // Movement beyond 1.3x in either direction (on queries slow enough
@@ -309,7 +328,7 @@ object Bench {
     val runsMap = results.toMap
     val vsPrevJson = prev match {
       case None => "null"
-      case Some((prevTotal, prevMins, prevRuns)) =>
+      case Some((prevTotal, prevMins, prevRuns, prevVols)) =>
         val compared = mins.collect {
           case (name, cur) if cur > 0 && prevMins.get(name).exists(_ > 0) =>
             val p = prevMins(name)
@@ -323,14 +342,34 @@ object Bench {
           val cr = runsMap.getOrElse(name, Seq(cur)).filter(_ > 0)
           val overlap = pr.nonEmpty && cr.nonEmpty &&
             cr.min <= pr.max && pr.min <= cr.max
+          // Surviving regressions are CLASSED by the cross-round volume
+          // diff: steady-state shuffle records + scan rows agreeing
+          // within 1.2x means the query moved the same data slower —
+          // barrier/host class, chase job structure or box state; real
+          // volume growth means it genuinely recomputed more. No prev
+          // volumes (older artifact) → unclassified "regressed".
+          def flat(a: Long, b: Long): Boolean =
+            (a == 0L && b == 0L) ||
+              (a > 0L && b > 0L &&
+                math.max(a, b).toDouble / math.min(a, b) <= 1.2)
           val verdict =
             if (overlap) "within-run-spread"
-            else if (r > 1.0) "regressed" else "improved"
+            else if (r <= 1.0) "improved"
+            else (for { pv <- prevVols.get(name); cv <- volByQuery.get(name) }
+              yield {
+                val pRec = pv.getOrElse("shuffle_records", 0L)
+                val pScan = pv.getOrElse("scan_rows", 0L)
+                if (flat(pRec, cv.shuffleRecords) && flat(pScan, cv.scanRows))
+                  "regressed-flat-volumes"
+                else if (cv.shuffleRecords > pRec || cv.scanRows > pScan)
+                  "regressed-volume-growth"
+                else "regressed-volume-shrank"
+              }).getOrElse("regressed")
           (name, p, cur, r, verdict)
         }
         // Attribute surviving regressions (cap the extra metered runs).
         val attributed = adjudicated
-          .filter { case (_, _, cur, _, v) => v == "regressed" && cur > 0.3 }
+          .filter { case (_, _, cur, _, v) => v.startsWith("regressed") && cur > 0.3 }
           .take(10).map { case (name, _, _, _, _) =>
             val m = try Some(graft.core.Metrics.measureAllJobs(
                       SparkEntry.queries(name)(spark, sfDir)))
@@ -585,7 +624,7 @@ object Bench {
     val prepStagesJson = prepStages
       .map { case (k, v) => s""""$k":${fmt(v)}""" }.mkString("{", ",", "}")
     val detail =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_s":${fmt(total)},"sf":"$sfDir","runs":$nRuns,"runs_max":${nRuns + maxExtraRuns},"timing":"min-of-$nRuns (+$maxExtraRuns adaptive runs when 3-run spread > 2x; runs_s carries every run), full materialization via toRdd, fresh plan per run, caches+leftover RDD blocks cleared between runs","cc_rounds":$ccRounds,"corpus_prepare_stages_s":$prepStagesJson,"timing_consistency":$consistencyJson,"layout_build_s":$layoutJson,"leftover_persisted_rdds":$leftoverJson,"vs_prev":$vsPrevJson,"lint":$lintJson,"queries":$qs,"scaling":$scalingJson,"scaling_sf1":$sf1Json,"run_attribution":$runAttributionJson,"runs_s":$perRun}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_s":${fmt(total)},"sf":"$sfDir","runs":$nRuns,"runs_max":${nRuns + maxExtraRuns},"timing":"min-of-$nRuns (+$maxExtraRuns adaptive runs when 3-run spread > 2x; runs_s carries every run), full materialization via toRdd, fresh plan per run, caches+leftover RDD blocks cleared between runs","cc_rounds":$ccRounds,"corpus_prepare_stages_s":$prepStagesJson,"timing_consistency":$consistencyJson,"layout_build_s":$layoutJson,"leftover_persisted_rdds":$leftoverJson,"vs_prev":$vsPrevJson,"lint":$lintJson,"queries":$qs,"scaling":$scalingJson,"scaling_sf1":$sf1Json,"run_attribution":$runAttributionJson,"volumes":$volumesJson,"runs_s":$perRun}"""
     // The harness capturing stdout keeps only a bounded TAIL (~2 KB) of
     // it — a full 150-query detail line can never survive that whole. So
     // the complete evidence (per-run times for self-adjudication,

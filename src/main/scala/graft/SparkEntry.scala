@@ -3066,6 +3066,10 @@ object SparkEntry {
     "text_stats" -> (textStats(_, _)),
     "text_langid" -> (textLangId(_, _)),
     "token_count" -> (tokenCount(_, _)),
+    // sequence-length bucketing: per power-of-two bucket, the padding
+    // waste naive pad-to-top batching pays (exact tokens + bps)
+    "length_buckets" -> ((s, d) =>
+      TextFunctions.lengthBuckets(Tables.documents(s, d))),
     "doc_fingerprint" -> (docFingerprint(_, _)),
     "doc_rolling_hash" -> (docRollingHash(_, _)),
     "tfidf_top_terms" -> (tfidfTopTerms(_, _)),
@@ -4949,6 +4953,18 @@ object SparkEntry {
          |       ELSE 'es' END AS lang_pred
          |FROM s""".stripMargin
     },
+    "length_buckets" ->
+      s"""WITH d AS (
+         |  SELECT CAST(len($toksSql) AS BIGINT) AS n FROM documents),
+         |b AS (
+         |  SELECT CASE WHEN n <= 1 THEN n
+         |              ELSE CAST(1 AS BIGINT) << length(bin(n - 1)) END AS bucket_top, n
+         |  FROM d)
+         |SELECT bucket_top, count(*) AS n_docs,
+         |  CAST(SUM(n) AS BIGINT) AS total_tokens,
+         |  CAST(bucket_top * count(*) - SUM(n) AS BIGINT) AS padding_tokens,
+         |  CAST((bucket_top * count(*) - SUM(n)) * 10000 // greatest(bucket_top * count(*), 1) AS BIGINT) AS waste_bps
+         |FROM b GROUP BY bucket_top""".stripMargin,
     "token_count" ->
       s"""SELECT doc_id,
          |  CAST(len($toksSql) AS BIGINT) AS ws_tokens,

@@ -211,6 +211,38 @@ object TextFunctions {
       regexp_replace(text, "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]"),
       "[0-9]{4,}", "[NUM]")
 
+  /** Sequence-length bucketing report — the batch scheduler's view of
+    * a corpus: documents binned by pad-to-power-of-two token count,
+    * with the padding waste naive pad-to-bucket-top batching pays per
+    * bucket. Length-bucketed batching is the standard fix for padding
+    * waste in LLM training/inference serving; this reports, in exact
+    * integer tokens and bps of the padded volume, how much remains.
+    *
+    * Bucket top: the smallest power of two ≥ the doc's token count
+    * (n ≤ 1 keeps n — a 0/1-token doc pads nothing), computed with
+    * integer bit arithmetic (`length(bin(n-1))` = ⌈log₂ n⌉), never
+    * float log2 — a 2^k-token doc must not round into the next bucket.
+    *
+    * Scale shape: one map-side projection (token count → bucket top)
+    * feeding ONE hash aggregate on the bucket id — text never leaves
+    * the scan; the exchange carries (bucket, count, token sum), at most
+    * ~64 groups regardless of corpus size. */
+  def lengthBuckets(df: org.apache.spark.sql.DataFrame,
+                    textCol: String = "text")
+      : org.apache.spark.sql.DataFrame = {
+    val n = size(tokens(col(textCol))).cast("long")
+    df.select(n.as("__n"))
+      .withColumn("bucket_top", when(col("__n") <= 1, col("__n"))
+        .otherwise(expr("shiftleft(CAST(1 AS BIGINT), length(bin(__n - 1)))")))
+      .groupBy("bucket_top")
+      .agg(count(lit(1)).as("n_docs"), sum(col("__n")).as("total_tokens"))
+      .select(col("bucket_top"), col("n_docs"), col("total_tokens"),
+        (col("bucket_top") * col("n_docs") - col("total_tokens"))
+          .as("padding_tokens"),
+        expr("((bucket_top * n_docs - total_tokens) * 10000) div " +
+          "greatest(bucket_top * n_docs, 1)").as("waste_bps"))
+  }
+
   /** Streaming sequence packing for LLM training: documents are
     * concatenated in id order within `nShards` deterministic shards
     * (id % nShards) and cut into fixed `windowTokens` context windows —

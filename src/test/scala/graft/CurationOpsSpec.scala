@@ -204,6 +204,24 @@ class CurationOpsSpec extends SparkSpec {
     assert(n >= 39000 && n <= 41000, s"kept $n of 200000 at 20%")
   }
 
+  test("lengthBuckets: power-of-two tops are bit-exact, waste in exact bps") {
+    import graft.functions.TextFunctions
+    // token counts 1, 2, 3, 5, 8 — covers the n<=1 identity bucket,
+    // exact powers (2 and 8 must NOT round up into the next bucket,
+    // the float-log2 failure mode), and an interior value per bucket
+    val docs = Seq("a", "a b", "a b c", "a b c d e",
+      "a b c d e f g h").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val out = TextFunctions.lengthBuckets(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    assert(out.keySet == Set(1L, 2L, 4L, 8L))
+    assert(out(1L) == ((1L, 1L, 0L, 0L)))          // n=1: no padding
+    assert(out(2L) == ((1L, 2L, 0L, 0L)))          // n=2 stays in bucket 2
+    assert(out(4L) == ((1L, 3L, 1L, 2500L)))       // n=3: 1 of 4 padded
+    assert(out(8L) == ((2L, 13L, 3L, 1875L)))      // n=5,8: 3 of 16 padded
+  }
+
   test("urlNormalize idempotence: normalizing a normal form is a no-op") {
     val urls = Seq(
       "HTTP://WWW.Example.COM:80/a/b/?utm_source=x&b=2&a=1#frag",

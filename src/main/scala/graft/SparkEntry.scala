@@ -2255,6 +2255,26 @@ object SparkEntry {
     TxnLog.changesSince(spark, root, 0L).select(col("doc_id"), col("source"))
   }
 
+  /** Schema evolution under the oracle ([[graft.sources.TxnLog.read]]'s
+    * widening contract): the base commit carries (doc_id, source), a
+    * later append widens with `lang`; the snapshot read returns the
+    * base rows with NULL lang and the appended rows with theirs — the
+    * lakehouse mergeSchema read, replayed as a UNION with a typed NULL
+    * in DuckDB. */
+  private def txnlogEvolution(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.TxnLog
+    val root = tmpArtifactRoot("txnevo", dir)
+    val docs = Tables.documents(spark, dir)
+    if (TxnLog.latestVersion(spark, root) < 1L) {
+      TxnLog.overwrite(docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("source")), root, Some("base"))
+      TxnLog.append(docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("source"), col("lang")), root, Some("widen"))
+      ()
+    }
+    TxnLog.read(spark, root).select("doc_id", "source", "lang")
+  }
+
   /** Incremental materialized view under the oracle: two id-sliced
     * event batches merge through [[graft.streaming.MaterializedView
     * .mergeBatch]] (sum/min/max measure algebra + TxnLog txnId
@@ -2602,6 +2622,7 @@ object SparkEntry {
     "dedup_incremental" -> (dedupIncremental(_, _)),
     "streaming_neardup_replay" -> (streamingNeardupReplay(_, _)),
     "txnlog_changes" -> (txnlogChanges(_, _)),
+    "txnlog_evolution" -> (txnlogEvolution(_, _)),
     "mv_merge" -> (mvMerge(_, _)),
     "csv_roundtrip" -> (csvRoundtrip(_, _)),
     "quarantine_split" -> (quarantineSplitQuery(_, _)),
@@ -5524,6 +5545,12 @@ object SparkEntry {
         |  CASE WHEN is_quar THEN 'quarantined' ELSE 'ok' END AS disposition,
         |  CASE WHEN is_quar THEN md5(raw) ELSE NULL END AS raw_md5
         |FROM feed""".stripMargin,
+    // widening append: base rows read back with NULL in the new column
+    "txnlog_evolution" ->
+      """SELECT doc_id, source, CAST(NULL AS VARCHAR) AS lang
+        |FROM documents WHERE doc_id % 2 = 0
+        |UNION ALL
+        |SELECT doc_id, source, lang FROM documents WHERE doc_id % 2 = 1""".stripMargin,
     // the incrementally-merged view must equal the one-shot aggregate
     "mv_merge" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,

@@ -84,13 +84,20 @@ object TxnLog {
   def read(spark: SparkSession, root: String, asOf: Option[Long] = None): DataFrame = {
     val snap = snapshotDirs(spark, root, asOf)
     require(snap.nonEmpty, s"TxnLog table at $root has no data at version ${asOf.getOrElse("latest")}")
-    // one read PER version dir, unioned by name — a single multi-path
+    // One read PER version dir, unioned by name — a single multi-path
     // read cannot infer Hive partition columns across several roots
     // (CONFLICTING_DIRECTORY_STRUCTURES); per-dir reads infer them per
     // root, and filters push into every branch's scan, so partition
-    // pruning survives the union for partitioned commits
+    // pruning survives the union for partitioned commits.
+    // allowMissingColumns = the SCHEMA-EVOLUTION contract: an append
+    // may WIDEN the table (new columns), and a snapshot spanning the
+    // widening reads older dirs with NULL in the new columns — while a
+    // version pinned BEFORE the widening still serves exactly its own
+    // narrower schema (it reads only pre-widening dirs). Type changes
+    // on an existing column are NOT evolution and still fail loudly in
+    // the union.
     snap.map(d => spark.read.parquet(s"$root/data/$d"))
-      .reduce(_ unionByName _)
+      .reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** (version, action, n_dirs, txn_id) per commit — the audit trail. */

@@ -29,6 +29,26 @@ class TxnLogSpec extends SparkSpec {
     assert(TxnLog.read(spark, root).count() == 3)
   }
 
+  test("schema evolution: widening append reads back with NULLs; pinned versions keep their schema") {
+    import org.apache.spark.sql.functions.col
+    val root = Files.createTempDirectory("graft_txn").toString + "/t"
+    TxnLog.overwrite(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), root)
+    // widening append: the new column exists only in the new commit
+    TxnLog.append(Seq((3L, "c", 30L)).toDF("id", "s", "extra"), root)
+    val snap = TxnLog.read(spark, root)
+    assert(snap.columns.toSet == Set("id", "s", "extra"))
+    val byId = snap.collect().map(r =>
+      r.getLong(0) -> (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(byId == Map(1L -> None, 2L -> None, 3L -> Some(30L)))
+    // a reader pinned BEFORE the widening serves its own narrower
+    // schema — no phantom column from the future
+    assert(TxnLog.read(spark, root, asOf = Some(0L)).columns.toSet == Set("id", "s"))
+    // a TYPE change on an existing column is not evolution: loud failure
+    TxnLog.append(Seq(("x", "d")).toDF("id", "s"), root)
+    intercept[Exception] { TxnLog.read(spark, root).collect() }
+    ()
+  }
+
   test("readers only trust the log: orphan data dirs are invisible") {
     val root = Files.createTempDirectory("graft_txn").toString + "/t"
     TxnLog.overwrite(Seq((1L, "a")).toDF("id", "s"), root)

@@ -2888,6 +2888,13 @@ object SparkEntry {
       graft.operators.TimeSeries.gaps(
         Tables.events(s, d), "user_id", "ts", "event_id",
         minGapMicros = 3600L * 1000000L)),
+    // watermark tuning report: per event-time hour, what a 30-minute
+    // watermark replayed in arrival (event_id) order would drop as
+    // late — two-phase sharded prefix max, never a global sort
+    "watermark_audit" -> ((s, d) =>
+      graft.operators.TimeSeries.watermarkAudit(
+        Tables.events(s, d), delayMicros = 1800L * 1000000L,
+        shardWidth = 4096L)),
     // corpus n-gram count table (LM-data prep): ShingleRows generator
     // streams windows into a hash agg; min-count pruning after the agg
     "ngram_counts" -> ((s, d) =>
@@ -4656,6 +4663,34 @@ object SparkEntry {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
         |  RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)""".stripMargin,
+    "watermark_audit" ->
+      """WITH b AS (
+        |  SELECT CAST(event_id AS BIGINT) AS a, epoch_us(ts) AS t,
+        |    CAST(event_id AS BIGINT) // 4096 AS s
+        |  FROM events WHERE event_id IS NOT NULL AND ts IS NOT NULL),
+        |l AS (
+        |  SELECT t, s,
+        |    max(t) OVER (PARTITION BY s ORDER BY a
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm_in
+        |  FROM b),
+        |sm AS (SELECT s, max(t) AS smax FROM b GROUP BY s),
+        |sc AS (SELECT s, max(smax) OVER (ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm_carry FROM sm),
+        |w AS (
+        |  SELECT l.t,
+        |    greatest(coalesce(l.pm_in, -4000000000000000000),
+        |             coalesce(sc.pm_carry, -4000000000000000000)) AS pm
+        |  FROM l JOIN sc USING (s)),
+        |g AS (
+        |  SELECT t // 3600000000 AS h,
+        |    CASE WHEN pm > -4000000000000000000 AND t < pm - 1800000000
+        |         THEN 1 ELSE 0 END AS late
+        |  FROM w)
+        |SELECT CAST(h * 3600000000 AS BIGINT) AS window_start_us,
+        |  count(*) AS n_events,
+        |  CAST(SUM(late) AS BIGINT) AS n_late,
+        |  CAST((SUM(late) * 10000) // greatest(count(*), 1) AS BIGINT) AS late_bps
+        |FROM g GROUP BY h""".stripMargin,
     "events_gaps" ->
       """WITH l AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,

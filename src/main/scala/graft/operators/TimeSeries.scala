@@ -124,4 +124,60 @@ object TimeSeries {
         col(tsCol).as("valid_from"), col("valid_to"),
         col("valid_to").isNull.as("is_current"))
   }
+
+  /** Sentinel for "no earlier event": far below any real epoch-micros
+    * value yet far enough from Long.MinValue that `sentinel − delay`
+    * cannot underflow under ANSI arithmetic (vectorized eval computes
+    * both AND arms — a guard alone does not prevent the overflow). */
+  private val NoPriorTs = -4000000000000000000L
+
+  /** Watermark-lateness audit — the event-time tuning report for a
+    * streaming deployment: replay the log in arrival order
+    * (`arrivalCol` ascending — the ingest sequence) and compute, for
+    * each event, the idealized watermark in force ON ARRIVAL (max
+    * event time seen strictly earlier, minus `delayMicros`); report
+    * per event-time hour how many events that watermark would drop as
+    * late, in exact counts and bps. Spark's production watermark
+    * advances per micro-batch, so the per-event advance here is the
+    * CONSERVATIVE bound: an event late under it can be late under some
+    * batching of the same stream — the right side to tune
+    * `withWatermark` delay from.
+    *
+    * Scale shape: a single global running max would serialize a
+    * 100 TB sort into one task, so the prefix max is TWO-PHASE:
+    * arrival ids shard by range (`shardWidth`), the within-shard
+    * exclusive running max is a window PARTITIONED by shard, and each
+    * shard's carry-in comes from a cumulative max over the per-shard
+    * maxima — the only unpartitioned window runs over that frame,
+    * bounded by rows/shardWidth (one narrow row per shard), never by
+    * rows; AQE broadcasts it back. */
+  def watermarkAudit(df: DataFrame, delayMicros: Long,
+                     tsCol: String = "ts", arrivalCol: String = "event_id",
+                     shardWidth: Long = 1L << 20): DataFrame = {
+    require(delayMicros >= 0 && shardWidth > 0,
+      s"need delayMicros >= 0 and shardWidth > 0, got $delayMicros, $shardWidth")
+    val base = df.select(col(arrivalCol).cast("long").as("__a"),
+        unix_micros(col(tsCol).cast("timestamp")).as("__t"))
+      .filter(col("__a").isNotNull && col("__t").isNotNull)
+      .withColumn("__s", expr(s"__a div $shardWidth"))
+    val inShard = Window.partitionBy(col("__s")).orderBy(col("__a"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = base.withColumn("__pm_in", max(col("__t")).over(inShard))
+    val carryW = Window.orderBy(col("__s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val shardCarry = base.groupBy(col("__s")).agg(max(col("__t")).as("__sm"))
+      .withColumn("__pm_carry", max(col("__sm")).over(carryW))
+      .select(col("__s"), col("__pm_carry"))
+    local.join(shardCarry, Seq("__s"))
+      .withColumn("__pm", greatest(
+        coalesce(col("__pm_in"), lit(NoPriorTs)),
+        coalesce(col("__pm_carry"), lit(NoPriorTs))))
+      .withColumn("__late", ((col("__pm") > NoPriorTs) &&
+        (col("__t") < col("__pm") - delayMicros)).cast("long"))
+      .groupBy(expr("__t div 3600000000").as("__h"))
+      .agg(count(lit(1)).as("n_events"), sum(col("__late")).as("n_late"))
+      .select((col("__h") * 3600000000L).as("window_start_us"),
+        col("n_events"), col("n_late"),
+        expr("(n_late * 10000) div greatest(n_events, 1)").as("late_bps"))
+  }
 }

@@ -130,6 +130,29 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out(1).getAs[Long]("prev_event_id") == 20L &&
       out(1).getAs[Long]("gap_us") == 9L * 3600L * 1000000L)
   }
+
+  test("watermarkAudit: closed-form lateness; sharded prefix max equals the global one") {
+    // arrival 0..5, event times (micros) 100,200,150,50,300,299 —
+    // exclusive prefix max is [none,100,200,200,200,300]; with a
+    // 10-micro delay only arrivals 2 and 3 are late (150<190, 50<190;
+    // 299 vs 300-10 is on-time). shardWidth=2 puts every prior max for
+    // arrivals 2..5 in an EARLIER shard, so the carry path decides.
+    val df = Seq((0L, 100L), (1L, 200L), (2L, 150L), (3L, 50L),
+      (4L, 300L), (5L, 299L)).toDF("event_id", "t")
+      .withColumn("ts", expr("timestamp_micros(t)")).drop("t")
+    val sharded = TimeSeries.watermarkAudit(df, delayMicros = 10L,
+      shardWidth = 2L).collect()
+    assert(sharded.length == 1)
+    val r = sharded.head
+    assert(r.getAs[Long]("window_start_us") == 0L)
+    assert(r.getAs[Long]("n_events") == 6L)
+    assert(r.getAs[Long]("n_late") == 2L)
+    assert(r.getAs[Long]("late_bps") == 3333L)
+    // two-phase ≡ single-shard global replay, row for row
+    val global = TimeSeries.watermarkAudit(df, delayMicros = 10L,
+      shardWidth = 1L << 20).collect()
+    assert(global.map(_.toSeq).toSet == sharded.map(_.toSeq).toSet)
+  }
 }
 
 /** sf0.01 table loader shared by specs that want real data. */

@@ -156,6 +156,40 @@ object TxnLog {
       expectedLatest = Some(expected))
   }
 
+  /** Small-file compaction advisor — the monitoring→action half of
+    * [[compact]], mirroring `IvfIndex.rebuildAdvice`: a long-lived
+    * append table accumulates one small data dir per micro-batch
+    * commit, and scan cost degrades with FILE COUNT long before bytes
+    * matter. Reports the current snapshot's file census and a verdict:
+    * compact when the snapshot holds more than `slack ×` the ideal
+    * file count (`ceil(bytes / targetBytes)`, minimum 1) — a table at
+    * its ideal layout never flaps, a micro-batch stream trips the
+    * verdict as soon as its commit count outruns its data.
+    *
+    * Metadata-only: one FileSystem listing of the snapshot dirs, no
+    * data read. Returns one row (n_files, total_bytes, ideal_files,
+    * compact 0/1, reason). */
+  def compactAdvice(spark: SparkSession, root: String,
+                    targetBytes: Long = 128L * 1024 * 1024,
+                    slack: Long = 4L): DataFrame = {
+    require(targetBytes > 0 && slack >= 1,
+      s"need targetBytes > 0 and slack >= 1, got $targetBytes, $slack")
+    val fs = fileSystem(spark, root)
+    val snap = snapshotDirs(spark, root, None)
+    val files = snap.flatMap { d =>
+      fs.listStatus(new Path(s"$root/data/$d")).toIndexedSeq
+        .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
+    }
+    val nFiles = files.size.toLong
+    val bytes = files.map(_.getLen).sum
+    val ideal = math.max(1L, (bytes + targetBytes - 1) / targetBytes)
+    val doCompact = nFiles > slack * ideal
+    import spark.implicits._
+    Seq((nFiles, bytes, ideal, if (doCompact) 1 else 0,
+      if (doCompact) s"files $nFiles > $slack x ideal $ideal" else "compacted-enough"))
+      .toDF("n_files", "total_bytes", "ideal_files", "compact", "reason")
+  }
+
   /** Exactly-once streaming sink body: use from `foreachBatch`. The
     * batchId-derived txnId makes micro-batch replays (checkpoint
     * recovery re-delivers the last batch) no-ops instead of dups. */

@@ -94,6 +94,23 @@ class TxnLogSpec extends SparkSpec {
     assert(v == 5L)
   }
 
+  test("compactAdvice: micro-batch buildup flips the verdict; compact clears it") {
+    val root = Files.createTempDirectory("graft_txn").toString + "/t"
+    TxnLog.overwrite(Seq((0L, "a")).toDF("id", "s"), root)
+    // 11 more single-row commits: 12 files of a table whose bytes need 1
+    (1 to 11).foreach(i => TxnLog.append(Seq((i.toLong, "a")).toDF("id", "s"), root))
+    val bad = TxnLog.compactAdvice(spark, root).head
+    assert(bad.getAs[Long]("n_files") >= 12L)
+    assert(bad.getAs[Long]("ideal_files") == 1L)
+    assert(bad.getAs[Int]("compact") == 1, bad.toString)
+    TxnLog.compact(spark, root)
+    val ok = TxnLog.compactAdvice(spark, root).head
+    assert(ok.getAs[Int]("compact") == 0, ok.toString)
+    assert(ok.getAs[String]("reason") == "compacted-enough")
+    // the data survived the rewrite
+    assert(TxnLog.read(spark, root).count() == 12L)
+  }
+
   test("compact aborts when the table moves underneath it (CAS)") {
     val root = Files.createTempDirectory("graft_txn").toString + "/t"
     TxnLog.overwrite(Seq((1L, "a")).toDF("id", "s"), root)

@@ -3091,6 +3091,13 @@ object SparkEntry {
       Dedup.canonicalByQuality(clusters, scores)
     }),
     "dedup_simhash" -> (dedupSimhash(_, _)),
+    // exact prefix-filtered set-similarity self-join (AllPairs/PPJoin):
+    // recall-1 complement of the LSH family, verified intersections.
+    // 90% is the production near-dup cut; it also keeps the prefix
+    // short (|x|/10 + 1 tokens), so candidate volume stays near-linear.
+    "setsim_join" -> ((s, d) =>
+      graft.dedup.Dedup.setSimilarityJoin(
+        graft.core.Tables.documents(s, d), minJaccardPct = 90)),
     "text_stats" -> (textStats(_, _)),
     "text_langid" -> (textLangId(_, _)),
     "token_count" -> (tokenCount(_, _)),
@@ -5097,6 +5104,19 @@ object SparkEntry {
     // estimate = (k-1) * 2^60 / h_k (exact count when < k distinct).
     // Same double arithmetic both engines; minima serialized as a
     // joined string so the pandas comparator can hash them.
+    // brute-force exact Jaccard join replay (~9k pairs at sf0.01 —
+    // the engine's prefix filter must lose NOTHING vs this)
+    "setsim_join" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, list_distinct($toksSql) AS toks FROM documents),
+         |p AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    len(list_intersect(a.toks, b.toks)) AS i,
+         |    len(a.toks) AS na, len(b.toks) AS nb
+         |  FROM d a JOIN d b ON a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, CAST(i AS BIGINT) AS n_inter,
+         |  CAST(na + nb - i AS BIGINT) AS n_union
+         |FROM p WHERE 100 * i >= 90 * (na + nb - i)""".stripMargin,
     "distinct_sketch" ->
       """WITH h AS (
         |  SELECT DISTINCT event_type,

@@ -550,6 +550,81 @@ object Dedup {
     * are verified by full Hamming distance. Small radii (the production
     * setting, e.g. 3) give wide 15-bit blocks and few false candidates;
     * large radii degrade gracefully toward more candidates. */
+  /** EXACT set-similarity self-join by prefix filtering — the
+    * AllPairs/PPJoin family (Bayardo et al., "Scaling Up All Pairs
+    * Similarity Search", WWW'07), the exact complement of MinHash-LSH:
+    * every pair with token-set Jaccard ≥ `minJaccardPct`/100 is
+    * returned, none missed (LSH trades recall for speed; this trades
+    * a candidate-generation pass and keeps recall = 1).
+    *
+    * Prefix filter: order the vocabulary by (document frequency, token)
+    * — one global, deterministic total order — and sort each document's
+    * distinct tokens by it. If J(x,y) ≥ t then |x∩y| ≥ t·max(|x|,|y|),
+    * so the first |x| − ⌈t·|x|⌉ + 1 tokens of x and the corresponding
+    * prefix of y MUST share a token (skip a doc's prefix and fewer
+    * than ⌈t·|x|⌉ tokens remain — too few to hold the intersection):
+    * candidates are exactly the pairs sharing a prefix token, further
+    * cut by the length filter t·|x| ≤ |y| ≤ |x|/t, then verified by
+    * exact intersection. Rarest-first ordering is the classic hot-
+    * bucket mitigation — a stop word is never in a prefix unless the
+    * document is almost all stop words.
+    *
+    * Threshold is an integer percent so the filter arithmetic
+    * (`100·i ≥ pct·u`) is exact in both engines. Returns
+    * (doc_a, doc_b, n_inter, n_union), doc_a < doc_b.
+    *
+    * Scale shape: candidate generation shuffles narrow
+    * (token, doc_id, n) rows grouped by rare tokens; the verify join
+    * moves token SETS for colliding pairs only (the [[verifyJaccard]]
+    * trade); the df-rank join is a plain shuffle join on the token —
+    * no global window anywhere. Result is eagerly checkpointed and the
+    * scoped doc cache released before returning ([[withScopedCache]]
+    * discipline). */
+  def setSimilarityJoin(df: DataFrame, minJaccardPct: Int = 60,
+                        textCol: String = "text",
+                        idCol: String = "doc_id"): DataFrame = {
+    require(minJaccardPct >= 1 && minJaccardPct <= 100,
+      s"minJaccardPct must be in [1,100], got $minJaccardPct")
+    val pct = minJaccardPct.toLong
+    val docs = graft.core.Parallelism.ensure(df)
+      .select(col(idCol).cast("long").as("doc_id"),
+        array_distinct(graft.functions.TextFunctions.tokens(col(textCol)))
+          .as("toks"))
+      .withColumn("n", size(col("toks")).cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val toks = docs.select(col("doc_id"), col("n"),
+        explode(col("toks")).as("tok"))
+      val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+      val prefix = toks.join(dfreq, "tok")
+        .groupBy("doc_id")
+        .agg(sort_array(collect_list(struct(col("df"), col("tok")))).as("ord"),
+          first(col("n")).as("n"))
+        .withColumn("p",
+          (col("n") - expr(s"(($pct * n) + 99) div 100") + 1).cast("int"))
+        .select(col("doc_id"), col("n"),
+          explode(expr("slice(transform(ord, x -> x.tok), 1, p)")).as("tok"))
+      val cand = prefix.as("a").join(prefix.as("b"),
+          col("a.tok") === col("b.tok") &&
+            col("a.doc_id") < col("b.doc_id") &&
+            lit(100L) * col("b.n") >= lit(pct) * col("a.n") &&
+            lit(100L) * col("a.n") >= lit(pct) * col("b.n"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      cand
+        .join(docs.select(col("doc_id").as("doc_a"), col("toks").as("ta"),
+          col("n").as("na")), "doc_a")
+        .join(docs.select(col("doc_id").as("doc_b"), col("toks").as("tb"),
+          col("n").as("nb")), "doc_b")
+        .withColumn("n_inter",
+          size(array_intersect(col("ta"), col("tb"))).cast("long"))
+        .withColumn("n_union", col("na") + col("nb") - col("n_inter"))
+        .filter(lit(100L) * col("n_inter") >= lit(pct) * col("n_union"))
+        .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_union"))
+        .localCheckpoint(true)
+    } finally { docs.unpersist(blocking = false); () }
+  }
+
   def simhashNearDups(df: DataFrame, maxHamming: Int = 3,
                       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     // Persisted (scoped): the block self-join consumes the signatures

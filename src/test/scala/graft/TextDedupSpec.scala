@@ -574,4 +574,44 @@ class TextDedupSpec extends SparkSpec {
       .filter(col("keep")).collect()
     assert(kept.length == 1 && kept(0).getLong(0) == 20L)
   }
+
+  test("setSimilarityJoin: known pairs, exact intersection/union counts") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma epsilon"),     // J(1,2) = 3/5 = 60%
+      (3L, "alpha beta"),                   // J(1,3) = 2/4 = 50%
+      (4L, "zeta eta theta iota")           // disjoint from all
+    ).toDF("doc_id", "text")
+    val out = Dedup.setSimilarityJoin(docs, minJaccardPct = 60)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((1L, 2L, 3L, 5L)))
+    // at 50% the (1,3) and (2,3) pairs appear too (both exactly 2/4)
+    val out50 = Dedup.setSimilarityJoin(docs, minJaccardPct = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out50 == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
+  test("setSimilarityJoin: recall 1 vs brute force on a collision-rich corpus") {
+    // 40 docs over a 12-token vocabulary: many cross-prefix collisions,
+    // duplicate tokens in text (array_distinct path), varied lengths
+    val vocab = Vector("a","b","c","d","e","f","g","h","i","j","k","l")
+    val rows = (0 until 40).map { i =>
+      val n = 2 + (i * 7) % 9
+      val toks = (0 until n).map(j => vocab((i * 5 + j * 3) % vocab.size))
+      (i.toLong, toks.mkString(" "))
+    }
+    val docs = rows.toDF("doc_id", "text")
+    val pct = 60
+    // brute force: every pair, exact token-set Jaccard
+    val sets = rows.map { case (id, t) => id -> t.split("\\s+").toSet }
+    val brute = (for {
+      (ia, sa) <- sets; (ib, sb) <- sets if ia < ib
+      inter = (sa & sb).size; uni = sa.size + sb.size - inter
+      if 100 * inter >= pct * uni
+    } yield (ia, ib, inter.toLong, uni.toLong)).toSet
+    val engine = Dedup.setSimilarityJoin(docs, minJaccardPct = pct)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(engine == brute)
+    assert(brute.nonEmpty) // the fixture actually exercises the filter
+  }
 }

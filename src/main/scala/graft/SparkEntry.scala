@@ -2275,6 +2275,56 @@ object SparkEntry {
     TxnLog.read(spark, root).select("doc_id", "source", "lang")
   }
 
+  /** Copy-on-write row-level DELETE under the oracle
+    * ([[graft.sources.TxnLog.delete]]): three range-sliced commits,
+    * then a right-to-be-forgotten delete whose predicate only touches
+    * the first commit's range — the other directories carry into the
+    * new manifest by reference (TxnLogSpec proves WHICH dirs moved;
+    * this query proves the surviving CONTENT, including the SQL-DELETE
+    * null contract: a NULL-evaluating predicate row is kept, which the
+    * oracle replays as `IS NOT TRUE` — a plain `WHERE NOT(p)` would
+    * wrongly drop it). */
+  private def txnlogDelete(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.TxnLog
+    val root = tmpArtifactRoot("txndel", dir)
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+    if (TxnLog.latestVersion(spark, root) < 3L) {
+      TxnLog.overwrite(docs.filter(col("doc_id") < 150), root, Some("s0"))
+      TxnLog.append(docs.filter(col("doc_id") >= 150 && col("doc_id") < 300), root, Some("s1"))
+      TxnLog.append(docs.filter(col("doc_id") >= 300), root, Some("s2"))
+      TxnLog.delete(spark, root,
+        col("doc_id") < 150 && col("lang") === "en", Some("gdpr-1"))
+      ()
+    }
+    TxnLog.read(spark, root).select("doc_id", "source", "lang", "n_chars")
+  }
+
+  /** Copy-on-write MERGE (upsert) under the oracle
+    * ([[graft.sources.TxnLog.merge]]): a two-commit base table takes
+    * one merge carrying updates (every doc_id % 10 == 0 gets its
+    * n_chars bumped) and inserts (fresh ids above the base range) —
+    * the CDC-apply shape. The oracle replays it as anti-join ∪
+    * source. */
+  private def txnlogMerge(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.TxnLog
+    val root = tmpArtifactRoot("txnmrg", dir)
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    if (TxnLog.latestVersion(spark, root) < 2L) {
+      TxnLog.overwrite(docs.filter(col("doc_id") < 250), root, Some("b0"))
+      TxnLog.append(docs.filter(col("doc_id") >= 250), root, Some("b1"))
+      val updates = docs.filter(col("doc_id") % 10 === 0)
+        .withColumn("n_chars", col("n_chars") + 1000L)
+      val inserts = docs.filter(col("doc_id") % 10 === 5)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          lit("merged").as("source"), lit(42L).as("n_chars"))
+      TxnLog.merge(updates.unionByName(inserts), root, Seq("doc_id"), Some("cdc-1"))
+      ()
+    }
+    TxnLog.read(spark, root).select("doc_id", "source", "n_chars")
+  }
+
   /** Incremental materialized view under the oracle: two id-sliced
     * event batches merge through [[graft.streaming.MaterializedView
     * .mergeBatch]] (sum/min/max measure algebra + TxnLog txnId
@@ -2623,6 +2673,8 @@ object SparkEntry {
     "streaming_neardup_replay" -> (streamingNeardupReplay(_, _)),
     "txnlog_changes" -> (txnlogChanges(_, _)),
     "txnlog_evolution" -> (txnlogEvolution(_, _)),
+    "txnlog_delete" -> (txnlogDelete(_, _)),
+    "txnlog_merge" -> (txnlogMerge(_, _)),
     "mv_merge" -> (mvMerge(_, _)),
     "csv_roundtrip" -> (csvRoundtrip(_, _)),
     "quarantine_split" -> (quarantineSplitQuery(_, _)),
@@ -5606,6 +5658,24 @@ object SparkEntry {
         |FROM documents WHERE doc_id % 2 = 0
         |UNION ALL
         |SELECT doc_id, source, lang FROM documents WHERE doc_id % 2 = 1""".stripMargin,
+    // copy-on-write DELETE: survivors are `predicate IS NOT TRUE`
+    // (NULL-lang rows in the deleted id range must SURVIVE)
+    "txnlog_delete" ->
+      """SELECT doc_id, source, lang, n_chars FROM documents
+        |WHERE NOT COALESCE(doc_id < 150 AND lang = 'en', FALSE)""".stripMargin,
+    // copy-on-write MERGE replay: target anti-join source ∪ source
+    "txnlog_merge" ->
+      """WITH src AS (
+        |  SELECT doc_id, source, n_chars + 1000 AS n_chars
+        |  FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, 'merged' AS source,
+        |    CAST(42 AS BIGINT) AS n_chars
+        |  FROM documents WHERE doc_id % 10 = 5)
+        |SELECT d.doc_id, d.source, d.n_chars FROM documents d
+        |WHERE d.doc_id NOT IN (SELECT doc_id FROM src)
+        |UNION ALL
+        |SELECT doc_id, source, n_chars FROM src""".stripMargin,
     // the incrementally-merged view must equal the one-shot aggregate
     "mv_merge" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,

@@ -1,7 +1,8 @@
 package graft.sources
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{coalesce, col, count, lit, not}
 
 /** Minimal ACID-ish transaction log over plain parquet — the offline
   * stand-in for the Delta format gap (reference:
@@ -190,6 +191,140 @@ object TxnLog {
       .toDF("n_files", "total_bytes", "ideal_files", "compact", "reason")
   }
 
+  /** Row-level DELETE by copy-on-write at commit-dir granularity —
+    * the lakehouse DELETE the reference's Delta conversion implies
+    * (scripts/convert_to_delta.py:85-88) and the primitive a
+    * right-to-be-forgotten pipeline needs: rows matching `predicate`
+    * disappear from the new snapshot, every version before it still
+    * serves them (time travel — run `vacuum` to actually destroy the
+    * bytes), and the rewrite touches ONLY the commit directories that
+    * contain a matching row; all other directories carry into the new
+    * manifest by reference, zero bytes moved.
+    *
+    * SQL DELETE semantics for three-valued logic: a row whose
+    * predicate evaluates NULL is NOT deleted (survivors are
+    * `predicate IS NOT TRUE`, not `NOT predicate`).
+    *
+    * Detection is one snapshot scan with `predicate` pushed into every
+    * directory's parquet scan (row-group stats prune non-matching
+    * files; a partition-scoped predicate prunes whole partition dirs),
+    * projecting only a per-directory tag — the collected result is
+    * bounded by the COMMIT count, never row count. The rewrite reads
+    * and rewrites only affected directories, and the commit point is
+    * the same create-exclusive manifest CAS'd against the snapshot the
+    * delete was derived from (`expectedLatest` — a concurrent commit
+    * aborts the delete rather than silently dropping its rows).
+    *
+    * A `txnId` already in the log makes the delete a no-op returning
+    * its version (idempotent retry — a re-run GDPR job must not
+    * rewrite again). A predicate matching nothing is a no-op returning
+    * the current version (no empty commit).
+    *
+    * The "replace" action breaks [[changesSince]]'s append-only
+    * lineage BY DESIGN: deleted rows cannot be expressed as an
+    * additive delta, so incremental consumers fail loudly and
+    * re-baseline. Returns the committed version. */
+  def delete(spark: SparkSession, root: String, predicate: Column,
+             txnId: Option[String] = None): Long = {
+    txnId.foreach { id =>
+      history(spark, root).find(_.txnId.contains(id)) match {
+        case Some(c) => return c.version
+        case None =>
+      }
+    }
+    val commits = history(spark, root)
+    require(commits.nonEmpty, s"TxnLog: cannot delete from empty table at $root")
+    val expected = commits.last.version
+    val snap = snapshotAt(commits, expected)
+    require(snap.nonEmpty, s"TxnLog: nothing to delete at $root (empty snapshot)")
+    val affected = affectedDirs(spark, root, snap, _.filter(predicate))
+    if (affected.isEmpty) return expected
+    val survivors = affected.toSeq.sorted
+      .map(d => spark.read.parquet(s"$root/data/$d"))
+      .reduce(_.unionByName(_, allowMissingColumns = true))
+      .filter(coalesce(not(predicate), lit(true)))
+    commit(survivors, root, "replace", txnId, expectedLatest = Some(expected),
+      replaceBase = Some(snap.filterNot(affected)))
+  }
+
+  /** MERGE (upsert) by copy-on-write at commit-dir granularity: every
+    * target row whose `keys` match a source row is replaced by that
+    * source row, every source row matching nothing is inserted —
+    * Delta's `whenMatched update all / whenNotMatched insert all`
+    * shape, the standard CDC-apply and dimension-refresh primitive.
+    *
+    * Contract: `source` carries exactly the table's columns (no
+    * widening through merge — use a plain [[append]] for that), and
+    * its keys identify at most one row each (several source rows
+    * matching one target row is ambiguous — checked, loud failure,
+    * same as Delta's MULTIPLE_MATCHES). A source row with a NULL key
+    * can match nothing (equality join) and becomes an insert.
+    *
+    * Cost shape at scale: one snapshot scan semi-joined against the
+    * source keys finds the affected directories (collected result
+    * bounded by commit count); only those directories are rewritten
+    * (matched rows anti-joined out, source unioned in); everything
+    * else rides into the new manifest by reference. A merge whose
+    * keys match NOTHING degrades to a plain [[append]] — the manifest
+    * records "append", so incremental [[changesSince]] consumers keep
+    * their lineage across pure-insert merges; only a merge that
+    * actually rewrote rows breaks it (loudly, by design).
+    *
+    * Same CAS + idempotent-txnId protocol as [[delete]]. Returns the
+    * committed version. */
+  def merge(source: DataFrame, root: String, keys: Seq[String],
+            txnId: Option[String] = None): Long = {
+    require(keys.nonEmpty, "TxnLog.merge: need at least one key column")
+    val spark = source.sparkSession
+    txnId.foreach { id =>
+      history(spark, root).find(_.txnId.contains(id)) match {
+        case Some(c) => return c.version
+        case None =>
+      }
+    }
+    val commits = history(spark, root)
+    require(commits.nonEmpty, s"TxnLog: cannot merge into empty table at $root")
+    val expected = commits.last.version
+    val snap = snapshotAt(commits, expected)
+    require(snap.nonEmpty, s"TxnLog: nothing to merge into at $root (empty snapshot)")
+    val tableCols = spark.read.parquet(s"$root/data/${snap.head}").columns.toIndexedSeq
+    require(source.columns.sorted.sameElements(tableCols.sorted),
+      s"TxnLog.merge: source columns ${source.columns.sorted.mkString(",")} != " +
+        s"table columns ${tableCols.sorted.mkString(",")} — merge does not evolve schema")
+    val dups = source.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1).limit(1).collect()
+    require(dups.isEmpty,
+      s"TxnLog.merge: source has multiple rows for key ${dups.head.toSeq.init.mkString(",")} — " +
+        "which one replaces the target row is ambiguous; de-duplicate the source first")
+    val srcKeys = source.select(keys.map(col): _*).distinct()
+    val affected = affectedDirs(spark, root, snap, _.join(srcKeys, keys, "left_semi"))
+    if (affected.isEmpty)
+      return commit(source.select(tableCols.map(col): _*), root, "append", txnId,
+        expectedLatest = Some(expected))
+    val survivors = affected.toSeq.sorted
+      .map(d => spark.read.parquet(s"$root/data/$d"))
+      .reduce(_.unionByName(_, allowMissingColumns = true))
+      .join(srcKeys, keys, "left_anti")
+    val merged = survivors.select(tableCols.map(col): _*)
+      .unionByName(source.select(tableCols.map(col): _*))
+    commit(merged, root, "replace", txnId, expectedLatest = Some(expected),
+      replaceBase = Some(snap.filterNot(affected)))
+  }
+
+  /** Commit directories whose rows survive `probe` — ONE job over the
+    * snapshot with each directory's rows tagged by a literal, so the
+    * predicate/semi-join pushes into every branch's scan and the
+    * collected output is bounded by the commit count. */
+  private def affectedDirs(spark: SparkSession, root: String, snap: Seq[String],
+                           probe: DataFrame => DataFrame): Set[String] = {
+    val tag = "_graft_commit_dir"
+    val tagged = snap
+      .map(d => spark.read.parquet(s"$root/data/$d").withColumn(tag, lit(d)))
+      .reduce(_.unionByName(_, allowMissingColumns = true))
+    probe(tagged).select(tag).distinct()
+      .collect().map(_.getString(0)).toSet
+  }
+
   /** Exactly-once streaming sink body: use from `foreachBatch`. The
     * batchId-derived txnId makes micro-batch replays (checkpoint
     * recovery re-delivers the last batch) no-ops instead of dups. */
@@ -249,7 +384,8 @@ object TxnLog {
   private[graft] def commit(df: DataFrame, root: String, action: String,
                             txnId: Option[String],
                             expectedLatest: Option[Long] = None,
-                            partitionBy: Seq[String] = Nil): Long = {
+                            partitionBy: Seq[String] = Nil,
+                            replaceBase: Option[Seq[String]] = None): Long = {
     val spark = df.sparkSession
     val fs = fileSystem(spark, root)
     val dir = java.util.UUID.randomUUID.toString
@@ -289,6 +425,9 @@ object TxnLog {
       val dirs = action match {
         case "overwrite" => Seq(dir)
         case "append"    => snapshotAt(commits, version - 1) :+ dir
+        // copy-on-write rewrite: unaffected directories carry by
+        // reference, the freshly written dir replaces the affected set
+        case "replace"   => replaceBase.get :+ dir
       }
       if (tryPublish(fs, root, Commit(version, action, dirs, txnId))) return version
       attempt += 1 // lost the race: someone else took this version

@@ -259,4 +259,114 @@ class TxnLogSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("re-baseline"), e2.getMessage)
   }
+
+  /** Dir names of the visible snapshot at a version, straight from the
+    * manifest JSON — the copy-on-write proofs below assert on WHICH
+    * directories a commit references, not just on row content. */
+  private def manifestDirs(root: String, version: Long): Set[String] = {
+    val body = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(f"$root/_graft_log/$version%020d.json")), "UTF-8")
+    "\"dirs\":\\[([^\\]]*)\\]".r.findFirstMatchIn(body).get.group(1)
+      .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty).toSet
+  }
+
+  test("delete: copy-on-write rewrites only affected dirs; untouched dirs carry by reference; time travel keeps deleted rows") {
+    val root = Files.createTempDirectory("graft_txn").toString + "/t"
+    TxnLog.overwrite(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), root)
+    TxnLog.append(Seq((10L, "x"), (11L, "y")).toDF("id", "s"), root)
+    import org.apache.spark.sql.functions.col
+    val before = manifestDirs(root, 1L)
+    val v = TxnLog.delete(spark, root, col("id") === 10L, Some("del-1"))
+    assert(v == 2L)
+    // content: only the matching row is gone
+    assert(TxnLog.read(spark, root).select("id").as[Long].collect().toSet ==
+      Set(1L, 2L, 11L))
+    // the v0 dir (no matching rows) rides into v2 BY REFERENCE; the
+    // affected v1 dir is replaced by exactly one fresh dir
+    val after = manifestDirs(root, 2L)
+    val carried = before.intersect(after)
+    assert(carried.size == 1 && (after -- carried).size == 1)
+    // time travel: the pre-delete snapshot still serves the deleted row
+    assert(TxnLog.read(spark, root, asOf = Some(1L))
+      .select("id").as[Long].collect().toSet == Set(1L, 2L, 10L, 11L))
+    // idempotent retry: same txnId returns the original version, no new commit
+    assert(TxnLog.delete(spark, root, col("id") === 10L, Some("del-1")) == 2L)
+    assert(TxnLog.latestVersion(spark, root) == 2L)
+    // a predicate matching nothing is a no-op at the CURRENT version
+    assert(TxnLog.delete(spark, root, col("id") === 999L) == 2L)
+    assert(TxnLog.latestVersion(spark, root) == 2L)
+  }
+
+  test("delete: NULL-evaluating predicate rows survive (IS NOT TRUE, not NOT)") {
+    val root = Files.createTempDirectory("graft_txn").toString + "/t"
+    import org.apache.spark.sql.functions.col
+    TxnLog.overwrite(Seq((1L, Option("a")), (2L, Option.empty[String]), (3L, Option("b")))
+      .map { case (i, o) => (i, o.orNull) }.toDF("id", "s"), root)
+    TxnLog.delete(spark, root, col("s") === "a")
+    // s=NULL evaluates the predicate to NULL — SQL DELETE keeps the row
+    assert(TxnLog.read(spark, root).select("id").as[Long].collect().toSet ==
+      Set(2L, 3L))
+  }
+
+  test("delete everything leaves an empty, readable snapshot with the schema intact") {
+    val root = Files.createTempDirectory("graft_txn").toString + "/t"
+    import org.apache.spark.sql.functions.lit
+    TxnLog.overwrite(Seq((1L, "a")).toDF("id", "s"), root)
+    TxnLog.delete(spark, root, lit(true))
+    val snap = TxnLog.read(spark, root)
+    assert(snap.count() == 0 && snap.columns.toSeq == Seq("id", "s"))
+  }
+
+  test("delete breaks changesSince lineage loudly (a deletion is not an additive delta)") {
+    val root = Files.createTempDirectory("graft_txn").toString + "/t"
+    import org.apache.spark.sql.functions.col
+    val v0 = TxnLog.overwrite(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), root)
+    TxnLog.delete(spark, root, col("id") === 1L)
+    val e = intercept[IllegalArgumentException] {
+      TxnLog.changesSince(spark, root, v0)
+    }
+    assert(e.getMessage.contains("re-baseline"), e.getMessage)
+  }
+
+  test("merge: matched rows replaced, unmatched inserted, untouched dirs by reference") {
+    val root = Files.createTempDirectory("graft_txn").toString + "/t"
+    TxnLog.overwrite(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), root)
+    TxnLog.append(Seq((10L, "x")).toDF("id", "s"), root)
+    val before = manifestDirs(root, 1L)
+    // update id=2, insert id=99 — only the v0 dir holds a match
+    val v = TxnLog.merge(Seq((2L, "B2"), (99L, "new")).toDF("id", "s"),
+      root, Seq("id"), Some("m-1"))
+    assert(v == 2L)
+    val got = TxnLog.read(spark, root).as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "a", 2L -> "B2", 10L -> "x", 99L -> "new"))
+    // the v1 dir (no key match) carried by reference
+    val after = manifestDirs(root, 2L)
+    assert(before.intersect(after).size == 1)
+    // idempotent retry
+    assert(TxnLog.merge(Seq((2L, "B2")).toDF("id", "s"), root, Seq("id"), Some("m-1")) == 2L)
+    assert(TxnLog.latestVersion(spark, root) == 2L)
+  }
+
+  test("merge with no matching keys degrades to a plain append — lineage preserved") {
+    val root = Files.createTempDirectory("graft_txn").toString + "/t"
+    val v0 = TxnLog.overwrite(Seq((1L, "a")).toDF("id", "s"), root)
+    TxnLog.merge(Seq((50L, "ins")).toDF("id", "s"), root, Seq("id"))
+    assert(TxnLog.versions(spark, root).last._2 == "append")
+    // incremental consumers survive a pure-insert merge
+    assert(TxnLog.changesSince(spark, root, v0)
+      .select("id").as[Long].collect().toSet == Set(50L))
+  }
+
+  test("merge rejects ambiguous sources and schema drift") {
+    val root = Files.createTempDirectory("graft_txn").toString + "/t"
+    TxnLog.overwrite(Seq((1L, "a")).toDF("id", "s"), root)
+    val dup = intercept[IllegalArgumentException] {
+      TxnLog.merge(Seq((1L, "x"), (1L, "y")).toDF("id", "s"), root, Seq("id"))
+    }
+    assert(dup.getMessage.contains("multiple rows"), dup.getMessage)
+    val drift = intercept[IllegalArgumentException] {
+      TxnLog.merge(Seq((1L, "x", 9L)).toDF("id", "s", "extra"), root, Seq("id"))
+    }
+    assert(drift.getMessage.contains("does not evolve schema"), drift.getMessage)
+  }
 }

@@ -2979,6 +2979,31 @@ object SparkEntry {
         .select(col("p_brand"),
           cmEstimate(col("sk"), col("p_brand"), 4, 32).as("est"))
     }),
+    // pre-flight join-size estimation from two CMS sketches (never
+    // runs the join): fk-join forecast + self-join (F2) skew forecast,
+    // each next to its exact count computed the scalable way (per-key
+    // count vectors joined — one narrow shuffle, no row blowup)
+    "join_size_sketch" -> ((s, d) => {
+      import graft.expressions.SketchAggregates._
+      val (dep, w) = (4, joinSketchWidth)
+      def est(a: DataFrame, ak: Column, b: DataFrame, bk: Column): DataFrame =
+        a.agg(countMin(ak.cast("string"), dep, w).as("ska"))
+          .crossJoin(b.agg(countMin(bk.cast("string"), dep, w).as("skb")))
+          .select(cmJoinSize(col("ska"), col("skb"), dep, w).as("est_rows"))
+      def exact(a: DataFrame, ak: Column, b: DataFrame, bk: Column): DataFrame = {
+        val ca = a.filter(ak.isNotNull).groupBy(ak.as("k")).agg(count(lit(1)).as("na"))
+        val cb = b.filter(bk.isNotNull).groupBy(bk.as("k")).agg(count(lit(1)).as("nb"))
+        ca.join(cb, "k")
+          .agg(coalesce(sum(col("na") * col("nb")), lit(0L)).as("exact_rows"))
+      }
+      def pair(label: String, a: DataFrame, ak: Column, b: DataFrame, bk: Column) =
+        est(a, ak, b, bk).crossJoin(exact(a, ak, b, bk))
+          .select(lit(label).as("pair"), col("est_rows"), col("exact_rows"))
+      val o = Tables.orders(s, d); val c = Tables.customer(s, d)
+      val e = Tables.events(s, d)
+      pair("customer_orders", o, col("o_custkey"), c, col("c_custkey"))
+        .unionByName(pair("events_self", e, col("user_id"), e, col("user_id")))
+    }),
     "sim_ivf" -> (simIvf(_, _)),
     "data_shapley" -> (dataShapley(_, _)),
     "data_shapley_screened" -> (dataShapleyScreened(_, _)),
@@ -3441,6 +3466,45 @@ object SparkEntry {
   /** Shared by `dedup_incremental_minhash` and its `_bucketed`
     * twin (same semantics; they differ only in the catalog's
     * physical layout, which the oracle cannot see). */
+  /** Join-size sketch width: the CMS inner-product bound overshoots
+    * by ~N₁·N₂/width per row, so a USEFUL forecast needs width ≳
+    * N₁·N₂ / (tolerance · true-join-size) — 2 MB of counters buys a
+    * ≲1.25× bound on the fk join at sf0.1, where width 64 gave 24×.
+    * The sketch stays a single-row aggregate either way. */
+  private val joinSketchWidth = 65536
+
+  /** CMS counter matrix replay for one (table, key) — the same
+    * Kirsch-Mitzenmacher md5 bucket family as [[graft.expressions
+    * .SketchAggregates.CountMinAgg]] at depth 4 × the given width. */
+  private def cmCntSql(src: String, key: String, width: Int): String =
+    s"""SELECT j, (h1 + j * h2) % 2147483648 % $width AS b,
+       |    CAST(count(*) AS BIGINT) AS c
+       |  FROM (SELECT
+       |      CAST(concat('0x', substring(md5(CAST($key AS VARCHAR)), 1, 15)) AS BIGINT)
+       |        % 2147483648 AS h1,
+       |      CAST(concat('0x', substring(md5(CAST($key AS VARCHAR)), 16, 15)) AS BIGINT)
+       |        % 2147483648 AS h2
+       |    FROM $src WHERE $key IS NOT NULL), range(0, 4) AS t(j)
+       |  GROUP BY 1, 2""".stripMargin
+
+  /** One labeled (pair, est_rows, exact_rows) SELECT: CMS inner-product
+    * estimate (min over depth rows, absent buckets contribute 0) next
+    * to the exact join size via per-key count vectors. */
+  private def joinSizePairSql(label: String, srcA: String, keyA: String,
+                              srcB: String, keyB: String): String =
+    s"""SELECT '$label' AS pair,
+       |  (SELECT min(sp) FROM (
+       |     SELECT t.j, CAST(coalesce(SUM(a.c * b.c), 0) AS BIGINT) AS sp
+       |     FROM range(0, 4) AS t(j)
+       |     LEFT JOIN (${cmCntSql(srcA, keyA, joinSketchWidth)}) a ON a.j = t.j
+       |     LEFT JOIN (${cmCntSql(srcB, keyB, joinSketchWidth)}) b ON b.j = t.j AND b.b = a.b
+       |     GROUP BY 1)) AS est_rows,
+       |  (SELECT CAST(coalesce(SUM(na * nb), 0) AS BIGINT)
+       |   FROM (SELECT $keyA AS k, count(*) AS na FROM $srcA
+       |         WHERE $keyA IS NOT NULL GROUP BY 1) ca
+       |   JOIN (SELECT $keyB AS k, count(*) AS nb FROM $srcB
+       |         WHERE $keyB IS NOT NULL GROUP BY 1) cb USING (k)) AS exact_rows""".stripMargin
+
   private val dedupIncrMinhashOracleSql: String =
     s"""WITH RECURSIVE docs AS (
          |  SELECT doc_id, $shinglesSql AS shingles FROM documents),
@@ -4778,6 +4842,14 @@ object SparkEntry {
     // CMS estimates recomputed from first principles: per-(row j,
     // bucket) counter sums over the same md5 bucket family, then the
     // min over rows at each brand's buckets
+    // pre-flight join-size forecast: CMS inner-product upper bound
+    // (min over depth rows) vs the exact per-key-count join size
+    "join_size_sketch" ->
+      (joinSizePairSql("customer_orders", "orders", "o_custkey",
+        "customer", "c_custkey") +
+        "\nUNION ALL\n" +
+        joinSizePairSql("events_self", "events", "user_id",
+          "events", "user_id")),
     "freq_sketch" ->
       """WITH h AS (
         |  SELECT p_brand,

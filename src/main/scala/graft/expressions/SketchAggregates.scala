@@ -825,6 +825,26 @@ object SketchAggregates {
     * the sketch of the combined data — exactly, not approximately. */
   def cmUnion(a: Column, b: Column): Column = zip_with(a, b, _ + _)
 
+  /** Sketch algebra — equi-join SIZE estimate from two stored CMS
+    * sketches over the join keys (Cormode & Muthukrishnan, "An
+    * improved data stream summary: the count-min sketch and its
+    * applications", J. Algorithms 2005, §4.2): the true join size is
+    * the inner product of the two frequency vectors, and each CMS row
+    * overestimates it by hash collisions only — so `min` over the
+    * depth rows of `Σ_b a[j][b]·b[j][b]` is an upper bound within
+    * εN₁N₂ w.p. 1 − 2^−depth. The planner question this answers at
+    * 100 TB: how many rows will this join emit — broadcast, shuffle,
+    * or rethink? — for the price of two single-row aggregates, never
+    * running the join. Same-column sketches give the self-join size
+    * (the F₂ moment), i.e. the skew-blowup forecast for a
+    * shuffle-heavy self-join. Deterministic (fixed md5 derivations),
+    * so the estimate replays exactly cross-engine. */
+  def cmJoinSize(a: Column, b: Column, depth: Int, width: Int): Column = {
+    val prod = zip_with(a, b, _ * _)
+    array_min(array((0 until depth).map(j =>
+      aggregate(slice(prod, j * width + 1, width), lit(0L), _ + _)): _*))
+  }
+
   /** HyperLogLog distinct sketch over a raw value column: hashes to
     * the shared 60-bit md5 space, then aggregates into `2^p` dense
     * registers; returns struct(est_hll, n_zero, pow_sum, regs). */

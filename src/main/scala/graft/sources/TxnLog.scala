@@ -331,6 +331,33 @@ object TxnLog {
   def foreachBatchAppend(root: String): (DataFrame, Long) => Unit =
     (df, batchId) => { append(df, root, Some(s"batch-$batchId")); () }
 
+  /** Exactly-once streaming UPSERT sink body: each micro-batch is
+    * collapsed to its latest row per key (by `ordinalCol` — a batch
+    * can carry several updates to one key) and [[merge]]d
+    * copy-on-write, so per-batch cost is proportional to the batch
+    * plus the commit dirs it touches — never a full-snapshot rewrite
+    * (the scale successor to `Streams.foreachBatchMerge`'s
+    * window-over-union snapshot swap; that variant keeps DELETE
+    * tombstones, this one is upsert-only — apply deletes with
+    * [[delete]] on a maintenance cadence). The first batch bootstraps
+    * the table via [[overwrite]]. The batchId-derived txnId makes
+    * checkpoint-recovery re-deliveries no-ops. */
+  def foreachBatchUpsert(root: String, keys: Seq[String],
+                         ordinalCol: String): (DataFrame, Long) => Unit =
+    (batch, batchId) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions.row_number
+      val w = Window.partitionBy(keys.map(col): _*)
+        .orderBy(col(ordinalCol).desc)
+      val latest = batch.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+      val txn = Some(s"batch-$batchId")
+      if (latestVersion(batch.sparkSession, root) < 0L)
+        overwrite(latest, root, txn)
+      else merge(latest, root, keys, txn)
+      ()
+    }
+
   /** Incremental consumption: the rows committed strictly AFTER
     * `sinceVersion`, read from ONLY the data directories those commits
     * added — cost is O(delta), never a snapshot scan, which is what

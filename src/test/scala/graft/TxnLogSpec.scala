@@ -357,6 +357,36 @@ class TxnLogSpec extends SparkSpec {
       .select("id").as[Long].collect().toSet == Set(50L))
   }
 
+  test("streaming upsert sink: latest-per-key per batch, copy-on-write merge, replay-proof") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = Files.createTempDirectory("graft_txn").toString + "/t"
+    val ckpt = Files.createTempDirectory("graft_txn_ckpt").toString
+    val in = MemoryStream[(Long, String, Long)]
+    val q = in.toDF().toDF("id", "s", "ord").writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch(TxnLog.foreachBatchUpsert(root, Seq("id"), "ord"))
+      .start()
+    try {
+      // batch 0 bootstraps; carries TWO updates to id=1 — latest wins
+      in.addData((1L, "old", 1L), (1L, "new", 2L), (2L, "b", 1L))
+      q.processAllAvailable()
+      // batch 1: update one key, insert another
+      in.addData((2L, "B2", 5L), (3L, "c", 1L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = TxnLog.read(spark, root).select("id", "s")
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "new", 2L -> "B2", 3L -> "c"))
+    // exactly-once: both batches carry their txn markers, and a manual
+    // replay of batch 1's txnId is a no-op
+    assert(TxnLog.versions(spark, root).forall(_._4.exists(_.startsWith("batch-"))))
+    val latest = TxnLog.latestVersion(spark, root)
+    assert(TxnLog.merge(Seq((2L, "GHOST", 9L)).toDF("id", "s", "ord"),
+      root, Seq("id"), Some("batch-1")) == latest)
+    assert(TxnLog.read(spark, root).filter($"s" === "GHOST").count() == 0)
+  }
+
   test("merge rejects ambiguous sources and schema drift") {
     val root = Files.createTempDirectory("graft_txn").toString + "/t"
     TxnLog.overwrite(Seq((1L, "a")).toDF("id", "s"), root)

@@ -2876,6 +2876,26 @@ object SparkEntry {
           SketchAggregates.sketchQuantileDisc(col("sk"), 75).as("p75"),
           SketchAggregates.sketchQuantileDisc(col("sk"), 90).as("p90"))
     }),
+    // explicit range-partition planner: decile cutpoints from ONE
+    // mergeable KLL sketch (exact regime at verify scale) broadcast
+    // back as the bucket bounds, rows tagged map-side, per-bucket
+    // census proves the balance a 100 TB global sort / sorted export
+    // would get — the deterministic, persistable replacement for
+    // RangePartitioner's per-run reservoir sample (stable shard
+    // boundaries across reruns and appends)
+    "range_plan" -> ((s, d) => {
+      import graft.expressions.SketchAggregates._
+      val ev = Tables.events(s, d).filter(col("value").isNotNull)
+      val cuts = ev.agg(quantileSketch(col("value"), 32768).as("sk"))
+        .select(array((1 to 9).map(i =>
+          sketchQuantileDisc(col("sk"), i * 10)): _*).as("cuts"))
+      ev.crossJoin(broadcast(cuts))
+        .select(col("value"),
+          size(filter(col("cuts"), c => col("value") > c)).cast("long").as("bucket"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("value")).as("lo"), max(col("value")).as("hi"))
+    }),
     // bucketized interval-overlap join (no nested loop); intervals are
     // [ts, ts + floor(value) seconds] per event, two user cohorts
     "interval_join" -> ((s, d) => {
@@ -4227,6 +4247,21 @@ object SparkEntry {
         |  max(CASE WHEN rn = (n * 75 + 99) // 100 THEN value END) AS p75,
         |  max(CASE WHEN rn = (n * 90 + 99) // 100 THEN value END) AS p90
         |FROM r GROUP BY 1""".stripMargin,
+    // decile cutpoints = order statistics at rank (n*p+99)//100 (the
+    // sketch's exact regime), kept WITH multiplicity (a duplicated
+    // cut value narrows a bucket to empty, and the replay must agree)
+    "range_plan" ->
+      """WITH v AS (SELECT value FROM events WHERE value IS NOT NULL),
+        |r AS (SELECT value, ROW_NUMBER() OVER (ORDER BY value) AS rn FROM v),
+        |nn AS (SELECT count(*) AS n FROM v),
+        |ranks AS (SELECT p, (n * p + 99) // 100 AS rn
+        |  FROM nn, (VALUES (10),(20),(30),(40),(50),(60),(70),(80),(90)) t(p)),
+        |cuts AS (SELECT list(r.value ORDER BY ranks.p) AS cuts
+        |  FROM ranks JOIN r ON r.rn = ranks.rn)
+        |SELECT CAST(len(list_filter(cuts, x -> value > x)) AS BIGINT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  min(value) AS lo, max(value) AS hi
+        |FROM v, cuts GROUP BY 1""".stripMargin,
     "interval_join" ->
       """WITH ev AS (SELECT event_id, user_id,
         |    CAST(floor(epoch(ts)) AS BIGINT) AS lo,

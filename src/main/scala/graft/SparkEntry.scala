@@ -2325,6 +2325,42 @@ object SparkEntry {
     TxnLog.read(spark, root).select("doc_id", "source", "n_chars")
   }
 
+  /** Right-to-be-forgotten propagation under the oracle
+    * ([[graft.operators.Forget.forget]]): an erasure request for ten
+    * ids runs against three txn-log tables — the two-commit corpus,
+    * a one-commit derived feature table, and a derived table that
+    * never held the subject's data — and the AUDIT is the query
+    * result: matched counts re-scanned post-delete (always 0), and
+    * version movement proving the no-match table took no commit. The
+    * audit is written once and memoized (re-running forget would be
+    * an idempotent no-op whose re-scan could no longer observe
+    * matched_before). */
+  private def forgetDocs(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.TxnLog
+    val base = tmpArtifactRoot("forget", dir)
+    val auditPath = s"$base/audit"
+    if (!new java.io.File(auditPath, "_SUCCESS").isFile) {
+      val docs = Tables.documents(spark, dir)
+      val corpus = s"$base/corpus"; val sigs = s"$base/sigs"; val scores = s"$base/scores"
+      TxnLog.overwrite(docs.filter(col("doc_id") < 250)
+        .select(col("doc_id"), col("source"), col("n_chars")), corpus, Some("c0"))
+      TxnLog.append(docs.filter(col("doc_id") >= 250)
+        .select(col("doc_id"), col("source"), col("n_chars")), corpus, Some("c1"))
+      TxnLog.overwrite(docs.select(col("doc_id"),
+        (col("n_chars") * 2L).as("feat")), sigs, Some("s0"))
+      // a derived table the subject never appears in (ids are ≡7 mod 50)
+      TxnLog.overwrite(docs.filter(col("doc_id") % 50 === 8)
+        .select(col("doc_id"), col("n_chars")), scores, Some("z0"))
+      val ids = (7L until 500L by 50L).toSeq
+      graft.operators.Forget.forget(spark, ids,
+        Map("corpus" -> corpus, "sigs" -> sigs, "scores" -> scores))
+        .coalesce(1).write.mode("overwrite").parquet(auditPath)
+    }
+    spark.read.parquet(auditPath)
+      .select("artifact", "matched_before", "remaining_after",
+        "version_before", "version_after", "vacuumed")
+  }
+
   /** Incremental materialized view under the oracle: two id-sliced
     * event batches merge through [[graft.streaming.MaterializedView
     * .mergeBatch]] (sum/min/max measure algebra + TxnLog txnId
@@ -2675,6 +2711,7 @@ object SparkEntry {
     "txnlog_evolution" -> (txnlogEvolution(_, _)),
     "txnlog_delete" -> (txnlogDelete(_, _)),
     "txnlog_merge" -> (txnlogMerge(_, _)),
+    "forget_docs" -> (forgetDocs(_, _)),
     "mv_merge" -> (mvMerge(_, _)),
     "csv_roundtrip" -> (csvRoundtrip(_, _)),
     "quarantine_split" -> (quarantineSplitQuery(_, _)),
@@ -5783,6 +5820,23 @@ object SparkEntry {
         |WHERE d.doc_id NOT IN (SELECT doc_id FROM src)
         |UNION ALL
         |SELECT doc_id, source, n_chars FROM src""".stripMargin,
+    // erasure-propagation audit replay: matched counts from the
+    // documents table, version movement from the known commit plan
+    // (corpus 2 commits + delete, sigs 1 + delete, scores untouched)
+    "forget_docs" ->
+      """WITH m AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents
+        |  WHERE doc_id IN (7,57,107,157,207,257,307,357,407,457))
+        |SELECT 'corpus' AS artifact, m.n AS matched_before,
+        |  CAST(0 AS BIGINT) AS remaining_after,
+        |  CAST(1 AS BIGINT) AS version_before,
+        |  CAST(2 AS BIGINT) AS version_after, CAST(0 AS INT) AS vacuumed
+        |FROM m
+        |UNION ALL
+        |SELECT 'sigs', m.n, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+        |  CAST(1 AS BIGINT), CAST(0 AS INT) FROM m
+        |UNION ALL
+        |SELECT 'scores', CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+        |  CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS INT) FROM m""".stripMargin,
     // the incrementally-merged view must equal the one-shot aggregate
     "mv_merge" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,

@@ -387,6 +387,36 @@ class TxnLogSpec extends SparkSpec {
     assert(TxnLog.read(spark, root).filter($"s" === "GHOST").count() == 0)
   }
 
+  test("forget: erasure propagates across tables; vacuum destroys the old bytes") {
+    import org.apache.spark.sql.functions.col
+    val base = Files.createTempDirectory("graft_forget").toString
+    val corpus = s"$base/corpus"; val derived = s"$base/derived"
+    TxnLog.overwrite(Seq((1L, "a"), (7L, "subject")).toDF("doc_id", "s"), corpus)
+    TxnLog.append(Seq((9L, "c")).toDF("doc_id", "s"), corpus)
+    TxnLog.overwrite(Seq((7L, 70L), (9L, 90L)).toDF("doc_id", "feat"), derived)
+    val audit = graft.operators.Forget.forget(spark, Seq(7L),
+      Map("corpus" -> corpus, "derived" -> derived), vacuumAfter = true)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getInt(5))).toMap
+    assert(audit("corpus") == ((1L, 0L, 1L, 2L, 1)))
+    assert(audit("derived") == ((1L, 0L, 0L, 1L, 1)))
+    // survivors intact, subject gone
+    assert(TxnLog.read(spark, corpus).select("doc_id").as[Long].collect().toSet ==
+      Set(1L, 9L))
+    // vacuum destroyed time travel: the pre-delete version is unreadable
+    intercept[IllegalArgumentException] {
+      TxnLog.read(spark, corpus, asOf = Some(1L)).collect()
+    }
+    // re-running the same request is an idempotent no-op: versions
+    // unchanged, matched now 0 (the audit of a second run reports the
+    // post-erasure truth)
+    val again = graft.operators.Forget.forget(spark, Seq(7L),
+      Map("corpus" -> corpus, "derived" -> derived))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(4))).toMap
+    assert(again("corpus") == ((0L, TxnLog.latestVersion(spark, corpus))))
+    ()
+  }
+
   test("merge rejects ambiguous sources and schema drift") {
     val root = Files.createTempDirectory("graft_txn").toString + "/t"
     TxnLog.overwrite(Seq((1L, "a")).toDF("id", "s"), root)

@@ -1408,6 +1408,45 @@ object SparkEntry {
     }
   }
 
+  /** Drift-then-heal lifecycle under the oracle: gen0 is the
+    * incremental story (quantizer trained on vec_id < 250, the rest
+    * appended with NO retraining — accepted drift), gen1 is
+    * [[graft.similarity.IvfIndex.rebuild]] retraining on gen0's
+    * OWN cells table. The rebuilt generation must be bit-identical
+    * to a fresh full-corpus build — so the FULL-corpus Lloyd oracle
+    * (`sim_ivf_indexed`'s SQL) checks it, while gen0 still answers
+    * to the subset-trained oracle. Generation swap = pointer move;
+    * gen0 stays servable inside the same layout. */
+  private def ensureIvfIndexRebLayout(spark: SparkSession, dir: String): String = {
+    val fp = graft.sources.LayoutCache.contentFingerprint(
+      Seq(new java.io.File(dir, "embeddings.parquet")))
+    graft.sources.LayoutCache.ensure("graft_ivf_index_reb_v1-d64-c16-i2-cut250",
+      new java.io.File(dir).getName, fp) { tmp =>
+      val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+      val gen0 = s"$tmp/gen0"
+      graft.similarity.IvfIndex.build(
+        e.filter(col("vec_id") < 250), gen0, dim = 64, nCells = 16, iters = 2)
+      graft.similarity.IvfIndex.append(
+        spark, gen0, e.filter(col("vec_id") >= 250), dim = 64)
+      graft.similarity.IvfIndex.rebuild(spark, gen0, s"$tmp/gen1", dim = 64,
+        nCells = 16, iters = 2)
+      // the gens carry their own _SUCCESS one level down; the layout
+      // root needs its own completeness marker for the cache contract
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(tmp, "_SUCCESS"), "")
+      ()
+    }
+  }
+
+  private def simIvfRebuilt(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    graft.similarity.IvfIndex.topK(spark,
+      s"${ensureIvfIndexRebLayout(spark, dir)}/gen1", queries,
+      dim = 64, k = 5, nProbe = 4)
+  }
+
   /** Index health report ([[graft.similarity.IvfIndex.stats]]): cell
     * populations + corpus share in exact bps over the persisted index —
     * the rebuild-the-quantizer signal; the oracle replays the Lloyd
@@ -2547,6 +2586,8 @@ object SparkEntry {
       ((s, d) => { ensureIvfIndexLayout(s, d); () }),
     "ivf_rebuild_advice" ->
       ((s, d) => { ensureIvfIndexLayout(s, d); () }),
+    "sim_ivf_rebuilt" ->
+      ((s, d) => { ensureIvfIndexRebLayout(s, d); () }),
   )
   /** Verified variant ([[graft.dedup.Dedup.incrementalNearDupVerified]]):
     * same split, but a catalog band collision only drops a batch doc
@@ -3084,6 +3125,7 @@ object SparkEntry {
     "sim_ivf_indexed_incremental" -> (simIvfIndexedIncremental(_, _)),
     "ivf_index_stats" -> (ivfIndexStats(_, _)),
     "ivf_rebuild_advice" -> (ivfRebuildAdvice(_, _)),
+    "sim_ivf_rebuilt" -> (simIvfRebuilt(_, _)),
     "sim_pq" -> (simPq(_, _)),
     // Okapi BM25 (rational constants k1=6/5, b=3/4; per-term scores
     // are single long-ratio divisions summed in one fixed-order
@@ -6366,6 +6408,12 @@ object SparkEntry {
     "sim_ivf_indexed" -> ivfScoringSql(lloydCentsSql(2)),
     // storage mode (TxnLog-backed cells) must not change a result bit
     "sim_ivf_indexed_txn" -> ivfScoringSql(lloydCentsSql(2)),
+    // rebuild heals append drift COMPLETELY: the engine path is
+    // subset-train → append → rebuild-from-own-cells, but the result
+    // must equal a fresh FULL-corpus build bit-for-bit — so the
+    // full-corpus Lloyd replay is the oracle (vs the incremental
+    // query, which answers to the subset-trained replay)
+    "sim_ivf_rebuilt" -> ivfScoringSql(lloydCentsSql(2)),
     // recall@5 of the indexed search: the whole sim_ivf_indexed
     // statement embedded as a derived table (its WITH scope is
     // independent), intersected with brute-force truth

@@ -190,6 +190,38 @@ object IvfIndex {
           lit("balanced")).as("reason"))
   }
 
+  /** The ACTION [[rebuildAdvice]]'s verdict triggers — close of the
+    * maintenance loop (build → append → stats → advice → REBUILD):
+    * retrain the quantizer on the index's CURRENT contents (the cells
+    * table is self-contained: vec_id + embedding ride with every row,
+    * so no re-read of the source corpus is needed) and publish the
+    * result as a NEW GENERATION directory. The swap is the caller's
+    * pointer move (the [[graft.sources.LayoutCache]] generation
+    * discipline): readers on the old generation are never disturbed
+    * mid-scan, the old path stays servable until swept, and
+    * centroids+cells can never be observed torn across generations —
+    * which an in-place rebuild could not guarantee (centroids/ and
+    * cells/ are two storage units with no common commit point).
+    *
+    * Invariant: exact fixed-point Lloyd is row-order-insensitive
+    * (integer sums, vec_id-deterministic seeding), so the rebuilt
+    * generation is BIT-IDENTICAL to a fresh [[build]] over the same
+    * vectors — quantizer drift from any number of no-retrain
+    * [[append]]s is fully healed, which is exactly what the
+    * `sim_ivf_rebuilt` oracle (full-corpus Lloyd replay) checks.
+    * Returns `newPath`. */
+  def rebuild(spark: SparkSession, path: String, newPath: String, dim: Int,
+              nCells: Int = 16, iters: Int = 2,
+              txnSafe: Boolean = false): String = {
+    require(newPath != path,
+      "IvfIndex.rebuild: rebuild publishes a NEW generation — an in-place " +
+        "rebuild cannot swap centroids and cells atomically")
+    val current = readCells(spark, path, txnSafe)
+      .select(col("vec_id"), col("embedding"))
+    build(current, newPath, dim, nCells, iters, txnSafe)
+    newPath
+  }
+
   /** Serve a query batch from the persisted index: probe each query's
     * `nProbe` nearest cells, scan ONLY those partitions, exact-cosine
     * score, deterministic top-k in [[Similarity.bruteForceTopK]]'s

@@ -96,6 +96,39 @@ class SimilarityScaleSpec extends SparkSpec {
       "appended vectors never retrieved")
   }
 
+  test("rebuild heals append drift: new generation bit-identical to a fresh full build") {
+    import graft.similarity.IvfIndex
+    val e = Tables.embeddings(spark, dir01).select("vec_id", "embedding")
+    val base = e.filter(col("vec_id") < 30)
+    val root = java.nio.file.Files.createTempDirectory("ivf_reb").toString
+    val gen0 = s"$root/gen0"
+    IvfIndex.build(base, gen0, dim = 64, nCells = 16, iters = 2)
+    IvfIndex.append(spark, gen0, e.filter(col("vec_id") >= 30), dim = 64)
+    // rebuild retrains on gen0's OWN cells — no source re-read — and
+    // publishes a new generation; gen0 is untouched (pointer-swap
+    // discipline: a reader mid-scan on gen0 can't be disturbed)
+    val gen0Cells = spark.read.parquet(s"$gen0/cells")
+      .collect().map(_.toString).toSet
+    val gen1 = IvfIndex.rebuild(spark, gen0, s"$root/gen1", dim = 64,
+      nCells = 16, iters = 2)
+    assert(spark.read.parquet(s"$gen0/cells").collect().map(_.toString).toSet
+      == gen0Cells, "rebuild must not touch the old generation")
+    // the healed generation equals a fresh build over the same corpus
+    val fresh = s"$root/fresh"
+    IvfIndex.build(e, fresh, dim = 64, nCells = 16, iters = 2)
+    def snap(p: String, sub: String) =
+      spark.read.parquet(s"$p/$sub").collect().map(_.toString).toSet
+    assert(snap(gen1, "centroids") == snap(fresh, "centroids"),
+      "rebuilt quantizer differs from a fresh full-corpus train")
+    assert(snap(gen1, "cells") == snap(fresh, "cells"),
+      "rebuilt assignment differs from a fresh full-corpus build")
+    // in-place rebuild is refused (no atomic two-dir swap exists)
+    intercept[IllegalArgumentException] {
+      IvfIndex.rebuild(spark, gen1, gen1, dim = 64)
+    }
+    ()
+  }
+
   test("txn-safe index: torn append invisible, manifest is the commit point, pruning retained") {
     import graft.similarity.IvfIndex
     import graft.sources.TxnLog

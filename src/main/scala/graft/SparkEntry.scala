@@ -2400,6 +2400,41 @@ object SparkEntry {
         "version_before", "version_after", "vacuumed")
   }
 
+  /** Cross-table dataset releases under the oracle
+    * ([[graft.sources.TxnCatalog]]): release 0 pins (docs < 250,
+    * embeddings < 300); both tables then GROW and release 1 pins the
+    * full state. The query reads every release's view of every member
+    * through the catalog and reports per-(release, table) row counts —
+    * release 0 must keep reporting the pre-growth counts forever
+    * (that's the reproducibility claim), which the oracle replays as
+    * the four known slices. */
+  private def datasetRelease(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{TxnCatalog, TxnLog}
+    val base = tmpArtifactRoot("release", dir)
+    val docsRoot = s"$base/docs"; val embRoot = s"$base/emb"
+    val cat = s"$base/catalog"
+    if (TxnLog.latestVersion(spark, cat) < 1L) {
+      val docs = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+      val emb = Tables.embeddings(spark, dir).select(col("vec_id"))
+      TxnLog.overwrite(docs.filter(col("doc_id") < 250), docsRoot, Some("d0"))
+      TxnLog.overwrite(emb.filter(col("vec_id") < 300), embRoot, Some("e0"))
+      TxnCatalog.publish(spark, cat,
+        Map("docs" -> docsRoot, "emb" -> embRoot), Some("r0"))
+      TxnLog.append(docs.filter(col("doc_id") >= 250), docsRoot, Some("d1"))
+      TxnLog.append(emb.filter(col("vec_id") >= 300), embRoot, Some("e1"))
+      TxnCatalog.publish(spark, cat,
+        Map("docs" -> docsRoot, "emb" -> embRoot), Some("r1"))
+      ()
+    }
+    val perRelease = for {
+      rel <- Seq(0L, 1L)
+      table <- Seq("docs", "emb")
+    } yield TxnCatalog.readTable(spark, cat, table, Some(rel))
+      .agg(count(lit(1)).as("n_rows"))
+      .select(lit(rel).as("release"), lit(table).as("table_name"), col("n_rows"))
+    perRelease.reduce(_.unionByName(_))
+  }
+
   /** Incremental materialized view under the oracle: two id-sliced
     * event batches merge through [[graft.streaming.MaterializedView
     * .mergeBatch]] (sum/min/max measure algebra + TxnLog txnId
@@ -2753,6 +2788,7 @@ object SparkEntry {
     "txnlog_delete" -> (txnlogDelete(_, _)),
     "txnlog_merge" -> (txnlogMerge(_, _)),
     "forget_docs" -> (forgetDocs(_, _)),
+    "dataset_release" -> (datasetRelease(_, _)),
     "mv_merge" -> (mvMerge(_, _)),
     "csv_roundtrip" -> (csvRoundtrip(_, _)),
     "quarantine_split" -> (quarantineSplitQuery(_, _)),
@@ -5862,6 +5898,18 @@ object SparkEntry {
         |WHERE d.doc_id NOT IN (SELECT doc_id FROM src)
         |UNION ALL
         |SELECT doc_id, source, n_chars FROM src""".stripMargin,
+    // release 0 keeps reporting the pre-growth cut forever — the
+    // reproducibility claim, replayed as the four known slices
+    "dataset_release" ->
+      """SELECT CAST(0 AS BIGINT) AS release, 'docs' AS table_name,
+        |  CAST(count(*) AS BIGINT) AS n_rows FROM documents WHERE doc_id < 250
+        |UNION ALL
+        |SELECT CAST(0 AS BIGINT), 'emb', CAST(count(*) AS BIGINT)
+        |FROM embeddings WHERE vec_id < 300
+        |UNION ALL
+        |SELECT CAST(1 AS BIGINT), 'docs', CAST(count(*) AS BIGINT) FROM documents
+        |UNION ALL
+        |SELECT CAST(1 AS BIGINT), 'emb', CAST(count(*) AS BIGINT) FROM embeddings""".stripMargin,
     // erasure-propagation audit replay: matched counts from the
     // documents table, version movement from the known commit plan
     // (corpus 2 commits + delete, sigs 1 + delete, scores untouched)

@@ -417,6 +417,39 @@ class TxnLogSpec extends SparkSpec {
     ()
   }
 
+  test("catalog releases: pins survive member growth; vacuumed pins fail loudly and audit dirty") {
+    import graft.sources.TxnCatalog
+    val base = Files.createTempDirectory("graft_cat").toString
+    val a = s"$base/a"; val b = s"$base/b"; val cat = s"$base/cat"
+    TxnLog.overwrite(Seq((1L, "x")).toDF("id", "s"), a)
+    TxnLog.overwrite(Seq((10L, 100L)).toDF("id", "v"), b)
+    val r0 = TxnCatalog.publish(spark, cat, Map("a" -> a, "b" -> b), Some("rel-0"))
+    // members grow; a second release pins the new cut
+    TxnLog.append(Seq((2L, "y")).toDF("id", "s"), a)
+    val r1 = TxnCatalog.publish(spark, cat, Map("a" -> a, "b" -> b), Some("rel-1"))
+    assert(r0 == 0L && r1 == 1L)
+    // release 0 still serves the pre-growth cut; latest serves the new one
+    assert(TxnCatalog.readTable(spark, cat, "a", Some(r0)).count() == 1)
+    assert(TxnCatalog.readTable(spark, cat, "a").count() == 2)
+    // replayed publish mints no new release
+    assert(TxnCatalog.publish(spark, cat, Map("a" -> a, "b" -> b), Some("rel-1")) == r1)
+    // audit: all pins readable
+    assert(TxnCatalog.verifyRelease(spark, cat, Some(r0))
+      .filter($"readable" === 0).count() == 0)
+    // a member vacuum expires release 0's pin of table a: pinned read
+    // fails loudly, the audit names the dead pin, release 1 unharmed
+    TxnLog.vacuum(spark, a, retainVersions = 1)
+    intercept[Exception] {
+      TxnCatalog.readTable(spark, cat, "a", Some(r0)).collect()
+    }
+    val audit = TxnCatalog.verifyRelease(spark, cat, Some(r0))
+      .collect().map(r => r.getString(0) -> r.getInt(2)).toMap
+    assert(audit == Map("a" -> 0, "b" -> 1))
+    assert(TxnCatalog.verifyRelease(spark, cat, Some(r1))
+      .filter($"readable" === 0).count() == 0)
+    ()
+  }
+
   test("merge rejects ambiguous sources and schema drift") {
     val root = Files.createTempDirectory("graft_txn").toString + "/t"
     TxnLog.overwrite(Seq((1L, "a")).toDF("id", "s"), root)

@@ -3303,13 +3303,16 @@ object SparkEntry {
       Dedup.canonicalByQuality(clusters, scores)
     }),
     "dedup_simhash" -> (dedupSimhash(_, _)),
-    // exact prefix-filtered set-similarity self-join (AllPairs/PPJoin):
-    // recall-1 complement of the LSH family, verified intersections.
-    // 90% is the production near-dup cut; it also keeps the prefix
-    // short (|x|/10 + 1 tokens), so candidate volume stays near-linear.
+    // exact prefix-filtered set-similarity self-join (AllPairs/PPJoin)
+    // over SHINGLE sets — the exact quantity MinHash estimates, so
+    // this is dedup_minhash's recall-1 twin. 90% is the production
+    // near-dup cut; shingles keep prefix buckets bounded where the
+    // synthetic corpus's 31-word vocabulary would degenerate word
+    // sets to an all-pairs join (44 s → sub-second at sf0.1).
     "setsim_join" -> ((s, d) =>
       graft.dedup.Dedup.setSimilarityJoin(
-        graft.core.Tables.documents(s, d), minJaccardPct = 90)),
+        graft.core.Tables.documents(s, d), minJaccardPct = 90,
+        setFn = graft.functions.TextFunctions.shingleSet(_))),
     "text_stats" -> (textStats(_, _)),
     "text_langid" -> (textLangId(_, _)),
     "token_count" -> (tokenCount(_, _)),
@@ -5378,11 +5381,14 @@ object SparkEntry {
     // estimate = (k-1) * 2^60 / h_k (exact count when < k distinct).
     // Same double arithmetic both engines; minima serialized as a
     // joined string so the pandas comparator can hash them.
-    // brute-force exact Jaccard join replay (~9k pairs at sf0.01 —
-    // the engine's prefix filter must lose NOTHING vs this)
+    // brute-force exact shingle-Jaccard join replay — the engine's
+    // prefix filter must lose NOTHING vs this; empty-shingle docs
+    // (< 3 tokens) are excluded on both sides (a 0/0 Jaccard is not
+    // a 90% duplicate)
     "setsim_join" ->
-      s"""WITH d AS (
-         |  SELECT doc_id, list_distinct($toksSql) AS toks FROM documents),
+      s"""WITH d0 AS (
+         |  SELECT doc_id, $shinglesSql AS toks FROM documents),
+         |d AS (SELECT * FROM d0 WHERE len(toks) > 0),
          |p AS (
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |    len(list_intersect(a.toks, b.toks)) AS i,

@@ -582,15 +582,27 @@ object Dedup {
     * discipline). */
   def setSimilarityJoin(df: DataFrame, minJaccardPct: Int = 60,
                         textCol: String = "text",
-                        idCol: String = "doc_id"): DataFrame = {
+                        idCol: String = "doc_id",
+                        setFn: Column => Column = c =>
+                          array_distinct(graft.functions.TextFunctions.tokens(c))): DataFrame = {
     require(minJaccardPct >= 1 && minJaccardPct <= 100,
       s"minJaccardPct must be in [1,100], got $minJaccardPct")
     val pct = minJaccardPct.toLong
+    // `setFn` picks the set domain — and with it the prefix filter's
+    // selectivity. On a tiny flat vocabulary (the synthetic corpus:
+    // 31 words, each in ~78% of docs) WORD sets degenerate to an
+    // all-pairs join no prefix can save; SHINGLE sets
+    // ([[graft.functions.TextFunctions.shingleSet]]) restore the
+    // Zipfian-tail selectivity the algorithm assumes (27k shingles,
+    // max df 25 at sf0.1 → bounded candidate buckets) and are the
+    // quantity MinHash estimates, making this the exact twin of
+    // [[minhashNearDups]]. Empty-set docs (shorter than the shingle
+    // window) can never reach a positive threshold and are dropped.
     val docs = graft.core.Parallelism.ensure(df)
       .select(col(idCol).cast("long").as("doc_id"),
-        array_distinct(graft.functions.TextFunctions.tokens(col(textCol)))
-          .as("toks"))
+        setFn(col(textCol)).as("toks"))
       .withColumn("n", size(col("toks")).cast("long"))
+      .filter(col("n") > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val toks = docs.select(col("doc_id"), col("n"),

@@ -1447,6 +1447,30 @@ object SparkEntry {
       dim = 64, k = 5, nProbe = 4)
   }
 
+  /** Persisted BM25 postings index ([[graft.search.Bm25Index]]):
+    * built on doc_id < 250, the rest APPENDED — and because postings,
+    * stats, df, dl are all additive, the incrementally-built index
+    * must serve results bit-identical to the ad-hoc
+    * [[graft.functions.TextFunctions.bm25Search]] over the full
+    * corpus, which is exactly what the shared `bm25_search` oracle
+    * checks (the IVF contrast: no drift to accept, no rebuild debt). */
+  private def ensureBm25IndexLayout(spark: SparkSession, dir: String): String = {
+    val fp = graft.sources.LayoutCache.contentFingerprint(
+      Seq(new java.io.File(dir, "documents.parquet")))
+    graft.sources.LayoutCache.ensure("graft_bm25_index_v1-b16-cut250",
+      new java.io.File(dir).getName, fp) { tmp =>
+      val docs = Tables.documents(spark, dir)
+      graft.search.Bm25Index.build(
+        docs.filter(col("doc_id") < 250), tmp, nBuckets = 16)
+      graft.search.Bm25Index.append(
+        spark, tmp, docs.filter(col("doc_id") >= 250))
+    }
+  }
+
+  private def bm25Indexed(spark: SparkSession, dir: String): DataFrame =
+    graft.search.Bm25Index.topK(spark, ensureBm25IndexLayout(spark, dir),
+      Seq("spark", "merge", "window"), k = 20)
+
   /** Index health report ([[graft.similarity.IvfIndex.stats]]): cell
     * populations + corpus share in exact bps over the persisted index —
     * the rebuild-the-quantizer signal; the oracle replays the Lloyd
@@ -2623,6 +2647,8 @@ object SparkEntry {
       ((s, d) => { ensureIvfIndexLayout(s, d); () }),
     "sim_ivf_rebuilt" ->
       ((s, d) => { ensureIvfIndexRebLayout(s, d); () }),
+    "bm25_indexed" ->
+      ((s, d) => { ensureBm25IndexLayout(s, d); () }),
   )
   /** Verified variant ([[graft.dedup.Dedup.incrementalNearDupVerified]]):
     * same split, but a catalog band collision only drops a batch doc
@@ -3169,6 +3195,10 @@ object SparkEntry {
     "bm25_search" -> ((s, d) =>
       TextFunctions.bm25Search(Tables.documents(s, d),
         Seq("spark", "merge", "window"), k = 20)),
+    // persisted postings index serving the same query: must be
+    // bit-identical to the ad-hoc scan (shared scoring tail, additive
+    // incremental build) — the same oracle checks both
+    "bm25_indexed" -> (bm25Indexed(_, _)),
     // RRF hybrid retrieval ([[graft.operators.Fusion.rrfFuse]]): the
     // BM25 lexical top-20 fused with a dense top-20 — the query's own
     // hashed-TF vector against the text_knn document vectors — by
@@ -4444,6 +4474,15 @@ object SparkEntry {
     // division of two exactly-computed BIGINTs; the 3-term sum is a
     // fixed-order double expression (same association both engines)
     "bm25_search" ->
+      s"""WITH $bm25CtesSql
+         |SELECT doc_id, dl, tf_spark, tf_merge, tf_window,
+         |  round(score_raw, 9) AS score
+         |FROM scored WHERE score_raw > 0
+         |ORDER BY score_raw DESC, doc_id ASC LIMIT 20""".stripMargin,
+    // the index-served path answers to the SAME statement: postings /
+    // stats / df / dl are all additive, so build-then-append must be
+    // bit-identical to the ad-hoc full-corpus scan
+    "bm25_indexed" ->
       s"""WITH $bm25CtesSql
          |SELECT doc_id, dl, tf_spark, tf_merge, tf_window,
          |  round(score_raw, 9) AS score

@@ -819,11 +819,27 @@ object TextFunctions {
         terms.map(t => coalesce(col(s"`$t`"), lit(0L)).as(s"__tf_$t")): _*)
     val dl = docs.select(col(idCol).as("doc_id"),
       wsTokenCount(col(textCol)).as("dl"))
+    val statsRow = dl.agg(count(lit(1)).as("__n"), sum(col("dl")).as("__t"))
+    rankBm25(docTf.join(dl, "doc_id"), statsRow, terms, k)
+  }
+
+  /** The shared BM25 scoring tail — ONE set of expressions for the
+    * ad-hoc path ([[bm25Search]]) and the persisted-index path
+    * ([[graft.search.Bm25Index.topK]]), so index-served results are
+    * bit-identical to the ad-hoc scan by construction (same rational
+    * constants, same per-term double divisions summed in the same
+    * order). `docTfDl` carries (doc_id, dl, __tf_<term>... for docs
+    * matching ≥1 term); `statsRow` carries the WHOLE-corpus
+    * (__n, __t) — the corpus the df/idf statistics are relative to,
+    * which for the index is the stats table's delta sum. */
+  private[graft] def rankBm25(docTfDl: org.apache.spark.sql.DataFrame,
+                              statsRow: org.apache.spark.sql.DataFrame,
+                              terms: Seq[String], k: Int)
+      : org.apache.spark.sql.DataFrame = {
     val dfCols = terms.map(t =>
       sum(when(col(s"__tf_$t") > 0, 1L).otherwise(0L)).as(s"__df_$t"))
-    val dfRow = docTf.agg(dfCols.head, dfCols.tail: _*)
-    val statsRow = dl.agg(count(lit(1)).as("__n"), sum(col("dl")).as("__t"))
-    val scored = docTf.join(dl, "doc_id")
+    val dfRow = docTfDl.agg(dfCols.head, dfCols.tail: _*)
+    val scored = docTfDl
       .crossJoin(broadcast(dfRow)).crossJoin(broadcast(statsRow))
     def termScore(t: String): Column = {
       val num = (lit(44L) * col(s"__tf_$t") * col("__t") * (col("__n") + 1L))

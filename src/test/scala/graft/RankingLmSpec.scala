@@ -34,6 +34,28 @@ class RankingLmSpec extends SparkSpec {
     assert(out(0).getLong(0) == 2L)
   }
 
+  test("Bm25Index: incremental build serves bit-identical results to the ad-hoc scan; buckets prune") {
+    import graft.search.Bm25Index
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val path = java.nio.file.Files.createTempDirectory("bm25_idx")
+      .resolve("idx").toString
+    // build on a prefix, append the rest — additivity means the index
+    // must equal a one-shot build AND the ad-hoc scan, exactly
+    Bm25Index.build(docs.filter(col("doc_id") < 100), path, nBuckets = 16)
+    Bm25Index.append(spark, path, docs.filter(col("doc_id") >= 100))
+    val terms = Seq("spark", "merge", "window")
+    val fromIndex = Bm25Index.topK(spark, path, terms, k = 20).collect().toSeq
+    val adHoc = TextFunctions.bm25Search(docs, terms, k = 20).collect().toSeq
+    assert(fromIndex == adHoc, "index-served BM25 differs from the ad-hoc scan")
+    // bucket pruning: the postings scan must carry a bucket partition
+    // filter (≤ |terms| of 16 buckets read — the IVF cell-probe twin)
+    val q = Bm25Index.topK(spark, path, Seq("spark"), k = 5)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    val pf = "PartitionFilters: \\[[^\\]]*bucket[^\\]]*\\]".r.findFirstIn(plan)
+    assert(pf.isDefined, s"no bucket partition filter on the postings scan:\n$plan")
+  }
+
   test("bm25Search favors docs matching more/rarer terms over raw repetition") {
     val docs = Seq(
       (1L, "common common common common common"),

@@ -2388,6 +2388,45 @@ object SparkEntry {
     TxnLog.read(spark, root).select("doc_id", "source", "n_chars")
   }
 
+  /** Small-file compaction under the oracle ([[graft.sources.TxnLog.compact]]
+    * plus its [[graft.sources.TxnLog.compactAdvice]] advisor, wired
+    * advice→action the way production would run them): eight
+    * micro-batch appends accumulate the small-file problem, a
+    * row-level DELETE leaves copy-on-write remnant directories, the
+    * advisor must flag the layout, compaction rewrites the snapshot,
+    * and the advisor must then clear. The query returns the
+    * post-compaction snapshot — every surviving row, hash-exact
+    * against the source minus the deleted residue, proving the
+    * rewrite moved bytes without changing one row. File-count
+    * mechanics, CAS abort, and time travel are TxnLogSpec's rows;
+    * this is the content gate at data scale. */
+  private def txnlogCompact(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.TxnLog
+    val root = tmpArtifactRoot("txncpt", dir)
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    // Versions are 0-based: overwrite(0) + 7 appends(1..7) + delete(8)
+    // + compact(9) — a completed root sits at version 9 and must skip
+    // the build branch (every write below is an idempotent-txn no-op
+    // on re-entry, but the pre-compaction advisor require would fire
+    // against the post-compaction snapshot).
+    if (TxnLog.latestVersion(spark, root) < 9L) {
+      TxnLog.overwrite(docs.filter(col("doc_id") % 8 === 0), root, Some("m0"))
+      (1 to 7).foreach { i =>
+        TxnLog.append(docs.filter(col("doc_id") % 8 === i), root, Some(s"m$i")); ()
+      }
+      TxnLog.delete(spark, root, col("doc_id") % 10 === 3, Some("gdpr-cpt"))
+      val before = TxnLog.compactAdvice(spark, root).head
+      require(before.getAs[Int]("compact") == 1,
+        s"advisor should flag 9+ micro-commit dirs: $before")
+      TxnLog.compact(spark, root)
+      val after = TxnLog.compactAdvice(spark, root).head
+      require(after.getAs[Int]("compact") == 0,
+        s"advisor should clear post-compaction: $after")
+    }
+    TxnLog.read(spark, root).select("doc_id", "source", "n_chars")
+  }
+
   /** Right-to-be-forgotten propagation under the oracle
     * ([[graft.operators.Forget.forget]]): an erasure request for ten
     * ids runs against three txn-log tables — the two-commit corpus,
@@ -2558,6 +2597,22 @@ object SparkEntry {
     graft.sources.Sources.jsonLines(spark, out, Some(StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType),
       StructField("lang", StringType)))))
+  }
+
+  /** ORC reader under the oracle ([[graft.sources.Sinks.orc]] →
+    * [[graft.sources.Sources.orc]]): the full scalar document rows —
+    * text included, so ORC string/long encodings and zstd stripe
+    * compression are exercised — written once per source snapshot
+    * (fingerprint-keyed) and re-read; must equal the parquet
+    * originals byte-for-byte in the DuckDB compare. */
+  private def orcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = tmpArtifactRoot("orc", dir)
+    if (!new java.io.File(out, "_SUCCESS").isFile)
+      graft.sources.Sinks.orc(
+        Tables.documents(spark, dir)
+          .select(col("doc_id"), col("text"), col("source"), col("n_chars"))
+          .coalesce(1), out)
+    graft.sources.Sources.orc(spark, out)
   }
 
   /** Incremental MinHash near-dup dedup
@@ -2813,12 +2868,14 @@ object SparkEntry {
     "txnlog_evolution" -> (txnlogEvolution(_, _)),
     "txnlog_delete" -> (txnlogDelete(_, _)),
     "txnlog_merge" -> (txnlogMerge(_, _)),
+    "txnlog_compact" -> (txnlogCompact(_, _)),
     "forget_docs" -> (forgetDocs(_, _)),
     "dataset_release" -> (datasetRelease(_, _)),
     "mv_merge" -> (mvMerge(_, _)),
     "csv_roundtrip" -> (csvRoundtrip(_, _)),
     "quarantine_split" -> (quarantineSplitQuery(_, _)),
     "jsonl_roundtrip" -> (jsonlRoundtrip(_, _)),
+    "orc_roundtrip" -> (orcRoundtrip(_, _)),
     "cdc_chunks" -> (cdcChunks(_, _)),
     "cdc_dedup" -> (cdcDedupQ(_, _)),
     "dedup_incremental_minhash" -> (dedupIncrementalMinhash(_, _)),
@@ -5893,6 +5950,8 @@ object SparkEntry {
       "SELECT doc_id, lang, source, n_chars FROM documents",
     "jsonl_roundtrip" ->
       "SELECT doc_id, text, lang FROM documents",
+    "orc_roundtrip" ->
+      "SELECT doc_id, text, source, n_chars FROM documents",
     // quarantine gate conservation: the oracle rebuilds the same
     // byte-identical JSONL feed and replays the documented decision
     // rule — residues 0 (truncated), 1 (bare scalar), 2 (long field
@@ -5943,6 +6002,10 @@ object SparkEntry {
         |WHERE d.doc_id NOT IN (SELECT doc_id FROM src)
         |UNION ALL
         |SELECT doc_id, source, n_chars FROM src""".stripMargin,
+    // compaction is a pure rewrite: post-compact snapshot = source
+    // minus the deleted residue, not one row moved or duplicated
+    "txnlog_compact" ->
+      "SELECT doc_id, source, n_chars FROM documents WHERE doc_id % 10 <> 3",
     // release 0 keeps reporting the pre-growth cut forever — the
     // reproducibility claim, replayed as the four known slices
     "dataset_release" ->

@@ -48,6 +48,17 @@ object Sinks {
     df.write.mode(mode).option("compression", compression)
       .partitionBy(partitionCols: _*).parquet(path)
 
+  /** ORC write — the Spark-native columnar alternative for stacks
+    * whose readers (Hive, Trino ORC connectors) want ORC instead of
+    * parquet. Same codec trade as [[parquet]]: zstd by default, since
+    * a long-lived lake is scan-dominated. Round-trip fidelity (text
+    * included, so string/long encodings and stripe framing are
+    * exercised) is oracle-checked by `orc_roundtrip`. */
+  def orc(df: DataFrame, path: String,
+          mode: SaveMode = SaveMode.Overwrite,
+          compression: String = "zstd"): Unit =
+    df.write.mode(mode).option("compression", compression).orc(path)
+
   /** K7 semantics — idempotent load: deterministic target path +
     * skip-if-exists (reference: scripts/extract_load.py:49-89 checks
     * object existence before upload). `SaveMode.Ignore` is the engine

@@ -27,6 +27,22 @@ class SourcesSinksSpec extends SparkSpec {
     assert(df.filter($"LocationID" === 1).head().getString(1) == "Manhattan")
   }
 
+  test("orc round-trips typed rows through zstd stripes") {
+    val dir = Files.createTempDirectory("graft_orc").resolve("t").toString
+    val rows = Seq((1L, "alpha \"quoted\" text", 17L),
+      (2L, "unicode é中文", 3L), (3L, null.asInstanceOf[String], 0L))
+    val df = rows.toDF("id", "text", "n")
+    Sinks.orc(df, dir)
+    val back = Sources.orc(spark, dir)
+    // ORC (like parquet) stores every column nullable; compare names+types
+    assert(back.schema.map(f => (f.name, f.dataType)) ==
+      df.schema.map(f => (f.name, f.dataType)))
+    assert(back.orderBy("id").collect().toSeq == df.orderBy("id").collect().toSeq)
+    // the codec option actually landed (file name carries the codec tag)
+    val files = new java.io.File(dir).listFiles.map(_.getName)
+    assert(files.exists(f => f.endsWith(".orc") && f.contains("zstd")), files.mkString(","))
+  }
+
   test("jsonLinesQuarantine: bad lines survive with raw text; type drift stays PERMISSIVE") {
     val dir = Files.createTempDirectory("graft_jsonlq")
     val f = dir.resolve("feed.jsonl")

@@ -3118,6 +3118,16 @@ object SparkEntry {
               .select("doc_a", "doc_b"),
             "doc_a", "doc_b"))
         .select(col("id").as("doc_id"), col("rank_micro"))),
+    // synchronous label propagation over the same near-dup graph:
+    // communities, not components — a hub bridging two boilerplate
+    // families stays a bridge; 4 deterministic min-tie rounds
+    "label_prop" -> ((s, d) =>
+      graft.operators.Graph.labelPropagation(
+          graft.operators.Graph.symmetrize(
+            Dedup.minhashNearDups(Tables.documents(s, d))
+              .select("doc_a", "doc_b"),
+            "doc_a", "doc_b"))
+        .select(col("id").as("doc_id"), col("label").as("community"))),
     // per-group 3-sigma outliers with engine-exact integer-moment test
     "value_outliers" -> ((s, d) =>
       graft.validate.Expectations.outliers(
@@ -3369,6 +3379,21 @@ object SparkEntry {
       graft.operators.Sampling.temperatureMix(docs, "doc_id", "n_tokens",
           "source", totalBudget = 2000L, salt = "tmx")
         .select("doc_id", "source", "n_tokens")
+    }),
+    // UniMax allocation (per-language epochs-capped water-filling):
+    // budget = a fifth of the corpus token mass, repeat cap 1/4 epoch
+    // per language — the dominant language lands uncapped on the
+    // water level, low-resource languages contribute their full cap.
+    // The corpus collapses to one row per lang in a map-side-
+    // combinable agg before any window; the one-row total is the only
+    // collect (bounded by construction).
+    "corpus_mix_unimax" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("lang"), TextFunctions.wsTokenCount(col("text")).as("n_tokens"))
+      val total = docs.agg(sum("n_tokens")).head.getLong(0)
+      graft.operators.Sampling.unimaxBudgets(docs, "n_tokens", "lang",
+          totalBudget = total / 5, epochCapMillionths = 250000L)
+        .orderBy("stratum")
     }),
     "dedup_exact" -> (dedupExact(_, _)),
     "dedup_minhash" -> (dedupMinhash(_, _)),
@@ -3641,6 +3666,31 @@ object SparkEntry {
   /** Fixed-point PageRank oracle: the candidate chain, symmetrized
     * edges, then `iterations` UNROLLED integer-arithmetic rounds (all
     * floor division, mirrors [[graft.operators.Graph.pageRank]]). */
+  /** Synchronous LPA unrolled: each round re-votes every node's label
+    * as the (count DESC, label ASC) winner among in-neighbors, absent
+    * voters falling back to the previous label — the exact replay of
+    * [[graft.operators.Graph.labelPropagation]]'s struct-max. */
+  private def labelPropSql(iterations: Int): String = {
+    val setup =
+      s"""WITH $minhashCandsSql,
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM cands
+         |          UNION SELECT doc_b, doc_a FROM cands),
+         |it0 AS (SELECT DISTINCT src AS id, CAST(src AS BIGINT) AS label FROM edges)""".stripMargin
+    val iters = (1 to iterations).map { i =>
+      s""",
+         |it$i AS (SELECT p.id, COALESCE(v.label, p.label) AS label
+         |  FROM it${i - 1} p LEFT JOIN (
+         |    SELECT id, label FROM (
+         |      SELECT c.id, c.label,
+         |        ROW_NUMBER() OVER (PARTITION BY c.id ORDER BY c.cnt DESC, c.label ASC) AS rk
+         |      FROM (SELECT e.dst AS id, q.label, count(*) AS cnt
+         |            FROM edges e JOIN it${i - 1} q ON q.id = e.src
+         |            GROUP BY 1, 2) c) ranked WHERE rk = 1) v ON v.id = p.id)""".stripMargin
+    }.mkString
+    setup + iters +
+      s"\nSELECT id AS doc_id, CAST(label AS BIGINT) AS community FROM it$iterations"
+  }
+
   private def pagerankSql(iterations: Int): String = {
     val setup =
       s"""WITH $minhashCandsSql,
@@ -3780,6 +3830,7 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "pagerank_neardup" -> pagerankSql(5),
+    "label_prop" -> labelPropSql(4),
     "q1_agg" ->
       s"""${TaxiShape.stagingSql}
          |SELECT year, month, dow, service_type, count(*) AS n_trips,
@@ -4997,6 +5048,36 @@ object SparkEntry {
          |  FROM d)
          |SELECT c.doc_id, c.source, c.n_tokens
          |FROM c JOIN b USING (source) WHERE c.cum <= b.budget""".stripMargin,
+    // UniMax water-filling replayed: capped iff prefix(cap) +
+    // cap*(sources after) <= B — the division-free "water level >=
+    // cap" test; uncapped split the rest evenly, remainder one token
+    // apiece in (cap, lang) order
+    "corpus_mix_unimax" ->
+      s"""WITH t AS (
+         |  SELECT lang AS stratum, CAST(SUM(CAST(len($toksSql) AS BIGINT)) AS BIGINT) AS weight
+         |  FROM documents GROUP BY 1),
+         |b AS (SELECT CAST(SUM(weight) // 5 AS BIGINT) AS total FROM t),
+         |r AS (
+         |  SELECT stratum, weight, (weight * 250000) // 1000000 AS cap,
+         |    ROW_NUMBER() OVER (ORDER BY (weight * 250000) // 1000000, stratum) AS rn,
+         |    SUM((weight * 250000) // 1000000) OVER (ORDER BY (weight * 250000) // 1000000, stratum
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p,
+         |    COUNT(*) OVER () AS k
+         |  FROM t),
+         |f AS (SELECT r.*, b.total, (p + cap * (k - rn) <= b.total) AS capped FROM r, b),
+         |g AS (SELECT f.*,
+         |    MAX(CASE WHEN capped THEN rn ELSE 0 END) OVER () AS j,
+         |    MAX(CASE WHEN capped THEN p ELSE 0 END) OVER () AS pj
+         |  FROM f),
+         |a AS (SELECT stratum, weight, cap,
+         |    CAST(CASE WHEN capped THEN cap ELSE
+         |      LEAST(cap, (total - pj) // (k - j) +
+         |        CASE WHEN rn - j <= (total - pj) % (k - j) THEN 1 ELSE 0 END)
+         |    END AS BIGINT) AS budget
+         |  FROM g)
+         |SELECT stratum, weight, cap, budget,
+         |  CAST((budget * 1000000) // GREATEST(weight, 1) AS BIGINT) AS epochs_millionths
+         |FROM a ORDER BY stratum""".stripMargin,
     "events_resample" ->
       """WITH base AS (
         |  SELECT user_id, date_trunc('hour', ts) AS bucket,

@@ -149,4 +149,52 @@ object Graph {
     graft.core.Checkpoints.releaseAll(deg)
     rank.select(col("id"), col("r").as("rank_micro"))
   }
+
+  /** Synchronous label propagation (Raghavan et al. 2007) —
+    * community detection over the near-dup/similarity graph, the
+    * coarser sibling of connected components: CC merges everything
+    * reachable, LPA splits a component into densely-linked
+    * communities (a template hub bridging two boilerplate families
+    * stays a bridge, not a merger). Every node starts as its own
+    * label; each round every node adopts the most frequent label
+    * among its NEIGHBORS, ties broken toward the smallest label —
+    * fully deterministic, so a bounded number of synchronous rounds
+    * is engine-exact and replayable in SQL (the asynchronous/
+    * random-order variant of the paper is not). Nodes with no
+    * in-edges this round keep their label. Bounded rounds also
+    * sidestep synchronous LPA's bipartite 2-cycle oscillation: the
+    * output is the round-`iterations` state, convergence not claimed.
+    *
+    * Scale shape per round: one hash join of the slim (id, label)
+    * frame onto edges by src, a (dst, label) count agg
+    * (partial+final), and a per-dst argmax as a struct-max hash agg
+    * (max of (cnt, −label) — never a rank window over the vote list);
+    * all shuffles carry (id, label, cnt) longs only. Lineage cut with
+    * `localCheckpoint` every round, previous round's blocks released
+    * — the PageRank discipline. Returns (id, label). */
+  def labelPropagation(edges: DataFrame, srcCol: String = "src",
+                       dstCol: String = "dst", iterations: Int = 4): DataFrame = {
+    require(iterations >= 1, s"need iterations >= 1, got $iterations")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .localCheckpoint() // reused every round: materialize once
+    var lab = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+      .select(col("id"), col("id").cast("long").as("label"))
+      .localCheckpoint()
+    for (_ <- 1 to iterations) {
+      val votes = e.join(lab, col("src") === col("id"))
+        .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("cnt"))
+      val winners = votes
+        .groupBy(col("dst").as("__id"))
+        .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("__m"))
+        .select(col("__id").as("id"), (-col("__m.nl")).as("__w"))
+      val next = lab.join(winners, Seq("id"), "left")
+        .select(col("id"), coalesce(col("__w"), col("label")).as("label"))
+        .localCheckpoint()
+      graft.core.Checkpoints.releaseAll(lab)
+      lab = next
+    }
+    graft.core.Checkpoints.releaseAll(e)
+    lab
+  }
 }

@@ -247,4 +247,96 @@ object Sampling {
       .select(col("__k").as(keyCol))
     df.join(keep, Seq(keyCol), "left_semi")
   }
+
+  /** UniMax budget allocation (Chung et al. 2023, "UniMax: Fairer and
+    * More Effective Language Sampling for Large-Scale Multilingual
+    * Pretraining"): distribute a total token budget B across sources
+    * as uniformly as possible subject to a per-source repeat cap —
+    * each source may contribute at most `epochCapMillionths/10^6`
+    * epochs of its own token mass. The closed form is water-filling:
+    * sources whose cap sits below the water level contribute their
+    * full cap, the rest split the remaining budget evenly.
+    *
+    * All-integer: with sources sorted ascending by cap (ties by
+    * name), prefix sums P_i, and k sources, source i is capped iff
+    * P_i + cap_i·(k−i) ≤ B — the division-free characterization of
+    * "water level ≥ cap_i" (Σ_s min(cap_s, cap_i) ≤ B). Uncapped
+    * sources get `(B − P_j) div (k−j)` each (j = last capped index)
+    * with the remainder handed one token apiece to the first
+    * remainder-many uncapped sources in sort order, clamped to the
+    * cap — so Σ budgets = min(B, Σ caps) except in the degenerate
+    * integer tie where a +1 would cross a cap. Output one row per
+    * source: (stratum, weight, cap, budget, epochs_millionths).
+    *
+    * Scale shape: one map-side-combinable hash-agg collapses the
+    * corpus to one narrow row per source; the windows that follow run
+    * over those per-source rows only (the watermark-audit discipline:
+    * an unpartitioned window is fine when its input is one row per
+    * group, never one row per document). */
+  def unimaxBudgets(df: DataFrame, weightCol: String, stratumCol: String,
+                    totalBudget: Long, epochCapMillionths: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(totalBudget > 0, s"totalBudget must be positive, got $totalBudget")
+    require(epochCapMillionths > 0,
+      s"epochCapMillionths must be positive, got $epochCapMillionths")
+    val perSrc = df.groupBy(col(stratumCol).as("stratum"))
+      .agg(sum(col(weightCol).cast("long")).as("weight"))
+      .withColumn("cap", expr(s"(weight * ${epochCapMillionths}L) div 1000000L"))
+    val byCap = Window.orderBy(col("cap"), col("stratum"))
+    val all = Window.partitionBy(lit(1))
+    val ranked = perSrc
+      .withColumn("__rn", row_number().over(byCap))
+      .withColumn("__p", sum(col("cap")).over(
+        byCap.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__k", count(lit(1)).over(all))
+      .withColumn("__capped",
+        col("__p") + col("cap") * (col("__k") - col("__rn")) <= totalBudget)
+    val j = ranked.withColumn("__j",
+        max(when(col("__capped"), col("__rn")).otherwise(lit(0))).over(all))
+      .withColumn("__pj",
+        max(when(col("__capped"), col("__p")).otherwise(lit(0L))).over(all))
+    j.withColumn("__share", expr(
+        s"CASE WHEN __k > __j THEN (${totalBudget}L - __pj) div (__k - __j) " +
+          "ELSE 0L END"))
+      .withColumn("__rem", expr(
+        s"CASE WHEN __k > __j THEN (${totalBudget}L - __pj) % (__k - __j) " +
+          "ELSE 0L END"))
+      .withColumn("budget",
+        when(col("__capped"), col("cap")).otherwise(least(col("cap"),
+          col("__share") +
+            when(col("__rn") - col("__j") <= col("__rem"), 1L).otherwise(0L))))
+      .withColumn("epochs_millionths",
+        expr("(budget * 1000000L) div greatest(weight, 1L)"))
+      .select("stratum", "weight", "cap", "budget", "epochs_millionths")
+  }
+
+  /** UniMax source mixing: [[unimaxBudgets]] allocation applied as a
+    * greedy per-source token fill in salted-hash order (the
+    * [[budgetPerStratum]] tail — boundary row dropped). The
+    * production one-call shape: budgets DERIVED from the data under a
+    * repeat cap, then the corpus cut to match.
+    *
+    * Scale shape: the one-row-per-source budget frame broadcast-joins
+    * onto the slim (key, stratum, weight, hash) projection; the
+    * payload rejoins by key semi-join and never crosses an
+    * exchange. */
+  def unimaxMix(df: DataFrame, keyCol: String, weightCol: String,
+                stratumCol: String, totalBudget: Long,
+                epochCapMillionths: Long, salt: String = ""): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val budgets = unimaxBudgets(df, weightCol, stratumCol,
+      totalBudget, epochCapMillionths)
+      .select(col("stratum").as("__s"), col("budget").as("__budget"))
+    val h = conv(substring(md5(concat(coalesce(col(keyCol).cast("string"), lit("")),
+      lit(salt))), 1, 15), 16, 10).cast("long")
+    val slim = df.select(col(keyCol).as("__k"), col(stratumCol).as("__s"),
+      col(weightCol).cast("long").as("__w"), h.as("__h"))
+    val w = Window.partitionBy(col("__s")).orderBy(col("__h"), col("__k"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val keep = slim.join(broadcast(budgets), "__s")
+      .withColumn("__cum", sum(col("__w")).over(w))
+      .filter(col("__cum") <= col("__budget"))
+      .select(col("__k").as(keyCol))
+    df.join(keep, Seq(keyCol), "left_semi")
+  }
 }

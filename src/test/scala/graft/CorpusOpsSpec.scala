@@ -172,6 +172,72 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
   }
 
+  test("unimaxBudgets matches the sequential water-filling reference and its invariants") {
+    // sequential reference: ascending by (cap, stratum); a source is
+    // capped while its cap times the sources left fits the remaining
+    // budget, then the rest split evenly with the remainder handed
+    // one token apiece in sort order
+    def ref(weights: Seq[(String, Long)], b: Long, capM: Long): Map[String, Long] = {
+      var list = weights.map { case (s, w) => (s, w * capM / 1000000L) }
+        .sortBy { case (s, c) => (c, s) }
+      val res = scala.collection.mutable.Map[String, Long]()
+      var rem = b
+      while (list.nonEmpty) {
+        val (s, c) = list.head
+        if (c * list.size <= rem) { res(s) = c; rem -= c; list = list.tail }
+        else {
+          val share = rem / list.size; val r = (rem % list.size).toInt
+          list.zipWithIndex.foreach { case ((s2, c2), i) =>
+            res(s2) = math.min(c2, share + (if (i < r) 1 else 0)) }
+          list = Nil
+        }
+      }
+      res.toMap
+    }
+    // skewed masses: one dominant source, a tail of small ones
+    val weights = Seq("en" -> 11757L, "zh" -> 4143L, "es" -> 3958L,
+      "fr" -> 3758L, "de" -> 3549L)
+    val docs = weights.flatMap { case (s, w) =>
+      Seq((s + "_a", s, w / 2), (s + "_b", s, w - w / 2))
+    }.toDF("doc_id", "stratum", "w")
+    for ((b, capM) <- Seq((5433L, 250000L), (100000L, 250000L), (5433L, 2000000L),
+                          (1L, 250000L), (6788L, 250000L), (6789L, 250000L))) {
+      val got = Sampling.unimaxBudgets(docs, "w", "stratum", b, capM)
+        .select("stratum", "budget").as[(String, Long)].collect().toMap
+      assert(got == ref(weights, b, capM), s"b=$b capM=$capM")
+      // invariants: budget <= cap, total = min(B, sum caps),
+      // uncapped budgets within 1 of each other and >= every capped cap
+      val caps = weights.map { case (s, w) => s -> w * capM / 1000000L }.toMap
+      weights.foreach { case (s, _) => assert(got(s) <= caps(s)) }
+      assert(got.values.sum == math.min(b, caps.values.sum))
+      val uncapped = got.filter { case (s, v) => v < caps(s) }
+      if (uncapped.nonEmpty) {
+        assert(uncapped.values.max - uncapped.values.min <= 1)
+        got.filter { case (s, v) => v == caps(s) }.foreach { case (_, c) =>
+          assert(c <= uncapped.values.min + 1)
+        }
+      }
+    }
+  }
+
+  test("unimaxMix fills the derived budgets greedily and is a pure subset") {
+    val docs = (0 until 600).map { i =>
+      val lang = if (i % 3 == 0) "en" else if (i % 3 == 1) "fr" else "de"
+      (i.toLong, lang, 5L + i % 11)
+    }.toDF("doc_id", "lang", "w")
+    val budgets = Sampling.unimaxBudgets(docs, "w", "lang", 1200L, 500000L)
+      .select("stratum", "budget").as[(String, Long)].collect().toMap
+    val out = Sampling.unimaxMix(docs, "doc_id", "w", "lang", 1200L, 500000L, salt = "u")
+    val taken = out.groupBy("lang").agg(sum("w").as("tw"))
+      .as[(String, Long)].collect().toMap
+    taken.foreach { case (s, tw) =>
+      assert(tw <= budgets(s) && tw > budgets(s) - 16, s"$s -> $tw vs ${budgets(s)}")
+    }
+    assert(out.exceptAll(docs).isEmpty)
+    val again = Sampling.unimaxMix(docs, "doc_id", "w", "lang", 1200L, 500000L, salt = "u")
+    assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
+  }
+
   test("keywordSearch ranks by the exact rational tf-idf and drops zero-score docs") {
     import graft.functions.TextFunctions
     val docs = Seq(

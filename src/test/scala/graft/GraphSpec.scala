@@ -14,6 +14,31 @@ class GraphSpec extends SparkSpec {
     assert(e == Set((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)))
   }
 
+  test("labelPropagation splits bridged cliques into two communities; CC would merge them") {
+    // two triangles bridged by 3-4: one connected component, but LPA
+    // at 4 synchronous min-tie rounds lands A={1,2,3}->1, B={4,5,6}->3
+    // (hand-traced round by round; the oracle SQL replays the same)
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L)).toDF("a", "b")
+    val got = Graph.labelPropagation(Graph.symmetrize(pairs, "a", "b"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 3L, 5L -> 3L, 6L -> 3L))
+    // deterministic: re-run is identical
+    val again = Graph.labelPropagation(Graph.symmetrize(pairs, "a", "b"))
+      .as[(Long, Long)].collect().toMap
+    assert(again == got)
+  }
+
+  test("labelPropagation: a node with no in-edges keeps its own label") {
+    // directed-only input (not symmetrized): 7 votes for 8, nobody
+    // votes for 7
+    val e = Seq((7L, 8L)).toDF("src", "dst")
+    val got = Graph.labelPropagation(e, iterations = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(7L -> 7L, 8L -> 7L))
+  }
+
   test("triangleCounts: K4 + pendant triangle + star, duplicate-input-proof") {
     // K4 on 1-4 (4 triangles), pendant triangle 4-5-6, star at 10
     val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)

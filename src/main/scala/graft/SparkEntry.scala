@@ -536,6 +536,38 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_sessions"))
   }
 
+  /** Last-touch conversion attribution: every purchase is credited to
+    * the most recent preceding click/view by the same user within a
+    * 24-hour lookback — the standard marketing-attribution primitive.
+    * One running last-non-null window per carried column over ONE
+    * (user, ts, tie) ordering: the three carried columns share the
+    * same null pattern, so their last-non-null values always come from
+    * the same touch row — no join back, no struct. Purchases with no
+    * in-window touch are dropped (direct conversions). One shuffle by
+    * user; narrow columns only. */
+  private def attribution(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts").cast("timestamp")).as("ts_us"))
+    val touch = col("event_type") === "click" || col("event_type") === "view"
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev
+      .withColumn("touch_event_id",
+        last(when(touch, col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("touch_type",
+        last(when(touch, col("event_type")), ignoreNulls = true).over(w))
+      .withColumn("touch_us",
+        last(when(touch, col("ts_us")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase" && col("touch_us").isNotNull &&
+        col("ts_us") - col("touch_us") <= 24L * 3600L * 1000000L)
+      .select(col("event_id").as("purchase_event_id"), col("user_id"),
+        col("touch_event_id"), col("touch_type"),
+        (col("ts_us") - col("touch_us")).as("gap_us"))
+  }
+
   /** Clickstream path analysis: the top-20 session event-type
     * sequences. The per-session collect is bounded by session length
     * and sorted explicitly on (ts, event_id) before joining, so the
@@ -2427,6 +2459,39 @@ object SparkEntry {
     TxnLog.read(spark, root).select("doc_id", "source", "n_chars")
   }
 
+  /** Manifest data-skipping under the oracle
+    * ([[graft.sources.TxnLog.readWhere]] over stats collected by
+    * `collectStats` appends): four disjoint doc_id-quartile commits
+    * model the time-ordered append table; a mid-range read must prove
+    * via `pruneDirs` that exactly the two non-overlapping commit
+    * directories are never opened, then return rows hash-exact with
+    * the plain BETWEEN filter. The conservative laws (stat-blind dirs
+    * and unknown columns never skip) are TxnLogSpec's rows. */
+  private def txnlogSkipping(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.TxnLog
+    val root = tmpArtifactRoot("txnskip", dir)
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    // quartile width from the data (one bounded single-row collect so
+    // the commit ranges scale with the SF), floor division both engines
+    val q = (docs.agg(max("doc_id")).head.getLong(0) + 1) / 4
+    if (TxnLog.latestVersion(spark, root) < 3L) {
+      TxnLog.overwrite(docs.filter(col("doc_id") < q), root,
+        Some("q0"), collectStats = true)
+      (1 to 3).foreach { i =>
+        val hiB = if (i == 3) Long.MaxValue else (i + 1) * q
+        TxnLog.append(docs.filter(col("doc_id") >= i * q && col("doc_id") < hiB),
+          root, Some(s"q$i"), collectStats = true); ()
+      }
+    }
+    val (lo, hi) = (q + q / 2, 2 * q + q / 2) // overlaps quartiles 1 and 2 only
+    val (_, skip, snap) = TxnLog.pruneDirs(spark, root, "doc_id", lo, hi)
+    require(snap.size == 4 && skip.size == 2,
+      s"stats should prune exactly the 2 disjoint quartiles: snap=$snap skip=$skip")
+    TxnLog.readWhere(spark, root, "doc_id", lo, hi)
+      .select("doc_id", "source", "n_chars")
+  }
+
   /** Right-to-be-forgotten propagation under the oracle
     * ([[graft.operators.Forget.forget]]): an erasure request for ten
     * ids runs against three txn-log tables — the two-commit corpus,
@@ -2869,6 +2934,7 @@ object SparkEntry {
     "txnlog_delete" -> (txnlogDelete(_, _)),
     "txnlog_merge" -> (txnlogMerge(_, _)),
     "txnlog_compact" -> (txnlogCompact(_, _)),
+    "txnlog_skipping" -> (txnlogSkipping(_, _)),
     "forget_docs" -> (forgetDocs(_, _)),
     "dataset_release" -> (datasetRelease(_, _)),
     "mv_merge" -> (mvMerge(_, _)),
@@ -2959,6 +3025,7 @@ object SparkEntry {
     "distinct_sketch_incremental" -> (distinctSketchIncremental(_, _)),
     "event_pairs" -> (eventPairs(_, _)),
     "session_paths" -> (sessionPaths(_, _)),
+    "attribution" -> (attribution(_, _)),
     // first-order Markov transition counts + fixed-point row
     // probabilities over in-session consecutive event pairs
     "transition_matrix" -> (transitionMatrix(_, _)),
@@ -3118,6 +3185,25 @@ object SparkEntry {
               .select("doc_a", "doc_b"),
             "doc_a", "doc_b"))
         .select(col("id").as("doc_id"), col("rank_micro"))),
+    // unicode NFC canonicalization via the native codegen'd
+    // expression: a decomposed suffix (e + combining acute) is
+    // appended so the normalization provably composes it — lengths
+    // shrink by exactly one codepoint per doc
+    "text_nfc" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          concat(col("text"), lit(" cafe\u0301")).as("__raw"))
+        .select(col("doc_id"),
+          graft.expressions.NfcNormalize.nfcNormalize(col("__raw")).as("text_nfc"),
+          length(col("__raw")).cast("bigint").as("len_raw"))
+        .withColumn("len_nfc", length(col("text_nfc")).cast("bigint"))),
+    // exact-phrase search: positional query over the token stream,
+    // computed as a map-side shingle-equality count (zero exchanges) —
+    // the oracle replays the posting-list positional self-join
+    "phrase_search" -> ((s, d) =>
+      graft.functions.TextFunctions.phraseSearch(
+          Tables.documents(s, d), Seq("table", "part"))
+        .orderBy("doc_id")),
     // synchronous label propagation over the same near-dup graph:
     // communities, not components — a hub bridging two boilerplate
     // families stays a bridge; 4 deterministic min-tie rounds
@@ -3167,6 +3253,24 @@ object SparkEntry {
       graft.operators.TimeSeries.gaps(
         Tables.events(s, d), "user_id", "ts", "event_id",
         minGapMicros = 3600L * 1000000L)),
+    // anomaly persistence: longest consecutive run of >= 50.00 events
+    // per user (gaps-and-islands; row-number difference, struct-max
+    // argmax winner, ties to the earliest streak)
+    "events_streaks" -> ((s, d) =>
+      graft.operators.TimeSeries.streaks(
+          Tables.events(s, d), "user_id", "ts", "event_id",
+          col("value") >= 50.0)
+        .orderBy("user_id")),
+    // per-user drift alarms: one-sided CUSUM in integer cents against
+    // a 55.00 reference, alarm at 400.00 of accumulated excess — the
+    // sequential recurrence runs as two cumulative windows (prefix-sum
+    // identity), one shuffle by user
+    "events_cusum" -> ((s, d) =>
+      graft.operators.TimeSeries.cusum(
+          Tables.events(s, d), "user_id", "ts", "event_id",
+          valueCents = round(col("value") * 100).cast("long"),
+          refCents = 5500L, thresholdCents = 40000L)
+        .orderBy("user_id", "event_id")),
     // watermark tuning report: per event-time hour, what a 30-minute
     // watermark replayed in arrival (event_id) order would drop as
     // late — two-phase sharded prefix max, never a global sort
@@ -3831,6 +3935,28 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "pagerank_neardup" -> pagerankSql(5),
     "label_prop" -> labelPropSql(4),
+    // DuckDB ships nfc_normalize natively; both engines implement
+    // Unicode canonical composition, so the bytes match exactly and
+    // the length drop (one codepoint per doc) proves it actually fired
+    "text_nfc" ->
+      """WITH r AS (
+        |  SELECT doc_id, text || ' caf' || 'e' || chr(769) AS raw FROM documents)
+        |SELECT doc_id, nfc_normalize(raw) AS text_nfc,
+        |  CAST(length(raw) AS BIGINT) AS len_raw,
+        |  CAST(length(nfc_normalize(raw)) AS BIGINT) AS len_nfc
+        |FROM r""".stripMargin,
+    // positional self-join replay of the map-side shingle counter:
+    // adjacent-position tokens must equal the phrase, overlaps count
+    "phrase_search" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok,
+        |    generate_subscripts(string_split_regex(trim(lower(text)), '\s+'), 1) AS pos
+        |  FROM documents)
+        |SELECT t1.doc_id, CAST(count(*) AS BIGINT) AS n_matches
+        |FROM tok t1 JOIN tok t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+        |WHERE t1.tok = 'table' AND t2.tok = 'part'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q1_agg" ->
       s"""${TaxiShape.stagingSql}
          |SELECT year, month, dow, service_type, count(*) AS n_trips,
@@ -4347,6 +4473,25 @@ object SparkEntry {
         |  FROM s GROUP BY 1, 2)
         |SELECT path, count(*) AS n_sessions FROM p
         |GROUP BY 1 ORDER BY n_sessions DESC, path ASC LIMIT 20""".stripMargin,
+    // last-touch replay: running last_value IGNORE NULLS per carried
+    // column over the same (ts, event_id) ordering — identical null
+    // pattern means all three come from the same touch row
+    "attribution" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |t AS (
+        |  SELECT user_id, event_id, event_type, ts_us,
+        |    last_value(CASE WHEN event_type IN ('click','view') THEN event_id END IGNORE NULLS) OVER w AS touch_event_id,
+        |    last_value(CASE WHEN event_type IN ('click','view') THEN event_type END IGNORE NULLS) OVER w AS touch_type,
+        |    last_value(CASE WHEN event_type IN ('click','view') THEN ts_us END IGNORE NULLS) OVER w AS touch_us
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_id AS purchase_event_id, user_id, touch_event_id,
+        |  touch_type, ts_us - touch_us AS gap_us
+        |FROM t
+        |WHERE event_type = 'purchase' AND touch_us IS NOT NULL
+        |  AND ts_us - touch_us <= 86400000000""".stripMargin,
     // same gap-sessionization CTEs as session_paths, then LAG within
     // the session and exact fixed-point row normalization
     "transition_matrix" ->
@@ -5153,6 +5298,50 @@ object SparkEntry {
         |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
         |SELECT user_id, prev_event_id, event_id, ts_us - prev_us AS gap_us
         |FROM l WHERE ts_us - prev_us > 3600000000""".stripMargin,
+    // islands replay: rank-difference grouping; within an island the
+    // (ts, event_id) order IS the rn order, so arg_min/arg_max on rn
+    // pick the engine's struct-min start and struct-max end exactly
+    "events_streaks" ->
+      """WITH b AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS rn
+        |  FROM events),
+        |h AS (
+        |  SELECT user_id, event_id, ts_us, rn,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS rh
+        |  FROM b WHERE value >= 50),
+        |i AS (
+        |  SELECT user_id, rn - rh AS grp,
+        |    CAST(count(*) AS BIGINT) AS streak_len,
+        |    MIN(ts_us) AS s_us,
+        |    arg_min(event_id, rn) AS start_event_id,
+        |    arg_max(event_id, rn) AS end_event_id
+        |  FROM h GROUP BY 1, 2)
+        |SELECT user_id, streak_len, start_event_id, end_event_id
+        |FROM i
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+        |  ORDER BY streak_len DESC, s_us ASC, start_event_id ASC) = 1
+        |ORDER BY user_id""".stripMargin,
+    // CUSUM replay: S_i = P_i - min(0, running min of P); both windows
+    // MUST share the (ts, event_id) ordering — an event_id-only min
+    // would silently assume arrival order == time
+    "events_cusum" ->
+      """WITH x AS (
+        |  SELECT user_id, ts, event_id,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) - 5500 AS d
+        |  FROM events),
+        |p AS (
+        |  SELECT user_id, ts, event_id,
+        |    SUM(d) OVER w AS pp
+        |  FROM x WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |s AS (
+        |  SELECT user_id, event_id,
+        |    pp - LEAST(0, MIN(pp) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS cusum
+        |  FROM p)
+        |SELECT user_id, event_id, CAST(cusum AS BIGINT) AS cusum FROM s
+        |WHERE cusum >= 40000 ORDER BY user_id, event_id""".stripMargin,
     "ngram_counts" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |g AS (SELECT toks[u.i] || ' ' || toks[u.i+1] || ' ' || toks[u.i+2] AS shingle
@@ -6087,6 +6276,13 @@ object SparkEntry {
     // minus the deleted residue, not one row moved or duplicated
     "txnlog_compact" ->
       "SELECT doc_id, source, n_chars FROM documents WHERE doc_id % 10 <> 3",
+    // data skipping never changes the answer: the pruned read equals
+    // the plain BETWEEN over the same quartile arithmetic
+    "txnlog_skipping" ->
+      """WITH m AS (SELECT (MAX(doc_id) + 1) // 4 AS q FROM documents)
+        |SELECT doc_id, source, n_chars FROM documents
+        |WHERE doc_id BETWEEN (SELECT q + q // 2 FROM m)
+        |                 AND (SELECT 2 * q + q // 2 FROM m)""".stripMargin,
     // release 0 keeps reporting the pre-growth cut forever — the
     // reproducibility claim, replayed as the four known slices
     "dataset_release" ->

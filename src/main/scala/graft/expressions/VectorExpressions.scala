@@ -154,6 +154,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     injectColumnFn(e, "url_host", 1)(cs => UrlFunctions.urlHost(cs.head))
     injectColumnFn(e, "registered_domain", 1)(cs => UrlFunctions.registeredDomain(cs.head))
     injectColumnFn(e, "lang_id", 1)(cs => TextFunctions.langId(cs.head))
+    injectColumnFn(e, "nfc_normalize", 1)(cs => NfcNormalize.nfcNormalize(cs.head))
     injectColumnFn(e, "ws_token_count", 1)(cs => TextFunctions.wsTokenCount(cs.head))
     injectColumnFn(e, "rolling_hash", 1)(cs => TextFunctions.rollingHash(cs.head))
     injectColumnFn(e, "doc_fingerprint", 1)(cs => TextFunctions.fingerprint(cs.head))

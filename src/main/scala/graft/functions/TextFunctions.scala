@@ -40,6 +40,35 @@ object TextFunctions {
   /** Distinct shingle set (for Jaccard/MinHash). */
   def shingleSet(text: Column, n: Int = 3): Column = array_distinct(shingles(text, n))
 
+  /** Exact-phrase occurrence count: how many token positions start the
+    * consecutive sequence `phrase` (overlapping occurrences each
+    * count — "a a a" holds TWO "a a"). A phrase match is precisely a
+    * length-m shingle equal to the space-joined phrase, so this reuses
+    * [[shingles]] verbatim: tokens cannot contain whitespace, making
+    * the join-by-space unambiguous. Pure scan→project — no explode, no
+    * window, no exchange; the positional self-join a posting-list
+    * engine would do is replayed only in the ORACLE. */
+  def phraseMatches(text: Column, phrase: Seq[String]): Column = {
+    require(phrase.nonEmpty, "phrase must have at least one term")
+    require(phrase.forall(t => t.nonEmpty && !t.exists(_.isWhitespace)),
+      s"phrase terms must be non-empty single tokens, got $phrase")
+    size(filter(shingles(text, phrase.length),
+      s => s === lit(phrase.mkString(" ")))).cast("bigint")
+  }
+
+  /** Exact phrase search over a corpus: (id, n_matches) for every
+    * document containing the phrase at least once — the positional
+    * query BM25's bag-of-words postings cannot answer.
+    *
+    * Scale shape: one pass, map-side only (the match counter is a
+    * per-row expression over the token array); the only data movement
+    * is whatever the caller does with the result. */
+  def phraseSearch(docs: DataFrame, phrase: Seq[String],
+                   idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame =
+    docs.select(col(idCol), phraseMatches(col(textCol), phrase).as("n_matches"))
+      .filter(col("n_matches") > 0)
+
   /** Whitespace token count. */
   def wsTokenCount(text: Column): Column = size(tokens(text)).cast("bigint")
 

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -96,6 +96,81 @@ object TimeSeries {
       .filter(col("__ts_us") - col("__prev_us") > minGapMicros)
       .select(col(keyCol), col("__prev_tie").as("prev_" + tieCol),
         col(tieCol), (col("__ts_us") - col("__prev_us")).as("gap_us"))
+  }
+
+  /** One-sided CUSUM change-point detection (Page 1954) per key — the
+    * classic drift alarm for a metric stream: the statistic
+    * S_i = max(0, S_{i−1} + (x_i − ref)) accumulates excess over the
+    * reference level and resets on deficit; an alarm fires where
+    * S_i ≥ threshold. Everything is integer (the caller passes a
+    * scaled-integer value column, e.g. cents), so alarms are
+    * bit-identical across engines.
+    *
+    * The recurrence looks inherently sequential, but it has a closed
+    * prefix form: with P_i the running sum of (x_i − ref) and P_0 = 0,
+    * S_i = P_i − min(0, min_{j≤i} P_j). Two cumulative windows over
+    * the SAME (key, ts, tie) ordering — one shuffle by key, no
+    * iteration, no driver state — replace the loop; this is what makes
+    * CUSUM runnable over 100 TB of events as a plain window query.
+    * Equal timestamps are ordered by `tieCol` for a deterministic
+    * prefix. Returns the alarm rows only:
+    * (key, tie, cusum), cusum ≥ threshold. */
+  def cusum(df: DataFrame, keyCol: String, tsCol: String, tieCol: String,
+            valueCents: Column, refCents: Long,
+            thresholdCents: Long): DataFrame = {
+    require(thresholdCents > 0, s"need thresholdCents > 0, got $thresholdCents")
+    val wCum = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(keyCol), col(tsCol), col(tieCol),
+        (valueCents - refCents).as("__d"))
+      .withColumn("__p", sum(col("__d")).over(wCum))
+      .withColumn("__cusum",
+        col("__p") - least(lit(0L), min(col("__p")).over(wCum)))
+      .filter(col("__cusum") >= thresholdCents)
+      .select(col(keyCol), col(tieCol), col("__cusum").as("cusum"))
+  }
+
+  /** Longest streak per key — gaps-and-islands: the maximal run of
+    * CONSECUTIVE events (in (ts, tie) order) satisfying `cond`, the
+    * "how long did the anomaly persist" complement of [[cusum]]'s
+    * "when did it start". Islands form from the row-number difference
+    * (rank among all events − rank among matching events is constant
+    * exactly within a consecutive matching run); per-island length and
+    * endpoints aggregate in one pass, and the per-key winner is a
+    * struct-max argmax ordered (length, earliest start) — longer wins,
+    * ties go to the earliest streak, fully deterministic.
+    *
+    * Scale shape: two windows over the SAME (key, ts, tie) ordering —
+    * one shuffle by key — then two narrow hash-aggs; no iteration, no
+    * rank window over anything wider than (key, island). Returns
+    * (key, streak_len, start_<tie>, end_<tie>) for keys with ≥1
+    * matching event. */
+  def streaks(df: DataFrame, keyCol: String, tsCol: String, tieCol: String,
+              cond: Column): DataFrame = {
+    val wOrd = Window.partitionBy(col(keyCol))
+      .orderBy(col("__ts_us"), col(tieCol))
+    val hits = df
+      .withColumn("__ts_us", unix_micros(col(tsCol).cast("timestamp")))
+      .withColumn("__rn", row_number().over(wOrd))
+      .filter(cond)
+      .withColumn("__rh", row_number().over(wOrd))
+      .withColumn("__grp", col("__rn") - col("__rh"))
+    val islands = hits.groupBy(col(keyCol), col("__grp")).agg(
+      count(lit(1)).as("__len"),
+      min(struct(col("__ts_us"), col(tieCol))).as("__s"),
+      max(struct(col("__ts_us"), col(tieCol))).as("__e"))
+    // argmax by (len, earliest start): starts are distinct within a
+    // key, so the first three struct fields order totally; the end tie
+    // rides along for extraction
+    islands.groupBy(col(keyCol)).agg(
+        max(struct(col("__len"),
+          (-col("__s.__ts_us")).as("__nts"),
+          (-col(s"__s.$tieCol")).as("__ntie"),
+          col(s"__e.$tieCol").as("__etie"))).as("__m"))
+      .select(col(keyCol), col("__m.__len").as("streak_len"),
+        (-col("__m.__ntie")).as(s"start_$tieCol"),
+        col("__m.__etie").as(s"end_$tieCol"))
   }
 
   /** SCD Type 2 from a change log: collapse consecutive identical

@@ -36,18 +36,32 @@ import org.apache.spark.sql.functions.{coalesce, col, count, lit, not}
   * listing is per commit directory, never a full-table scan), readers
   * plan directly on the manifest's directory list (partition pruning
   * and predicate pushdown inside each directory still apply), and the
-  * commit point is one filesystem metadata operation. This is the same
-  * shape Delta/Iceberg use; what is deliberately NOT here: multi-table
-  * transactions, column-level stats in the manifest, and compaction
-  * (use [[Sinks.parquetWithBloom]]-style rewrites + `overwrite`).
+  * commit point is one filesystem metadata operation. Opt-in
+  * column-level [min, max] stats per committed directory
+  * (`collectStats`) feed [[readWhere]] dir skipping — the
+  * Delta/Iceberg data-skipping shape, at commit-dir granularity.
+  * Multi-table transactions live one level up in
+  * [[TxnCatalog]]; what is deliberately NOT here: cross-table
+  * atomicity of source writes (publish after the multi-table load).
   */
 object TxnLog {
 
   private val LogDir = "_graft_log"
   private val MaxRetries = 10
+  /** Manifest stats cover at most this many columns (schema order) —
+    * keeps every manifest a few hundred bytes no matter how wide the
+    * table is. */
+  private val MaxStatCols = 8
 
-  private case class Commit(version: Long, action: String,
-                            dirs: Seq[String], txnId: Option[String])
+  /** Per-column [min, max] of one committed directory, as recorded in
+    * the manifest. `tpe` is "long" or "string" — the two families the
+    * pruner understands; everything else is simply not collected
+    * (dirs stay readable, never skippable, on those columns). */
+  private[graft] case class ColStat(tpe: String, min: String, max: String)
+
+  private[graft] case class Commit(version: Long, action: String,
+                                   dirs: Seq[String], txnId: Option[String],
+                                   stats: Map[String, Map[String, ColStat]] = Map.empty)
 
   /** Overwrite the table with `df` as a new version. Returns the
     * committed version number. A `txnId` already in the log makes the
@@ -55,28 +69,36 @@ object TxnLog {
     * the streaming materialized view depends on this: a replayed
     * micro-batch must not re-merge). */
   def overwrite(df: DataFrame, root: String, txnId: Option[String] = None,
-                partitionBy: Seq[String] = Nil): Long = {
+                partitionBy: Seq[String] = Nil,
+                collectStats: Boolean = false): Long = {
     txnId.foreach { id =>
       history(df.sparkSession, root).find(_.txnId.contains(id)) match {
         case Some(c) => return c.version
         case None =>
       }
     }
-    commit(df, root, "overwrite", txnId, partitionBy = partitionBy)
+    commit(df, root, "overwrite", txnId, partitionBy = partitionBy,
+      collectStats = collectStats)
   }
 
   /** Append `df` as a new version. If `txnId` is given and already
     * committed, the append is a no-op returning the existing version
-    * that carried it (idempotent retry). */
+    * that carried it (idempotent retry). `collectStats = true` records
+    * per-column [min, max] of the new directory in the manifest for
+    * [[readWhere]] dir skipping — one extra narrow agg job over the
+    * JUST-WRITTEN directory (never the table), opt-in so stat-blind
+    * tables pay zero extra barriers. */
   def append(df: DataFrame, root: String, txnId: Option[String] = None,
-             partitionBy: Seq[String] = Nil): Long = {
+             partitionBy: Seq[String] = Nil,
+             collectStats: Boolean = false): Long = {
     txnId.foreach { id =>
       history(df.sparkSession, root).find(_.txnId.contains(id)) match {
         case Some(c) => return c.version
         case None =>
       }
     }
-    commit(df, root, "append", txnId, partitionBy = partitionBy)
+    commit(df, root, "append", txnId, partitionBy = partitionBy,
+      collectStats = collectStats)
   }
 
   /** Read the table at `asOf` (defaults to the latest version).
@@ -412,7 +434,8 @@ object TxnLog {
                             txnId: Option[String],
                             expectedLatest: Option[Long] = None,
                             partitionBy: Seq[String] = Nil,
-                            replaceBase: Option[Seq[String]] = None): Long = {
+                            replaceBase: Option[Seq[String]] = None,
+                            collectStats: Boolean = false): Long = {
     val spark = df.sparkSession
     val fs = fileSystem(spark, root)
     val dir = java.util.UUID.randomUUID.toString
@@ -426,6 +449,11 @@ object TxnLog {
     val w = df.write
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(s"$root/data/$dir")
+    // stats are read back from the WRITTEN directory, not the input
+    // frame — the manifest certifies what is on disk (the LayoutCache
+    // discipline), and the read-back picks up partition columns too
+    val newStats =
+      if (collectStats) dirStats(spark, s"$root/data/$dir") else Map.empty[String, ColStat]
     var attempt = 0
     while (attempt < MaxRetries) {
       val commits = history(spark, root)
@@ -456,11 +484,104 @@ object TxnLog {
         // reference, the freshly written dir replaces the affected set
         case "replace"   => replaceBase.get :+ dir
       }
-      if (tryPublish(fs, root, Commit(version, action, dirs, txnId))) return version
+      // manifests stay self-contained: carry forward the retained
+      // dirs' stats from the previous manifest, add the new dir's
+      val carried = commits.lastOption.map(_.stats).getOrElse(Map.empty)
+        .filter { case (d, _) => dirs.contains(d) }
+      val stats =
+        if (newStats.nonEmpty) carried + (dir -> newStats) else carried
+      if (tryPublish(fs, root, Commit(version, action, dirs, txnId, stats)))
+        return version
       attempt += 1 // lost the race: someone else took this version
     }
     throw new IllegalStateException(
       s"TxnLog: lost $MaxRetries consecutive commit races on $root — giving up")
+  }
+
+  /** Per-column [min, max] of one freshly committed directory — the
+    * column-level manifest stats Delta/Iceberg carry, collected for up
+    * to [[MaxStatCols]] integral/string columns (schema order; other
+    * types are not collected — conservative, never wrong). All-null
+    * columns are omitted (no usable range). One narrow agg over the
+    * new directory only. */
+  private def dirStats(spark: SparkSession, path: String): Map[String, ColStat] = {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.functions.{max => smax, min => smin}
+    val df = spark.read.parquet(path)
+    val statCols = df.schema.fields.filter(f => f.dataType match {
+      case LongType | IntegerType | ShortType | ByteType | StringType => true
+      case _ => false
+    }).take(MaxStatCols)
+    if (statCols.isEmpty) return Map.empty
+    val aggs = statCols.toSeq.flatMap(f => Seq(
+      smin(df.col(f.name)).cast("string").as(s"__mn_${f.name}"),
+      smax(df.col(f.name)).cast("string").as(s"__mx_${f.name}")))
+    val row = df.agg(aggs.head, aggs.tail: _*).head
+    statCols.flatMap { f =>
+      val mn = row.getAs[String](s"__mn_${f.name}")
+      val mx = row.getAs[String](s"__mx_${f.name}")
+      if (mn == null || mx == null) None
+      else Some(f.name -> ColStat(
+        if (f.dataType == StringType) "string" else "long", mn, mx))
+    }.toMap
+  }
+
+  /** Data-skipping read: `read(...).filter(column BETWEEN lo AND hi)`,
+    * but commit directories whose manifest stats PROVE no row can
+    * match are never opened — no footer reads, no file listings. The
+    * manifest is the index (the Delta/Iceberg shape): on a 100 TB
+    * append table written in time order, a time-range query opens only
+    * the matching commits' directories. Conservative on every gap: a
+    * dir committed without `collectStats`, a column outside the
+    * stats set, or a type mismatch keeps the dir; the exact predicate
+    * is always re-applied, so stats can cost time, never correctness.
+    * `lo`/`hi` are a Long (for integral stat columns) or String pair.
+    * Zero surviving dirs still returns the table's schema (one dir is
+    * opened under an always-false filter). */
+  def readWhere(spark: SparkSession, root: String, column: String,
+                lo: Any, hi: Any, asOf: Option[Long] = None): DataFrame = {
+    val (survivors, _, snap) = pruneDirs(spark, root, column, lo, hi, asOf)
+    require(snap.nonEmpty, s"TxnLog table at $root has no data at version ${asOf.getOrElse("latest")}")
+    val predicate = col(column) >= lit(lo) && col(column) <= lit(hi)
+    if (survivors.isEmpty)
+      spark.read.parquet(s"$root/data/${snap.head}").filter(lit(false))
+    else
+      survivors.map(d => spark.read.parquet(s"$root/data/$d"))
+        .reduce(_.unionByName(_, allowMissingColumns = true))
+        .filter(predicate)
+  }
+
+  /** The pruning census behind [[readWhere]]: (survivors, skipped,
+    * full snapshot). Exposed for specs and skipping reports. */
+  private[graft] def pruneDirs(spark: SparkSession, root: String, column: String,
+                               lo: Any, hi: Any,
+                               asOf: Option[Long] = None): (Seq[String], Seq[String], Seq[String]) = {
+    val commits = history(spark, root)
+    val v = asOf.getOrElse(commits.lastOption.map(_.version).getOrElse(-1L))
+    require(asOf.isEmpty || commits.exists(_.version == v),
+      s"TxnLog: version $v does not exist at $root (vacuumed or never written); " +
+        s"available: ${commits.map(_.version).mkString(",")}")
+    val manifest = commits.filter(_.version <= v).lastOption
+    val snap = manifest.map(_.dirs).getOrElse(Seq.empty)
+    val stats = manifest.map(_.stats).getOrElse(Map.empty)
+    val (keep, skip) = snap.partition(d =>
+      mayContain(stats.get(d).flatMap(_.get(column)), lo, hi))
+    (keep, skip, snap)
+  }
+
+  /** Can a dir with these stats contain a value in [lo, hi]? Missing
+    * stats or a type mismatch → yes (conservative). */
+  private def mayContain(st: Option[ColStat], lo: Any, hi: Any): Boolean = st match {
+    case Some(ColStat("long", mn, mx)) => (lo, hi) match {
+      case (l: Number, h: Number) =>
+        mx.toLong >= l.longValue && mn.toLong <= h.longValue
+      case _ => true
+    }
+    case Some(ColStat("string", mn, mx)) => (lo, hi) match {
+      case (l: String, h: String) => mx >= l && mn <= h
+      case _ => true
+    }
+    case _ => true
   }
 
   /** The commit point: create-exclusive on the manifest path. */
@@ -553,10 +674,19 @@ object TxnLog {
     new Path(f"$root/$LogDir/$version%020d.json")
 
   private def render(c: Commit): String = {
+    import org.json4s._
     import org.json4s.JsonDSL._
     import org.json4s.jackson.JsonMethods
-    val j = ("version" -> c.version) ~ ("action" -> c.action) ~
+    val base = ("version" -> c.version) ~ ("action" -> c.action) ~
       ("dirs" -> c.dirs) ~ ("txn_id" -> c.txnId)
+    val j =
+      if (c.stats.isEmpty) base
+      else base ~ ("stats" -> JObject(c.stats.toList.sortBy(_._1).map {
+        case (d, cols) => d -> (JObject(cols.toList.sortBy(_._1).map {
+          case (cn, s) =>
+            cn -> (("t" -> s.tpe) ~ ("min" -> s.min) ~ ("max" -> s.max) : JValue)
+        }) : JValue)
+      }))
     JsonMethods.compact(JsonMethods.render(j))
   }
 
@@ -573,7 +703,23 @@ object TxnLog {
       case JArray(xs) => xs.map(str); case _ => Seq.empty
     }
     val txn = j \ "txn_id" match { case JString(s) => Some(s); case _ => None }
-    Commit(version, str(j \ "action"), dirs, txn)
+    // absent in pre-stats manifests: readers stay conservative
+    val stats = j \ "stats" match {
+      case JObject(ds) => ds.map { case (d, cols) =>
+        d -> (cols match {
+          case JObject(cs) => cs.flatMap { case (cn, sv) =>
+            (sv \ "t", sv \ "min", sv \ "max") match {
+              case (JString(t), JString(mn), JString(mx)) =>
+                Some(cn -> ColStat(t, mn, mx))
+              case _ => None
+            }
+          }.toMap
+          case _ => Map.empty[String, ColStat]
+        })
+      }.toMap
+      case _ => Map.empty[String, Map[String, ColStat]]
+    }
+    Commit(version, str(j \ "action"), dirs, txn, stats)
   }
 
   private def fileSystem(spark: SparkSession, root: String): FileSystem =

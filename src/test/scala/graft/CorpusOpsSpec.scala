@@ -238,6 +238,31 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
   }
 
+  test("phraseSearch counts overlapping exact-phrase occurrences, zero-match docs absent") {
+    import graft.functions.TextFunctions
+    val docs = Seq(
+      (1L, "the table part hash table part"),  // two occurrences
+      (2L, "a a a"),                           // overlapping: "a a" twice
+      (3L, "table x part"),                    // adjacency broken: no match
+      (4L, "  Table   PART  "),                // case + whitespace normalize
+      (5L, "short")                            // shorter than the phrase
+    ).toDF("doc_id", "text")
+    val got = TextFunctions.phraseSearch(docs, Seq("table", "part"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 2L, 4L -> 1L))
+    val overlaps = TextFunctions.phraseSearch(docs, Seq("a", "a"))
+      .as[(Long, Long)].collect().toMap
+    assert(overlaps == Map(2L -> 2L))
+    // single-term phrase degrades to a term-frequency filter
+    val single = TextFunctions.phraseSearch(docs, Seq("table"))
+      .as[(Long, Long)].collect().toMap
+    assert(single == Map(1L -> 2L, 3L -> 1L, 4L -> 1L))
+    intercept[IllegalArgumentException] {
+      TextFunctions.phraseSearch(docs, Seq("two words"))
+    }
+    ()
+  }
+
   test("keywordSearch ranks by the exact rational tf-idf and drops zero-score docs") {
     import graft.functions.TextFunctions
     val docs = Seq(

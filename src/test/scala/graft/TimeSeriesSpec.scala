@@ -11,6 +11,63 @@ class TimeSeriesSpec extends SparkSpec {
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
+  test("streaks finds the longest run per key, ties to the earliest, no-hit keys absent") {
+    def mk(user: Long, vals: Seq[Long]) = vals.zipWithIndex.map { case (v, i) =>
+      (user, ts(f"2024-01-01 00:${i}%02d:00"), i.toLong, v)
+    }
+    // user 1: runs [1,2] [4,5,6] [8] -> longest len 3 at events 4..6
+    // user 2: three len-1 runs -> tie broken to the earliest (event 0)
+    // user 3: no hits -> absent
+    val df = (mk(1L, Seq(5, 12, 15, 3, 20, 30, 40, 7, 50)) ++
+      mk(2L, Seq(12, 3, 15, 2, 20)) ++ mk(3L, Seq(1, 2, 3)))
+      .toDF("user_id", "ts", "event_id", "v")
+    val got = TimeSeries.streaks(df, "user_id", "ts", "event_id", col("v") >= 10L)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 3L, 4L, 6L), (2L, 1L, 0L, 0L)))
+    // a run spanning the whole key
+    val all = TimeSeries.streaks(mk(7L, Seq(11, 12, 13)).toDF("user_id", "ts", "event_id", "v"),
+      "user_id", "ts", "event_id", col("v") >= 10L)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(all == Set((7L, 3L, 0L, 2L)))
+  }
+
+  test("cusum matches the sequential recurrence and resets at zero") {
+    // hand-traced: ref=10, x=[12,18,5,30,2,40] -> d=[2,8,-5,20,-8,30],
+    // S=[2,10,5,25,17,47]; threshold 25 alarms events 4 and 6
+    val rows = Seq(12L, 18L, 5L, 30L, 2L, 40L).zipWithIndex.map { case (x, i) =>
+      (1L, ts(f"2024-01-01 00:0$i:00"), i.toLong, x)
+    }
+    val df = rows.toDF("user_id", "ts", "event_id", "cents")
+    val got = TimeSeries.cusum(df, "user_id", "ts", "event_id",
+        valueCents = col("cents"), refCents = 10L, thresholdCents = 25L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 3L, 25L), (1L, 5L, 47L)))
+    // reset law: a deep deficit never goes negative, later excess
+    // starts from zero — x=[1,1,50], ref=10 -> S=[0,0,40]
+    val df2 = Seq((2L, ts("2024-01-01 01:00:00"), 0L, 1L),
+      (2L, ts("2024-01-01 01:01:00"), 1L, 1L),
+      (2L, ts("2024-01-01 01:02:00"), 2L, 50L)).toDF("user_id", "ts", "event_id", "cents")
+    val got2 = TimeSeries.cusum(df2, "user_id", "ts", "event_id",
+        col("cents"), refCents = 10L, thresholdCents = 30L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got2 == Set((2L, 2L, 40L)))
+    // property: prefix form == sequential recurrence on a pseudo-random
+    // stream (deterministic generator), every event, threshold 0+1
+    val xs = (0 until 200).map(i => (i * 37 % 23).toLong)
+    val ref = 11L
+    var s = 0L
+    val want = xs.zipWithIndex.map { case (x, i) =>
+      s = math.max(0L, s + (x - ref)); (3L, i.toLong, s)
+    }.filter(_._3 >= 1L).toSet
+    val df3 = xs.zipWithIndex.map { case (x, i) =>
+      (3L, ts(f"2024-01-01 ${i / 60 + 2}%02d:${i % 60}%02d:00"), i.toLong, x)
+    }.toDF("user_id", "ts", "event_id", "cents")
+    val got3 = TimeSeries.cusum(df3, "user_id", "ts", "event_id",
+        col("cents"), ref, thresholdCents = 1L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got3 == want)
+  }
+
   test("resampleFfill fills gaps with carried-forward sums and flags them") {
     val df = Seq(
       (1L, ts("2024-01-01 00:10:00"), 5.0),

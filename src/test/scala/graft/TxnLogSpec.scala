@@ -450,6 +450,58 @@ class TxnLogSpec extends SparkSpec {
     ()
   }
 
+  test("readWhere skips exactly the range-disjoint dirs and matches read().filter") {
+    import org.apache.spark.sql.functions.col
+    val root = Files.createTempDirectory("graft_txn").toString + "/t"
+    // four disjoint id-range commits, stats on
+    TxnLog.overwrite((0L until 10L).map(i => (i, s"s$i")).toDF("id", "s"),
+      root, collectStats = true)
+    (1 to 3).foreach { b =>
+      TxnLog.append((b * 10L until b * 10L + 10L).map(i => (i, s"s$i")).toDF("id", "s"),
+        root, collectStats = true)
+    }
+    // [12, 25] overlaps commits 1 and 2 only
+    val (keep, skip, snap) = TxnLog.pruneDirs(spark, root, "id", 12L, 25L)
+    assert(snap.size == 4 && keep.size == 2 && skip.size == 2,
+      s"keep=$keep skip=$skip")
+    val got = TxnLog.readWhere(spark, root, "id", 12L, 25L)
+    val want = TxnLog.read(spark, root).filter(col("id") >= 12 && col("id") <= 25)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    assert(got.count() == 14)
+    // string stats prune too
+    val (keepS, _, _) = TxnLog.pruneDirs(spark, root, "s", "s12", "s19")
+    assert(keepS.size < 4)
+    // zero survivors: schema preserved, empty result
+    val none = TxnLog.readWhere(spark, root, "id", 1000L, 2000L)
+    assert(none.count() == 0 && none.columns.toSet == Set("id", "s"))
+    val (k0, s0, _) = TxnLog.pruneDirs(spark, root, "id", 1000L, 2000L)
+    assert(k0.isEmpty && s0.size == 4)
+  }
+
+  test("readWhere is conservative: stat-blind dirs and unknown columns are never skipped") {
+    import org.apache.spark.sql.functions.col
+    val root = Files.createTempDirectory("graft_txn").toString + "/t"
+    TxnLog.overwrite((0L until 10L).map(i => (i, s"s$i")).toDF("id", "s"),
+      root, collectStats = true)
+    // a commit WITHOUT stats: its dir must survive any prune
+    TxnLog.append((10L until 20L).map(i => (i, s"s$i")).toDF("id", "s"), root)
+    val (keep, skip, snap) = TxnLog.pruneDirs(spark, root, "id", 15L, 16L)
+    assert(snap.size == 2 && skip.size == 1 && keep.size == 1) // only the stat'd dir skips
+    val got = TxnLog.readWhere(spark, root, "id", 15L, 16L)
+    assert(got.count() == 2)
+    // a column outside the stats set prunes nothing
+    val (keepU, skipU, _) = TxnLog.pruneDirs(spark, root, "nope", 0L, 1L)
+    assert(skipU.isEmpty && keepU.size == 2)
+    // stats survive carry-forward through a later stat-less append
+    TxnLog.append(Seq((100L, "x")).toDF("id", "s"), root)
+    val (_, skip2, snap2) = TxnLog.pruneDirs(spark, root, "id", 1000L, 2000L)
+    assert(snap2.size == 3 && skip2.size == 1) // the stat'd dir still skips
+    // delete rewrites only affected dirs; the read stays correct
+    TxnLog.delete(spark, root, col("id") === 15L)
+    val after = TxnLog.readWhere(spark, root, "id", 14L, 16L)
+    assert(after.select("id").as[Long].collect().toSet == Set(14L, 16L))
+  }
+
   test("merge rejects ambiguous sources and schema drift") {
     val root = Files.createTempDirectory("graft_txn").toString + "/t"
     TxnLog.overwrite(Seq((1L, "a")).toDF("id", "s"), root)

@@ -8,6 +8,39 @@ import graft.expressions.{GraftExtensions, VectorFunctions}
 class VectorExpressionSpec extends SparkSpec {
   import spark.implicits._
 
+  test("nfcNormalize composes decomposed forms, is idempotent, keeps non-BMP text") {
+    import graft.expressions.NfcNormalize.nfcNormalize
+    val decomposed = "cafe\u0301 A\u030Angstro\u0308m" // e+acute, A+ring, o+diaeresis
+    val composed = "caf\u00e9 \u00c5ngstr\u00f6m"
+    val df = Seq(
+      (1L, decomposed),
+      (2L, composed),            // already NFC: fast path, unchanged
+      (3L, "plain ascii"),
+      (4L, "emoji 😀 stays"), // non-BMP surrogate pair untouched
+      (5L, null.asInstanceOf[String])
+    ).toDF("id", "s")
+    val out = df.select(col("id"), nfcNormalize(col("s")).as("n"))
+      .as[(Long, Option[String])].collect().toMap
+    assert(out(1L).contains(composed))
+    assert(out(2L).contains(composed))
+    assert(out(3L).contains("plain ascii"))
+    assert(out(4L).contains("emoji 😀 stays"))
+    assert(out(5L).isEmpty) // null in, null out
+    // idempotent: normalize twice == once
+    val twice = df.filter(col("s").isNotNull)
+      .select(nfcNormalize(nfcNormalize(col("s"))).as("a"), nfcNormalize(col("s")).as("b"))
+      .collect()
+    twice.foreach(r => assert(r.getString(0) == r.getString(1)))
+    // registered as a SQL function by GraftExtensions
+    df.filter(col("s").isNotNull).createOrReplaceTempView("nfc_in")
+    val viaSql = spark.sql("SELECT id, nfc_normalize(s) AS n FROM nfc_in")
+      .as[(Long, String)].collect().toMap
+    assert(viaSql(1L) == composed)
+    // dedup motivation: fingerprints unify only after normalization
+    assert(decomposed != composed)
+    assert(out(1L) == out(2L))
+  }
+
   test("floatDot matches the built-in HOF fold bit-for-bit") {
     val df = Seq(
       (Array(1.5f, -2.25f, 3.0f), Array(0.5f, 4.0f, -1.0f)),

@@ -2954,6 +2954,19 @@ object SparkEntry {
     "window_topk" -> (windowTopk(_, _)),
     "running_total" -> (runningTotal(_, _)),
     "rollup_agg" -> (rollupAgg(_, _)),
+    // arbitrary GROUPING SETS lattice (the rollup/cube generalization):
+    // the exact set list the caller wants, one shuffle, grouping_id
+    // disambiguates rollup-NULLs from data NULLs
+    "grouping_sets_agg" -> ((s, d) => {
+      val e = Tables.events(s, d)
+        .select(col("event_type"), to_date(col("ts")).as("day"), col("value"))
+      e.groupingSets(
+          Seq(Seq(col("event_type")), Seq(col("event_type"), col("day")), Seq()),
+          col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n"),
+          Exact.dsum(col("value")).as("sum_value"),
+          grouping_id().cast("long").as("gid"))
+    }),
     "asof_join" -> (asofJoin(_, _)),
     "stats_summary" -> (statsSummary(_, _)),
     "lineitem_cov" -> (lineitemCov(_, _)),
@@ -3036,6 +3049,13 @@ object SparkEntry {
     "ngram_novelty" -> ((s, d) =>
       TextFunctions.ngramNovelty(Tables.documents(s, d))),
     "skew_report" -> (skewReport(_, _)),
+    // monitoring -> action: per candidate shuffle key, the salting
+    // verdict and factor at 32-way parallelism (event_type's 5 hot
+    // keys need salting, user_id's 150 balanced keys do not)
+    "skew_advice" -> ((s, d) =>
+      graft.operators.Profiler.skewAdvice(
+          Tables.events(s, d), Seq("user_id", "event_type"), partitions = 32)
+        .orderBy("key_col")),
     // MinHash banding s-curve in exact basis points — the (bands,
     // rows) tuning table for the engine's LSH convention
     "lsh_tuning" -> (lshTuning(_, _)),
@@ -3562,6 +3582,17 @@ object SparkEntry {
     "corpus_export" -> (corpusExport(_, _)),
     "pack_fragmentation" -> (packFragmentation(_, _)),
     "l_diversity" -> (lDiversity(_, _)),
+    // t-closeness census over the same QI/sensitive shape: integer-EMD
+    // distance of each class's value-decile distribution from the
+    // population, every class reported with its pass flag
+    "t_closeness" -> ((s, d) => {
+      val e = Tables.events(s, d).select(
+        col("event_type"), to_date(col("ts")).as("day"),
+        floor(col("value") / 10).cast("long").as("value_decile"))
+      graft.validate.Privacy.tCloseness(
+          e, Seq("event_type", "day"), "value_decile", tMillionths = 100000L)
+        .orderBy("event_type", "day")
+    }),
     "multimodal_features" -> (multimodalFeatures(_, _)),
     "multimodal_frames" -> (multimodalFrames(_, _)),
     // consecutive-frame |luma diff| motion proxy over the REAL Y4M
@@ -4206,6 +4237,15 @@ object SparkEntry {
          |  CAST(GROUPING(year) AS INT) AS g_year,
          |  CAST(GROUPING(month) AS INT) AS g_month
          |FROM staging GROUP BY ROLLUP(year, month)""".stripMargin,
+    // DuckDB GROUPING(a, b) carries Spark's grouping_id bitmask
+    // convention (1 bit per aggregated-away column)
+    "grouping_sets_agg" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, value FROM events)
+        |SELECT event_type, day, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |  CAST(GROUPING(event_type, day) AS BIGINT) AS gid
+        |FROM e GROUP BY GROUPING SETS ((event_type), (event_type, day), ())""".stripMargin,
     "asof_join" ->
       """WITH clicks AS (
         |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
@@ -4564,6 +4604,32 @@ object SparkEntry {
         |  top_n * 10000 // n_rows AS top_share_bp,
         |  top_n * n_keys * 100 // n_rows AS skew_x100
         |FROM a, t""".stripMargin,
+    // advice replay: ceil arithmetic per audited key column, UNION ALL
+    "skew_advice" ->
+      """WITH u AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS top_n FROM events GROUP BY user_id
+        |  ORDER BY 1 DESC LIMIT 1),
+        |ua AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |              CAST(count(DISTINCT user_id) AS BIGINT) AS n_keys FROM events),
+        |e AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS top_n FROM events GROUP BY event_type
+        |  ORDER BY 1 DESC LIMIT 1),
+        |ea AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |              CAST(count(DISTINCT event_type) AS BIGINT) AS n_keys FROM events),
+        |rows_ AS (
+        |  SELECT 'user_id' AS key_col, ua.n_rows, ua.n_keys, u.top_n FROM ua, u
+        |  UNION ALL
+        |  SELECT 'event_type', ea.n_rows, ea.n_keys, e.top_n FROM ea, e)
+        |SELECT key_col, n_rows, n_keys, top_n,
+        |  (n_rows + 31) // 32 AS ideal_rows,
+        |  top_n > 2 * ((n_rows + 31) // 32) AS skewed,
+        |  CASE WHEN top_n > 2 * ((n_rows + 31) // 32)
+        |    THEN (top_n + (n_rows + 31) // 32 - 1) // ((n_rows + 31) // 32)
+        |    ELSE 1 END AS salt_factor,
+        |  CASE WHEN top_n > 2 * ((n_rows + 31) // 32)
+        |    THEN 'top ' || top_n || ' > 2 x ideal ' || ((n_rows + 31) // 32)
+        |    ELSE 'balanced' END AS reason
+        |FROM rows_ ORDER BY key_col""".stripMargin,
     "lsh_tuning" ->
       """WITH g AS (SELECT CAST(i * 500 AS BIGINT) AS s_bp FROM range(1, 20) t(i)),
         |p AS (SELECT s_bp,
@@ -6710,6 +6776,30 @@ object SparkEntry {
         |  FROM e GROUP BY 1, 2)
         |SELECT event_type, day, class_size, sensitive_distinct
         |FROM c WHERE sensitive_distinct < 3""".stripMargin,
+    // integer EMD replay: scaled CDF gap prefix per (class, bin) over
+    // the dense class x bin grid, mean |prefix| in millionths
+    "t_closeness" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(floor(value / 10) AS BIGINT) AS bin
+        |  FROM events),
+        |cb AS (SELECT event_type, day, bin, CAST(count(*) AS BIGINT) AS c FROM e GROUP BY 1,2,3),
+        |g  AS (SELECT bin, CAST(count(*) AS BIGINT) AS gc FROM e GROUP BY 1),
+        |n  AS (SELECT CAST(count(*) AS BIGINT) AS nt, CAST(count(DISTINCT bin) AS BIGINT) AS m FROM e),
+        |cls AS (SELECT event_type, day, CAST(SUM(c) AS BIGINT) AS nc FROM cb GROUP BY 1,2),
+        |dense AS (
+        |  SELECT cls.event_type, cls.day, g.bin, g.gc, cls.nc, COALESCE(cb.c, 0) AS c
+        |  FROM cls CROSS JOIN g
+        |  LEFT JOIN cb ON cb.event_type = cls.event_type AND cb.day = cls.day AND cb.bin = g.bin),
+        |p AS (
+        |  SELECT event_type, day, nc, bin,
+        |    SUM(c * (SELECT nt FROM n) - gc * nc) OVER (PARTITION BY event_type, day
+        |      ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pre
+        |  FROM dense)
+        |SELECT event_type, day, nc AS class_size,
+        |  CAST(SUM(ABS(pre)) * 1000000 // (GREATEST((SELECT m FROM n) - 1, 1) * nc * (SELECT nt FROM n)) AS BIGINT) AS emd_millionths,
+        |  CAST(SUM(ABS(pre)) * 1000000 // (GREATEST((SELECT m FROM n) - 1, 1) * nc * (SELECT nt FROM n)) < 100000 AS BOOLEAN) AS t_close
+        |FROM p GROUP BY 1, 2, 3 ORDER BY 1, 2""".stripMargin,
     // per-doc provenance over the same staged CTEs: quality gate →
     // duplicate (with the representative kept instead) →
     // contamination, in the pipeline's own stage order

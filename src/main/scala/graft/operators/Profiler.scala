@@ -71,4 +71,44 @@ object Profiler {
       .withColumn("share_delta_fp", abs(col("share_a_fp") - col("share_b_fp")))
       .drop("__ta", "__tb")
   }
+
+  /** Skew advisor — the monitoring→ACTION half of the skew report,
+    * mirroring `TxnLog.compactAdvice` / `IvfIndex.rebuildAdvice`: for
+    * each candidate shuffle key, decide whether a join/agg keyed on it
+    * needs salting at `partitions`-way parallelism, and recommend the
+    * salt factor. A key is skewed when its heaviest value alone
+    * overfills a partition by more than `slack`× the ideal rows per
+    * partition (`ceil(n_rows / partitions)`); the recommended salt is
+    * `ceil(top_n / ideal)` — the sub-split count that brings the hot
+    * key back to ideal-sized units. All integer ceil/floor arithmetic
+    * (ceil(a/b) = (a + b − 1) div b), so the advice replays exactly.
+    *
+    * Scale shape: per audited column, one map-side-combinable count
+    * agg and a one-row top-key reduce — the same cost as reading the
+    * skew report; nothing driver-side beyond the advice row. Returns
+    * one row per key column: (key_col, n_rows, n_keys, top_n,
+    * ideal_rows, skewed, salt_factor, reason). */
+  def skewAdvice(df: DataFrame, keyCols: Seq[String], partitions: Int,
+                 slack: Long = 2L): DataFrame = {
+    require(keyCols.nonEmpty, "need at least one key column")
+    require(partitions > 0 && slack >= 1,
+      s"need partitions > 0 and slack >= 1, got $partitions, $slack")
+    keyCols.map { kc =>
+      df.groupBy(col(kc)).agg(count(lit(1)).as("__n"))
+        .agg(sum(col("__n")).cast("long").as("n_rows"),
+          count(lit(1)).as("n_keys"),
+          max(col("__n")).as("top_n"))
+        .select(lit(kc).as("key_col"), col("n_rows"), col("n_keys"), col("top_n"),
+          expr(s"(n_rows + $partitions - 1) div $partitions").as("ideal_rows"))
+        .withColumn("skewed", col("top_n") > lit(slack) * col("ideal_rows"))
+        .withColumn("salt_factor",
+          when(col("skewed"),
+            expr("(top_n + ideal_rows - 1) div ideal_rows")).otherwise(1L))
+        .withColumn("reason",
+          when(col("skewed"),
+            concat(lit("top "), col("top_n"), lit(s" > $slack x ideal "),
+              col("ideal_rows")))
+            .otherwise(lit("balanced")))
+    }.reduce(_.unionByName(_))
+  }
 }

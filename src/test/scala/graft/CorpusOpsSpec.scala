@@ -413,6 +413,29 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("skewAdvice recommends the ceil salt factor on hot keys, salt 1 on balanced") {
+    import graft.operators.Profiler
+    // hot: one key holds 100 of 110 rows; balanced: 11 keys x 10 rows
+    val rows = (0 until 100).map(i => ("hot", s"k${i % 11}")) ++
+      (0 until 10).map(i => (s"c$i", s"k${i % 11}")) ++
+      (0 until 11).flatMap(k => (0 until 9).map(_ => (s"pad$k", s"k$k")))
+    // columns: a (hot-key candidate), b (balanced candidate)
+    val df = rows.toDF("a", "b")
+    val n = rows.size.toLong
+    val got = Profiler.skewAdvice(df, Seq("a", "b"), partitions = 10)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(3), r.getLong(4), r.getBoolean(5), r.getLong(6), r.getString(7)))
+      .toMap
+    val ideal = (n + 9) / 10
+    val (nr, top, id, sk, salt, reason) = got("a")
+    assert(nr == n && top == 100L && id == ideal && sk)
+    assert(salt == (100L + ideal - 1) / ideal)
+    assert(reason.startsWith("top 100 > 2 x ideal"))
+    val (nrB, topB, _, skB, saltB, reasonB) = got("b")
+    assert(nrB == n && !skB && saltB == 1L && reasonB == "balanced")
+    assert(topB <= 2 * ideal)
+  }
+
   test("corpusDrift: exact shares, one-sided sources, zero-token snapshot") {
     import graft.operators.Profiler
     val vA = Seq(("web", "a b c"), ("web", "d e"), ("books", "f g h i j"))

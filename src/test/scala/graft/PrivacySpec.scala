@@ -33,6 +33,31 @@ class PrivacySpec extends SparkSpec {
     assert(clean.getLong(2) == 1 && !clean.getBoolean(6))
   }
 
+  test("tCloseness computes the hand-traced integer EMD per class") {
+    // two bins {0,1}; class A counts (3,3), class B counts (0,4)
+    // global = (3,7), N = 10, m = 2
+    // A: |3·10 − 3·6| = 12 → emd = 12e6/(1·6·10) = 200000 (true 0.2)
+    // B: |0·10 − 3·4| = 12 → emd = 12e6/(1·4·10) = 300000 (true 0.3)
+    val rows = Seq.fill(3)(("A", 0L)) ++ Seq.fill(3)(("A", 1L)) ++
+      Seq.fill(4)(("B", 1L))
+    val d = rows.toDF("cls", "bin")
+    val got = Privacy.tCloseness(d, Seq("cls"), "bin", tMillionths = 250000L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toSet
+    assert(got == Set(("A", 6L, 200000L, true), ("B", 4L, 300000L, false)))
+    // a class identical to the population has distance zero
+    val uniform = (Seq.fill(2)(("U", 0L)) ++ Seq.fill(2)(("U", 1L)) ++
+      Seq.fill(2)(("V", 0L)) ++ Seq.fill(2)(("V", 1L))).toDF("cls", "bin")
+    val z = Privacy.tCloseness(uniform, Seq("cls"), "bin", 100000L)
+      .collect().map(r => r.getLong(2)).toSet
+    assert(z == Set(0L))
+    // single-bin degenerate: divisor guard, distance zero
+    val one = Seq(("W", 5L), ("X", 5L)).toDF("cls", "bin")
+    val o = Privacy.tCloseness(one, Seq("cls"), "bin", 100000L)
+      .collect().map(r => r.getLong(2)).toSet
+    assert(o == Set(0L))
+  }
+
   test("lDiversityGroups flags classes with a constant sensitive value") {
     val got = Privacy.lDiversityGroups(df, Seq("qi1", "qi2"), "sensitive", l = 2)
       .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))

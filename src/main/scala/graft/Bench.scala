@@ -536,12 +536,15 @@ object Bench {
     // scaling block's own rule. SPARK_GRAFT_SF1=0 skips the block.
     val sf1Watch = Seq("staging_agg", "fact_trip", "triangle_count",
       "corpus_filter", "revenue_by_nation", "decontaminate_bloom",
-      "substr_dedup_incremental")
+      "substr_dedup_incremental", "cdc_dedup")
     // Text-dedup queries measure window-hash collision behavior, which
     // exact id-offset copies inflate quadratically (ScaleUp's
     // representativeness caveat) — they get the TEXT-PERTURBED
     // expansion, where duplicate mass grows ~10× like real data.
-    val sf1TextPerturbed = Set("substr_dedup_incremental")
+    // cdc_dedup joins the set in round 12: 3.85×/decade at
+    // sf0.01→0.1, and its content-defined chunk hashes have the same
+    // exact-copy inflation problem.
+    val sf1TextPerturbed = Set("substr_dedup_incremental", "cdc_dedup")
     val sf1Compact = new scala.collection.mutable.ArrayBuffer[String]
     val sf1Json =
       if (sys.env.get("SPARK_GRAFT_SF1").contains("0") ||

@@ -163,6 +163,46 @@ class PlanSpec extends SparkSpec {
     nodes.collect { case s: ShuffleExchangeExec => s.output.map(_.name) }.flatten.toSeq
   }
 
+  test("phrase_search: the match counter is pure scan->project, zero exchanges before the sort") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    // the only legal exchange is the final orderBy's range partitioning
+    // over the narrow (doc_id, n_matches) result — no exchange may
+    // carry text, and no exchange may sit below the counter
+    val df = SparkEntry.queries("phrase_search")(spark, dir)
+    val p = df.queryExecution.executedPlan
+    def shuffles(n: SparkPlan): Seq[ShuffleExchangeExec] =
+      (n +: n.children.flatMap(shuffles)).collect { case s: ShuffleExchangeExec => s }
+    shuffles(p).foreach { s =>
+      assert(!s.output.exists(_.name == "text"),
+        s"phrase_search shuffles text: ${s.output.map(_.name)}")
+    }
+    assert(!p.toString.contains("Window"), "no window in the counter")
+    assert(!p.toString.contains("Generate"), "no explode in the counter")
+  }
+
+  test("unimaxMix: budget frame broadcasts; no exchange carries the payload") {
+    import graft.operators.Sampling
+    import spark.implicits._
+    val docs = (0 until 200).map(i =>
+      (i.toLong, s"s${i % 3}", 5L + i % 7, "PAYLOAD-" * 10 + i)).toDF("id", "src", "w", "payload")
+    val out = Sampling.unimaxMix(docs, "id", "w", "src", 300L, 500000L)
+    val cols = {
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      def walk(n: SparkPlan): Seq[String] =
+        (n match {
+          case s: ShuffleExchangeExec => s.output.map(_.name)
+          case _ => Seq.empty
+        }) ++ n.children.flatMap(walk)
+      walk(out.queryExecution.executedPlan)
+    }
+    assert(!cols.contains("payload"), s"unimaxMix shuffles the payload: $cols")
+    // the one-row-per-source budget frame joins by broadcast
+    assert(out.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "budget frame should broadcast")
+  }
+
   test("corpus operators never shuffle the document text") {
     // dedup/text pipelines shuffle hashes, signatures, ids — never the
     // raw document text column
@@ -174,7 +214,8 @@ class PlanSpec extends SparkSpec {
       "corpus_mix_tokens", "bm25_search", "lm_bigram_score",
       "span_dup_stats", "corpus_mix_temperature", "prefix_dup",
       "source_overlap", "bpe_encode", "corpus_ppl_sample",
-      "blocklist_filter", "quality_score_linear", "domain_cap").foreach { q =>
+      "blocklist_filter", "quality_score_linear", "domain_cap",
+      "corpus_mix_unimax").foreach { q =>
       val cols = shuffledColumns(q)
       assert(!cols.contains("text"), s"$q shuffles text: $cols")
       // span_dedup additionally must not shuffle the token array

@@ -3167,6 +3167,47 @@ object SparkEntry {
     // would get — the deterministic, persistable replacement for
     // RangePartitioner's per-run reservoir sample (stable shard
     // boundaries across reruns and appends)
+    // RFM user features with rank-free quintile scores: per-user
+    // recency/frequency/monetary collapse in one agg, quintile
+    // CUTPOINTS come from the mergeable quantile sketch (exact regime
+    // at test scale, range_plan convention) and broadcast back for a
+    // map-side bucket — no global ntile sort, no unpartitioned window
+    // over users
+    "user_rfm" -> ((s, d) => {
+      import graft.expressions.SketchAggregates._
+      val ev = Tables.events(s, d).select(col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("__ts_us"),
+        round(col("value") * 100).cast("long").as("__cents"))
+      val g = ev.agg(max(col("__ts_us")).as("__maxus"))
+      val base = ev.groupBy("user_id").agg(
+          max(col("__ts_us")).as("__last_us"),
+          count(lit(1)).as("frequency"),
+          sum(col("__cents")).as("monetary_cents"))
+        .crossJoin(broadcast(g))
+        .withColumn("recency_days",
+          expr("(__maxus - __last_us) div 86400000000L"))
+        .select("user_id", "recency_days", "frequency", "monetary_cents")
+      val cuts = base.agg(
+          quantileSketch(col("recency_days").cast("double"), 32768).as("__skr"),
+          quantileSketch(col("frequency").cast("double"), 32768).as("__skf"),
+          quantileSketch(col("monetary_cents").cast("double"), 32768).as("__skm"))
+        .select(
+          array((1 to 4).map(i => sketchQuantileDisc(col("__skr"), i * 20)): _*).as("__rc"),
+          array((1 to 4).map(i => sketchQuantileDisc(col("__skf"), i * 20)): _*).as("__fc"),
+          array((1 to 4).map(i => sketchQuantileDisc(col("__skm"), i * 20)): _*).as("__mc"))
+      base.crossJoin(broadcast(cuts))
+        .select(col("user_id"), col("recency_days"), col("frequency"),
+          col("monetary_cents"),
+          // low recency is GOOD (5), high frequency/monetary are GOOD
+          (lit(5L) - size(filter(col("__rc"),
+            c => col("recency_days").cast("double") > c)).cast("long")).as("r_score"),
+          (lit(1L) + size(filter(col("__fc"),
+            c => col("frequency").cast("double") > c)).cast("long")).as("f_score"),
+          (lit(1L) + size(filter(col("__mc"),
+            c => col("monetary_cents").cast("double") > c)).cast("long")).as("m_score"))
+        .withColumn("rfm",
+          col("r_score") * 100L + col("f_score") * 10L + col("m_score"))
+    }),
     "range_plan" -> ((s, d) => {
       import graft.expressions.SketchAggregates._
       val ev = Tables.events(s, d).filter(col("value").isNotNull)
@@ -3439,6 +3480,28 @@ object SparkEntry {
     // over integer fixed-point ratio features (per-row projection)
     "quality_score_linear" -> ((s, d) =>
       TextFunctions.qualityLinear(Tables.documents(s, d))),
+    // reliability curve of the cheap linear scorer against the Gopher
+    // rule gate: ONE scan computes both signals per doc, fixed
+    // 0.2-unit score bins (shift-positive floor division — map-side,
+    // no global rank window), per bin the gopher pass rate in bps
+    "score_calibration" -> ((s, d) => {
+      val scored = TextFunctions
+        .qualityLinear(Tables.documents(s, d), carryCols = Seq("text"))
+        .withColumn("__m", TextFunctions.gopherMeasures(col("text")))
+        .withColumn("__pass",
+          TextFunctions.gopherFlags(col("__m"), minRequiredHits = 1)
+            .getField("keep"))
+      scored
+        // +2e9 keeps the dividend positive so trunc == floor in both
+        // engines (scores are bounded far above -2e9)
+        .withColumn("bin",
+          expr("((score_fp + 2000000000L) div 200000L) - 10000L"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("__pass"), 1L).otherwise(0L)).as("n_pass"))
+        .withColumn("pass_bps", expr("(n_pass * 10000L) div n_docs"))
+        .orderBy("bin")
+    }),
     // per-DOMAIN calibrated quality cut: each source keeps its own top
     // 30% by the linear score — a global threshold would skew the mix
     // against low-scoring domains ([[graft.operators.Robust.calibratedTopPct]])
@@ -4717,6 +4780,42 @@ object SparkEntry {
     // decile cutpoints = order statistics at rank (n*p+99)//100 (the
     // sketch's exact regime), kept WITH multiplicity (a duplicated
     // cut value narrows a bucket to empty, and the replay must agree)
+    // quintile cutpoints replayed as order statistics at rank
+    // (n*p+99)//100 (the range_plan disc-quantile convention), then
+    // the same strictly-below bucket count
+    "user_rfm" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events),
+        |base AS (
+        |  SELECT user_id,
+        |    CAST(((SELECT max(ts_us) FROM ev) - max(ts_us)) // 86400000000 AS BIGINT) AS recency_days,
+        |    CAST(count(*) AS BIGINT) AS frequency,
+        |    CAST(SUM(cents) AS BIGINT) AS monetary_cents
+        |  FROM ev GROUP BY 1),
+        |nn AS (SELECT count(*) AS n FROM base),
+        |ranks AS (SELECT p, (n * p + 99) // 100 AS rn
+        |  FROM nn, (VALUES (20),(40),(60),(80)) t(p)),
+        |rc AS (SELECT list(b.recency_days ORDER BY ranks.p) AS cuts FROM ranks
+        |  JOIN (SELECT recency_days, ROW_NUMBER() OVER (ORDER BY recency_days) AS rn
+        |        FROM base) b ON b.rn = ranks.rn),
+        |fc AS (SELECT list(b.frequency ORDER BY ranks.p) AS cuts FROM ranks
+        |  JOIN (SELECT frequency, ROW_NUMBER() OVER (ORDER BY frequency) AS rn
+        |        FROM base) b ON b.rn = ranks.rn),
+        |mc AS (SELECT list(b.monetary_cents ORDER BY ranks.p) AS cuts FROM ranks
+        |  JOIN (SELECT monetary_cents, ROW_NUMBER() OVER (ORDER BY monetary_cents) AS rn
+        |        FROM base) b ON b.rn = ranks.rn),
+        |s AS (
+        |  SELECT user_id, recency_days, frequency, monetary_cents,
+        |    CAST(5 - len(list_filter(rc.cuts, x -> recency_days > x)) AS BIGINT) AS r_score,
+        |    CAST(1 + len(list_filter(fc.cuts, x -> frequency > x)) AS BIGINT) AS f_score,
+        |    CAST(1 + len(list_filter(mc.cuts, x -> monetary_cents > x)) AS BIGINT) AS m_score
+        |  FROM base, rc, fc, mc)
+        |SELECT user_id, recency_days, frequency, monetary_cents,
+        |  r_score, f_score, m_score,
+        |  CAST(r_score * 100 + f_score * 10 + m_score AS BIGINT) AS rfm
+        |FROM s""".stripMargin,
     "range_plan" ->
       """WITH v AS (SELECT value FROM events WHERE value IS NOT NULL),
         |r AS (SELECT value, ROW_NUMBER() OVER (ORDER BY value) AS rn FROM v),
@@ -5491,6 +5590,56 @@ object SparkEntry {
          |  CAST(abs(CASE WHEN ta > 0 THEN (1000000 * tokens_a) // ta ELSE 0 END
          |         - CASE WHEN tb > 0 THEN (1000000 * tokens_b) // tb ELSE 0 END) AS BIGINT) AS share_delta_fp
          |FROM j, t""".stripMargin,
+    // linear score + gopher keep recomputed per doc (the two queries'
+    // own oracle bodies), joined on doc_id, binned with the same
+    // shift-positive floor division
+    "score_calibration" ->
+      s"""WITH f AS (
+         |  SELECT doc_id,
+         |    CAST(len($toksSql) AS BIGINT) AS n_tokens,
+         |    CAST(len(list_filter($toksSql, t -> list_contains($stopwordsSql, t))) AS BIGINT) AS n_stopwords,
+         |    CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS BIGINT) AS n_punct,
+         |    CAST(list_sum(list_transform($toksSql, t -> CAST(length(t) AS BIGINT))) AS BIGINT) AS token_len_sum,
+         |    CAST(length(text) AS BIGINT) AS len_chars
+         |  FROM documents),
+         |sc AS (
+         |  SELECT doc_id,
+         |    400000 + 3 * (CASE WHEN n_tokens > 0 THEN (1000000 * n_stopwords) // n_tokens ELSE 0 END)
+         |      - 10 * (CASE WHEN len_chars > 0 THEN (1000000 * n_punct) // len_chars ELSE 0 END)
+         |      - (CASE WHEN n_tokens > 0
+         |          THEN abs((1000000 * token_len_sum) // n_tokens - 5000000)
+         |          ELSE 5000000 END) // 5 AS score_fp
+         |  FROM f),
+         |gm AS (
+         |  SELECT doc_id,
+         |    CAST(len(toks) AS BIGINT) AS n_words,
+         |    CAST(list_sum(list_transform(toks, w -> CAST(length(w) AS BIGINT))) AS BIGINT) AS word_len_sum,
+         |    CAST(len(list_filter(toks, w -> regexp_matches(w, '[a-z]'))) AS BIGINT) AS n_alpha_words,
+         |    CAST(len(regexp_extract_all(text, '#|\\.\\.\\.|…')) AS BIGINT) AS n_symbols,
+         |    CAST(len(lines) AS BIGINT) AS n_lines,
+         |    CAST(len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*•]'))) AS BIGINT) AS n_bullet_lines,
+         |    CAST(len(list_filter(lines, l -> regexp_matches(trim(l), '(\\.\\.\\.|…)$$'))) AS BIGINT) AS n_ellipsis_lines,
+         |    CAST(len(list_filter(${markersSqlList(TextFunctions.gopherRequiredStops)},
+         |      w -> list_contains(toks, w))) AS BIGINT) AS req_stop_hits
+         |  FROM (SELECT doc_id, text, $toksSql AS toks,
+         |          string_split(text, chr(10)) AS lines FROM documents)),
+         |gk AS (
+         |  SELECT doc_id,
+         |    (n_words >= ${TextFunctions.gopherMinWords} AND n_words <= ${TextFunctions.gopherMaxWords})
+         |      AND (word_len_sum >= n_words * ${TextFunctions.gopherMinMeanWordLen}
+         |           AND word_len_sum <= n_words * ${TextFunctions.gopherMaxMeanWordLen})
+         |      AND n_symbols * 10 <= n_words
+         |      AND n_bullet_lines * 10 <= n_lines * 9
+         |      AND n_ellipsis_lines * 10 <= n_lines * 3
+         |      AND n_alpha_words * 10 >= n_words * 8
+         |      AND req_stop_hits >= 1 AS pass
+         |  FROM gm)
+         |SELECT ((sc.score_fp + 2000000000) // 200000) - 10000 AS bin,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(count(*) FILTER (gk.pass) AS BIGINT) AS n_pass,
+         |  CAST((count(*) FILTER (gk.pass) * 10000) // count(*) AS BIGINT) AS pass_bps
+         |FROM sc JOIN gk USING (doc_id)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "quality_gopher" ->
       s"""WITH m AS (
          |  SELECT doc_id,

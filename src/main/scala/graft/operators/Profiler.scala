@@ -95,9 +95,11 @@ object Profiler {
       s"need partitions > 0 and slack >= 1, got $partitions, $slack")
     keyCols.map { kc =>
       df.groupBy(col(kc)).agg(count(lit(1)).as("__n"))
-        .agg(sum(col("__n")).cast("long").as("n_rows"),
+        // coalesce: an EMPTY input must advise "balanced, salt 1" with
+        // zero counts, not a row of NULL aggregates
+        .agg(coalesce(sum(col("__n")).cast("long"), lit(0L)).as("n_rows"),
           count(lit(1)).as("n_keys"),
-          max(col("__n")).as("top_n"))
+          coalesce(max(col("__n")), lit(0L)).as("top_n"))
         .select(lit(kc).as("key_col"), col("n_rows"), col("n_keys"), col("top_n"),
           expr(s"(n_rows + $partitions - 1) div $partitions").as("ideal_rows"))
         .withColumn("skewed", col("top_n") > lit(slack) * col("ideal_rows"))

@@ -77,3 +77,51 @@ object StatefulSessions {
       gapSeconds)
   }
 }
+
+/** Streaming CUSUM drift alarms — the online twin of
+  * [[graft.operators.TimeSeries.cusum]]. The batch prefix identity
+  * S_i = P_i − min_{j≤i} P_j (P_0 = 0) makes the streaming state
+  * TWO LONGS per key — the running prefix sum and its running
+  * minimum — so a key's state never grows with its history: the ideal
+  * `flatMapGroupsWithState` shape (a naive "replay the window" state
+  * would buffer events forever).
+  *
+  * Ordering contract: events are processed in (event time, tie) order
+  * WITHIN each micro-batch and in batch order across batches — the
+  * online-CUSUM semantic. On an in-order source this is bit-identical
+  * to the batch operator (spec-proven, including alarms whose
+  * accumulation spans a batch boundary); an event arriving after a
+  * later event's batch is folded in where it lands, the standard
+  * online-monitoring trade (a drift alarm must not wait for
+  * stragglers; re-run the batch operator for the forensic answer). */
+object StatefulCusum {
+
+  case class CusumEvent(user_id: Long, ts: Timestamp, event_id: Long, cents: Long)
+  /** Running prefix sum and its minimum — min(0, min P_j) folded in
+    * by starting minP at 0 (= P_0). */
+  case class CusumState(p: Long, minP: Long)
+  case class CusumAlarm(user_id: Long, event_id: Long, cusum: Long)
+
+  def cusumStream(events: Dataset[CusumEvent], refCents: Long,
+                  thresholdCents: Long): Dataset[CusumAlarm] = {
+    import events.sparkSession.implicits._
+    require(thresholdCents > 0, s"need thresholdCents > 0, got $thresholdCents")
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[CusumState, CusumAlarm](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[CusumEvent], state: GroupState[CusumState]) =>
+          var st = state.getOption.getOrElse(CusumState(0L, 0L))
+          val out = Seq.newBuilder[CusumAlarm]
+          it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            val p = st.p + (e.cents - refCents)
+            val minP = math.min(st.minP, p)
+            st = CusumState(p, minP)
+            // st.minP ≤ 0 always (starts at P_0 = 0), so S = p − minP
+            val s = p - st.minP
+            if (s >= thresholdCents) out += CusumAlarm(uid, e.event_id, s)
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+}

@@ -202,4 +202,29 @@ class EmptyInputSpec extends SparkSpec {
       Seq.empty[(Long, Long, Long)].toDF("b", "bl", "bh"),
       "al", "ah", "bl", "bh", 10.0).isEmpty)
   }
+
+  test("round-12 additions accept empty inputs") {
+    import graft.operators.{Profiler, Sampling}
+    import graft.validate.Privacy
+    val emptyW = Seq.empty[(Long, String, Long)].toDF("id", "stratum", "w")
+    assert(Sampling.unimaxBudgets(emptyW, "w", "stratum", 100L, 500000L).isEmpty)
+    assert(Sampling.unimaxMix(emptyW, "id", "w", "stratum", 100L, 500000L).isEmpty)
+    assert(Graph.labelPropagation(Seq.empty[(Long, Long)].toDF("src", "dst")).isEmpty)
+    assert(TextFunctions.phraseSearch(emptyDocs, Seq("table", "part")).isEmpty)
+    val emptyEv = Seq.empty[(Long, java.sql.Timestamp, Long, Long)]
+      .toDF("user_id", "ts", "event_id", "cents")
+    assert(TimeSeries.cusum(emptyEv, "user_id", "ts", "event_id",
+      col("cents"), 10L, 5L).isEmpty)
+    assert(TimeSeries.streaks(emptyEv, "user_id", "ts", "event_id",
+      col("cents") >= 10L).isEmpty)
+    assert(Privacy.tCloseness(
+      Seq.empty[(String, Long)].toDF("cls", "bin"), Seq("cls"), "bin", 100L).isEmpty)
+    // the advisor must still ADVISE on an empty table: zero counts,
+    // balanced, salt 1 — not a row of NULLs
+    val advice = Profiler.skewAdvice(emptyW, Seq("stratum"), partitions = 8)
+      .collect()
+    assert(advice.length == 1)
+    assert(advice.head.getLong(1) == 0L && !advice.head.getBoolean(5)
+      && advice.head.getLong(6) == 1L)
+  }
 }

@@ -106,6 +106,39 @@ class StatefulSkewSpec extends SparkSpec {
     assert(rows(1).getLong(0) == 2L && rows(1).getAs[Long]("n_events") == 1L)
   }
 
+  test("cusumStream: two-long state, batch parity, alarms across the batch boundary") {
+    import graft.streaming.StatefulCusum
+    import graft.streaming.StatefulCusum.CusumEvent
+    implicit val sql = spark.sqlContext
+    def t(s: String) = Timestamp.valueOf(s)
+    // ref 10, threshold 25 — same fixture as the batch spec:
+    // x = [12, 18, 5] in batch 1, [30, 2, 40] in batch 2; alarms at
+    // events 3 (S=25, accumulation SPANS the boundary) and 5 (S=47)
+    val all = Seq(12L, 18L, 5L, 30L, 2L, 40L).zipWithIndex.map { case (x, i) =>
+      CusumEvent(1L, t(f"2024-01-01 00:0$i:00"), i.toLong, x)
+    }
+    val input = MemoryStream[CusumEvent]
+    val alarms = StatefulCusum.cusumStream(input.toDS(), refCents = 10L,
+      thresholdCents = 25L)
+    val q = alarms.writeStream.format("memory").queryName("cusum_out")
+      .outputMode("append").start()
+    input.addData(all.take(3): _*)
+    q.processAllAvailable()
+    assert(spark.table("cusum_out").count() == 0) // S peaks at 10 so far
+    input.addData(all.drop(3): _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("cusum_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 3L, 25L), (1L, 5L, 47L)))
+    // parity: identical to the batch operator over the union
+    import org.apache.spark.sql.functions.col
+    val batch = graft.operators.TimeSeries.cusum(
+        all.toDF(), "user_id", "ts", "event_id", col("cents"), 10L, 25L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(batch == got)
+  }
+
   test("AQE splits a skewed shuffle-join partition at runtime (skew=true)") {
     // Salting (below) is the manual fix; AQE's OptimizeSkewedJoin is the
     // runtime one — the hot partition is split into advisory-sized reader

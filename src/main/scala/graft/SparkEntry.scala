@@ -2467,7 +2467,11 @@ object SparkEntry {
     * directories are never opened, then return rows hash-exact with
     * the plain BETWEEN filter. The conservative laws (stat-blind dirs
     * and unknown columns never skip) are TxnLogSpec's rows. */
-  private def txnlogSkipping(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared four-quartile stats-on table for the data-skipping and
+    * fast-count gates (idempotent txnIds + CAS commits make racing
+    * builders from concurrent Verify threads safe). Returns (root,
+    * quartile width). */
+  private def ensureTxnskipTable(spark: SparkSession, dir: String): (String, Long) = {
     import graft.sources.TxnLog
     val root = tmpArtifactRoot("txnskip", dir)
     val docs = Tables.documents(spark, dir)
@@ -2484,6 +2488,12 @@ object SparkEntry {
           root, Some(s"q$i"), collectStats = true); ()
       }
     }
+    (root, q)
+  }
+
+  private def txnlogSkipping(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.TxnLog
+    val (root, q) = ensureTxnskipTable(spark, dir)
     val (lo, hi) = (q + q / 2, 2 * q + q / 2) // overlaps quartiles 1 and 2 only
     val (_, skip, snap) = TxnLog.pruneDirs(spark, root, "doc_id", lo, hi)
     require(snap.size == 4 && skip.size == 2,
@@ -2646,6 +2656,48 @@ object SparkEntry {
       .unionAll(quar.select(lit(null).cast("long").as("doc_id"),
         lit(null).cast("string").as("source"),
         lit("quarantined").as("disposition"), md5(col("raw")).as("raw_md5")))
+  }
+
+  /** Dead-letter REPLAY — the second half of the quarantine story:
+    * after the producer bugs are diagnosed, targeted repairs run over
+    * the quarantined raw lines and the SAME gate re-admits what the
+    * repairs fixed. Two of the feed's three corruption classes are
+    * repairable (the stringified-id field is rewritten to a number;
+    * the bare-scalar line is wrapped into an object with a sentinel
+    * source), the truncated class is not and stays dead — so the
+    * output proves conservation ok + recovered + dead = every line,
+    * and that repair NEVER bypasses the gate (recovered rows re-enter
+    * through `quarantineSplit`, not around it). Both passes are
+    * stateless map-side gates — the whole replay is scan→project. */
+  private def quarantineReplay(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val base = concat(lit("{\"doc_id\":"), col("doc_id").cast("string"),
+      lit(",\"source\":\""), col("source"), lit("\"}"))
+    val feed = Tables.documents(spark, dir).select(
+      when(col("doc_id") % 7 === 0, substring(base, 1, 10))
+        .when(col("doc_id") % 7 === 1, col("doc_id").cast("string"))
+        .when(col("doc_id") % 7 === 2,
+          concat(lit("{\"doc_id\":\"x"), col("doc_id").cast("string"),
+            lit("\",\"source\":\""), col("source"), lit("\"}")))
+        .when(col("doc_id") % 7 === 3,
+          concat(lit("{\"doc_id\":"), col("doc_id").cast("string"),
+            lit(",\"source\":\""), col("source"), lit("\",\"extra\":1}")))
+        .otherwise(base).as("raw"))
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("source", StringType)))
+    val (good, quar) = graft.sources.Sources.quarantineSplit(feed, schema)
+    val repaired = quar.select(
+      when(col("raw").rlike("^\\{\"doc_id\":\"x"),
+        regexp_replace(col("raw"), "^\\{\"doc_id\":\"x(\\d+)\"", "{\"doc_id\":$1"))
+        .when(col("raw").rlike("^\\d+$"),
+          concat(lit("{\"doc_id\":"), col("raw"), lit(",\"source\":\"recovered\"}")))
+        .otherwise(col("raw")).as("raw"))
+    val (rec, dead) = graft.sources.Sources.quarantineSplit(repaired, schema)
+    good.select(col("doc_id"), col("source"), lit("ok").as("disposition"))
+      .unionAll(rec.select(col("doc_id"), col("source"),
+        lit("recovered").as("disposition")))
+      .unionAll(dead.select(lit(null).cast("long").as("doc_id"),
+        lit(null).cast("string").as("source"), lit("dead").as("disposition")))
   }
 
   /** JSON-lines reader under the oracle: the FULL document rows —
@@ -2935,11 +2987,23 @@ object SparkEntry {
     "txnlog_merge" -> (txnlogMerge(_, _)),
     "txnlog_compact" -> (txnlogCompact(_, _)),
     "txnlog_skipping" -> (txnlogSkipping(_, _)),
+    // metadata-only COUNT from the manifest row counts vs the scan:
+    // zero files opened on the fast path, require proves it fired
+    "txnlog_fastcount" -> ((s, d) => {
+      import graft.sources.TxnLog
+      val (root, _) = ensureTxnskipTable(s, d)
+      val meta = TxnLog.fastCount(s, root).getOrElse(sys.error(
+        "every dir was committed with stats — fastCount must take the metadata path"))
+      val scanned = TxnLog.read(s, root).count()
+      import s.implicits._
+      Seq((meta, scanned)).toDF("n_rows_meta", "n_rows_scan")
+    }),
     "forget_docs" -> (forgetDocs(_, _)),
     "dataset_release" -> (datasetRelease(_, _)),
     "mv_merge" -> (mvMerge(_, _)),
     "csv_roundtrip" -> (csvRoundtrip(_, _)),
     "quarantine_split" -> (quarantineSplitQuery(_, _)),
+    "quarantine_replay" -> (quarantineReplay(_, _)),
     "jsonl_roundtrip" -> (jsonlRoundtrip(_, _)),
     "orc_roundtrip" -> (orcRoundtrip(_, _)),
     "cdc_chunks" -> (cdcChunks(_, _)),
@@ -3314,6 +3378,13 @@ object SparkEntry {
       graft.operators.TimeSeries.gaps(
         Tables.events(s, d), "user_id", "ts", "event_id",
         minGapMicros = 3600L * 1000000L)),
+    // backfill planner: which DATE ranges are missing (day-of-month %
+    // 7 == 3 days dropped to simulate failed loads) — islands over
+    // distinct days, gaps between consecutive islands
+    "backfill_plan" -> ((s, d) =>
+      graft.operators.TimeSeries.missingRanges(
+          Tables.events(s, d).filter(dayofmonth(col("ts")) % 7 =!= 3), "ts")
+        .orderBy("gap_start")),
     // anomaly persistence: longest consecutive run of >= 50.00 events
     // per user (gaps-and-islands; row-number difference, struct-max
     // argmax winner, ties to the earliest streak)
@@ -6463,6 +6534,19 @@ object SparkEntry {
         |  CASE WHEN is_quar THEN 'quarantined' ELSE 'ok' END AS disposition,
         |  CASE WHEN is_quar THEN md5(raw) ELSE NULL END AS raw_md5
         |FROM feed""".stripMargin,
+    // repair replay: residue 2 (stringified id) and 1 (bare scalar)
+    // are repairable and re-admit THROUGH the gate; residue 0
+    // (truncated) stays dead — conservation over all four classes
+    "quarantine_replay" ->
+      """SELECT doc_id, source, 'ok' AS disposition FROM documents
+        |WHERE doc_id % 7 NOT IN (0, 1, 2)
+        |UNION ALL
+        |SELECT doc_id, source, 'recovered' FROM documents WHERE doc_id % 7 = 2
+        |UNION ALL
+        |SELECT doc_id, 'recovered', 'recovered' FROM documents WHERE doc_id % 7 = 1
+        |UNION ALL
+        |SELECT CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR), 'dead'
+        |FROM documents WHERE doc_id % 7 = 0""".stripMargin,
     // widening append: base rows read back with NULL in the new column
     "txnlog_evolution" ->
       """SELECT doc_id, source, CAST(NULL AS VARCHAR) AS lang
@@ -6491,6 +6575,25 @@ object SparkEntry {
     // minus the deleted residue, not one row moved or duplicated
     "txnlog_compact" ->
       "SELECT doc_id, source, n_chars FROM documents WHERE doc_id % 10 <> 3",
+    // the fast path and the scan must agree: both are count(documents)
+    "txnlog_fastcount" ->
+      "SELECT count(*) AS n_rows_meta, count(*) AS n_rows_scan FROM documents",
+    // islands replay over the same filtered day set
+    "backfill_plan" ->
+      """WITH days AS (
+        |  SELECT DISTINCT CAST(ts AS DATE) AS day FROM events
+        |  WHERE day(ts) % 7 <> 3),
+        |i AS (
+        |  SELECT day - CAST(ROW_NUMBER() OVER (ORDER BY day) AS INTEGER) AS grp, day
+        |  FROM days),
+        |isl AS (SELECT grp, MIN(day) AS island_start, MAX(day) AS island_end
+        |        FROM i GROUP BY 1),
+        |g AS (SELECT island_end,
+        |        LEAD(island_start) OVER (ORDER BY island_start) AS next_start
+        |      FROM isl)
+        |SELECT island_end + 1 AS gap_start, next_start - 1 AS gap_end,
+        |  CAST(date_diff('day', island_end, next_start) - 1 AS BIGINT) AS n_days_missing
+        |FROM g WHERE next_start IS NOT NULL ORDER BY 1""".stripMargin,
     // data skipping never changes the answer: the pruned read equals
     // the plain BETWEEN over the same quartile arithmetic
     "txnlog_skipping" ->

@@ -131,6 +131,39 @@ object TimeSeries {
       .select(col(keyCol), col(tieCol), col("__cusum").as("cusum"))
   }
 
+  /** Backfill planner — which date ranges are MISSING from a table:
+    * the partition-audit every scheduled pipeline needs before a
+    * backfill run ("days 3/10/17 never landed; re-run exactly those").
+    * Present days collapse to islands via the date-minus-rank
+    * gaps-and-islands trick; each gap between consecutive islands is
+    * one output row (gap_start, gap_end, n_days_missing). Days before
+    * the first or after the last observation are not reported — the
+    * table cannot know its own intended range; pass bounds by unioning
+    * sentinel dates if the schedule knows them.
+    *
+    * Scale shape: the data-sized work is one map-side-combinable
+    * DISTINCT over the date column; the windows after it run over one
+    * row per distinct DAY, then one row per island (the
+    * watermark-audit discipline: unpartitioned windows only over
+    * metadata-scale frames). */
+  def missingRanges(df: DataFrame, dateCol: String): DataFrame = {
+    val w = Window.orderBy(col("__day"))
+    val islands = df.select(col(dateCol).cast("date").as("__day"))
+      .filter(col("__day").isNotNull).distinct()
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__grp", expr("date_sub(__day, __rn)"))
+      .groupBy(col("__grp"))
+      .agg(min(col("__day")).as("island_start"), max(col("__day")).as("island_end"))
+    val w2 = Window.orderBy(col("island_start"))
+    islands
+      .withColumn("__next_start", lead(col("island_start"), 1).over(w2))
+      .filter(col("__next_start").isNotNull)
+      .select(expr("date_add(island_end, 1)").as("gap_start"),
+        expr("date_sub(__next_start, 1)").as("gap_end"),
+        (datediff(col("__next_start"), col("island_end")) - 1)
+          .cast("long").as("n_days_missing"))
+  }
+
   /** Longest streak per key — gaps-and-islands: the maximal run of
     * CONSECUTIVE events (in (ts, tie) order) satisfying `cond`, the
     * "how long did the anomaly persist" complement of [[cusum]]'s

@@ -512,18 +512,49 @@ object TxnLog {
       case LongType | IntegerType | ShortType | ByteType | StringType => true
       case _ => false
     }).take(MaxStatCols)
-    if (statCols.isEmpty) return Map.empty
+    // the row count is collected even when no column qualifies for
+    // min/max — a stats-on commit always enables fastCount
     val aggs = statCols.toSeq.flatMap(f => Seq(
       smin(df.col(f.name)).cast("string").as(s"__mn_${f.name}"),
-      smax(df.col(f.name)).cast("string").as(s"__mx_${f.name}")))
+      smax(df.col(f.name)).cast("string").as(s"__mx_${f.name}"))) :+
+      count(lit(1)).as("__nrows")
     val row = df.agg(aggs.head, aggs.tail: _*).head
-    statCols.flatMap { f =>
+    val colStats = statCols.flatMap { f =>
       val mn = row.getAs[String](s"__mn_${f.name}")
       val mx = row.getAs[String](s"__mx_${f.name}")
       if (mn == null || mx == null) None
       else Some(f.name -> ColStat(
         if (f.dataType == StringType) "string" else "long", mn, mx))
     }.toMap
+    // the directory row count rides the same stats map under a
+    // reserved name ("count" type — the pruner's mayContain defaults
+    // unknown types to true, so it can never skip anything): this is
+    // what makes [[fastCount]] a pure metadata read
+    val n = row.getAs[Long]("__nrows").toString
+    colStats + (RowCountKey -> ColStat("count", n, n))
+  }
+
+  /** Reserved stats key carrying a directory's row count. */
+  private val RowCountKey = "__rows"
+
+  /** Metadata-only COUNT(*): when every directory in the snapshot was
+    * committed with `collectStats`, the table's row count is the sum
+    * of the manifest-recorded per-dir counts — zero files opened, the
+    * Delta/Iceberg fast-count shape. Returns None when any dir is
+    * stat-blind (fall back to `read(...).count()`); a copy-on-write
+    * DELETE/MERGE rewrite dir is stat-blind unless its writer opted
+    * in, which keeps the fast path honest by construction. */
+  def fastCount(spark: SparkSession, root: String,
+                asOf: Option[Long] = None): Option[Long] = {
+    val commits = history(spark, root)
+    val v = asOf.getOrElse(commits.lastOption.map(_.version).getOrElse(-1L))
+    val manifest = commits.filter(_.version <= v).lastOption
+    val snap = manifest.map(_.dirs).getOrElse(Seq.empty)
+    if (snap.isEmpty) return Some(0L)
+    val stats = manifest.map(_.stats).getOrElse(Map.empty)
+    val counts = snap.map(d =>
+      stats.get(d).flatMap(_.get(RowCountKey)).map(_.min.toLong))
+    if (counts.forall(_.isDefined)) Some(counts.flatten.sum) else None
   }
 
   /** Data-skipping read: `read(...).filter(column BETWEEN lo AND hi)`,

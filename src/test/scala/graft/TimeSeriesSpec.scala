@@ -11,6 +11,27 @@ class TimeSeriesSpec extends SparkSpec {
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
+  test("missingRanges reports exactly the gaps between observed-day islands") {
+    import java.sql.Date
+    def d(s: String) = Date.valueOf(s)
+    // present: 1-2, 5, 8-9 → gaps 3-4 and 6-7
+    val df = Seq("2024-03-01", "2024-03-02", "2024-03-05", "2024-03-08",
+      "2024-03-09", "2024-03-02" /* dup day */)
+      .map(s => Tuple1(ts(s + " 12:00:00"))).toDF("ts")
+    val got = TimeSeries.missingRanges(df, "ts")
+      .as[(Date, Date, Long)].collect().toSet
+    assert(got == Set(
+      (d("2024-03-03"), d("2024-03-04"), 2L),
+      (d("2024-03-06"), d("2024-03-07"), 2L)))
+    // contiguous days → nothing to backfill
+    val dense = Seq("2024-03-01", "2024-03-02", "2024-03-03")
+      .map(s => Tuple1(ts(s + " 01:00:00"))).toDF("ts")
+    assert(TimeSeries.missingRanges(dense, "ts").isEmpty)
+    // a single island (or empty input) reports no gaps
+    assert(TimeSeries.missingRanges(dense.limit(1), "ts").isEmpty)
+    assert(TimeSeries.missingRanges(dense.limit(0), "ts").isEmpty)
+  }
+
   test("streaks finds the longest run per key, ties to the earliest, no-hit keys absent") {
     def mk(user: Long, vals: Seq[Long]) = vals.zipWithIndex.map { case (v, i) =>
       (user, ts(f"2024-01-01 00:${i}%02d:00"), i.toLong, v)

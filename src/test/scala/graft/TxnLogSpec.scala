@@ -502,6 +502,24 @@ class TxnLogSpec extends SparkSpec {
     assert(after.select("id").as[Long].collect().toSet == Set(14L, 16L))
   }
 
+  test("fastCount sums manifest row counts; any stat-blind dir forces the fallback") {
+    val root = Files.createTempDirectory("graft_txn").toString + "/t"
+    TxnLog.overwrite((0L until 10L).map(i => (i, s"s$i")).toDF("id", "s"),
+      root, collectStats = true)
+    TxnLog.append((10L until 25L).map(i => (i, s"s$i")).toDF("id", "s"),
+      root, collectStats = true)
+    assert(TxnLog.fastCount(spark, root).contains(25L))
+    // time travel: the pinned version counts only its own snapshot
+    assert(TxnLog.fastCount(spark, root, asOf = Some(0L)).contains(10L))
+    // a stat-blind append makes the count unknowable from metadata
+    TxnLog.append(Seq((100L, "x")).toDF("id", "s"), root)
+    assert(TxnLog.fastCount(spark, root).isEmpty)
+    assert(TxnLog.read(spark, root).count() == 26L)
+    // an absent/empty table counts 0 without requiring data
+    val empty = Files.createTempDirectory("graft_txn").toString + "/none"
+    assert(TxnLog.fastCount(spark, empty).contains(0L))
+  }
+
   test("merge rejects ambiguous sources and schema drift") {
     val root = Files.createTempDirectory("graft_txn").toString + "/t"
     TxnLog.overwrite(Seq((1L, "a")).toDF("id", "s"), root)

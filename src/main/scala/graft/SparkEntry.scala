@@ -2925,6 +2925,39 @@ object SparkEntry {
     "fact_pruned" -> (factPruned(_, _)),
     "clean_normalize" -> (cleanNormalize(_, _)),
     "zone_enrich" -> (zoneEnrich(_, _)),
+    // referential-integrity audit: per FK, how many fact rows have no
+    // dim partner — the rows an inner-join enrichment would silently
+    // DROP. The two zone legs prove integrity HOLDS against the real
+    // lookup (orphan count 0 is the audit's green light, not a
+    // vacuous result); the stale-dim leg simulates a dimension that
+    // never learned codes 5-6 and must flag exactly those rows.
+    // Anti-join + one-row reduce per FK, always one report row per
+    // audited key.
+    "fk_orphans" -> ((s, d) => {
+      val l = Tables.lineitem(s, d)
+      val trips = l.select(
+        (col("l_partkey") % 12).cast("int").as("pulocationid"),
+        (col("l_suppkey") % 12).cast("int").as("dolocationid"))
+      val lookup = Tables.supplier(s, d)
+        .select(col("s_suppkey").cast("int").as("LocationID")).distinct()
+      val staging = TaxiShape.staging(s, d)
+      val staleDim = staging.filter(col("payment_type_id") <= 4)
+        .select(col("payment_type_id")).distinct()
+      def audit(fact: DataFrame, keyCol: String, dim: DataFrame,
+                dimKey: String, name: String): DataFrame = {
+        val tot = fact.agg(count(lit(1)).as("n_rows"))
+        fact.join(dim.withColumnRenamed(dimKey, keyCol), Seq(keyCol), "left_anti")
+          .agg(count(lit(1)).as("n_orphans"))
+          .crossJoin(broadcast(tot))
+          .select(lit(name).as("fk"), col("n_rows"), col("n_orphans"),
+            expr("(n_orphans * 10000L) div greatest(n_rows, 1L)").as("orphan_bps"))
+      }
+      audit(trips, "pulocationid", lookup, "LocationID", "pulocationid")
+        .unionByName(audit(trips, "dolocationid", lookup, "LocationID", "dolocationid"))
+        .unionByName(audit(staging.select("payment_type_id"), "payment_type_id",
+          staleDim, "payment_type_id", "payment_type_id"))
+        .orderBy("fk")
+    }),
     "dim_vendor" -> ((s, d) => Warehouse.dimVendor(stagingOf(s, d))),
     "dim_rate_code" -> ((s, d) => Warehouse.dimRateCode(stagingOf(s, d))),
     "dim_payment" -> ((s, d) => Warehouse.dimPayment(stagingOf(s, d))),
@@ -3765,6 +3798,22 @@ object SparkEntry {
         Similarity.bruteForceTopK(cands, queries, k = 5),
         Similarity.lshTopK(cands, queries, dim = 64, k = 5))
     }),
+    // matryoshka truncation eval (Kusupati et al. 2022): how much of
+    // the full-dim top-5 neighborhood survives when embeddings are cut
+    // to their first 16 dims — the accept/reject gate for serving
+    // truncated vectors; both legs are the same brute-force ranker
+    "mrl_recall" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val full = e.select("vec_id", "embedding")
+      val qFull = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      Similarity.recallAtK(
+        Similarity.bruteForceTopK(full, qFull, k = 5),
+        Similarity.bruteForceTopK(
+          full.select(col("vec_id"), slice(col("embedding"), 1, 16).as("embedding")),
+          qFull.select(col("q_id"), slice(col("q_emb"), 1, 16).as("q_emb")),
+          k = 5))
+    }),
     "embed_diversity" -> (embedDiversity(_, _)),
     "semantic_dedup" -> (semanticDedup(_, _)),
     "embed_neardup" -> (embedNearDup(_, _)),
@@ -4148,6 +4197,34 @@ object SparkEntry {
         |FROM events
         |WHERE event_id IS NOT NULL AND ts IS NOT NULL AND user_id IS NOT NULL
         |  AND event_type IS NOT NULL AND value IS NOT NULL""".stripMargin,
+    // NOT EXISTS mirrors left_anti exactly (incl. the null-key case);
+    // one UNION ALL leg per audited FK
+    "fk_orphans" ->
+      s"""${TaxiShape.stagingSql},
+         |trips AS (
+         |  SELECT CAST(l_partkey % 12 AS INT) AS pulocationid,
+         |    CAST(l_suppkey % 12 AS INT) AS dolocationid
+         |  FROM lineitem),
+         |lk AS (SELECT DISTINCT CAST(s_suppkey AS INT) AS lid FROM supplier),
+         |stale AS (SELECT DISTINCT payment_type_id FROM staging WHERE payment_type_id <= 4),
+         |tn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM trips),
+         |sn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM staging),
+         |a1 AS (SELECT CAST(count(*) AS BIGINT) AS c FROM trips t
+         |       WHERE NOT EXISTS (SELECT 1 FROM lk WHERE lk.lid = t.pulocationid)),
+         |a2 AS (SELECT CAST(count(*) AS BIGINT) AS c FROM trips t
+         |       WHERE NOT EXISTS (SELECT 1 FROM lk WHERE lk.lid = t.dolocationid)),
+         |a3 AS (SELECT CAST(count(*) AS BIGINT) AS c FROM staging f
+         |       WHERE NOT EXISTS (SELECT 1 FROM stale s
+         |                         WHERE s.payment_type_id = f.payment_type_id))
+         |SELECT 'dolocationid' AS fk, tn.n AS n_rows, a2.c AS n_orphans,
+         |  (a2.c * 10000) // greatest(tn.n, 1) AS orphan_bps FROM tn, a2
+         |UNION ALL
+         |SELECT 'payment_type_id', sn.n, a3.c,
+         |  (a3.c * 10000) // greatest(sn.n, 1) FROM sn, a3
+         |UNION ALL
+         |SELECT 'pulocationid', tn.n, a1.c,
+         |  (a1.c * 10000) // greatest(tn.n, 1) FROM tn, a1
+         |ORDER BY fk""".stripMargin,
     "zone_enrich" ->
       """WITH trips AS (
         |  SELECT l_orderkey, l_linenumber,
@@ -7419,6 +7496,43 @@ object SparkEntry {
     // recall@k: both ranking chains replayed (brute truth + LSH
     // bucket-restricted approx), intersected on (q_id, vec_id),
     // recall in integer millionths by floor division
+    // truncated-prefix replay: the approx leg is the same brute ranker
+    // over the first 16 dims (range(1, 17) in the dot/norm sums)
+    "mrl_recall" -> {
+      def dot16(a: String, b: String) =
+        s"list_sum(list_transform(range(1, 17), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+      val dotF = dotSql("e.embedding", "q.q_emb")
+      val normE = dotSql("e.embedding", "e.embedding")
+      val normQ = dotSql("q.q_emb", "q.q_emb")
+      val dotT = dot16("e.embedding", "q.q_emb")
+      val normET = dot16("e.embedding", "e.embedding")
+      val normQT = dot16("q.q_emb", "q.q_emb")
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),
+         |bp AS (
+         |  SELECT q.q_id, e.vec_id, $dotF / (sqrt($normE) * sqrt($normQ)) AS cos
+         |  FROM embeddings e, q WHERE e.vec_id <> q.q_id),
+         |truth AS (SELECT q_id, vec_id FROM (
+         |  SELECT q_id, vec_id,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rank
+         |  FROM bp) WHERE rank <= 5),
+         |tp AS (
+         |  SELECT q.q_id, e.vec_id, $dotT / (sqrt($normET) * sqrt($normQT)) AS cos
+         |  FROM embeddings e, q WHERE e.vec_id <> q.q_id),
+         |approx AS (SELECT q_id, vec_id FROM (
+         |  SELECT q_id, vec_id,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rank
+         |  FROM tp) WHERE rank <= 5),
+         |hit AS (SELECT t.q_id, count(*) AS n_hit
+         |  FROM truth t JOIN approx a ON t.q_id = a.q_id AND t.vec_id = a.vec_id
+         |  GROUP BY 1),
+         |tsz AS (SELECT q_id, count(*) AS n_truth FROM truth GROUP BY 1),
+         |asz AS (SELECT q_id, count(*) AS n_approx FROM approx GROUP BY 1)
+         |SELECT t.q_id, t.n_truth,
+         |  CAST(coalesce(a.n_approx, 0) AS BIGINT) AS n_approx,
+         |  CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+         |  CAST((1000000 * coalesce(h.n_hit, 0)) // t.n_truth AS BIGINT) AS recall_fp
+         |FROM tsz t LEFT JOIN asz a USING (q_id) LEFT JOIN hit h USING (q_id)""".stripMargin
+    },
     "ann_recall" -> {
       val dotEq = dotSql("e.embedding", "q.q_emb")
       val normE = dotSql("e.embedding", "e.embedding")

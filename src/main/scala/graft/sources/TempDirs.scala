@@ -51,8 +51,12 @@ object TempDirs {
     Option(base.listFiles()).toSeq.flatten.foreach { f =>
       val n = f.getName
       if (f.isDirectory && n.startsWith(prefix + "_p")) {
+        // pid_t is 32-bit in the native liveness check, so a suffix
+        // past Int.MaxValue could ALIAS a live pid — treat any
+        // out-of-range suffix as not-provably-dead (never sweep it)
         val dead = n.drop(prefix.length + 2).toLongOption
-          .exists(pid => !ProcessHandle.of(pid).isPresent)
+          .exists(pid => pid > 0 && pid <= Int.MaxValue &&
+            !ProcessHandle.of(pid).isPresent)
         if (dead) deleteRecursively(f)
       }
     }

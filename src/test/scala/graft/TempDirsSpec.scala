@@ -11,8 +11,17 @@ class TempDirsSpec extends org.scalatest.funsuite.AnyFunSuite {
 
   test("dead-pid siblings are swept; live siblings and own dir survive") {
     val base = Files.createTempDirectory("tempdirs_spec").toFile
-    // a pid that cannot be alive (kernel pid_max is far below 2^40)
-    val deadPid = (1L << 40) + 12345L
+    // a REAL pid that is provably dead: spawn-and-reap a trivial
+    // process and use its pid. (The previous fixture used
+    // (1 << 40) + 12345 as an "impossible" pid, but pid_t is 32-bit in
+    // the native liveness check, so it can alias pid 12345 — which
+    // periodically EXISTS on a busy box and made this test flake
+    // under the full parallel suite.)
+    val deadPid = {
+      val p = new ProcessBuilder("true").start()
+      p.waitFor()
+      p.pid()
+    }
     val dead = new File(base, s"pfx_p$deadPid")
     dead.mkdirs()
     Files.writeString(new File(dead, "leftover").toPath, "x")

@@ -2479,13 +2479,15 @@ object SparkEntry {
     // quartile width from the data (one bounded single-row collect so
     // the commit ranges scale with the SF), floor division both engines
     val q = (docs.agg(max("doc_id")).head.getLong(0) + 1) / 4
-    if (TxnLog.latestVersion(spark, root) < 3L) {
-      TxnLog.overwrite(docs.filter(col("doc_id") < q), root,
-        Some("q0"), collectStats = true)
-      (1 to 3).foreach { i =>
-        val hiB = if (i == 3) Long.MaxValue else (i + 1) * q
-        TxnLog.append(docs.filter(col("doc_id") >= i * q && col("doc_id") < hiB),
-          root, Some(s"q$i"), collectStats = true); ()
+    buildLock(root) {
+      if (TxnLog.latestVersion(spark, root) < 3L) {
+        TxnLog.overwrite(docs.filter(col("doc_id") < q), root,
+          Some("q0"), collectStats = true)
+        (1 to 3).foreach { i =>
+          val hiB = if (i == 3) Long.MaxValue else (i + 1) * q
+          TxnLog.append(docs.filter(col("doc_id") >= i * q && col("doc_id") < hiB),
+            root, Some(s"q$i"), collectStats = true); ()
+        }
       }
     }
     (root, q)
@@ -2546,11 +2548,28 @@ object SparkEntry {
     * release 0 must keep reporting the pre-growth counts forever
     * (that's the reproducibility claim), which the oracle replays as
     * the four known slices. */
-  private def datasetRelease(spark: SparkSession, dir: String): DataFrame = {
+  /** In-process serialization of shared test-artifact builders: two
+    * queries sharing one txn-log root (release_diff + dataset_release;
+    * txnlog_skipping + txnlog_fastcount) may run on concurrent Verify
+    * threads. The CAS/txnId protocol keeps racing builders CORRECT,
+    * but a concurrent build stretches the window between a manifest's
+    * create-exclusive claim and its content landing past readManifest's
+    * bounded patience under load — so same-JVM builders take a per-root
+    * lock and the second one finds the table already built. Cross-JVM
+    * racing (not a shape Verify produces) still rests on the CAS. */
+  private val buildLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def buildLock[A](root: String)(body: => A): A =
+    buildLocks.computeIfAbsent(root, _ => new Object).synchronized(body)
+
+  /** Shared two-release catalog for the release-pinning and
+    * release-diff gates. Returns the catalog root. */
+  private def ensureReleaseTables(spark: SparkSession, dir: String): String = {
     import graft.sources.{TxnCatalog, TxnLog}
     val base = tmpArtifactRoot("release", dir)
     val docsRoot = s"$base/docs"; val embRoot = s"$base/emb"
     val cat = s"$base/catalog"
+    buildLock(base) {
     if (TxnLog.latestVersion(spark, cat) < 1L) {
       val docs = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
       val emb = Tables.embeddings(spark, dir).select(col("vec_id"))
@@ -2564,6 +2583,13 @@ object SparkEntry {
         Map("docs" -> docsRoot, "emb" -> embRoot), Some("r1"))
       ()
     }
+    }
+    cat
+  }
+
+  private def datasetRelease(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.TxnCatalog
+    val cat = ensureReleaseTables(spark, dir)
     val perRelease = for {
       rel <- Seq(0L, 1L)
       table <- Seq("docs", "emb")
@@ -3033,6 +3059,23 @@ object SparkEntry {
     }),
     "forget_docs" -> (forgetDocs(_, _)),
     "dataset_release" -> (datasetRelease(_, _)),
+    // what changed between two pinned releases, per member table:
+    // added/removed row counts from exceptAll over the reproducible
+    // pinned reads — the changelog a dataset card cites
+    "release_diff" -> ((s, d) => {
+      import graft.sources.TxnCatalog
+      val cat = ensureReleaseTables(s, d)
+      Seq("docs", "emb").map { t =>
+        val r0 = TxnCatalog.readTable(s, cat, t, Some(0L))
+        val r1 = TxnCatalog.readTable(s, cat, t, Some(1L))
+        r0.agg(count(lit(1)).as("n_release0"))
+          .crossJoin(r1.agg(count(lit(1)).as("n_release1")))
+          .crossJoin(r1.exceptAll(r0).agg(count(lit(1)).as("n_added")))
+          .crossJoin(r0.exceptAll(r1).agg(count(lit(1)).as("n_removed")))
+          .select(lit(t).as("table_name"), col("n_release0"),
+            col("n_release1"), col("n_added"), col("n_removed"))
+      }.reduce(_.unionByName(_)).orderBy("table_name")
+    }),
     "mv_merge" -> (mvMerge(_, _)),
     "csv_roundtrip" -> (csvRoundtrip(_, _)),
     "quarantine_split" -> (quarantineSplitQuery(_, _)),
@@ -3136,6 +3179,23 @@ object SparkEntry {
     "event_pairs" -> (eventPairs(_, _)),
     "session_paths" -> (sessionPaths(_, _)),
     "attribution" -> (attribution(_, _)),
+    // MATCH_RECOGNIZE-lite: count non-overlapping occurrences of the
+    // behavioral pattern "one-or-more views, then click, then
+    // purchase" (ADJACENT — an interleaved event breaks the run) in
+    // each user's time-ordered event-type sequence; the per-user
+    // string is bounded by that user's event count, regexp runs
+    // map-side after one groupBy
+    "event_pattern" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("ts"), col("event_id"), col("event_type")))),
+          e => e.getField("event_type"))).as("seq"))
+        .select(col("user_id"),
+          size(expr("regexp_extract_all(seq, '(view )+click purchase', 0)"))
+            .cast("long").as("n_matches"))
+        .filter(col("n_matches") > 0)
+        .orderBy("user_id")),
     // first-order Markov transition counts + fixed-point row
     // probabilities over in-session consecutive event pairs
     "transition_matrix" -> (transitionMatrix(_, _)),
@@ -4724,6 +4784,17 @@ object SparkEntry {
         |  FROM s GROUP BY 1, 2)
         |SELECT path, count(*) AS n_sessions FROM p
         |GROUP BY 1 ORDER BY n_sessions DESC, path ASC LIMIT 20""".stripMargin,
+    // non-overlapping greedy scan is left-to-right in both regex
+    // engines; the pattern has no alternation so RE2 == java.util.regex
+    "event_pattern" ->
+      """WITH seqs AS (
+        |  SELECT user_id, string_agg(event_type, ' ' ORDER BY ts, event_id) AS seq
+        |  FROM events GROUP BY 1)
+        |SELECT user_id,
+        |  CAST(len(regexp_extract_all(seq, '(view )+click purchase')) AS BIGINT) AS n_matches
+        |FROM seqs
+        |WHERE len(regexp_extract_all(seq, '(view )+click purchase')) > 0
+        |ORDER BY user_id""".stripMargin,
     // last-touch replay: running last_value IGNORE NULLS per carried
     // column over the same (ts, event_id) ordering — identical null
     // pattern means all three come from the same touch row
@@ -6690,6 +6761,21 @@ object SparkEntry {
         |SELECT CAST(1 AS BIGINT), 'docs', CAST(count(*) AS BIGINT) FROM documents
         |UNION ALL
         |SELECT CAST(1 AS BIGINT), 'emb', CAST(count(*) AS BIGINT) FROM embeddings""".stripMargin,
+    // the appends-only history means removed = 0; added = the post-r0
+    // slices
+    "release_diff" ->
+      """SELECT 'docs' AS table_name,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM documents WHERE doc_id < 250) AS n_release0,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_release1,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM documents WHERE doc_id >= 250) AS n_added,
+        |  CAST(0 AS BIGINT) AS n_removed
+        |UNION ALL
+        |SELECT 'emb',
+        |  (SELECT CAST(count(*) AS BIGINT) FROM embeddings WHERE vec_id < 300),
+        |  (SELECT CAST(count(*) AS BIGINT) FROM embeddings),
+        |  (SELECT CAST(count(*) AS BIGINT) FROM embeddings WHERE vec_id >= 300),
+        |  CAST(0 AS BIGINT)
+        |ORDER BY table_name""".stripMargin,
     // erasure-propagation audit replay: matched counts from the
     // documents table, version movement from the known commit plan
     // (corpus 2 commits + delete, sigs 1 + delete, scores untouched)

@@ -630,4 +630,43 @@ class PropertySpec extends SparkSpec {
     assert(mustHave.subsetOf(banded), s"missing: ${mustHave -- banded}")
     assert(banded.subsetOf(mayHave), s"out of band: ${banded -- mayHave}")
   }
+
+  test("unimaxBudgets == sequential water-filling over random instances") {
+    import graft.operators.Sampling
+    // random source sets: 1-9 sources, weights 0-10000, budgets and
+    // caps spanning the all-capped / none-capped / mixed regimes
+    val instGen = for {
+      n <- Gen.choose(1, 9)
+      ws <- Gen.listOfN(n, Gen.choose(0L, 10000L))
+      b <- Gen.choose(1L, 30000L)
+      capM <- Gen.oneOf(100000L, 250000L, 500000L, 1000000L, 3000000L)
+    } yield (ws.zipWithIndex.map { case (w, i) => (s"s$i", w) }, b, capM)
+    def ref(weights: Seq[(String, Long)], b: Long, capM: Long): Map[String, Long] = {
+      var list = weights.map { case (s, w) => (s, w * capM / 1000000L) }
+        .sortBy { case (s, c) => (c, s) }
+      val res = scala.collection.mutable.Map[String, Long]()
+      var rem = b
+      while (list.nonEmpty) {
+        val (s, c) = list.head
+        if (c * list.size <= rem) { res(s) = c; rem -= c; list = list.tail }
+        else {
+          val share = rem / list.size; val r = (rem % list.size).toInt
+          list.zipWithIndex.foreach { case ((s2, c2), i) =>
+            res(s2) = math.min(c2, share + (if (i < r) 1 else 0)) }
+          list = Nil
+        }
+      }
+      res.toMap
+    }
+    cases(instGen, n = 25).foreach { case (weights, b, capM) =>
+      val df = weights.map { case (s, w) => (s, w) }.toDF("stratum", "w")
+      val got = Sampling.unimaxBudgets(df, "w", "stratum", b, capM)
+        .select("stratum", "budget").as[(String, Long)].collect().toMap
+      val want = ref(weights, b, capM)
+      assert(got == want, s"weights=$weights b=$b capM=$capM")
+      val caps = weights.map { case (s, w) => s -> w * capM / 1000000L }.toMap
+      assert(got.values.sum == math.min(b, caps.values.sum),
+        s"conservation broken: weights=$weights b=$b capM=$capM")
+    }
+  }
 }

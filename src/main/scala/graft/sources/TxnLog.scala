@@ -266,7 +266,37 @@ object TxnLog {
       .reduce(_.unionByName(_, allowMissingColumns = true))
       .filter(coalesce(not(predicate), lit(true)))
     commit(survivors, root, "replace", txnId, expectedLatest = Some(expected),
-      replaceBase = Some(snap.filterNot(affected)))
+      replaceBase = Some(snap.filterNot(affected)),
+      partitionBy = layoutOf(spark, root, affected))
+  }
+
+  /** Hive partition columns (outermost first) of the affected commit
+    * dirs, detected from the `col=value` directory names the writer
+    * laid down — copy-on-write rewrites pass this through so a
+    * DELETE/MERGE on a partitioned table (IVF cells, BM25 postings)
+    * writes its replacement dir in the SAME physical layout instead
+    * of the mixed partitioned/flat state `commit`'s doc calls an
+    * error. Metadata-only (one listing per nesting level of one dir);
+    * all affected dirs must agree — a homogeneous layout is already
+    * the table contract. */
+  private def layoutOf(spark: SparkSession, root: String,
+                       affected: Set[String]): Seq[String] = {
+    val fs = fileSystem(spark, root)
+    def colsOf(d: String): Seq[String] = {
+      def loop(p: Path, acc: Vector[String]): Vector[String] =
+        fs.listStatus(p).find(s =>
+          s.isDirectory && s.getPath.getName.contains("=")) match {
+          case Some(s) =>
+            loop(s.getPath, acc :+ s.getPath.getName.takeWhile(_ != '='))
+          case None => acc
+        }
+      loop(new Path(s"$root/data/$d"), Vector.empty)
+    }
+    val layouts = affected.toSeq.sorted.map(colsOf).distinct
+    require(layouts.size <= 1,
+      s"TxnLog: affected commit dirs disagree on partition layout at $root: " +
+        layouts.map(_.mkString("/")).mkString(" vs "))
+    layouts.headOption.getOrElse(Nil)
   }
 
   /** MERGE (upsert) by copy-on-write at commit-dir granularity: every
@@ -275,8 +305,11 @@ object TxnLog {
     * Delta's `whenMatched update all / whenNotMatched insert all`
     * shape, the standard CDC-apply and dimension-refresh primitive.
     *
-    * Contract: `source` carries exactly the table's columns (no
-    * widening through merge — use a plain [[append]] for that), and
+    * Contract: `source` carries exactly the table's columns — the
+    * UNION schema across the snapshot when an earlier append widened
+    * the table (no widening through merge — use a plain [[append]]
+    * for that; a source still on the pre-widening schema is rejected
+    * loudly rather than silently nulling the widened column) — and
     * its keys identify at most one row each (several source rows
     * matching one target row is ambiguous — checked, loud failure,
     * same as Delta's MULTIPLE_MATCHES). A source row with a NULL key
@@ -309,7 +342,17 @@ object TxnLog {
     val expected = commits.last.version
     val snap = snapshotAt(commits, expected)
     require(snap.nonEmpty, s"TxnLog: nothing to merge into at $root (empty snapshot)")
-    val tableCols = spark.read.parquet(s"$root/data/${snap.head}").columns.toIndexedSeq
+    // the UNION schema across the snapshot, first-seen column order —
+    // snap.head alone would be the pre-widening schema after a
+    // schema-evolution append, wrongly rejecting a full-wide source
+    // and silently dropping widened values from rewritten survivors.
+    // Schema-only reads, bounded by the commit-dir count.
+    val tableCols: IndexedSeq[String] = {
+      val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+      snap.foreach(d =>
+        spark.read.parquet(s"$root/data/$d").schema.fieldNames.foreach(seen += _))
+      seen.toIndexedSeq
+    }
     require(source.columns.sorted.sameElements(tableCols.sorted),
       s"TxnLog.merge: source columns ${source.columns.sorted.mkString(",")} != " +
         s"table columns ${tableCols.sorted.mkString(",")} — merge does not evolve schema")
@@ -327,10 +370,17 @@ object TxnLog {
       .map(d => spark.read.parquet(s"$root/data/$d"))
       .reduce(_.unionByName(_, allowMissingColumns = true))
       .join(srcKeys, keys, "left_anti")
-    val merged = survivors.select(tableCols.map(col): _*)
-      .unionByName(source.select(tableCols.map(col): _*))
+    // survivors from all-narrow affected dirs lack widened columns:
+    // null-fill them (allowMissingColumns semantics), typed from the
+    // source's (checked full-union) schema
+    val survCols = survivors.columns.toSet
+    val aligned = survivors.select(tableCols.map(c =>
+      if (survCols(c)) col(c)
+      else lit(null).cast(source.schema(c).dataType).as(c)): _*)
+    val merged = aligned.unionByName(source.select(tableCols.map(col): _*))
     commit(merged, root, "replace", txnId, expectedLatest = Some(expected),
-      replaceBase = Some(snap.filterNot(affected)))
+      replaceBase = Some(snap.filterNot(affected)),
+      partitionBy = layoutOf(spark, root, affected))
   }
 
   /** Commit directories whose rows survive `probe` — ONE job over the
@@ -548,6 +598,12 @@ object TxnLog {
                 asOf: Option[Long] = None): Option[Long] = {
     val commits = history(spark, root)
     val v = asOf.getOrElse(commits.lastOption.map(_.version).getOrElse(-1L))
+    // same pin validation as read/snapshotDirs: a vacuumed or
+    // never-written asOf must fail loudly, not silently count the
+    // nearest older manifest (a count for a DIFFERENT version)
+    require(asOf.isEmpty || commits.exists(_.version == v),
+      s"TxnLog: version $v does not exist at $root (vacuumed or never written); " +
+        s"available: ${commits.map(_.version).mkString(",")}")
     val manifest = commits.filter(_.version <= v).lastOption
     val snap = manifest.map(_.dirs).getOrElse(Seq.empty)
     if (snap.isEmpty) return Some(0L)

@@ -520,6 +520,73 @@ class TxnLogSpec extends SparkSpec {
     assert(TxnLog.fastCount(spark, empty).contains(0L))
   }
 
+  test("merge after a widening append: full-wide source accepted, narrow rejected, widened values survive the rewrite") {
+    val root = Files.createTempDirectory("graft_txn").toString + "/t"
+    TxnLog.overwrite(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), root)
+    // widening append: extra exists only in the second dir
+    TxnLog.append(Seq((3L, "c", 30L), (4L, "d", 40L)).toDF("id", "s", "extra"), root)
+    // a source still on the pre-widening schema is rejected loudly —
+    // merging it would silently null the widened column in survivors
+    val narrow = intercept[IllegalArgumentException] {
+      TxnLog.merge(Seq((3L, "X")).toDF("id", "s"), root, Seq("id"))
+    }
+    assert(narrow.getMessage.contains("does not evolve schema"), narrow.getMessage)
+    // full-wide source updating one row of the WIDE dir: its other
+    // row's widened value must ride through the copy-on-write rewrite
+    TxnLog.merge(Seq((3L, "C3", 33L), (1L, "A1", 11L))
+      .toDF("id", "s", "extra"), root, Seq("id"))
+    val snap = TxnLog.read(spark, root)
+    val got = snap.collect().map { r =>
+      val e = r.fieldIndex("extra")
+      r.getLong(r.fieldIndex("id")) -> (r.getString(r.fieldIndex("s")),
+        if (r.isNullAt(e)) None else Some(r.getLong(e)))
+    }.toMap
+    assert(got == Map(
+      1L -> (("A1", Some(11L))), 2L -> (("b", None)),
+      3L -> (("C3", Some(33L))), 4L -> (("d", Some(40L)))))
+  }
+
+  test("delete and merge preserve a Hive-partitioned table's physical layout") {
+    import org.apache.spark.sql.functions.col
+    val root = Files.createTempDirectory("graft_txn").toString + "/t"
+    TxnLog.overwrite(Seq((1L, "a", 0), (2L, "b", 0), (3L, "c", 1), (4L, "d", 1))
+      .toDF("id", "s", "p"), root, partitionBy = Seq("p"))
+    TxnLog.delete(spark, root, col("id") === 1L)
+    // the rewrite dir is partitioned like the original — not the
+    // mixed flat/partitioned layout that breaks later reads
+    val afterDel = manifestDirs(root, 1L).head
+    val delSubs = new java.io.File(s"$root/data/$afterDel")
+      .listFiles().filter(_.isDirectory).map(_.getName).sorted
+    assert(delSubs.sameElements(Array("p=0", "p=1")), delSubs.mkString(","))
+    // merge preserves it too
+    TxnLog.merge(Seq((2L, "B2", 0), (9L, "i", 1)).toDF("id", "s", "p"),
+      root, Seq("id"))
+    val afterMrg = manifestDirs(root, 2L).head
+    val mrgSubs = new java.io.File(s"$root/data/$afterMrg")
+      .listFiles().filter(_.isDirectory).map(_.getName).sorted
+    assert(mrgSubs.sameElements(Array("p=0", "p=1")), mrgSubs.mkString(","))
+    val got = TxnLog.read(spark, root).select("id", "s")
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(2L -> "B2", 3L -> "c", 4L -> "d", 9L -> "i"))
+    // the partition column survives as a real, prunable column
+    assert(TxnLog.read(spark, root).filter(col("p") === 1).count() == 3)
+  }
+
+  test("fastCount validates asOf like read: a vacuumed pin fails loudly, never counts a different version") {
+    val root = Files.createTempDirectory("graft_txn").toString + "/t"
+    TxnLog.overwrite(Seq((1L, "a")).toDF("id", "s"), root, collectStats = true)
+    TxnLog.overwrite(Seq((2L, "b"), (3L, "c")).toDF("id", "s"), root, collectStats = true)
+    TxnLog.vacuum(spark, root, retainVersions = 1)
+    intercept[IllegalArgumentException] {
+      TxnLog.fastCount(spark, root, asOf = Some(0L))
+    }
+    // a never-written future version fails the same way
+    intercept[IllegalArgumentException] {
+      TxnLog.fastCount(spark, root, asOf = Some(9L))
+    }
+    assert(TxnLog.fastCount(spark, root).contains(2L))
+  }
+
   test("merge rejects ambiguous sources and schema drift") {
     val root = Files.createTempDirectory("graft_txn").toString + "/t"
     TxnLog.overwrite(Seq((1L, "a")).toDF("id", "s"), root)

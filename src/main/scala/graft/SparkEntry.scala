@@ -2395,6 +2395,31 @@ object SparkEntry {
     TxnLog.read(spark, root).select("doc_id", "source", "lang", "n_chars")
   }
 
+  /** Merge-on-read DELETE under the oracle
+    * ([[graft.sources.TxnLog.deleteMor]]): the same three-commit
+    * fixture and predicate as `txnlog_delete`, erased via a
+    * deletion-vector commit that writes ZERO data files — the oracle
+    * is byte-for-byte the copy-on-write twin's statement, proving
+    * both paths serve identical survivors (`predicate IS NOT TRUE`
+    * null contract included). The zero-file-write, dir-scoping,
+    * compact-materialization, and fastCount-refusal laws are
+    * TxnLogSpec rows; this is the content gate at data scale. */
+  private def txnlogDeleteMor(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.TxnLog
+    val root = tmpArtifactRoot("txnmor", dir)
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+    if (TxnLog.latestVersion(spark, root) < 3L) {
+      TxnLog.overwrite(docs.filter(col("doc_id") < 150), root, Some("s0"))
+      TxnLog.append(docs.filter(col("doc_id") >= 150 && col("doc_id") < 300), root, Some("s1"))
+      TxnLog.append(docs.filter(col("doc_id") >= 300), root, Some("s2"))
+      TxnLog.deleteMor(spark, root,
+        col("doc_id") < 150 && col("lang") === "en", Some("gdpr-mor-1"))
+      ()
+    }
+    TxnLog.read(spark, root).select("doc_id", "source", "lang", "n_chars")
+  }
+
   /** Copy-on-write MERGE (upsert) under the oracle
     * ([[graft.sources.TxnLog.merge]]): a two-commit base table takes
     * one merge carrying updates (every doc_id % 10 == 0 gets its
@@ -3043,6 +3068,7 @@ object SparkEntry {
     "txnlog_changes" -> (txnlogChanges(_, _)),
     "txnlog_evolution" -> (txnlogEvolution(_, _)),
     "txnlog_delete" -> (txnlogDelete(_, _)),
+    "txnlog_delete_mor" -> (txnlogDeleteMor(_, _)),
     "txnlog_merge" -> (txnlogMerge(_, _)),
     "txnlog_compact" -> (txnlogCompact(_, _)),
     "txnlog_skipping" -> (txnlogSkipping(_, _)),
@@ -6704,6 +6730,11 @@ object SparkEntry {
     // copy-on-write DELETE: survivors are `predicate IS NOT TRUE`
     // (NULL-lang rows in the deleted id range must SURVIVE)
     "txnlog_delete" ->
+      """SELECT doc_id, source, lang, n_chars FROM documents
+        |WHERE NOT COALESCE(doc_id < 150 AND lang = 'en', FALSE)""".stripMargin,
+    // merge-on-read DELETE: a zero-data-write deletion-vector commit
+    // must serve survivors identical to the copy-on-write twin
+    "txnlog_delete_mor" ->
       """SELECT doc_id, source, lang, n_chars FROM documents
         |WHERE NOT COALESCE(doc_id < 150 AND lang = 'en', FALSE)""".stripMargin,
     // copy-on-write MERGE replay: target anti-join source ∪ source

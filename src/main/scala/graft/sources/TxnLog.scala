@@ -59,9 +59,18 @@ object TxnLog {
     * (dirs stay readable, never skippable, on those columns). */
   private[graft] case class ColStat(tpe: String, min: String, max: String)
 
+  /** One merge-on-read deletion vector: rows of the named commit
+    * dirs matching `pred` (a SQL predicate string) are invisible to
+    * readers. Scoped to the dirs that held a match when the delete
+    * committed — dirs appended LATER are never filtered by an
+    * earlier tombstone (deletion-vector semantics, not a standing
+    * WHERE clause). */
+  private[graft] case class Dv(pred: String, dirs: Seq[String])
+
   private[graft] case class Commit(version: Long, action: String,
                                    dirs: Seq[String], txnId: Option[String],
-                                   stats: Map[String, Map[String, ColStat]] = Map.empty)
+                                   stats: Map[String, Map[String, ColStat]] = Map.empty,
+                                   dvs: Seq[Dv] = Seq.empty)
 
   /** Overwrite the table with `df` as a new version. Returns the
     * committed version number. A `txnId` already in the log makes the
@@ -105,7 +114,8 @@ object TxnLog {
     * Only directories named by the log are read — orphans from
     * crashed writers are invisible. */
   def read(spark: SparkSession, root: String, asOf: Option[Long] = None): DataFrame = {
-    val snap = snapshotDirs(spark, root, asOf)
+    val m = manifestAt(spark, root, asOf)
+    val snap = m.map(_.dirs).getOrElse(Seq.empty)
     require(snap.nonEmpty, s"TxnLog table at $root has no data at version ${asOf.getOrElse("latest")}")
     // One read PER version dir, unioned by name — a single multi-path
     // read cannot infer Hive partition columns across several roots
@@ -118,9 +128,34 @@ object TxnLog {
     // version pinned BEFORE the widening still serves exactly its own
     // narrower schema (it reads only pre-widening dirs). Type changes
     // on an existing column are NOT evolution and still fail loudly in
-    // the union.
-    snap.map(d => spark.read.parquet(s"$root/data/$d"))
+    // the union. Merge-on-read deletion vectors apply per covered dir
+    // as codegen'd filters inside each branch.
+    val dvs = m.map(_.dvs).getOrElse(Seq.empty)
+    snap.map(d => dirFrame(spark, root, d, dvs))
       .reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** One snapshot dir's frame with every deletion vector covering it
+    * applied. Survivors are `pred IS NOT TRUE` — the same SQL DELETE
+    * null contract as [[delete]]. */
+  private def dirFrame(spark: SparkSession, root: String, d: String,
+                       dvs: Seq[Dv]): DataFrame =
+    dvs.filter(_.dirs.contains(d))
+      .foldLeft(spark.read.parquet(s"$root/data/$d")) { (df, dv) =>
+        df.filter(coalesce(not(org.apache.spark.sql.functions.expr(dv.pred)), lit(true)))
+      }
+
+  /** The manifest visible at `asOf` (latest by default), with the
+    * same pin validation as [[read]]: a vacuumed or never-written
+    * version fails loudly. */
+  private def manifestAt(spark: SparkSession, root: String,
+                         asOf: Option[Long]): Option[Commit] = {
+    val commits = history(spark, root)
+    val v = asOf.getOrElse(commits.lastOption.map(_.version).getOrElse(-1L))
+    require(asOf.isEmpty || commits.exists(_.version == v),
+      s"TxnLog: version $v does not exist at $root (vacuumed or never written); " +
+        s"available: ${commits.map(_.version).mkString(",")}")
+    commits.filter(_.version <= v).lastOption
   }
 
   /** (version, action, n_dirs, txn_id) per commit — the audit trail. */
@@ -259,15 +294,91 @@ object TxnLog {
     val expected = commits.last.version
     val snap = snapshotAt(commits, expected)
     require(snap.nonEmpty, s"TxnLog: nothing to delete at $root (empty snapshot)")
-    val affected = affectedDirs(spark, root, snap, _.filter(predicate))
+    val dvs = commits.last.dvs
+    val affected = affectedDirs(spark, root, snap, dvs, _.filter(predicate))
     if (affected.isEmpty) return expected
     val survivors = affected.toSeq.sorted
-      .map(d => spark.read.parquet(s"$root/data/$d"))
+      .map(d => dirFrame(spark, root, d, dvs))
       .reduce(_.unionByName(_, allowMissingColumns = true))
       .filter(coalesce(not(predicate), lit(true)))
     commit(survivors, root, "replace", txnId, expectedLatest = Some(expected),
       replaceBase = Some(snap.filterNot(affected)),
       partitionBy = layoutOf(spark, root, affected))
+  }
+
+  /** Row-level DELETE by MERGE-ON-READ: the complement of [[delete]]
+    * for the frequent-small-delete regime (a daily right-to-be-
+    * forgotten trickle) where copy-on-write would rewrite the
+    * biggest commit directories over and over. The commit writes
+    * ZERO data files — it publishes a deletion-vector entry
+    * `(predicate SQL, affected dirs)` in the manifest, and readers
+    * apply it as a codegen'd filter inside each covered directory's
+    * scan. Semantics are identical to [[delete]]: survivors are
+    * `predicate IS NOT TRUE`, time travel before the commit still
+    * serves the rows, and a no-match predicate is a version no-op.
+    *
+    * The vector is SCOPED to the directories holding a match at
+    * commit time (detected by the same bounded pushdown scan as
+    * [[delete]]), so later appends are never filtered by an earlier
+    * tombstone, and uncovered directories keep their plain scans.
+    * [[compact]] materializes all vectors away (its rewrite reads
+    * through them); [[fastCount]] honestly refuses a vectored
+    * snapshot (manifest row counts pre-date the erasure). The
+    * predicate must be SQL-expressible and deterministic — it is
+    * serialized by its SQL text and re-parsed at read.
+    *
+    * Read-cost shape at 100 TB: each delete adds one predicate
+    * evaluation per covered dir's scan — O(vectors) plan nodes, zero
+    * extra I/O — and the debt is bounded by compaction cadence, the
+    * Delta deletion-vector / Iceberg merge-on-read trade. Same CAS +
+    * idempotent-txnId protocol as [[delete]]; breaks [[changesSince]]
+    * lineage loudly (a deletion is not an additive delta). Returns
+    * the committed version. */
+  def deleteMor(spark: SparkSession, root: String, predicate: Column,
+                txnId: Option[String] = None): Long = {
+    txnId.foreach { id =>
+      history(spark, root).find(_.txnId.contains(id)) match {
+        case Some(c) => return c.version
+        case None =>
+      }
+    }
+    val commits = history(spark, root)
+    require(commits.nonEmpty, s"TxnLog: cannot delete from empty table at $root")
+    val expected = commits.last.version
+    val snap = snapshotAt(commits, expected)
+    require(snap.nonEmpty, s"TxnLog: nothing to delete at $root (empty snapshot)")
+    val predSql = org.apache.spark.sql.graftinterop.ColumnInterop
+      .catalystExpression(predicate).sql
+    // the serialized predicate must survive the round trip readers do
+    org.apache.spark.sql.functions.expr(predSql)
+    val dvs0 = commits.last.dvs
+    val affected = affectedDirs(spark, root, snap, dvs0, _.filter(predicate))
+    if (affected.isEmpty) return expected
+    val fs = fileSystem(spark, root)
+    var attempt = 0
+    while (attempt < MaxRetries) {
+      val cs = history(spark, root)
+      val version = cs.lastOption.map(_.version + 1).getOrElse(0L)
+      // CAS: the vector's dir scope was derived from `expected`'s
+      // snapshot — publishing over a moved table could miss rows a
+      // concurrent append just added to a covered predicate range
+      if (version != expected + 1)
+        throw new java.util.ConcurrentModificationException(
+          s"TxnLog: table at $root moved (expected latest $expected, found ${version - 1}) — " +
+            "merge-on-read delete aborted; re-run against the new snapshot")
+      txnId.foreach { id =>
+        cs.find(_.txnId.contains(id)).foreach(c => return c.version)
+      }
+      val last = cs.last
+      val newDvs = last.dvs.map(dv => dv.copy(dirs = dv.dirs.filter(snap.contains)))
+        .filter(_.dirs.nonEmpty) :+ Dv(predSql, affected.toSeq.sorted)
+      if (tryPublish(fs, root,
+        Commit(version, "delete_mor", snap, txnId, last.stats, newDvs)))
+        return version
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"TxnLog: lost $MaxRetries consecutive commit races on $root — giving up")
   }
 
   /** Hive partition columns (outermost first) of the affected commit
@@ -362,12 +473,14 @@ object TxnLog {
       s"TxnLog.merge: source has multiple rows for key ${dups.head.toSeq.init.mkString(",")} — " +
         "which one replaces the target row is ambiguous; de-duplicate the source first")
     val srcKeys = source.select(keys.map(col): _*).distinct()
-    val affected = affectedDirs(spark, root, snap, _.join(srcKeys, keys, "left_semi"))
+    val dvs = commits.last.dvs
+    val affected = affectedDirs(spark, root, snap, dvs,
+      _.join(srcKeys, keys, "left_semi"))
     if (affected.isEmpty)
       return commit(source.select(tableCols.map(col): _*), root, "append", txnId,
         expectedLatest = Some(expected))
     val survivors = affected.toSeq.sorted
-      .map(d => spark.read.parquet(s"$root/data/$d"))
+      .map(d => dirFrame(spark, root, d, dvs))
       .reduce(_.unionByName(_, allowMissingColumns = true))
       .join(srcKeys, keys, "left_anti")
     // survivors from all-narrow affected dirs lack widened columns:
@@ -388,10 +501,13 @@ object TxnLog {
     * predicate/semi-join pushes into every branch's scan and the
     * collected output is bounded by the commit count. */
   private def affectedDirs(spark: SparkSession, root: String, snap: Seq[String],
+                           dvs: Seq[Dv],
                            probe: DataFrame => DataFrame): Set[String] = {
     val tag = "_graft_commit_dir"
+    // DV-aware: a row already erased by a deletion vector can neither
+    // mark a dir affected nor re-enter a copy-on-write rewrite
     val tagged = snap
-      .map(d => spark.read.parquet(s"$root/data/$d").withColumn(tag, lit(d)))
+      .map(d => dirFrame(spark, root, d, dvs).withColumn(tag, lit(d)))
       .reduce(_.unionByName(_, allowMissingColumns = true))
     probe(tagged).select(tag).distinct()
       .collect().map(_.getString(0)).toSet
@@ -540,7 +656,15 @@ object TxnLog {
         .filter { case (d, _) => dirs.contains(d) }
       val stats =
         if (newStats.nonEmpty) carried + (dir -> newStats) else carried
-      if (tryPublish(fs, root, Commit(version, action, dirs, txnId, stats)))
+      // deletion vectors carry forward pruned to the still-visible
+      // dirs: an overwrite (incl. compact) drops them all — the
+      // rewrite read them away; a replace drops exactly the entries
+      // scoped to dirs it rewrote (materialized); the new dir is
+      // never covered (nothing was deleted from it yet)
+      val dvs = commits.lastOption.map(_.dvs).getOrElse(Seq.empty)
+        .map(dv => dv.copy(dirs = dv.dirs.filter(dirs.contains)))
+        .filter(_.dirs.nonEmpty)
+      if (tryPublish(fs, root, Commit(version, action, dirs, txnId, stats, dvs)))
         return version
       attempt += 1 // lost the race: someone else took this version
     }
@@ -607,6 +731,9 @@ object TxnLog {
     val manifest = commits.filter(_.version <= v).lastOption
     val snap = manifest.map(_.dirs).getOrElse(Seq.empty)
     if (snap.isEmpty) return Some(0L)
+    // a merge-on-read deletion vector erases rows the manifest counts
+    // still include — the fast path must refuse, not over-count
+    if (manifest.exists(_.dvs.nonEmpty)) return None
     val stats = manifest.map(_.stats).getOrElse(Map.empty)
     val counts = snap.map(d =>
       stats.get(d).flatMap(_.get(RowCountKey)).map(_.min.toLong))
@@ -629,11 +756,15 @@ object TxnLog {
                 lo: Any, hi: Any, asOf: Option[Long] = None): DataFrame = {
     val (survivors, _, snap) = pruneDirs(spark, root, column, lo, hi, asOf)
     require(snap.nonEmpty, s"TxnLog table at $root has no data at version ${asOf.getOrElse("latest")}")
+    // deletion vectors still apply inside surviving dirs (stats
+    // pruning stays valid: a DV only removes rows, so recorded
+    // [min, max] still bounds what remains)
+    val dvs = manifestAt(spark, root, asOf).map(_.dvs).getOrElse(Seq.empty)
     val predicate = col(column) >= lit(lo) && col(column) <= lit(hi)
     if (survivors.isEmpty)
       spark.read.parquet(s"$root/data/${snap.head}").filter(lit(false))
     else
-      survivors.map(d => spark.read.parquet(s"$root/data/$d"))
+      survivors.map(d => dirFrame(spark, root, d, dvs))
         .reduce(_.unionByName(_, allowMissingColumns = true))
         .filter(predicate)
   }
@@ -766,7 +897,7 @@ object TxnLog {
     import org.json4s.jackson.JsonMethods
     val base = ("version" -> c.version) ~ ("action" -> c.action) ~
       ("dirs" -> c.dirs) ~ ("txn_id" -> c.txnId)
-    val j =
+    val withStats =
       if (c.stats.isEmpty) base
       else base ~ ("stats" -> JObject(c.stats.toList.sortBy(_._1).map {
         case (d, cols) => d -> (JObject(cols.toList.sortBy(_._1).map {
@@ -774,6 +905,10 @@ object TxnLog {
             cn -> (("t" -> s.tpe) ~ ("min" -> s.min) ~ ("max" -> s.max) : JValue)
         }) : JValue)
       }))
+    val j =
+      if (c.dvs.isEmpty) withStats
+      else withStats ~ ("dv" -> c.dvs.toList.map(dv =>
+        ("pred" -> dv.pred) ~ ("dirs" -> dv.dirs)))
     JsonMethods.compact(JsonMethods.render(j))
   }
 
@@ -806,7 +941,17 @@ object TxnLog {
       }.toMap
       case _ => Map.empty[String, Map[String, ColStat]]
     }
-    Commit(version, str(j \ "action"), dirs, txn, stats)
+    // absent in pre-DV manifests: no vectors
+    val dvs = j \ "dv" match {
+      case JArray(xs) => xs.flatMap { d =>
+        (d \ "pred", d \ "dirs") match {
+          case (JString(p), JArray(ds)) => Some(Dv(p, ds.map(str)))
+          case _ => None
+        }
+      }
+      case _ => Seq.empty[Dv]
+    }
+    Commit(version, str(j \ "action"), dirs, txn, stats, dvs)
   }
 
   private def fileSystem(spark: SparkSession, root: String): FileSystem =

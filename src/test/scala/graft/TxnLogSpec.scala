@@ -587,6 +587,105 @@ class TxnLogSpec extends SparkSpec {
     assert(TxnLog.fastCount(spark, root).contains(2L))
   }
 
+  /** Recursive (path, length) census of every data file under the
+    * table — the zero-data-write proofs assert the file SET is
+    * byte-identical across a merge-on-read delete. */
+  private def dataFiles(root: String): Set[(String, Long)] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    walk(new java.io.File(s"$root/data")).map(f => f.getPath -> f.length()).toSet
+  }
+
+  test("deleteMor: a delete commit writes zero data files; semantics match copy-on-write") {
+    import org.apache.spark.sql.functions.col
+    val root = Files.createTempDirectory("graft_txn").toString + "/t"
+    TxnLog.overwrite(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), root)
+    TxnLog.append(Seq((10L, "x"), (11L, "y")).toDF("id", "s"), root)
+    val before = dataFiles(root)
+    val v = TxnLog.deleteMor(spark, root, col("id") === 10L, Some("mor-1"))
+    assert(v == 2L)
+    // THE claim: not one data file written, moved, or rewritten
+    assert(dataFiles(root) == before)
+    // content: identical to what copy-on-write delete would serve
+    assert(TxnLog.read(spark, root).select("id").as[Long].collect().toSet ==
+      Set(1L, 2L, 11L))
+    // time travel before the tombstone still serves the row
+    assert(TxnLog.read(spark, root, asOf = Some(1L))
+      .select("id").as[Long].collect().toSet == Set(1L, 2L, 10L, 11L))
+    // idempotent retry + no-match no-op
+    assert(TxnLog.deleteMor(spark, root, col("id") === 10L, Some("mor-1")) == 2L)
+    assert(TxnLog.deleteMor(spark, root, col("id") === 999L) == 2L)
+    assert(TxnLog.latestVersion(spark, root) == 2L)
+    // NULL-evaluating predicate rows survive (IS NOT TRUE contract)
+    val root2 = Files.createTempDirectory("graft_txn").toString + "/t"
+    TxnLog.overwrite(Seq((1L, "a"), (2L, null), (3L, "b"))
+      .toDF("id", "s"), root2)
+    TxnLog.deleteMor(spark, root2, col("s") === "a")
+    assert(TxnLog.read(spark, root2).select("id").as[Long].collect().toSet ==
+      Set(2L, 3L))
+  }
+
+  test("deleteMor: tombstones are dir-scoped — later appends are never filtered") {
+    import org.apache.spark.sql.functions.col
+    val root = Files.createTempDirectory("graft_txn").toString + "/t"
+    TxnLog.overwrite(Seq((1L, "a"), (50L, "b")).toDF("id", "s"), root)
+    TxnLog.deleteMor(spark, root, col("id") < 10L)
+    // an id<10 row appended AFTER the tombstone is new data, not a
+    // deletion target — a standing WHERE clause would wrongly eat it
+    TxnLog.append(Seq((2L, "reborn")).toDF("id", "s"), root)
+    assert(TxnLog.read(spark, root).select("id").as[Long].collect().toSet ==
+      Set(2L, 50L))
+    // and readWhere honors the vector inside surviving dirs
+    assert(TxnLog.readWhere(spark, root, "id", 0L, 10L)
+      .select("s").as[String].collect().toSet == Set("reborn"))
+  }
+
+  test("deleteMor: compact materializes the vectors away; fastCount and changesSince stay honest") {
+    import org.apache.spark.sql.functions.col
+    val root = Files.createTempDirectory("graft_txn").toString + "/t"
+    val v0 = TxnLog.overwrite((0L until 10L).map(i => (i, s"s$i")).toDF("id", "s"),
+      root, collectStats = true)
+    TxnLog.deleteMor(spark, root, col("id") < 3L)
+    // manifest counts pre-date the erasure: fast path must refuse
+    assert(TxnLog.fastCount(spark, root).isEmpty)
+    assert(TxnLog.read(spark, root).count() == 7L)
+    // a deletion is not an additive delta
+    val e = intercept[IllegalArgumentException] {
+      TxnLog.changesSince(spark, root, v0)
+    }
+    assert(e.getMessage.contains("re-baseline"), e.getMessage)
+    // compact reads THROUGH the vectors and drops them from the new manifest
+    TxnLog.compact(spark, root)
+    assert(TxnLog.read(spark, root).count() == 7L)
+    val body = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(f"$root/_graft_log/${2L}%020d.json")), "UTF-8")
+    assert(!body.contains("\"dv\""), body)
+    // the pre-compact vectored version still reads correctly
+    assert(TxnLog.read(spark, root, asOf = Some(1L)).count() == 7L)
+    assert(TxnLog.read(spark, root, asOf = Some(0L)).count() == 10L)
+  }
+
+  test("deleteMor composes with copy-on-write merge: erased rows never resurrect through a rewrite") {
+    import org.apache.spark.sql.functions.col
+    val root = Files.createTempDirectory("graft_txn").toString + "/t"
+    TxnLog.overwrite(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s"), root)
+    TxnLog.deleteMor(spark, root, col("id") === 2L)
+    // merge rewrites the covered dir: the survivors read applies the
+    // vector, so id=2 stays dead; the replace commit materializes it
+    TxnLog.merge(Seq((3L, "C3"), (9L, "i")).toDF("id", "s"), root, Seq("id"))
+    assert(TxnLog.read(spark, root).as[(Long, String)].collect().toMap ==
+      Map(1L -> "a", 3L -> "C3", 9L -> "i"))
+    // the rewrite dropped the now-materialized vector from the manifest
+    val body = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(f"$root/_graft_log/${2L}%020d.json")), "UTF-8")
+    assert(!body.contains("\"dv\""), body)
+    // copy-on-write delete after a tombstone composes the same way
+    TxnLog.deleteMor(spark, root, col("id") === 9L)
+    TxnLog.delete(spark, root, col("id") === 1L)
+    assert(TxnLog.read(spark, root).select("id").as[Long].collect().toSet ==
+      Set(3L))
+  }
+
   test("merge rejects ambiguous sources and schema drift") {
     val root = Files.createTempDirectory("graft_txn").toString + "/t"
     TxnLog.overwrite(Seq((1L, "a")).toDF("id", "s"), root)

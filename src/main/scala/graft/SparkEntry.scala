@@ -1489,7 +1489,7 @@ object SparkEntry {
   private def ensureBm25IndexLayout(spark: SparkSession, dir: String): String = {
     val fp = graft.sources.LayoutCache.contentFingerprint(
       Seq(new java.io.File(dir, "documents.parquet")))
-    graft.sources.LayoutCache.ensure("graft_bm25_index_v1-b16-cut250",
+    graft.sources.LayoutCache.ensure("graft_bm25_index_v2-b16-cut250",
       new java.io.File(dir).getName, fp) { tmp =>
       val docs = Tables.documents(spark, dir)
       graft.search.Bm25Index.build(

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
-import graft.sources.TxnLog
+import graft.sources.{TxnCatalog, TxnLog}
 
 /** PERSISTED BM25 postings index — the text-search twin of
   * [[graft.similarity.IvfIndex]]: tokenize and count the corpus ONCE,
@@ -13,7 +13,7 @@ import graft.sources.TxnLog
   * [[TextFunctions.bm25Search]] re-tokenizes the corpus per call —
   * right for ad-hoc search, wasteful for a query service.
   *
-  * Index layout (everything a TxnLog table — atomic commits,
+  * Index layout (every member a TxnLog table — atomic commits,
   * incremental appends, time travel for free):
   *  - `<path>/postings`: (term, doc_id, tf, dl) partitioned by
   *    `bucket = pmod(hash(term), nBuckets)`. A query for t terms
@@ -22,10 +22,20 @@ import graft.sources.TxnLog
   *  - `<path>/stats`: append-only DELTA rows (n_docs, total_dl);
   *    the corpus totals are their sum. Append-only is what makes
   *    incremental maintenance exact: no read-modify-write, no merge.
+  *  - `<path>/meta`: one row (n_buckets) — the layout constant,
+  *    versioned with everything else.
+  *  - `<path>/_catalog`: a [[TxnCatalog]] whose releases pin one
+  *    consistent (postings, stats, meta) version TRIPLE per
+  *    build/append. The catalog release is the index's ONLY commit
+  *    point: [[topK]] resolves all members from one release, so a
+  *    reader can never see new postings scored against stale
+  *    N/total_dl no matter where a concurrent maintenance run is
+  *    between its member commits (the torn-read window a
+  *    latest-of-each read would have).
   *
   * The design removes the df table entirely: document frequency of a
   * term is the LENGTH OF ITS OWN POSTING LIST ((term, doc) rows are
-  * unique), so df comes free with the pruned scan — one less
+  *  unique), so df comes free with the pruned scan — one less
   * artifact to keep consistent.
   *
   * Exactness: [[append]]ing a batch appends its postings and its
@@ -37,71 +47,134 @@ import graft.sources.TxnLog
   * drift, no rebuild debt — the contrast with IVF's approximate
   * append is the point.
   *
-  * Contract: a document is indexed at most once (re-appending a doc
+  * Crash safety: pass a `txnId` and every member commit AND the
+  * release publish become idempotent — a crash between member
+  * commits leaves the last release serving the old consistent
+  * triple, and the retried maintenance run no-ops the members that
+  * landed, commits the rest, and publishes the pin (no double-
+  * counted tf/df, the exactly-once contract
+  * [[TxnLog.foreachBatchAppend]] set). [[foreachBatchUpdate]] is the
+  * streaming sink wrapping exactly that.
+  *
+  * Contract: one maintenance writer at a time (publish pins each
+  * member's latest version — racing writers could interleave);
+  * a document is indexed at most once (re-appending a doc
   * double-counts it — same contract as IvfIndex.append); new-corpus
   * rebuilds go through [[build]] on a fresh path.
   *
   * Scale shape: build is one tokenize+groupBy (narrow (doc, term, tf)
-  * rows shuffle, text never does); a query scans t/nBuckets of the
+  * rows shuffle, text never does); a query resolves the release pins
+  * (3 catalog rows + a 1-row meta read), scans t/nBuckets of the
   * postings, pivots the ≤ |matching docs| rows, broadcasts two
   * single-row stats frames, and ranks — corpus size enters only
   * through the pruned posting lists. */
 object Bm25Index {
 
-  /** Build the index from scratch (overwrites `path`). */
+  /** Build the index from scratch (overwrites `path`). `txnId` makes
+    * a retried build idempotent per member and per release. */
   def build(docs: DataFrame, path: String, nBuckets: Int = 16,
-            textCol: String = "text", idCol: String = "doc_id"): Unit = {
+            textCol: String = "text", idCol: String = "doc_id",
+            txnId: Option[String] = None): Unit = {
     require(nBuckets >= 1, s"need nBuckets >= 1, got $nBuckets")
+    val spark = docs.sparkSession
+    import spark.implicits._
     TxnLog.overwrite(postingsOf(docs, nBuckets, textCol, idCol),
-      s"$path/postings", partitionBy = Seq("bucket"))
-    TxnLog.overwrite(statsDeltaOf(docs, textCol, idCol), s"$path/stats")
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(path, "_meta_nbuckets"),
-      nBuckets.toString.getBytes("UTF-8"))
+      s"$path/postings", txnId.map(_ + "-postings"), partitionBy = Seq("bucket"))
+    TxnLog.overwrite(statsDeltaOf(docs, textCol, idCol),
+      s"$path/stats", txnId.map(_ + "-stats"))
+    TxnLog.overwrite(Seq(nBuckets).toDF("n_buckets"),
+      s"$path/meta", txnId.map(_ + "-meta"))
+    publish(spark, path, txnId)
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(path, "_SUCCESS"), "")
     ()
   }
 
   /** Incremental maintenance: append a batch of NEW documents. Both
-    * appends are additive, so the index stays exactly equal to a
-    * one-shot build over the union corpus. */
+    * member appends are additive, so the index stays exactly equal
+    * to a one-shot build over the union corpus; the release publish
+    * at the end is what makes the append ATOMIC for readers. */
   def append(spark: SparkSession, path: String, docs: DataFrame,
-             textCol: String = "text", idCol: String = "doc_id"): Unit = {
-    val nBuckets = readNBuckets(path)
+             textCol: String = "text", idCol: String = "doc_id",
+             txnId: Option[String] = None): Unit = {
+    val nBuckets = pinnedMeta(spark, path)
     TxnLog.append(postingsOf(docs, nBuckets, textCol, idCol),
-      s"$path/postings", partitionBy = Seq("bucket"))
-    TxnLog.append(statsDeltaOf(docs, textCol, idCol), s"$path/stats")
+      s"$path/postings", txnId.map(_ + "-postings"), partitionBy = Seq("bucket"))
+    TxnLog.append(statsDeltaOf(docs, textCol, idCol),
+      s"$path/stats", txnId.map(_ + "-stats"))
+    publish(spark, path, txnId)
     ()
   }
 
-  /** Serve a query from the index: scan only the query terms'
-    * buckets, score with the shared BM25 tail, rank top-k — output
-    * convention identical to [[TextFunctions.bm25Search]]. */
+  /** Exactly-once streaming index maintenance — the ingest→searchable
+    * freshness loop, closed the way [[TxnLog.foreachBatchUpsert]]
+    * closed CDC-apply: each micro-batch of new documents is appended
+    * under a batchId-derived txnId, so a checkpoint-recovery replay
+    * no-ops every member commit and the release publish, and the
+    * index stays bit-identical to a one-shot build over everything
+    * ingested. Use from `writeStream.foreachBatch`. */
+  def foreachBatchUpdate(path: String, textCol: String = "text",
+                         idCol: String = "doc_id"): (DataFrame, Long) => Unit =
+    (batch, batchId) =>
+      append(batch.sparkSession, path, batch, textCol, idCol,
+        txnId = Some(s"batch-$batchId"))
+
+  /** Serve a query from the index: resolve ONE catalog release, scan
+    * only the query terms' buckets at the pinned postings version,
+    * score with the shared BM25 tail against the pinned stats, rank
+    * top-k — output convention identical to
+    * [[TextFunctions.bm25Search]]. */
   def topK(spark: SparkSession, path: String, terms: Seq[String],
            k: Int = 20): DataFrame = {
     require(terms.nonEmpty && terms.size <= 8, s"1..8 literal terms, got ${terms.size}")
-    val nBuckets = readNBuckets(path)
+    val pin = pins(spark, path)
+    val nBuckets = metaAt(spark, path, pin("meta"))
     // the build's OWN hash expression evaluated on the literal terms —
     // bounded (≤ 8 rows) and immune to any driver-side reimplementation
     // drifting from Spark's Murmur3
     val buckets = spark.range(1)
       .select(terms.map(t => pmod(hash(lit(t)), lit(nBuckets))): _*)
       .collect()(0).toSeq.map(_.asInstanceOf[Int]).distinct.sorted
-    val post = TxnLog.read(spark, s"$path/postings")
+    val post = TxnLog.read(spark, s"$path/postings", Some(pin("postings")))
       .filter(col("bucket").isin(buckets: _*) && col("term").isin(terms: _*))
     // df per term = its posting-list length; dl rides with the posting
     val docTfDl = post.groupBy("doc_id", "dl")
       .pivot("term", terms).agg(first("tf"))
       .select(col("doc_id") +: col("dl") +:
         terms.map(t => coalesce(col(s"`$t`"), lit(0L)).as(s"__tf_$t")): _*)
-    val statsRow = TxnLog.read(spark, s"$path/stats")
+    val statsRow = TxnLog.read(spark, s"$path/stats", Some(pin("stats")))
       .agg(sum(col("n_docs")).as("__n"), sum(col("total_dl")).as("__t"))
     TextFunctions.rankBm25(docTfDl, statsRow, terms, k)
   }
 
-  /** (term, doc_id, tf, dl, bucket) — one row per distinct doc-term. */
-  private def postingsOf(docs: DataFrame, nBuckets: Int,
+  /** Pin one consistent (postings, stats, meta) triple as a new
+    * catalog release — the index's commit point. */
+  private def publish(spark: SparkSession, path: String,
+                      txnId: Option[String]): Long =
+    TxnCatalog.publish(spark, s"$path/_catalog", Map(
+      "postings" -> s"$path/postings",
+      "stats" -> s"$path/stats",
+      "meta" -> s"$path/meta"), txnId.map(_ + "-release"))
+
+  /** member name → pinned version of the latest release. Bounded:
+    * three catalog rows. */
+  private def pins(spark: SparkSession, path: String): Map[String, Long] =
+    TxnCatalog.pins(spark, s"$path/_catalog")
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+
+  private def metaAt(spark: SparkSession, path: String, v: Long): Int =
+    TxnLog.read(spark, s"$path/meta", Some(v))
+      .head.getInt(0) // bounded: the meta table is one row
+
+  /** The layout constant at the latest release — what [[append]]
+    * must bucket new postings by. */
+  private def pinnedMeta(spark: SparkSession, path: String): Int =
+    metaAt(spark, path, pins(spark, path)("meta"))
+
+  /** (term, doc_id, tf, dl, bucket) — one row per distinct doc-term.
+    * `private[graft]` so the torn-maintenance spec can commit one
+    * member without the release. */
+  private[graft] def postingsOf(docs: DataFrame, nBuckets: Int,
                          textCol: String, idCol: String): DataFrame =
     docs.select(col(idCol).cast("long").as("doc_id"),
         TextFunctions.wsTokenCount(col(textCol)).as("dl"),
@@ -114,8 +187,4 @@ object Bm25Index {
                            idCol: String): DataFrame =
     docs.agg(count(lit(1)).as("n_docs"),
       sum(TextFunctions.wsTokenCount(col(textCol))).as("total_dl"))
-
-  private def readNBuckets(path: String): Int =
-    new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(path, "_meta_nbuckets")), "UTF-8").trim.toInt
 }

@@ -56,6 +56,89 @@ class RankingLmSpec extends SparkSpec {
     assert(pf.isDefined, s"no bucket partition filter on the postings scan:\n$plan")
   }
 
+  test("Bm25Index: release pinning makes maintenance atomic — a reader mid-append sees the old triple; crash-retry is exactly-once") {
+    import graft.search.Bm25Index
+    import graft.sources.TxnLog
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val path = java.nio.file.Files.createTempDirectory("bm25_atomic")
+      .resolve("idx").toString
+    val terms = Seq("spark", "merge", "window")
+    Bm25Index.build(docs.filter(col("doc_id") < 100), path, nBuckets = 16)
+    val before = Bm25Index.topK(spark, path, terms, k = 20).collect().toSeq
+    // TORN maintenance: the postings member commits, then the writer
+    // dies — stats delta and release publish never land (txnId
+    // "crash-postings" is exactly what append's first member commit
+    // would use)
+    TxnLog.append(
+      Bm25Index.postingsOf(docs.filter(col("doc_id") >= 100), 16, "text", "doc_id"),
+      s"$path/postings", Some("crash-postings"), partitionBy = Seq("bucket"))
+    // a reader between the member commits sees the OLD consistent
+    // (postings, stats) pair — never new postings over stale N/total_dl
+    assert(Bm25Index.topK(spark, path, terms, k = 20).collect().toSeq == before,
+      "reader observed a torn (postings, stats) state")
+    // the crashed run retries end-to-end under the SAME txnId: the
+    // landed member no-ops, the missing ones commit, the release pins
+    Bm25Index.append(spark, path, docs.filter(col("doc_id") >= 100),
+      txnId = Some("crash"))
+    val after = Bm25Index.topK(spark, path, terms, k = 20).collect().toSeq
+    assert(after == TextFunctions.bm25Search(docs, terms, k = 20).collect().toSeq,
+      "retried append did not converge to the one-shot result (double count?)")
+    // a full replay of the retry is a no-op on every member and the release
+    val vPost = TxnLog.latestVersion(spark, s"$path/postings")
+    val vStats = TxnLog.latestVersion(spark, s"$path/stats")
+    val vRel = TxnLog.latestVersion(spark, s"$path/_catalog")
+    Bm25Index.append(spark, path, docs.filter(col("doc_id") >= 100),
+      txnId = Some("crash"))
+    assert(TxnLog.latestVersion(spark, s"$path/postings") == vPost)
+    assert(TxnLog.latestVersion(spark, s"$path/stats") == vStats)
+    assert(TxnLog.latestVersion(spark, s"$path/_catalog") == vRel)
+    assert(Bm25Index.topK(spark, path, terms, k = 20).collect().toSeq == after)
+  }
+
+  test("Bm25Index: streaming foreachBatchUpdate equals a one-shot build; checkpoint replays no-op") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.search.Bm25Index
+    import graft.sources.TxnLog
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("bm25_stream")
+    val streamed = base.resolve("streamed").toString
+    val oneShot = base.resolve("oneshot").toString
+    val ckpt = base.resolve("ckpt").toString
+    val d = Seq(
+      (1L, "spark merge window spark"),
+      (2L, "merge window tiny"),
+      (3L, "spark window window stream"),
+      (4L, "stream stream merge"))
+    // batch 0 bootstraps the index; batch 1 maintains it
+    Bm25Index.build(d.take(2).toDF("doc_id", "text"), streamed, nBuckets = 4)
+    val in = MemoryStream[(Long, String)]
+    val q = in.toDF().toDF("doc_id", "text").writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch(Bm25Index.foreachBatchUpdate(streamed))
+      .start()
+    try {
+      in.addData(d(2)); q.processAllAvailable()
+      in.addData(d(3)); q.processAllAvailable()
+    } finally q.stop()
+    Bm25Index.build(d.toDF("doc_id", "text"), oneShot, nBuckets = 4)
+    val terms = Seq("spark", "merge", "window", "stream")
+    // the streamed index serves bit-identical results to the one-shot
+    // build over the union of everything ingested
+    assert(Bm25Index.topK(spark, streamed, terms, k = 10).collect().toSeq ==
+      Bm25Index.topK(spark, oneShot, terms, k = 10).collect().toSeq)
+    // and the postings CONTENT is identical, not just the ranking
+    def postRows(p: String) = TxnLog.read(spark, s"$p/postings")
+      .select("term", "doc_id", "tf", "dl", "bucket")
+      .collect().map(_.toSeq).sortBy(_.mkString(",")).toSeq
+    assert(postRows(streamed) == postRows(oneShot))
+    // checkpoint-recovery replay of the last batch: every member and
+    // the release no-op
+    val vRel = TxnLog.latestVersion(spark, s"$streamed/_catalog")
+    Bm25Index.foreachBatchUpdate(streamed)(d(3) match {
+      case (id, t) => Seq((id, t)).toDF("doc_id", "text") }, 1L)
+    assert(TxnLog.latestVersion(spark, s"$streamed/_catalog") == vRel)
+  }
+
   test("bm25Search favors docs matching more/rarer terms over raw repetition") {
     val docs = Seq(
       (1L, "common common common common common"),

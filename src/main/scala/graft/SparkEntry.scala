@@ -1365,6 +1365,26 @@ object SparkEntry {
       dim = 64, k = 5, nCells = 16, nProbe = 4, centroids = Some(cents))
   }
 
+  /** IVF-PQ composed ANN ([[graft.similarity.Similarity.ivfPqTopK]]):
+    * the Lloyd-exact coarse quantizer probes 4 of 16 cells, PQ-ADC
+    * scores ONLY the probed cells' candidates from their 4×16-codebook
+    * codes, and an exact-cosine rerank of the ADC top-20 yields the
+    * final top-5 — the FAISS `IVF16,PQ4` serving shape with every
+    * stage fixed-point/integer, so the oracle replays the ENTIRE
+    * composition (training, assignment, probing, code assignment,
+    * ADC, rerank) verbatim. The exhaustive-budget ≡ brute-force law
+    * and the recall floor are SimilarityScaleSpec rows. */
+  private def simIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val cents = Similarity.lloydCentroidsExact(
+      e.select("vec_id", "embedding"), nCells = 16, iters = 2)
+    Similarity.ivfPqTopK(e.select("vec_id", "embedding"), queries,
+      dim = 64, k = 5, nCells = 16, nProbe = 4, nSub = 4, nCents = 16,
+      coarseK = 20, centroids = Some(cents))
+  }
+
   /** Build-if-absent of the PERSISTED IVF index
     * ([[graft.similarity.IvfIndex]]) — the ANN twin of the bucketed /
     * partitioned table layouts: quantizer training + corpus assignment
@@ -3610,6 +3630,7 @@ object SparkEntry {
     "ivf_index_stats" -> (ivfIndexStats(_, _)),
     "ivf_rebuild_advice" -> (ivfRebuildAdvice(_, _)),
     "sim_ivf_rebuilt" -> (simIvfRebuilt(_, _)),
+    "sim_ivfpq" -> (simIvfPq(_, _)),
     "sim_pq" -> (simPq(_, _)),
     // Okapi BM25 (rational constants k1=6/5, b=3/4; per-term scores
     // are single long-ratio divisions summed in one fixed-order
@@ -7441,6 +7462,84 @@ object SparkEntry {
          |    WHEN CAST(16 AS BIGINT) - count(*) > 0 THEN 'empty-cells'
          |    ELSE 'balanced' END AS reason
          |FROM stats_out""".stripMargin,
+    // IVF-PQ composition: Lloyd training + cosine assignment/probing
+    // (shared cents/assigned/probed shapes), PQ codes + ADC restricted
+    // to probed pairs, exact-cosine rerank of the ADC top-20 — every
+    // stage replayed verbatim; `f` (micro fixed-point vectors) is
+    // shared between the Lloyd trainer and the PQ subvector slicer
+    "sim_ivfpq" -> {
+      val sq16 = (a: String, b: String) =>
+        s"list_sum(list_transform(range(1, 17), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))"
+      val dotEC = dotSql("e.embedding", "c.c_emb")
+      val dotEE = dotSql("e.embedding", "e.embedding")
+      lloydCentsSql(2) + s""",
+         |assigned AS (
+         |  SELECT vec_id, embedding, c_norm2, cell_id FROM (
+         |    SELECT e.vec_id, e.embedding,
+         |      sqrt($dotEE) AS c_norm2, c.cell_id,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+         |        -($dotEC) / (sqrt($dotEE) * c.c_norm) ASC,
+         |        c.cell_id ASC) AS rn
+         |    FROM embeddings e CROSS JOIN cents c)
+         |  WHERE rn = 1),
+         |probed AS (
+         |  SELECT q_id, cell_id FROM (
+         |    SELECT e.vec_id AS q_id, c.cell_id,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+         |        -($dotEC) / (sqrt($dotEE) * c.c_norm) ASC,
+         |        c.cell_id ASC) AS rn
+         |    FROM embeddings e CROSS JOIN cents c
+         |    WHERE e.vec_id < 10)
+         |  WHERE rn <= 4),
+         |qs AS (
+         |  SELECT e.vec_id AS q_id, e.embedding AS q_emb,
+         |    sqrt($dotEE) AS q_norm2
+         |  FROM embeddings e WHERE e.vec_id < 10),
+         |sub AS (
+         |  SELECT vec_id, CAST(t.j AS INTEGER) AS sub_id,
+         |    fv[t.j*16+1 : t.j*16+16] AS sv
+         |  FROM f, range(0, 4) t(j)),
+         |cb AS (
+         |  SELECT sub_id, vec_id AS cent_id, sv AS cv FROM sub
+         |  WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id ASC LIMIT 16)),
+         |codes AS (
+         |  SELECT vec_id, sub_id, cent_id FROM (
+         |    SELECT s.vec_id, s.sub_id, c.cent_id,
+         |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.sub_id ORDER BY
+         |        ${sq16("s.sv", "c.cv")} ASC, c.cent_id ASC) AS rn
+         |    FROM sub s JOIN cb c USING (sub_id)) WHERE rn = 1),
+         |dtab AS (
+         |  SELECT s.vec_id AS q_id, s.sub_id, c.cent_id,
+         |    CAST(${sq16("s.sv", "c.cv")} AS BIGINT) AS d
+         |  FROM sub s JOIN cb c USING (sub_id) WHERE s.vec_id < 10),
+         |ppairs AS (
+         |  SELECT p.q_id, a.vec_id
+         |  FROM assigned a JOIN probed p USING (cell_id)
+         |  WHERE a.vec_id <> p.q_id),
+         |adcx AS (
+         |  SELECT pp.q_id, k.vec_id, CAST(SUM(t.d) AS BIGINT) AS adc
+         |  FROM ppairs pp JOIN codes k ON k.vec_id = pp.vec_id
+         |    JOIN dtab t ON t.q_id = pp.q_id
+         |      AND t.sub_id = k.sub_id AND t.cent_id = k.cent_id
+         |  GROUP BY 1, 2),
+         |coarse AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT q_id, vec_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q_id
+         |        ORDER BY adc ASC, vec_id ASC) AS crk
+         |    FROM adcx) WHERE crk <= 20),
+         |rer AS (
+         |  SELECT co.q_id, co.vec_id,
+         |    (${dotSql("a.embedding", "q.q_emb")}) / (a.c_norm2 * q.q_norm2) AS cos
+         |  FROM coarse co
+         |  JOIN assigned a ON a.vec_id = co.vec_id
+         |  JOIN qs q ON q.q_id = co.q_id)
+         |SELECT q_id, vec_id, rank, round(cos, 9) AS cos FROM (
+         |  SELECT q_id, vec_id, cos,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id
+         |      ORDER BY cos DESC, vec_id ASC) AS rank
+         |  FROM rer) WHERE rank <= 5""".stripMargin
+    },
     // PQ-ADC: fixed-point subvectors, integer code assignment (ties ->
     // lower centroid id), integer ADC sums — replayed exactly
     "sim_pq" -> {

@@ -761,6 +761,117 @@ object Similarity {
       .select(col("q_id"), col("vec_id"), col("rank"), col("adc"))
   }
 
+  /** IVF-PQ composed ANN — the production big-corpus shape: a COARSE
+    * inverted-file quantizer restricts each query to its `nProbe`
+    * nearest cells' candidates, PQ-ADC scores ONLY those candidates
+    * from their precomputed codes (never their raw vectors), and an
+    * exact-cosine rerank of the ADC top `coarseK` restores ranking
+    * fidelity — the FAISS `IVFx,PQy` recipe (Jégou et al., TPAMI
+    * 2011; Johnson et al., "Billion-scale similarity search with
+    * GPUs", 2017) assembled from this engine's own oracle-exact
+    * halves ([[ivfTopK]] cell probing, [[pqTopK]] ADC,
+    * [[projectedRerankTopK]]'s coarse-then-exact discipline).
+    *
+    * Exactness: cell assignment/probing use the shared cosine
+    * convention (ties → lower cell_id); codes and ADC are the
+    * fixed-point integer arithmetic of [[pqTopK]]; the rerank is the
+    * [[bruteForceTopK]] cosine — every stage engine-portable, so a
+    * SQL oracle replays the whole composition. Two laws anchor it:
+    * `nProbe = nCells` with `coarseK ≥ |candidates|` is bit-identical
+    * to [[bruteForceTopK]] (the rerank covers every pair exactly),
+    * and recall degrades monotonically as either budget shrinks.
+    *
+    * Scale shape at 100 TB: codes are computed once corpus-wide (one
+    * narrow (vec_id, sub_id, cent_id) frame — in production they
+    * persist next to the [[IvfIndex]] cells); per query batch, the
+    * probed-pair set is |batch| · nProbe/nCells of the corpus, ADC
+    * joins it to the broadcast per-query distance tables (narrow rows
+    * only), and the exact rerank touches `coarseK` embeddings per
+    * query — raw vectors enter exactly one bounded join, never a
+    * corpus-wide exchange. */
+  def ivfPqTopK(candidates: DataFrame, queries: DataFrame, dim: Int, k: Int,
+                nCells: Int = 16, nProbe: Int = 4,
+                nSub: Int = 4, nCents: Int = 16, coarseK: Int = 20,
+                centroids: Option[DataFrame] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nSub > 0 && dim % nSub == 0, s"dim=$dim must divide into nSub=$nSub")
+    require(coarseK >= k, s"coarseK=$coarseK must cover k=$k")
+    val sw = dim / nSub
+    val centFrame = centroids.getOrElse(
+      candidates.orderBy(col("vec_id").asc).limit(nCells)
+        .select(col("vec_id").as("cell_id"), col("embedding").as("c_emb"),
+          norm(col("embedding")).as("c_norm")))
+    val c = broadcast(centFrame)
+    // coarse assignment + probing: ivfTopK's broadcast min_by /
+    // window route (constant plan size in nCells)
+    val assigned = graft.core.Parallelism.ensure(candidates)
+      .withColumn("c_norm2", norm(col("embedding")))
+      .crossJoin(c)
+      .withColumn("d",
+        -dot(col("embedding"), col("c_emb")) / (col("c_norm2") * col("c_norm")))
+      .groupBy(col("vec_id"))
+      .agg(min_by(
+        struct(col("cell_id"), col("embedding"), col("c_norm2")),
+        struct(col("d"), col("cell_id"))).as("best"))
+      .select(col("vec_id"), col("best.cell_id").as("cell_id"),
+        col("best.embedding").as("embedding"), col("best.c_norm2").as("c_norm2"))
+    val wq = Window.partitionBy(col("q_id"))
+      .orderBy(col("d").asc, col("cell_id").asc)
+    val qn = queries.withColumn("q_norm2", norm(col("q_emb")))
+    val probed = qn.crossJoin(c)
+      .withColumn("d",
+        -dot(col("q_emb"), col("c_emb")) / (col("q_norm2") * col("c_norm")))
+      .withColumn("__rk", row_number().over(wq))
+      .filter(col("__rk") <= nProbe)
+      .select(col("q_id"), col("cell_id"))
+    // PQ codes for the whole corpus + per-query ADC tables — pqTopK's
+    // fixed-point blocks verbatim
+    def fp(cc: Column): Column =
+      transform(cc, v => round(v.cast("double") * 1000000.0).cast("long"))
+    def subRows(df: DataFrame, idCol: String, embCol: String,
+                idOut: String, svOut: String): DataFrame =
+      df.select(col(idCol).as(idOut), fp(col(embCol)).as("__fv"))
+        .select(col(idOut),
+          posexplode(transform(sequence(lit(0), lit(nSub - 1)),
+            j => slice(col("__fv"), j * sw + 1, lit(sw)))).as(Seq("sub_id", svOut)))
+    val codebook = subRows(
+        candidates.orderBy(col("vec_id").asc).limit(nCents),
+        "vec_id", "embedding", "cent_id", "cv")
+    def sqd(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), _ + _)
+    val codes = subRows(candidates, "vec_id", "embedding", "vec_id", "sv")
+      .join(broadcast(codebook), "sub_id")
+      .withColumn("d", sqd(col("sv"), col("cv")))
+      .groupBy(col("vec_id"), col("sub_id"))
+      .agg(min_by(col("cent_id"), struct(col("d"), col("cent_id"))).as("cent_id"))
+    val dtab = subRows(queries, "q_id", "q_emb", "q_id", "sv")
+      .join(broadcast(codebook), "sub_id")
+      .select(col("q_id"), col("sub_id"), col("cent_id"),
+        sqd(col("sv"), col("cv")).as("d"))
+    // the IVF restriction: ADC runs ONLY over probed (query, cand) pairs
+    val probedPairs = assigned.select("vec_id", "cell_id")
+      .join(broadcast(probed), "cell_id")
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"))
+    val adc = probedPairs
+      .join(codes, "vec_id")
+      .join(broadcast(dtab), Seq("q_id", "sub_id", "cent_id"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("d")).as("adc"))
+    val coarse = adc.withColumn("__crk", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("adc").asc, col("vec_id").asc)))
+      .filter(col("__crk") <= coarseK)
+      .select(col("q_id"), col("vec_id"))
+    // exact rerank of the coarse survivors — bruteForceTopK's cosine
+    // on a per-query bounded pair set
+    val rer = coarse
+      .join(assigned.select("vec_id", "embedding", "c_norm2"), "vec_id")
+      .join(broadcast(qn.select("q_id", "q_emb", "q_norm2")), "q_id")
+      .select(col("q_id"), col("vec_id"),
+        (dot(col("embedding"), col("q_emb")) / (col("c_norm2") * col("q_norm2"))).as("cos"))
+    rankScored(rer, k)
+  }
+
   /** Nearest-cell assignment only — (vec_id, cell_id) for every
     * candidate against the deterministic first-`nCells` centroid set
     * (same centroid convention as [[ivfTopK]]'s default; nearest by

@@ -32,6 +32,32 @@ class SimilarityScaleSpec extends SparkSpec {
     assert(resultSet(inline) == resultSet(joined))
   }
 
+  test("IVF-PQ: exhaustive budgets reproduce brute force bit-for-bit; production budgets clear the recall floor") {
+    val e = Tables.embeddings(spark, dir01).select("vec_id", "embedding")
+    val q = queries(Tables.embeddings(spark, dir01))
+    val cents = Similarity.lloydCentroidsExact(e, nCells = 16, iters = 2)
+    val brute = Similarity.bruteForceTopK(e, q, k = 5)
+    // law 1: nProbe = nCells and coarseK >= |corpus| make the rerank
+    // cover every pair exactly — bit-identical to brute force no
+    // matter what the codebook quantized away
+    val exhaustive = Similarity.ivfPqTopK(e, q, dim = 64, k = 5,
+      nCells = 16, nProbe = 16, nSub = 4, nCents = 16,
+      coarseK = 1000000, centroids = Some(cents))
+    assert(resultSet(exhaustive) == resultSet(brute))
+    // law 2: the production budget (probe 4/16 cells, ADC top-20
+    // rerank) keeps recall@5 above the floor
+    val prod = Similarity.ivfPqTopK(e, q, dim = 64, k = 5,
+      nCells = 16, nProbe = 4, nSub = 4, nCents = 16,
+      coarseK = 20, centroids = Some(cents))
+    val truth = resultSet(brute).map(t => (t._1, t._2))
+    val got = resultSet(prod).map(t => (t._1, t._2))
+    val recall = got.count(truth.contains).toDouble / truth.size
+    assert(recall >= 0.5, s"IVF-PQ recall@5 fell to $recall")
+    // every query still gets a full top-5 (the probe set is wide
+    // enough at these cell sizes)
+    assert(prod.groupBy("q_id").count().collect().forall(_.getLong(1) == 5))
+  }
+
   test("IVF at nCells=256: large-quantizer join path, A/B vs forced inline") {
     val e = Tables.embeddings(spark, dir1).select("vec_id", "embedding")
     val q = queries(Tables.embeddings(spark, dir1))

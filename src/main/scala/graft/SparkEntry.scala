@@ -1143,6 +1143,19 @@ object SparkEntry {
     * under QI (event_type, day, value decile) — one aggregate keyed
     * by the QI tuple, one O(1) report row with exposure in exact
     * basis points. */
+  /** Seeded ε-DP count release ([[graft.validate.Privacy.dpCounts]]):
+    * per-language document counts released at ε = 0.5 with Laplace
+    * noise that is a pure function of (seed, group) — md5-derived
+    * uniform bucket through the literal inverse-CDF table — so the
+    * release is reproducible and the oracle inlines the SAME table
+    * literals (generated by the same Scala function) and replays the
+    * mechanism exactly. The symmetry/scaling/determinism laws are
+    * PrivacySpec rows. */
+  private def dpCountsQ(spark: SparkSession, dir: String): DataFrame =
+    graft.validate.Privacy.dpCounts(
+      Tables.documents(spark, dir).select("lang"), "lang",
+      epsMicro = 500000L)
+
   private def kAnonymity(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir).select(
       col("event_type"),
@@ -3077,6 +3090,7 @@ object SparkEntry {
     "substr_dedup_incremental" -> (substrDedupIncrementalQuery(_, _)),
     "substr_dedup_incremental_bucketed" -> (substrDedupIncrementalBucketed(_, _)),
     "model_score" -> (modelScore(_, _)),
+    "dp_counts" -> (dpCountsQ(_, _)),
     "k_anonymity" -> (kAnonymity(_, _)),
     "export_shards" -> (exportShards(_, _)),
     "export_shards_jsonl" -> (exportShardsJsonl(_, _)),
@@ -6383,6 +6397,21 @@ object SparkEntry {
         |  CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS n_tokens
         |FROM documents""".stripMargin,
     // class sizes replayed from the same QI grouping; exposure share
+    // seeded Laplace release: the noise LUT literals are generated by
+    // the SAME Scala function the engine uses, so they cannot drift;
+    // bucket = md5-derived uniform over (group, seed)
+    "dp_counts" -> {
+      val lut = graft.validate.Privacy.laplaceLutMicro(500000L, 512)
+        .mkString("[", ", ", "]")
+      s"""WITH g AS (
+         |  SELECT lang, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(CAST(concat('0x', substring(md5(concat(COALESCE(lang, ''), 'dp')), 1, 15)) AS BIGINT) % 512 AS INTEGER) AS bucket
+         |  FROM documents GROUP BY 1)
+         |SELECT lang,
+         |  CAST(n * 1000000 + ($lut)[bucket + 1] AS BIGINT) AS noisy_count_micro,
+         |  CAST(500000 AS BIGINT) AS epsilon_micro
+         |FROM g""".stripMargin
+    },
     // is one integral division of non-negative longs (// == div)
     "k_anonymity" ->
       """WITH e AS (

@@ -120,6 +120,59 @@ object Privacy {
     * distinct values: (qi columns..., class_size, sensitive_distinct).
     * A class passing k-anonymity can still leak the sensitive value
     * when every member shares it. */
+  /** Seeded ε-differentially-private count release (Laplace
+    * mechanism, sensitivity 1 — Dwork et al., "Calibrating Noise to
+    * Sensitivity in Private Data Analysis", TCC 2006): per-group
+    * counts released with additive Laplace(1/ε) noise, the step past
+    * this tier's k-anonymity / l-diversity / t-closeness gates that
+    * syntactic privacy cannot reach. Deterministic the house way so
+    * the release is REPRODUCIBLE and oracle-exact: the noise is a
+    * pure function of (seed, group) — an md5-derived uniform bucket
+    * maps through a literal inverse-CDF table of the Laplace
+    * distribution in integer micro-units (the JL-plane literal
+    * discipline; `nBuckets` quantiles at bucket midpoints, mirrored
+    * so the table is exactly symmetric and unbiased). One caveat is
+    * inherent to seeding: re-releasing the SAME group under the SAME
+    * seed spends no fresh ε (identical noise), while a new seed is a
+    * new ε-budget draw — the composition accounting is the caller's.
+    *
+    * Output: (group, noisy_count_micro, epsilon_micro) — the true
+    * count never leaves. Scale shape: one count shuffle on the group
+    * key, then a map-side literal-array lookup; no window, no second
+    * exchange, group cardinality never collected. */
+  def dpCounts(df: DataFrame, groupCol: String, epsMicro: Long,
+               seed: String = "dp", nBuckets: Int = 512): DataFrame = {
+    require(epsMicro > 0, s"need epsilon > 0 micro-units, got $epsMicro")
+    require(nBuckets >= 2 && nBuckets % 2 == 0,
+      s"need an even bucket count >= 2, got $nBuckets")
+    val lut = laplaceLutMicro(epsMicro, nBuckets)
+    val bucket = (conv(substring(md5(concat(
+        coalesce(col(groupCol).cast("string"), lit("")), lit(seed))), 1, 15), 16, 10)
+      .cast("long") % nBuckets).cast("int")
+    df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("__n"))
+      .select(col(groupCol),
+        (col("__n") * 1000000L +
+          element_at(typedLit(lut), bucket + 1)).as("noisy_count_micro"),
+        lit(epsMicro).as("epsilon_micro"))
+  }
+
+  /** Inverse-CDF table of Laplace(b = 1/ε) at the `nBuckets` bucket
+    * midpoints, in integer micro-units: entry i is the noise for
+    * uniform draw u = (i + 0.5) / nBuckets. The upper half mirrors
+    * the lower with exact negation (never `round(-x)`, whose
+    * half-up tie rule would bias the table), so the LUT sums to
+    * exactly zero. Exposed for the oracle, which inlines the SAME
+    * literals. */
+  def laplaceLutMicro(epsMicro: Long, nBuckets: Int): Seq[Long] = {
+    val b = 1.0e6 / epsMicro.toDouble
+    val lower = (0 until nBuckets / 2).map { i =>
+      val u = (i + 0.5) / nBuckets
+      math.round(b * math.log(2.0 * u) * 1e6)
+    }
+    lower ++ lower.reverse.map(x => -x)
+  }
+
   def lDiversityGroups(df: DataFrame, qiCols: Seq[String],
                        sensitiveCol: String, l: Long): DataFrame = {
     require(qiCols.nonEmpty, "need at least one quasi-identifier column")

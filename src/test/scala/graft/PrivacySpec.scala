@@ -58,6 +58,42 @@ class PrivacySpec extends SparkSpec {
     assert(o == Set(0L))
   }
 
+  test("dpCounts: seeded Laplace noise is deterministic, group-dependent, and scales with 1/epsilon") {
+    // LUT laws: exactly symmetric (sums to zero), monotone
+    // nondecreasing, right length
+    val lut = Privacy.laplaceLutMicro(500000L, 512)
+    assert(lut.length == 512 && lut.sum == 0L)
+    assert(lut.zip(lut.tail).forall { case (a, b) => a <= b })
+    // accuracy/ε law: doubling ε halves every quantile (b = 1/ε), up
+    // to the 1-micro rounding of each entry
+    val tight = Privacy.laplaceLutMicro(1000000L, 512)
+    lut.zip(tight).foreach { case (loose, t) =>
+      assert(math.abs(loose - 2 * t) <= 2L, s"$loose !~ 2*$t") }
+    // mechanism: noise = LUT at the md5 bucket of (group, seed) —
+    // replicated driver-side; counts never released bare
+    val df = (Seq.fill(7)("en") ++ Seq.fill(3)("fr") ++ Seq.fill(5)("de"))
+      .toDF("lang")
+    def bucketOf(g: String): Int = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest((g + "dp").getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex.take(15), 16) % 512).toInt
+    }
+    val got = Privacy.dpCounts(df, "lang", epsMicro = 500000L)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val want = Map("en" -> 7L, "fr" -> 3L, "de" -> 5L).map { case (g, n) =>
+      g -> ((n * 1000000L + lut(bucketOf(g)), 500000L))
+    }
+    assert(got == want)
+    // deterministic under repartitioning (a release must be replayable)
+    val again = Privacy.dpCounts(df.repartition(7), "lang", 500000L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again == got.map { case (g, (v, _)) => g -> v })
+    // the noise is group-dependent (not one constant shift)
+    val noises = got.map { case (g, (v, _)) =>
+      v - Map("en" -> 7L, "fr" -> 3L, "de" -> 5L)(g) * 1000000L }.toSet
+    assert(noises.size > 1, s"all groups drew the same noise: $noises")
+  }
+
   test("lDiversityGroups flags classes with a constant sensitive value") {
     val got = Privacy.lDiversityGroups(df, Seq("qi1", "qi2"), "sensitive", l = 2)
       .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))

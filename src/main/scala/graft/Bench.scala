@@ -76,6 +76,62 @@ object Bench {
       }
     } catch { case _: Throwable => None }
 
+  /** One prior scaling leg: wall seconds + metered volumes — the
+    * baseline the volume-adjudicated verdict compares against. */
+  private final case class PrevLeg(timeS: Double, shuffleRecords: Long,
+                                   scanRows: Long)
+
+  /** Prior round's scaling legs from BENCH_detail.json: per query,
+    * the sf1 leg and the scaling block's FINAL point (time + metered
+    * volumes). Absent blocks/fields parse to empty — legs then carry
+    * "no-prior". */
+  private def readPrevLegs(path: String, sfName: String)
+      : (Map[String, PrevLeg], Map[String, PrevLeg]) =
+    try {
+      val f = new java.io.File(path)
+      if (!f.isFile) return (Map.empty, Map.empty)
+      import scala.jdk.CollectionConverters._
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      val root = om.readTree(f)
+      if (Option(root.get("sf")).map(n => new java.io.File(n.asText()).getName)
+          .getOrElse("") != sfName) return (Map.empty, Map.empty)
+      def legs(block: String, timeOf: com.fasterxml.jackson.databind.JsonNode => Double)
+          : Map[String, PrevLeg] =
+        (for {
+          b <- Option(root.get(block)) if b.isObject
+          qs <- Option(b.get("queries")) if qs.isObject
+        } yield qs.fieldNames().asScala.map { q =>
+          val e = qs.get(q)
+          def lastOf(field: String): Long =
+            Option(e.get(field)).filter(_.isArray).filter(_.size > 0)
+              .map(a => a.get(a.size - 1).asLong(-1L)).getOrElse(-1L)
+          q -> PrevLeg(timeOf(e), lastOf("shuffle_records"), lastOf("scan_rows"))
+        }.toMap).getOrElse(Map.empty)
+      (legs("scaling_sf1",
+          e => Option(e.get("sf1_s")).map(_.asDouble(-1.0)).getOrElse(-1.0)),
+        legs("scaling", e =>
+          Option(e.get("times_s")).filter(_.isArray).filter(_.size > 0)
+            .map(a => a.get(a.size - 1).asDouble(-1.0)).getOrElse(-1.0)))
+    } catch { case _: Throwable => (Map.empty, Map.empty) }
+
+  /** The volume-adjudicated leg verdict (What round 12's contended
+    * regen sweep proved necessary: one noisy host printed fact_trip's
+    * sf1 leg at 8x where the committed artifact said 1.6x at
+    * byte-identical volumes). Flat metered volumes + inflated wall =
+    * host noise, never a plan change. */
+  private def legVerdict(prior: Option[PrevLeg], timeS: Double,
+                         shufR: Long, scanR: Long): String = prior match {
+    case None => "no-prior"
+    case Some(p) if timeS <= 0 || p.timeS <= 0 => "no-prior"
+    case Some(p) =>
+      def flat(a: Long, b: Long) = a <= 0 || b <= 0 ||
+        math.abs(a - b).toDouble / math.max(a, b) <= 0.1
+      if (timeS <= p.timeS * 1.4) "within-spread-or-improved"
+      else if (flat(shufR, p.shuffleRecords) && flat(scanR, p.scanRows))
+        "regressed-flat-volumes (host noise: same metered work, slower wall)"
+      else "regressed-volumes-grew (metered work increased — adjudicate as real)"
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -105,6 +161,8 @@ object Bench {
     // the one with per-query minimums and run arrays).
     val prevDetailPath = sys.env.getOrElse("SPARK_GRAFT_PREV_DETAIL", "BENCH_detail.json")
     val prev = readPrevDetail(prevDetailPath, new java.io.File(sfDir).getName)
+    val (prevSf1Legs, prevScalingLegs) =
+      readPrevLegs(prevDetailPath, new java.io.File(sfDir).getName)
     // Warm-up: JIT/codegen/parquet-reader init and page cache are not
     // operator cost; run one shuffle + every table scan before timing.
     spark.range(1000000).selectExpr("sum(id % 7)").collect()
@@ -501,8 +559,13 @@ object Bench {
           scalingCompact +=
             s""""$name${if (scalingExempt.contains(name)) "(exempt)" else ""}":$ratios"""
           attributionCompact += s""""$name":"$attribution""""
+          // volume-adjudicated verdict of the final point vs the prior
+          // committed artifact — a contended host can no longer print a
+          // phantom regression without the flat-volumes label saying so
+          val verdict = legVerdict(prevScalingLegs.get(name), times.last,
+            shufR.last, scanR.last)
           def arr(xs: Seq[Long]) = xs.mkString("[", ",", "]")
-          s""""$name":{"times_s":${times.map(fmt).mkString("[", ",", "]")},"growth_per_10x":$ratios,"shuffle_bytes":${arr(shufB)},"shuffle_records":${arr(shufR)},"scan_rows":${arr(scanR)},"spill_bytes":${arr(spill)},"attribution":"$attribution","label":$exempt}"""
+          s""""$name":{"times_s":${times.map(fmt).mkString("[", ",", "]")},"growth_per_10x":$ratios,"shuffle_bytes":${arr(shufB)},"shuffle_records":${arr(shufR)},"scan_rows":${arr(scanR)},"spill_bytes":${arr(spill)},"attribution":"$attribution","vs_prev":"$verdict","label":$exempt}"""
         }
         s"""{"sf_points":${sfNames.map("\"" + _ + "\"").mkString("[", ",", "]")},"data_ratio_per_step":10,"timing":"min-of-2 fresh plans + one metered run per point","queries":{${entries.mkString(",")}}}"""
       case _ => "null"
@@ -575,7 +638,10 @@ object Bench {
           // (GC/page-cache phase), and min-of-available-runs is this
           // bench's honest-throughput convention throughout
           val leg01 = timeOne(name, fn, sfDir)
-          val runs1 = (1 to 2).flatMap(_ => timeOne(name, fn, legDir))
+          // min-of-3: round 12 proved min-of-2 lets ONE contended run
+          // pair inflate a headline scale number 5x (fact_trip 8.04x
+          // vs the committed 1.62x at identical volumes)
+          val runs1 = (1 to 3).flatMap(_ => timeOne(name, fn, legDir))
           val t01 = math.min(
             leg01.map(_._1).getOrElse(minsMap(name)), minsMap(name))
           val t1 = if (runs1.nonEmpty) runs1.map(_._1).min else -1.0
@@ -592,18 +658,23 @@ object Bench {
             case Some(g) if g <= 1.5 * vol => "volume-proportional"
             case Some(_) => "SUSPECT: time outgrows shuffle+scan volume — possible plan change"
           }
+          // volume-adjudicated verdict vs the prior committed artifact
+          // (What's wrong #3 of round 12: sf1 legs carried no class)
+          val verdict = legVerdict(prevSf1Legs.get(name), t1,
+            if (runs1.nonEmpty) runs1.map(_._2.shuffleRecords).max else -1L,
+            if (runs1.nonEmpty) runs1.map(_._2.scanRows).max else -1L)
           System.err.println(s"[bench][sf1] $name sf0.1=${fmt(t01)} sf1=${fmt(t1)} " +
-            s"growth=${growth.map(fmt).getOrElse("n/a")} ($attribution)")
+            s"growth=${growth.map(fmt).getOrElse("n/a")} ($attribution) [$verdict]")
           def meterArr(f: RunMeter => Long): String =
             (leg01.map(r => f(r._2)).getOrElse(-1L) +:
               (if (runs1.nonEmpty) Seq(runs1.map(r => f(r._2)).max) else Seq(-1L)))
               .mkString("[", ",", "]")
           (name, growth,
-            s""""$name":{"sf01_s":${fmt(t01)},"sf1_s":${fmt(t1)},"growth_10x":${growth.map(fmt).getOrElse("null")},"shuffle_records":${meterArr(_.shuffleRecords)},"scan_rows":${meterArr(_.scanRows)},"spill_bytes":${meterArr(_.spillDisk)},"attribution":"$attribution"}""")
+            s""""$name":{"sf01_s":${fmt(t01)},"sf1_s":${fmt(t1)},"growth_10x":${growth.map(fmt).getOrElse("null")},"shuffle_records":${meterArr(_.shuffleRecords)},"scan_rows":${meterArr(_.scanRows)},"spill_bytes":${meterArr(_.spillDisk)},"attribution":"$attribution","vs_prev":"$verdict"}""")
         }
         sf1Compact ++= entries.map { case (n, g, _) =>
           s""""$n":${g.map(fmt).getOrElse("null")}""" }
-        s"""{"dir":"$sf1Dir","factor":10,"timing":"min-of-2 fresh plans per leg + metered","queries":{${entries.map(_._3).mkString(",")}}}"""
+        s"""{"dir":"$sf1Dir","factor":10,"timing":"min-of-3 fresh plans per leg + metered + volume-adjudicated vs prior artifact","queries":{${entries.map(_._3).mkString(",")}}}"""
       } catch { case e: Throwable =>
         System.err.println(s"[bench][sf1] block failed: ${e.getMessage}")
         "null"

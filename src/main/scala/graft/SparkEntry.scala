@@ -1156,6 +1156,16 @@ object SparkEntry {
       Tables.documents(spark, dir).select("lang"), "lang",
       epsMicro = 500000L)
 
+  /** Seeded ε-DP bounded-sum release
+    * ([[graft.validate.Privacy.dpSum]]): per-event-type spend totals
+    * with values clamped at \$80 (sensitivity = the cap) and
+    * Laplace(cap/ε) noise at ε = 0.5 — the same seeded-LUT
+    * discipline as `dp_counts`, with the clamp replayed in SQL. */
+  private def dpSumQ(spark: SparkSession, dir: String): DataFrame =
+    graft.validate.Privacy.dpSum(
+      Tables.events(spark, dir).select("event_type", "value"),
+      "event_type", "value", capMicro = 80000000L, epsMicro = 500000L)
+
   private def kAnonymity(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir).select(
       col("event_type"),
@@ -2453,6 +2463,30 @@ object SparkEntry {
     TxnLog.read(spark, root).select("doc_id", "source", "lang", "n_chars")
   }
 
+  /** RESTORE under the oracle ([[graft.sources.TxnLog.restore]]):
+    * the three-commit corpus takes a BAD delete (every even doc), and
+    * a metadata-only restore rolls the table back to the pre-delete
+    * version — the final snapshot must be hash-exact with the
+    * untouched source, proving the rollback re-references the old
+    * directories without moving a byte (the zero-data-write,
+    * history-preservation, and vacuum-refusal laws are TxnLogSpec
+    * rows). */
+  private def txnlogRestore(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.TxnLog
+    val root = tmpArtifactRoot("txnrst", dir)
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    if (TxnLog.latestVersion(spark, root) < 4L) {
+      TxnLog.overwrite(docs.filter(col("doc_id") < 150), root, Some("r0"))
+      TxnLog.append(docs.filter(col("doc_id") >= 150 && col("doc_id") < 300), root, Some("r1"))
+      TxnLog.append(docs.filter(col("doc_id") >= 300), root, Some("r2"))
+      TxnLog.delete(spark, root, col("doc_id") % 2 === 0, Some("oops-1"))
+      TxnLog.restore(spark, root, 2L, Some("undo-1"))
+      ()
+    }
+    TxnLog.read(spark, root).select("doc_id", "source", "n_chars")
+  }
+
   /** Copy-on-write MERGE (upsert) under the oracle
     * ([[graft.sources.TxnLog.merge]]): a two-commit base table takes
     * one merge carrying updates (every doc_id % 10 == 0 gets its
@@ -3091,6 +3125,7 @@ object SparkEntry {
     "substr_dedup_incremental_bucketed" -> (substrDedupIncrementalBucketed(_, _)),
     "model_score" -> (modelScore(_, _)),
     "dp_counts" -> (dpCountsQ(_, _)),
+    "dp_sum" -> (dpSumQ(_, _)),
     "k_anonymity" -> (kAnonymity(_, _)),
     "export_shards" -> (exportShards(_, _)),
     "export_shards_jsonl" -> (exportShardsJsonl(_, _)),
@@ -3104,6 +3139,7 @@ object SparkEntry {
     "txnlog_delete" -> (txnlogDelete(_, _)),
     "txnlog_delete_mor" -> (txnlogDeleteMor(_, _)),
     "txnlog_merge" -> (txnlogMerge(_, _)),
+    "txnlog_restore" -> (txnlogRestore(_, _)),
     "txnlog_compact" -> (txnlogCompact(_, _)),
     "txnlog_skipping" -> (txnlogSkipping(_, _)),
     // metadata-only COUNT from the manifest row counts vs the scan:
@@ -6412,6 +6448,24 @@ object SparkEntry {
          |  CAST(500000 AS BIGINT) AS epsilon_micro
          |FROM g""".stripMargin
     },
+    // bounded-sum DP release: clamp bounds the sensitivity at the cap;
+    // the noise LUT is the dp_counts table scaled by cap/1
+    "dp_sum" -> {
+      val lut = graft.validate.Privacy
+        .laplaceLutMicro(500000L, 512, sensMicro = 80000000L)
+        .mkString("[", ", ", "]")
+      s"""WITH g AS (
+         |  SELECT event_type,
+         |    CAST(SUM(GREATEST(0, LEAST(80000000,
+         |      CAST(round(CAST(value AS DOUBLE) * 1000000.0) AS BIGINT)))) AS BIGINT) AS s,
+         |    CAST(CAST(concat('0x', substring(md5(concat(COALESCE(event_type, ''), 'dp-sum')), 1, 15)) AS BIGINT) % 512 AS INTEGER) AS bucket
+         |  FROM events GROUP BY 1)
+         |SELECT event_type,
+         |  CAST(s + ($lut)[bucket + 1] AS BIGINT) AS noisy_sum_micro,
+         |  CAST(500000 AS BIGINT) AS epsilon_micro,
+         |  CAST(80000000 AS BIGINT) AS cap_micro
+         |FROM g""".stripMargin
+    },
     // is one integral division of non-negative longs (// == div)
     "k_anonymity" ->
       """WITH e AS (
@@ -6800,6 +6854,10 @@ object SparkEntry {
         |WHERE d.doc_id NOT IN (SELECT doc_id FROM src)
         |UNION ALL
         |SELECT doc_id, source, n_chars FROM src""".stripMargin,
+    // a metadata-only RESTORE undoes the bad delete: final snapshot =
+    // the untouched source
+    "txnlog_restore" ->
+      "SELECT doc_id, source, n_chars FROM documents",
     // compaction is a pure rewrite: post-compact snapshot = source
     // minus the deleted residue, not one row moved or duplicated
     "txnlog_compact" ->

@@ -80,17 +80,36 @@ object IvfIndex {
     * snapshot; the appended batch's data dir is invisible until its
     * manifest lands). Build and read must agree on the mode. */
   def append(spark: SparkSession, path: String, newVectors: DataFrame,
-             dim: Int, txnSafe: Boolean = false): Unit = {
+             dim: Int, txnSafe: Boolean = false,
+             txnId: Option[String] = None): Unit = {
+    require(txnId.isEmpty || txnSafe,
+      "IvfIndex.append: txnId requires txnSafe = true — a plain parquet " +
+        "append has no idempotency to give a retried transaction")
     val cents = readCentroids(spark, path, dim)
     val assigned = assignCells(newVectors, cents)
     if (txnSafe) {
-      graft.sources.TxnLog.append(assigned, s"$path/cells",
+      graft.sources.TxnLog.append(assigned, s"$path/cells", txnId,
         partitionBy = Seq("cell_id"))
       ()
     } else
       assigned.write.mode("append").partitionBy("cell_id")
         .parquet(s"$path/cells")
   }
+
+  /** Exactly-once streaming index maintenance — the ingest→searchable
+    * freshness loop for vectors, closing the same gap
+    * [[graft.search.Bm25Index.foreachBatchUpdate]] closes for text:
+    * each micro-batch of NEW vectors is assigned with the persisted
+    * quantizer and appended under a batchId-derived txnId, so a
+    * checkpoint-recovery replay no-ops instead of double-indexing the
+    * batch. Requires a `txnSafe` index (the manifest is what makes
+    * both the atomicity and the idempotency hold); quantizer drift is
+    * accepted until [[rebuild]], exactly as with batch [[append]].
+    * Use from `writeStream.foreachBatch`. */
+  def foreachBatchAppend(path: String, dim: Int): (DataFrame, Long) => Unit =
+    (batch, batchId) =>
+      append(batch.sparkSession, path, batch, dim, txnSafe = true,
+        txnId = Some(s"batch-$batchId"))
 
   /** The cells table in the mode it was built with ([[append]]). */
   private def readCells(spark: SparkSession, path: String,

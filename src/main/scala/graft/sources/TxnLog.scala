@@ -546,6 +546,61 @@ object TxnLog {
       ()
     }
 
+  /** RESTORE: make version `toVersion`'s snapshot the CURRENT table
+    * state again as a NEW commit — the incident-recovery primitive
+    * (bad load, wrong merge, fat-fingered delete) and the Delta
+    * `RESTORE TABLE ... TO VERSION AS OF` twin. Metadata-only: the
+    * new manifest references the old version's directories (and its
+    * deletion vectors and stats) BY REFERENCE — zero data files
+    * written, constant cost at any table size. History is preserved,
+    * not rewritten: every version between `toVersion` and the
+    * restore stays readable (auditable) until `vacuum`, and the
+    * restore itself is one more CAS'd create-exclusive commit, so a
+    * concurrent writer cannot be silently overwritten.
+    *
+    * The restored version must still be readable (not vacuumed) —
+    * checked loudly. Restoring to the current version is a no-op
+    * returning it (no empty commit). A `txnId` makes retries
+    * idempotent. Breaks [[changesSince]] lineage loudly (the visible
+    * set was rewritten — action "restore"). Returns the new
+    * version. */
+  def restore(spark: SparkSession, root: String, toVersion: Long,
+              txnId: Option[String] = None): Long = {
+    txnId.foreach { id =>
+      history(spark, root).find(_.txnId.contains(id)) match {
+        case Some(c) => return c.version
+        case None =>
+      }
+    }
+    val commits = history(spark, root)
+    require(commits.nonEmpty, s"TxnLog: cannot restore an empty table at $root")
+    require(commits.exists(_.version == toVersion),
+      s"TxnLog: version $toVersion does not exist at $root (vacuumed or never " +
+        s"written); available: ${commits.map(_.version).mkString(",")}")
+    val target = commits.find(_.version == toVersion).get
+    val expected = commits.last.version
+    if (toVersion == expected) return expected
+    val fs = fileSystem(spark, root)
+    var attempt = 0
+    while (attempt < MaxRetries) {
+      val cs = history(spark, root)
+      val version = cs.lastOption.map(_.version + 1).getOrElse(0L)
+      if (version != expected + 1)
+        throw new java.util.ConcurrentModificationException(
+          s"TxnLog: table at $root moved (expected latest $expected, found ${version - 1}) — " +
+            "restore aborted; re-examine the new state first")
+      txnId.foreach { id =>
+        cs.find(_.txnId.contains(id)).foreach(c => return c.version)
+      }
+      if (tryPublish(fs, root, Commit(version, "restore", target.dirs, txnId,
+        target.stats, target.dvs)))
+        return version
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"TxnLog: lost $MaxRetries consecutive commit races on $root — giving up")
+  }
+
   /** Incremental consumption: the rows committed strictly AFTER
     * `sinceVersion`, read from ONLY the data directories those commits
     * added — cost is O(delta), never a snapshot scan, which is what

@@ -157,15 +157,48 @@ object Privacy {
         lit(epsMicro).as("epsilon_micro"))
   }
 
-  /** Inverse-CDF table of Laplace(b = 1/ε) at the `nBuckets` bucket
-    * midpoints, in integer micro-units: entry i is the noise for
-    * uniform draw u = (i + 0.5) / nBuckets. The upper half mirrors
-    * the lower with exact negation (never `round(-x)`, whose
-    * half-up tie rule would bias the table), so the LUT sums to
-    * exactly zero. Exposed for the oracle, which inlines the SAME
-    * literals. */
-  def laplaceLutMicro(epsMicro: Long, nBuckets: Int): Seq[Long] = {
-    val b = 1.0e6 / epsMicro.toDouble
+  /** Seeded ε-DP SUM release (bounded-sum Laplace mechanism): each
+    * row's value is CLAMPED to [0, capMicro] micro-units — clamping
+    * is what bounds one individual's influence, making the query's
+    * sensitivity exactly `cap` — and the per-group clamped sum is
+    * released with Laplace(cap/ε) noise from the same seeded LUT
+    * discipline as [[dpCounts]]. The cap is a real modeling choice
+    * (too low biases, too high drowns in noise) so it rides in the
+    * report row. Output: (group, noisy_sum_micro, epsilon_micro,
+    * cap_micro). Same scale shape and seeding caveat as
+    * [[dpCounts]]. */
+  def dpSum(df: DataFrame, groupCol: String, valueCol: String,
+            capMicro: Long, epsMicro: Long, seed: String = "dp-sum",
+            nBuckets: Int = 512): DataFrame = {
+    require(capMicro > 0, s"need cap > 0 micro-units, got $capMicro")
+    require(epsMicro > 0, s"need epsilon > 0 micro-units, got $epsMicro")
+    require(nBuckets >= 2 && nBuckets % 2 == 0,
+      s"need an even bucket count >= 2, got $nBuckets")
+    val lut = laplaceLutMicro(epsMicro, nBuckets, sensMicro = capMicro)
+    val bucket = (conv(substring(md5(concat(
+        coalesce(col(groupCol).cast("string"), lit("")), lit(seed))), 1, 15), 16, 10)
+      .cast("long") % nBuckets).cast("int")
+    val clamped = greatest(lit(0L), least(lit(capMicro),
+      round(col(valueCol).cast("double") * 1000000.0).cast("long")))
+    df.groupBy(col(groupCol))
+      .agg(sum(clamped).as("__s"))
+      .select(col(groupCol),
+        (col("__s") + element_at(typedLit(lut), bucket + 1)).as("noisy_sum_micro"),
+        lit(epsMicro).as("epsilon_micro"),
+        lit(capMicro).as("cap_micro"))
+  }
+
+  /** Inverse-CDF table of Laplace(b = sensitivity/ε) at the
+    * `nBuckets` bucket midpoints, in integer micro-units: entry i is
+    * the noise for uniform draw u = (i + 0.5) / nBuckets
+    * (sensitivity defaults to 1 — the counting-query table). The
+    * upper half mirrors the lower with exact negation (never
+    * `round(-x)`, whose half-up tie rule would bias the table), so
+    * the LUT sums to exactly zero. Exposed for the oracle, which
+    * inlines the SAME literals. */
+  def laplaceLutMicro(epsMicro: Long, nBuckets: Int,
+                      sensMicro: Long = 1000000L): Seq[Long] = {
+    val b = sensMicro.toDouble / epsMicro.toDouble
     val lower = (0 until nBuckets / 2).map { i =>
       val u = (i + 0.5) / nBuckets
       math.round(b * math.log(2.0 * u) * 1e6)

@@ -94,6 +94,29 @@ class PrivacySpec extends SparkSpec {
     assert(noises.size > 1, s"all groups drew the same noise: $noises")
   }
 
+  test("dpSum: clamping bounds sensitivity at the cap; noise scales with cap and replays driver-side") {
+    val df = Seq(("a", 5.0), ("a", 100.0), ("a", -3.0), ("b", 2.5))
+      .toDF("grp", "v")
+    def bucketOf(g: String, seed: String): Int = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest((g + seed).getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex.take(15), 16) % 512).toInt
+    }
+    val lut = Privacy.laplaceLutMicro(500000L, 512, sensMicro = 10000000L)
+    // cap-scaling law: the cap-10 table is exactly the sensitivity-1
+    // table scaled by 10 (up to per-entry micro rounding)
+    Privacy.laplaceLutMicro(500000L, 512).zip(lut).foreach { case (one, ten) =>
+      assert(math.abs(ten - 10 * one) <= 10L, s"$ten !~ 10*$one") }
+    val got = Privacy.dpSum(df, "grp", "v", capMicro = 10000000L,
+        epsMicro = 500000L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // group a: 5.0 kept, 100.0 clamped to 10, -3.0 clamped to 0 →
+    // clamped sum 15e6; group b: 2.5e6 — plus each group's seeded draw
+    assert(got("a") == ((15000000L + lut(bucketOf("a", "dp-sum")), 500000L, 10000000L)))
+    assert(got("b") == ((2500000L + lut(bucketOf("b", "dp-sum")), 500000L, 10000000L)))
+  }
+
   test("lDiversityGroups flags classes with a constant sensitive value") {
     val got = Privacy.lDiversityGroups(df, Seq("qi1", "qi2"), "sensitive", l = 2)
       .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))

@@ -199,6 +199,57 @@ class SimilarityScaleSpec extends SparkSpec {
     assert(pf.isDefined, s"no cell_id partition filter on the txn cells scan:\n$plan")
   }
 
+  test("streaming IVF maintenance: foreachBatchAppend equals one-shot build content; replays no-op") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.similarity.IvfIndex
+    import graft.sources.TxnLog
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir01).select("vec_id", "embedding")
+    val path = java.nio.file.Files.createTempDirectory("ivf_stream")
+      .resolve("idx").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ivf_stream_ckpt").toString
+    // bootstrap on the first half (quantizer trains here), stream the rest
+    IvfIndex.build(e.filter(col("vec_id") < 300), path, dim = 64, txnSafe = true)
+    val rest = e.filter(col("vec_id") >= 300)
+      .as[(Long, Seq[Float])].collect().toSeq
+    val (b0, b1) = rest.splitAt(rest.size / 2)
+    val in = MemoryStream[(Long, Seq[Float])]
+    val q = in.toDF().toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch(IvfIndex.foreachBatchAppend(path, dim = 64))
+      .start()
+    try {
+      in.addData(b0: _*); q.processAllAvailable()
+      in.addData(b1: _*); q.processAllAvailable()
+    } finally q.stop()
+    // streamed index holds exactly the full corpus's assignments —
+    // same rows as batch-appending everything in one shot
+    val cells = TxnLog.read(spark, s"$path/cells")
+      .select("vec_id", "cell_id").as[(Long, Long)].collect().toMap
+    assert(cells.size == e.count())
+    // appended vectors are searchable where the quantizer probes
+    val queries = e.filter(col("vec_id") >= 300).limit(3)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    assert(IvfIndex.topK(spark, path, queries, dim = 64, k = 3,
+      nProbe = 16, txnSafe = true).groupBy("q_id").count()
+      .collect().forall(_.getLong(1) == 3))
+    // checkpoint-recovery replay of the last batch is a no-op
+    val vBefore = TxnLog.latestVersion(spark, s"$path/cells")
+    IvfIndex.foreachBatchAppend(path, 64)(
+      b1.toDF("vec_id", "embedding")
+        .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding")), 1L)
+    assert(TxnLog.latestVersion(spark, s"$path/cells") == vBefore)
+    // and txnId without txnSafe is refused loudly
+    intercept[IllegalArgumentException] {
+      IvfIndex.append(spark, path, e.limit(1), dim = 64,
+        txnSafe = false, txnId = Some("x"))
+    }
+    ()
+  }
+
   test("rebuildAdvice: a skewed append flips the verdict to hot-cell rebuild") {
     import graft.similarity.IvfIndex
     val e = Tables.embeddings(spark, dir01).select("vec_id", "embedding")

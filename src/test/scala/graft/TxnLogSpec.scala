@@ -686,6 +686,49 @@ class TxnLogSpec extends SparkSpec {
       Set(3L))
   }
 
+  test("restore: metadata-only rollback; history preserved; vacuumed target refused") {
+    import org.apache.spark.sql.functions.col
+    val root = Files.createTempDirectory("graft_txn").toString + "/t"
+    TxnLog.overwrite(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), root)    // v0
+    TxnLog.append(Seq((3L, "c")).toDF("id", "s"), root)                  // v1
+    TxnLog.delete(spark, root, col("id") === 1L)                         // v2: the mistake
+    val before = dataFiles(root)
+    val v = TxnLog.restore(spark, root, 1L, Some("rst-1"))               // v3
+    assert(v == 3L)
+    // metadata-only: not one data file written
+    assert(dataFiles(root) == before)
+    // the mistake is undone...
+    assert(TxnLog.read(spark, root).select("id").as[Long].collect().toSet ==
+      Set(1L, 2L, 3L))
+    // ...but history is preserved, not rewritten: the bad version
+    // still reads (auditable) until vacuum
+    assert(TxnLog.read(spark, root, asOf = Some(2L))
+      .select("id").as[Long].collect().toSet == Set(2L, 3L))
+    // idempotent retry + restore-to-current no-op
+    assert(TxnLog.restore(spark, root, 1L, Some("rst-1")) == 3L)
+    assert(TxnLog.restore(spark, root, 3L) == 3L)
+    assert(TxnLog.latestVersion(spark, root) == 3L)
+    // a restore rewrites the visible set: incremental consumers must
+    // re-baseline
+    val e = intercept[IllegalArgumentException] {
+      TxnLog.changesSince(spark, root, 1L)
+    }
+    assert(e.getMessage.contains("re-baseline"), e.getMessage)
+    // restore past a merge-on-read tombstone resurrects its rows (the
+    // manifest carries the TARGET version's vectors, not the tip's)
+    TxnLog.deleteMor(spark, root, col("id") === 2L)                      // v4
+    assert(TxnLog.read(spark, root).count() == 2)
+    TxnLog.restore(spark, root, 3L)                                      // v5
+    assert(TxnLog.read(spark, root).select("id").as[Long].collect().toSet ==
+      Set(1L, 2L, 3L))
+    // a vacuumed target is refused loudly
+    TxnLog.vacuum(spark, root, retainVersions = 1)
+    intercept[IllegalArgumentException] {
+      TxnLog.restore(spark, root, 0L)
+    }
+    ()
+  }
+
   test("merge rejects ambiguous sources and schema drift") {
     val root = Files.createTempDirectory("graft_txn").toString + "/t"
     TxnLog.overwrite(Seq((1L, "a")).toDF("id", "s"), root)

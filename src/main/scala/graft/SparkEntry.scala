@@ -2463,6 +2463,36 @@ object SparkEntry {
     TxnLog.read(spark, root).select("doc_id", "source", "lang", "n_chars")
   }
 
+  /** CHECK-gated ingest under the oracle
+    * ([[graft.sources.TxnLog.addCheck]]): the table registers a
+    * constraint after its first load, a clean second load passes the
+    * gate, and a poisoned batch is refused WITHOUT moving the table —
+    * the final snapshot must be hash-exact with the untouched source,
+    * proving the gate admits exactly the clean data. Refusal
+    * mechanics (no version, no orphan dir, NULL-passes, schema-blind
+    * refusal, dropCheck) are TxnLogSpec rows. */
+  private def txnlogChecked(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.TxnLog
+    val root = tmpArtifactRoot("txnchk", dir)
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    // 0-based versions: overwrite(0) + set_check(1) + append(2)
+    if (TxnLog.latestVersion(spark, root) < 2L) {
+      TxnLog.overwrite(docs.filter(col("doc_id") < 100), root, Some("g0"))
+      TxnLog.addCheck(spark, root, "chars_nonneg", "n_chars >= 0", Some("g-ck"))
+      TxnLog.append(docs.filter(col("doc_id") >= 100), root, Some("g1"))
+      val before = TxnLog.latestVersion(spark, root)
+      val refused =
+        try { TxnLog.append(docs.filter(col("doc_id") < 50)
+          .withColumn("n_chars", lit(-1L)), root, Some("g-bad")); false }
+        catch { case _: IllegalArgumentException => true }
+      require(refused, "poisoned batch was admitted through the CHECK gate")
+      require(TxnLog.latestVersion(spark, root) == before,
+        "table moved on a refused commit")
+    }
+    TxnLog.read(spark, root).select("doc_id", "source", "n_chars")
+  }
+
   /** RESTORE under the oracle ([[graft.sources.TxnLog.restore]]):
     * the three-commit corpus takes a BAD delete (every even doc), and
     * a metadata-only restore rolls the table back to the pre-delete
@@ -3139,6 +3169,7 @@ object SparkEntry {
     "txnlog_delete" -> (txnlogDelete(_, _)),
     "txnlog_delete_mor" -> (txnlogDeleteMor(_, _)),
     "txnlog_merge" -> (txnlogMerge(_, _)),
+    "txnlog_checked" -> (txnlogChecked(_, _)),
     "txnlog_restore" -> (txnlogRestore(_, _)),
     "txnlog_compact" -> (txnlogCompact(_, _)),
     "txnlog_skipping" -> (txnlogSkipping(_, _)),
@@ -6854,6 +6885,10 @@ object SparkEntry {
         |WHERE d.doc_id NOT IN (SELECT doc_id FROM src)
         |UNION ALL
         |SELECT doc_id, source, n_chars FROM src""".stripMargin,
+    // the CHECK gate admits exactly the clean loads; the poisoned
+    // batch never lands — final snapshot = the untouched source
+    "txnlog_checked" ->
+      "SELECT doc_id, source, n_chars FROM documents",
     // a metadata-only RESTORE undoes the bad delete: final snapshot =
     // the untouched source
     "txnlog_restore" ->

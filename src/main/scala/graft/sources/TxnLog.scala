@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{coalesce, col, count, lit, not}
+import org.apache.spark.sql.functions.{coalesce, col, count, lit, not, when}
 
 /** Minimal ACID-ish transaction log over plain parquet — the offline
   * stand-in for the Delta format gap (reference:
@@ -70,7 +70,8 @@ object TxnLog {
   private[graft] case class Commit(version: Long, action: String,
                                    dirs: Seq[String], txnId: Option[String],
                                    stats: Map[String, Map[String, ColStat]] = Map.empty,
-                                   dvs: Seq[Dv] = Seq.empty)
+                                   dvs: Seq[Dv] = Seq.empty,
+                                   checks: Map[String, String] = Map.empty)
 
   /** Overwrite the table with `df` as a new version. Returns the
     * committed version number. A `txnId` already in the log makes the
@@ -373,7 +374,7 @@ object TxnLog {
       val newDvs = last.dvs.map(dv => dv.copy(dirs = dv.dirs.filter(snap.contains)))
         .filter(_.dirs.nonEmpty) :+ Dv(predSql, affected.toSeq.sorted)
       if (tryPublish(fs, root,
-        Commit(version, "delete_mor", snap, txnId, last.stats, newDvs)))
+        Commit(version, "delete_mor", snap, txnId, last.stats, newDvs, last.checks)))
         return version
       attempt += 1
     }
@@ -546,6 +547,105 @@ object TxnLog {
       ()
     }
 
+  /** Register a CHECK constraint on the table — Delta's
+    * `ALTER TABLE ... ADD CONSTRAINT` twin, the quality gate at the
+    * TABLE boundary (where the ingest-side quarantine gate cannot
+    * reach writers that bypass it): every FUTURE commit that writes
+    * data validates its freshly written directory against every
+    * registered predicate and REFUSES to publish on a violation (the
+    * orphan dir is deleted; the table never moves). SQL CHECK
+    * semantics: a row violates only when the predicate evaluates
+    * FALSE — NULL passes.
+    *
+    * Existing data is validated first (one snapshot scan with the
+    * predicate pushed down) — a constraint the current table already
+    * violates is refused, so a registered check is an invariant over
+    * the whole visible table, not just new commits. The registration
+    * itself is a metadata-only commit (action "set_check", dirs
+    * unchanged) that [[changesSince]] consumers skip over — it adds
+    * no rows. Constraints carry across append/overwrite/compact/
+    * restore until [[dropCheck]].
+    *
+    * Cost shape at 100 TB: one extra narrow aggregate over each NEW
+    * commit directory (never the table) per commit — the same
+    * read-back-the-written-dir discipline as `collectStats`. Returns
+    * the registration's version. */
+  def addCheck(spark: SparkSession, root: String, name: String,
+               predicateSql: String, txnId: Option[String] = None): Long = {
+    require(name.nonEmpty && name.forall(c => c.isLetterOrDigit || c == '_'),
+      s"TxnLog.addCheck: constraint name must be [A-Za-z0-9_]+, got '$name'")
+    txnId.foreach { id =>
+      history(spark, root).find(_.txnId.contains(id)) match {
+        case Some(c) => return c.version
+        case None =>
+      }
+    }
+    val commits = history(spark, root)
+    require(commits.nonEmpty, s"TxnLog: cannot add a check to an empty table at $root")
+    // parse early (loud on malformed SQL) and validate EXISTING data
+    val pred = org.apache.spark.sql.functions.expr(predicateSql)
+    val existing = read(spark, root)
+      .filter(coalesce(not(pred), lit(false)))
+      .limit(1).collect()
+    require(existing.isEmpty,
+      s"TxnLog.addCheck: existing data at $root already violates '$name' " +
+        s"($predicateSql) — e.g. ${existing.headOption.map(_.toString).getOrElse("")}")
+    val expected = commits.last.version
+    publishMeta(spark, root, expected, txnId, "set_check",
+      last => last.checks + (name -> predicateSql))
+  }
+
+  /** Remove a registered CHECK constraint (metadata-only commit).
+    * Unknown names fail loudly. Returns the commit's version. */
+  def dropCheck(spark: SparkSession, root: String, name: String,
+                txnId: Option[String] = None): Long = {
+    txnId.foreach { id =>
+      history(spark, root).find(_.txnId.contains(id)) match {
+        case Some(c) => return c.version
+        case None =>
+      }
+    }
+    val commits = history(spark, root)
+    require(commits.nonEmpty, s"TxnLog: no table at $root")
+    require(commits.last.checks.contains(name),
+      s"TxnLog.dropCheck: no constraint '$name' at $root " +
+        s"(registered: ${commits.last.checks.keys.toSeq.sorted.mkString(",")})")
+    publishMeta(spark, root, commits.last.version, txnId, "drop_check",
+      last => last.checks - name)
+  }
+
+  /** Registered CHECK constraints of the current table state. */
+  def checks(spark: SparkSession, root: String): Map[String, String] =
+    history(spark, root).lastOption.map(_.checks).getOrElse(Map.empty)
+
+  /** Shared CAS'd metadata-only publish (set_check/drop_check): dirs,
+    * stats, and deletion vectors carry unchanged; only `checks` is
+    * transformed. */
+  private def publishMeta(spark: SparkSession, root: String, expected: Long,
+                          txnId: Option[String], action: String,
+                          newChecks: Commit => Map[String, String]): Long = {
+    val fs = fileSystem(spark, root)
+    var attempt = 0
+    while (attempt < MaxRetries) {
+      val cs = history(spark, root)
+      val version = cs.lastOption.map(_.version + 1).getOrElse(0L)
+      if (version != expected + 1)
+        throw new java.util.ConcurrentModificationException(
+          s"TxnLog: table at $root moved (expected latest $expected, found ${version - 1}) — " +
+            s"$action aborted; re-run against the new state")
+      txnId.foreach { id =>
+        cs.find(_.txnId.contains(id)).foreach(c => return c.version)
+      }
+      val last = cs.last
+      if (tryPublish(fs, root, Commit(version, action, last.dirs, txnId,
+        last.stats, last.dvs, newChecks(last))))
+        return version
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"TxnLog: lost $MaxRetries consecutive commit races on $root — giving up")
+  }
+
   /** RESTORE: make version `toVersion`'s snapshot the CURRENT table
     * state again as a NEW commit — the incident-recovery primitive
     * (bad load, wrong merge, fat-fingered delete) and the Delta
@@ -592,8 +692,10 @@ object TxnLog {
       txnId.foreach { id =>
         cs.find(_.txnId.contains(id)).foreach(c => return c.version)
       }
+      // the TARGET's data/stats/vectors come back; CHECK constraints
+      // are table metadata and stay at the TIP's state
       if (tryPublish(fs, root, Commit(version, "restore", target.dirs, txnId,
-        target.stats, target.dvs)))
+        target.stats, target.dvs, cs.last.checks)))
         return version
       attempt += 1
     }
@@ -625,7 +727,10 @@ object TxnLog {
       s"TxnLog: version $sinceVersion does not exist at $root (vacuumed?) — " +
         "re-baseline from a full read of the current snapshot")
     val delta = commits.filter(_.version > sinceVersion)
+    // set_check/drop_check are metadata-only (dirs unchanged, zero
+    // rows added) — an incremental consumer skips straight over them
     val broken = delta.filter(c => c.action != "append" &&
+      c.action != "set_check" && c.action != "drop_check" &&
       !(sinceVersion == -1L && c.version == commits.head.version))
     require(broken.isEmpty,
       s"TxnLog: non-append commit(s) ${broken.map(c => s"v${c.version}:${c.action}").mkString(", ")} " +
@@ -670,6 +775,40 @@ object TxnLog {
     val w = df.write
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(s"$root/data/$dir")
+    // CHECK-constraint gate: validate the freshly WRITTEN directory
+    // against every registered predicate BEFORE any publish attempt —
+    // a violating commit deletes its orphan dir and fails loudly, the
+    // table never moves. SQL CHECK semantics: only FALSE violates,
+    // NULL passes. One narrow aggregate over the new dir only.
+    val activeChecks = history(spark, root).lastOption
+      .map(_.checks).getOrElse(Map.empty)
+    if (activeChecks.nonEmpty) {
+      val verdicts =
+        try {
+          val dirDf = spark.read.parquet(s"$root/data/$dir")
+          val aggs = activeChecks.toSeq.sortBy(_._1).map { case (n, p) =>
+            count(when(coalesce(not(
+              org.apache.spark.sql.functions.expr(p)), lit(false)), 1)).as(n)
+          }
+          val row = dirDf.agg(aggs.head, aggs.tail: _*).head
+          activeChecks.keys.toSeq.sorted.map(n => n -> row.getAs[Long](n))
+        } catch { case scala.util.control.NonFatal(e) =>
+          // e.g. the commit's schema dropped a checked column — the
+          // constraint cannot be proven, so the commit is refused
+          fs.delete(new Path(s"$root/data/$dir"), true)
+          throw new IllegalArgumentException(
+            s"TxnLog: CHECK constraint(s) ${activeChecks.keys.toSeq.sorted.mkString(",")} " +
+              s"could not be evaluated against the new commit at $root — refused", e)
+        }
+      val bad = verdicts.filter(_._2 > 0)
+      if (bad.nonEmpty) {
+        fs.delete(new Path(s"$root/data/$dir"), true)
+        throw new IllegalArgumentException(
+          s"TxnLog: commit to $root violates CHECK constraint(s) " +
+            bad.map { case (n, c) => s"'$n' ($c rows)" }.mkString(", ") +
+            " — commit refused, no version published")
+      }
+    }
     // stats are read back from the WRITTEN directory, not the input
     // frame — the manifest certifies what is on disk (the LayoutCache
     // discipline), and the read-back picks up partition columns too
@@ -719,7 +858,11 @@ object TxnLog {
       val dvs = commits.lastOption.map(_.dvs).getOrElse(Seq.empty)
         .map(dv => dv.copy(dirs = dv.dirs.filter(dirs.contains)))
         .filter(_.dirs.nonEmpty)
-      if (tryPublish(fs, root, Commit(version, action, dirs, txnId, stats, dvs)))
+      // CHECK constraints are table metadata, not snapshot data: they
+      // carry across every action (incl. overwrite) until dropCheck
+      val carriedChecks = commits.lastOption.map(_.checks).getOrElse(Map.empty)
+      if (tryPublish(fs, root,
+        Commit(version, action, dirs, txnId, stats, dvs, carriedChecks)))
         return version
       attempt += 1 // lost the race: someone else took this version
     }
@@ -960,10 +1103,14 @@ object TxnLog {
             cn -> (("t" -> s.tpe) ~ ("min" -> s.min) ~ ("max" -> s.max) : JValue)
         }) : JValue)
       }))
-    val j =
+    val withDvs =
       if (c.dvs.isEmpty) withStats
       else withStats ~ ("dv" -> c.dvs.toList.map(dv =>
         ("pred" -> dv.pred) ~ ("dirs" -> dv.dirs)))
+    val j =
+      if (c.checks.isEmpty) withDvs
+      else withDvs ~ ("checks" -> JObject(
+        c.checks.toList.sortBy(_._1).map { case (n, p) => n -> (JString(p) : JValue) }))
     JsonMethods.compact(JsonMethods.render(j))
   }
 
@@ -1006,7 +1153,12 @@ object TxnLog {
       }
       case _ => Seq.empty[Dv]
     }
-    Commit(version, str(j \ "action"), dirs, txn, stats, dvs)
+    // absent in pre-constraint manifests: no checks
+    val checks = j \ "checks" match {
+      case JObject(cs) => cs.collect { case (n, JString(p)) => n -> p }.toMap
+      case _ => Map.empty[String, String]
+    }
+    Commit(version, str(j \ "action"), dirs, txn, stats, dvs, checks)
   }
 
   private def fileSystem(spark: SparkSession, root: String): FileSystem =

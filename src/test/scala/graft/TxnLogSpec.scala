@@ -729,6 +729,65 @@ class TxnLogSpec extends SparkSpec {
     ()
   }
 
+  test("CHECK constraints: violating commits are refused with no version and no orphan; NULL passes; metadata survives rewrites") {
+    import org.apache.spark.sql.functions.col
+    val root = Files.createTempDirectory("graft_txn").toString + "/t"
+    TxnLog.overwrite(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), root)     // v0
+    val v = TxnLog.addCheck(spark, root, "pos_id", "id > 0", Some("ck-1")) // v1
+    assert(v == 1L)
+    assert(TxnLog.checks(spark, root) == Map("pos_id" -> "id > 0"))
+    // idempotent retry
+    assert(TxnLog.addCheck(spark, root, "pos_id", "id > 0", Some("ck-1")) == 1L)
+    // a clean append passes; a violating one is refused with NO new
+    // version and NO orphan data dir left behind
+    TxnLog.append(Seq((3L, "c")).toDF("id", "s"), root)                   // v2
+    val nDirs = new java.io.File(s"$root/data").listFiles().count(_.isDirectory)
+    val e = intercept[IllegalArgumentException] {
+      TxnLog.append(Seq((-7L, "bad"), (4L, "ok")).toDF("id", "s"), root)
+    }
+    assert(e.getMessage.contains("pos_id") && e.getMessage.contains("1 rows"),
+      e.getMessage)
+    assert(TxnLog.latestVersion(spark, root) == 2L)
+    assert(new java.io.File(s"$root/data").listFiles()
+      .count(_.isDirectory) == nDirs)
+    // SQL CHECK: NULL passes (add a check over a nullable column)
+    TxnLog.addCheck(spark, root, "s_short", "length(s) < 10")
+    TxnLog.append(Seq((5L, null: String)).toDF("id", "s"), root)
+    assert(TxnLog.read(spark, root).count() == 4)
+    // a constraint the existing table violates is refused outright
+    val e2 = intercept[IllegalArgumentException] {
+      TxnLog.addCheck(spark, root, "tiny", "id < 3")
+    }
+    assert(e2.getMessage.contains("already violates"), e2.getMessage)
+    // constraints are table metadata: they survive compaction and
+    // still gate afterwards
+    TxnLog.compact(spark, root)
+    assert(TxnLog.checks(spark, root).keySet == Set("pos_id", "s_short"))
+    intercept[IllegalArgumentException] {
+      TxnLog.append(Seq((-1L, "x")).toDF("id", "s"), root)
+    }
+    // incremental consumers skip straight over metadata-only commits:
+    // set_check + an append after the compact baseline reads as just
+    // the appended rows
+    val latest = TxnLog.latestVersion(spark, root)
+    TxnLog.addCheck(spark, root, "late", "id > -100")
+    TxnLog.append(Seq((9L, "z")).toDF("id", "s"), root)
+    assert(TxnLog.changesSince(spark, root, latest)
+      .select("id").as[Long].collect().toSet == Set(9L))
+    // dropCheck re-admits what the constraint refused; unknown names loud
+    TxnLog.dropCheck(spark, root, "pos_id")
+    TxnLog.append(Seq((-1L, "now ok")).toDF("id", "s"), root)
+    assert(TxnLog.read(spark, root).filter(col("id") === -1L).count() == 1)
+    intercept[IllegalArgumentException] {
+      TxnLog.dropCheck(spark, root, "nope")
+    }
+    // a commit whose schema cannot evaluate a check is refused
+    intercept[IllegalArgumentException] {
+      TxnLog.append(Seq((10L, 5L)).toDF("id", "other"), root)
+    }
+    ()
+  }
+
   test("merge rejects ambiguous sources and schema drift") {
     val root = Files.createTempDirectory("graft_txn").toString + "/t"
     TxnLog.overwrite(Seq((1L, "a")).toDF("id", "s"), root)

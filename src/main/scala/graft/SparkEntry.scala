@@ -3550,6 +3550,15 @@ object SparkEntry {
           Tables.documents(s, d), Seq("table", "part"))
         .orderBy("doc_id")),
     // synchronous label propagation over the same near-dup graph:
+    // 2-core of the near-dup graph: clique-like boilerplate families
+    // survive, star-hub false positives peel (leaves first, then the
+    // hub); 4 synchronous peeling rounds, oracle-unrolled
+    "graph_kcore" -> ((s, d) =>
+      graft.operators.Graph.kCore(
+          Dedup.minhashNearDups(Tables.documents(s, d))
+            .select("doc_a", "doc_b"),
+          "doc_a", "doc_b", k = 2)
+        .select(col("id").as("doc_id"), col("core_degree"))),
     // communities, not components — a hub bridging two boilerplate
     // families stays a bridge; 4 deterministic min-tie rounds
     "label_prop" -> ((s, d) =>
@@ -4197,6 +4206,25 @@ object SparkEntry {
       s"\nSELECT id AS doc_id, CAST(label AS BIGINT) AS community FROM it$iterations"
   }
 
+  /** Unrolled synchronous k-core peeling over the shared near-dup
+    * candidate edges ([[graft.operators.Graph.kCore]] twin): each
+    * round keeps vertices with remaining degree >= k, then restricts
+    * the edge set to kept endpoints. */
+  private def kCoreSql(k: Int, rounds: Int): String = {
+    val setup =
+      s"""WITH $minhashCandsSql,
+         |e0 AS (SELECT doc_a AS src, doc_b AS dst FROM cands
+         |       UNION SELECT doc_b, doc_a FROM cands)""".stripMargin
+    val iters = (1 to rounds).map { i =>
+      s""",
+         |k$i AS (SELECT src AS id FROM e${i - 1} GROUP BY 1 HAVING count(*) >= $k),
+         |e$i AS (SELECT e.src, e.dst FROM e${i - 1} e
+         |  JOIN k$i a ON a.id = e.src JOIN k$i b ON b.id = e.dst)""".stripMargin
+    }.mkString
+    setup + iters +
+      s"\nSELECT src AS doc_id, CAST(count(*) AS BIGINT) AS core_degree FROM e$rounds GROUP BY 1"
+  }
+
   private def pagerankSql(iterations: Int): String = {
     val setup =
       s"""WITH $minhashCandsSql,
@@ -4336,6 +4364,7 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "pagerank_neardup" -> pagerankSql(5),
+    "graph_kcore" -> kCoreSql(2, 4),
     "label_prop" -> labelPropSql(4),
     // DuckDB ships nfc_normalize natively; both engines implement
     // Unicode canonical composition, so the bytes match exactly and

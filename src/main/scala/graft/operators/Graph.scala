@@ -172,6 +172,54 @@ object Graph {
     * all shuffles carry (id, label, cnt) longs only. Lineage cut with
     * `localCheckpoint` every round, previous round's blocks released
     * — the PageRank discipline. Returns (id, label). */
+  /** k-core extraction by SYNCHRONOUS parallel peeling (the
+    * parallelization of Matula & Beck's linear peeling, "Smallest-last
+    * ordering and clustering and graph coloring algorithms", JACM
+    * 1983): each round simultaneously removes EVERY vertex whose
+    * degree in the remaining graph is below `k`, until the fixed
+    * round budget runs out — once converged, further rounds are
+    * no-ops, so the budget only caps pathological peel chains. The
+    * rule is a degree threshold, never a traversal order, so the
+    * result is deterministic and order-independent and a SQL oracle
+    * unrolls the rounds verbatim (the [[labelPropagation]]
+    * replayability discipline).
+    *
+    * Curation use: in a near-dup graph, the 2-core separates
+    * clique-like boilerplate FAMILIES (every member survives) from
+    * star-shaped template-hub false positives (leaves peel, then the
+    * hub follows) — the structural complement of
+    * [[triangleCounts]]'s local signal.
+    *
+    * Input is an unordered pair list ([[symmetrize]] cleans
+    * direction, self-loops, duplicates). Output: (id, core_degree)
+    * for every surviving vertex — its degree inside the core.
+    *
+    * Scale shape: per round, one narrow degree aggregate and two
+    * semi-joins over (src, dst) long pairs — no payload ever enters
+    * the loop; localCheckpoint per round cuts lineage exactly like
+    * the LPA/PageRank loops. The result owns its checkpoint blocks
+    * (release via `Checkpoints.releaseAll`). */
+  def kCore(pairs: DataFrame, aCol: String, bCol: String, k: Int,
+            rounds: Int = 4): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    require(rounds >= 1, s"need rounds >= 1, got $rounds")
+    var e = symmetrize(pairs, aCol, bCol).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val keep = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("id"))
+      val next = e
+        .join(keep.select(col("id").as("src")), Seq("src"), "left_semi")
+        .join(keep.select(col("id").as("dst")), Seq("dst"), "left_semi")
+        .select(col("src"), col("dst")).localCheckpoint()
+      graft.core.Checkpoints.releaseAll(e)
+      e = next
+    }
+    val out = e.groupBy(col("src").as("id"))
+      .agg(count(lit(1)).as("core_degree")).localCheckpoint()
+    graft.core.Checkpoints.releaseAll(e)
+    out
+  }
+
   def labelPropagation(edges: DataFrame, srcCol: String = "src",
                        dstCol: String = "dst", iterations: Int = 4): DataFrame = {
     require(iterations >= 1, s"need iterations >= 1, got $iterations")

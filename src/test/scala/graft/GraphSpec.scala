@@ -14,6 +14,31 @@ class GraphSpec extends SparkSpec {
     assert(e == Set((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)))
   }
 
+  test("kCore: cliques survive, tails and star hubs peel; extra rounds are no-ops") {
+    // triangle {1,2,3} with a tail 3-4-5, plus a star hub 10 with
+    // leaves 11..14. 2-core = exactly the triangle: round 1 peels 5
+    // and every leaf, round 2 peels 4 and the (now degree-0) hub.
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (10L, 12L), (10L, 13L), (10L, 14L)).toDF("a", "b")
+    val got = Graph.kCore(pairs, "a", "b", k = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // convergence: more rounds change nothing (peeling is idempotent
+    // at the fixpoint)
+    val more = Graph.kCore(pairs, "a", "b", k = 2, rounds = 8)
+      .as[(Long, Long)].collect().toMap
+    assert(more == got)
+    // k=1 keeps everything with an edge; k above the max degree
+    // empties the graph
+    assert(Graph.kCore(pairs, "a", "b", k = 1).count() == 10)
+    assert(Graph.kCore(pairs, "a", "b", k = 5).count() == 0)
+    // the 3-core of a 4-clique is the whole clique at degree 3
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("a", "b")
+    assert(Graph.kCore(k4, "a", "b", k = 3).as[(Long, Long)].collect().toMap ==
+      Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
   test("labelPropagation splits bridged cliques into two communities; CC would merge them") {
     // two triangles bridged by 3-4: one connected component, but LPA
     // at 4 synchronous min-tie rounds lands A={1,2,3}->1, B={4,5,6}->3

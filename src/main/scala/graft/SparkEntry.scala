@@ -1546,6 +1546,32 @@ object SparkEntry {
     graft.search.Bm25Index.topK(spark, ensureBm25IndexLayout(spark, dir),
       Seq("spark", "merge", "window"), k = 20)
 
+  /** Post-erasure BM25 index ([[graft.search.Bm25Index.delete]]): a
+    * full-corpus index takes a right-to-be-forgotten delete of every
+    * doc_id ≡ 7 (mod 10) — postings copy-on-write-deleted, a negative
+    * stats delta appended, one release published — and must then
+    * serve results BIT-IDENTICAL to an index that never held those
+    * documents, which is what the oracle states: the shared BM25
+    * chain over the surviving corpus (df shrinks because df IS the
+    * posting-list length; N/total_dl shrink through the additive
+    * delta). */
+  private def ensureBm25DeletedLayout(spark: SparkSession, dir: String): String = {
+    val fp = graft.sources.LayoutCache.contentFingerprint(
+      Seq(new java.io.File(dir, "documents.parquet")))
+    graft.sources.LayoutCache.ensure("graft_bm25_del_v1-b16-mod10ne7",
+      new java.io.File(dir).getName, fp) { tmp =>
+      val docs = Tables.documents(spark, dir)
+      graft.search.Bm25Index.build(docs, tmp, nBuckets = 16)
+      val ids = docs.filter(col("doc_id") % 10 === 7)
+        .select("doc_id").collect().map(_.getLong(0)).toSeq
+      graft.search.Bm25Index.delete(spark, tmp, ids, Some("rtbf-1"))
+    }
+  }
+
+  private def bm25Deleted(spark: SparkSession, dir: String): DataFrame =
+    graft.search.Bm25Index.topK(spark, ensureBm25DeletedLayout(spark, dir),
+      Seq("spark", "merge", "window"), k = 20)
+
   /** Index health report ([[graft.similarity.IvfIndex.stats]]): cell
     * populations + corpus share in exact bps over the persisted index —
     * the rebuild-the-quantizer signal; the oracle replays the Lloyd
@@ -1662,9 +1688,11 @@ object SparkEntry {
     s"list_sum(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
 
   /** BM25 scoring chain (posting → tf → dfs/doctf → dls/st → scored)
-    * for the literal 3-term query — the WITH-body shared by the
-    * `bm25_search` oracle and the lexical leg of `hybrid_search`. */
-  private lazy val bm25CtesSql: String = {
+    * for the literal 3-term query over an arbitrary doc source — the
+    * WITH-body shared by the `bm25_search`/`bm25_indexed` oracles
+    * (full corpus), the lexical leg of `hybrid_search`, and
+    * `bm25_deleted` (post-erasure corpus). */
+  private def bm25CtesFor(docsSrc: String): String = {
     def ts(t: String) =
       s"""(CASE WHEN tf_$t > 0 THEN
          |    CAST(44 * tf_$t * t * (n + 1) AS DOUBLE)
@@ -1672,7 +1700,7 @@ object SparkEntry {
          |    ELSE 0.0 END)""".stripMargin
     s"""posting AS (
        |  SELECT doc_id, term FROM (
-       |    SELECT doc_id, unnest($toksSql) AS term FROM documents)
+       |    SELECT doc_id, unnest($toksSql) AS term FROM $docsSrc)
        |  WHERE term IN ('spark', 'merge', 'window')),
        |tf AS (SELECT doc_id, term, count(*) AS tf FROM posting GROUP BY 1, 2),
        |dfs AS (SELECT
@@ -1685,12 +1713,14 @@ object SparkEntry {
        |    CAST(coalesce(sum(tf) FILTER (term = 'merge'), 0) AS BIGINT) AS tf_merge,
        |    CAST(coalesce(sum(tf) FILTER (term = 'window'), 0) AS BIGINT) AS tf_window
        |  FROM tf GROUP BY 1),
-       |dls AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS dl FROM documents),
+       |dls AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS dl FROM $docsSrc),
        |st AS (SELECT count(*) AS n, CAST(SUM(dl) AS BIGINT) AS t FROM dls),
        |scored AS (SELECT d.doc_id, l.dl, d.tf_spark, d.tf_merge, d.tf_window,
        |    ${ts("spark")} + ${ts("merge")} + ${ts("window")} AS score_raw
        |  FROM doctf d JOIN dls l USING (doc_id), dfs, st)""".stripMargin
   }
+
+  private lazy val bm25CtesSql: String = bm25CtesFor("documents")
 
   /** MinHash→LSH-band→CC chain over `documents`, ending in
     * `cc(doc_id, cluster_id)` — the WITH-body (requires `WITH
@@ -2969,6 +2999,8 @@ object SparkEntry {
       ((s, d) => { ensureIvfIndexRebLayout(s, d); () }),
     "bm25_indexed" ->
       ((s, d) => { ensureBm25IndexLayout(s, d); () }),
+    "bm25_deleted" ->
+      ((s, d) => { ensureBm25DeletedLayout(s, d); () }),
   )
   /** Verified variant ([[graft.dedup.Dedup.incrementalNearDupVerified]]):
     * same split, but a catalog band collision only drops a batch doc
@@ -3731,6 +3763,7 @@ object SparkEntry {
     // persisted postings index serving the same query: must be
     // bit-identical to the ad-hoc scan (shared scoring tail, additive
     // incremental build) — the same oracle checks both
+    "bm25_deleted" -> (bm25Deleted(_, _)),
     "bm25_indexed" -> (bm25Indexed(_, _)),
     // RRF hybrid retrieval ([[graft.operators.Fusion.rrfFuse]]): the
     // BM25 lexical top-20 fused with a dense top-20 — the query's own
@@ -5269,6 +5302,16 @@ object SparkEntry {
     // fixed-order double expression (same association both engines)
     "bm25_search" ->
       s"""WITH $bm25CtesSql
+         |SELECT doc_id, dl, tf_spark, tf_merge, tf_window,
+         |  round(score_raw, 9) AS score
+         |FROM scored WHERE score_raw > 0
+         |ORDER BY score_raw DESC, doc_id ASC LIMIT 20""".stripMargin,
+    // post-erasure index ≡ an index that never held the victims: the
+    // same chain over the surviving corpus (df = posting-list length
+    // shrinks with the delete; N/total_dl shrink via the negative
+    // stats delta)
+    "bm25_deleted" ->
+      s"""WITH ${bm25CtesFor("(SELECT * FROM documents WHERE doc_id % 10 <> 7)")}
          |SELECT doc_id, dl, tf_spark, tf_merge, tf_window,
          |  round(score_raw, 9) AS score
          |FROM scored WHERE score_raw > 0

@@ -106,6 +106,49 @@ object Bm25Index {
     ()
   }
 
+  /** Right-to-be-forgotten for the SEARCH index — the erasure surface
+    * [[graft.operators.Forget]] closes for tables, closed here for
+    * the derived postings: remove `docIds`' posting rows (copy-on-
+    * write delete on the postings member, partition layout preserved)
+    * and append a NEGATIVE stats delta re-derived from the removed
+    * postings themselves, then publish the release. Every statistic
+    * stays exactly consistent by construction: df is each term's own
+    * posting-list length (shrinks with the delete), N/total_dl are
+    * additive deltas (the negative row), so the index serves results
+    * BIT-IDENTICAL to a one-shot build over the surviving corpus —
+    * the same exactness law as [[append]], in reverse.
+    *
+    * Crash-safe under a txnId: the victims' (count, total dl) are
+    * derived from the CURRENT RELEASE's pinned postings (unmoved
+    * until the final publish), so a retry recomputes identical
+    * deltas, no-ops the member commits that landed, and publishes.
+    * `docIds` is an in-filter — sized for erasure requests (≤ a few
+    * thousand ids), not bulk re-curation (rebuild for that). As with
+    * [[TxnLog.delete]], old versions still serve the rows until
+    * `vacuum` on the members. */
+  def delete(spark: SparkSession, path: String, docIds: Seq[Long],
+             txnId: Option[String] = None): Unit = {
+    require(docIds.nonEmpty, "Bm25Index.delete: no doc ids")
+    import spark.implicits._
+    val pin = pins(spark, path)
+    val victims = TxnLog.read(spark, s"$path/postings", Some(pin("postings")))
+      .filter(col("doc_id").isin(docIds: _*))
+      .select("doc_id", "dl").distinct()
+      .agg(count(lit(1)).as("__n"), coalesce(sum("dl"), lit(0L)).as("__t"))
+      .head // bounded: one row
+    val (n, t) = (victims.getLong(0), victims.getLong(1))
+    // no victims → no-op (the release pin derives victims from the
+    // PRE-delete postings version, so a crashed run's retry still
+    // sees n > 0 and completes its publish)
+    if (n == 0) return
+    TxnLog.delete(spark, s"$path/postings",
+      col("doc_id").isin(docIds: _*), txnId.map(_ + "-postings"))
+    TxnLog.append(Seq((-n, -t)).toDF("n_docs", "total_dl"),
+      s"$path/stats", txnId.map(_ + "-stats"))
+    publish(spark, path, txnId)
+    ()
+  }
+
   /** Exactly-once streaming index maintenance — the ingest→searchable
     * freshness loop, closed the way [[TxnLog.foreachBatchUpsert]]
     * closed CDC-apply: each micro-batch of new documents is appended

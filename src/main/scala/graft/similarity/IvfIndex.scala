@@ -96,6 +96,26 @@ object IvfIndex {
         .parquet(s"$path/cells")
   }
 
+  /** Right-to-be-forgotten for the ANN index: remove `vecIds`' rows
+    * from the cells table by copy-on-write delete (cell partition
+    * layout preserved, so probes keep pruning). The quantizer keeps
+    * its trained state — an erasure never retrains, the same
+    * drift-until-[[rebuild]] trade as [[append]] — and survivors'
+    * assignments are untouched, so the post-delete index is
+    * bit-identical to the original minus the victims' rows and a
+    * probe can never return an erased id. Requires a `txnSafe` index:
+    * the manifest commit is what keeps a concurrent reader on a
+    * consistent snapshot (plain parquet has no delete), and the
+    * txnId makes a retried erasure a no-op. Old versions still serve
+    * the rows until `TxnLog.vacuum` on the cells table. */
+  def delete(spark: SparkSession, path: String, vecIds: Seq[Long],
+             txnId: Option[String] = None): Unit = {
+    require(vecIds.nonEmpty, "IvfIndex.delete: no vector ids")
+    graft.sources.TxnLog.delete(spark, s"$path/cells",
+      col("vec_id").isin(vecIds: _*), txnId)
+    ()
+  }
+
   /** Exactly-once streaming index maintenance — the ingest→searchable
     * freshness loop for vectors, closing the same gap
     * [[graft.search.Bm25Index.foreachBatchUpdate]] closes for text:

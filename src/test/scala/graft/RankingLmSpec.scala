@@ -139,6 +139,37 @@ class RankingLmSpec extends SparkSpec {
     assert(TxnLog.latestVersion(spark, s"$streamed/_catalog") == vRel)
   }
 
+  test("Bm25Index.delete: post-erasure index is bit-identical to one that never held the victims; retry no-ops") {
+    import graft.search.Bm25Index
+    import graft.sources.TxnLog
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val base = java.nio.file.Files.createTempDirectory("bm25_del")
+    val full = base.resolve("full").toString
+    val clean = base.resolve("clean").toString
+    val terms = Seq("spark", "merge", "window")
+    val victims = docs.filter(col("doc_id") % 7 === 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    Bm25Index.build(docs, full, nBuckets = 8)
+    Bm25Index.delete(spark, full, victims, Some("rtbf-spec"))
+    Bm25Index.build(docs.filter(!col("doc_id").isin(victims: _*)),
+      clean, nBuckets = 8)
+    // ranked results identical to an index that never held the docs —
+    // scores included (df/N/total_dl all shrank exactly)
+    assert(Bm25Index.topK(spark, full, terms, k = 20).collect().toSeq ==
+      Bm25Index.topK(spark, clean, terms, k = 20).collect().toSeq)
+    // a replayed erasure is a no-op on both members and the release
+    val vP = TxnLog.latestVersion(spark, s"$full/postings")
+    val vS = TxnLog.latestVersion(spark, s"$full/stats")
+    val vR = TxnLog.latestVersion(spark, s"$full/_catalog")
+    Bm25Index.delete(spark, full, victims, Some("rtbf-spec"))
+    assert(TxnLog.latestVersion(spark, s"$full/postings") == vP)
+    assert(TxnLog.latestVersion(spark, s"$full/stats") == vS)
+    assert(TxnLog.latestVersion(spark, s"$full/_catalog") == vR)
+    // erasing ids the index never held is a version no-op too
+    Bm25Index.delete(spark, full, Seq(999999999L))
+    assert(TxnLog.latestVersion(spark, s"$full/_catalog") == vR)
+  }
+
   test("bm25Search favors docs matching more/rarer terms over raw repetition") {
     val docs = Seq(
       (1L, "common common common common common"),

@@ -250,6 +250,39 @@ class SimilarityScaleSpec extends SparkSpec {
     ()
   }
 
+  test("IvfIndex.delete: erased vectors vanish from probes; survivors' assignments untouched; layout keeps pruning") {
+    import graft.similarity.IvfIndex
+    import graft.sources.TxnLog
+    val e = Tables.embeddings(spark, dir01).select("vec_id", "embedding")
+    val path = java.nio.file.Files.createTempDirectory("ivf_del")
+      .resolve("idx").toString
+    IvfIndex.build(e, path, dim = 64, txnSafe = true)
+    val before = TxnLog.read(spark, s"$path/cells")
+      .select("vec_id", "cell_id").collect()
+      .map(r => r.getLong(0) -> r.getAs[Number](r.fieldIndex("cell_id")).longValue).toMap
+    val victims = before.keys.filter(_ % 5 == 2).toSeq
+    IvfIndex.delete(spark, path, victims, Some("rtbf-ivf"))
+    // bit-identical to the original minus the victims' rows
+    val after = TxnLog.read(spark, s"$path/cells")
+      .select("vec_id", "cell_id").collect()
+      .map(r => r.getLong(0) -> r.getAs[Number](r.fieldIndex("cell_id")).longValue).toMap
+    assert(after == before -- victims)
+    // a probe can never return an erased id
+    val q = queries(Tables.embeddings(spark, dir01))
+    val served = IvfIndex.topK(spark, path, q, dim = 64, k = 5,
+      nProbe = 16, txnSafe = true)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(served.intersect(victims.toSet).isEmpty)
+    // the copy-on-write rewrite preserved the cell_id partition
+    // layout, so the cells scan still prunes (a mixed flat dir would
+    // fail or lose the partition column)
+    assert(TxnLog.read(spark, s"$path/cells").columns.contains("cell_id"))
+    // replayed erasure is a no-op
+    val v = TxnLog.latestVersion(spark, s"$path/cells")
+    IvfIndex.delete(spark, path, victims, Some("rtbf-ivf"))
+    assert(TxnLog.latestVersion(spark, s"$path/cells") == v)
+  }
+
   test("rebuildAdvice: a skewed append flips the verdict to hot-cell rebuild") {
     import graft.similarity.IvfIndex
     val e = Tables.embeddings(spark, dir01).select("vec_id", "embedding")

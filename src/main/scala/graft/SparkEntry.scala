@@ -2656,6 +2656,43 @@ object SparkEntry {
       .select("doc_id", "source", "n_chars")
   }
 
+  /** Z-order clustering under the oracle
+    * ([[graft.sources.TxnLog.cluster]]): the four append-ordered
+    * doc_id slices are rewritten along the (doc_id, n_chars)
+    * z-curve into 8 stats-on directories, and a RECTANGLE query (a
+    * doc_id band AND an n_chars band) runs through
+    * [[graft.sources.TxnLog.readWhereAll]] — the rewrite must prove
+    * pruning on the non-append column (impossible pre-cluster, the
+    * `require`) while returning rows hash-exact with the plain
+    * two-predicate filter: clustering moves bytes, never answers. */
+  private def txnlogZorder(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.TxnLog
+    val root = tmpArtifactRoot("txnzorder", dir)
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val q = (docs.agg(max("doc_id")).head.getLong(0) + 1) / 4
+    buildLock(root) {
+      if (TxnLog.latestVersion(spark, root) < 4L) {
+        TxnLog.overwrite(docs.filter(col("doc_id") < q), root,
+          Some("z0"), collectStats = true)
+        (1 to 3).foreach { i =>
+          val hiB = if (i == 3) Long.MaxValue else (i + 1) * q
+          TxnLog.append(docs.filter(col("doc_id") >= i * q && col("doc_id") < hiB),
+            root, Some(s"z$i"), collectStats = true); ()
+        }
+        TxnLog.cluster(spark, root, Seq("doc_id", "n_chars"),
+          nDirs = 8, bits = 4, txnId = Some("zcluster")); ()
+      }
+    }
+    // the payoff claim: the non-append column prunes post-cluster
+    val (_, skipN, snapZ) = TxnLog.pruneDirs(spark, root, "n_chars", 100L, 300L)
+    require(skipN.nonEmpty && snapZ.size >= 4,
+      s"z-order should prune on n_chars: skipped ${skipN.size} of ${snapZ.size}")
+    TxnLog.readWhereAll(spark, root,
+      Seq(("doc_id", q / 2, 2 * q + q / 2), ("n_chars", 100L, 300L)))
+      .select("doc_id", "source", "n_chars")
+  }
+
   /** Right-to-be-forgotten propagation under the oracle
     * ([[graft.operators.Forget.forget]]): an erasure request for ten
     * ids runs against three txn-log tables — the two-commit corpus,
@@ -3205,6 +3242,7 @@ object SparkEntry {
     "txnlog_restore" -> (txnlogRestore(_, _)),
     "txnlog_compact" -> (txnlogCompact(_, _)),
     "txnlog_skipping" -> (txnlogSkipping(_, _)),
+    "txnlog_zorder" -> (txnlogZorder(_, _)),
     // metadata-only COUNT from the manifest row counts vs the scan:
     // zero files opened on the fast path, require proves it fired
     "txnlog_fastcount" -> ((s, d) => {
@@ -6995,6 +7033,14 @@ object SparkEntry {
         |SELECT doc_id, source, n_chars FROM documents
         |WHERE doc_id BETWEEN (SELECT q + q // 2 FROM m)
         |                 AND (SELECT 2 * q + q // 2 FROM m)""".stripMargin,
+    // z-order clustering moves bytes, never answers: the rectangle
+    // read over the clustered layout equals the plain two-band filter
+    "txnlog_zorder" ->
+      """WITH m AS (SELECT (MAX(doc_id) + 1) // 4 AS q FROM documents)
+        |SELECT doc_id, source, n_chars FROM documents
+        |WHERE doc_id BETWEEN (SELECT q // 2 FROM m)
+        |                 AND (SELECT 2 * q + q // 2 FROM m)
+        |  AND n_chars BETWEEN 100 AND 300""".stripMargin,
     // release 0 keeps reporting the pre-growth cut forever — the
     // reproducibility claim, replayed as the four known slices
     "dataset_release" ->

@@ -249,6 +249,181 @@ object TxnLog {
       .toDF("n_files", "total_bytes", "ideal_files", "compact", "reason")
   }
 
+  /** Z-ORDER clustering rewrite — the Delta `OPTIMIZE ZORDER BY` /
+    * Iceberg sort-order shape that makes the manifest's per-dir
+    * [min, max] stats selective on SEVERAL columns at once. An append
+    * table is physically ordered by arrival, so [[readWhere]] prunes
+    * beautifully on the append key and not at all on anything else;
+    * `cluster` rewrites the snapshot along a space-filling curve:
+    * each row's cluster columns are bucketed into `2^bits` linear
+    * buckets (integer width arithmetic — `ceil(range / 2^bits)` — no
+    * doubles), the bucket bits are interleaved into a z-value, and
+    * the z-domain is split into `nDirs` static ranges, one commit
+    * directory each. Nearby (c1, c2) rows land in the same dir, so
+    * every dir covers a small rectangle of the value space and a
+    * range predicate on EITHER column (or both, via [[readWhereAll]])
+    * proves most dirs away. Rows inside each dir are additionally
+    * sorted by the cluster columns so parquet row-group stats prune
+    * within surviving dirs.
+    *
+    * Scale shape: one pass over the snapshot (bounded one-row min/max
+    * collect + one repartition shuffle on the dir key + the write) —
+    * the same cost class as [[compact]], which this subsumes (vectors
+    * are read away, small dirs merged). Linear bucketing is exact and
+    * deterministic but skew-blind: a heavily skewed column wants the
+    * KLL-cutpoint range planner (`range_plan`) upstream; dir SKEW
+    * never affects correctness, only pruning yield. Cluster columns
+    * must be integral (long-family); nulls bucket to 0. Same CAS +
+    * idempotent-txnId protocol as [[compact]]/[[delete]]; checks and
+    * time travel carry; the "overwrite" action re-baselines
+    * [[changesSince]] consumers loudly, like compact. Returns the
+    * committed version. */
+  def cluster(spark: SparkSession, root: String, zorderBy: Seq[String],
+              nDirs: Int = 8, bits: Int = 8,
+              txnId: Option[String] = None): Long = {
+    import org.apache.spark.sql.functions.{least, max => smax, min => smin, shiftleft, shiftright}
+    require(zorderBy.size >= 2 && zorderBy.size <= 3,
+      s"cluster: zorderBy wants 2-3 columns, got ${zorderBy.size} (one column needs no curve — sort and compact)")
+    require(nDirs >= 2 && nDirs <= 4096, s"cluster: need 2 <= nDirs <= 4096, got $nDirs")
+    require(bits >= 1 && bits * zorderBy.size <= 40,
+      s"cluster: need bits >= 1 and bits * nCols <= 40, got $bits x ${zorderBy.size}")
+    txnId.foreach { id =>
+      history(spark, root).find(_.txnId.contains(id)) match {
+        case Some(c) => return c.version
+        case None =>
+      }
+    }
+    val commits = history(spark, root)
+    require(commits.nonEmpty, s"TxnLog: cannot cluster empty table at $root")
+    val expected = commits.last.version
+    val current = read(spark, root) // deletion vectors read away here
+    val integral: Set[org.apache.spark.sql.types.DataType] = {
+      import org.apache.spark.sql.types._
+      Set(LongType, IntegerType, ShortType, ByteType)
+    }
+    zorderBy.foreach { c =>
+      val f = current.schema.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(s"cluster: no column '$c' at $root"))
+      require(integral.contains(f.dataType),
+        s"cluster: column '$c' is ${f.dataType.simpleString}; z-order wants integral columns " +
+          "(bucket a string/double into an integral key upstream)")
+    }
+    // bounded one-row collect: the per-column domain the buckets split
+    val aggs = zorderBy.flatMap(c =>
+      Seq(smin(col(c)).cast("long").as(s"__mn_$c"), smax(col(c)).cast("long").as(s"__mx_$c")))
+    val row = current.agg(aggs.head, aggs.tail: _*).head
+    val nb = 1L << bits
+    val buckets = zorderBy.map { c =>
+      val mnAny = row.get(row.fieldIndex(s"__mn_$c"))
+      if (mnAny == null) lit(0L) // all-null column: everything in bucket 0
+      else {
+        val mn = mnAny.asInstanceOf[Long]
+        val mx = row.getAs[Long](s"__mx_$c")
+        // integer ceil((mx - mn + 1) / nb): exact, overflow-free width
+        val w = math.max(1L, (mx - mn + nb) / nb)
+        least(coalesce(org.apache.spark.sql.functions.expr(
+          s"(CAST(`$c` AS BIGINT) - ${mn}L) div ${w}L"), lit(0L)), lit(nb - 1L))
+      }
+    }
+    val totalBits = bits * zorderBy.size
+    // bit-interleave: z = sum_j sum_i ((b_i >> j) & 1) << (j*k + i)
+    val k = zorderBy.size
+    val z = (0 until bits).foldLeft(lit(0L)) { (accJ, j) =>
+      buckets.zipWithIndex.foldLeft(accJ) { case (acc, (b, i)) =>
+        acc.bitwiseOR(shiftleft(shiftright(b, j).bitwiseAND(lit(1L)), j * k + i))
+      }
+    }
+    // static split of the z-domain into nDirs ranges (deterministic —
+    // a sampled range partitioner would not be)
+    val zdir = shiftright(z * lit(nDirs.toLong), totalBits)
+    val fs = fileSystem(spark, root)
+    val stageUuid = java.util.UUID.randomUUID.toString
+    val staging = s"$root/data/.staging-$stageUuid"
+    current.withColumn("__zdir", zdir)
+      .repartition(nDirs, col("__zdir"))
+      .sortWithinPartitions(zorderBy.map(col): _*)
+      .write.partitionBy("__zdir").parquet(staging)
+    // promote each non-empty z-range to a first-class commit dir
+    val parts = fs.listStatus(new Path(staging)).toIndexedSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("__zdir="))
+      .sortBy(_.getPath.getName.stripPrefix("__zdir=").toLong)
+    require(parts.nonEmpty, s"TxnLog: cluster rewrite of $root produced no data")
+    val newDirs = parts.map { p =>
+      val d = s"$stageUuid-z${p.getPath.getName.stripPrefix("__zdir=")}"
+      require(fs.rename(p.getPath, new Path(s"$root/data/$d")),
+        s"TxnLog: failed to promote ${p.getPath} to data/$d")
+      d
+    }
+    fs.delete(new Path(staging), true) // _SUCCESS leftovers
+    // stats are the POINT of clustering — always collected, read back
+    // from the promoted dirs (manifest certifies disk)
+    val statsMap = newDirs.map(d => d -> dirStats(spark, s"$root/data/$d")).toMap
+    // data content is the already-gated snapshot verbatim — CHECK
+    // constraints hold by construction, no re-validation scan
+    var attempt = 0
+    while (attempt < MaxRetries) {
+      val cs = history(spark, root)
+      val version = cs.lastOption.map(_.version + 1).getOrElse(0L)
+      if (version != expected + 1) {
+        newDirs.foreach(d => fs.delete(new Path(s"$root/data/$d"), true))
+        throw new java.util.ConcurrentModificationException(
+          s"TxnLog: table at $root moved (expected latest $expected, found ${version - 1}) — cluster aborted")
+      }
+      txnId.foreach { id =>
+        cs.find(_.txnId.contains(id)).foreach { c =>
+          newDirs.foreach(d => fs.delete(new Path(s"$root/data/$d"), true))
+          return c.version
+        }
+      }
+      val carriedChecks = cs.lastOption.map(_.checks).getOrElse(Map.empty)
+      if (tryPublish(fs, root, Commit(version, "overwrite", newDirs, txnId,
+        statsMap, Seq.empty, carriedChecks)))
+        return version
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"TxnLog: lost $MaxRetries consecutive commit races on $root — giving up")
+  }
+
+  /** Conjunctive data-skipping read — [[readWhere]] for several range
+    * predicates at once, the consumer a [[cluster]]ed table is built
+    * for: a dir survives only if its stats admit EVERY predicate
+    * (skip set = union of per-column skips), and every predicate is
+    * re-applied exactly. Same conservative laws as [[readWhere]]. */
+  def readWhereAll(spark: SparkSession, root: String,
+                   preds: Seq[(String, Any, Any)],
+                   asOf: Option[Long] = None): DataFrame = {
+    require(preds.nonEmpty, "readWhereAll: no predicates")
+    val (survivors, _, snap) = pruneDirsAll(spark, root, preds, asOf)
+    require(snap.nonEmpty, s"TxnLog table at $root has no data at version ${asOf.getOrElse("latest")}")
+    val dvs = manifestAt(spark, root, asOf).map(_.dvs).getOrElse(Seq.empty)
+    val predicate = preds.map { case (c, lo, hi) =>
+      col(c) >= lit(lo) && col(c) <= lit(hi) }.reduce(_ && _)
+    if (survivors.isEmpty)
+      spark.read.parquet(s"$root/data/${snap.head}").filter(lit(false))
+    else
+      survivors.map(d => dirFrame(spark, root, d, dvs))
+        .reduce(_.unionByName(_, allowMissingColumns = true))
+        .filter(predicate)
+  }
+
+  /** Census behind [[readWhereAll]]: (survivors, skipped, snapshot). */
+  private[graft] def pruneDirsAll(spark: SparkSession, root: String,
+                                  preds: Seq[(String, Any, Any)],
+                                  asOf: Option[Long] = None): (Seq[String], Seq[String], Seq[String]) = {
+    val commits = history(spark, root)
+    val v = asOf.getOrElse(commits.lastOption.map(_.version).getOrElse(-1L))
+    require(asOf.isEmpty || commits.exists(_.version == v),
+      s"TxnLog: version $v does not exist at $root (vacuumed or never written); " +
+        s"available: ${commits.map(_.version).mkString(",")}")
+    val manifest = commits.filter(_.version <= v).lastOption
+    val snap = manifest.map(_.dirs).getOrElse(Seq.empty)
+    val stats = manifest.map(_.stats).getOrElse(Map.empty)
+    val (keep, skip) = snap.partition(d => preds.forall { case (c, lo, hi) =>
+      mayContain(stats.get(d).flatMap(_.get(c)), lo, hi) })
+    (keep, skip, snap)
+  }
+
   /** Row-level DELETE by copy-on-write at commit-dir granularity —
     * the lakehouse DELETE the reference's Delta conversion implies
     * (scripts/convert_to_delta.py:85-88) and the primitive a

@@ -788,6 +788,72 @@ class TxnLogSpec extends SparkSpec {
     ()
   }
 
+  test("cluster: z-order rewrite makes BOTH columns skippable; content identical; DVs materialized; idempotent") {
+    import org.apache.spark.sql.functions.col
+    val root = Files.createTempDirectory("graft_txn").toString + "/t"
+    // 32x32 grid appended in 4 slices by `a` — physically ordered on
+    // `a`, so pre-cluster stats prune on a but never on b
+    val rows = for (a <- 0L until 32L; b <- 0L until 32L) yield (a, b, s"p$a-$b")
+    (0 until 4).foreach { i =>
+      val slice = rows.filter(r => r._1 >= i * 8 && r._1 < (i + 1) * 8)
+      if (i == 0) TxnLog.overwrite(slice.toDF("a", "b", "p"), root, collectStats = true)
+      else TxnLog.append(slice.toDF("a", "b", "p"), root, collectStats = true)
+    }
+    val (_, skipB0, _) = TxnLog.pruneDirs(spark, root, "b", 0L, 7L)
+    assert(skipB0.isEmpty, "append layout cannot prune on b")
+    // a merge-on-read tombstone the rewrite must materialize away
+    TxnLog.deleteMor(spark, root, col("a") === 5L && col("b") === 5L)
+    val preVersion = TxnLog.latestVersion(spark, root)
+    val want = TxnLog.read(spark, root).collect().map(_.toString).sorted
+    val v = TxnLog.cluster(spark, root, Seq("a", "b"), nDirs = 16, bits = 4,
+      txnId = Some("zorder-1"))
+    assert(v == preVersion + 1)
+    // content identity (tombstoned row stays gone; DVs gone from the manifest)
+    assert(TxnLog.read(spark, root).collect().map(_.toString).sorted.sameElements(want))
+    assert(TxnLog.fastCount(spark, root).contains(want.length.toLong),
+      "clustered dirs are stats-on: fastCount serves from metadata")
+    // the payoff: a narrow rectangle on (a, b) prunes on BOTH columns
+    val (_, skipA, snapZ) = TxnLog.pruneDirs(spark, root, "a", 0L, 7L)
+    val (_, skipB, _) = TxnLog.pruneDirs(spark, root, "b", 0L, 7L)
+    assert(skipA.nonEmpty && skipB.nonEmpty,
+      s"z-order should prune on both: a skips ${skipA.size}, b skips ${skipB.size} of ${snapZ.size}")
+    // conjunctive read: skips at least as much as either column alone,
+    // result exactly the brute filter
+    val (keepAB, skipAB, _) = TxnLog.pruneDirsAll(spark, root,
+      Seq(("a", 0L, 7L), ("b", 0L, 7L)))
+    assert(skipAB.size >= math.max(skipA.size, skipB.size) && keepAB.size < snapZ.size)
+    val got = TxnLog.readWhereAll(spark, root, Seq(("a", 0L, 7L), ("b", 0L, 7L)))
+    val brute = TxnLog.read(spark, root)
+      .filter(col("a") <= 7L && col("b") <= 7L)
+    assert(got.exceptAll(brute).isEmpty && brute.exceptAll(got).isEmpty)
+    assert(got.count() == 63) // 8x8 rectangle minus the erased (5,5)
+    // time travel still serves the pre-cluster (pre-erasure) layout
+    assert(TxnLog.read(spark, root, asOf = Some(preVersion - 1)).count() == 1024)
+    // replayed cluster is a version no-op with no orphan dirs
+    val files = dataFiles(root)
+    assert(TxnLog.cluster(spark, root, Seq("a", "b"), nDirs = 16, bits = 4,
+      txnId = Some("zorder-1")) == v)
+    assert(TxnLog.latestVersion(spark, root) == v && dataFiles(root) == files)
+  }
+
+  test("cluster refuses non-integral columns, single columns, and empty tables") {
+    val root = Files.createTempDirectory("graft_txn").toString + "/t"
+    intercept[IllegalArgumentException] {
+      TxnLog.cluster(spark, root, Seq("a", "b"))
+    }
+    TxnLog.overwrite(Seq((1L, "x")).toDF("a", "s"), root)
+    intercept[IllegalArgumentException] {
+      TxnLog.cluster(spark, root, Seq("a")) // one column is a sort, not a curve
+    }
+    intercept[IllegalArgumentException] {
+      TxnLog.cluster(spark, root, Seq("a", "s")) // string column
+    }
+    intercept[IllegalArgumentException] {
+      TxnLog.cluster(spark, root, Seq("a", "nope")) // missing column
+    }
+    assert(TxnLog.latestVersion(spark, root) == 0L, "refusals publish nothing")
+  }
+
   test("merge rejects ambiguous sources and schema drift") {
     val root = Files.createTempDirectory("graft_txn").toString + "/t"
     TxnLog.overwrite(Seq((1L, "a")).toDF("id", "s"), root)

@@ -3175,6 +3175,24 @@ object SparkEntry {
           staleDim, "payment_type_id", "payment_type_id"))
         .orderBy("fk")
     }),
+    // snapshot reconciliation ([[graft.operators.Reconcile.tableDiff]]):
+    // today's load is yesterday's with doc_id≡3 (mod 11) vanished,
+    // doc_id≡2 (mod 7) re-sourced, and doc_id≡0 (mod 13) re-keyed
+    // high — the diff must name every drifted key with its status and
+    // the exact changed column set, and nothing else. Text rides the
+    // join as its md5 digest only (hashCols) — the wide column never
+    // crosses the exchange.
+    "table_diff" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val right = docs.filter(col("doc_id") % 11 =!= 3)
+        .withColumn("source",
+          when(col("doc_id") % 7 === 2, lit("patched")).otherwise(col("source")))
+        .unionByName(docs.filter(col("doc_id") % 13 === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000L)
+          .withColumn("source", lit("added")))
+      graft.operators.Reconcile.tableDiff(docs, right, Seq("doc_id"),
+        hashCols = Seq("text"))
+    }),
     "dim_vendor" -> ((s, d) => Warehouse.dimVendor(stagingOf(s, d))),
     "dim_rate_code" -> ((s, d) => Warehouse.dimRateCode(stagingOf(s, d))),
     "dim_payment" -> ((s, d) => Warehouse.dimPayment(stagingOf(s, d))),
@@ -4485,6 +4503,36 @@ object SparkEntry {
         |FROM events
         |WHERE event_id IS NOT NULL AND ts IS NOT NULL AND user_id IS NOT NULL
         |  AND event_type IS NOT NULL AND value IS NOT NULL""".stripMargin,
+    // keyed full-outer diff: IS DISTINCT FROM mirrors <=> exactly;
+    // text compared through md5 on both sides (the hashCols contract)
+    "table_diff" ->
+      """WITH r AS (
+        |  SELECT doc_id, text, lang,
+        |    CASE WHEN doc_id % 7 = 2 THEN 'patched' ELSE source END AS source,
+        |    n_chars
+        |  FROM documents WHERE doc_id % 11 <> 3
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text, lang, 'added', n_chars
+        |  FROM documents WHERE doc_id % 13 = 0),
+        |j AS (
+        |  SELECT coalesce(l.doc_id, r.doc_id) AS doc_id,
+        |    l.doc_id IS NOT NULL AS lp, r.doc_id IS NOT NULL AS rp,
+        |    (l.lang IS DISTINCT FROM r.lang) AS d_lang,
+        |    (l.n_chars IS DISTINCT FROM r.n_chars) AS d_n_chars,
+        |    (l.source IS DISTINCT FROM r.source) AS d_source,
+        |    (md5(l.text) IS DISTINCT FROM md5(r.text)) AS d_text
+        |  FROM documents l FULL OUTER JOIN r ON l.doc_id = r.doc_id)
+        |SELECT doc_id,
+        |  CASE WHEN NOT lp THEN 'added' WHEN NOT rp THEN 'removed'
+        |       WHEN d_lang OR d_n_chars OR d_source OR d_text THEN 'changed' END AS status,
+        |  CASE WHEN lp AND rp AND (d_lang OR d_n_chars OR d_source OR d_text) THEN
+        |    concat_ws(',', CASE WHEN d_lang THEN 'lang' END,
+        |      CASE WHEN d_n_chars THEN 'n_chars' END,
+        |      CASE WHEN d_source THEN 'source' END,
+        |      CASE WHEN d_text THEN 'text' END)
+        |  ELSE '' END AS changed_cols
+        |FROM j
+        |WHERE NOT lp OR NOT rp OR d_lang OR d_n_chars OR d_source OR d_text""".stripMargin,
     // NOT EXISTS mirrors left_anti exactly (incl. the null-key case);
     // one UNION ALL leg per audited FK
     "fk_orphans" ->

@@ -2693,6 +2693,40 @@ object SparkEntry {
       .select("doc_id", "source", "n_chars")
   }
 
+  /** Bloom point-lookup skipping under the oracle
+    * ([[graft.sources.TxnLog.readPoint]]): eight residue-class
+    * commits scatter doc_id so every dir's [min, max] spans the whole
+    * domain — range stats prune NOTHING (the `require` proves it) —
+    * yet the per-dir Blooms prove most dirs never held the probed key.
+    * The skipped read must return the key's rows hash-exact with the
+    * plain equality filter: Bloom false positives can open an extra
+    * dir, never change the answer. */
+  private def txnlogBloom(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.TxnLog
+    val root = tmpArtifactRoot("txnbloom", dir)
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val probe = (docs.agg(max("doc_id")).head.getLong(0) + 1) / 2
+    buildLock(root) {
+      if (TxnLog.latestVersion(spark, root) < 7L) {
+        (0 to 7).foreach { i =>
+          val slice = docs.filter(col("doc_id") % 8 === i)
+          if (i == 0) TxnLog.overwrite(slice, root, Some("b0"),
+            collectStats = true, bloomCols = Seq("doc_id"))
+          else TxnLog.append(slice, root, Some(s"b$i"),
+            collectStats = true, bloomCols = Seq("doc_id")); ()
+        }
+      }
+    }
+    val (_, skipRange, _) = TxnLog.pruneDirs(spark, root, "doc_id", probe, probe)
+    require(skipRange.isEmpty, "scattered layout: range stats must be blind")
+    val (_, skipB, snapB) = TxnLog.prunePoint(spark, root, "doc_id", probe)
+    require(skipB.size >= 6,
+      s"bloom should prune most dirs: skipped ${skipB.size} of ${snapB.size}")
+    TxnLog.readPoint(spark, root, "doc_id", probe)
+      .select("doc_id", "source", "n_chars")
+  }
+
   /** Right-to-be-forgotten propagation under the oracle
     * ([[graft.operators.Forget.forget]]): an erasure request for ten
     * ids runs against three txn-log tables — the two-commit corpus,
@@ -3261,6 +3295,7 @@ object SparkEntry {
     "txnlog_compact" -> (txnlogCompact(_, _)),
     "txnlog_skipping" -> (txnlogSkipping(_, _)),
     "txnlog_zorder" -> (txnlogZorder(_, _)),
+    "txnlog_bloom" -> (txnlogBloom(_, _)),
     // metadata-only COUNT from the manifest row counts vs the scan:
     // zero files opened on the fast path, require proves it fired
     "txnlog_fastcount" -> ((s, d) => {
@@ -7089,6 +7124,11 @@ object SparkEntry {
         |WHERE doc_id BETWEEN (SELECT q // 2 FROM m)
         |                 AND (SELECT 2 * q + q // 2 FROM m)
         |  AND n_chars BETWEEN 100 AND 300""".stripMargin,
+    // bloom skipping opens fewer dirs, never changes the answer: the
+    // point read equals the plain equality filter
+    "txnlog_bloom" ->
+      """SELECT doc_id, source, n_chars FROM documents
+        |WHERE doc_id = (SELECT (MAX(doc_id) + 1) // 2 FROM documents)""".stripMargin,
     // release 0 keeps reporting the pre-growth cut forever — the
     // reproducibility claim, replayed as the four known slices
     "dataset_release" ->

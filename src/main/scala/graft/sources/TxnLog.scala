@@ -80,7 +80,8 @@ object TxnLog {
     * micro-batch must not re-merge). */
   def overwrite(df: DataFrame, root: String, txnId: Option[String] = None,
                 partitionBy: Seq[String] = Nil,
-                collectStats: Boolean = false): Long = {
+                collectStats: Boolean = false,
+                bloomCols: Seq[String] = Nil): Long = {
     txnId.foreach { id =>
       history(df.sparkSession, root).find(_.txnId.contains(id)) match {
         case Some(c) => return c.version
@@ -88,7 +89,7 @@ object TxnLog {
       }
     }
     commit(df, root, "overwrite", txnId, partitionBy = partitionBy,
-      collectStats = collectStats)
+      collectStats = collectStats, bloomCols = bloomCols)
   }
 
   /** Append `df` as a new version. If `txnId` is given and already
@@ -100,7 +101,8 @@ object TxnLog {
     * tables pay zero extra barriers. */
   def append(df: DataFrame, root: String, txnId: Option[String] = None,
              partitionBy: Seq[String] = Nil,
-             collectStats: Boolean = false): Long = {
+             collectStats: Boolean = false,
+             bloomCols: Seq[String] = Nil): Long = {
     txnId.foreach { id =>
       history(df.sparkSession, root).find(_.txnId.contains(id)) match {
         case Some(c) => return c.version
@@ -108,7 +110,7 @@ object TxnLog {
       }
     }
     commit(df, root, "append", txnId, partitionBy = partitionBy,
-      collectStats = collectStats)
+      collectStats = collectStats, bloomCols = bloomCols)
   }
 
   /** Read the table at `asOf` (defaults to the latest version).
@@ -421,6 +423,105 @@ object TxnLog {
     val stats = manifest.map(_.stats).getOrElse(Map.empty)
     val (keep, skip) = snap.partition(d => preds.forall { case (c, lo, hi) =>
       mayContain(stats.get(d).flatMap(_.get(c)), lo, hi) })
+    (keep, skip, snap)
+  }
+
+  /** Reserved stats-key prefix carrying a column's per-dir Bloom
+    * filter (the key namespace trick [[RowCountKey]] uses: the range
+    * pruner looks up plain column names, so bloom entries can never
+    * collide with [min, max] stats on the same column). */
+  private val BloomKeyPrefix = "__bloom_"
+  private[graft] val BloomBits = 1 << 15
+  private val BloomK = 4
+
+  /** One column's per-dir Bloom, built from the freshly WRITTEN
+    * directory (manifest certifies disk, like [[dirStats]]): every
+    * distinct value's k md5 probe positions
+    * ([[graft.functions.TextFunctions.bloomPositions]] — the same
+    * Kirsch-Mitzenmacher family the decontamination screen uses, so
+    * positions are reproducible in any engine) set bits in a
+    * [[BloomBits]]-wide bitset, hex-packed into the manifest
+    * (~8 KB/col/dir). The distinct-position collect is bounded by
+    * BloomBits, never row count. NULLs set no bits (a point lookup is
+    * never a null probe — use a scan for IS NULL). */
+  private def dirBloom(spark: SparkSession, path: String, column: String): ColStat = {
+    import org.apache.spark.sql.functions.explode
+    val df = spark.read.parquet(path)
+    require(df.columns.contains(column), s"TxnLog: no bloom column '$column' in $path")
+    val words = new Array[Long](BloomBits / 64)
+    df.select(explode(graft.functions.TextFunctions.bloomPositions(
+        col(column).cast("string"), BloomBits, BloomK)).as("p"))
+      .distinct().collect()
+      .foreach { r =>
+        val p = r.getLong(0)
+        words((p >>> 6).toInt) |= 1L << (p & 63)
+      }
+    ColStat("bloom", words.map(w => f"$w%016x").mkString, s"$BloomBits:$BloomK")
+  }
+
+  /** The k probe positions of one point-lookup value, derived exactly
+    * as the writer derived them (md5 of the value's string rendering,
+    * two 60-bit halves, `(h1 + i·h2) mod mBits`). */
+  private def bloomProbes(value: String): Seq[Long] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(value.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val h1 = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    val h2 = java.lang.Long.parseLong(hex.substring(15, 30), 16)
+    (0 until BloomK).map(i => (h1 + i.toLong * h2) % BloomBits)
+  }
+
+  /** Point-lookup read with Bloom dir skipping — the data-skipping
+    * complement of [[readWhere]] for the regime range stats cannot
+    * help: a HIGH-CARDINALITY key written hash-scattered (every dir's
+    * [min, max] spans the whole domain, so range pruning keeps
+    * everything) still skips almost every dir on a point probe,
+    * because a dir's Bloom proves absence with certainty (false
+    * POSITIVES only — a kept dir may be empty of the key, a skipped
+    * dir never held it; the decontamination screen's one-sided-error
+    * discipline, deterministic cross-engine by the md5 probes).
+    * Consults BOTH indexes when present (a dir must pass its bloom
+    * AND its range stats to be opened); conservative on every gap.
+    * The exact equality predicate is always re-applied. */
+  def readPoint(spark: SparkSession, root: String, column: String,
+                value: Any, asOf: Option[Long] = None): DataFrame = {
+    val (survivors, _, snap) = prunePoint(spark, root, column, value, asOf)
+    require(snap.nonEmpty, s"TxnLog table at $root has no data at version ${asOf.getOrElse("latest")}")
+    val dvs = manifestAt(spark, root, asOf).map(_.dvs).getOrElse(Seq.empty)
+    if (survivors.isEmpty)
+      spark.read.parquet(s"$root/data/${snap.head}").filter(lit(false))
+    else
+      survivors.map(d => dirFrame(spark, root, d, dvs))
+        .reduce(_.unionByName(_, allowMissingColumns = true))
+        .filter(col(column) === lit(value))
+  }
+
+  /** Census behind [[readPoint]]: (survivors, skipped, snapshot). */
+  private[graft] def prunePoint(spark: SparkSession, root: String, column: String,
+                                value: Any,
+                                asOf: Option[Long] = None): (Seq[String], Seq[String], Seq[String]) = {
+    val commits = history(spark, root)
+    val v = asOf.getOrElse(commits.lastOption.map(_.version).getOrElse(-1L))
+    require(asOf.isEmpty || commits.exists(_.version == v),
+      s"TxnLog: version $v does not exist at $root (vacuumed or never written); " +
+        s"available: ${commits.map(_.version).mkString(",")}")
+    val manifest = commits.filter(_.version <= v).lastOption
+    val snap = manifest.map(_.dirs).getOrElse(Seq.empty)
+    val stats = manifest.map(_.stats).getOrElse(Map.empty)
+    val probes = bloomProbes(String.valueOf(value))
+    val (keep, skip) = snap.partition { d =>
+      val ds = stats.get(d)
+      val bloomOk = ds.flatMap(_.get(s"$BloomKeyPrefix$column")) match {
+        case Some(ColStat("bloom", hexWords, meta))
+          if meta == s"$BloomBits:$BloomK" && hexWords.length == BloomBits / 4 =>
+          probes.forall { p =>
+            val w = java.lang.Long.parseUnsignedLong(
+              hexWords.substring((p >>> 6).toInt * 16, (p >>> 6).toInt * 16 + 16), 16)
+            (w & (1L << (p & 63))) != 0L
+          }
+        case _ => true // no bloom (or an unreadable one): never skip
+      }
+      bloomOk && mayContain(ds.flatMap(_.get(column)), value, value)
+    }
     (keep, skip, snap)
   }
 
@@ -936,7 +1037,8 @@ object TxnLog {
                             expectedLatest: Option[Long] = None,
                             partitionBy: Seq[String] = Nil,
                             replaceBase: Option[Seq[String]] = None,
-                            collectStats: Boolean = false): Long = {
+                            collectStats: Boolean = false,
+                            bloomCols: Seq[String] = Nil): Long = {
     val spark = df.sparkSession
     val fs = fileSystem(spark, root)
     val dir = java.util.UUID.randomUUID.toString
@@ -987,8 +1089,12 @@ object TxnLog {
     // stats are read back from the WRITTEN directory, not the input
     // frame — the manifest certifies what is on disk (the LayoutCache
     // discipline), and the read-back picks up partition columns too
-    val newStats =
-      if (collectStats) dirStats(spark, s"$root/data/$dir") else Map.empty[String, ColStat]
+    val newStats = {
+      val rangeStats =
+        if (collectStats) dirStats(spark, s"$root/data/$dir") else Map.empty[String, ColStat]
+      rangeStats ++ bloomCols.map(c =>
+        s"$BloomKeyPrefix$c" -> dirBloom(spark, s"$root/data/$dir", c))
+    }
     var attempt = 0
     while (attempt < MaxRetries) {
       val commits = history(spark, root)

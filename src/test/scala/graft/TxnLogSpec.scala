@@ -836,6 +836,45 @@ class TxnLogSpec extends SparkSpec {
     assert(TxnLog.latestVersion(spark, root) == v && dataFiles(root) == files)
   }
 
+  test("bloom skipping: point lookups prune hash-scattered dirs where range stats cannot; conservative on gaps") {
+    import org.apache.spark.sql.functions.col
+    val root = Files.createTempDirectory("graft_txn").toString + "/t"
+    // 8 residue-class commits: every dir's [min, max] spans ~the whole
+    // id domain, so RANGE stats keep all 8 — the bloom regime
+    (0 until 8).foreach { i =>
+      val slice = (0L until 400L).filter(_ % 8 == i).map(x => (x, s"name$x"))
+      if (i == 0) TxnLog.overwrite(slice.toDF("id", "s"), root,
+        collectStats = true, bloomCols = Seq("id", "s"))
+      else TxnLog.append(slice.toDF("id", "s"), root,
+        collectStats = true, bloomCols = Seq("id", "s"))
+    }
+    val (_, skipRange, _) = TxnLog.pruneDirs(spark, root, "id", 42L, 42L)
+    assert(skipRange.isEmpty, "range stats are blind on the scattered layout")
+    // the bloom proves 7 of 8 dirs never held id 42 (false positives
+    // possible but deterministic; at this fill the expected FP count is ~0)
+    val (keep, skip, snap) = TxnLog.prunePoint(spark, root, "id", 42L)
+    assert(snap.size == 8 && skip.size >= 6 && keep.nonEmpty,
+      s"bloom should prune most dirs: keep=${keep.size} skip=${skip.size}")
+    val got = TxnLog.readPoint(spark, root, "id", 42L)
+    assert(got.collect().map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((42L, "name42")))
+    // string-key probe works the same way
+    val (keepS, skipS, _) = TxnLog.prunePoint(spark, root, "s", "name43")
+    assert(skipS.size >= 6 && keepS.nonEmpty)
+    assert(TxnLog.readPoint(spark, root, "s", "name43").count() == 1)
+    // a value nothing ever held: every dir provably clean at this fill
+    val none = TxnLog.readPoint(spark, root, "id", 999999L)
+    assert(none.count() == 0 && none.columns.toSet == Set("id", "s"))
+    // a bloom-blind commit is never skipped
+    TxnLog.append(Seq((10000L, "z")).toDF("id", "s"), root)
+    val (keepB, _, snapB) = TxnLog.prunePoint(spark, root, "id", 42L)
+    assert(snapB.size == 9 && keepB.exists(_ != keepB.head) || keepB.size >= 2,
+      s"stat-blind dir must survive: keep=${keepB.size}")
+    assert(TxnLog.readPoint(spark, root, "id", 42L).count() == 1)
+    // blooms AND range stats compose: range already disproves this one
+    val (keepC, _, _) = TxnLog.prunePoint(spark, root, "id", -5L)
+    assert(keepC.size <= 1) // at most the stat-blind dir survives
+  }
+
   test("cluster refuses non-integral columns, single columns, and empty tables") {
     val root = Files.createTempDirectory("graft_txn").toString + "/t"
     intercept[IllegalArgumentException] {

@@ -2656,6 +2656,26 @@ object SparkEntry {
       .select("doc_id", "source", "n_chars")
   }
 
+  /** Row provenance under the oracle
+    * ([[graft.sources.TxnLog.readWithLineage]]): over the shared
+    * four-quartile table, every row must name the commit that loaded
+    * it — version, action, txnId — and the per-commit census must
+    * replay as the quartile slices. The lineage columns are per-dir
+    * literals (zero extra I/O), so the census is one narrow
+    * aggregate. */
+  private def txnlogLineage(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.TxnLog
+    val (root, _) = ensureTxnskipTable(spark, dir)
+    TxnLog.readWithLineage(spark, root)
+      .groupBy("_commit_version", "_commit_action", "_commit_txn")
+      .agg(count(lit(1)).as("n_rows"),
+        min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+      .select(col("_commit_version").as("commit_version"),
+        col("_commit_action").as("commit_action"),
+        col("_commit_txn").as("commit_txn"),
+        col("n_rows"), col("min_id"), col("max_id"))
+  }
+
   /** Z-order clustering under the oracle
     * ([[graft.sources.TxnLog.cluster]]): the four append-ordered
     * doc_id slices are rewritten along the (doc_id, n_chars)
@@ -3296,6 +3316,7 @@ object SparkEntry {
     "txnlog_skipping" -> (txnlogSkipping(_, _)),
     "txnlog_zorder" -> (txnlogZorder(_, _)),
     "txnlog_bloom" -> (txnlogBloom(_, _)),
+    "txnlog_lineage" -> (txnlogLineage(_, _)),
     // metadata-only COUNT from the manifest row counts vs the scan:
     // zero files opened on the fast path, require proves it fired
     "txnlog_fastcount" -> ((s, d) => {
@@ -7124,6 +7145,23 @@ object SparkEntry {
         |WHERE doc_id BETWEEN (SELECT q // 2 FROM m)
         |                 AND (SELECT 2 * q + q // 2 FROM m)
         |  AND n_chars BETWEEN 100 AND 300""".stripMargin,
+    // per-commit provenance census replays as the quartile slices the
+    // fixture loaded (txnIds q0..q3, v0 an overwrite)
+    "txnlog_lineage" ->
+      """WITH m AS (SELECT (MAX(doc_id) + 1) // 4 AS q FROM documents),
+        |sl AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id < (SELECT q FROM m) THEN 0
+        |         WHEN doc_id < (SELECT 2 * q FROM m) THEN 1
+        |         WHEN doc_id < (SELECT 3 * q FROM m) THEN 2
+        |         ELSE 3 END AS v
+        |  FROM documents)
+        |SELECT CAST(v AS BIGINT) AS commit_version,
+        |  CASE WHEN v = 0 THEN 'overwrite' ELSE 'append' END AS commit_action,
+        |  'q' || CAST(v AS VARCHAR) AS commit_txn,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM sl GROUP BY v""".stripMargin,
     // bloom skipping opens fewer dirs, never changes the answer: the
     // point read equals the plain equality filter
     "txnlog_bloom" ->

@@ -138,6 +138,38 @@ object TxnLog {
       .reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
+  /** [[read]] with physical row provenance: every row carries the
+    * version, action, and txnId of the commit that WROTE its
+    * directory — the "which load introduced the bad rows" debugging
+    * read (and the audit half of idempotent ingestion: each batch's
+    * rows name their batch). Provenance is physical by design: a
+    * copy-on-write rewrite (delete/merge/compact/cluster) re-stamps
+    * the rows it moved with the rewrite's version, because the bytes
+    * on disk ARE from that commit — time travel to a pre-rewrite
+    * version recovers the original stamps. Zero extra I/O: the three
+    * lineage columns are per-directory literals riding the same
+    * per-dir scans as [[read]] (deletion vectors applied the same
+    * way), so a filter on `_commit_version` prunes whole dirs at the
+    * source. */
+  def readWithLineage(spark: SparkSession, root: String,
+                      asOf: Option[Long] = None): DataFrame = {
+    val commits = history(spark, root)
+    val m = manifestAt(spark, root, asOf)
+    val snap = m.map(_.dirs).getOrElse(Seq.empty)
+    require(snap.nonEmpty, s"TxnLog table at $root has no data at version ${asOf.getOrElse("latest")}")
+    val dvs = m.map(_.dvs).getOrElse(Seq.empty)
+    snap.map { d =>
+      // the creating commit is the FIRST manifest naming the dir —
+      // later manifests only re-reference it
+      val creator = commits.find(_.dirs.contains(d)).getOrElse(
+        throw new IllegalStateException(s"TxnLog: dir $d in snapshot but no creating commit at $root"))
+      dirFrame(spark, root, d, dvs)
+        .withColumn("_commit_version", lit(creator.version))
+        .withColumn("_commit_action", lit(creator.action))
+        .withColumn("_commit_txn", lit(creator.txnId.orNull))
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
   /** One snapshot dir's frame with every deletion vector covering it
     * applied. Survivors are `pred IS NOT TRUE` — the same SQL DELETE
     * null contract as [[delete]]. */

@@ -875,6 +875,35 @@ class TxnLogSpec extends SparkSpec {
     assert(keepC.size <= 1) // at most the stat-blind dir survives
   }
 
+  test("readWithLineage stamps rows with their creating commit; rewrites re-stamp; time travel recovers originals") {
+    import org.apache.spark.sql.functions.col
+    val root = Files.createTempDirectory("graft_txn").toString + "/t"
+    TxnLog.overwrite((0L until 10L).map(i => (i, s"s$i")).toDF("id", "s"), root, Some("load-0"))
+    TxnLog.append((10L until 20L).map(i => (i, s"s$i")).toDF("id", "s"), root, Some("load-1"))
+    TxnLog.append(Seq((20L, "s20")).toDF("id", "s"), root) // no txnId
+    def stamps(asOf: Option[Long] = None) =
+      TxnLog.readWithLineage(spark, root, asOf)
+        .select("id", "_commit_version", "_commit_action", "_commit_txn").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2), r.getString(3))).toMap
+    val s0 = stamps()
+    assert(s0(5L) == ((0L, "overwrite", "load-0")))
+    assert(s0(15L) == ((1L, "append", "load-1")))
+    assert(s0(20L) == ((2L, "append", null)))
+    // a copy-on-write delete re-stamps the rewritten dir's survivors
+    TxnLog.delete(spark, root, col("id") === 15L, Some("gdpr"))
+    val s1 = stamps()
+    assert(!s1.contains(15L) && s1(16L) == ((3L, "replace", "gdpr")),
+      s"rewritten survivors carry the rewrite commit: ${s1(16L)}")
+    assert(s1(5L) == ((0L, "overwrite", "load-0")), "untouched dirs keep their stamps")
+    // time travel recovers the pre-rewrite provenance
+    assert(stamps(Some(2L))(16L) == ((1L, "append", "load-1")))
+    // a filter on the lineage column prunes whole dirs at the source:
+    // only commit 0's dir survives the union's pushed filters
+    val one = TxnLog.readWithLineage(spark, root)
+      .filter(col("_commit_version") === 0L)
+    assert(one.count() == 10)
+  }
+
   test("cluster refuses non-integral columns, single columns, and empty tables") {
     val root = Files.createTempDirectory("graft_txn").toString + "/t"
     intercept[IllegalArgumentException] {

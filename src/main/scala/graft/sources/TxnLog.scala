@@ -204,20 +204,38 @@ object TxnLog {
   /** Drop time travel older than `retainVersions` back from latest:
     * deletes data directories referenced ONLY by expired versions, and
     * the expired manifests themselves (so a read at an expired version
-    * fails loudly instead of returning partial data). Orphan data
-    * directories (crashed pre-commit writers) are also removed. */
-  def vacuum(spark: SparkSession, root: String, retainVersions: Int = 1): Unit = {
+    * fails loudly instead of returning partial data).
+    *
+    * Orphan data directories — ones NO manifest has ever referenced —
+    * are removed only once older than `orphanMinAgeMs` (modification
+    * time). The age guard is load-bearing, not cosmetic: an in-flight
+    * writer stages its data dir BEFORE publishing its manifest, so a
+    * concurrent vacuum that swept every unreferenced dir would delete
+    * the dir out from under the commit and the manifest would then
+    * publish pointing at nothing — the exact race Delta's vacuum
+    * retention window exists for. Directories referenced by expired
+    * manifests delete regardless of age (their expiry is proven by the
+    * log, not guessed from timestamps). */
+  def vacuum(spark: SparkSession, root: String, retainVersions: Int = 1,
+             orphanMinAgeMs: Long = 10L * 60 * 1000): Unit = {
     require(retainVersions >= 1, s"need retainVersions >= 1, got $retainVersions")
+    require(orphanMinAgeMs >= 0, s"need orphanMinAgeMs >= 0, got $orphanMinAgeMs")
     val fs = fileSystem(spark, root)
     val commits = history(spark, root)
     if (commits.isEmpty) return
     val cutoff = commits.last.version - (retainVersions - 1)
     val keepDirs = commits.filter(_.version >= cutoff)
       .flatMap(c => snapshotAt(commits, c.version)).toSet
+    val referencedEver = commits.flatMap(_.dirs).toSet
+    val orphanCutoffMs = System.currentTimeMillis() - orphanMinAgeMs
     val dataRoot = new Path(s"$root/data")
     if (fs.exists(dataRoot))
       fs.listStatus(dataRoot).foreach { st =>
-        if (st.isDirectory && !keepDirs.contains(st.getPath.getName)) {
+        val name = st.getPath.getName
+        val expired = referencedEver.contains(name) && !keepDirs.contains(name)
+        val staleOrphan = !referencedEver.contains(name) &&
+          st.getModificationTime < orphanCutoffMs
+        if (st.isDirectory && (expired || staleOrphan)) {
           fs.delete(st.getPath, true); ()
         }
       }
@@ -398,10 +416,23 @@ object TxnLog {
     while (attempt < MaxRetries) {
       val cs = history(spark, root)
       val version = cs.lastOption.map(_.version + 1).getOrElse(0L)
+      // same optimistic resolution as [[commit]]: interleaved plain
+      // appends rebase by reference (their dirs stay un-clustered
+      // until the next pass — pruning yield, never correctness);
+      // anything else aborts
+      var rebased: Seq[String] = Nil
       if (version != expected + 1) {
-        newDirs.foreach(d => fs.delete(new Path(s"$root/data/$d"), true))
-        throw new java.util.ConcurrentModificationException(
-          s"TxnLog: table at $root moved (expected latest $expected, found ${version - 1}) — cluster aborted")
+        val interleaved = cs.filter(_.version > expected)
+        if (!interleaved.forall(_.action == "append")) {
+          newDirs.foreach(d => fs.delete(new Path(s"$root/data/$d"), true))
+          throw new java.util.ConcurrentModificationException(
+            s"TxnLog: table at $root moved (expected latest $expected, found ${version - 1}) — " +
+              s"non-append commits interleaved (${interleaved.map(_.action).mkString(",")}); cluster aborted")
+        }
+        rebased = interleaved.flatMap { c =>
+          val prior = snapshotAt(cs, c.version - 1).toSet
+          c.dirs.filterNot(prior)
+        }
       }
       txnId.foreach { id =>
         cs.find(_.txnId.contains(id)).foreach { c =>
@@ -410,8 +441,12 @@ object TxnLog {
         }
       }
       val carriedChecks = cs.lastOption.map(_.checks).getOrElse(Map.empty)
-      if (tryPublish(fs, root, Commit(version, "overwrite", newDirs, txnId,
-        statsMap, Seq.empty, carriedChecks)))
+      // rebased append dirs keep their own manifest stats; DVs cannot
+      // cover them (appends add none)
+      val carriedStats = cs.lastOption.map(_.stats).getOrElse(Map.empty)
+        .filter { case (d, _) => rebased.contains(d) }
+      if (tryPublish(fs, root, Commit(version, "overwrite", newDirs ++ rebased, txnId,
+        statsMap ++ carriedStats, Seq.empty, carriedChecks)))
         return version
       attempt += 1
     }
@@ -578,8 +613,10 @@ object TxnLog {
     * bounded by the COMMIT count, never row count. The rewrite reads
     * and rewrites only affected directories, and the commit point is
     * the same create-exclusive manifest CAS'd against the snapshot the
-    * delete was derived from (`expectedLatest` — a concurrent commit
-    * aborts the delete rather than silently dropping its rows).
+    * delete was derived from (`expectedLatest` — an interleaved plain
+    * append REBASES in by reference, serializing as
+    * delete-then-append; any other concurrent commit aborts the
+    * delete rather than silently dropping its rows).
     *
     * A `txnId` already in the log makes the delete a no-op returning
     * its version (idempotent retry — a re-run GDPR job must not
@@ -668,21 +705,33 @@ object TxnLog {
     while (attempt < MaxRetries) {
       val cs = history(spark, root)
       val version = cs.lastOption.map(_.version + 1).getOrElse(0L)
-      // CAS: the vector's dir scope was derived from `expected`'s
-      // snapshot — publishing over a moved table could miss rows a
-      // concurrent append just added to a covered predicate range
-      if (version != expected + 1)
-        throw new java.util.ConcurrentModificationException(
-          s"TxnLog: table at $root moved (expected latest $expected, found ${version - 1}) — " +
-            "merge-on-read delete aborted; re-run against the new snapshot")
+      // CAS with the same optimistic resolution as [[commit]]: the
+      // vector's dir scope was derived from `expected`'s snapshot, so
+      // interleaved plain appends rebase (their dirs ride in
+      // UNCOVERED — a DELETE applies to its own snapshot, appended
+      // rows survive, serializing as delete-then-append); anything
+      // else aborts.
+      var rebased: Seq[String] = Nil
+      if (version != expected + 1) {
+        val interleaved = cs.filter(_.version > expected)
+        if (!interleaved.forall(_.action == "append"))
+          throw new java.util.ConcurrentModificationException(
+            s"TxnLog: table at $root moved (expected latest $expected, found ${version - 1}) — " +
+              s"non-append commits interleaved (${interleaved.map(_.action).mkString(",")}); merge-on-read delete aborted")
+        rebased = interleaved.flatMap { c =>
+          val prior = snapshotAt(cs, c.version - 1).toSet
+          c.dirs.filterNot(prior)
+        }
+      }
       txnId.foreach { id =>
         cs.find(_.txnId.contains(id)).foreach(c => return c.version)
       }
       val last = cs.last
-      val newDvs = last.dvs.map(dv => dv.copy(dirs = dv.dirs.filter(snap.contains)))
+      val snapPub = snap ++ rebased
+      val newDvs = last.dvs.map(dv => dv.copy(dirs = dv.dirs.filter(snapPub.contains)))
         .filter(_.dirs.nonEmpty) :+ Dv(predSql, affected.toSeq.sorted)
       if (tryPublish(fs, root,
-        Commit(version, "delete_mor", snap, txnId, last.stats, newDvs, last.checks)))
+        Commit(version, "delete_mor", snapPub, txnId, last.stats, newDvs, last.checks)))
         return version
       attempt += 1
     }
@@ -1131,15 +1180,30 @@ object TxnLog {
     while (attempt < MaxRetries) {
       val commits = history(spark, root)
       val version = commits.lastOption.map(_.version + 1).getOrElse(0L)
-      // CAS writers (compaction): the rewrite was derived FROM a
-      // specific snapshot — publishing over a table that moved since
-      // would silently drop the interleaved commit's rows. Abort; the
-      // caller re-runs against the new snapshot.
+      // CAS writers (compaction, CoW delete/merge): the rewrite was
+      // derived FROM a specific snapshot. If the table moved since,
+      // resolve optimistically the Delta way: interleaved PLAIN
+      // APPENDS are logically disjoint additions (they touch no dir
+      // the rewrite read, add no deletion vectors, change no checks),
+      // so the rewrite REBASES — the appended dirs ride into the
+      // published set by reference and the outcome serializes as
+      // rewrite-then-append. Any other interleaved action (overwrite,
+      // replace, delete_mor, meta) may have read or rewritten what we
+      // rewrote — abort, the caller re-derives.
+      var rebasedDirs: Seq[String] = Nil
       expectedLatest.foreach { exp =>
         if (version != exp + 1) {
-          fs.delete(new Path(s"$root/data/$dir"), true)
-          throw new java.util.ConcurrentModificationException(
-            s"TxnLog: table at $root moved (expected latest $exp, found ${version - 1}) — rewrite aborted")
+          val interleaved = commits.filter(_.version > exp)
+          if (!interleaved.forall(_.action == "append")) {
+            fs.delete(new Path(s"$root/data/$dir"), true)
+            throw new java.util.ConcurrentModificationException(
+              s"TxnLog: table at $root moved (expected latest $exp, found ${version - 1}) — " +
+                s"non-append commits interleaved (${interleaved.map(_.action).mkString(",")}); rewrite aborted")
+          }
+          rebasedDirs = interleaved.flatMap { c =>
+            val prior = snapshotAt(commits, c.version - 1).toSet
+            c.dirs.filterNot(prior)
+          }
         }
       }
       // idempotency re-check under the latest log (a racing retry of
@@ -1151,11 +1215,11 @@ object TxnLog {
         }
       }
       val dirs = action match {
-        case "overwrite" => Seq(dir)
+        case "overwrite" => Seq(dir) ++ rebasedDirs
         case "append"    => snapshotAt(commits, version - 1) :+ dir
         // copy-on-write rewrite: unaffected directories carry by
         // reference, the freshly written dir replaces the affected set
-        case "replace"   => replaceBase.get :+ dir
+        case "replace"   => (replaceBase.get :+ dir) ++ rebasedDirs
       }
       // manifests stay self-contained: carry forward the retained
       // dirs' stats from the previous manifest, add the new dir's

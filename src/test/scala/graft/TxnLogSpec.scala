@@ -111,23 +111,27 @@ class TxnLogSpec extends SparkSpec {
     assert(TxnLog.read(spark, root).count() == 12L)
   }
 
-  test("compact aborts when the table moves underneath it (CAS)") {
+  test("compact CAS: an interleaved append rebases in by reference; an interleaved overwrite aborts") {
     val root = Files.createTempDirectory("graft_txn").toString + "/t"
     TxnLog.overwrite(Seq((1L, "a")).toDF("id", "s"), root)
-    // simulate an interleaved writer landing between snapshot and publish:
-    // compact() captured expected=0 only if called now — instead drive the
-    // internal path by appending first and calling with a stale expectation
-    // via the public API race: append after reading the version
     val expected = TxnLog.latestVersion(spark, root)
     TxnLog.append(Seq((2L, "b")).toDF("id", "s"), root)
     assert(expected == 0L && TxnLog.latestVersion(spark, root) == 1L)
-    // a rewrite derived from the stale snapshot must refuse to publish
+    // a rewrite derived from the stale snapshot REBASES over the plain
+    // append (optimistic resolution): the appended dir rides in
+    val v = TxnLog.commit(Seq((1L, "a")).toDF("id", "s"), root, "overwrite",
+      None, expectedLatest = Some(expected))
+    assert(v == 2L)
+    assert(TxnLog.read(spark, root).select("id").as[Long].collect().sorted
+      .sameElements(Seq(1L, 2L)))
+    // a non-append interleave still aborts and cleans up its data dir
+    val exp2 = TxnLog.latestVersion(spark, root)
+    TxnLog.overwrite(Seq((3L, "c")).toDF("id", "s"), root)
     intercept[java.util.ConcurrentModificationException] {
       TxnLog.commit(Seq((9L, "x")).toDF("id", "s"), root, "overwrite",
-        None, expectedLatest = Some(expected))
+        None, expectedLatest = Some(exp2))
     }
-    // and the losing writer's data dir was cleaned up, not orphaned
-    assert(TxnLog.read(spark, root).count() == 2)
+    assert(TxnLog.read(spark, root).count() == 1)
   }
 
   test("foreachBatchAppend replays of the same batchId are exactly-once") {
@@ -902,6 +906,67 @@ class TxnLogSpec extends SparkSpec {
     val one = TxnLog.readWithLineage(spark, root)
       .filter(col("_commit_version") === 0L)
     assert(one.count() == 10)
+  }
+
+  test("vacuum's orphan age guard: a fresh unreferenced dir (an in-flight commit) survives; stale orphans and expired versions go") {
+    import org.apache.hadoop.fs.Path
+    val root = Files.createTempDirectory("graft_txn").toString + "/t"
+    TxnLog.overwrite(Seq((1L, "a")).toDF("id", "s"), root)
+    TxnLog.overwrite(Seq((2L, "b")).toDF("id", "s"), root)
+    // simulate an in-flight writer: data staged, manifest not yet published
+    Seq((9L, "inflight")).toDF("id", "s").write.parquet(s"$root/data/inflight-dir")
+    // and a long-dead crashed writer
+    Seq((8L, "dead")).toDF("id", "s").write.parquet(s"$root/data/dead-dir")
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.setTimes(new Path(s"$root/data/dead-dir"), 1000L, -1)
+    TxnLog.vacuum(spark, root, retainVersions = 1)
+    val left = fs.listStatus(new Path(s"$root/data")).map(_.getPath.getName).toSet
+    assert(left.contains("inflight-dir"), "a fresh orphan may be an in-flight commit — must survive")
+    assert(!left.contains("dead-dir"), "a stale orphan is a crashed writer — swept")
+    assert(left.size == 2, s"expired version dir swept, current kept: $left")
+    // the in-flight writer can still land later... its dir is intact
+    assert(spark.read.parquet(s"$root/data/inflight-dir").count() == 1)
+    // orphanMinAgeMs = 0 restores the aggressive sweep for offline GC
+    TxnLog.vacuum(spark, root, retainVersions = 1, orphanMinAgeMs = 0L)
+    val after = fs.listStatus(new Path(s"$root/data")).map(_.getPath.getName).toSet
+    assert(!after.contains("inflight-dir") && after.size == 1)
+  }
+
+  test("optimistic concurrency: a rewrite rebases over interleaved plain appends; anything else still aborts") {
+    import org.apache.spark.sql.functions.col
+    val root = Files.createTempDirectory("graft_txn").toString + "/t"
+    TxnLog.overwrite((0L until 10L).map(i => (i, s"s$i")).toDF("id", "s"), root) // v0
+    TxnLog.append((10L until 20L).map(i => (i, s"s$i")).toDF("id", "s"), root)  // v1
+    val expected = TxnLog.latestVersion(spark, root)
+    // a compaction derived from v1 (the exact path compact() takes)
+    val rewrite = TxnLog.read(spark, root).coalesce(1)
+    // ...and an append lands before the rewrite publishes
+    TxnLog.append((20L until 25L).map(i => (i, s"s$i")).toDF("id", "s"), root)  // v2
+    val v = TxnLog.commit(rewrite, root, "overwrite", None,
+      expectedLatest = Some(expected))
+    assert(v == 3L)
+    // the interleaved append's rows rode in by reference — nothing lost
+    assert(TxnLog.read(spark, root).select("id").as[Long].collect().sorted
+      .sameElements(0L until 25L))
+    // CoW-delete shape (action "replace") rebases the same way
+    val exp2 = TxnLog.latestVersion(spark, root)
+    val snap2 = TxnLog.versions(spark, root) // just to pin the moment
+    val survivors = TxnLog.read(spark, root).filter(col("id") =!= 3L).coalesce(1)
+    TxnLog.append(Seq((100L, "late")).toDF("id", "s"), root)
+    val v2 = TxnLog.commit(survivors, root, "replace", None,
+      expectedLatest = Some(exp2), replaceBase = Some(Nil))
+    assert(v2 == exp2 + 2 && snap2.nonEmpty)
+    val ids = TxnLog.read(spark, root).select("id").as[Long].collect().toSet
+    assert(!ids.contains(3L) && ids.contains(100L),
+      "delete applied to its snapshot; the interleaved append's row survives")
+    // an interleaved NON-append (overwrite) still aborts the rewrite
+    val exp3 = TxnLog.latestVersion(spark, root)
+    val rw = TxnLog.read(spark, root).coalesce(1)
+    TxnLog.overwrite(Seq((1L, "reset")).toDF("id", "s"), root)
+    intercept[java.util.ConcurrentModificationException] {
+      TxnLog.commit(rw, root, "overwrite", None, expectedLatest = Some(exp3))
+    }
+    assert(TxnLog.read(spark, root).count() == 1, "aborted rewrite published nothing")
   }
 
   test("cluster refuses non-integral columns, single columns, and empty tables") {

@@ -2656,6 +2656,19 @@ object SparkEntry {
       .select("doc_id", "source", "n_chars")
   }
 
+  /** Clustering advisor under the oracle
+    * ([[graft.sources.TxnLog.clusterAdvice]]): over the shared
+    * four-quartile table, doc_id is range-partitioned by construction
+    * (average keep fraction ≈ 10000/4 bps — healthy) while n_chars
+    * scatters across every commit (≈ 10000 bps — stats prune nothing,
+    * the z-order signal). The oracle recomputes each quartile's
+    * [min, max] from the data and replays the keep-fraction
+    * arithmetic in integers. */
+  private def clusterAdviceQ(spark: SparkSession, dir: String): DataFrame = {
+    val (root, _) = ensureTxnskipTable(spark, dir)
+    graft.sources.TxnLog.clusterAdvice(spark, root)
+  }
+
   /** Row provenance under the oracle
     * ([[graft.sources.TxnLog.readWithLineage]]): over the shared
     * four-quartile table, every row must name the commit that loaded
@@ -3317,6 +3330,7 @@ object SparkEntry {
     "txnlog_zorder" -> (txnlogZorder(_, _)),
     "txnlog_bloom" -> (txnlogBloom(_, _)),
     "txnlog_lineage" -> (txnlogLineage(_, _)),
+    "cluster_advice" -> (clusterAdviceQ(_, _)),
     // metadata-only COUNT from the manifest row counts vs the scan:
     // zero files opened on the fast path, require proves it fired
     "txnlog_fastcount" -> ((s, d) => {
@@ -7145,6 +7159,34 @@ object SparkEntry {
         |WHERE doc_id BETWEEN (SELECT q // 2 FROM m)
         |                 AND (SELECT 2 * q + q // 2 FROM m)
         |  AND n_chars BETWEEN 100 AND 300""".stripMargin,
+    // the advisor's keep-fraction arithmetic replayed from the
+    // quartile slicing: doc_id healthy, n_chars scattered
+    "cluster_advice" ->
+      """WITH m AS (SELECT (MAX(doc_id) + 1) // 4 AS q FROM documents),
+        |sl AS (SELECT doc_id, n_chars,
+        |  CASE WHEN doc_id < (SELECT q FROM m) THEN 0
+        |       WHEN doc_id < (SELECT 2 * q FROM m) THEN 1
+        |       WHEN doc_id < (SELECT 3 * q FROM m) THEN 2 ELSE 3 END AS d
+        |  FROM documents),
+        |pr AS (SELECT d, min(doc_id) AS mn_i, max(doc_id) AS mx_i,
+        |              min(n_chars) AS mn_c, max(n_chars) AS mx_c
+        |       FROM sl GROUP BY d),
+        |a AS (SELECT
+        |  CAST(max(mx_i) - min(mn_i) + 1 AS BIGINT) AS wi,
+        |  CAST(SUM(mx_i - mn_i + 1) AS BIGINT) AS si,
+        |  CAST(max(mx_c) - min(mn_c) + 1 AS BIGINT) AS wc,
+        |  CAST(SUM(mx_c - mn_c + 1) AS BIGINT) AS sc,
+        |  CAST(count(*) AS BIGINT) AS nd FROM pr)
+        |SELECT 'doc_id' AS col_name, nd AS n_dirs, wi AS table_width,
+        |  si AS sum_dir_width,
+        |  CAST(si * 10000 // (wi * nd) AS BIGINT) AS overlap_bps,
+        |  CAST(CASE WHEN si * 10000 // (wi * nd) >= 5000 THEN 1 ELSE 0 END AS INT) AS scattered
+        |FROM a
+        |UNION ALL
+        |SELECT 'n_chars', nd, wc, sc,
+        |  CAST(sc * 10000 // (wc * nd) AS BIGINT),
+        |  CAST(CASE WHEN sc * 10000 // (wc * nd) >= 5000 THEN 1 ELSE 0 END AS INT)
+        |FROM a""".stripMargin,
     // per-commit provenance census replays as the quartile slices the
     // fixture loaded (txnIds q0..q3, v0 an overwrite)
     "txnlog_lineage" ->

@@ -454,6 +454,56 @@ object TxnLog {
       s"TxnLog: lost $MaxRetries consecutive commit races on $root — giving up")
   }
 
+  /** Clustering advisor — the monitoring half of [[cluster]],
+    * completing the advise→act triad ([[compactAdvice]]→[[compact]],
+    * `IvfIndex.rebuildAdvice`→`rebuild`): for every long-family
+    * column with full stats coverage, how USELESS are the per-dir
+    * [min, max] stats for range pruning? The signal is the AVERAGE
+    * KEEP FRACTION `Σ_dirs dir_width / (table_width · n_dirs)` in
+    * exact bps — what share of the table's dirs a random point
+    * predicate on that column must open. Scale-invariant in the dir
+    * count: a range-partitioned column scores ~10000/n_dirs (each dir
+    * owns a slice), a scattered column ~10000 (every dir spans the
+    * whole domain — stats prune nothing). Columns at or above
+    * `scatterBps` are flagged; two or more flags = the table wants
+    * `cluster` on them. Metadata-only — one manifest read, zero data
+    * files opened. One row per eligible column: (col_name, n_dirs,
+    * table_width, sum_dir_width, overlap_bps, scattered). Columns
+    * with any stat-blind dir are skipped (no honest verdict), string
+    * stats have no width, and a one-dir table is trivially
+    * well-clustered. Complements [[prunePoint]]'s Blooms: a column
+    * flagged here either gets clustered or gets a Bloom, depending on
+    * whether its queries are ranges or point probes. */
+  def clusterAdvice(spark: SparkSession, root: String,
+                    scatterBps: Long = 5000L,
+                    asOf: Option[Long] = None): DataFrame = {
+    require(scatterBps > 0L && scatterBps <= 10000L,
+      s"need scatterBps in (0, 10000], got $scatterBps")
+    val manifest = manifestAt(spark, root, asOf)
+    val snap = manifest.map(_.dirs).getOrElse(Seq.empty)
+    require(snap.nonEmpty, s"TxnLog table at $root has no data at version ${asOf.getOrElse("latest")}")
+    val stats = manifest.map(_.stats).getOrElse(Map.empty)
+    val cols = snap.flatMap(d => stats.getOrElse(d, Map.empty).keys)
+      .distinct.filterNot(_.startsWith("__")).sorted
+    val rows = cols.flatMap { c =>
+      val per = snap.map(d => stats.get(d).flatMap(_.get(c)))
+      if (per.exists(s => !s.exists(_.tpe == "long"))) None // stat-blind or non-long: no verdict
+      else {
+        val ranges = per.flatten.map(s => (s.min.toLong, s.max.toLong))
+        val tableW = ranges.map(_._2).max - ranges.map(_._1).min + 1L
+        val sumW = ranges.map(r => r._2 - r._1 + 1L).sum
+        // BigInt keeps the cross-multiplication exact on wide domains
+        val bps = (BigInt(sumW) * 10000 /
+          (BigInt(math.max(tableW, 1L)) * snap.size)).toLong
+        Some((c, snap.size.toLong, tableW, sumW, bps,
+          if (snap.size > 1 && bps >= scatterBps) 1 else 0))
+      }
+    }
+    import spark.implicits._
+    rows.toDF("col_name", "n_dirs", "table_width", "sum_dir_width",
+      "overlap_bps", "scattered")
+  }
+
   /** Conjunctive data-skipping read — [[readWhere]] for several range
     * predicates at once, the consumer a [[cluster]]ed table is built
     * for: a dir survives only if its stats admit EVERY predicate

@@ -969,6 +969,32 @@ class TxnLogSpec extends SparkSpec {
     assert(TxnLog.read(spark, root).count() == 1, "aborted rewrite published nothing")
   }
 
+  test("clusterAdvice flags scattered columns; cluster clears the flags; stat-blind columns get no verdict") {
+    val root = Files.createTempDirectory("graft_txn").toString + "/t"
+    // 4 residue-class commits: id scattered, v range-partitioned by construction
+    (0 until 4).foreach { i =>
+      val slice = (0L until 400L).filter(_ % 4 == i)
+        .map(x => (x, i * 1000L + x, s"s$x"))
+      if (i == 0) TxnLog.overwrite(slice.toDF("id", "v", "s"), root, collectStats = true)
+      else TxnLog.append(slice.toDF("id", "v", "s"), root, collectStats = true)
+    }
+    val advice = TxnLog.clusterAdvice(spark, root).collect()
+      .map(r => r.getString(0) -> (r.getLong(4), r.getInt(5))).toMap
+    assert(advice.keySet == Set("id", "v"), s"strings and __rows excluded: $advice")
+    assert(advice("id")._2 == 1 && advice("id")._1 >= 8000L,
+      s"residue-scattered id should flag: ${advice("id")}")
+    assert(advice("v")._2 == 0 && advice("v")._1 <= 2500L,
+      s"range-partitioned v should not: ${advice("v")}")
+    // acting on the advice clears it
+    TxnLog.cluster(spark, root, Seq("id", "v"), nDirs = 64, bits = 4)
+    val after = TxnLog.clusterAdvice(spark, root).collect()
+      .map(r => r.getString(0) -> r.getInt(5)).toMap
+    assert(after.values.forall(_ == 0), s"clustered layout should clear all flags: $after")
+    // a stat-blind commit removes the verdict for every column
+    TxnLog.append(Seq((9999L, 9999L, "z")).toDF("id", "v", "s"), root)
+    assert(TxnLog.clusterAdvice(spark, root).isEmpty)
+  }
+
   test("cluster refuses non-integral columns, single columns, and empty tables") {
     val root = Files.createTempDirectory("graft_txn").toString + "/t"
     intercept[IllegalArgumentException] {

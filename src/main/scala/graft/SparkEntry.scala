@@ -3780,6 +3780,19 @@ object SparkEntry {
           Tables.events(s, d), "user_id", "ts", "event_id",
           col("value") >= 50.0)
         .orderBy("user_id")),
+    // per-user daily quota gate ([[graft.operators.TimeSeries
+    // .rateLimit]]): admit the first 3 events per user per event-time
+    // day, report the per-window admission audit — one shuffle by
+    // user, the rank window strictly per (user, day); streaming twin
+    // in StatefulRateLimit carries two longs per user
+    "rate_limit" -> ((s, d) =>
+      graft.operators.TimeSeries.rateLimit(
+          Tables.events(s, d), "user_id", "ts", "event_id",
+          maxPerWindow = 3)
+        .groupBy("user_id", "window_start")
+        .agg(count(lit(1)).as("n_events"),
+          sum("admitted").cast("long").as("n_admitted"),
+          (count(lit(1)) - sum("admitted")).cast("long").as("n_dropped"))),
     // per-user drift alarms: one-sided CUSUM in integer cents against
     // a 55.00 reference, alarm at 400.00 of accumulated excess — the
     // sequential recurrence runs as two cumulative windows (prefix-sum
@@ -6062,6 +6075,17 @@ object SparkEntry {
         |QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
         |  ORDER BY streak_len DESC, s_us ASC, start_event_id ASC) = 1
         |ORDER BY user_id""".stripMargin,
+    // quota admission replay: first-3-per-(user, day) by (ts, id) rank
+    "rate_limit" ->
+      """WITH w AS (
+        |  SELECT user_id, event_id, ts, date_trunc('day', ts) AS window_start,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('day', ts)
+        |                       ORDER BY ts, event_id) AS rn
+        |  FROM events)
+        |SELECT user_id, window_start, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(count(*) FILTER (rn <= 3) AS BIGINT) AS n_admitted,
+        |  CAST(count(*) FILTER (rn > 3) AS BIGINT) AS n_dropped
+        |FROM w GROUP BY 1, 2""".stripMargin,
     // CUSUM replay: S_i = P_i - min(0, running min of P); both windows
     // MUST share the (ts, event_id) ordering — an event_id-only min
     // would silently assume arrival order == time

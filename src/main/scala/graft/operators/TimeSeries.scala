@@ -131,6 +131,33 @@ object TimeSeries {
       .select(col(keyCol), col(tieCol), col("__cusum").as("cusum"))
   }
 
+  /** Per-key rate limiting / quota admission — the ingestion-shaping
+    * primitive (API quotas, per-user crawl budgets, abuse throttles)
+    * as a deterministic batch operator: within each (key, tumbling
+    * event-time window) the first `maxPerWindow` events in (ts, tie)
+    * order are admitted, the rest dropped. Returns every input row
+    * tagged with `window_start` and `admitted` 0/1 — the caller
+    * filters or audits (a quota decision you can't audit is a quota
+    * dispute you can't settle).
+    *
+    * Scale shape: ONE shuffle by key, a per-(key, window) rank window
+    * inside it — never an unpartitioned window; the tie column makes
+    * equal timestamps deterministic. `truncUnit` is a `date_trunc`
+    * unit so the window boundary is replayable in any engine. The
+    * streaming twin is
+    * [[graft.streaming.StatefulRateLimit.rateLimitStream]] — same
+    * admission law, two-long state per key. */
+  def rateLimit(df: DataFrame, keyCol: String, tsCol: String, tieCol: String,
+                maxPerWindow: Int, truncUnit: String = "day"): DataFrame = {
+    require(maxPerWindow >= 1, s"need maxPerWindow >= 1, got $maxPerWindow")
+    val win = date_trunc(truncUnit, col(tsCol)).cast("timestamp_ntz")
+    val w = Window.partitionBy(col(keyCol), col("window_start"))
+      .orderBy(col(tsCol), col(tieCol))
+    df.withColumn("window_start", win)
+      .withColumn("admitted",
+        when(row_number().over(w) <= maxPerWindow, lit(1)).otherwise(lit(0)))
+  }
+
   /** Backfill planner — which date ranges are MISSING from a table:
     * the partition-audit every scheduled pipeline needs before a
     * backfill run ("days 3/10/17 never landed; re-run exactly those").

@@ -94,6 +94,48 @@ object StatefulSessions {
   * later event's batch is folded in where it lands, the standard
   * online-monitoring trade (a drift alarm must not wait for
   * stragglers; re-run the batch operator for the forensic answer). */
+/** Streaming twin of [[graft.operators.TimeSeries.rateLimit]] — the
+  * live quota gate: per key, admit the first `maxPerWindow` events of
+  * each tumbling event-time window, carrying TWO LONGS of state per
+  * key (current window start, admitted count) no matter how long the
+  * stream runs. Same admission law as the batch operator, so a
+  * replayed/batch audit can re-derive every live decision. An event
+  * arriving AFTER its window's state was advanced is dropped — the
+  * conservative quota answer (never over-admit); under in-order
+  * per-key delivery (the watermarked, event-time-sorted regime) that
+  * branch never fires and stream ≡ batch exactly. */
+object StatefulRateLimit {
+
+  case class RateEvent(user_id: Long, ts: Timestamp, event_id: Long)
+  case class RateState(windowStart: Long, admitted: Long)
+  case class Admission(user_id: Long, event_id: Long,
+                       window_start: Timestamp, admitted: Int)
+
+  def rateLimitStream(events: Dataset[RateEvent], maxPerWindow: Int,
+                      windowMs: Long): Dataset[Admission] = {
+    import events.sparkSession.implicits._
+    require(maxPerWindow >= 1, s"need maxPerWindow >= 1, got $maxPerWindow")
+    require(windowMs > 0, s"need windowMs > 0, got $windowMs")
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[RateState, Admission](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[RateEvent], state: GroupState[RateState]) =>
+          var st = state.getOption.getOrElse(RateState(Long.MinValue, 0L))
+          val out = Seq.newBuilder[Admission]
+          it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            val w = Math.floorDiv(e.ts.getTime, windowMs) * windowMs
+            if (w > st.windowStart) st = RateState(w, 0L)
+            val admit = w == st.windowStart && st.admitted < maxPerWindow
+            if (admit) st = RateState(st.windowStart, st.admitted + 1)
+            out += Admission(uid, e.event_id, new Timestamp(w),
+              if (admit) 1 else 0)
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+}
+
 object StatefulCusum {
 
   case class CusumEvent(user_id: Long, ts: Timestamp, event_id: Long, cents: Long)

@@ -139,6 +139,46 @@ class StatefulSkewSpec extends SparkSpec {
     assert(batch == got)
   }
 
+  test("rateLimitStream: budget spans the batch boundary, resets at the window, batch parity, late events never over-admit") {
+    import graft.streaming.StatefulRateLimit
+    import graft.streaming.StatefulRateLimit.RateEvent
+    implicit val sql = spark.sqlContext
+    val hourMs = 3600 * 1000L
+    def ev(id: Long, ms: Long) = RateEvent(1L, new Timestamp(ms), id)
+    // window = 1h, max = 2. Events 0,1,2 in hour 0 (2 admitted, 1
+    // dropped — the drop lands in batch 2, so the budget must SPAN the
+    // boundary); events 3,4 in hour 1 (fresh budget, both admitted).
+    val all = Seq(ev(0L, 0L), ev(1L, 60000L), ev(2L, 120000L),
+      ev(3L, hourMs), ev(4L, hourMs + 60000L))
+    val input = MemoryStream[RateEvent]
+    val out = StatefulRateLimit.rateLimitStream(input.toDS(), maxPerWindow = 2,
+      windowMs = hourMs)
+    val q = out.writeStream.format("memory").queryName("rate_out")
+      .outputMode("append").start()
+    input.addData(all.take(2): _*)
+    q.processAllAvailable()
+    input.addData(all.drop(2): _*)
+    q.processAllAvailable()
+    val got = spark.table("rate_out")
+      .collect().map(r => r.getLong(1) -> r.getInt(3)).toMap
+    assert(got == Map(0L -> 1, 1L -> 1, 2L -> 0, 3L -> 1, 4L -> 1))
+    // a LATE event for the already-advanced hour 0 is dropped — the
+    // conservative answer (its budget state is gone; never over-admit)
+    input.addData(ev(9L, 120001L))
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("rate_out").collect()
+      .find(_.getLong(1) == 9L).get.getInt(3) == 0)
+    // parity with the batch operator over the in-order prefix
+    import org.apache.spark.sql.functions.col
+    val batch = graft.operators.TimeSeries.rateLimit(
+        all.toDF(), "user_id", "ts", "event_id", maxPerWindow = 2,
+        truncUnit = "hour")
+      .select("event_id", "admitted").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(batch == got)
+  }
+
   test("AQE splits a skewed shuffle-join partition at runtime (skew=true)") {
     // Salting (below) is the manual fix; AQE's OptimizeSkewedJoin is the
     // runtime one — the hot partition is split into advisory-sized reader

@@ -2669,6 +2669,34 @@ object SparkEntry {
     graft.sources.TxnLog.clusterAdvice(spark, root)
   }
 
+  /** Change data feed under the oracle
+    * ([[graft.sources.TxnLog.changeFeed]]): a baseline load, an
+    * append, a merge-on-read erasure, and a keyed MERGE — the feed
+    * since the baseline must replay every row-level change with its
+    * type and version: the append's inserts, the tombstone's deletes
+    * (at the pre-delete image), and the merge's update pre/post
+    * pairs. Cost per commit is its affected dirs, never the
+    * snapshot. */
+  private def txnlogCdf(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.TxnLog
+    val root = tmpArtifactRoot("txncdf", dir)
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val q = (docs.agg(max("doc_id")).head.getLong(0) + 1) / 2
+    buildLock(root) {
+      if (TxnLog.latestVersion(spark, root) < 3L) {
+        TxnLog.overwrite(docs.filter(col("doc_id") < q), root, Some("c0"))
+        TxnLog.append(docs.filter(col("doc_id") >= q), root, Some("c1"))
+        TxnLog.deleteMor(spark, root, col("doc_id") % 10 === 4, Some("c2"))
+        TxnLog.merge(docs.filter(col("doc_id") % 10 === 0)
+          .withColumn("n_chars", col("n_chars") + 1000L),
+          root, Seq("doc_id"), Some("c3")); ()
+      }
+    }
+    TxnLog.changeFeed(spark, root, 0L, keyCols = Seq("doc_id"))
+      .select("_commit_version", "_change_type", "doc_id", "source", "n_chars")
+  }
+
   /** Row provenance under the oracle
     * ([[graft.sources.TxnLog.readWithLineage]]): over the shared
     * four-quartile table, every row must name the commit that loaded
@@ -3331,6 +3359,7 @@ object SparkEntry {
     "txnlog_bloom" -> (txnlogBloom(_, _)),
     "txnlog_lineage" -> (txnlogLineage(_, _)),
     "cluster_advice" -> (clusterAdviceQ(_, _)),
+    "txnlog_cdf" -> (txnlogCdf(_, _)),
     // metadata-only COUNT from the manifest row counts vs the scan:
     // zero files opened on the fast path, require proves it fired
     "txnlog_fastcount" -> ((s, d) => {
@@ -7183,6 +7212,22 @@ object SparkEntry {
         |WHERE doc_id BETWEEN (SELECT q // 2 FROM m)
         |                 AND (SELECT 2 * q + q // 2 FROM m)
         |  AND n_chars BETWEEN 100 AND 300""".stripMargin,
+    // the change feed replays as its known slices: append inserts,
+    // tombstone deletes (pre-delete image), merge update pairs
+    "txnlog_cdf" ->
+      """WITH m AS (SELECT (MAX(doc_id) + 1) // 2 AS q FROM documents)
+        |SELECT CAST(1 AS BIGINT) AS _commit_version, 'insert' AS _change_type,
+        |  doc_id, source, n_chars
+        |FROM documents WHERE doc_id >= (SELECT q FROM m)
+        |UNION ALL
+        |SELECT 2, 'delete', doc_id, source, n_chars
+        |FROM documents WHERE doc_id % 10 = 4
+        |UNION ALL
+        |SELECT 3, 'update_preimage', doc_id, source, n_chars
+        |FROM documents WHERE doc_id % 10 = 0
+        |UNION ALL
+        |SELECT 3, 'update_postimage', doc_id, source, n_chars + 1000
+        |FROM documents WHERE doc_id % 10 = 0""".stripMargin,
     // the advisor's keep-fraction arithmetic replayed from the
     // quartile slicing: doc_id healthy, n_chars scattered
     "cluster_advice" ->

@@ -1159,6 +1159,101 @@ object TxnLog {
     else spark.read.parquet(newDirs.map(d => s"$root/data/$d"): _*)
   }
 
+  /** Row-level CHANGE DATA FEED — the Delta CDF / Iceberg changelog
+    * shape, extending [[changesSince]] (inserts only, refuses on any
+    * rewrite) to the row-changing commits: every commit strictly
+    * after `sinceVersion` contributes rows tagged `_change_type` and
+    * `_commit_version`:
+    *
+    *  - `append` → its added directory's rows as `insert` (O(delta) —
+    *    no old data touched);
+    *  - `delete_mor` → the covered dirs' rows matching the new
+    *    tombstone predicate, AT THE PRIOR VERSION, as `delete`
+    *    (reads only covered dirs);
+    *  - `replace` (copy-on-write delete/merge) → the affected old
+    *    dirs diffed against the rewrite dir: without `keyCols`, as
+    *    `delete` + `insert` (exceptAll both ways — multiset-exact);
+    *    with `keyCols`, rows sharing a key on both sides pair into
+    *    `update_preimage`/`update_postimage` and only keyless
+    *    residue stays delete/insert;
+    *  - `set_check`/`drop_check` → skipped (metadata-only);
+    *  - `overwrite`/`restore` → REFUSED loudly, like
+    *    [[changesSince]]: the visible set was wholesale re-pointed,
+    *    so a row-level delta would be a full-table delete+insert
+    *    that says nothing — re-baseline.
+    *
+    * Cost is bounded by the AFFECTED directories of each commit in
+    * the range, never the snapshot — the property that makes a CDC
+    * downstream (cache invalidation, search-index maintenance,
+    * audit) affordable on a 100 TB table. Deterministic: the same
+    * range always yields the same multiset. */
+  def changeFeed(spark: SparkSession, root: String, sinceVersion: Long,
+                 keyCols: Seq[String] = Nil): DataFrame = {
+    val commits = history(spark, root)
+    require(commits.nonEmpty, s"TxnLog table at $root is empty")
+    val latest = commits.last.version
+    require(sinceVersion <= latest,
+      s"TxnLog: sinceVersion $sinceVersion is ahead of latest $latest at $root")
+    require(sinceVersion == -1L || commits.exists(_.version == sinceVersion),
+      s"TxnLog: version $sinceVersion does not exist at $root (vacuumed?) — re-baseline")
+    val delta = commits.filter(_.version > sinceVersion)
+    val refused = delta.filter(c => c.action == "overwrite" || c.action == "restore")
+      .filterNot(c => sinceVersion == -1L && c.version == commits.head.version)
+    require(refused.isEmpty,
+      s"TxnLog: rewrite commit(s) ${refused.map(c => s"v${c.version}:${c.action}").mkString(", ")} " +
+        s"after version $sinceVersion at $root — no row-level delta exists; re-baseline from read()")
+    def tag(df: DataFrame, tpe: String, v: Long): DataFrame =
+      df.withColumn("_change_type", lit(tpe)).withColumn("_commit_version", lit(v))
+    val feeds = delta.flatMap { c =>
+      val prior = snapshotAt(commits, c.version - 1)
+      val priorDvs = commits.filter(_.version < c.version).lastOption
+        .map(_.dvs).getOrElse(Seq.empty)
+      c.action match {
+        case "append" | "overwrite" | "restore" => // overwrite/restore only as the -1 baseline
+          val added = c.dirs.filterNot(prior.toSet)
+          if (added.isEmpty) None
+          else Some(tag(added.map(d => dirFrame(spark, root, d, c.dvs))
+            .reduce(_.unionByName(_, allowMissingColumns = true)), "insert", c.version))
+        case "delete_mor" =>
+          val dv = c.dvs.last // the commit's own new tombstone
+          val covered = dv.dirs.map(d => dirFrame(spark, root, d, priorDvs))
+            .reduce(_.unionByName(_, allowMissingColumns = true))
+          Some(tag(covered.filter(
+            org.apache.spark.sql.functions.expr(dv.pred) === lit(true)),
+            "delete", c.version))
+        case "replace" =>
+          val affected = prior.filterNot(c.dirs.toSet)
+          val newDirs = c.dirs.filterNot(prior.toSet)
+          val old = affected.map(d => dirFrame(spark, root, d, priorDvs))
+            .reduce(_.unionByName(_, allowMissingColumns = true))
+          val neu =
+            if (newDirs.isEmpty) old.limit(0)
+            else newDirs.map(d => dirFrame(spark, root, d, c.dvs))
+              .reduce(_.unionByName(_, allowMissingColumns = true))
+          val deleted = old.exceptAll(neu.select(old.columns.map(col): _*))
+          val inserted = neu.exceptAll(old.select(neu.columns.map(col): _*))
+          if (keyCols.isEmpty)
+            Some(tag(deleted, "delete", c.version)
+              .unionByName(tag(inserted, "insert", c.version)))
+          else {
+            val delKeys = deleted.select(keyCols.map(col): _*)
+            val insKeys = inserted.select(keyCols.map(col): _*)
+            val both = delKeys.intersect(insKeys)
+            Some(tag(deleted.join(both, keyCols, "left_semi"), "update_preimage", c.version)
+              .unionByName(tag(inserted.join(both, keyCols, "left_semi"), "update_postimage", c.version))
+              .unionByName(tag(deleted.join(both, keyCols, "left_anti"), "delete", c.version))
+              .unionByName(tag(inserted.join(both, keyCols, "left_anti"), "insert", c.version)))
+          }
+        case _ => None // set_check / drop_check: metadata-only
+      }
+    }
+    require(feeds.nonEmpty || delta.forall(c =>
+      c.action == "set_check" || c.action == "drop_check"),
+      s"TxnLog: no change feed in ($sinceVersion, $latest] at $root")
+    feeds.reduceOption(_.unionByName(_, allowMissingColumns = true))
+      .getOrElse(tag(read(spark, root).limit(0), "insert", latest))
+  }
+
   // ----------------------------------------------------------------
   // internals
   // ----------------------------------------------------------------

@@ -1013,6 +1013,42 @@ class TxnLogSpec extends SparkSpec {
     assert(TxnLog.latestVersion(spark, root) == 0L, "refusals publish nothing")
   }
 
+  test("changeFeed: inserts, MoR deletes, and keyed update pairs per commit; rewrites refused; O(affected dirs)") {
+    import org.apache.spark.sql.functions.col
+    val root = Files.createTempDirectory("graft_txn").toString + "/t"
+    TxnLog.overwrite((0L until 10L).map(i => (i, i * 10L)).toDF("id", "v"), root) // v0
+    TxnLog.append((10L until 15L).map(i => (i, i * 10L)).toDF("id", "v"), root)  // v1
+    TxnLog.deleteMor(spark, root, col("id") === 3L)                              // v2
+    TxnLog.merge(Seq((4L, 999L), (20L, 200L)).toDF("id", "v"), root, Seq("id")) // v3
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("_commit_version", "_change_type", "id", "v").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    // since v0: the append's inserts, the MoR delete, the merge's
+    // keyed update pair + pure insert
+    val feed = rows(TxnLog.changeFeed(spark, root, 0L, keyCols = Seq("id")))
+    val wantInserts = (10L until 15L).map(i => (1L, "insert", i, i * 10L)).toSet
+    assert(feed == wantInserts ++ Set(
+      (2L, "delete", 3L, 30L),
+      (3L, "update_preimage", 4L, 40L),
+      (3L, "update_postimage", 4L, 999L),
+      (3L, "insert", 20L, 200L)))
+    // without keys the update pair degrades to delete + insert
+    val flat = rows(TxnLog.changeFeed(spark, root, 2L))
+    assert(flat == Set((3L, "delete", 4L, 40L), (3L, "insert", 4L, 999L),
+      (3L, "insert", 20L, 200L)))
+    // since = -1 includes the baseline overwrite as inserts
+    val full = rows(TxnLog.changeFeed(spark, root, -1L, keyCols = Seq("id")))
+    assert(full.count(_._2 == "insert") == 10 + 5 + 1)
+    // a rewrite inside the range refuses loudly
+    TxnLog.compact(spark, root)
+    intercept[IllegalArgumentException] {
+      TxnLog.changeFeed(spark, root, 0L)
+    }
+    // ...but a feed window entirely after it is fine again
+    TxnLog.append(Seq((30L, 300L)).toDF("id", "v"), root)
+    assert(rows(TxnLog.changeFeed(spark, root, 4L)) == Set((5L, "insert", 30L, 300L)))
+  }
+
   test("merge rejects ambiguous sources and schema drift") {
     val root = Files.createTempDirectory("graft_txn").toString + "/t"
     TxnLog.overwrite(Seq((1L, "a")).toDF("id", "s"), root)

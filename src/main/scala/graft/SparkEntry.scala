@@ -2677,7 +2677,7 @@ object SparkEntry {
     * (at the pre-delete image), and the merge's update pre/post
     * pairs. Cost per commit is its affected dirs, never the
     * snapshot. */
-  private def txnlogCdf(spark: SparkSession, dir: String): DataFrame = {
+  private def ensureTxnCdfTable(spark: SparkSession, dir: String): String = {
     import graft.sources.TxnLog
     val root = tmpArtifactRoot("txncdf", dir)
     val docs = Tables.documents(spark, dir)
@@ -2693,8 +2693,30 @@ object SparkEntry {
           root, Seq("doc_id"), Some("c3")); ()
       }
     }
-    TxnLog.changeFeed(spark, root, 0L, keyCols = Seq("doc_id"))
+    root
+  }
+
+  private def txnlogCdf(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.TxnLog.changeFeed(spark, ensureTxnCdfTable(spark, dir), 0L,
+        keyCols = Seq("doc_id"))
       .select("_commit_version", "_change_type", "doc_id", "source", "n_chars")
+
+  /** CDC replication under the oracle
+    * ([[graft.sources.TxnLog.replicate]]): a replica follows the CDF
+    * fixture's full history — seed, append, merge-on-read erasure,
+    * keyed merge — through the change feed alone (never a source
+    * snapshot copy), and must then READ identical to the source's
+    * final state, which the oracle states directly on `documents`.
+    * Re-runs no-op via per-source-commit txnIds, so the racing
+    * Verify-thread discipline holds by the same protocol. */
+  private def txnlogReplica(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.TxnLog
+    val src = ensureTxnCdfTable(spark, dir)
+    val dst = tmpArtifactRoot("txnreplica", dir)
+    buildLock(dst) {
+      TxnLog.replicate(spark, src, dst, -1L, Seq("doc_id")); ()
+    }
+    TxnLog.read(spark, dst).select("doc_id", "source", "n_chars")
   }
 
   /** Row provenance under the oracle
@@ -3360,6 +3382,7 @@ object SparkEntry {
     "txnlog_lineage" -> (txnlogLineage(_, _)),
     "cluster_advice" -> (clusterAdviceQ(_, _)),
     "txnlog_cdf" -> (txnlogCdf(_, _)),
+    "txnlog_replica" -> (txnlogReplica(_, _)),
     // metadata-only COUNT from the manifest row counts vs the scan:
     // zero files opened on the fast path, require proves it fired
     "txnlog_fastcount" -> ((s, d) => {
@@ -7212,6 +7235,12 @@ object SparkEntry {
         |WHERE doc_id BETWEEN (SELECT q // 2 FROM m)
         |                 AND (SELECT 2 * q + q // 2 FROM m)
         |  AND n_chars BETWEEN 100 AND 300""".stripMargin,
+    // a replica maintained purely from the change feed reads
+    // identical to the source's final state
+    "txnlog_replica" ->
+      """SELECT doc_id, source,
+        |  CASE WHEN doc_id % 10 = 0 THEN n_chars + 1000 ELSE n_chars END AS n_chars
+        |FROM documents WHERE doc_id % 10 <> 4""".stripMargin,
     // the change feed replays as its known slices: append inserts,
     // tombstone deletes (pre-delete image), merge update pairs
     "txnlog_cdf" ->

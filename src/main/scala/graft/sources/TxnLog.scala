@@ -1188,15 +1188,18 @@ object TxnLog {
     * audit) affordable on a 100 TB table. Deterministic: the same
     * range always yields the same multiset. */
   def changeFeed(spark: SparkSession, root: String, sinceVersion: Long,
-                 keyCols: Seq[String] = Nil): DataFrame = {
+                 keyCols: Seq[String] = Nil,
+                 untilVersion: Option[Long] = None): DataFrame = {
     val commits = history(spark, root)
     require(commits.nonEmpty, s"TxnLog table at $root is empty")
-    val latest = commits.last.version
+    val latest = untilVersion.getOrElse(commits.last.version)
+    require(untilVersion.forall(commits.map(_.version).contains),
+      s"TxnLog: untilVersion $untilVersion does not exist at $root")
     require(sinceVersion <= latest,
-      s"TxnLog: sinceVersion $sinceVersion is ahead of latest $latest at $root")
+      s"TxnLog: sinceVersion $sinceVersion is ahead of $latest at $root")
     require(sinceVersion == -1L || commits.exists(_.version == sinceVersion),
       s"TxnLog: version $sinceVersion does not exist at $root (vacuumed?) — re-baseline")
-    val delta = commits.filter(_.version > sinceVersion)
+    val delta = commits.filter(c => c.version > sinceVersion && c.version <= latest)
     val refused = delta.filter(c => c.action == "overwrite" || c.action == "restore")
       .filterNot(c => sinceVersion == -1L && c.version == commits.head.version)
     require(refused.isEmpty,
@@ -1252,6 +1255,78 @@ object TxnLog {
       s"TxnLog: no change feed in ($sinceVersion, $latest] at $root")
     feeds.reduceOption(_.unionByName(_, allowMissingColumns = true))
       .getOrElse(tag(read(spark, root).limit(0), "insert", latest))
+  }
+
+  /** Incremental cross-table replication — [[changeFeed]]'s consumer
+    * half, closing produce→apply the way `foreachBatchUpsert` closes
+    * streaming CDC: apply every change in `(sinceVersion, latest]` of
+    * `sourceRoot` to the replica at `targetRoot`, one source commit at
+    * a time so the replica's history mirrors the source's semantics
+    * (appends apply as appends — lineage-preserving for the replica's
+    * OWN downstream consumers; deletes as key deletes; updates as
+    * keyed merges). Each applied commit carries txnId
+    * `repl-<source fingerprint>-v<version>`, so a crashed-and-retried
+    * replication run re-applies nothing — exactly-once per source
+    * commit by construction.
+    *
+    * Returns the new high-water mark (the source version the replica
+    * now reflects); feed it back as the next call's `sinceVersion`.
+    * Cost per cycle is the source's affected dirs plus the replica's
+    * rewritten dirs — never either snapshot. The replica must be
+    * seeded (e.g. a full copy at `sinceVersion`); key columns must
+    * identify rows uniquely on both sides, and a source rewrite
+    * (overwrite/restore) fails the feed loudly — re-seed the replica,
+    * exactly the [[changesSince]] re-baseline contract. */
+  def replicate(spark: SparkSession, sourceRoot: String, targetRoot: String,
+                sinceVersion: Long, keyCols: Seq[String]): Long = {
+    require(keyCols.nonEmpty, "replicate: need key columns")
+    val commits = history(spark, sourceRoot)
+    require(commits.nonEmpty, s"TxnLog table at $sourceRoot is empty")
+    val latest = commits.last.version
+    val srcTag = Integer.toHexString(sourceRoot.hashCode)
+    commits.filter(_.version > sinceVersion).foreach { c =>
+      val txn = Some(s"repl-$srcTag-v${c.version}")
+      c.action match {
+        case "set_check" | "drop_check" => // metadata-only: nothing to apply
+        case _ =>
+          val feed = changeFeed(spark, sourceRoot,
+            math.max(c.version - 1, -1L), keyCols, untilVersion = Some(c.version))
+          val payload = feed.drop("_change_type", "_commit_version")
+          c.action match {
+            case "overwrite" =>
+              // reachable only as the feed's since=-1 baseline (any
+              // later rewrite was refused by changeFeed above): the
+              // replica seeds itself from the baseline inserts
+              overwrite(payload, targetRoot, txn); ()
+            case "append" =>
+              append(payload, targetRoot, txn); ()
+            case "delete_mor" =>
+              val keys = feed.filter(col("_change_type") === "delete")
+                .select(keyCols.map(col): _*).distinct()
+                .collect() // bounded by the erasure batch, the RTBF regime
+              if (keys.nonEmpty) {
+                val pred = keys.map(r => keyCols.zipWithIndex.map { case (k, i) =>
+                  col(k) === lit(r.get(i)) }.reduce(_ && _)).reduce(_ || _)
+                deleteMor(spark, targetRoot, pred, txn); ()
+              }
+            case "replace" =>
+              val dels = feed.filter(col("_change_type") === "delete")
+                .select(keyCols.map(col): _*).distinct().collect()
+              if (dels.nonEmpty) {
+                val pred = dels.map(r => keyCols.zipWithIndex.map { case (k, i) =>
+                  col(k) === lit(r.get(i)) }.reduce(_ && _)).reduce(_ || _)
+                delete(spark, targetRoot, pred, txn.map(_ + "-d")); ()
+              }
+              val ups = feed.filter(col("_change_type").isin("update_postimage", "insert"))
+                .drop("_change_type", "_commit_version")
+              if (!ups.isEmpty) { merge(ups, targetRoot, keyCols, txn.map(_ + "-u")); () }
+            case other =>
+              throw new IllegalStateException(
+                s"TxnLog.replicate: unexpected action '$other' at v${c.version} of $sourceRoot")
+          }
+      }
+    }
+    latest
   }
 
   // ----------------------------------------------------------------

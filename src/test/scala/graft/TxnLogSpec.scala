@@ -1049,6 +1049,33 @@ class TxnLogSpec extends SparkSpec {
     assert(rows(TxnLog.changeFeed(spark, root, 4L)) == Set((5L, "insert", 30L, 300L)))
   }
 
+  test("replicate: a replica follows seed, appends, erasures, and merges exactly-once; incremental cost; idempotent retries") {
+    import org.apache.spark.sql.functions.col
+    val base = Files.createTempDirectory("graft_txn").toString
+    val src = s"$base/src"; val dst = s"$base/dst"
+    TxnLog.overwrite((0L until 10L).map(i => (i, i * 10L)).toDF("id", "v"), src)  // v0
+    TxnLog.append((10L until 15L).map(i => (i, i * 10L)).toDF("id", "v"), src)   // v1
+    TxnLog.deleteMor(spark, src, col("id") === 3L)                               // v2
+    TxnLog.merge(Seq((4L, 999L), (20L, 200L)).toDF("id", "v"), src, Seq("id"))  // v3
+    def content(root: String) = TxnLog.read(spark, root)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hwm = TxnLog.replicate(spark, src, dst, -1L, Seq("id"))
+    assert(hwm == 3L && content(dst) == content(src))
+    // a crashed-and-retried full run re-applies nothing
+    val vDst = TxnLog.latestVersion(spark, dst)
+    assert(TxnLog.replicate(spark, src, dst, -1L, Seq("id")) == 3L)
+    assert(TxnLog.latestVersion(spark, dst) == vDst)
+    // the next cycle applies only the delta past the watermark
+    TxnLog.append(Seq((30L, 300L)).toDF("id", "v"), src)                         // v4
+    TxnLog.deleteMor(spark, src, col("id") === 0L)                              // v5
+    val hwm2 = TxnLog.replicate(spark, src, dst, hwm, Seq("id"))
+    assert(hwm2 == 5L && content(dst) == content(src))
+    assert(TxnLog.latestVersion(spark, dst) == vDst + 2,
+      "exactly one replica commit per applied source commit")
+    // the replica's own append lineage survived the append commits
+    assert(TxnLog.versions(spark, dst).count(_._2 == "append") >= 2)
+  }
+
   test("merge rejects ambiguous sources and schema drift") {
     val root = Files.createTempDirectory("graft_txn").toString + "/t"
     TxnLog.overwrite(Seq((1L, "a")).toDF("id", "s"), root)

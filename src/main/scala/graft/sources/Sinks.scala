@@ -39,6 +39,36 @@ object Sinks {
     withBloom.parquet(path)
   }
 
+  /** Size-targeted parquet write — the "optimize write" shape: the
+    * output file count is chosen FROM THE DATA so a 100 TB job never
+    * writes ten thousand 2 MB files (small-file debt) or five 200 GB
+    * ones (no read parallelism). The frame's in-memory size is
+    * estimated from the optimized plan's statistics (Catalyst's
+    * sizeInBytes — free, no extra pass), discounted by
+    * `compressionRatio` for the on-disk parquet size, and the write
+    * repartitions to `ceil(bytes / targetBytes)` files. Returns the
+    * file count chosen. A plan without usable stats (sizeInBytes
+    * unknown ⇒ a huge default) is clamped to `maxFiles` — wrong
+    * sizing costs layout, never data. `compressionRatio` defaults to
+    * 1 because FILE-backed plans already report on-disk (compressed)
+    * bytes; raise it when the frame's lineage starts from in-memory
+    * relations, whose stats are uncompressed row estimates. */
+  def sizedParquet(df: DataFrame, path: String,
+                   targetBytes: Long = 128L * 1024 * 1024,
+                   compressionRatio: Int = 1,
+                   maxFiles: Int = 4096,
+                   compression: String = "snappy"): Int = {
+    require(targetBytes > 0 && compressionRatio >= 1 && maxFiles >= 1,
+      s"bad sizing: target=$targetBytes ratio=$compressionRatio max=$maxFiles")
+    val planBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val onDisk = planBytes / compressionRatio
+    val n = ((onDisk + targetBytes - 1) / targetBytes)
+      .min(BigInt(maxFiles)).max(BigInt(1)).toInt
+    df.repartition(n).write.mode(SaveMode.Overwrite)
+      .option("compression", compression).parquet(path)
+    n
+  }
+
   /** Partitioned lake write — the batch twin of the streaming sink's
     * `partitionBy(date_partition)` layout, giving readers directory
     * pruning (reference: streaming_to_minio_fixed.py:75). */

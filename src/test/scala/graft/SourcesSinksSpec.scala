@@ -272,6 +272,28 @@ class SourcesSinksSpec extends SparkSpec {
     assert(back.filter($"bucket" === 1).count() == 100)
   }
 
+  test("sizedParquet picks the file count from plan stats and clamps the statless default") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("sized").toString
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.01")
+    // ~500 docs of ~500 chars ≈ sub-MB: one file at the default target
+    val n1 = Sinks.sizedParquet(docs, s"$dir/one")
+    assert(n1 == 1)
+    def files(p: String) = new java.io.File(p).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(files(s"$dir/one") == 1)
+    // a tiny target forces a multi-file layout scaled to the data
+    val n2 = Sinks.sizedParquet(docs, s"$dir/many", targetBytes = 16 * 1024)
+    assert(n2 > 1 && files(s"$dir/many") == n2)
+    // maxFiles clamps runaway estimates (statless plans default huge)
+    val n3 = Sinks.sizedParquet(docs, s"$dir/clamped", targetBytes = 1L,
+      maxFiles = 8)
+    assert(n3 == 8 && files(s"$dir/clamped") == 8)
+    // content survives every layout
+    assert(spark.read.parquet(s"$dir/many").count() == docs.count())
+    assert(spark.read.parquet(s"$dir/many").filter(col("doc_id") === 7L).count() == 1)
+  }
+
   test("compact refuses directories owned by a streaming file sink") {
     val dir = Files.createTempDirectory("graft_cmeta").toString + "/sink"
     Seq(1, 2).toDF("x").write.parquet(dir)

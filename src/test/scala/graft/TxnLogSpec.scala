@@ -1076,6 +1076,30 @@ class TxnLogSpec extends SparkSpec {
     assert(TxnLog.versions(spark, dst).count(_._2 == "append") >= 2)
   }
 
+  test("partition-layout evolution: a table may switch partitioning mid-history; reads reconcile per dir") {
+    import org.apache.spark.sql.functions.col
+    val root = Files.createTempDirectory("graft_txn").toString + "/t"
+    // commit 0 flat, commit 1 Hive-partitioned by lang, commit 2 flat
+    // again — the Iceberg partition-evolution shape: each dir keeps
+    // its own physical layout, the read reconciles by NAME (the
+    // partitioned dir's files store lang in the dir name; inference
+    // restores it as a column)
+    TxnLog.overwrite(Seq((1L, "en", 10L), (2L, "fr", 20L)).toDF("id", "lang", "v"), root)
+    TxnLog.append(Seq((3L, "en", 30L), (4L, "de", 40L)).toDF("id", "lang", "v"), root,
+      partitionBy = Seq("lang"))
+    TxnLog.append(Seq((5L, "fr", 50L)).toDF("id", "lang", "v"), root)
+    val snap = TxnLog.read(spark, root)
+    assert(snap.columns.toSet == Set("id", "lang", "v"))
+    assert(snap.collect().map(r => (r.getLong(r.fieldIndex("id")),
+      r.getString(r.fieldIndex("lang")))).toSet ==
+      Set((1L, "en"), (2L, "fr"), (3L, "en"), (4L, "de"), (5L, "fr")))
+    // lang predicates still prune the partitioned dir's subdirs and
+    // simply filter the flat dirs
+    assert(snap.filter(col("lang") === "en").count() == 2)
+    // a version pinned inside the history sees its own layouts only
+    assert(TxnLog.read(spark, root, asOf = Some(1L)).count() == 4)
+  }
+
   test("merge rejects ambiguous sources and schema drift") {
     val root = Files.createTempDirectory("graft_txn").toString + "/t"
     TxnLog.overwrite(Seq((1L, "a")).toDF("id", "s"), root)

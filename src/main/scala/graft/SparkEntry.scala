@@ -1692,27 +1692,40 @@ object SparkEntry {
     * WITH-body shared by the `bm25_search`/`bm25_indexed` oracles
     * (full corpus), the lexical leg of `hybrid_search`, and
     * `bm25_deleted` (post-erasure corpus). */
-  private def bm25CtesFor(docsSrc: String): String = {
+  private def bm25CtesFor(docsSrc: String, conjunctive: Boolean = false): String = {
     def ts(t: String) =
       s"""(CASE WHEN tf_$t > 0 THEN
          |    CAST(44 * tf_$t * t * (n + 1) AS DOUBLE)
          |    / CAST((df_$t + 1) * (20 * t * tf_$t + 6 * t + 18 * dl * n) AS DOUBLE)
          |    ELSE 0.0 END)""".stripMargin
+    // OR semantics: df per term over the >=1-term universe (from tf);
+    // AND semantics: only all-term docs compete, df self-consistently
+    // over that set (where every per-term df = the set's size)
+    val doctfTail =
+      if (conjunctive) " WHERE tf_spark > 0 AND tf_merge > 0 AND tf_window > 0"
+      else ""
+    val dfsSql =
+      if (conjunctive)
+        """SELECT count(*) AS df_spark, count(*) AS df_merge,
+          |    count(*) AS df_window FROM doctf""".stripMargin
+      else
+        """SELECT
+          |    count(*) FILTER (term = 'spark') AS df_spark,
+          |    count(*) FILTER (term = 'merge') AS df_merge,
+          |    count(*) FILTER (term = 'window') AS df_window
+          |  FROM tf""".stripMargin
     s"""posting AS (
        |  SELECT doc_id, term FROM (
        |    SELECT doc_id, unnest($toksSql) AS term FROM $docsSrc)
        |  WHERE term IN ('spark', 'merge', 'window')),
        |tf AS (SELECT doc_id, term, count(*) AS tf FROM posting GROUP BY 1, 2),
-       |dfs AS (SELECT
-       |    count(*) FILTER (term = 'spark') AS df_spark,
-       |    count(*) FILTER (term = 'merge') AS df_merge,
-       |    count(*) FILTER (term = 'window') AS df_window
-       |  FROM tf),
-       |doctf AS (SELECT doc_id,
+       |doctf0 AS (SELECT doc_id,
        |    CAST(coalesce(sum(tf) FILTER (term = 'spark'), 0) AS BIGINT) AS tf_spark,
        |    CAST(coalesce(sum(tf) FILTER (term = 'merge'), 0) AS BIGINT) AS tf_merge,
        |    CAST(coalesce(sum(tf) FILTER (term = 'window'), 0) AS BIGINT) AS tf_window
        |  FROM tf GROUP BY 1),
+       |doctf AS (SELECT * FROM doctf0$doctfTail),
+       |dfs AS ($dfsSql),
        |dls AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS dl FROM $docsSrc),
        |st AS (SELECT count(*) AS n, CAST(SUM(dl) AS BIGINT) AS t FROM dls),
        |scored AS (SELECT d.doc_id, l.dl, d.tf_spark, d.tf_merge, d.tf_window,
@@ -3951,6 +3964,12 @@ object SparkEntry {
     "bm25_search" -> ((s, d) =>
       TextFunctions.bm25Search(Tables.documents(s, d),
         Seq("spark", "merge", "window"), k = 20)),
+    // AND-semantics retrieval: only docs holding EVERY term compete,
+    // df self-consistently over that set — the strict-match search
+    // mode next to bm25_search's OR ranking
+    "bm25_conjunctive" -> ((s, d) =>
+      TextFunctions.bm25Search(Tables.documents(s, d),
+        Seq("spark", "merge", "window"), k = 20, requireAll = true)),
     // persisted postings index serving the same query: must be
     // bit-identical to the ad-hoc scan (shared scoring tail, additive
     // incremental build) — the same oracle checks both
@@ -4290,6 +4309,30 @@ object SparkEntry {
     // valued sums are exact (order-independent below 2^53), so the
     // mergeable (n, sums) form hash-compares across engines where a
     // float mean would be summation-order noise
+    // embedding-distribution drift monitor: per label stratum, the
+    // cosine between the mean vector of the even-id half-snapshot and
+    // the full corpus (counts cancel — cos of sums IS cos of means).
+    // Element sums of float32 values in double are EXACT below 2^29
+    // addends, so the sums are order-stable across engines; the final
+    // cosine folds in index order (the sim_topk discipline). ~1.0 per
+    // stratum = the re-embed/new-batch pipeline didn't move the
+    // distribution; a dipping stratum names where to look.
+    "embed_drift" -> ((s, d) => {
+      val e = Tables.embeddings(s, d).select("vec_id", "label", "embedding")
+      val a = Similarity.poolEmbeddings(e.filter(col("vec_id") % 2 === 0), "label")
+        .select(col("group_id"), col("n_vectors").as("n_a"), col("sum_emb").as("sa"))
+      val b = Similarity.poolEmbeddings(e, "label")
+        .select(col("group_id"), col("n_vectors").as("n_b"), col("sum_emb").as("sb"))
+      // double-array dot via the ordered HOF fold (the native float
+      // dot expression wants float inputs; the pooled sums are double)
+      def ddot(x: Column, y: Column): Column =
+        aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, e) => acc + e)
+      a.join(b, Seq("group_id"))
+        .select(col("group_id").as("label"), col("n_a"), col("n_b"),
+          round(ddot(col("sa"), col("sb")) /
+            (sqrt(ddot(col("sa"), col("sa"))) * sqrt(ddot(col("sb"), col("sb")))), 9)
+            .as("cos_means"))
+    }),
     "embed_pool" -> ((s, d) => {
       val q = Similarity.quantizeInt8(Tables.embeddings(s, d).select("vec_id", "embedding"))
         .select((col("vec_id") % 25).as("grp"), col("q").as("embedding"))
@@ -5523,6 +5566,14 @@ object SparkEntry {
     // fixed-order double expression (same association both engines)
     "bm25_search" ->
       s"""WITH $bm25CtesSql
+         |SELECT doc_id, dl, tf_spark, tf_merge, tf_window,
+         |  round(score_raw, 9) AS score
+         |FROM scored WHERE score_raw > 0
+         |ORDER BY score_raw DESC, doc_id ASC LIMIT 20""".stripMargin,
+    // AND-retrieval: the same scoring chain over only the all-term
+    // docs, df self-consistently the competing set's size
+    "bm25_conjunctive" ->
+      s"""WITH ${bm25CtesFor("documents", conjunctive = true)}
          |SELECT doc_id, dl, tf_spark, tf_merge, tf_window,
          |  round(score_raw, 9) AS score
          |FROM scored WHERE score_raw > 0
@@ -7502,6 +7553,27 @@ object SparkEntry {
         |FROM q""".stripMargin,
     // chunk→doc pooling of the quantized embeddings: same quantization
     // replay as embed_quantize, then per-(group, position) integer sums
+    // drift replay: exact per-(label, pos) float32-in-double sums,
+    // cosine folded in index order on both engines
+    "embed_drift" ->
+      """WITH pos AS (
+        |  SELECT label, CAST(r.i AS INT) AS i,
+        |    SUM(CAST(embedding[CAST(r.i AS INT)] AS DOUBLE))
+        |      FILTER (vec_id % 2 = 0) AS sa,
+        |    SUM(CAST(embedding[CAST(r.i AS INT)] AS DOUBLE)) AS sb
+        |  FROM embeddings, range(1, 65) r(i) GROUP BY 1, 2),
+        |cnt AS (SELECT label,
+        |    CAST(count(*) FILTER (vec_id % 2 = 0) AS BIGINT) AS n_a,
+        |    CAST(count(*) AS BIGINT) AS n_b
+        |  FROM embeddings GROUP BY 1),
+        |v AS (SELECT label, list(sa ORDER BY i) AS va, list(sb ORDER BY i) AS vb
+        |      FROM pos GROUP BY label)
+        |SELECT label, n_a, n_b,
+        |  round(list_sum(list_transform(range(1, 65), j -> va[j] * vb[j])) /
+        |    (sqrt(list_sum(list_transform(range(1, 65), j -> va[j] * va[j]))) *
+        |     sqrt(list_sum(list_transform(range(1, 65), j -> vb[j] * vb[j])))), 9) AS cos_means
+        |FROM v JOIN cnt USING (label)
+        |WHERE n_a > 0""".stripMargin,
     "embed_pool" ->
       """WITH s AS (
         |  SELECT vec_id, embedding,

@@ -837,15 +837,25 @@ object TextFunctions {
     * top-k is a TakeOrderedAndProject, not a global sort. */
   def bm25Search(docs: org.apache.spark.sql.DataFrame, terms: Seq[String],
                  k: Int = 20, textCol: String = "text",
-                 idCol: String = "doc_id"): org.apache.spark.sql.DataFrame = {
+                 idCol: String = "doc_id",
+                 requireAll: Boolean = false): org.apache.spark.sql.DataFrame = {
     require(terms.nonEmpty && terms.size <= 8, s"1..8 literal terms, got ${terms.size}")
     val posting = docs.select(col(idCol).as("doc_id"),
         explode(tokens(col(textCol))).as("term"))
       .filter(col("term").isin(terms: _*))
     val tf = posting.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val docTf = tf.groupBy("doc_id").pivot("term", terms).agg(first("tf"))
+    val docTf0 = tf.groupBy("doc_id").pivot("term", terms).agg(first("tf"))
       .select(col("doc_id") +:
         terms.map(t => coalesce(col(s"`$t`"), lit(0L)).as(s"__tf_$t")): _*)
+    // conjunctive (AND) retrieval: only docs containing EVERY term
+    // compete, and df is computed over that competing set — the
+    // self-consistent convention, replayable in SQL. The map-side
+    // filter lands before the join, so the AND query is strictly
+    // cheaper than the OR query, as it should be.
+    val docTf =
+      if (requireAll)
+        docTf0.filter(terms.map(t => col(s"__tf_$t") > 0).reduce(_ && _))
+      else docTf0
     val dl = docs.select(col(idCol).as("doc_id"),
       wsTokenCount(col(textCol)).as("dl"))
     val statsRow = dl.agg(count(lit(1)).as("__n"), sum(col("dl")).as("__t"))

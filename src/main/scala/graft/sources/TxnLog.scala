@@ -1535,6 +1535,102 @@ object TxnLog {
     if (counts.forall(_.isDefined)) Some(counts.flatten.sum) else None
   }
 
+  /** Metadata-only MIN/MAX — [[fastCount]]'s sibling for range
+    * endpoints: when every snapshot directory carries stats for
+    * `column`, the table's min/max are the extrema of the per-dir
+    * [min, max] — zero files opened. Honest by construction: any
+    * stat-blind dir returns None (scan instead), and ANY deletion
+    * vector returns None too — a tombstone may have erased exactly
+    * the extremal row, so the manifest's bounds are no longer tight.
+    * Returns (min, max) as the stats' string rendering with the
+    * column's recorded type ("long" values parse with `.toLong`). */
+  def fastMinMax(spark: SparkSession, root: String, column: String,
+                 asOf: Option[Long] = None): Option[(String, String)] = {
+    val manifest = manifestAt(spark, root, asOf)
+    val snap = manifest.map(_.dirs).getOrElse(Seq.empty)
+    if (snap.isEmpty) return None
+    if (manifest.exists(_.dvs.nonEmpty)) return None
+    val stats = manifest.map(_.stats).getOrElse(Map.empty)
+    val per = snap.map(d => stats.get(d).flatMap(_.get(column)))
+    if (per.exists(_.isEmpty)) return None
+    val cs = per.flatten
+    val tpe = cs.head.tpe
+    if (!cs.forall(_.tpe == tpe) || (tpe != "long" && tpe != "string")) return None
+    if (tpe == "long")
+      Some((cs.map(_.min.toLong).min.toString, cs.map(_.max.toLong).max.toString))
+    else
+      Some((cs.map(_.min).min, cs.map(_.max).max))
+  }
+
+  /** Named, immutable version refs — the Delta "version aliases" /
+    * Iceberg tags shape: `tag` pins a human name ("v2024-q3",
+    * "training-cut-7") to a version via one create-exclusive file
+    * under `_graft_tags/` (atomic; a second tag of the same name
+    * fails loudly — tags are immutable by design, delete-and-retag is
+    * an explicit two-step), and `readTag` resolves it through the
+    * same pin validation as `read(asOf)`, so a tag whose version was
+    * vacuumed fails loudly instead of serving different data. Tags
+    * are REFS only — they do not protect their version from `vacuum`
+    * (pin audit lives in `TxnCatalog.verifyRelease` for the
+    * cross-table case); `tags` lists (name, version). */
+  def tag(spark: SparkSession, root: String, name: String, version: Long): Unit = {
+    require(name.nonEmpty && !name.contains("/") && !name.contains(".."),
+      s"bad tag name '$name'")
+    val commits = history(spark, root)
+    require(commits.exists(_.version == version),
+      s"TxnLog: cannot tag version $version at $root (vacuumed or never written); " +
+        s"available: ${commits.map(_.version).mkString(",")}")
+    val fs = fileSystem(spark, root)
+    val p = new Path(s"$root/_graft_tags/$name")
+    fs.mkdirs(p.getParent)
+    val out = try fs.create(p, false)
+    catch { case _: java.io.IOException =>
+      throw new IllegalArgumentException(
+        s"TxnLog: tag '$name' already exists at $root — tags are immutable " +
+          "(untag first if the re-point is deliberate)")
+    }
+    try out.write(version.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Read the snapshot a tag names; fails loudly on unknown tags and
+    * on tags whose version has been vacuumed. */
+  def readTag(spark: SparkSession, root: String, name: String): DataFrame =
+    read(spark, root, Some(tagVersion(spark, root, name)))
+
+  /** Delete a tag (the explicit first half of a deliberate re-point). */
+  def untag(spark: SparkSession, root: String, name: String): Unit = {
+    val fs = fileSystem(spark, root)
+    require(fs.delete(new Path(s"$root/_graft_tags/$name"), false),
+      s"TxnLog: no tag '$name' at $root")
+  }
+
+  /** All tags as (name, version), name-sorted. */
+  def tags(spark: SparkSession, root: String): Seq[(String, Long)] = {
+    val fs = fileSystem(spark, root)
+    val dir = new Path(s"$root/_graft_tags")
+    if (!fs.exists(dir)) return Seq.empty
+    fs.listStatus(dir).toIndexedSeq.filter(_.isFile)
+      .map(st => st.getPath.getName -> readTagFile(fs, st.getPath))
+      .sortBy(_._1)
+  }
+
+  private def tagVersion(spark: SparkSession, root: String, name: String): Long = {
+    val fs = fileSystem(spark, root)
+    val p = new Path(s"$root/_graft_tags/$name")
+    require(fs.exists(p), s"TxnLog: no tag '$name' at $root; " +
+      s"tags: ${tags(spark, root).map(_._1).mkString(",")}")
+    readTagFile(fs, p)
+  }
+
+  private def readTagFile(fs: FileSystem, p: Path): Long = {
+    val in = fs.open(p)
+    try {
+      val buf = new Array[Byte](32)
+      val n = in.read(buf)
+      new String(buf, 0, math.max(n, 0), "UTF-8").trim.toLong
+    } finally in.close()
+  }
+
   /** Data-skipping read: `read(...).filter(column BETWEEN lo AND hi)`,
     * but commit directories whose manifest stats PROVE no row can
     * match are never opened — no footer reads, no file listings. The

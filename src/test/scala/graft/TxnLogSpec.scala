@@ -1100,6 +1100,39 @@ class TxnLogSpec extends SparkSpec {
     assert(TxnLog.read(spark, root, asOf = Some(1L)).count() == 4)
   }
 
+  test("tags: immutable named refs resolve through pin validation; fastMinMax is honest about gaps and tombstones") {
+    import org.apache.spark.sql.functions.col
+    val root = Files.createTempDirectory("graft_txn").toString + "/t"
+    TxnLog.overwrite((5L until 15L).map(i => (i, s"s$i")).toDF("id", "s"), root,
+      collectStats = true)
+    TxnLog.append((15L until 25L).map(i => (i, s"s$i")).toDF("id", "s"), root,
+      collectStats = true)
+    TxnLog.tag(spark, root, "cut-1", 0L)
+    assert(TxnLog.readTag(spark, root, "cut-1").count() == 10)
+    assert(TxnLog.tags(spark, root) == Seq("cut-1" -> 0L))
+    // immutable: re-tagging the same name fails; unknown tag fails
+    intercept[IllegalArgumentException] { TxnLog.tag(spark, root, "cut-1", 1L) }
+    intercept[IllegalArgumentException] { TxnLog.readTag(spark, root, "nope") }
+    intercept[IllegalArgumentException] { TxnLog.tag(spark, root, "future", 9L) }
+    // metadata min/max over the full-stats snapshot
+    assert(TxnLog.fastMinMax(spark, root, "id").contains(("5", "24")))
+    assert(TxnLog.fastMinMax(spark, root, "s").contains(("s10", "s9")))
+    assert(TxnLog.fastMinMax(spark, root, "nope").isEmpty)
+    // a tombstone may have erased the extremal row: refuse
+    TxnLog.deleteMor(spark, root, col("id") === 24L)
+    assert(TxnLog.fastMinMax(spark, root, "id").isEmpty)
+    // a stat-blind dir refuses too
+    TxnLog.compact(spark, root) // materializes the DV but writes statless
+    assert(TxnLog.fastMinMax(spark, root, "id").isEmpty)
+    // a vacuumed tag fails loudly at read, never serves other data
+    TxnLog.vacuum(spark, root, retainVersions = 1, orphanMinAgeMs = 0L)
+    intercept[IllegalArgumentException] { TxnLog.readTag(spark, root, "cut-1") }
+    // untag + retag is the explicit re-point
+    TxnLog.untag(spark, root, "cut-1")
+    TxnLog.tag(spark, root, "cut-1", TxnLog.latestVersion(spark, root))
+    assert(TxnLog.readTag(spark, root, "cut-1").count() == 19)
+  }
+
   test("merge rejects ambiguous sources and schema drift") {
     val root = Files.createTempDirectory("graft_txn").toString + "/t"
     TxnLog.overwrite(Seq((1L, "a")).toDF("id", "s"), root)

@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{coalesce, col, count, lit, not, when}
+import org.apache.spark.sql.functions.{coalesce, col, count, lit, not, struct, when}
 
 /** Minimal ACID-ish transaction log over plain parquet — the offline
   * stand-in for the Delta format gap (reference:
@@ -1301,20 +1301,27 @@ object TxnLog {
             case "append" =>
               append(payload, targetRoot, txn); ()
             case "delete_mor" =>
-              val keys = feed.filter(col("_change_type") === "delete")
-                .select(keyCols.map(col): _*).distinct()
-                .collect() // bounded by the erasure batch, the RTBF regime
-              if (keys.nonEmpty) {
-                val pred = keys.map(r => keyCols.zipWithIndex.map { case (k, i) =>
-                  col(k) === lit(r.get(i)) }.reduce(_ && _)).reduce(_ || _)
-                deleteMor(spark, targetRoot, pred, txn); ()
-              }
+              // replay the SOURCE's own tombstone predicate — the
+              // replica's content equals the source's pre-commit
+              // snapshot, so the same predicate erases the same rows;
+              // no key collect, no predicate-size blowup, and the
+              // replica's manifest carries the same compact SQL
+              deleteMor(spark, targetRoot,
+                org.apache.spark.sql.functions.expr(c.dvs.last.pred), txn); ()
             case "replace" =>
               val dels = feed.filter(col("_change_type") === "delete")
-                .select(keyCols.map(col): _*).distinct().collect()
+                .select(keyCols.map(col): _*).distinct()
+                .collect() // bounded by the rewrite's deleted-key count
               if (dels.nonEmpty) {
-                val pred = dels.map(r => keyCols.zipWithIndex.map { case (k, i) =>
-                  col(k) === lit(r.get(i)) }.reduce(_ && _)).reduce(_ || _)
+                // a flat IN list, never an OR chain — 10^4-key lists
+                // stay parseable where nested ors hit the parser's
+                // complexity limit (FAILED_TO_PARSE_TOO_COMPLEX)
+                val pred =
+                  if (keyCols.size == 1)
+                    col(keyCols.head).isin(dels.map(_.get(0)).toIndexedSeq: _*)
+                  else
+                    struct(keyCols.map(col): _*).isin(dels.map(r =>
+                      struct(keyCols.indices.map(i => lit(r.get(i))): _*)).toIndexedSeq: _*)
                 delete(spark, targetRoot, pred, txn.map(_ + "-d")); ()
               }
               val ups = feed.filter(col("_change_type").isin("update_postimage", "insert"))

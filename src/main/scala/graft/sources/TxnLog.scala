@@ -262,7 +262,10 @@ object TxnLog {
       fs.getContentSummary(new Path(s"$root/data/$d")).getLength).sum
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
     val expected = latestVersion(spark, root)
-    val current = read(spark, root)
+    // pinned to `expected`: with append-rebase conflict resolution, an
+    // append landing between an UNPINNED read and the publish would be
+    // counted twice (inside the rewrite AND as the rebased dir)
+    val current = read(spark, root, asOf = Some(expected))
     commit(current.coalesce(nFiles), root, "overwrite", None,
       expectedLatest = Some(expected))
   }
@@ -348,7 +351,16 @@ object TxnLog {
     val commits = history(spark, root)
     require(commits.nonEmpty, s"TxnLog: cannot cluster empty table at $root")
     val expected = commits.last.version
-    val current = read(spark, root) // deletion vectors read away here
+    // a Hive-partitioned table already has a physical layout strategy;
+    // a z-order rewrite would silently flatten it — refuse loudly (the
+    // two are ALTERNATIVE layouts: pick partition dirs for one
+    // low-cardinality column, the z-curve for several range columns)
+    require(layoutOf(spark, root, snapshotAt(commits, expected).toSet).isEmpty,
+      s"TxnLog: table at $root is Hive-partitioned — cluster would flatten its layout; " +
+        "compact within partitions or rebuild the table unpartitioned first")
+    // pinned to `expected` (the append-rebase double-count guard, see
+    // compact); deletion vectors are read away here
+    val current = read(spark, root, asOf = Some(expected))
     val integral: Set[org.apache.spark.sql.types.DataType] = {
       import org.apache.spark.sql.types._
       Set(LongType, IntegerType, ShortType, ByteType)

@@ -1011,6 +1011,13 @@ class TxnLogSpec extends SparkSpec {
       TxnLog.cluster(spark, root, Seq("a", "nope")) // missing column
     }
     assert(TxnLog.latestVersion(spark, root) == 0L, "refusals publish nothing")
+    // a Hive-partitioned table is refused — cluster would flatten it
+    val proot = Files.createTempDirectory("graft_txn").toString + "/p"
+    TxnLog.overwrite(Seq((1L, 2L, "en")).toDF("a", "b", "lang"), proot,
+      partitionBy = Seq("lang"))
+    intercept[IllegalArgumentException] {
+      TxnLog.cluster(spark, proot, Seq("a", "b"))
+    }
   }
 
   test("changeFeed: inserts, MoR deletes, and keyed update pairs per commit; rewrites refused; O(affected dirs)") {

@@ -324,10 +324,12 @@ object TxnLog {
     * Scale shape: one pass over the snapshot (bounded one-row min/max
     * collect + one repartition shuffle on the dir key + the write) —
     * the same cost class as [[compact]], which this subsumes (vectors
-    * are read away, small dirs merged). Linear bucketing is exact and
-    * deterministic but skew-blind: a heavily skewed column wants the
-    * KLL-cutpoint range planner (`range_plan`) upstream; dir SKEW
-    * never affects correctness, only pruning yield. Cluster columns
+    * are read away, small dirs merged). Default linear bucketing is
+    * exact and deterministic but skew-blind; `quantileBuckets = true`
+    * switches to equal-population KLL cutpoints (the `range_plan`
+    * discipline) so a zipf-skewed column still fills every bucket —
+    * dir SKEW never affects correctness, only pruning yield and dir
+    * balance. Cluster columns
     * must be integral (long-family); nulls bucket to 0. Same CAS +
     * idempotent-txnId protocol as [[compact]]/[[delete]]; checks and
     * time travel carry; the "overwrite" action re-baselines
@@ -335,8 +337,9 @@ object TxnLog {
     * committed version. */
   def cluster(spark: SparkSession, root: String, zorderBy: Seq[String],
               nDirs: Int = 8, bits: Int = 8,
-              txnId: Option[String] = None): Long = {
-    import org.apache.spark.sql.functions.{least, max => smax, min => smin, shiftleft, shiftright}
+              txnId: Option[String] = None,
+              quantileBuckets: Boolean = false): Long = {
+    import org.apache.spark.sql.functions.{array, least, max => smax, min => smin, shiftleft, shiftright, size, filter => ffilter}
     require(zorderBy.size >= 2 && zorderBy.size <= 3,
       s"cluster: zorderBy wants 2-3 columns, got ${zorderBy.size} (one column needs no curve — sort and compact)")
     require(nDirs >= 2 && nDirs <= 4096, s"cluster: need 2 <= nDirs <= 4096, got $nDirs")
@@ -372,23 +375,52 @@ object TxnLog {
         s"cluster: column '$c' is ${f.dataType.simpleString}; z-order wants integral columns " +
           "(bucket a string/double into an integral key upstream)")
     }
-    // bounded one-row collect: the per-column domain the buckets split
-    val aggs = zorderBy.flatMap(c =>
-      Seq(smin(col(c)).cast("long").as(s"__mn_$c"), smax(col(c)).cast("long").as(s"__mx_$c")))
-    val row = current.agg(aggs.head, aggs.tail: _*).head
     val nb = 1L << bits
-    val buckets = zorderBy.map { c =>
-      val mnAny = row.get(row.fieldIndex(s"__mn_$c"))
-      if (mnAny == null) lit(0L) // all-null column: everything in bucket 0
-      else {
-        val mn = mnAny.asInstanceOf[Long]
-        val mx = row.getAs[Long](s"__mx_$c")
-        // integer ceil((mx - mn + 1) / nb): exact, overflow-free width
-        val w = math.max(1L, (mx - mn + nb) / nb)
-        least(coalesce(org.apache.spark.sql.functions.expr(
-          s"(CAST(`$c` AS BIGINT) - ${mn}L) div ${w}L"), lit(0L)), lit(nb - 1L))
+    // per-column buckets. Linear (default): equal-width from one
+    // min/max row — exact, but skew-blind (a zipf column piles into
+    // bucket 0 and the curve degenerates). Quantile: equal-POPULATION
+    // cutpoints from one mergeable KLL sketch per column (the
+    // range_plan discipline) — each bucket holds ~the same row count
+    // no matter the distribution, so dirs stay balanced. Both are one
+    // bounded one-row collect; bucketing quality never touches
+    // correctness (the oracle is content identity either way).
+    val buckets =
+      if (quantileBuckets) {
+        import graft.expressions.SketchAggregates.{quantileSketch, sketchQuantileDisc}
+        val pcts = (1L until nb.min(100L)).map(i => ((i * 100 + nb / 2) / nb).toInt)
+          .filter(p => p >= 1 && p <= 99).distinct
+        val skAggs = zorderBy.map(c =>
+          quantileSketch(col(c).cast("double"), 32768).as(s"__sk_$c"))
+        val cutRow = current.agg(skAggs.head, skAggs.tail: _*)
+          .select(zorderBy.map(c => array(pcts.map(p =>
+            sketchQuantileDisc(col(s"__sk_$c"), p)): _*).as(s"__cuts_$c")): _*)
+          .head
+        zorderBy.map { c =>
+          val cuts = Option(cutRow.getAs[scala.collection.Seq[Double]](s"__cuts_$c"))
+            .map(_.filter(v => !v.isNaN).distinct.sorted.toSeq).getOrElse(Seq.empty)
+          if (cuts.isEmpty) lit(0L) // empty/all-null column
+          else least(coalesce(
+            size(ffilter(lit(cuts.toArray), v => col(c).cast("double") > v)).cast("long"),
+            lit(0L)), lit(nb - 1L))
+        }
+      } else {
+        // bounded one-row collect: the per-column domain the buckets split
+        val aggs = zorderBy.flatMap(c =>
+          Seq(smin(col(c)).cast("long").as(s"__mn_$c"), smax(col(c)).cast("long").as(s"__mx_$c")))
+        val row = current.agg(aggs.head, aggs.tail: _*).head
+        zorderBy.map { c =>
+          val mnAny = row.get(row.fieldIndex(s"__mn_$c"))
+          if (mnAny == null) lit(0L) // all-null column: everything in bucket 0
+          else {
+            val mn = mnAny.asInstanceOf[Long]
+            val mx = row.getAs[Long](s"__mx_$c")
+            // integer ceil((mx - mn + 1) / nb): exact, overflow-free width
+            val w = math.max(1L, (mx - mn + nb) / nb)
+            least(coalesce(org.apache.spark.sql.functions.expr(
+              s"(CAST(`$c` AS BIGINT) - ${mn}L) div ${w}L"), lit(0L)), lit(nb - 1L))
+          }
+        }
       }
-    }
     val totalBits = bits * zorderBy.size
     // bit-interleave: z = sum_j sum_i ((b_i >> j) & 1) << (j*k + i)
     val k = zorderBy.size

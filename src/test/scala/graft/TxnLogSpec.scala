@@ -995,6 +995,36 @@ class TxnLogSpec extends SparkSpec {
     assert(TxnLog.clusterAdvice(spark, root).isEmpty)
   }
 
+  test("cluster quantileBuckets: equal-population cutpoints balance dirs where linear bucketing degenerates on skew") {
+    import org.apache.hadoop.fs.Path
+    def build(quantile: Boolean): Seq[Long] = {
+      val root = Files.createTempDirectory("graft_txn").toString + "/t"
+      // zipf-ish on BOTH columns: 80% of rows in [0, 9] x [0, 9], a
+      // tail out to 10^6 — linear widths (10^6 / 16) put every head
+      // row in z-cell (0, 0), one giant dir
+      val rows = (0L until 800L).map(i => (i % 10, (i * 7) % 10)) ++
+        (0L until 200L).map(i => (i * 5000L + 17L, i * 4999L + 23L))
+      TxnLog.overwrite(rows.toDF("v", "id"), root, collectStats = true)
+      TxnLog.cluster(spark, root, Seq("v", "id"), nDirs = 8, bits = 4,
+        quantileBuckets = quantile)
+      // content identity regardless of bucketing
+      assert(TxnLog.read(spark, root).count() == 1000)
+      // drop the replaced pre-cluster dir so the listing is exactly
+      // the clustered layout
+      TxnLog.vacuum(spark, root, retainVersions = 1, orphanMinAgeMs = 0L)
+      // per-dir row counts straight off the clustered layout
+      val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(new Path(s"$root/data")).toIndexedSeq.filter(_.isDirectory)
+        .map(d => spark.read.parquet(d.getPath.toString).count()).sorted
+    }
+    val linear = build(quantile = false)
+    val quant = build(quantile = true)
+    // linear: the 800-row head lands in one dir; quantile: spread out
+    assert(linear.max >= 700, s"expected degenerate linear layout: $linear")
+    assert(quant.max <= 500 && quant.size >= 4,
+      s"quantile buckets should balance the head: $quant")
+  }
+
   test("cluster refuses non-integral columns, single columns, and empty tables") {
     val root = Files.createTempDirectory("graft_txn").toString + "/t"
     intercept[IllegalArgumentException] {

@@ -158,14 +158,23 @@ object Streams {
     * interval bound (bounded state at any stream length). */
   def streamStreamJoin(left: DataFrame, right: DataFrame, keyCol: String,
                        leftTs: String, rightTs: String,
-                       watermarkDelay: String, intervalSeconds: Long): DataFrame = {
+                       watermarkDelay: String, intervalSeconds: Long,
+                       joinType: String = "inner"): DataFrame = {
+    // leftOuter is the "was this click ever attributed?" shape: a left
+    // row with no interval partner emits with NULL right columns, but
+    // only once the WATERMARK proves no partner can still arrive — so
+    // outer results trail the watermark by design, and a query with no
+    // further input never flushes the last pending rows until a later
+    // batch advances event time (the documented Spark contract).
+    require(Set("inner", "leftOuter").contains(joinType),
+      s"streamStreamJoin: joinType inner|leftOuter, got $joinType")
     val l = left.withWatermark(leftTs, watermarkDelay).alias("l")
     val r = right.withWatermark(rightTs, watermarkDelay).alias("r")
     l.join(r,
       col(s"l.$keyCol") === col(s"r.$keyCol") &&
         col(s"r.$rightTs") >= col(s"l.$leftTs") &&
         col(s"r.$rightTs") <= col(s"l.$leftTs") + expr(s"INTERVAL $intervalSeconds SECONDS"),
-      "inner")
+      joinType)
   }
 
   /** Stream-static dimension enrichment: the streaming side joins a

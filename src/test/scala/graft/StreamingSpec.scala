@@ -182,6 +182,46 @@ class StreamingSpec extends SparkSpec {
     assert(rows.length == 1 && rows(0).getLong(0) == 1L)
   }
 
+  test("streamStreamJoin leftOuter: unmatched rows emit with NULLs only after the watermark proves no partner can arrive") {
+    implicit val sql = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val clicks = MemoryStream[(Long, java.sql.Timestamp)]
+    val buys = MemoryStream[(Long, java.sql.Timestamp)]
+    val joined = graft.streaming.Streams.streamStreamJoin(
+      clicks.toDF().toDF("user_id", "click_ts"),
+      buys.toDF().toDF("user_id", "buy_ts"),
+      "user_id", "click_ts", "buy_ts", "10 seconds", 60L,
+      joinType = "leftOuter")
+    val q = joined.writeStream.format("memory").queryName("ssj_outer")
+      .outputMode("append").start()
+    // click 1 gets an in-window buy; click 2 never will
+    clicks.addData((1L, t("2024-01-01 10:00:00")), (2L, t("2024-01-01 10:00:05")))
+    buys.addData((1L, t("2024-01-01 10:00:30")))
+    q.processAllAvailable()
+    val early = spark.table("ssj_outer").collect()
+    assert(early.map(_.getLong(0)).toSet == Set(1L),
+      "the unmatched click must NOT emit while its window could still fill")
+    // event time advances far past click 2's window + watermark: the
+    // state store flushes the provably-unmatched row with NULL buy_ts
+    buys.addData((99L, t("2024-01-01 10:30:00")))
+    q.processAllAvailable()
+    clicks.addData((98L, t("2024-01-01 10:30:00")))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("ssj_outer").collect()
+      .map(r => r.getLong(0) -> Option(r.get(3))).toMap
+    assert(rows(1L).isDefined, "matched click keeps its buy")
+    assert(rows.contains(2L) && rows(2L).isEmpty,
+      s"watermark-expired click emits with NULL right side: $rows")
+    // a bad join type is refused
+    intercept[IllegalArgumentException] {
+      graft.streaming.Streams.streamStreamJoin(
+        clicks.toDF().toDF("user_id", "click_ts"),
+        buys.toDF().toDF("user_id", "buy_ts"),
+        "user_id", "click_ts", "buy_ts", "10 seconds", 60L,
+        joinType = "fullOuter")
+    }
+  }
+
   test("SQL surface over streams: temp view + spark.sql passthrough (P13)") {
     implicit val sql = spark.sqlContext
     val input = MemoryStream[Int]

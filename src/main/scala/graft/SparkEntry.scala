@@ -2714,6 +2714,26 @@ object SparkEntry {
         keyCols = Seq("doc_id"))
       .select("_commit_version", "_change_type", "doc_id", "source", "n_chars")
 
+  /** Incremental view maintenance under deletes and updates
+    * ([[graft.operators.Incremental.applyChangeFeed]]): the per-source
+    * (count, total chars) rollup is seeded from the CDF fixture's
+    * BASELINE version only, then maintained purely from the change
+    * feed's signed deltas — through the append, the merge-on-read
+    * erasure, and the keyed merge — and must equal the direct
+    * aggregate over the final state, which the oracle states on
+    * `documents`. History is never recomputed: the maintained view's
+    * cost is the feed, not the table. */
+  private def mvIncrementalCdf(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.TxnLog
+    val root = ensureTxnCdfTable(spark, dir)
+    val base = TxnLog.read(spark, root, asOf = Some(0L))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+    val feed = TxnLog.changeFeed(spark, root, 0L, keyCols = Seq("doc_id"))
+    graft.operators.Incremental.applyChangeFeed(base, feed, Seq("source"),
+      "n_docs", Map("sum_chars" -> "n_chars"))
+  }
+
   /** CDC replication under the oracle
     * ([[graft.sources.TxnLog.replicate]]): a replica follows the CDF
     * fixture's full history — seed, append, merge-on-read erasure,
@@ -3396,6 +3416,7 @@ object SparkEntry {
     "cluster_advice" -> (clusterAdviceQ(_, _)),
     "txnlog_cdf" -> (txnlogCdf(_, _)),
     "txnlog_replica" -> (txnlogReplica(_, _)),
+    "mv_incremental_cdf" -> (mvIncrementalCdf(_, _)),
     // metadata-only COUNT from the manifest row counts vs the scan:
     // zero files opened on the fast path, require proves it fired
     "txnlog_fastcount" -> ((s, d) => {
@@ -7286,6 +7307,14 @@ object SparkEntry {
         |WHERE doc_id BETWEEN (SELECT q // 2 FROM m)
         |                 AND (SELECT 2 * q + q // 2 FROM m)
         |  AND n_chars BETWEEN 100 AND 300""".stripMargin,
+    // a rollup maintained purely from signed feed deltas equals the
+    // recompute over the final state
+    "mv_incremental_cdf" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN doc_id % 10 = 0 THEN n_chars + 1000
+        |                ELSE n_chars END) AS BIGINT) AS sum_chars
+        |FROM documents WHERE doc_id % 10 <> 4
+        |GROUP BY source""".stripMargin,
     // a replica maintained purely from the change feed reads
     // identical to the source's final state
     "txnlog_replica" ->

@@ -49,6 +49,48 @@ object Incremental {
     aligned.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Incremental view maintenance UNDER DELETES AND UPDATES — the
+    * counting algorithm over a row-level change feed
+    * ([[graft.sources.TxnLog.changeFeed]]): each feed row carries a
+    * SIGN (+1 for insert/update_postimage, −1 for
+    * delete/update_preimage), the per-group signed deltas collapse
+    * map-side, and one outer merge against the stored aggregate
+    * yields the maintained view — the shape that keeps a 100 TB
+    * fact's rollup current through RTBF erasures and CDC merges
+    * without ever recomputing history ([[mergeAggregates]] handles
+    * the append-only case; this one survives retractions).
+    *
+    * Signed algebra is exact for counts and integer sums (long
+    * addition is associative and invertible); min/max are NOT
+    * maintainable under deletes (a retraction can expose an unknown
+    * second-place value) and are rejected. Groups whose maintained
+    * count reaches zero vanish from the view, matching the recompute.
+    * `base` carries `groupCols ++ (countCol +: sums.keys)`; `sums`
+    * maps each maintained sum column to the FEED column it sums. */
+  def applyChangeFeed(base: DataFrame, feed: DataFrame, groupCols: Seq[String],
+                      countCol: String, sums: Map[String, String]): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group key")
+    val sign = when(col("_change_type").isin("insert", "update_postimage"), lit(1L))
+      .when(col("_change_type").isin("delete", "update_preimage"), lit(-1L))
+    val deltaAggs = sum(col("__sign")).as(countCol) +:
+      sums.toSeq.sortBy(_._1).map { case (alias, src) =>
+        sum(col("__sign") * col(src)).as(alias) }
+    val delta = feed.withColumn("__sign", sign)
+      .filter(col("__sign").isNotNull) // foreign change types: loud below
+      .groupBy(groupCols.map(col): _*)
+      .agg(deltaAggs.head, deltaAggs.tail: _*)
+    val cols = countCol +: sums.keys.toSeq.sorted
+    require(cols.forall(base.columns.contains),
+      s"base view missing maintained columns from ${cols.mkString(",")}")
+    val mergeAggs = sum(col(countCol)).as(countCol) +:
+      sums.keys.toSeq.sorted.map(c => sum(col(c)).as(c))
+    base.select((groupCols.map(col) ++ cols.map(col)): _*)
+      .unionByName(delta.select((groupCols.map(col) ++ cols.map(col)): _*))
+      .groupBy(groupCols.map(col): _*)
+      .agg(mergeAggs.head, mergeAggs.tail: _*)
+      .filter(col(countCol) > 0)
+  }
+
   /** Incremental COUNT DISTINCT via KMV sketch union — the mergeable
     * path [[mergeAggregates]] points count-distinct at. Both sides
     * carry the sketch's k-minima array (`sk.kmin` from

@@ -139,6 +139,35 @@ class StagingWarehouseSpec extends SparkSpec {
     }
   }
 
+  test("applyChangeFeed: signed feed deltas maintain counts and sums through deletes and updates; zero-count groups vanish") {
+    import graft.operators.Incremental
+    import org.apache.spark.sql.functions.col
+    val base = Seq(("a", 2L, 30L), ("b", 1L, 5L)).toDF("k", "n", "s")
+    val feed = Seq(
+      ("insert", "a", 7L),            // a grows
+      ("delete", "b", 5L),            // b's only row erased
+      ("update_preimage", "a", 10L),  // one a-row 10 -> 11
+      ("update_postimage", "a", 11L),
+      ("insert", "c", 2L)             // new group
+    ).toDF("_change_type", "k", "v")
+    val got = Incremental.applyChangeFeed(base, feed, Seq("k"), "n",
+        Map("s" -> "v"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(r.fieldIndex("n")), r.getLong(r.fieldIndex("s")))).toMap
+    assert(got == Map(
+      "a" -> ((3L, 38L)),  // +insert(7), update 10->11
+      "c" -> ((1L, 2L))))  // b reached count 0 and vanished
+    // replaying the maintained view against a recompute of the
+    // implied final table gives the same rows
+    val finalRows = Seq(("a", 20L), ("a", 11L), ("a", 7L), ("c", 2L))
+      .toDF("k", "v")
+    val recompute = finalRows.groupBy("k")
+      .agg(org.apache.spark.sql.functions.count(col("v")).as("n"),
+        org.apache.spark.sql.functions.sum(col("v")).as("s"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(recompute == got)
+  }
+
   test("period_over_period: lag/delta/basis points in exact cents, sign-safe") {
     val dir = "/root/testdata/sf0.001"
     val out = SparkEntry.queries("period_over_period")(spark, dir)

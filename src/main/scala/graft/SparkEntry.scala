@@ -3350,6 +3350,16 @@ object SparkEntry {
     "dim_pickup_location" -> ((s, d) => Warehouse.dimPickupLocation(stagingOf(s, d))),
     "dim_dropoff_location" -> ((s, d) => Warehouse.dimDropoffLocation(stagingOf(s, d))),
     "fact_trip" -> ((s, d) => Warehouse.factTrip(stagingOf(s, d))),
+    // auto-profiling -> suggested CHECK constraints
+    // ([[graft.validate.Expectations.suggestChecks]]): one profile
+    // pass over documents emits the not-null / widened-range /
+    // IN-domain predicates a human reviews and registers via
+    // TxnLog.addCheck — the first step of the quality loop, with
+    // every suggestion string deterministic and SQL-replayable
+    "suggest_checks" -> ((s, d) =>
+      graft.validate.Expectations.suggestChecks(
+        Tables.documents(s, d)
+          .select("doc_id", "text", "lang", "source", "n_chars"))),
     "validate_suite" -> (validateSuite(_, _)),
     "validate_extended" -> (validateExtended(_, _)),
     "validate_rows" -> (validateRows(_, _)),
@@ -4786,6 +4796,43 @@ object SparkEntry {
     "dim_pickup_location" -> dimPickupLocationSql,
     "dim_dropoff_location" -> dimDropoffLocationSql,
     "fact_trip" -> factTripSql,
+    // every suggestion string rebuilt from the same profile aggregates
+    "suggest_checks" ->
+      """WITH st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    min(doc_id) AS mni, max(doc_id) AS mxi,
+        |    min(n_chars) AS mnc, max(n_chars) AS mxc
+        |  FROM documents),
+        |langs AS (SELECT
+        |    array_to_string(list('''' || lang || '''' ORDER BY lang), ', ') AS d,
+        |    CAST(count(*) AS BIGINT) AS k
+        |  FROM (SELECT DISTINCT lang FROM documents WHERE lang IS NOT NULL)),
+        |srcs AS (SELECT
+        |    array_to_string(list('''' || source || '''' ORDER BY source), ', ') AS d,
+        |    CAST(count(*) AS BIGINT) AS k
+        |  FROM (SELECT DISTINCT source FROM documents WHERE source IS NOT NULL))
+        |SELECT 'doc_id' AS col_name, 'doc_id_not_null' AS check_name,
+        |  'doc_id IS NOT NULL' AS predicate,
+        |  '0 nulls in ' || n || ' rows' AS rationale FROM st
+        |UNION ALL SELECT 'text', 'text_not_null', 'text IS NOT NULL',
+        |  '0 nulls in ' || n || ' rows' FROM st
+        |UNION ALL SELECT 'lang', 'lang_not_null', 'lang IS NOT NULL',
+        |  '0 nulls in ' || n || ' rows' FROM st
+        |UNION ALL SELECT 'source', 'source_not_null', 'source IS NOT NULL',
+        |  '0 nulls in ' || n || ' rows' FROM st
+        |UNION ALL SELECT 'n_chars', 'n_chars_not_null', 'n_chars IS NOT NULL',
+        |  '0 nulls in ' || n || ' rows' FROM st
+        |UNION ALL SELECT 'doc_id', 'doc_id_range',
+        |  'doc_id BETWEEN ' || (mni - greatest(1, (mxi - mni) * 10 // 100))
+        |    || ' AND ' || (mxi + greatest(1, (mxi - mni) * 10 // 100)),
+        |  'observed [' || mni || ', ' || mxi || '], 10% headroom' FROM st
+        |UNION ALL SELECT 'n_chars', 'n_chars_range',
+        |  'n_chars BETWEEN ' || (mnc - greatest(1, (mxc - mnc) * 10 // 100))
+        |    || ' AND ' || (mxc + greatest(1, (mxc - mnc) * 10 // 100)),
+        |  'observed [' || mnc || ', ' || mxc || '], 10% headroom' FROM st
+        |UNION ALL SELECT 'lang', 'lang_domain', 'lang IN (' || d || ')',
+        |  k || ' distinct values' FROM langs
+        |UNION ALL SELECT 'source', 'source_domain', 'source IN (' || d || ')',
+        |  k || ' distinct values' FROM srcs""".stripMargin,
     "validate_suite" ->
       s"""${TaxiShape.stagingSql},
          |v AS (SELECT staging.* REPLACE (NULLIF(vendor_id, 0) AS vendor_id,

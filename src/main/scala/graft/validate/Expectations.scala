@@ -161,6 +161,75 @@ object Expectations {
       .drop("__n", "__s", "__ss")
   }
 
+  /** Auto-profiling → suggested CHECK constraints — the missing first
+    * step of the quality loop (profile → SUGGEST → `TxnLog.addCheck`
+    * → every later commit gated): from one profiling pass, emit named
+    * SQL predicates a human reviews and registers.
+    *
+    *  - a column observed with ZERO nulls suggests `IS NOT NULL`;
+    *  - a long-family column suggests a BETWEEN of its observed range
+    *    widened by `headroomPct` (integer arithmetic — suggestions are
+    *    deterministic and cross-engine replayable), so ordinary drift
+    *    passes and a broken upstream fails;
+    *  - a string column with ≤ `domainMax` distinct values suggests an
+    *    IN-list of its sorted observed domain (quotes escaped).
+    *
+    * One agg pass for the profile; one bounded (≤ domainMax rows)
+    * collect per low-cardinality string column for its domain. All
+    * suggested predicates use SQL CHECK null semantics downstream
+    * (NULL passes range/domain checks — pair with the not-null
+    * suggestion when nulls should gate). Output: one row per
+    * suggestion (col_name, check_name, predicate, rationale). */
+  def suggestChecks(df: DataFrame, domainMax: Int = 20,
+                    headroomPct: Int = 10): DataFrame = {
+    import org.apache.spark.sql.types._
+    require(domainMax >= 1 && headroomPct >= 0,
+      s"bad suggest params: domainMax=$domainMax headroomPct=$headroomPct")
+    val longCols = df.schema.fields.filter(f => f.dataType match {
+      case LongType | IntegerType | ShortType | ByteType => true
+      case _ => false
+    }).map(_.name).toSeq
+    val strCols = df.schema.fields.filter(_.dataType == StringType).map(_.name).toSeq
+    val aggs =
+      (longCols ++ strCols).map(c =>
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nn_$c")) ++
+      longCols.flatMap(c => Seq(
+        min(col(c)).cast("long").as(s"__mn_$c"),
+        max(col(c)).cast("long").as(s"__mx_$c"))) ++
+      strCols.map(c => countDistinct(col(c)).as(s"__dc_$c")) :+
+      count(lit(1)).as("__n")
+    val row = df.agg(aggs.head, aggs.tail: _*).head
+    val n = row.getAs[Long]("__n")
+    val out = Seq.newBuilder[(String, String, String, String)]
+    (longCols ++ strCols).foreach { c =>
+      if (n > 0 && row.getAs[Long](s"__nn_$c") == 0L)
+        out += ((c, s"${c}_not_null", s"$c IS NOT NULL",
+          s"0 nulls in $n rows"))
+    }
+    longCols.foreach { c =>
+      val mnAny = row.get(row.fieldIndex(s"__mn_$c"))
+      if (mnAny != null) {
+        val mn = mnAny.asInstanceOf[Long]
+        val mx = row.getAs[Long](s"__mx_$c")
+        val pad = math.max(1L, (mx - mn) * headroomPct / 100)
+        out += ((c, s"${c}_range", s"$c BETWEEN ${mn - pad} AND ${mx + pad}",
+          s"observed [$mn, $mx], $headroomPct% headroom"))
+      }
+    }
+    strCols.foreach { c =>
+      val dc = row.getAs[Long](s"__dc_$c")
+      if (dc >= 1 && dc <= domainMax) {
+        val domain = df.select(col(c)).filter(col(c).isNotNull).distinct()
+          .collect().map(_.getString(0)).sorted // bounded by domainMax
+        val lits = domain.map(v => s"'${v.replace("'", "''")}'").mkString(", ")
+        out += ((c, s"${c}_domain", s"$c IN ($lits)",
+          s"$dc distinct values"))
+      }
+    }
+    import df.sparkSession.implicits._
+    out.result().toDF("col_name", "check_name", "predicate", "rationale")
+  }
+
   /** The reference's 12-rule suite (validate_trip_data.json:5-92):
     * 10 not-null columns + 2 range rules. */
   val referenceSuite: Seq[Expectation] = Seq(

@@ -168,6 +168,39 @@ class StagingWarehouseSpec extends SparkSpec {
     assert(recompute == got)
   }
 
+  test("suggestChecks closes the quality loop: profiled suggestions register as CHECKs and gate the next commit") {
+    import graft.validate.Expectations
+    import graft.sources.TxnLog
+    val clean = Seq((1L, "en", 10L), (2L, "fr", 20L), (3L, "en", 30L))
+      .toDF("id", "lang", "v")
+    val withNulls = clean.unionByName(
+      Seq((4L, null.asInstanceOf[String], 40L)).toDF("id", "lang", "v"))
+    val sugg = Expectations.suggestChecks(withNulls, domainMax = 5)
+      .collect().map(r => r.getString(1) -> r.getString(2)).toMap
+    // a nullable column gets NO not-null suggestion; its domain skips nulls
+    assert(!sugg.contains("lang_not_null"))
+    assert(sugg("lang_domain") == "lang IN ('en', 'fr')")
+    assert(sugg("id_not_null") == "id IS NOT NULL")
+    assert(sugg("id_range") == "id BETWEEN 0 AND 5") // pad = max(1, 3*10/100)
+    assert(sugg("v_range") == "v BETWEEN 7 AND 43")  // pad = 30*10/100 = 3
+    // the closure: register every suggestion on a txn-log table —
+    // a conforming append passes, a violating one is refused
+    val root = java.nio.file.Files.createTempDirectory("graft_sugg").toString + "/t"
+    TxnLog.overwrite(clean, root)
+    Expectations.suggestChecks(clean, domainMax = 5).collect().foreach { r =>
+      TxnLog.addCheck(spark, root, r.getString(1), r.getString(2))
+    }
+    TxnLog.append(Seq((2L, "fr", 25L)).toDF("id", "lang", "v"), root)
+    assert(TxnLog.read(spark, root).count() == 4)
+    intercept[IllegalArgumentException] {
+      TxnLog.append(Seq((6L, "zz", 25L)).toDF("id", "lang", "v"), root)
+    }
+    intercept[IllegalArgumentException] {
+      TxnLog.append(Seq((7L, "en", 999L)).toDF("id", "lang", "v"), root)
+    }
+    assert(TxnLog.read(spark, root).count() == 4, "violators never landed")
+  }
+
   test("period_over_period: lag/delta/basis points in exact cents, sign-safe") {
     val dir = "/root/testdata/sf0.001"
     val out = SparkEntry.queries("period_over_period")(spark, dir)

@@ -72,11 +72,15 @@ object Incremental {
     require(groupCols.nonEmpty, "need at least one group key")
     val sign = when(col("_change_type").isin("insert", "update_postimage"), lit(1L))
       .when(col("_change_type").isin("delete", "update_preimage"), lit(-1L))
+      // a change type this algebra doesn't know must FAIL, not silently
+      // skew the view (a future feed extension would corrupt rollups)
+      .otherwise(raise_error(concat(
+        lit("applyChangeFeed: unknown _change_type '"),
+        col("_change_type"), lit("'"))))
     val deltaAggs = sum(col("__sign")).as(countCol) +:
       sums.toSeq.sortBy(_._1).map { case (alias, src) =>
         sum(col("__sign") * col(src)).as(alias) }
     val delta = feed.withColumn("__sign", sign)
-      .filter(col("__sign").isNotNull) // foreign change types: loud below
       .groupBy(groupCols.map(col): _*)
       .agg(deltaAggs.head, deltaAggs.tail: _*)
     val cols = countCol +: sums.keys.toSeq.sorted

@@ -166,6 +166,13 @@ class StagingWarehouseSpec extends SparkSpec {
         org.apache.spark.sql.functions.sum(col("v")).as("s"))
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(recompute == got)
+    // a change type the algebra doesn't know fails loudly, never
+    // silently skews the view
+    val alien = Seq(("truncate", "a", 1L)).toDF("_change_type", "k", "v")
+    intercept[Exception] {
+      Incremental.applyChangeFeed(base, alien, Seq("k"), "n",
+        Map("s" -> "v")).collect()
+    }
   }
 
   test("suggestChecks closes the quality loop: profiled suggestions register as CHECKs and gate the next commit") {

@@ -49,24 +49,59 @@ import graft.sources.TxnLog
 object Forget {
 
   def forget(spark: SparkSession, ids: Seq[Long], roots: Map[String, String],
-             idCol: String = "doc_id", vacuumAfter: Boolean = false): DataFrame = {
+             idCol: String = "doc_id", vacuumAfter: Boolean = false,
+             bm25Indexes: Map[String, String] = Map.empty,
+             ivfIndexes: Map[String, String] = Map.empty): DataFrame = {
     require(ids.nonEmpty, "Forget.forget: empty erasure request")
-    require(roots.nonEmpty, "Forget.forget: no table roots registered")
+    require(roots.nonEmpty || bm25Indexes.nonEmpty || ivfIndexes.nonEmpty,
+      "Forget.forget: nothing registered to erase from")
     require(ids.size <= 100000,
       s"Forget.forget: ${ids.size} ids — erasure requests are small by nature; " +
         "for bulk deletion use TxnLog.delete with a column predicate")
+    val fp = requestFingerprint(ids)
     val pred = col(idCol).isin(ids: _*)
     val rows = roots.toSeq.sortBy(_._1).map { case (name, root) =>
       val vBefore = TxnLog.latestVersion(spark, root)
       require(vBefore >= 0L, s"Forget.forget: no table at $root ($name)")
       val matched = TxnLog.read(spark, root).filter(pred).count()
-      val vAfter = TxnLog.delete(spark, root, pred, Some(s"forget-${requestFingerprint(ids)}-$name"))
+      val vAfter = TxnLog.delete(spark, root, pred, Some(s"forget-$fp-$name"))
       val remaining = TxnLog.read(spark, root).filter(pred).count()
       // vacuum only where a delete actually landed — a table that never
       // held the subject's data keeps its unrelated time travel
       val vacuumed = vacuumAfter && vAfter != vBefore
       if (vacuumed) TxnLog.vacuum(spark, root, retainVersions = 1)
       (name, matched, remaining, vBefore, vAfter, if (vacuumed) 1 else 0)
+    } ++
+    // derived SEARCH artifacts: a deleted document that still surfaces
+    // from an index is a compliance failure the table audit cannot
+    // see. Each index's own delete keeps its statistics exactly
+    // consistent (Bm25Index: negative stats delta; IvfIndex: cell rows
+    // under the manifest commit point), and the audit re-scans the
+    // index's own serving tables for the ids — the proof, not the
+    // intent. Index deletes are idempotent under the same request
+    // fingerprint; vacuum stays the caller's per-member decision
+    // (indexes pin versions through their catalogs).
+    bm25Indexes.toSeq.sortBy(_._1).map { case (name, path) =>
+      val vBefore = TxnLog.latestVersion(spark, s"$path/_catalog")
+      val matched = graft.search.Bm25Index.servedPostings(spark, path)
+        .filter(col("doc_id").isin(ids: _*)).count()
+      if (matched > 0)
+        graft.search.Bm25Index.delete(spark, path, ids, Some(s"forget-$fp-$name"))
+      val remaining = graft.search.Bm25Index.servedPostings(spark, path)
+        .filter(col("doc_id").isin(ids: _*)).count()
+      (s"bm25:$name", matched, remaining, vBefore,
+        TxnLog.latestVersion(spark, s"$path/_catalog"), 0)
+    } ++
+    ivfIndexes.toSeq.sortBy(_._1).map { case (name, path) =>
+      val vBefore = TxnLog.latestVersion(spark, s"$path/cells")
+      val cells = TxnLog.read(spark, s"$path/cells")
+      val matched = cells.filter(col("vec_id").isin(ids: _*)).count()
+      if (matched > 0)
+        graft.similarity.IvfIndex.delete(spark, path, ids, Some(s"forget-$fp-$name"))
+      val remaining = TxnLog.read(spark, s"$path/cells")
+        .filter(col("vec_id").isin(ids: _*)).count()
+      (s"ivf:$name", matched, remaining, vBefore,
+        TxnLog.latestVersion(spark, s"$path/cells"), 0)
     }
     import spark.implicits._
     rows.toDF("artifact", "matched_before", "remaining_after",

@@ -199,6 +199,13 @@ object Bm25Index {
       "stats" -> s"$path/stats",
       "meta" -> s"$path/meta"), txnId.map(_ + "-release"))
 
+  /** The postings table as the CURRENT RELEASE serves it — the audit
+    * surface an erasure check re-scans ([[graft.operators.Forget]]):
+    * reading through the release pin proves what [[topK]] can see,
+    * not what bytes happen to be on disk. */
+  def servedPostings(spark: SparkSession, path: String): org.apache.spark.sql.DataFrame =
+    TxnLog.read(spark, s"$path/postings", Some(pins(spark, path)("postings")))
+
   /** member name → pinned version of the latest release. Bounded:
     * three catalog rows. */
   private def pins(spark: SparkSession, path: String): Map[String, Long] =

@@ -1170,6 +1170,49 @@ class TxnLogSpec extends SparkSpec {
     assert(TxnLog.readTag(spark, root, "cut-1").count() == 19)
   }
 
+  test("forget propagates through the search and ANN indexes: erased docs never surface from topK or probes") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Forget
+    val base = Files.createTempDirectory("graft_forget_idx").toString
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select("vec_id", "embedding")
+    val corpus = s"$base/corpus"; val bm = s"$base/bm"; val ivf = s"$base/ivf"
+    TxnLog.overwrite(docs.select("doc_id", "source", "n_chars"), corpus, Some("c0"))
+    graft.search.Bm25Index.build(docs, bm, nBuckets = 8)
+    graft.similarity.IvfIndex.build(emb, ivf, dim = 64, txnSafe = true)
+    val victims = (0L until 50L by 7L).toSeq
+    val audit = Forget.forget(spark, victims,
+        Map("corpus" -> corpus), bm25Indexes = Map("docs" -> bm),
+        ivfIndexes = Map("vecs" -> ivf))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(audit.keySet == Set("corpus", "bm25:docs", "ivf:vecs"))
+    assert(audit.values.forall { case (m, rem) => m > 0 && rem == 0 },
+      s"every artifact held the subject and none still does: $audit")
+    // the serving paths agree with the audit
+    val terms = Seq("spark", "merge", "window")
+    val served = graft.search.Bm25Index.topK(spark, bm, terms, k = 50)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(served.intersect(victims.toSet).isEmpty)
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val probed = graft.similarity.IvfIndex.topK(spark, ivf, q, dim = 64,
+        k = 5, nProbe = 16, txnSafe = true)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(probed.intersect(victims.toSet).isEmpty)
+    // idempotent: a replayed request moves no versions and reports the
+    // post-erasure truth (matched 0 everywhere)
+    val vBm = TxnLog.latestVersion(spark, s"$bm/_catalog")
+    val vIvf = TxnLog.latestVersion(spark, s"$ivf/cells")
+    val replay = Forget.forget(spark, victims,
+        Map("corpus" -> corpus), bm25Indexes = Map("docs" -> bm),
+        ivfIndexes = Map("vecs" -> ivf))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(replay.values.forall(_ == 0L))
+    assert(TxnLog.latestVersion(spark, s"$bm/_catalog") == vBm)
+    assert(TxnLog.latestVersion(spark, s"$ivf/cells") == vIvf)
+  }
+
   test("merge rejects ambiguous sources and schema drift") {
     val root = Files.createTempDirectory("graft_txn").toString + "/t"
     TxnLog.overwrite(Seq((1L, "a")).toDF("id", "s"), root)

@@ -176,9 +176,10 @@ object Graph {
     * parallelization of Matula & Beck's linear peeling, "Smallest-last
     * ordering and clustering and graph coloring algorithms", JACM
     * 1983): each round simultaneously removes EVERY vertex whose
-    * degree in the remaining graph is below `k`, until the fixed
-    * round budget runs out — once converged, further rounds are
-    * no-ops, so the budget only caps pathological peel chains. The
+    * degree in the remaining graph is below `k`, until a round removes
+    * nothing (the fixpoint — the output IS the k-core). `rounds` caps
+    * the edge-removing rounds; a peel chain that outruns it fails
+    * loudly rather than returning a non-core. The
     * rule is a degree threshold, never a traversal order, so the
     * result is deterministic and order-independent and a SQL oracle
     * unrolls the rounds verbatim (the [[labelPropagation]]
@@ -204,15 +205,37 @@ object Graph {
     require(k >= 1, s"need k >= 1, got $k")
     require(rounds >= 1, s"need rounds >= 1, got $rounds")
     var e = symmetrize(pairs, aCol, bCol).localCheckpoint()
-    for (_ <- 1 to rounds) {
+    // Peel to the FIXPOINT, detected cheaply: a round that removes no
+    // edge proves the previous state was already the k-core (peeling
+    // only ever removes), and the count is over freshly checkpointed
+    // blocks — no recompute. `rounds` caps EFFECTIVE (edge-removing)
+    // rounds only; exhausting it unconverged fails loudly instead of
+    // silently returning a non-core (the docstring promises the core).
+    var nEdges = e.count()
+    var converged = nEdges == 0L
+    var effective = 0
+    while (!converged) {
+      require(effective < rounds,
+        s"kCore: peel chain not converged after $rounds edge-removing rounds " +
+          s"($nEdges directed edges remain) — raise `rounds`")
       val keep = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k).select(col("id"))
       val next = e
         .join(keep.select(col("id").as("src")), Seq("src"), "left_semi")
         .join(keep.select(col("id").as("dst")), Seq("dst"), "left_semi")
         .select(col("src"), col("dst")).localCheckpoint()
-      graft.core.Checkpoints.releaseAll(e)
-      e = next
+      val nNext = next.count()
+      if (nNext == nEdges) {
+        // no-op round: fixpoint was already reached
+        graft.core.Checkpoints.releaseAll(next)
+        converged = true
+      } else {
+        graft.core.Checkpoints.releaseAll(e)
+        e = next
+        nEdges = nNext
+        effective += 1
+        converged = nNext == 0L
+      }
     }
     val out = e.groupBy(col("src").as("id"))
       .agg(count(lit(1)).as("core_degree")).localCheckpoint()

@@ -222,13 +222,20 @@ object Bm25Index {
     metaAt(spark, path, pins(spark, path)("meta"))
 
   /** (term, doc_id, tf, dl, bucket) — one row per distinct doc-term.
+    * `explode_outer`, not `explode`: a doc whose tokenization is NULL
+    * (null text) still emits ONE null-term row, so EVERY indexed doc
+    * has a doc-level surface in postings. Query paths never see it
+    * (term IN (...) on literal non-null terms), df is untouched (df =
+    * a real term's own posting-list length), but [[delete]]'s victim
+    * census counts it — without it, deleting a token-less doc left
+    * n_docs overstated, breaking the one-shot-build identity.
     * `private[graft]` so the torn-maintenance spec can commit one
     * member without the release. */
   private[graft] def postingsOf(docs: DataFrame, nBuckets: Int,
                          textCol: String, idCol: String): DataFrame =
     docs.select(col(idCol).cast("long").as("doc_id"),
         TextFunctions.wsTokenCount(col(textCol)).as("dl"),
-        explode(TextFunctions.tokens(col(textCol))).as("term"))
+        explode_outer(TextFunctions.tokens(col(textCol))).as("term"))
       .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
       .withColumn("bucket", pmod(hash(col("term")), lit(nBuckets)))
 

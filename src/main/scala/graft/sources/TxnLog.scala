@@ -620,15 +620,22 @@ object TxnLog {
     ColStat("bloom", words.map(w => f"$w%016x").mkString, s"$BloomBits:$BloomK")
   }
 
-  /** The k probe positions of one point-lookup value, derived exactly
-    * as the writer derived them (md5 of the value's string rendering,
-    * two 60-bit halves, `(h1 + i·h2) mod mBits`). */
-  private def bloomProbes(value: String): Seq[Long] = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(value.getBytes("UTF-8")).map(b => f"$b%02x").mkString
-    val h1 = java.lang.Long.parseLong(hex.substring(0, 15), 16)
-    val h2 = java.lang.Long.parseLong(hex.substring(15, 30), 16)
-    (0 until BloomK).map(i => (h1 + i.toLong * h2) % BloomBits)
+  /** The k probe positions of one point-lookup value, derived by the
+    * SAME engine expression the writer used ([[dirBloom]]'s
+    * `bloomPositions(CAST(col AS STRING), …)`, evaluated over a 1-row
+    * frame): a driver-side `String.valueOf` re-rendering would diverge
+    * from Spark's CAST for timestamp/date/decimal/float values, and a
+    * Bloom probing the WRONG string wrongly proves absence — the
+    * one-sided-error guarantee only holds when writer and reader hash
+    * identical bytes. Bounded: one local 1-row job per point lookup.
+    * NULL probes nothing (the writer set no bits for NULLs — callers
+    * keep every dir, and the exact predicate decides). */
+  private def bloomProbes(spark: SparkSession, value: Any): Option[Seq[Long]] = {
+    if (value == null) return None
+    val row = spark.range(1).select(
+      graft.functions.TextFunctions.bloomPositions(
+        lit(value).cast("string"), BloomBits, BloomK).as("p")).head
+    Option(row.getAs[scala.collection.Seq[Long]]("p")).map(_.toSeq)
   }
 
   /** Point-lookup read with Bloom dir skipping — the data-skipping
@@ -668,18 +675,18 @@ object TxnLog {
     val manifest = commits.filter(_.version <= v).lastOption
     val snap = manifest.map(_.dirs).getOrElse(Seq.empty)
     val stats = manifest.map(_.stats).getOrElse(Map.empty)
-    val probes = bloomProbes(String.valueOf(value))
+    val probes = bloomProbes(spark, value)
     val (keep, skip) = snap.partition { d =>
       val ds = stats.get(d)
-      val bloomOk = ds.flatMap(_.get(s"$BloomKeyPrefix$column")) match {
-        case Some(ColStat("bloom", hexWords, meta))
+      val bloomOk = (probes, ds.flatMap(_.get(s"$BloomKeyPrefix$column"))) match {
+        case (Some(ps), Some(ColStat("bloom", hexWords, meta)))
           if meta == s"$BloomBits:$BloomK" && hexWords.length == BloomBits / 4 =>
-          probes.forall { p =>
+          ps.forall { p =>
             val w = java.lang.Long.parseUnsignedLong(
               hexWords.substring((p >>> 6).toInt * 16, (p >>> 6).toInt * 16 + 16), 16)
             (w & (1L << (p & 63))) != 0L
           }
-        case _ => true // no bloom (or an unreadable one): never skip
+        case _ => true // no bloom / unreadable / null probe: never skip
       }
       bloomOk && mayContain(ds.flatMap(_.get(column)), value, value)
     }
@@ -1271,14 +1278,31 @@ object TxnLog {
         case "replace" =>
           val affected = prior.filterNot(c.dirs.toSet)
           val newDirs = c.dirs.filterNot(prior.toSet)
-          val old = affected.map(d => dirFrame(spark, root, d, priorDvs))
+          val old0 = affected.map(d => dirFrame(spark, root, d, priorDvs))
             .reduce(_.unionByName(_, allowMissingColumns = true))
-          val neu =
-            if (newDirs.isEmpty) old.limit(0)
+          val neu0 =
+            if (newDirs.isEmpty) old0.limit(0)
             else newDirs.map(d => dirFrame(spark, root, d, c.dvs))
               .reduce(_.unionByName(_, allowMissingColumns = true))
-          val deleted = old.exceptAll(neu.select(old.columns.map(col): _*))
-          val inserted = neu.exceptAll(old.select(neu.columns.map(col): _*))
+          // after a widening schema-evolution append, one side may be
+          // all-narrow (the affected dirs predate the widening, or the
+          // rewrite dropped rows carrying the wide column): align BOTH
+          // sides to the union schema with typed null-fill — the same
+          // allowMissingColumns semantics read() gives a snapshot —
+          // so the exceptAll diffs never throw on a missing column
+          val unionCols = (old0.columns ++ neu0.columns.filterNot(
+            old0.columns.contains(_: String))).toIndexedSeq
+          val colType = (old0.schema ++ neu0.schema)
+            .map(f => f.name -> f.dataType).toMap
+          def aligned(df: DataFrame): DataFrame = {
+            val have = df.columns.toSet
+            df.select(unionCols.map(cn =>
+              if (have(cn)) col(cn) else lit(null).cast(colType(cn)).as(cn)): _*)
+          }
+          val old = aligned(old0)
+          val neu = aligned(neu0)
+          val deleted = old.exceptAll(neu)
+          val inserted = neu.exceptAll(old)
           if (keyCols.isEmpty)
             Some(tag(deleted, "delete", c.version)
               .unionByName(tag(inserted, "insert", c.version)))
@@ -1409,24 +1433,22 @@ object TxnLog {
     // a violating commit deletes its orphan dir and fails loudly, the
     // table never moves. SQL CHECK semantics: only FALSE violates,
     // NULL passes. One narrow aggregate over the new dir only.
-    val activeChecks = history(spark, root).lastOption
-      .map(_.checks).getOrElse(Map.empty)
-    if (activeChecks.nonEmpty) {
+    def validateChecks(checks: Map[String, String]): Unit = if (checks.nonEmpty) {
       val verdicts =
         try {
           val dirDf = spark.read.parquet(s"$root/data/$dir")
-          val aggs = activeChecks.toSeq.sortBy(_._1).map { case (n, p) =>
+          val aggs = checks.toSeq.sortBy(_._1).map { case (n, p) =>
             count(when(coalesce(not(
               org.apache.spark.sql.functions.expr(p)), lit(false)), 1)).as(n)
           }
           val row = dirDf.agg(aggs.head, aggs.tail: _*).head
-          activeChecks.keys.toSeq.sorted.map(n => n -> row.getAs[Long](n))
+          checks.keys.toSeq.sorted.map(n => n -> row.getAs[Long](n))
         } catch { case scala.util.control.NonFatal(e) =>
           // e.g. the commit's schema dropped a checked column — the
           // constraint cannot be proven, so the commit is refused
           fs.delete(new Path(s"$root/data/$dir"), true)
           throw new IllegalArgumentException(
-            s"TxnLog: CHECK constraint(s) ${activeChecks.keys.toSeq.sorted.mkString(",")} " +
+            s"TxnLog: CHECK constraint(s) ${checks.keys.toSeq.sorted.mkString(",")} " +
               s"could not be evaluated against the new commit at $root — refused", e)
         }
       val bad = verdicts.filter(_._2 > 0)
@@ -1438,6 +1460,9 @@ object TxnLog {
             " — commit refused, no version published")
       }
     }
+    var validatedChecks = history(spark, root).lastOption
+      .map(_.checks).getOrElse(Map.empty)
+    validateChecks(validatedChecks)
     // stats are read back from the WRITTEN directory, not the input
     // frame — the manifest certifies what is on disk (the LayoutCache
     // discipline), and the read-back picks up partition columns too
@@ -1507,8 +1532,16 @@ object TxnLog {
         .map(dv => dv.copy(dirs = dv.dirs.filter(dirs.contains)))
         .filter(_.dirs.nonEmpty)
       // CHECK constraints are table metadata, not snapshot data: they
-      // carry across every action (incl. overwrite) until dropCheck
+      // carry across every action (incl. overwrite) until dropCheck.
+      // A check registered CONCURRENTLY (between our pre-loop
+      // validation and this publish attempt) must not ride into the
+      // new manifest unvalidated — re-validate the new dir against
+      // the loop-time set whenever it differs from what we last proved
       val carriedChecks = commits.lastOption.map(_.checks).getOrElse(Map.empty)
+      if (carriedChecks != validatedChecks) {
+        validateChecks(carriedChecks)
+        validatedChecks = carriedChecks
+      }
       if (tryPublish(fs, root,
         Commit(version, action, dirs, txnId, stats, dvs, carriedChecks)))
         return version

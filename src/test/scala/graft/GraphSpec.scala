@@ -39,6 +39,24 @@ class GraphSpec extends SparkSpec {
       Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
   }
 
+  test("kCore: a peel chain longer than the budget fails loudly instead of returning a non-core") {
+    // a 12-node path peels one vertex from each end per round: its
+    // 2-core is EMPTY but needs 6 edge-removing rounds to prove it —
+    // a silent 2-round budget would return the middle of the path as
+    // a fake core
+    val path = (1L until 12L).map(i => (i, i + 1)).toDF("a", "b")
+    val e = intercept[IllegalArgumentException] {
+      Graph.kCore(path, "a", "b", k = 2, rounds = 2).collect()
+    }
+    assert(e.getMessage.contains("not converged"), e.getMessage)
+    // with budget to spare, the fixpoint is found (and it is empty)
+    assert(Graph.kCore(path, "a", "b", k = 2, rounds = 8).count() == 0L)
+    // a triangle with the same budget converges immediately (no-op
+    // round proves the fixpoint without consuming budget)
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("a", "b")
+    assert(Graph.kCore(tri, "a", "b", k = 2, rounds = 1).count() == 3L)
+  }
+
   test("labelPropagation splits bridged cliques into two communities; CC would merge them") {
     // two triangles bridged by 3-4: one connected component, but LPA
     // at 4 synchronous min-tie rounds lands A={1,2,3}->1, B={4,5,6}->3

@@ -170,6 +170,31 @@ class RankingLmSpec extends SparkSpec {
     assert(TxnLog.latestVersion(spark, s"$full/_catalog") == vR)
   }
 
+  test("Bm25Index.delete of a token-less (null-text) doc decrements n_docs exactly") {
+    import graft.search.Bm25Index
+    import graft.sources.TxnLog
+    val base = java.nio.file.Files.createTempDirectory("bm25_nulldoc")
+    val full = base.resolve("full").toString
+    val clean = base.resolve("clean").toString
+    // doc 3 has NULL text: zero tokens, zero real postings — but it IS
+    // an indexed doc (n_docs counts it), so deleting it must shrink
+    // n_docs or every surviving score drifts from the one-shot build
+    val docs = Seq((1L, "spark merge window"), (2L, "merge merge tiny"),
+      (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    Bm25Index.build(docs, full, nBuckets = 4)
+    Bm25Index.delete(spark, full, Seq(3L), Some("rtbf-null"))
+    Bm25Index.build(docs.filter(col("doc_id") =!= 3L), clean, nBuckets = 4)
+    def stats(p: String) = TxnLog.read(spark, s"$p/stats")
+      .agg(org.apache.spark.sql.functions.sum("n_docs"),
+        org.apache.spark.sql.functions.sum("total_dl")).head
+    assert(stats(full).getLong(0) == 2L, s"n_docs overstated: ${stats(full)}")
+    assert(stats(full).toSeq == stats(clean).toSeq)
+    // and the served ranking is bit-identical to never-held
+    val terms = Seq("spark", "merge")
+    assert(Bm25Index.topK(spark, full, terms, k = 10).collect().toSeq ==
+      Bm25Index.topK(spark, clean, terms, k = 10).collect().toSeq)
+  }
+
   test("bm25Search favors docs matching more/rarer terms over raw repetition") {
     val docs = Seq(
       (1L, "common common common common common"),

@@ -879,6 +879,82 @@ class TxnLogSpec extends SparkSpec {
     assert(keepC.size <= 1) // at most the stat-blind dir survives
   }
 
+  test("bloom probes hash the writer's CAST rendering: timestamp point lookups are never wrongly skipped") {
+    val root = Files.createTempDirectory("graft_txn").toString + "/t"
+    // String.valueOf(java.sql.Timestamp) renders "…:17:00.0" while the
+    // writer's CAST(col AS STRING) renders "…:17:00" — a driver-side
+    // re-rendering probes the wrong bytes, and a Bloom that proves
+    // absence for a value the table HOLDS silently drops rows. The
+    // probes must come from the same engine expression as the bits.
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    (0 until 4).foreach { h =>
+      val rows = (0 until 30).map(m => (h.toLong * 100 + m, ts(f"2024-03-01 0$h%02d:$m%02d:00")))
+      if (h == 0) TxnLog.overwrite(rows.toDF("id", "t"), root, bloomCols = Seq("t"))
+      else TxnLog.append(rows.toDF("id", "t"), root, bloomCols = Seq("t"))
+    }
+    val v = ts("2024-03-01 02:17:00")
+    assert(TxnLog.readPoint(spark, root, "t", v).count() == 1,
+      "the bloom wrongly proved absence for a held timestamp")
+    val (keep, skip, snap) = TxnLog.prunePoint(spark, root, "t", v)
+    assert(snap.size == 4 && keep.nonEmpty && skip.nonEmpty,
+      s"probe should keep the holder and skip the rest: keep=$keep skip=$skip")
+    // a NULL probe never consults the bloom (the writer set no bits
+    // for NULLs): every dir survives, the exact predicate decides
+    val (keepN, skipN, _) = TxnLog.prunePoint(spark, root, "t", null)
+    assert(keepN.size == 4 && skipN.isEmpty)
+  }
+
+  test("a CHECK racing a commit is never published over an unvalidated dir") {
+    // writer A appends rows violating 'pos'; writer B registers the
+    // check concurrently. Whatever the interleaving, the final table
+    // may hold EITHER the check OR the violating rows — never both:
+    // addCheck validates existing data, and commit re-validates inside
+    // its CAS loop whenever the carried check set moved under it.
+    (0 until 4).foreach { i =>
+      val root = Files.createTempDirectory("graft_txn").toString + s"/race$i"
+      TxnLog.overwrite(Seq((1L, "a")).toDF("id", "s"), root)
+      val start = new java.util.concurrent.CyclicBarrier(2)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      def attempt(f: => Unit): scala.concurrent.Future[Boolean] =
+        scala.concurrent.Future { start.await(); try { f; true } catch {
+          case scala.util.control.NonFatal(_) => false } }
+      val fA = attempt { TxnLog.append(Seq((-7L, "bad")).toDF("id", "s"), root); () }
+      val fB = attempt { TxnLog.addCheck(spark, root, "pos", "id > 0"); () }
+      val aOk = scala.concurrent.Await.result(fA, scala.concurrent.duration.Duration.Inf)
+      val bOk = scala.concurrent.Await.result(fB, scala.concurrent.duration.Duration.Inf)
+      pool.shutdown()
+      val hasCheck = TxnLog.checks(spark, root).contains("pos")
+      val hasBad = TxnLog.read(spark, root)
+        .filter(org.apache.spark.sql.functions.col("id") < 0L).count() > 0
+      assert(!(hasCheck && hasBad),
+        s"iteration $i: check published over an unvalidated violating dir (A=$aOk B=$bOk)")
+      assert(hasCheck == bOk && hasBad == aOk,
+        s"iteration $i: claimed outcomes disagree with the table (A=$aOk B=$bOk check=$hasCheck bad=$hasBad)")
+    }
+  }
+
+  test("changeFeed survives schema evolution: a rewrite over all-narrow dirs diffs on the union schema") {
+    val root = Files.createTempDirectory("graft_txn").toString + "/t"
+    TxnLog.overwrite(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), root)   // v0 narrow
+    TxnLog.append(Seq((10L, "x", 100L)).toDF("id", "s", "extra"), root) // v1 widening
+    // the merge touches only v0's rows → the affected dirs are all
+    // NARROW while the rewrite dir is full-wide; the feed must
+    // null-align both sides before diffing instead of throwing
+    TxnLog.merge(Seq((2L, "B2", 7L)).toDF("id", "s", "extra"), root, Seq("id")) // v2 replace
+    val feed = TxnLog.changeFeed(spark, root, sinceVersion = 1L, keyCols = Seq("id"))
+      .collect().groupBy(_.getAs[String]("_change_type"))
+    val pre = feed("update_preimage").map(r =>
+      (r.getAs[Long]("id"), r.getAs[String]("s"), r.isNullAt(r.fieldIndex("extra"))))
+    val post = feed("update_postimage").map(r =>
+      (r.getAs[Long]("id"), r.getAs[String]("s"), r.getAs[Long]("extra")))
+    assert(pre.toSeq == Seq((2L, "b", true)), s"preimage: ${pre.toSeq}")
+    assert(post.toSeq == Seq((2L, "B2", 7L)), s"postimage: ${post.toSeq}")
+    assert(!feed.contains("delete") && !feed.contains("insert"),
+      s"keyed rewrite must pair into updates: ${feed.keys}")
+  }
+
   test("readWithLineage stamps rows with their creating commit; rewrites re-stamp; time travel recovers originals") {
     import org.apache.spark.sql.functions.col
     val root = Files.createTempDirectory("graft_txn").toString + "/t"

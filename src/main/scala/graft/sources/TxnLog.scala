@@ -36,7 +36,17 @@ import org.apache.spark.sql.functions.{coalesce, col, count, lit, not, struct, w
   * listing is per commit directory, never a full-table scan), readers
   * plan directly on the manifest's directory list (partition pruning
   * and predicate pushdown inside each directory still apply), and the
-  * commit point is one filesystem metadata operation. Opt-in
+  * commit point is one filesystem metadata operation. Manifests are
+  * SELF-CONTAINED (each folds the full visible state, the carried
+  * stats/vectors/checks, and the txnId map), so every snapshot
+  * operation — read, readWhere, fastCount, the commit CAS loop —
+  * resolves ONE manifest (the max-named file; [[latestCommit]]), and
+  * incremental consumers ([[changesSince]], [[changeFeed]],
+  * [[replicate]]) read exactly their delta's range: a streaming table
+  * minting ~10k commits/day never pays an O(n-commits) log replay on
+  * its hot paths. Full history replays are reserved for the history
+  * consumers ([[versions]], [[vacuum]], [[readWithLineage]],
+  * from-the-beginning baselines). Opt-in
   * column-level [min, max] stats per committed directory
   * (`collectStats`) feed [[readWhere]] dir skipping — the
   * Delta/Iceberg data-skipping shape, at commit-dir granularity.
@@ -67,11 +77,20 @@ object TxnLog {
     * WHERE clause). */
   private[graft] case class Dv(pred: String, dirs: Seq[String])
 
+  /** `txns` is the carried (txnId → version) map of every txn-stamped
+    * commit still inside the retention window — the Delta
+    * SetTransaction shape that makes the idempotency lookup O(1)
+    * manifest reads instead of a full log replay. `txnsKnown = false`
+    * marks a legacy manifest written before the map existed: readers
+    * fall back to the full scan once, and the next commit rebuilds
+    * the map into its own manifest. */
   private[graft] case class Commit(version: Long, action: String,
                                    dirs: Seq[String], txnId: Option[String],
                                    stats: Map[String, Map[String, ColStat]] = Map.empty,
                                    dvs: Seq[Dv] = Seq.empty,
-                                   checks: Map[String, String] = Map.empty)
+                                   checks: Map[String, String] = Map.empty,
+                                   txns: Map[String, Long] = Map.empty,
+                                   txnsKnown: Boolean = true)
 
   /** Overwrite the table with `df` as a new version. Returns the
     * committed version number. A `txnId` already in the log makes the
@@ -83,10 +102,8 @@ object TxnLog {
                 collectStats: Boolean = false,
                 bloomCols: Seq[String] = Nil): Long = {
     txnId.foreach { id =>
-      history(df.sparkSession, root).find(_.txnId.contains(id)) match {
-        case Some(c) => return c.version
-        case None =>
-      }
+      txnVersionOf(df.sparkSession, root,
+          latestCommit(df.sparkSession, root), id).foreach(return _)
     }
     commit(df, root, "overwrite", txnId, partitionBy = partitionBy,
       collectStats = collectStats, bloomCols = bloomCols)
@@ -104,10 +121,8 @@ object TxnLog {
              collectStats: Boolean = false,
              bloomCols: Seq[String] = Nil): Long = {
     txnId.foreach { id =>
-      history(df.sparkSession, root).find(_.txnId.contains(id)) match {
-        case Some(c) => return c.version
-        case None =>
-      }
+      txnVersionOf(df.sparkSession, root,
+          latestCommit(df.sparkSession, root), id).foreach(return _)
     }
     commit(df, root, "append", txnId, partitionBy = partitionBy,
       collectStats = collectStats, bloomCols = bloomCols)
@@ -182,24 +197,29 @@ object TxnLog {
 
   /** The manifest visible at `asOf` (latest by default), with the
     * same pin validation as [[read]]: a vacuumed or never-written
-    * version fails loudly. */
+    * version fails loudly. O(1) manifest reads either way — versions
+    * are dense, so "the manifest at ≤ v" IS the manifest at exactly v
+    * when v was ever committed (and the require proves it was). */
   private def manifestAt(spark: SparkSession, root: String,
-                         asOf: Option[Long]): Option[Commit] = {
-    val commits = history(spark, root)
-    val v = asOf.getOrElse(commits.lastOption.map(_.version).getOrElse(-1L))
-    require(asOf.isEmpty || commits.exists(_.version == v),
-      s"TxnLog: version $v does not exist at $root (vacuumed or never written); " +
-        s"available: ${commits.map(_.version).mkString(",")}")
-    commits.filter(_.version <= v).lastOption
+                         asOf: Option[Long]): Option[Commit] = asOf match {
+    case None => latestCommit(spark, root)
+    case Some(v) =>
+      val fs = fileSystem(spark, root)
+      val m = manifestFileAt(fs, root, v)
+      require(m.isDefined,
+        s"TxnLog: version $v does not exist at $root (vacuumed or never written); " +
+          s"available: ${listVersions(fs, root).mkString(",")}")
+      m
   }
 
   /** (version, action, n_dirs, txn_id) per commit — the audit trail. */
   def versions(spark: SparkSession, root: String): Seq[(Long, String, Int, Option[String])] =
     history(spark, root).map(c => (c.version, c.action, c.dirs.size, c.txnId))
 
-  /** Latest committed version, or -1 for an empty/absent table. */
+  /** Latest committed version, or -1 for an empty/absent table.
+    * Names only — zero manifest reads. */
   def latestVersion(spark: SparkSession, root: String): Long =
-    history(spark, root).lastOption.map(_.version).getOrElse(-1L)
+    listVersions(fileSystem(spark, root), root).lastOption.getOrElse(-1L)
 
   /** Drop time travel older than `retainVersions` back from latest:
     * deletes data directories referenced ONLY by expired versions, and
@@ -345,20 +365,17 @@ object TxnLog {
     require(nDirs >= 2 && nDirs <= 4096, s"cluster: need 2 <= nDirs <= 4096, got $nDirs")
     require(bits >= 1 && bits * zorderBy.size <= 40,
       s"cluster: need bits >= 1 and bits * nCols <= 40, got $bits x ${zorderBy.size}")
+    val latest0 = latestCommit(spark, root)
     txnId.foreach { id =>
-      history(spark, root).find(_.txnId.contains(id)) match {
-        case Some(c) => return c.version
-        case None =>
-      }
+      txnVersionOf(spark, root, latest0, id).foreach(return _)
     }
-    val commits = history(spark, root)
-    require(commits.nonEmpty, s"TxnLog: cannot cluster empty table at $root")
-    val expected = commits.last.version
+    require(latest0.nonEmpty, s"TxnLog: cannot cluster empty table at $root")
+    val expected = latest0.get.version
     // a Hive-partitioned table already has a physical layout strategy;
     // a z-order rewrite would silently flatten it — refuse loudly (the
     // two are ALTERNATIVE layouts: pick partition dirs for one
     // low-cardinality column, the z-curve for several range columns)
-    require(layoutOf(spark, root, snapshotAt(commits, expected).toSet).isEmpty,
+    require(layoutOf(spark, root, latest0.get.dirs.toSet).isEmpty,
       s"TxnLog: table at $root is Hive-partitioned — cluster would flatten its layout; " +
         "compact within partitions or rebuild the table unpartitioned first")
     // pinned to `expected` (the append-rebase double-count guard, see
@@ -458,39 +475,37 @@ object TxnLog {
     // constraints hold by construction, no re-validation scan
     var attempt = 0
     while (attempt < MaxRetries) {
-      val cs = history(spark, root)
-      val version = cs.lastOption.map(_.version + 1).getOrElse(0L)
+      val last = latestCommit(spark, root)
+      val version = last.map(_.version + 1).getOrElse(0L)
       // same optimistic resolution as [[commit]]: interleaved plain
       // appends rebase by reference (their dirs stay un-clustered
       // until the next pass — pruning yield, never correctness);
       // anything else aborts
       var rebased: Seq[String] = Nil
       if (version != expected + 1) {
-        val interleaved = cs.filter(_.version > expected)
-        if (!interleaved.forall(_.action == "append")) {
-          newDirs.foreach(d => fs.delete(new Path(s"$root/data/$d"), true))
-          throw new java.util.ConcurrentModificationException(
-            s"TxnLog: table at $root moved (expected latest $expected, found ${version - 1}) — " +
-              s"non-append commits interleaved (${interleaved.map(_.action).mkString(",")}); cluster aborted")
-        }
-        rebased = interleaved.flatMap { c =>
-          val prior = snapshotAt(cs, c.version - 1).toSet
-          c.dirs.filterNot(prior)
+        interleavedAppendDirs(fs, root, expected, version - 1) match {
+          case Left(actions) =>
+            newDirs.foreach(d => fs.delete(new Path(s"$root/data/$d"), true))
+            throw new java.util.ConcurrentModificationException(
+              s"TxnLog: table at $root moved (expected latest $expected, found ${version - 1}) — " +
+                s"non-append commits interleaved (${actions.mkString(",")}); cluster aborted")
+          case Right(ds) => rebased = ds
         }
       }
       txnId.foreach { id =>
-        cs.find(_.txnId.contains(id)).foreach { c =>
+        txnVersionOf(spark, root, last, id).foreach { v =>
           newDirs.foreach(d => fs.delete(new Path(s"$root/data/$d"), true))
-          return c.version
+          return v
         }
       }
-      val carriedChecks = cs.lastOption.map(_.checks).getOrElse(Map.empty)
+      val carriedChecks = last.map(_.checks).getOrElse(Map.empty)
       // rebased append dirs keep their own manifest stats; DVs cannot
       // cover them (appends add none)
-      val carriedStats = cs.lastOption.map(_.stats).getOrElse(Map.empty)
+      val carriedStats = last.map(_.stats).getOrElse(Map.empty)
         .filter { case (d, _) => rebased.contains(d) }
+      val txns = capTxns(carriedTxns(spark, root, last) ++ txnId.map(_ -> version))
       if (tryPublish(fs, root, Commit(version, "overwrite", newDirs ++ rebased, txnId,
-        statsMap ++ carriedStats, Seq.empty, carriedChecks)))
+        statsMap ++ carriedStats, Seq.empty, carriedChecks, txns)))
         return version
       attempt += 1
     }
@@ -574,12 +589,7 @@ object TxnLog {
   private[graft] def pruneDirsAll(spark: SparkSession, root: String,
                                   preds: Seq[(String, Any, Any)],
                                   asOf: Option[Long] = None): (Seq[String], Seq[String], Seq[String]) = {
-    val commits = history(spark, root)
-    val v = asOf.getOrElse(commits.lastOption.map(_.version).getOrElse(-1L))
-    require(asOf.isEmpty || commits.exists(_.version == v),
-      s"TxnLog: version $v does not exist at $root (vacuumed or never written); " +
-        s"available: ${commits.map(_.version).mkString(",")}")
-    val manifest = commits.filter(_.version <= v).lastOption
+    val manifest = manifestAt(spark, root, asOf)
     val snap = manifest.map(_.dirs).getOrElse(Seq.empty)
     val stats = manifest.map(_.stats).getOrElse(Map.empty)
     val (keep, skip) = snap.partition(d => preds.forall { case (c, lo, hi) =>
@@ -667,12 +677,7 @@ object TxnLog {
   private[graft] def prunePoint(spark: SparkSession, root: String, column: String,
                                 value: Any,
                                 asOf: Option[Long] = None): (Seq[String], Seq[String], Seq[String]) = {
-    val commits = history(spark, root)
-    val v = asOf.getOrElse(commits.lastOption.map(_.version).getOrElse(-1L))
-    require(asOf.isEmpty || commits.exists(_.version == v),
-      s"TxnLog: version $v does not exist at $root (vacuumed or never written); " +
-        s"available: ${commits.map(_.version).mkString(",")}")
-    val manifest = commits.filter(_.version <= v).lastOption
+    val manifest = manifestAt(spark, root, asOf)
     val snap = manifest.map(_.dirs).getOrElse(Seq.empty)
     val stats = manifest.map(_.stats).getOrElse(Map.empty)
     val probes = bloomProbes(spark, value)
@@ -730,18 +735,15 @@ object TxnLog {
     * re-baseline. Returns the committed version. */
   def delete(spark: SparkSession, root: String, predicate: Column,
              txnId: Option[String] = None): Long = {
+    val latest = latestCommit(spark, root)
     txnId.foreach { id =>
-      history(spark, root).find(_.txnId.contains(id)) match {
-        case Some(c) => return c.version
-        case None =>
-      }
+      txnVersionOf(spark, root, latest, id).foreach(return _)
     }
-    val commits = history(spark, root)
-    require(commits.nonEmpty, s"TxnLog: cannot delete from empty table at $root")
-    val expected = commits.last.version
-    val snap = snapshotAt(commits, expected)
+    require(latest.nonEmpty, s"TxnLog: cannot delete from empty table at $root")
+    val expected = latest.get.version
+    val snap = latest.get.dirs
     require(snap.nonEmpty, s"TxnLog: nothing to delete at $root (empty snapshot)")
-    val dvs = commits.last.dvs
+    val dvs = latest.get.dvs
     val affected = affectedDirs(spark, root, snap, dvs, _.filter(predicate))
     if (affected.isEmpty) return expected
     val survivors = affected.toSeq.sorted
@@ -783,29 +785,26 @@ object TxnLog {
     * the committed version. */
   def deleteMor(spark: SparkSession, root: String, predicate: Column,
                 txnId: Option[String] = None): Long = {
+    val latest0 = latestCommit(spark, root)
     txnId.foreach { id =>
-      history(spark, root).find(_.txnId.contains(id)) match {
-        case Some(c) => return c.version
-        case None =>
-      }
+      txnVersionOf(spark, root, latest0, id).foreach(return _)
     }
-    val commits = history(spark, root)
-    require(commits.nonEmpty, s"TxnLog: cannot delete from empty table at $root")
-    val expected = commits.last.version
-    val snap = snapshotAt(commits, expected)
+    require(latest0.nonEmpty, s"TxnLog: cannot delete from empty table at $root")
+    val expected = latest0.get.version
+    val snap = latest0.get.dirs
     require(snap.nonEmpty, s"TxnLog: nothing to delete at $root (empty snapshot)")
     val predSql = org.apache.spark.sql.graftinterop.ColumnInterop
       .catalystExpression(predicate).sql
     // the serialized predicate must survive the round trip readers do
     org.apache.spark.sql.functions.expr(predSql)
-    val dvs0 = commits.last.dvs
+    val dvs0 = latest0.get.dvs
     val affected = affectedDirs(spark, root, snap, dvs0, _.filter(predicate))
     if (affected.isEmpty) return expected
     val fs = fileSystem(spark, root)
     var attempt = 0
     while (attempt < MaxRetries) {
-      val cs = history(spark, root)
-      val version = cs.lastOption.map(_.version + 1).getOrElse(0L)
+      val lastOpt = latestCommit(spark, root)
+      val version = lastOpt.map(_.version + 1).getOrElse(0L)
       // CAS with the same optimistic resolution as [[commit]]: the
       // vector's dir scope was derived from `expected`'s snapshot, so
       // interleaved plain appends rebase (their dirs ride in
@@ -814,25 +813,25 @@ object TxnLog {
       // else aborts.
       var rebased: Seq[String] = Nil
       if (version != expected + 1) {
-        val interleaved = cs.filter(_.version > expected)
-        if (!interleaved.forall(_.action == "append"))
-          throw new java.util.ConcurrentModificationException(
-            s"TxnLog: table at $root moved (expected latest $expected, found ${version - 1}) — " +
-              s"non-append commits interleaved (${interleaved.map(_.action).mkString(",")}); merge-on-read delete aborted")
-        rebased = interleaved.flatMap { c =>
-          val prior = snapshotAt(cs, c.version - 1).toSet
-          c.dirs.filterNot(prior)
+        interleavedAppendDirs(fs, root, expected, version - 1) match {
+          case Left(actions) =>
+            throw new java.util.ConcurrentModificationException(
+              s"TxnLog: table at $root moved (expected latest $expected, found ${version - 1}) — " +
+                s"non-append commits interleaved (${actions.mkString(",")}); merge-on-read delete aborted")
+          case Right(ds) => rebased = ds
         }
       }
       txnId.foreach { id =>
-        cs.find(_.txnId.contains(id)).foreach(c => return c.version)
+        txnVersionOf(spark, root, lastOpt, id).foreach(return _)
       }
-      val last = cs.last
+      val last = lastOpt.get
       val snapPub = snap ++ rebased
       val newDvs = last.dvs.map(dv => dv.copy(dirs = dv.dirs.filter(snapPub.contains)))
         .filter(_.dirs.nonEmpty) :+ Dv(predSql, affected.toSeq.sorted)
+      val txns = capTxns(carriedTxns(spark, root, lastOpt) ++ txnId.map(_ -> version))
       if (tryPublish(fs, root,
-        Commit(version, "delete_mor", snapPub, txnId, last.stats, newDvs, last.checks)))
+        Commit(version, "delete_mor", snapPub, txnId, last.stats, newDvs,
+          last.checks, txns)))
         return version
       attempt += 1
     }
@@ -901,16 +900,13 @@ object TxnLog {
             txnId: Option[String] = None): Long = {
     require(keys.nonEmpty, "TxnLog.merge: need at least one key column")
     val spark = source.sparkSession
+    val latest = latestCommit(spark, root)
     txnId.foreach { id =>
-      history(spark, root).find(_.txnId.contains(id)) match {
-        case Some(c) => return c.version
-        case None =>
-      }
+      txnVersionOf(spark, root, latest, id).foreach(return _)
     }
-    val commits = history(spark, root)
-    require(commits.nonEmpty, s"TxnLog: cannot merge into empty table at $root")
-    val expected = commits.last.version
-    val snap = snapshotAt(commits, expected)
+    require(latest.nonEmpty, s"TxnLog: cannot merge into empty table at $root")
+    val expected = latest.get.version
+    val snap = latest.get.dirs
     require(snap.nonEmpty, s"TxnLog: nothing to merge into at $root (empty snapshot)")
     // the UNION schema across the snapshot, first-seen column order —
     // snap.head alone would be the pre-widening schema after a
@@ -932,7 +928,7 @@ object TxnLog {
       s"TxnLog.merge: source has multiple rows for key ${dups.head.toSeq.init.mkString(",")} — " +
         "which one replaces the target row is ambiguous; de-duplicate the source first")
     val srcKeys = source.select(keys.map(col): _*).distinct()
-    val dvs = commits.last.dvs
+    val dvs = latest.get.dvs
     val affected = affectedDirs(spark, root, snap, dvs,
       _.join(srcKeys, keys, "left_semi"))
     if (affected.isEmpty)
@@ -1032,14 +1028,11 @@ object TxnLog {
                predicateSql: String, txnId: Option[String] = None): Long = {
     require(name.nonEmpty && name.forall(c => c.isLetterOrDigit || c == '_'),
       s"TxnLog.addCheck: constraint name must be [A-Za-z0-9_]+, got '$name'")
+    val latest = latestCommit(spark, root)
     txnId.foreach { id =>
-      history(spark, root).find(_.txnId.contains(id)) match {
-        case Some(c) => return c.version
-        case None =>
-      }
+      txnVersionOf(spark, root, latest, id).foreach(return _)
     }
-    val commits = history(spark, root)
-    require(commits.nonEmpty, s"TxnLog: cannot add a check to an empty table at $root")
+    require(latest.nonEmpty, s"TxnLog: cannot add a check to an empty table at $root")
     // parse early (loud on malformed SQL) and validate EXISTING data
     val pred = org.apache.spark.sql.functions.expr(predicateSql)
     val existing = read(spark, root)
@@ -1048,7 +1041,7 @@ object TxnLog {
     require(existing.isEmpty,
       s"TxnLog.addCheck: existing data at $root already violates '$name' " +
         s"($predicateSql) — e.g. ${existing.headOption.map(_.toString).getOrElse("")}")
-    val expected = commits.last.version
+    val expected = latest.get.version
     publishMeta(spark, root, expected, txnId, "set_check",
       last => last.checks + (name -> predicateSql))
   }
@@ -1057,24 +1050,21 @@ object TxnLog {
     * Unknown names fail loudly. Returns the commit's version. */
   def dropCheck(spark: SparkSession, root: String, name: String,
                 txnId: Option[String] = None): Long = {
+    val latest = latestCommit(spark, root)
     txnId.foreach { id =>
-      history(spark, root).find(_.txnId.contains(id)) match {
-        case Some(c) => return c.version
-        case None =>
-      }
+      txnVersionOf(spark, root, latest, id).foreach(return _)
     }
-    val commits = history(spark, root)
-    require(commits.nonEmpty, s"TxnLog: no table at $root")
-    require(commits.last.checks.contains(name),
+    require(latest.nonEmpty, s"TxnLog: no table at $root")
+    require(latest.get.checks.contains(name),
       s"TxnLog.dropCheck: no constraint '$name' at $root " +
-        s"(registered: ${commits.last.checks.keys.toSeq.sorted.mkString(",")})")
-    publishMeta(spark, root, commits.last.version, txnId, "drop_check",
+        s"(registered: ${latest.get.checks.keys.toSeq.sorted.mkString(",")})")
+    publishMeta(spark, root, latest.get.version, txnId, "drop_check",
       last => last.checks - name)
   }
 
   /** Registered CHECK constraints of the current table state. */
   def checks(spark: SparkSession, root: String): Map[String, String] =
-    history(spark, root).lastOption.map(_.checks).getOrElse(Map.empty)
+    latestCommit(spark, root).map(_.checks).getOrElse(Map.empty)
 
   /** Shared CAS'd metadata-only publish (set_check/drop_check): dirs,
     * stats, and deletion vectors carry unchanged; only `checks` is
@@ -1085,18 +1075,19 @@ object TxnLog {
     val fs = fileSystem(spark, root)
     var attempt = 0
     while (attempt < MaxRetries) {
-      val cs = history(spark, root)
-      val version = cs.lastOption.map(_.version + 1).getOrElse(0L)
+      val lastOpt = latestCommit(spark, root)
+      val version = lastOpt.map(_.version + 1).getOrElse(0L)
       if (version != expected + 1)
         throw new java.util.ConcurrentModificationException(
           s"TxnLog: table at $root moved (expected latest $expected, found ${version - 1}) — " +
             s"$action aborted; re-run against the new state")
       txnId.foreach { id =>
-        cs.find(_.txnId.contains(id)).foreach(c => return c.version)
+        txnVersionOf(spark, root, lastOpt, id).foreach(return _)
       }
-      val last = cs.last
+      val last = lastOpt.get
+      val txns = capTxns(carriedTxns(spark, root, lastOpt) ++ txnId.map(_ -> version))
       if (tryPublish(fs, root, Commit(version, action, last.dirs, txnId,
-        last.stats, last.dvs, newChecks(last))))
+        last.stats, last.dvs, newChecks(last), txns)))
         return version
       attempt += 1
     }
@@ -1124,36 +1115,34 @@ object TxnLog {
     * version. */
   def restore(spark: SparkSession, root: String, toVersion: Long,
               txnId: Option[String] = None): Long = {
-    txnId.foreach { id =>
-      history(spark, root).find(_.txnId.contains(id)) match {
-        case Some(c) => return c.version
-        case None =>
-      }
-    }
-    val commits = history(spark, root)
-    require(commits.nonEmpty, s"TxnLog: cannot restore an empty table at $root")
-    require(commits.exists(_.version == toVersion),
-      s"TxnLog: version $toVersion does not exist at $root (vacuumed or never " +
-        s"written); available: ${commits.map(_.version).mkString(",")}")
-    val target = commits.find(_.version == toVersion).get
-    val expected = commits.last.version
-    if (toVersion == expected) return expected
     val fs = fileSystem(spark, root)
+    val latest = latestCommit(spark, root)
+    txnId.foreach { id =>
+      txnVersionOf(spark, root, latest, id).foreach(return _)
+    }
+    require(latest.nonEmpty, s"TxnLog: cannot restore an empty table at $root")
+    val target = manifestFileAt(fs, root, toVersion).getOrElse(
+      throw new IllegalArgumentException(
+        s"TxnLog: version $toVersion does not exist at $root (vacuumed or never " +
+          s"written); available: ${listVersions(fs, root).mkString(",")}"))
+    val expected = latest.get.version
+    if (toVersion == expected) return expected
     var attempt = 0
     while (attempt < MaxRetries) {
-      val cs = history(spark, root)
-      val version = cs.lastOption.map(_.version + 1).getOrElse(0L)
+      val lastOpt = latestCommit(spark, root)
+      val version = lastOpt.map(_.version + 1).getOrElse(0L)
       if (version != expected + 1)
         throw new java.util.ConcurrentModificationException(
           s"TxnLog: table at $root moved (expected latest $expected, found ${version - 1}) — " +
             "restore aborted; re-examine the new state first")
       txnId.foreach { id =>
-        cs.find(_.txnId.contains(id)).foreach(c => return c.version)
+        txnVersionOf(spark, root, lastOpt, id).foreach(return _)
       }
+      val txns = capTxns(carriedTxns(spark, root, lastOpt) ++ txnId.map(_ -> version))
       // the TARGET's data/stats/vectors come back; CHECK constraints
       // are table metadata and stay at the TIP's state
       if (tryPublish(fs, root, Commit(version, "restore", target.dirs, txnId,
-        target.stats, target.dvs, cs.last.checks)))
+        target.stats, target.dvs, lastOpt.get.checks, txns)))
         return version
       attempt += 1
     }
@@ -1176,14 +1165,21 @@ object TxnLog {
     * re-baseline from a full [[read]]. A vacuumed `sinceVersion`
     * fails the same way (the delta's base is gone). */
   def changesSince(spark: SparkSession, root: String, sinceVersion: Long): DataFrame = {
-    val commits = history(spark, root)
-    require(commits.nonEmpty, s"TxnLog table at $root is empty")
-    val latest = commits.last.version
+    val fs = fileSystem(spark, root)
+    val latestOpt = latestCommit(spark, root)
+    require(latestOpt.nonEmpty, s"TxnLog table at $root is empty")
+    val latest = latestOpt.get.version
     require(sinceVersion <= latest,
       s"TxnLog: sinceVersion $sinceVersion is ahead of latest $latest at $root")
-    require(sinceVersion == -1L || commits.exists(_.version == sinceVersion),
+    require(sinceVersion == -1L || fs.exists(logPath(root, sinceVersion)),
       s"TxnLog: version $sinceVersion does not exist at $root (vacuumed?) — " +
         "re-baseline from a full read of the current snapshot")
+    // O(delta) manifest reads — the per-cycle poll of an incremental
+    // consumer never replays the log; only the from-the-beginning
+    // baseline (-1) walks the full history (it reads everything anyway)
+    val commits =
+      if (sinceVersion == -1L) history(spark, root)
+      else commitsInRange(fs, root, sinceVersion, latest)
     val delta = commits.filter(_.version > sinceVersion)
     // set_check/drop_check are metadata-only (dirs unchanged, zero
     // rows added) — an incremental consumer skips straight over them
@@ -1196,8 +1192,8 @@ object TxnLog {
         "so an additive delta does not exist; re-baseline from a full read")
     val baseDirs =
       if (sinceVersion == -1L) Set.empty[String]
-      else snapshotAt(commits, sinceVersion).toSet
-    val snapshot = snapshotAt(commits, latest)
+      else commits.head.dirs.toSet // range head IS the since manifest
+    val snapshot = commits.last.dirs
     val newDirs = snapshot.filterNot(baseDirs)
     if (newDirs.isEmpty)
       // caught up — the COMMON poll outcome must stay cheap: an empty
@@ -1241,15 +1237,21 @@ object TxnLog {
   def changeFeed(spark: SparkSession, root: String, sinceVersion: Long,
                  keyCols: Seq[String] = Nil,
                  untilVersion: Option[Long] = None): DataFrame = {
-    val commits = history(spark, root)
-    require(commits.nonEmpty, s"TxnLog table at $root is empty")
-    val latest = untilVersion.getOrElse(commits.last.version)
-    require(untilVersion.forall(commits.map(_.version).contains),
+    val fs = fileSystem(spark, root)
+    val latestOpt = latestCommit(spark, root)
+    require(latestOpt.nonEmpty, s"TxnLog table at $root is empty")
+    val latest = untilVersion.getOrElse(latestOpt.get.version)
+    require(untilVersion.forall(v => fs.exists(logPath(root, v))),
       s"TxnLog: untilVersion $untilVersion does not exist at $root")
     require(sinceVersion <= latest,
       s"TxnLog: sinceVersion $sinceVersion is ahead of $latest at $root")
-    require(sinceVersion == -1L || commits.exists(_.version == sinceVersion),
+    require(sinceVersion == -1L || fs.exists(logPath(root, sinceVersion)),
       s"TxnLog: version $sinceVersion does not exist at $root (vacuumed?) — re-baseline")
+    // O(range) manifest reads, like [[changesSince]] — a CDC poller's
+    // cycle cost is the commits it consumes, never the log length
+    val commits =
+      if (sinceVersion == -1L) history(spark, root)
+      else commitsInRange(fs, root, sinceVersion, latest)
     val delta = commits.filter(c => c.version > sinceVersion && c.version <= latest)
     val refused = delta.filter(c => c.action == "overwrite" || c.action == "restore")
       .filterNot(c => sinceVersion == -1L && c.version == commits.head.version)
@@ -1348,11 +1350,18 @@ object TxnLog {
   def replicate(spark: SparkSession, sourceRoot: String, targetRoot: String,
                 sinceVersion: Long, keyCols: Seq[String]): Long = {
     require(keyCols.nonEmpty, "replicate: need key columns")
-    val commits = history(spark, sourceRoot)
-    require(commits.nonEmpty, s"TxnLog table at $sourceRoot is empty")
-    val latest = commits.last.version
+    val fs = fileSystem(spark, sourceRoot)
+    val latestOpt = latestCommit(spark, sourceRoot)
+    require(latestOpt.nonEmpty, s"TxnLog table at $sourceRoot is empty")
+    val latest = latestOpt.get.version
     val srcTag = Integer.toHexString(sourceRoot.hashCode)
-    commits.filter(_.version > sinceVersion).foreach { c =>
+    // O(delta) manifest reads per cycle (the changesSince discipline);
+    // only a from-scratch seed (-1) reads the whole log
+    val pending =
+      if (sinceVersion < 0L) history(spark, sourceRoot)
+      else if (latest > sinceVersion) commitsInRange(fs, sourceRoot, sinceVersion + 1, latest)
+      else Seq.empty[Commit]
+    pending.filter(_.version > sinceVersion).foreach { c =>
       val txn = Some(s"repl-$srcTag-v${c.version}")
       c.action match {
         case "set_check" | "drop_check" => // metadata-only: nothing to apply
@@ -1460,7 +1469,7 @@ object TxnLog {
             " — commit refused, no version published")
       }
     }
-    var validatedChecks = history(spark, root).lastOption
+    var validatedChecks = latestCommit(spark, root)
       .map(_.checks).getOrElse(Map.empty)
     validateChecks(validatedChecks)
     // stats are read back from the WRITTEN directory, not the input
@@ -1474,8 +1483,8 @@ object TxnLog {
     }
     var attempt = 0
     while (attempt < MaxRetries) {
-      val commits = history(spark, root)
-      val version = commits.lastOption.map(_.version + 1).getOrElse(0L)
+      val last = latestCommit(spark, root)
+      val version = last.map(_.version + 1).getOrElse(0L)
       // CAS writers (compaction, CoW delete/merge): the rewrite was
       // derived FROM a specific snapshot. If the table moved since,
       // resolve optimistically the Delta way: interleaved PLAIN
@@ -1489,37 +1498,34 @@ object TxnLog {
       var rebasedDirs: Seq[String] = Nil
       expectedLatest.foreach { exp =>
         if (version != exp + 1) {
-          val interleaved = commits.filter(_.version > exp)
-          if (!interleaved.forall(_.action == "append")) {
-            fs.delete(new Path(s"$root/data/$dir"), true)
-            throw new java.util.ConcurrentModificationException(
-              s"TxnLog: table at $root moved (expected latest $exp, found ${version - 1}) — " +
-                s"non-append commits interleaved (${interleaved.map(_.action).mkString(",")}); rewrite aborted")
-          }
-          rebasedDirs = interleaved.flatMap { c =>
-            val prior = snapshotAt(commits, c.version - 1).toSet
-            c.dirs.filterNot(prior)
+          interleavedAppendDirs(fs, root, exp, version - 1) match {
+            case Left(actions) =>
+              fs.delete(new Path(s"$root/data/$dir"), true)
+              throw new java.util.ConcurrentModificationException(
+                s"TxnLog: table at $root moved (expected latest $exp, found ${version - 1}) — " +
+                  s"non-append commits interleaved (${actions.mkString(",")}); rewrite aborted")
+            case Right(ds) => rebasedDirs = ds
           }
         }
       }
       // idempotency re-check under the latest log (a racing retry of
       // the same txn may have won a version since our first look)
       txnId.foreach { id =>
-        commits.find(_.txnId.contains(id)).foreach { c =>
+        txnVersionOf(spark, root, last, id).foreach { v =>
           fs.delete(new Path(s"$root/data/$dir"), true)
-          return c.version
+          return v
         }
       }
       val dirs = action match {
         case "overwrite" => Seq(dir) ++ rebasedDirs
-        case "append"    => snapshotAt(commits, version - 1) :+ dir
+        case "append"    => last.map(_.dirs).getOrElse(Seq.empty) :+ dir
         // copy-on-write rewrite: unaffected directories carry by
         // reference, the freshly written dir replaces the affected set
         case "replace"   => (replaceBase.get :+ dir) ++ rebasedDirs
       }
       // manifests stay self-contained: carry forward the retained
       // dirs' stats from the previous manifest, add the new dir's
-      val carried = commits.lastOption.map(_.stats).getOrElse(Map.empty)
+      val carried = last.map(_.stats).getOrElse(Map.empty)
         .filter { case (d, _) => dirs.contains(d) }
       val stats =
         if (newStats.nonEmpty) carried + (dir -> newStats) else carried
@@ -1528,7 +1534,7 @@ object TxnLog {
       // rewrite read them away; a replace drops exactly the entries
       // scoped to dirs it rewrote (materialized); the new dir is
       // never covered (nothing was deleted from it yet)
-      val dvs = commits.lastOption.map(_.dvs).getOrElse(Seq.empty)
+      val dvs = last.map(_.dvs).getOrElse(Seq.empty)
         .map(dv => dv.copy(dirs = dv.dirs.filter(dirs.contains)))
         .filter(_.dirs.nonEmpty)
       // CHECK constraints are table metadata, not snapshot data: they
@@ -1537,13 +1543,14 @@ object TxnLog {
       // validation and this publish attempt) must not ride into the
       // new manifest unvalidated — re-validate the new dir against
       // the loop-time set whenever it differs from what we last proved
-      val carriedChecks = commits.lastOption.map(_.checks).getOrElse(Map.empty)
+      val carriedChecks = last.map(_.checks).getOrElse(Map.empty)
       if (carriedChecks != validatedChecks) {
         validateChecks(carriedChecks)
         validatedChecks = carriedChecks
       }
+      val txns = capTxns(carriedTxns(spark, root, last) ++ txnId.map(_ -> version))
       if (tryPublish(fs, root,
-        Commit(version, action, dirs, txnId, stats, dvs, carriedChecks)))
+        Commit(version, action, dirs, txnId, stats, dvs, carriedChecks, txns)))
         return version
       attempt += 1 // lost the race: someone else took this version
     }
@@ -1599,15 +1606,10 @@ object TxnLog {
     * in, which keeps the fast path honest by construction. */
   def fastCount(spark: SparkSession, root: String,
                 asOf: Option[Long] = None): Option[Long] = {
-    val commits = history(spark, root)
-    val v = asOf.getOrElse(commits.lastOption.map(_.version).getOrElse(-1L))
-    // same pin validation as read/snapshotDirs: a vacuumed or
-    // never-written asOf must fail loudly, not silently count the
+    // manifestAt carries the pin validation: a vacuumed or
+    // never-written asOf fails loudly, not silently counting the
     // nearest older manifest (a count for a DIFFERENT version)
-    require(asOf.isEmpty || commits.exists(_.version == v),
-      s"TxnLog: version $v does not exist at $root (vacuumed or never written); " +
-        s"available: ${commits.map(_.version).mkString(",")}")
-    val manifest = commits.filter(_.version <= v).lastOption
+    val manifest = manifestAt(spark, root, asOf)
     val snap = manifest.map(_.dirs).getOrElse(Seq.empty)
     if (snap.isEmpty) return Some(0L)
     // a merge-on-read deletion vector erases rows the manifest counts
@@ -1660,11 +1662,10 @@ object TxnLog {
   def tag(spark: SparkSession, root: String, name: String, version: Long): Unit = {
     require(name.nonEmpty && !name.contains("/") && !name.contains(".."),
       s"bad tag name '$name'")
-    val commits = history(spark, root)
-    require(commits.exists(_.version == version),
-      s"TxnLog: cannot tag version $version at $root (vacuumed or never written); " +
-        s"available: ${commits.map(_.version).mkString(",")}")
     val fs = fileSystem(spark, root)
+    require(fs.exists(logPath(root, version)),
+      s"TxnLog: cannot tag version $version at $root (vacuumed or never written); " +
+        s"available: ${listVersions(fs, root).mkString(",")}")
     val p = new Path(s"$root/_graft_tags/$name")
     fs.mkdirs(p.getParent)
     val out = try fs.create(p, false)
@@ -1749,12 +1750,7 @@ object TxnLog {
   private[graft] def pruneDirs(spark: SparkSession, root: String, column: String,
                                lo: Any, hi: Any,
                                asOf: Option[Long] = None): (Seq[String], Seq[String], Seq[String]) = {
-    val commits = history(spark, root)
-    val v = asOf.getOrElse(commits.lastOption.map(_.version).getOrElse(-1L))
-    require(asOf.isEmpty || commits.exists(_.version == v),
-      s"TxnLog: version $v does not exist at $root (vacuumed or never written); " +
-        s"available: ${commits.map(_.version).mkString(",")}")
-    val manifest = commits.filter(_.version <= v).lastOption
+    val manifest = manifestAt(spark, root, asOf)
     val snap = manifest.map(_.dirs).getOrElse(Seq.empty)
     val stats = manifest.map(_.stats).getOrElse(Map.empty)
     val (keep, skip) = snap.partition(d =>
@@ -1789,14 +1785,8 @@ object TxnLog {
 
   /** Visible data directories at `asOf` (names under `<root>/data/`). */
   private def snapshotDirs(spark: SparkSession, root: String,
-                           asOf: Option[Long]): Seq[String] = {
-    val commits = history(spark, root)
-    val v = asOf.getOrElse(commits.lastOption.map(_.version).getOrElse(-1L))
-    require(asOf.isEmpty || commits.exists(_.version == v),
-      s"TxnLog: version $v does not exist at $root (vacuumed or never written); " +
-        s"available: ${commits.map(_.version).mkString(",")}")
-    snapshotAt(commits, v)
-  }
+                           asOf: Option[Long]): Seq[String] =
+    manifestAt(spark, root, asOf).map(_.dirs).getOrElse(Seq.empty)
 
   /** Fold the log up to and including `v`. Manifests are
     * self-contained (each carries its full visible set), so this is
@@ -1804,6 +1794,13 @@ object TxnLog {
   private def snapshotAt(commits: Seq[Commit], v: Long): Seq[String] =
     commits.filter(_.version <= v).lastOption.map(_.dirs).getOrElse(Seq.empty)
 
+  /** Full log replay — O(n-commits) manifest reads. Reserved for the
+    * HISTORY consumers ([[versions]], [[vacuum]], [[readWithLineage]],
+    * the from-the-beginning feed baselines) and the legacy-manifest
+    * txn fallback; every snapshot operation resolves through
+    * [[latestCommit]]/[[manifestFileAt]] instead (O(1) manifests), so
+    * a micro-batch table with thousands of commits never pays a log
+    * replay on its hot read/commit path. */
   private def history(spark: SparkSession, root: String): Seq[Commit] = {
     val fs = fileSystem(spark, root)
     val dir = new Path(s"$root/$LogDir")
@@ -1814,6 +1811,94 @@ object TxnLog {
       .map(st => readManifest(fs, st.getPath))
   }
 
+  /** Committed version numbers, names only — one directory listing,
+    * zero manifest reads. */
+  private def listVersions(fs: FileSystem, root: String): Seq[Long] = {
+    val dir = new Path(s"$root/$LogDir")
+    if (!fs.exists(dir)) return Seq.empty
+    fs.listStatus(dir).toIndexedSeq.map(_.getPath.getName)
+      .filter(_.endsWith(".json"))
+      .map(_.stripSuffix(".json").toLong).sorted
+  }
+
+  /** The manifest of exactly version `v`, or None if never written or
+    * vacuumed — ONE manifest read, no listing. Manifests are
+    * self-contained (each folds the table's full visible state), so
+    * this IS the snapshot at `v`. */
+  private def manifestFileAt(fs: FileSystem, root: String, v: Long): Option[Commit] = {
+    val p = logPath(root, v)
+    if (!fs.exists(p)) None else Some(readManifest(fs, p))
+  }
+
+  /** The latest manifest — one name listing plus ONE manifest read
+    * (the max-named file; versions are zero-padded so name order is
+    * version order). This is the snapshot-op resolution path: a
+    * `_last_checkpoint`-style pointer would save the listing but adds
+    * an advisory file that can lag the CAS truth — the listing IS the
+    * truth, and the expensive part (parsing every manifest) is what
+    * this avoids. */
+  private def latestCommit(spark: SparkSession, root: String): Option[Commit] = {
+    val fs = fileSystem(spark, root)
+    listVersions(fs, root).lastOption.flatMap(v => manifestFileAt(fs, root, v))
+  }
+
+  /** Consecutive manifests `fromVersion..toVersion` inclusive, by
+    * direct per-version reads — O(range), the rewrite-rebase and
+    * incremental-consumer cost shape. A hole means a concurrent
+    * vacuum destroyed part of the range mid-operation: fail loudly. */
+  private def commitsInRange(fs: FileSystem, root: String,
+                             fromVersion: Long, toVersion: Long): Seq[Commit] =
+    (fromVersion to toVersion).map(v => manifestFileAt(fs, root, v).getOrElse(
+      throw new IllegalStateException(
+        s"TxnLog: manifest $v missing at $root (vacuumed while an operation " +
+          s"spanning $fromVersion..$toVersion was in flight)")))
+
+  /** Rewrite-rebase resolution by direct range reads: the dirs each
+    * interleaved commit in `(expected, current]` added (its manifest
+    * minus its predecessor's), provided every interleaved action is a
+    * PLAIN APPEND — otherwise Left of the action list (the caller
+    * aborts: a conflicting rewrite may have read or moved what we
+    * rewrote). O(interleaved) manifest reads, never a log replay. */
+  private def interleavedAppendDirs(fs: FileSystem, root: String,
+                                    expected: Long, current: Long): Either[Seq[String], Seq[String]] = {
+    val range = commitsInRange(fs, root, expected, current)
+    val interleaved = range.tail
+    if (!interleaved.forall(_.action == "append")) Left(interleaved.map(_.action))
+    else Right(range.sliding(2).collect { case Seq(prev, c) =>
+      c.dirs.filterNot(prev.dirs.toSet) }.flatten.toSeq)
+  }
+
+  /** Carried txn map cap: beyond this many remembered txnIds the
+    * LOWEST-version entries are evicted — a replay older than 100k
+    * txn-stamped commits is no longer detected (Delta's
+    * setTransactionRetention trade; streaming replays only ever
+    * re-deliver the last batch). */
+  private val TxnRetention = 100000
+  private def capTxns(m: Map[String, Long]): Map[String, Long] =
+    if (m.size <= TxnRetention) m
+    else m.toSeq.sortBy(-_._2).take(TxnRetention).toMap
+
+  /** The txn map the NEXT manifest carries forward. Legacy last
+    * manifests (pre-txns format) rebuild it from the full log once —
+    * after which every lookup is O(1) again. */
+  private def carriedTxns(spark: SparkSession, root: String,
+                          last: Option[Commit]): Map[String, Long] = last match {
+    case None => Map.empty
+    case Some(c) if c.txnsKnown => c.txns
+    case Some(_) =>
+      history(spark, root).flatMap(c => c.txnId.map(_ -> c.version)).toMap
+  }
+
+  /** Version that already committed `id`, if any — O(1) via the
+    * latest manifest's carried map; a legacy manifest falls back to
+    * the full scan (once — the next commit writes the map). */
+  private def txnVersionOf(spark: SparkSession, root: String,
+                           last: Option[Commit], id: String): Option[Long] =
+    last.flatMap { c =>
+      if (c.txnsKnown) c.txns.get(id)
+      else history(spark, root).find(_.txnId.contains(id)).map(_.version)
+    }
+
   /** Read+parse one manifest, retrying briefly on empty/partial
     * content: the create-exclusive call is the commit point, so a
     * concurrent reader can list the manifest in the microseconds
@@ -1823,7 +1908,12 @@ object TxnLog {
     * unreadable after it means a writer crashed mid-publish (fail
     * loudly; recover by deleting the torn manifest, which un-claims
     * the version). Found by the racing-writers spec. */
+  /** Manifest parses since JVM start — the spec instrument proving
+    * snapshot ops open O(1) manifests however long the log grows. */
+  private[graft] val manifestReads = new java.util.concurrent.atomic.AtomicLong
+
   private def readManifest(fs: FileSystem, path: Path): Commit = {
+    manifestReads.incrementAndGet()
     val deadline = System.nanoTime() + 2L * 1000 * 1000 * 1000
     var last: Throwable = null
     while (System.nanoTime() < deadline) {
@@ -1884,10 +1974,15 @@ object TxnLog {
       if (c.dvs.isEmpty) withStats
       else withStats ~ ("dv" -> c.dvs.toList.map(dv =>
         ("pred" -> dv.pred) ~ ("dirs" -> dv.dirs)))
-    val j =
+    val withChecks =
       if (c.checks.isEmpty) withDvs
       else withDvs ~ ("checks" -> JObject(
         c.checks.toList.sortBy(_._1).map { case (n, p) => n -> (JString(p) : JValue) }))
+    // "txns" is ALWAYS rendered (even empty): its absence is what
+    // marks a legacy manifest, sending readers to the full-scan
+    // idempotency fallback
+    val j = withChecks ~ ("txns" -> JObject(
+      c.txns.toList.sortBy(_._1).map { case (t, v) => t -> (JLong(v) : JValue) }))
     JsonMethods.compact(JsonMethods.render(j))
   }
 
@@ -1935,7 +2030,15 @@ object TxnLog {
       case JObject(cs) => cs.collect { case (n, JString(p)) => n -> p }.toMap
       case _ => Map.empty[String, String]
     }
-    Commit(version, str(j \ "action"), dirs, txn, stats, dvs, checks)
+    // absent only in legacy manifests: flags the full-scan fallback
+    val (txns, txnsKnown) = j \ "txns" match {
+      case JObject(ts) => (ts.collect {
+        case (t, JInt(v)) => t -> v.toLong
+        case (t, JLong(v)) => t -> v
+      }.toMap, true)
+      case _ => (Map.empty[String, Long], false)
+    }
+    Commit(version, str(j \ "action"), dirs, txn, stats, dvs, checks, txns, txnsKnown)
   }
 
   private def fileSystem(spark: SparkSession, root: String): FileSystem =

@@ -935,6 +935,35 @@ class TxnLogSpec extends SparkSpec {
     }
   }
 
+  test("snapshot ops open O(1) manifests on a 120-commit log; polls read only their delta") {
+    val root = Files.createTempDirectory("graft_txn").toString + "/t"
+    TxnLog.overwrite(Seq((0L, "s0")).toDF("id", "s"), root, Some("b-0"))
+    (1 to 120).foreach(i =>
+      TxnLog.append(Seq((i.toLong, s"s$i")).toDF("id", "s"), root, Some(s"b-$i")))
+    def reads(f: => Unit): Long = {
+      val before = TxnLog.manifestReads.get(); f
+      TxnLog.manifestReads.get() - before
+    }
+    // a micro-batch table at commit 120: the hot paths must not replay
+    // the log (each latest-manifest resolution is ONE parse)
+    assert(reads(TxnLog.read(spark, root).count()) <= 2)
+    assert(reads(TxnLog.fastCount(spark, root)) <= 2)
+    assert(reads(TxnLog.latestVersion(spark, root)) == 0) // names only
+    val commitReads = reads {
+      TxnLog.append(Seq((121L, "s121")).toDF("id", "s"), root, Some("b-121"))
+    }
+    assert(commitReads <= 5, s"append parsed $commitReads manifests")
+    // a replayed txnId no-ops via the carried txn map — O(1), and it
+    // remembers the FIRST batch too (121 commits back)
+    assert(reads(assert(
+      TxnLog.append(Seq((0L, "dup")).toDF("id", "s"), root, Some("b-0")) == 0L)) <= 2)
+    // an incremental poll pays for its delta, not the log
+    val pollReads = reads(TxnLog.changesSince(spark, root, 119L).count())
+    assert(pollReads <= 6, s"poll parsed $pollReads manifests")
+    // time travel to a pinned version is one direct manifest read
+    assert(reads(TxnLog.read(spark, root, Some(60L)).count()) <= 2)
+  }
+
   test("changeFeed survives schema evolution: a rewrite over all-narrow dirs diffs on the union schema") {
     val root = Files.createTempDirectory("graft_txn").toString + "/t"
     TxnLog.overwrite(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), root)   // v0 narrow

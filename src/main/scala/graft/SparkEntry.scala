@@ -1425,6 +1425,42 @@ object SparkEntry {
     }
   }
 
+  /** Persisted IVF-PQ index layout — [[ensureIvfIndexLayout]] plus
+    * the PQ tier ([[graft.similarity.IvfIndex.buildPq]]): the corpus
+    * CODES are computed once per source snapshot and stored
+    * cell-partitioned, so serving never re-encodes the corpus (at
+    * 100 TB the 4-byte codes are the index; the float vectors are
+    * read only by the exact rerank). v1 tag: dim 64, 16 cells,
+    * Lloyd 2 iters, PQ 4 subspaces × 16 centroids. */
+  private def ensureIvfPqIndexLayout(spark: SparkSession, dir: String): String = {
+    val fp = graft.sources.LayoutCache.contentFingerprint(
+      Seq(new java.io.File(dir, "embeddings.parquet")))
+    graft.sources.LayoutCache.ensure("graft_ivfpq_index_v1-d64-c16-i2-s4x16",
+      new java.io.File(dir).getName, fp) { tmp =>
+      graft.similarity.IvfIndex.build(
+        Tables.embeddings(spark, dir).select("vec_id", "embedding"),
+        tmp, dim = 64, nCells = 16, iters = 2)
+      graft.similarity.IvfIndex.buildPq(spark, tmp, dim = 64,
+        nSub = 4, nCents = 16)
+    }
+  }
+
+  /** IVF-PQ served from PERSISTED codes
+    * ([[graft.similarity.IvfIndex.topKPq]]): the probe prunes the
+    * pq_codes partitions, ADC never reads a raw embedding, and the
+    * exact rerank touches only the coarse survivors' vectors in the
+    * probed cells — bit-identical to `sim_ivfpq` (same quantizers,
+    * same integer ADC), so it shares that oracle statement verbatim:
+    * storage changes the plan, never the answer. */
+  private def simIvfPqIndexed(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    graft.similarity.IvfIndex.topKPq(spark,
+      ensureIvfPqIndexLayout(spark, dir), queries, dim = 64, k = 5,
+      nProbe = 4, coarseK = 20)
+  }
+
   /** ANN served from the persisted index: must equal `sim_ivf_lloyd`
     * bit-for-bit (same exact-Lloyd quantizer, same shared assignment
     * expression at build and probe) — which is exactly what the
@@ -1993,6 +2029,88 @@ object SparkEntry {
        |SELECT cell_id, n_vectors,
        |  CAST((n_vectors * 10000) // greatest((SELECT SUM(n_vectors) FROM counts), 1) AS BIGINT) AS share_bps
        |FROM counts""".stripMargin
+  }
+
+  /** IVF-PQ composition oracle: Lloyd training + cosine
+    * assignment/probing (shared cents/assigned/probed shapes), PQ
+    * codes + ADC restricted to probed pairs, exact-cosine rerank of
+    * the ADC top-20 — every stage replayed verbatim; `f` (micro
+    * fixed-point vectors) is shared between the Lloyd trainer and the
+    * PQ subvector slicer. Shared by `sim_ivfpq` (ad-hoc composition)
+    * and `sim_ivfpq_indexed` (persisted codes): the storage mode must
+    * not change a single result bit. */
+  private lazy val simIvfPqOracleSql: String = {
+    val sq16 = (a: String, b: String) =>
+      s"list_sum(list_transform(range(1, 17), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))"
+    val dotEC = dotSql("e.embedding", "c.c_emb")
+    val dotEE = dotSql("e.embedding", "e.embedding")
+    lloydCentsSql(2) + s""",
+       |assigned AS (
+       |  SELECT vec_id, embedding, c_norm2, cell_id FROM (
+       |    SELECT e.vec_id, e.embedding,
+       |      sqrt($dotEE) AS c_norm2, c.cell_id,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+       |        -($dotEC) / (sqrt($dotEE) * c.c_norm) ASC,
+       |        c.cell_id ASC) AS rn
+       |    FROM embeddings e CROSS JOIN cents c)
+       |  WHERE rn = 1),
+       |probed AS (
+       |  SELECT q_id, cell_id FROM (
+       |    SELECT e.vec_id AS q_id, c.cell_id,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+       |        -($dotEC) / (sqrt($dotEE) * c.c_norm) ASC,
+       |        c.cell_id ASC) AS rn
+       |    FROM embeddings e CROSS JOIN cents c
+       |    WHERE e.vec_id < 10)
+       |  WHERE rn <= 4),
+       |qs AS (
+       |  SELECT e.vec_id AS q_id, e.embedding AS q_emb,
+       |    sqrt($dotEE) AS q_norm2
+       |  FROM embeddings e WHERE e.vec_id < 10),
+       |sub AS (
+       |  SELECT vec_id, CAST(t.j AS INTEGER) AS sub_id,
+       |    fv[t.j*16+1 : t.j*16+16] AS sv
+       |  FROM f, range(0, 4) t(j)),
+       |cb AS (
+       |  SELECT sub_id, vec_id AS cent_id, sv AS cv FROM sub
+       |  WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id ASC LIMIT 16)),
+       |codes AS (
+       |  SELECT vec_id, sub_id, cent_id FROM (
+       |    SELECT s.vec_id, s.sub_id, c.cent_id,
+       |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.sub_id ORDER BY
+       |        ${sq16("s.sv", "c.cv")} ASC, c.cent_id ASC) AS rn
+       |    FROM sub s JOIN cb c USING (sub_id)) WHERE rn = 1),
+       |dtab AS (
+       |  SELECT s.vec_id AS q_id, s.sub_id, c.cent_id,
+       |    CAST(${sq16("s.sv", "c.cv")} AS BIGINT) AS d
+       |  FROM sub s JOIN cb c USING (sub_id) WHERE s.vec_id < 10),
+       |ppairs AS (
+       |  SELECT p.q_id, a.vec_id
+       |  FROM assigned a JOIN probed p USING (cell_id)
+       |  WHERE a.vec_id <> p.q_id),
+       |adcx AS (
+       |  SELECT pp.q_id, k.vec_id, CAST(SUM(t.d) AS BIGINT) AS adc
+       |  FROM ppairs pp JOIN codes k ON k.vec_id = pp.vec_id
+       |    JOIN dtab t ON t.q_id = pp.q_id
+       |      AND t.sub_id = k.sub_id AND t.cent_id = k.cent_id
+       |  GROUP BY 1, 2),
+       |coarse AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q_id
+       |        ORDER BY adc ASC, vec_id ASC) AS crk
+       |    FROM adcx) WHERE crk <= 20),
+       |rer AS (
+       |  SELECT co.q_id, co.vec_id,
+       |    (${dotSql("a.embedding", "q.q_emb")}) / (a.c_norm2 * q.q_norm2) AS cos
+       |  FROM coarse co
+       |  JOIN assigned a ON a.vec_id = co.vec_id
+       |  JOIN qs q ON q.q_id = co.q_id)
+       |SELECT q_id, vec_id, rank, round(cos, 9) AS cos FROM (
+       |  SELECT q_id, vec_id, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY cos DESC, vec_id ASC) AS rank
+       |  FROM rer) WHERE rank <= 5""".stripMargin
   }
 
   /** Unrolled exact fixed-point Lloyd training
@@ -3188,6 +3306,8 @@ object SparkEntry {
       ((s, d) => { ensureBm25IndexLayout(s, d); () }),
     "bm25_deleted" ->
       ((s, d) => { ensureBm25DeletedLayout(s, d); () }),
+    "sim_ivfpq_indexed" ->
+      ((s, d) => { ensureIvfPqIndexLayout(s, d); () }),
   )
   /** Verified variant ([[graft.dedup.Dedup.incrementalNearDupVerified]]):
     * same split, but a catalog band collision only drops a batch doc
@@ -3988,6 +4108,7 @@ object SparkEntry {
     "ivf_rebuild_advice" -> (ivfRebuildAdvice(_, _)),
     "sim_ivf_rebuilt" -> (simIvfRebuilt(_, _)),
     "sim_ivfpq" -> (simIvfPq(_, _)),
+    "sim_ivfpq_indexed" -> (simIvfPqIndexed(_, _)),
     "sim_pq" -> (simPq(_, _)),
     // Okapi BM25 (rational constants k1=6/5, b=3/4; per-term scores
     // are single long-ratio divisions summed in one fixed-order
@@ -8121,79 +8242,11 @@ object SparkEntry {
     // to probed pairs, exact-cosine rerank of the ADC top-20 — every
     // stage replayed verbatim; `f` (micro fixed-point vectors) is
     // shared between the Lloyd trainer and the PQ subvector slicer
-    "sim_ivfpq" -> {
-      val sq16 = (a: String, b: String) =>
-        s"list_sum(list_transform(range(1, 17), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))"
-      val dotEC = dotSql("e.embedding", "c.c_emb")
-      val dotEE = dotSql("e.embedding", "e.embedding")
-      lloydCentsSql(2) + s""",
-         |assigned AS (
-         |  SELECT vec_id, embedding, c_norm2, cell_id FROM (
-         |    SELECT e.vec_id, e.embedding,
-         |      sqrt($dotEE) AS c_norm2, c.cell_id,
-         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
-         |        -($dotEC) / (sqrt($dotEE) * c.c_norm) ASC,
-         |        c.cell_id ASC) AS rn
-         |    FROM embeddings e CROSS JOIN cents c)
-         |  WHERE rn = 1),
-         |probed AS (
-         |  SELECT q_id, cell_id FROM (
-         |    SELECT e.vec_id AS q_id, c.cell_id,
-         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
-         |        -($dotEC) / (sqrt($dotEE) * c.c_norm) ASC,
-         |        c.cell_id ASC) AS rn
-         |    FROM embeddings e CROSS JOIN cents c
-         |    WHERE e.vec_id < 10)
-         |  WHERE rn <= 4),
-         |qs AS (
-         |  SELECT e.vec_id AS q_id, e.embedding AS q_emb,
-         |    sqrt($dotEE) AS q_norm2
-         |  FROM embeddings e WHERE e.vec_id < 10),
-         |sub AS (
-         |  SELECT vec_id, CAST(t.j AS INTEGER) AS sub_id,
-         |    fv[t.j*16+1 : t.j*16+16] AS sv
-         |  FROM f, range(0, 4) t(j)),
-         |cb AS (
-         |  SELECT sub_id, vec_id AS cent_id, sv AS cv FROM sub
-         |  WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id ASC LIMIT 16)),
-         |codes AS (
-         |  SELECT vec_id, sub_id, cent_id FROM (
-         |    SELECT s.vec_id, s.sub_id, c.cent_id,
-         |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.sub_id ORDER BY
-         |        ${sq16("s.sv", "c.cv")} ASC, c.cent_id ASC) AS rn
-         |    FROM sub s JOIN cb c USING (sub_id)) WHERE rn = 1),
-         |dtab AS (
-         |  SELECT s.vec_id AS q_id, s.sub_id, c.cent_id,
-         |    CAST(${sq16("s.sv", "c.cv")} AS BIGINT) AS d
-         |  FROM sub s JOIN cb c USING (sub_id) WHERE s.vec_id < 10),
-         |ppairs AS (
-         |  SELECT p.q_id, a.vec_id
-         |  FROM assigned a JOIN probed p USING (cell_id)
-         |  WHERE a.vec_id <> p.q_id),
-         |adcx AS (
-         |  SELECT pp.q_id, k.vec_id, CAST(SUM(t.d) AS BIGINT) AS adc
-         |  FROM ppairs pp JOIN codes k ON k.vec_id = pp.vec_id
-         |    JOIN dtab t ON t.q_id = pp.q_id
-         |      AND t.sub_id = k.sub_id AND t.cent_id = k.cent_id
-         |  GROUP BY 1, 2),
-         |coarse AS (
-         |  SELECT q_id, vec_id FROM (
-         |    SELECT q_id, vec_id,
-         |      ROW_NUMBER() OVER (PARTITION BY q_id
-         |        ORDER BY adc ASC, vec_id ASC) AS crk
-         |    FROM adcx) WHERE crk <= 20),
-         |rer AS (
-         |  SELECT co.q_id, co.vec_id,
-         |    (${dotSql("a.embedding", "q.q_emb")}) / (a.c_norm2 * q.q_norm2) AS cos
-         |  FROM coarse co
-         |  JOIN assigned a ON a.vec_id = co.vec_id
-         |  JOIN qs q ON q.q_id = co.q_id)
-         |SELECT q_id, vec_id, rank, round(cos, 9) AS cos FROM (
-         |  SELECT q_id, vec_id, cos,
-         |    ROW_NUMBER() OVER (PARTITION BY q_id
-         |      ORDER BY cos DESC, vec_id ASC) AS rank
-         |  FROM rer) WHERE rank <= 5""".stripMargin
-    },
+    "sim_ivfpq" -> simIvfPqOracleSql,
+    // the persisted-codes serving path must be bit-identical: same
+    // quantizers, same integer ADC, same rerank — the oracle statement
+    // is shared verbatim (the sim_ivf_indexed convention)
+    "sim_ivfpq_indexed" -> simIvfPqOracleSql,
     // PQ-ADC: fixed-point subvectors, integer code assignment (ties ->
     // lower centroid id), integer ADC sums — replayed exactly
     "sim_pq" -> {

@@ -258,7 +258,203 @@ object IvfIndex {
     val current = readCells(spark, path, txnSafe)
       .select(col("vec_id"), col("embedding"))
     build(current, newPath, dim, nCells, iters, txnSafe)
+    // an index carrying the PQ tier re-trains BOTH quantizers: the
+    // new generation's codes come from the rebuilt cells, healing PQ
+    // drift exactly as the coarse rebuild heals cell drift
+    if (new java.io.File(path, "pq_codebook").exists) {
+      val old = spark.read.parquet(s"$path/pq_codebook")
+      val nSub = pqNSub(old)
+      val nCents = old.select("cent_id").distinct().count().toInt
+      buildPq(spark, newPath, dim, nSub, nCents, txnSafe)
+    }
     newPath
+  }
+
+  // ----------------------------------------------------------------
+  // PQ tier: persisted codes (the memory tier below the raw cells)
+  // ----------------------------------------------------------------
+
+  /** Train the PQ quantizer over the index's CURRENT cells and persist
+    * the corpus CODES — at 100 TB the codes ARE the index (a 4-byte
+    * code row against a 256-byte float32 vector), so a serving query
+    * must never re-encode the corpus the way
+    * [[Similarity.ivfPqTopK]] does per call. Layout, next to
+    * centroids/cells in the same generation dir:
+    *  - `<path>/pq_codebook`: (sub_id, cent_id, cv) — nSub·nCents
+    *    fixed-point micro subvectors, [[Similarity.pqTopK]]'s
+    *    deterministic lowest-vec_id training convention, so the whole
+    *    artifact replays in SQL;
+    *  - `<path>/pq_codes`: (vec_id, codes — element i+1 is subspace
+    *    i's assigned centroid) PARTITIONED BY cell_id, so a query's
+    *    probe set prunes code partitions exactly as it prunes cells.
+    *
+    * Codes derive from the cells table itself (vec_id + embedding
+    * ride with every row — the [[rebuild]] self-containment), and the
+    * code assignment is the [[Similarity.pqTopK]] integer min-by, so
+    * [[topKPq]] is bit-identical to the ad-hoc composition. PQ drift
+    * on [[appendPq]]ed batches is accepted until [[rebuild]], the
+    * same no-retrain trade as the coarse quantizer's. */
+  def buildPq(spark: SparkSession, path: String, dim: Int,
+              nSub: Int = 4, nCents: Int = 16,
+              txnSafe: Boolean = false): Unit = {
+    require(nSub > 0 && dim % nSub == 0, s"dim=$dim must divide into nSub=$nSub")
+    require(nCents > 0, s"nCents must be positive, got $nCents")
+    val cells = readCells(spark, path, txnSafe)
+      .select(col("vec_id"), col("cell_id").cast("long").as("cell_id"),
+        col("embedding"))
+    val codebook = pqSubRows(
+      cells.orderBy(col("vec_id").asc).limit(nCents).drop("cell_id"),
+      "vec_id", "cent_id", dim, nSub)
+      .withColumnRenamed("sv", "cv")
+    codebook.write.mode("overwrite").parquet(s"$path/pq_codebook")
+    val codes = pqCodesOf(cells,
+      spark.read.parquet(s"$path/pq_codebook"), dim, nSub)
+    if (txnSafe) {
+      graft.sources.TxnLog.overwrite(codes, s"$path/pq_codes",
+        partitionBy = Seq("cell_id"))
+      ()
+    } else
+      codes.write.mode("overwrite").partitionBy("cell_id")
+        .parquet(s"$path/pq_codes")
+  }
+
+  /** Incremental maintenance of BOTH tiers: assign the new batch with
+    * the persisted coarse quantizer AND code it with the persisted
+    * codebook, appending cells and pq_codes together — neither
+    * quantizer retrains (drift accepted until [[rebuild]]), so an
+    * appended index equals a one-shot build whose training sets
+    * match. Same txnSafe/txnId contract as [[append]]. */
+  def appendPq(spark: SparkSession, path: String, newVectors: DataFrame,
+               dim: Int, txnSafe: Boolean = false,
+               txnId: Option[String] = None): Unit = {
+    require(txnId.isEmpty || txnSafe,
+      "IvfIndex.appendPq: txnId requires txnSafe = true")
+    val cents = readCentroids(spark, path, dim)
+    val codebook = spark.read.parquet(s"$path/pq_codebook")
+    val nSub = pqNSub(codebook)
+    val assigned = assignCells(newVectors, cents)
+    val codes = pqCodesOf(
+      assigned.select(col("vec_id"), col("cell_id").cast("long").as("cell_id"),
+        col("embedding")), codebook, dim, nSub)
+    if (txnSafe) {
+      graft.sources.TxnLog.append(assigned, s"$path/cells",
+        txnId.map(_ + "-cells"), partitionBy = Seq("cell_id"))
+      graft.sources.TxnLog.append(codes, s"$path/pq_codes",
+        txnId.map(_ + "-codes"), partitionBy = Seq("cell_id"))
+      ()
+    } else {
+      assigned.write.mode("append").partitionBy("cell_id")
+        .parquet(s"$path/cells")
+      codes.write.mode("append").partitionBy("cell_id")
+        .parquet(s"$path/pq_codes")
+    }
+  }
+
+  /** Serve IVF-PQ from the persisted index — the FAISS `IVFx,PQy`
+    * query path over stored artifacts: probe `nProbe` cells with the
+    * persisted coarse quantizer, ADC-score ONLY the probed partitions'
+    * CODES (raw embeddings are never read here — the scan is the
+    * 64×-smaller codes table, partition-pruned), exact-cosine rerank
+    * the ADC top `coarseK` from the probed cells. Bit-identical to
+    * [[Similarity.ivfPqTopK]] with the same quantizers — storage
+    * changes the plan, never the answer. */
+  def topKPq(spark: SparkSession, path: String, queries: DataFrame,
+             dim: Int, k: Int, nProbe: Int = 4, coarseK: Int = 20,
+             txnSafe: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1 && nProbe >= 1 && coarseK >= k,
+      s"need nProbe >= 1 and coarseK >= k >= 1, got k=$k nProbe=$nProbe coarseK=$coarseK")
+    val cents = readCentroids(spark, path, dim)
+    val codebook = broadcast(spark.read.parquet(s"$path/pq_codebook"))
+    val nSub = pqNSub(spark.read.parquet(s"$path/pq_codebook"))
+    val qn = queries.withColumn("q_norm2", Similarity.norm(col("q_emb")))
+    val probed = qn
+      .withColumn("probe", explode(slice(
+        array_sort(Similarity.cellDistsLit(cents)(col("q_emb"), col("q_norm2"))),
+        1, nProbe)))
+      .select(col("q_id"), col("probe.cell_id").as("cell_id"))
+    // bounded by |queries| x nProbe: a plan-time literal prunes the
+    // code AND cell partitions (the [[topK]] discipline)
+    val probeCells = probed.select("cell_id").distinct()
+      .collect().map(_.getLong(0)).sorted
+    val codes = readPqCodes(spark, path, txnSafe)
+      .filter(col("cell_id").isin(probeCells: _*))
+    // per-query ADC lookup tables — tiny, broadcast
+    val dtab = pqSubRows(qn.select(col("q_id"), col("q_emb").as("embedding")),
+        "q_id", "q_id", dim, nSub)
+      .join(codebook, "sub_id")
+      .select(col("q_id"), col("sub_id"), col("cent_id"),
+        Similarity.sqDist(col("sv"), col("cv")).as("d"))
+    val adc = codes.join(broadcast(probed), "cell_id")
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        posexplode(col("codes")).as(Seq("sub_id", "cent_id")))
+      .join(broadcast(dtab), Seq("q_id", "sub_id", "cent_id"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("d")).as("adc"))
+    val coarse = adc.withColumn("__crk", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("adc").asc, col("vec_id").asc)))
+      .filter(col("__crk") <= coarseK)
+      .select(col("q_id"), col("vec_id"))
+    // the ONLY stage that reads raw embeddings: coarseK survivors per
+    // query, from the probed cell partitions
+    val cells = readCells(spark, path, txnSafe)
+      .filter(col("cell_id").isin(probeCells: _*))
+      .select(col("vec_id"), col("embedding"), col("c_norm2"))
+    val rer = coarse.join(cells, "vec_id")
+      .join(broadcast(qn.select("q_id", "q_emb", "q_norm2")), "q_id")
+      .select(col("q_id"), col("vec_id"),
+        (Similarity.dot(col("embedding"), col("q_emb")) /
+          (col("c_norm2") * col("q_norm2"))).as("cos"))
+    Similarity.rankScored(rer, k)
+  }
+
+  /** One row per (id, subspace): the fixed-point subvector —
+    * [[Similarity.pqTopK]]'s slicing convention over a
+    * (idCol, embedding) frame. */
+  private def pqSubRows(df: DataFrame, idCol: String, idOut: String,
+                        dim: Int, nSub: Int): DataFrame = {
+    val sw = dim / nSub
+    df.select(col(idCol).as(idOut), Similarity.fpMicro(col("embedding")).as("__fv"))
+      .select(col(idOut),
+        posexplode(transform(sequence(lit(0), lit(nSub - 1)),
+          j => slice(col("__fv"), j * sw + 1, lit(sw)))).as(Seq("sub_id", "sv")))
+  }
+
+  /** (vec_id, codes, cell_id): each vector's per-subspace centroid
+    * assignment (integer min-by, ties toward the lower centroid)
+    * packed into one array — codes.element_at(i+1) = subspace i. */
+  private def pqCodesOf(cells: DataFrame, codebook: DataFrame,
+                        dim: Int, nSub: Int): DataFrame = {
+    val sw = dim / nSub
+    cells.select(col("vec_id"), col("cell_id"),
+        Similarity.fpMicro(col("embedding")).as("__fv"))
+      .select(col("vec_id"), col("cell_id"),
+        posexplode(transform(sequence(lit(0), lit(nSub - 1)),
+          j => slice(col("__fv"), j * sw + 1, lit(sw)))).as(Seq("sub_id", "sv")))
+      .join(broadcast(codebook), "sub_id")
+      .withColumn("d", Similarity.sqDist(col("sv"), col("cv")))
+      .groupBy(col("vec_id"), col("cell_id"), col("sub_id"))
+      .agg(min_by(col("cent_id"), struct(col("d"), col("cent_id"))).as("cent_id"))
+      .groupBy(col("vec_id"), col("cell_id"))
+      .agg(array_sort(collect_list(struct(col("sub_id"), col("cent_id")))).as("__sc"))
+      .select(col("vec_id"),
+        transform(col("__sc"), s => s.getField("cent_id")).as("codes"),
+        col("cell_id"))
+  }
+
+  /** Subspace count recovered from the stored codebook (bounded:
+    * ≤ nSub·nCents rows' metadata, one small agg). */
+  private def pqNSub(codebook: DataFrame): Int =
+    codebook.agg(max(col("sub_id"))).head.getInt(0) + 1
+
+  /** The pq_codes table in the mode it was built with. */
+  private def readPqCodes(spark: SparkSession, path: String,
+                          txnSafe: Boolean): DataFrame = {
+    val df =
+      if (txnSafe) graft.sources.TxnLog.read(spark, s"$path/pq_codes")
+      else spark.read.parquet(s"$path/pq_codes")
+    df.withColumn("cell_id", col("cell_id").cast("long"))
   }
 
   /** Serve a query batch from the persisted index: probe each query's

@@ -720,6 +720,17 @@ object Similarity {
     * distance table and partial-aggregates the nSub terms map-side —
     * one narrow (q_id, vec_id, partial-sum) exchange; embeddings
     * themselves never shuffle past the assignment stage. */
+  /** Fixed-point micro quantization of a float vector — the shared
+    * convention of [[lloydCentroidsExact]]/[[pqTopK]]/[[ivfPqTopK]],
+    * exposed so [[IvfIndex]]'s persisted PQ codes are bit-compatible
+    * with the ad-hoc paths. */
+  private[similarity] def fpMicro(c: Column): Column =
+    transform(c, v => round(v.cast("double") * 1000000.0).cast("long"))
+
+  /** Integer squared L2 between two fixed-point vectors. */
+  private[similarity] def sqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), _ + _)
+
   def pqTopK(candidates: DataFrame, queries: DataFrame, dim: Int, k: Int,
              nSub: Int = 4, nCents: Int = 16): DataFrame = {
     import org.apache.spark.sql.expressions.Window

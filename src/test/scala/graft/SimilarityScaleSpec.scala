@@ -95,6 +95,83 @@ class SimilarityScaleSpec extends SparkSpec {
     assert(pf.get.contains("IN") || pf.get.contains("in("), pf.get)
   }
 
+  test("persisted PQ codes: topKPq is bit-identical to the ad-hoc IVF-PQ composition; codes scan prunes and never reads embeddings") {
+    import graft.similarity.IvfIndex
+    val e = Tables.embeddings(spark, dir01).select("vec_id", "embedding")
+    val path = java.nio.file.Files.createTempDirectory("ivfpq_idx").resolve("idx").toString
+    IvfIndex.build(e, path, dim = 64, nCells = 16, iters = 2)
+    IvfIndex.buildPq(spark, path, dim = 64, nSub = 4, nCents = 16)
+    val q = queries(Tables.embeddings(spark, dir01))
+    val fromIndex = IvfIndex.topKPq(spark, path, q, dim = 64, k = 5,
+      nProbe = 4, coarseK = 20)
+    val adHoc = Similarity.ivfPqTopK(e, q, dim = 64, k = 5,
+      nCells = 16, nProbe = 4, nSub = 4, nCents = 16, coarseK = 20,
+      centroids = Some(Similarity.lloydCentroidsExact(e, nCells = 16, iters = 2)))
+    assert(resultSet(fromIndex) == resultSet(adHoc),
+      "stored codes changed the answer — storage must only change the plan")
+    // exhaustive budgets ≡ brute force (the rerank covers every pair)
+    val exhaustive = IvfIndex.topKPq(spark, path, q, dim = 64, k = 5,
+      nProbe = 16, coarseK = 1000000)
+    assert(resultSet(exhaustive) ==
+      resultSet(Similarity.bruteForceTopK(e, q, k = 5)))
+    // plan guard: literal queries → the ONLY embedding-reading scan is
+    // the exact rerank (codes carry no embedding), and both the codes
+    // and cells scans carry cell_id partition filters
+    import spark.implicits._
+    val lit1 = q.filter(col("q_id") === 0).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+      .toDF("q_id", "q_emb")
+    val pruned = IvfIndex.topKPq(spark, path, lit1, dim = 64, k = 5,
+      nProbe = 4, coarseK = 20)
+    pruned.collect()
+    // the adaptive plan string repeats every scan under "== Initial
+    // Plan ==" — count only the final section
+    val plan = pruned.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val pfs = "PartitionFilters: \\[[^\\]]*cell_id[^\\]]*\\]".r.findAllIn(plan).toSeq
+    assert(pfs.size >= 2, s"codes AND cells scans must prune on cell_id:\n$plan")
+    val embScans = "embedding:array".r.findAllIn(plan).size
+    assert(embScans == 1,
+      s"raw embeddings read by $embScans scans — only the rerank may read them:\n$plan")
+  }
+
+  test("appendPq codes new batches with the persisted quantizers; rebuild re-trains both tiers") {
+    import graft.similarity.IvfIndex
+    val e = Tables.embeddings(spark, dir01).select("vec_id", "embedding")
+    val base = e.filter(col("vec_id") < 250)
+    val batch = e.filter(col("vec_id") >= 250)
+    val inc = java.nio.file.Files.createTempDirectory("ivfpq_inc").resolve("idx").toString
+    IvfIndex.build(base, inc, dim = 64, nCells = 16, iters = 2)
+    IvfIndex.buildPq(spark, inc, dim = 64, nSub = 4, nCents = 16)
+    IvfIndex.appendPq(spark, inc, batch, dim = 64)
+    // the appended index serves every vector; with both quantizers
+    // trained on the base (which holds all the lowest vec_ids, i.e.
+    // both training sets), a one-shot build over the union is the
+    // exact same artifact — codes included
+    val oneShot = java.nio.file.Files.createTempDirectory("ivfpq_one").resolve("idx").toString
+    IvfIndex.build(e, oneShot, dim = 64, nCells = 16, iters = 2)
+    // cell quantizer trained on base ≠ full-corpus Lloyd in general —
+    // so compare SERVED results against the incremental index's own
+    // contents rather than across quantizers: every appended vector is
+    // findable at exhaustive budgets
+    val q = queries(Tables.embeddings(spark, dir01))
+    val served = IvfIndex.topKPq(spark, inc, q, dim = 64, k = 5,
+      nProbe = 16, coarseK = 1000000)
+    assert(resultSet(served) == resultSet(Similarity.bruteForceTopK(e, q, k = 5)),
+      "appended vectors must be exactly searchable at exhaustive budgets")
+    // rebuild heals drift in BOTH tiers: the new generation equals a
+    // fresh full-corpus build + buildPq bit-for-bit
+    val gen1 = IvfIndex.rebuild(spark, inc,
+      java.nio.file.Files.createTempDirectory("ivfpq_gen1").resolve("idx").toString,
+      dim = 64, nCells = 16, iters = 2)
+    IvfIndex.buildPq(spark, oneShot, dim = 64, nSub = 4, nCents = 16)
+    def codeRows(p: String) = spark.read.parquet(s"$p/pq_codes")
+      .select(col("vec_id"), col("codes").cast("string"), col("cell_id").cast("long"))
+      .collect().map(_.toSeq).sortBy(_.mkString(",")).toSeq
+    assert(codeRows(gen1) == codeRows(oneShot),
+      "rebuilt PQ codes differ from a fresh build over the same corpus")
+  }
+
   test("index append: no retraining, appended batch fully searchable") {
     import graft.similarity.IvfIndex
     val e = Tables.embeddings(spark, dir01).select("vec_id", "embedding")

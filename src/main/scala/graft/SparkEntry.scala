@@ -2927,6 +2927,72 @@ object SparkEntry {
       .select("doc_id", "source", "n_chars")
   }
 
+  /** Z-order over STRING columns under the oracle
+    * ([[graft.sources.TxnLog.cluster]] deriving dictionary-rank
+    * integral keys in-house): four residue-class slices scatter both
+    * lang and source across every dir, the (lang, source) z-curve
+    * rewrite co-locates them, and the rank's order-preservation keeps
+    * the RAW string [min, max] manifest stats tight — so a
+    * lang = 'en' probe provably skips dirs (the `require`) and the
+    * rectangle read equals the plain two-predicate filter: clustering
+    * moves bytes, never answers. */
+  private def txnlogZorderStr(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.TxnLog
+    val root = tmpArtifactRoot("txnzstr", dir)
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    buildLock(root) {
+      if (TxnLog.latestVersion(spark, root) < 4L) {
+        (0 until 4).foreach { i =>
+          val slice = docs.filter(col("doc_id") % 4 === i)
+          if (i == 0) TxnLog.overwrite(slice, root, Some("s0"), collectStats = true)
+          else { TxnLog.append(slice, root, Some(s"s$i"), collectStats = true); () }
+        }
+        TxnLog.cluster(spark, root, Seq("lang", "source"), nDirs = 8, bits = 2,
+          txnId = Some("zstr")); ()
+      }
+    }
+    // the payoff claim: pruning fires on the STRING column itself
+    val (_, skipL, snapL) = TxnLog.pruneDirs(spark, root, "lang", "en", "en")
+    require(skipL.nonEmpty && snapL.size >= 4,
+      s"string z-order should prune on lang: skipped ${skipL.size} of ${snapL.size}")
+    TxnLog.readWhereAll(spark, root,
+      Seq(("lang", "en", "en"), ("source", "src0", "src12")))
+      .select("doc_id", "lang", "source", "n_chars")
+  }
+
+  /** Unified maintenance under the oracle
+    * ([[graft.sources.TxnLog.maintain]]): eight residue-class
+    * micro-appends scatter doc_id AND n_chars and pile up small dirs,
+    * so the first maintain run trips the cluster advisor (which
+    * subsumes compaction); every later run must be the healthy no-op
+    * — the cadence-job law, asserted on EVERY execution. Content is
+    * identical before/after: maintenance moves bytes, never
+    * answers. */
+  private def txnlogMaintain(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.TxnLog
+    val root = tmpArtifactRoot("txnmaintain", dir)
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    buildLock(root) {
+      if (TxnLog.latestVersion(spark, root) < 7L) {
+        (0 until 8).foreach { i =>
+          val slice = docs.filter(col("doc_id") % 8 === i)
+          if (i == 0) TxnLog.overwrite(slice, root, Some("m0"), collectStats = true)
+          else { TxnLog.append(slice, root, Some(s"m$i"), collectStats = true); () }
+        }
+      }
+      val fresh = TxnLog.latestVersion(spark, root) == 7L
+      val actions = TxnLog.maintain(spark, root,
+        zorderBy = Seq("doc_id", "n_chars"), txnId = Some("maint"))
+      if (fresh) require(actions.map(_._1) == Seq("cluster"),
+        s"maintain should cluster the scattered 8-dir table, got $actions")
+      else require(actions.isEmpty,
+        s"maintain on a maintained table must mint nothing, got $actions")
+    }
+    TxnLog.read(spark, root).select("doc_id", "source", "n_chars")
+  }
+
   /** Bloom point-lookup skipping under the oracle
     * ([[graft.sources.TxnLog.readPoint]]): eight residue-class
     * commits scatter doc_id so every dir's [min, max] spans the whole
@@ -3541,6 +3607,8 @@ object SparkEntry {
     "txnlog_compact" -> (txnlogCompact(_, _)),
     "txnlog_skipping" -> (txnlogSkipping(_, _)),
     "txnlog_zorder" -> (txnlogZorder(_, _)),
+    "txnlog_zorder_str" -> (txnlogZorderStr(_, _)),
+    "txnlog_maintain" -> (txnlogMaintain(_, _)),
     "txnlog_bloom" -> (txnlogBloom(_, _)),
     "txnlog_lineage" -> (txnlogLineage(_, _)),
     "cluster_advice" -> (clusterAdviceQ(_, _)),
@@ -7475,6 +7543,15 @@ object SparkEntry {
         |WHERE doc_id BETWEEN (SELECT q // 2 FROM m)
         |                 AND (SELECT 2 * q + q // 2 FROM m)
         |  AND n_chars BETWEEN 100 AND 300""".stripMargin,
+    // string z-order: the dictionary-rank rewrite never changes
+    // answers — the rectangle over (lang, source) is a plain filter
+    "txnlog_zorder_str" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE lang = 'en' AND source >= 'src0' AND source <= 'src12'""".stripMargin,
+    // unified maintenance (advise -> cluster/compact/vacuum) moves
+    // bytes, never answers: content identity with the source
+    "txnlog_maintain" ->
+      "SELECT doc_id, source, n_chars FROM documents",
     // a rollup maintained purely from signed feed deltas equals the
     // recompute over the final state
     "mv_incremental_cdf" ->

@@ -349,8 +349,11 @@ object TxnLog {
     * switches to equal-population KLL cutpoints (the `range_plan`
     * discipline) so a zipf-skewed column still fills every bucket —
     * dir SKEW never affects correctness, only pruning yield and dir
-    * balance. Cluster columns
-    * must be integral (long-family); nulls bucket to 0. Same CAS +
+    * balance. Cluster columns may be integral (pass-through),
+    * double/float (micro-unit quantized), or string (order-preserving
+    * dictionary rank — the raw column's string [min, max] stats stay
+    * tight, so pruning works on the string itself); nulls bucket
+    * to 0. Same CAS +
     * idempotent-txnId protocol as [[compact]]/[[delete]]; checks and
     * time travel carry; the "overwrite" action re-baselines
     * [[changesSince]] consumers loudly, like compact. Returns the
@@ -381,17 +384,56 @@ object TxnLog {
     // pinned to `expected` (the append-rebase double-count guard, see
     // compact); deletion vectors are read away here
     val current = read(spark, root, asOf = Some(expected))
-    val integral: Set[org.apache.spark.sql.types.DataType] = {
+    // Derive an INTEGRAL z-key per cluster column, in-house, so
+    // `cluster(zorderBy = Seq("lang", "source"))` works directly:
+    //  - integral columns pass through;
+    //  - double/float quantize to micro-units (the house fixed-point
+    //    convention) — order-preserving, so locality is real;
+    //  - strings take their DICTIONARY RANK (one narrow distinct +
+    //    single-partition rank window, broadcast back): rank order ==
+    //    lexicographic order, so the written dirs' string [min, max]
+    //    manifest stats stay TIGHT and range/point pruning on the RAW
+    //    column keeps working post-cluster.
+    // NULLs key to 0 (bucket 0 — the existing convention).
+    val stringCols = {
       import org.apache.spark.sql.types._
-      Set(LongType, IntegerType, ShortType, ByteType)
+      zorderBy.foreach { c =>
+        val f = current.schema.fields.find(_.name == c).getOrElse(
+          throw new IllegalArgumentException(s"cluster: no column '$c' at $root"))
+        f.dataType match {
+          case LongType | IntegerType | ShortType | ByteType
+               | DoubleType | FloatType | StringType =>
+          case other => throw new IllegalArgumentException(
+            s"cluster: column '$c' is ${other.simpleString}; z-order supports " +
+              "integral, double/float (micro-unit), and string (dictionary rank) columns")
+        }
+      }
+      zorderBy.filter(c => current.schema(c).dataType == StringType)
     }
-    zorderBy.foreach { c =>
-      val f = current.schema.fields.find(_.name == c).getOrElse(
-        throw new IllegalArgumentException(s"cluster: no column '$c' at $root"))
-      require(integral.contains(f.dataType),
-        s"cluster: column '$c' is ${f.dataType.simpleString}; z-order wants integral columns " +
-          "(bucket a string/double into an integral key upstream)")
+    val withDicts = stringCols.foldLeft(current) { (df, c) =>
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions.row_number
+      val dict = current.select(col(c)).filter(col(c).isNotNull).distinct()
+      val nDict = dict.count()
+      require(nDict <= (1L << 21),
+        s"cluster: string column '$c' has $nDict distinct values — too wide for " +
+          "a broadcast dictionary rank; bucket it upstream")
+      // single-partition window is fine: bounded by the dictionary,
+      // never the table
+      val ranked = dict.withColumn(s"__zk_$c",
+        row_number().over(Window.orderBy(col(c))).cast("long"))
+      df.join(org.apache.spark.sql.functions.broadcast(ranked), Seq(c), "left")
     }
+    val keyed = zorderBy.foldLeft(withDicts) { (df, c) =>
+      import org.apache.spark.sql.types._
+      current.schema(c).dataType match {
+        case DoubleType | FloatType => df.withColumn(s"__zk_$c",
+          org.apache.spark.sql.functions.round(col(c).cast("double") * 1000000.0).cast("long"))
+        case StringType => df // rank already joined
+        case _ => df.withColumn(s"__zk_$c", col(c).cast("long"))
+      }
+    }
+    def zk(c: String): Column = col(s"__zk_$c")
     val nb = 1L << bits
     // per-column buckets. Linear (default): equal-width from one
     // min/max row — exact, but skew-blind (a zipf column piles into
@@ -407,8 +449,8 @@ object TxnLog {
         val pcts = (1L until nb.min(100L)).map(i => ((i * 100 + nb / 2) / nb).toInt)
           .filter(p => p >= 1 && p <= 99).distinct
         val skAggs = zorderBy.map(c =>
-          quantileSketch(col(c).cast("double"), 32768).as(s"__sk_$c"))
-        val cutRow = current.agg(skAggs.head, skAggs.tail: _*)
+          quantileSketch(zk(c).cast("double"), 32768).as(s"__sk_$c"))
+        val cutRow = keyed.agg(skAggs.head, skAggs.tail: _*)
           .select(zorderBy.map(c => array(pcts.map(p =>
             sketchQuantileDisc(col(s"__sk_$c"), p)): _*).as(s"__cuts_$c")): _*)
           .head
@@ -417,14 +459,14 @@ object TxnLog {
             .map(_.filter(v => !v.isNaN).distinct.sorted.toSeq).getOrElse(Seq.empty)
           if (cuts.isEmpty) lit(0L) // empty/all-null column
           else least(coalesce(
-            size(ffilter(lit(cuts.toArray), v => col(c).cast("double") > v)).cast("long"),
+            size(ffilter(lit(cuts.toArray), v => zk(c).cast("double") > v)).cast("long"),
             lit(0L)), lit(nb - 1L))
         }
       } else {
         // bounded one-row collect: the per-column domain the buckets split
         val aggs = zorderBy.flatMap(c =>
-          Seq(smin(col(c)).cast("long").as(s"__mn_$c"), smax(col(c)).cast("long").as(s"__mx_$c")))
-        val row = current.agg(aggs.head, aggs.tail: _*).head
+          Seq(smin(zk(c)).cast("long").as(s"__mn_$c"), smax(zk(c)).cast("long").as(s"__mx_$c")))
+        val row = keyed.agg(aggs.head, aggs.tail: _*).head
         zorderBy.map { c =>
           val mnAny = row.get(row.fieldIndex(s"__mn_$c"))
           if (mnAny == null) lit(0L) // all-null column: everything in bucket 0
@@ -434,7 +476,7 @@ object TxnLog {
             // integer ceil((mx - mn + 1) / nb): exact, overflow-free width
             val w = math.max(1L, (mx - mn + nb) / nb)
             least(coalesce(org.apache.spark.sql.functions.expr(
-              s"(CAST(`$c` AS BIGINT) - ${mn}L) div ${w}L"), lit(0L)), lit(nb - 1L))
+              s"(`__zk_$c` - ${mn}L) div ${w}L"), lit(0L)), lit(nb - 1L))
           }
         }
       }
@@ -452,7 +494,10 @@ object TxnLog {
     val fs = fileSystem(spark, root)
     val stageUuid = java.util.UUID.randomUUID.toString
     val staging = s"$root/data/.staging-$stageUuid"
-    current.withColumn("__zdir", zdir)
+    // the derived __zk_* keys route rows, then drop — dirs carry the
+    // table's own columns only
+    keyed.withColumn("__zdir", zdir)
+      .select((current.columns.map(col) :+ col("__zdir")).toIndexedSeq: _*)
       .repartition(nDirs, col("__zdir"))
       .sortWithinPartitions(zorderBy.map(col): _*)
       .write.partitionBy("__zdir").parquet(staging)
@@ -561,6 +606,63 @@ object TxnLog {
     import spark.implicits._
     rows.toDF("col_name", "n_dirs", "table_width", "sum_dir_width",
       "overlap_bps", "scattered")
+  }
+
+  /** Unified table maintenance — the auto-OPTIMIZE loop a lakehouse
+    * scheduler runs on a cadence, closing the advise→act triads
+    * ([[compactAdvice]]→[[compact]], [[clusterAdvice]]→[[cluster]],
+    * [[vacuum]]) behind ONE idempotent entry point: consult the
+    * advisors, execute ONLY what they flag, and mint NO version on a
+    * healthy table (the no-op law — a cadence job must not churn
+    * history). Order:
+    *
+    *  1. CLUSTER, when `zorderBy` is given and [[clusterAdvice]]
+    *     flags at least two of the requested columns scattered —
+    *     the z-curve rewrite SUBSUMES compaction (small dirs merge,
+    *     deletion vectors materialize), so step 2 is then skipped.
+    *  2. COMPACT, when [[compactAdvice]] flags the file census.
+    *  3. VACUUM, when `retainVersions` is given — destroys expired
+    *     versions and stale orphans; metadata + deletes only, never
+    *     a version mint.
+    *
+    * Idempotency is ADVISORY, not just txnId: a crashed-and-retried
+    * run re-reads the advice, and whatever already landed has cleared
+    * its own flag — the retry executes only the remainder (the txnId,
+    * threaded into the cluster step, additionally short-circuits an
+    * exact replay). Cost: the advisors are metadata-only; work is
+    * only done when flagged. Returns the executed (action, version)
+    * pairs, empty for a healthy table. */
+  def maintain(spark: SparkSession, root: String,
+               zorderBy: Seq[String] = Nil,
+               targetBytes: Long = 128L * 1024 * 1024,
+               slack: Long = 4L,
+               scatterBps: Long = 5000L,
+               retainVersions: Option[Int] = None,
+               txnId: Option[String] = None): Seq[(String, Long)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    val clustered =
+      if (zorderBy.isEmpty) false
+      else {
+        // bounded: one row per stats-covered column
+        val scattered = clusterAdvice(spark, root, scatterBps)
+          .filter(col("scattered") === 1)
+          .select("col_name").collect().map(_.getString(0)).toSet
+        if (zorderBy.count(scattered) >= 2) {
+          out += (("cluster",
+            cluster(spark, root, zorderBy, txnId = txnId.map(_ + "-cluster"))))
+          true
+        } else false
+      }
+    if (!clustered) {
+      val c = compactAdvice(spark, root, targetBytes, slack).head // one row
+      if (c.getAs[Int]("compact") == 1)
+        out += (("compact", compact(spark, root, targetBytes)))
+    }
+    retainVersions.foreach { r =>
+      vacuum(spark, root, r)
+      out += (("vacuum", latestVersion(spark, root)))
+    }
+    out.toSeq
   }
 
   /** Conjunctive data-skipping read — [[readWhere]] for several range

@@ -1130,17 +1130,76 @@ class TxnLogSpec extends SparkSpec {
       s"quantile buckets should balance the head: $quant")
   }
 
-  test("cluster refuses non-integral columns, single columns, and empty tables") {
+  test("cluster on string and double columns: dictionary rank and micro-units key the curve; string stats stay selective; content identical") {
+    import org.apache.spark.sql.functions.col
+    val root = Files.createTempDirectory("graft_txn").toString + "/t"
+    // 200 rows, 8 string categories × doubles, appended hash-scattered
+    val rows = (0L until 200L).map(i =>
+      (i, f"cat${(i * 7 % 8)}%02d", (i % 50).toDouble / 4.0))
+    (0 until 4).foreach { j =>
+      val slice = rows.filter(_._1 % 4 == j).toDF("id", "s", "x")
+      if (j == 0) TxnLog.overwrite(slice, root, collectStats = true)
+      else TxnLog.append(slice, root, collectStats = true)
+    }
+    val before = TxnLog.read(spark, root).collect().map(_.toSeq).sortBy(_.toString)
+    TxnLog.cluster(spark, root, Seq("s", "x"), nDirs = 8, bits = 2)
+    val after = TxnLog.read(spark, root).collect().map(_.toSeq).sortBy(_.toString)
+    assert(after.toSeq == before.toSeq, "cluster changed the table content")
+    // the rank is order-preserving → the raw string column's [min, max]
+    // stats prune a point probe
+    val (_, skipS, snapS) = TxnLog.pruneDirs(spark, root, "s", "cat00", "cat00")
+    assert(skipS.nonEmpty && snapS.size > 1,
+      s"string stats should prune post-cluster: skipped ${skipS.size} of ${snapS.size}")
+    assert(TxnLog.readWhere(spark, root, "s", "cat00", "cat01").count() ==
+      rows.count(r => r._2 <= "cat01"))
+    // unsupported types still refuse loudly
+    val ts = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 2L))
+      .toDF("id", "t", "y")
+    val root2 = Files.createTempDirectory("graft_txn").toString + "/t2"
+    TxnLog.overwrite(ts, root2)
+    val e = intercept[IllegalArgumentException] {
+      TxnLog.cluster(spark, root2, Seq("t", "y"))
+    }
+    assert(e.getMessage.contains("z-order supports"), e.getMessage)
+  }
+
+  test("maintain: executes only what the advisors flag; healthy tables mint no version; vacuum leg on request") {
+    import org.apache.spark.sql.functions.col
+    val root = Files.createTempDirectory("graft_txn").toString + "/t"
+    // a compacted one-commit table is healthy: maintain is a no-op
+    TxnLog.overwrite((0L until 100L).map(i => (i, i % 7)).toDF("id", "v"),
+      root, collectStats = true)
+    assert(TxnLog.maintain(spark, root).isEmpty)
+    assert(TxnLog.latestVersion(spark, root) == 0L)
+    // micro-append buildup trips COMPACT (no zorderBy given)
+    (0 until 8).foreach { i =>
+      TxnLog.append(Seq((1000L + i, i)).toDF("id", "v"), root, collectStats = true)
+    }
+    val acts = TxnLog.maintain(spark, root)
+    assert(acts.map(_._1) == Seq("compact"), s"got $acts")
+    // advisory idempotency: the retry re-reads advice and does nothing
+    val v1 = TxnLog.latestVersion(spark, root)
+    assert(TxnLog.maintain(spark, root).isEmpty)
+    assert(TxnLog.latestVersion(spark, root) == v1)
+    assert(TxnLog.read(spark, root).count() == 108L)
+    // the vacuum leg runs only when asked, and destroys expired history
+    val actsV = TxnLog.maintain(spark, root, retainVersions = Some(1))
+    assert(actsV.map(_._1) == Seq("vacuum"))
+    assert(TxnLog.versions(spark, root).size == 1)
+    assert(TxnLog.latestVersion(spark, root) == v1, "vacuum must not mint a version")
+  }
+
+  test("cluster refuses unsupported columns, single columns, and empty tables") {
     val root = Files.createTempDirectory("graft_txn").toString + "/t"
     intercept[IllegalArgumentException] {
       TxnLog.cluster(spark, root, Seq("a", "b"))
     }
-    TxnLog.overwrite(Seq((1L, "x")).toDF("a", "s"), root)
+    TxnLog.overwrite(Seq((1L, "x", true)).toDF("a", "s", "flag"), root)
     intercept[IllegalArgumentException] {
       TxnLog.cluster(spark, root, Seq("a")) // one column is a sort, not a curve
     }
     intercept[IllegalArgumentException] {
-      TxnLog.cluster(spark, root, Seq("a", "s")) // string column
+      TxnLog.cluster(spark, root, Seq("a", "flag")) // boolean: no integral key
     }
     intercept[IllegalArgumentException] {
       TxnLog.cluster(spark, root, Seq("a", "nope")) // missing column

@@ -2031,6 +2031,102 @@ object SparkEntry {
        |FROM counts""".stripMargin
   }
 
+  /** Unigram-LM tokenizer-training oracle — the ENTIRE hard-EM
+    * training of [[graft.functions.TextFunctions.unigramTrain]]
+    * unrolled (the bpe_merges convention): word-type table, seed
+    * substring vocabulary, and per EM round the smoothed millionths
+    * probabilities, the 16-step integer fixed-point log2 (each step a
+    * CTE so the squaring chain replays verbatim), the Viterbi DP as
+    * one relaxation CTE per word position (ROW_NUMBER over
+    * (cost, path) = the engine's array_min total order), the
+    * frequency-weighted recount, and the keep-top-80% multi-piece
+    * prune. CTEs are MATERIALIZED — DuckDB inlines by default and the
+    * position chain would otherwise expand combinatorially. */
+  private def unigramTrainSql(rounds: Int = 2, maxPiece: Int = 4,
+                              seedMulti: Int = 100, maxWordLen: Int = 16,
+                              keepPct: Int = 80): String = {
+    def lgChain(tag: String, src: String): Seq[String] =
+      Seq(s"""lg_${tag}_0 AS (
+         |  SELECT sym, cnt, p, CAST(length(bin(p)) - 1 AS BIGINT) AS msb,
+         |    (CAST(p AS BIGINT) << 20) >> (length(bin(p)) - 1) AS x, CAST(0 AS BIGINT) AS acc
+         |  FROM $src)""".stripMargin) ++
+        (1 to 16).map(k => s"""lg_${tag}_$k AS (
+         |  SELECT sym, cnt, p, msb,
+         |    CASE WHEN ((x*x) >> 20) >= 2097152 THEN ((x*x) >> 20) >> 1 ELSE (x*x) >> 20 END AS x,
+         |    CASE WHEN ((x*x) >> 20) >= 2097152 THEN acc*2+1 ELSE acc*2 END AS acc
+         |  FROM lg_${tag}_${k - 1})""".stripMargin) :+
+        s"""cost_$tag AS MATERIALIZED (
+         |  SELECT sym, cnt, p AS p_micro,
+         |    CAST(26*65536 - (msb*65536 + acc) AS BIGINT) AS cost FROM lg_${tag}_16)""".stripMargin
+    def prob(tag: String, vocab: String): Seq[String] = Seq(
+      s"st_$tag AS (SELECT CAST(SUM(cnt) AS BIGINT) AS t, CAST(count(*) AS BIGINT) AS v FROM $vocab)",
+      s"pr_$tag AS MATERIALIZED (SELECT sym, cnt, ((cnt + 1) * 1000000) // (st_$tag.t + st_$tag.v) AS p FROM $vocab, st_$tag)")
+    def dp(r: Int): Seq[String] = {
+      val head = Seq(
+        s"""edges_$r AS MATERIALIZED (
+           |  SELECT ps.word, ps.freq, ps.i, ps.j, ps.piece, c.cost
+           |  FROM ps JOIN cost_$r c ON c.sym = ps.piece)""".stripMargin,
+        s"""b_${r}_0 AS MATERIALIZED (SELECT word, freq, CAST(length(word) AS BIGINT) AS len,
+           |  CAST(0 AS BIGINT) AS cost, '' AS path FROM w)""".stripMargin)
+      val positions = (1 to maxWordLen).map { j =>
+        val branches = (math.max(0, j - maxPiece) until j).map(i =>
+          s"""SELECT b.word, b.freq, b.len, b.cost + e.cost AS cost,
+             |      b.path || '|' || e.piece AS path
+             |    FROM b_${r}_$i b JOIN edges_$r e ON e.word = b.word AND e.i = $i AND e.j = $j""".stripMargin)
+          .mkString("\n    UNION ALL\n    ")
+        s"""b_${r}_$j AS MATERIALIZED (
+           |  SELECT word, freq, len, cost, path FROM (
+           |    SELECT word, freq, len, cost, path,
+           |      ROW_NUMBER() OVER (PARTITION BY word ORDER BY cost, path) AS rn FROM (
+           |    $branches
+           |  )) WHERE rn = 1)""".stripMargin
+      }
+      val bestUnion = (1 to maxWordLen)
+        .map(j => s"SELECT word, freq, path FROM b_${r}_$j WHERE len = $j")
+        .mkString("\n  UNION ALL\n  ")
+      head ++ positions ++ Seq(
+        s"best_$r AS MATERIALIZED (\n  $bestUnion)",
+        s"""cnt_$r AS MATERIALIZED (
+           |  SELECT t.sym, CAST(SUM(freq) AS BIGINT) AS cnt
+           |  FROM best_$r, UNNEST(string_split(substr(path, 2), '|')) AS t(sym)
+           |  GROUP BY 1)""".stripMargin,
+        s"""jn_$r AS MATERIALIZED (
+           |  SELECT v.sym, CAST(COALESCE(c.cnt, 0) AS BIGINT) AS cnt
+           |  FROM vocab$r v LEFT JOIN cnt_$r c USING (sym))""".stripMargin,
+        s"""vocab${r + 1} AS MATERIALIZED (
+           |  SELECT sym, cnt FROM jn_$r WHERE length(sym) = 1
+           |  UNION ALL
+           |  SELECT sym, cnt FROM (
+           |    SELECT sym, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, sym ASC) AS rn
+           |    FROM jn_$r WHERE length(sym) > 1)
+           |  WHERE rn <= (SELECT (count(*) * $keepPct + 99) // 100 FROM jn_$r WHERE length(sym) > 1))""".stripMargin)
+    }
+    val ctes = Seq(
+      s"""w AS (
+         |  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+         |    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word FROM documents)
+         |  WHERE length(word) <= $maxWordLen GROUP BY word)""".stripMargin,
+      s"""ps AS MATERIALIZED (
+         |  SELECT word, freq, CAST((e).i AS BIGINT) AS i, CAST((e).j AS BIGINT) AS j, (e).piece AS piece FROM (
+         |    SELECT word, freq, unnest(flatten(list_transform(range(1, length(word) + 1), i ->
+         |      list_transform(range(1, least($maxPiece, length(word) - i + 1) + 1), l ->
+         |        struct_pack(i := i - 1, j := i - 1 + l,
+         |          piece := substr(word, CAST(i AS INTEGER), CAST(l AS INTEGER))))))) AS e
+         |    FROM w))""".stripMargin,
+      "seed AS MATERIALIZED (SELECT piece AS sym, CAST(SUM(freq) AS BIGINT) AS cnt FROM ps GROUP BY 1)",
+      s"""vocab0 AS MATERIALIZED (
+         |  SELECT sym, cnt FROM seed WHERE length(sym) = 1
+         |  UNION ALL
+         |  SELECT sym, cnt FROM (
+         |    SELECT sym, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, sym ASC) AS rn
+         |    FROM seed WHERE length(sym) > 1) WHERE rn <= $seedMulti)""".stripMargin) ++
+      (0 until rounds).flatMap(r => prob(r.toString, s"vocab$r") ++
+        lgChain(r.toString, s"pr_$r") ++ dp(r)) ++
+      prob("fin", s"vocab$rounds")
+    "WITH " + ctes.mkString(",\n") +
+      "\nSELECT sym, cnt, CAST(p AS BIGINT) AS p_micro FROM pr_fin"
+  }
+
   /** IVF-PQ composition oracle: Lloyd training + cosine
     * assignment/probing (shared cents/assigned/probed shapes), PQ
     * codes + ADC restricted to probed pairs, exact-cosine rerank of
@@ -4181,6 +4277,11 @@ object SparkEntry {
     // Okapi BM25 (rational constants k1=6/5, b=3/4; per-term scores
     // are single long-ratio divisions summed in one fixed-order
     // projection) over the same literal query as keyword_search
+    // unigram-LM tokenizer training (SentencePiece family) — hard-EM
+    // Viterbi over the word-type table, integer fixed-point log2
+    // costs, 2 EM rounds; the oracle unrolls the whole training
+    "unigram_train" -> ((s, d) =>
+      TextFunctions.unigramTrain(Tables.documents(s, d))),
     "bm25_search" -> ((s, d) =>
       TextFunctions.bm25Search(Tables.documents(s, d),
         Seq("spark", "merge", "window"), k = 20)),
@@ -8319,6 +8420,7 @@ object SparkEntry {
     // to probed pairs, exact-cosine rerank of the ADC top-20 — every
     // stage replayed verbatim; `f` (micro fixed-point vectors) is
     // shared between the Lloyd trainer and the PQ subvector slicer
+    "unigram_train" -> unigramTrainSql(),
     "sim_ivfpq" -> simIvfPqOracleSql,
     // the persisted-codes serving path must be bit-identical: same
     // quantizers, same integer ADC, same rerank — the oracle statement

@@ -1262,6 +1262,146 @@ object TextFunctions {
           .otherwise(lit(0L)))
   }
 
+  /** Deterministic fixed-point log2 in 1/2^16 units over an integer
+    * p in [1, 2^20): `length(bin(p)) - 1` gives the integer part (the
+    * HLL register discipline) and 16 squaring steps extract the
+    * fraction bits — PURE integer arithmetic throughout (the squares
+    * stay under 2^44), so any engine replays it bit-exactly where a
+    * double `ln`/`log2` could differ in its last ulp and flip a
+    * Viterbi tie. */
+  private def ilog2Fp16(p: Column): Column = {
+    val msb = (length(bin(p)) - 1).cast("long")
+    val init = struct(
+      call_function("shiftright", shiftleft(p, 20), msb).as("x"),
+      lit(0L).as("acc"))
+    val folded = aggregate(sequence(lit(1), lit(16)), init, (s, _) => {
+      val xsq = shiftright(s.getField("x") * s.getField("x"), 20)
+      when(xsq >= lit(2L * (1L << 20)),
+        struct(shiftright(xsq, 1).as("x"),
+          (s.getField("acc") * 2 + 1).as("acc")))
+        .otherwise(struct(xsq.as("x"), (s.getField("acc") * 2).as("acc")))
+    })
+    msb * lit(65536L) + folded.getField("acc")
+  }
+
+  /** Smoothed integer probabilities + Viterbi piece costs for one
+    * unigram-LM vocabulary state: p_micro = (cnt+1)·1e6 div (Σcnt+V)
+    * (add-one smoothing keeps every piece usable), cost =
+    * 26·2^16 − ilog2(p_micro) > 0 in 1/2^16 nats-of-log2. One-row
+    * stats crossJoin — the ivf-stats broadcast shape. */
+  private def unigramProbed(vocab: DataFrame): DataFrame = {
+    val stats = vocab.agg(sum(col("cnt")).as("__t"), count(lit(1)).as("__v"))
+    vocab.crossJoin(broadcast(stats))
+      .withColumn("p_micro", expr("((cnt + 1) * 1000000) div (__t + __v)"))
+      .withColumn("cost", lit(26L * 65536L) - ilog2Fp16(col("p_micro")))
+      .drop("__t", "__v")
+  }
+
+  /** Unigram-LM tokenizer training (Kudo, "Subword Regularization",
+    * ACL 2018 — the SentencePiece unigram model), in the hard-EM
+    * (Viterbi) variant that stays engine-exact:
+    *
+    *  - seed vocabulary: every substring of length ≤ `maxPiece` of the
+    *    word TYPES, corpus-weighted; all single characters (coverage)
+    *    plus the top `seedMulti` multi-character pieces;
+    *  - E-step: each word type takes its MINIMUM-COST segmentation
+    *    under the current model — cost per piece from the fixed-point
+    *    integer log2 of its smoothed millionths probability, ties
+    *    broken by the piece-path string, so the best path is a total
+    *    deterministic order any engine reproduces;
+    *  - M-step: piece counts from the best paths (word-frequency
+    *    weighted), probabilities re-derived by integer floor division;
+    *  - prune: singles always survive; multi-char pieces keep only the
+    *    top `keepPct`% by (count, sym) — the lowest-likelihood
+    *    vocabulary shrink of the paper, integer-ceiling sized.
+    *
+    * Scale shape (the [[bpeTrain]] discipline): the corpus is
+    * tokenized ONCE into the word-type table; every round's work is
+    * vocabulary×word-type-sized — substring/edge explosion is
+    * map-side, the Viterbi DP is one codegen'd fold per word type
+    * (positions ≤ `maxWordLen`, edges ≤ maxWordLen·maxPiece), and the
+    * only exchanges carry narrow (sym, cnt) rows. Driver work per
+    * round is one bounded vocabulary count (the prune size). Word
+    * types longer than `maxWordLen` are excluded from training (the
+    * tail carries negligible mass; SentencePiece caps candidate
+    * lengths the same way). Returns (sym, cnt, p_micro) — the trained
+    * vocabulary, its final Viterbi counts, and smoothed millionths
+    * probabilities. */
+  def unigramTrain(df: DataFrame, textCol: String = "text",
+                   rounds: Int = 2, maxPiece: Int = 4,
+                   seedMulti: Int = 100, maxWordLen: Int = 16,
+                   keepPct: Int = 80): DataFrame = {
+    require(rounds >= 1 && maxPiece >= 2 && seedMulti >= 1 &&
+      maxWordLen >= maxPiece && keepPct >= 1 && keepPct <= 100,
+      s"bad unigramTrain params: rounds=$rounds maxPiece=$maxPiece " +
+        s"seedMulti=$seedMulti maxWordLen=$maxWordLen keepPct=$keepPct")
+    val words = df.select(
+        explode(regexp_extract_all(lower(col(textCol)), lit("[a-z]+"), lit(0)))
+          .as("word"))
+      .filter(length(col("word")) <= maxWordLen)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .localCheckpoint() // reused by every round's edge build
+    // (word, i, j, piece): all substrings with 0-based span [i, j)
+    val posSubs = words.select(col("word"), col("freq"), explode(flatten(
+        transform(sequence(lit(1), length(col("word"))), i =>
+          transform(sequence(lit(1),
+            least(lit(maxPiece), length(col("word")) - i + 1)), l =>
+            struct((i - 1).cast("long").as("i"),
+              (i - 1 + l).cast("long").as("j"),
+              col("word").substr(i, l).as("piece")))))).as("e"))
+      .select(col("word"), col("freq"), col("e.i").as("i"),
+        col("e.j").as("j"), col("e.piece").as("piece"))
+    val seed = posSubs.groupBy(col("piece").as("sym"))
+      .agg(sum(col("freq")).as("cnt"))
+    var vocab = seed.filter(length(col("sym")) === 1).unionByName(
+      seed.filter(length(col("sym")) > 1)
+        .orderBy(col("cnt").desc, col("sym").asc).limit(seedMulti))
+      .localCheckpoint()
+    var prevVocab = vocab
+    for (_ <- 1 to rounds) {
+      val probed = unigramProbed(vocab)
+      val edges = posSubs
+        .join(probed.select(col("sym").as("piece"), col("cost")), Seq("piece"))
+        .groupBy("word", "freq")
+        .agg(collect_list(struct(col("i"), col("j"), col("piece"),
+          col("cost"))).as("edges"))
+      // Viterbi fold: best[j] = min over pieces ending at j of
+      // best[i] + cost, tie-broken by the path string — array_min
+      // over (cost, path) structs is the total order the oracle's
+      // ROW_NUMBER replays
+      val initArr = array(struct(lit(0L).as("cost"), lit("").as("path")))
+      val bestArr = aggregate(
+        sequence(lit(1L), length(col("word")).cast("long")), initArr,
+        (acc, j) => concat(acc, array(array_min(
+          transform(filter(col("edges"), e => e.getField("j") === j), e => {
+            val prev = element_at(acc, (e.getField("i") + 1).cast("int"))
+            struct((prev.getField("cost") + e.getField("cost")).as("cost"),
+              concat(prev.getField("path"), lit("|"),
+                e.getField("piece")).as("path"))
+          })))))
+      val best = edges.select(col("word"), col("freq"),
+        element_at(bestArr, (length(col("word")) + 1).cast("int"))
+          .getField("path").as("path"))
+      val counts = best.select(col("freq"),
+          explode(split(expr("substring(path, 2)"), "\\|")).as("sym"))
+        .groupBy("sym").agg(sum(col("freq")).as("cnt"))
+      val joined = vocab.select("sym").join(counts, Seq("sym"), "left")
+        .select(col("sym"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+      val multis = joined.filter(length(col("sym")) > 1)
+      val keepN = (multis.count() * keepPct + 99) / 100 // bounded: vocab rows
+      vocab = joined.filter(length(col("sym")) === 1).unionByName(
+          multis.orderBy(col("cnt").desc, col("sym").asc).limit(keepN.toInt))
+        .localCheckpoint()
+      graft.core.Checkpoints.releaseAll(prevVocab)
+      prevVocab = vocab
+    }
+    val out = unigramProbed(vocab)
+      .select(col("sym"), col("cnt"), col("p_micro")).localCheckpoint()
+    graft.core.Checkpoints.releaseAll(prevVocab)
+    graft.core.Checkpoints.releaseAll(words)
+    out
+  }
+
   /** Fixed-weight linear quality model — the classifier-based
     * filtering stage (a fastText-style quality model's scoring pass,
     * with the learned weights stood in by fixed public-heuristic

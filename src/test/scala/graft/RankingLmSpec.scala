@@ -205,6 +205,34 @@ class RankingLmSpec extends SparkSpec {
     assert(scores(2L) > scores(1L)) // tf saturation: 5x common < 1 common + 1 rare
   }
 
+  test("unigramTrain: hard-EM unigram LM matches the hand-traced closed form; deterministic under repartition") {
+    // corpus 1: ten copies of "aaaa". Seed counts a=40 aa=30 aaa=20
+    // aaaa=10; a whole-word piece always wins Viterbi (any split adds
+    // >= another 26<<16 of cost), so both EM rounds count aaaa=10 and
+    // everything else 0; keepPct=80 over 3 multis keeps all 3. Final
+    // smoothing: total=10, V=4 -> p = (cnt+1)*1e6 div 14.
+    val c1 = (1 to 10).map(i => (i.toLong, "aaaa")).toDF("doc_id", "text")
+    val got1 = TextFunctions.unigramTrain(c1)
+      .as[(String, Long, Long)].collect().toSet
+    assert(got1 == Set(("a", 0L, 71428L), ("aa", 0L, 71428L),
+      ("aaa", 0L, 71428L), ("aaaa", 10L, 785714L)), got1)
+    // corpus 2: "abab abab cd" — two word types. Round 1 counts
+    // abab=2, cd=1; prune keeps ceil(6*0.8)=5 multis (drops 'bab' by
+    // the (cnt desc, sym asc) order); round 2 prunes 'ba' the same
+    // way. Final: total=3, V=8 -> p = (cnt+1)*1e6 div 11.
+    val c2 = Seq((1L, "abab abab cd")).toDF("doc_id", "text")
+    val got2 = TextFunctions.unigramTrain(c2)
+      .as[(String, Long, Long)].collect().toSet
+    assert(got2 == Set(
+      ("a", 0L, 90909L), ("b", 0L, 90909L), ("c", 0L, 90909L), ("d", 0L, 90909L),
+      ("ab", 0L, 90909L), ("aba", 0L, 90909L),
+      ("abab", 2L, 272727L), ("cd", 1L, 181818L)), got2)
+    // deterministic: a repartitioned corpus trains the identical model
+    val again = TextFunctions.unigramTrain(c2.repartition(7))
+      .as[(String, Long, Long)].collect().toSet
+    assert(again == got2)
+  }
+
   test("lmBigramScore computes exact fixed-point MLE bigram probabilities") {
     val docs = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "x")).toDF("doc_id", "text")
     val out = TextFunctions.lmBigramScore(docs).orderBy("doc_id").collect()

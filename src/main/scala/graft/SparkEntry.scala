@@ -1568,7 +1568,7 @@ object SparkEntry {
   private def ensureBm25IndexLayout(spark: SparkSession, dir: String): String = {
     val fp = graft.sources.LayoutCache.contentFingerprint(
       Seq(new java.io.File(dir, "documents.parquet")))
-    graft.sources.LayoutCache.ensure("graft_bm25_index_v2-b16-cut250",
+    graft.sources.LayoutCache.ensure("graft_bm25_index_v3pos-b16-cut250",
       new java.io.File(dir).getName, fp) { tmp =>
       val docs = Tables.documents(spark, dir)
       graft.search.Bm25Index.build(
@@ -1582,6 +1582,15 @@ object SparkEntry {
     graft.search.Bm25Index.topK(spark, ensureBm25IndexLayout(spark, dir),
       Seq("spark", "merge", "window"), k = 20)
 
+  /** Index-SERVED phrase search ([[graft.search.Bm25Index
+    * .phraseCounts]]): the positional postings answer the same phrase
+    * query `phrase_search` answers by re-scanning text — identical
+    * results (the shared oracle statement), but from ≤ 2 of 16
+    * posting buckets at one pinned release. */
+  private def phraseIndexed(spark: SparkSession, dir: String): DataFrame =
+    graft.search.Bm25Index.phraseCounts(spark,
+      ensureBm25IndexLayout(spark, dir), Seq("table", "part"))
+
   /** Post-erasure BM25 index ([[graft.search.Bm25Index.delete]]): a
     * full-corpus index takes a right-to-be-forgotten delete of every
     * doc_id ≡ 7 (mod 10) — postings copy-on-write-deleted, a negative
@@ -1594,7 +1603,7 @@ object SparkEntry {
   private def ensureBm25DeletedLayout(spark: SparkSession, dir: String): String = {
     val fp = graft.sources.LayoutCache.contentFingerprint(
       Seq(new java.io.File(dir, "documents.parquet")))
-    graft.sources.LayoutCache.ensure("graft_bm25_del_v1-b16-mod10ne7",
+    graft.sources.LayoutCache.ensure("graft_bm25_del_v2pos-b16-mod10ne7",
       new java.io.File(dir).getName, fp) { tmp =>
       val docs = Tables.documents(spark, dir)
       graft.search.Bm25Index.build(docs, tmp, nBuckets = 16)
@@ -2030,6 +2039,21 @@ object SparkEntry {
        |  CAST((n_vectors * 10000) // greatest((SELECT SUM(n_vectors) FROM counts), 1) AS BIGINT) AS share_bps
        |FROM counts""".stripMargin
   }
+
+  /** Positional self-join replay of the phrase counter: adjacent
+    * positions must equal the phrase, overlaps count. Shared by
+    * `phrase_search` (map-side shingle scan) and `phrase_indexed`
+    * (positional-postings adjacency join). */
+  private val phraseSearchOracleSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id,
+      |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok,
+      |    generate_subscripts(string_split_regex(trim(lower(text)), '\s+'), 1) AS pos
+      |  FROM documents)
+      |SELECT t1.doc_id, CAST(count(*) AS BIGINT) AS n_matches
+      |FROM tok t1 JOIN tok t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+      |WHERE t1.tok = 'table' AND t2.tok = 'part'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** Unigram-LM tokenizer-training oracle — the ENTIRE hard-EM
     * training of [[graft.functions.TextFunctions.unigramTrain]]
@@ -3468,6 +3492,8 @@ object SparkEntry {
       ((s, d) => { ensureBm25IndexLayout(s, d); () }),
     "bm25_deleted" ->
       ((s, d) => { ensureBm25DeletedLayout(s, d); () }),
+    "phrase_indexed" ->
+      ((s, d) => { ensureBm25IndexLayout(s, d); () }),
     "sim_ivfpq_indexed" ->
       ((s, d) => { ensureIvfPqIndexLayout(s, d); () }),
   )
@@ -4087,6 +4113,10 @@ object SparkEntry {
       graft.functions.TextFunctions.phraseSearch(
           Tables.documents(s, d), Seq("table", "part"))
         .orderBy("doc_id")),
+    // the same phrase query SERVED from the positional postings index
+    // (adjacency-join over <= 2 probed buckets, one pinned release) —
+    // storage changes the plan, never the answer
+    "phrase_indexed" -> (phraseIndexed(_, _)),
     // synchronous label propagation over the same near-dup graph:
     // 2-core of the near-dup graph: clique-like boilerplate families
     // survive, star-hub false positives peel (leaves first, then the
@@ -4966,16 +4996,10 @@ object SparkEntry {
         |FROM r""".stripMargin,
     // positional self-join replay of the map-side shingle counter:
     // adjacent-position tokens must equal the phrase, overlaps count
-    "phrase_search" ->
-      """WITH tok AS (
-        |  SELECT doc_id,
-        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok,
-        |    generate_subscripts(string_split_regex(trim(lower(text)), '\s+'), 1) AS pos
-        |  FROM documents)
-        |SELECT t1.doc_id, CAST(count(*) AS BIGINT) AS n_matches
-        |FROM tok t1 JOIN tok t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
-        |WHERE t1.tok = 'table' AND t2.tok = 'part'
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "phrase_search" -> phraseSearchOracleSql,
+    // the index-served twin shares the statement verbatim: positional
+    // postings must change the plan, never the answer
+    "phrase_indexed" -> phraseSearchOracleSql,
     "q1_agg" ->
       s"""${TaxiShape.stagingSql}
          |SELECT year, month, dow, service_type, count(*) AS n_trips,

@@ -15,10 +15,13 @@ import graft.sources.{TxnCatalog, TxnLog}
   *
   * Index layout (every member a TxnLog table — atomic commits,
   * incremental appends, time travel for free):
-  *  - `<path>/postings`: (term, doc_id, tf, dl) partitioned by
-  *    `bucket = pmod(hash(term), nBuckets)`. A query for t terms
+  *  - `<path>/postings`: (term, doc_id, tf, dl, positions) partitioned
+  *    by `bucket = pmod(hash(term), nBuckets)`. A query for t terms
   *    scans ≤ t of nBuckets partitions (directory-level pruning via
-  *    the same literal-IN filter as the IVF cell probe).
+  *    the same literal-IN filter as the IVF cell probe). `positions`
+  *    (the term's sorted 1-based token positions) upgrades the index
+  *    to phrase queries ([[phraseCounts]]) at the standard positional-
+  *    postings storage premium.
   *  - `<path>/stats`: append-only DELTA rows (n_docs, total_dl);
   *    the corpus totals are their sum. Append-only is what makes
   *    incremental maintenance exact: no read-modify-write, no merge.
@@ -190,6 +193,46 @@ object Bm25Index {
     TextFunctions.rankBm25(docTfDl, statsRow, terms, k)
   }
 
+  /** Exact overlapping-phrase counts served FROM THE INDEX — the
+    * positional-postings consumer.
+    * [[TextFunctions.phraseSearch]] is the map-side corpus scan
+    * (right for one-off analysis); a SERVED phrase query must not
+    * re-tokenize 100 TB of text, so this resolves ONE catalog release,
+    * scans only the phrase terms' buckets at the pinned version, and
+    * adjacency-joins the positions: an occurrence at base position p
+    * needs term_i at p + i for every i, so each term's positions
+    * shift left by its offset and the legs inner-join on
+    * (doc_id, base). Repeated terms are just repeated legs — correct
+    * for "the the"-style phrases. Output convention identical to
+    * [[TextFunctions.phraseSearch]]: (doc_id, n_matches), only docs
+    * with a match, overlaps counted.
+    *
+    * Scale shape: ≤ |distinct terms| of nBuckets postings partitions
+    * read; positions explode map-side; the joins carry narrow
+    * (doc_id, base) pairs pre-shrunk to the phrase's terms. */
+  def phraseCounts(spark: SparkSession, path: String,
+                   phrase: Seq[String]): DataFrame = {
+    require(phrase.size >= 2 && phrase.size <= 8,
+      s"2..8 literal phrase terms, got ${phrase.size}")
+    require(phrase.forall(t => t.nonEmpty && !t.exists(_.isWhitespace)),
+      s"phrase terms must be non-empty single tokens, got $phrase")
+    val pin = pins(spark, path)
+    val nBuckets = metaAt(spark, path, pin("meta"))
+    val terms = phrase.distinct
+    val buckets = spark.range(1)
+      .select(terms.map(t => pmod(hash(lit(t)), lit(nBuckets))): _*)
+      .collect()(0).toSeq.map(_.asInstanceOf[Int]).distinct.sorted
+    val occ = TxnLog.read(spark, s"$path/postings", Some(pin("postings")))
+      .filter(col("bucket").isin(buckets: _*) && col("term").isin(terms: _*))
+      .select(col("doc_id"), col("term"), explode(col("positions")).as("pos"))
+    val legs = phrase.zipWithIndex.map { case (t, i) =>
+      occ.filter(col("term") === t)
+        .select(col("doc_id"), (col("pos") - i).as("base"))
+    }
+    legs.reduce(_.join(_, Seq("doc_id", "base")))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_matches"))
+  }
+
   /** Pin one consistent (postings, stats, meta) triple as a new
     * catalog release — the index's commit point. */
   private def publish(spark: SparkSession, path: String,
@@ -235,8 +278,17 @@ object Bm25Index {
                          textCol: String, idCol: String): DataFrame =
     docs.select(col(idCol).cast("long").as("doc_id"),
         TextFunctions.wsTokenCount(col(textCol)).as("dl"),
-        explode_outer(TextFunctions.tokens(col(textCol))).as("term"))
-      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+        posexplode_outer(TextFunctions.tokens(col(textCol)))
+          .as(Seq("pos", "term")))
+      .groupBy("doc_id", "dl", "term")
+      .agg(count(lit(1)).as("tf"),
+        // POSITIONAL postings: the term's sorted 1-based token
+        // positions ride each posting row, so an index-served phrase
+        // query ([[phraseCounts]]) adjacency-joins inside the probed
+        // buckets instead of re-scanning text. Purely additive —
+        // append/delete laws carry because positions are per-(doc,
+        // term) facts, exactly like tf.
+        sort_array(collect_list(col("pos") + 1)).as("positions"))
       .withColumn("bucket", pmod(hash(col("term")), lit(nBuckets)))
 
   /** One additive stats row for a batch. */

@@ -126,9 +126,11 @@ class RankingLmSpec extends SparkSpec {
     // build over the union of everything ingested
     assert(Bm25Index.topK(spark, streamed, terms, k = 10).collect().toSeq ==
       Bm25Index.topK(spark, oneShot, terms, k = 10).collect().toSeq)
-    // and the postings CONTENT is identical, not just the ranking
+    // and the postings CONTENT is identical — positions included, so
+    // the exactness law covers the positional table too
     def postRows(p: String) = TxnLog.read(spark, s"$p/postings")
-      .select("term", "doc_id", "tf", "dl", "bucket")
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"),
+        col("bucket"), col("positions").cast("string"))
       .collect().map(_.toSeq).sortBy(_.mkString(",")).toSeq
     assert(postRows(streamed) == postRows(oneShot))
     // checkpoint-recovery replay of the last batch: every member and
@@ -203,6 +205,41 @@ class RankingLmSpec extends SparkSpec {
     val out = TextFunctions.bm25Search(docs, Seq("common", "rare"), k = 10).collect()
     val scores = out.map(r => r.getLong(0) -> r.getDouble(r.length - 1)).toMap
     assert(scores(2L) > scores(1L)) // tf saturation: 5x common < 1 common + 1 rare
+  }
+
+  test("phraseCounts: index-served phrase search equals the map-side scan; laws hold under append and delete") {
+    import graft.search.Bm25Index
+    val base = java.nio.file.Files.createTempDirectory("bm25_phrase")
+    val path = base.resolve("idx").toString
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "quick brown quick brown quick"),
+      (3L, "brown quick brown"),
+      (4L, "quick quick quick"), // repeated-term phrase fodder
+      (5L, "nothing relevant here")).toDF("doc_id", "text")
+    // split build + append: the phrase answer must not care how the
+    // index was assembled (positions are per-(doc, term) facts)
+    Bm25Index.build(docs.filter(col("doc_id") <= 2), path, nBuckets = 4)
+    Bm25Index.append(spark, path, docs.filter(col("doc_id") > 2))
+    def served(phrase: Seq[String]) =
+      Bm25Index.phraseCounts(spark, path, phrase)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def scanned(phrase: Seq[String], d: org.apache.spark.sql.DataFrame = docs) =
+      TextFunctions.phraseSearch(d, phrase)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(served(Seq("quick", "brown")) == scanned(Seq("quick", "brown")))
+    assert(served(Seq("quick", "brown")) == Map(1L -> 1L, 2L -> 2L, 3L -> 1L))
+    // overlap counting with a REPEATED term: "quick quick" in doc 4
+    // occurs at positions 1 and 2
+    assert(served(Seq("quick", "quick")) == scanned(Seq("quick", "quick")))
+    assert(served(Seq("quick", "quick"))(4L) == 2L)
+    // a 3-term phrase
+    assert(served(Seq("quick", "brown", "quick")) ==
+      scanned(Seq("quick", "brown", "quick")))
+    // erasure law: post-delete phrase answers equal the never-held scan
+    Bm25Index.delete(spark, path, Seq(2L), Some("rtbf-phrase"))
+    assert(served(Seq("quick", "brown")) ==
+      scanned(Seq("quick", "brown"), docs.filter(col("doc_id") =!= 2L)))
   }
 
   test("unigramTrain: hard-EM unigram LM matches the hand-traced closed form; deterministic under repartition") {

@@ -1983,7 +1983,7 @@ object SparkEntry {
     * `cents(cell_id, c_emb, c_norm)` — shared by `sim_ivf`
     * (deterministic-sample centroids) and `sim_ivf_lloyd` (exact
     * fixed-point trained centroids). */
-  private def ivfScoringSql(centsCtes: String): String = {
+  private def ivfScoringSql(centsCtes: String, candWhere: String = ""): String = {
     val dotEC = dotSql("e.embedding", "c.c_emb")
     val dotAQ = dotSql("a.embedding", "p.q_emb")
     s"""$centsCtes,
@@ -2012,7 +2012,7 @@ object SparkEntry {
        |  SELECT p.q_id, a.vec_id,
        |    ($dotAQ) / (a.c_norm2 * p.q_norm2) AS cos
        |  FROM assigned a JOIN probed p USING (cell_id)
-       |  WHERE a.vec_id <> p.q_id)
+       |  WHERE a.vec_id <> p.q_id$candWhere)
        |SELECT q_id, vec_id, rank, round(cos, 9) AS cos FROM (
        |  SELECT q_id, vec_id, cos,
        |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rank
@@ -2085,7 +2085,7 @@ object SparkEntry {
     def prob(tag: String, vocab: String): Seq[String] = Seq(
       s"st_$tag AS (SELECT CAST(SUM(cnt) AS BIGINT) AS t, CAST(count(*) AS BIGINT) AS v FROM $vocab)",
       s"pr_$tag AS MATERIALIZED (SELECT sym, cnt, ((cnt + 1) * 1000000) // (st_$tag.t + st_$tag.v) AS p FROM $vocab, st_$tag)")
-    def dp(r: Int): Seq[String] = {
+    def dp(r: String): Seq[String] = {
       val head = Seq(
         s"""edges_$r AS MATERIALIZED (
            |  SELECT ps.word, ps.freq, ps.i, ps.j, ps.piece, c.cost
@@ -2108,23 +2108,23 @@ object SparkEntry {
       val bestUnion = (1 to maxWordLen)
         .map(j => s"SELECT word, freq, path FROM b_${r}_$j WHERE len = $j")
         .mkString("\n  UNION ALL\n  ")
-      head ++ positions ++ Seq(
-        s"best_$r AS MATERIALIZED (\n  $bestUnion)",
-        s"""cnt_$r AS MATERIALIZED (
-           |  SELECT t.sym, CAST(SUM(freq) AS BIGINT) AS cnt
-           |  FROM best_$r, UNNEST(string_split(substr(path, 2), '|')) AS t(sym)
-           |  GROUP BY 1)""".stripMargin,
-        s"""jn_$r AS MATERIALIZED (
-           |  SELECT v.sym, CAST(COALESCE(c.cnt, 0) AS BIGINT) AS cnt
-           |  FROM vocab$r v LEFT JOIN cnt_$r c USING (sym))""".stripMargin,
-        s"""vocab${r + 1} AS MATERIALIZED (
-           |  SELECT sym, cnt FROM jn_$r WHERE length(sym) = 1
-           |  UNION ALL
-           |  SELECT sym, cnt FROM (
-           |    SELECT sym, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, sym ASC) AS rn
-           |    FROM jn_$r WHERE length(sym) > 1)
-           |  WHERE rn <= (SELECT (count(*) * $keepPct + 99) // 100 FROM jn_$r WHERE length(sym) > 1))""".stripMargin)
+      head ++ positions :+ s"best_$r AS MATERIALIZED (\n  $bestUnion)"
     }
+    def recount(r: Int): Seq[String] = Seq(
+      s"""cnt_$r AS MATERIALIZED (
+         |  SELECT t.sym, CAST(SUM(freq) AS BIGINT) AS cnt
+         |  FROM best_$r, UNNEST(string_split(substr(path, 2), '|')) AS t(sym)
+         |  GROUP BY 1)""".stripMargin,
+      s"""jn_$r AS MATERIALIZED (
+         |  SELECT v.sym, CAST(COALESCE(c.cnt, 0) AS BIGINT) AS cnt
+         |  FROM vocab$r v LEFT JOIN cnt_$r c USING (sym))""".stripMargin,
+      s"""vocab${r + 1} AS MATERIALIZED (
+         |  SELECT sym, cnt FROM jn_$r WHERE length(sym) = 1
+         |  UNION ALL
+         |  SELECT sym, cnt FROM (
+         |    SELECT sym, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, sym ASC) AS rn
+         |    FROM jn_$r WHERE length(sym) > 1)
+         |  WHERE rn <= (SELECT (count(*) * $keepPct + 99) // 100 FROM jn_$r WHERE length(sym) > 1))""".stripMargin)
     val ctes = Seq(
       s"""w AS (
          |  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
@@ -2145,10 +2145,86 @@ object SparkEntry {
          |    SELECT sym, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, sym ASC) AS rn
          |    FROM seed WHERE length(sym) > 1) WHERE rn <= $seedMulti)""".stripMargin) ++
       (0 until rounds).flatMap(r => prob(r.toString, s"vocab$r") ++
-        lgChain(r.toString, s"pr_$r") ++ dp(r)) ++
+        lgChain(r.toString, s"pr_$r") ++ dp(r.toString) ++ recount(r)) ++
       prob("fin", s"vocab$rounds")
     "WITH " + ctes.mkString(",\n") +
       "\nSELECT sym, cnt, CAST(p AS BIGINT) AS p_micro FROM pr_fin"
+  }
+
+  /** Train-then-ENCODE oracle
+    * ([[graft.functions.TextFunctions.unigramEncodeStats]]): the full
+    * [[unigramTrainSql]] training, one more Viterbi pass under the
+    * FINAL model, per-word piece counts joined back to the document
+    * word stream; words over the training length cap fall back to
+    * their character count, docs with no words count zero. */
+  private def unigramEncodeSql(rounds: Int = 2, maxPiece: Int = 4,
+                               seedMulti: Int = 100, maxWordLen: Int = 16,
+                               keepPct: Int = 80): String = {
+    val train = unigramTrainSql(rounds, maxPiece, seedMulti, maxWordLen, keepPct)
+    val ctes = train.stripPrefix("WITH ")
+      .stripSuffix("\nSELECT sym, cnt, CAST(p AS BIGINT) AS p_micro FROM pr_fin")
+    // re-generate the fin-tagged log2 + Viterbi blocks (the generator
+    // closures are local to unigramTrainSql, so rebuild them here via
+    // one more call parameterized purely by string templates)
+    val lgFin = (Seq(s"""lg_fin_0 AS (
+        |  SELECT sym, cnt, p, CAST(length(bin(p)) - 1 AS BIGINT) AS msb,
+        |    (CAST(p AS BIGINT) << 20) >> (length(bin(p)) - 1) AS x, CAST(0 AS BIGINT) AS acc
+        |  FROM pr_fin)""".stripMargin) ++
+      (1 to 16).map(k => s"""lg_fin_$k AS (
+        |  SELECT sym, cnt, p, msb,
+        |    CASE WHEN ((x*x) >> 20) >= 2097152 THEN ((x*x) >> 20) >> 1 ELSE (x*x) >> 20 END AS x,
+        |    CASE WHEN ((x*x) >> 20) >= 2097152 THEN acc*2+1 ELSE acc*2 END AS acc
+        |  FROM lg_fin_${k - 1})""".stripMargin) :+
+      s"""cost_fin AS MATERIALIZED (
+        |  SELECT sym, cnt, p AS p_micro,
+        |    CAST(26*65536 - (msb*65536 + acc) AS BIGINT) AS cost FROM lg_fin_16)""".stripMargin)
+    val dpFin = {
+      val head = Seq(
+        s"""edges_fin AS MATERIALIZED (
+           |  SELECT ps.word, ps.freq, ps.i, ps.j, ps.piece, c.cost
+           |  FROM ps JOIN cost_fin c ON c.sym = ps.piece)""".stripMargin,
+        s"""b_fin_0 AS MATERIALIZED (SELECT word, freq, CAST(length(word) AS BIGINT) AS len,
+           |  CAST(0 AS BIGINT) AS cost, '' AS path FROM w)""".stripMargin)
+      val positions = (1 to maxWordLen).map { j =>
+        val branches = (math.max(0, j - maxPiece) until j).map(i =>
+          s"""SELECT b.word, b.freq, b.len, b.cost + e.cost AS cost,
+             |      b.path || '|' || e.piece AS path
+             |    FROM b_fin_$i b JOIN edges_fin e ON e.word = b.word AND e.i = $i AND e.j = $j""".stripMargin)
+          .mkString("\n    UNION ALL\n    ")
+        s"""b_fin_$j AS MATERIALIZED (
+           |  SELECT word, freq, len, cost, path FROM (
+           |    SELECT word, freq, len, cost, path,
+           |      ROW_NUMBER() OVER (PARTITION BY word ORDER BY cost, path) AS rn FROM (
+           |    $branches
+           |  )) WHERE rn = 1)""".stripMargin
+      }
+      val bestUnion = (1 to maxWordLen)
+        .map(j => s"SELECT word, freq, path FROM b_fin_$j WHERE len = $j")
+        .mkString("\n  UNION ALL\n  ")
+      head ++ positions :+ s"best_fin AS MATERIALIZED (\n  $bestUnion)"
+    }
+    val tail = Seq(
+      """wp AS MATERIALIZED (
+        |  SELECT word, CAST(len(string_split(substr(path, 2), '|')) AS BIGINT) AS n_pieces
+        |  FROM best_fin)""".stripMargin,
+      """dw AS MATERIALIZED (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+        |  FROM documents)""".stripMargin,
+      """pd AS (
+        |  SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+        |    CAST(SUM(COALESCE(w.n_pieces, length(d.word))) AS BIGINT) AS n_unigram_tokens,
+        |    CAST(SUM(length(d.word)) AS BIGINT) AS n_char_tokens
+        |  FROM dw d LEFT JOIN wp w USING (word) GROUP BY 1)""".stripMargin)
+    "WITH " + (Seq(ctes) ++ lgFin ++ dpFin ++ tail).mkString(",\n") + """
+      |SELECT d.doc_id,
+      |  CAST(COALESCE(p.n_words, 0) AS BIGINT) AS n_words,
+      |  CAST(COALESCE(p.n_unigram_tokens, 0) AS BIGINT) AS n_unigram_tokens,
+      |  CAST(COALESCE(p.n_char_tokens, 0) AS BIGINT) AS n_char_tokens,
+      |  CAST(CASE WHEN COALESCE(p.n_unigram_tokens, 0) > 0
+      |    THEN (1000000 * p.n_char_tokens) // p.n_unigram_tokens
+      |    ELSE 0 END AS BIGINT) AS compression_fp
+      |FROM (SELECT DISTINCT doc_id FROM documents) d
+      |LEFT JOIN pd p USING (doc_id)""".stripMargin
   }
 
   /** IVF-PQ composition oracle: Lloyd training + cosine
@@ -3476,6 +3552,8 @@ object SparkEntry {
       ((s, d) => { corpusListsDir(s, d); () }),
     "sim_ivf_indexed" ->
       ((s, d) => { ensureIvfIndexLayout(s, d); () }),
+    "sim_ivf_filtered" ->
+      ((s, d) => { ensureIvfIndexLayout(s, d); () }),
     "sim_ivf_indexed_txn" ->
       ((s, d) => { ensureIvfIndexTxnLayout(s, d); () }),
     "ann_recall_indexed" ->
@@ -4283,6 +4361,17 @@ object SparkEntry {
     "sim_ivf_kmeans" -> (simIvfKmeans(_, _)),
     "sim_ivf_lloyd" -> (simIvfLloyd(_, _)),
     "sim_ivf_indexed" -> (simIvfIndexed(_, _)),
+    // FILTERED vector search: the metadata predicate applies inside
+    // the probed partitions (pushed to the scan), ranking over the
+    // survivors — the production ANN-with-WHERE-clause shape
+    "sim_ivf_filtered" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val queries = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      graft.similarity.IvfIndex.topK(s, ensureIvfIndexLayout(s, d),
+        queries, dim = 64, k = 5, nProbe = 4,
+        predicate = Some(col("vec_id") % 3 === 0))
+    }),
     "sim_ivf_indexed_txn" -> (simIvfIndexedTxn(_, _)),
     // the persisted index's ACCEPTANCE number: recall@5 of the
     // cell-pruned nProbe=4 search against brute-force ground truth —
@@ -4312,6 +4401,10 @@ object SparkEntry {
     // costs, 2 EM rounds; the oracle unrolls the whole training
     "unigram_train" -> ((s, d) =>
       TextFunctions.unigramTrain(Tables.documents(s, d))),
+    // train -> ENCODE closed for the unigram family (the
+    // bpe_encode twin): per-doc Viterbi token counts + compression
+    "unigram_encode" -> ((s, d) =>
+      TextFunctions.unigramEncodeStats(Tables.documents(s, d))),
     "bm25_search" -> ((s, d) =>
       TextFunctions.bm25Search(Tables.documents(s, d),
         Seq("spark", "merge", "window"), k = 20)),
@@ -8373,6 +8466,10 @@ object SparkEntry {
     // build trained — one oracle for both (storage changes the plan,
     // never the answer; the build/probe shared expression is the proof)
     "sim_ivf_indexed" -> ivfScoringSql(lloydCentsSql(2)),
+    // filtered search: the same probing, candidates restricted to the
+    // predicate's survivors BEFORE ranking (exact post-filter k)
+    "sim_ivf_filtered" ->
+      ivfScoringSql(lloydCentsSql(2), " AND a.vec_id % 3 = 0"),
     // storage mode (TxnLog-backed cells) must not change a result bit
     "sim_ivf_indexed_txn" -> ivfScoringSql(lloydCentsSql(2)),
     // rebuild heals append drift COMPLETELY: the engine path is
@@ -8445,6 +8542,7 @@ object SparkEntry {
     // stage replayed verbatim; `f` (micro fixed-point vectors) is
     // shared between the Lloyd trainer and the PQ subvector slicer
     "unigram_train" -> unigramTrainSql(),
+    "unigram_encode" -> unigramEncodeSql(),
     "sim_ivfpq" -> simIvfPqOracleSql,
     // the persisted-codes serving path must be bit-identical: same
     // quantizers, same integer ADC, same rerank — the oracle statement

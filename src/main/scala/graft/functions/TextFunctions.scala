@@ -1331,6 +1331,108 @@ object TextFunctions {
                    rounds: Int = 2, maxPiece: Int = 4,
                    seedMulti: Int = 100, maxWordLen: Int = 16,
                    keepPct: Int = 80): DataFrame = {
+    val (vocab, words) =
+      unigramLoop(df, textCol, rounds, maxPiece, seedMulti, maxWordLen, keepPct)
+    val out = unigramProbed(vocab)
+      .select(col("sym"), col("cnt"), col("p_micro")).localCheckpoint()
+    graft.core.Checkpoints.releaseAll(vocab)
+    graft.core.Checkpoints.releaseAll(words)
+    out
+  }
+
+  /** The trained unigram tokenizer APPLIED to the corpus — the
+    * [[bpeEncodeStats]] twin, closing train → encode for the
+    * SentencePiece family: per document, the token count the trained
+    * model's Viterbi segmentation would emit, and the
+    * chars-per-token compression ratio in fixed-point millionths.
+    *
+    * Scale shape (identical to [[bpeEncodeStats]]): one more Viterbi
+    * pass over the WORD-TYPE table under the final model (vocabulary-
+    * sized), then the corpus-sized side only tokenizes to words and
+    * joins on the word key. Words longer than `maxWordLen` (excluded
+    * from training) fall back to their character segmentation —
+    * deterministic, replayable, and honest about the cap. Docs with
+    * no `[a-z]+` word count zero. */
+  def unigramEncodeStats(df: DataFrame, textCol: String = "text",
+                         idCol: String = "doc_id", rounds: Int = 2,
+                         maxPiece: Int = 4, seedMulti: Int = 100,
+                         maxWordLen: Int = 16, keepPct: Int = 80): DataFrame = {
+    val (vocab, words) =
+      unigramLoop(df, textCol, rounds, maxPiece, seedMulti, maxWordLen, keepPct)
+    val wordPieces = unigramBestPaths(words, unigramProbed(vocab), maxPiece)
+      .select(col("word"),
+        size(split(expr("substring(path, 2)"), "\\|")).cast("long").as("n_pieces"))
+    val docWords = df.select(col(idCol).as("doc_id"),
+      explode(regexp_extract_all(lower(col(textCol)), lit("[a-z]+"), lit(0)))
+        .as("word"))
+    val perDoc = docWords.join(wordPieces, Seq("word"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(coalesce(col("n_pieces"),
+          length(col("word")).cast("long"))).as("n_unigram_tokens"),
+        sum(length(col("word")).cast("long")).as("n_char_tokens"))
+    val out = df.select(col(idCol).as("doc_id")).distinct()
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_unigram_tokens"), lit(0L)).as("n_unigram_tokens"),
+        coalesce(col("n_char_tokens"), lit(0L)).as("n_char_tokens"))
+      .withColumn("compression_fp",
+        when(col("n_unigram_tokens") > 0,
+          expr("(1000000 * n_char_tokens) div n_unigram_tokens"))
+          .otherwise(lit(0L)))
+      .localCheckpoint()
+    graft.core.Checkpoints.releaseAll(vocab)
+    graft.core.Checkpoints.releaseAll(words)
+    out
+  }
+
+  /** (word, i, j, piece): every substring of length ≤ maxPiece with
+    * its 0-based span — the Viterbi DP's edge list. */
+  private def unigramPosSubs(words: DataFrame, maxPiece: Int): DataFrame =
+    words.select(col("word"), col("freq"), explode(flatten(
+        transform(sequence(lit(1), length(col("word"))), i =>
+          transform(sequence(lit(1),
+            least(lit(maxPiece), length(col("word")) - i + 1)), l =>
+            struct((i - 1).cast("long").as("i"),
+              (i - 1 + l).cast("long").as("j"),
+              col("word").substr(i, l).as("piece")))))).as("e"))
+      .select(col("word"), col("freq"), col("e.i").as("i"),
+        col("e.j").as("j"), col("e.piece").as("piece"))
+
+  /** Minimum-cost segmentation of every word type under `probed`
+    * (sym, cost) — ONE codegen'd fold per word: best[j] = min over
+    * pieces ending at j of best[i] + cost, tie-broken by the path
+    * string, so array_min over (cost, path) structs is the total
+    * order the oracle's ROW_NUMBER replays. Returns
+    * (word, freq, path) with path "|p1|p2|…". */
+  private def unigramBestPaths(words: DataFrame, probed: DataFrame,
+                               maxPiece: Int): DataFrame = {
+    val edges = unigramPosSubs(words, maxPiece)
+      .join(probed.select(col("sym").as("piece"), col("cost")), Seq("piece"))
+      .groupBy("word", "freq")
+      .agg(collect_list(struct(col("i"), col("j"), col("piece"),
+        col("cost"))).as("edges"))
+    val initArr = array(struct(lit(0L).as("cost"), lit("").as("path")))
+    val bestArr = aggregate(
+      sequence(lit(1L), length(col("word")).cast("long")), initArr,
+      (acc, j) => concat(acc, array(array_min(
+        transform(filter(col("edges"), e => e.getField("j") === j), e => {
+          val prev = element_at(acc, (e.getField("i") + 1).cast("int"))
+          struct((prev.getField("cost") + e.getField("cost")).as("cost"),
+            concat(prev.getField("path"), lit("|"),
+              e.getField("piece")).as("path"))
+        })))))
+    edges.select(col("word"), col("freq"),
+      element_at(bestArr, (length(col("word")) + 1).cast("int"))
+        .getField("path").as("path"))
+  }
+
+  /** The shared EM loop: returns (final vocab, word-type table), both
+    * checkpointed — callers release both. */
+  private def unigramLoop(df: DataFrame, textCol: String, rounds: Int,
+                          maxPiece: Int, seedMulti: Int, maxWordLen: Int,
+                          keepPct: Int): (DataFrame, DataFrame) = {
     require(rounds >= 1 && maxPiece >= 2 && seedMulti >= 1 &&
       maxWordLen >= maxPiece && keepPct >= 1 && keepPct <= 100,
       s"bad unigramTrain params: rounds=$rounds maxPiece=$maxPiece " +
@@ -1341,17 +1443,7 @@ object TextFunctions {
       .filter(length(col("word")) <= maxWordLen)
       .groupBy("word").agg(count(lit(1)).as("freq"))
       .localCheckpoint() // reused by every round's edge build
-    // (word, i, j, piece): all substrings with 0-based span [i, j)
-    val posSubs = words.select(col("word"), col("freq"), explode(flatten(
-        transform(sequence(lit(1), length(col("word"))), i =>
-          transform(sequence(lit(1),
-            least(lit(maxPiece), length(col("word")) - i + 1)), l =>
-            struct((i - 1).cast("long").as("i"),
-              (i - 1 + l).cast("long").as("j"),
-              col("word").substr(i, l).as("piece")))))).as("e"))
-      .select(col("word"), col("freq"), col("e.i").as("i"),
-        col("e.j").as("j"), col("e.piece").as("piece"))
-    val seed = posSubs.groupBy(col("piece").as("sym"))
+    val seed = unigramPosSubs(words, maxPiece).groupBy(col("piece").as("sym"))
       .agg(sum(col("freq")).as("cnt"))
     var vocab = seed.filter(length(col("sym")) === 1).unionByName(
       seed.filter(length(col("sym")) > 1)
@@ -1359,29 +1451,7 @@ object TextFunctions {
       .localCheckpoint()
     var prevVocab = vocab
     for (_ <- 1 to rounds) {
-      val probed = unigramProbed(vocab)
-      val edges = posSubs
-        .join(probed.select(col("sym").as("piece"), col("cost")), Seq("piece"))
-        .groupBy("word", "freq")
-        .agg(collect_list(struct(col("i"), col("j"), col("piece"),
-          col("cost"))).as("edges"))
-      // Viterbi fold: best[j] = min over pieces ending at j of
-      // best[i] + cost, tie-broken by the path string — array_min
-      // over (cost, path) structs is the total order the oracle's
-      // ROW_NUMBER replays
-      val initArr = array(struct(lit(0L).as("cost"), lit("").as("path")))
-      val bestArr = aggregate(
-        sequence(lit(1L), length(col("word")).cast("long")), initArr,
-        (acc, j) => concat(acc, array(array_min(
-          transform(filter(col("edges"), e => e.getField("j") === j), e => {
-            val prev = element_at(acc, (e.getField("i") + 1).cast("int"))
-            struct((prev.getField("cost") + e.getField("cost")).as("cost"),
-              concat(prev.getField("path"), lit("|"),
-                e.getField("piece")).as("path"))
-          })))))
-      val best = edges.select(col("word"), col("freq"),
-        element_at(bestArr, (length(col("word")) + 1).cast("int"))
-          .getField("path").as("path"))
+      val best = unigramBestPaths(words, unigramProbed(vocab), maxPiece)
       val counts = best.select(col("freq"),
           explode(split(expr("substring(path, 2)"), "\\|")).as("sym"))
         .groupBy("sym").agg(sum(col("freq")).as("cnt"))
@@ -1395,11 +1465,7 @@ object TextFunctions {
       graft.core.Checkpoints.releaseAll(prevVocab)
       prevVocab = vocab
     }
-    val out = unigramProbed(vocab)
-      .select(col("sym"), col("cnt"), col("p_micro")).localCheckpoint()
-    graft.core.Checkpoints.releaseAll(prevVocab)
-    graft.core.Checkpoints.releaseAll(words)
-    out
+    (vocab, words)
   }
 
   /** Fixed-weight linear quality model — the classifier-based

@@ -460,10 +460,20 @@ object IvfIndex {
   /** Serve a query batch from the persisted index: probe each query's
     * `nProbe` nearest cells, scan ONLY those partitions, exact-cosine
     * score, deterministic top-k in [[Similarity.bruteForceTopK]]'s
-    * output convention. */
+    * output convention.
+    *
+    * `predicate` is FILTERED vector search — the production "ANN with
+    * a metadata WHERE clause": the predicate applies to the candidate
+    * rows INSIDE the probed partitions (pushed into the parquet scan,
+    * so a selective filter also prunes row groups), and the ranking
+    * runs over the survivors — exact post-filter semantics, never a
+    * filter over an already-truncated top-k (which silently under-
+    * fills k). Queries whose probed∩filtered set is smaller than k
+    * return fewer rows, honestly. */
   def topK(spark: SparkSession, path: String, queries: DataFrame,
            dim: Int, k: Int, nProbe: Int = 4,
-           txnSafe: Boolean = false): DataFrame = {
+           txnSafe: Boolean = false,
+           predicate: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     require(k >= 1 && nProbe >= 1, s"need k, nProbe >= 1, got $k, $nProbe")
     val cents = readCentroids(spark, path, dim)
     val probed = queries
@@ -481,6 +491,7 @@ object IvfIndex {
       .collect().map(_.getLong(0)).sorted
     val cells = readCells(spark, path, txnSafe)
       .filter(col("cell_id").isin(probeCells: _*))
+      .filter(predicate.getOrElse(lit(true)))
       .withColumn("cell_id", col("cell_id").cast("long"))
     val scored = cells.join(broadcast(probed), "cell_id")
       .filter(col("vec_id") =!= col("q_id"))

@@ -270,6 +270,21 @@ class RankingLmSpec extends SparkSpec {
     assert(again == got2)
   }
 
+  test("unigramEncodeStats closes train→encode: per-doc Viterbi token counts; over-cap words fall back to chars; empty docs zero") {
+    // training sees only "abab"(2) and "cd"(1) — the 20-char word is
+    // over the cap and null text contributes nothing — so the final
+    // vocab is the hand-traced one and both words encode as ONE piece:
+    // doc 1 = 3 words / 3 tokens / 10 chars -> compression 10e6 div 3
+    val docs = Seq((1L, "abab abab cd"), (2L, "aaaaaaaaaaaaaaaaaaaa"),
+      (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val got = TextFunctions.unigramEncodeStats(docs)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (1L, 3L, 3L, 10L, 3333333L),
+      (2L, 1L, 20L, 20L, 1000000L), // char fallback: 20 pieces
+      (3L, 0L, 0L, 0L, 0L)), got)
+  }
+
   test("lmBigramScore computes exact fixed-point MLE bigram probabilities") {
     val docs = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "x")).toDF("doc_id", "text")
     val out = TextFunctions.lmBigramScore(docs).orderBy("doc_id").collect()

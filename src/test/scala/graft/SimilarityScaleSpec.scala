@@ -95,6 +95,30 @@ class SimilarityScaleSpec extends SparkSpec {
     assert(pf.get.contains("IN") || pf.get.contains("in("), pf.get)
   }
 
+  test("filtered vector search: predicate restricts candidates BEFORE ranking; exhaustive probes equal filtered brute force; pushable filters reach the scan") {
+    import graft.similarity.IvfIndex
+    val e = Tables.embeddings(spark, dir01).select("vec_id", "embedding")
+    val path = java.nio.file.Files.createTempDirectory("ivf_flt").resolve("idx").toString
+    IvfIndex.build(e, path, dim = 64, nCells = 16, iters = 2)
+    val q = queries(Tables.embeddings(spark, dir01))
+    // exhaustive probing + predicate == brute force over the filtered
+    // corpus: the filter applies to candidates, never truncated top-ks
+    val filtered = IvfIndex.topK(spark, path, q, dim = 64, k = 5,
+      nProbe = 16, predicate = Some(col("vec_id") % 3 === 0))
+    val brute = Similarity.bruteForceTopK(
+      e.filter(col("vec_id") % 3 === 0), q, k = 5)
+    assert(resultSet(filtered) == resultSet(brute))
+    // a pushable-shaped predicate reaches the parquet scan as a
+    // PushedFilter (row-group pruning inside the probed partitions)
+    val pushed = IvfIndex.topK(spark, path, q, dim = 64, k = 5,
+      nProbe = 4, predicate = Some(col("vec_id") < 250L))
+    pushed.collect()
+    val plan = pushed.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert("PushedFilters: \\[[^\\]]*LessThan\\(vec_id,250\\)".r.findFirstIn(plan).isDefined,
+      s"vec_id predicate must push into the cells scan:\n$plan")
+  }
+
   test("persisted PQ codes: topKPq is bit-identical to the ad-hoc IVF-PQ composition; codes scan prunes and never reads embeddings") {
     import graft.similarity.IvfIndex
     val e = Tables.embeddings(spark, dir01).select("vec_id", "embedding")

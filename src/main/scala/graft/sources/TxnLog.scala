@@ -619,8 +619,13 @@ object TxnLog {
     *  1. CLUSTER, when `zorderBy` is given and [[clusterAdvice]]
     *     flags at least two of the requested columns scattered —
     *     the z-curve rewrite SUBSUMES compaction (small dirs merge,
-    *     deletion vectors materialize), so step 2 is then skipped.
-    *  2. COMPACT, when [[compactAdvice]] flags the file census.
+    *     deletion vectors materialize). A non-empty `zorderBy` means
+    *     the z-curve OWNS the physical layout: the plain compactor
+    *     never runs (it would flatten the curve and the next cadence
+    *     would re-cluster — churn, not maintenance; the Delta
+    *     OPTIMIZE vs OPTIMIZE ZORDER split).
+    *  2. COMPACT, when `zorderBy` is EMPTY and [[compactAdvice]]
+    *     flags the file census.
     *  3. VACUUM, when `retainVersions` is given — destroys expired
     *     versions and stale orphans; metadata + deletes only, never
     *     a version mint.
@@ -640,20 +645,15 @@ object TxnLog {
                retainVersions: Option[Int] = None,
                txnId: Option[String] = None): Seq[(String, Long)] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
-    val clustered =
-      if (zorderBy.isEmpty) false
-      else {
-        // bounded: one row per stats-covered column
-        val scattered = clusterAdvice(spark, root, scatterBps)
-          .filter(col("scattered") === 1)
-          .select("col_name").collect().map(_.getString(0)).toSet
-        if (zorderBy.count(scattered) >= 2) {
-          out += (("cluster",
-            cluster(spark, root, zorderBy, txnId = txnId.map(_ + "-cluster"))))
-          true
-        } else false
-      }
-    if (!clustered) {
+    if (zorderBy.nonEmpty) {
+      // bounded: one row per stats-covered column
+      val scattered = clusterAdvice(spark, root, scatterBps)
+        .filter(col("scattered") === 1)
+        .select("col_name").collect().map(_.getString(0)).toSet
+      if (zorderBy.count(scattered) >= 2)
+        out += (("cluster",
+          cluster(spark, root, zorderBy, txnId = txnId.map(_ + "-cluster"))))
+    } else {
       val c = compactAdvice(spark, root, targetBytes, slack).head // one row
       if (c.getAs[Int]("compact") == 1)
         out += (("compact", compact(spark, root, targetBytes)))

@@ -4405,6 +4405,38 @@ object SparkEntry {
     // bpe_encode twin): per-doc Viterbi token counts + compression
     "unigram_encode" -> ((s, d) =>
       TextFunctions.unigramEncodeStats(Tables.documents(s, d))),
+    // tokenizer FAIRNESS across languages — the multilingual-fertility
+    // report (tokens per word, chars per token, both in exact
+    // millionths): a tokenizer trained on a skewed corpus over-
+    // fragments the minority languages, and this is the signal
+    "unigram_fertility" -> ((s, d) => {
+      val enc = TextFunctions.unigramEncodeStats(Tables.documents(s, d))
+      enc.join(Tables.documents(s, d).select("doc_id", "lang"), "doc_id")
+        .groupBy("lang").agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_words").as("n_words"),
+          sum("n_unigram_tokens").as("n_tokens"),
+          sum("n_char_tokens").as("n_chars"))
+        .withColumn("tokens_per_word_fp",
+          expr("(1000000 * n_tokens) div greatest(n_words, 1)"))
+        .withColumn("chars_per_token_fp",
+          expr("(1000000 * n_chars) div greatest(n_tokens, 1)"))
+    }),
+    // deterministic epoch shuffle: a seed-salted md5 key orders every
+    // doc into (shard, pos) — the reproducible global shuffle a
+    // training run resumes from, with NO global sort (one exchange on
+    // shard, a per-shard rank over narrow rows); re-runs and
+    // repartitioned inputs give the identical plan
+    "epoch_shuffle" -> ((s, d) => {
+      val key = md5(concat(lit("epoch0:"), col("doc_id").cast("string")))
+      Tables.documents(s, d).select(col("doc_id"))
+        .withColumn("skey", key)
+        .withColumn("shard", (ascii(substring(col("skey"), 1, 1)) % 8).cast("bigint"))
+        .withColumn("pos", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("shard"))
+            .orderBy(col("skey"), col("doc_id"))).cast("bigint"))
+        .select("doc_id", "shard", "pos")
+    }),
     "bm25_search" -> ((s, d) =>
       TextFunctions.bm25Search(Tables.documents(s, d),
         Seq("spark", "merge", "window"), k = 20)),
@@ -8543,6 +8575,29 @@ object SparkEntry {
     // shared between the Lloyd trainer and the PQ subvector slicer
     "unigram_train" -> unigramTrainSql(),
     "unigram_encode" -> unigramEncodeSql(),
+    // the encode statement embedded as a derived table, rolled up by
+    // language (the ann_recall_indexed embedding convention)
+    "unigram_fertility" ->
+      s"""SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(e.n_words) AS BIGINT) AS n_words,
+         |  CAST(SUM(e.n_unigram_tokens) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(e.n_char_tokens) AS BIGINT) AS n_chars,
+         |  CAST((1000000 * SUM(e.n_unigram_tokens)) // greatest(SUM(e.n_words), 1) AS BIGINT) AS tokens_per_word_fp,
+         |  CAST((1000000 * SUM(e.n_char_tokens)) // greatest(SUM(e.n_unigram_tokens), 1) AS BIGINT) AS chars_per_token_fp
+         |FROM (
+         |${unigramEncodeSql()}
+         |) e JOIN documents d USING (doc_id)
+         |GROUP BY 1""".stripMargin,
+    // both engines md5 the same bytes; hex strings compare binary
+    "epoch_shuffle" ->
+      """WITH k AS (
+        |  SELECT doc_id, md5('epoch0:' || CAST(doc_id AS VARCHAR)) AS skey
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(ascii(substr(skey, 1, 1)) % 8 AS BIGINT) AS shard,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY ascii(substr(skey, 1, 1)) % 8
+        |    ORDER BY skey, doc_id) AS BIGINT) AS pos
+        |FROM k""".stripMargin,
     "sim_ivfpq" -> simIvfPqOracleSql,
     // the persisted-codes serving path must be bit-identical: same
     // quantizers, same integer ADC, same rerank — the oracle statement

@@ -1425,6 +1425,28 @@ object SparkEntry {
     }
   }
 
+  /** Once-per-snapshot unigram tokenizer training
+    * ([[graft.functions.TextFunctions.unigramTrain]]'s output
+    * persisted, content-keyed): the trained-model artifact encode
+    * consumers serve from — training is deterministic, so the stored
+    * vocab equals a fresh run bit-for-bit (the oracle still replays
+    * the full training). v1: rounds 2, maxPiece 4, seed 100, cap 16,
+    * keep 80%. */
+  private def ensureUnigramVocabLayout(spark: SparkSession, dir: String): String = {
+    val fp = graft.sources.LayoutCache.contentFingerprint(
+      Seq(new java.io.File(dir, "documents.parquet")))
+    graft.sources.LayoutCache.ensure("graft_unigram_vocab_v1-r2-p4-s100-w16-k80",
+      new java.io.File(dir).getName, fp) { tmp =>
+      TextFunctions.unigramTrain(Tables.documents(spark, dir))
+        .write.parquet(s"$tmp/vocab")
+      // the layout root needs its own completeness marker (the
+      // vocab subdir's parquet _SUCCESS is one level down)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(tmp, "_SUCCESS"), "")
+      ()
+    } + "/vocab"
+  }
+
   /** Persisted IVF-PQ index layout — [[ensureIvfIndexLayout]] plus
     * the PQ tier ([[graft.similarity.IvfIndex.buildPq]]): the corpus
     * CODES are computed once per source snapshot and stored
@@ -3574,6 +3596,10 @@ object SparkEntry {
       ((s, d) => { ensureBm25IndexLayout(s, d); () }),
     "sim_ivfpq_indexed" ->
       ((s, d) => { ensureIvfPqIndexLayout(s, d); () }),
+    "unigram_encode" ->
+      ((s, d) => { ensureUnigramVocabLayout(s, d); () }),
+    "unigram_fertility" ->
+      ((s, d) => { ensureUnigramVocabLayout(s, d); () }),
   )
   /** Verified variant ([[graft.dedup.Dedup.incrementalNearDupVerified]]):
     * same split, but a catalog band collision only drops a batch doc
@@ -4402,15 +4428,18 @@ object SparkEntry {
     "unigram_train" -> ((s, d) =>
       TextFunctions.unigramTrain(Tables.documents(s, d))),
     // train -> ENCODE closed for the unigram family (the
-    // bpe_encode twin): per-doc Viterbi token counts + compression
+    // bpe_encode twin): per-doc Viterbi token counts + compression,
+    // served from the once-per-snapshot trained vocab layout
     "unigram_encode" -> ((s, d) =>
-      TextFunctions.unigramEncodeStats(Tables.documents(s, d))),
+      TextFunctions.unigramEncodeWith(Tables.documents(s, d),
+        s.read.parquet(ensureUnigramVocabLayout(s, d)))),
     // tokenizer FAIRNESS across languages — the multilingual-fertility
     // report (tokens per word, chars per token, both in exact
     // millionths): a tokenizer trained on a skewed corpus over-
     // fragments the minority languages, and this is the signal
     "unigram_fertility" -> ((s, d) => {
-      val enc = TextFunctions.unigramEncodeStats(Tables.documents(s, d))
+      val enc = TextFunctions.unigramEncodeWith(Tables.documents(s, d),
+        s.read.parquet(ensureUnigramVocabLayout(s, d)))
       enc.join(Tables.documents(s, d).select("doc_id", "lang"), "doc_id")
         .groupBy("lang").agg(
           count(lit(1)).as("n_docs"),

@@ -1359,7 +1359,31 @@ object TextFunctions {
                          maxWordLen: Int = 16, keepPct: Int = 80): DataFrame = {
     val (vocab, words) =
       unigramLoop(df, textCol, rounds, maxPiece, seedMulti, maxWordLen, keepPct)
-    val wordPieces = unigramBestPaths(words, unigramProbed(vocab), maxPiece)
+    // materialize before releasing the loop's checkpointed blocks the
+    // lazy encode plan still references
+    val out = unigramEncodeWith(df, vocab, textCol, idCol, maxPiece, maxWordLen)
+      .localCheckpoint()
+    graft.core.Checkpoints.releaseAll(vocab)
+    graft.core.Checkpoints.releaseAll(words)
+    out
+  }
+
+  /** Encode under an ALREADY-TRAINED vocabulary (sym, cnt[, …]) —
+    * the serve-from-storage half: a model trained once per corpus
+    * snapshot (persist [[unigramTrain]]'s output) encodes any number
+    * of batches without re-running EM. Same semantics and cost shape
+    * as [[unigramEncodeStats]]'s tail: one Viterbi pass over the
+    * word-TYPE table, corpus side joins on the word key. */
+  def unigramEncodeWith(df: DataFrame, vocab: DataFrame,
+                        textCol: String = "text", idCol: String = "doc_id",
+                        maxPiece: Int = 4, maxWordLen: Int = 16): DataFrame = {
+    val words = df.select(
+        explode(regexp_extract_all(lower(col(textCol)), lit("[a-z]+"), lit(0)))
+          .as("word"))
+      .filter(length(col("word")) <= maxWordLen)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    val probed = unigramProbed(vocab.select(col("sym"), col("cnt")))
+    val wordPieces = unigramBestPaths(words, probed, maxPiece)
       .select(col("word"),
         size(split(expr("substring(path, 2)"), "\\|")).cast("long").as("n_pieces"))
     val docWords = df.select(col(idCol).as("doc_id"),
@@ -1371,7 +1395,7 @@ object TextFunctions {
         sum(coalesce(col("n_pieces"),
           length(col("word")).cast("long"))).as("n_unigram_tokens"),
         sum(length(col("word")).cast("long")).as("n_char_tokens"))
-    val out = df.select(col(idCol).as("doc_id")).distinct()
+    df.select(col(idCol).as("doc_id")).distinct()
       .join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_words"), lit(0L)).as("n_words"),
@@ -1381,10 +1405,6 @@ object TextFunctions {
         when(col("n_unigram_tokens") > 0,
           expr("(1000000 * n_char_tokens) div n_unigram_tokens"))
           .otherwise(lit(0L)))
-      .localCheckpoint()
-    graft.core.Checkpoints.releaseAll(vocab)
-    graft.core.Checkpoints.releaseAll(words)
-    out
   }
 
   /** (word, i, j, piece): every substring of length ≤ maxPiece with

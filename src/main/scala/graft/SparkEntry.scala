@@ -2062,6 +2062,35 @@ object SparkEntry {
        |FROM counts""".stripMargin
   }
 
+  /** Whole-data HLL register replay — the merged-sketch truth shared
+    * by `distinct_hll_union` (two-way stored-register union) and
+    * `mv_distinct_hll` (N-way fold over per-batch TxnLog partials):
+    * pointwise register max is lossless, so every maintenance shape
+    * answers with the same statement. */
+  private val hllUnionOracleSql: String =
+    """WITH h AS (
+      |  SELECT event_type,
+      |    CAST(concat('0x', substring(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+      |  FROM events WHERE user_id IS NOT NULL),
+      |b AS (
+      |  SELECT event_type, CAST(hv // 4503599627370496 AS INT) AS j,
+      |         hv % 4503599627370496 AS w
+      |  FROM h),
+      |r AS (
+      |  SELECT event_type, j,
+      |    MAX(CASE WHEN w = 0 THEN 53 ELSE 53 - length(bin(w)) END) AS reg
+      |  FROM b GROUP BY event_type, j),
+      |et AS (SELECT DISTINCT event_type FROM h),
+      |dense AS (
+      |  SELECT et.event_type, g.j, COALESCE(r.reg, 0) AS reg
+      |  FROM et CROSS JOIN (SELECT CAST(k AS INT) AS j FROM range(256) t(k)) g
+      |  LEFT JOIN r ON r.event_type = et.event_type AND r.j = g.j)
+      |SELECT event_type,
+      |  string_agg(CAST(reg AS VARCHAR), ',' ORDER BY j) AS regs,
+      |  CAST(SUM(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+      |  CAST(SUM(CAST(POW(2, 53 - reg) AS BIGINT)) AS BIGINT) AS pow_sum
+      |FROM dense GROUP BY event_type""".stripMargin
+
   /** Positional self-join replay of the phrase counter: adjacent
     * positions must equal the phrase, overlaps count. Shared by
     * `phrase_search` (map-side shingle scan) and `phrase_indexed`
@@ -2597,6 +2626,43 @@ object SparkEntry {
           coalesce(col("regs"), zeros), coalesce(col("regs_b"), zeros), 8).as("u"))
     merged.select(col("event_type"), col("u.n_zero").as("n_zero"),
       col("u.pow_sum").as("pow_sum"), array_join(col("u.regs"), ",").as("regs"))
+  }
+
+  /** Incrementally MAINTAINED distinct counts — the sketch-IVM shape
+    * that keeps "distinct users per segment" current on a 100 TB
+    * stream: each batch commits its own 2^8-register HLL partial to a
+    * TxnLog table (one narrow row per group per batch — never a
+    * corpus re-scan), and the read side folds the stored partials by
+    * pointwise max. Register max is EXACTLY the whole-data sketch
+    * (merge is lossless and order-free), so the maintained state
+    * answers with the one-shot statement — which is what the shared
+    * `distinct_hll_union` oracle replays. */
+  private def mvDistinctHll(spark: SparkSession, dir: String): DataFrame = {
+    import graft.expressions.SketchAggregates
+    import graft.sources.TxnLog
+    val root = tmpArtifactRoot("hllmv", dir)
+    val ev = Tables.events(spark, dir).filter(col("user_id").isNotNull)
+    buildLock(root) {
+      if (TxnLog.latestVersion(spark, root) < 3L) {
+        (0 until 4).foreach { i =>
+          val batch = ev.filter(pmod(col("event_id"), lit(4)) === i)
+            .groupBy(col("event_type"))
+            .agg(SketchAggregates.hllDistinct(col("user_id"), 8).as("hll"))
+            .select(col("event_type"), col("hll.regs").as("regs"))
+          if (i == 0) { TxnLog.overwrite(batch, root, Some("h0")); () }
+          else { TxnLog.append(batch, root, Some(s"h$i")); () }
+        }
+      }
+    }
+    val zeros = array_repeat(lit(0), 256)
+    val merged = TxnLog.read(spark, root)
+      .groupBy("event_type")
+      .agg(aggregate(collect_list(col("regs")), zeros,
+        (acc, r) => zip_with(acc, r, (x, y) => greatest(x, y))).as("mregs"))
+    merged.select(col("event_type"),
+        SketchAggregates.hllUnion(col("mregs"), zeros, 8).as("u"))
+      .select(col("event_type"), col("u.n_zero").as("n_zero"),
+        col("u.pow_sum").as("pow_sum"), array_join(col("u.regs"), ",").as("regs"))
   }
 
   /** Broadcast-Bloom decontamination ([[graft.functions.TextFunctions
@@ -3807,6 +3873,7 @@ object SparkEntry {
     "distinct_sketch" -> (distinctSketch(_, _)),
     "distinct_hll" -> (distinctHll(_, _)),
     "distinct_hll_union" -> (distinctHllUnion(_, _)),
+    "mv_distinct_hll" -> (mvDistinctHll(_, _)),
     "decontaminate_bloom" -> (decontaminateBloom(_, _)),
     "span_dedup" -> (spanDedupQuery(_, _)),
     "substr_dedup" -> (substrDedupQuery(_, _)),
@@ -7295,29 +7362,10 @@ object SparkEntry {
     // HLL register max is trivially mergeable — the engine's two-half
     // pointwise-max union must equal the whole-data registers
     // byte-for-byte, so the oracle IS the whole-data replay.
-    "distinct_hll_union" ->
-      """WITH h AS (
-        |  SELECT event_type,
-        |    CAST(concat('0x', substring(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
-        |  FROM events WHERE user_id IS NOT NULL),
-        |b AS (
-        |  SELECT event_type, CAST(hv // 4503599627370496 AS INT) AS j,
-        |         hv % 4503599627370496 AS w
-        |  FROM h),
-        |r AS (
-        |  SELECT event_type, j,
-        |    MAX(CASE WHEN w = 0 THEN 53 ELSE 53 - length(bin(w)) END) AS reg
-        |  FROM b GROUP BY event_type, j),
-        |et AS (SELECT DISTINCT event_type FROM h),
-        |dense AS (
-        |  SELECT et.event_type, g.j, COALESCE(r.reg, 0) AS reg
-        |  FROM et CROSS JOIN (SELECT CAST(k AS INT) AS j FROM range(256) t(k)) g
-        |  LEFT JOIN r ON r.event_type = et.event_type AND r.j = g.j)
-        |SELECT event_type,
-        |  string_agg(CAST(reg AS VARCHAR), ',' ORDER BY j) AS regs,
-        |  CAST(SUM(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
-        |  CAST(SUM(CAST(POW(2, 53 - reg) AS BIGINT)) AS BIGINT) AS pow_sum
-        |FROM dense GROUP BY event_type""".stripMargin,
+    "distinct_hll_union" -> hllUnionOracleSql,
+    // the incrementally MAINTAINED sketch answers with the one-shot
+    // statement: register max is lossless, storage changes the plan
+    "mv_distinct_hll" -> hllUnionOracleSql,
     // Span dedup: first (doc_id, idx) occurrence of each 20-token chunk
     // hash wins; docs rebuild from surviving chunks (empty string when
     // every chunk was seen earlier).

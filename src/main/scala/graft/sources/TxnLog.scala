@@ -1671,7 +1671,8 @@ object TxnLog {
     import org.apache.spark.sql.functions.{max => smax, min => smin}
     val df = spark.read.parquet(path)
     val statCols = df.schema.fields.filter(f => f.dataType match {
-      case LongType | IntegerType | ShortType | ByteType | StringType => true
+      case LongType | IntegerType | ShortType | ByteType | StringType
+           | DoubleType | FloatType => true
       case _ => false
     }).take(MaxStatCols)
     // the row count is collected even when no column qualifies for
@@ -1684,9 +1685,15 @@ object TxnLog {
     val colStats = statCols.flatMap { f =>
       val mn = row.getAs[String](s"__mn_${f.name}")
       val mx = row.getAs[String](s"__mx_${f.name}")
+      // Spark renders doubles shortest-roundtrip, so toDouble recovers
+      // the exact binary64 at read — range comparisons stay exact
+      val tpe = f.dataType match {
+        case StringType => "string"
+        case DoubleType | FloatType => "double"
+        case _ => "long"
+      }
       if (mn == null || mx == null) None
-      else Some(f.name -> ColStat(
-        if (f.dataType == StringType) "string" else "long", mn, mx))
+      else Some(f.name -> ColStat(tpe, mn, mx))
     }.toMap
     // the directory row count rides the same stats map under a
     // reserved name ("count" type — the pruner's mayContain defaults
@@ -1743,9 +1750,15 @@ object TxnLog {
     if (per.exists(_.isEmpty)) return None
     val cs = per.flatten
     val tpe = cs.head.tpe
-    if (!cs.forall(_.tpe == tpe) || (tpe != "long" && tpe != "string")) return None
+    if (!cs.forall(_.tpe == tpe) ||
+      (tpe != "long" && tpe != "string" && tpe != "double")) return None
     if (tpe == "long")
       Some((cs.map(_.min.toLong).min.toString, cs.map(_.max.toLong).max.toString))
+    else if (tpe == "double")
+      // return the STORED rendering of the extremal dir (never
+      // re-render driver-side — the engine's shortest-roundtrip
+      // string is the contract)
+      Some((cs.minBy(_.min.toDouble).min, cs.maxBy(_.max.toDouble).max))
     else
       Some((cs.map(_.min).min, cs.map(_.max).max))
   }
@@ -1861,11 +1874,18 @@ object TxnLog {
   }
 
   /** Can a dir with these stats contain a value in [lo, hi]? Missing
-    * stats or a type mismatch → yes (conservative). */
+    * stats or a type mismatch → yes (conservative). NaN endpoints are
+    * never trusted to prune (every comparison involving one fails the
+    * skip test, keeping the dir). */
   private def mayContain(st: Option[ColStat], lo: Any, hi: Any): Boolean = st match {
     case Some(ColStat("long", mn, mx)) => (lo, hi) match {
       case (l: Number, h: Number) =>
         mx.toLong >= l.longValue && mn.toLong <= h.longValue
+      case _ => true
+    }
+    case Some(ColStat("double", mn, mx)) => (lo, hi) match {
+      case (l: Number, h: Number) =>
+        !(mx.toDouble < l.doubleValue || mn.toDouble > h.doubleValue)
       case _ => true
     }
     case Some(ColStat("string", mn, mx)) => (lo, hi) match {

@@ -1152,6 +1152,16 @@ class TxnLogSpec extends SparkSpec {
       s"string stats should prune post-cluster: skipped ${skipS.size} of ${snapS.size}")
     assert(TxnLog.readWhere(spark, root, "s", "cat00", "cat01").count() ==
       rows.count(r => r._2 <= "cat01"))
+    // DOUBLE stats prune too (micro-unit z-keys cluster the column,
+    // the manifest stores shortest-roundtrip renderings): a narrow
+    // x-band skips dirs and the skipped read equals the plain filter
+    val (_, skipX, _) = TxnLog.pruneDirs(spark, root, "x", 0.0, 1.0)
+    assert(skipX.nonEmpty, "double stats should prune post-cluster")
+    assert(TxnLog.readWhere(spark, root, "x", 0.0, 1.0).count() ==
+      rows.count(r => r._3 >= 0.0 && r._3 <= 1.0))
+    // metadata MIN/MAX serves doubles from the stored renderings
+    val Some((xmn, xmx)) = TxnLog.fastMinMax(spark, root, "x")
+    assert(xmn.toDouble == 0.0 && xmx.toDouble == 12.25, s"($xmn, $xmx)")
     // unsupported types still refuse loudly
     val ts = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 2L))
       .toDF("id", "t", "y")

@@ -685,6 +685,21 @@ object SparkEntry {
     Joins.asOfJoin(clicks, purchases, Seq("user_id"), "ts", Seq("purchase_value"))
   }
 
+  /** Tolerance-bounded as-of join (the pandas `merge_asof(tolerance)`
+    * contract): a purchase older than 48 hours must not price the
+    * click — the staleness test reads the MATCHED row's own carried
+    * timestamp, zero extra data movement. */
+  private def asofJoinTolerance(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(Exact.dsum(col("value")).as("purchase_value"))
+    Joins.asOfJoin(clicks, purchases, Seq("user_id"), "ts",
+      Seq("purchase_value"), maxStaleness = Some(expr("INTERVAL 48 HOURS")))
+  }
+
   /** Grouped summary statistics with engine-exact aggregates only
     * (min/max/exact-decimal avg/count/count-distinct). */
   private def statsSummary(spark: SparkSession, dir: String): DataFrame =
@@ -3970,6 +3985,7 @@ object SparkEntry {
           grouping_id().cast("long").as("gid"))
     }),
     "asof_join" -> (asofJoin(_, _)),
+    "asof_join_tolerance" -> (asofJoinTolerance(_, _)),
     "stats_summary" -> (statsSummary(_, _)),
     "lineitem_cov" -> (lineitemCov(_, _)),
     "value_histogram" -> ((s, d) =>
@@ -5582,6 +5598,20 @@ object SparkEntry {
         |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS purchase_value
         |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
         |SELECT c.event_id, c.user_id, c.ts, p.purchase_value
+        |FROM clicks c ASOF LEFT JOIN p
+        |  ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin,
+    // the tolerance variant: the SAME asof match, then the matched
+    // row's age decides — stale payloads answer NULL
+    "asof_join_tolerance" ->
+      """WITH clicks AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |p AS (
+        |  SELECT user_id, ts,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS purchase_value
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT c.event_id, c.user_id, c.ts,
+        |  CASE WHEN p.ts >= c.ts - INTERVAL 48 HOURS
+        |    THEN p.purchase_value END AS purchase_value
         |FROM clicks c ASOF LEFT JOIN p
         |  ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin,
     "stats_summary" ->

@@ -45,18 +45,28 @@ object Joins {
     * latest right-side payload with `right.ts <= left.ts` on the same
     * key; null when no earlier right row exists.
     *
+    * `maxStaleness` bounds how far back the match may reach — the
+    * pandas `merge_asof(tolerance = …)` contract a feature-serving
+    * join needs (a quote from last quarter must not price today's
+    * trade): a carried payload older than `left.ts − maxStaleness`
+    * answers NULL instead. Pass an interval expression for timestamp
+    * keys (`expr("INTERVAL 48 HOURS")`) or a numeric literal for
+    * numeric ones; the bound is inclusive.
+    *
     * Implementation is the scalable union + ordered window carry — NOT
     * a range join: tag right rows to sort before left rows at equal
     * timestamps, union the two sides, and carry
     * `last(payload, ignoreNulls)` forward within each key ordered by
     * (ts, tag). One shuffle by key + one partition-local sort; no
     * per-row range probe, no candidate-pair blowup, and skew follows
-    * ordinary key salting rules. Right side should be unique per
+    * ordinary key salting rules (staleness is a post-carry filter —
+    * zero extra movement). Right side should be unique per
     * (key, ts) — pre-aggregate if not — so the "latest" row is
     * well-defined.
     */
   def asOfJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
-               tsCol: String, payloadCols: Seq[String]): DataFrame = {
+               tsCol: String, payloadCols: Seq[String],
+               maxStaleness: Option[Column] = None): DataFrame = {
     val leftCols = left.columns.toSeq
     require(payloadCols.nonEmpty, "payloadCols must be non-empty")
     require(payloadCols.forall(right.columns.contains), "payload missing from right")
@@ -66,9 +76,12 @@ object Joins {
     // that is non-null for every right row (even when its fields are
     // null), so the ignoreNulls carry always picks the LATEST right
     // row atomically — a genuinely-null payload value propagates, and
-    // multiple payload columns can never stitch across rows.
+    // multiple payload columns can never stitch across rows. The
+    // right row's own ts rides inside the struct so the staleness
+    // test reads the MATCHED row's age, not a reconstruction.
     val leftOnly = leftCols.filterNot(c => keyCols.contains(c) || c == tsCol)
-    val payloadStruct = struct(payloadCols.map(col): _*)
+    val payloadStruct = struct(
+      (payloadCols.map(col) :+ col(tsCol).as("__ts")): _*)
     val rightTagged = right.select(
       (keyCols.map(col) :+ col(tsCol)) ++
         leftOnly.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
@@ -85,7 +98,13 @@ object Joins {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = rightTagged.unionByName(leftTagged)
       .withColumn("__p", last(col("__p"), ignoreNulls = true).over(w))
+    val fresh = maxStaleness match {
+      case None => col("__p")
+      case Some(tol) =>
+        when(col("__p.__ts") >= col(tsCol) - tol, col("__p"))
+    }
     carried.filter(col("__side") === 1)
+      .withColumn("__p", fresh)
       .select(leftCols.map(col) ++
         payloadCols.map(c => col(s"__p.$c").as(c)): _*)
   }

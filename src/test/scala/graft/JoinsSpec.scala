@@ -39,6 +39,26 @@ class JoinsSpec extends SparkSpec {
     assert(out.head().isNullAt(3)) // NOT the stale 5.0
   }
 
+  test("asOfJoin maxStaleness: matches older than the tolerance answer NULL; boundary is inclusive") {
+    import org.apache.spark.sql.functions.expr
+    val left = Seq(
+      (1L, 10L, t("2024-01-01 10:30:00")), // 30 min stale -> fresh
+      (2L, 10L, t("2024-01-01 11:00:00")), // exactly 1 h -> inclusive, fresh
+      (3L, 10L, t("2024-01-01 12:30:00"))  // 2.5 h stale -> NULL
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq((10L, t("2024-01-01 10:00:00"), 100.0))
+      .toDF("user_id", "ts", "purchase_value")
+    val out = Joins.asOfJoin(left, right, Seq("user_id"), "ts",
+        Seq("purchase_value"), maxStaleness = Some(expr("INTERVAL 1 HOUR")))
+      .orderBy("event_id").collect()
+    assert(out.map(r => if (r.isNullAt(3)) null else r.getDouble(3)).toSeq ==
+      Seq(100.0, 100.0, null))
+    // no tolerance -> the 2.5 h-old match still serves (regression)
+    val loose = Joins.asOfJoin(left, right, Seq("user_id"), "ts",
+      Seq("purchase_value"))
+    assert(loose.filter($"event_id" === 3L).head().getDouble(3) == 100.0)
+  }
+
   test("asOfJoin keeps every left row (left-join semantics)") {
     val left = Seq((1L, 1L, t("2024-01-01 00:00:00"))).toDF("event_id", "user_id", "ts")
     val right = Seq.empty[(Long, Timestamp, Double)].toDF("user_id", "ts", "purchase_value")

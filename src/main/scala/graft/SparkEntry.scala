@@ -3300,7 +3300,10 @@ object SparkEntry {
     * The skipped read must return the key's rows hash-exact with the
     * plain equality filter: Bloom false positives can open an extra
     * dir, never change the answer. */
-  private def txnlogBloom(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared residue-scattered bloom fixture: 8 hash-scattered commits
+    * over documents with per-dir doc_id Blooms; returns (root, probe =
+    * (max+1)/2). Range stats are provably blind on this layout. */
+  private def ensureTxnBloomTable(spark: SparkSession, dir: String): (String, Long) = {
     import graft.sources.TxnLog
     val root = tmpArtifactRoot("txnbloom", dir)
     val docs = Tables.documents(spark, dir)
@@ -3317,12 +3320,34 @@ object SparkEntry {
         }
       }
     }
+    (root, probe)
+  }
+
+  private def txnlogBloom(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.TxnLog
+    val (root, probe) = ensureTxnBloomTable(spark, dir)
     val (_, skipRange, _) = TxnLog.pruneDirs(spark, root, "doc_id", probe, probe)
     require(skipRange.isEmpty, "scattered layout: range stats must be blind")
     val (_, skipB, snapB) = TxnLog.prunePoint(spark, root, "doc_id", probe)
     require(skipB.size >= 6,
       s"bloom should prune most dirs: skipped ${skipB.size} of ${snapB.size}")
     TxnLog.readPoint(spark, root, "doc_id", probe)
+      .select("doc_id", "source", "n_chars")
+  }
+
+  /** Multi-key point fetch under the oracle
+    * ([[graft.sources.TxnLog.readPoints]]): three ids spanning at
+    * most three residue classes fetched in ONE read — the Blooms must
+    * still prune dirs holding none of them (the `require`), and the
+    * result is hash-exact with the plain IN filter. */
+  private def txnlogPoints(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.TxnLog
+    val (root, probe) = ensureTxnBloomTable(spark, dir)
+    val ids = Seq(probe, probe + 1, 17L)
+    val (keep, skip, snap) = TxnLog.prunePoints(spark, root, "doc_id", ids)
+    require(skip.nonEmpty && keep.size <= snap.size - skip.size + 3,
+      s"multi-key bloom should prune: keep=${keep.size} skip=${skip.size}")
+    TxnLog.readPoints(spark, root, "doc_id", ids)
       .select("doc_id", "source", "n_chars")
   }
 
@@ -3918,6 +3943,7 @@ object SparkEntry {
     "txnlog_zorder_str" -> (txnlogZorderStr(_, _)),
     "txnlog_maintain" -> (txnlogMaintain(_, _)),
     "txnlog_bloom" -> (txnlogBloom(_, _)),
+    "txnlog_points" -> (txnlogPoints(_, _)),
     "txnlog_lineage" -> (txnlogLineage(_, _)),
     "cluster_advice" -> (clusterAdviceQ(_, _)),
     "txnlog_cdf" -> (txnlogCdf(_, _)),
@@ -7989,6 +8015,11 @@ object SparkEntry {
     "txnlog_bloom" ->
       """SELECT doc_id, source, n_chars FROM documents
         |WHERE doc_id = (SELECT (MAX(doc_id) + 1) // 2 FROM documents)""".stripMargin,
+    // multi-key fetch: bloom-pruned dirs, plain IN semantics
+    "txnlog_points" ->
+      """WITH m AS (SELECT (MAX(doc_id) + 1) // 2 AS q FROM documents)
+        |SELECT doc_id, source, n_chars FROM documents
+        |WHERE doc_id IN ((SELECT q FROM m), (SELECT q + 1 FROM m), 17)""".stripMargin,
     // release 0 keeps reporting the pre-growth cut forever — the
     // reproducibility claim, replayed as the four known slices
     "dataset_release" ->

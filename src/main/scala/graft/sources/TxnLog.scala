@@ -785,17 +785,77 @@ object TxnLog {
     val probes = bloomProbes(spark, value)
     val (keep, skip) = snap.partition { d =>
       val ds = stats.get(d)
-      val bloomOk = (probes, ds.flatMap(_.get(s"$BloomKeyPrefix$column"))) match {
-        case (Some(ps), Some(ColStat("bloom", hexWords, meta)))
-          if meta == s"$BloomBits:$BloomK" && hexWords.length == BloomBits / 4 =>
-          ps.forall { p =>
-            val w = java.lang.Long.parseUnsignedLong(
-              hexWords.substring((p >>> 6).toInt * 16, (p >>> 6).toInt * 16 + 16), 16)
-            (w & (1L << (p & 63))) != 0L
-          }
-        case _ => true // no bloom / unreadable / null probe: never skip
+      bloomAdmits(ds, column, probes) &&
+        mayContain(ds.flatMap(_.get(column)), value, value)
+    }
+    (keep, skip, snap)
+  }
+
+  /** Does the dir's Bloom (if any) admit a value with these probe
+    * positions? No bloom / unreadable bloom / no probes → true
+    * (conservative, never skip). */
+  private def bloomAdmits(ds: Option[Map[String, ColStat]], column: String,
+                          probes: Option[Seq[Long]]): Boolean =
+    (probes, ds.flatMap(_.get(s"$BloomKeyPrefix$column"))) match {
+      case (Some(ps), Some(ColStat("bloom", hexWords, meta)))
+        if meta == s"$BloomBits:$BloomK" && hexWords.length == BloomBits / 4 =>
+        ps.forall { p =>
+          val w = java.lang.Long.parseUnsignedLong(
+            hexWords.substring((p >>> 6).toInt * 16, (p >>> 6).toInt * 16 + 16), 16)
+          (w & (1L << (p & 63))) != 0L
+        }
+      case _ => true
+    }
+
+  /** Multi-key point lookup — [[readPoint]] for a VALUE LIST, the
+    * "fetch these K ids" serving read: a dir is opened if ANY of the
+    * values may be present there (per-value Bloom ∧ range test,
+    * conservative on every gap), and the exact IN predicate always
+    * re-applies. All probe positions come from ONE engine job over
+    * the literal list (the writer's-own-rendering discipline of
+    * [[readPoint]]), so a K-id fetch costs one 1-row job plus the
+    * admitted dirs — on a hash-scattered 100 TB table with Blooms,
+    * that is ~K dirs, not the snapshot. */
+  def readPoints(spark: SparkSession, root: String, column: String,
+                 values: Seq[Any], asOf: Option[Long] = None): DataFrame = {
+    require(values.nonEmpty, "readPoints: no values")
+    val (survivors, _, snap) = prunePoints(spark, root, column, values, asOf)
+    require(snap.nonEmpty, s"TxnLog table at $root has no data at version ${asOf.getOrElse("latest")}")
+    val dvs = manifestAt(spark, root, asOf).map(_.dvs).getOrElse(Seq.empty)
+    if (survivors.isEmpty)
+      spark.read.parquet(s"$root/data/${snap.head}").filter(lit(false))
+    else
+      survivors.map(d => dirFrame(spark, root, d, dvs))
+        .reduce(_.unionByName(_, allowMissingColumns = true))
+        .filter(col(column).isin(values: _*))
+  }
+
+  /** Census behind [[readPoints]]: (survivors, skipped, snapshot). */
+  private[graft] def prunePoints(spark: SparkSession, root: String, column: String,
+                                 values: Seq[Any],
+                                 asOf: Option[Long] = None): (Seq[String], Seq[String], Seq[String]) = {
+    val manifest = manifestAt(spark, root, asOf)
+    val snap = manifest.map(_.dirs).getOrElse(Seq.empty)
+    val stats = manifest.map(_.stats).getOrElse(Map.empty)
+    // a NULL value matches nothing under IN — it cannot keep a dir
+    val nonNull = values.filterNot(_ == null)
+    val probesPer: Seq[Option[Seq[Long]]] =
+      if (nonNull.isEmpty) Seq.empty
+      else {
+        val row = spark.range(1).select(
+          org.apache.spark.sql.functions.array(nonNull.map(v =>
+            graft.functions.TextFunctions.bloomPositions(
+              lit(v).cast("string"), BloomBits, BloomK)): _*).as("p")).head
+        Option(row.getAs[scala.collection.Seq[scala.collection.Seq[Long]]]("p"))
+          .map(_.map(ps => Option(ps).map(_.toSeq)).toSeq)
+          .getOrElse(nonNull.map(_ => None))
       }
-      bloomOk && mayContain(ds.flatMap(_.get(column)), value, value)
+    val (keep, skip) = snap.partition { d =>
+      val ds = stats.get(d)
+      nonNull.zip(probesPer).exists { case (v, ps) =>
+        bloomAdmits(ds, column, ps) &&
+          mayContain(ds.flatMap(_.get(column)), v, v)
+      }
     }
     (keep, skip, snap)
   }

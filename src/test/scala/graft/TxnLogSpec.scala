@@ -902,6 +902,16 @@ class TxnLogSpec extends SparkSpec {
     // for NULLs): every dir survives, the exact predicate decides
     val (keepN, skipN, _) = TxnLog.prunePoint(spark, root, "t", null)
     assert(keepN.size == 4 && skipN.isEmpty)
+    // multi-key fetch: one read for two held values keeps (at least)
+    // their two dirs and still skips provably clean ones; results
+    // equal the plain IN filter
+    val v2 = ts("2024-03-01 01:05:00")
+    val (keepM, skipM, _) = TxnLog.prunePoints(spark, root, "t", Seq(v, v2))
+    assert(keepM.size >= 2 && skipM.nonEmpty,
+      s"multi-key probe: keep=${keepM.size} skip=${skipM.size}")
+    assert(TxnLog.readPoints(spark, root, "t", Seq(v, v2)).count() == 2)
+    // a list containing NULL keeps IN semantics (null matches nothing)
+    assert(TxnLog.readPoints(spark, root, "t", Seq(v, null)).count() == 1)
   }
 
   test("a CHECK racing a commit is never published over an unvalidated dir") {

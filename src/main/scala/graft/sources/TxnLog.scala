@@ -591,9 +591,17 @@ object TxnLog {
       .distinct.filterNot(_.startsWith("__")).sorted
     val rows = cols.flatMap { c =>
       val per = snap.map(d => stats.get(d).flatMap(_.get(c)))
-      if (per.exists(s => !s.exists(_.tpe == "long"))) None // stat-blind or non-long: no verdict
+      // a verdict needs FULL long or double coverage (strings have no
+      // width; any stat-blind dir forfeits honesty)
+      val allLong = per.forall(_.exists(_.tpe == "long"))
+      val allDouble = per.forall(_.exists(_.tpe == "double"))
+      if (!allLong && !allDouble) None
       else {
-        val ranges = per.flatten.map(s => (s.min.toLong, s.max.toLong))
+        // doubles quantize to micro-units (the cluster() z-key
+        // convention), so width arithmetic stays exact integers
+        def endp(s: String): Long =
+          if (allLong) s.toLong else math.round(s.toDouble * 1e6)
+        val ranges = per.flatten.map(s => (endp(s.min), endp(s.max)))
         val tableW = ranges.map(_._2).max - ranges.map(_._1).min + 1L
         val sumW = ranges.map(r => r._2 - r._1 + 1L).sum
         // BigInt keeps the cross-multiplication exact on wide domains

@@ -1172,6 +1172,12 @@ class TxnLogSpec extends SparkSpec {
     // metadata MIN/MAX serves doubles from the stored renderings
     val Some((xmn, xmx)) = TxnLog.fastMinMax(spark, root, "x")
     assert(xmn.toDouble == 0.0 && xmx.toDouble == 12.25, s"($xmn, $xmx)")
+    // the advisor covers doubles too (micro-unit widths): post-cluster
+    // x carries a verdict row and reads healthier than scattered
+    val adv = TxnLog.clusterAdvice(spark, root).collect()
+      .map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(adv.contains("x"), s"double column needs an advice verdict: $adv")
+    assert(adv("x") < 10000, s"clustered double should not read fully scattered: $adv")
     // unsupported types still refuse loudly
     val ts = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 2L))
       .toDF("id", "t", "y")

@@ -270,6 +270,27 @@ object IvfIndex {
     newPath
   }
 
+  /** Unified index maintenance — the [[graft.sources.TxnLog.maintain]]
+    * twin for the ANN tier: consult [[rebuildAdvice]] and execute the
+    * rebuild ONLY when flagged, publishing the new generation at
+    * `newPath` (the caller moves its pointer — the LayoutCache
+    * generation discipline keeps old-generation readers undisturbed).
+    * A healthy index does nothing and returns None, so a cadence
+    * scheduler can call this blindly; advisory idempotency: the
+    * rebuilt generation's advice reads balanced, so the next cadence
+    * run is the no-op. Re-trains the PQ tier too when present
+    * ([[rebuild]]'s contract). */
+  def maintain(spark: SparkSession, path: String, newPath: String, dim: Int,
+               nCells: Int = 16, iters: Int = 2,
+               maxImbalanceBps: Long = 30000, maxEmptyCells: Long = 0,
+               txnSafe: Boolean = false): Option[String] = {
+    val verdict = rebuildAdvice(spark, path, maxImbalanceBps, maxEmptyCells,
+      txnSafe).head // one row
+    if (verdict.getAs[Int]("rebuild") == 1)
+      Some(rebuild(spark, path, newPath, dim, nCells, iters, txnSafe))
+    else None
+  }
+
   // ----------------------------------------------------------------
   // PQ tier: persisted codes (the memory tier below the raw cells)
   // ----------------------------------------------------------------

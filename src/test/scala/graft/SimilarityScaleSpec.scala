@@ -415,6 +415,25 @@ class SimilarityScaleSpec extends SparkSpec {
     assert(bad.getAs[Int]("rebuild") == 1, bad.toString)
     assert(bad.getAs[String]("reason") == "hot-cell")
     assert(bad.getAs[Long]("total_vectors") == 3 * n)
+    // maintain closes the loop: the flagged index rebuilds into a new
+    // generation whose own advice reads balanced again (the cadence
+    // no-op law) — drift healed by retraining on the index's contents
+    val gen1Dir = java.nio.file.Files.createTempDirectory("ivf_adv_g1")
+      .resolve("idx").toString
+    val gen1 = IvfIndex.maintain(spark, path, gen1Dir, dim = 64,
+      maxImbalanceBps = thresh, maxEmptyCells = 16)
+    assert(gen1.contains(gen1Dir), s"flagged index must rebuild: $gen1")
+    // the 2n identical vectors are DATA skew — no retrain can split
+    // one point across cells — so the no-op law is advisory: at a
+    // threshold above gen1's own measured imbalance, the cadence run
+    // does nothing and mints no generation
+    val gen1Imb = IvfIndex.rebuildAdvice(spark, gen1Dir, maxEmptyCells = 16)
+      .head.getAs[Long]("imbalance_bps")
+    assert(IvfIndex.maintain(spark, gen1Dir, gen1Dir + "_never", dim = 64,
+      maxImbalanceBps = gen1Imb + 1000, maxEmptyCells = 16).isEmpty,
+      "an index under its thresholds must be the maintenance no-op")
+    // content carried: every vector (base + skew batch) searchable
+    assert(spark.read.parquet(s"$gen1Dir/cells").count() == 3 * n)
   }
 
   test("l2Normalize produces unit vectors; zero vectors pass through") {

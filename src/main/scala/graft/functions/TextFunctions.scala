@@ -1269,7 +1269,7 @@ object TextFunctions {
     * stay under 2^44), so any engine replays it bit-exactly where a
     * double `ln`/`log2` could differ in its last ulp and flip a
     * Viterbi tie. */
-  private def ilog2Fp16(p: Column): Column = {
+  private[graft] def ilog2Fp16(p: Column): Column = {
     val msb = (length(bin(p)) - 1).cast("long")
     val init = struct(
       call_function("shiftright", shiftleft(p, 20), msb).as("x"),

@@ -1003,6 +1003,52 @@ object Similarity {
     * equi-join on (q_id, vec_id) and the three counts are partial-
     * aggregated hash aggs. Embeddings never enter the plan — recall
     * is computed from ids alone. */
+  /** Rank-AWARE quality of an approximate ranking — nDCG@k against
+    * the exact top-k as graded truth ([[recallAtK]]'s order-sensitive
+    * sibling: recall cannot see that an ANN index returns the right
+    * five neighbors in the wrong order, nDCG can). Graded relevance
+    * is positional: the true rank-1 neighbor carries `k`, rank-k
+    * carries 1, anything outside the true top-k carries 0.
+    *
+    * Exact integer fixed point end to end (the house oracle
+    * discipline): each DCG term is
+    * `(rel · 1e6 · 2^16) div ilog2Fp16(rank+1)` — the same 16-step
+    * integer log2 the unigram trainer replays in SQL — so any engine
+    * reproduces every division bit-for-bit where a float
+    * `log2(rank+1)` could flip a last-ulp tie. IDCG is the truth's
+    * own terms (the best any ranking could score), and
+    * `ndcg_fp = (1e6 · DCG) div IDCG` lands in [0, 1e6].
+    *
+    * Scale shape: two narrow (q_id, vec_id, rank) frames joined on
+    * their keys and folded per query — cost is O(queries · k), never
+    * the corpus; embeddings are long gone by this point. */
+  def ndcgAtK(exact: DataFrame, approx: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.functions.expr
+    require(k >= 1 && k <= 1000, s"ndcgAtK: need 1 <= k <= 1000, got $k")
+    val disc = graft.functions.TextFunctions.ilog2Fp16(col("r") + lit(1L))
+    val t = exact.select(col("q_id").cast("long").as("q_id"),
+      col("vec_id").cast("long").as("vec_id"),
+      (lit(k + 1L) - col("rank").cast("long")).as("rel"),
+      col("rank").cast("long").as("r"))
+    val a = approx.select(col("q_id").cast("long").as("q_id"),
+      col("vec_id").cast("long").as("vec_id"),
+      col("rank").cast("long").as("r"))
+    val dcg = a.join(t.select("q_id", "vec_id", "rel"), Seq("q_id", "vec_id"), "left")
+      .withColumn("rel", coalesce(col("rel"), lit(0L)))
+      .withColumn("__disc", disc)
+      .withColumn("gain", expr("(rel * 65536000000) div __disc"))
+      .groupBy("q_id").agg(sum(col("gain")).as("dcg_fp"))
+    val idcg = t
+      .withColumn("__disc", disc)
+      .withColumn("gain", expr("(rel * 65536000000) div __disc"))
+      .groupBy("q_id").agg(sum(col("gain")).as("idcg_fp"))
+    idcg.join(dcg, Seq("q_id"), "left")
+      .select(col("q_id"),
+        coalesce(col("dcg_fp"), lit(0L)).as("dcg_fp"),
+        col("idcg_fp"),
+        expr("(1000000 * coalesce(dcg_fp, 0)) div idcg_fp").as("ndcg_fp"))
+  }
+
   def recallAtK(exact: DataFrame, approx: DataFrame): DataFrame = {
     val t = exact.select(col("q_id").cast("long").as("q_id"),
       col("vec_id").cast("long").as("vec_id"))

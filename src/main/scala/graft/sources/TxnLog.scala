@@ -83,14 +83,28 @@ object TxnLog {
     * manifest reads instead of a full log replay. `txnsKnown = false`
     * marks a legacy manifest written before the map existed: readers
     * fall back to the full scan once, and the next commit rebuilds
-    * the map into its own manifest. */
+    * the map into its own manifest.
+    *
+    * `colmap` (logical name → physical name) and `dropped` (retired
+    * physical names) are the COLUMN-MAPPING metadata behind
+    * [[renameColumn]]/[[dropColumn]] — the Delta column-mapping /
+    * Iceberg schema-evolution shape where a rename or drop is one
+    * metadata commit and ZERO data files move: bytes on disk keep
+    * their physical (creation-time) names forever, writers translate
+    * logical → physical before writing, and every read translates
+    * back per its pinned manifest (so time travel serves each
+    * version's own names). Both empty on tables that never evolved —
+    * the identity fast path. */
   private[graft] case class Commit(version: Long, action: String,
                                    dirs: Seq[String], txnId: Option[String],
                                    stats: Map[String, Map[String, ColStat]] = Map.empty,
                                    dvs: Seq[Dv] = Seq.empty,
                                    checks: Map[String, String] = Map.empty,
                                    txns: Map[String, Long] = Map.empty,
-                                   txnsKnown: Boolean = true)
+                                   txnsKnown: Boolean = true,
+                                   colmap: Map[String, String] = Map.empty,
+                                   dropped: Seq[String] = Seq.empty,
+                                   defaults: Map[String, String] = Map.empty)
 
   /** Overwrite the table with `df` as a new version. Returns the
     * committed version number. A `txnId` already in the log makes the
@@ -147,9 +161,10 @@ object TxnLog {
     // narrower schema (it reads only pre-widening dirs). Type changes
     // on an existing column are NOT evolution and still fail loudly in
     // the union. Merge-on-read deletion vectors apply per covered dir
-    // as codegen'd filters inside each branch.
-    val dvs = m.map(_.dvs).getOrElse(Seq.empty)
-    snap.map(d => dirFrame(spark, root, d, dvs))
+    // as codegen'd filters inside each branch; the manifest's column
+    // mapping applies per dir too, so a pinned pre-rename version
+    // serves its own (old) names.
+    snap.map(d => dirFrame(spark, root, d, m))
       .reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
@@ -172,28 +187,63 @@ object TxnLog {
     val m = manifestAt(spark, root, asOf)
     val snap = m.map(_.dirs).getOrElse(Seq.empty)
     require(snap.nonEmpty, s"TxnLog table at $root has no data at version ${asOf.getOrElse("latest")}")
-    val dvs = m.map(_.dvs).getOrElse(Seq.empty)
     snap.map { d =>
       // the creating commit is the FIRST manifest naming the dir —
       // later manifests only re-reference it
       val creator = commits.find(_.dirs.contains(d)).getOrElse(
         throw new IllegalStateException(s"TxnLog: dir $d in snapshot but no creating commit at $root"))
-      dirFrame(spark, root, d, dvs)
+      dirFrame(spark, root, d, m)
         .withColumn("_commit_version", lit(creator.version))
         .withColumn("_commit_action", lit(creator.action))
         .withColumn("_commit_txn", lit(creator.txnId.orNull))
     }.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
-  /** One snapshot dir's frame with every deletion vector covering it
-    * applied. Survivors are `pred IS NOT TRUE` — the same SQL DELETE
-    * null contract as [[delete]]. */
+  /** One snapshot dir's frame under the manifest's view of it: the
+    * raw physical columns are first mapped to their LOGICAL names
+    * ([[logicalFrame]] — identity and zero-cost when the table never
+    * renamed/dropped), then every deletion vector covering the dir
+    * applies. Survivors are `pred IS NOT TRUE` — the same SQL DELETE
+    * null contract as [[delete]]. DV predicates are expressed in the
+    * logical names current when the delete committed, and
+    * [[renameColumn]]/[[dropColumn]] refuse while vectors are live,
+    * so mapping-then-filter is always the consistent order. */
   private def dirFrame(spark: SparkSession, root: String, d: String,
-                       dvs: Seq[Dv]): DataFrame =
-    dvs.filter(_.dirs.contains(d))
-      .foldLeft(spark.read.parquet(s"$root/data/$d")) { (df, dv) =>
+                       m: Option[Commit]): DataFrame = {
+    val logical = logicalFrame(spark.read.parquet(s"$root/data/$d"),
+      m.map(_.colmap).getOrElse(Map.empty), m.map(_.dropped).getOrElse(Seq.empty),
+      m.map(_.defaults).getOrElse(Map.empty))
+    m.map(_.dvs).getOrElse(Seq.empty).filter(_.dirs.contains(d))
+      .foldLeft(logical) { (df, dv) =>
         df.filter(coalesce(not(org.apache.spark.sql.functions.expr(dv.pred)), lit(true)))
       }
+  }
+
+  /** Physical → logical projection of one raw dir frame: retired
+    * physical columns drop, renamed physical columns surface under
+    * their logical name, and ADD COLUMN defaults materialize on dirs
+    * written before the column existed ([[addColumn]] — the Iceberg
+    * initial-default shape: the expression is a constant, so it costs
+    * a literal per row, zero I/O). Identity (and plan-free) for
+    * never-evolved tables. */
+  private def logicalFrame(df: DataFrame, colmap: Map[String, String],
+                           dropped: Seq[String],
+                           defaults: Map[String, String] = Map.empty): DataFrame = {
+    if (colmap.isEmpty && dropped.isEmpty && defaults.isEmpty) return df
+    val inverse = colmap.map(_.swap) // physical -> logical
+    val keep = df.columns.filterNot(dropped.contains)
+    val mapped = df.select(
+      keep.toIndexedSeq.map(c => col(c).as(inverse.getOrElse(c, c))): _*)
+    defaults.toSeq.sortBy(_._1).foldLeft(mapped) { case (d, (n, sql)) =>
+      if (d.columns.contains(n)) d
+      else d.withColumn(n, org.apache.spark.sql.functions.expr(sql))
+    }
+  }
+
+  /** The physical (on-disk) name behind a logical column under the
+    * manifest's mapping — what stats/Bloom lookups key on. */
+  private def physOf(m: Option[Commit], c: String): String =
+    m.map(_.colmap).getOrElse(Map.empty).getOrElse(c, c)
 
   /** The manifest visible at `asOf` (latest by default), with the
     * same pin validation as [[read]]: a vacuumed or never-written
@@ -495,11 +545,17 @@ object TxnLog {
     val stageUuid = java.util.UUID.randomUUID.toString
     val staging = s"$root/data/.staging-$stageUuid"
     // the derived __zk_* keys route rows, then drop — dirs carry the
-    // table's own columns only
+    // table's own columns only, written under their PHYSICAL names
+    // (the column-mapping invariant: bytes on disk always carry
+    // creation-time names; a projection after the sort reorders no
+    // rows)
+    val physCols = current.columns.toIndexedSeq.map(c =>
+      col(c).as(latest0.get.colmap.getOrElse(c, c)))
     keyed.withColumn("__zdir", zdir)
       .select((current.columns.map(col) :+ col("__zdir")).toIndexedSeq: _*)
       .repartition(nDirs, col("__zdir"))
       .sortWithinPartitions(zorderBy.map(col): _*)
+      .select(physCols :+ col("__zdir"): _*)
       .write.partitionBy("__zdir").parquet(staging)
     // promote each non-empty z-range to a first-class commit dir
     val parts = fs.listStatus(new Path(staging)).toIndexedSeq
@@ -550,7 +606,10 @@ object TxnLog {
         .filter { case (d, _) => rebased.contains(d) }
       val txns = capTxns(carriedTxns(spark, root, last) ++ txnId.map(_ -> version))
       if (tryPublish(fs, root, Commit(version, "overwrite", newDirs ++ rebased, txnId,
-        statsMap ++ carriedStats, Seq.empty, carriedChecks, txns)))
+        statsMap ++ carriedStats, Seq.empty, carriedChecks, txns,
+        colmap = last.map(_.colmap).getOrElse(Map.empty),
+        dropped = last.map(_.dropped).getOrElse(Seq.empty),
+        defaults = last.map(_.defaults).getOrElse(Map.empty))))
         return version
       attempt += 1
     }
@@ -587,10 +646,15 @@ object TxnLog {
     val snap = manifest.map(_.dirs).getOrElse(Seq.empty)
     require(snap.nonEmpty, s"TxnLog table at $root has no data at version ${asOf.getOrElse("latest")}")
     val stats = manifest.map(_.stats).getOrElse(Map.empty)
+    // stats key on PHYSICAL names; the report speaks logical (dropped
+    // physical columns carry no advice — they are not readable)
+    val inverse = manifest.map(_.colmap).getOrElse(Map.empty).map(_.swap)
+    val retired = manifest.map(_.dropped).getOrElse(Seq.empty).toSet
     val cols = snap.flatMap(d => stats.getOrElse(d, Map.empty).keys)
-      .distinct.filterNot(_.startsWith("__")).sorted
-    val rows = cols.flatMap { c =>
-      val per = snap.map(d => stats.get(d).flatMap(_.get(c)))
+      .distinct.filterNot(_.startsWith("__")).filterNot(retired).sorted
+    val rows = cols.flatMap { c0 =>
+      val c = inverse.getOrElse(c0, c0)
+      val per = snap.map(d => stats.get(d).flatMap(_.get(c0)))
       // a verdict needs FULL long or double coverage (strings have no
       // width; any stat-blind dir forfeits honesty)
       val allLong = per.forall(_.exists(_.tpe == "long"))
@@ -684,13 +748,13 @@ object TxnLog {
     require(preds.nonEmpty, "readWhereAll: no predicates")
     val (survivors, _, snap) = pruneDirsAll(spark, root, preds, asOf)
     require(snap.nonEmpty, s"TxnLog table at $root has no data at version ${asOf.getOrElse("latest")}")
-    val dvs = manifestAt(spark, root, asOf).map(_.dvs).getOrElse(Seq.empty)
+    val m = manifestAt(spark, root, asOf)
     val predicate = preds.map { case (c, lo, hi) =>
       col(c) >= lit(lo) && col(c) <= lit(hi) }.reduce(_ && _)
     if (survivors.isEmpty)
-      spark.read.parquet(s"$root/data/${snap.head}").filter(lit(false))
+      dirFrame(spark, root, snap.head, m).filter(lit(false))
     else
-      survivors.map(d => dirFrame(spark, root, d, dvs))
+      survivors.map(d => dirFrame(spark, root, d, m))
         .reduce(_.unionByName(_, allowMissingColumns = true))
         .filter(predicate)
   }
@@ -703,8 +767,133 @@ object TxnLog {
     val snap = manifest.map(_.dirs).getOrElse(Seq.empty)
     val stats = manifest.map(_.stats).getOrElse(Map.empty)
     val (keep, skip) = snap.partition(d => preds.forall { case (c, lo, hi) =>
-      mayContain(stats.get(d).flatMap(_.get(c)), lo, hi) })
+      mayContain(stats.get(d).flatMap(_.get(physOf(manifest, c))), lo, hi) })
     (keep, skip, snap)
+  }
+
+  /** The relation-scan read behind `format("graft")`
+    * ([[GraftDataSource]]): directories pruned by OPTIONAL-bounded
+    * ranges — Catalyst hands a DSv1 relation strict/one-sided
+    * predicates (`>`, `<=`, …) that [[readWhereAll]]'s closed
+    * intervals cannot express. NOTHING is re-applied here: the
+    * relation reports every filter unhandled, so Spark keeps the
+    * exact predicates above the scan and pruning is pure I/O
+    * avoidance, never semantics (the same one-sided-conservatism
+    * laws as [[readWhere]]: stat-blind dirs, unknown columns, and
+    * type mismatches always survive). */
+  private[graft] def readRanges(spark: SparkSession, root: String,
+                                ranges: Seq[(String, Option[Any], Option[Any])],
+                                asOf: Option[Long] = None): DataFrame = {
+    val m = manifestAt(spark, root, asOf)
+    val snap = m.map(_.dirs).getOrElse(Seq.empty)
+    require(snap.nonEmpty, s"TxnLog table at $root has no data at version ${asOf.getOrElse("latest")}")
+    val stats = m.map(_.stats).getOrElse(Map.empty)
+    val keep = snap.filter(d => ranges.forall { case (c, lo, hi) =>
+      mayContainOpt(stats.get(d).flatMap(_.get(physOf(m, c))), lo, hi) })
+    if (keep.isEmpty)
+      dirFrame(spark, root, snap.head, m).filter(lit(false))
+    else
+      keep.map(d => dirFrame(spark, root, d, m))
+        .reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** [[mayContain]] with optional bounds: an absent side is
+    * unconstrained (tests only the bound the filter actually
+    * carries). Strict bounds prune with their inclusive envelope —
+    * a dir whose max equals a `>` literal survives; the exact filter
+    * above the scan discards its rows. Conservative on every gap,
+    * NaN endpoints never prune. */
+  private def mayContainOpt(st: Option[ColStat],
+                            lo: Option[Any], hi: Option[Any]): Boolean = st match {
+    case Some(ColStat("long", mn, mx)) =>
+      lo.forall { case l: Number => mx.toLong >= l.longValue; case _ => true } &&
+        hi.forall { case h: Number => mn.toLong <= h.longValue; case _ => true }
+    case Some(ColStat("double", mn, mx)) =>
+      lo.forall { case l: Number => !(mx.toDouble < l.doubleValue); case _ => true } &&
+        hi.forall { case h: Number => !(mn.toDouble > h.doubleValue); case _ => true }
+    case Some(ColStat("string", mn, mx)) =>
+      lo.forall { case l: String => mx >= l; case _ => true } &&
+        hi.forall { case h: String => mn <= h; case _ => true }
+    case _ => true
+  }
+
+  /** On-disk bytes of the visible snapshot — metadata-only (one
+    * listing per snapshot dir, never a file open). Feeds the
+    * relation's `sizeInBytes` so Catalyst can broadcast a small
+    * graft table. An overestimate for DV'd tables (tombstoned rows
+    * still occupy their bytes) — safe: size only gates BROADCAST
+    * eligibility, and overestimating never broadcasts a big side. */
+  private[graft] def snapshotBytes(spark: SparkSession, root: String,
+                                   asOf: Option[Long] = None): Long = {
+    val fs = fileSystem(spark, root)
+    snapshotDirs(spark, root, asOf)
+      .map(d => fs.getContentSummary(new Path(s"$root/data/$d")).getLength)
+      .sum
+  }
+
+  /** Data directories APPENDED in `(sinceVersion, untilVersion]` —
+    * the micro-batch planner behind the `format("graft")` streaming
+    * source. Each append commit's new dirs come from the exact
+    * manifest pair diff (O(delta) manifest reads, the [[changesSince]]
+    * discipline), so interleaved rewrites never smear the attribution.
+    * Non-append, non-metadata commits in the range REFUSE loudly by
+    * default (the visible set was rewritten — an additive delta does
+    * not exist); `ignoreChanges = true` skips them and serves appends
+    * only (the Delta `ignoreChanges` contract: rewritten rows are NOT
+    * re-delivered). */
+  private[graft] def appendedDirsBetween(spark: SparkSession, root: String,
+                                         sinceVersion: Long, untilVersion: Long,
+                                         ignoreChanges: Boolean): Seq[String] = {
+    require(sinceVersion <= untilVersion,
+      s"TxnLog stream: since $sinceVersion > until $untilVersion at $root")
+    if (sinceVersion == untilVersion) return Seq.empty
+    val fs = fileSystem(spark, root)
+    val commits = commitsInRange(fs, root, sinceVersion, untilVersion)
+    // add_column is stream-safe metadata: the pinned schema simply
+    // never selects the new column (same as a widening append)
+    val metadataOnly = Set("set_check", "drop_check", "add_column")
+    val schemaChange = Set("rename_column", "drop_column")
+    commits.sliding(2).flatMap {
+      case Seq(prev, cur) =>
+        if (cur.action == "append") cur.dirs.filterNot(prev.dirs.toSet)
+        else if (metadataOnly(cur.action)) Nil
+        // a schema change refuses EVEN under ignoreChanges: the
+        // stream's schema was pinned at start, and silently
+        // null-filling a renamed column would be data loss — restart
+        // the stream (the Delta contract for mid-stream evolution)
+        else if (schemaChange(cur.action)) throw new IllegalStateException(
+          s"TxnLog stream: schema commit v${cur.version}:${cur.action} at $root — " +
+            "the streaming schema was pinned at start; restart the stream from a " +
+            "fresh checkpoint to pick up the new schema")
+        else if (ignoreChanges) Nil
+        else throw new IllegalStateException(
+          s"TxnLog stream: non-append commit v${cur.version}:${cur.action} at $root — " +
+            "the visible set was rewritten, so an additive delta does not exist; " +
+            "restart from a fresh checkpoint (full re-baseline) or set " +
+            "ignoreChanges=true to skip rewrite commits")
+      case _ => Nil
+    }.toSeq
+  }
+
+  /** The logical frame of the dirs [[appendedDirsBetween]] returns —
+    * what the `format("graft")` streaming source serves per batch.
+    * None when the range appended nothing. The mapping is the UNTIL
+    * manifest's (constant across the range — a schema change in
+    * range refuses above). */
+  private[graft] def readAppendedBetween(spark: SparkSession, root: String,
+                                         sinceVersion: Long, untilVersion: Long,
+                                         ignoreChanges: Boolean): Option[DataFrame] = {
+    val dirs = appendedDirsBetween(spark, root, sinceVersion, untilVersion,
+      ignoreChanges)
+    if (dirs.isEmpty) None
+    else {
+      val m = manifestFileAt(fileSystem(spark, root), root, untilVersion)
+      Some(logicalFrame(
+        spark.read.parquet(dirs.map(d => s"$root/data/$d"): _*),
+        m.map(_.colmap).getOrElse(Map.empty),
+        m.map(_.dropped).getOrElse(Seq.empty),
+        m.map(_.defaults).getOrElse(Map.empty)))
+    }
   }
 
   /** Reserved stats-key prefix carrying a column's per-dir Bloom
@@ -774,11 +963,11 @@ object TxnLog {
                 value: Any, asOf: Option[Long] = None): DataFrame = {
     val (survivors, _, snap) = prunePoint(spark, root, column, value, asOf)
     require(snap.nonEmpty, s"TxnLog table at $root has no data at version ${asOf.getOrElse("latest")}")
-    val dvs = manifestAt(spark, root, asOf).map(_.dvs).getOrElse(Seq.empty)
+    val m = manifestAt(spark, root, asOf)
     if (survivors.isEmpty)
-      spark.read.parquet(s"$root/data/${snap.head}").filter(lit(false))
+      dirFrame(spark, root, snap.head, m).filter(lit(false))
     else
-      survivors.map(d => dirFrame(spark, root, d, dvs))
+      survivors.map(d => dirFrame(spark, root, d, m))
         .reduce(_.unionByName(_, allowMissingColumns = true))
         .filter(col(column) === lit(value))
   }
@@ -791,10 +980,11 @@ object TxnLog {
     val snap = manifest.map(_.dirs).getOrElse(Seq.empty)
     val stats = manifest.map(_.stats).getOrElse(Map.empty)
     val probes = bloomProbes(spark, value)
+    val phys = physOf(manifest, column)
     val (keep, skip) = snap.partition { d =>
       val ds = stats.get(d)
-      bloomAdmits(ds, column, probes) &&
-        mayContain(ds.flatMap(_.get(column)), value, value)
+      bloomAdmits(ds, phys, probes) &&
+        mayContain(ds.flatMap(_.get(phys)), value, value)
     }
     (keep, skip, snap)
   }
@@ -829,11 +1019,11 @@ object TxnLog {
     require(values.nonEmpty, "readPoints: no values")
     val (survivors, _, snap) = prunePoints(spark, root, column, values, asOf)
     require(snap.nonEmpty, s"TxnLog table at $root has no data at version ${asOf.getOrElse("latest")}")
-    val dvs = manifestAt(spark, root, asOf).map(_.dvs).getOrElse(Seq.empty)
+    val m = manifestAt(spark, root, asOf)
     if (survivors.isEmpty)
-      spark.read.parquet(s"$root/data/${snap.head}").filter(lit(false))
+      dirFrame(spark, root, snap.head, m).filter(lit(false))
     else
-      survivors.map(d => dirFrame(spark, root, d, dvs))
+      survivors.map(d => dirFrame(spark, root, d, m))
         .reduce(_.unionByName(_, allowMissingColumns = true))
         .filter(col(column).isin(values: _*))
   }
@@ -858,11 +1048,12 @@ object TxnLog {
           .map(_.map(ps => Option(ps).map(_.toSeq)).toSeq)
           .getOrElse(nonNull.map(_ => None))
       }
+    val phys = physOf(manifest, column)
     val (keep, skip) = snap.partition { d =>
       val ds = stats.get(d)
       nonNull.zip(probesPer).exists { case (v, ps) =>
-        bloomAdmits(ds, column, ps) &&
-          mayContain(ds.flatMap(_.get(column)), v, v)
+        bloomAdmits(ds, phys, ps) &&
+          mayContain(ds.flatMap(_.get(phys)), v, v)
       }
     }
     (keep, skip, snap)
@@ -913,11 +1104,10 @@ object TxnLog {
     val expected = latest.get.version
     val snap = latest.get.dirs
     require(snap.nonEmpty, s"TxnLog: nothing to delete at $root (empty snapshot)")
-    val dvs = latest.get.dvs
-    val affected = affectedDirs(spark, root, snap, dvs, _.filter(predicate))
+    val affected = affectedDirs(spark, root, snap, latest, _.filter(predicate))
     if (affected.isEmpty) return expected
     val survivors = affected.toSeq.sorted
-      .map(d => dirFrame(spark, root, d, dvs))
+      .map(d => dirFrame(spark, root, d, latest))
       .reduce(_.unionByName(_, allowMissingColumns = true))
       .filter(coalesce(not(predicate), lit(true)))
     commit(survivors, root, "replace", txnId, expectedLatest = Some(expected),
@@ -967,8 +1157,7 @@ object TxnLog {
       .catalystExpression(predicate).sql
     // the serialized predicate must survive the round trip readers do
     org.apache.spark.sql.functions.expr(predSql)
-    val dvs0 = latest0.get.dvs
-    val affected = affectedDirs(spark, root, snap, dvs0, _.filter(predicate))
+    val affected = affectedDirs(spark, root, snap, latest0, _.filter(predicate))
     if (affected.isEmpty) return expected
     val fs = fileSystem(spark, root)
     var attempt = 0
@@ -1001,7 +1190,8 @@ object TxnLog {
       val txns = capTxns(carriedTxns(spark, root, lastOpt) ++ txnId.map(_ -> version))
       if (tryPublish(fs, root,
         Commit(version, "delete_mor", snapPub, txnId, last.stats, newDvs,
-          last.checks, txns)))
+          last.checks, txns, colmap = last.colmap, dropped = last.dropped,
+          defaults = last.defaults)))
         return version
       attempt += 1
     }
@@ -1082,11 +1272,15 @@ object TxnLog {
     // snap.head alone would be the pre-widening schema after a
     // schema-evolution append, wrongly rejecting a full-wide source
     // and silently dropping widened values from rewritten survivors.
-    // Schema-only reads, bounded by the commit-dir count.
+    // Schema-only reads, bounded by the commit-dir count; LOGICAL
+    // names (the source speaks logical, like every caller).
     val tableCols: IndexedSeq[String] = {
+      val inverse = latest.get.colmap.map(_.swap)
+      val retired = latest.get.dropped.toSet
       val seen = scala.collection.mutable.LinkedHashSet.empty[String]
       snap.foreach(d =>
-        spark.read.parquet(s"$root/data/$d").schema.fieldNames.foreach(seen += _))
+        spark.read.parquet(s"$root/data/$d").schema.fieldNames
+          .filterNot(retired).foreach(p => seen += inverse.getOrElse(p, p)))
       seen.toIndexedSeq
     }
     require(source.columns.sorted.sameElements(tableCols.sorted),
@@ -1098,14 +1292,13 @@ object TxnLog {
       s"TxnLog.merge: source has multiple rows for key ${dups.head.toSeq.init.mkString(",")} — " +
         "which one replaces the target row is ambiguous; de-duplicate the source first")
     val srcKeys = source.select(keys.map(col): _*).distinct()
-    val dvs = latest.get.dvs
-    val affected = affectedDirs(spark, root, snap, dvs,
+    val affected = affectedDirs(spark, root, snap, latest,
       _.join(srcKeys, keys, "left_semi"))
     if (affected.isEmpty)
       return commit(source.select(tableCols.map(col): _*), root, "append", txnId,
         expectedLatest = Some(expected))
     val survivors = affected.toSeq.sorted
-      .map(d => dirFrame(spark, root, d, dvs))
+      .map(d => dirFrame(spark, root, d, latest))
       .reduce(_.unionByName(_, allowMissingColumns = true))
       .join(srcKeys, keys, "left_anti")
     // survivors from all-narrow affected dirs lack widened columns:
@@ -1126,13 +1319,13 @@ object TxnLog {
     * predicate/semi-join pushes into every branch's scan and the
     * collected output is bounded by the commit count. */
   private def affectedDirs(spark: SparkSession, root: String, snap: Seq[String],
-                           dvs: Seq[Dv],
+                           m: Option[Commit],
                            probe: DataFrame => DataFrame): Set[String] = {
     val tag = "_graft_commit_dir"
     // DV-aware: a row already erased by a deletion vector can neither
     // mark a dir affected nor re-enter a copy-on-write rewrite
     val tagged = snap
-      .map(d => dirFrame(spark, root, d, dvs).withColumn(tag, lit(d)))
+      .map(d => dirFrame(spark, root, d, m).withColumn(tag, lit(d)))
       .reduce(_.unionByName(_, allowMissingColumns = true))
     probe(tagged).select(tag).distinct()
       .collect().map(_.getString(0)).toSet
@@ -1213,7 +1406,7 @@ object TxnLog {
         s"($predicateSql) — e.g. ${existing.headOption.map(_.toString).getOrElse("")}")
     val expected = latest.get.version
     publishMeta(spark, root, expected, txnId, "set_check",
-      last => last.checks + (name -> predicateSql))
+      last => last.copy(checks = last.checks + (name -> predicateSql)))
   }
 
   /** Remove a registered CHECK constraint (metadata-only commit).
@@ -1229,19 +1422,148 @@ object TxnLog {
       s"TxnLog.dropCheck: no constraint '$name' at $root " +
         s"(registered: ${latest.get.checks.keys.toSeq.sorted.mkString(",")})")
     publishMeta(spark, root, latest.get.version, txnId, "drop_check",
-      last => last.checks - name)
+      last => last.copy(checks = last.checks - name))
   }
 
   /** Registered CHECK constraints of the current table state. */
   def checks(spark: SparkSession, root: String): Map[String, String] =
     latestCommit(spark, root).map(_.checks).getOrElse(Map.empty)
 
-  /** Shared CAS'd metadata-only publish (set_check/drop_check): dirs,
-    * stats, and deletion vectors carry unchanged; only `checks` is
-    * transformed. */
+  /** ALTER TABLE ... RENAME COLUMN, as ONE metadata commit and zero
+    * data movement — the Delta column-mapping / Iceberg rename shape.
+    * Bytes on disk keep the column's creation-time (physical) name
+    * forever; this commit only re-points the logical name: every
+    * subsequent read serves `to`, every subsequent write must speak
+    * `to` (writing the old name fails loudly — it is a stale-schema
+    * bug, not a new column), manifest-stats/Bloom pruning keeps
+    * working through the mapping, and TIME TRAVEL to a pre-rename
+    * version serves that version's own names. At 100 TB this is the
+    * only acceptable rename: a rewrite would move the whole table to
+    * change a string.
+    *
+    * Refused while the snapshot carries live deletion vectors or a
+    * CHECK constraint mentioning the column (their predicate texts
+    * are written in the current names and cannot be rewritten safely
+    * — `compact` materializes vectors away, `dropCheck` + re-add
+    * handles checks), and when `to` collides with any current
+    * logical or on-disk physical name. Incremental consumers
+    * ([[changesSince]], [[changeFeed]], the `format("graft")`
+    * stream) refuse a range spanning the rename and re-baseline —
+    * rows cannot be additive across two schemas. */
+  def renameColumn(spark: SparkSession, root: String, from: String, to: String,
+                   txnId: Option[String] = None): Long = {
+    require(from.nonEmpty && to.nonEmpty && from != to,
+      s"TxnLog.renameColumn: bad rename '$from' -> '$to'")
+    val latest = latestCommit(spark, root)
+    txnId.foreach { id =>
+      txnVersionOf(spark, root, latest, id).foreach(return _)
+    }
+    require(latest.nonEmpty, s"TxnLog: no table at $root")
+    val c = latest.get
+    requireNoDvsOrChecksOn(c, root, from, "renameColumn")
+    val logicalCols = read(spark, root).schema.fieldNames.toSet
+    require(logicalCols.contains(from),
+      s"TxnLog.renameColumn: no column '$from' at $root (have: ${logicalCols.toSeq.sorted.mkString(",")})")
+    require(!logicalCols.contains(to),
+      s"TxnLog.renameColumn: column '$to' already exists at $root")
+    require(!c.dropped.contains(to),
+      s"TxnLog.renameColumn: '$to' is a retired (dropped) physical name at $root")
+    require(!(c.colmap.values.toSet - c.colmap.getOrElse(from, from)).contains(to),
+      s"TxnLog.renameColumn: '$to' is another column's on-disk physical name at $root")
+    publishMeta(spark, root, c.version, txnId, "rename_column", last =>
+      last.copy(colmap =
+        (last.colmap - from) + (to -> last.colmap.getOrElse(from, from)),
+        defaults = last.defaults.get(from) match {
+          case Some(sql) => (last.defaults - from) + (to -> sql)
+          case None => last.defaults
+        }))
+  }
+
+  /** ALTER TABLE ... DROP COLUMN, metadata-only — [[renameColumn]]'s
+    * sibling: the physical column is RETIRED (excluded from every
+    * subsequent read, refused on every subsequent write), its bytes
+    * stay where they are until the dirs naturally rewrite, and time
+    * travel before the drop still serves it. The retired name never
+    * comes back (old dirs still hold its bytes — re-adding would be
+    * ambiguous); use a fresh name. Same DV/CHECK refusals as
+    * [[renameColumn]]; the last column cannot be dropped. */
+  def dropColumn(spark: SparkSession, root: String, name: String,
+                 txnId: Option[String] = None): Long = {
+    val latest = latestCommit(spark, root)
+    txnId.foreach { id =>
+      txnVersionOf(spark, root, latest, id).foreach(return _)
+    }
+    require(latest.nonEmpty, s"TxnLog: no table at $root")
+    val c = latest.get
+    requireNoDvsOrChecksOn(c, root, name, "dropColumn")
+    val logicalCols = read(spark, root).schema.fieldNames.toSet
+    require(logicalCols.contains(name),
+      s"TxnLog.dropColumn: no column '$name' at $root (have: ${logicalCols.toSeq.sorted.mkString(",")})")
+    require(logicalCols.size >= 2,
+      s"TxnLog.dropColumn: '$name' is the last column at $root — a table cannot be empty-schema")
+    publishMeta(spark, root, c.version, txnId, "drop_column", last =>
+      last.copy(colmap = last.colmap - name,
+        dropped = last.dropped :+ last.colmap.getOrElse(name, name),
+        defaults = last.defaults - name))
+  }
+
+  /** ALTER TABLE ... ADD COLUMN with an INITIAL DEFAULT, metadata-only
+    * — the Iceberg initial-default / Delta `ALTER TABLE ADD COLUMN`
+    * shape: directories written BEFORE the column existed serve the
+    * (constant, foldable) default expression at read — a literal per
+    * row, zero I/O, zero rewrite — while every directory written
+    * after carries real values (an append missing the column keeps
+    * serving the default: it is the column's write-default too).
+    * Plain widening appends (NULL-filled history) need no DDL at all;
+    * this is for the "backfill a constant without rewriting 100 TB"
+    * case. The default must be a deterministic constant expression
+    * (validated by evaluating it once); it freezes at add time. */
+  def addColumn(spark: SparkSession, root: String, name: String,
+                defaultSql: String, txnId: Option[String] = None): Long = {
+    require(name.nonEmpty, "TxnLog.addColumn: empty column name")
+    val latest = latestCommit(spark, root)
+    txnId.foreach { id =>
+      txnVersionOf(spark, root, latest, id).foreach(return _)
+    }
+    require(latest.nonEmpty, s"TxnLog: no table at $root")
+    val c = latest.get
+    val logicalCols = read(spark, root).schema.fieldNames.toSet
+    require(!logicalCols.contains(name),
+      s"TxnLog.addColumn: column '$name' already exists at $root")
+    require(!c.dropped.contains(name),
+      s"TxnLog.addColumn: '$name' is a retired (dropped) physical name at $root")
+    require(!(c.colmap.values.toSet -- c.colmap.keySet).contains(name),
+      s"TxnLog.addColumn: '$name' is another column's on-disk physical name at $root")
+    // the default must evaluate as a constant — one local 1-row job,
+    // loud on malformed or non-foldable SQL
+    spark.range(1).select(org.apache.spark.sql.functions.expr(defaultSql)).head
+    publishMeta(spark, root, c.version, txnId, "add_column", last =>
+      last.copy(defaults = last.defaults + (name -> defaultSql)))
+  }
+
+  /** Shared schema-evolution refusals: live deletion vectors (their
+    * predicate SQL is frozen text in current names) and CHECK
+    * constraints mentioning the column (conservative word-boundary
+    * test — over-matching refuses, never corrupts). */
+  private def requireNoDvsOrChecksOn(c: Commit, root: String,
+                                     column: String, op: String): Unit = {
+    require(c.dvs.isEmpty,
+      s"TxnLog.$op: table at $root carries ${c.dvs.size} live deletion vector(s) whose " +
+        "predicate text is frozen in the current names — run compact(root) first " +
+        "(it materializes vectors away), then retry")
+    val word = ("\\b" + java.util.regex.Pattern.quote(column) + "\\b").r
+    val referencing = c.checks.filter { case (_, p) => word.findFirstIn(p).isDefined }
+    require(referencing.isEmpty,
+      s"TxnLog.$op: CHECK constraint(s) ${referencing.keys.toSeq.sorted.mkString(",")} at $root " +
+        s"mention '$column' — dropCheck them first and re-add under the new schema")
+  }
+
+  /** Shared CAS'd metadata-only publish (set_check/drop_check,
+    * rename_column/drop_column): dirs and stats carry unchanged;
+    * `mutate` transforms only the metadata its action owns. */
   private def publishMeta(spark: SparkSession, root: String, expected: Long,
                           txnId: Option[String], action: String,
-                          newChecks: Commit => Map[String, String]): Long = {
+                          mutate: Commit => Commit): Long = {
     val fs = fileSystem(spark, root)
     var attempt = 0
     while (attempt < MaxRetries) {
@@ -1254,10 +1576,14 @@ object TxnLog {
       txnId.foreach { id =>
         txnVersionOf(spark, root, lastOpt, id).foreach(return _)
       }
-      val last = lastOpt.get
+      // mutate rewrites ONLY the metadata the action owns (checks for
+      // set/drop_check, colmap/dropped for rename/drop_column); dirs,
+      // version, and the txn map are this loop's to fix
+      val base = mutate(lastOpt.get)
       val txns = capTxns(carriedTxns(spark, root, lastOpt) ++ txnId.map(_ -> version))
-      if (tryPublish(fs, root, Commit(version, action, last.dirs, txnId,
-        last.stats, last.dvs, newChecks(last), txns)))
+      if (tryPublish(fs, root, Commit(version, action, base.dirs, txnId,
+        base.stats, base.dvs, base.checks, txns,
+        colmap = base.colmap, dropped = base.dropped, defaults = base.defaults)))
         return version
       attempt += 1
     }
@@ -1309,10 +1635,14 @@ object TxnLog {
         txnVersionOf(spark, root, lastOpt, id).foreach(return _)
       }
       val txns = capTxns(carriedTxns(spark, root, lastOpt) ++ txnId.map(_ -> version))
-      // the TARGET's data/stats/vectors come back; CHECK constraints
-      // are table metadata and stay at the TIP's state
+      // the TARGET's data/stats/vectors come back — and its COLUMN
+      // MAPPING with them (a restore across a rename serves the
+      // restored version's own names: full-fidelity rollback); CHECK
+      // constraints are table metadata and stay at the TIP's state
       if (tryPublish(fs, root, Commit(version, "restore", target.dirs, txnId,
-        target.stats, target.dvs, lastOpt.get.checks, txns)))
+        target.stats, target.dvs, lastOpt.get.checks, txns,
+        colmap = target.colmap, dropped = target.dropped,
+        defaults = target.defaults)))
         return version
       attempt += 1
     }
@@ -1351,10 +1681,14 @@ object TxnLog {
       if (sinceVersion == -1L) history(spark, root)
       else commitsInRange(fs, root, sinceVersion, latest)
     val delta = commits.filter(_.version > sinceVersion)
-    // set_check/drop_check are metadata-only (dirs unchanged, zero
-    // rows added) — an incremental consumer skips straight over them
+    // set_check/drop_check/add_column are metadata-only (dirs
+    // unchanged, zero rows added — add_column widens like any
+    // schema-evolution append, which this feed already tolerates);
+    // an incremental consumer skips straight over them. rename/drop
+    // REFUSE below: existing rows changed names, no additive delta
     val broken = delta.filter(c => c.action != "append" &&
       c.action != "set_check" && c.action != "drop_check" &&
+      c.action != "add_column" &&
       !(sinceVersion == -1L && c.version == commits.head.version))
     require(broken.isEmpty,
       s"TxnLog: non-append commit(s) ${broken.map(c => s"v${c.version}:${c.action}").mkString(", ")} " +
@@ -1365,15 +1699,22 @@ object TxnLog {
       else commits.head.dirs.toSet // range head IS the since manifest
     val snapshot = commits.last.dirs
     val newDirs = snapshot.filterNot(baseDirs)
+    // the range is append-only (proven above), so the column mapping
+    // is CONSTANT across it — serve the logical view of it
+    val tip = commits.last
     if (newDirs.isEmpty)
       // caught up — the COMMON poll outcome must stay cheap: an empty
       // frame with the table's schema from ONE visible directory, not
       // a re-read of the log plus a plan over the full snapshot
       snapshot.headOption match {
-        case Some(one) => spark.read.parquet(s"$root/data/$one").limit(0)
+        case Some(one) => logicalFrame(
+          spark.read.parquet(s"$root/data/$one"),
+          tip.colmap, tip.dropped, tip.defaults).limit(0)
         case None => read(spark, root).limit(0)
       }
-    else spark.read.parquet(newDirs.map(d => s"$root/data/$d"): _*)
+    else logicalFrame(
+      spark.read.parquet(newDirs.map(d => s"$root/data/$d"): _*),
+      tip.colmap, tip.dropped, tip.defaults)
   }
 
   /** Row-level CHANGE DATA FEED — the Delta CDF / Iceberg changelog
@@ -1423,26 +1764,27 @@ object TxnLog {
       if (sinceVersion == -1L) history(spark, root)
       else commitsInRange(fs, root, sinceVersion, latest)
     val delta = commits.filter(c => c.version > sinceVersion && c.version <= latest)
-    val refused = delta.filter(c => c.action == "overwrite" || c.action == "restore")
+    val refused = delta.filter(c => c.action == "overwrite" || c.action == "restore"
+        || c.action == "rename_column" || c.action == "drop_column")
       .filterNot(c => sinceVersion == -1L && c.version == commits.head.version)
     require(refused.isEmpty,
-      s"TxnLog: rewrite commit(s) ${refused.map(c => s"v${c.version}:${c.action}").mkString(", ")} " +
-        s"after version $sinceVersion at $root — no row-level delta exists; re-baseline from read()")
+      s"TxnLog: rewrite/schema commit(s) ${refused.map(c => s"v${c.version}:${c.action}").mkString(", ")} " +
+        s"after version $sinceVersion at $root — no row-level delta exists under one schema; " +
+        "re-baseline from read()")
     def tag(df: DataFrame, tpe: String, v: Long): DataFrame =
       df.withColumn("_change_type", lit(tpe)).withColumn("_commit_version", lit(v))
     val feeds = delta.flatMap { c =>
       val prior = snapshotAt(commits, c.version - 1)
-      val priorDvs = commits.filter(_.version < c.version).lastOption
-        .map(_.dvs).getOrElse(Seq.empty)
+      val priorCommit = commits.filter(_.version < c.version).lastOption
       c.action match {
         case "append" | "overwrite" | "restore" => // overwrite/restore only as the -1 baseline
           val added = c.dirs.filterNot(prior.toSet)
           if (added.isEmpty) None
-          else Some(tag(added.map(d => dirFrame(spark, root, d, c.dvs))
+          else Some(tag(added.map(d => dirFrame(spark, root, d, Some(c)))
             .reduce(_.unionByName(_, allowMissingColumns = true)), "insert", c.version))
         case "delete_mor" =>
           val dv = c.dvs.last // the commit's own new tombstone
-          val covered = dv.dirs.map(d => dirFrame(spark, root, d, priorDvs))
+          val covered = dv.dirs.map(d => dirFrame(spark, root, d, priorCommit))
             .reduce(_.unionByName(_, allowMissingColumns = true))
           Some(tag(covered.filter(
             org.apache.spark.sql.functions.expr(dv.pred) === lit(true)),
@@ -1450,11 +1792,11 @@ object TxnLog {
         case "replace" =>
           val affected = prior.filterNot(c.dirs.toSet)
           val newDirs = c.dirs.filterNot(prior.toSet)
-          val old0 = affected.map(d => dirFrame(spark, root, d, priorDvs))
+          val old0 = affected.map(d => dirFrame(spark, root, d, priorCommit))
             .reduce(_.unionByName(_, allowMissingColumns = true))
           val neu0 =
             if (newDirs.isEmpty) old0.limit(0)
-            else newDirs.map(d => dirFrame(spark, root, d, c.dvs))
+            else newDirs.map(d => dirFrame(spark, root, d, Some(c)))
               .reduce(_.unionByName(_, allowMissingColumns = true))
           // after a widening schema-evolution append, one side may be
           // all-narrow (the affected dirs predate the widening, or the
@@ -1487,11 +1829,12 @@ object TxnLog {
               .unionByName(tag(deleted.join(both, keyCols, "left_anti"), "delete", c.version))
               .unionByName(tag(inserted.join(both, keyCols, "left_anti"), "insert", c.version)))
           }
-        case _ => None // set_check / drop_check: metadata-only
+        case _ => None // set_check / drop_check / add_column: metadata-only
       }
     }
     require(feeds.nonEmpty || delta.forall(c =>
-      c.action == "set_check" || c.action == "drop_check"),
+      c.action == "set_check" || c.action == "drop_check" ||
+        c.action == "add_column"),
       s"TxnLog: no change feed in ($sinceVersion, $latest] at $root")
     feeds.reduceOption(_.unionByName(_, allowMissingColumns = true))
       .getOrElse(tag(read(spark, root).limit(0), "insert", latest))
@@ -1597,6 +1940,29 @@ object TxnLog {
     val spark = df.sparkSession
     val fs = fileSystem(spark, root)
     val dir = java.util.UUID.randomUUID.toString
+    // COLUMN-MAPPING write half: callers speak logical names, bytes
+    // on disk carry physical (creation-time) names — translate before
+    // writing so every dir in the table stays uniformly physical.
+    // Retired names never come back (ambiguous against the dropped
+    // dirs' bytes) and a renamed column's OLD name is a caller bug,
+    // not a new column — both refuse loudly.
+    val mapAt = latestCommit(spark, root)
+    val colmap0 = mapAt.map(_.colmap).getOrElse(Map.empty)
+    val dropped0 = mapAt.map(_.dropped).getOrElse(Seq.empty)
+    val defaults0 = mapAt.map(_.defaults).getOrElse(Map.empty)
+    val retired = df.columns.toSet.intersect(dropped0.toSet)
+    require(retired.isEmpty,
+      s"TxnLog: column(s) ${retired.toSeq.sorted.mkString(",")} were DROPPED from $root — " +
+        "a retired name cannot be re-added (old directories still hold its bytes); " +
+        "use a fresh name or rebuild the table")
+    val stale = (colmap0.values.toSet -- colmap0.keySet).intersect(df.columns.toSet)
+    require(stale.isEmpty,
+      s"TxnLog: column(s) ${stale.toSeq.sorted.mkString(",")} were RENAMED at $root " +
+        s"(${colmap0.filter(e => stale(e._2)).map(e => s"${e._2} -> ${e._1}").mkString(", ")}) — " +
+        "write the current (logical) names")
+    val physDf = colmap0.foldLeft(df) { case (d, (lg, ph)) =>
+      if (d.columns.contains(lg)) d.withColumnRenamed(lg, ph) else d }
+    val physPartitionBy = partitionBy.map(c => colmap0.getOrElse(c, c))
     // Hive-style partition dirs INSIDE the version directory: readers
     // get directory-level partition pruning per snapshot dir (the
     // version dirs are the read's base paths, so discovery sees the
@@ -1604,8 +1970,8 @@ object TxnLog {
     // manifest — a partitioned append is exactly as atomic as a flat
     // one. Mixing partitioned and unpartitioned commits in one table
     // is the caller's error (the read would see a schema mismatch).
-    val w = df.write
-    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+    val w = physDf.write
+    (if (physPartitionBy.nonEmpty) w.partitionBy(physPartitionBy: _*) else w)
       .parquet(s"$root/data/$dir")
     // CHECK-constraint gate: validate the freshly WRITTEN directory
     // against every registered predicate BEFORE any publish attempt —
@@ -1615,7 +1981,10 @@ object TxnLog {
     def validateChecks(checks: Map[String, String]): Unit = if (checks.nonEmpty) {
       val verdicts =
         try {
-          val dirDf = spark.read.parquet(s"$root/data/$dir")
+          // checks are written in LOGICAL names — evaluate them over
+          // the dir's logical view
+          val dirDf = logicalFrame(
+            spark.read.parquet(s"$root/data/$dir"), colmap0, dropped0, defaults0)
           val aggs = checks.toSeq.sortBy(_._1).map { case (n, p) =>
             count(when(coalesce(not(
               org.apache.spark.sql.functions.expr(p)), lit(false)), 1)).as(n)
@@ -1648,8 +2017,10 @@ object TxnLog {
     val newStats = {
       val rangeStats =
         if (collectStats) dirStats(spark, s"$root/data/$dir") else Map.empty[String, ColStat]
-      rangeStats ++ bloomCols.map(c =>
-        s"$BloomKeyPrefix$c" -> dirBloom(spark, s"$root/data/$dir", c))
+      // bloom columns arrive logical; the written dir (and the stats
+      // key the pruners resolve through physOf) are physical
+      rangeStats ++ bloomCols.map(c => colmap0.getOrElse(c, c)).map(p =>
+        s"$BloomKeyPrefix$p" -> dirBloom(spark, s"$root/data/$dir", p))
     }
     var attempt = 0
     while (attempt < MaxRetries) {
@@ -1718,9 +2089,21 @@ object TxnLog {
         validateChecks(carriedChecks)
         validatedChecks = carriedChecks
       }
+      // the dir was WRITTEN under mapAt's mapping — a rename/drop that
+      // landed since would make its physical names wrong; abort loudly
+      // (the caller re-runs under the new mapping)
+      if (last.map(_.colmap).getOrElse(Map.empty) != colmap0 ||
+          last.map(_.dropped).getOrElse(Seq.empty) != dropped0 ||
+          last.map(_.defaults).getOrElse(Map.empty) != defaults0) {
+        fs.delete(new Path(s"$root/data/$dir"), true)
+        throw new java.util.ConcurrentModificationException(
+          s"TxnLog: column mapping at $root changed while a commit was in flight — " +
+            "commit aborted; re-run (the data dir was written under the old mapping)")
+      }
       val txns = capTxns(carriedTxns(spark, root, last) ++ txnId.map(_ -> version))
       if (tryPublish(fs, root,
-        Commit(version, action, dirs, txnId, stats, dvs, carriedChecks, txns)))
+        Commit(version, action, dirs, txnId, stats, dvs, carriedChecks, txns,
+          colmap = colmap0, dropped = dropped0, defaults = defaults0)))
         return version
       attempt += 1 // lost the race: someone else took this version
     }
@@ -1814,7 +2197,7 @@ object TxnLog {
     if (snap.isEmpty) return None
     if (manifest.exists(_.dvs.nonEmpty)) return None
     val stats = manifest.map(_.stats).getOrElse(Map.empty)
-    val per = snap.map(d => stats.get(d).flatMap(_.get(column)))
+    val per = snap.map(d => stats.get(d).flatMap(_.get(physOf(manifest, column))))
     if (per.exists(_.isEmpty)) return None
     val cs = per.flatten
     val tpe = cs.head.tpe
@@ -1918,12 +2301,12 @@ object TxnLog {
     // deletion vectors still apply inside surviving dirs (stats
     // pruning stays valid: a DV only removes rows, so recorded
     // [min, max] still bounds what remains)
-    val dvs = manifestAt(spark, root, asOf).map(_.dvs).getOrElse(Seq.empty)
+    val m = manifestAt(spark, root, asOf)
     val predicate = col(column) >= lit(lo) && col(column) <= lit(hi)
     if (survivors.isEmpty)
-      spark.read.parquet(s"$root/data/${snap.head}").filter(lit(false))
+      dirFrame(spark, root, snap.head, m).filter(lit(false))
     else
-      survivors.map(d => dirFrame(spark, root, d, dvs))
+      survivors.map(d => dirFrame(spark, root, d, m))
         .reduce(_.unionByName(_, allowMissingColumns = true))
         .filter(predicate)
   }
@@ -1937,7 +2320,7 @@ object TxnLog {
     val snap = manifest.map(_.dirs).getOrElse(Seq.empty)
     val stats = manifest.map(_.stats).getOrElse(Map.empty)
     val (keep, skip) = snap.partition(d =>
-      mayContain(stats.get(d).flatMap(_.get(column)), lo, hi))
+      mayContain(stats.get(d).flatMap(_.get(physOf(manifest, column))), lo, hi))
     (keep, skip, snap)
   }
 
@@ -2168,10 +2551,21 @@ object TxnLog {
       if (c.checks.isEmpty) withDvs
       else withDvs ~ ("checks" -> JObject(
         c.checks.toList.sortBy(_._1).map { case (n, p) => n -> (JString(p) : JValue) }))
+    val withColmap =
+      if (c.colmap.isEmpty) withChecks
+      else withChecks ~ ("colmap" -> JObject(
+        c.colmap.toList.sortBy(_._1).map { case (lg, ph) => lg -> (JString(ph) : JValue) }))
+    val withDropped =
+      if (c.dropped.isEmpty) withColmap
+      else withColmap ~ ("dropped" -> c.dropped.toList)
+    val withDefaults =
+      if (c.defaults.isEmpty) withDropped
+      else withDropped ~ ("defaults" -> JObject(
+        c.defaults.toList.sortBy(_._1).map { case (n, sql) => n -> (JString(sql) : JValue) }))
     // "txns" is ALWAYS rendered (even empty): its absence is what
     // marks a legacy manifest, sending readers to the full-scan
     // idempotency fallback
-    val j = withChecks ~ ("txns" -> JObject(
+    val j = withDefaults ~ ("txns" -> JObject(
       c.txns.toList.sortBy(_._1).map { case (t, v) => t -> (JLong(v) : JValue) }))
     JsonMethods.compact(JsonMethods.render(j))
   }
@@ -2220,6 +2614,18 @@ object TxnLog {
       case JObject(cs) => cs.collect { case (n, JString(p)) => n -> p }.toMap
       case _ => Map.empty[String, String]
     }
+    // absent in pre-evolution manifests: identity mapping
+    val colmap = j \ "colmap" match {
+      case JObject(cs) => cs.collect { case (lg, JString(ph)) => lg -> ph }.toMap
+      case _ => Map.empty[String, String]
+    }
+    val dropped = j \ "dropped" match {
+      case JArray(xs) => xs.map(str); case _ => Seq.empty[String]
+    }
+    val defaults = j \ "defaults" match {
+      case JObject(ds) => ds.collect { case (n, JString(sql)) => n -> sql }.toMap
+      case _ => Map.empty[String, String]
+    }
     // absent only in legacy manifests: flags the full-scan fallback
     val (txns, txnsKnown) = j \ "txns" match {
       case JObject(ts) => (ts.collect {
@@ -2228,7 +2634,8 @@ object TxnLog {
       }.toMap, true)
       case _ => (Map.empty[String, Long], false)
     }
-    Commit(version, str(j \ "action"), dirs, txn, stats, dvs, checks, txns, txnsKnown)
+    Commit(version, str(j \ "action"), dirs, txn, stats, dvs, checks, txns,
+      txnsKnown, colmap, dropped, defaults)
   }
 
   private def fileSystem(spark: SparkSession, root: String): FileSystem =

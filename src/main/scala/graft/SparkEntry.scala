@@ -3075,6 +3075,64 @@ object SparkEntry {
     (root, q)
   }
 
+  /** Metadata-only schema evolution under the oracle
+    * ([[graft.sources.TxnLog.renameColumn]] / `dropColumn`): the lower
+    * doc_id half loads under the original names, `n_chars` renames to
+    * `len` (one metadata commit, zero data movement), the upper half
+    * appends SPEAKING the new name (bytes on disk stay physical —
+    * uniform), and `source` drops. The final read serves exactly
+    * (doc_id, len) over both halves — which the oracle states as a
+    * plain aliased projection of `documents`. A pruning `require`
+    * proves manifest stats keep skipping THROUGH the mapping. */
+  private def txnlogRename(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.TxnLog
+    val root = tmpArtifactRoot("txnrename", dir)
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val q = (docs.agg(max("doc_id")).head.getLong(0) + 1) / 2
+    buildLock(root) {
+      if (TxnLog.latestVersion(spark, root) < 3L) {
+        TxnLog.overwrite(docs.filter(col("doc_id") < q), root,
+          Some("rn0"), collectStats = true)
+        TxnLog.renameColumn(spark, root, "n_chars", "len", Some("rn1"))
+        TxnLog.append(docs.filter(col("doc_id") >= q)
+          .withColumnRenamed("n_chars", "len"), root,
+          Some("rn2"), collectStats = true)
+        TxnLog.dropColumn(spark, root, "source", Some("rn3")); ()
+      }
+    }
+    // stats written before AND after the rename both prune on the
+    // LOGICAL name (the physOf mapping): a lower-half band must skip
+    // the upper-half dir
+    val (_, skip, snap) = TxnLog.pruneDirs(spark, root, "doc_id", 0L, q - 1)
+    require(snap.size == 2 && skip.size == 1,
+      s"rename must not break stats pruning: snap=$snap skip=$skip")
+    TxnLog.read(spark, root).select("doc_id", "len")
+  }
+
+  /** ADD COLUMN with an initial default under the oracle
+    * ([[graft.sources.TxnLog.addColumn]]): the lower half loads
+    * WITHOUT `lang`, one metadata commit adds it with default 'und'
+    * (zero rewrites — the 100 TB constant backfill), and the upper
+    * half appends carrying real values. The read serves default for
+    * old rows and data for new — a plain CASE on the source. */
+  private def txnlogAddcol(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.TxnLog
+    val root = tmpArtifactRoot("txnaddcol", dir)
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"), col("lang"))
+    val q = (docs.agg(max("doc_id")).head.getLong(0) + 1) / 2
+    buildLock(root) {
+      if (TxnLog.latestVersion(spark, root) < 2L) {
+        TxnLog.overwrite(docs.filter(col("doc_id") < q).drop("lang"), root,
+          Some("ac0"))
+        TxnLog.addColumn(spark, root, "lang", "'und'", Some("ac1"))
+        TxnLog.append(docs.filter(col("doc_id") >= q), root, Some("ac2")); ()
+      }
+    }
+    TxnLog.read(spark, root).select("doc_id", "n_chars", "lang")
+  }
+
   private def txnlogSkipping(spark: SparkSession, dir: String): DataFrame = {
     import graft.sources.TxnLog
     val (root, q) = ensureTxnskipTable(spark, dir)
@@ -3939,6 +3997,19 @@ object SparkEntry {
     "txnlog_restore" -> (txnlogRestore(_, _)),
     "txnlog_compact" -> (txnlogCompact(_, _)),
     "txnlog_skipping" -> (txnlogSkipping(_, _)),
+    "txnlog_rename" -> (txnlogRename(_, _)),
+    "txnlog_addcol" -> (txnlogAddcol(_, _)),
+    // the same mid-range read through `format("graft")` — Catalyst
+    // pushes the BETWEEN to the relation, the relation prunes the two
+    // disjoint quartile dirs off the manifest stats, and the rows are
+    // hash-exact with the native readWhere path (shared oracle shape)
+    "txnlog_connector" -> ((s, d) => {
+      val (root, q) = ensureTxnskipTable(s, d)
+      val (lo, hi) = (q + q / 2, 2 * q + q / 2)
+      s.read.format("graft").load(root)
+        .filter(col("doc_id") >= lo && col("doc_id") <= hi)
+        .select("doc_id", "source", "n_chars")
+    }),
     "txnlog_zorder" -> (txnlogZorder(_, _)),
     "txnlog_zorder_str" -> (txnlogZorderStr(_, _)),
     "txnlog_maintain" -> (txnlogMaintain(_, _)),
@@ -3947,6 +4018,16 @@ object SparkEntry {
     "txnlog_lineage" -> (txnlogLineage(_, _)),
     "cluster_advice" -> (clusterAdviceQ(_, _)),
     "txnlog_cdf" -> (txnlogCdf(_, _)),
+    // the same change feed served through the Delta-CDF read surface
+    // (format("graft") + readChangeFeed/startingVersion options) —
+    // the connector moves plans, never answers
+    "txnlog_cdf_connector" -> ((s, d) => {
+      val root = ensureTxnCdfTable(s, d)
+      s.read.format("graft").option("readChangeFeed", "true")
+        .option("startingVersion", "1").option("keyCols", "doc_id")
+        .load(root)
+        .select("_commit_version", "_change_type", "doc_id", "source", "n_chars")
+    }),
     "txnlog_replica" -> (txnlogReplica(_, _)),
     "mv_incremental_cdf" -> (mvIncrementalCdf(_, _)),
     // metadata-only COUNT from the manifest row counts vs the scan:
@@ -4851,6 +4932,20 @@ object SparkEntry {
       Similarity.recallAtK(
         Similarity.bruteForceTopK(cands, queries, k = 5),
         Similarity.lshTopK(cands, queries, dim = 64, k = 5))
+    }),
+    // rank-AWARE acceptance metric ([[graft.similarity.Similarity
+    // .ndcgAtK]]): nDCG@5 of the same LSH ranking against the same
+    // brute-force truth — recall can't see right-neighbors-wrong-order,
+    // the log2-discounted gain can; exact integer fixed point (the
+    // unigram trainer's 16-step ilog2, replayed in SQL)
+    "ann_ndcg" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val queries = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val cands = e.select("vec_id", "embedding")
+      Similarity.ndcgAtK(
+        Similarity.bruteForceTopK(cands, queries, k = 5),
+        Similarity.lshTopK(cands, queries, dim = 64, k = 5), k = 5)
     }),
     // matryoshka truncation eval (Kusupati et al. 2022): how much of
     // the full-dim top-5 neighborhood survives when embeddings are cut
@@ -7918,6 +8013,24 @@ object SparkEntry {
         |SELECT doc_id, source, n_chars FROM documents
         |WHERE doc_id BETWEEN (SELECT q + q // 2 FROM m)
         |                 AND (SELECT 2 * q + q // 2 FROM m)""".stripMargin,
+    // schema evolution moves METADATA, never answers: rename + drop +
+    // a post-rename append read back as a plain aliased projection
+    "txnlog_rename" ->
+      "SELECT doc_id, n_chars AS len FROM documents",
+    // ADD COLUMN's initial default serves for pre-DDL rows, real
+    // values after — one CASE on the append boundary
+    "txnlog_addcol" ->
+      """WITH m AS (SELECT (MAX(doc_id) + 1) // 2 AS q FROM documents)
+        |SELECT doc_id, n_chars,
+        |  CASE WHEN doc_id < (SELECT q FROM m) THEN 'und' ELSE lang END AS lang
+        |FROM documents""".stripMargin,
+    // the DataSource connector moves plans, never answers: the pruned
+    // format("graft") read equals the same plain BETWEEN
+    "txnlog_connector" ->
+      """WITH m AS (SELECT (MAX(doc_id) + 1) // 4 AS q FROM documents)
+        |SELECT doc_id, source, n_chars FROM documents
+        |WHERE doc_id BETWEEN (SELECT q + q // 2 FROM m)
+        |                 AND (SELECT 2 * q + q // 2 FROM m)""".stripMargin,
     // z-order clustering moves bytes, never answers: the rectangle
     // read over the clustered layout equals the plain two-band filter
     "txnlog_zorder" ->
@@ -7952,6 +8065,21 @@ object SparkEntry {
     // the change feed replays as its known slices: append inserts,
     // tombstone deletes (pre-delete image), merge update pairs
     "txnlog_cdf" ->
+      """WITH m AS (SELECT (MAX(doc_id) + 1) // 2 AS q FROM documents)
+        |SELECT CAST(1 AS BIGINT) AS _commit_version, 'insert' AS _change_type,
+        |  doc_id, source, n_chars
+        |FROM documents WHERE doc_id >= (SELECT q FROM m)
+        |UNION ALL
+        |SELECT 2, 'delete', doc_id, source, n_chars
+        |FROM documents WHERE doc_id % 10 = 4
+        |UNION ALL
+        |SELECT 3, 'update_preimage', doc_id, source, n_chars
+        |FROM documents WHERE doc_id % 10 = 0
+        |UNION ALL
+        |SELECT 3, 'update_postimage', doc_id, source, n_chars + 1000
+        |FROM documents WHERE doc_id % 10 = 0""".stripMargin,
+    // the CDF relation serves the identical feed (shared statement)
+    "txnlog_cdf_connector" ->
       """WITH m AS (SELECT (MAX(doc_id) + 1) // 2 AS q FROM documents)
         |SELECT CAST(1 AS BIGINT) AS _commit_version, 'insert' AS _change_type,
         |  doc_id, source, n_chars
@@ -8992,6 +9120,70 @@ object SparkEntry {
          |  CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
          |  CAST((1000000 * coalesce(h.n_hit, 0)) // t.n_truth AS BIGINT) AS recall_fp
          |FROM tsz t LEFT JOIN asz a USING (q_id) LEFT JOIN hit h USING (q_id)""".stripMargin
+    },
+    // nDCG@5: the same truth/approx ranking chains, then per-term
+    // graded gains discounted by the 16-step integer log2 (one UNION
+    // feeds both DCG and IDCG through a single replayed chain)
+    "ann_ndcg" -> {
+      val dotEq = dotSql("e.embedding", "q.q_emb")
+      val normE = dotSql("e.embedding", "e.embedding")
+      val normQ = dotSql("q.q_emb", "q.q_emb")
+      val dotL = dotSql("cb.embedding", "qb.q_emb")
+      val normCb = dotSql("cb.embedding", "cb.embedding")
+      val normQb = dotSql("qb.q_emb", "qb.q_emb")
+      val lg = (1 to 16).map(j =>
+        s"""g$j AS (SELECT side, q_id, rel,
+           |  CASE WHEN ((x*x) >> 20) >= 2097152 THEN ((x*x) >> 20) >> 1 ELSE (x*x) >> 20 END AS x,
+           |  CASE WHEN ((x*x) >> 20) >= 2097152 THEN acc*2+1 ELSE acc*2 END AS acc, msb
+           |  FROM g${j - 1})""".stripMargin).mkString(",\n")
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),
+         |bp AS (
+         |  SELECT q.q_id, e.vec_id,
+         |    $dotEq / (sqrt($normE) * sqrt($normQ)) AS cos
+         |  FROM embeddings e, q WHERE e.vec_id <> q.q_id),
+         |truth AS (SELECT q_id, vec_id, rank FROM (
+         |  SELECT q_id, vec_id,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rank
+         |  FROM bp) WHERE rank <= 5),
+         |qb AS (
+         |  SELECT vec_id AS q_id, embedding AS q_emb,
+         |    ${bucketSql("embedding", 8, 0)} AS bucket
+         |  FROM embeddings WHERE vec_id < 10),
+         |cb AS (
+         |  SELECT vec_id, embedding,
+         |    ${bucketSql("embedding", 8, 0)} AS bucket
+         |  FROM embeddings),
+         |lp AS (
+         |  SELECT qb.q_id, cb.vec_id,
+         |    $dotL / (sqrt($normCb) * sqrt($normQb)) AS cos
+         |  FROM cb JOIN qb USING (bucket) WHERE cb.vec_id <> qb.q_id),
+         |approx AS (SELECT q_id, vec_id, rank FROM (
+         |  SELECT q_id, vec_id,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rank
+         |  FROM lp) WHERE rank <= 5),
+         |terms AS (
+         |  SELECT 'a' AS side, a.q_id,
+         |    CAST(coalesce(6 - t.rank, 0) AS BIGINT) AS rel,
+         |    CAST(a.rank AS BIGINT) AS r
+         |  FROM approx a LEFT JOIN truth t ON t.q_id = a.q_id AND t.vec_id = a.vec_id
+         |  UNION ALL
+         |  SELECT 't' AS side, q_id, CAST(6 - rank AS BIGINT) AS rel,
+         |    CAST(rank AS BIGINT) AS r FROM truth),
+         |g0 AS (SELECT side, q_id, rel,
+         |  (CAST(r + 1 AS BIGINT) << 20) >> (length(bin(r + 1)) - 1) AS x,
+         |  CAST(0 AS BIGINT) AS acc,
+         |  CAST(length(bin(r + 1)) - 1 AS BIGINT) AS msb FROM terms),
+         |$lg,
+         |gains AS (SELECT side, q_id,
+         |  (rel * 65536000000) // (msb * 65536 + acc) AS gain FROM g16),
+         |agg AS (SELECT q_id,
+         |  SUM(gain) FILTER (WHERE side = 'a') AS dcg,
+         |  SUM(gain) FILTER (WHERE side = 't') AS idcg
+         |  FROM gains GROUP BY 1)
+         |SELECT q_id, CAST(coalesce(dcg, 0) AS BIGINT) AS dcg_fp,
+         |  CAST(idcg AS BIGINT) AS idcg_fp,
+         |  CAST((1000000 * coalesce(dcg, 0)) // idcg AS BIGINT) AS ndcg_fp
+         |FROM agg""".stripMargin
     },
     // exact KNN-Shapley recurrence replayed verbatim: same rounded
     // cosine ranking, same positive integer divisions (// == div on

@@ -1,0 +1,341 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, Row, SQLContext, SaveMode, SparkSession}
+import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Sink, Source}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.graftshim.GraftShims
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.StructType
+
+/** `format("graft")` — the [[TxnLog]] table format surfaced through
+  * Spark's DataSource API, so a table written by this library is
+  * readable/writable by ANY Spark code (SQL included) without
+  * importing graft at all:
+  *
+  * {{{
+  *   spark.read.format("graft").load(root)                       // latest
+  *   spark.read.format("graft").option("versionAsOf", 3).load(root)
+  *   df.write.format("graft").mode("append")
+  *     .option("collectStats", true).save(root)
+  *   spark.readStream.format("graft").load(root)                 // appends
+  * }}}
+  *
+  * Built on the stable DSv1 relation surface
+  * (`org.apache.spark.sql.sources`) exactly the way the open-source
+  * Delta connector served `format("delta")` for years:
+  *
+  *  - BATCH READ is a [[PrunedFilteredScan]]: Catalyst hands the scan
+  *    its pushable filters, the relation prunes snapshot DIRECTORIES
+  *    against the manifest's per-dir [min, max] stats
+  *    ([[TxnLog.readRanges]] — the same data-skipping the native
+  *    `readWhere` path uses), translates the filters onto the inner
+  *    parquet scan (so row-group/page pushdown still happens), and
+  *    reports every filter UNHANDLED so Spark re-applies exact
+  *    semantics above — pruning is pure I/O avoidance, never a
+  *    semantic dependency. At 100 TB this is the property that
+  *    matters: a point query opens the manifest plus the admitted
+  *    dirs, never the table.
+  *  - BATCH WRITE maps SaveMode onto the log's commit protocol
+  *    (append/overwrite with the same CAS + idempotent-txnId
+  *    discipline as the native API; `ErrorIfExists`/`Ignore` consult
+  *    the log, not the filesystem).
+  *  - STREAMING READ serves the table as a micro-batch source with
+  *    offsets = COMMIT VERSIONS (the Delta-source shape): the first
+  *    batch is the full snapshot at the stream's start version, every
+  *    later batch is exactly the directories appended in
+  *    `(start, end]` ([[TxnLog.appendedDirsBetween]] — O(delta)
+  *    manifest reads per poll). Non-append commits refuse loudly
+  *    unless `ignoreChanges=true` (rewritten rows are never
+  *    re-delivered — the documented Delta contract). Offsets live in
+  *    the checkpoint, so recovery replays the exact version range and
+  *    exactly-once composes with the sink's own idempotency.
+  *
+  * Registered in `META-INF/services` under the short name `graft`.
+  * Reference anchor: the reference stack reads/writes its lakehouse
+  * tables through a format string (`convert_to_delta.py:85-88`); this
+  * is that surface for the offline TxnLog format. */
+class GraftDataSource extends RelationProvider with CreatableRelationProvider
+    with StreamSourceProvider with StreamSinkProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft"
+
+  private def rootOf(parameters: Map[String, String]): String =
+    parameters.getOrElse("path",
+      throw new IllegalArgumentException(
+        "format(\"graft\") needs a table root: .load(<root>) or option(\"path\", ...)"))
+
+  override def createRelation(sqlContext: SQLContext,
+                              parameters: Map[String, String]): BaseRelation =
+    if (parameters.get("readChangeFeed").exists(_.toBoolean)) {
+      // the Delta CDF read shape: startingVersion is INCLUSIVE of
+      // that version's own changes (changeFeed's sinceVersion is
+      // exclusive, hence the -1)
+      val starting = parameters.getOrElse("startingVersion",
+        throw new IllegalArgumentException(
+          "readChangeFeed needs option(\"startingVersion\", <first version whose changes to serve>)"))
+        .toLong
+      new GraftChangeFeedRelation(sqlContext, rootOf(parameters),
+        starting - 1,
+        parameters.get("endingVersion").map(_.toLong),
+        parameters.get("keyCols").map(_.split(",").map(_.trim)
+          .filter(_.nonEmpty).toSeq).getOrElse(Nil))
+    } else
+      new GraftRelation(sqlContext, rootOf(parameters),
+        parameters.get("versionAsOf").map(_.toLong))
+
+  override def createRelation(sqlContext: SQLContext, mode: SaveMode,
+                              parameters: Map[String, String],
+                              data: DataFrame): BaseRelation = {
+    val root = rootOf(parameters)
+    val spark = data.sparkSession
+    def csv(key: String): Seq[String] = parameters.get(key)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    val partitionBy = csv("partitionBy")
+    val bloomCols = csv("bloomCols")
+    val collectStats = parameters.get("collectStats").exists(_.toBoolean)
+    val txnId = parameters.get("txnId")
+    def write(over: Boolean): Unit = {
+      if (over) TxnLog.overwrite(data, root, txnId, partitionBy, collectStats, bloomCols)
+      else TxnLog.append(data, root, txnId, partitionBy, collectStats, bloomCols)
+      ()
+    }
+    val exists = TxnLog.latestVersion(spark, root) >= 0
+    mode match {
+      case SaveMode.Append => write(over = false)
+      case SaveMode.Overwrite => write(over = true)
+      case SaveMode.ErrorIfExists =>
+        if (exists) throw new IllegalStateException(
+          s"graft table already exists at $root (mode ErrorIfExists)")
+        write(over = true)
+      case SaveMode.Ignore => if (!exists) write(over = true)
+    }
+    createRelation(sqlContext, parameters)
+  }
+
+  override def sourceSchema(sqlContext: SQLContext,
+                            schema: Option[StructType], providerName: String,
+                            parameters: Map[String, String]): (String, StructType) = {
+    require(schema.isEmpty,
+      "format(\"graft\") streams serve the table's own schema — drop .schema(...)")
+    (shortName(),
+      TxnLog.read(sqlContext.sparkSession, rootOf(parameters)).schema)
+  }
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+                            schema: Option[StructType], providerName: String,
+                            parameters: Map[String, String]): Source =
+    new GraftStreamSource(sqlContext.sparkSession, rootOf(parameters),
+      parameters.get("ignoreChanges").exists(_.toBoolean))
+
+  override def createSink(sqlContext: SQLContext,
+                          parameters: Map[String, String],
+                          partitionColumns: Seq[String],
+                          outputMode: org.apache.spark.sql.streaming.OutputMode): Sink = {
+    require(outputMode == org.apache.spark.sql.streaming.OutputMode.Append(),
+      s"format(\"graft\") sink is append-only (the table format's streaming " +
+        s"contract — upserts go through TxnLog.foreachBatchUpsert); got $outputMode")
+    new GraftStreamSink(sqlContext.sparkSession, rootOf(parameters),
+      partitionColumns, parameters.get("collectStats").exists(_.toBoolean))
+  }
+}
+
+object GraftDataSource {
+  /** Test instrument (the [[TxnLog.manifestReads]] convention): the
+    * (opened, skipped) dir census of the most recent
+    * [[GraftRelation]] scan planned on this JVM — how specs prove the
+    * relation actually pruned, since the inner plan is invisible
+    * behind the relation's RDD. */
+  @volatile private[graft] var lastScanCensus: (Int, Int) = (0, 0)
+
+  /** DSv1 [[Filter]] → optional-bounded ranges for manifest pruning.
+    * Only conjunctive, single-column range shapes prune (`=`, `<`,
+    * `<=`, `>`, `>=`, `And`, and same-typed `In` envelopes); anything
+    * else contributes nothing — never a wrong skip, because pruning
+    * is advisory (Spark re-applies every filter above the scan). */
+  private[graft] def rangesOf(f: Filter): Seq[(String, Option[Any], Option[Any])] = f match {
+    case EqualTo(c, v) if v != null => Seq((c, Some(v), Some(v)))
+    case GreaterThan(c, v) if v != null => Seq((c, Some(v), None))
+    case GreaterThanOrEqual(c, v) if v != null => Seq((c, Some(v), None))
+    case LessThan(c, v) if v != null => Seq((c, None, Some(v)))
+    case LessThanOrEqual(c, v) if v != null => Seq((c, None, Some(v)))
+    case In(c, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Number]) =>
+      val ls = vs.map(_.asInstanceOf[Number].longValue)
+      // envelope of the list — exact only for integral values, so
+      // gate on the common integral boxes (a double list keeps dirs)
+      if (vs.forall(v => v.isInstanceOf[java.lang.Long] ||
+            v.isInstanceOf[java.lang.Integer] || v.isInstanceOf[java.lang.Short] ||
+            v.isInstanceOf[java.lang.Byte]))
+        Seq((c, Some(Long.box(ls.min)), Some(Long.box(ls.max))))
+      else Seq.empty
+    case In(c, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[String]) =>
+      val ss = vs.map(_.asInstanceOf[String])
+      Seq((c, Some(ss.min), Some(ss.max)))
+    case And(l, r) => rangesOf(l) ++ rangesOf(r)
+    case _ => Seq.empty
+  }
+
+  /** DSv1 [[Filter]] → [[Column]], for pushing the SAME predicate
+    * into the inner parquet scan (row-group and page skipping under
+    * the dir pruning). Partial on purpose: an untranslatable filter
+    * is simply not pushed — Spark holds the original above the scan
+    * either way. */
+  private[graft] def columnOf(f: Filter): Option[Column] = f match {
+    case EqualTo(a, v) => Some(col(a) === lit(v))
+    case EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+    case GreaterThan(a, v) => Some(col(a) > lit(v))
+    case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case LessThan(a, v) => Some(col(a) < lit(v))
+    case LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+    case In(a, vs) => Some(col(a).isin(vs.toIndexedSeq: _*))
+    case IsNull(a) => Some(col(a).isNull)
+    case IsNotNull(a) => Some(col(a).isNotNull)
+    case StringStartsWith(a, v) => Some(col(a).startsWith(v))
+    case StringEndsWith(a, v) => Some(col(a).endsWith(v))
+    case StringContains(a, v) => Some(col(a).contains(v))
+    case And(l, r) => for { a <- columnOf(l); b <- columnOf(r) } yield a && b
+    case Or(l, r) => for { a <- columnOf(l); b <- columnOf(r) } yield a || b
+    case Not(x) => columnOf(x).map(!_)
+    case _ => None
+  }
+}
+
+/** One TxnLog snapshot as a Catalyst relation — see
+  * [[GraftDataSource]] for the contract. [[InsertableRelation]] makes
+  * the SQL surface whole: `CREATE TABLE t USING graft OPTIONS (path
+  * ...)` + `INSERT INTO t` route through the same commit protocol. */
+class GraftRelation(override val sqlContext: SQLContext, root: String,
+                    asOf: Option[Long])
+    extends BaseRelation with PrunedFilteredScan with InsertableRelation {
+
+  override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+    require(asOf.isEmpty,
+      s"graft: cannot INSERT into a time-travel (versionAsOf) relation of $root")
+    if (overwrite) TxnLog.overwrite(data, root) else TxnLog.append(data, root)
+    ()
+  }
+
+  private def spark: SparkSession = sqlContext.sparkSession
+
+  override val schema: StructType = TxnLog.read(spark, root, asOf).schema
+
+  /** On-disk snapshot bytes × a conservative parquet-decode factor —
+    * lets Catalyst broadcast genuinely small graft tables while never
+    * under-reporting a big side (the only dangerous direction). */
+  override def sizeInBytes: Long = {
+    val onDisk = TxnLog.snapshotBytes(spark, root, asOf)
+    if (onDisk > Long.MaxValue / 8) Long.MaxValue else onDisk * 8
+  }
+
+  // every filter stays above the scan — pruning/pushdown below are
+  // pure I/O avoidance, so a translation gap can never change rows
+  override def unhandledFilters(filters: Array[Filter]): Array[Filter] = filters
+
+  override def buildScan(requiredColumns: Array[String],
+                         filters: Array[Filter]): RDD[Row] = {
+    val ranges = filters.toSeq.flatMap(GraftDataSource.rangesOf)
+    val m = TxnLog.readRanges(spark, root,
+      if (ranges.isEmpty) Seq.empty else ranges, asOf)
+    val snapN = TxnLog.read(spark, root, asOf) // manifest-only if unused
+    // census for specs: dirs admitted vs snapshot size (metadata-only)
+    GraftDataSource.lastScanCensus = (
+      m.inputFiles.length, snapN.inputFiles.length - m.inputFiles.length)
+    val filtered = filters.toSeq.flatMap(GraftDataSource.columnOf)
+      .foldLeft(m)(_.filter(_))
+    val projected =
+      if (requiredColumns.isEmpty) filtered.select()
+      else filtered.select(requiredColumns.toIndexedSeq.map(col): _*)
+    projected.rdd
+  }
+}
+
+/** The row-level change feed as a relation —
+  * `spark.read.format("graft").option("readChangeFeed", true)
+  * .option("startingVersion", N)`: [[TxnLog.changeFeed]] behind the
+  * Delta CDF read surface, so any Spark consumer (SQL included) can
+  * poll "what changed since version N" with `_change_type` /
+  * `_commit_version` tags. Whole-feed scan by design (a CDC consumer
+  * applies every change — filter pushdown would buy nothing); cost is
+  * bounded by the range's affected dirs, never the snapshot. */
+class GraftChangeFeedRelation(override val sqlContext: SQLContext,
+                              root: String, sinceVersion: Long,
+                              untilVersion: Option[Long], keyCols: Seq[String])
+    extends BaseRelation with TableScan {
+
+  private def feed: DataFrame =
+    TxnLog.changeFeed(sqlContext.sparkSession, root, sinceVersion,
+      keyCols, untilVersion)
+
+  override val schema: StructType = feed.schema
+
+  override def buildScan(): RDD[Row] = feed.rdd
+}
+
+/** The table as a micro-batch stream — offsets are COMMIT VERSIONS.
+  * See [[GraftDataSource]] for the contract. */
+class GraftStreamSource(spark: SparkSession, root: String,
+                        ignoreChanges: Boolean) extends Source {
+
+  override val schema: StructType = TxnLog.read(spark, root).schema
+
+  override def getOffset: Option[OffsetV1] = {
+    val v = TxnLog.latestVersion(spark, root)
+    if (v < 0) None else Some(LongOffset(v))
+  }
+
+  private def versionOf(o: OffsetV1): Long = o.json.toLong
+
+  /** Pin every batch frame to the stream's declared schema: a later
+    * widening append must not change a running stream's shape
+    * (Spark's streaming contract — restart to pick up new columns),
+    * and pre-widening dirs read with typed NULL fill. */
+  private def aligned(df: DataFrame): DataFrame =
+    df.select(schema.fields.toIndexedSeq.map { f =>
+      (if (df.columns.contains(f.name)) col(f.name) else lit(null))
+        .cast(f.dataType).as(f.name)
+    }: _*)
+
+  override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
+    val endV = versionOf(end)
+    val batch = start match {
+      // first batch: the full snapshot at the stream's start version
+      // (the Delta-source initial-snapshot semantics)
+      case None => TxnLog.read(spark, root, asOf = Some(endV))
+      case Some(s) =>
+        TxnLog.readAppendedBetween(spark, root, versionOf(s), endV, ignoreChanges)
+          .getOrElse(TxnLog.read(spark, root, asOf = Some(endV)).limit(0))
+    }
+    val a = aligned(batch)
+    GraftShims.streamingDataFrame(spark, a.queryExecution.toRdd, a.schema)
+  }
+
+  override def stop(): Unit = ()
+
+  override def toString: String = s"GraftStreamSource[$root]"
+}
+
+/** The table as a streaming SINK — `df.writeStream.format("graft")`:
+  * each micro-batch appends under txnId `batch-<batchId>`, so a
+  * checkpoint-recovery replay of the last batch is a manifest-level
+  * no-op — exactly-once by the log's own idempotency, the same
+  * contract as [[TxnLog.foreachBatchAppend]] without the caller
+  * writing a foreachBatch. Append-only by construction. */
+class GraftStreamSink(spark: SparkSession, root: String,
+                      partitionColumns: Seq[String],
+                      collectStats: Boolean) extends Sink {
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    // the handed frame is streaming-tagged and refuses batch writes —
+    // re-wrap its own rows/schema as a plain batch frame (DeltaSink's
+    // public technique), then run the ordinary commit protocol
+    val batch = GraftShims.batchDataFrame(spark,
+      data.queryExecution.toRdd, data.schema)
+    TxnLog.append(batch, root, Some(s"batch-$batchId"),
+      partitionBy = partitionColumns, collectStats = collectStats)
+    ()
+  }
+
+  override def toString: String = s"GraftStreamSink[$root]"
+}

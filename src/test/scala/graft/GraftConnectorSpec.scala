@@ -1,0 +1,258 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.sources.{GraftDataSource, TxnLog}
+
+/** `format("graft")` — the TxnLog table format behind Spark's
+  * DataSource API: batch read (with manifest-stats dir pruning driven
+  * by Catalyst's pushed filters), batch write (SaveMode → commit
+  * protocol), and the micro-batch streaming source whose offsets are
+  * commit versions. */
+class GraftConnectorSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("graft_dsv1").toString + "/t"
+
+  test("batch write + read roundtrip through format(\"graft\"); SaveMode semantics") {
+    val root = freshRoot()
+    val a = Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+    a.write.format("graft").save(root) // default ErrorIfExists creates
+    assert(spark.read.format("graft").load(root).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((1L, "a"), (2L, "b")))
+    // ErrorIfExists refuses a second create
+    intercept[IllegalStateException] {
+      a.write.format("graft").save(root)
+    }
+    // Ignore is a no-op on an existing table
+    Seq((9L, "z")).toDF("id", "s").write.format("graft")
+      .mode(SaveMode.Ignore).save(root)
+    assert(spark.read.format("graft").load(root).count() == 2)
+    // Append commits a new version; Overwrite resets
+    Seq((3L, "c")).toDF("id", "s").write.format("graft")
+      .mode(SaveMode.Append).save(root)
+    assert(spark.read.format("graft").load(root).count() == 3)
+    Seq((7L, "q")).toDF("id", "s").write.format("graft")
+      .mode(SaveMode.Overwrite).save(root)
+    assert(spark.read.format("graft").load(root).count() == 1)
+    // the writes ran the real commit protocol: versions are dense
+    assert(TxnLog.versions(spark, root).map(_._2) ==
+      Seq("overwrite", "append", "overwrite"))
+  }
+
+  test("versionAsOf time travel and write options reach the log") {
+    val root = freshRoot()
+    Seq((1L, "a")).toDF("id", "s").write.format("graft")
+      .option("txnId", "load-1").save(root)
+    Seq((2L, "b")).toDF("id", "s").write.format("graft")
+      .mode(SaveMode.Append).option("txnId", "load-2").save(root)
+    // idempotent replay: same txnId appends nothing
+    Seq((2L, "b")).toDF("id", "s").write.format("graft")
+      .mode(SaveMode.Append).option("txnId", "load-2").save(root)
+    assert(TxnLog.latestVersion(spark, root) == 1L)
+    assert(spark.read.format("graft").option("versionAsOf", "0")
+      .load(root).count() == 1)
+    assert(spark.read.format("graft").load(root).count() == 2)
+    // a vacuumed/never-written pin fails loudly through the connector
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft").option("versionAsOf", "7").load(root).count()
+    }
+  }
+
+  test("pushed filters prune stats-on dirs; answers stay exact") {
+    val root = freshRoot()
+    // four disjoint id-quartile commits, stats on
+    (0 to 3).foreach { i =>
+      val df = spark.range(i * 100L, i * 100L + 100L)
+        .select(col("id"), (col("id") % 7).as("v"))
+      df.write.format("graft").mode(if (i == 0) SaveMode.Overwrite else SaveMode.Append)
+        .option("collectStats", "true").save(root)
+    }
+    val rel = spark.read.format("graft").load(root)
+    // a point predicate must open exactly ONE dir (census instrument)
+    val hit = rel.filter(col("id") === 250L).collect()
+    assert(hit.map(_.getLong(0)).toSeq == Seq(250L))
+    val (opened, skipped) = GraftDataSource.lastScanCensus
+    assert(opened < opened + skipped, s"census empty: $opened/$skipped")
+    assert(skipped >= 3 * opened, // 1 of 4 equal-sized dirs admitted
+      s"point filter should skip 3 of 4 quartile dirs: opened=$opened skipped=$skipped")
+    // a one-sided bound prunes too, and rows match the filter
+    val upper = rel.filter(col("id") >= 300L)
+    assert(upper.count() == 100L)
+    val (o2, s2) = GraftDataSource.lastScanCensus
+    assert(s2 >= 3 * o2, s"one-sided bound should keep 1 of 4 dirs: $o2/$s2")
+    // a STRICT bound at a dir boundary keeps that dir (inclusive
+    // envelope — conservative, never wrong) and the exact filter
+    // above the scan still discards its rows
+    assert(rel.filter(col("id") > 299L).count() == 100L)
+    // projection narrows the inner scan but returns the asked columns
+    assert(rel.select("v").columns.toSeq == Seq("v"))
+    // count(*) works through the empty-projection path
+    assert(rel.count() == 400L)
+  }
+
+  test("relation reads apply deletion vectors and union widened schemas") {
+    val root = freshRoot()
+    Seq((1L, "a"), (2L, "b")).toDF("id", "s").write.format("graft").save(root)
+    Seq((3L, "c", 30L)).toDF("id", "s", "extra").write.format("graft")
+      .mode(SaveMode.Append).save(root)
+    TxnLog.deleteMor(spark, root, col("id") === 2L)
+    val rows = spark.read.format("graft").load(root)
+      .orderBy("id").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 3L))
+    assert(rows(0).isNullAt(2) && rows(1).getLong(2) == 30L)
+  }
+
+  test("streaming source: initial snapshot, then exactly the appended versions") {
+    val root = freshRoot()
+    val ckpt = Files.createTempDirectory("graft_dsv1_ckpt").toString
+    Seq((1L, "a"), (2L, "b")).toDF("id", "s").write.format("graft").save(root)
+    Seq((3L, "c")).toDF("id", "s").write.format("graft")
+      .mode(SaveMode.Append).save(root)
+
+    // foreachBatch sink — the memory sink refuses checkpoint
+    // recovery, and recovery is exactly what this test proves
+    def runOnce(): Seq[Long] = {
+      val got = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+      val q = spark.readStream.format("graft").load(root)
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.collect().foreach(r => got.add(r.getLong(0))); ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      import scala.jdk.CollectionConverters._
+      got.asScala.toSeq.sorted
+    }
+    // first run: the full snapshot at the stream's start version
+    assert(runOnce() == Seq(1L, 2L, 3L))
+    // two more appends land between runs
+    Seq((4L, "d")).toDF("id", "s").write.format("graft")
+      .mode(SaveMode.Append).save(root)
+    Seq((5L, "e")).toDF("id", "s").write.format("graft")
+      .mode(SaveMode.Append).save(root)
+    // recovery from the checkpoint delivers exactly the delta
+    assert(runOnce() == Seq(4L, 5L))
+    // caught up: another run delivers nothing
+    assert(runOnce() == Seq.empty)
+  }
+
+  test("SQL surface: CREATE TABLE USING graft, SELECT with pushdown, INSERT INTO") {
+    val root = freshRoot()
+    Seq((1L, "a")).toDF("id", "s").write.format("graft").save(root)
+    spark.sql(s"CREATE TABLE graft_sql_t USING graft OPTIONS (path '$root')")
+    try {
+      assert(spark.sql("SELECT * FROM graft_sql_t").count() == 1L)
+      spark.sql("INSERT INTO graft_sql_t VALUES (2, 'b')")
+      assert(spark.sql("SELECT count(*) FROM graft_sql_t").head.getLong(0) == 2L)
+      assert(spark.sql("SELECT s FROM graft_sql_t WHERE id = 2").head.getString(0) == "b")
+      // the SQL writes ran the real commit protocol
+      assert(TxnLog.versions(spark, root).map(_._2) == Seq("overwrite", "append"))
+    } finally { spark.sql("DROP TABLE graft_sql_t"); () }
+  }
+
+  test("writeStream.format(\"graft\") appends exactly-once per micro-batch") {
+    implicit val sql = spark.sqlContext
+    val root = freshRoot()
+    val ckpt = Files.createTempDirectory("graft_sink_ckpt").toString
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+    in.addData(1L, 2L)
+    val q = in.toDF().toDF("id").writeStream.format("graft")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start(root)
+    q.awaitTermination()
+    in.addData(3L)
+    val q2 = in.toDF().toDF("id").writeStream.format("graft")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start(root)
+    q2.awaitTermination()
+    assert(spark.read.format("graft").load(root).orderBy("id").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    // every commit carries its batch txnId — the exactly-once handle
+    assert(TxnLog.versions(spark, root).forall(_._4.exists(_.startsWith("batch-"))))
+  }
+
+  test("table-to-table streaming replication: graft source into graft sink") {
+    val src = freshRoot()
+    val dst = freshRoot()
+    val ckpt = Files.createTempDirectory("graft_t2t_ckpt").toString
+    Seq((1L, "a"), (2L, "b")).toDF("id", "s").write.format("graft").save(src)
+    def pump(): Unit = {
+      val q = spark.readStream.format("graft").load(src)
+        .writeStream.format("graft").option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start(dst)
+      q.awaitTermination()
+    }
+    pump()
+    assert(spark.read.format("graft").load(dst).count() == 2L)
+    Seq((3L, "c")).toDF("id", "s").write.format("graft")
+      .mode(SaveMode.Append).save(src)
+    pump()
+    assert(spark.read.format("graft").load(dst).orderBy("id").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    // an idle pump moves nothing (no empty commits, no duplicates)
+    val vBefore = TxnLog.latestVersion(spark, dst)
+    pump()
+    assert(TxnLog.latestVersion(spark, dst) == vBefore)
+    assert(spark.read.format("graft").load(dst).count() == 3L)
+  }
+
+  test("readChangeFeed serves the row-level CDF through the connector") {
+    val root = freshRoot()
+    Seq((1L, "a"), (2L, "b")).toDF("id", "s").write.format("graft").save(root)
+    Seq((3L, "c")).toDF("id", "s").write.format("graft")
+      .mode(SaveMode.Append).save(root)
+    TxnLog.deleteMor(spark, root, col("id") === 1L)
+    val feed = spark.read.format("graft")
+      .option("readChangeFeed", "true").option("startingVersion", "1")
+      .load(root)
+      .select("_commit_version", "_change_type", "id")
+      .orderBy("_commit_version", "id").collect()
+    assert(feed.map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+      == Seq((1L, "insert", 3L), (2L, "delete", 1L)))
+    // endingVersion bounds the range; a missing startingVersion refuses
+    val bounded = spark.read.format("graft")
+      .option("readChangeFeed", "true").option("startingVersion", "1")
+      .option("endingVersion", "1").load(root)
+    assert(bounded.count() == 1L)
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft").option("readChangeFeed", "true").load(root)
+    }
+  }
+
+  test("streaming source refuses rewrites by default; ignoreChanges skips them") {
+    val root = freshRoot()
+    val ckpt = Files.createTempDirectory("graft_dsv1_ckpt").toString
+    Seq((1L, "a"), (2L, "b")).toDF("id", "s").write.format("graft").save(root)
+    def runOnce(ignore: Boolean): Seq[Long] = {
+      val got = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+      val r = spark.readStream.format("graft")
+      val q = (if (ignore) r.option("ignoreChanges", "true") else r).load(root)
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.collect().foreach(r => got.add(r.getLong(0))); ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      import scala.jdk.CollectionConverters._
+      got.asScala.toSeq.sorted
+    }
+    assert(runOnce(ignore = false) == Seq(1L, 2L))
+    // a copy-on-write DELETE rewrites the visible set
+    TxnLog.delete(spark, root, col("id") === 1L)
+    Seq((3L, "c")).toDF("id", "s").write.format("graft")
+      .mode(SaveMode.Append).save(root)
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      runOnce(ignore = false)
+    }
+    assert(ex.getMessage.contains("non-append commit")
+      || Option(ex.getCause).exists(_.getMessage.contains("non-append commit")))
+    // ignoreChanges: the rewrite is skipped, the append still arrives
+    assert(runOnce(ignore = true) == Seq(3L))
+  }
+}

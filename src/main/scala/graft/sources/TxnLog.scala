@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{coalesce, col, count, lit, not, struct, when}
+import org.apache.spark.sql.functions.{coalesce, col, conv, count, date_format, lit, md5, not, pmod, struct, substring, when}
 
 /** Minimal ACID-ish transaction log over plain parquet — the offline
   * stand-in for the Delta format gap (reference:
@@ -104,7 +104,8 @@ object TxnLog {
                                    txnsKnown: Boolean = true,
                                    colmap: Map[String, String] = Map.empty,
                                    dropped: Seq[String] = Seq.empty,
-                                   defaults: Map[String, String] = Map.empty)
+                                   defaults: Map[String, String] = Map.empty,
+                                   transforms: Map[String, String] = Map.empty)
 
   /** Overwrite the table with `df` as a new version. Returns the
     * committed version number. A `txnId` already in the log makes the
@@ -209,8 +210,19 @@ object TxnLog {
     * [[renameColumn]]/[[dropColumn]] refuse while vectors are live,
     * so mapping-then-filter is always the consistent order. */
   private def dirFrame(spark: SparkSession, root: String, d: String,
-                       m: Option[Commit]): DataFrame = {
-    val logical = logicalFrame(spark.read.parquet(s"$root/data/$d"),
+                       m: Option[Commit],
+                       partFilters: Seq[(String, Column)] = Nil): DataFrame = {
+    val raw = spark.read.parquet(s"$root/data/$d")
+    // hidden-partition pruning: the mapped predicate references the
+    // derived Hive partition column, so Spark's partition pruning
+    // skips files INSIDE this commit dir. Applied only when the dir
+    // actually carries the column (pre-transform commits stay whole —
+    // conservative, never wrong; the caller re-applies the raw
+    // predicate either way).
+    val pruned = partFilters.foldLeft(raw) { case (df, (pn, pred)) =>
+      if (df.columns.contains(pn)) df.filter(pred) else df
+    }
+    val logical = logicalFrame(pruned,
       m.map(_.colmap).getOrElse(Map.empty), m.map(_.dropped).getOrElse(Seq.empty),
       m.map(_.defaults).getOrElse(Map.empty))
     m.map(_.dvs).getOrElse(Seq.empty).filter(_.dirs.contains(d))
@@ -229,9 +241,13 @@ object TxnLog {
   private def logicalFrame(df: DataFrame, colmap: Map[String, String],
                            dropped: Seq[String],
                            defaults: Map[String, String] = Map.empty): DataFrame = {
-    if (colmap.isEmpty && dropped.isEmpty && defaults.isEmpty) return df
+    if (colmap.isEmpty && dropped.isEmpty && defaults.isEmpty &&
+      !df.columns.exists(_.startsWith("__p_"))) return df
     val inverse = colmap.map(_.swap) // physical -> logical
+    // `__p_*` are DERIVED hidden-partition columns — table metadata,
+    // never schema: they exist to be pruned on, not read
     val keep = df.columns.filterNot(dropped.contains)
+      .filterNot(_.startsWith("__p_"))
     val mapped = df.select(
       keep.toIndexedSeq.map(c => col(c).as(inverse.getOrElse(c, c))): _*)
     defaults.toSeq.sortBy(_._1).foldLeft(mapped) { case (d, (n, sql)) =>
@@ -244,6 +260,95 @@ object TxnLog {
     * manifest's mapping — what stats/Bloom lookups key on. */
   private def physOf(m: Option[Commit], c: String): String =
     m.map(_.colmap).getOrElse(Map.empty).getOrElse(c, c)
+
+  // ---- hidden partitioning (the Iceberg transform shape) -------------
+  //
+  // A `partitionBy` entry may be a TRANSFORM over a data column —
+  // `days(ts)`, `bucket(16, user_id)`, `trunc(100, n)` — instead of a
+  // plain column name. The writer derives a reserved `__p_<kind>_<col>`
+  // column and lays it down as a Hive partition dir INSIDE the commit
+  // dir; readers never see it (logicalFrame drops `__p_*`), and the
+  // query keeps filtering the RAW column — readWhere/readPoint map the
+  // raw predicate onto the derived column per the manifest's
+  // registered transform, so Spark's partition pruning skips files
+  // WITHIN each commit dir the way manifest stats skip whole dirs.
+  // Nobody ever queries (or mis-queries) the derived column: that is
+  // the point of HIDDEN partitioning — the transform is table
+  // metadata, not schema.
+
+  private val TransformRe = """^(days|bucket|trunc)\s*\((.*)\)$""".r
+
+  /** One partitionBy entry: Right((column, spec)) for a transform,
+    * Left(name) for a plain column. Specs serialize as "days",
+    * "bucket:<n>", "trunc:<w>". */
+  private def parsePartitionSpec(e: String): Either[String, (String, String)] =
+    e.trim match {
+      case TransformRe("days", c) => Right((c.trim, "days"))
+      case TransformRe("bucket", args) =>
+        val p = args.split(",").map(_.trim)
+        require(p.length == 2 && p(0).nonEmpty && p(0).forall(_.isDigit) && p(0).toLong >= 2,
+          s"TxnLog: bad partition transform '$e' — want bucket(<n >= 2>, <col>)")
+        Right((p(1), s"bucket:${p(0)}"))
+      case TransformRe("trunc", args) =>
+        val p = args.split(",").map(_.trim)
+        require(p.length == 2 && p(0).nonEmpty && p(0).forall(_.isDigit) && p(0).toLong >= 1,
+          s"TxnLog: bad partition transform '$e' — want trunc(<w >= 1>, <col>)")
+        Right((p(1), s"trunc:${p(0)}"))
+      case plain => Left(plain)
+    }
+
+  private def partColName(phys: String, spec: String): String =
+    s"__p_${spec.takeWhile(_ != ':')}_$phys"
+
+  /** The derived partition value of `src` under `spec` — the SAME
+    * engine expression on the write and the predicate-mapping side,
+    * so pruning can never disagree with what the writer laid down.
+    * days → 'yyyy-MM-dd' (lexicographic == chronological); bucket →
+    * md5-derived hash bucket (engine-portable, the Bloom-probe md5
+    * discipline); trunc → floor-aligned width multiple
+    * (`x - pmod(x, w)` is a true floor for negatives too). NULLs
+    * derive NULL (Hive's default partition) and are never admitted by
+    * a range/point predicate — consistent with the raw filter. */
+  private def partValueExpr(src: Column, spec: String): Column = spec match {
+    case "days" => date_format(src, "yyyy-MM-dd")
+    case b if b.startsWith("bucket:") =>
+      val n = b.stripPrefix("bucket:").toLong
+      pmod(conv(substring(md5(src.cast("string")), 1, 15), 16, 10).cast("long"), lit(n))
+    case t if t.startsWith("trunc:") =>
+      val w = t.stripPrefix("trunc:").toLong
+      src.cast("long") - pmod(src.cast("long"), lit(w))
+    case other => throw new IllegalStateException(s"TxnLog: unknown transform '$other'")
+  }
+
+  /** Partition-pruning predicate for a closed raw-column range, when
+    * the manifest registers an ORDER-PRESERVING transform (days,
+    * trunc) on it. Bucket is hash-ordered — no range mapping. */
+  private def partitionRange(m: Option[Commit], phys: String,
+                             lo: Any, hi: Any): Seq[(String, Column)] =
+    m.flatMap(_.transforms.get(phys)).toSeq.flatMap { spec =>
+      val pn = partColName(phys, spec)
+      spec match {
+        case "days" =>
+          Seq((pn, col(pn) >= date_format(lit(lo), "yyyy-MM-dd") &&
+            col(pn) <= date_format(lit(hi), "yyyy-MM-dd")))
+        case t if t.startsWith("trunc:") =>
+          val w = t.stripPrefix("trunc:").toLong
+          def tr(v: Any) = lit(v).cast("long") - pmod(lit(v).cast("long"), lit(w))
+          Seq((pn, col(pn) >= tr(lo) && col(pn) <= tr(hi)))
+        case _ => Seq.empty
+      }
+    }
+
+  /** Partition-pruning predicate for a raw-column point lookup —
+    * every transform maps a point (bucket included: the whole reason
+    * to bucket a high-cardinality key). */
+  private def partitionPoint(m: Option[Commit], phys: String,
+                             value: Any): Seq[(String, Column)] =
+    if (value == null) Seq.empty
+    else m.flatMap(_.transforms.get(phys)).toSeq.map { spec =>
+      (partColName(phys, spec),
+        col(partColName(phys, spec)) === partValueExpr(lit(value), spec))
+    }
 
   /** The manifest visible at `asOf` (latest by default), with the
     * same pin validation as [[read]]: a vacuumed or never-written
@@ -322,6 +427,87 @@ object TxnLog {
     * thousands of micro-batch files become a handful of scan-sized
     * ones, and time travel to pre-compaction versions still works
     * until `vacuum`. Returns the new version. */
+  /** One-row TABLE HEALTH report — the at-a-glance composition of
+    * every advisor a maintenance cadence consults ([[compactAdvice]]'s
+    * file census, stats/Bloom coverage, deletion-vector debt,
+    * [[vacuumAudit]]'s reclaimable bytes, history depth, CHECK and
+    * schema-evolution state). Metadata-only: manifests plus one
+    * filesystem listing — never a data read. The dashboard row every
+    * lakehouse table ships with; act through [[maintain]]. */
+  def health(spark: SparkSession, root: String,
+             targetBytes: Long = 128L * 1024 * 1024): DataFrame = {
+    import spark.implicits._
+    val latest = latestCommit(spark, root)
+    require(latest.nonEmpty, s"TxnLog: no table at $root")
+    val c = latest.get
+    val fs = fileSystem(spark, root)
+    val files = c.dirs.flatMap { d =>
+      fs.listStatus(new Path(s"$root/data/$d")).toIndexedSeq
+        .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
+    }
+    val bytes = files.map(_.getLen).sum
+    val ideal = math.max(1L, (bytes + targetBytes - 1) / targetBytes)
+    val statsOn = c.dirs.count(d => c.stats.get(d).exists(_.nonEmpty))
+    val reclaimable = vacuumAudit(spark, root)
+      .filter(col("action").startsWith("delete"))
+      .agg(coalesce(org.apache.spark.sql.functions.sum(col("bytes")), lit(0L)))
+      .head.getLong(0)
+    Seq((c.version, c.dirs.size.toLong, files.size.toLong, bytes, ideal,
+      if (files.size.toLong > 4L * ideal) 1 else 0,
+      // exact bps: stats-covered dirs over snapshot dirs
+      if (c.dirs.isEmpty) 0L else statsOn.toLong * 10000L / c.dirs.size,
+      c.dvs.size.toLong, reclaimable, c.checks.size.toLong,
+      c.colmap.size.toLong + c.dropped.size.toLong, c.transforms.size.toLong))
+      .toDF("version", "n_dirs", "n_files", "total_bytes", "ideal_files",
+        "compact_flag", "stats_coverage_bps", "dv_count",
+        "reclaimable_bytes", "checks_n", "schema_evolutions", "transforms_n")
+  }
+
+  /** [[vacuum]]'s DRY RUN — what WOULD be deleted, without touching a
+    * byte: one row per data directory outside the current snapshot,
+    * classed `delete-expired` (referenced only by versions past the
+    * retention window — deleted regardless of age), `delete-stale-
+    * orphan` (never referenced, older than `orphanMinAgeMs`), or
+    * `keep-fresh-orphan` (a possibly in-flight writer's staging dir —
+    * the age guard protects it). The operator reviews reclaimable
+    * bytes and the blast radius on time travel BEFORE destroying
+    * history — the audit every production retention job runs first.
+    * Metadata-only (one listing + one content summary per candidate);
+    * same classification code path shape as [[vacuum]], so the audit
+    * names exactly what a same-parameter vacuum then deletes. */
+  def vacuumAudit(spark: SparkSession, root: String, retainVersions: Int = 1,
+                  orphanMinAgeMs: Long = 10L * 60 * 1000): DataFrame = {
+    require(retainVersions >= 1, s"need retainVersions >= 1, got $retainVersions")
+    require(orphanMinAgeMs >= 0, s"need orphanMinAgeMs >= 0, got $orphanMinAgeMs")
+    import spark.implicits._
+    val fs = fileSystem(spark, root)
+    val commits = history(spark, root)
+    if (commits.isEmpty) return Seq.empty[(String, String, Long, Long)]
+      .toDF("dir_name", "action", "bytes", "last_version")
+    val cutoff = commits.last.version - (retainVersions - 1)
+    val keepDirs = commits.filter(_.version >= cutoff)
+      .flatMap(c => snapshotAt(commits, c.version)).toSet
+    val referencedEver = commits.flatMap(_.dirs).toSet
+    val lastRef = commits.flatMap(c => c.dirs.map(_ -> c.version))
+      .groupBy(_._1).map { case (d, vs) => d -> vs.map(_._2).max }
+    val orphanCutoffMs = System.currentTimeMillis() - orphanMinAgeMs
+    val dataRoot = new Path(s"$root/data")
+    val rows =
+      if (!fs.exists(dataRoot)) Seq.empty
+      else fs.listStatus(dataRoot).toIndexedSeq.filter(_.isDirectory).flatMap { st =>
+        val name = st.getPath.getName
+        val cls =
+          if (keepDirs.contains(name)) None // live — not a candidate
+          else if (referencedEver.contains(name)) Some("delete-expired")
+          else if (st.getModificationTime < orphanCutoffMs) Some("delete-stale-orphan")
+          else Some("keep-fresh-orphan")
+        cls.map(c => (name, c,
+          fs.getContentSummary(st.getPath).getLength,
+          lastRef.getOrElse(name, -1L)))
+      }
+    rows.sortBy(_._1).toDF("dir_name", "action", "bytes", "last_version")
+  }
+
   def compact(spark: SparkSession, root: String,
               targetBytes: Long = 128L * 1024 * 1024): Long = {
     require(targetBytes > 0, s"need targetBytes > 0, got $targetBytes")
@@ -336,8 +522,14 @@ object TxnLog {
     // append landing between an UNPINNED read and the publish would be
     // counted twice (inside the rewrite AND as the rebased dir)
     val current = read(spark, root, asOf = Some(expected))
+    // a partitioned table keeps its physical layout through the
+    // rewrite: Hive partition columns pass through as themselves, and
+    // `__p_*` hidden-partition dirs re-derive from the manifest's
+    // registered transform (commit's layoutOf-echo path) — compaction
+    // must never silently flatten the layout pruning depends on
+    val layout = layoutOf(spark, root, snap.toSet)
     commit(current.coalesce(nFiles), root, "overwrite", None,
-      expectedLatest = Some(expected))
+      expectedLatest = Some(expected), partitionBy = layout)
   }
 
   /** Small-file compaction advisor — the monitoring→action half of
@@ -609,7 +801,8 @@ object TxnLog {
         statsMap ++ carriedStats, Seq.empty, carriedChecks, txns,
         colmap = last.map(_.colmap).getOrElse(Map.empty),
         dropped = last.map(_.dropped).getOrElse(Seq.empty),
-        defaults = last.map(_.defaults).getOrElse(Map.empty))))
+        defaults = last.map(_.defaults).getOrElse(Map.empty),
+        transforms = last.map(_.transforms).getOrElse(Map.empty))))
         return version
       attempt += 1
     }
@@ -751,10 +944,12 @@ object TxnLog {
     val m = manifestAt(spark, root, asOf)
     val predicate = preds.map { case (c, lo, hi) =>
       col(c) >= lit(lo) && col(c) <= lit(hi) }.reduce(_ && _)
+    val pfs = preds.flatMap { case (c, lo, hi) =>
+      partitionRange(m, physOf(m, c), lo, hi) }
     if (survivors.isEmpty)
       dirFrame(spark, root, snap.head, m).filter(lit(false))
     else
-      survivors.map(d => dirFrame(spark, root, d, m))
+      survivors.map(d => dirFrame(spark, root, d, m, pfs))
         .reduce(_.unionByName(_, allowMissingColumns = true))
         .filter(predicate)
   }
@@ -964,10 +1159,11 @@ object TxnLog {
     val (survivors, _, snap) = prunePoint(spark, root, column, value, asOf)
     require(snap.nonEmpty, s"TxnLog table at $root has no data at version ${asOf.getOrElse("latest")}")
     val m = manifestAt(spark, root, asOf)
+    val pfs = partitionPoint(m, physOf(m, column), value)
     if (survivors.isEmpty)
       dirFrame(spark, root, snap.head, m).filter(lit(false))
     else
-      survivors.map(d => dirFrame(spark, root, d, m))
+      survivors.map(d => dirFrame(spark, root, d, m, pfs))
         .reduce(_.unionByName(_, allowMissingColumns = true))
         .filter(col(column) === lit(value))
   }
@@ -1020,10 +1216,18 @@ object TxnLog {
     val (survivors, _, snap) = prunePoints(spark, root, column, values, asOf)
     require(snap.nonEmpty, s"TxnLog table at $root has no data at version ${asOf.getOrElse("latest")}")
     val m = manifestAt(spark, root, asOf)
+    // one OR of the per-value partition points — a K-id fetch opens
+    // only the K derived partitions inside each admitted dir
+    val pfs = {
+      val per = values.filterNot(_ == null)
+        .flatMap(v => partitionPoint(m, physOf(m, column), v))
+      if (per.isEmpty) Nil
+      else Seq((per.head._1, per.map(_._2).reduce(_ || _)))
+    }
     if (survivors.isEmpty)
       dirFrame(spark, root, snap.head, m).filter(lit(false))
     else
-      survivors.map(d => dirFrame(spark, root, d, m))
+      survivors.map(d => dirFrame(spark, root, d, m, pfs))
         .reduce(_.unionByName(_, allowMissingColumns = true))
         .filter(col(column).isin(values: _*))
   }
@@ -1191,7 +1395,7 @@ object TxnLog {
       if (tryPublish(fs, root,
         Commit(version, "delete_mor", snapPub, txnId, last.stats, newDvs,
           last.checks, txns, colmap = last.colmap, dropped = last.dropped,
-          defaults = last.defaults)))
+          defaults = last.defaults, transforms = last.transforms)))
         return version
       attempt += 1
     }
@@ -1583,7 +1787,8 @@ object TxnLog {
       val txns = capTxns(carriedTxns(spark, root, lastOpt) ++ txnId.map(_ -> version))
       if (tryPublish(fs, root, Commit(version, action, base.dirs, txnId,
         base.stats, base.dvs, base.checks, txns,
-        colmap = base.colmap, dropped = base.dropped, defaults = base.defaults)))
+        colmap = base.colmap, dropped = base.dropped, defaults = base.defaults,
+        transforms = base.transforms)))
         return version
       attempt += 1
     }
@@ -1642,7 +1847,7 @@ object TxnLog {
       if (tryPublish(fs, root, Commit(version, "restore", target.dirs, txnId,
         target.stats, target.dvs, lastOpt.get.checks, txns,
         colmap = target.colmap, dropped = target.dropped,
-        defaults = target.defaults)))
+        defaults = target.defaults, transforms = target.transforms)))
         return version
       attempt += 1
     }
@@ -1962,7 +2167,37 @@ object TxnLog {
         "write the current (logical) names")
     val physDf = colmap0.foldLeft(df) { case (d, (lg, ph)) =>
       if (d.columns.contains(lg)) d.withColumnRenamed(lg, ph) else d }
-    val physPartitionBy = partitionBy.map(c => colmap0.getOrElse(c, c))
+    // Resolve partition entries: plain logical columns map to
+    // physical; transform specs (`days(ts)`, `bucket(16, id)`,
+    // `trunc(100, n)`) derive a reserved `__p_*` column; a bare
+    // `__p_*` name (a copy-on-write rewrite echoing layoutOf's
+    // physical layout) recovers its spec from the carried manifest.
+    val carriedTransforms = mapAt.map(_.transforms).getOrElse(Map.empty)
+    val resolvedParts: Seq[(String, Option[String])] = partitionBy.map { e =>
+      parsePartitionSpec(e) match {
+        case Right((c0, spec)) => (colmap0.getOrElse(c0, c0), Some(spec))
+        case Left(p) if p.startsWith("__p_") =>
+          val under = p.stripPrefix("__p_").dropWhile(_ != '_').drop(1)
+          val spec = carriedTransforms.getOrElse(under,
+            throw new IllegalArgumentException(
+              s"TxnLog: partition dir '$p' has no registered transform at $root"))
+          (under, Some(spec))
+        case Left(plain) => (colmap0.getOrElse(plain, plain), None)
+      }
+    }
+    val withDerived = resolvedParts.foldLeft(physDf) {
+      case (d, (c, Some(spec))) =>
+        require(d.columns.contains(c),
+          s"TxnLog: partition transform on missing column '$c' at $root")
+        d.withColumn(partColName(c, spec), partValueExpr(col(c), spec))
+      case (d, (_, None)) => d
+    }
+    val physPartitionBy = resolvedParts.map {
+      case (c, Some(spec)) => partColName(c, spec)
+      case (c, None) => c
+    }
+    val newTransforms = carriedTransforms ++
+      resolvedParts.collect { case (c, Some(spec)) => c -> spec }
     // Hive-style partition dirs INSIDE the version directory: readers
     // get directory-level partition pruning per snapshot dir (the
     // version dirs are the read's base paths, so discovery sees the
@@ -1970,7 +2205,7 @@ object TxnLog {
     // manifest — a partitioned append is exactly as atomic as a flat
     // one. Mixing partitioned and unpartitioned commits in one table
     // is the caller's error (the read would see a schema mismatch).
-    val w = physDf.write
+    val w = withDerived.write
     (if (physPartitionBy.nonEmpty) w.partitionBy(physPartitionBy: _*) else w)
       .parquet(s"$root/data/$dir")
     // CHECK-constraint gate: validate the freshly WRITTEN directory
@@ -2103,7 +2338,8 @@ object TxnLog {
       val txns = capTxns(carriedTxns(spark, root, last) ++ txnId.map(_ -> version))
       if (tryPublish(fs, root,
         Commit(version, action, dirs, txnId, stats, dvs, carriedChecks, txns,
-          colmap = colmap0, dropped = dropped0, defaults = defaults0)))
+          colmap = colmap0, dropped = dropped0, defaults = defaults0,
+          transforms = newTransforms)))
         return version
       attempt += 1 // lost the race: someone else took this version
     }
@@ -2303,10 +2539,14 @@ object TxnLog {
     // [min, max] still bounds what remains)
     val m = manifestAt(spark, root, asOf)
     val predicate = col(column) >= lit(lo) && col(column) <= lit(hi)
+    // hidden-partition pruning INSIDE surviving dirs (manifest stats
+    // already pruned whole dirs): the raw range maps onto the
+    // registered transform's derived column
+    val pfs = partitionRange(m, physOf(m, column), lo, hi)
     if (survivors.isEmpty)
       dirFrame(spark, root, snap.head, m).filter(lit(false))
     else
-      survivors.map(d => dirFrame(spark, root, d, m))
+      survivors.map(d => dirFrame(spark, root, d, m, pfs))
         .reduce(_.unionByName(_, allowMissingColumns = true))
         .filter(predicate)
   }
@@ -2562,10 +2802,14 @@ object TxnLog {
       if (c.defaults.isEmpty) withDropped
       else withDropped ~ ("defaults" -> JObject(
         c.defaults.toList.sortBy(_._1).map { case (n, sql) => n -> (JString(sql) : JValue) }))
+    val withTransforms =
+      if (c.transforms.isEmpty) withDefaults
+      else withDefaults ~ ("transforms" -> JObject(
+        c.transforms.toList.sortBy(_._1).map { case (n, t) => n -> (JString(t) : JValue) }))
     // "txns" is ALWAYS rendered (even empty): its absence is what
     // marks a legacy manifest, sending readers to the full-scan
     // idempotency fallback
-    val j = withDefaults ~ ("txns" -> JObject(
+    val j = withTransforms ~ ("txns" -> JObject(
       c.txns.toList.sortBy(_._1).map { case (t, v) => t -> (JLong(v) : JValue) }))
     JsonMethods.compact(JsonMethods.render(j))
   }
@@ -2626,6 +2870,10 @@ object TxnLog {
       case JObject(ds) => ds.collect { case (n, JString(sql)) => n -> sql }.toMap
       case _ => Map.empty[String, String]
     }
+    val transforms = j \ "transforms" match {
+      case JObject(ts) => ts.collect { case (n, JString(t)) => n -> t }.toMap
+      case _ => Map.empty[String, String]
+    }
     // absent only in legacy manifests: flags the full-scan fallback
     val (txns, txnsKnown) = j \ "txns" match {
       case JObject(ts) => (ts.collect {
@@ -2635,7 +2883,7 @@ object TxnLog {
       case _ => (Map.empty[String, Long], false)
     }
     Commit(version, str(j \ "action"), dirs, txn, stats, dvs, checks, txns,
-      txnsKnown, colmap, dropped, defaults)
+      txnsKnown, colmap, dropped, defaults, transforms)
   }
 
   private def fileSystem(spark: SparkSession, root: String): FileSystem =

@@ -1403,6 +1403,53 @@ class TxnLogSpec extends SparkSpec {
     assert(TxnLog.latestVersion(spark, s"$ivf/cells") == vIvf)
   }
 
+  test("vacuumAudit names exactly what a same-parameter vacuum then deletes") {
+    import org.apache.hadoop.fs.Path
+    val root = Files.createTempDirectory("graft_txn").toString + "/t"
+    TxnLog.overwrite(Seq((1L, "a")).toDF("id", "s"), root)
+    TxnLog.overwrite(Seq((2L, "b")).toDF("id", "s"), root) // expires v0's dir
+    // a fresh orphan: a crashed writer's staged dir, younger than the guard
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new Path(s"$root/data/orphan-fresh"))
+    val audit = TxnLog.vacuumAudit(spark, root, retainVersions = 1)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(audit.values.count(_ == "delete-expired") == 1)
+    assert(audit("orphan-fresh") == "keep-fresh-orphan")
+    val toDelete = audit.filter(_._2.startsWith("delete")).keySet
+    TxnLog.vacuum(spark, root, retainVersions = 1)
+    val remaining = fs.listStatus(new Path(s"$root/data"))
+      .map(_.getPath.getName).toSet
+    assert(toDelete.forall(d => !remaining.contains(d)),
+      s"vacuum must delete the audited set: $toDelete vs remaining $remaining")
+    assert(remaining.contains("orphan-fresh"), "the age guard keeps fresh orphans")
+    // post-vacuum the audit is clean of deletable rows
+    assert(TxnLog.vacuumAudit(spark, root).collect()
+      .forall(_.getString(1) == "keep-fresh-orphan"))
+  }
+
+  test("health composes the advisors: a churned table flags, a maintained one is clean") {
+    val root = Files.createTempDirectory("graft_txn").toString + "/t"
+    TxnLog.overwrite(Seq((1L, "a")).toDF("id", "s"), root, collectStats = true)
+    (2L to 9L).foreach(i =>
+      TxnLog.append(Seq((i, "x")).toDF("id", "s"), root, collectStats = true))
+    TxnLog.deleteMor(spark, root,
+      org.apache.spark.sql.functions.col("id") === 3L)
+    val h1 = TxnLog.health(spark, root).head
+    assert(h1.getAs[Int]("compact_flag") == 1, "9 tiny files must flag")
+    assert(h1.getAs[Long]("stats_coverage_bps") == 10000L)
+    assert(h1.getAs[Long]("dv_count") == 1L)
+    // compact materializes the DV and collapses the files; vacuum
+    // reclaims the expired dirs — health goes clean
+    TxnLog.compact(spark, root)
+    TxnLog.vacuum(spark, root, retainVersions = 1)
+    val h2 = TxnLog.health(spark, root).head
+    assert(h2.getAs[Int]("compact_flag") == 0)
+    assert(h2.getAs[Long]("dv_count") == 0L)
+    assert(h2.getAs[Long]("reclaimable_bytes") == 0L)
+    // compact writes statless by design — coverage reports that honestly
+    assert(h2.getAs[Long]("stats_coverage_bps") == 0L)
+  }
+
   test("merge rejects ambiguous sources and schema drift") {
     val root = Files.createTempDirectory("graft_txn").toString + "/t"
     TxnLog.overwrite(Seq((1L, "a")).toDF("id", "s"), root)

@@ -1407,6 +1407,99 @@ object TextFunctions {
           .otherwise(lit(0L)))
   }
 
+  /** WordPiece-style GREEDY longest-match-first encode next to the
+    * trained model's OPTIMAL Viterbi segmentation — the BERT-family
+    * runtime tokenizer rule (Wu et al. 2016, "Google's Neural Machine
+    * Translation System": maximal munch over the vocabulary) measured
+    * against [[unigramEncodeStats]]'s probability-optimal path on the
+    * SAME vocabulary: per document, both token counts and their ratio
+    * in millionths — the fertility cost of serving with the cheap
+    * greedy matcher instead of the trained model's own decoder.
+    * Greedy is well-defined on every word (the vocabulary always
+    * keeps all single characters) and is NOT always the longer
+    * segmentation — Viterbi minimizes probability cost, not piece
+    * count, so the ratio is a genuine two-sided diagnostic.
+    *
+    * Scale shape: both segmentations run once per word TYPE
+    * (vocabulary-sized — the [[bpeEncodeStats]] discipline); greedy
+    * is one codegen'd fold of at most `maxWordLen` longest-match hops
+    * over each word's in-vocab span list; the corpus side only
+    * tokenizes and joins on the word key. */
+  def wordpieceEncodeStats(df: DataFrame, textCol: String = "text",
+                           idCol: String = "doc_id", rounds: Int = 2,
+                           maxPiece: Int = 4, seedMulti: Int = 100,
+                           maxWordLen: Int = 16, keepPct: Int = 80): DataFrame = {
+    val (vocab, words) =
+      unigramLoop(df, textCol, rounds, maxPiece, seedMulti, maxWordLen, keepPct)
+    val out = wordpieceEncodeWith(df, vocab, textCol, idCol,
+      maxPiece, maxWordLen).localCheckpoint()
+    graft.core.Checkpoints.releaseAll(vocab)
+    graft.core.Checkpoints.releaseAll(words)
+    out
+  }
+
+  /** [[wordpieceEncodeStats]] under an ALREADY-TRAINED vocabulary —
+    * [[unigramEncodeWith]]'s greedy-vs-Viterbi twin, serving from the
+    * persisted model without re-running EM. */
+  def wordpieceEncodeWith(df: DataFrame, vocab: DataFrame,
+                          textCol: String = "text", idCol: String = "doc_id",
+                          maxPiece: Int = 4, maxWordLen: Int = 16): DataFrame = {
+    val words = df.select(
+        explode(regexp_extract_all(lower(col(textCol)), lit("[a-z]+"), lit(0)))
+          .as("word"))
+      .filter(length(col("word")) <= maxWordLen)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    val v = vocab.select(col("sym"), col("cnt"))
+    val viterbi = unigramBestPaths(words, unigramProbed(v), maxPiece)
+      .select(col("word"),
+        size(split(expr("substring(path, 2)"), "\\|")).cast("long").as("n_viterbi"))
+    val greedy = greedyCounts(words, v, maxPiece, maxWordLen)
+    val docWords = df.select(col(idCol).as("doc_id"),
+      explode(regexp_extract_all(lower(col(textCol)), lit("[a-z]+"), lit(0)))
+        .as("word"))
+    val perDoc = docWords
+      .join(viterbi, Seq("word"), "left")
+      .join(greedy, Seq("word"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(coalesce(col("n_viterbi"),
+          length(col("word")).cast("long"))).as("n_viterbi_tokens"),
+        sum(coalesce(col("n_greedy"),
+          length(col("word")).cast("long"))).as("n_greedy_tokens"))
+    df.select(col(idCol).as("doc_id")).distinct()
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_viterbi_tokens"), lit(0L)).as("n_viterbi_tokens"),
+        coalesce(col("n_greedy_tokens"), lit(0L)).as("n_greedy_tokens"))
+      .withColumn("greedy_ratio_fp",
+        when(col("n_viterbi_tokens") > 0,
+          expr("(1000000 * n_greedy_tokens) div n_viterbi_tokens"))
+          .otherwise(lit(0L)))
+  }
+
+  /** Greedy longest-match piece counts per word TYPE: one fold of at
+    * most `maxWordLen` hops, each consuming the LONGEST in-vocabulary
+    * piece at the current position (always defined — single chars are
+    * never pruned from the vocabulary). */
+  private def greedyCounts(words: DataFrame, vocab: DataFrame,
+                           maxPiece: Int, maxWordLen: Int): DataFrame = {
+    val edges = unigramPosSubs(words, maxPiece)
+      .join(vocab.select(col("sym").as("piece")), Seq("piece"))
+      .groupBy("word")
+      .agg(collect_list(struct(col("i"), col("j"))).as("edges"))
+    val folded = aggregate(sequence(lit(1), lit(maxWordLen)),
+      struct(lit(0L).as("pos"), lit(0L).as("cnt")),
+      (s, _) => {
+        val here = filter(col("edges"), e => e.getField("i") === s.getField("pos"))
+        when(s.getField("pos") >= length(col("word")).cast("long"), s)
+          .otherwise(struct(
+            array_max(transform(here, e => e.getField("j"))).as("pos"),
+            (s.getField("cnt") + lit(1L)).as("cnt")))
+      })
+    edges.select(col("word"), folded.getField("cnt").as("n_greedy"))
+  }
+
   /** (word, i, j, piece): every substring of length ≤ maxPiece with
     * its 0-based span — the Viterbi DP's edge list. */
   private def unigramPosSubs(words: DataFrame, maxPiece: Int): DataFrame =

@@ -243,6 +243,59 @@ object Graph {
     out
   }
 
+  /** Multi-source BFS hop distances — how far every reachable vertex
+    * sits from a SEED set, by synchronous frontier expansion
+    * (unit-weight SSSP): round i joins the hop-i frontier against the
+    * edge list, anti-joins out everything already labeled, and admits
+    * the rest at hop i+1 — each vertex is labeled exactly once with
+    * its TRUE minimum hop count, because BFS discovers vertices in
+    * distance order (order-independent, so a SQL oracle unrolls the
+    * rounds verbatim — the [[labelPropagation]] replayability
+    * discipline). Stops at the natural fixpoint (an empty frontier)
+    * or after `maxHops` rounds, whichever is first; unreachable
+    * vertices simply never appear.
+    *
+    * Curation use: distance-from-seeds over the near-dup graph is
+    * the "contamination blast radius" — hop 1 are direct near-dups
+    * of a flagged document, hop 2 their near-dups, and the audit
+    * quarantines by radius instead of recomputing pairwise overlap
+    * against an exploding set.
+    *
+    * Scale shape: per round, one semi-join of the (long, long) edge
+    * list against the frontier and one anti-join against the labeled
+    * set — no payload ever enters the loop, shuffles carry two longs;
+    * localCheckpoint per round cuts lineage ([[pageRank]]'s
+    * discipline); frontier counts ride the checkpoint (no recompute).
+    * Result owns its blocks (`Checkpoints.releaseAll`). Seeds appear
+    * at hop 0 whether or not they touch any edge. */
+  def bfsHops(pairs: DataFrame, aCol: String, bCol: String,
+              seeds: DataFrame, maxHops: Int = 3): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 16, s"need 1 <= maxHops <= 16, got $maxHops")
+    val e = symmetrize(pairs, aCol, bCol).localCheckpoint()
+    var dist = seeds.select(col(seeds.columns.head).cast("long").as("id"))
+      .distinct().withColumn("hops", lit(0L)).localCheckpoint()
+    var labeled = dist.count()
+    var frontierN = labeled
+    var hop = 0L
+    while (hop < maxHops && frontierN > 0L) {
+      val frontier = dist.filter(col("hops") === hop)
+        .select(col("id").as("src"))
+      val next = e.join(frontier, Seq("src"), "left_semi")
+        .select(col("dst").as("id")).distinct()
+        .join(dist.select("id"), Seq("id"), "left_anti")
+        .withColumn("hops", lit(hop + 1L))
+      val grown = dist.unionByName(next).localCheckpoint()
+      val grownN = grown.count()
+      graft.core.Checkpoints.releaseAll(dist)
+      frontierN = grownN - labeled
+      labeled = grownN
+      dist = grown
+      hop += 1L
+    }
+    graft.core.Checkpoints.releaseAll(e)
+    dist
+  }
+
   def labelPropagation(edges: DataFrame, srcCol: String = "src",
                        dstCol: String = "dst", iterations: Int = 4): DataFrame = {
     require(iterations >= 1, s"need iterations >= 1, got $iterations")

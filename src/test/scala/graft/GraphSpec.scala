@@ -124,4 +124,20 @@ class GraphSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(ranks.values.toSet.size == 1, s"symmetric nodes must tie: $ranks")
   }
+
+  test("bfsHops: true hop distances from a multi-source seed set; isolated seeds at 0") {
+    // path 1-2-3-4-5, triangle 10-11-12 bridged at 3-10; 20 isolated
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (3L, 10L)).toDF("a", "b")
+    val d = Graph.bfsHops(e, "a", "b", Seq(1L, 20L).toDF("id"), maxHops = 10)
+    val m = d.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(m == Map(1L -> 0L, 20L -> 0L, 2L -> 1L, 3L -> 2L,
+      4L -> 3L, 10L -> 3L, 5L -> 4L, 11L -> 4L, 12L -> 4L),
+      s"wrong distances: $m")
+    // 12 reaches via 3-10-12 (hop 4), never the longer 3-10-11-12 —
+    // BFS labels each vertex once at its MINIMUM distance (asserted
+    // above); maxHops truncates the radius
+    val d2 = Graph.bfsHops(e, "a", "b", Seq(1L).toDF("id"), maxHops = 2)
+    assert(d2.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+  }
 }

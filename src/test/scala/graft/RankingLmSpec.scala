@@ -285,6 +285,26 @@ class RankingLmSpec extends SparkSpec {
       (3L, 0L, 0L, 0L, 0L)), got)
   }
 
+  test("wordpieceEncodeStats: greedy longest-match vs Viterbi on the same vocabulary") {
+    // same hand-traced training corpus as the encode spec: "abab"
+    // survives the prune, so GREEDY consumes it whole (1 hop) — and
+    // "ababa" (in-cap) greedily takes abab + a = 2 pieces while the
+    // 20-char word falls back to chars on both counters
+    val docs = Seq((1L, "abab abab cd"), (2L, "ababa"),
+      (3L, "aaaaaaaaaaaaaaaaaaaa"), (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = TextFunctions.wordpieceEncodeStats(docs)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    // doc1: 3 words; viterbi 3 tokens, greedy abab|abab|cd = 3 → ratio 1e6
+    // doc2: 1 word; greedy abab+a = 2; ratio = 1e6*2 div viterbi
+    val doc2 = got.find(_._1 == 2L).get
+    assert(got.contains((1L, 3L, 3L, 3L, 1000000L)), got)
+    assert(doc2._4 == 2L, s"greedy on 'ababa' must take abab then a: $doc2")
+    assert(doc2._5 == 1000000L * doc2._4 / doc2._3, got)
+    assert(got.contains((3L, 1L, 20L, 20L, 1000000L)), got)
+    assert(got.contains((4L, 0L, 0L, 0L, 0L)), got)
+  }
+
   test("lmBigramScore computes exact fixed-point MLE bigram probabilities") {
     val docs = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "x")).toDF("doc_id", "text")
     val out = TextFunctions.lmBigramScore(docs).orderBy("doc_id").collect()

@@ -58,6 +58,25 @@ class SimilarityScaleSpec extends SparkSpec {
     assert(prod.groupBy("q_id").count().collect().forall(_.getLong(1) == 5))
   }
 
+  test("SQ8: exhaustive coarseK equals brute force; production budget clears the recall floor") {
+    val e = Tables.embeddings(spark, dir01).select("vec_id", "embedding")
+    val q = queries(Tables.embeddings(spark, dir01))
+    val brute = Similarity.bruteForceTopK(e, q, k = 5)
+    // law 1: coarseK >= |corpus| reranks every pair exactly —
+    // bit-identical to brute force no matter what the grid lost
+    val exhaustive = Similarity.sq8TopK(e, q, k = 5, coarseK = 1000000)
+    assert(resultSet(exhaustive) == resultSet(brute))
+    // law 2: 1-byte codes are faithful enough that even a tight
+    // coarse budget keeps recall high (SQ8's per-dim fidelity beats
+    // PQ's shared-subspace centroids at the same coarseK)
+    val prod = Similarity.sq8TopK(e, q, k = 5, coarseK = 20)
+    val truth = resultSet(brute).map(t => (t._1, t._2))
+    val got = resultSet(prod).map(t => (t._1, t._2))
+    val recall = got.count(truth.contains).toDouble / truth.size
+    assert(recall >= 0.8, s"SQ8 recall@5 fell to $recall")
+    assert(prod.groupBy("q_id").count().collect().forall(_.getLong(1) == 5))
+  }
+
   test("IVF at nCells=256: large-quantizer join path, A/B vs forced inline") {
     val e = Tables.embeddings(spark, dir1).select("vec_id", "embedding")
     val q = queries(Tables.embeddings(spark, dir1))

@@ -2293,6 +2293,47 @@ object SparkEntry {
       |LEFT JOIN pd p USING (doc_id)""".stripMargin
   }
 
+  /** Greedy (WordPiece-style) vs Viterbi encode oracle: the full
+    * [[unigramEncodeSql]] chain up through its per-doc Viterbi rollup,
+    * plus the greedy longest-match unrolled as `maxWordLen` hop CTEs
+    * (per hop: the max-j in-vocab edge at the current position — the
+    * `mj` table is the precomputed longest-match map). */
+  private def wordpieceEncodeSql(maxWordLen: Int = 16): String = {
+    val enc = unigramEncodeSql()
+    val cut = enc.indexOf("\nSELECT d.doc_id,")
+    require(cut > 0, "unigramEncodeSql tail changed — update wordpieceEncodeSql")
+    val hops = (1 to maxWordLen).map { t =>
+      s""",
+         |gr_$t AS MATERIALIZED (SELECT g.word, g.len,
+         |  CASE WHEN g.pos >= g.len THEN g.pos ELSE m.mj END AS pos,
+         |  CASE WHEN g.pos >= g.len THEN g.cnt ELSE g.cnt + 1 END AS cnt
+         |  FROM gr_${t - 1} g LEFT JOIN mj m ON m.word = g.word AND m.i = g.pos)""".stripMargin
+    }.mkString
+    enc.substring(0, cut) +
+      s""",
+         |mj AS MATERIALIZED (
+         |  SELECT word, i, CAST(MAX(j) AS BIGINT) AS mj FROM edges_fin GROUP BY 1, 2),
+         |gr_0 AS (SELECT word, CAST(length(word) AS BIGINT) AS len,
+         |  CAST(0 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS cnt FROM w)""".stripMargin +
+      hops +
+      s""",
+         |gw AS MATERIALIZED (SELECT word, cnt AS n_greedy FROM gr_$maxWordLen),
+         |pg AS (
+         |  SELECT d.doc_id,
+         |    CAST(SUM(COALESCE(g.n_greedy, length(d.word))) AS BIGINT) AS n_greedy_tokens
+         |  FROM dw d LEFT JOIN gw g USING (word) GROUP BY 1)
+         |SELECT d.doc_id,
+         |  CAST(COALESCE(p.n_words, 0) AS BIGINT) AS n_words,
+         |  CAST(COALESCE(p.n_unigram_tokens, 0) AS BIGINT) AS n_viterbi_tokens,
+         |  CAST(COALESCE(g.n_greedy_tokens, 0) AS BIGINT) AS n_greedy_tokens,
+         |  CAST(CASE WHEN COALESCE(p.n_unigram_tokens, 0) > 0
+         |    THEN (1000000 * g.n_greedy_tokens) // p.n_unigram_tokens
+         |    ELSE 0 END AS BIGINT) AS greedy_ratio_fp
+         |FROM (SELECT DISTINCT doc_id FROM documents) d
+         |LEFT JOIN pd p USING (doc_id)
+         |LEFT JOIN pg g USING (doc_id)""".stripMargin
+  }
+
   /** IVF-PQ composition oracle: Lloyd training + cosine
     * assignment/probing (shared cents/assigned/probed shapes), PQ
     * codes + ADC restricted to probed pairs, exact-cosine rerank of
@@ -3131,6 +3172,37 @@ object SparkEntry {
       }
     }
     TxnLog.read(spark, root).select("doc_id", "n_chars", "lang")
+  }
+
+  /** Hidden partitioning under the oracle
+    * ([[graft.sources.TxnLog]] `days(ts)` transform): the events
+    * table commits once partitioned by the DERIVED day column (Hive
+    * dirs the reader never sees), and a raw-ts range read must map
+    * onto the derived column (partition pruning inside the commit
+    * dir — the `require` proves the plan carries it) while returning
+    * rows hash-exact with the plain BETWEEN. */
+  private def txnlogHidden(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.TxnLog
+    val root = tmpArtifactRoot("txnhidden", dir)
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+    buildLock(root) {
+      if (TxnLog.latestVersion(spark, root) < 0L) {
+        TxnLog.overwrite(ev, root, Some("hp0"), partitionBy = Seq("days(ts)")); ()
+      }
+    }
+    // day-aligned bounds derived from the data (one bounded 1-row
+    // collect) so the window scales with any SF's date span
+    // date_trunc returns a tz-aware timestamp — pin back to NTZ (the
+    // house timestamp domain) before collecting
+    val base = ev.agg(date_trunc("DAY", min(col("ts")))
+        .cast("timestamp_ntz").as("b"))
+      .head.getAs[java.time.LocalDateTime]("b")
+    val (lo, hi) = (base.plusDays(2), base.plusDays(5))
+    val q = TxnLog.readWhere(spark, root, "ts", lo, hi)
+    require(q.queryExecution.executedPlan.toString.contains("__p_days_ts"),
+      "the raw-ts range must map onto the hidden day partition")
+    q.select("event_id", "ts", "user_id", "event_type")
   }
 
   private def txnlogSkipping(spark: SparkSession, dir: String): DataFrame = {
@@ -3999,6 +4071,7 @@ object SparkEntry {
     "txnlog_skipping" -> (txnlogSkipping(_, _)),
     "txnlog_rename" -> (txnlogRename(_, _)),
     "txnlog_addcol" -> (txnlogAddcol(_, _)),
+    "txnlog_hidden" -> (txnlogHidden(_, _)),
     // the same mid-range read through `format("graft")` — Catalyst
     // pushes the BETWEEN to the relation, the relation prunes the two
     // disjoint quartile dirs off the manifest stats, and the rows are
@@ -4421,6 +4494,18 @@ object SparkEntry {
             .select("doc_a", "doc_b"),
           "doc_a", "doc_b", k = 2)
         .select(col("id").as("doc_id"), col("core_degree"))),
+    // contamination blast radius: hop distance from a flagged seed
+    // set over the near-dup graph (multi-source BFS, 3 rounds —
+    // each vertex labeled once at its true minimum distance)
+    "graph_khop" -> ((s, d) =>
+      graft.operators.Graph.bfsHops(
+          Dedup.minhashNearDups(Tables.documents(s, d))
+            .select("doc_a", "doc_b"),
+          "doc_a", "doc_b",
+          Tables.documents(s, d).filter(col("doc_id") % 100 === 0)
+            .select("doc_id"),
+          maxHops = 3)
+        .select(col("id").as("doc_id"), col("hops"))),
     // communities, not components — a hub bridging two boilerplate
     // families stays a bridge; 4 deterministic min-tie rounds
     "label_prop" -> ((s, d) =>
@@ -4622,6 +4707,13 @@ object SparkEntry {
     // served from the once-per-snapshot trained vocab layout
     "unigram_encode" -> ((s, d) =>
       TextFunctions.unigramEncodeWith(Tables.documents(s, d),
+        s.read.parquet(ensureUnigramVocabLayout(s, d)))),
+    // the BERT-family runtime rule vs the trained model's own decoder:
+    // greedy longest-match and Viterbi token counts per doc over the
+    // SAME vocabulary, ratio in millionths — the fertility cost of
+    // serving with the cheap matcher
+    "wordpiece_encode" -> ((s, d) =>
+      TextFunctions.wordpieceEncodeWith(Tables.documents(s, d),
         s.read.parquet(ensureUnigramVocabLayout(s, d)))),
     // tokenizer FAIRNESS across languages — the multilingual-fertility
     // report (tokens per word, chars per token, both in exact
@@ -4906,6 +4998,18 @@ object SparkEntry {
         .toDF()),
     "multimodal_pipeline" -> (multimodalPipeline(_, _)),
     "sim_topk" -> (simTopK(_, _)),
+    // SQ8 scalar quantization: per-dim byte codes on a [min,max] grid
+    // (integer micro arithmetic end to end — the PRODUCTION coarse
+    // budget replays exactly in SQL, not just the exhaustive case),
+    // asymmetric integer dot, exact-cosine re-rank of the top 20
+    "sim_sq8" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.sq8TopK(
+        e.select("vec_id", "embedding"),
+        e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
+        k = 5, coarseK = 20)
+    }),
     "sim_hamming" -> (simHamming(_, _)),
     "sim_lsh" -> (simLsh(_, _)),
     "sim_lsh_multiprobe" -> (simLshMultiprobe(_, _)),
@@ -5201,6 +5305,28 @@ object SparkEntry {
       s"\nSELECT src AS doc_id, CAST(count(*) AS BIGINT) AS core_degree FROM e$rounds GROUP BY 1"
   }
 
+  /** BFS hop distances unrolled round by round (the [[kCoreSql]]
+    * convention): frontier i+1 = neighbors of frontier i minus
+    * everything already labeled — each vertex labeled exactly once at
+    * its minimum distance, so the unroll is the algorithm. */
+  private def khopSql(rounds: Int): String = {
+    val setup =
+      s"""WITH $minhashCandsSql,
+         |e AS (SELECT doc_a AS src, doc_b AS dst FROM cands
+         |      UNION SELECT doc_b, doc_a FROM cands),
+         |n0 AS (SELECT DISTINCT doc_id AS id FROM documents WHERE doc_id % 100 = 0),
+         |d0 AS (SELECT id, CAST(0 AS BIGINT) AS hops FROM n0)""".stripMargin
+    val iters = (1 to rounds).map { i =>
+      s""",
+         |f$i AS (SELECT DISTINCT e.dst AS id FROM e JOIN n${i - 1} s ON s.id = e.src),
+         |n$i AS (SELECT f$i.id FROM f$i
+         |  WHERE NOT EXISTS (SELECT 1 FROM d${i - 1} x WHERE x.id = f$i.id)),
+         |d$i AS (SELECT id, hops FROM d${i - 1}
+         |  UNION ALL SELECT id, CAST($i AS BIGINT) FROM n$i)""".stripMargin
+    }.mkString
+    setup + iters + s"\nSELECT id AS doc_id, hops FROM d$rounds"
+  }
+
   private def pagerankSql(iterations: Int): String = {
     val setup =
       s"""WITH $minhashCandsSql,
@@ -5341,6 +5467,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "pagerank_neardup" -> pagerankSql(5),
     "graph_kcore" -> kCoreSql(2, 4),
+    "graph_khop" -> khopSql(3),
     "label_prop" -> labelPropSql(4),
     // DuckDB ships nfc_normalize natively; both engines implement
     // Unicode canonical composition, so the bytes match exactly and
@@ -8024,6 +8151,13 @@ object SparkEntry {
         |SELECT doc_id, n_chars,
         |  CASE WHEN doc_id < (SELECT q FROM m) THEN 'und' ELSE lang END AS lang
         |FROM documents""".stripMargin,
+    // hidden partitioning moves FILES, never answers: the raw-ts
+    // range over the day-partitioned layout equals the plain BETWEEN
+    "txnlog_hidden" ->
+      """WITH m AS (SELECT date_trunc('day', MIN(ts)) AS base FROM events)
+        |SELECT event_id, ts, user_id, event_type FROM events
+        |WHERE ts >= (SELECT base + INTERVAL 2 DAY FROM m)
+        |  AND ts <= (SELECT base + INTERVAL 5 DAY FROM m)""".stripMargin,
     // the DataSource connector moves plans, never answers: the pruned
     // format("graft") read equals the same plain BETWEEN
     "txnlog_connector" ->
@@ -8841,6 +8975,7 @@ object SparkEntry {
     // shared between the Lloyd trainer and the PQ subvector slicer
     "unigram_train" -> unigramTrainSql(),
     "unigram_encode" -> unigramEncodeSql(),
+    "wordpiece_encode" -> wordpieceEncodeSql(),
     // the encode statement embedded as a derived table, rolled up by
     // language (the ann_recall_indexed embedding convention)
     "unigram_fertility" ->
@@ -8995,6 +9130,41 @@ object SparkEntry {
          |  AND $dotXY / (x.nrm * y.nrm) >= 0.4""".stripMargin
     },
     "sim_topk" -> bruteTopKSql,
+    // SQ8 replayed at the PRODUCTION budget: micro-unit quantization,
+    // integer code/dequant floor divisions, integer ADC, then the
+    // exact-cosine re-rank — every stage bit-exact cross-engine
+    "sim_sq8" -> {
+      val dotEq = dotSql("e.embedding", "q.q_emb")
+      val normE = dotSql("e.embedding", "e.embedding")
+      val normQ = dotSql("q.q_emb", "q.q_emb")
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),
+         |ce AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+         |  CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000.0) AS BIGINT) AS vm
+         |  FROM embeddings),
+         |grid AS (SELECT pos, MIN(vm) AS mn, MAX(vm) AS mx FROM ce GROUP BY 1),
+         |deq AS (SELECT vec_id, ce.pos,
+         |  mn + (LEAST(GREATEST(((vm - mn) * 255) // GREATEST(mx - mn, 1), 0), 255)
+         |        * (mx - mn)) // 255 AS dv
+         |  FROM ce JOIN grid ON grid.pos = ce.pos),
+         |qe AS (SELECT q_id, generate_subscripts(q_emb, 1) AS pos,
+         |  CAST(round(CAST(unnest(q_emb) AS DOUBLE) * 1000000.0) AS BIGINT) AS qm
+         |  FROM q),
+         |adc AS (SELECT qe.q_id, deq.vec_id, CAST(SUM(qm * dv) AS BIGINT) AS adc
+         |  FROM deq JOIN qe ON qe.pos = deq.pos AND deq.vec_id <> qe.q_id
+         |  GROUP BY 1, 2),
+         |coarse AS (SELECT q_id, vec_id FROM (
+         |  SELECT q_id, vec_id,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc DESC, vec_id ASC) AS crank
+         |  FROM adc) WHERE crank <= 20),
+         |pairs AS (SELECT c.q_id, c.vec_id,
+         |  $dotEq / (sqrt($normE) * sqrt($normQ)) AS cos
+         |  FROM coarse c JOIN embeddings e ON e.vec_id = c.vec_id
+         |  JOIN q ON q.q_id = c.q_id)
+         |SELECT q_id, vec_id, rank, round(cos, 9) AS cos FROM (
+         |  SELECT q_id, vec_id, cos,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rank
+         |  FROM pairs) WHERE rank <= 5""".stripMargin
+    },
     // MMR at λ=1/2, 3 unrolled greedy rounds (the bpe_merges
     // discipline): comparison key is rel − maxsim, one double
     // subtraction of engine-exact cosines; rel is the top-20 list's

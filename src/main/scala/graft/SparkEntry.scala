@@ -3018,6 +3018,46 @@ object SparkEntry {
     TxnLog.read(spark, root).select("doc_id", "source", "n_chars")
   }
 
+  /** ZERO-COPY SHALLOW CLONE under the oracle
+    * ([[graft.sources.TxnLog.cloneTable]]): a two-commit source table
+    * is cloned (one metadata write, zero data bytes), then the clone
+    * DIVERGES — an append of re-keyed rows and a copy-on-write delete
+    * — while the source must not move (the builder requires its
+    * version pin). The query reads the diverged clone; the oracle
+    * replays source ∪ appends minus the deleted residue. At 100 TB
+    * this is the dev/experiment-table primitive: the clone costs one
+    * manifest, prunes with the source's carried stats, and rewrites
+    * only what it touches. */
+  private def txnlogClone(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.TxnLog
+    val src = tmpArtifactRoot("txnclnsrc", dir)
+    val cln = tmpArtifactRoot("txncln", dir)
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    if (TxnLog.latestVersion(spark, src) < 1L) {
+      TxnLog.overwrite(docs.filter(col("doc_id") % 2 === 0), src, Some("c0"),
+        collectStats = true)
+      TxnLog.append(docs.filter(col("doc_id") % 2 === 1), src, Some("c1"),
+        collectStats = true)
+      ()
+    }
+    if (TxnLog.latestVersion(spark, cln) < 2L) {
+      if (TxnLog.latestVersion(spark, cln) == -1L) {
+        TxnLog.cloneTable(spark, src, cln); ()
+      }
+      TxnLog.append(docs.filter(col("doc_id") % 10 === 4)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          lit("cloned").as("source"), col("n_chars")), cln, Some("cl-a"))
+      TxnLog.delete(spark, cln, col("doc_id") % 10 === 7, Some("cl-d"))
+      // the zero-copy contract: all that divergence minted NOTHING on
+      // the source
+      require(TxnLog.latestVersion(spark, src) == 1L,
+        "txnlog_clone: the clone's writes leaked into the source")
+      ()
+    }
+    TxnLog.read(spark, cln).select("doc_id", "source", "n_chars")
+  }
+
   /** Copy-on-write MERGE (upsert) under the oracle
     * ([[graft.sources.TxnLog.merge]]): a two-commit base table takes
     * one merge carrying updates (every doc_id % 10 == 0 gets its
@@ -4067,6 +4107,7 @@ object SparkEntry {
     "txnlog_merge" -> (txnlogMerge(_, _)),
     "txnlog_checked" -> (txnlogChecked(_, _)),
     "txnlog_restore" -> (txnlogRestore(_, _)),
+    "txnlog_clone" -> (txnlogClone(_, _)),
     "txnlog_compact" -> (txnlogCompact(_, _)),
     "txnlog_skipping" -> (txnlogSkipping(_, _)),
     "txnlog_rename" -> (txnlogRename(_, _)),
@@ -8110,6 +8151,16 @@ object SparkEntry {
     // the untouched source
     "txnlog_restore" ->
       "SELECT doc_id, source, n_chars FROM documents",
+    // the diverged shallow clone = source ∪ re-keyed appends, minus
+    // the clone-side delete; the builder separately REQUIRES the
+    // source never minted a version (the zero-copy contract)
+    "txnlog_clone" ->
+      """SELECT doc_id, source, n_chars FROM (
+        |  SELECT doc_id, source, n_chars FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, 'cloned', n_chars FROM documents
+        |  WHERE doc_id % 10 = 4
+        |) WHERE doc_id % 10 <> 7""".stripMargin,
     // compaction is a pure rewrite: post-compact snapshot = source
     // minus the deleted residue, not one row moved or duplicated
     "txnlog_compact" ->

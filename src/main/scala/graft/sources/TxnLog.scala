@@ -63,6 +63,22 @@ object TxnLog {
     * table is. */
   private val MaxStatCols = 8
 
+  /** Resolve a manifest dir entry to the directory holding its bytes.
+    * A plain entry is a uuid under this table's own `data/`; an
+    * `ext:<absolute-path>` entry (written only by [[cloneTable]])
+    * references a data directory inside ANOTHER table's root — the
+    * Delta shallow-clone shape, where the clone's manifest points at
+    * the source's files by path and never copies a byte. External
+    * entries are read-only by construction: every WRITE path mints
+    * fresh local uuids, and [[vacuum]] only ever deletes children of
+    * this root's `data/` (an `ext:` entry can never name one), so a
+    * clone's vacuum physically cannot reach the source's files. */
+  private[graft] def dataPath(root: String, d: String): String =
+    if (d.startsWith(ExtPrefix)) d.stripPrefix(ExtPrefix) else s"$root/data/$d"
+
+  /** Marker prefix of an external (cloned-in) manifest dir entry. */
+  private[graft] val ExtPrefix = "ext:"
+
   /** Per-column [min, max] of one committed directory, as recorded in
     * the manifest. `tpe` is "long" or "string" — the two families the
     * pruner understands; everything else is simply not collected
@@ -212,7 +228,7 @@ object TxnLog {
   private def dirFrame(spark: SparkSession, root: String, d: String,
                        m: Option[Commit],
                        partFilters: Seq[(String, Column)] = Nil): DataFrame = {
-    val raw = spark.read.parquet(s"$root/data/$d")
+    val raw = spark.read.parquet(dataPath(root, d))
     // hidden-partition pruning: the mapped predicate references the
     // derived Hive partition column, so Spark's partition pruning
     // skips files INSIDE this commit dir. Applied only when the dir
@@ -442,7 +458,7 @@ object TxnLog {
     val c = latest.get
     val fs = fileSystem(spark, root)
     val files = c.dirs.flatMap { d =>
-      fs.listStatus(new Path(s"$root/data/$d")).toIndexedSeq
+      fs.listStatus(new Path(dataPath(root, d))).toIndexedSeq
         .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
     }
     val bytes = files.map(_.getLen).sum
@@ -515,7 +531,7 @@ object TxnLog {
     val snap = snapshotDirs(spark, root, None)
     require(snap.nonEmpty, s"TxnLog: nothing to compact at $root")
     val bytes = snap.map(d =>
-      fs.getContentSummary(new Path(s"$root/data/$d")).getLength).sum
+      fs.getContentSummary(new Path(dataPath(root, d))).getLength).sum
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
     val expected = latestVersion(spark, root)
     // pinned to `expected`: with append-rebase conflict resolution, an
@@ -553,7 +569,7 @@ object TxnLog {
     val fs = fileSystem(spark, root)
     val snap = snapshotDirs(spark, root, None)
     val files = snap.flatMap { d =>
-      fs.listStatus(new Path(s"$root/data/$d")).toIndexedSeq
+      fs.listStatus(new Path(dataPath(root, d))).toIndexedSeq
         .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
     }
     val nFiles = files.size.toLong
@@ -1022,7 +1038,7 @@ object TxnLog {
                                    asOf: Option[Long] = None): Long = {
     val fs = fileSystem(spark, root)
     snapshotDirs(spark, root, asOf)
-      .map(d => fs.getContentSummary(new Path(s"$root/data/$d")).getLength)
+      .map(d => fs.getContentSummary(new Path(dataPath(root, d))).getLength)
       .sum
   }
 
@@ -1084,7 +1100,7 @@ object TxnLog {
     else {
       val m = manifestFileAt(fileSystem(spark, root), root, untilVersion)
       Some(logicalFrame(
-        spark.read.parquet(dirs.map(d => s"$root/data/$d"): _*),
+        spark.read.parquet(dirs.map(d => dataPath(root, d)): _*),
         m.map(_.colmap).getOrElse(Map.empty),
         m.map(_.dropped).getOrElse(Seq.empty),
         m.map(_.defaults).getOrElse(Map.empty)))
@@ -1423,7 +1439,7 @@ object TxnLog {
             loop(s.getPath, acc :+ s.getPath.getName.takeWhile(_ != '='))
           case None => acc
         }
-      loop(new Path(s"$root/data/$d"), Vector.empty)
+      loop(new Path(dataPath(root, d)), Vector.empty)
     }
     val layouts = affected.toSeq.sorted.map(colsOf).distinct
     require(layouts.size <= 1,
@@ -1483,7 +1499,7 @@ object TxnLog {
       val retired = latest.get.dropped.toSet
       val seen = scala.collection.mutable.LinkedHashSet.empty[String]
       snap.foreach(d =>
-        spark.read.parquet(s"$root/data/$d").schema.fieldNames
+        spark.read.parquet(dataPath(root, d)).schema.fieldNames
           .filterNot(retired).foreach(p => seen += inverse.getOrElse(p, p)))
       seen.toIndexedSeq
     }
@@ -1855,6 +1871,87 @@ object TxnLog {
       s"TxnLog: lost $MaxRetries consecutive commit races on $root — giving up")
   }
 
+  /** ZERO-COPY SHALLOW CLONE — the Delta `CREATE TABLE ... SHALLOW
+    * CLONE` shape (reference operates tables the same way a lakehouse
+    * does; at 100 TB a dev/test/experiment copy must be a metadata
+    * operation, not a 100 TB rewrite). The clone is a brand-new table
+    * whose version-0 manifest references the SOURCE's data
+    * directories by absolute path (`ext:` entries, resolved by
+    * [[dataPath]]); carried with them come the source's column stats
+    * and Blooms (the clone prunes exactly as well as the source from
+    * commit zero), deletion vectors, CHECK constraints, column
+    * mapping, defaults, and partition transforms — the full table
+    * state, not just the bytes.
+    *
+    * Divergence is copy-on-write by construction: every subsequent
+    * commit on the clone (append/delete/merge/compact/cluster) writes
+    * fresh LOCAL directories under the clone's own root, replacing
+    * `ext:` references as rewrites touch them, while the source never
+    * observes anything. The clone's [[vacuum]] can never delete
+    * source bytes (it only deletes children of its own `data/`, which
+    * an `ext:` entry can never name). The one shared-fate contract —
+    * same as Delta's — is the source's OWN vacuum: dropping source
+    * history that the clone still references breaks the clone's
+    * reads; pin what clones depend on (`retainVersions`, or
+    * [[tag]] + [[replicate]] for a deep copy).
+    *
+    * `asOf` clones a pinned historical version (time travel into a
+    * new table). The target must not already be a table. Returns the
+    * clone's version (always 0). */
+  def cloneTable(spark: SparkSession, sourceRoot: String, targetRoot: String,
+                 asOf: Option[Long] = None): Long = {
+    require(sourceRoot != targetRoot,
+      s"TxnLog.cloneTable: source and target are the same root ($sourceRoot)")
+    require(latestVersion(spark, targetRoot) == -1L,
+      s"TxnLog.cloneTable: target $targetRoot is already a table — clone into a fresh root")
+    val src = manifestAt(spark, sourceRoot, asOf)
+    require(src.isDefined && src.get.dirs.nonEmpty,
+      s"TxnLog.cloneTable: nothing to clone at $sourceRoot (version ${asOf.getOrElse("latest")})")
+    val c = src.get
+    // re-point: local source entries become absolute ext: references;
+    // an already-external entry (clone of a clone) passes through —
+    // it already names the ORIGINAL table's bytes, so chained clones
+    // never build path chains
+    def ext(d: String): String =
+      if (d.startsWith(ExtPrefix)) d else s"$ExtPrefix$sourceRoot/data/$d"
+    val fs = fileSystem(spark, targetRoot)
+    val published = tryPublish(fs, targetRoot, Commit(0L, "clone",
+      c.dirs.map(ext), txnId = None,
+      stats = c.stats.map { case (d, st) => ext(d) -> st },
+      dvs = c.dvs.map(dv => dv.copy(dirs = dv.dirs.map(ext))),
+      checks = c.checks,
+      txns = Map.empty, // fresh idempotency lineage — the clone is a new table
+      colmap = c.colmap, dropped = c.dropped, defaults = c.defaults,
+      transforms = c.transforms))
+    require(published,
+      s"TxnLog.cloneTable: lost the version-0 race at $targetRoot — another writer created the table")
+    0L
+  }
+
+  /** Time travel BY TIMESTAMP — the version whose commit landed at or
+    * before `tsMillis` (Delta's `timestampAsOf` contract, resolved
+    * the same way: from the log files' own modification times — the
+    * commit point IS the manifest create, so its mtime is the commit
+    * time). Fails loudly on a timestamp before the first commit.
+    * One log listing + one `getFileStatus` per manifest — metadata
+    * only, a history-consumer-class operation by design (pin the
+    * returned VERSION for repeated reads). */
+  def versionAtTimestamp(spark: SparkSession, root: String, tsMillis: Long): Long = {
+    val fs = fileSystem(spark, root)
+    val vs = listVersions(fs, root)
+    require(vs.nonEmpty, s"TxnLog: no table at $root")
+    val at = vs.map(v => v -> fs.getFileStatus(logPath(root, v)).getModificationTime)
+      .filter(_._2 <= tsMillis)
+    require(at.nonEmpty,
+      s"TxnLog: timestamp $tsMillis predates the first commit at $root " +
+        s"(earliest ${fs.getFileStatus(logPath(root, vs.head)).getModificationTime})")
+    at.maxBy(_._1)._1
+  }
+
+  /** [[read]] pinned by wall clock instead of version number. */
+  def readAsOfTimestamp(spark: SparkSession, root: String, tsMillis: Long): DataFrame =
+    read(spark, root, Some(versionAtTimestamp(spark, root, tsMillis)))
+
   /** Incremental consumption: the rows committed strictly AFTER
     * `sinceVersion`, read from ONLY the data directories those commits
     * added — cost is O(delta), never a snapshot scan, which is what
@@ -1913,12 +2010,12 @@ object TxnLog {
       // a re-read of the log plus a plan over the full snapshot
       snapshot.headOption match {
         case Some(one) => logicalFrame(
-          spark.read.parquet(s"$root/data/$one"),
+          spark.read.parquet(dataPath(root, one)),
           tip.colmap, tip.dropped, tip.defaults).limit(0)
         case None => read(spark, root).limit(0)
       }
     else logicalFrame(
-      spark.read.parquet(newDirs.map(d => s"$root/data/$d"): _*),
+      spark.read.parquet(newDirs.map(d => dataPath(root, d)): _*),
       tip.colmap, tip.dropped, tip.defaults)
   }
 
@@ -1970,6 +2067,7 @@ object TxnLog {
       else commitsInRange(fs, root, sinceVersion, latest)
     val delta = commits.filter(c => c.version > sinceVersion && c.version <= latest)
     val refused = delta.filter(c => c.action == "overwrite" || c.action == "restore"
+        || c.action == "clone"
         || c.action == "rename_column" || c.action == "drop_column")
       .filterNot(c => sinceVersion == -1L && c.version == commits.head.version)
     require(refused.isEmpty,
@@ -1982,7 +2080,7 @@ object TxnLog {
       val prior = snapshotAt(commits, c.version - 1)
       val priorCommit = commits.filter(_.version < c.version).lastOption
       c.action match {
-        case "append" | "overwrite" | "restore" => // overwrite/restore only as the -1 baseline
+        case "append" | "overwrite" | "restore" | "clone" => // rewrites only as the -1 baseline
           val added = c.dirs.filterNot(prior.toSet)
           if (added.isEmpty) None
           else Some(tag(added.map(d => dirFrame(spark, root, d, Some(c)))
@@ -2088,10 +2186,12 @@ object TxnLog {
             math.max(c.version - 1, -1L), keyCols, untilVersion = Some(c.version))
           val payload = feed.drop("_change_type", "_commit_version")
           c.action match {
-            case "overwrite" =>
+            case "overwrite" | "clone" =>
               // reachable only as the feed's since=-1 baseline (any
               // later rewrite was refused by changeFeed above): the
-              // replica seeds itself from the baseline inserts
+              // replica seeds itself from the baseline inserts — a
+              // clone seeds as a DEEP copy (replicate is exactly the
+              // deep-copy escape hatch the shallow-clone doc names)
               overwrite(payload, targetRoot, txn); ()
             case "append" =>
               append(payload, targetRoot, txn); ()

@@ -1462,4 +1462,97 @@ class TxnLogSpec extends SparkSpec {
     }
     assert(drift.getMessage.contains("does not evolve schema"), drift.getMessage)
   }
+
+  test("shallow clone: zero data copied; state carried; divergence is copy-on-write; clone vacuum never touches the source") {
+    import org.apache.spark.sql.functions.col
+    val base = Files.createTempDirectory("graft_txn").toString
+    val src = s"$base/src"
+    val cln = s"$base/clone"
+    TxnLog.overwrite(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), src,
+      collectStats = true)                                              // v0
+    TxnLog.append(Seq((3L, "c"), (4L, "d")).toDF("id", "s"), src,
+      collectStats = true)                                              // v1
+    TxnLog.addCheck(spark, src, "pos_id", "id > 0")                     // v2
+    val srcFilesBefore = dataFiles(src)
+    assert(TxnLog.cloneTable(spark, src, cln) == 0L)
+    // ZERO bytes under the clone's own data/ — pure metadata
+    assert(!new java.io.File(s"$cln/data").exists())
+    assert(TxnLog.read(spark, cln).select("id").as[Long].collect().toSet ==
+      Set(1L, 2L, 3L, 4L))
+    // carried stats prune on the clone exactly as on the source
+    assert(TxnLog.fastCount(spark, cln).contains(4L))
+    // carried CHECKs enforce on the clone
+    val bad = intercept[IllegalArgumentException] {
+      TxnLog.append(Seq((-9L, "x")).toDF("id", "s"), cln)
+    }
+    assert(bad.getMessage.contains("pos_id"), bad.getMessage)
+    // divergence: writes to the clone are invisible to the source...
+    TxnLog.append(Seq((5L, "e")).toDF("id", "s"), cln)
+    TxnLog.delete(spark, cln, col("id") === 1L)
+    assert(TxnLog.read(spark, cln).select("id").as[Long].collect().toSet ==
+      Set(2L, 3L, 4L, 5L))
+    assert(TxnLog.read(spark, src).select("id").as[Long].collect().toSet ==
+      Set(1L, 2L, 3L, 4L))
+    // ...and vice versa (the clone pinned its version)
+    TxnLog.append(Seq((6L, "f")).toDF("id", "s"), src)
+    assert(!TxnLog.read(spark, cln).select("id").as[Long].collect().contains(6L))
+    // the clone's vacuum reclaims only its own dirs — every source
+    // byte present before the clone is still there after
+    TxnLog.vacuum(spark, cln, retainVersions = 1, orphanMinAgeMs = 0L)
+    assert(srcFilesBefore.subsetOf(dataFiles(src)))
+    assert(TxnLog.read(spark, src, asOf = Some(1L)).count() == 4)
+    // clone of a clone references the ORIGINAL bytes (no path chains)
+    val cln2 = s"$base/clone2"
+    TxnLog.cloneTable(spark, cln, cln2)
+    assert(TxnLog.read(spark, cln2).select("id").as[Long].collect().toSet ==
+      Set(2L, 3L, 4L, 5L))
+    // a clone into an existing table refuses
+    val taken = intercept[IllegalArgumentException] {
+      TxnLog.cloneTable(spark, src, cln)
+    }
+    assert(taken.getMessage.contains("already a table"), taken.getMessage)
+  }
+
+  test("clone carries hidden-partition transforms and a pinned historical version") {
+    import org.apache.spark.sql.functions.col
+    val base = Files.createTempDirectory("graft_txn").toString
+    val src = s"$base/src"
+    val cln = s"$base/cln"
+    TxnLog.overwrite(Seq((1L, 10L), (2L, 20L)).toDF("id", "n"), src,
+      partitionBy = Seq("bucket(4, id)"))                               // v0
+    TxnLog.append(Seq((3L, 30L)).toDF("id", "n"), src,
+      partitionBy = Seq("bucket(4, id)"))                               // v1
+    // clone the PINNED v0 — time travel into a fresh table
+    TxnLog.cloneTable(spark, src, cln, asOf = Some(0L))
+    assert(TxnLog.read(spark, cln).select("id").as[Long].collect().toSet ==
+      Set(1L, 2L))
+    // the transform carried: an append without partitionBy still
+    // derives the registered bucket layout (the carried-spec path)
+    TxnLog.append(Seq((7L, 70L)).toDF("id", "n"), cln,
+      partitionBy = Seq("bucket(4, id)"))
+    assert(TxnLog.read(spark, cln).count() == 3)
+    // the hidden column never leaks into reads
+    assert(!TxnLog.read(spark, cln).columns.exists(_.startsWith("__p_")))
+  }
+
+  test("versionAtTimestamp: wall-clock time travel resolves the last commit at or before the instant") {
+    val root = Files.createTempDirectory("graft_txn").toString + "/t"
+    TxnLog.overwrite(Seq((1L, "a")).toDF("id", "s"), root)              // v0
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI("file:///"), spark.sparkContext.hadoopConfiguration)
+    val t0 = fs.getFileStatus(new org.apache.hadoop.fs.Path(
+      s"$root/_graft_log/${"%020d".format(0)}.json")).getModificationTime
+    Thread.sleep(1100) // local-fs mtime granularity can be 1 s
+    TxnLog.append(Seq((2L, "b")).toDF("id", "s"), root)                 // v1
+    // between the commits: v0
+    assert(TxnLog.versionAtTimestamp(spark, root, t0) == 0L)
+    // far future: latest
+    assert(TxnLog.versionAtTimestamp(spark, root, t0 + 3600L * 1000) == 1L)
+    assert(TxnLog.readAsOfTimestamp(spark, root, t0).count() == 1)
+    // before the first commit: loud failure, never a silent latest
+    val e = intercept[IllegalArgumentException] {
+      TxnLog.versionAtTimestamp(spark, root, t0 - 3600L * 1000)
+    }
+    assert(e.getMessage.contains("predates"), e.getMessage)
+  }
 }

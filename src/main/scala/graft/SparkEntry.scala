@@ -3083,6 +3083,34 @@ object SparkEntry {
     TxnLog.read(spark, root).select("doc_id", "source", "n_chars")
   }
 
+  /** Tri-clause MERGE under the oracle ([[graft.sources.TxnLog.merge]]
+    * with `notMatchedBySourceDelete` — Delta's full `WHEN MATCHED
+    * UPDATE / WHEN NOT MATCHED INSERT / WHEN NOT MATCHED BY SOURCE
+    * DELETE` surface): one commit lands updates, inserts, AND the
+    * disappearance of unmatched rows the clause predicate names — the
+    * snapshot-sync primitive where upsert-then-delete would expose an
+    * inconsistent intermediate version. The oracle replays all three
+    * clauses relationally. */
+  private def txnlogMergeFull(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.TxnLog
+    val root = tmpArtifactRoot("txnmrgf", dir)
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    if (TxnLog.latestVersion(spark, root) < 2L) {
+      TxnLog.overwrite(docs.filter(col("doc_id") < 250), root, Some("f0"))
+      TxnLog.append(docs.filter(col("doc_id") >= 250), root, Some("f1"))
+      val updates = docs.filter(col("doc_id") % 10 === 0)
+        .withColumn("n_chars", col("n_chars") + 1000L)
+      val inserts = docs.filter(col("doc_id") % 10 === 5)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          lit("merged").as("source"), lit(42L).as("n_chars"))
+      TxnLog.merge(updates.unionByName(inserts), root, Seq("doc_id"), Some("sync-1"),
+        notMatchedBySourceDelete = Some(col("doc_id") % 7 === 3))
+      ()
+    }
+    TxnLog.read(spark, root).select("doc_id", "source", "n_chars")
+  }
+
   /** Small-file compaction under the oracle ([[graft.sources.TxnLog.compact]]
     * plus its [[graft.sources.TxnLog.compactAdvice]] advisor, wired
     * advice→action the way production would run them): eight
@@ -4105,6 +4133,7 @@ object SparkEntry {
     "txnlog_delete" -> (txnlogDelete(_, _)),
     "txnlog_delete_mor" -> (txnlogDeleteMor(_, _)),
     "txnlog_merge" -> (txnlogMerge(_, _)),
+    "txnlog_merge_full" -> (txnlogMergeFull(_, _)),
     "txnlog_checked" -> (txnlogChecked(_, _)),
     "txnlog_restore" -> (txnlogRestore(_, _)),
     "txnlog_clone" -> (txnlogClone(_, _)),
@@ -8141,6 +8170,22 @@ object SparkEntry {
         |  FROM documents WHERE doc_id % 10 = 5)
         |SELECT d.doc_id, d.source, d.n_chars FROM documents d
         |WHERE d.doc_id NOT IN (SELECT doc_id FROM src)
+        |UNION ALL
+        |SELECT doc_id, source, n_chars FROM src""".stripMargin,
+    // tri-clause MERGE replay: matched rows replaced, unmatched
+    // source inserted, and unmatched TARGET rows the third clause
+    // names (doc_id % 7 = 3) removed — all in one commit
+    "txnlog_merge_full" ->
+      """WITH src AS (
+        |  SELECT doc_id, source, n_chars + 1000 AS n_chars
+        |  FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, 'merged' AS source,
+        |    CAST(42 AS BIGINT) AS n_chars
+        |  FROM documents WHERE doc_id % 10 = 5)
+        |SELECT d.doc_id, d.source, d.n_chars FROM documents d
+        |WHERE d.doc_id NOT IN (SELECT doc_id FROM src)
+        |  AND NOT (d.doc_id % 7 = 3)
         |UNION ALL
         |SELECT doc_id, source, n_chars FROM src""".stripMargin,
     // the CHECK gate admits exactly the clean loads; the poisoned

@@ -1474,10 +1474,24 @@ object TxnLog {
     * their lineage across pure-insert merges; only a merge that
     * actually rewrote rows breaks it (loudly, by design).
     *
+    * `notMatchedBySourceDelete` adds the third Delta clause — `WHEN
+    * NOT MATCHED BY SOURCE THEN DELETE` gated on a predicate: target
+    * rows whose key matches NO source row AND whose columns satisfy
+    * the predicate are removed in the same commit. Pass `lit(true)`
+    * for the unconditional form. This is the snapshot-sync primitive
+    * ("make this partition equal the source"): one merge call lands
+    * updates, inserts, and disappearances atomically, where
+    * upsert-then-separate-delete would expose an inconsistent
+    * intermediate version. NULL predicate results keep the row (SQL
+    * DELETE semantics, same as [[delete]]). Dirs containing clause
+    * matches join the affected (rewritten) set; dirs with none still
+    * carry by reference.
+    *
     * Same CAS + idempotent-txnId protocol as [[delete]]. Returns the
     * committed version. */
   def merge(source: DataFrame, root: String, keys: Seq[String],
-            txnId: Option[String] = None): Long = {
+            txnId: Option[String] = None,
+            notMatchedBySourceDelete: Option[Column] = None): Long = {
     require(keys.nonEmpty, "TxnLog.merge: need at least one key column")
     val spark = source.sparkSession
     val latest = latestCommit(spark, root)
@@ -1512,15 +1526,30 @@ object TxnLog {
       s"TxnLog.merge: source has multiple rows for key ${dups.head.toSeq.init.mkString(",")} — " +
         "which one replaces the target row is ambiguous; de-duplicate the source first")
     val srcKeys = source.select(keys.map(col): _*).distinct()
-    val affected = affectedDirs(spark, root, snap, latest,
-      _.join(srcKeys, keys, "left_semi"))
+    // a dir is affected when it holds a MATCHED row (to be replaced)
+    // or — under the third clause — an unmatched row the delete
+    // predicate erases; one probe job covers both
+    val affected = affectedDirs(spark, root, snap, latest, df =>
+      notMatchedBySourceDelete match {
+        case None => df.join(srcKeys, keys, "left_semi")
+        case Some(pred) =>
+          df.join(srcKeys, keys, "left_semi").unionByName(
+            df.join(srcKeys, keys, "left_anti")
+              .filter(pred === lit(true)), allowMissingColumns = true)
+      })
     if (affected.isEmpty)
       return commit(source.select(tableCols.map(col): _*), root, "append", txnId,
         expectedLatest = Some(expected))
-    val survivors = affected.toSeq.sorted
+    val survivors0 = affected.toSeq.sorted
       .map(d => dirFrame(spark, root, d, latest))
       .reduce(_.unionByName(_, allowMissingColumns = true))
       .join(srcKeys, keys, "left_anti")
+    // third clause: unmatched rows failing the delete predicate
+    // survive; NULL keeps the row (SQL DELETE null contract)
+    val survivors = notMatchedBySourceDelete match {
+      case None => survivors0
+      case Some(pred) => survivors0.filter(coalesce(not(pred), lit(true)))
+    }
     // survivors from all-narrow affected dirs lack widened columns:
     // null-fill them (allowMissingColumns semantics), typed from the
     // source's (checked full-union) schema

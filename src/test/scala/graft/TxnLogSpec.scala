@@ -1463,6 +1463,39 @@ class TxnLogSpec extends SparkSpec {
     assert(drift.getMessage.contains("does not evolve schema"), drift.getMessage)
   }
 
+  test("tri-clause merge: WHEN NOT MATCHED BY SOURCE DELETE lands atomically with updates and inserts; untouched dirs carry by reference") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val root = Files.createTempDirectory("graft_txn").toString + "/t"
+    TxnLog.overwrite(Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("id", "s", "n"), root) // v0
+    TxnLog.append(Seq((3L, "c", 30L), (4L, "d", 40L)).toDF("id", "s", "n"), root)    // v1
+    // a third dir the merge must not touch (no match, no clause hit)
+    TxnLog.append(Seq((9L, "z", 90L)).toDF("id", "s", "n"), root)                    // v2
+    val before = TxnLog.read(spark, root, asOf = Some(2L))
+    assert(before.count() == 5)
+    // source: update id=1, insert id=7; clause deletes unmatched n >= 30
+    val src = Seq((1L, "A", 11L), (7L, "g", 70L)).toDF("id", "s", "n")
+    TxnLog.merge(src, root, Seq("id"), Some("sync-1"),
+      notMatchedBySourceDelete = Some(col("n") >= 30L && col("id") < 9L))
+    val got = TxnLog.read(spark, root).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    // 1 updated, 2 survives (clause false), 3/4 deleted by the clause,
+    // 7 inserted, 9 survives in its by-reference dir
+    assert(got == Set((1L, "A", 11L), (2L, "b", 20L), (7L, "g", 70L), (9L, "z", 90L)))
+    // the unmatched-and-unhit dir carried by reference: its dir entry
+    // survives verbatim from v2's manifest
+    val v2dirs = TxnLog.read(spark, root, asOf = Some(2L)) // still readable
+    assert(v2dirs.count() == 5)
+    // NULL predicate keeps the row: a clause over a null column
+    TxnLog.append(Seq((20L, null.asInstanceOf[String], 5L)).toDF("id", "s", "n"), root)
+    TxnLog.merge(Seq((1L, "A2", 12L)).toDF("id", "s", "n"), root, Seq("id"),
+      notMatchedBySourceDelete = Some(org.apache.spark.sql.functions.length(col("s")) > 100))
+    assert(TxnLog.read(spark, root).filter(col("id") === 20L).count() == 1)
+    // unconditional form: lit(true) erases every unmatched row
+    TxnLog.merge(Seq((7L, "G", 71L)).toDF("id", "s", "n"), root,
+      Seq("id"), notMatchedBySourceDelete = Some(lit(true)))
+    assert(TxnLog.read(spark, root).select("id").as[Long].collect().toSet == Set(7L))
+  }
+
   test("shallow clone: zero data copied; state carried; divergence is copy-on-write; clone vacuum never touches the source") {
     import org.apache.spark.sql.functions.col
     val base = Files.createTempDirectory("graft_txn").toString

@@ -1403,6 +1403,89 @@ object SparkEntry {
       dim = 64, k = 5, nCells = 16, nProbe = 4, centroids = Some(cents))
   }
 
+  /** k-means|| scalable initialization under the oracle
+    * ([[graft.similarity.Similarity.kmeansParallelInit]], Bahmani et
+    * al. VLDB 2012): 3 rounds of D²-weighted batch sampling (md5
+    * uniforms, exact integer cross-multiplied acceptance), weights
+    * from a nearest-candidate census, and a weighted fixed-point
+    * Lloyd over the candidate set. The ENTIRE training — every
+    * sampling decision included — replays in DuckDB CTEs; the query
+    * emits the final centroids as narrow (cell_id, pos, micro) rows. */
+  private def kmeansppInit(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val cents = Similarity.kmeansParallelInit(
+      e.select("vec_id", "embedding"),
+      nCells = 8, oversample = 8, rounds = 3, lloydIters = 2)
+    cents.select(col("cell_id"), posexplode(col("cv")).as(Seq("p", "c")))
+      .select(col("cell_id"), col("p").cast("long").as("p"), col("c"))
+  }
+
+  /** The full k-means|| replay for the `kmeanspp_init` oracle —
+    * sampling rounds, weight census, weighted-Lloyd recluster —
+    * mirroring [[kmeansppInit]]'s parameters. MATERIALIZED CTEs: the
+    * round chain references each stage more than once and DuckDB
+    * inlines CTEs by default (the unigram_train lesson). */
+  private def kmeansppSql(nCells: Int, oversample: Int, rounds: Int,
+                          lloydIters: Int): String = {
+    val d2fc = "list_sum(list_transform(range(1, 65), i -> (f.fv[i] - c.cv[i]) * (f.fv[i] - c.cv[i])))"
+    val setup =
+      s"""WITH f AS MATERIALIZED (
+         |  SELECT vec_id, list_transform(embedding,
+         |    v -> CAST(round(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT)) AS fv
+         |  FROM embeddings),
+         |k0 AS (SELECT vec_id AS cand_id, fv AS cv FROM f ORDER BY vec_id ASC LIMIT 1)""".stripMargin
+    val rds = (1 to rounds).map { t =>
+      s""",
+         |d$t AS MATERIALIZED (
+         |  SELECT f.vec_id, MIN($d2fc) AS d2
+         |  FROM f CROSS JOIN k${t - 1} c GROUP BY f.vec_id),
+         |s$t AS MATERIALIZED (
+         |  SELECT d.vec_id FROM d$t d
+         |  WHERE (CAST(concat('0x', substring(md5(concat(CAST(d.vec_id AS VARCHAR), ':kpp:$t')), 1, 15)) AS BIGINT) % 1000000)
+         |        * (SELECT SUM(d2) FROM d$t)
+         |      < CAST(d.d2 AS HUGEINT) * ${oversample.toLong * 1000000L}),
+         |k$t AS MATERIALIZED (
+         |  SELECT * FROM k${t - 1} UNION ALL
+         |  SELECT f.vec_id AS cand_id, f.fv AS cv FROM f JOIN s$t USING (vec_id))""".stripMargin
+    }.mkString
+    val census =
+      s""",
+         |asg AS MATERIALIZED (
+         |  SELECT vec_id, cand_id FROM (
+         |    SELECT f.vec_id, c.cand_id,
+         |      ROW_NUMBER() OVER (PARTITION BY f.vec_id ORDER BY $d2fc ASC, c.cand_id ASC) AS rn
+         |    FROM f CROSS JOIN k$rounds c) WHERE rn = 1),
+         |wt AS (SELECT cand_id, CAST(COUNT(*) AS BIGINT) AS w FROM asg GROUP BY cand_id),
+         |kw AS MATERIALIZED (
+         |  SELECT k.cand_id, k.cv, COALESCE(wt.w, 0) AS w
+         |  FROM k$rounds k LEFT JOIN wt USING (cand_id)),
+         |c0 AS (SELECT cand_id AS cell_id, cv FROM kw ORDER BY w DESC, cand_id ASC LIMIT $nCells)""".stripMargin
+    val lloyd = (1 to lloydIters).map { i =>
+      s""",
+         |la$i AS MATERIALIZED (
+         |  SELECT cand_id, cell_id FROM (
+         |    SELECT kw.cand_id, c.cell_id,
+         |      ROW_NUMBER() OVER (PARTITION BY kw.cand_id ORDER BY
+         |        list_sum(list_transform(range(1, 65), j -> (kw.cv[j] - c.cv[j]) * (kw.cv[j] - c.cv[j]))) ASC,
+         |        c.cell_id ASC) AS rn
+         |    FROM kw CROSS JOIN c${i - 1} c) WHERE rn = 1),
+         |ls$i AS (
+         |  SELECT a.cell_id, p, SUM(kw.cv[CAST(p AS INT) + 1] * kw.w) AS s, SUM(kw.w) AS n
+         |  FROM la$i a JOIN kw USING (cand_id), range(0, 64) t(p)
+         |  GROUP BY a.cell_id, p HAVING SUM(kw.w) > 0),
+         |ln$i AS (
+         |  SELECT cell_id, list(CAST((s - ((s % n + n) % n)) // n AS BIGINT) ORDER BY p) AS cv
+         |  FROM ls$i GROUP BY cell_id),
+         |c$i AS MATERIALIZED (
+         |  SELECT c${i - 1}.cell_id, COALESCE(ln$i.cv, c${i - 1}.cv) AS cv
+         |  FROM c${i - 1} LEFT JOIN ln$i USING (cell_id))""".stripMargin
+    }.mkString
+    setup + rds + census + lloyd +
+      s"""
+         |SELECT cell_id, CAST(p AS BIGINT) AS p, cv[CAST(p AS INT) + 1] AS c
+         |FROM c$lloydIters, range(0, 64) t(p)""".stripMargin
+  }
+
   /** IVF-PQ composed ANN ([[graft.similarity.Similarity.ivfPqTopK]]):
     * the Lloyd-exact coarse quantizer probes 4 of 16 cells, PQ-ADC
     * scores ONLY the probed cells' candidates from their 4×16-codebook
@@ -4731,6 +4814,7 @@ object SparkEntry {
     "data_shapley_screened" -> (dataShapleyScreened(_, _)),
     "sim_ivf_kmeans" -> (simIvfKmeans(_, _)),
     "sim_ivf_lloyd" -> (simIvfLloyd(_, _)),
+    "kmeanspp_init" -> (kmeansppInit(_, _)),
     "sim_ivf_indexed" -> (simIvfIndexed(_, _)),
     // FILTERED vector search: the metadata predicate applies inside
     // the probed partitions (pushed to the scan), ranking over the
@@ -8990,6 +9074,7 @@ object SparkEntry {
     // hash-checkable (see SparkEntry.simIvfKmeans for why the ML
     // trainer is not)
     "sim_ivf_lloyd" -> ivfScoringSql(lloydCentsSql(2)),
+    "kmeanspp_init" -> kmeansppSql(8, 8, 3, 2),
     // the persisted index serves the SAME exact-Lloyd IVF search its
     // build trained — one oracle for both (storage changes the plan,
     // never the answer; the build/probe shared expression is the proof)

@@ -450,6 +450,133 @@ object Similarity {
       .withColumn("c_norm", norm(col("c_emb")))
   }
 
+  /** k-means|| initialization (Bahmani, Moseley, Vattani, Kumar,
+    * Vassilvitskii — "Scalable k-means++", VLDB 2012) — the
+    * INITIALIZATION that makes Lloyd trainable at 100 TB.
+    * [[lloydCentroidsExact]] seeds from the lowest vec_ids: fine for
+    * an oracle, but an arbitrary init can start every centroid inside
+    * one dense region and waste the iteration budget escaping it.
+    * k-means++ fixes that with D²-weighted seeding but is inherently
+    * sequential (k passes); k-means|| batches it: O(rounds) passes,
+    * each sampling ~`oversample` points with probability ∝ their
+    * squared distance to the current candidate set, then a WEIGHTED
+    * k-means over the tiny candidate set picks the final `nCells`.
+    *
+    * Engine-exact (every step replays in SQL):
+    *  - micro-unit fixed point (the [[lloydCentroidsExact]]
+    *    convention); seed = lowest vec_id;
+    *  - per round `t`: d2(x) = min integer sq-distance to the
+    *    candidate set; potential φ = Σ d2 (exact integer); keep x iff
+    *    `u(x,t) · φ < oversample · d2(x) · 1e6` where u(x,t) is an
+    *    md5 uniform in [0, 1e6) — the D²-sampling acceptance test as
+    *    one exact integer cross-multiply (no division, no floats; a
+    *    point already selected has d2 = 0 and can never re-select);
+    *  - weights: points per nearest candidate (ties → lower id);
+    *  - final: weighted Lloyd over the candidates, init = top
+    *    `nCells` by (weight DESC, id ASC), `lloydIters` rounds of
+    *    integer assignment + floor-division weighted means (a cell
+    *    whose assignees carry zero weight keeps its centroid).
+    *
+    * Scale shape: per round ONE broadcast of the candidate set and
+    * one narrow (vec_id, d2) aggregate — embeddings never cross an
+    * exchange. The collects are bounded and documented: the scalar φ
+    * per round, the sampled candidates (expected `oversample` per
+    * round — the acceptance probabilities sum to ~oversample by
+    * construction), and the final ≤ `1 + oversample·rounds`-point
+    * weighted recluster, which runs on the driver in exact integer
+    * arithmetic (the centroid-family collect the plan lint already
+    * admits).
+    *
+    * Returns (cell_id, c_emb float, c_norm, cv micro) — feed straight
+    * into [[ivfTopK]]; `cv` is the exact fixed-point centroid for
+    * oracle comparison. */
+  def kmeansParallelInit(candidates: DataFrame, nCells: Int = 16,
+                         oversample: Int = 8, rounds: Int = 3,
+                         lloydIters: Int = 2, salt: String = "kpp"): DataFrame = {
+    require(nCells > 0 && oversample > 0 && rounds > 0 && lloydIters >= 0,
+      s"kmeansParallelInit: bad budget ($nCells, $oversample, $rounds, $lloydIters)")
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val f = graft.core.Parallelism.ensure(candidates)
+      .select(col("vec_id").cast("long").as("vec_id"),
+        transform(col("embedding"),
+          v => round(v.cast("double") * 1e6).cast("long")).as("fv"))
+    val seedRows = f.orderBy(col("vec_id").asc).limit(1).collect()
+    require(seedRows.nonEmpty, "kmeansParallelInit: empty input")
+    var cand: Vector[(Long, IndexedSeq[Long])] = Vector(
+      (seedRows(0).getLong(0), seedRows(0).getSeq[Long](1).toIndexedSeq))
+    def candDF: DataFrame = spark.createDataFrame(
+      cand.map { case (id, cv) => (id, cv.toArray) }).toDF("cand_id", "cv")
+    val d2col = aggregate(
+      zip_with(col("fv"), col("cv"), (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, x) => acc + x)
+    def minD2: DataFrame = f.crossJoin(broadcast(candDF))
+      .withColumn("d", d2col)
+      .groupBy(col("vec_id"))
+      // min over candidates; the nearest candidate rides along for
+      // the weights pass (ties toward the lower cand_id)
+      .agg(min(col("d")).as("d2"),
+        min_by(col("cand_id"), struct(col("d"), col("cand_id"))).as("near"),
+        first(col("fv")).as("fv")) // constant within the group
+    for (t <- 1 to rounds) {
+      val dmin = minD2
+      // exact integer potential — Σ d2 can pass 2^63 on large corpora,
+      // so the sum runs in decimal (DuckDB sums BIGINT into HUGEINT
+      // the same way); ONE scalar row collected per round
+      val phi = dmin.agg(sum(col("d2").cast("decimal(38,0)")))
+        .head.getDecimal(0)
+      if (phi.signum > 0) {
+        val u = conv(substring(md5(concat(col("vec_id").cast("string"),
+          lit(s":$salt:$t"))), 1, 15), 16, 10).cast("long") % 1000000L
+        // D²-acceptance as one integer cross-multiply in decimal —
+        // u/1e6 < oversample * d2 / φ, exactly
+        val sel = dmin
+          .filter((u.cast("decimal(38,0)") * lit(phi)) <
+            (col("d2").cast("decimal(38,0)") * lit(oversample.toLong * 1000000L)))
+          .select(col("vec_id"), col("fv"))
+          .collect() // bounded: acceptance probabilities sum to ~oversample
+        cand = cand ++ sel.map(r =>
+          (r.getLong(0), r.getSeq[Long](1).toIndexedSeq))
+      }
+    }
+    // weights = |points nearest to each candidate| — one more pass
+    val w: Map[Long, Long] = minD2.groupBy(col("near"))
+      .agg(count(lit(1)).as("w"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // weighted Lloyd over ≤ 1 + oversample·rounds candidates, on the
+    // driver, in exact long arithmetic (weighted sums stay far below
+    // 2^63: |cv| ≤ ~1e7 micro, weights ≤ corpus rows)
+    val dim = cand.head._2.length
+    var cents: Vector[(Long, IndexedSeq[Long])] = cand
+      .sortBy { case (id, _) => (-w.getOrElse(id, 0L), id) }
+      .take(nCells).map { case (id, cv) => (id, cv) }
+    for (_ <- 1 to lloydIters) {
+      val assigned = cand.map { case (id, cv) =>
+        val best = cents.map { case (cid, cc) =>
+          var d = 0L; var i = 0
+          while (i < dim) { val x = cv(i) - cc(i); d += x * x; i += 1 }
+          (d, cid)
+        }.min
+        (best._2, cv, w.getOrElse(id, 0L))
+      }
+      cents = cents.map { case (cid, prev) =>
+        val mine = assigned.filter(_._1 == cid)
+        val wsum = mine.map(_._3).sum
+        if (wsum <= 0L) (cid, prev)
+        else (cid, IndexedSeq.tabulate(dim) { p =>
+          Math.floorDiv(mine.map(a => a._2(p) * a._3).sum, wsum)
+        })
+      }
+    }
+    cents.map { case (cid, cv) => (cid, cv.toArray) }
+      .toDF("cell_id", "cv")
+      .select(col("cell_id"),
+        transform(col("cv"), x => (x.cast("double") / 1e6).cast("float")).as("c_emb"),
+        col("cv"))
+      .withColumn("c_norm", norm(col("c_emb")))
+      .select(col("cell_id"), col("c_emb"), col("c_norm"), col("cv"))
+  }
+
   /** L2-normalize an embedding column to unit vectors (the standard
     * pre-step that turns cosine into a plain dot product, halving ANN
     * scoring cost). Zero vectors pass through as zeros. Pure per-row

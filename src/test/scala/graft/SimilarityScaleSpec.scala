@@ -565,6 +565,53 @@ class SimilarityScaleSpec extends SparkSpec {
     assert(ivf == brute, "full probe over trained centroids must be exact")
   }
 
+  test("kmeansParallelInit: deterministic under repartitioning; D²-seeding beats the first-k init; composes with ivfTopK at full probe") {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir01).select("vec_id", "embedding")
+    def centsMap(df: DataFrame): Map[Long, Seq[Long]] =
+      df.select("cell_id", "cv").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    // exact integer arithmetic + md5 sampling ⇒ the run replays
+    // identically whatever the partitioning (the property a
+    // RNG-seeded sampler cannot give across engines)
+    val k1 = centsMap(Similarity.kmeansParallelInit(e, nCells = 8))
+    val k2 = centsMap(Similarity.kmeansParallelInit(e.repartition(7), nCells = 8))
+    assert(k1 == k2, "k-means|| changed under repartitioning")
+    assert(k1.size == 8 && k1.keySet.size == 8)
+    def sse(cents: DataFrame): BigInt = {
+      val micro = e.select(col("vec_id"),
+        transform(col("embedding"),
+          v => round(v.cast("double") * 1e6).cast("long")).as("fv"))
+      val cm = cents.select(col("cell_id"),
+        transform(col("c_emb"),
+          v => round(v.cast("double") * 1e6).cast("long")).as("cv"))
+      BigInt(micro.crossJoin(broadcast(cm))
+        .select(aggregate(zip_with(col("fv"), col("cv"),
+          (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x).as("d"),
+          col("vec_id"))
+        .groupBy("vec_id").agg(min(col("d")).as("d"))
+        .agg(sum(col("d")).cast("decimal(38,0)")).head().getDecimal(0).toBigInteger)
+    }
+    // the POINT of D²-weighted seeding: a better starting potential
+    // than "the first k vectors" for the same (zero) Lloyd budget
+    val naive = Similarity.lloydCentroidsExact(e, nCells = 8, iters = 0)
+    val kpp = Similarity.kmeansParallelInit(e, nCells = 8, lloydIters = 0)
+    assert(sse(kpp) < sse(naive),
+      s"k-means|| init (${sse(kpp)}) must beat the first-k init (${sse(naive)})")
+    // and the weighted recluster only improves it
+    val kppTrained = Similarity.kmeansParallelInit(e, nCells = 8, lloydIters = 2)
+    assert(sse(kppTrained) <= sse(kpp), "weighted recluster increased the potential")
+    // serving contract: the returned frame feeds ivfTopK, and at full
+    // probe the centroids cannot change the answer
+    val q = queries(Tables.embeddings(spark, dir01))
+    val brute = Similarity.bruteForceTopK(e, q, 5)
+      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(e, q, dim = 64, k = 5, nCells = 8, nProbe = 8,
+        centroids = Some(kppTrained.select("cell_id", "c_emb", "c_norm")))
+      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivf == brute, "full probe over k-means|| centroids must be exact")
+  }
+
   test("binarize packs sign bits exactly; hammingTopK ranks by true Hamming") {
     import spark.implicits._
     // a vector with known signs: dims 0 and 33 positive, rest negative

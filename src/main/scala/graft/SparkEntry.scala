@@ -1403,6 +1403,63 @@ object SparkEntry {
       dim = 64, k = 5, nCells = 16, nProbe = 4, centroids = Some(cents))
   }
 
+  /** Fixed-point PCA power iteration under the oracle
+    * ([[graft.similarity.Similarity.pc1Scores]]): every embedding's
+    * coordinate along the corpus's dominant principal direction, in
+    * exact micro-units — the "all-but-the-top" isotropy primitive.
+    * The oracle replays the mean-centering, all three v ← Xᵀ(Xv)
+    * rounds (HUGEINT back-projection, floor-division renormalization)
+    * and the final scoring, verbatim. */
+  private def embedPca(spark: SparkSession, dir: String): DataFrame =
+    Similarity.pc1Scores(
+      Tables.embeddings(spark, dir).select("vec_id", "embedding"), iters = 3)
+
+  private def pcaSql(iters: Int): String = {
+    val ones = Seq.fill(64)("1000000").mkString("[", ", ", "]")
+    val setup =
+      s"""WITH f AS MATERIALIZED (
+         |  SELECT vec_id, list_transform(embedding,
+         |    v -> CAST(round(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT)) AS fv
+         |  FROM embeddings),
+         |st AS (
+         |  SELECT p, SUM(fv[CAST(p AS INT) + 1]) AS s, COUNT(*) AS n
+         |  FROM f, range(0, 64) t(p) GROUP BY p),
+         |mu AS MATERIALIZED (
+         |  SELECT list(CAST((s - ((s % n + n) % n)) // n AS BIGINT) ORDER BY p) AS mv
+         |  FROM st),
+         |xc AS MATERIALIZED (
+         |  SELECT vec_id, list_transform(range(1, 65),
+         |    i -> fv[i] - mu.mv[i]) AS xc
+         |  FROM f, mu),
+         |v0 AS (SELECT $ones AS v)""".stripMargin
+    val rounds = (1 to iters).map { t =>
+      s""",
+         |sc$t AS MATERIALIZED (
+         |  SELECT vec_id, xc, list_sum(list_transform(range(1, 65),
+         |    i -> xc[i] * pv.v[i])) AS s
+         |  FROM xc, v${t - 1} pv),
+         |w$t AS MATERIALIZED (
+         |  SELECT p, SUM(CAST(xc[CAST(p AS INT) + 1] AS HUGEINT) * s) AS w
+         |  FROM sc$t, range(0, 64) t(p) GROUP BY p),
+         |m$t AS (SELECT MAX(ABS(w)) AS m FROM w$t),
+         |v$t AS MATERIALIZED (
+         |  SELECT list(CAST((w * 1000000 - (((w * 1000000) % m + m) % m)) // m AS BIGINT)
+         |    ORDER BY p) AS v
+         |  FROM w$t, m$t)""".stripMargin
+    }.mkString
+    setup + rounds +
+      s""",
+         |fin AS (
+         |  SELECT vec_id, list_sum(list_transform(range(1, 65),
+         |    i -> xc[i] * pv.v[i])) AS s
+         |  FROM xc, v$iters pv),
+         |dd AS (
+         |  SELECT CAST(((vv - (vv % 1000000)) // 1000000) AS BIGINT) AS d FROM (
+         |    SELECT list_sum(list_transform(v, x -> x * x)) AS vv FROM v$iters))
+         |SELECT vec_id, CAST((s - ((s % d + d) % d)) // d AS BIGINT) AS pc1_micro
+         |FROM fin, dd""".stripMargin
+  }
+
   /** k-means|| scalable initialization under the oracle
     * ([[graft.similarity.Similarity.kmeansParallelInit]], Bahmani et
     * al. VLDB 2012): 3 rounds of D²-weighted batch sampling (md5
@@ -4815,6 +4872,7 @@ object SparkEntry {
     "sim_ivf_kmeans" -> (simIvfKmeans(_, _)),
     "sim_ivf_lloyd" -> (simIvfLloyd(_, _)),
     "kmeanspp_init" -> (kmeansppInit(_, _)),
+    "embed_pca" -> (embedPca(_, _)),
     "sim_ivf_indexed" -> (simIvfIndexed(_, _)),
     // FILTERED vector search: the metadata predicate applies inside
     // the probed partitions (pushed to the scan), ranking over the
@@ -9075,6 +9133,7 @@ object SparkEntry {
     // trainer is not)
     "sim_ivf_lloyd" -> ivfScoringSql(lloydCentsSql(2)),
     "kmeanspp_init" -> kmeansppSql(8, 8, 3, 2),
+    "embed_pca" -> pcaSql(3),
     // the persisted index serves the SAME exact-Lloyd IVF search its
     // build trained — one oracle for both (storage changes the plan,
     // never the answer; the build/probe shared expression is the proof)

@@ -577,6 +577,81 @@ object Similarity {
       .select(col("cell_id"), col("c_emb"), col("c_norm"), col("cv"))
   }
 
+  /** Top-principal-component scores by FIXED-POINT POWER ITERATION —
+    * the distributed PCA step behind "all-but-the-top" embedding
+    * post-processing (Mu & Viswanath, ICLR 2018: most embedding
+    * corpora share one dominant direction; its removal restores
+    * isotropy and improves retrieval) and the classic corpus
+    * diagnostics (what single axis explains the spread).
+    *
+    * Exact integer recipe (every step engine-portable, so the oracle
+    * replays the WHOLE iteration):
+    *  - micro-unit fixed point; mean by per-position integer sums +
+    *    floor division (64 narrow rows collected);
+    *  - `iters` power-iteration rounds of v ← Xᵀ(Xv): the per-row
+    *    score s = Σ xc·v runs map-side with v a 64-long literal; the
+    *    per-position back-projection w = Σ xc·s accumulates in
+    *    decimal (it passes 2^63 on large corpora — DuckDB's HUGEINT
+    *    twin), 64 rows collected; normalization to micro scale by
+    *    exact floor division against max|w| on the driver (BigInt);
+    *  - final per-vector score c = floorDiv(s, v·v div 1e6) — the
+    *    PC1 coordinate in micro units, pure BIGINT in both engines.
+    *
+    * Scale shape per round: one map-side scan (v rides as a literal —
+    * no join, no broadcast table) + one narrow (pos, partial-sum)
+    * aggregate; embeddings never cross an exchange. Collects are 64
+    * rows per round — the centroid-class bounded collect.
+    *
+    * Power iteration converges to PC1 at rate (λ2/λ1)ᵗ; `iters` = 3
+    * is the diagnostics budget, not a guarantee — the value is the
+    * DETERMINISTIC, replayable direction, same on any engine or
+    * partitioning. Returns (vec_id, pc1_micro). */
+  def pc1Scores(candidates: DataFrame, iters: Int = 3): DataFrame = {
+    require(iters >= 1, s"pc1Scores: need iters >= 1, got $iters")
+    val f = graft.core.Parallelism.ensure(candidates)
+      .select(col("vec_id").cast("long").as("vec_id"),
+        transform(col("embedding"),
+          v => round(v.cast("double") * 1e6).cast("long")).as("fv"))
+    // mean: exact integer per-position sums, floor division (bounded
+    // 64-row collect)
+    val mrows = f.select(posexplode(col("fv")).as(Seq("p", "v")))
+      .groupBy(col("p")).agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> Math.floorDiv(r.getLong(1), r.getLong(2)))
+      .toMap
+    val dim = mrows.size
+    val mu = IndexedSeq.tabulate(dim)(mrows(_))
+    val xc = zip_with(col("fv"),
+      array(mu.map(lit): _*), (a, b) => a - b).as("xc")
+    val centered = f.select(col("vec_id"), xc)
+    var v: IndexedSeq[BigInt] = IndexedSeq.fill(dim)(BigInt(1000000))
+    def scoreCol(vv: IndexedSeq[BigInt]): Column = aggregate(
+      zip_with(col("xc"), array(vv.map(x => lit(x.toLong)): _*),
+        (a, b) => a * b), lit(0L), (acc, x) => acc + x)
+    for (_ <- 1 to iters) {
+      // w_p = Σ_i xc_ip · s_i — decimal: the back-projection is the
+      // one sum that outgrows a long
+      val w = centered.withColumn("s", scoreCol(v))
+        .select(posexplode(col("xc")).as(Seq("p", "x")), col("s"))
+        .groupBy(col("p"))
+        .agg(sum(col("x").cast("decimal(38,0)") * col("s").cast("decimal(38,0)")).as("w"))
+        .collect().map(r => r.getInt(0) -> BigInt(r.getDecimal(1).toBigInteger)).toMap
+      val m = (0 until dim).map(p => w(p).abs).max
+      require(m.signum > 0,
+        "pc1Scores: degenerate corpus (zero covariance) — no principal direction")
+      // exact floor division back to micro scale (sign-correct)
+      v = IndexedSeq.tabulate(dim) { p =>
+        val num = w(p) * 1000000
+        (num - (((num % m) + m) % m)) / m
+      }
+    }
+    val vv = v.map(x => x * x).sum
+    val denom = (vv / 1000000).toLong // vv ≤ 64·(1e6)² — long-safe
+    require(denom > 0, "pc1Scores: principal direction underflowed")
+    centered.withColumn("s", scoreCol(v))
+      .select(col("vec_id"),
+        expr(s"(s - ((s % $denom + $denom) % $denom)) div $denom").as("pc1_micro"))
+  }
+
   /** L2-normalize an embedding column to unit vectors (the standard
     * pre-step that turns cosine into a plain dot product, halving ANN
     * scoring cost). Zero vectors pass through as zeros. Pure per-row

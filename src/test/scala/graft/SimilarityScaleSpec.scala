@@ -612,6 +612,40 @@ class SimilarityScaleSpec extends SparkSpec {
     assert(ivf == brute, "full probe over k-means|| centroids must be exact")
   }
 
+  test("pc1Scores: closed-form axis fixture, repartition determinism, sign-consistent ordering") {
+    import spark.implicits._
+    // points on axis 0 at t ∈ {-2,-1,0,1,2} (plus a tiny orthogonal
+    // wiggle on axis 1 that must NOT win): PC1 is axis 0 and the
+    // centered score is exactly t micro-units
+    def emb(t: Float, w: Float): Array[Float] =
+      Array.tabulate(64)(i => if (i == 0) t else if (i == 1) w else 0.0f)
+    val pts = Seq(
+      (0L, emb(-2f, 0.01f)), (1L, emb(-1f, -0.01f)), (2L, emb(0f, 0.01f)),
+      (3L, emb(1f, -0.01f)), (4L, emb(2f, 0.01f))).toDF("vec_id", "embedding")
+    val got = Similarity.pc1Scores(pts, iters = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // scores are the axis-0 offsets from the mean (0), up to the
+    // fixed-point unit and a possible global sign flip
+    val expected = Map(0L -> -2000000L, 1L -> -1000000L, 2L -> 0L,
+      3L -> 1000000L, 4L -> 2000000L)
+    val sign = if (got(4L) < 0) -1L else 1L
+    expected.foreach { case (id, v) =>
+      assert(math.abs(got(id) - sign * v) <= 2L,
+        s"vec $id: got ${got(id)}, want ~${sign * v}")
+    }
+    // exact arithmetic ⇒ identical under repartitioning
+    val got2 = Similarity.pc1Scores(pts.repartition(3), iters = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == got2, "pc1Scores changed under repartitioning")
+    // real corpus: deterministic and full-rank output
+    val e = Tables.embeddings(spark, dir01).select("vec_id", "embedding")
+    val c1 = Similarity.pc1Scores(e).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val c2 = Similarity.pc1Scores(e.repartition(5)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(c1 == c2)
+    assert(c1.size == e.count())
+  }
+
   test("binarize packs sign bits exactly; hammingTopK ranks by true Hamming") {
     import spark.implicits._
     // a vector with known signs: dims 0 and 33 positive, rest negative

@@ -1339,6 +1339,21 @@ object SparkEntry {
       .join(hashes, "asset_id")
   }
 
+  /** Perceptual-hash image dedup over the REAL codec path
+    * ([[graft.multimodal.Multimodal.averageHash]] +
+    * [[graft.multimodal.Multimodal.phashNearDups]]): paired PNG
+    * assets (each document's plane plus a one-pixel perturbation)
+    * round-trip through the actual encoder, decode, 8×8
+    * nearest-neighbor resize, and 60-bit aHash; the banded Hamming
+    * join then recovers the planted near-dup pairs. PNG is lossless,
+    * so the oracle predicts every decoded byte closed-form (the
+    * multimodal_pipeline proof shape) and replays the hash, the
+    * pigeonhole bands, and the popcount verify verbatim. */
+  private def imagePhash(spark: SparkSession, dir: String): DataFrame = {
+    val assets = Multimodal.syntheticImagePairAssets(Tables.documents(spark, dir))
+    Multimodal.phashNearDups(Multimodal.averageHash(assets), maxHamming = 3)
+  }
+
   private def simTopK(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     val queries = e.filter(col("vec_id") < 10)
@@ -5209,6 +5224,7 @@ object SparkEntry {
         Multimodal.syntheticVideoAssets(Tables.documents(s, d))))
         .toDF()),
     "multimodal_pipeline" -> (multimodalPipeline(_, _)),
+    "image_phash" -> (imagePhash(_, _)),
     "sim_topk" -> (simTopK(_, _)),
     // SQ8 scalar quantization: per-dim byte codes on a [min,max] grid
     // (integer micro arithmetic end to end — the PRODUCTION coarse
@@ -9065,6 +9081,55 @@ object SparkEntry {
     // full decode->resize->featurize replay: prefix-XOR via a bit_xor
     // window, nearest-neighbor resize via a list_transform index map,
     // hash over the lowercase hex rendering (DuckDB md5 is VARCHAR-only)
+    // perceptual-hash image dedup: PNG is lossless, so the decoded
+    // plane is the prefix-XOR of the text bytes tiled to (w, h); the
+    // oracle replays resize, floor-mean aHash, pigeonhole bands, and
+    // the popcount verify — every pair the engine emits from REAL
+    // codec bytes must fall out of this closed form
+    "image_phash" ->
+      """WITH base AS (
+        |  SELECT doc_id, text,
+        |    CAST(doc_id % 32 + 16 AS INT) AS w,
+        |    CAST(doc_id % 24 + 12 AS INT) AS h
+        |  FROM documents),
+        |bytes AS (
+        |  SELECT doc_id, i, ord(substr(text, CAST(i AS INT), 1)) AS b
+        |  FROM (SELECT *, unnest(range(1, length(text)+1)) AS i FROM base)),
+        |dec AS (
+        |  SELECT doc_id, i, bit_xor(b) OVER (PARTITION BY doc_id ORDER BY i) AS d
+        |  FROM bytes),
+        |dl AS MATERIALIZED (
+        |  SELECT doc_id, list(d ORDER BY i) AS dl FROM dec GROUP BY doc_id),
+        |var AS (
+        |  SELECT base.doc_id * 2 + v AS asset_id, w, h, dl.dl, v
+        |  FROM base JOIN dl USING (doc_id), (VALUES (0), (1)) t(v)),
+        |rs AS MATERIALIZED (
+        |  SELECT asset_id,
+        |    list_transform(range(0, 64), q ->
+        |      CASE WHEN v = 1 AND ((least(h-1, (q // 8) * h // 8) * w + least(w-1, (q % 8) * w // 8)) % (w*h)) = 0 THEN (dl[1] + 128) % 256
+        |           ELSE dl[CAST((((least(h-1, (q // 8) * h // 8) * w + least(w-1, (q % 8) * w // 8)) % (w*h)) % len(dl)) + 1 AS INT)] END) AS r
+        |  FROM var),
+        |ah AS (
+        |  SELECT asset_id, r,
+        |    (list_sum(r) - (list_sum(r) % 64)) // 64 AS m
+        |  FROM rs),
+        |ph AS MATERIALIZED (
+        |  SELECT asset_id, CAST(list_sum(list_transform(range(0, 60), q ->
+        |    CASE WHEN r[CAST(q AS INT) + 1] > m THEN (CAST(1 AS BIGINT) << q)
+        |         ELSE 0 END)) AS BIGINT) AS phash
+        |  FROM ah),
+        |bk AS MATERIALIZED (
+        |  SELECT asset_id, phash, b,
+        |    (phash // (CAST(1 AS BIGINT) << (15 * CAST(b AS INT)))) % 32768 AS bv
+        |  FROM (SELECT asset_id, phash, unnest(range(0, 4)) AS b FROM ph)),
+        |cand AS (
+        |  SELECT DISTINCT a.asset_id AS asset_a, a.phash AS ph_a,
+        |    c.asset_id AS asset_b, c.phash AS ph_b
+        |  FROM bk a JOIN bk c ON a.b = c.b AND a.bv = c.bv
+        |    AND a.asset_id < c.asset_id)
+        |SELECT asset_a, asset_b,
+        |  CAST(bit_count(xor(ph_a, ph_b)) AS BIGINT) AS hamming
+        |FROM cand WHERE bit_count(xor(ph_a, ph_b)) <= 3""".stripMargin,
     "multimodal_pipeline" ->
       """WITH base AS (
         |  SELECT doc_id AS asset_id,

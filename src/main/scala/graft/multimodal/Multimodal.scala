@@ -372,6 +372,90 @@ object Multimodal {
       })
   }
 
+  /** Paired REAL-PNG assets for the perceptual-hash dedup proof: per
+    * document, asset `2·doc_id` is the XOR-rolled text plane tiled to
+    * (doc_id%32+16) × (doc_id%24+12) and asset `2·doc_id+1` the SAME
+    * plane with its first pixel shifted by +128 (mod 256) — a
+    * guaranteed near-duplicate under any perceptual hash that isn't
+    * trivially exact. PNG is lossless, so the decoded plane equals
+    * the constructed one byte-for-byte and the whole encode → decode
+    * → resize → hash chain stays closed-form for the oracle. */
+  def syntheticImagePairAssets(documents: DataFrame,
+                               format: String = "png"): Dataset[MediaAsset] = {
+    import documents.sparkSession.implicits._
+    documents.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, text) =>
+        val w = (id % 32 + 16).toInt
+        val h = (id % 24 + 12).toInt
+        val src = decodeBytes(text.getBytes("UTF-8"))
+        val plane = Array.tabulate[Byte](w * h)(i => src(i % src.length))
+        val pert = plane.clone()
+        pert(0) = (((plane(0) & 0xff) + 128) % 256).toByte
+        Seq(
+          MediaAsset(id * 2, "image", encodeImageKernel(plane, w, h, format),
+            w, h, n_frames = 1),
+          MediaAsset(id * 2 + 1, "image", encodeImageKernel(pert, w, h, format),
+            w, h, n_frames = 1))
+      })
+  }
+
+  /** 60-bit AVERAGE HASH (aHash) of image assets — the classic
+    * perceptual fingerprint behind image dedup at corpus scale:
+    * decode with the REAL codec, nearest-neighbor resize to 8×8, set
+    * bit q iff pixel q exceeds the floor-mean of the 64-pixel
+    * thumbnail. 60 bits (pixels 0–59) rather than 64 so the hash —
+    * and every band/shift the dedup join derives from it — stays a
+    * POSITIVE signed long in any engine (the SimHash convention; the
+    * dropped corner pixels cost ~nothing against a mean threshold).
+    * Pure per-partition kernel work, zero shuffle. */
+  def averageHash(assets: Dataset[MediaAsset]): DataFrame = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(_.map { a =>
+      val (plane, w, h) = decodeImageKernel(a.content)
+      val r = resizeKernel(plane, w, h, 8, 8)
+      var sum = 0L
+      var i = 0
+      while (i < r.length) { sum += (r(i) & 0xff); i += 1 }
+      val m = sum / 64 // positive → floor
+      var hash = 0L
+      var q = 0
+      while (q < 60) { if ((r(q) & 0xff) > m) hash |= (1L << q); q += 1 }
+      (a.asset_id, hash)
+    }).toDF("asset_id", "phash")
+  }
+
+  /** Banded Hamming near-duplicate join over 60-bit perceptual
+    * hashes — the pigeonhole screen that keeps image dedup off the
+    * all-pairs cliff: two hashes within Hamming distance `maxHamming`
+    * must agree EXACTLY on at least one of `maxHamming + 1` disjoint
+    * bit bands, so candidates come from equality joins on (band,
+    * band-bits) and only candidates pay the exact popcount check.
+    * Identical images share every band; bucket population is bounded
+    * by true duplicate-cluster sizes, the same shape as the
+    * MinHash/SimHash screens. Returns (asset_a, asset_b, hamming)
+    * with asset_a < asset_b. */
+  def phashNearDups(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val nb = maxHamming + 1
+    require(maxHamming >= 0 && 60 % nb == 0,
+      s"phashNearDups: maxHamming+1 must divide 60, got $maxHamming")
+    val wbits = 60 / nb
+    val mask = (1L << wbits) - 1
+    val banded = hashes.select(col("asset_id"), col("phash"),
+        explode(sequence(lit(0), lit(nb - 1))).as("b"))
+      .withColumn("bv", expr(s"shiftright(phash, b * $wbits) & $mask"))
+    val cand = banded.as("l").join(banded.as("r"),
+        col("l.b") === col("r.b") && col("l.bv") === col("r.bv") &&
+          col("l.asset_id") < col("r.asset_id"))
+      .select(col("l.asset_id").as("asset_a"), col("l.phash").as("ph_a"),
+        col("r.asset_id").as("asset_b"), col("r.phash").as("ph_b"))
+      .distinct()
+    cand
+      .withColumn("hamming",
+        bit_count(col("ph_a").bitwiseXOR(col("ph_b"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("asset_a"), col("asset_b"), col("hamming"))
+  }
+
   /** Decode payloads in place (mapPartitions; batch shape = the
     * partition iterator, zero shuffle). */
   def decode(assets: Dataset[MediaAsset]): Dataset[MediaAsset] = {

@@ -162,6 +162,40 @@ class MultimodalSpec extends SparkSpec {
     assert(dw == w && dh == h && decoded.toSeq == plane.toSeq)
   }
 
+  test("averageHash + phashNearDups: identical images collide, one-pixel twins stay near, inverted images never pair") {
+    def png(plane: Array[Byte], w: Int, h: Int) =
+      Multimodal.encodeImageKernel(plane, w, h, "png")
+    val (w, h) = (20, 14)
+    val base = Array.tabulate[Byte](w * h)(i => ((i * 31 + 7) % 256).toByte)
+    val twin = base.clone(); twin(0) = (((base(0) & 0xff) + 128) % 256).toByte
+    val inverted = base.map(b => (255 - (b & 0xff)).toByte)
+    val assets = Seq(
+      MediaAsset(0L, "image", png(base, w, h), w, h, 1),
+      MediaAsset(1L, "image", png(base, w, h), w, h, 1),      // exact dup
+      MediaAsset(2L, "image", png(twin, w, h), w, h, 1),      // near dup
+      MediaAsset(3L, "image", png(inverted, w, h), w, h, 1))  // far
+      .toDS()
+    val hashes = Multimodal.averageHash(assets)
+    val hm = hashes.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hm(0L) == hm(1L), "identical bitstreams must hash identically")
+    assert(hm.values.forall(_ >= 0L), "60-bit hash must stay non-negative")
+    assert(java.lang.Long.bitCount(hm(0L) ^ hm(3L)) > 3,
+      "inversion must flip most threshold bits")
+    val pairs = Multimodal.phashNearDups(hashes, maxHamming = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs.contains((0L, 1L)) && pairs((0L, 1L)) == 0L)
+    // the one-pixel twin sits within the band budget of BOTH copies
+    assert(pairs.contains((0L, 2L)) && pairs.contains((1L, 2L)))
+    assert(pairs((0L, 2L)) <= 3L)
+    // the inverted image pairs with nothing
+    assert(!pairs.keys.exists(k => k._1 == 3L || k._2 == 3L))
+    // banding is a SCREEN, not a weaker metric: every emitted pair
+    // carries its exact popcount distance
+    pairs.foreach { case ((a, b), d) =>
+      assert(java.lang.Long.bitCount(hm(a) ^ hm(b)) == d)
+    }
+  }
+
   test("decodeImages runs the real codec distributed over synthetic JPEG assets") {
     val docs = Seq((1L, "the quick brown fox"), (2L, "jumps over"), (3L, "lazy dogs"))
       .toDF("doc_id", "text")

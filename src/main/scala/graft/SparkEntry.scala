@@ -1339,6 +1339,43 @@ object SparkEntry {
       .join(hashes, "asset_id")
   }
 
+  /** Transparent MV serving under the oracle
+    * ([[graft.plans.MvAggregateRewrite]]): the builder materializes
+    * `GROUP BY lang, source` aggregates of documents, registers the
+    * view, then issues the NATURAL base-table aggregate — and
+    * REQUIREs that the optimizer served it from the view (the
+    * optimized plan scans the MV parquet and keeps no Aggregate).
+    * The oracle is the plain aggregate over documents: the rewrite
+    * must change the plan, never the answer. */
+  private def mvRewrite(spark: SparkSession, dir: String): DataFrame = {
+    import graft.plans.MvCatalog
+    val src = s"$dir/documents.parquet"
+    val mvPath = tmpArtifactRoot("mvrw", dir) + "/mv"
+    def baseAgg = spark.read.parquet(src).groupBy("lang", "source")
+      .agg(sum(col("n_chars")).as("sum_chars"), count(lit(1)).as("n_docs"))
+    if (!new java.io.File(s"$mvPath/_SUCCESS").exists()) {
+      baseAgg.write.mode("overwrite").parquet(mvPath)
+    }
+    MvCatalog.register(src, Seq("lang", "source"),
+      Seq(("sum", Some("n_chars"), "sum_chars"), ("count", None, "n_docs")), mvPath)
+    val q = baseAgg
+    val opt = q.queryExecution.optimizedPlan
+    val leafPaths = opt.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.map(_.toString)
+          case _ => Seq.empty[String]
+        }
+    }.flatten
+    require(leafPaths.exists(_.contains(mvPath)),
+      s"mv_rewrite: optimizer did not serve the registered view (scans: $leafPaths):\n$opt")
+    require(!opt.exists(_.isInstanceOf[
+      org.apache.spark.sql.catalyst.plans.logical.Aggregate]),
+      s"mv_rewrite: Aggregate survived the rewrite:\n$opt")
+    q
+  }
+
   /** Perceptual-hash image dedup over the REAL codec path
     * ([[graft.multimodal.Multimodal.averageHash]] +
     * [[graft.multimodal.Multimodal.phashNearDups]]): paired PNG
@@ -5225,6 +5262,7 @@ object SparkEntry {
         .toDF()),
     "multimodal_pipeline" -> (multimodalPipeline(_, _)),
     "image_phash" -> (imagePhash(_, _)),
+    "mv_rewrite" -> (mvRewrite(_, _)),
     "sim_topk" -> (simTopK(_, _)),
     // SQ8 scalar quantization: per-dim byte codes on a [min,max] grid
     // (integer micro arithmetic end to end — the PRODUCTION coarse
@@ -9081,6 +9119,13 @@ object SparkEntry {
     // full decode->resize->featurize replay: prefix-XOR via a bit_xor
     // window, nearest-neighbor resize via a list_transform index map,
     // hash over the lowercase hex rendering (DuckDB md5 is VARCHAR-only)
+    // the rewrite must change the plan, never the answer: the oracle
+    // is the natural base-table aggregate
+    "mv_rewrite" ->
+      """SELECT lang, source,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs
+        |FROM documents GROUP BY 1, 2""".stripMargin,
     // perceptual-hash image dedup: PNG is lossless, so the decoded
     // plane is the prefix-XOR of the text bytes tiled to (w, h); the
     // oracle replays resize, floor-mean aHash, pigeonhole bands, and

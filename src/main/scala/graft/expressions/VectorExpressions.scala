@@ -217,5 +217,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
     e.injectOptimizerRule(_ => graft.plans.NativeDotRewrite)
     e.injectOptimizerRule(_ => graft.plans.CastRoundtripSimplify)
+    e.injectOptimizerRule(_ => graft.plans.MvAggregateRewrite)
   }
 }

@@ -1,0 +1,163 @@
+package graft.plans
+
+import java.io.File
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Sum}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+
+/** TRANSPARENT materialized-view serving — the missing half of the
+  * engine's MV story. The maintenance half already exists
+  * (`streaming.MaterializedView`, the `mv_*` incremental updaters);
+  * this is the SERVING half every warehouse pairs with it: a query
+  * that aggregates the base table is rewritten BY THE OPTIMIZER to
+  * scan the pre-aggregated view instead, so the caller keeps writing
+  * the natural query and the 100 TB scan becomes a few thousand MV
+  * rows. Registration is explicit ([[MvCatalog.register]]); matching
+  * is deliberately STRICT (exact dims, exact SUM/COUNT(*) shapes —
+  * a query the MV cannot answer exactly is left untouched); and a
+  * STALENESS GUARD fingerprints the base table's files at rewrite
+  * time, so a stale view silently stops serving rather than serving
+  * wrong rows — the fail-safe direction.
+  *
+  * Scale notes: the guard is one directory listing + sampled-byte
+  * read per MATCHED query plan (the LayoutCache fingerprint — no data
+  * scan), paid only when the plan shape already matches a registered
+  * view. The rewrite itself preserves the Aggregate's output
+  * attribute ids via aliases, so downstream operators re-resolve
+  * against the view scan untouched.
+  */
+object MvCatalog {
+
+  /** One registered view: `dims ++ aggs` name the MV parquet's
+    * columns exactly; `fingerprint` pins the base-table content the
+    * view was built from. */
+  private[graft] case class MvEntry(sourcePath: String, dims: Seq[String],
+                                    aggs: Seq[(String, Option[String], String)],
+                                    mvPath: String, fingerprint: String)
+
+  private val entries = TrieMap.empty[String, MvEntry]
+
+  private[graft] def fingerprintOf(path: String): String = {
+    val f = new File(path)
+    val files =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty[File]).toSeq
+          .filter(x => x.isFile && !x.getName.startsWith(".")).sortBy(_.getName)
+      else Seq(f)
+    graft.sources.LayoutCache.contentFingerprint(files)
+  }
+
+  /** Register `mvPath` (a parquet table with columns `dims ++ agg
+    * output names`) as the materialization of
+    * `SELECT dims, aggs FROM sourcePath GROUP BY dims`.
+    * `aggs` entries: `("sum", Some(measure), outName)` or
+    * `("count", None, outName)` (COUNT(*)). The CURRENT content of
+    * `sourcePath` is fingerprinted — rebuild + re-register after the
+    * base table changes, or the rule stops serving the view. */
+  def register(sourcePath: String, dims: Seq[String],
+               aggs: Seq[(String, Option[String], String)],
+               mvPath: String): Unit = {
+    require(dims.nonEmpty && aggs.nonEmpty, "MvCatalog: need dims and aggs")
+    aggs.foreach {
+      case ("sum", Some(_), _) | ("count", None, _) => ()
+      case other => throw new IllegalArgumentException(
+        s"MvCatalog: unsupported agg spec $other (want (sum, Some(col), name) or (count, None, name))")
+    }
+    entries.put(new File(sourcePath).getAbsolutePath,
+      MvEntry(sourcePath, dims, aggs, mvPath, fingerprintOf(sourcePath)))
+    ()
+  }
+
+  def invalidate(sourcePath: String): Unit = {
+    entries.remove(new File(sourcePath).getAbsolutePath); ()
+  }
+
+  private[graft] def lookup(rootPaths: Seq[String]): Option[MvEntry] =
+    rootPaths match {
+      case Seq(one) => entries.get(new File(one).getAbsolutePath)
+      case _ => None // multi-root scans never match a single-table MV
+    }
+}
+
+object MvAggregateRewrite extends Rule[LogicalPlan] {
+
+  /** The base-table scan under an Aggregate: a bare parquet
+    * LogicalRelation, optionally under the column-pruning Project of
+    * plain attributes the optimizer inserts. */
+  private def scanRoots(plan: LogicalPlan): Option[Seq[String]] = plan match {
+    case lr: LogicalRelation => lr.relation match {
+      case fs: HadoopFsRelation =>
+        Some(fs.location.rootPaths.map(_.toUri.getPath))
+      case _ => None
+    }
+    case Project(projectList, child) if projectList.forall(_.isInstanceOf[AttributeReference]) =>
+      scanRoots(child)
+    case _ => None
+  }
+
+  /** Map one Aggregate output expression onto the MV column that
+    * answers it, or None when the view cannot answer exactly. */
+  private def mvColumnFor(e: NamedExpression, entry: MvCatalog.MvEntry): Option[String] = e match {
+    case a: AttributeReference if entry.dims.contains(a.name) => Some(a.name)
+    case Alias(a: AttributeReference, _) if entry.dims.contains(a.name) => Some(a.name)
+    case Alias(ae: AggregateExpression, name)
+        if !ae.isDistinct && ae.filter.isEmpty =>
+      ae.aggregateFunction match {
+        case s: Sum => s.child match {
+          case m: AttributeReference =>
+            entry.aggs.collectFirst {
+              case ("sum", Some(meas), out) if meas == m.name && out == name => out
+            }
+          case _ => None
+        }
+        case c: Count if c.children.forall(_.isInstanceOf[Literal]) =>
+          entry.aggs.collectFirst { case ("count", None, out) if out == name => out }
+        case _ => None
+      }
+    case _ => None
+  }
+
+  private def groupingNames(groupings: Seq[Expression]): Option[Seq[String]] = {
+    val names = groupings.map {
+      case a: AttributeReference => Some(a.name)
+      case _ => None
+    }
+    if (names.forall(_.isDefined)) Some(names.flatten) else None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case agg @ Aggregate(groupings, aggExprs, child, _) =>
+      val rewritten = for {
+        roots <- scanRoots(child)
+        entry <- MvCatalog.lookup(roots)
+        dims <- groupingNames(groupings)
+        if dims.sorted == entry.dims.sorted
+        cols = aggExprs.map(e => mvColumnFor(e, entry))
+        if cols.forall(_.isDefined)
+        // staleness guard: the base table must still be the content
+        // the view materialized — otherwise fall through to the scan
+        // (slow and right beats fast and wrong)
+        if MvCatalog.fingerprintOf(entry.sourcePath) == entry.fingerprint
+      } yield {
+        val mvPlan = SparkSession.active.read.parquet(entry.mvPath)
+          .queryExecution.analyzed
+        val byName = mvPlan.output.map(a => a.name -> a).toMap
+        // every output must exist in the view with the same type, or
+        // the rewrite would change the query's schema — fall through
+        val mapped = aggExprs.zip(cols.map(_.get)).map { case (orig, mv) =>
+          byName.get(mv).filter(_.dataType == orig.dataType).map { attr =>
+            Alias(attr, orig.name)(exprId = orig.exprId)
+          }
+        }
+        if (mapped.forall(_.isDefined)) Project(mapped.map(_.get), mvPlan)
+        else agg
+      }
+      rewritten.getOrElse(agg)
+  }
+}

@@ -1,0 +1,128 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions._
+
+import graft.plans.MvCatalog
+
+class MvRewriteSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def scanPaths(df: DataFrame): Seq[String] =
+    df.queryExecution.optimizedPlan.collect {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toString)
+        case _ => Seq.empty[String]
+      }
+    }.flatten
+
+  private def hasAggregate(df: DataFrame): Boolean =
+    df.queryExecution.optimizedPlan.exists(_.isInstanceOf[Aggregate])
+
+  private def fixture(): (String, String) = {
+    val base = Files.createTempDirectory("graft_mvrw").toString
+    val src = s"$base/src"
+    val mv = s"$base/mv"
+    Seq(("en", "web", 10L, 1.5), ("en", "web", 20L, 2.5), ("en", "book", 5L, 0.5),
+      ("de", "web", 7L, 3.0), ("de", "book", 11L, 1.0))
+      .toDF("lang", "source", "n", "score").write.parquet(src)
+    spark.read.parquet(src).groupBy("lang", "source")
+      .agg(sum(col("n")).as("sum_n"), count(lit(1)).as("cnt"))
+      .write.parquet(mv)
+    (src, mv)
+  }
+
+  test("a registered view serves the matching aggregate transparently, answer unchanged") {
+    val (src, mv) = fixture()
+    def q = spark.read.parquet(src).groupBy("lang", "source")
+      .agg(sum(col("n")).as("sum_n"), count(lit(1)).as("cnt"))
+    val direct = q.collect().map(r =>
+      (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    MvCatalog.register(src, Seq("lang", "source"),
+      Seq(("sum", Some("n"), "sum_n"), ("count", None, "cnt")), mv)
+    try {
+      val served = q
+      assert(scanPaths(served).exists(_.contains(mv)), "view not served")
+      assert(!hasAggregate(served), "Aggregate survived")
+      val got = served.collect().map(r =>
+        (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+      assert(got == direct, "the rewrite changed the answer")
+      // dims may come back in any grouping order
+      val flipped = spark.read.parquet(src).groupBy("source", "lang")
+        .agg(sum(col("n")).as("sum_n"), count(lit(1)).as("cnt"))
+      assert(scanPaths(flipped).exists(_.contains(mv)))
+    } finally MvCatalog.invalidate(src)
+  }
+
+  test("queries the view cannot answer exactly are left untouched") {
+    val (src, mv) = fixture()
+    MvCatalog.register(src, Seq("lang", "source"),
+      Seq(("sum", Some("n"), "sum_n"), ("count", None, "cnt")), mv)
+    try {
+      // different dims
+      val byLang = spark.read.parquet(src).groupBy("lang")
+        .agg(sum(col("n")).as("sum_n"))
+      assert(!scanPaths(byLang).exists(_.contains(mv)) && hasAggregate(byLang))
+      // an aggregate the view does not carry
+      val withAvg = spark.read.parquet(src).groupBy("lang", "source")
+        .agg(sum(col("n")).as("sum_n"), avg(col("n")).as("a"))
+      assert(!scanPaths(withAvg).exists(_.contains(mv)) && hasAggregate(withAvg))
+      // a sum over a different measure
+      val otherSum = spark.read.parquet(src).groupBy("lang", "source")
+        .agg(sum(col("score")).as("sum_n"))
+      assert(!scanPaths(otherSum).exists(_.contains(mv)) && hasAggregate(otherSum))
+      // DISTINCT changes semantics — never served
+      val dist = spark.read.parquet(src).groupBy("lang", "source")
+        .agg(sum_distinct(col("n")).as("sum_n"), count(lit(1)).as("cnt"))
+      assert(!scanPaths(dist).exists(_.contains(mv)) && hasAggregate(dist))
+      // a filtered scan is not the registered shape
+      val filtered = spark.read.parquet(src).filter(col("n") > 5)
+        .groupBy("lang", "source")
+        .agg(sum(col("n")).as("sum_n"), count(lit(1)).as("cnt"))
+      assert(!scanPaths(filtered).exists(_.contains(mv)) && hasAggregate(filtered))
+    } finally MvCatalog.invalidate(src)
+  }
+
+  test("staleness guard: a changed base table stops serving the view — fail-safe, not fail-wrong") {
+    val (src, mv) = fixture()
+    def q = spark.read.parquet(src).groupBy("lang", "source")
+      .agg(sum(col("n")).as("sum_n"), count(lit(1)).as("cnt"))
+    MvCatalog.register(src, Seq("lang", "source"),
+      Seq(("sum", Some("n"), "sum_n"), ("count", None, "cnt")), mv)
+    try {
+      assert(scanPaths(q).exists(_.contains(mv)))
+      // the base table moves: append one more row
+      Seq(("fr", "web", 99L, 9.9)).toDF("lang", "source", "n", "score")
+        .write.mode("append").parquet(src)
+      val after = q
+      assert(!scanPaths(after).exists(_.contains(mv)),
+        "stale view must not serve")
+      assert(hasAggregate(after))
+      // and the answer reflects the NEW data
+      assert(after.filter(col("lang") === "fr").count() == 1)
+      // re-register after rebuild → serves again
+      spark.read.parquet(src).groupBy("lang", "source")
+        .agg(sum(col("n")).as("sum_n"), count(lit(1)).as("cnt"))
+        .write.mode("overwrite").parquet(mv)
+      MvCatalog.register(src, Seq("lang", "source"),
+        Seq(("sum", Some("n"), "sum_n"), ("count", None, "cnt")), mv)
+      assert(scanPaths(q).exists(_.contains(mv)))
+      assert(q.filter(col("lang") === "fr").count() == 1)
+    } finally MvCatalog.invalidate(src)
+  }
+
+  test("unregistered tables and malformed registrations never engage") {
+    val (src, mv) = fixture()
+    val q = spark.read.parquet(src).groupBy("lang", "source")
+      .agg(sum(col("n")).as("sum_n"))
+    assert(!scanPaths(q).exists(_.contains(mv)) && hasAggregate(q))
+    intercept[IllegalArgumentException] {
+      MvCatalog.register(src, Seq("lang"), Seq(("avg", Some("n"), "a")), mv)
+    }
+    ()
+  }
+}

@@ -1339,6 +1339,62 @@ object SparkEntry {
       .join(hashes, "asset_id")
   }
 
+  /** Integer Naive Bayes classifier under the oracle
+    * ([[graft.functions.TextFunctions.nbClassify]]): self-attribution
+    * of every document to its most probable `source` — train and
+    * serve in one statement, every probability a fixed-point integer,
+    * so the oracle replays counts, smoothing, all three 16-step log2
+    * chains (term costs, per-label defaults, priors) and the argmin. */
+  private def nbClassifyQ(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    TextFunctions.nbClassify(docs, docs)
+  }
+
+  private def nbSql: String = {
+    def lg(tag: String, keys: String, src: String): String =
+      (Seq(s"""nlg_${tag}_0 AS (
+         |  SELECT $keys, p, CAST(length(bin(p)) - 1 AS BIGINT) AS msb,
+         |    (CAST(p AS BIGINT) << 20) >> (length(bin(p)) - 1) AS x, CAST(0 AS BIGINT) AS acc
+         |  FROM $src)""".stripMargin) ++
+        (1 to 16).map(i => s"""nlg_${tag}_$i AS (
+         |  SELECT $keys, p, msb,
+         |    CASE WHEN ((x*x) >> 20) >= 2097152 THEN ((x*x) >> 20) >> 1 ELSE (x*x) >> 20 END AS x,
+         |    CASE WHEN ((x*x) >> 20) >= 2097152 THEN acc*2+1 ELSE acc*2 END AS acc
+         |  FROM nlg_${tag}_${i - 1})""".stripMargin) :+
+        s"""ncost_$tag AS MATERIALIZED (
+         |  SELECT $keys, CAST(26*65536 - (msb*65536 + acc) AS BIGINT) AS cost
+         |  FROM nlg_${tag}_16)""".stripMargin).mkString(",\n")
+    s"""WITH tkf AS MATERIALIZED (
+       |  SELECT doc_id, source AS label, sym FROM (
+       |    SELECT doc_id, source, unnest($toksSql) AS sym FROM documents)
+       |  WHERE sym <> ''),
+       |cnt AS MATERIALIZED (
+       |  SELECT label, sym, CAST(COUNT(*) AS BIGINT) AS c FROM tkf GROUP BY 1, 2),
+       |lt AS (SELECT label, CAST(SUM(c) AS BIGINT) AS t FROM cnt GROUP BY 1),
+       |vs AS (SELECT CAST(COUNT(DISTINCT sym) AS BIGINT) AS v FROM cnt),
+       |mp AS (SELECT cnt.label, cnt.sym, ((c + 1) * 1000000) // (t + v) AS p
+       |       FROM cnt JOIN lt USING (label), vs),
+       |${lg("m", "label, sym", "mp")},
+       |dp AS (SELECT label, 1000000 // (t + v) AS p FROM lt, vs),
+       |${lg("d", "label", "dp")},
+       |nd AS (SELECT source AS label, CAST(COUNT(*) AS BIGINT) AS n
+       |       FROM documents GROUP BY 1),
+       |ns AS (SELECT CAST(SUM(n) AS BIGINT) AS nn, CAST(COUNT(*) AS BIGINT) AS l FROM nd),
+       |pp AS (SELECT label, ((n + 1) * 1000000) // (nn + l) AS p FROM nd, ns),
+       |${lg("p", "label", "pp")},
+       |tfq AS MATERIALIZED (
+       |  SELECT doc_id, sym, CAST(COUNT(*) AS BIGINT) AS tf FROM tkf GROUP BY 1, 2),
+       |x AS (SELECT q.doc_id, d.label, q.tf, COALESCE(m.cost, d.cost) AS cost
+       |      FROM tfq q CROSS JOIN ncost_d d
+       |      LEFT JOIN ncost_m m ON m.label = d.label AND m.sym = q.sym),
+       |tot AS (SELECT x.doc_id, x.label, p.cost + SUM(tf * x.cost) AS total
+       |        FROM x JOIN ncost_p p ON p.label = x.label GROUP BY 1, 2, p.cost)
+       |SELECT doc_id, label AS pred_label, CAST(total AS BIGINT) AS cost_fp
+       |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+       |        ORDER BY total ASC, label ASC) AS rn FROM tot)
+       |WHERE rn = 1""".stripMargin
+  }
+
   /** Transparent MV serving under the oracle
     * ([[graft.plans.MvAggregateRewrite]]): the builder materializes
     * `GROUP BY lang, source` aggregates of documents, registers the
@@ -5263,6 +5319,7 @@ object SparkEntry {
     "multimodal_pipeline" -> (multimodalPipeline(_, _)),
     "image_phash" -> (imagePhash(_, _)),
     "mv_rewrite" -> (mvRewrite(_, _)),
+    "nb_classify" -> (nbClassifyQ(_, _)),
     "sim_topk" -> (simTopK(_, _)),
     // SQ8 scalar quantization: per-dim byte codes on a [min,max] grid
     // (integer micro arithmetic end to end — the PRODUCTION coarse
@@ -9119,6 +9176,9 @@ object SparkEntry {
     // full decode->resize->featurize replay: prefix-XOR via a bit_xor
     // window, nearest-neighbor resize via a list_transform index map,
     // hash over the lowercase hex rendering (DuckDB md5 is VARCHAR-only)
+    // integer NB: counts, smoothing, three log2 chains, argmin — the
+    // full train-and-serve replay
+    "nb_classify" -> nbSql,
     // the rewrite must change the plan, never the answer: the oracle
     // is the natural base-table aggregate
     "mv_rewrite" ->

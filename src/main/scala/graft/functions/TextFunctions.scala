@@ -898,6 +898,77 @@ object TextFunctions {
         round(col("__score"), 9).as("score"): _*)
   }
 
+  /** Multinomial Naive Bayes text classifier, trained AND served in
+    * exact integer fixed point (McCallum & Nigam, AAAI-98 workshop —
+    * the event model fastText-class data-curation classifiers reduce
+    * to at their simplest) — the TRAINABLE half of the corpus
+    * curation tier: domain/source attribution, quality-proxy
+    * classification, contamination triage. Every production LLM data
+    * pipeline trains such a classifier on labeled seed data and
+    * scores the crawl with it.
+    *
+    * Training: per-(label, term) counts, add-one smoothing, and
+    * per-term costs `26·2^16 − ilog2fp16((c+1)·1e6 div (T_l + V))` —
+    * the unigram trainer's fixed-point log2 convention, so the whole
+    * model is integer and any engine replays it bit-for-bit. The
+    * model stays SPARSE (observed (label, term) pairs only, never the
+    * dense label × vocab cross): unseen-in-label terms score the
+    * label's closed-form default cost (c = 0) at serve time.
+    *
+    * Serving: per-doc term frequencies cross the (tiny, broadcast)
+    * label list, left-join the sparse cost table on (label, term),
+    * and the per-(doc, label) total is `prior_cost + Σ tf·cost` — an
+    * integer sum, order-free. Prediction = the minimum-cost label,
+    * ties to the lexicographically smaller. Unknown terms (absent
+    * from the training vocabulary) drop — the standard open-vocab
+    * rule.
+    *
+    * Scale shape: training is one (label, term) aggregate; scoring
+    * shuffles (doc, term, tf) × |labels| narrow rows and joins the
+    * sparse model on (label, term) — text never crosses an exchange,
+    * and the only broadcast is |labels| rows of stats. Returns
+    * (doc_id, pred_label, cost_fp). */
+  def nbClassify(train: org.apache.spark.sql.DataFrame,
+                 score: org.apache.spark.sql.DataFrame,
+                 textCol: String = "text", labelCol: String = "source",
+                 idCol: String = "doc_id"): org.apache.spark.sql.DataFrame = {
+    val toks = train.select(col(labelCol).as("label"),
+        explode(tokens(col(textCol))).as("sym"))
+      .filter(length(col("sym")) > 0)
+    val cnt = toks.groupBy(col("label"), col("sym")).agg(count(lit(1)).as("c"))
+    val lt = cnt.groupBy(col("label")).agg(sum(col("c")).as("t"))
+    val vs = cnt.select(col("sym")).distinct().agg(count(lit(1)).as("v"))
+    // sparse per-(label, term) costs under add-one smoothing
+    val model = cnt.join(lt, "label").crossJoin(broadcast(vs))
+      .withColumn("p", expr("((c + 1) * 1000000) div (t + v)"))
+      .select(col("label"), col("sym"),
+        (lit(26L * 65536L) - ilog2Fp16(col("p"))).as("cost"))
+    // per-label serve-time stats: the c = 0 default cost and the
+    // smoothed document prior — |labels| rows, broadcastable
+    val nd = train.groupBy(col(labelCol).as("label")).agg(count(lit(1)).as("n"))
+    val ns = nd.agg(sum(col("n")).as("nn"), count(lit(1)).as("l"))
+    val stats = lt.join(nd, "label").crossJoin(broadcast(vs)).crossJoin(broadcast(ns))
+      .withColumn("p0", expr("1000000 div (t + v)"))
+      .withColumn("pp", expr("((n + 1) * 1000000) div (nn + l)"))
+      .select(col("label"),
+        (lit(26L * 65536L) - ilog2Fp16(col("p0"))).as("default_cost"),
+        (lit(26L * 65536L) - ilog2Fp16(col("pp"))).as("prior_cost"))
+    val tf = score.select(col(idCol).as("doc_id"),
+        explode(tokens(col(textCol))).as("sym"))
+      .filter(length(col("sym")) > 0)
+      .groupBy(col("doc_id"), col("sym")).agg(count(lit(1)).as("tf"))
+    tf.crossJoin(broadcast(stats))
+      .join(model, Seq("label", "sym"), "left")
+      .groupBy(col("doc_id"), col("label"))
+      .agg((first(col("prior_cost")) +
+        sum(col("tf") * coalesce(col("cost"), col("default_cost")))).as("total"))
+      .groupBy(col("doc_id"))
+      .agg(min_by(struct(col("label"), col("total")),
+        struct(col("total"), col("label"))).as("best"))
+      .select(col("doc_id"), col("best.label").as("pred_label"),
+        col("best.total").as("cost_fp"))
+  }
+
   /** Corpus-trained bigram-LM quality score — the CCNet-style signal
     * "how surprising is this document under a language model of the
     * corpus itself". MLE bigram probabilities p(w₂|w₁) =

@@ -712,4 +712,36 @@ class RankingLmSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(3)))
     assert(out.toSeq == Seq((3L, 1L), (9L, 2L), (4L, 3L)))
   }
+
+  test("nbClassify: separable labels recover, blends follow evidence, unknown-only docs fall to the deterministic prior path") {
+    import spark.implicits._
+    import graft.functions.TextFunctions
+    val train = Seq(
+      (1L, "x x x", "a"), (2L, "x y", "a"),
+      (3L, "z z", "b"), (4L, "z w", "b"))
+      .toDF("doc_id", "text", "source")
+    val score = Seq(
+      (10L, "x x"),     // pure label-a evidence
+      (11L, "z"),       // pure label-b evidence
+      (12L, "x z z"),   // b-dominant blend
+      (13L, "q"))       // unknown term only — prior + default decide
+      .toDF("doc_id", "text").withColumn("source", org.apache.spark.sql.functions.lit("?"))
+    val got = TextFunctions.nbClassify(train, score)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(10L) == "a", s"got $got")
+    assert(got(11L) == "b", s"got $got")
+    assert(got(12L) == "b", s"got $got")
+    assert(got.contains(13L)) // deterministic, engine-defined below
+    // exact arithmetic: identical under repartitioning — including
+    // the unknown-only doc's tie-path decision
+    val got2 = TextFunctions.nbClassify(
+      train.repartition(3), score.repartition(2))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == got2, "nbClassify changed under repartitioning")
+    // self-classification on the training set recovers every label
+    // (fully separable vocabularies)
+    val self = TextFunctions.nbClassify(train, train)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(self == Map(1L -> "a", 2L -> "a", 3L -> "b", 4L -> "b"), s"got $self")
+  }
 }

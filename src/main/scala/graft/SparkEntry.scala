@@ -3266,6 +3266,42 @@ object SparkEntry {
     TxnLog.read(spark, root).select("doc_id", "source", "n_chars")
   }
 
+  /** Partition-scoped compaction under the oracle
+    * ([[graft.sources.TxnLog.compactWhere]] — the `OPTIMIZE ...
+    * WHERE` shape): six range-disjoint micro-appends with stats, a
+    * merge-on-read delete inside the hot range, then a compact
+    * SCOPED to that range — cold dirs must carry by reference, the
+    * scoped rewrite materializes the tombstone, collects stats (so
+    * re-runs no-op — asserted on every execution), and the final
+    * snapshot is content-identical to the source minus the deleted
+    * residue. */
+  private def txnlogCompactWhere(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.TxnLog
+    val root = tmpArtifactRoot("txncw", dir)
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    if (TxnLog.latestVersion(spark, root) < 7L) {
+      (0 until 5).foreach { i =>
+        TxnLog.append(docs.filter(col("doc_id") >= i * 50L &&
+          col("doc_id") < (i + 1) * 50L), root, Some(s"cw$i"),
+          collectStats = true); ()
+      }
+      TxnLog.append(docs.filter(col("doc_id") >= 250L), root, Some("cw5"),
+        collectStats = true)
+      TxnLog.deleteMor(spark, root,
+        col("doc_id") % 10 === 3 && col("doc_id") < 140L, Some("cw-del"))
+      val v = TxnLog.compactWhere(spark, root, "doc_id", 0L, 140L)
+      require(v == 7L, s"txnlog_compact_where: expected version 7, got $v")
+      ()
+    }
+    // idempotence is part of the contract: a re-run of the same scope
+    // must mint nothing (the rewrite carried stats)
+    val latest = TxnLog.latestVersion(spark, root)
+    require(TxnLog.compactWhere(spark, root, "doc_id", 0L, 140L) == latest,
+      "txnlog_compact_where: scoped re-run minted a version")
+    TxnLog.read(spark, root).select("doc_id", "source", "n_chars")
+  }
+
   /** ZERO-COPY SHALLOW CLONE under the oracle
     * ([[graft.sources.TxnLog.cloneTable]]): a two-commit source table
     * is cloned (one metadata write, zero data bytes), then the clone
@@ -4385,6 +4421,7 @@ object SparkEntry {
     "txnlog_checked" -> (txnlogChecked(_, _)),
     "txnlog_restore" -> (txnlogRestore(_, _)),
     "txnlog_clone" -> (txnlogClone(_, _)),
+    "txnlog_compact_where" -> (txnlogCompactWhere(_, _)),
     "txnlog_compact" -> (txnlogCompact(_, _)),
     "txnlog_skipping" -> (txnlogSkipping(_, _)),
     "txnlog_rename" -> (txnlogRename(_, _)),
@@ -8463,6 +8500,12 @@ object SparkEntry {
     // minus the deleted residue, not one row moved or duplicated
     "txnlog_compact" ->
       "SELECT doc_id, source, n_chars FROM documents WHERE doc_id % 10 <> 3",
+    // scoped compaction: identical law, scoped to the hot range — the
+    // cold dirs ride by reference and only the in-scope tombstone
+    // materializes
+    "txnlog_compact_where" ->
+      """SELECT doc_id, source, n_chars FROM documents
+        |WHERE NOT (doc_id % 10 = 3 AND doc_id < 140)""".stripMargin,
     // the fast path and the scan must agree: both are count(documents)
     "txnlog_fastcount" ->
       "SELECT count(*) AS n_rows_meta, count(*) AS n_rows_scan FROM documents",

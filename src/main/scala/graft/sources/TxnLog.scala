@@ -548,6 +548,51 @@ object TxnLog {
       expectedLatest = Some(expected), partitionBy = layout)
   }
 
+  /** PARTITION-SCOPED compaction — the Delta `OPTIMIZE ... WHERE`
+    * shape: rewrite only the snapshot dirs whose manifest stats admit
+    * rows in `[lo, hi]` of `column`, leaving every other dir in the
+    * manifest BY REFERENCE. At 100 TB this is how compaction actually
+    * runs — the hot recent partition gets optimized on a cadence, the
+    * cold petabytes are never touched. Selection uses the same
+    * conservative pruning laws as [[readWhere]] (stat-blind dirs are
+    * selected — never wrongly excluded), the rewrite carries the
+    * affected dirs' physical layout, and deletion vectors scoped to
+    * rewritten dirs materialize away exactly as in [[compact]].
+    *
+    * Idempotent by construction: the scope must span at least TWO
+    * dirs to mint a version (a freshly scoped-compacted range sits in
+    * one dir, so a re-run no-ops and an advisory cadence never
+    * flaps); single-dir small-FILE problems are [[compact]]/
+    * [[maintain]]'s whole-table job. Returns the committed version
+    * (or the current one when nothing minted). */
+  def compactWhere(spark: SparkSession, root: String, column: String,
+                   lo: Any, hi: Any,
+                   targetBytes: Long = 128L * 1024 * 1024): Long = {
+    require(targetBytes > 0, s"need targetBytes > 0, got $targetBytes")
+    val expected = latestVersion(spark, root)
+    val (affected, untouched, snap) =
+      pruneDirs(spark, root, column, lo, hi, Some(expected))
+    require(snap.nonEmpty, s"TxnLog: nothing to compact at $root")
+    if (affected.size <= 1) return expected
+    val m = manifestAt(spark, root, Some(expected))
+    val current = affected.sorted
+      .map(d => dirFrame(spark, root, d, m))
+      .reduce(_.unionByName(_, allowMissingColumns = true))
+    val fs = fileSystem(spark, root)
+    val bytes = affected.map(d =>
+      fs.getContentSummary(new Path(dataPath(root, d))).getLength).sum
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    // stats on the rewrite are LOAD-BEARING here (unlike [[compact]],
+    // whose whole-table rewrite is never re-selected): a stat-blind
+    // merged dir would be conservatively re-admitted by EVERY later
+    // scope and the cadence would rewrite it forever
+    commit(current.coalesce(nFiles), root, "replace", None,
+      expectedLatest = Some(expected),
+      replaceBase = Some(untouched),
+      partitionBy = layoutOf(spark, root, affected.toSet),
+      collectStats = true)
+  }
+
   /** Small-file compaction advisor — the monitoring→action half of
     * [[compact]], mirroring `IvfIndex.rebuildAdvice`: a long-lived
     * append table accumulates one small data dir per micro-batch

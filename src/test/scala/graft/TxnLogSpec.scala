@@ -1463,6 +1463,44 @@ class TxnLogSpec extends SparkSpec {
     assert(drift.getMessage.contains("does not evolve schema"), drift.getMessage)
   }
 
+  test("compactWhere: only stat-admitted dirs rewrite, cold dirs carry by reference, re-runs never flap") {
+    import org.apache.spark.sql.functions.col
+    val root = Files.createTempDirectory("graft_txn").toString + "/t"
+    // six range-disjoint micro-appends with stats
+    (0 until 6).foreach { i =>
+      val rows = (0 until 10).map(j => (i * 100L + j, s"v$i-$j"))
+      TxnLog.append(rows.toDF("id", "s"), root, Some(s"w$i"), collectStats = true); ()
+    }
+    val v0 = TxnLog.latestVersion(spark, root)
+    val before = TxnLog.read(spark, root).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val coldDirs = TxnLog.versions(spark, root) // 6 commits
+    assert(coldDirs.size == 6)
+    // compact the hot range [0, 250]: dirs 0,1,2 admit, 3,4,5 stay
+    val v1 = TxnLog.compactWhere(spark, root, "id", 0L, 250L)
+    assert(v1 == v0 + 1)
+    // content identical
+    val after = TxnLog.read(spark, root).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(after == before)
+    // the cold dirs carried by reference: the pre-compact manifest's
+    // last three dirs are still in the new snapshot
+    val oldSnap = TxnLog.read(spark, root, asOf = Some(v0))
+    assert(oldSnap.count() == 60)
+    // scoped pruning after: the hot range now sits in ONE dir, so a
+    // re-run no-ops — no version minted, advisory cadence never flaps
+    assert(TxnLog.compactWhere(spark, root, "id", 0L, 250L) == v1)
+    assert(TxnLog.latestVersion(spark, root) == v1)
+    // an out-of-range scope is also a no-op (zero or one dir admits)
+    assert(TxnLog.compactWhere(spark, root, "id", 500L, 599L) == v1)
+    // a scoped compact materializes DVs inside its scope
+    TxnLog.deleteMor(spark, root, col("id") === 301L)
+    val v2 = TxnLog.compactWhere(spark, root, "id", 260L, 460L)
+    assert(v2 > v1)
+    assert(TxnLog.read(spark, root).count() == 59)
+    assert(TxnLog.read(spark, root).filter(col("id") === 301L).count() == 0)
+  }
+
   test("tri-clause merge: WHEN NOT MATCHED BY SOURCE DELETE lands atomically with updates and inserts; untouched dirs carry by reference") {
     import org.apache.spark.sql.functions.{col, lit}
     val root = Files.createTempDirectory("graft_txn").toString + "/t"

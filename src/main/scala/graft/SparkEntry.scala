@@ -1432,6 +1432,49 @@ object SparkEntry {
     q
   }
 
+  /** Transparent MV serving over a TxnLog table
+    * ([[graft.plans.MvCatalog.registerGraft]]): same contract as
+    * `mv_rewrite`, but the base table is `format("graft")` and the
+    * staleness pin is the committed VERSION — the rewrite-time guard
+    * is one O(1) manifest-name listing, the shape the check must take
+    * at 100 TB. The builder proves the serve the same way (view
+    * scanned, no Aggregate). */
+  private def mvRewriteGraft(spark: SparkSession, dir: String): DataFrame = {
+    import graft.plans.MvCatalog
+    import graft.sources.TxnLog
+    val root = tmpArtifactRoot("mvrwg", dir)
+    val mvPath = tmpArtifactRoot("mvrwgv", dir) + "/mv"
+    if (TxnLog.latestVersion(spark, root) < 0L) {
+      TxnLog.overwrite(Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars")),
+        root, Some("mv0"))
+      ()
+    }
+    def baseAgg = spark.read.format("graft").load(root).groupBy("lang", "source")
+      .agg(sum(col("n_chars")).as("sum_chars"), count(lit(1)).as("n_docs"))
+    if (!new java.io.File(s"$mvPath/_SUCCESS").exists()) {
+      baseAgg.write.mode("overwrite").parquet(mvPath)
+    }
+    MvCatalog.registerGraft(spark, root, Seq("lang", "source"),
+      Seq(("sum", Some("n_chars"), "sum_chars"), ("count", None, "n_docs")), mvPath)
+    val q = baseAgg
+    val opt = q.queryExecution.optimizedPlan
+    val leafPaths = opt.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.map(_.toString)
+          case _ => Seq.empty[String]
+        }
+    }.flatten
+    require(leafPaths.exists(_.contains(mvPath)),
+      s"mv_rewrite_graft: optimizer did not serve the view (scans: $leafPaths):\n$opt")
+    require(!opt.exists(_.isInstanceOf[
+      org.apache.spark.sql.catalyst.plans.logical.Aggregate]),
+      s"mv_rewrite_graft: Aggregate survived the rewrite:\n$opt")
+    q
+  }
+
   /** Perceptual-hash image dedup over the REAL codec path
     * ([[graft.multimodal.Multimodal.averageHash]] +
     * [[graft.multimodal.Multimodal.phashNearDups]]): paired PNG
@@ -5356,6 +5399,7 @@ object SparkEntry {
     "multimodal_pipeline" -> (multimodalPipeline(_, _)),
     "image_phash" -> (imagePhash(_, _)),
     "mv_rewrite" -> (mvRewrite(_, _)),
+    "mv_rewrite_graft" -> (mvRewriteGraft(_, _)),
     "nb_classify" -> (nbClassifyQ(_, _)),
     "sim_topk" -> (simTopK(_, _)),
     // SQ8 scalar quantization: per-dim byte codes on a [min,max] grid
@@ -9225,6 +9269,13 @@ object SparkEntry {
     // the rewrite must change the plan, never the answer: the oracle
     // is the natural base-table aggregate
     "mv_rewrite" ->
+      """SELECT lang, source,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs
+        |FROM documents GROUP BY 1, 2""".stripMargin,
+    // same law over the TxnLog-backed base table: the O(1)-guarded
+    // view serve changes the plan, never the answer
+    "mv_rewrite_graft" ->
       """SELECT lang, source,
         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
         |  CAST(COUNT(*) AS BIGINT) AS n_docs

@@ -36,10 +36,15 @@ object MvCatalog {
 
   /** One registered view: `dims ++ aggs` name the MV parquet's
     * columns exactly; `fingerprint` pins the base-table content the
-    * view was built from. */
+    * view was built from — a sampled file fingerprint for plain
+    * parquet sources (`kind = "files"`), the table VERSION for
+    * TxnLog-backed `format("graft")` sources (`kind = "graft"`, where
+    * the guard is one O(1) manifest-name listing — the shape this
+    * check must take on a 100 TB table). */
   private[graft] case class MvEntry(sourcePath: String, dims: Seq[String],
                                     aggs: Seq[(String, Option[String], String)],
-                                    mvPath: String, fingerprint: String)
+                                    mvPath: String, fingerprint: String,
+                                    kind: String = "files")
 
   private val entries = TrieMap.empty[String, MvEntry]
 
@@ -74,12 +79,46 @@ object MvCatalog {
     ()
   }
 
+  /** Register a view over a TxnLog-backed `format("graft")` table:
+    * same contract as [[register]], but the staleness pin is the
+    * table's committed VERSION — the rewrite-time guard is one
+    * manifest-name listing instead of a file fingerprint, so it costs
+    * the same at 100 TB as at 100 MB. Rebuild + re-register after the
+    * table commits, or the rule stops serving. */
+  def registerGraft(spark: org.apache.spark.sql.SparkSession, root: String,
+                    dims: Seq[String],
+                    aggs: Seq[(String, Option[String], String)],
+                    mvPath: String): Unit = {
+    require(dims.nonEmpty && aggs.nonEmpty, "MvCatalog: need dims and aggs")
+    aggs.foreach {
+      case ("sum", Some(_), _) | ("count", None, _) => ()
+      case other => throw new IllegalArgumentException(
+        s"MvCatalog: unsupported agg spec $other (want (sum, Some(col), name) or (count, None, name))")
+    }
+    val v = graft.sources.TxnLog.latestVersion(spark, root)
+    require(v >= 0L, s"MvCatalog: no graft table at $root")
+    entries.put("graft:" + new File(root).getAbsolutePath,
+      MvEntry(root, dims, aggs, mvPath, v.toString, kind = "graft"))
+    ()
+  }
+
   def invalidate(sourcePath: String): Unit = {
-    entries.remove(new File(sourcePath).getAbsolutePath); ()
+    entries.remove(new File(sourcePath).getAbsolutePath)
+    entries.remove("graft:" + new File(sourcePath).getAbsolutePath); ()
+  }
+
+  /** Is the registered base-table content still what the view
+    * materialized? Files → sampled fingerprint; graft → one O(1)
+    * version listing. */
+  private[graft] def fresh(entry: MvEntry): Boolean = entry.kind match {
+    case "graft" => graft.sources.TxnLog.latestVersion(
+      SparkSession.active, entry.sourcePath).toString == entry.fingerprint
+    case _ => fingerprintOf(entry.sourcePath) == entry.fingerprint
   }
 
   private[graft] def lookup(rootPaths: Seq[String]): Option[MvEntry] =
     rootPaths match {
+      case Seq(one) if one.startsWith("graft:") => entries.get(one)
       case Seq(one) => entries.get(new File(one).getAbsolutePath)
       case _ => None // multi-root scans never match a single-table MV
     }
@@ -94,6 +133,8 @@ object MvAggregateRewrite extends Rule[LogicalPlan] {
     case lr: LogicalRelation => lr.relation match {
       case fs: HadoopFsRelation =>
         Some(fs.location.rootPaths.map(_.toUri.getPath))
+      case g: graft.sources.GraftRelation if g.pinnedAsOf.isEmpty =>
+        Some(Seq("graft:" + new File(g.tableRoot).getAbsolutePath))
       case _ => None
     }
     case Project(projectList, child) if projectList.forall(_.isInstanceOf[AttributeReference]) =>
@@ -143,7 +184,7 @@ object MvAggregateRewrite extends Rule[LogicalPlan] {
         // staleness guard: the base table must still be the content
         // the view materialized — otherwise fall through to the scan
         // (slow and right beats fast and wrong)
-        if MvCatalog.fingerprintOf(entry.sourcePath) == entry.fingerprint
+        if MvCatalog.fresh(entry)
       } yield {
         val mvPlan = SparkSession.active.read.parquet(entry.mvPath)
           .queryExecution.analyzed

@@ -219,6 +219,12 @@ class GraftRelation(override val sqlContext: SQLContext, root: String,
 
   private def spark: SparkSession = sqlContext.sparkSession
 
+  /** The table root and version pin, for metadata consumers (the MV
+    * rewrite rule keys registrations on the root and refuses pinned
+    * time-travel relations). */
+  private[graft] def tableRoot: String = root
+  private[graft] def pinnedAsOf: Option[Long] = asOf
+
   override val schema: StructType = TxnLog.read(spark, root, asOf).schema
 
   /** On-disk snapshot bytes × a conservative parquet-decode factor —

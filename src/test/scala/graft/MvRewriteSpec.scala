@@ -115,6 +115,42 @@ class MvRewriteSpec extends SparkSpec {
     } finally MvCatalog.invalidate(src)
   }
 
+  test("graft-table views: O(1) version guard serves, any commit un-serves, re-register after refresh serves again") {
+    import graft.sources.TxnLog
+    val base = Files.createTempDirectory("graft_mvrw").toString
+    val root = s"$base/t"
+    val mv = s"$base/mv"
+    TxnLog.append(Seq(("en", 10L), ("en", 20L), ("de", 7L))
+      .toDF("lang", "n"), root)
+    def q = spark.read.format("graft").load(root).groupBy("lang")
+      .agg(sum(col("n")).as("sum_n"), count(lit(1)).as("cnt"))
+    q.write.parquet(mv)
+    MvCatalog.registerGraft(spark, root, Seq("lang"),
+      Seq(("sum", Some("n"), "sum_n"), ("count", None, "cnt")), mv)
+    try {
+      assert(scanPaths(q).exists(_.contains(mv)), "graft view not served")
+      assert(!hasAggregate(q))
+      assert(q.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet ==
+        Set(("en", 30L, 2L), ("de", 7L, 1L)))
+      // a time-travel read must NEVER serve the (current-version) view
+      val pinned = spark.read.format("graft").option("versionAsOf", "0")
+        .load(root).groupBy("lang")
+        .agg(sum(col("n")).as("sum_n"), count(lit(1)).as("cnt"))
+      assert(!scanPaths(pinned).exists(_.contains(mv)) && hasAggregate(pinned))
+      // any commit bumps the version: the guard un-serves immediately
+      TxnLog.append(Seq(("fr", 99L)).toDF("lang", "n"), root)
+      val after = q
+      assert(!scanPaths(after).exists(_.contains(mv)) && hasAggregate(after))
+      assert(after.filter(col("lang") === "fr").count() == 1)
+      // refresh + re-register → serves the new content
+      after.write.mode("overwrite").parquet(mv)
+      MvCatalog.registerGraft(spark, root, Seq("lang"),
+        Seq(("sum", Some("n"), "sum_n"), ("count", None, "cnt")), mv)
+      assert(scanPaths(q).exists(_.contains(mv)))
+      assert(q.filter(col("lang") === "fr").count() == 1)
+    } finally MvCatalog.invalidate(root)
+  }
+
   test("unregistered tables and malformed registrations never engage") {
     val (src, mv) = fixture()
     val q = spark.read.parquet(src).groupBy("lang", "source")

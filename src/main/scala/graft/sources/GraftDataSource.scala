@@ -82,9 +82,20 @@ class GraftDataSource extends RelationProvider with CreatableRelationProvider
         parameters.get("endingVersion").map(_.toLong),
         parameters.get("keyCols").map(_.split(",").map(_.trim)
           .filter(_.nonEmpty).toSeq).getOrElse(Nil))
-    } else
-      new GraftRelation(sqlContext, rootOf(parameters),
-        parameters.get("versionAsOf").map(_.toLong))
+    } else {
+      // time travel: versionAsOf (a log version) or timestampAsOf
+      // (epoch millis, or a 'yyyy-MM-dd HH:mm:ss' local timestamp —
+      // the Delta option pair), never both
+      require(!(parameters.contains("versionAsOf") && parameters.contains("timestampAsOf")),
+        "graft: versionAsOf and timestampAsOf are mutually exclusive")
+      val pinned = parameters.get("versionAsOf").map(_.toLong)
+        .orElse(parameters.get("timestampAsOf").map { raw =>
+          val ms = scala.util.Try(raw.toLong).getOrElse(
+            java.sql.Timestamp.valueOf(raw).getTime)
+          TxnLog.versionAtTimestamp(sqlContext.sparkSession, rootOf(parameters), ms)
+        })
+      new GraftRelation(sqlContext, rootOf(parameters), pinned)
+    }
 
   override def createRelation(sqlContext: SQLContext, mode: SaveMode,
                               parameters: Map[String, String],

@@ -392,6 +392,27 @@ object TxnLog {
   def latestVersion(spark: SparkSession, root: String): Long =
     listVersions(fileSystem(spark, root), root).lastOption.getOrElse(-1L)
 
+  /** `DESCRIBE HISTORY` as a DataFrame — the ops audit surface every
+    * lakehouse table ships: one row per commit with its wall-clock
+    * time (manifest mtime — the commit point IS the manifest create),
+    * action, dir/tombstone/constraint census, idempotency txn, and
+    * how many dirs are external (clone references). A full log replay
+    * by design — this is a HISTORY consumer, like [[versions]] and
+    * [[vacuum]]; snapshot ops stay O(1). */
+  def describeHistory(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    val fs = fileSystem(spark, root)
+    history(spark, root).map { c =>
+      (c.version,
+        new java.sql.Timestamp(
+          fs.getFileStatus(logPath(root, c.version)).getModificationTime),
+        c.action, c.dirs.size.toLong, c.txnId.orNull,
+        c.dvs.size.toLong, c.checks.size.toLong,
+        c.dirs.count(_.startsWith(ExtPrefix)).toLong)
+    }.toDF("version", "committed_at", "action", "n_dirs", "txn_id",
+      "n_dvs", "n_checks", "n_external_dirs")
+  }
+
   /** Drop time travel older than `retainVersions` back from latest:
     * deletes data directories referenced ONLY by expired versions, and
     * the expired manifests themselves (so a read at an expired version

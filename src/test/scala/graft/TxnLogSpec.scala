@@ -1606,6 +1606,53 @@ class TxnLogSpec extends SparkSpec {
     assert(!TxnLog.read(spark, cln).columns.exists(_.startsWith("__p_")))
   }
 
+  test("describeHistory: one audited row per commit with action, census, txn, and clone provenance") {
+    import org.apache.spark.sql.functions.col
+    val base = Files.createTempDirectory("graft_txn").toString
+    val src = s"$base/src"
+    val cln = s"$base/cln"
+    TxnLog.overwrite(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), src, Some("h0")) // v0
+    TxnLog.append(Seq((3L, "c")).toDF("id", "s"), src, Some("h1"))               // v1
+    TxnLog.deleteMor(spark, src, col("id") === 1L)                               // v2
+    TxnLog.addCheck(spark, src, "pos", "id > 0")                                 // v3
+    val h = TxnLog.describeHistory(spark, src).collect()
+    assert(h.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(h.map(_.getString(2)).toSeq ==
+      Seq("overwrite", "append", "delete_mor", "set_check"))
+    assert(h(0).getString(4) == "h0" && h(1).getString(4) == "h1")
+    assert(h(2).getLong(5) == 1L, "delete_mor row must census its tombstone")
+    assert(h(3).getLong(6) == 1L, "set_check row must census the constraint")
+    // commit times are non-decreasing (mtimes of successive creates)
+    val ts = h.map(_.getTimestamp(1).getTime)
+    assert(ts.zip(ts.tail).forall { case (a, b) => a <= b })
+    // a clone's single commit reports every dir as external
+    TxnLog.cloneTable(spark, src, cln)
+    val hc = TxnLog.describeHistory(spark, cln).collect()
+    assert(hc.length == 1 && hc(0).getString(2) == "clone")
+    assert(hc(0).getLong(7) == hc(0).getLong(3), "all clone dirs are external")
+  }
+
+  test("connector timestampAsOf: wall-clock time travel through format(\"graft\"); both pins refused together") {
+    val root = Files.createTempDirectory("graft_txn").toString + "/t"
+    TxnLog.overwrite(Seq((1L, "a")).toDF("id", "s"), root)                       // v0
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI("file:///"), spark.sparkContext.hadoopConfiguration)
+    val t0 = fs.getFileStatus(new org.apache.hadoop.fs.Path(
+      s"$root/_graft_log/${"%020d".format(0)}.json")).getModificationTime
+    Thread.sleep(1100)
+    TxnLog.append(Seq((2L, "b")).toDF("id", "s"), root)                          // v1
+    assert(spark.read.format("graft").option("timestampAsOf", t0.toString)
+      .load(root).count() == 1)
+    assert(spark.read.format("graft")
+      .option("timestampAsOf", (t0 + 3600L * 1000).toString)
+      .load(root).count() == 2)
+    val both = intercept[IllegalArgumentException] {
+      spark.read.format("graft").option("versionAsOf", "0")
+        .option("timestampAsOf", t0.toString).load(root)
+    }
+    assert(both.getMessage.contains("mutually exclusive"), both.getMessage)
+  }
+
   test("versionAtTimestamp: wall-clock time travel resolves the last commit at or before the instant") {
     val root = Files.createTempDirectory("graft_txn").toString + "/t"
     TxnLog.overwrite(Seq((1L, "a")).toDF("id", "s"), root)              // v0

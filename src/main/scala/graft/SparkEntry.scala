@@ -3751,6 +3751,42 @@ object SparkEntry {
       .select("doc_id", "source", "n_chars")
   }
 
+  /** Hilbert-curve clustering under the oracle
+    * ([[graft.sources.TxnLog.cluster]] with `curve = "hilbert"`): the
+    * same four arrival-ordered appends as `txnlog_zorder`, rewritten
+    * along the Hilbert walk instead of the z-interleave — strictly
+    * better locality at the same bit budget (no diagonal quadrant
+    * jumps), which is why Delta's OPTIMIZE clusters by Hilbert. The
+    * builder REQUIREs the non-append column prunes post-cluster; the
+    * oracle is the plain two-band filter — the curve moves bytes,
+    * never answers. */
+  private def txnlogHilbert(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.TxnLog
+    val root = tmpArtifactRoot("txnhil", dir)
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val q = (docs.agg(max("doc_id")).head.getLong(0) + 1) / 4
+    buildLock(root) {
+      if (TxnLog.latestVersion(spark, root) < 4L) {
+        TxnLog.overwrite(docs.filter(col("doc_id") < q), root,
+          Some("h0"), collectStats = true)
+        (1 to 3).foreach { i =>
+          val hiB = if (i == 3) Long.MaxValue else (i + 1) * q
+          TxnLog.append(docs.filter(col("doc_id") >= i * q && col("doc_id") < hiB),
+            root, Some(s"h$i"), collectStats = true); ()
+        }
+        TxnLog.cluster(spark, root, Seq("doc_id", "n_chars"),
+          nDirs = 8, bits = 4, txnId = Some("hcluster"), curve = "hilbert"); ()
+      }
+    }
+    val (_, skipN, snapZ) = TxnLog.pruneDirs(spark, root, "n_chars", 100L, 300L)
+    require(skipN.nonEmpty && snapZ.size >= 4,
+      s"hilbert should prune on n_chars: skipped ${skipN.size} of ${snapZ.size}")
+    TxnLog.readWhereAll(spark, root,
+      Seq(("doc_id", q / 2, 2 * q + q / 2), ("n_chars", 100L, 300L)))
+      .select("doc_id", "source", "n_chars")
+  }
+
   /** Z-order over STRING columns under the oracle
     * ([[graft.sources.TxnLog.cluster]] deriving dictionary-rank
     * integral keys in-house): four residue-class slices scatter both
@@ -4482,6 +4518,7 @@ object SparkEntry {
         .select("doc_id", "source", "n_chars")
     }),
     "txnlog_zorder" -> (txnlogZorder(_, _)),
+    "txnlog_hilbert" -> (txnlogHilbert(_, _)),
     "txnlog_zorder_str" -> (txnlogZorderStr(_, _)),
     "txnlog_maintain" -> (txnlogMaintain(_, _)),
     "txnlog_bloom" -> (txnlogBloom(_, _)),
@@ -8604,6 +8641,13 @@ object SparkEntry {
     // z-order clustering moves bytes, never answers: the rectangle
     // read over the clustered layout equals the plain two-band filter
     "txnlog_zorder" ->
+      """WITH m AS (SELECT (MAX(doc_id) + 1) // 4 AS q FROM documents)
+        |SELECT doc_id, source, n_chars FROM documents
+        |WHERE doc_id BETWEEN (SELECT q // 2 FROM m)
+        |                 AND (SELECT 2 * q + q // 2 FROM m)
+        |  AND n_chars BETWEEN 100 AND 300""".stripMargin,
+    // the hilbert rewrite obeys the same law: layout, never answers
+    "txnlog_hilbert" ->
       """WITH m AS (SELECT (MAX(doc_id) + 1) // 4 AS q FROM documents)
         |SELECT doc_id, source, n_chars FROM documents
         |WHERE doc_id BETWEEN (SELECT q // 2 FROM m)

@@ -648,6 +648,33 @@ object TxnLog {
       .toDF("n_files", "total_bytes", "ideal_files", "compact", "reason")
   }
 
+  /** 2-D Hilbert index of bucket coordinates in [0, 2^bits)² — the
+    * classic xy2d walk (Hamilton's compact form as popularized by
+    * Warren, "Hacker's Delight"): per level s = 2^(bits−i),
+    * accumulate s²·((3·rx) ⊕ ry) and rotate the frame. The curve
+    * preserves locality strictly better than the z-interleave (no
+    * diagonal jumps across quadrant seams), which is why Delta's
+    * OPTIMIZE clusters by Hilbert — dirs cover tighter rectangles at
+    * the same bit budget. One linear `aggregate` fold (the ilog2Fp16
+    * discipline — an unrolled expression tree would grow 4^bits), all
+    * integer, replayable step-for-step in SQL. */
+  private[graft] def hilbertIndex(bx: Column, by: Column, bits: Int): Column = {
+    import org.apache.spark.sql.functions.{aggregate, call_function, sequence, struct, when}
+    val init = struct(bx.as("x"), by.as("y"), lit(0L).as("d"))
+    aggregate(sequence(lit(1), lit(bits)), init, (st, i) => {
+      val x = st.getField("x"); val y = st.getField("y"); val d = st.getField("d")
+      val sC = call_function("shiftleft", lit(1L), (lit(bits) - i).cast("int"))
+      val rx = when(x.bitwiseAND(sC) =!= 0L, lit(1L)).otherwise(lit(0L))
+      val ry = when(y.bitwiseAND(sC) =!= 0L, lit(1L)).otherwise(lit(0L))
+      val nd = d + sC * sC * (lit(3L) * rx).bitwiseXOR(ry)
+      val nx = when(ry === 0L,
+        when(rx === 1L, sC - 1L - y).otherwise(y)).otherwise(x)
+      val ny = when(ry === 0L,
+        when(rx === 1L, sC - 1L - x).otherwise(x)).otherwise(y)
+      struct(nx.as("x"), ny.as("y"), nd.as("d"))
+    }).getField("d")
+  }
+
   /** Z-ORDER clustering rewrite — the Delta `OPTIMIZE ZORDER BY` /
     * Iceberg sort-order shape that makes the manifest's per-dir
     * [min, max] stats selective on SEVERAL columns at once. An append
@@ -685,13 +712,18 @@ object TxnLog {
   def cluster(spark: SparkSession, root: String, zorderBy: Seq[String],
               nDirs: Int = 8, bits: Int = 8,
               txnId: Option[String] = None,
-              quantileBuckets: Boolean = false): Long = {
+              quantileBuckets: Boolean = false,
+              curve: String = "zorder"): Long = {
     import org.apache.spark.sql.functions.{array, least, max => smax, min => smin, shiftleft, shiftright, size, filter => ffilter}
     require(zorderBy.size >= 2 && zorderBy.size <= 3,
       s"cluster: zorderBy wants 2-3 columns, got ${zorderBy.size} (one column needs no curve — sort and compact)")
     require(nDirs >= 2 && nDirs <= 4096, s"cluster: need 2 <= nDirs <= 4096, got $nDirs")
     require(bits >= 1 && bits * zorderBy.size <= 40,
       s"cluster: need bits >= 1 and bits * nCols <= 40, got $bits x ${zorderBy.size}")
+    require(curve == "zorder" || curve == "hilbert",
+      s"cluster: curve must be 'zorder' or 'hilbert', got '$curve'")
+    require(curve == "zorder" || zorderBy.size == 2,
+      s"cluster: the hilbert curve supports exactly 2 columns, got ${zorderBy.size}")
     val latest0 = latestCommit(spark, root)
     txnId.foreach { id =>
       txnVersionOf(spark, root, latest0, id).foreach(return _)
@@ -807,11 +839,22 @@ object TxnLog {
     val totalBits = bits * zorderBy.size
     // bit-interleave: z = sum_j sum_i ((b_i >> j) & 1) << (j*k + i)
     val k = zorderBy.size
-    val z = (0 until bits).foldLeft(lit(0L)) { (accJ, j) =>
+    val zInterleave = (0 until bits).foldLeft(lit(0L)) { (accJ, j) =>
       buckets.zipWithIndex.foldLeft(accJ) { case (acc, (b, i)) =>
         acc.bitwiseOR(shiftleft(shiftright(b, j).bitwiseAND(lit(1L)), j * k + i))
       }
     }
+    // Hilbert index (2-D, the classic xy2d walk — Hamilton's compact
+    // form as popularized by Warren, "Hacker's Delight"): per level s
+    // = 2^(bits-i), accumulate s²·((3·rx) ⊕ ry) and rotate the frame.
+    // The curve preserves LOCALITY strictly better than z-order (no
+    // long diagonal jumps between quadrant boundaries), which is why
+    // Delta's OPTIMIZE clusters by Hilbert — dirs cover tighter
+    // rectangles at the same bit budget. One linear `aggregate` fold
+    // (the ilog2Fp16 discipline — an unrolled expression tree would
+    // grow 4^bits), all integer, replayed step-for-step in SQL. */
+    val z = if (curve == "hilbert") hilbertIndex(buckets(0), buckets(1), bits)
+            else zInterleave
     // static split of the z-domain into nDirs ranges (deterministic —
     // a sampled range partitioner would not be)
     val zdir = shiftright(z * lit(nDirs.toLong), totalBits)

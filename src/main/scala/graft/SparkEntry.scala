@@ -1403,18 +1403,27 @@ object SparkEntry {
     * optimized plan scans the MV parquet and keeps no Aggregate).
     * The oracle is the plain aggregate over documents: the rewrite
     * must change the plan, never the answer. */
-  private def mvRewrite(spark: SparkSession, dir: String): DataFrame = {
+  /** Build-and-register the shared documents (lang, source) view —
+    * used by `mv_rewrite` (exact-dims serve) and `mv_rollup` (coarser
+    * re-aggregation); re-registration is an idempotent put. */
+  private def ensureMvView(spark: SparkSession, dir: String): (String, String) = {
     import graft.plans.MvCatalog
     val src = s"$dir/documents.parquet"
     val mvPath = tmpArtifactRoot("mvrw", dir) + "/mv"
-    def baseAgg = spark.read.parquet(src).groupBy("lang", "source")
-      .agg(sum(col("n_chars")).as("sum_chars"), count(lit(1)).as("n_docs"))
     if (!new java.io.File(s"$mvPath/_SUCCESS").exists()) {
-      baseAgg.write.mode("overwrite").parquet(mvPath)
+      spark.read.parquet(src).groupBy("lang", "source")
+        .agg(sum(col("n_chars")).as("sum_chars"), count(lit(1)).as("n_docs"))
+        .write.mode("overwrite").parquet(mvPath)
     }
     MvCatalog.register(src, Seq("lang", "source"),
       Seq(("sum", Some("n_chars"), "sum_chars"), ("count", None, "n_docs")), mvPath)
-    val q = baseAgg
+    (src, mvPath)
+  }
+
+  private def mvRewrite(spark: SparkSession, dir: String): DataFrame = {
+    val (src, mvPath) = ensureMvView(spark, dir)
+    val q = spark.read.parquet(src).groupBy("lang", "source")
+      .agg(sum(col("n_chars")).as("sum_chars"), count(lit(1)).as("n_docs"))
     val opt = q.queryExecution.optimizedPlan
     val leafPaths = opt.collect {
       case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
@@ -1429,6 +1438,34 @@ object SparkEntry {
     require(!opt.exists(_.isInstanceOf[
       org.apache.spark.sql.catalyst.plans.logical.Aggregate]),
       s"mv_rewrite: Aggregate survived the rewrite:\n$opt")
+    q
+  }
+
+  /** ROLLUP serving under the oracle: a coarser GROUP BY lang over
+    * documents is answered by RE-AGGREGATING the registered
+    * (lang, source) view — SUM of sums, SUM of counts — never
+    * scanning the base table. The builder REQUIREs the optimized plan
+    * aggregates over the view scan and touches no documents path;
+    * the oracle is the natural per-lang aggregate. */
+  private def mvRollup(spark: SparkSession, dir: String): DataFrame = {
+    val (src, mvPath) = ensureMvView(spark, dir)
+    val q = spark.read.parquet(src).groupBy("lang")
+      .agg(sum(col("n_chars")).as("sum_chars"), count(lit(1)).as("n_docs"))
+    val opt = q.queryExecution.optimizedPlan
+    val leafPaths = opt.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.map(_.toString)
+          case _ => Seq.empty[String]
+        }
+    }.flatten
+    require(leafPaths.exists(_.contains(mvPath)) &&
+        !leafPaths.exists(_.contains("documents.parquet")),
+      s"mv_rollup: rollup not served from the view (scans: $leafPaths):\n$opt")
+    require(opt.exists(_.isInstanceOf[
+      org.apache.spark.sql.catalyst.plans.logical.Aggregate]),
+      s"mv_rollup: expected a re-aggregation over the view:\n$opt")
     q
   }
 
@@ -5436,6 +5473,7 @@ object SparkEntry {
     "multimodal_pipeline" -> (multimodalPipeline(_, _)),
     "image_phash" -> (imagePhash(_, _)),
     "mv_rewrite" -> (mvRewrite(_, _)),
+    "mv_rollup" -> (mvRollup(_, _)),
     "mv_rewrite_graft" -> (mvRewriteGraft(_, _)),
     "nb_classify" -> (nbClassifyQ(_, _)),
     "sim_topk" -> (simTopK(_, _)),
@@ -9317,6 +9355,13 @@ object SparkEntry {
         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
         |  CAST(COUNT(*) AS BIGINT) AS n_docs
         |FROM documents GROUP BY 1, 2""".stripMargin,
+    // rollup: the per-lang aggregate re-aggregated from the
+    // (lang, source) view still equals the natural statement
+    "mv_rollup" ->
+      """SELECT lang,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs
+        |FROM documents GROUP BY 1""".stripMargin,
     // same law over the TxnLog-backed base table: the O(1)-guarded
     // view serve changes the plan, never the answer
     "mv_rewrite_graft" ->

@@ -6,7 +6,7 @@ import scala.collection.concurrent.TrieMap
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Expression, Literal, NamedExpression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Sum}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -70,9 +70,9 @@ object MvCatalog {
                mvPath: String): Unit = {
     require(dims.nonEmpty && aggs.nonEmpty, "MvCatalog: need dims and aggs")
     aggs.foreach {
-      case ("sum", Some(_), _) | ("count", None, _) => ()
+      case ("sum" | "min" | "max", Some(_), _) | ("count", None, _) => ()
       case other => throw new IllegalArgumentException(
-        s"MvCatalog: unsupported agg spec $other (want (sum, Some(col), name) or (count, None, name))")
+        s"MvCatalog: unsupported agg spec $other (want (sum|min|max, Some(col), name) or (count, None, name))")
     }
     entries.put(new File(sourcePath).getAbsolutePath,
       MvEntry(sourcePath, dims, aggs, mvPath, fingerprintOf(sourcePath)))
@@ -91,9 +91,9 @@ object MvCatalog {
                     mvPath: String): Unit = {
     require(dims.nonEmpty && aggs.nonEmpty, "MvCatalog: need dims and aggs")
     aggs.foreach {
-      case ("sum", Some(_), _) | ("count", None, _) => ()
+      case ("sum" | "min" | "max", Some(_), _) | ("count", None, _) => ()
       case other => throw new IllegalArgumentException(
-        s"MvCatalog: unsupported agg spec $other (want (sum, Some(col), name) or (count, None, name))")
+        s"MvCatalog: unsupported agg spec $other (want (sum|min|max, Some(col), name) or (count, None, name))")
     }
     val v = graft.sources.TxnLog.latestVersion(spark, root)
     require(v >= 0L, s"MvCatalog: no graft table at $root")
@@ -149,20 +149,37 @@ object MvAggregateRewrite extends Rule[LogicalPlan] {
     case Alias(a: AttributeReference, _) if entry.dims.contains(a.name) => Some(a.name)
     case Alias(ae: AggregateExpression, name)
         if !ae.isDistinct && ae.filter.isEmpty =>
-      ae.aggregateFunction match {
-        case s: Sum => s.child match {
-          case m: AttributeReference =>
-            entry.aggs.collectFirst {
-              case ("sum", Some(meas), out) if meas == m.name && out == name => out
-            }
-          case _ => None
+      def measured(kind: String, child: Expression): Option[String] = child match {
+        case m: AttributeReference => entry.aggs.collectFirst {
+          case (k, Some(meas), out) if k == kind && meas == m.name && out == name => out
         }
+        case _ => None
+      }
+      ae.aggregateFunction match {
+        case s: Sum => measured("sum", s.child)
+        case m: Min => measured("min", m.child)
+        case m: Max => measured("max", m.child)
         case c: Count if c.children.forall(_.isInstanceOf[Literal]) =>
           entry.aggs.collectFirst { case ("count", None, out) if out == name => out }
         case _ => None
       }
     case _ => None
   }
+
+  /** The re-aggregation function that rolls one stored view column up
+    * to a coarser grouping: SUM and COUNT(*) both roll up as SUM of
+    * the stored column (a count of counts is a sum), MIN as MIN, MAX
+    * as MAX. AVG and DISTINCT are exactly why those shapes were never
+    * matched — they do not re-aggregate. */
+  private def rollupFn(orig: AggregateExpression,
+                       attr: Expression): Option[Expression] =
+    (orig.aggregateFunction match {
+      case _: Sum => Some(Sum(attr))
+      case _: Count => Some(Sum(attr))
+      case _: Min => Some(Min(attr))
+      case _: Max => Some(Max(attr))
+      case _ => None
+    }).map(f => AggregateExpression(f, Complete, isDistinct = false))
 
   private def groupingNames(groupings: Seq[Expression]): Option[Seq[String]] = {
     val names = groupings.map {
@@ -178,7 +195,11 @@ object MvAggregateRewrite extends Rule[LogicalPlan] {
         roots <- scanRoots(child)
         entry <- MvCatalog.lookup(roots)
         dims <- groupingNames(groupings)
-        if dims.sorted == entry.dims.sorted
+        // exact dims serve directly; a strict SUBSET (including the
+        // global aggregate, dims = Nil) rolls the view up — SUM of
+        // sums, SUM of counts, MIN of mins, MAX of maxes — still
+        // exactly the base-table answer, still never scanning it
+        if dims.distinct == dims && dims.toSet.subsetOf(entry.dims.toSet)
         cols = aggExprs.map(e => mvColumnFor(e, entry))
         if cols.forall(_.isDefined)
         // staleness guard: the base table must still be the content
@@ -189,15 +210,37 @@ object MvAggregateRewrite extends Rule[LogicalPlan] {
         val mvPlan = SparkSession.active.read.parquet(entry.mvPath)
           .queryExecution.analyzed
         val byName = mvPlan.output.map(a => a.name -> a).toMap
-        // every output must exist in the view with the same type, or
-        // the rewrite would change the query's schema — fall through
-        val mapped = aggExprs.zip(cols.map(_.get)).map { case (orig, mv) =>
-          byName.get(mv).filter(_.dataType == orig.dataType).map { attr =>
-            Alias(attr, orig.name)(exprId = orig.exprId)
+        if (dims.sorted == entry.dims.sorted) {
+          // every output must exist in the view with the same type, or
+          // the rewrite would change the query's schema — fall through
+          val mapped = aggExprs.zip(cols.map(_.get)).map { case (orig, mv) =>
+            byName.get(mv).filter(_.dataType == orig.dataType).map { attr =>
+              Alias(attr, orig.name)(exprId = orig.exprId)
+            }
           }
+          if (mapped.forall(_.isDefined)) Project(mapped.map(_.get), mvPlan)
+          else agg
+        } else {
+          val mapped: Seq[Option[NamedExpression]] =
+            aggExprs.zip(cols.map(_.get)).map { case (orig, mv) =>
+              byName.get(mv).flatMap { attr =>
+                orig match {
+                  case a: AttributeReference if attr.dataType == a.dataType =>
+                    Some(Alias(attr, a.name)(exprId = a.exprId))
+                  case al @ Alias(_: AttributeReference, name)
+                      if attr.dataType == al.dataType =>
+                    Some(Alias(attr, name)(exprId = al.exprId))
+                  case al @ Alias(ae: AggregateExpression, name) =>
+                    rollupFn(ae, attr).filter(_.dataType == al.dataType)
+                      .map(f => Alias(f, name)(exprId = al.exprId))
+                  case _ => None
+                }
+              }
+            }
+          if (mapped.forall(_.isDefined) && dims.forall(byName.contains))
+            Aggregate(dims.map(byName), mapped.map(_.get), mvPlan)
+          else agg
         }
-        if (mapped.forall(_.isDefined)) Project(mapped.map(_.get), mvPlan)
-        else agg
       }
       rewritten.getOrElse(agg)
   }

@@ -63,10 +63,11 @@ class MvRewriteSpec extends SparkSpec {
     MvCatalog.register(src, Seq("lang", "source"),
       Seq(("sum", Some("n"), "sum_n"), ("count", None, "cnt")), mv)
     try {
-      // different dims
-      val byLang = spark.read.parquet(src).groupBy("lang")
+      // a dim the view does not carry (rollup only goes COARSER over
+      // view dims — a new dim cannot be recovered from aggregates)
+      val byScore = spark.read.parquet(src).groupBy("score")
         .agg(sum(col("n")).as("sum_n"))
-      assert(!scanPaths(byLang).exists(_.contains(mv)) && hasAggregate(byLang))
+      assert(!scanPaths(byScore).exists(_.contains(mv)) && hasAggregate(byScore))
       // an aggregate the view does not carry
       val withAvg = spark.read.parquet(src).groupBy("lang", "source")
         .agg(sum(col("n")).as("sum_n"), avg(col("n")).as("a"))
@@ -149,6 +150,47 @@ class MvRewriteSpec extends SparkSpec {
       assert(scanPaths(q).exists(_.contains(mv)))
       assert(q.filter(col("lang") === "fr").count() == 1)
     } finally MvCatalog.invalidate(root)
+  }
+
+  test("rollup serving: coarser dims and the global aggregate re-aggregate the view, never the base; min/max kinds roll up too") {
+    val base = Files.createTempDirectory("graft_mvrw").toString
+    val src = s"$base/src"
+    val mv = s"$base/mv"
+    Seq(("en", "web", 10L), ("en", "web", 20L), ("en", "book", 5L),
+      ("de", "web", 7L), ("de", "book", 11L))
+      .toDF("lang", "source", "n").write.parquet(src)
+    spark.read.parquet(src).groupBy("lang", "source")
+      .agg(sum(col("n")).as("sum_n"), count(lit(1)).as("cnt"),
+        min(col("n")).as("min_n"), max(col("n")).as("max_n"))
+      .write.parquet(mv)
+    MvCatalog.register(src, Seq("lang", "source"),
+      Seq(("sum", Some("n"), "sum_n"), ("count", None, "cnt"),
+        ("min", Some("n"), "min_n"), ("max", Some("n"), "max_n")), mv)
+    try {
+      // coarser dims: GROUP BY lang re-aggregates the (lang, source) view
+      val byLang = spark.read.parquet(src).groupBy("lang")
+        .agg(sum(col("n")).as("sum_n"), count(lit(1)).as("cnt"),
+          min(col("n")).as("min_n"), max(col("n")).as("max_n"))
+      assert(scanPaths(byLang).exists(_.contains(mv)), "rollup not served")
+      assert(!scanPaths(byLang).exists(_.contains("/src")), "base still scanned")
+      val got = byLang.collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+      assert(got == Set(("en", 35L, 3L, 5L, 20L), ("de", 18L, 2L, 7L, 11L)), s"got $got")
+      // the GLOBAL aggregate (dims = Nil) rolls up too
+      val global = spark.read.parquet(src)
+        .agg(sum(col("n")).as("sum_n"), count(lit(1)).as("cnt"))
+      assert(scanPaths(global).exists(_.contains(mv)))
+      val g = global.head
+      assert(g.getLong(0) == 53L && g.getLong(1) == 5L)
+      // exact-dims MIN/MAX serve directly
+      val direct = spark.read.parquet(src).groupBy("lang", "source")
+        .agg(min(col("n")).as("min_n"), max(col("n")).as("max_n"))
+      assert(scanPaths(direct).exists(_.contains(mv)) && !hasAggregate(direct))
+      // a dim OUTSIDE the view still refuses
+      val byN = spark.read.parquet(src).groupBy("n")
+        .agg(count(lit(1)).as("cnt"))
+      assert(!scanPaths(byN).exists(_.contains(mv)))
+    } finally MvCatalog.invalidate(src)
   }
 
   test("unregistered tables and malformed registrations never engage") {

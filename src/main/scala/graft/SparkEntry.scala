@@ -1339,6 +1339,48 @@ object SparkEntry {
       .join(hashes, "asset_id")
   }
 
+  /** Fixed-point token entropy under the oracle
+    * ([[graft.functions.TextFunctions.tokenEntropy]]): every
+    * document's Shannon entropy over its own token distribution in
+    * 1/2^16 bits — the lexical-diversity filter signal — with both
+    * log2 chains (per-count, per-total) replayed step-for-step. */
+  private def textEntropyQ(spark: SparkSession, dir: String): DataFrame =
+    TextFunctions.tokenEntropy(Tables.documents(spark, dir))
+
+  private def textEntropySql: String = {
+    def lg(tag: String, keys: String, src: String): String =
+      (Seq(s"""elg_${tag}_0 AS (
+         |  SELECT $keys, p, CAST(length(bin(p)) - 1 AS BIGINT) AS msb,
+         |    (CAST(p AS BIGINT) << 20) >> (length(bin(p)) - 1) AS x, CAST(0 AS BIGINT) AS acc
+         |  FROM $src)""".stripMargin) ++
+        (1 to 16).map(i => s"""elg_${tag}_$i AS (
+         |  SELECT $keys, p, msb,
+         |    CASE WHEN ((x*x) >> 20) >= 2097152 THEN ((x*x) >> 20) >> 1 ELSE (x*x) >> 20 END AS x,
+         |    CASE WHEN ((x*x) >> 20) >= 2097152 THEN acc*2+1 ELSE acc*2 END AS acc
+         |  FROM elg_${tag}_${i - 1})""".stripMargin) :+
+        s"""elg_$tag AS MATERIALIZED (
+         |  SELECT $keys, CAST(msb*65536 + acc AS BIGINT) AS lg
+         |  FROM elg_${tag}_16)""".stripMargin).mkString(",\n")
+    s"""WITH tkf AS MATERIALIZED (
+       |  SELECT doc_id, sym FROM (
+       |    SELECT doc_id, unnest($toksSql) AS sym FROM documents)
+       |  WHERE sym <> ''),
+       |tf AS MATERIALIZED (
+       |  SELECT doc_id, sym, CAST(COUNT(*) AS BIGINT) AS c FROM tkf GROUP BY 1, 2),
+       |nn AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n FROM tf GROUP BY 1),
+       |cp AS (SELECT doc_id, sym, c AS p FROM tf),
+       |${lg("c", "doc_id, sym", "cp")},
+       |np AS (SELECT doc_id, n AS p FROM nn),
+       |${lg("n", "doc_id", "np")}
+       |SELECT tf.doc_id,
+       |  CAST((SUM(tf.c * (ln.lg - lc.lg)) - ((SUM(tf.c * (ln.lg - lc.lg)) % nn.n + nn.n) % nn.n)) // nn.n AS BIGINT) AS entropy_fp16
+       |FROM tf
+       |JOIN elg_c lc ON lc.doc_id = tf.doc_id AND lc.sym = tf.sym
+       |JOIN elg_n ln ON ln.doc_id = tf.doc_id
+       |JOIN nn ON nn.doc_id = tf.doc_id
+       |GROUP BY tf.doc_id, nn.n""".stripMargin
+  }
+
   /** Integer Naive Bayes classifier under the oracle
     * ([[graft.functions.TextFunctions.nbClassify]]): self-attribution
     * of every document to its most probable `source` — train and
@@ -5476,6 +5518,7 @@ object SparkEntry {
     "mv_rollup" -> (mvRollup(_, _)),
     "mv_rewrite_graft" -> (mvRewriteGraft(_, _)),
     "nb_classify" -> (nbClassifyQ(_, _)),
+    "text_entropy" -> (textEntropyQ(_, _)),
     "sim_topk" -> (simTopK(_, _)),
     // SQ8 scalar quantization: per-dim byte codes on a [min,max] grid
     // (integer micro arithmetic end to end — the PRODUCTION coarse
@@ -9348,6 +9391,8 @@ object SparkEntry {
     // integer NB: counts, smoothing, three log2 chains, argmin — the
     // full train-and-serve replay
     "nb_classify" -> nbSql,
+    // token entropy: both log2 chains replayed, floor-division rollup
+    "text_entropy" -> textEntropySql,
     // the rewrite must change the plan, never the answer: the oracle
     // is the natural base-table aggregate
     "mv_rewrite" ->

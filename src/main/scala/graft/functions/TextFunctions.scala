@@ -898,6 +898,34 @@ object TextFunctions {
         round(col("__score"), 9).as("score"): _*)
   }
 
+  /** Per-document TOKEN ENTROPY in exact fixed point — the lexical-
+    * diversity quality signal (a near-zero entropy document is a
+    * repeated token or boilerplate; filtering on it is standard in
+    * crawl curation, e.g. the Gopher repetition rules' information-
+    * theoretic cousin). Shannon entropy over the document's token
+    * distribution, H = Σ (c/n)·log2(n/c), carried in 1/2^16 bits via
+    * the 16-step integer log2 (`entropy_fp16 = Σ c·(lg n − lg c) div
+    * n`) — order-free integer sums, so any engine reproduces the
+    * exact value where a double Σ p·log p never hashes stable.
+    *
+    * Scale shape: one (doc, term) count aggregate + one narrow
+    * per-doc rollup; text never crosses an exchange (only token
+    * hashes would at 100 TB — swap the term string for its 60-bit
+    * hash upstream of the exchange, the shingle discipline). */
+  def tokenEntropy(docs: org.apache.spark.sql.DataFrame,
+                   textCol: String = "text", idCol: String = "doc_id")
+      : org.apache.spark.sql.DataFrame = {
+    val tf = docs.select(col(idCol).as("doc_id"),
+        explode(tokens(col(textCol))).as("sym"))
+      .filter(length(col("sym")) > 0)
+      .groupBy(col("doc_id"), col("sym")).agg(count(lit(1)).as("c"))
+    val n = tf.groupBy(col("doc_id")).agg(sum(col("c")).as("n"))
+    tf.join(n, "doc_id")
+      .withColumn("term", col("c") * (ilog2Fp16(col("n")) - ilog2Fp16(col("c"))))
+      .groupBy(col("doc_id"))
+      .agg(expr("sum(term) div any_value(n)").as("entropy_fp16"))
+  }
+
   /** Multinomial Naive Bayes text classifier, trained AND served in
     * exact integer fixed point (McCallum & Nigam, AAAI-98 workshop —
     * the event model fastText-class data-curation classifiers reduce

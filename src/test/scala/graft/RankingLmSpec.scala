@@ -744,4 +744,27 @@ class RankingLmSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(self == Map(1L -> "a", 2L -> "a", 3L -> "b", 4L -> "b"), s"got $self")
   }
+
+  test("tokenEntropy: closed-form bits on power-of-two distributions; zero for constant docs; repartition-stable") {
+    import spark.implicits._
+    import graft.functions.TextFunctions
+    val docs = Seq(
+      (1L, "a a a a"),        // one symbol: H = 0
+      (2L, "a b"),            // uniform over 2: H = 1 bit
+      (3L, "a a b b"),        // still uniform over 2: H = 1 bit
+      (4L, "a b c d"),        // uniform over 4: H = 2 bits
+      (5L, "a a a b"))        // skewed: 0 < H < 1 bit
+      .toDF("doc_id", "text")
+    val got = TextFunctions.tokenEntropy(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // powers of two are EXACT in the fp16 log (msb-only, zero frac)
+    assert(got(1L) == 0L, s"got $got")
+    assert(got(2L) == 65536L, s"got $got")
+    assert(got(3L) == 65536L, s"got $got")
+    assert(got(4L) == 131072L, s"got $got")
+    assert(got(5L) > 0L && got(5L) < 65536L, s"got $got")
+    val got2 = TextFunctions.tokenEntropy(docs.repartition(3))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == got2, "tokenEntropy changed under repartitioning")
+  }
 }

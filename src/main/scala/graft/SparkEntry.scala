@@ -1569,6 +1569,20 @@ object SparkEntry {
     Multimodal.phashNearDups(Multimodal.averageHash(assets), maxHamming = 3)
   }
 
+  /** Residual-quantized ANN under the oracle
+    * ([[graft.similarity.Similarity.rqTopK]]): two additive first-k
+    * codebooks, tie-deterministic assignments, the nC1×nC2
+    * reconstruction LUT, ADC, and the exact-cosine rerank — the FULL
+    * production chain replayed (the sim_sq8 convention, stronger than
+    * exhaustive-only). */
+  private def simRq(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    Similarity.rqTopK(e.select("vec_id", "embedding"), queries,
+      k = 5, nC1 = 16, nC2 = 16, coarseK = 20)
+  }
+
   private def simTopK(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     val queries = e.filter(col("vec_id") < 10)
@@ -5520,6 +5534,7 @@ object SparkEntry {
     "nb_classify" -> (nbClassifyQ(_, _)),
     "text_entropy" -> (textEntropyQ(_, _)),
     "sim_topk" -> (simTopK(_, _)),
+    "sim_rq" -> (simRq(_, _)),
     // SQ8 scalar quantization: per-dim byte codes on a [min,max] grid
     // (integer micro arithmetic end to end — the PRODUCTION coarse
     // budget replays exactly in SQL, not just the exhaustive case),
@@ -9768,6 +9783,53 @@ object SparkEntry {
          |  AND $dotXY / (x.nrm * y.nrm) >= 0.4""".stripMargin
     },
     "sim_topk" -> bruteTopKSql,
+    // RQ replayed at the PRODUCTION budget: two additive first-k
+    // codebooks, deterministic assignments, the nC1 x nC2
+    // reconstruction LUT, integer ADC, exact-cosine rerank
+    "sim_rq" -> {
+      val dotEq = dotSql("e.embedding", "q.q_emb")
+      val normE = dotSql("e.embedding", "e.embedding")
+      val normQ = dotSql("q.q_emb", "q.q_emb")
+      s"""WITH f AS MATERIALIZED (
+         |  SELECT vec_id, embedding, list_transform(embedding,
+         |    v -> CAST(round(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT)) AS fv
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, embedding AS q_emb, fv AS qv FROM f WHERE vec_id < 10),
+         |cb1 AS (SELECT vec_id AS c1_id, fv AS c1 FROM f ORDER BY vec_id ASC LIMIT 16),
+         |a1 AS MATERIALIZED (
+         |  SELECT vec_id, c1_id, list_transform(range(1, 65), i -> fv[i] - c1[i]) AS rv
+         |  FROM (
+         |    SELECT f.vec_id, f.fv, c.c1_id, c.c1,
+         |      ROW_NUMBER() OVER (PARTITION BY f.vec_id
+         |        ORDER BY list_sum(list_transform(range(1, 65), i -> (f.fv[i] - c.c1[i]) * (f.fv[i] - c.c1[i]))) ASC, c.c1_id ASC) AS rn
+         |    FROM f CROSS JOIN cb1 c) WHERE rn = 1),
+         |cb2 AS (SELECT vec_id AS c2_id, rv AS c2 FROM a1 ORDER BY vec_id ASC LIMIT 16),
+         |a2 AS MATERIALIZED (
+         |  SELECT vec_id, c1_id, c2_id FROM (
+         |    SELECT r.vec_id, r.c1_id, c.c2_id,
+         |      ROW_NUMBER() OVER (PARTITION BY r.vec_id
+         |        ORDER BY list_sum(list_transform(range(1, 65), i -> (r.rv[i] - c.c2[i]) * (r.rv[i] - c.c2[i]))) ASC, c.c2_id ASC) AS rn
+         |    FROM a1 r CROSS JOIN cb2 c) WHERE rn = 1),
+         |lut AS MATERIALIZED (
+         |  SELECT q.q_id, c1.c1_id, c2.c2_id, list_sum(list_transform(range(1, 65), i -> (q.qv[i] - (c1.c1[i] + c2.c2[i])) * (q.qv[i] - (c1.c1[i] + c2.c2[i])))) AS d
+         |  FROM q CROSS JOIN cb1 c1 CROSS JOIN cb2 c2),
+         |adc AS (
+         |  SELECT l.q_id, a.vec_id, l.d
+         |  FROM a2 a JOIN lut l ON l.c1_id = a.c1_id AND l.c2_id = a.c2_id
+         |  WHERE a.vec_id <> l.q_id),
+         |coarse AS (SELECT q_id, vec_id FROM (
+         |  SELECT q_id, vec_id,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY d ASC, vec_id ASC) AS crank
+         |  FROM adc) WHERE crank <= 20),
+         |pairs AS (SELECT c.q_id, c.vec_id,
+         |  $dotEq / (sqrt($normE) * sqrt($normQ)) AS cos
+         |  FROM coarse c JOIN embeddings e ON e.vec_id = c.vec_id
+         |  JOIN q ON q.q_id = c.q_id)
+         |SELECT q_id, vec_id, rank, round(cos, 9) AS cos FROM (
+         |  SELECT q_id, vec_id, cos,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rank
+         |  FROM pairs) WHERE rank <= 5""".stripMargin
+    },
     // SQ8 replayed at the PRODUCTION budget: micro-unit quantization,
     // integer code/dequant floor divisions, integer ADC, then the
     // exact-cosine re-rank — every stage bit-exact cross-engine

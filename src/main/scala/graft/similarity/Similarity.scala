@@ -1065,6 +1065,77 @@ object Similarity {
     rankScored(scored, k)
   }
 
+  /** RESIDUAL-QUANTIZED ANN — the quantization family's fourth member
+    * (next to [[pqTopK]], [[ivfPqTopK]], [[sq8TopK]]): two ADDITIVE
+    * codebooks (Chen, Guan & Wang, "Approximate nearest neighbor
+    * search by residual vector quantization", Sensors 2010 — the
+    * lineage behind Babenko & Lempitsky's additive quantization and
+    * today's RabitQ/RaBit-style codecs). Stage 1 quantizes the vector,
+    * stage 2 quantizes the RESIDUAL x − c1, so the reconstruction
+    * c1 + c2 shares both codebooks across the full dimensionality —
+    * where PQ's subspaces cannot trade precision across dims, RQ can.
+    * A vector stores TWO code bytes; the per-query lookup table is
+    * nC1 × nC2 reconstruction distances; exact-cosine rerank of the
+    * ADC top `coarseK` restores ranking fidelity.
+    *
+    * Exact integer fixed point end to end (micro-units, integer
+    * squared distances — residual entries stay < 2^23, so 64-dim sums
+    * sit far under 2^63): codebooks are the deterministic first-k
+    * rows ([[pqTopK]]'s convention), assignments tie toward the lower
+    * id, so a SQL oracle replays the PRODUCTION budget bit-for-bit,
+    * coarse stage included.
+    *
+    * Scale shape: two broadcast-codebook assignment passes (narrow —
+    * embeddings never cross a keyed exchange), a per-query LUT of
+    * nC1·nC2 longs broadcast onto the (vec_id, c1, c2) code rows, and
+    * the bounded coarse id-list broadcast back for the exact rerank. */
+  def rqTopK(candidates: DataFrame, queries: DataFrame, k: Int,
+             nC1: Int = 16, nC2: Int = 16, coarseK: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nC1 > 0 && nC2 > 0, s"rqTopK: need positive codebooks, got $nC1, $nC2")
+    require(coarseK >= k, s"rqTopK: coarseK=$coarseK must cover k=$k")
+    def fpm(c: Column): Column =
+      transform(c, v => round(v.cast("double") * 1000000.0).cast("long"))
+    def sqd(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), _ + _)
+    val f = graft.core.Parallelism.ensure(candidates)
+      .select(col("vec_id"), col("embedding"), fpm(col("embedding")).as("fv"))
+    val cb1 = f.orderBy(col("vec_id").asc).limit(nC1)
+      .select(col("vec_id").as("c1_id"), col("fv").as("c1"))
+    val a1 = f.crossJoin(broadcast(cb1))
+      .withColumn("d", sqd(col("fv"), col("c1")))
+      .groupBy(col("vec_id"))
+      .agg(min_by(struct(col("c1_id"), col("c1")),
+        struct(col("d"), col("c1_id"))).as("b"), first(col("fv")).as("fv"))
+      .select(col("vec_id"), col("b.c1_id").as("c1_id"),
+        zip_with(col("fv"), col("b.c1"), (x, y) => x - y).as("rv"))
+    val cb2 = a1.orderBy(col("vec_id").asc).limit(nC2)
+      .select(col("vec_id").as("c2_id"), col("rv").as("c2"))
+    val codes = a1.crossJoin(broadcast(cb2))
+      .withColumn("d", sqd(col("rv"), col("c2")))
+      .groupBy(col("vec_id"))
+      .agg(min_by(col("c2_id"), struct(col("d"), col("c2_id"))).as("c2_id"),
+        first(col("c1_id")).as("c1_id"))
+    val qf = queries.select(col("q_id"), fpm(col("q_emb")).as("qv"))
+    val lut = qf.crossJoin(broadcast(cb1)).crossJoin(broadcast(cb2))
+      .select(col("q_id"), col("c1_id"), col("c2_id"),
+        sqd(col("qv"), zip_with(col("c1"), col("c2"), (x, y) => x + y)).as("d"))
+    val adc = codes.join(broadcast(lut), Seq("c1_id", "c2_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), col("d"))
+    val coarse = adc.withColumn("crank", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("d").asc, col("vec_id").asc)))
+      .filter(col("crank") <= coarseK)
+      .select(col("q_id"), col("vec_id"))
+    val scored = candidates.join(broadcast(coarse), "vec_id")
+      .join(broadcast(queries.select(col("q_id"), col("q_emb"))), "q_id")
+      .select(col("q_id"), col("vec_id"),
+        (dot(col("embedding"), col("q_emb")) /
+          (norm(col("embedding")) * norm(col("q_emb")))).as("cos"))
+    rankScored(scored, k)
+  }
+
   def ivfPqTopK(candidates: DataFrame, queries: DataFrame, dim: Int, k: Int,
                 nCells: Int = 16, nProbe: Int = 4,
                 nSub: Int = 4, nCents: Int = 16, coarseK: Int = 20,

@@ -612,6 +612,36 @@ class SimilarityScaleSpec extends SparkSpec {
     assert(ivf == brute, "full probe over k-means|| centroids must be exact")
   }
 
+  test("rqTopK: exhaustive rerank equals brute force; production budget clears the recall floor; residuals shrink quantization error") {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir01).select("vec_id", "embedding")
+    val q = queries(Tables.embeddings(spark, dir01))
+    val n = e.count().toInt
+    // coarseK covering every candidate: the rerank sees all pairs, so
+    // whatever the codes did, the answer is exactly brute force
+    val brute = Similarity.bruteForceTopK(e, q, 5)
+      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exhaust = Similarity.rqTopK(e, q, k = 5, coarseK = n)
+      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exhaust == brute, "exhaustive-rerank RQ must be exact")
+    // production budget: recall@5 over the coarse-20 rerank
+    val prod = Similarity.rqTopK(e, q, k = 5, coarseK = 20)
+      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (prod & brute).size.toDouble / brute.size
+    // the IVF-PQ floor: first-k codebooks are the deterministic-
+    // oracle trade, not the recall-optimal one (k-means|| init is the
+    // quality path)
+    assert(recall >= 0.5, s"RQ production recall@5 = $recall")
+    // the SECOND codebook earns its bytes: adding the residual stage
+    // must not worsen — and should improve — coarse-stage recall vs
+    // stage-1 alone (nC2 = 1 degenerates to one shared residual)
+    val oneStage = Similarity.rqTopK(e, q, k = 5, nC2 = 1, coarseK = 20)
+      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall1 = (oneStage & brute).size.toDouble / brute.size
+    assert(recall >= recall1 - 0.04,
+      s"two-stage recall $recall collapsed vs one-stage $recall1")
+  }
+
   test("pc1Scores: closed-form axis fixture, repartition determinism, sign-consistent ordering") {
     import spark.implicits._
     // points on axis 0 at t ∈ {-2,-1,0,1,2} (plus a tiny orthogonal

@@ -41,8 +41,21 @@ object IvfIndex {
     * dir) — see [[append]] for why. */
   def build(embeddings: DataFrame, path: String, dim: Int,
             nCells: Int = 16, iters: Int = 2,
-            txnSafe: Boolean = false): Unit = {
-    val cents = Similarity.lloydCentroidsExact(embeddings, nCells, iters)
+            txnSafe: Boolean = false,
+            init: String = "first-k"): Unit = {
+    // init = "kmeanspp" seeds the Lloyd refinement with
+    // [[Similarity.kmeansParallelInit]] (Bahmani k-means||) — the
+    // production training path at corpus scale, where a first-k init
+    // can start every centroid inside one dense region; both inits
+    // are exact fixed point, so the index stays oracle-comparable
+    require(init == "first-k" || init == "kmeanspp",
+      s"IvfIndex.build: init must be 'first-k' or 'kmeanspp', got '$init'")
+    val seed =
+      if (init == "kmeanspp")
+        Some(Similarity.kmeansParallelInit(embeddings, nCells)
+          .select("cell_id", "cv"))
+      else None
+    val cents = Similarity.lloydCentroidsExact(embeddings, nCells, iters, seed)
     cents.write.mode("overwrite").parquet(s"$path/centroids")
     val centArr = readCentroids(embeddings.sparkSession, path, dim)
     val assigned = assignCells(embeddings, centArr)

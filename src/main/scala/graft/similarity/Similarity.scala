@@ -412,13 +412,17 @@ object Similarity {
     * an exchange whole. Returns (cell_id, c_emb float, c_norm) for
     * `ivfTopK(centroids = ...)`. */
   def lloydCentroidsExact(candidates: DataFrame, nCells: Int = 16,
-                          iters: Int = 2): DataFrame = {
+                          iters: Int = 2,
+                          init: Option[DataFrame] = None): DataFrame = {
     val f = graft.core.Parallelism.ensure(candidates)
       .select(col("vec_id"),
         transform(col("embedding"),
           v => round(v.cast("double") * 1e6).cast("long")).as("fv"))
-    var cents = f.orderBy(col("vec_id").asc).limit(nCells)
-      .select(col("vec_id").as("cell_id"), col("fv").as("cv"))
+    // init override: (cell_id, cv micro) — e.g. [[kmeansParallelInit]]'s
+    // output, whose D²-spread seeding beats first-k at equal budget
+    var cents = init.map(_.select(col("cell_id"), col("cv")))
+      .getOrElse(f.orderBy(col("vec_id").asc).limit(nCells)
+        .select(col("vec_id").as("cell_id"), col("fv").as("cv")))
     for (_ <- 1 to iters) {
       val d2 = aggregate(
         zip_with(col("fv"), col("cv"), (a, b) => (a - b) * (a - b)),

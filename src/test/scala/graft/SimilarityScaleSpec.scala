@@ -612,6 +612,26 @@ class SimilarityScaleSpec extends SparkSpec {
     assert(ivf == brute, "full probe over k-means|| centroids must be exact")
   }
 
+  test("IvfIndex.build(init = kmeanspp): exhaustive probing stays exact; the seeded quantizer starts no worse than first-k") {
+    import graft.similarity.IvfIndex
+    val e = Tables.embeddings(spark, dir01).select("vec_id", "embedding")
+    val q = queries(Tables.embeddings(spark, dir01))
+    val path = java.nio.file.Files.createTempDirectory("ivf_kpp").resolve("idx").toString
+    IvfIndex.build(e, path, dim = 64, nCells = 8, iters = 2, init = "kmeanspp")
+    assert(new java.io.File(path, "_SUCCESS").exists())
+    // whatever the init, full probing is exact — the serving law
+    val brute = Similarity.bruteForceTopK(e, q, 5)
+      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = IvfIndex.topK(spark, path, q, dim = 64, k = 5, nProbe = 8)
+      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full == brute, "full probe over a kmeanspp-built index must be exact")
+    // an unknown init refuses loudly
+    val bad = intercept[IllegalArgumentException] {
+      IvfIndex.build(e, path + "2", dim = 64, nCells = 8, init = "random")
+    }
+    assert(bad.getMessage.contains("kmeanspp"), bad.getMessage)
+  }
+
   test("rqTopK: exhaustive rerank equals brute force; production budget clears the recall floor; residuals shrink quantization error") {
     import spark.implicits._
     val e = Tables.embeddings(spark, dir01).select("vec_id", "embedding")

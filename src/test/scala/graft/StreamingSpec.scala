@@ -318,8 +318,13 @@ class StreamingSpec extends SparkSpec {
       in.addData(1L, 2L, 3L); q.processAllAvailable()
       in.addData(4L); q.processAllAvailable()
       q.stop()
-      // listener events are async — give the bus a moment to drain
-      spark.streams.awaitAnyTermination(1)
+      // listener events are async — the polling loop below drains.
+      // NEVER "wait" via spark.streams.awaitAnyTermination here: the
+      // session's StreamingQueryManager is SHARED across the parallel
+      // suite, and awaitAnyTermination rethrows any OTHER suite's
+      // expected query failure (the connector's rewrite-refusal tests
+      // terminate queries with exceptions by design) — the one flake
+      // the full suite ever showed
       val deadline = System.currentTimeMillis() + 10000
       def batches() = metrics.frame(spark)
         .filter(col("queryName") === "metrics_probe" && col("numInputRows") > 0)

@@ -139,7 +139,8 @@ class GraftDataSource extends RelationProvider with CreatableRelationProvider
                             schema: Option[StructType], providerName: String,
                             parameters: Map[String, String]): Source =
     new GraftStreamSource(sqlContext.sparkSession, rootOf(parameters),
-      parameters.get("ignoreChanges").exists(_.toBoolean))
+      parameters.get("ignoreChanges").exists(_.toBoolean),
+      parameters.get("maxVersionsPerTrigger").map(_.toInt).getOrElse(0))
 
   override def createSink(sqlContext: SQLContext,
                           parameters: Map[String, String],
@@ -293,13 +294,34 @@ class GraftChangeFeedRelation(override val sqlContext: SQLContext,
 /** The table as a micro-batch stream — offsets are COMMIT VERSIONS.
   * See [[GraftDataSource]] for the contract. */
 class GraftStreamSource(spark: SparkSession, root: String,
-                        ignoreChanges: Boolean) extends Source {
+                        ignoreChanges: Boolean,
+                        maxVersionsPerTrigger: Int = 0) extends Source {
 
   override val schema: StructType = TxnLog.read(spark, root).schema
 
+  /** The last version this source has offered or served — the base
+    * the rate limiter advances from. Recovered lazily from the
+    * checkpoint via the first getBatch after a restart. */
+  private var base: Long = -1L
+
+  /** BACKPRESSURE (`option("maxVersionsPerTrigger", n)`, 0 = off —
+    * the Delta `maxFilesPerTrigger` knob at this format's commit
+    * granularity): each trigger advances at most n versions, so a
+    * stream catching up on a deep backlog processes it as bounded
+    * micro-batches instead of one unbounded read. The FIRST offer is
+    * capped too — the initial snapshot pins at version n−1 and the
+    * rest arrives incrementally, which is what bounds peak batch size
+    * on a 100 TB backfill. Best-effort across recovery (the v1
+    * Source learns its checkpointed position from the first getBatch,
+    * so the first post-restart trigger re-bounds from there). */
   override def getOffset: Option[OffsetV1] = {
     val v = TxnLog.latestVersion(spark, root)
-    if (v < 0) None else Some(LongOffset(v))
+    if (v < 0) return None
+    val offered =
+      if (maxVersionsPerTrigger <= 0) v
+      else math.min(v, base + maxVersionsPerTrigger)
+    base = math.max(base, offered)
+    Some(LongOffset(offered))
   }
 
   private def versionOf(o: OffsetV1): Long = o.json.toLong
@@ -316,6 +338,7 @@ class GraftStreamSource(spark: SparkSession, root: String,
 
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
     val endV = versionOf(end)
+    base = math.max(base, endV) // checkpoint recovery re-seeds the limiter
     val batch = start match {
       // first batch: the full snapshot at the stream's start version
       // (the Delta-source initial-snapshot semantics)

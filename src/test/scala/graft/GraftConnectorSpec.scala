@@ -142,6 +142,53 @@ class GraftConnectorSpec extends SparkSpec {
     assert(runOnce() == Seq.empty)
   }
 
+  test("maxVersionsPerTrigger bounds every micro-batch, initial snapshot included; the stream still catches up exactly") {
+    val root = freshRoot()
+    val ckpt = Files.createTempDirectory("graft_dsv1_ckpt").toString
+    // seven single-row commits (v0..v6)
+    Seq((0L, "r0")).toDF("id", "s").write.format("graft").save(root)
+    (1 to 6).foreach { i =>
+      Seq((i.toLong, s"r$i")).toDF("id", "s").write.format("graft")
+        .mode(SaveMode.Append).save(root)
+    }
+    val sizes = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val ids = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    // a running (processing-trigger) stream: the limiter advances 2
+    // versions per trigger until caught up. (Under AvailableNow the
+    // engine latches ONE offer per run, so each run advances at most
+    // the cap — use a running trigger for in-run catch-up.)
+    val q = spark.readStream.format("graft")
+      .option("maxVersionsPerTrigger", "2").load(root)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = df.collect()
+        sizes.add(rows.length.toLong)
+        rows.foreach(r => ids.add(r.getLong(0))); ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    import scala.jdk.CollectionConverters._
+    // catch-up is EXACT: every row once
+    assert(ids.asScala.toSeq.sorted == (0L to 6L), s"got ${ids.asScala.toSeq.sorted}")
+    // and BOUNDED: the capped initial snapshot (versions 0..1) plus
+    // 2-version increments — never more than 2 rows per batch here
+    val bs = sizes.asScala.toSeq.filter(_ > 0)
+    assert(bs.forall(_ <= 2L), s"a batch exceeded the cap: $bs")
+    assert(bs.size >= 4, s"expected >= 4 bounded batches, got $bs")
+    // uncapped control: one snapshot batch carries everything
+    val ckpt2 = Files.createTempDirectory("graft_dsv1_ckpt").toString
+    val sizes2 = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q2 = spark.readStream.format("graft").load(root)
+      .writeStream.option("checkpointLocation", ckpt2)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        sizes2.add(df.count()); ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    assert(sizes2.asScala.toSeq.filter(_ > 0) == Seq(7L))
+  }
+
   test("SQL surface: CREATE TABLE USING graft, SELECT with pushdown, INSERT INTO") {
     val root = freshRoot()
     Seq((1L, "a")).toDF("id", "s").write.format("graft").save(root)

@@ -1339,6 +1339,53 @@ object SparkEntry {
       .join(hashes, "asset_id")
   }
 
+  /** One-pass exact covariance profiling under the oracle
+    * ([[graft.operators.Profiler.covarianceReport]]): which lineitem
+    * measures move together, as exact integer moments — all six
+    * pairwise `n·cov` values plus per-column `n·var`, every unit
+    * scaled so the report stays long-ranged at any SF. The oracle
+    * replays the HUGEINT moments and floor divisions. */
+  private def profileCovariance(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Profiler.covarianceReport(Tables.lineitem(spark, dir), Seq(
+      "qty" -> round(col("l_quantity")).cast("long"),
+      "disc_milli" -> round(col("l_discount") * 1000).cast("long"),
+      "tax_milli" -> round(col("l_tax") * 1000).cast("long"),
+      "price_usd" -> round(col("l_extendedprice")).cast("long")))
+
+  private def profileCovarianceSql: String = {
+    val ms = Seq(
+      "qty" -> "CAST(round(l_quantity) AS BIGINT)",
+      "disc_milli" -> "CAST(round(l_discount * 1000) AS BIGINT)",
+      "tax_milli" -> "CAST(round(l_tax * 1000) AS BIGINT)",
+      "price_usd" -> "CAST(round(l_extendedprice) AS BIGINT)")
+    val names = ms.map(_._1)
+    val pairs = for { i <- names.indices; j <- (i + 1) until names.size }
+      yield (names(i), names(j))
+    val sums = (Seq("CAST(COUNT(*) AS HUGEINT) AS n") ++
+      names.map(n => s"SUM(CAST($n AS HUGEINT)) AS s_$n") ++
+      names.map(n => s"SUM(CAST($n AS HUGEINT) * CAST($n AS HUGEINT)) AS q_$n") ++
+      pairs.map { case (a, b) =>
+        s"SUM(CAST($a AS HUGEINT) * CAST($b AS HUGEINT)) AS p_${a}_$b" })
+      .mkString(",\n    ")
+    def fdiv(e: String) = s"CAST((($e) - ((($e) % n + n) % n)) // n AS BIGINT)"
+    val rows = pairs.map { case (a, b) =>
+      s"""SELECT '$a' AS col_x, '$b' AS col_y, CAST(n AS BIGINT) AS n,
+         |  ${fdiv(s"n * p_${a}_$b - s_$a * s_$b")} AS cov_n,
+         |  ${fdiv(s"n * q_$a - s_$a * s_$a")} AS var_nx,
+         |  ${fdiv(s"n * q_$b - s_$b * s_$b")} AS var_ny
+         |FROM s""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH m AS (
+       |  SELECT ${ms.map { case (n, e) => s"$e AS $n" }.mkString(", ")}
+       |  FROM lineitem
+       |  WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+       |    AND l_tax IS NOT NULL AND l_extendedprice IS NOT NULL),
+       |s AS MATERIALIZED (
+       |  SELECT $sums
+       |  FROM m)
+       |$rows""".stripMargin
+  }
+
   /** Fixed-point token entropy under the oracle
     * ([[graft.functions.TextFunctions.tokenEntropy]]): every
     * document's Shannon entropy over its own token distribution in
@@ -5533,6 +5580,7 @@ object SparkEntry {
     "mv_rewrite_graft" -> (mvRewriteGraft(_, _)),
     "nb_classify" -> (nbClassifyQ(_, _)),
     "text_entropy" -> (textEntropyQ(_, _)),
+    "profile_covariance" -> (profileCovariance(_, _)),
     "sim_topk" -> (simTopK(_, _)),
     "sim_rq" -> (simRq(_, _)),
     // SQ8 scalar quantization: per-dim byte codes on a [min,max] grid
@@ -9408,6 +9456,8 @@ object SparkEntry {
     "nb_classify" -> nbSql,
     // token entropy: both log2 chains replayed, floor-division rollup
     "text_entropy" -> textEntropySql,
+    // exact integer moments: six pairwise n*cov + per-column n*var
+    "profile_covariance" -> profileCovarianceSql,
     // the rewrite must change the plan, never the answer: the oracle
     // is the natural base-table aggregate
     "mv_rewrite" ->

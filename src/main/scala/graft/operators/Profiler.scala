@@ -12,6 +12,58 @@ import org.apache.spark.sql.functions._
   */
 object Profiler {
 
+  /** EXACT pairwise covariance/variance profiling in ONE pass — the
+    * relationship half of [[profile]]: which measures move together
+    * (feature redundancy before training, drift in joint structure,
+    * the do-these-columns-encode-the-same-thing check). Metrics are
+    * caller-scaled integer expressions (document the units!); every
+    * moment (Σx, Σx², Σxy) accumulates in decimal — order-free,
+    * engine-portable — and the report rows derive on the driver from
+    * the ONE collected aggregate row in exact BigInt arithmetic:
+    * `cov_n = (n·Σxy − Σx·Σy) div n` (n × covariance — stays in a
+    * long wherever n·max|x|·max|y| does; the caller's unit scaling is
+    * what keeps that true at 100 TB), `var_n*` the same per column.
+    * The sign of `cov_n` is the correlation's direction; consumers
+    * wanting Pearson r divide by the root of the variance product in
+    * whatever precision they like — the EXACT integers are the
+    * portable part.
+    *
+    * Scale shape: one scan, one aggregate row (k + k + k(k−1)/2
+    * decimal sums for k metrics), one one-row collect. NULLs in any
+    * metric drop the row (complete-case, stated in the row count). */
+  def covarianceReport(df: DataFrame,
+                       metrics: Seq[(String, org.apache.spark.sql.Column)]): DataFrame = {
+    require(metrics.size >= 2, s"covarianceReport: need >= 2 metrics, got ${metrics.size}")
+    require(metrics.map(_._1).distinct.size == metrics.size,
+      "covarianceReport: metric names must be unique")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val names = metrics.map(_._1)
+    val proj = df.select(metrics.map { case (n, c) =>
+        c.cast("long").as(s"__m_$n") }: _*)
+      .na.drop() // complete-case: a NULL anywhere drops the row
+    val pairs = for {
+      i <- names.indices; j <- (i + 1) until names.size
+    } yield (names(i), names(j))
+    def d(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val aggs = Seq(count(lit(1)).as("__n")) ++
+      names.map(n => sum(d(col(s"__m_$n"))).as(s"__s_$n")) ++
+      names.map(n => sum(d(col(s"__m_$n")) * d(col(s"__m_$n"))).as(s"__q_$n")) ++
+      pairs.map { case (a, b) =>
+        sum(d(col(s"__m_$a")) * d(col(s"__m_$b"))).as(s"__p_${a}_$b") }
+    val row = proj.agg(aggs.head, aggs.tail: _*).head // ONE row
+    val n = BigInt(row.getAs[Long]("__n"))
+    require(n > 0, "covarianceReport: no complete rows")
+    def dec(f: String) = BigInt(row.getAs[java.math.BigDecimal](f).toBigInteger)
+    def fdiv(s: BigInt, m: BigInt) = (s - (((s % m) + m) % m)) / m
+    def varN(c: String) = fdiv(n * dec(s"__q_$c") - dec(s"__s_$c") * dec(s"__s_$c"), n)
+    pairs.map { case (a, b) =>
+      (a, b, n.toLong,
+        fdiv(n * dec(s"__p_${a}_$b") - dec(s"__s_$a") * dec(s"__s_$b"), n).toLong,
+        varN(a).toLong, varN(b).toLong)
+    }.toDF("col_x", "col_y", "n", "cov_n", "var_nx", "var_ny")
+  }
+
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
     val aggs = cols.flatMap { c =>
       Seq(

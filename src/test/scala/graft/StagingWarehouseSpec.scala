@@ -291,4 +291,36 @@ class StagingWarehouseSpec extends SparkSpec {
       col("l_quantity").as("value"))
     assert(qty.exceptAll(orig).isEmpty && orig.exceptAll(qty).isEmpty)
   }
+
+  test("covarianceReport: perfect correlation saturates the Cauchy-Schwarz bound, anti-correlation is negative, nulls drop") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      (1L, 2L, -1L, 5L), (2L, 4L, -2L, 5L), (3L, 6L, -3L, 5L),
+      (4L, 8L, -4L, 5L), (5L, 10L, -5L, 5L))
+      .toDF("x", "y2x", "neg", "konst")
+    val rep = graft.operators.Profiler.covarianceReport(df, Seq(
+      "x" -> col("x"), "y2x" -> col("y2x"), "neg" -> col("neg"),
+      "konst" -> col("konst")))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // y = 2x exactly: cov_n^2 == var_nx * var_ny (Cauchy-Schwarz tight)
+    val (n, cxy, vx, vy) = rep(("x", "y2x"))
+    assert(n == 5L && cxy > 0)
+    assert(cxy * cxy == vx * vy, s"got cov=$cxy varx=$vx vary=$vy")
+    assert(vy == 4 * vx) // var(2x) = 4 var(x), exactly in integer moments
+    // neg = -x: perfectly anti-correlated
+    val (_, cneg, _, _) = rep(("x", "neg"))
+    assert(cneg == -vx, s"got $cneg vs -$vx")
+    // a constant column has zero variance and zero covariance
+    val (_, ck, _, vk) = rep(("x", "konst"))
+    assert(ck == 0L && vk == 0L)
+    // complete-case: a NULL row drops everywhere (n shrinks)
+    val withNull = df.unionByName(
+      Seq((9L, Option.empty[Long], 9L, 9L)).toDF("x", "y2x", "neg", "konst"))
+    val n2 = graft.operators.Profiler.covarianceReport(withNull, Seq(
+      "x" -> col("x"), "y2x" -> col("y2x")))
+      .head.getLong(2)
+    assert(n2 == 5L)
+  }
 }

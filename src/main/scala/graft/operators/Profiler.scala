@@ -54,13 +54,31 @@ object Profiler {
     val row = proj.agg(aggs.head, aggs.tail: _*).head // ONE row
     val n = BigInt(row.getAs[Long]("__n"))
     require(n > 0, "covarianceReport: no complete rows")
-    def dec(f: String) = BigInt(row.getAs[java.math.BigDecimal](f).toBigInteger)
+    // a decimal(38,0) sum that overflows returns SQL NULL under
+    // non-ANSI modes — surface that as the actionable message it is,
+    // never a bare NPE from the driver-side BigInt conversion
+    def dec(f: String) = {
+      val v = row.getAs[java.math.BigDecimal](f)
+      require(v != null,
+        s"covarianceReport: moment $f overflowed decimal(38,0) — " +
+          "metric units too large; rescale the metric expressions")
+      BigInt(v.toBigInteger)
+    }
     def fdiv(s: BigInt, m: BigInt) = (s - (((s % m) + m) % m)) / m
+    // the report columns are Longs by contract — an exact value that
+    // no longer fits must FAIL, not silently truncate
+    def longExact(v: BigInt, what: String): Long = {
+      require(v.isValidLong,
+        s"covarianceReport: $what = $v exceeds Long range — " +
+          "metric units too large; rescale the metric expressions")
+      v.toLong
+    }
     def varN(c: String) = fdiv(n * dec(s"__q_$c") - dec(s"__s_$c") * dec(s"__s_$c"), n)
     pairs.map { case (a, b) =>
       (a, b, n.toLong,
-        fdiv(n * dec(s"__p_${a}_$b") - dec(s"__s_$a") * dec(s"__s_$b"), n).toLong,
-        varN(a).toLong, varN(b).toLong)
+        longExact(fdiv(n * dec(s"__p_${a}_$b") - dec(s"__s_$a") * dec(s"__s_$b"), n),
+          s"cov_n($a,$b)"),
+        longExact(varN(a), s"var_n($a)"), longExact(varN(b), s"var_n($b)"))
     }.toDF("col_x", "col_y", "n", "cov_n", "var_nx", "var_ny")
   }
 

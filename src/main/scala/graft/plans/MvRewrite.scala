@@ -46,16 +46,49 @@ object MvCatalog {
                                     mvPath: String, fingerprint: String,
                                     kind: String = "files")
 
+  /** In-process cache over the (optional) persisted store. */
   private val entries = TrieMap.empty[String, MvEntry]
 
-  private[graft] def fingerprintOf(path: String): String = {
-    val f = new File(path)
-    val files =
-      if (f.isDirectory)
-        Option(f.listFiles()).getOrElse(Array.empty[File]).toSeq
-          .filter(x => x.isFile && !x.getName.startsWith(".")).sortBy(_.getName)
-      else Seq(f)
-    graft.sources.LayoutCache.contentFingerprint(files)
+  /** Registration key: the scheme-stripped absolute path, matching
+    * what [[MvAggregateRewrite.scanRoots]] extracts from a scan's
+    * FileIndex (`toUri.getPath`). Scheme-less local paths resolve
+    * against the working directory exactly as the scan side does. */
+  private[graft] def keyOf(path: String): String = {
+    val uri = new org.apache.hadoop.fs.Path(path).toUri
+    if (uri.getScheme == null) new File(path).getAbsolutePath else uri.getPath
+  }
+
+  /** Sampled content fingerprint of the base table, resolved through
+    * Hadoop [[org.apache.hadoop.fs.FileSystem]] so hdfs://, s3a://,
+    * and every other scheme a Spark scan can read is LISTABLE here
+    * too (`java.io.File` sees nothing on those and would fingerprint
+    * an empty listing — making every staleness check pass forever,
+    * the WRONG fail direction). `None` = unlistable, unreadable, or
+    * empty — callers must treat that as "cannot guard", never as a
+    * valid pin. */
+  private[graft] def fingerprintOf(path: String): Option[String] =
+    scala.util.Try {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(SparkSession.active.sparkContext.hadoopConfiguration)
+      val st = fs.getFileStatus(p) // throws when absent → None
+      val files =
+        if (st.isDirectory)
+          fs.listStatus(p).toSeq
+            .filter(s => s.isFile && !s.getPath.getName.startsWith("."))
+            .sortBy(_.getPath.getName)
+        else Seq(st)
+      if (files.isEmpty) None
+      else Some(graft.sources.LayoutCache.contentFingerprintHadoop(fs, files))
+    }.toOption.flatten
+
+  private def checkAggSpecs(dims: Seq[String],
+                            aggs: Seq[(String, Option[String], String)]): Unit = {
+    require(dims.nonEmpty && aggs.nonEmpty, "MvCatalog: need dims and aggs")
+    aggs.foreach {
+      case ("sum" | "min" | "max", Some(_), _) | ("count", None, _) => ()
+      case other => throw new IllegalArgumentException(
+        s"MvCatalog: unsupported agg spec $other (want (sum|min|max, Some(col), name) or (count, None, name))")
+    }
   }
 
   /** Register `mvPath` (a parquet table with columns `dims ++ agg
@@ -64,19 +97,22 @@ object MvCatalog {
     * `aggs` entries: `("sum", Some(measure), outName)` or
     * `("count", None, outName)` (COUNT(*)). The CURRENT content of
     * `sourcePath` is fingerprinted — rebuild + re-register after the
-    * base table changes, or the rule stops serving the view. */
+    * base table changes, or the rule stops serving the view.
+    * Registration REFUSES a source it cannot fingerprint (empty or
+    * unreadable listing): a guard that can't see the base table can't
+    * detect staleness, and "always fresh" is the failure direction
+    * this catalog exists to prevent. */
   def register(sourcePath: String, dims: Seq[String],
                aggs: Seq[(String, Option[String], String)],
                mvPath: String): Unit = {
-    require(dims.nonEmpty && aggs.nonEmpty, "MvCatalog: need dims and aggs")
-    aggs.foreach {
-      case ("sum" | "min" | "max", Some(_), _) | ("count", None, _) => ()
-      case other => throw new IllegalArgumentException(
-        s"MvCatalog: unsupported agg spec $other (want (sum|min|max, Some(col), name) or (count, None, name))")
-    }
-    entries.put(new File(sourcePath).getAbsolutePath,
-      MvEntry(sourcePath, dims, aggs, mvPath, fingerprintOf(sourcePath)))
-    ()
+    checkAggSpecs(dims, aggs)
+    val fp = fingerprintOf(sourcePath).getOrElse(throw new IllegalArgumentException(
+      s"MvCatalog: cannot register $sourcePath — base-table listing is empty or " +
+        "unreadable, so staleness could never be detected"))
+    val key = keyOf(sourcePath)
+    val e = MvEntry(sourcePath, dims, aggs, mvPath, fp)
+    entries.put(key, e)
+    persistPut(key, e)
   }
 
   /** Register a view over a TxnLog-backed `format("graft")` table:
@@ -89,39 +125,133 @@ object MvCatalog {
                     dims: Seq[String],
                     aggs: Seq[(String, Option[String], String)],
                     mvPath: String): Unit = {
-    require(dims.nonEmpty && aggs.nonEmpty, "MvCatalog: need dims and aggs")
-    aggs.foreach {
-      case ("sum" | "min" | "max", Some(_), _) | ("count", None, _) => ()
-      case other => throw new IllegalArgumentException(
-        s"MvCatalog: unsupported agg spec $other (want (sum|min|max, Some(col), name) or (count, None, name))")
-    }
+    checkAggSpecs(dims, aggs)
     val v = graft.sources.TxnLog.latestVersion(spark, root)
     require(v >= 0L, s"MvCatalog: no graft table at $root")
-    entries.put("graft:" + new File(root).getAbsolutePath,
-      MvEntry(root, dims, aggs, mvPath, v.toString, kind = "graft"))
-    ()
+    val key = "graft:" + keyOf(root)
+    val e = MvEntry(root, dims, aggs, mvPath, v.toString, kind = "graft")
+    entries.put(key, e)
+    persistPut(key, e)
   }
 
   def invalidate(sourcePath: String): Unit = {
-    entries.remove(new File(sourcePath).getAbsolutePath)
-    entries.remove("graft:" + new File(sourcePath).getAbsolutePath); ()
+    val k1 = keyOf(sourcePath)
+    val k2 = "graft:" + k1
+    entries.remove(k1); entries.remove(k2)
+    persistRemove(Seq(k1, k2))
   }
 
   /** Is the registered base-table content still what the view
-    * materialized? Files → sampled fingerprint; graft → one O(1)
-    * version listing. */
+    * materialized? Files → sampled fingerprint (an UNLISTABLE base
+    * table is STALE — fail-safe); graft → one O(1) version listing. */
   private[graft] def fresh(entry: MvEntry): Boolean = entry.kind match {
-    case "graft" => graft.sources.TxnLog.latestVersion(
-      SparkSession.active, entry.sourcePath).toString == entry.fingerprint
-    case _ => fingerprintOf(entry.sourcePath) == entry.fingerprint
+    case "graft" => scala.util.Try(graft.sources.TxnLog.latestVersion(
+      SparkSession.active, entry.sourcePath).toString == entry.fingerprint)
+      .getOrElse(false)
+    case _ => fingerprintOf(entry.sourcePath).contains(entry.fingerprint)
   }
 
   private[graft] def lookup(rootPaths: Seq[String]): Option[MvEntry] =
     rootPaths match {
-      case Seq(one) if one.startsWith("graft:") => entries.get(one)
-      case Seq(one) => entries.get(new File(one).getAbsolutePath)
+      case Seq(one) =>
+        val key = if (one.startsWith("graft:")) one else keyOf(one)
+        entries.get(key).orElse { maybeLoadStore(); entries.get(key) }
       case _ => None // multi-root scans never match a single-table MV
     }
+
+  // ---------------------------------------------------------------
+  // Persistence — `spark.graft.mvCatalog = <txnlog root>`.
+  //
+  // Registrations are process-local by default (the TrieMap above);
+  // setting the conf makes them durable: every register/invalidate
+  // write-throughs the full entry set as ONE TxnLog commit (rows are
+  // a handful of strings — commit cost is one manifest write), and a
+  // fresh session lazily loads the store on its first cache-miss
+  // lookup. The store inherits TxnLog's whole contract: atomic
+  // create-exclusive commits (two racing registrars cannot silently
+  // interleave), history, time travel for audits. Staleness of the
+  // CACHE is fail-safe by construction: a re-registration made by
+  // another session changes the base table's fingerprint pin, and a
+  // cached stale entry already stops serving via [[fresh]]; a brand
+  // NEW registration is picked up on the cache-miss path.
+  // ---------------------------------------------------------------
+
+  private val StoreConfKey = "spark.graft.mvCatalog"
+  /** Field separators inside the store's string row-encoding —
+    * control chars no column name contains. */
+  private val Sep = "\u0001"
+  private val GroupSep = "\u0002"
+
+  /** (storeRoot, version) the cache last loaded, to skip re-reads. */
+  @volatile private var loadedStore: Option[(String, Long)] = None
+
+  private def storeRoot: Option[String] =
+    scala.util.Try(SparkSession.active.conf.get(StoreConfKey))
+      .toOption.filter(_.nonEmpty)
+
+  private def encodeAggs(aggs: Seq[(String, Option[String], String)]): String =
+    aggs.map { case (k, m, o) => s"$k$Sep${m.getOrElse("")}$Sep$o" }.mkString(GroupSep)
+
+  private def decodeAggs(s: String): Seq[(String, Option[String], String)] =
+    if (s.isEmpty) Seq.empty
+    else s.split(GroupSep, -1).toSeq.map { t =>
+      val parts = t.split(Sep, -1)
+      (parts(0), Some(parts(1)).filter(_.nonEmpty), parts(2))
+    }
+
+  private def writeStore(root: String, all: Map[String, MvEntry]): Unit = {
+    val spark = SparkSession.active
+    import spark.implicits._
+    val rows = all.toSeq.sortBy(_._1).map { case (k, e) =>
+      (k, e.sourcePath, e.dims.mkString(Sep), encodeAggs(e.aggs),
+        e.mvPath, e.fingerprint, e.kind)
+    }
+    graft.sources.TxnLog.overwrite(
+      rows.toDF("key", "source_path", "dims", "aggs", "mv_path", "fingerprint", "kind"),
+      root)
+    loadedStore = Some((root, graft.sources.TxnLog.latestVersion(spark, root)))
+  }
+
+  private def readStore(root: String): Map[String, MvEntry] = {
+    val spark = SparkSession.active
+    if (graft.sources.TxnLog.latestVersion(spark, root) < 0L) return Map.empty
+    graft.sources.TxnLog.read(spark, root)
+      .select("key", "source_path", "dims", "aggs", "mv_path", "fingerprint", "kind")
+      .collect() // bounded: one row per registered view
+      .map { r =>
+        r.getString(0) -> MvEntry(r.getString(1),
+          r.getString(2).split(Sep, -1).toSeq.filter(_.nonEmpty),
+          decodeAggs(r.getString(3)), r.getString(4), r.getString(5), r.getString(6))
+      }.toMap
+  }
+
+  private def persistPut(key: String, e: MvEntry): Unit = storeRoot.foreach { root =>
+    writeStore(root, readStore(root) + (key -> e))
+  }
+
+  private def persistRemove(keys: Seq[String]): Unit = storeRoot.foreach { root =>
+    val current = readStore(root)
+    val next = current -- keys
+    if (next.size != current.size) writeStore(root, next)
+  }
+
+  /** Cache-miss path: (re)load the persisted store when configured
+    * and its version moved since the last load. */
+  private def maybeLoadStore(): Unit = storeRoot.foreach { root =>
+    val v = scala.util.Try(
+      graft.sources.TxnLog.latestVersion(SparkSession.active, root)).getOrElse(-1L)
+    if (v >= 0L && !loadedStore.contains((root, v))) {
+      readStore(root).foreach { case (k, e) => entries.put(k, e) }
+      loadedStore = Some((root, v))
+    }
+  }
+
+  /** Test hook: drop the in-process cache (NOT the persisted store),
+    * so specs can prove a fresh session re-serves from the store. */
+  private[graft] def resetCache(): Unit = {
+    entries.clear()
+    loadedStore = None
+  }
 }
 
 object MvAggregateRewrite extends Rule[LogicalPlan] {
@@ -134,7 +264,7 @@ object MvAggregateRewrite extends Rule[LogicalPlan] {
       case fs: HadoopFsRelation =>
         Some(fs.location.rootPaths.map(_.toUri.getPath))
       case g: graft.sources.GraftRelation if g.pinnedAsOf.isEmpty =>
-        Some(Seq("graft:" + new File(g.tableRoot).getAbsolutePath))
+        Some(Seq("graft:" + MvCatalog.keyOf(g.tableRoot)))
       case _ => None
     }
     case Project(projectList, child) if projectList.forall(_.isInstanceOf[AttributeReference]) =>

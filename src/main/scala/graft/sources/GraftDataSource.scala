@@ -90,8 +90,15 @@ class GraftDataSource extends RelationProvider with CreatableRelationProvider
         "graft: versionAsOf and timestampAsOf are mutually exclusive")
       val pinned = parameters.get("versionAsOf").map(_.toLong)
         .orElse(parameters.get("timestampAsOf").map { raw =>
-          val ms = scala.util.Try(raw.toLong).getOrElse(
-            java.sql.Timestamp.valueOf(raw).getTime)
+          // the Delta option's accepted forms: epoch millis, a full
+          // local timestamp, or a date-only form (midnight local) —
+          // anything else fails NAMING the accepted formats
+          val ms = scala.util.Try(raw.toLong)
+            .orElse(scala.util.Try(java.sql.Timestamp.valueOf(raw).getTime))
+            .orElse(scala.util.Try(java.sql.Date.valueOf(raw).getTime))
+            .getOrElse(throw new IllegalArgumentException(
+              s"graft: timestampAsOf accepts epoch millis, 'yyyy-MM-dd HH:mm:ss', " +
+                s"or 'yyyy-MM-dd'; got '$raw'"))
           TxnLog.versionAtTimestamp(sqlContext.sparkSession, rootOf(parameters), ms)
         })
       new GraftRelation(sqlContext, rootOf(parameters), pinned)
@@ -140,7 +147,8 @@ class GraftDataSource extends RelationProvider with CreatableRelationProvider
                             parameters: Map[String, String]): Source =
     new GraftStreamSource(sqlContext.sparkSession, rootOf(parameters),
       parameters.get("ignoreChanges").exists(_.toBoolean),
-      parameters.get("maxVersionsPerTrigger").map(_.toInt).getOrElse(0))
+      parameters.get("maxVersionsPerTrigger").map(_.toInt).getOrElse(0),
+      Some(metadataPath))
 
   override def createSink(sqlContext: SQLContext,
                           parameters: Map[String, String],
@@ -295,32 +303,90 @@ class GraftChangeFeedRelation(override val sqlContext: SQLContext,
   * See [[GraftDataSource]] for the contract. */
 class GraftStreamSource(spark: SparkSession, root: String,
                         ignoreChanges: Boolean,
-                        maxVersionsPerTrigger: Int = 0) extends Source {
+                        maxVersionsPerTrigger: Int = 0,
+                        metadataPath: Option[String] = None) extends Source {
 
   override val schema: StructType = TxnLog.read(spark, root).schema
 
+  /** Where the rate limiter's high-water mark persists across
+    * restarts: a tiny file in the source's own checkpoint metadata
+    * dir (Spark hands every v1 source a private `metadataPath` inside
+    * the checkpoint — the public DeltaSource technique for
+    * source-private recovery state). Without it, a post-restart
+    * `getOffset` (which Spark calls BEFORE any `getBatch`) would cap
+    * from base = −1 and could offer an offset BELOW the checkpoint's
+    * committed offset; v1 MicroBatchExecution only checks
+    * `available != committed`, so the regressed offset would be
+    * accepted, the commit log would move backwards, and later
+    * triggers would re-serve committed versions as duplicates. */
+  private val limiterFile: Option[Path] =
+    metadataPath.map(p => new Path(p, "graft-limiter-base"))
+
+  private def limiterFs: org.apache.hadoop.fs.FileSystem =
+    limiterFile.get.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def readPersistedBase(): Option[Long] = limiterFile.flatMap { p =>
+    scala.util.Try {
+      val fs = limiterFs
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        try Some(new String(
+          org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim.toLong)
+        finally in.close()
+      }
+    }.toOption.flatten
+  }
+
+  /** True only when this stream has never offered an offset before —
+    * no persisted high-water mark existed at construction. Only then
+    * is capping from base = −1 safe (there is no committed offset the
+    * capped offer could fall below). */
+  private val freshStart: Boolean = limiterFile.isEmpty || {
+    // distinguish "marker absent" (fresh) from "marker unreadable"
+    // (treat as restarted — never cap until re-seeded)
+    scala.util.Try(!limiterFs.exists(limiterFile.get)).getOrElse(false)
+  }
+
   /** The last version this source has offered or served — the base
-    * the rate limiter advances from. Recovered lazily from the
-    * checkpoint via the first getBatch after a restart. */
-  private var base: Long = -1L
+    * the rate limiter advances from. Recovered from the persisted
+    * high-water mark on restart (and re-seeded by the first getBatch,
+    * whichever is higher). −1 = unknown. */
+  private var base: Long = readPersistedBase().getOrElse(-1L)
+
+  /** Advance + persist the high-water mark. Persist failures FAIL the
+    * trigger: a lost mark is exactly the restart-regression bug, and
+    * the mark lives on the checkpoint filesystem — the same
+    * reliability domain as the offsets Spark itself writes. */
+  private def advanceBase(to: Long): Unit = if (to > base) {
+    base = to
+    limiterFile.foreach { p =>
+      val out = limiterFs.create(p, true)
+      try out.write(to.toString.getBytes("UTF-8")) finally out.close()
+    }
+  }
 
   /** BACKPRESSURE (`option("maxVersionsPerTrigger", n)`, 0 = off —
     * the Delta `maxFilesPerTrigger` knob at this format's commit
     * granularity): each trigger advances at most n versions, so a
     * stream catching up on a deep backlog processes it as bounded
-    * micro-batches instead of one unbounded read. The FIRST offer is
-    * capped too — the initial snapshot pins at version n−1 and the
-    * rest arrives incrementally, which is what bounds peak batch size
-    * on a 100 TB backfill. Best-effort across recovery (the v1
-    * Source learns its checkpointed position from the first getBatch,
-    * so the first post-restart trigger re-bounds from there). */
+    * micro-batches instead of one unbounded read. The FIRST offer of
+    * a FRESH stream is capped too — the initial snapshot pins at
+    * version n−1 and the rest arrives incrementally, which is what
+    * bounds peak batch size on a 100 TB backfill. Across recovery the
+    * persisted high-water mark re-seeds the limiter, so an offered
+    * offset NEVER regresses below one previously offered (the
+    * exactly-once invariant); if the mark is unreadable, the first
+    * post-restart offer is simply uncapped — bounded-batch is
+    * best-effort, exactly-once is not. */
   override def getOffset: Option[OffsetV1] = {
     val v = TxnLog.latestVersion(spark, root)
     if (v < 0) return None
+    val mayCap = maxVersionsPerTrigger > 0 && (base >= 0L || freshStart)
     val offered =
-      if (maxVersionsPerTrigger <= 0) v
-      else math.min(v, base + maxVersionsPerTrigger)
-    base = math.max(base, offered)
+      if (mayCap) math.min(v, base + maxVersionsPerTrigger)
+      else v
+    advanceBase(offered)
     Some(LongOffset(offered))
   }
 
@@ -338,7 +404,7 @@ class GraftStreamSource(spark: SparkSession, root: String,
 
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
     val endV = versionOf(end)
-    base = math.max(base, endV) // checkpoint recovery re-seeds the limiter
+    advanceBase(endV) // checkpoint recovery re-seeds the limiter
     val batch = start match {
       // first batch: the full snapshot at the stream's start version
       // (the Delta-source initial-snapshot semantics)

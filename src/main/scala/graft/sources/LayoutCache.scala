@@ -76,6 +76,35 @@ object LayoutCache {
     md.digest().take(8).map("%02x".format(_)).mkString
   }
 
+  /** [[contentFingerprint]] over a Hadoop [[org.apache.hadoop.fs.FileSystem]]
+    * — byte-identical digest for the same (name, length, sampled
+    * bytes), so local-FS callers can migrate without invalidating
+    * cached layouts. This is the variant remote-capable consumers (the
+    * MV staleness guard) MUST use: `java.io.File` silently sees
+    * nothing on hdfs://, s3a://, or any non-local scheme. */
+  def contentFingerprintHadoop(fs: org.apache.hadoop.fs.FileSystem,
+                               files: Seq[org.apache.hadoop.fs.FileStatus]): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    files.foreach { st =>
+      val len = st.getLen
+      md.update(s"${st.getPath.getName}:$len:".getBytes("UTF-8"))
+      if (len > 0) {
+        val in = fs.open(st.getPath)
+        try {
+          val head = new Array[Byte](math.min(len, SampleBytes.toLong).toInt)
+          in.readFully(0L, head)
+          md.update(head)
+          if (len > SampleBytes) {
+            val tail = new Array[Byte](SampleBytes)
+            in.readFully(len - SampleBytes, tail)
+            md.update(tail)
+          }
+        } finally in.close()
+      }
+    }
+    md.digest().take(8).map("%02x".format(_)).mkString
+  }
+
   private def complete(dir: File): Boolean = new File(dir, "_SUCCESS").exists()
 
   private def deleteRecursively(f: File): Unit = {

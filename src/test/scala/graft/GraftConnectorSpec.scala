@@ -189,6 +189,61 @@ class GraftConnectorSpec extends SparkSpec {
     assert(sizes2.asScala.toSeq.filter(_ > 0) == Seq(7L))
   }
 
+  test("maxVersionsPerTrigger: restart after full catch-up never regresses the offset or re-serves committed versions") {
+    val root = freshRoot()
+    val ckpt = Files.createTempDirectory("graft_dsv1_ckpt").toString
+    Seq((0L, "r0")).toDF("id", "s").write.format("graft").save(root)
+    (1 to 4).foreach { i =>
+      Seq((i.toLong, s"r$i")).toDF("id", "s").write.format("graft")
+        .mode(SaveMode.Append).save(root)
+    }
+    import scala.jdk.CollectionConverters._
+    def runOnce(): Seq[Long] = {
+      val ids = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+      val q = spark.readStream.format("graft")
+        .option("maxVersionsPerTrigger", "2").load(root)
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.collect().foreach(r => ids.add(r.getLong(0))); ()
+        }
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      ids.asScala.toSeq.sorted
+    }
+    // first run catches up fully under the cap
+    assert(runOnce() == (0L to 4L))
+    // restart with NO new commits: the pre-fix limiter capped from
+    // base = −1 and offered an offset BELOW the committed one, moving
+    // the commit log backwards and re-serving versions as duplicates —
+    // a restarted caught-up stream must deliver NOTHING
+    assert(runOnce() == Seq.empty, "restart re-served committed versions")
+    // and a third run after fresh appends delivers exactly the delta
+    (5 to 7).foreach { i =>
+      Seq((i.toLong, s"r$i")).toDF("id", "s").write.format("graft")
+        .mode(SaveMode.Append).save(root)
+    }
+    assert(runOnce() == (5L to 7L))
+  }
+
+  test("timestampAsOf accepts the date-only form; an unparseable value names the accepted formats") {
+    val root = freshRoot()
+    Seq((1L, "a")).toDF("id", "s").write.format("graft").save(root)
+    Seq((2L, "b")).toDF("id", "s").write.format("graft")
+      .mode(SaveMode.Append).save(root)
+    // tomorrow (local) is after both commits → resolves to the latest
+    val tomorrow = java.time.LocalDate.now().plusDays(1).toString
+    val got = spark.read.format("graft")
+      .option("timestampAsOf", tomorrow).load(root)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(1L, 2L))
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format("graft")
+        .option("timestampAsOf", "not-a-time").load(root).collect()
+    }
+    assert(e.getMessage.contains("yyyy-MM-dd"), e.getMessage)
+  }
+
   test("SQL surface: CREATE TABLE USING graft, SELECT with pushdown, INSERT INTO") {
     val root = freshRoot()
     Seq((1L, "a")).toDF("id", "s").write.format("graft").save(root)

@@ -203,4 +203,54 @@ class MvRewriteSpec extends SparkSpec {
     }
     ()
   }
+
+  test("an unlistable or empty base table refuses to register — a guard that can't fingerprint can't detect staleness") {
+    val (_, mv) = fixture()
+    val e = intercept[IllegalArgumentException] {
+      MvCatalog.register("/no/such/base/table", Seq("lang"),
+        Seq(("count", None, "cnt")), mv)
+    }
+    assert(e.getMessage.contains("empty or"), e.getMessage)
+    val empty = Files.createTempDirectory("graft_mv_emptybase").toString
+    intercept[IllegalArgumentException] {
+      MvCatalog.register(empty, Seq("lang"), Seq(("count", None, "cnt")), mv)
+    }
+    ()
+  }
+
+  test("persisted catalog: a fresh session serves a previously registered view from the store, staleness still fail-safe") {
+    val (src, mv) = fixture()
+    val store = Files.createTempDirectory("graft_mvstore").toString + "/cat"
+    spark.conf.set("spark.graft.mvCatalog", store)
+    def q = spark.read.parquet(src).groupBy("lang", "source")
+      .agg(sum(col("n")).as("sum_n"), count(lit(1)).as("cnt"))
+    try {
+      MvCatalog.register(src, Seq("lang", "source"),
+        Seq(("sum", Some("n"), "sum_n"), ("count", None, "cnt")), mv)
+      // simulate a FRESH process: the in-memory cache is gone, only
+      // the TxnLog-backed store survives
+      MvCatalog.resetCache()
+      val served = q
+      assert(scanPaths(served).exists(_.contains(mv)),
+        "fresh session did not reload the persisted registration")
+      assert(!hasAggregate(served))
+      // the reloaded entry's staleness guard still fires: change the
+      // base table and the view must stop serving
+      Seq(("fr", "web", 100L, 1.0)).toDF("lang", "source", "n", "score")
+        .write.mode("append").parquet(src)
+      MvCatalog.resetCache()
+      val after = q
+      assert(!scanPaths(after).exists(_.contains(mv)), "served a stale view")
+      assert(hasAggregate(after))
+      // invalidate removes from the store too: a fresh cache no longer
+      // sees the entry at all
+      MvCatalog.invalidate(src)
+      MvCatalog.resetCache()
+      assert(!scanPaths(q).exists(_.contains(mv)))
+    } finally {
+      spark.conf.unset("spark.graft.mvCatalog")
+      MvCatalog.invalidate(src)
+      MvCatalog.resetCache()
+    }
+  }
 }

@@ -323,4 +323,32 @@ class StagingWarehouseSpec extends SparkSpec {
       .head.getLong(2)
     assert(n2 == 5L)
   }
+
+  test("covarianceReport: decimal overflow and Long-range excess fail with the rescale message, never NPE or truncate") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // Σx² for two rows of ~9.2e18 is ~1.7e38 > decimal(38,0): under
+    // ANSI eval Spark itself fails the aggregate loudly; under
+    // non-ANSI the sum returns SQL NULL and the engine's dec() guard
+    // must turn it into the actionable rescale error — either way,
+    // NEVER a bare NullPointerException
+    val overflow = Seq((Long.MaxValue, 1L), (Long.MaxValue, 2L)).toDF("x", "y")
+    val e1 = intercept[Exception] {
+      graft.operators.Profiler.covarianceReport(overflow,
+        Seq("x" -> col("x"), "y" -> col("y"))).collect()
+    }
+    assert(!e1.isInstanceOf[NullPointerException], e1.toString)
+    val m1 = Option(e1.getMessage).getOrElse("").toLowerCase
+    assert(m1.contains("rescale") || m1.contains("overflow") ||
+      m1.contains("out_of_range") || m1.contains("cannot be represented"), e1.toString)
+    // moments fit decimal(38,0) but var_n = 1.8e37 exceeds Long —
+    // must fail loudly, not wrap/truncate via .toLong
+    val big = 3000000000000000000L // 3e18; n·Σx² = 3.6e37 fits decimal
+    val wide = Seq((big, 1L), (-big, 2L)).toDF("x", "y")
+    val e2 = intercept[IllegalArgumentException] {
+      graft.operators.Profiler.covarianceReport(wide,
+        Seq("x" -> col("x"), "y" -> col("y"))).collect()
+    }
+    assert(e2.getMessage.contains("exceeds Long range"), e2.getMessage)
+  }
 }

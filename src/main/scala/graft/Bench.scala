@@ -726,15 +726,25 @@ object Bench {
     val vsPrevBrief = prev match {
       case None => "null"
       case Some(_) =>
-        // recompute the brief from the detail-side flags (names only)
+        // recompute the brief from the detail-side flags (names only).
+        // NOISE flags carry only a COUNT here: round 14's 102
+        // within-run-spread names pushed this line past the driver's
+        // ~2 KB stdout tail window and truncated away the totals —
+        // only the NON-noise classes (the actionable ones) get names,
+        // capped, and the full lists live in BENCH_detail.json.
         val r = """"(\w+)":\{"prev_min_s":[^}]*"verdict":"regressed"""".r
         val i = """"(\w+)":\{"prev_min_s":[^}]*"verdict":"improved"""".r
         val n = """"(\w+)":\{"prev_min_s":[^}]*"verdict":"within-run-spread"""".r
         def names(rx: scala.util.matching.Regex) =
-          rx.findAllMatchIn(vsPrevJson).map(_.group(1)).take(12).toSeq
-        s"""{"regressed":[${names(r).map("\"" + _ + "\"").mkString(",")}],"improved":[${names(i).map("\"" + _ + "\"").mkString(",")}],"noise":[${names(n).map("\"" + _ + "\"").mkString(",")}]}"""
+          rx.findAllMatchIn(vsPrevJson).map(_.group(1)).toSeq
+        s"""{"regressed":[${names(r).take(10).map("\"" + _ + "\"").mkString(",")}],"improved":[${names(i).take(5).map("\"" + _ + "\"").mkString(",")}],"noise_n":${names(n).size}}"""
     }
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_s":${fmt(total)},"sf":"$sfDir","runs":$nRuns,"cc_rounds":$ccRounds,"queries_n":${mins.size},"failed_n":${mins.count(_._2 < 0)},"timing_disagree_2x":$disagree,"lint_unexpected_n":${lintUnexpected.size},"layout_build_s":$layoutJson,"vs_prev":$vsPrevBrief,"top10_min_s":$top10,"scaling_growth_per_10x":$scalingBrief,"sf1_growth":$sf1Brief,"scaling_attribution":$attributionBrief,"detail_file":"${detailPath.toAbsolutePath}"}""")
+    // LAST line, ≤500 bytes BY CONSTRUCTION: the driver keeps only a
+    // ~2 KB TAIL of stdout, and a tail keeps line ENDS — so the
+    // essentials ride a second, final, short line that always
+    // survives however large the full line above grows.
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_s":${fmt(total)},"queries_n":${mins.size},"failed_n":${mins.count(_._2 < 0)},"lint_unexpected_n":${lintUnexpected.size},"sf":"$sfDir","detail_file":"${detailPath.toAbsolutePath}"}""")
     spark.stop()
   }
 }

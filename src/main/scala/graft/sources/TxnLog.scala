@@ -388,9 +388,10 @@ object TxnLog {
     history(spark, root).map(c => (c.version, c.action, c.dirs.size, c.txnId))
 
   /** Latest committed version, or -1 for an empty/absent table.
-    * Names only — zero manifest reads. */
+    * Names only — zero manifest reads, and O(1) listings via the
+    * `_last_checkpoint` pointer. */
   def latestVersion(spark: SparkSession, root: String): Long =
-    listVersions(fileSystem(spark, root), root).lastOption.getOrElse(-1L)
+    resolveLatest(fileSystem(spark, root), root)
 
   /** `DESCRIBE HISTORY` as a DataFrame — the ops audit surface every
     * lakehouse table ships: one row per commit with its wall-clock
@@ -2831,6 +2832,7 @@ object TxnLog {
     val out = try fs.create(path, false)
     catch { case _: java.io.IOException => return false } // version taken
     try out.write(render(c).getBytes("UTF-8")) finally out.close()
+    writeCheckpoint(fs, root, c.version) // advisory listing shortcut
     true
   }
 
@@ -2863,14 +2865,76 @@ object TxnLog {
   }
 
   /** Committed version numbers, names only — one directory listing,
-    * zero manifest reads. */
+    * zero manifest reads. O(n-commits) filesystem METADATA, so the
+    * hot paths resolve through [[resolveLatest]] (pointer + probe)
+    * instead; this stays the audit/history/fallback surface. */
   private def listVersions(fs: FileSystem, root: String): Seq[Long] = {
+    logListings.incrementAndGet()
     val dir = new Path(s"$root/$LogDir")
     if (!fs.exists(dir)) return Seq.empty
     fs.listStatus(dir).toIndexedSeq.map(_.getPath.getName)
       .filter(_.endsWith(".json"))
       .map(_.stripSuffix(".json").toLong).sorted
   }
+
+  /** Full log-directory listings since JVM start — the spec
+    * instrument (the [[manifestReads]] convention) proving hot-path
+    * version resolution stays O(1) as the log grows. */
+  private[graft] val logListings = new java.util.concurrent.atomic.AtomicLong
+
+  /** Advisory `_last_checkpoint` pointer — the Delta-style listing
+    * shortcut. The file holds one version number KNOWN to have
+    * committed; resolution reads it and probes FORWARD one
+    * create-exclusive manifest name at a time, so `read`/`commit`/
+    * `fastCount` on a 10k-commit table pay one tiny read plus
+    * O(commits-since-pointer) `exists` probes (usually 1) instead of
+    * listing 10k names. Versions are DENSE at the tip (claimed
+    * sequentially; only vacuum removes OLD manifests), so the first
+    * missing name IS the frontier. Purely advisory: manifests remain
+    * the commit point and the CAS arbiter; a missing, unreadable,
+    * torn, or vacuumed-away pointer falls back to the full listing
+    * and can never change an answer. A torn concurrent read can only
+    * surface a PREFIX of the written digits — numerically ≤ the true
+    * version, which probe-forward absorbs. */
+  private val CheckpointName = "_last_checkpoint"
+
+  private def checkpointPath(root: String): Path =
+    new Path(s"$root/$LogDir/$CheckpointName")
+
+  /** Best-effort (advisory) pointer update after a successful publish. */
+  private def writeCheckpoint(fs: FileSystem, root: String, v: Long): Unit =
+    try {
+      val out = fs.create(checkpointPath(root), true)
+      try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+    } catch { case scala.util.control.NonFatal(_) => () }
+
+  private def readCheckpoint(fs: FileSystem, root: String): Option[Long] =
+    try {
+      val p = checkpointPath(root)
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val body =
+          try {
+            val buf = new java.io.ByteArrayOutputStream()
+            org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 8192, false)
+            buf.toString("UTF-8")
+          } finally in.close()
+        body.trim.toLongOption
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Latest committed version without a log listing: pointer +
+    * forward probe, falling back to [[listVersions]] when the pointer
+    * is absent or its manifest is gone. */
+  private def resolveLatest(fs: FileSystem, root: String): Long =
+    readCheckpoint(fs, root) match {
+      case Some(v) if v >= 0L && fs.exists(logPath(root, v)) =>
+        var cur = v
+        while (fs.exists(logPath(root, cur + 1))) cur += 1
+        cur
+      case _ => listVersions(fs, root).lastOption.getOrElse(-1L)
+    }
 
   /** The manifest of exactly version `v`, or None if never written or
     * vacuumed — ONE manifest read, no listing. Manifests are
@@ -2881,16 +2945,16 @@ object TxnLog {
     if (!fs.exists(p)) None else Some(readManifest(fs, p))
   }
 
-  /** The latest manifest — one name listing plus ONE manifest read
-    * (the max-named file; versions are zero-padded so name order is
-    * version order). This is the snapshot-op resolution path: a
-    * `_last_checkpoint`-style pointer would save the listing but adds
-    * an advisory file that can lag the CAS truth — the listing IS the
-    * truth, and the expensive part (parsing every manifest) is what
-    * this avoids. */
+  /** The latest manifest — pointer-resolved version plus ONE manifest
+    * read. This is the snapshot-op resolution path: the advisory
+    * `_last_checkpoint` pointer saves the O(n-commits) name listing
+    * (see [[resolveLatest]] — a lagging/torn pointer only means a few
+    * extra forward probes or the listing fallback, never a wrong
+    * version, because create-exclusive manifests stay the truth). */
   private def latestCommit(spark: SparkSession, root: String): Option[Commit] = {
     val fs = fileSystem(spark, root)
-    listVersions(fs, root).lastOption.flatMap(v => manifestFileAt(fs, root, v))
+    val v = resolveLatest(fs, root)
+    if (v < 0L) None else manifestFileAt(fs, root, v)
   }
 
   /** Consecutive manifests `fromVersion..toVersion` inclusive, by

@@ -972,6 +972,35 @@ class TxnLogSpec extends SparkSpec {
     assert(pollReads <= 6, s"poll parsed $pollReads manifests")
     // time travel to a pinned version is one direct manifest read
     assert(reads(TxnLog.read(spark, root, Some(60L)).count()) <= 2)
+    // _last_checkpoint: hot-path version resolution must not LIST the
+    // 121-name log directory either (O(n) filesystem metadata at 10k
+    // commits) — the pointer + forward probe replaces the listing
+    def listings(f: => Unit): Long = {
+      val before = TxnLog.logListings.get(); f
+      TxnLog.logListings.get() - before
+    }
+    assert(listings(TxnLog.latestVersion(spark, root)) == 0L, "latestVersion listed the log")
+    assert(listings(TxnLog.read(spark, root).count()) == 0L, "read listed the log")
+    assert(listings(TxnLog.fastCount(spark, root)) == 0L, "fastCount listed the log")
+    assert(listings {
+      TxnLog.append(Seq((122L, "s122")).toDF("id", "s"), root, Some("b-122")); ()
+    } == 0L, "commit listed the log")
+    // the pointer is ADVISORY: deleting it falls back to the listing
+    // (correct answer, one listing), and the next commit restores it
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val ckpt = new org.apache.hadoop.fs.Path(s"$root/_graft_log/_last_checkpoint")
+    fs.delete(ckpt, false)
+    assert(TxnLog.latestVersion(spark, root) == 122L)
+    TxnLog.append(Seq((123L, "s123")).toDF("id", "s"), root, Some("b-123"))
+    assert(fs.exists(ckpt), "commit did not restore the pointer")
+    // a TORN/corrupt pointer falls back safely too
+    val out = fs.create(ckpt, true); out.write("garbage".getBytes("UTF-8")); out.close()
+    assert(TxnLog.latestVersion(spark, root) == 123L)
+    // a LAGGING pointer (stale by many commits) probes forward to the
+    // true tip — never serves an old version
+    val out2 = fs.create(ckpt, true); out2.write("3".getBytes("UTF-8")); out2.close()
+    assert(TxnLog.latestVersion(spark, root) == 123L)
   }
 
   test("changeFeed survives schema evolution: a rewrite over all-narrow dirs diffs on the union schema") {

@@ -218,5 +218,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectOptimizerRule(_ => graft.plans.NativeDotRewrite)
     e.injectOptimizerRule(_ => graft.plans.CastRoundtripSimplify)
     e.injectOptimizerRule(_ => graft.plans.MvAggregateRewrite)
+    // AFTER the MV rewrite: that rule matches the intact GraftRelation
+    // leaf for its O(1) version staleness guard; this one then splices
+    // any remaining graft leaves into native vectorized scans
+    e.injectOptimizerRule(_ => graft.plans.GraftScanSubstitution)
   }
 }

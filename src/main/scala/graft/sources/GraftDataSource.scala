@@ -294,6 +294,10 @@ class GraftChangeFeedRelation(override val sqlContext: SQLContext,
     TxnLog.changeFeed(sqlContext.sparkSession, root, sinceVersion,
       keyCols, untilVersion)
 
+  /** The feed as its native DataFrame — the scan-substitution rule
+    * splices this plan in directly, skipping the `RDD[Row]` hop. */
+  private[graft] def feedFrame: DataFrame = feed
+
   override val schema: StructType = feed.schema
 
   override def buildScan(): RDD[Row] = feed.rdd

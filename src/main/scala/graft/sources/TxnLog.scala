@@ -1104,18 +1104,28 @@ object TxnLog {
     * type mismatches always survive). */
   private[graft] def readRanges(spark: SparkSession, root: String,
                                 ranges: Seq[(String, Option[Any], Option[Any])],
-                                asOf: Option[Long] = None): DataFrame = {
+                                asOf: Option[Long] = None): DataFrame =
+    readRangesCensus(spark, root, ranges, asOf)._1
+
+  /** [[readRanges]] plus its pruning census — (frame, dirs admitted,
+    * dirs skipped), so scan-substitution callers can report what the
+    * manifest stats bought without a second manifest resolution. */
+  private[graft] def readRangesCensus(spark: SparkSession, root: String,
+                                      ranges: Seq[(String, Option[Any], Option[Any])],
+                                      asOf: Option[Long] = None): (DataFrame, Int, Int) = {
     val m = manifestAt(spark, root, asOf)
     val snap = m.map(_.dirs).getOrElse(Seq.empty)
     require(snap.nonEmpty, s"TxnLog table at $root has no data at version ${asOf.getOrElse("latest")}")
     val stats = m.map(_.stats).getOrElse(Map.empty)
     val keep = snap.filter(d => ranges.forall { case (c, lo, hi) =>
       mayContainOpt(stats.get(d).flatMap(_.get(physOf(m, c))), lo, hi) })
-    if (keep.isEmpty)
-      dirFrame(spark, root, snap.head, m).filter(lit(false))
-    else
-      keep.map(d => dirFrame(spark, root, d, m))
-        .reduce(_.unionByName(_, allowMissingColumns = true))
+    val frame =
+      if (keep.isEmpty)
+        dirFrame(spark, root, snap.head, m).filter(lit(false))
+      else
+        keep.map(d => dirFrame(spark, root, d, m))
+          .reduce(_.unionByName(_, allowMissingColumns = true))
+    (frame, keep.size, snap.size - keep.size)
   }
 
   /** [[mayContain]] with optional bounds: an absent side is

@@ -226,6 +226,61 @@ class GraftConnectorSpec extends SparkSpec {
     assert(runOnce() == (5L to 7L))
   }
 
+  test("connector reads splice into native vectorized scans: pushed filters, no RDD hop; answers, census and fallback intact") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val root = freshRoot()
+    (0 until 4).foreach { i =>
+      val df = spark.range(i * 100L, (i + 1) * 100L).toDF("id")
+        .select(col("id"), (col("id") % 7).as("v"))
+      df.write.format("graft").mode(if (i == 0) SaveMode.Overwrite else SaveMode.Append)
+        .option("collectStats", "true").save(root)
+    }
+    def nodes(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+      case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+      case q: QueryStageExec => nodes(q.plan)
+      case o => o.children.flatMap(nodes)
+    })
+    val df = spark.read.format("graft").load(root)
+      .filter(col("id") === 250L).select("id", "v")
+    assert(df.collect().map(_.getLong(0)).toSeq == Seq(250L)) // answer first
+    val all = nodes(df.queryExecution.executedPlan)
+    // the 100 TB property: NO InternalRow->Row->InternalRow hop — the
+    // read plans as a vectorized parquet FileScan with pushed filters
+    assert(!all.exists(_.getClass.getSimpleName.contains("RowDataSourceScan")),
+      s"connector read still materializes through the DSv1 RDD[Row] hop:\n${df.queryExecution.executedPlan}")
+    val scans = all.collect { case s: FileSourceScanExec => s }
+    assert(scans.nonEmpty, "expected a native FileSourceScan")
+    assert(scans.exists(s =>
+      s.metadata.getOrElse("PushedFilters", "").contains("id")),
+      s"filters not pushed: ${scans.map(_.metadata.getOrElse("PushedFilters", "?"))}")
+    assert(scans.forall(_.supportsColumnar),
+      "parquet scan lost the vectorized (columnar) path")
+    // the manifest-stats dir census is still reported by the spliced path
+    val (opened, skipped) = GraftDataSource.lastScanCensus
+    assert(skipped >= 3 * opened, s"census lost pruning: $opened/$skipped")
+    // time travel splices too, pinned to the right snapshot
+    val v0 = spark.read.format("graft").option("versionAsOf", 0).load(root)
+    assert(v0.count() == 100L)
+    assert(!nodes(v0.queryExecution.executedPlan)
+      .exists(_.getClass.getSimpleName.contains("RowDataSourceScan")))
+    // CDF reads splice too, same answer as the native feed
+    val cdf = spark.read.format("graft").option("readChangeFeed", "true")
+      .option("startingVersion", "2").load(root)
+    assert(cdf.count() == 200L)
+    assert(!nodes(cdf.queryExecution.executedPlan)
+      .exists(_.getClass.getSimpleName.contains("RowDataSourceScan")))
+    // kill switch: the DSv1 relation path still serves, same rows
+    spark.conf.set("spark.graft.connector.substituteScan", "false")
+    try {
+      val off = spark.read.format("graft").load(root).filter(col("id") === 250L)
+      assert(nodes(off.queryExecution.executedPlan)
+        .exists(_.getClass.getSimpleName.contains("RowDataSourceScan")),
+        "expected the DSv1 fallback under the kill switch")
+      assert(off.collect().map(_.getLong(0)).toSeq == Seq(250L))
+    } finally spark.conf.unset("spark.graft.connector.substituteScan")
+  }
+
   test("timestampAsOf accepts the date-only form; an unparseable value names the accepted formats") {
     val root = freshRoot()
     Seq((1L, "a")).toDF("id", "s").write.format("graft").save(root)

@@ -222,5 +222,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // leaf for its O(1) version staleness guard; this one then splices
     // any remaining graft leaves into native vectorized scans
     e.injectOptimizerRule(_ => graft.plans.GraftScanSubstitution)
+    // SQL DML over graft.`path` tables: hand parser only for the
+    // statements Spark has no grammar for (OPTIMIZE/VACUUM/DESCRIBE
+    // HISTORY); MERGE/UPDATE/DELETE parse natively and lower via the
+    // resolution rule onto the existing TxnLog operations
+    e.injectParser((_, delegate) => new graft.sources.GraftSqlParser(delegate))
+    // hint batch (pre-Resolution): must convert graft.`path` DML
+    // before ResolveSQLOnFile claims-and-fails the path token
+    e.injectHintResolutionRule(_ => graft.sources.GraftDmlResolution)
   }
 }

@@ -1455,6 +1455,51 @@ object TxnLog {
       partitionBy = layoutOf(spark, root, affected))
   }
 
+  /** Row-level UPDATE by copy-on-write — SQL `UPDATE t SET c = e
+    * [WHERE p]` semantics: rows where the predicate IS TRUE are
+    * rewritten with the assignments applied (each assignment
+    * expression evaluates against the PRE-update row — the SQL
+    * contract, so `SET a = b, b = a` swaps); a NULL/false predicate
+    * keeps the row unchanged. Only the affected directories rewrite
+    * (same bounded pushdown detection as [[delete]]); assignments
+    * cast to the column's existing type (UPDATE never evolves
+    * schema); unknown columns refuse loudly. Same CAS +
+    * idempotent-txnId protocol; a no-match predicate is a version
+    * no-op. Returns the committed (or no-op latest) version. */
+  def update(spark: SparkSession, root: String,
+             assignments: Seq[(String, Column)], predicate: Column,
+             txnId: Option[String] = None): Long = {
+    require(assignments.nonEmpty, "TxnLog.update: need at least one assignment")
+    require(assignments.map(_._1).distinct.size == assignments.size,
+      "TxnLog.update: duplicate assignment targets")
+    val latest = latestCommit(spark, root)
+    txnId.foreach { id =>
+      txnVersionOf(spark, root, latest, id).foreach(return _)
+    }
+    require(latest.nonEmpty, s"TxnLog: cannot update empty table at $root")
+    val expected = latest.get.version
+    val snap = latest.get.dirs
+    require(snap.nonEmpty, s"TxnLog: nothing to update at $root (empty snapshot)")
+    val affected = affectedDirs(spark, root, snap, latest, _.filter(predicate))
+    if (affected.isEmpty) return expected
+    val current = affected.toSeq.sorted
+      .map(d => dirFrame(spark, root, d, latest))
+      .reduce(_.unionByName(_, allowMissingColumns = true))
+    val assigned = assignments.toMap
+    val unknown = assigned.keySet -- current.columns.toSet
+    require(unknown.isEmpty,
+      s"TxnLog.update: unknown column(s) ${unknown.toSeq.sorted.mkString(",")} at $root")
+    val hit = predicate === lit(true) // NULL predicate keeps the old row
+    val rewritten = current.select(current.columns.toIndexedSeq.map { c =>
+      assigned.get(c)
+        .map(e => when(hit, e.cast(current.schema(c).dataType)).otherwise(col(c)).as(c))
+        .getOrElse(col(c))
+    }: _*)
+    commit(rewritten, root, "replace", txnId, expectedLatest = Some(expected),
+      replaceBase = Some(snap.filterNot(affected)),
+      partitionBy = layoutOf(spark, root, affected))
+  }
+
   /** Row-level DELETE by MERGE-ON-READ: the complement of [[delete]]
     * for the frequent-small-delete regime (a daily right-to-be-
     * forgotten trickle) where copy-on-write would rewrite the

@@ -42,4 +42,14 @@ object GraftShims {
                      schema: StructType): DataFrame =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .internalCreateDataFrame(rows, schema, isStreaming = false)
+
+  /** A resolved [[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]]
+    * as a DataFrame (`Dataset.ofRows` is `private[sql]`) — how the SQL
+    * DML commands hand their already-analyzed MERGE source plan to the
+    * TxnLog API. The same bridge every SQL extension with commands
+    * carrying query subtrees (Delta's MergeIntoCommand) relies on. */
+  def dataFrame(spark: SparkSession,
+                plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 }

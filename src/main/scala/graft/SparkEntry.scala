@@ -3173,6 +3173,18 @@ object SparkEntry {
   private def substrDedupQuery(spark: SparkSession, dir: String): DataFrame =
     graft.dedup.Dedup.substrDedup(Tables.documents(spark, dir), w = 8)
 
+  /** ExactSubstr-complete SPAN dedup
+    * ([[graft.dedup.Dedup.substrDedupSpans]]): adjacent duplicate
+    * 8-token windows coalesce into maximal spans (gaps-and-islands
+    * over window starts) and only spans of 20+ total tokens are
+    * erased — long copied regions go, incidental short repeats stay.
+    * The oracle replays the whole chain: same rolling window hashes,
+    * a `pos - row_number()` island key, span filter, and the
+    * byte-exact token rebuild. */
+  private def substrDedupSpansQuery(spark: SparkSession, dir: String): DataFrame =
+    graft.dedup.Dedup.substrDedupSpans(Tables.documents(spark, dir),
+      w = 8, minMatchTokens = 20)
+
   /** Incremental [[substrDedupQuery]]
     * ([[graft.dedup.Dedup.substrDedupIncremental]]): docs < 250 form
     * the accepted window-hash catalog; the batch (>= 250) is screened
@@ -3363,8 +3375,11 @@ object SparkEntry {
       TxnLog.overwrite(docs.filter(col("doc_id") < 150), root, Some("s0"))
       TxnLog.append(docs.filter(col("doc_id") >= 150 && col("doc_id") < 300), root, Some("s1"))
       TxnLog.append(docs.filter(col("doc_id") >= 300), root, Some("s2"))
-      TxnLog.delete(spark, root,
-        col("doc_id") < 150 && col("lang") === "en", Some("gdpr-1"))
+      // the erasure runs through the SQL surface — storage of the
+      // statement changes, never the answer: the command lowers onto
+      // the same TxnLog.delete (null contract included)
+      spark.sql(
+        s"DELETE FROM graft.`$root` WHERE doc_id < 150 AND lang = 'en'")
       ()
     }
     TxnLog.read(spark, root).select("doc_id", "source", "lang", "n_chars")
@@ -3473,14 +3488,18 @@ object SparkEntry {
         collectStats = true)
       TxnLog.deleteMor(spark, root,
         col("doc_id") % 10 === 3 && col("doc_id") < 140L, Some("cw-del"))
-      val v = TxnLog.compactWhere(spark, root, "doc_id", 0L, 140L)
+      // the scoped rewrite runs through the SQL surface (OPTIMIZE ...
+      // WHERE lowers onto the same TxnLog.compactWhere)
+      val v = spark.sql(
+        s"OPTIMIZE graft.`$root` WHERE doc_id BETWEEN 0 AND 140").head.getLong(0)
       require(v == 7L, s"txnlog_compact_where: expected version 7, got $v")
       ()
     }
     // idempotence is part of the contract: a re-run of the same scope
     // must mint nothing (the rewrite carried stats)
     val latest = TxnLog.latestVersion(spark, root)
-    require(TxnLog.compactWhere(spark, root, "doc_id", 0L, 140L) == latest,
+    require(spark.sql(
+      s"OPTIMIZE graft.`$root` WHERE doc_id BETWEEN 0 AND 140").head.getLong(0) == latest,
       "txnlog_compact_where: scoped re-run minted a version")
     TxnLog.read(spark, root).select("doc_id", "source", "n_chars")
   }
@@ -3571,8 +3590,14 @@ object SparkEntry {
       val inserts = docs.filter(col("doc_id") % 10 === 5)
         .select((col("doc_id") + 1000000L).as("doc_id"),
           lit("merged").as("source"), lit(42L).as("n_chars"))
-      TxnLog.merge(updates.unionByName(inserts), root, Seq("doc_id"), Some("sync-1"),
-        notMatchedBySourceDelete = Some(col("doc_id") % 7 === 3))
+      // the tri-clause upsert runs through the SQL surface — the full
+      // Delta MERGE statement shape, lowered onto the same TxnLog.merge
+      updates.unionByName(inserts).createOrReplaceTempView("txnmrgf_src")
+      spark.sql(
+        s"""MERGE INTO graft.`$root` AS t USING txnmrgf_src AS s ON t.doc_id = s.doc_id
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *
+           |WHEN NOT MATCHED BY SOURCE AND t.doc_id % 7 = 3 THEN DELETE""".stripMargin)
       ()
     }
     TxnLog.read(spark, root).select("doc_id", "source", "n_chars")
@@ -4618,6 +4643,7 @@ object SparkEntry {
     "decontaminate_bloom" -> (decontaminateBloom(_, _)),
     "span_dedup" -> (spanDedupQuery(_, _)),
     "substr_dedup" -> (substrDedupQuery(_, _)),
+    "substr_dedup_spans" -> (substrDedupSpansQuery(_, _)),
     "substr_dedup_incremental" -> (substrDedupIncrementalQuery(_, _)),
     "substr_dedup_incremental_bucketed" -> (substrDedupIncrementalBucketed(_, _)),
     "model_score" -> (modelScore(_, _)),
@@ -8357,6 +8383,39 @@ object SparkEntry {
         |  COALESCE(array_to_string(list_transform(keep, i -> ts[CAST(i + 1 AS INT)]), ' '), '') AS text_dedup,
         |  CAST(len(ts) AS BIGINT) AS n_tokens,
         |  CAST(len(ts) - len(keep) AS BIGINT) AS n_removed
+        |FROM k""".stripMargin,
+    "substr_dedup_spans" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ts FROM documents),
+        |occ AS (
+        |  SELECT doc_id, i - 1 AS pos,
+        |    CAST(concat('0x', substring(md5(array_to_string(list_slice(ts, i, i + 7), ' ')), 1, 15)) AS BIGINT) AS whash,
+        |    doc_id * 1048576 + (i - 1) AS occ_key
+        |  FROM d, unnest(generate_series(1, len(ts) - 7)) AS u(i)
+        |  WHERE len(ts) >= 8),
+        |el AS (SELECT whash, min(occ_key) AS min_key, count(*) AS n_occ FROM occ GROUP BY whash),
+        |dup AS (SELECT doc_id, pos FROM occ JOIN el USING (whash)
+        |        WHERE n_occ >= 2 AND occ_key <> min_key),
+        |isl AS (SELECT doc_id, pos,
+        |          pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |        FROM dup),
+        |sp AS (SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e
+        |       FROM isl GROUP BY doc_id, grp
+        |       HAVING max(pos) + 7 - min(pos) + 1 >= 20),
+        |spl AS (SELECT doc_id, list_sort(list([s, e])) AS spans, count(*) AS n_sp
+        |        FROM sp GROUP BY doc_id),
+        |r AS (SELECT d.doc_id, ts,
+        |        CASE WHEN spans IS NULL THEN CAST([] AS BIGINT[][]) ELSE spans END AS spans,
+        |        COALESCE(n_sp, 0) AS n_sp
+        |      FROM d LEFT JOIN spl USING (doc_id)),
+        |k AS (SELECT doc_id, ts, n_sp,
+        |        list_filter(range(0, len(ts)), i ->
+        |          len(list_filter(spans, sp2 -> i >= sp2[1] AND i <= sp2[2])) = 0) AS keep
+        |      FROM r)
+        |SELECT doc_id,
+        |  COALESCE(array_to_string(list_transform(keep, i -> ts[CAST(i + 1 AS INT)]), ' '), '') AS text_dedup,
+        |  CAST(len(ts) AS BIGINT) AS n_tokens,
+        |  CAST(len(ts) - len(keep) AS BIGINT) AS n_removed,
+        |  CAST(n_sp AS BIGINT) AS n_spans
         |FROM k""".stripMargin,
     "corpus_shuffle" ->
       """WITH h AS (

@@ -1037,6 +1037,69 @@ object Dedup {
       .select(col("doc_id"), col("r.text_dedup"), col("r.n_tokens"), col("r.n_removed"))
   }
 
+  /** ExactSubstr COMPLETION — variable-length duplicate-SPAN removal
+    * with a minimum match length, the Lee et al. "Deduplicating
+    * Training Data Makes Language Models Better" (2022) ExactSubstr
+    * semantics: [[substrDedup]] cuts every repeated fixed-w window,
+    * which (a) also fires on incidental short w-token repeats and (b)
+    * is window-quantized policy-wise. Here adjacent duplicate windows
+    * COALESCE into maximal spans first (a gaps-and-islands pass over
+    * window start indexes — consecutive starts are one duplicated
+    * region), and only spans of `minMatchTokens`+ total tokens are
+    * removed — span-exact erasure of long matches, short accidental
+    * repeats untouched. First occurrence (minimum occ_key corpus-wide
+    * per window) always survives, exactly the [[substrDedup]] rule.
+    *
+    * Output: (doc_id, text_dedup, n_tokens, n_removed, n_spans).
+    *
+    * Scale shape: identical to [[substrDedup]] plus one narrow
+    * (doc_id, pos) window pass for the islands — text still never
+    * rides a shuffle; the rank window partitions by doc_id (bounded
+    * rows per doc by the position cap), spans are int triples. */
+  def substrDedupSpans(df: DataFrame, w: Int = 8, minMatchTokens: Int = 20,
+                       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(minMatchTokens >= w,
+      s"minMatchTokens ($minMatchTokens) must be >= window w ($w) — a span is at least one window")
+    import graft.functions.TextFunctions.{bound, tokens}
+    val base = df.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
+    val occ = windowOccurrences(base, w, "text", "doc_id")
+    val elect = occ.groupBy("whash")
+      .agg(min(col("occ_key")).as("min_key"), count(lit(1)).as("n_occ"))
+    val dup = occ.join(elect, "whash")
+      .filter(col("n_occ") >= 2 && col("occ_key") =!= col("min_key"))
+      .select(col("doc_id"), col("pos"))
+    // gaps-and-islands (the events_streaks machinery): duplicate
+    // window starts at consecutive positions are ONE duplicated
+    // region; the island covers tokens [min(pos), max(pos) + w - 1]
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val spans = dup
+      .withColumn("grp", col("pos") - row_number().over(byDoc))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + lit(w - 1)).as("e"))
+      .filter(col("e") - col("s") + 1 >= minMatchTokens)
+    val cuts = spans.groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("spans"),
+        count(lit(1)).as("n_spans"))
+    base.join(cuts, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        bound(tokens(col("text"))) { ts =>
+          bound(coalesce(col("spans"), array().cast("array<struct<s:int,e:int>>"))) { sp =>
+            bound(filter(sequence(lit(0), size(ts) - 1), i =>
+              !exists(sp, r => i >= r.getField("s") && i <= r.getField("e")))) { keep =>
+              struct(
+                concat_ws(" ", transform(keep, i => element_at(ts, i + 1)))
+                  .as("text_dedup"),
+                size(ts).cast("bigint").as("n_tokens"),
+                (size(ts) - size(keep)).cast("bigint").as("n_removed"))
+            }
+          }
+        }.as("r"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"))
+      .select(col("doc_id"), col("r.text_dedup"), col("r.n_tokens"),
+        col("r.n_removed"), col("n_spans"))
+  }
+
   def substrDedup(df: DataFrame, w: Int = 8,
                   textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val base = df.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))

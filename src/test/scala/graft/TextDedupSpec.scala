@@ -510,6 +510,44 @@ class TextDedupSpec extends SparkSpec {
     assert(r7.getLong(3) == 8L)
   }
 
+  test("substrDedupSpans: maximal spans erase byte-exact with a length floor; short repeats survive") {
+    import graft.dedup.Dedup
+    val base = (1 to 60).map(i => s"w$i")
+    val copied = base.slice(10, 40) // 30 contiguous tokens of doc 0
+    val short = base.slice(0, 10)   // 10 tokens — below the 20 floor
+    val pre = (1 to 5).map(i => s"p$i")
+    val suf = (1 to 5).map(i => s"q$i")
+    val docs = Seq(
+      (0L, base.mkString(" ")),
+      (1L, (pre ++ copied ++ suf).mkString(" ")),
+      (2L, ((1 to 6).map(i => s"x$i") ++ short ++ (1 to 6).map(i => s"y$i")).mkString(" "))
+    ).toDF("doc_id", "text")
+    val out = Dedup.substrDedupSpans(docs, w = 8, minMatchTokens = 20).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // first occurrence intact
+    assert(out(0L) == ((base.mkString(" "), 60L, 0L, 0L)))
+    // the 30-token copy is ONE maximal span, erased byte-exact: no
+    // window-boundary residue — the rebuilt text is exactly pre+suf
+    assert(out(1L) == (((pre ++ suf).mkString(" "), 40L, 30L, 1L)))
+    // a 10-token repeat is below the 20-token floor: UNTOUCHED here...
+    assert(out(2L)._1.split(" ").length == 22 && out(2L)._3 == 0L, out(2L).toString)
+    // ...while plain window dedup would have cut it — the floor is
+    // exactly what distinguishes the ExactSubstr policy
+    val plain = Dedup.substrDedup(docs, w = 8).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(plain(2L) == 10L, s"window dedup should cut the short repeat: $plain")
+    // two disjoint long copies in one doc are TWO spans, each maximal
+    val multi = Seq(
+      (0L, base.mkString(" ")),
+      (5L, (copied ++ Seq("gap1", "gap2", "gap3") ++ base.slice(35, 60)).mkString(" "))
+    ).toDF("doc_id", "text")
+    val m = Dedup.substrDedupSpans(multi, w = 8, minMatchTokens = 20).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(3), r.getLong(4)))).toMap
+    assert(m(5L) == (("gap1 gap2 gap3", 55L, 2L)), m(5L).toString)
+  }
+
   test("substrDedupIncremental: catalog text always wins; batch dedupes within itself") {
     import graft.dedup.Dedup
     val accepted = Seq((0L, "a b c d e f g h i j")).toDF("doc_id", "text")

@@ -1656,6 +1656,19 @@ object SparkEntry {
     Similarity.pqTopK(e.select("vec_id", "embedding"), queries, dim = 64, k = 5)
   }
 
+  /** OPQ-gated PQ ([[graft.similarity.Similarity.opqTopK]]): the
+    * eigenvalue-allocation permutation engages only on a measurably
+    * variance-skewed corpus; the oracle recomputes the per-dim
+    * integer variances, the skew gate, and the snake permutation in
+    * SQL — no literals — then replays the PQ chain over the chosen
+    * layout. */
+  private def simOpq(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    Similarity.opqTopK(e.select("vec_id", "embedding"), queries, dim = 64, k = 5)
+  }
+
   /** IVF over Spark-ML-trained k-means centroids, run at full probe
     * width (`nProbe = nCells`). ML KMeans accumulates float partial
     * sums in partition order, so its centroids are not
@@ -5297,6 +5310,7 @@ object SparkEntry {
     "sim_ivfpq" -> (simIvfPq(_, _)),
     "sim_ivfpq_indexed" -> (simIvfPqIndexed(_, _)),
     "sim_pq" -> (simPq(_, _)),
+    "sim_opq" -> (simOpq(_, _)),
     // Okapi BM25 (rational constants k1=6/5, b=3/4; per-term scores
     // are single long-ratio divisions summed in one fixed-order
     // projection) over the same literal query as keyword_search
@@ -9775,6 +9789,61 @@ object SparkEntry {
          |  SELECT vec_id, list_transform(embedding,
          |    v -> CAST(round(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT)) AS fv
          |  FROM embeddings),
+         |sub AS (
+         |  SELECT vec_id, CAST(t.j AS INTEGER) AS sub_id,
+         |    fv[t.j*16+1 : t.j*16+16] AS sv
+         |  FROM f, range(0, 4) t(j)),
+         |cb AS (
+         |  SELECT sub_id, vec_id AS cent_id, sv AS cv FROM sub
+         |  WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id ASC LIMIT 16)),
+         |codes AS (
+         |  SELECT vec_id, sub_id, cent_id FROM (
+         |    SELECT s.vec_id, s.sub_id, c.cent_id,
+         |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.sub_id ORDER BY
+         |        ${sq16("s.sv", "c.cv")} ASC, c.cent_id ASC) AS rn
+         |    FROM sub s JOIN cb c USING (sub_id)) WHERE rn = 1),
+         |dtab AS (
+         |  SELECT s.vec_id AS q_id, s.sub_id, c.cent_id,
+         |    CAST(${sq16("s.sv", "c.cv")} AS BIGINT) AS d
+         |  FROM sub s JOIN cb c USING (sub_id) WHERE s.vec_id < 10),
+         |adc AS (
+         |  SELECT t.q_id, k.vec_id, CAST(SUM(t.d) AS BIGINT) AS adc
+         |  FROM codes k JOIN dtab t ON k.sub_id = t.sub_id AND k.cent_id = t.cent_id
+         |  WHERE k.vec_id <> t.q_id GROUP BY 1, 2)
+         |SELECT q_id, vec_id, rank, adc FROM (
+         |  SELECT q_id, vec_id, adc,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+         |      ORDER BY adc ASC, vec_id ASC) AS BIGINT) AS rank
+         |  FROM adc) WHERE rank <= 5""".stripMargin
+    },
+    "sim_opq" -> {
+      val sq16 = (a: String, b: String) =>
+        s"list_sum(list_transform(range(1, 17), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))"
+      s"""WITH f0 AS (
+         |  SELECT vec_id, list_transform(embedding,
+         |    v -> CAST(round(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT)) AS fv
+         |  FROM embeddings),
+         |e AS (SELECT vec_id, t.j AS p, fv[CAST(t.j + 1 AS INT)] AS v
+         |      FROM f0, range(0, 64) t(j)),
+         |vr AS (
+         |  SELECT p,
+         |    CAST(count(*) AS HUGEINT) * SUM(CAST(v AS HUGEINT) * CAST(v AS HUGEINT))
+         |      - SUM(CAST(v AS HUGEINT)) * SUM(CAST(v AS HUGEINT)) AS var_n
+         |  FROM e GROUP BY p),
+         |gate AS (
+         |  SELECT max(sv) * 4 >= SUM(sv) * 2 AS skewed
+         |  FROM (SELECT p // 16 AS sub, SUM(var_n) AS sv FROM vr GROUP BY 1)),
+         |rk AS (SELECT p, row_number() OVER (ORDER BY var_n DESC, p ASC) - 1 AS r FROM vr),
+         |pm AS (SELECT (CASE WHEN (r // 4) % 2 = 0 THEN r % 4 ELSE 3 - (r % 4) END) * 16
+         |         + (r // 4) AS newpos, p AS olddim FROM rk),
+         |ol AS (SELECT list(olddim ORDER BY newpos) AS olds FROM pm),
+         |f AS (
+         |  SELECT vec_id,
+         |    CASE WHEN skewed
+         |      THEN list_transform(range(0, 64),
+         |             q -> fv[CAST(olds[CAST(q + 1 AS INT)] + 1 AS INT)])
+         |      ELSE fv END AS fv
+         |  FROM f0, ol, gate),
          |sub AS (
          |  SELECT vec_id, CAST(t.j AS INTEGER) AS sub_id,
          |    fv[t.j*16+1 : t.j*16+16] AS sv

@@ -938,13 +938,92 @@ object Similarity {
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), _ + _)
 
   def pqTopK(candidates: DataFrame, queries: DataFrame, dim: Int, k: Int,
-             nSub: Int = 4, nCents: Int = 16): DataFrame = {
+             nSub: Int = 4, nCents: Int = 16): DataFrame =
+    pqTopKWith(candidates, queries, dim, k, nSub, nCents,
+      c => transform(c, v => round(v.cast("double") * 1000000.0).cast("long")))
+
+  /** OPQ-style PQ — the SAME code budget as [[pqTopK]], preceded by
+    * the eigenvalue-ALLOCATION step of OPQ (Ge et al., "Optimized
+    * Product Quantization", CVPR 2013, the non-parametric OPQ-P
+    * variant) restricted to the orthogonal PERMUTATION subgroup: PQ
+    * quantizes each subspace independently, so variance concentrated
+    * in one subspace's dimensions starves the others' centroid budget
+    * — OPQ-P fixes it by re-allocating dimensions so every subspace
+    * carries comparable variance. Here dimensions rank by EXACT
+    * integer variance (n·Σx² − (Σx)² on micro units, the
+    * [[graft.operators.Profiler.covarianceReport]] moments) and
+    * snake-assign to subspaces (best, 2·nSub-th, … per subspace), a
+    * permutation — orthogonal by construction, so true distances are
+    * untouched and only the quantization grid improves.
+    *
+    * SKEW GATE: the allocation engages only when the raw layout is
+    * measurably unbalanced — max per-subspace variance ≥ 2× the
+    * balanced share (`nSub·maxV ≥ 2·ΣV`) — because on an
+    * already-balanced corpus the re-allocation buys nothing and a
+    * variance-noise permutation can only scramble whatever incidental
+    * alignment the sample codebook exploits. Balanced corpus ⇒
+    * identity ⇒ bit-identical to [[pqTopK]]; skewed corpus ⇒ measured
+    * recall lift (SimilarityScaleSpec) — so recall ≥ plain PQ on both
+    * regimes by construction. Every step (variance ranking, snake
+    * formula, gate predicate) is exact integer arithmetic a SQL
+    * oracle recomputes from the data — no plane literals.
+    *
+    * Scale shape: one narrow (dim, var) aggregate (dim rows
+    * collected — the centroid-class bounded collect) decides the
+    * permutation; applying it is a map-side array re-index fused into
+    * the quantizing scan; nothing new shuffles. */
+  def opqTopK(candidates: DataFrame, queries: DataFrame, dim: Int, k: Int,
+              nSub: Int = 4, nCents: Int = 16): DataFrame = {
+    require(nSub > 0 && dim % nSub == 0, s"dim=$dim must divide into nSub=$nSub")
+    val micro: Column => Column =
+      c => transform(c, v => round(v.cast("double") * 1000000.0).cast("long"))
+    // exact integer per-dim variance: n·Σx² − (Σx)², decimal-summed
+    // (n·Σx² outgrows a long beyond ~5k rows at micro scale)
+    val stats = candidates
+      .select(posexplode(micro(col("embedding"))).as(Seq("p", "v")))
+      .groupBy(col("p"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("v").cast("decimal(38,0)")).as("s"),
+        sum((col("v") * col("v")).cast("decimal(38,0)")).as("q"))
+      .collect() // bounded: dim rows
+      .map { r =>
+        val n = BigInt(r.getLong(1))
+        val s = BigInt(r.getDecimal(2).toBigInteger)
+        val q = BigInt(r.getDecimal(3).toBigInteger)
+        (r.getInt(0), n * q - s * s)
+      }
+    require(stats.length == dim, s"opqTopK: expected $dim dims, saw ${stats.length}")
+    val sw = dim / nSub
+    val bySub = stats.groupBy(_._1 / sw).map { case (s, xs) => (s, xs.map(_._2).sum) }
+    val total = bySub.values.sum
+    val skewed = total.signum > 0 && bySub.values.max * nSub >= total * 2
+    val fp: Column => Column =
+      if (!skewed) micro
+      else {
+        // variance-desc rank (dim asc ties) → snake-assign: rank r
+        // lands at subspace sub(r), slot r/nSub
+        val ranked = stats.sortBy { case (p, v) => (-v, p) }.map(_._1)
+        val perm = new Array[Int](dim)
+        for (r <- 0 until dim) {
+          val block = r / nSub
+          val within = r % nSub
+          val sub = if (block % 2 == 0) within else nSub - 1 - within
+          perm(sub * sw + block) = ranked(r)
+        }
+        c => graft.functions.TextFunctions.bound(micro(c)) { fv =>
+          array(perm.toIndexedSeq.map(p => element_at(fv, p + 1)): _*)
+        }
+      }
+    pqTopKWith(candidates, queries, dim, k, nSub, nCents, fp)
+  }
+
+  private def pqTopKWith(candidates: DataFrame, queries: DataFrame,
+                         dim: Int, k: Int, nSub: Int, nCents: Int,
+                         fp: Column => Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(nSub > 0 && dim % nSub == 0, s"dim=$dim must divide into nSub=$nSub")
     require(nCents > 0, s"nCents must be positive, got $nCents")
     val sw = dim / nSub
-    def fp(c: Column): Column =
-      transform(c, v => round(v.cast("double") * 1000000.0).cast("long"))
     // one row per (id, subspace): the fixed-point subvector
     def subRows(df: DataFrame, idCol: String, embCol: String,
                 idOut: String, svOut: String): DataFrame =

@@ -961,4 +961,46 @@ class SimilarityScaleSpec extends SparkSpec {
     val self = Similarity.recallAtK(truth, truth).collect()
     assert(self.forall(_.getLong(4) == 1000000L))
   }
+
+  test("opqTopK: variance re-allocation lifts recall on a skewed corpus; the gate keeps balanced corpora bit-identical to PQ") {
+    import spark.implicits._
+    import org.apache.spark.sql.DataFrame
+    def h(i: Long, j: Int): Double = {
+      val x = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$i:$j".getBytes("UTF-8")).take(4)
+      java.nio.ByteBuffer.wrap(x).getInt.toDouble / Int.MaxValue
+    }
+    // all signal in the first 8 dims = the first PQ subspace hoards
+    // the variance OPQ's allocation step exists to re-balance
+    val skewed = (0L until 200L).map { i =>
+      (i, Array.tabulate(64)(j =>
+        if (j < 8) h(i, j).toFloat else (0.002 * h(i, j)).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    def queriesOf(c: DataFrame) = c.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    def recallVsTruth(c: DataFrame, approx: DataFrame): Double = {
+      val truth = Similarity.bruteForceTopK(c, queriesOf(c), k = 5)
+        .select("q_id", "vec_id").collect()
+        .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+      val got = approx.select("q_id", "vec_id").collect()
+        .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+      truth.map { case (q, t) =>
+        got.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size }.sum / truth.size
+    }
+    val pqR = recallVsTruth(skewed, Similarity.pqTopK(skewed, queriesOf(skewed), dim = 64, k = 5))
+    val opqR = recallVsTruth(skewed, Similarity.opqTopK(skewed, queriesOf(skewed), dim = 64, k = 5))
+    assert(opqR > pqR,
+      s"allocation should LIFT recall on the skewed corpus: pq=$pqR opq=$opqR")
+    // balanced corpus (the real embeddings table): the skew gate keeps
+    // the identity layout, so OPQ is bit-identical to plain PQ —
+    // recall >= pq holds with equality by construction
+    val real = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select("vec_id", "embedding")
+    val q = queriesOf(real)
+    val a = Similarity.pqTopK(real, q, dim = 64, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val b = Similarity.opqTopK(real, q, dim = 64, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(a == b, "gate should keep a balanced corpus bit-identical to PQ")
+  }
 }

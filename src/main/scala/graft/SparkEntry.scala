@@ -1616,6 +1616,28 @@ object SparkEntry {
     Multimodal.phashNearDups(Multimodal.averageHash(assets), maxHamming = 3)
   }
 
+  /** Cross-modal duplicate ensemble
+    * ([[graft.dedup.Dedup.crossModalClusters]]): MinHash text pairs
+    * and perceptual-hash image pairs (asset pairs mapped onto their
+    * owning documents, same-doc perturbation pairs dropped) union
+    * into ONE connected-components clustering with per-modality
+    * evidence flags — the "same page, re-encoded image, paraphrased
+    * caption" merge single-modality dedup misses. The oracle composes
+    * the two proven chains (minhash band candidates + closed-form PNG
+    * hash pairs) and runs the recursive CC over their union. */
+  private def multimodalDedupEnsemble(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val textPairs = Dedup.minhashNearDups(docs).select("doc_a", "doc_b")
+    val assetPairs = Multimodal.phashNearDups(
+      Multimodal.averageHash(Multimodal.syntheticImagePairAssets(docs)),
+      maxHamming = 3)
+    val imagePairs = assetPairs.select(
+        least(expr("asset_a div 2"), expr("asset_b div 2")).as("doc_a"),
+        greatest(expr("asset_a div 2"), expr("asset_b div 2")).as("doc_b"))
+      .filter(col("doc_a") =!= col("doc_b"))
+    Dedup.crossModalClusters(textPairs, imagePairs)
+  }
+
   /** Residual-quantized ANN under the oracle
     * ([[graft.similarity.Similarity.rqTopK]]): two additive first-k
     * codebooks, tie-deterministic assignments, the nC1×nC2
@@ -2265,7 +2287,55 @@ object SparkEntry {
     * `cc(doc_id, cluster_id)` — the WITH-body (requires `WITH
     * RECURSIVE`) shared by `dedup_clusters` and
     * `dedup_canonical_quality`. */
-  private lazy val minhashCcCtesSql: String =
+  /** Closed-form PNG pair-hash CTEs (base → … → cand: banded Hamming
+    * candidates with both hashes) — shared by `image_phash` and the
+    * cross-modal ensemble oracle. */
+  private lazy val imagePhashPairCtesSql: String =
+    """base AS (
+        |  SELECT doc_id, text,
+        |    CAST(doc_id % 32 + 16 AS INT) AS w,
+        |    CAST(doc_id % 24 + 12 AS INT) AS h
+        |  FROM documents),
+        |bytes AS (
+        |  SELECT doc_id, i, ord(substr(text, CAST(i AS INT), 1)) AS b
+        |  FROM (SELECT *, unnest(range(1, length(text)+1)) AS i FROM base)),
+        |dec AS (
+        |  SELECT doc_id, i, bit_xor(b) OVER (PARTITION BY doc_id ORDER BY i) AS d
+        |  FROM bytes),
+        |dl AS MATERIALIZED (
+        |  SELECT doc_id, list(d ORDER BY i) AS dl FROM dec GROUP BY doc_id),
+        |var AS (
+        |  SELECT base.doc_id * 2 + v AS asset_id, w, h, dl.dl, v
+        |  FROM base JOIN dl USING (doc_id), (VALUES (0), (1)) t(v)),
+        |rs AS MATERIALIZED (
+        |  SELECT asset_id,
+        |    list_transform(range(0, 64), q ->
+        |      CASE WHEN v = 1 AND ((least(h-1, (q // 8) * h // 8) * w + least(w-1, (q % 8) * w // 8)) % (w*h)) = 0 THEN (dl[1] + 128) % 256
+        |           ELSE dl[CAST((((least(h-1, (q // 8) * h // 8) * w + least(w-1, (q % 8) * w // 8)) % (w*h)) % len(dl)) + 1 AS INT)] END) AS r
+        |  FROM var),
+        |ah AS (
+        |  SELECT asset_id, r,
+        |    (list_sum(r) - (list_sum(r) % 64)) // 64 AS m
+        |  FROM rs),
+        |ph AS MATERIALIZED (
+        |  SELECT asset_id, CAST(list_sum(list_transform(range(0, 60), q ->
+        |    CASE WHEN r[CAST(q AS INT) + 1] > m THEN (CAST(1 AS BIGINT) << q)
+        |         ELSE 0 END)) AS BIGINT) AS phash
+        |  FROM ah),
+        |bk AS MATERIALIZED (
+        |  SELECT asset_id, phash, b,
+        |    (phash // (CAST(1 AS BIGINT) << (15 * CAST(b AS INT)))) % 32768 AS bv
+        |  FROM (SELECT asset_id, phash, unnest(range(0, 4)) AS b FROM ph)),
+        |cand AS (
+        |  SELECT DISTINCT a.asset_id AS asset_a, a.phash AS ph_a,
+        |    c.asset_id AS asset_b, c.phash AS ph_b
+        |  FROM bk a JOIN bk c ON a.b = c.b AND a.bv = c.bv
+        |    AND a.asset_id < c.asset_id)""".stripMargin
+
+  /** MinHash band-candidate CTEs (docs → … → cands) — the shared
+    * prefix of [[minhashCcCtesSql]], reused by the cross-modal
+    * ensemble whose CC must run over a LARGER edge set. */
+  private lazy val minhashCandCtesSql: String =
     s"""docs AS (
        |  SELECT doc_id, $shinglesSql AS shingles FROM documents),
        |sigs AS (
@@ -2290,7 +2360,10 @@ object SparkEntry {
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands2 a JOIN bands2 b
        |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
-       |  WHERE a.doc_id < b.doc_id),
+       |  WHERE a.doc_id < b.doc_id)""".stripMargin
+
+  private lazy val minhashCcCtesSql: String =
+    s"""$minhashCandCtesSql,
        |e AS (SELECT doc_a AS a, doc_b AS b FROM cands
        |      UNION SELECT doc_b, doc_a FROM cands),
        |reach(src, dst) AS (
@@ -5615,6 +5688,7 @@ object SparkEntry {
         .toDF()),
     "multimodal_pipeline" -> (multimodalPipeline(_, _)),
     "image_phash" -> (imagePhash(_, _)),
+    "multimodal_dedup_ensemble" -> (multimodalDedupEnsemble(_, _)),
     "mv_rewrite" -> (mvRewrite(_, _)),
     "mv_rollup" -> (mvRollup(_, _)),
     "mv_rewrite_graft" -> (mvRewriteGraft(_, _)),
@@ -9558,49 +9632,37 @@ object SparkEntry {
     // the popcount verify — every pair the engine emits from REAL
     // codec bytes must fall out of this closed form
     "image_phash" ->
-      """WITH base AS (
-        |  SELECT doc_id, text,
-        |    CAST(doc_id % 32 + 16 AS INT) AS w,
-        |    CAST(doc_id % 24 + 12 AS INT) AS h
-        |  FROM documents),
-        |bytes AS (
-        |  SELECT doc_id, i, ord(substr(text, CAST(i AS INT), 1)) AS b
-        |  FROM (SELECT *, unnest(range(1, length(text)+1)) AS i FROM base)),
-        |dec AS (
-        |  SELECT doc_id, i, bit_xor(b) OVER (PARTITION BY doc_id ORDER BY i) AS d
-        |  FROM bytes),
-        |dl AS MATERIALIZED (
-        |  SELECT doc_id, list(d ORDER BY i) AS dl FROM dec GROUP BY doc_id),
-        |var AS (
-        |  SELECT base.doc_id * 2 + v AS asset_id, w, h, dl.dl, v
-        |  FROM base JOIN dl USING (doc_id), (VALUES (0), (1)) t(v)),
-        |rs AS MATERIALIZED (
-        |  SELECT asset_id,
-        |    list_transform(range(0, 64), q ->
-        |      CASE WHEN v = 1 AND ((least(h-1, (q // 8) * h // 8) * w + least(w-1, (q % 8) * w // 8)) % (w*h)) = 0 THEN (dl[1] + 128) % 256
-        |           ELSE dl[CAST((((least(h-1, (q // 8) * h // 8) * w + least(w-1, (q % 8) * w // 8)) % (w*h)) % len(dl)) + 1 AS INT)] END) AS r
-        |  FROM var),
-        |ah AS (
-        |  SELECT asset_id, r,
-        |    (list_sum(r) - (list_sum(r) % 64)) // 64 AS m
-        |  FROM rs),
-        |ph AS MATERIALIZED (
-        |  SELECT asset_id, CAST(list_sum(list_transform(range(0, 60), q ->
-        |    CASE WHEN r[CAST(q AS INT) + 1] > m THEN (CAST(1 AS BIGINT) << q)
-        |         ELSE 0 END)) AS BIGINT) AS phash
-        |  FROM ah),
-        |bk AS MATERIALIZED (
-        |  SELECT asset_id, phash, b,
-        |    (phash // (CAST(1 AS BIGINT) << (15 * CAST(b AS INT)))) % 32768 AS bv
-        |  FROM (SELECT asset_id, phash, unnest(range(0, 4)) AS b FROM ph)),
-        |cand AS (
-        |  SELECT DISTINCT a.asset_id AS asset_a, a.phash AS ph_a,
-        |    c.asset_id AS asset_b, c.phash AS ph_b
-        |  FROM bk a JOIN bk c ON a.b = c.b AND a.bv = c.bv
-        |    AND a.asset_id < c.asset_id)
+      s"""WITH $imagePhashPairCtesSql
         |SELECT asset_a, asset_b,
         |  CAST(bit_count(xor(ph_a, ph_b)) AS BIGINT) AS hamming
         |FROM cand WHERE bit_count(xor(ph_a, ph_b)) <= 3""".stripMargin,
+    "multimodal_dedup_ensemble" ->
+      s"""WITH RECURSIVE $minhashCandCtesSql,
+        |$imagePhashPairCtesSql,
+        |ipairs AS (
+        |  SELECT DISTINCT least(asset_a // 2, asset_b // 2) AS doc_a,
+        |    greatest(asset_a // 2, asset_b // 2) AS doc_b
+        |  FROM cand
+        |  WHERE bit_count(xor(ph_a, ph_b)) <= 3
+        |    AND asset_a // 2 <> asset_b // 2),
+        |edges AS (SELECT doc_a, doc_b FROM cands
+        |          UNION SELECT doc_a, doc_b FROM ipairs),
+        |e AS (SELECT doc_a AS a, doc_b AS b FROM edges
+        |      UNION SELECT doc_b, doc_a FROM edges),
+        |reach(src, dst) AS (
+        |  SELECT a, a FROM (SELECT DISTINCT a FROM e)
+        |  UNION
+        |  SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a),
+        |cc AS (SELECT src AS doc_id, min(dst) AS cluster_id
+        |  FROM reach GROUP BY src),
+        |tev AS (SELECT DISTINCT doc_id FROM
+        |  (SELECT doc_a AS doc_id FROM cands UNION ALL SELECT doc_b FROM cands)),
+        |iev AS (SELECT DISTINCT doc_id FROM
+        |  (SELECT doc_a AS doc_id FROM ipairs UNION ALL SELECT doc_b FROM ipairs))
+        |SELECT cc.doc_id, cc.cluster_id,
+        |  CAST(CASE WHEN tev.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS text_dup,
+        |  CAST(CASE WHEN iev.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS image_dup
+        |FROM cc LEFT JOIN tev USING (doc_id) LEFT JOIN iev USING (doc_id)""".stripMargin,
     "multimodal_pipeline" ->
       """WITH base AS (
         |  SELECT doc_id AS asset_id,

@@ -1113,6 +1113,50 @@ object Dedup {
     rebuildWithoutCuts(base, cuts, w)
   }
 
+  /** CROSS-MODAL duplicate ensemble — one clustering over evidence
+    * from different modalities: text near-dup pairs (MinHash/LSH) and
+    * image near-dup pairs (perceptual hash) union into one edge set,
+    * connected components run ONCE over it, and each member carries
+    * per-modality evidence flags. This answers the real curation
+    * question single-modality dedup cannot: "same page, re-encoded
+    * image, paraphrased caption" — the paraphrase breaks exact text
+    * match, the re-encode breaks byte identity, but text-similarity
+    * links one pair and image-similarity the other, and transitivity
+    * through the SHARED clustering merges them into one duplicate
+    * group. Both pair frames are (doc_a, doc_b) document-level edges;
+    * the caller maps asset-level pairs onto documents first.
+    *
+    * Returns (doc_id, cluster_id, text_dup, image_dup): cluster_id is
+    * the minimum member (the [[nearDupClusters]] convention), the
+    * flags mark whether THIS doc is incident to an edge of that
+    * modality (a member may be linked into the cluster purely through
+    * the other modality — flags 1/0 name which evidence held it).
+    *
+    * Scale shape: inputs are id-width pair frames; the union +
+    * distinct shuffles ids only; clustering is [[nearDupClusters]]'s
+    * star-contraction (checkpointed rounds / driver union-find under
+    * the edge cap); evidence flags are two id-projection semi-join
+    * style left joins. No modality's payload (text or pixels) enters
+    * this plan at all. */
+  def crossModalClusters(textPairs: DataFrame, imagePairs: DataFrame): DataFrame = {
+    def norm(p: DataFrame) = p.select(
+      col("doc_a").cast("long").as("doc_a"),
+      col("doc_b").cast("long").as("doc_b")).distinct()
+    val t = norm(textPairs)
+    val i = norm(imagePairs)
+    val clusters = nearDupClusters(t.unionAll(i).distinct())
+    def evidence(p: DataFrame, name: String) =
+      p.select(col("doc_a").as("doc_id"))
+        .unionAll(p.select(col("doc_b").as("doc_id")))
+        .distinct().withColumn(name, lit(1L))
+    clusters
+      .join(evidence(t, "text_dup"), Seq("doc_id"), "left")
+      .join(evidence(i, "image_dup"), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("cluster_id"),
+        coalesce(col("text_dup"), lit(0L)).as("text_dup"),
+        coalesce(col("image_dup"), lit(0L)).as("image_dup"))
+  }
+
   /** Quality-aware canonical selection over near-dup clusters: keep
     * the HIGHEST-QUALITY member of each cluster, not the minimum id.
     * Min-id keep (the [[nearDupClusters]] `cluster_id = doc_id`

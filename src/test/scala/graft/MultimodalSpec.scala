@@ -258,4 +258,24 @@ class MultimodalSpec extends SparkSpec {
         s"id=$id zc=${f.zero_crossings} expected ${(n - 1) / period}")
     }
   }
+
+  test("crossModalClusters merges duplicate groups ACROSS modalities with honest per-member evidence") {
+    import spark.implicits._
+    // the canonical cross-modal case: A~B by paraphrase-tolerant TEXT
+    // similarity, B~C by re-encoded IMAGE similarity — no single
+    // modality links A to C, the shared clustering must
+    val textPairs = Seq((1L, 2L)).toDF("doc_a", "doc_b")
+    val imagePairs = Seq((2L, 3L), (7L, 8L)).toDF("doc_a", "doc_b")
+    val out = graft.dedup.Dedup.crossModalClusters(textPairs, imagePairs)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // one cluster {1,2,3} rooted at min member; evidence flags name
+    // which modality held EACH member in
+    assert(out(1L) == ((1L, 1L, 0L)))           // text-only member
+    assert(out(2L) == ((1L, 1L, 1L)))           // the bridge: both
+    assert(out(3L) == ((1L, 0L, 1L)))           // image-only member
+    // an image-only pair clusters without any text evidence
+    assert(out(7L) == ((7L, 0L, 1L)) && out(8L) == ((7L, 0L, 1L)))
+    assert(out.size == 5)
+  }
 }

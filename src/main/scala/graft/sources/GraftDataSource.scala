@@ -148,7 +148,12 @@ class GraftDataSource extends RelationProvider with CreatableRelationProvider
     new GraftStreamSource(sqlContext.sparkSession, rootOf(parameters),
       parameters.get("ignoreChanges").exists(_.toBoolean),
       parameters.get("maxVersionsPerTrigger").map(_.toInt).getOrElse(0),
-      Some(metadataPath))
+      Some(metadataPath),
+      // the Delta startingVersion option: serve commits FROM version N
+      // (inclusive) as appends instead of the initial full snapshot;
+      // 'latest' = only commits landing after the stream FIRST starts
+      // (resolved once and persisted in the checkpoint)
+      parameters.get("startingVersion"))
 
   override def createSink(sqlContext: SQLContext,
                           parameters: Map[String, String],
@@ -308,7 +313,43 @@ class GraftChangeFeedRelation(override val sqlContext: SQLContext,
 class GraftStreamSource(spark: SparkSession, root: String,
                         ignoreChanges: Boolean,
                         maxVersionsPerTrigger: Int = 0,
-                        metadataPath: Option[String] = None) extends Source {
+                        metadataPath: Option[String] = None,
+                        startingVersionOpt: Option[String] = None) extends Source {
+
+  /** Resolved `startingVersion`: a number validates against the log;
+    * `'latest'` resolves ONCE — at the query's first start — and the
+    * resolution persists in the source's checkpoint metadata so a
+    * restart keeps serving from the original frontier instead of
+    * re-resolving against a moved log. */
+  private val startingVersion: Option[Long] = startingVersionOpt.map { raw =>
+    val file = metadataPath.map(mp => new Path(mp, "graft-starting-version"))
+    def persisted: Option[Long] = file.flatMap { p =>
+      scala.util.Try {
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(p)) None
+        else {
+          val in = fs.open(p)
+          try Some(new String(
+            org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim.toLong)
+          finally in.close()
+        }
+      }.toOption.flatten
+    }
+    persisted.getOrElse {
+      val latest = TxnLog.latestVersion(spark, root)
+      val sv =
+        if (raw.equalsIgnoreCase("latest")) latest + 1L
+        else raw.toLong
+      require(sv >= 0L && sv <= latest + 1L,
+        s"graft stream: startingVersion $sv out of range [0, ${latest + 1}] at $root")
+      file.foreach { p =>
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val out = fs.create(p, true)
+        try out.write(sv.toString.getBytes("UTF-8")) finally out.close()
+      }
+      sv
+    }
+  }
 
   override val schema: StructType = TxnLog.read(spark, root).schema
 
@@ -355,8 +396,10 @@ class GraftStreamSource(spark: SparkSession, root: String,
   /** The last version this source has offered or served — the base
     * the rate limiter advances from. Recovered from the persisted
     * high-water mark on restart (and re-seeded by the first getBatch,
-    * whichever is higher). −1 = unknown. */
-  private var base: Long = readPersistedBase().getOrElse(-1L)
+    * whichever is higher); a startingVersion seeds it one below the
+    * first version to serve. −1 = unknown. */
+  private var base: Long =
+    readPersistedBase().orElse(startingVersion.map(_ - 1L)).getOrElse(-1L)
 
   /** Advance + persist the high-water mark. Persist failures FAIL the
     * trigger: a lost mark is exactly the restart-regression bug, and
@@ -386,6 +429,8 @@ class GraftStreamSource(spark: SparkSession, root: String,
   override def getOffset: Option[OffsetV1] = {
     val v = TxnLog.latestVersion(spark, root)
     if (v < 0) return None
+    // nothing to serve yet: the table hasn't reached startingVersion
+    if (startingVersion.exists(v < _)) return None
     val mayCap = maxVersionsPerTrigger > 0 && (base >= 0L || freshStart)
     val offered =
       if (mayCap) math.min(v, base + maxVersionsPerTrigger)
@@ -410,6 +455,12 @@ class GraftStreamSource(spark: SparkSession, root: String,
     val endV = versionOf(end)
     advanceBase(endV) // checkpoint recovery re-seeds the limiter
     val batch = start match {
+      // first batch with startingVersion: exactly the commits in
+      // [startingVersion, endV], served as appends — no snapshot
+      case None if startingVersion.isDefined =>
+        TxnLog.readAppendedBetween(spark, root, startingVersion.get - 1L,
+            endV, ignoreChanges)
+          .getOrElse(TxnLog.read(spark, root, asOf = Some(endV)).limit(0))
       // first batch: the full snapshot at the stream's start version
       // (the Delta-source initial-snapshot semantics)
       case None => TxnLog.read(spark, root, asOf = Some(endV))

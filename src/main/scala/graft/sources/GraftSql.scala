@@ -30,6 +30,10 @@ import org.apache.spark.sql.types._
   *   OPTIMIZE graft.`/t` ZORDER BY (a, b)
   *   VACUUM graft.`/t` [RETAIN n VERSIONS]
   *   DESCRIBE HISTORY graft.`/t`
+  *   DESCRIBE DETAIL graft.`/t`
+  *   RESTORE [TABLE] graft.`/t` TO VERSION AS OF n | TO TIMESTAMP AS OF 'ts'
+  *   CONVERT TO GRAFT parquet.`/plain/dir` AS graft.`/t` [NO STATISTICS]
+  *   CREATE TABLE graft.`/dst` SHALLOW CLONE graft.`/src` [VERSION AS OF n]
   * }}}
   *
   * Architecture (the Delta connector discipline, from public source):
@@ -49,6 +53,13 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case DescribeHistoryRe(path) => GraftDescribeHistoryCommand(path)
+    case DescribeDetailRe(path) => GraftDescribeDetailCommand(path)
+    case RestoreVersionRe(path, v) => GraftRestoreCommand(path, Some(v.toLong), None)
+    case RestoreTimestampRe(path, ts) => GraftRestoreCommand(path, None, Some(ts))
+    case ConvertRe(pdir, root, nostats) =>
+      GraftConvertCommand(pdir, root, collectStats = nostats == null)
+    case CloneRe(dst, src, v) =>
+      GraftCloneCommand(dst, src, Option(v).map(_.toLong))
     case VacuumRe(path, retain) =>
       GraftVacuumCommand(path, Option(retain).map(_.toInt).getOrElse(1))
     case OptimizeRe(path, where, zorder) =>
@@ -105,6 +116,15 @@ object GraftSqlParser {
   // anchor on without re-implementing identifier grammar.
   private val T = """graft\s*\.\s*`([^`]+)`"""
   private val DescribeHistoryRe = s"""(?is)\\s*DESC(?:RIBE)?\\s+HISTORY\\s+$T\\s*;?\\s*""".r
+  private val DescribeDetailRe = s"""(?is)\\s*DESC(?:RIBE)?\\s+DETAIL\\s+$T\\s*;?\\s*""".r
+  private val RestoreVersionRe =
+    s"""(?is)\\s*RESTORE\\s+(?:TABLE\\s+)?$T\\s+TO\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*;?\\s*""".r
+  private val RestoreTimestampRe =
+    s"""(?is)\\s*RESTORE\\s+(?:TABLE\\s+)?$T\\s+TO\\s+TIMESTAMP\\s+AS\\s+OF\\s+'([^']+)'\\s*;?\\s*""".r
+  private val ConvertRe =
+    s"""(?is)\\s*CONVERT\\s+TO\\s+GRAFT\\s+parquet\\s*\\.\\s*`([^`]+)`\\s+AS\\s+$T(\\s+NO\\s+STATISTICS)?\\s*;?\\s*""".r
+  private val CloneRe =
+    s"""(?is)\\s*CREATE\\s+TABLE\\s+$T\\s+SHALLOW\\s+CLONE\\s+$T(?:\\s+VERSION\\s+AS\\s+OF\\s+(\\d+))?\\s*;?\\s*""".r
   private val VacuumRe = s"""(?is)\\s*VACUUM\\s+$T(?:\\s+RETAIN\\s+(\\d+)\\s+VERSIONS)?\\s*;?\\s*""".r
   private val OptimizeRe =
     s"""(?is)\\s*OPTIMIZE\\s+$T(?:\\s+WHERE\\s+(.+?))??(?:\\s+ZORDER\\s+BY\\s*\\(([^)]+)\\))?\\s*;?\\s*""".r
@@ -273,6 +293,75 @@ case class GraftVacuumCommand(root: String, retainVersions: Int)
     TxnLog.vacuum(spark, root, retainVersions)
     Seq.empty
   }
+}
+
+/** `RESTORE graft.`p` TO VERSION AS OF n | TO TIMESTAMP AS OF 'ts'` —
+  * re-points the table at an earlier snapshot as a NEW commit
+  * ([[TxnLog.restore]]); timestamps resolve exactly like the
+  * connector's `timestampAsOf` (epoch millis, full timestamp, or
+  * date-only). */
+case class GraftRestoreCommand(root: String, version: Option[Long],
+                               timestamp: Option[String]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val to = version.getOrElse {
+      val raw = timestamp.get
+      val ms = scala.util.Try(raw.toLong)
+        .orElse(scala.util.Try(java.sql.Timestamp.valueOf(raw).getTime))
+        .orElse(scala.util.Try(java.sql.Date.valueOf(raw).getTime))
+        .getOrElse(throw new IllegalArgumentException(
+          s"graft RESTORE: TIMESTAMP AS OF accepts epoch millis, " +
+            s"'yyyy-MM-dd HH:mm:ss', or 'yyyy-MM-dd'; got '$raw'"))
+      TxnLog.versionAtTimestamp(spark, root, ms)
+    }
+    Seq(Row(TxnLog.restore(spark, root, to)))
+  }
+}
+
+/** `CONVERT TO GRAFT parquet.`dir` AS graft.`root`` — wrap an existing
+  * parquet directory as a TxnLog table by reference
+  * ([[TxnLog.convertFromParquet]]; the reference's convert_to_delta.py
+  * statement). Stats collected by default; `NO STATISTICS` skips the
+  * scan. */
+case class GraftConvertCommand(dir: String, root: String, collectStats: Boolean)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(TxnLog.convertFromParquet(spark, dir, root, collectStats)))
+}
+
+/** `CREATE TABLE graft.`dst` SHALLOW CLONE graft.`src` [VERSION AS OF n]`
+  * — the zero-copy clone ([[TxnLog.cloneTable]]). */
+case class GraftCloneCommand(dst: String, src: String, asOf: Option[Long])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(TxnLog.cloneTable(spark, src, dst, asOf)))
+}
+
+/** `DESCRIBE DETAIL graft.`p`` — the one-row ops report
+  * ([[TxnLog.health]]): sizes, file census vs ideal, stats coverage,
+  * deletion vectors, reclaimable bytes, constraints, schema
+  * evolutions. */
+case class GraftDescribeDetailCommand(root: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("n_dirs", LongType, nullable = false)(),
+    AttributeReference("n_files", LongType, nullable = false)(),
+    AttributeReference("total_bytes", LongType, nullable = false)(),
+    AttributeReference("ideal_files", LongType, nullable = false)(),
+    AttributeReference("compact_flag", IntegerType, nullable = false)(),
+    AttributeReference("stats_coverage_bps", LongType, nullable = false)(),
+    AttributeReference("dv_count", LongType, nullable = false)(),
+    AttributeReference("reclaimable_bytes", LongType, nullable = false)(),
+    AttributeReference("checks_n", LongType, nullable = false)(),
+    AttributeReference("schema_evolutions", LongType, nullable = false)(),
+    AttributeReference("transforms_n", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    TxnLog.health(spark, root).collect().toSeq
 }
 
 case class GraftDescribeHistoryCommand(root: String) extends LeafRunnableCommand {

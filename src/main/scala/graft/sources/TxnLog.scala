@@ -2122,6 +2122,47 @@ object TxnLog {
     0L
   }
 
+  /** CONVERT an EXISTING parquet directory into a TxnLog table — the
+    * reference's convert-to-lakehouse adoption path
+    * (`scripts/convert_to_delta.py:85-88`) without moving a byte: the
+    * new table root holds ONLY the log; its version-0 manifest
+    * references the parquet directory via `ext:` (the [[cloneTable]]
+    * by-reference machinery), optionally with column stats read back
+    * from the existing files so [[readWhere]] skipping works from day
+    * one. The original directory stays a perfectly valid plain
+    * parquet dataset for every non-graft reader. Later appends and
+    * rewrites land under `<root>/data/` like any table — which is WHY
+    * the log lives in a separate root: a dir-granular manifest that
+    * referenced its own enclosing directory would nest future data
+    * dirs inside its own ext reference and double-read them.
+    * Conversion cost at 100 TB: one manifest write (plus the optional
+    * stats scan), never a rewrite. Returns the committed version (0). */
+  def convertFromParquet(spark: SparkSession, parquetDir: String, root: String,
+                         collectStats: Boolean = false): Long = {
+    require(latestVersion(spark, root) == -1L,
+      s"TxnLog.convertFromParquet: $root is already a graft table")
+    val pdir = new Path(parquetDir).toUri.getPath
+    val rdir = new Path(root).toUri.getPath
+    require(rdir != pdir && !(rdir + "/").startsWith(pdir + "/"),
+      s"TxnLog.convertFromParquet: table root $root must live OUTSIDE the " +
+        s"converted directory $parquetDir (its data/ dirs would nest inside " +
+        "the ext reference and double-read)")
+    // prove the directory is readable parquet BEFORE publishing — a
+    // manifest over unreadable bytes would brick every later read
+    require(spark.read.parquet(parquetDir).schema.fields.nonEmpty,
+      s"TxnLog.convertFromParquet: no readable parquet schema at $parquetDir")
+    val d = s"$ExtPrefix$parquetDir"
+    val stats =
+      if (collectStats) Map(d -> dirStats(spark, parquetDir))
+      else Map.empty[String, Map[String, ColStat]]
+    val fs = fileSystem(spark, root)
+    val published = tryPublish(fs, root,
+      Commit(0L, "convert", Seq(d), txnId = None, stats = stats))
+    require(published,
+      s"TxnLog.convertFromParquet: lost the version-0 race at $root")
+    0L
+  }
+
   /** Time travel BY TIMESTAMP — the version whose commit landed at or
     * before `tsMillis` (Delta's `timestampAsOf` contract, resolved
     * the same way: from the log files' own modification times — the

@@ -281,6 +281,43 @@ class GraftConnectorSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.connector.substituteScan")
   }
 
+  test("streaming startingVersion: serve FROM a version with no initial snapshot; 'latest' = only new commits") {
+    val root = freshRoot()
+    (0 to 2).foreach { i =>
+      Seq((i.toLong, s"r$i")).toDF("id", "s").write.format("graft")
+        .mode(if (i == 0) SaveMode.Overwrite else SaveMode.Append).save(root)
+    }
+    import scala.jdk.CollectionConverters._
+    def runOnce(ckpt: String, opts: Map[String, String]): Seq[Long] = {
+      val ids = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+      val q = opts.foldLeft(spark.readStream.format("graft")) {
+          case (r, (k, v)) => r.option(k, v)
+        }.load(root)
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.collect().foreach(r => ids.add(r.getLong(0))); ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      ids.asScala.toSeq.sorted
+    }
+    // startingVersion=1: the first batch is commits 1..2, NO snapshot
+    val ckptA = Files.createTempDirectory("graft_sv_ckpt").toString
+    assert(runOnce(ckptA, Map("startingVersion" -> "1")) == Seq(1L, 2L))
+    // 'latest': nothing until a commit lands after the stream starts
+    val ckptB = Files.createTempDirectory("graft_sv_ckpt").toString
+    assert(runOnce(ckptB, Map("startingVersion" -> "latest")) == Seq.empty)
+    Seq((9L, "new")).toDF("id", "s").write.format("graft")
+      .mode(SaveMode.Append).save(root)
+    assert(runOnce(ckptB, Map("startingVersion" -> "latest")) == Seq(9L))
+    // and the checkpointed stream keeps exactly-once from there
+    assert(runOnce(ckptB, Map("startingVersion" -> "latest")) == Seq.empty)
+    // out-of-range refuses loudly
+    val ckptC = Files.createTempDirectory("graft_sv_ckpt").toString
+    val e = intercept[Exception] { runOnce(ckptC, Map("startingVersion" -> "99")) }
+    assert(e.getMessage.contains("out of range"), e.getMessage)
+  }
+
   test("timestampAsOf accepts the date-only form; an unparseable value names the accepted formats") {
     val root = freshRoot()
     Seq((1L, "a")).toDF("id", "s").write.format("graft").save(root)

@@ -111,6 +111,62 @@ class GraftSqlSpec extends SparkSpec {
     assert(spark.read.format("graft").load(root).count() == 60L)
   }
 
+  test("RESTORE TO VERSION/TIMESTAMP AS OF and DESCRIBE DETAIL") {
+    val root = freshRoot()
+    Seq((1L, "a"), (2L, "b")).toDF("id", "s").write.format("graft").save(root)
+    Seq((3L, "c")).toDF("id", "s").write.format("graft")
+      .mode(SaveMode.Append).save(root)
+    spark.sql(s"DELETE FROM graft.`$root` WHERE id = 1")
+    assert(spark.read.format("graft").load(root).count() == 2L)
+    // restore to the pre-delete snapshot — a NEW commit, history intact
+    val v = spark.sql(s"RESTORE graft.`$root` TO VERSION AS OF 1").head.getLong(0)
+    assert(v == 3L)
+    assert(spark.read.format("graft").load(root)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+    // timestamp form: tomorrow resolves to the latest version (3)
+    val tomorrow = java.time.LocalDate.now().plusDays(1).toString
+    spark.sql(s"RESTORE TABLE graft.`$root` TO TIMESTAMP AS OF '$tomorrow'")
+    assert(spark.read.format("graft").load(root).count() == 3L)
+    // DESCRIBE DETAIL == the health report row
+    val d = spark.sql(s"DESCRIBE DETAIL graft.`$root`").head
+    val h = TxnLog.health(spark, root).head
+    assert(d.getLong(0) == h.getLong(0) && d.getLong(2) == h.getLong(2) &&
+      d.getLong(3) == h.getLong(3))
+  }
+
+  test("CONVERT TO GRAFT adopts a plain parquet dir by reference; SHALLOW CLONE through SQL") {
+    val base = Files.createTempDirectory("graft_sql_conv").toString
+    val pdir = s"$base/plainpq"
+    val root = s"$base/t"
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s").write.parquet(pdir)
+    assert(spark.sql(s"CONVERT TO GRAFT parquet.`$pdir` AS graft.`$root`")
+      .head.getLong(0) == 0L)
+    // the table serves the parquet rows by reference; the original dir
+    // stays a valid plain dataset
+    assert(spark.read.format("graft").load(root)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+    assert(spark.read.parquet(pdir).count() == 3L)
+    // appends land under the TABLE root, never inside the adopted dir
+    Seq((4L, "d")).toDF("id", "s").write.format("graft")
+      .mode(SaveMode.Append).save(root)
+    assert(spark.read.format("graft").load(root).count() == 4L)
+    assert(spark.read.parquet(pdir).count() == 3L)
+    // stats were collected: DESCRIBE DETAIL reports coverage on the
+    // converted dir (1 of 2 dirs after the stat-less append)
+    val cov = spark.sql(s"DESCRIBE DETAIL graft.`$root`")
+      .head.getAs[Long]("stats_coverage_bps")
+    assert(cov == 5000L, s"expected 1/2 dirs covered, got $cov bps")
+    // nested root refuses (its data/ would hide inside the reference)
+    val e = intercept[Exception] {
+      spark.sql(s"CONVERT TO GRAFT parquet.`$pdir` AS graft.`$pdir/inner`")
+    }
+    assert(e.getMessage.contains("OUTSIDE"), e.getMessage)
+    // zero-copy clone through SQL, pinned to the pre-append version
+    val dst = s"$base/cl"
+    spark.sql(s"CREATE TABLE graft.`$dst` SHALLOW CLONE graft.`$root` VERSION AS OF 0")
+    assert(spark.read.format("graft").load(dst).count() == 3L)
+  }
+
   test("VACUUM RETAIN n VERSIONS and DESCRIBE HISTORY") {
     val root = freshRoot()
     Seq((1L, "a")).toDF("id", "s").write.format("graft").save(root)

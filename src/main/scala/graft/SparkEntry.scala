@@ -3471,6 +3471,57 @@ object SparkEntry {
     TxnLog.read(spark, root).select("doc_id", "source", "lang", "n_chars")
   }
 
+  /** Row-level UPDATE under the oracle ([[graft.sources.TxnLog.update]]
+    * through the SQL surface): two range-sliced commits, then an
+    * `UPDATE … SET … WHERE` whose predicate touches one residue class
+    * — assignments evaluate against the pre-update row, untouched
+    * dirs carry by reference, and the oracle replays the whole
+    * statement as CASE projections over the source table. */
+  private def txnlogUpdate(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.TxnLog
+    val root = tmpArtifactRoot("txnupd", dir)
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    if (TxnLog.latestVersion(spark, root) < 2L) {
+      TxnLog.overwrite(docs.filter(col("doc_id") < 250), root, Some("u0"))
+      TxnLog.append(docs.filter(col("doc_id") >= 250), root, Some("u1"))
+      spark.sql(s"UPDATE graft.`$root` SET n_chars = n_chars + 1000, " +
+        "source = upper(source) WHERE doc_id % 10 = 3")
+      ()
+    }
+    TxnLog.read(spark, root).select("doc_id", "source", "n_chars")
+  }
+
+  /** CONVERT-adoption chain under the oracle
+    * ([[graft.sources.TxnLog.convertFromParquet]] through the SQL
+    * surface): a plain parquet directory is adopted by reference
+    * (zero bytes moved), the table then diverges — an append and a
+    * SQL DELETE whose rewrite reads THROUGH the ext reference — and
+    * the final snapshot must be hash-exact with the source recomputed
+    * relationally. The adopted dir itself must stay byte-identical (a
+    * plain reader still sees exactly the original rows). */
+  private def txnlogConvert(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.TxnLog
+    val base = tmpArtifactRoot("txncnv", dir)
+    val pdir = s"$base/plain"
+    val root = s"$base/t"
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    if (TxnLog.latestVersion(spark, root) < 2L) {
+      if (!new java.io.File(pdir).exists())
+        docs.filter(col("doc_id") < 250).write.parquet(pdir)
+      spark.sql(s"CONVERT TO GRAFT parquet.`$pdir` AS graft.`$root`")
+      TxnLog.append(docs.filter(col("doc_id") >= 250), root, Some("cnv1"))
+      spark.sql(s"DELETE FROM graft.`$root` WHERE doc_id % 10 = 7")
+      // the adopted dir is untouched: the delete rewrote BY REFERENCE
+      require(spark.read.parquet(pdir).count() ==
+        docs.filter(col("doc_id") < 250).count(),
+        "txnlog_convert: the rewrite mutated the adopted parquet dir")
+      ()
+    }
+    TxnLog.read(spark, root).select("doc_id", "source", "n_chars")
+  }
+
   /** Merge-on-read DELETE under the oracle
     * ([[graft.sources.TxnLog.deleteMor]]): the same three-commit
     * fixture and predicate as `txnlog_delete`, erased via a
@@ -4746,6 +4797,8 @@ object SparkEntry {
     "txnlog_changes" -> (txnlogChanges(_, _)),
     "txnlog_evolution" -> (txnlogEvolution(_, _)),
     "txnlog_delete" -> (txnlogDelete(_, _)),
+    "txnlog_update" -> (txnlogUpdate(_, _)),
+    "txnlog_convert" -> (txnlogConvert(_, _)),
     "txnlog_delete_mor" -> (txnlogDeleteMor(_, _)),
     "txnlog_merge" -> (txnlogMerge(_, _)),
     "txnlog_merge_full" -> (txnlogMergeFull(_, _)),
@@ -8837,6 +8890,14 @@ object SparkEntry {
     // tri-clause MERGE replay: matched rows replaced, unmatched
     // source inserted, and unmatched TARGET rows the third clause
     // names (doc_id % 7 = 3) removed — all in one commit
+    "txnlog_update" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 10 = 3 THEN upper(source) ELSE source END AS source,
+        |  CASE WHEN doc_id % 10 = 3 THEN n_chars + 1000 ELSE n_chars END AS n_chars
+        |FROM documents""".stripMargin,
+    "txnlog_convert" ->
+      """SELECT doc_id, source, n_chars FROM documents
+        |WHERE doc_id % 10 <> 7""".stripMargin,
     "txnlog_merge_full" ->
       """WITH src AS (
         |  SELECT doc_id, source, n_chars + 1000 AS n_chars

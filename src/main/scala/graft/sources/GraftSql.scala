@@ -60,6 +60,11 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       GraftConvertCommand(pdir, root, collectStats = nostats == null)
     case CloneRe(dst, src, v) =>
       GraftCloneCommand(dst, src, Option(v).map(_.toLong))
+    case AlterAddCheckRe(path, name, pred) => GraftAddCheckCommand(path, name, pred)
+    case AlterDropCheckRe(path, name) => GraftDropCheckCommand(path, name)
+    case AlterRenameColRe(path, from, to) => GraftRenameColumnCommand(path, from, to)
+    case AlterDropColRe(path, name) => GraftDropColumnCommand(path, name)
+    case AlterAddColRe(path, name, default) => GraftAddColumnCommand(path, name, default.trim)
     case VacuumRe(path, retain) =>
       GraftVacuumCommand(path, Option(retain).map(_.toInt).getOrElse(1))
     case OptimizeRe(path, where, zorder) =>
@@ -126,6 +131,16 @@ object GraftSqlParser {
   private val CloneRe =
     s"""(?is)\\s*CREATE\\s+TABLE\\s+$T\\s+SHALLOW\\s+CLONE\\s+$T(?:\\s+VERSION\\s+AS\\s+OF\\s+(\\d+))?\\s*;?\\s*""".r
   private val VacuumRe = s"""(?is)\\s*VACUUM\\s+$T(?:\\s+RETAIN\\s+(\\d+)\\s+VERSIONS)?\\s*;?\\s*""".r
+  private val AlterAddCheckRe =
+    s"""(?is)\\s*ALTER\\s+TABLE\\s+$T\\s+ADD\\s+CONSTRAINT\\s+(\\w+)\\s+CHECK\\s*\\((.+)\\)\\s*;?\\s*""".r
+  private val AlterDropCheckRe =
+    s"""(?is)\\s*ALTER\\s+TABLE\\s+$T\\s+DROP\\s+CONSTRAINT\\s+(\\w+)\\s*;?\\s*""".r
+  private val AlterRenameColRe =
+    s"""(?is)\\s*ALTER\\s+TABLE\\s+$T\\s+RENAME\\s+COLUMN\\s+(\\w+)\\s+TO\\s+(\\w+)\\s*;?\\s*""".r
+  private val AlterDropColRe =
+    s"""(?is)\\s*ALTER\\s+TABLE\\s+$T\\s+DROP\\s+COLUMN\\s+(\\w+)\\s*;?\\s*""".r
+  private val AlterAddColRe =
+    s"""(?is)\\s*ALTER\\s+TABLE\\s+$T\\s+ADD\\s+COLUMN\\s+(\\w+)\\s+DEFAULT\\s+(.+?)\\s*;?\\s*""".r
   private val OptimizeRe =
     s"""(?is)\\s*OPTIMIZE\\s+$T(?:\\s+WHERE\\s+(.+?))??(?:\\s+ZORDER\\s+BY\\s*\\(([^)]+)\\))?\\s*;?\\s*""".r
 }
@@ -362,6 +377,51 @@ case class GraftDescribeDetailCommand(root: String) extends LeafRunnableCommand 
     AttributeReference("transforms_n", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] =
     TxnLog.health(spark, root).collect().toSeq
+}
+
+/** `ALTER TABLE graft.`p` …` — the schema-evolution and constraint
+  * DDL (Delta's surface, Spark has no grammar for these): CHECK
+  * constraints enforce at every later commit; column rename/drop are
+  * METADATA-ONLY (column mapping — physical names stay frozen on
+  * disk); ADD COLUMN takes a DEFAULT expression old rows evaluate. */
+case class GraftAddCheckCommand(root: String, name: String, predicateSql: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(TxnLog.addCheck(spark, root, name, predicateSql)))
+}
+
+case class GraftDropCheckCommand(root: String, name: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(TxnLog.dropCheck(spark, root, name)))
+}
+
+case class GraftRenameColumnCommand(root: String, from: String, to: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(TxnLog.renameColumn(spark, root, from, to)))
+}
+
+case class GraftDropColumnCommand(root: String, name: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(TxnLog.dropColumn(spark, root, name)))
+}
+
+case class GraftAddColumnCommand(root: String, name: String, defaultSql: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(TxnLog.addColumn(spark, root, name, defaultSql)))
 }
 
 case class GraftDescribeHistoryCommand(root: String) extends LeafRunnableCommand {

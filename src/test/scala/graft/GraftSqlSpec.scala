@@ -167,6 +167,32 @@ class GraftSqlSpec extends SparkSpec {
     assert(spark.read.format("graft").load(dst).count() == 3L)
   }
 
+  test("ALTER TABLE: CHECK constraints enforce; RENAME/DROP/ADD COLUMN are metadata-only evolution") {
+    val root = freshRoot()
+    Seq((1L, "a"), (2L, "b")).toDF("id", "s").write.format("graft").save(root)
+    spark.sql(s"ALTER TABLE graft.`$root` ADD CONSTRAINT pos CHECK (id > 0)")
+    // the constraint enforces at the next commit
+    val e = intercept[Exception] {
+      Seq((-5L, "bad")).toDF("id", "s").write.format("graft")
+        .mode(SaveMode.Append).save(root)
+    }
+    assert(e.getMessage.toLowerCase.contains("check") ||
+      e.getMessage.contains("pos"), e.getMessage)
+    spark.sql(s"ALTER TABLE graft.`$root` DROP CONSTRAINT pos")
+    Seq((-5L, "ok-now")).toDF("id", "s").write.format("graft")
+      .mode(SaveMode.Append).save(root)
+    assert(spark.read.format("graft").load(root).count() == 3L)
+    // metadata-only column evolution through SQL
+    spark.sql(s"ALTER TABLE graft.`$root` RENAME COLUMN s TO label")
+    assert(spark.read.format("graft").load(root).columns.toSeq == Seq("id", "label"))
+    spark.sql(s"ALTER TABLE graft.`$root` ADD COLUMN flag DEFAULT id > 0")
+    val rows = spark.read.format("graft").load(root)
+      .select("id", "flag").collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(rows(1L) && rows(2L) && !rows(-5L))
+    spark.sql(s"ALTER TABLE graft.`$root` DROP COLUMN flag")
+    assert(spark.read.format("graft").load(root).columns.toSeq == Seq("id", "label"))
+  }
+
   test("VACUUM RETAIN n VERSIONS and DESCRIBE HISTORY") {
     val root = freshRoot()
     Seq((1L, "a")).toDF("id", "s").write.format("graft").save(root)

@@ -32,6 +32,8 @@ object Bench {
     "substr_dedup_incremental" -> Map("wide-shuffle" ->
       "Parallelism.ensure round-robins the 1-partition local input before CPU-bound window hashing; no-op at scale where the scan splits naturally"),
     "substr_dedup_incremental_bucketed" -> Map("wide-shuffle" ->
+      "Parallelism.ensure round-robins the 1-partition local input before CPU-bound window hashing; no-op at scale where the scan splits naturally"),
+    "substr_dedup_spans" -> Map("wide-shuffle" ->
       "Parallelism.ensure round-robins the 1-partition local input before CPU-bound window hashing; no-op at scale where the scan splits naturally"))
 
   private def fmt(d: Double): String = f"$d%.3f"

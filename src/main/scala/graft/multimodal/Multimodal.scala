@@ -440,20 +440,30 @@ object Multimodal {
       s"phashNearDups: maxHamming+1 must divide 60, got $maxHamming")
     val wbits = 60 / nb
     val mask = (1L << wbits) - 1
-    val banded = hashes.select(col("asset_id"), col("phash"),
-        explode(sequence(lit(0), lit(nb - 1))).as("b"))
-      .withColumn("bv", expr(s"shiftright(phash, b * $wbits) & $mask"))
-    val cand = banded.as("l").join(banded.as("r"),
-        col("l.b") === col("r.b") && col("l.bv") === col("r.bv") &&
-          col("l.asset_id") < col("r.asset_id"))
-      .select(col("l.asset_id").as("asset_a"), col("l.phash").as("ph_a"),
-        col("r.asset_id").as("asset_b"), col("r.phash").as("ph_b"))
-      .distinct()
-    cand
-      .withColumn("hamming",
-        bit_count(col("ph_a").bitwiseXOR(col("ph_b"))).cast("long"))
-      .filter(col("hamming") <= maxHamming)
-      .select(col("asset_a"), col("asset_b"), col("hamming"))
+    // the hash frame feeds BOTH sides of the band self-join — without
+    // a scoped persist the upstream pipeline (typically the real image
+    // decode + resize + hash) runs twice. Same lifecycle discipline as
+    // the MinHash twin: the verified pair set (small — near-dups only)
+    // materializes eagerly and the narrow (asset_id, phash) cache is
+    // released before returning.
+    hashes.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val banded = hashes.select(col("asset_id"), col("phash"),
+          explode(sequence(lit(0), lit(nb - 1))).as("b"))
+        .withColumn("bv", expr(s"shiftright(phash, b * $wbits) & $mask"))
+      val cand = banded.as("l").join(banded.as("r"),
+          col("l.b") === col("r.b") && col("l.bv") === col("r.bv") &&
+            col("l.asset_id") < col("r.asset_id"))
+        .select(col("l.asset_id").as("asset_a"), col("l.phash").as("ph_a"),
+          col("r.asset_id").as("asset_b"), col("r.phash").as("ph_b"))
+        .distinct()
+      cand
+        .withColumn("hamming",
+          bit_count(col("ph_a").bitwiseXOR(col("ph_b"))).cast("long"))
+        .filter(col("hamming") <= maxHamming)
+        .select(col("asset_a"), col("asset_b"), col("hamming"))
+        .localCheckpoint(true)
+    } finally { hashes.unpersist(blocking = false); () }
   }
 
   /** Decode payloads in place (mapPartitions; batch shape = the

@@ -245,6 +245,33 @@ object GraftDmlResolution extends Rule[LogicalPlan] {
         case other => unsupported(s"not-matched-by-source actions $other")
       }
       GraftMergeCommand(root, source, keys, nmbsDelete)
+
+    // INSERT INTO graft.`/path`: the statement holds its target as a
+    // NON-CHILD field, so the relation case below never sees it —
+    // convert explicitly; Spark then lowers through InsertableRelation
+    case i: InsertIntoStatement if pathRelation(i.table).isDefined =>
+      i.copy(table = pathRelation(i.table).get)
+
+    // QUERY-position references — `SELECT … FROM graft.`/path``, a
+    // MERGE source, a join leg — resolve to the connector relation
+    // directly (Delta's path-table read shape); reads then go through
+    // the scan-substitution rule like any connector read.
+    case u: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+        if pathRelation(u).isDefined =>
+      pathRelation(u).get
+  }
+
+  /** `graft.`/path`` in query position → the connector relation.
+    * Gated on a '/' in the identifier so a genuine catalog database
+    * named `graft` is never shadowed. */
+  private def pathRelation(p: LogicalPlan): Option[LogicalPlan] = p match {
+    case u: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+        if u.multipartIdentifier.size == 2 &&
+          u.multipartIdentifier.head.equalsIgnoreCase("graft") &&
+          u.multipartIdentifier(1).contains("/") && !u.isStreaming =>
+      Some(SparkSession.active.read.format("graft")
+        .load(u.multipartIdentifier(1)).queryExecution.analyzed)
+    case _ => None
   }
 }
 

@@ -167,6 +167,38 @@ class GraftSqlSpec extends SparkSpec {
     assert(spark.read.format("graft").load(dst).count() == 3L)
   }
 
+  test("query-position graft.`path`: SELECT, joins, INSERT INTO (append and OVERWRITE) — the Delta path-table read shape") {
+    val root = freshRoot()
+    Seq((1L, "a"), (2L, "b")).toDF("id", "s").write.format("graft").save(root)
+    // plain SELECT with pushdown-able predicate
+    assert(spark.sql(s"SELECT s FROM graft.`$root` WHERE id = 2")
+      .head.getString(0) == "b")
+    // INSERT INTO routes through the commit protocol (a real version)
+    spark.sql(s"INSERT INTO graft.`$root` VALUES (3, 'c')")
+    assert(spark.sql(s"SELECT count(*) FROM graft.`$root`").head.getLong(0) == 3L)
+    assert(TxnLog.versions(spark, root).map(_._2) == Seq("overwrite", "append"))
+    // INSERT OVERWRITE resets the table
+    spark.sql(s"INSERT OVERWRITE graft.`$root` VALUES (9, 'z')")
+    assert(spark.sql(s"SELECT * FROM graft.`$root`").count() == 1L)
+    // a graft path as a MERGE SOURCE resolves too
+    val src = freshRoot()
+    Seq((9L, "Z2"), (10L, "new")).toDF("id", "s").write.format("graft").save(src)
+    spark.sql(
+      s"""MERGE INTO graft.`$root` AS t USING graft.`$src` AS s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(spark.sql(s"SELECT * FROM graft.`$root`").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((9L, "Z2"), (10L, "new")))
+    // a non-path identifier (no '/') is NOT claimed by the graft
+    // rule: it falls through to Spark's own resolution (which itself
+    // treats `graft.x` as a direct-on-files query, like `parquet.x`) —
+    // the point is the engine never fabricates a relation for it
+    val e = intercept[Exception] { spark.sql("SELECT * FROM graft.sometable") }
+    assert(e.getMessage.contains("TABLE_OR_VIEW_NOT_FOUND") ||
+      e.getMessage.contains("cannot be found") ||
+      e.getMessage.contains("UNSUPPORTED_DATASOURCE_FOR_DIRECT_QUERY"), e.getMessage)
+  }
+
   test("ALTER TABLE: CHECK constraints enforce; RENAME/DROP/ADD COLUMN are metadata-only evolution") {
     val root = freshRoot()
     Seq((1L, "a"), (2L, "b")).toDF("id", "s").write.format("graft").save(root)

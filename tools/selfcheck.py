@@ -32,33 +32,43 @@ def first_diff(g, w):
                 return f"row {i} col {c}: {a!r} ({type(a).__name__}) != {b!r} ({type(b).__name__})"
     return "no cell-level diff found (ordering/rendering difference)"
 
-def main(outdir, sfdir):
+def main(outdir, sfdir, json_out=None):
     con = duckdb.connect()
     for t in ["region","nation","customer","supplier","part","orders",
               "lineitem","events","documents","embeddings"]:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     n_pass = n_fail = 0
+    results = {}
+    def record(name, rows, schema, hashm, note=""):
+        results[name] = {"rows_match": rows, "schema_match": schema,
+                         "hash_match": hashm}
+        if note:
+            results[name]["note"] = note
     for name, sql in sorted(oracle.items()):
         try:
             gdf = con.execute(f"SELECT * FROM '{outdir}/{name}/*.parquet'").df()
             wdf = con.execute(sql).df()
         except Exception as e:
             print(f"FAIL {name}: exec error: {e}")
+            record(name, False, False, False, f"exec error: {e}")
             n_fail += 1
             continue
         if sorted(gdf.columns) != sorted(wdf.columns):
             print(f"FAIL {name}: columns {sorted(gdf.columns)} != {sorted(wdf.columns)}")
+            record(name, False, False, False, "schema mismatch")
             n_fail += 1
             continue
         try:
             g, w = prep(gdf), prep(wdf)
         except Exception as e:
             print(f"FAIL {name}: driver-sort error: {type(e).__name__}: {e}")
+            record(name, False, True, False, "driver-sort error")
             n_fail += 1
             continue
         if len(g) != len(w):
             print(f"FAIL {name}: rowcount {len(g)} != {len(w)}")
+            record(name, False, True, False)
             n_fail += 1
             continue
         if list(map(str, g.dtypes)) != list(map(str, w.dtypes)):
@@ -70,12 +80,19 @@ def main(outdir, sfdir):
                   f"{dict(zip(w.columns, map(str, w.dtypes)))}")
         if df_hash(g) != df_hash(w):
             print(f"FAIL {name}: hash mismatch; {first_diff(g, w)}")
+            record(name, True, True, False)
             n_fail += 1
         else:
             print(f"PASS {name}: rows={len(g)}")
+            record(name, True, True, True)
             n_pass += 1
     print(f"== {n_pass} pass / {n_fail} fail")
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump({"n_pass": n_pass, "n_fail": n_fail,
+                       "queries": results}, f, indent=0, sort_keys=True)
     return 1 if n_fail else 0
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2],
+                  sys.argv[3] if len(sys.argv) > 3 else None))

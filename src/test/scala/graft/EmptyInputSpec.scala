@@ -227,4 +227,26 @@ class EmptyInputSpec extends SparkSpec {
     assert(advice.head.getLong(1) == 0L && !advice.head.getBoolean(5)
       && advice.head.getLong(6) == 1L)
   }
+
+  test("round-15 additions accept empty inputs") {
+    import graft.dedup.Dedup
+    // span dedup: an empty corpus rebuilds nothing, throws nowhere
+    assert(Dedup.substrDedupSpans(emptyDocs).isEmpty)
+    // cross-modal ensemble: no evidence pairs → no clusters
+    val emptyPairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(Dedup.crossModalClusters(emptyPairs, emptyPairs).isEmpty)
+    // one-sided evidence still clusters; the other modality flags 0
+    val one = Dedup.crossModalClusters(
+      Seq((1L, 2L)).toDF("doc_a", "doc_b"), emptyPairs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(one == Map(1L -> ((1L, 0L)), 2L -> ((1L, 0L))))
+    // OPQ: an empty corpus fails loudly at the dim check, never with a
+    // degenerate-aggregate surprise deeper in the chain
+    intercept[IllegalArgumentException] {
+      graft.similarity.Similarity.opqTopK(emptyEmb, emptyEmb
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
+        dim = 64, k = 5)
+    }
+    ()
+  }
 }

@@ -440,13 +440,20 @@ object TxnLog {
     val keepDirs = commits.filter(_.version >= cutoff)
       .flatMap(c => snapshotAt(commits, c.version)).toSet
     val referencedEver = commits.flatMap(_.dirs).toSet
+    // belt-and-braces vs the convertFromParquet/cloneTable nesting
+    // guards: an ext:-referenced path that RESOLVES under this root's
+    // data/ (e.g. a manifest written by an older version without the
+    // guard) must never be swept as an unreferenced orphan
+    val extResolved = referencedEver.filter(_.startsWith(ExtPrefix))
+      .map(d => new Path(d.stripPrefix(ExtPrefix)).toUri.getPath)
     val orphanCutoffMs = System.currentTimeMillis() - orphanMinAgeMs
     val dataRoot = new Path(s"$root/data")
     if (fs.exists(dataRoot))
       fs.listStatus(dataRoot).foreach { st =>
         val name = st.getPath.getName
+        val extRef = extResolved.contains(st.getPath.toUri.getPath)
         val expired = referencedEver.contains(name) && !keepDirs.contains(name)
-        val staleOrphan = !referencedEver.contains(name) &&
+        val staleOrphan = !referencedEver.contains(name) && !extRef &&
           st.getModificationTime < orphanCutoffMs
         if (st.isDirectory && (expired || staleOrphan)) {
           fs.delete(st.getPath, true); ()
@@ -534,8 +541,13 @@ object TxnLog {
       if (!fs.exists(dataRoot)) Seq.empty
       else fs.listStatus(dataRoot).toIndexedSeq.filter(_.isDirectory).flatMap { st =>
         val name = st.getPath.getName
+        // mirror vacuum's ext: resolution — see the comment there
+        val extRef = referencedEver.filter(_.startsWith(ExtPrefix))
+          .exists(d => new Path(d.stripPrefix(ExtPrefix)).toUri.getPath ==
+            st.getPath.toUri.getPath)
         val cls =
           if (keepDirs.contains(name)) None // live — not a candidate
+          else if (extRef) Some("keep-ext-referenced")
           else if (referencedEver.contains(name)) Some("delete-expired")
           else if (st.getModificationTime < orphanCutoffMs) Some("delete-stale-orphan")
           else Some("keep-fresh-orphan")
@@ -1179,14 +1191,24 @@ object TxnLog {
       s"TxnLog stream: since $sinceVersion > until $untilVersion at $root")
     if (sinceVersion == untilVersion) return Seq.empty
     val fs = fileSystem(spark, root)
-    val commits = commitsInRange(fs, root, sinceVersion, untilVersion)
+    // startingVersion=0 arrives as since=-1: no manifest -1 exists, so
+    // synthesize the empty predecessor. Version 0's commit is then a
+    // pure addition from empty whatever its action word (it's always
+    // the table-creating write), matching Delta's startingVersion=0.
+    val commits =
+      if (sinceVersion >= 0L) commitsInRange(fs, root, sinceVersion, untilVersion)
+      else Commit(-1L, "append", Seq.empty, None) +:
+        commitsInRange(fs, root, 0L, untilVersion)
     // add_column is stream-safe metadata: the pinned schema simply
     // never selects the new column (same as a widening append)
     val metadataOnly = Set("set_check", "drop_check", "add_column")
     val schemaChange = Set("rename_column", "drop_column")
     commits.sliding(2).flatMap {
       case Seq(prev, cur) =>
-        if (cur.action == "append") cur.dirs.filterNot(prev.dirs.toSet)
+        // the table-creating commit (against the synthetic empty
+        // predecessor) is additive regardless of its action word
+        if (prev.version == -1L) cur.dirs
+        else if (cur.action == "append") cur.dirs.filterNot(prev.dirs.toSet)
         else if (metadataOnly(cur.action)) Nil
         // a schema change refuses EVEN under ignoreChanges: the
         // stream's schema was pinned at start, and silently
@@ -1728,6 +1750,200 @@ object TxnLog {
       partitionBy = layoutOf(spark, root, affected))
   }
 
+  /** The full Delta MERGE clause surface, first-match-wins per row
+    * class. Clause conditions and assignment values are opaque
+    * Columns; inside MATCHED clauses, source columns are addressed as
+    * `__graft_src_<col>` (the SQL layer rewrites `s.x` to that), bare
+    * names bind to the TARGET; NOT MATCHED clause expressions bind to
+    * the SOURCE (Delta's scoping rules); NOT MATCHED BY SOURCE
+    * expressions bind to the TARGET. */
+  sealed trait MatchedClause { def cond: Option[Column] }
+  /** `WHEN MATCHED [AND cond] THEN UPDATE SET …` — `assigns = None`
+    * is `SET *` (requires source schema ≡ table schema). */
+  case class MatchedUpdate(cond: Option[Column],
+                           assigns: Option[Seq[(String, Column)]]) extends MatchedClause
+  case class MatchedDelete(cond: Option[Column]) extends MatchedClause
+  /** `WHEN NOT MATCHED [AND cond] THEN INSERT …` — `assigns = None`
+    * is `INSERT *`; explicit columns NULL-fill the rest. */
+  case class NotMatchedInsert(cond: Option[Column],
+                              assigns: Option[Seq[(String, Column)]])
+  sealed trait NmbsClause { def cond: Option[Column] }
+  case class NmbsUpdate(cond: Option[Column],
+                        assigns: Seq[(String, Column)]) extends NmbsClause
+  case class NmbsDelete(cond: Option[Column]) extends NmbsClause
+
+  private[graft] val SrcPrefix = "__graft_src_"
+
+  /** Generalized MERGE — conditional and multi-clause WHEN MATCHED
+    * (UPDATE SET col = expr / DELETE), WHEN NOT MATCHED (conditional,
+    * explicit-column INSERT), WHEN NOT MATCHED BY SOURCE (UPDATE /
+    * DELETE) — per Delta semantics: within each row class the FIRST
+    * clause whose condition holds applies; a row no clause claims is
+    * untouched. [[merge]] stays the fast path for the classic
+    * `UPDATE SET * / INSERT * / NMBS DELETE` shape (whole-row
+    * replacement skips the per-column CASE projections).
+    *
+    * Cost shape at scale — same copy-on-write discipline as [[merge]]:
+    * one probe job finds commit dirs holding a matched row (when any
+    * MATCHED clause exists) or an NMBS-condition row (when any NMBS
+    * clause exists); only those dirs are rewritten through the clause
+    * projections, every other dir rides into the new manifest by
+    * reference. Inserts are computed by one anti-join of the source
+    * against the snapshot's keys. Same CAS + idempotent-txnId
+    * protocol; returns the committed version. */
+  def mergeClauses(source: DataFrame, root: String, keys: Seq[String],
+                   matched: Seq[MatchedClause] = Nil,
+                   notMatched: Seq[NotMatchedInsert] = Nil,
+                   nmbs: Seq[NmbsClause] = Nil,
+                   txnId: Option[String] = None): Long = {
+    require(keys.nonEmpty, "TxnLog.mergeClauses: need at least one key column")
+    require(matched.nonEmpty || notMatched.nonEmpty || nmbs.nonEmpty,
+      "TxnLog.mergeClauses: need at least one WHEN clause")
+    val spark = source.sparkSession
+    val latest = latestCommit(spark, root)
+    txnId.foreach { id =>
+      txnVersionOf(spark, root, latest, id).foreach(return _)
+    }
+    require(latest.nonEmpty, s"TxnLog: cannot merge into empty table at $root")
+    val expected = latest.get.version
+    val snap = latest.get.dirs
+    require(snap.nonEmpty, s"TxnLog: nothing to merge into at $root (empty snapshot)")
+    // the table's logical union frame at the pinned version supplies
+    // column order and target types for the clause projections
+    val tableFrame = read(spark, root, asOf = Some(expected))
+    val tableCols = tableFrame.columns.toIndexedSeq
+    def targetType(c: String) = tableFrame.schema(c).dataType
+    require(keys.forall(source.columns.contains),
+      s"TxnLog.mergeClauses: key columns ${keys.mkString(",")} must exist in the source")
+    require(keys.forall(tableCols.contains),
+      s"TxnLog.mergeClauses: key columns ${keys.mkString(",")} must exist in the table")
+    require(tableCols.forall(!_.startsWith(SrcPrefix)),
+      s"TxnLog.mergeClauses: table columns may not start with the reserved $SrcPrefix")
+    val hasStar = matched.exists {
+      case MatchedUpdate(_, None) => true; case _ => false
+    } || notMatched.exists(_.assigns.isEmpty)
+    if (hasStar) require(source.columns.sorted.sameElements(tableCols.sorted),
+      s"TxnLog.mergeClauses: star clauses (SET * / INSERT *) require source " +
+        s"columns ${source.columns.sorted.mkString(",")} == table columns " +
+        s"${tableCols.sorted.mkString(",")}")
+    // several source rows per key make MATCHED outcomes ambiguous
+    // (and would duplicate rewritten target rows through the join)
+    if (matched.nonEmpty || nmbs.nonEmpty) {
+      val dups = source.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
+        .filter(col("n") > 1).limit(1).collect()
+      require(dups.isEmpty,
+        s"TxnLog.mergeClauses: source has multiple rows for key " +
+          s"${dups.headOption.map(_.toSeq.init.mkString(",")).getOrElse("")} — ambiguous; " +
+          "de-duplicate the source first")
+    }
+    val srcKeys = source.select(keys.map(col): _*).distinct()
+    // conservative dir probe: matched rows when any MATCHED clause
+    // could fire; unmatched rows passing any NMBS condition
+    val nmbsAny: Option[Column] =
+      if (nmbs.isEmpty) None
+      else Some(nmbs.map(_.cond.getOrElse(lit(true))).reduce(_ || _))
+    val affected: Set[String] =
+      if (matched.isEmpty && nmbs.isEmpty) Set.empty
+      else affectedDirs(spark, root, snap, latest, df => {
+        val m = if (matched.nonEmpty) Seq(df.join(srcKeys, keys, "left_semi")) else Nil
+        val n = nmbsAny.toSeq.map(pred =>
+          df.join(srcKeys, keys, "left_anti").filter(pred === lit(true)))
+        (m ++ n).reduce(_.unionByName(_, allowMissingColumns = true))
+      })
+    val matchedMark = SrcPrefix + "matched"
+    // first-applicable clause index (1-based; 0 = no clause fires)
+    def appliedIdx(conds: Seq[Option[Column]], gate: Column): Column =
+      conds.zipWithIndex.foldRight(lit(0)) { case ((condOpt, i), rest) =>
+        when(gate && coalesce(condOpt.getOrElse(lit(true)) === lit(true), lit(false)),
+          lit(i + 1)).otherwise(rest)
+      }
+    val survivorsOut: Option[DataFrame] =
+      if (affected.isEmpty) None
+      else {
+        val tgt0 = affected.toSeq.sorted.map(d => dirFrame(spark, root, d, latest))
+          .reduce(_.unionByName(_, allowMissingColumns = true))
+        val tgtCols = tgt0.columns.toSet
+        val tgt = tgt0.select(tableCols.map(c =>
+          if (tgtCols(c)) col(c) else lit(null).cast(targetType(c)).as(c)): _*)
+        // with MATCHED clauses the full (dup-checked) source rides in
+        // for assignment values; otherwise just the distinct key mark
+        val right =
+          if (matched.nonEmpty)
+            source.select(source.columns.map(c => col(c).as(SrcPrefix + c)).toIndexedSeq
+              :+ lit(true).as(matchedMark): _*)
+          else
+            srcKeys.select(keys.map(k => col(k).as(SrcPrefix + k))
+              :+ lit(true).as(matchedMark): _*)
+        val joined = tgt.join(right,
+          keys.map(k => col(k) === col(SrcPrefix + k)).reduce(_ && _), "left")
+        val isMatched = coalesce(col(matchedMark), lit(false))
+        val mIdx = appliedIdx(matched.map(_.cond), isMatched)
+        val nIdx = appliedIdx(nmbs.map(_.cond), !isMatched)
+        val dropRow =
+          matched.zipWithIndex.collect { case (_: MatchedDelete, i) => mIdx === lit(i + 1) }
+            .foldLeft(lit(false))(_ || _) ||
+          nmbs.zipWithIndex.collect { case (_: NmbsDelete, i) => nIdx === lit(i + 1) }
+            .foldLeft(lit(false))(_ || _)
+        val projected = tableCols.map { c =>
+          val nmbsChain = nmbs.zipWithIndex.foldRight(col(c)) {
+            case ((NmbsUpdate(_, assigns), i), rest) =>
+              assigns.find(_._1 == c).map(_._2) match {
+                case Some(v) => when(nIdx === lit(i + 1), v.cast(targetType(c))).otherwise(rest)
+                case None => rest
+              }
+            case (_, rest) => rest
+          }
+          val full = matched.zipWithIndex.foldRight(nmbsChain) {
+            case ((MatchedUpdate(_, assigns), i), rest) =>
+              val v = assigns match {
+                case None => col(SrcPrefix + c)
+                case Some(as) => as.find(_._1 == c).map(_._2).getOrElse(col(c))
+              }
+              when(mIdx === lit(i + 1), v.cast(targetType(c))).otherwise(rest)
+            case (_, rest) => rest
+          }
+          full.as(c)
+        }
+        Some(joined.filter(!dropRow).select(projected: _*))
+      }
+    val insertedOut: Option[DataFrame] =
+      if (notMatched.isEmpty) None
+      else {
+        val allKeys = tableFrame.select(keys.map(col): _*).distinct()
+        val unmatchedSrc = source.join(allKeys, keys, "left_anti")
+        val iIdx = appliedIdx(notMatched.map(_.cond), lit(true))
+        val rows = unmatchedSrc.withColumn(SrcPrefix + "ins", iIdx)
+          .filter(col(SrcPrefix + "ins") > 0)
+        val projected = tableCols.map { c =>
+          val chain = notMatched.zipWithIndex.foldRight(
+              lit(null).cast(targetType(c))) { case ((cl, i), rest) =>
+            val v = cl.assigns match {
+              case None => col(c) // INSERT * (schema equality checked)
+              case Some(as) => as.find(_._1 == c).map(_._2)
+                .getOrElse(lit(null))
+            }
+            when(col(SrcPrefix + "ins") === lit(i + 1), v.cast(targetType(c)))
+              .otherwise(rest)
+          }
+          chain.as(c)
+        }
+        Some(rows.select(projected: _*))
+      }
+    (survivorsOut, insertedOut) match {
+      case (None, None) => expected // no clause can touch anything
+      case (None, Some(ins)) =>
+        // nothing rewritten — a pure (possibly conditional) insert.
+        // An all-filtered insert set is a no-op, not an empty commit.
+        if (ins.limit(1).collect().isEmpty) expected
+        else commit(ins, root, "append", txnId, expectedLatest = Some(expected))
+      case (Some(sv), insOpt) =>
+        val merged = insOpt.map(sv.unionByName(_)).getOrElse(sv)
+        commit(merged, root, "replace", txnId, expectedLatest = Some(expected),
+          replaceBase = Some(snap.filterNot(affected)),
+          partitionBy = layoutOf(spark, root, affected))
+    }
+  }
+
   /** Commit directories whose rows survive `probe` — ONE job over the
     * snapshot with each directory's rows tagged by a literal, so the
     * predicate/semi-join pushes into every branch's scan and the
@@ -2147,6 +2363,15 @@ object TxnLog {
       s"TxnLog.convertFromParquet: table root $root must live OUTSIDE the " +
         s"converted directory $parquetDir (its data/ dirs would nest inside " +
         "the ext reference and double-read)")
+    // ...and the converse: an adopted directory INSIDE the root would
+    // sit among <root>/data children under its plain name while the
+    // manifest references it as ext:<abs>, so vacuum's orphan sweep
+    // (which matches plain child names) would class the original
+    // dataset a stale orphan and delete it
+    require(!(pdir + "/").startsWith(rdir + "/"),
+      s"TxnLog.convertFromParquet: converted directory $parquetDir must live " +
+        s"OUTSIDE the table root $root (an ext-referenced dir under the root " +
+        "reads as an unreferenced orphan to vacuum)")
     // prove the directory is readable parquet BEFORE publishing — a
     // manifest over unreadable bytes would brick every later read
     require(spark.read.parquet(parquetDir).schema.fields.nonEmpty,
@@ -2921,15 +3146,103 @@ object TxnLog {
     case _ => true
   }
 
-  /** The commit point: create-exclusive on the manifest path. */
-  private def tryPublish(fs: FileSystem, root: String, c: Commit): Boolean = {
+  /** The commit point: a GENUINELY atomic create-exclusive on the
+    * manifest path. `FileSystem.create(path, overwrite = false)` is
+    * NOT that on the local filesystem — RawLocalFileSystem probes
+    * existence client-side then opens with O_CREAT|O_TRUNC, so two
+    * racers can both pass the probe, both be acknowledged, and the
+    * later close silently replaces the earlier manifest: a LOST
+    * acknowledged commit (caught by the racing-check spec). Per
+    * scheme:
+    *  - `file:` — write the full body to a uniquely-named temp file
+    *    in the log dir, then hard-LINK it onto the manifest name
+    *    ([[java.nio.file.Files.createLink]]: one atomic kernel
+    *    `link(2)`, which fails with EEXIST when the name is taken).
+    *    Exactly one racer's link lands, and the manifest name only
+    *    ever appears bearing its COMPLETE content (the torn-read
+    *    window is gone too). Mounts without hard links fall back to
+    *    `O_CREAT|O_EXCL` via NIO `CREATE_NEW` — still an atomic
+    *    claim; content lands right after (readers already tolerate
+    *    the brief empty window).
+    *  - everything else — create-exclusive (atomic in the HDFS
+    *    NameNode, best-effort elsewhere) with a per-attempt writer
+    *    token embedded in the manifest, then RE-READ and verify
+    *    ownership before acknowledging (the object-store LogStore
+    *    discipline: full-object PUTs never interleave, so at most
+    *    one writer sees its own token back; everyone else reports a
+    *    lost race and retries on the next version).
+    */
+  private[graft] def tryPublish(fs: FileSystem, root: String, c: Commit): Boolean = {
     val path = logPath(root, c.version)
     fs.mkdirs(path.getParent)
+    val scheme = Option(fs.getUri.getScheme).getOrElse("file")
+    val won =
+      if (scheme == "file") publishLocalAtomic(fs, path, render(c))
+      else publishVerifyOwnership(fs, path, c)
+    if (won) writeCheckpoint(fs, root, c.version) // advisory listing shortcut
+    won
+  }
+
+  /** `file:` publish: temp-write then atomic hard link (see
+    * [[tryPublish]]). The temp file lives in the log dir itself so
+    * the link never crosses a filesystem boundary. */
+  private def publishLocalAtomic(fs: FileSystem, path: Path, body: String): Boolean = {
+    import java.nio.file.{Files, Paths, FileAlreadyExistsException, StandardOpenOption}
+    val target = Paths.get(fs.makeQualified(path).toUri.getPath)
+    val tmp = target.resolveSibling(
+      s".${target.getFileName}.${java.util.UUID.randomUUID()}.tmp")
+    Files.write(tmp, body.getBytes("UTF-8"))
+    try {
+      try { Files.createLink(target, tmp); true }
+      catch {
+        case _: FileAlreadyExistsException => false // lost the race
+        case _: UnsupportedOperationException =>
+          // no hard links on this mount: O_CREAT|O_EXCL is still an
+          // atomic claim (only the content-landing is non-atomic,
+          // which readManifest's bounded empty-content wait covers)
+          try {
+            val ch = Files.newByteChannel(target,
+              StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
+            try ch.write(java.nio.ByteBuffer.wrap(body.getBytes("UTF-8")))
+            finally ch.close()
+            true
+          } catch { case _: FileAlreadyExistsException => false }
+      }
+    } finally Files.deleteIfExists(tmp)
+  }
+
+  /** Non-`file:` publish: create-exclusive, then read-back ownership
+    * verification via an embedded writer token (see [[tryPublish]]).
+    * An UNREADABLE manifest after our own successful close is
+    * indeterminate — the commit may have landed, so silently retrying
+    * the next version could double-apply it; fail loudly instead. */
+  private def publishVerifyOwnership(fs: FileSystem, path: Path, c: Commit): Boolean = {
+    val token = java.util.UUID.randomUUID().toString
+    val body = render(c, writerToken = Some(token))
     val out = try fs.create(path, false)
     catch { case _: java.io.IOException => return false } // version taken
-    try out.write(render(c).getBytes("UTF-8")) finally out.close()
-    writeCheckpoint(fs, root, c.version) // advisory listing shortcut
-    true
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    val deadline = System.nanoTime() + 2L * 1000 * 1000 * 1000
+    while (System.nanoTime() < deadline) {
+      val onDisk =
+        try {
+          val in = fs.open(path)
+          try {
+            val buf = new java.io.ByteArrayOutputStream()
+            org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 8192, false)
+            Some(buf.toString("UTF-8"))
+          } finally in.close()
+        } catch { case _: Throwable => None }
+      onDisk match {
+        case Some(b) if b == body      => return true  // our bytes survived
+        case Some(b) if b.nonEmpty     => return false // replaced by a racer
+        case _                         => Thread.sleep(10) // not visible yet
+      }
+    }
+    throw new IllegalStateException(
+      s"TxnLog: manifest $path unreadable after our own publish — commit " +
+        "outcome indeterminate; verify the log manually before retrying " +
+        "(a blind retry could double-apply this commit)")
   }
 
   /** Visible data directories at `asOf` (names under `<root>/data/`). */
@@ -3072,7 +3385,13 @@ object TxnLog {
     * rewrote). O(interleaved) manifest reads, never a log replay. */
   private def interleavedAppendDirs(fs: FileSystem, root: String,
                                     expected: Long, current: Long): Either[Seq[String], Seq[String]] = {
-    val range = commitsInRange(fs, root, expected, current)
+    // expected = -1 (writer derived from an EMPTY table, racer created
+    // it since): synthesize the empty predecessor — version 0 then
+    // counts as interleaved like any other commit
+    val range =
+      if (expected >= 0L) commitsInRange(fs, root, expected, current)
+      else Commit(-1L, "append", Seq.empty, None) +:
+        commitsInRange(fs, root, 0L, current)
     val interleaved = range.tail
     if (!interleaved.forall(_.action == "append")) Left(interleaved.map(_.action))
     else Right(range.sliding(2).collect { case Seq(prev, c) =>
@@ -3167,12 +3486,15 @@ object TxnLog {
   private def logPath(root: String, version: Long): Path =
     new Path(f"$root/$LogDir/$version%020d.json")
 
-  private def render(c: Commit): String = {
+  private def render(c: Commit, writerToken: Option[String] = None): String = {
     import org.json4s._
     import org.json4s.JsonDSL._
     import org.json4s.jackson.JsonMethods
+    // "writer" is publish-plumbing (ownership verification on stores
+    // without atomic create-exclusive), not table state — parse()
+    // ignores it, so manifests with and without it interoperate
     val base = ("version" -> c.version) ~ ("action" -> c.action) ~
-      ("dirs" -> c.dirs) ~ ("txn_id" -> c.txnId)
+      ("dirs" -> c.dirs) ~ ("txn_id" -> c.txnId) ~ ("writer" -> writerToken)
     val withStats =
       if (c.stats.isEmpty) base
       else base ~ ("stats" -> JObject(c.stats.toList.sortBy(_._1).map {

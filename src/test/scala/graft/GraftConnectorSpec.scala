@@ -316,6 +316,80 @@ class GraftConnectorSpec extends SparkSpec {
     val ckptC = Files.createTempDirectory("graft_sv_ckpt").toString
     val e = intercept[Exception] { runOnce(ckptC, Map("startingVersion" -> "99")) }
     assert(e.getMessage.contains("out of range"), e.getMessage)
+    // startingVersion=0: the first batch serves EVERY commit from the
+    // table-creating version 0 (round-15 advice: the -1 predecessor
+    // used to demand a manifest that never exists)
+    val ckptD = Files.createTempDirectory("graft_sv_ckpt").toString
+    assert(runOnce(ckptD, Map("startingVersion" -> "0")) == Seq(0L, 1L, 2L, 9L))
+    // and stays exactly-once on replay
+    assert(runOnce(ckptD, Map("startingVersion" -> "0")) == Seq.empty)
+  }
+
+  test("limiter restart matrix: crashes between offset WAL and commit replay exactly-once") {
+    // the round-15 limiter fix persisted a high-water mark so a
+    // post-restart getOffset can never regress below the committed
+    // offset; this matrix drives the REAL recovery path — a crash
+    // after the offset is WAL-logged but before the batch commits —
+    // at each stage of a rate-limited catch-up, asserting the whole
+    // table is served exactly once across every restart
+    val root = freshRoot()
+    (0 to 5).foreach { i =>
+      Seq((i.toLong, s"r$i")).toDF("id", "s").write.format("graft")
+        .mode(if (i == 0) SaveMode.Overwrite else SaveMode.Append).save(root)
+    }
+    import scala.jdk.CollectionConverters._
+    def run(ckpt: String, crashOnBatch: Option[Long]): Seq[Long] = {
+      val got = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+      val q = spark.readStream.format("graft")
+        .option("maxVersionsPerTrigger", 2).load(root)
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, bid: Long) =>
+          if (crashOnBatch.contains(bid))
+            throw new RuntimeException(s"injected crash at batch $bid")
+          df.collect().foreach(r => got.add(r.getLong(0))); ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination()
+      catch {
+        case e: org.apache.spark.sql.streaming.StreamingQueryException =>
+          // only the INJECTED crash may terminate a run
+          assert(e.getMessage.contains("injected crash"), e.getMessage)
+      }
+      got.asScala.toSeq.sorted
+    }
+    // under the v1 Trigger-Once fallback a rate-limited run advances
+    // one bounded batch; a clean catch-up is a drain loop of them
+    def drain(ckpt: String): Seq[Long] = {
+      var all = Seq.empty[Long]
+      var last = run(ckpt, None)
+      while (last.nonEmpty) { all ++= last; last = run(ckpt, None) }
+      all.sorted
+    }
+    // crash at batch 0: the very first offset is logged, nothing
+    // committed — restart must re-serve from the start, exactly once
+    val ckptA = Files.createTempDirectory("graft_lim_ckpt").toString
+    val a0 = run(ckptA, crashOnBatch = Some(0L))
+    val a1 = drain(ckptA)
+    assert(a0.isEmpty && a1 == (0L to 5L), s"a0=$a0 a1=$a1")
+    // crash mid-catch-up at batch 1: batch 0 committed, batch 1's
+    // offset logged but uncommitted — restart replays 1 then drains
+    val ckptB = Files.createTempDirectory("graft_lim_ckpt").toString
+    val b0 = run(ckptB, crashOnBatch = Some(1L))
+    val b1 = drain(ckptB)
+    assert((b0 ++ b1).sorted == (0L to 5L), s"b0=$b0 b1=$b1")
+    assert(b0.toSet.intersect(b1.toSet).isEmpty, s"duplicates across restart: b0=$b0 b1=$b1")
+    // double crash: batch 1 crashes twice in a row, then a clean drain
+    val ckptC = Files.createTempDirectory("graft_lim_ckpt").toString
+    val c0 = run(ckptC, crashOnBatch = Some(1L))
+    val c1 = run(ckptC, crashOnBatch = Some(1L))
+    val c2 = drain(ckptC)
+    assert((c0 ++ c1 ++ c2).sorted == (0L to 5L), s"c0=$c0 c1=$c1 c2=$c2")
+    assert(c0.toSet.intersect(c2.toSet).isEmpty && c1.toSet.intersect(c2.toSet).isEmpty,
+      s"duplicates across double restart: c0=$c0 c1=$c1 c2=$c2")
+    // post-recovery liveness: a fresh append still arrives, once
+    Seq((9L, "new")).toDF("id", "s").write.format("graft")
+      .mode(SaveMode.Append).save(root)
+    assert(drain(ckptC) == Seq(9L))
   }
 
   test("scan substitution survives self-joins and mixed-version joins of the same table") {

@@ -199,23 +199,25 @@ object MvCatalog {
       (parts(0), Some(parts(1)).filter(_.nonEmpty), parts(2))
     }
 
-  private def writeStore(root: String, all: Map[String, MvEntry]): Unit = {
+  private def writeStore(root: String, all: Map[String, MvEntry],
+                         expectedVersion: Long): Unit = {
     val spark = SparkSession.active
     import spark.implicits._
     val rows = all.toSeq.sortBy(_._1).map { case (k, e) =>
       (k, e.sourcePath, e.dims.mkString(Sep), encodeAggs(e.aggs),
         e.mvPath, e.fingerprint, e.kind)
     }
-    graft.sources.TxnLog.overwrite(
+    val v = graft.sources.TxnLog.commit(
       rows.toDF("key", "source_path", "dims", "aggs", "mv_path", "fingerprint", "kind"),
-      root)
-    loadedStore = Some((root, graft.sources.TxnLog.latestVersion(spark, root)))
+      root, "overwrite", txnId = None, expectedLatest = Some(expectedVersion))
+    loadedStore = Some((root, v))
   }
 
-  private def readStore(root: String): Map[String, MvEntry] = {
+  private def readStore(root: String,
+                        asOf: Option[Long] = None): Map[String, MvEntry] = {
     val spark = SparkSession.active
     if (graft.sources.TxnLog.latestVersion(spark, root) < 0L) return Map.empty
-    graft.sources.TxnLog.read(spark, root)
+    graft.sources.TxnLog.read(spark, root, asOf)
       .select("key", "source_path", "dims", "aggs", "mv_path", "fingerprint", "kind")
       .collect() // bounded: one row per registered view
       .map { r =>
@@ -225,14 +227,44 @@ object MvCatalog {
       }.toMap
   }
 
+  /** Read-modify-write of the whole store under a real CAS: the read
+    * pins the version it saw, the commit carries it as
+    * `expectedLatest`, and a racer landing in between raises
+    * ConcurrentModificationException → re-read and re-apply. Without
+    * the pin, two racing registrars/invalidators silently lose one
+    * write (last writer wins over a stale read) — a lost INVALIDATE
+    * would resurrect a deliberately removed entry that the
+    * fingerprint guard alone won't retire while the base table is
+    * unchanged. */
+  private def casWrite(root: String)
+                      (f: Map[String, MvEntry] => Option[Map[String, MvEntry]]): Unit = {
+    val spark = SparkSession.active
+    var attempt = 0
+    while (attempt < 10) {
+      val expected = graft.sources.TxnLog.latestVersion(spark, root)
+      val current =
+        if (expected < 0L) Map.empty[String, MvEntry]
+        else readStore(root, asOf = Some(expected))
+      f(current) match {
+        case None => return // no-op (e.g. removing an absent key)
+        case Some(next) =>
+          try { writeStore(root, next, expected); return }
+          catch { case _: java.util.ConcurrentModificationException => attempt += 1 }
+      }
+    }
+    throw new IllegalStateException(
+      s"MvCatalog: lost 10 consecutive store-write races at $root — giving up")
+  }
+
   private def persistPut(key: String, e: MvEntry): Unit = storeRoot.foreach { root =>
-    writeStore(root, readStore(root) + (key -> e))
+    casWrite(root)(all => Some(all + (key -> e)))
   }
 
   private def persistRemove(keys: Seq[String]): Unit = storeRoot.foreach { root =>
-    val current = readStore(root)
-    val next = current -- keys
-    if (next.size != current.size) writeStore(root, next)
+    casWrite(root) { all =>
+      val next = all -- keys
+      if (next.size != all.size) Some(next) else None
+    }
   }
 
   /** Cache-miss path: (re)load the persisted store when configured

@@ -51,30 +51,41 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 
   import GraftSqlParser._
 
-  override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
-    case DescribeHistoryRe(path) => GraftDescribeHistoryCommand(path)
-    case DescribeDetailRe(path) => GraftDescribeDetailCommand(path)
-    case RestoreVersionRe(path, v) => GraftRestoreCommand(path, Some(v.toLong), None)
-    case RestoreTimestampRe(path, ts) => GraftRestoreCommand(path, None, Some(ts))
-    case ConvertRe(pdir, root, nostats) =>
-      GraftConvertCommand(pdir, root, collectStats = nostats == null)
-    case CloneRe(dst, src, v) =>
-      GraftCloneCommand(dst, src, Option(v).map(_.toLong))
-    case AlterAddCheckRe(path, name, pred) => GraftAddCheckCommand(path, name, pred)
-    case AlterDropCheckRe(path, name) => GraftDropCheckCommand(path, name)
-    case AlterRenameColRe(path, from, to) => GraftRenameColumnCommand(path, from, to)
-    case AlterDropColRe(path, name) => GraftDropColumnCommand(path, name)
-    case AlterAddColRe(path, name, default) => GraftAddColumnCommand(path, name, default.trim)
-    case VacuumRe(path, retain) =>
-      GraftVacuumCommand(path, Option(retain).map(_.toInt).getOrElse(1))
-    case OptimizeRe(path, where, zorder) =>
-      val range = Option(where).map(parseRange)
-      val zcols = Option(zorder).toSeq.flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
-      require(range.isEmpty || zcols.isEmpty,
-        "OPTIMIZE graft: WHERE and ZORDER BY are mutually exclusive " +
-          "(clustering is a whole-table layout rewrite)")
-      GraftOptimizeCommand(path, range, zcols)
-    case _ => delegate.parsePlan(sqlText)
+  /** A target token is either `graft.`/path`` or a session-catalog
+    * table name created `USING graft` — resolve to the table root, or
+    * None (→ delegate verbatim: a named ALTER on a non-graft table
+    * must reach Spark's own grammar untouched). */
+  private def root(token: String): Option[String] = resolveTarget(token)
+
+  override def parsePlan(sqlText: String): LogicalPlan = {
+    val claimed: Option[LogicalPlan] = sqlText match {
+      case DescribeHistoryRe(t) => root(t).map(GraftDescribeHistoryCommand(_))
+      case DescribeDetailRe(t) => root(t).map(GraftDescribeDetailCommand(_))
+      case RestoreVersionRe(t, v) => root(t).map(GraftRestoreCommand(_, Some(v.toLong), None))
+      case RestoreTimestampRe(t, ts) => root(t).map(GraftRestoreCommand(_, None, Some(ts)))
+      case ConvertRe(pdir, dst, nostats) =>
+        Some(GraftConvertCommand(pdir, dst, collectStats = nostats == null))
+      case CloneRe(dst, src, v) =>
+        root(src).map(GraftCloneCommand(dst, _, Option(v).map(_.toLong)))
+      case AlterAddCheckRe(t, name, pred) => root(t).map(GraftAddCheckCommand(_, name, pred))
+      case AlterDropCheckRe(t, name) => root(t).map(GraftDropCheckCommand(_, name))
+      case AlterRenameColRe(t, from, to) => root(t).map(GraftRenameColumnCommand(_, from, to))
+      case AlterDropColRe(t, name) => root(t).map(GraftDropColumnCommand(_, name))
+      case AlterAddColRe(t, name, default) => root(t).map(GraftAddColumnCommand(_, name, default.trim))
+      case VacuumRe(t, retain) =>
+        root(t).map(GraftVacuumCommand(_, Option(retain).map(_.toInt).getOrElse(1)))
+      case OptimizeRe(t, where, zorder) =>
+        root(t).map { r =>
+          val range = Option(where).map(parseRange)
+          val zcols = Option(zorder).toSeq.flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+          require(range.isEmpty || zcols.isEmpty,
+            "OPTIMIZE graft: WHERE and ZORDER BY are mutually exclusive " +
+              "(clustering is a whole-table layout rewrite)")
+          GraftOptimizeCommand(r, range, zcols)
+        }
+      case _ => None
+    }
+    claimed.getOrElse(delegate.parsePlan(sqlText))
   }
 
   /** `col BETWEEN lo AND hi` (or the expanded `col >= lo AND col <= hi`)
@@ -118,31 +129,83 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 object GraftSqlParser {
   // graft.`<path>` — the Delta path-table address shape. Backticked
   // path is required: it is the unambiguous token the regex can
-  // anchor on without re-implementing identifier grammar.
+  // anchor on without re-implementing identifier grammar. Positions
+  // that CREATE a table stay path-only (T); positions addressing an
+  // EXISTING table also accept a catalog name (TT — resolved by
+  // [[GraftCatalogNames]] at parse time; non-graft names delegate).
   private val T = """graft\s*\.\s*`([^`]+)`"""
-  private val DescribeHistoryRe = s"""(?is)\\s*DESC(?:RIBE)?\\s+HISTORY\\s+$T\\s*;?\\s*""".r
-  private val DescribeDetailRe = s"""(?is)\\s*DESC(?:RIBE)?\\s+DETAIL\\s+$T\\s*;?\\s*""".r
+  private val TT = """(graft\s*\.\s*`[^`]+`|(?:\w+\.){0,2}\w+)"""
+  private val PathForm = """(?is)\s*graft\s*\.\s*`([^`]+)`\s*""".r
+
+  /** Target token → table root: the backticked path itself, or a
+    * session-catalog `USING graft` table's LOCATION. */
+  private[graft] def resolveTarget(token: String): Option[String] = token match {
+    case PathForm(p) => Some(p)
+    case name => GraftCatalogNames.resolve(name.split("\\.").map(_.trim).toSeq)
+  }
+
+  private val DescribeHistoryRe = s"""(?is)\\s*DESC(?:RIBE)?\\s+HISTORY\\s+$TT\\s*;?\\s*""".r
+  private val DescribeDetailRe = s"""(?is)\\s*DESC(?:RIBE)?\\s+DETAIL\\s+$TT\\s*;?\\s*""".r
   private val RestoreVersionRe =
-    s"""(?is)\\s*RESTORE\\s+(?:TABLE\\s+)?$T\\s+TO\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*;?\\s*""".r
+    s"""(?is)\\s*RESTORE\\s+(?:TABLE\\s+)?$TT\\s+TO\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*;?\\s*""".r
   private val RestoreTimestampRe =
-    s"""(?is)\\s*RESTORE\\s+(?:TABLE\\s+)?$T\\s+TO\\s+TIMESTAMP\\s+AS\\s+OF\\s+'([^']+)'\\s*;?\\s*""".r
+    s"""(?is)\\s*RESTORE\\s+(?:TABLE\\s+)?$TT\\s+TO\\s+TIMESTAMP\\s+AS\\s+OF\\s+'([^']+)'\\s*;?\\s*""".r
   private val ConvertRe =
     s"""(?is)\\s*CONVERT\\s+TO\\s+GRAFT\\s+parquet\\s*\\.\\s*`([^`]+)`\\s+AS\\s+$T(\\s+NO\\s+STATISTICS)?\\s*;?\\s*""".r
   private val CloneRe =
-    s"""(?is)\\s*CREATE\\s+TABLE\\s+$T\\s+SHALLOW\\s+CLONE\\s+$T(?:\\s+VERSION\\s+AS\\s+OF\\s+(\\d+))?\\s*;?\\s*""".r
-  private val VacuumRe = s"""(?is)\\s*VACUUM\\s+$T(?:\\s+RETAIN\\s+(\\d+)\\s+VERSIONS)?\\s*;?\\s*""".r
+    s"""(?is)\\s*CREATE\\s+TABLE\\s+$T\\s+SHALLOW\\s+CLONE\\s+$TT(?:\\s+VERSION\\s+AS\\s+OF\\s+(\\d+))?\\s*;?\\s*""".r
+  private val VacuumRe = s"""(?is)\\s*VACUUM\\s+$TT(?:\\s+RETAIN\\s+(\\d+)\\s+VERSIONS)?\\s*;?\\s*""".r
   private val AlterAddCheckRe =
-    s"""(?is)\\s*ALTER\\s+TABLE\\s+$T\\s+ADD\\s+CONSTRAINT\\s+(\\w+)\\s+CHECK\\s*\\((.+)\\)\\s*;?\\s*""".r
+    s"""(?is)\\s*ALTER\\s+TABLE\\s+$TT\\s+ADD\\s+CONSTRAINT\\s+(\\w+)\\s+CHECK\\s*\\((.+)\\)\\s*;?\\s*""".r
   private val AlterDropCheckRe =
-    s"""(?is)\\s*ALTER\\s+TABLE\\s+$T\\s+DROP\\s+CONSTRAINT\\s+(\\w+)\\s*;?\\s*""".r
+    s"""(?is)\\s*ALTER\\s+TABLE\\s+$TT\\s+DROP\\s+CONSTRAINT\\s+(\\w+)\\s*;?\\s*""".r
   private val AlterRenameColRe =
-    s"""(?is)\\s*ALTER\\s+TABLE\\s+$T\\s+RENAME\\s+COLUMN\\s+(\\w+)\\s+TO\\s+(\\w+)\\s*;?\\s*""".r
+    s"""(?is)\\s*ALTER\\s+TABLE\\s+$TT\\s+RENAME\\s+COLUMN\\s+(\\w+)\\s+TO\\s+(\\w+)\\s*;?\\s*""".r
   private val AlterDropColRe =
-    s"""(?is)\\s*ALTER\\s+TABLE\\s+$T\\s+DROP\\s+COLUMN\\s+(\\w+)\\s*;?\\s*""".r
+    s"""(?is)\\s*ALTER\\s+TABLE\\s+$TT\\s+DROP\\s+COLUMN\\s+(\\w+)\\s*;?\\s*""".r
   private val AlterAddColRe =
-    s"""(?is)\\s*ALTER\\s+TABLE\\s+$T\\s+ADD\\s+COLUMN\\s+(\\w+)\\s+DEFAULT\\s+(.+?)\\s*;?\\s*""".r
+    s"""(?is)\\s*ALTER\\s+TABLE\\s+$TT\\s+ADD\\s+COLUMN\\s+(\\w+)\\s+DEFAULT\\s+(.+?)\\s*;?\\s*""".r
   private val OptimizeRe =
-    s"""(?is)\\s*OPTIMIZE\\s+$T(?:\\s+WHERE\\s+(.+?))??(?:\\s+ZORDER\\s+BY\\s*\\(([^)]+)\\))?\\s*;?\\s*""".r
+    s"""(?is)\\s*OPTIMIZE\\s+$TT(?:\\s+WHERE\\s+(.+?))??(?:\\s+ZORDER\\s+BY\\s*\\(([^)]+)\\))?\\s*;?\\s*""".r
+}
+
+/** Session-catalog resolution for named graft tables: `CREATE TABLE
+  * db.t USING graft LOCATION '/root'` registers an ordinary
+  * datasource-v1 table; this resolves such a name back to its table
+  * root so DML and the utility statements can address tables the way
+  * real users do — by NAME (the reference's own SQL layers, dbt
+  * models and the Trino README examples, are all named tables).
+  * Returns None for temp views, non-graft providers, and unknown
+  * names — callers fall back to Spark's own resolution, so nothing
+  * is ever hijacked. */
+object GraftCatalogNames {
+  def resolve(nameParts: Seq[String]): Option[String] = {
+    if (nameParts.isEmpty ||
+        nameParts.exists(p => p.isEmpty || p.contains("/") || p.contains("`")))
+      return None
+    val spark = SparkSession.active
+    val catalog = spark.sessionState.catalog
+    val ident = nameParts match {
+      // a temp view shadows a catalog table of the same name
+      case Seq(t) if catalog.getTempView(t).isEmpty => TableIdentifier(t)
+      case Seq(db, t) => TableIdentifier(t, Some(db))
+      case Seq(cat, db, t) if cat.equalsIgnoreCase("spark_catalog") =>
+        TableIdentifier(t, Some(db))
+      case _ => return None
+    }
+    try {
+      if (!catalog.tableExists(ident)) None
+      else {
+        val meta = catalog.getTableMetadata(ident)
+        if (!meta.provider.exists(_.equalsIgnoreCase("graft"))) None
+        else meta.storage.locationUri.map { u =>
+          val p = new org.apache.hadoop.fs.Path(u)
+          if (u.getScheme == null || u.getScheme == "file") p.toUri.getPath
+          else p.toString
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
 }
 
 /** Analyzer rule converting Spark-parsed DML (DELETE / UPDATE / MERGE)
@@ -160,14 +223,22 @@ object GraftSqlParser {
   * the session when the command wraps it as a DataFrame. */
 object GraftDmlResolution extends Rule[LogicalPlan] {
 
-  /** The `graft.`path`` target under an optional alias. */
+  /** The DML target under an optional alias: `graft.`/path`` (gated
+    * on a '/' in the identifier, like [[pathRelation]], so a genuine
+    * catalog database named `graft` is never hijacked) or a
+    * session-catalog table created `USING graft` (resolved to its
+    * LOCATION). */
   private def graftTarget(plan: LogicalPlan): Option[(String, Set[String])] = plan match {
     case SubqueryAlias(ident, child) =>
       graftTarget(child).map { case (p, names) => (p, names + ident.name.toLowerCase) }
     case u: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
         if u.multipartIdentifier.size == 2 &&
-          u.multipartIdentifier.head.equalsIgnoreCase("graft") =>
+          u.multipartIdentifier.head.equalsIgnoreCase("graft") &&
+          u.multipartIdentifier(1).contains("/") =>
       Some((u.multipartIdentifier(1), Set.empty))
+    case u: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
+      GraftCatalogNames.resolve(u.multipartIdentifier)
+        .map(root => (root, Set(u.multipartIdentifier.last.toLowerCase)))
     case _ => None
   }
 
@@ -205,9 +276,11 @@ object GraftDmlResolution extends Rule[LogicalPlan] {
     throw new org.apache.spark.sql.AnalysisException(
       errorClass = "_LEGACY_ERROR_TEMP_3065", // generic analysis failure carrier
       messageParameters = Map("clazz" -> "graft", "msg" ->
-        (s"graft SQL MERGE supports exactly: ON key-equality conjunction, " +
-          s"WHEN MATCHED THEN UPDATE SET *, WHEN NOT MATCHED THEN INSERT *, " +
-          s"optional WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE — got $what")))
+        (s"graft SQL MERGE supports: ON key-equality conjunction; WHEN MATCHED " +
+          s"[AND cond] THEN UPDATE SET * | UPDATE SET col = expr, … | DELETE; " +
+          s"WHEN NOT MATCHED [AND cond] THEN INSERT * | INSERT (cols) VALUES (…); " +
+          s"WHEN NOT MATCHED BY SOURCE [AND cond] THEN UPDATE SET … | DELETE " +
+          s"(multi-clause, first-match-wins) — got $what")))
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
     case DeleteFromTable(t, cond) if graftTarget(t).isDefined =>
@@ -217,7 +290,14 @@ object GraftDmlResolution extends Rule[LogicalPlan] {
     case UpdateTable(t, assignments, cond) if graftTarget(t).isDefined =>
       val (root, names) = graftTarget(t).get
       val sets = assignments.map { a =>
-        val name = colName(a.key).getOrElse(unsupported(s"assignment target ${a.key}"))
+        // after stripping a leading target alias, a key must be ONE
+        // name part: silently collapsing `SET s.x = 1` (a struct-field
+        // assignment) onto a top-level column named x would corrupt it
+        val name = stripQualifier(a.key, names) match {
+          case ua: UnresolvedAttribute if ua.nameParts.size == 1 => ua.nameParts.head
+          case other => unsupported(s"assignment target $other (struct-field " +
+            "and nested assignments are not supported)")
+        }
         (name, ColumnInterop.column(stripQualifier(a.value, names)))
       }
       GraftUpdateCommand(root, sets, ColumnInterop.column(
@@ -228,29 +308,112 @@ object GraftDmlResolution extends Rule[LogicalPlan] {
       val (root, names) = graftTarget(t).get
       if (withSchemaEvo) unsupported("WITH SCHEMA EVOLUTION")
       val keys = mergeKeys(mergeCond).getOrElse(unsupported(s"ON $mergeCond"))
-      matched match {
-        case Seq(_: UpdateStarAction) => ()
-        case Seq(UpdateAction(None, Nil, _)) => ()
-        case other => unsupported(s"matched actions $other")
+      // the source's alias (or bare relation name) — clause scoping
+      // rewrites source-qualified refs per Delta's rules
+      val srcAlias: Set[String] = source match {
+        case SubqueryAlias(id, _) => Set(id.name.toLowerCase)
+        case u: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
+          Set(u.multipartIdentifier.last.toLowerCase)
+        case _ => Set.empty
       }
-      notMatched match {
-        case Seq(_: InsertStarAction) => ()
-        case Seq(InsertAction(None, Nil)) => ()
-        case other => unsupported(s"not-matched actions $other")
+      // MATCHED scope: both sides visible — source-qualified refs
+      // address the joined frame's prefixed source columns, target-
+      // qualified (or bare) refs the target columns
+      def matchedExpr(e: Expression): org.apache.spark.sql.Column =
+        ColumnInterop.column(e.transform {
+          case ua: UnresolvedAttribute if ua.nameParts.size > 1 &&
+              srcAlias.contains(ua.nameParts.head.toLowerCase) =>
+            UnresolvedAttribute(Seq(TxnLog.SrcPrefix + ua.nameParts.last))
+          case ua: UnresolvedAttribute if ua.nameParts.size > 1 &&
+              names.contains(ua.nameParts.head.toLowerCase) =>
+            UnresolvedAttribute(ua.nameParts.tail)
+        })
+      // NOT MATCHED scope: source only; NMBS scope: target only
+      def sourceExpr(e: Expression): org.apache.spark.sql.Column =
+        ColumnInterop.column(stripQualifier(e, srcAlias))
+      def targetExpr(e: Expression): org.apache.spark.sql.Column =
+        ColumnInterop.column(stripQualifier(e, names))
+      def assignKey(e: Expression): String = stripQualifier(e, names) match {
+        case ua: UnresolvedAttribute if ua.nameParts.size == 1 => ua.nameParts.head
+        case other => unsupported(s"assignment target $other (struct-field " +
+          "and nested assignments are not supported)")
       }
-      val nmbsDelete = nmbs match {
-        case Nil => None
-        case Seq(DeleteAction(condOpt)) => Some(ColumnInterop.column(
-          condOpt.map(stripQualifier(_, names)).getOrElse(Literal.TrueLiteral)))
-        case other => unsupported(s"not-matched-by-source actions $other")
+      val mClauses: Seq[TxnLog.MatchedClause] = matched.map {
+        case UpdateStarAction(cond) => TxnLog.MatchedUpdate(cond.map(matchedExpr), None)
+        case UpdateAction(cond, Nil, _) => TxnLog.MatchedUpdate(cond.map(matchedExpr), None)
+        case UpdateAction(cond, assigns, _) =>
+          TxnLog.MatchedUpdate(cond.map(matchedExpr),
+            Some(assigns.map(a => (assignKey(a.key), matchedExpr(a.value)))))
+        case DeleteAction(cond) => TxnLog.MatchedDelete(cond.map(matchedExpr))
+        case other => unsupported(s"matched action $other")
       }
-      GraftMergeCommand(root, source, keys, nmbsDelete)
+      val iClauses: Seq[TxnLog.NotMatchedInsert] = notMatched.map {
+        case InsertStarAction(cond) => TxnLog.NotMatchedInsert(cond.map(sourceExpr), None)
+        case InsertAction(cond, Nil) => TxnLog.NotMatchedInsert(cond.map(sourceExpr), None)
+        case InsertAction(cond, assigns) =>
+          TxnLog.NotMatchedInsert(cond.map(sourceExpr),
+            Some(assigns.map(a => (assignKey(a.key), sourceExpr(a.value)))))
+        case other => unsupported(s"not-matched action $other")
+      }
+      val nClauses: Seq[TxnLog.NmbsClause] = nmbs.map {
+        case DeleteAction(cond) => TxnLog.NmbsDelete(cond.map(targetExpr))
+        case UpdateAction(cond, assigns, _) if assigns.nonEmpty =>
+          TxnLog.NmbsUpdate(cond.map(targetExpr),
+            assigns.map(a => (assignKey(a.key), targetExpr(a.value))))
+        case other => unsupported(s"not-matched-by-source action $other")
+      }
+      // the classic whole-row shape keeps the fast wholesale-
+      // replacement path (no per-column CASE projections)
+      val classicMatched = matched match {
+        case Seq(UpdateStarAction(None)) => true
+        case Seq(UpdateAction(None, Nil, _)) => true
+        case _ => false
+      }
+      val classicInsert = notMatched match {
+        case Seq(InsertStarAction(None)) => true
+        case Seq(InsertAction(None, Nil)) => true
+        case _ => false
+      }
+      val classicNmbs = nmbs.isEmpty ||
+        (nmbs match { case Seq(DeleteAction(_)) => true; case _ => false })
+      if (classicMatched && classicInsert && classicNmbs) {
+        val nmbsDelete = nmbs match {
+          case Nil => None
+          case Seq(DeleteAction(condOpt)) => Some(ColumnInterop.column(
+            condOpt.map(stripQualifier(_, names)).getOrElse(Literal.TrueLiteral)))
+          case _ => None // unreachable under classicNmbs
+        }
+        GraftMergeCommand(root, source, keys, nmbsDelete)
+      } else
+        GraftMergeClausesCommand(root, source, keys, mClauses, iClauses, nClauses)
 
     // INSERT INTO graft.`/path`: the statement holds its target as a
     // NON-CHILD field, so the relation case below never sees it —
     // convert explicitly; Spark then lowers through InsertableRelation
     case i: InsertIntoStatement if pathRelation(i.table).isDefined =>
       i.copy(table = pathRelation(i.table).get)
+
+    // QUERY-position TIME TRAVEL — `SELECT … FROM graft.`/t` VERSION
+    // AS OF n | TIMESTAMP AS OF 'ts'` (also on catalog-named graft
+    // tables). Spark 4 parses the suffix into RelationTimeTravel;
+    // resolve it onto the reader's existing versionAsOf/timestampAsOf
+    // options, so the SQL form is definitionally ≡ the option form.
+    case tt: org.apache.spark.sql.catalyst.analysis.RelationTimeTravel
+        if graftTarget(tt.relation).isDefined && !tt.relation.isStreaming =>
+      val root = graftTarget(tt.relation).get._1
+      val reader = SparkSession.active.read.format("graft")
+      val pinned = (tt.version, tt.timestamp) match {
+        case (Some(v), None) => reader.option("versionAsOf", v)
+        case (None, Some(ts)) if ts.foldable =>
+          val raw = ts.eval() match {
+            case null => unsupported("TIMESTAMP AS OF NULL")
+            case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+            case other => other.toString
+          }
+          reader.option("timestampAsOf", raw)
+        case other => unsupported(s"time travel clause $other")
+      }
+      pinned.load(root).queryExecution.analyzed
 
     // QUERY-position references — `SELECT … FROM graft.`/path``, a
     // MERGE source, a join leg — resolve to the connector relation
@@ -313,6 +476,24 @@ case class GraftMergeCommand(root: String, source: LogicalPlan,
     val src = GraftShims.dataFrame(spark, source)
     Seq(Row(TxnLog.merge(src, root, keys,
       notMatchedBySourceDelete = nmbsDelete)))
+  }
+}
+
+/** The generalized MERGE (conditional / multi-clause / explicit-
+  * column) — lowers onto [[TxnLog.mergeClauses]]. Clause conditions
+  * and assignments ride as opaque Columns (see the note above
+  * [[GraftDeleteCommand]]). */
+case class GraftMergeClausesCommand(root: String, source: LogicalPlan,
+                                    keys: Seq[String],
+                                    matched: Seq[TxnLog.MatchedClause],
+                                    notMatched: Seq[TxnLog.NotMatchedInsert],
+                                    nmbs: Seq[TxnLog.NmbsClause])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val src = GraftShims.dataFrame(spark, source)
+    Seq(Row(TxnLog.mergeClauses(src, root, keys, matched, notMatched, nmbs)))
   }
 }
 

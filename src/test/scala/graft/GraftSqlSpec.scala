@@ -78,14 +78,21 @@ class GraftSqlSpec extends SparkSpec {
     val afterTri = spark.read.format("graft").load(root).orderBy("id").collect()
       .map(r => (r.getLong(0), r.getString(1))).toSeq
     assert(afterTri == Seq((1L, "a"), (2L, "B3"), (3L, "c"))) // 9 deleted, 1/3 kept
+    // WHEN MATCHED THEN DELETE is now a first-class clause (round 16):
+    // it routes through the generalized clause path and deletes id=2
+    spark.sql(
+      s"""MERGE INTO graft.`$root` AS t USING graft_sql_src AS s ON t.id = s.id
+         |WHEN MATCHED THEN DELETE""".stripMargin)
+    assert(spark.read.format("graft").load(root)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
     // a shape the engine's key-merge cannot express refuses loudly,
     // naming the supported contract — never silently half-computes
     val e = intercept[Exception] {
       spark.sql(
-        s"""MERGE INTO graft.`$root` AS t USING graft_sql_src AS s ON t.id = s.id
-           |WHEN MATCHED THEN DELETE""".stripMargin)
+        s"""MERGE INTO graft.`$root` AS t USING graft_sql_src AS s ON t.id < s.id
+           |WHEN MATCHED THEN UPDATE SET *""".stripMargin)
     }
-    assert(e.getMessage.contains("UPDATE SET *"), e.getMessage)
+    assert(e.getMessage.contains("ON"), e.getMessage)
   }
 
   test("OPTIMIZE / OPTIMIZE WHERE / OPTIMIZE ZORDER BY lower onto compact/compactWhere/cluster") {
@@ -161,6 +168,29 @@ class GraftSqlSpec extends SparkSpec {
       spark.sql(s"CONVERT TO GRAFT parquet.`$pdir` AS graft.`$pdir/inner`")
     }
     assert(e.getMessage.contains("OUTSIDE"), e.getMessage)
+    // …and the converse nesting refuses too: a parquet dir under the
+    // ROOT would read as an unreferenced orphan to vacuum's sweep
+    // (round-15 advice: a routine VACUUM deleted the adopted dataset)
+    val r2 = s"$base/t2"
+    val innerPq = s"$r2/data/adopted"
+    Seq((7L, "z")).toDF("id", "s").write.parquet(innerPq)
+    val e2 = intercept[Exception] {
+      spark.sql(s"CONVERT TO GRAFT parquet.`$innerPq` AS graft.`$r2`")
+    }
+    assert(e2.getMessage.contains("OUTSIDE"), e2.getMessage)
+    // belt-and-braces: even a manifest that DOES ext-reference a dir
+    // under data/ (older writer) is never swept as an orphan
+    val r3 = s"$base/t3"
+    val adopted = s"$r3/data/legacy"
+    Seq((8L, "y")).toDF("id", "s").write.parquet(adopted)
+    TxnLog.tryPublish(
+      new org.apache.hadoop.fs.Path(r3).getFileSystem(
+        spark.sparkContext.hadoopConfiguration), r3,
+      TxnLog.Commit(0L, "convert", Seq(s"ext:$adopted"), None))
+    assert(spark.read.format("graft").load(r3).count() == 1L)
+    TxnLog.vacuum(spark, r3, retainVersions = 1, orphanMinAgeMs = 0L)
+    assert(spark.read.format("graft").load(r3).count() == 1L,
+      "vacuum swept an ext-referenced dir resolving under data/")
     // zero-copy clone through SQL, pinned to the pre-append version
     val dst = s"$base/cl"
     spark.sql(s"CREATE TABLE graft.`$dst` SHALLOW CLONE graft.`$root` VERSION AS OF 0")
@@ -243,5 +273,151 @@ class GraftSqlSpec extends SparkSpec {
       spark.read.format("graft").option("versionAsOf", 0).load(root).collect()
     }
     ()
+  }
+
+  test("named tables: CREATE TABLE … USING graft routes reads, DML, and utility statements") {
+    val root = freshRoot()
+    Seq((1L, 10L, "a"), (2L, 20L, "b"), (3L, 30L, "c"))
+      .toDF("id", "n", "s").write.format("graft").save(root)
+    spark.sql(s"CREATE TABLE graft_named USING graft LOCATION '$root'")
+    try {
+      // read by name resolves through the session catalog
+      assert(spark.sql("SELECT * FROM graft_named").count() == 3L)
+      // DML by name lowers onto the same TxnLog ops as the path form
+      spark.sql("UPDATE graft_named SET s = upper(s) WHERE id = 2")
+      spark.sql("DELETE FROM graft_named WHERE id = 3")
+      spark.sql(
+        """MERGE INTO graft_named AS t
+          |USING (SELECT 1L AS id, 11L AS n, 'A' AS s
+          |       UNION ALL SELECT 9L, 90L, 'i') AS src
+          |ON t.id = src.id
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      val got = spark.sql("SELECT id, n, s FROM graft_named ORDER BY id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+      assert(got == Seq((1L, 11L, "A"), (2L, 20L, "B"), (9L, 90L, "i")))
+      // utility statements accept the name too
+      assert(spark.sql("DESCRIBE HISTORY graft_named").collect()
+        .map(_.getString(2)).toSeq ==
+        Seq("overwrite", "replace", "replace", "replace"))
+      spark.sql("OPTIMIZE graft_named")
+      spark.sql("VACUUM graft_named RETAIN 1 VERSIONS")
+      assert(spark.sql("SELECT count(*) FROM graft_named").head.getLong(0) == 3L)
+      // named results stay hash-identical to a path-form read
+      assert(spark.sql("SELECT * FROM graft_named ORDER BY id").collect().toSeq ==
+        spark.sql(s"SELECT * FROM graft.`$root` ORDER BY id").collect().toSeq)
+    } finally spark.sql("DROP TABLE IF EXISTS graft_named")
+  }
+
+  test("named tables: non-graft names are never hijacked; temp views shadow") {
+    // a REAL catalog database named `graft`: DELETE FROM graft.sales
+    // must reach Spark's own resolution (and fail with ITS error, not
+    // be treated as a TxnLog path named 'sales')
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft")
+    val ploc = Files.createTempDirectory("graft_sql_pq").toString + "/sales"
+    Seq((1L, "x")).toDF("id", "s").write.parquet(ploc)
+    spark.sql(s"CREATE TABLE graft.sales USING parquet LOCATION '$ploc'")
+    try {
+      val e = intercept[Exception] { spark.sql("DELETE FROM graft.sales WHERE id = 1") }
+      // Spark's own v1-DML refusal, not a TxnLog missing-table error
+      assert(!e.getMessage.contains("TxnLog"), e.getMessage)
+      assert(spark.sql("SELECT * FROM graft.sales").count() == 1L)
+      // a named ALTER on the parquet table delegates to Spark untouched
+      intercept[Exception] { spark.sql("ALTER TABLE graft.sales ADD CONSTRAINT c CHECK (id > 0)") }
+      // and DESCRIBE HISTORY on a non-graft name is a plain parse error
+      intercept[Exception] { spark.sql("DESCRIBE HISTORY graft.sales") }
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft.sales")
+      spark.sql("DROP DATABASE IF EXISTS graft")
+    }
+    // a temp view shadows any same-named graft table: DML targeting
+    // the view name must not resolve through the catalog path
+    val root = freshRoot()
+    Seq((1L, "a")).toDF("id", "s").write.format("graft").save(root)
+    spark.sql(s"CREATE TABLE shadowed USING graft LOCATION '$root'")
+    try {
+      Seq((99L, "view")).toDF("id", "s").createOrReplaceTempView("shadowed")
+      val e = intercept[Exception] { spark.sql("DELETE FROM shadowed WHERE id = 1") }
+      assert(!e.getMessage.contains("TxnLog"), e.getMessage)
+      assert(spark.read.format("graft").load(root).count() == 1L)
+      spark.catalog.dropTempView("shadowed")
+    } finally spark.sql("DROP TABLE IF EXISTS shadowed")
+  }
+
+  test("query-position time travel: VERSION AS OF / TIMESTAMP AS OF ≡ the option form") {
+    val root = freshRoot()
+    Seq((1L, "a")).toDF("id", "s").write.format("graft").save(root)
+    Seq((2L, "b")).toDF("id", "s").write.format("graft")
+      .mode(SaveMode.Append).save(root)
+    Seq((3L, "c")).toDF("id", "s").write.format("graft")
+      .mode(SaveMode.Append).save(root)
+    // SQL form == option form at a pinned version
+    val sql0 = spark.sql(s"SELECT id, s FROM graft.`$root` VERSION AS OF 1 ORDER BY id")
+      .collect().toSeq
+    val opt0 = spark.read.format("graft").option("versionAsOf", 1).load(root)
+      .select("id", "s").orderBy("id").collect().toSeq
+    assert(sql0 == opt0 && sql0.size == 2)
+    // timestamp form: pin to the LAST commit's mtime → full table
+    val tsMax = new java.io.File(s"$root/_graft_log").listFiles()
+      .filter(_.getName.endsWith(".json")).map(_.lastModified).max
+    val tsStr = new java.sql.Timestamp(tsMax).toString.stripSuffix(".0")
+    val viaTs = spark.sql(
+      s"SELECT count(*) AS n FROM graft.`$root` TIMESTAMP AS OF '$tsStr'")
+      .head.getLong(0)
+    assert(viaTs == 3L, s"TIMESTAMP AS OF '$tsStr' served $viaTs rows")
+    // joins against a pinned version work in one statement
+    val joined = spark.sql(
+      s"""SELECT cur.id FROM graft.`$root` cur
+         |LEFT ANTI JOIN graft.`$root` VERSION AS OF 0 old ON cur.id = old.id
+         |ORDER BY cur.id""".stripMargin).collect().map(_.getLong(0)).toSeq
+    assert(joined == Seq(2L, 3L)) // rows appended after v0
+    // named tables time travel too
+    spark.sql(s"CREATE TABLE tt_named USING graft LOCATION '$root'")
+    try
+      assert(spark.sql("SELECT count(*) FROM tt_named VERSION AS OF 0").head.getLong(0) == 1L)
+    finally spark.sql("DROP TABLE IF EXISTS tt_named")
+  }
+
+  test("MERGE clause surface: conditional update, matched delete, multi-clause, explicit insert, NMBS update") {
+    val root = freshRoot()
+    Seq((1L, 10L, "a"), (2L, 20L, "b"), (3L, 30L, "c"), (4L, 40L, "d"))
+      .toDF("id", "n", "s").write.format("graft").save(root)
+    Seq((1L, 100L, "s1"), (2L, 200L, "s2"), (5L, 500L, "s5"), (6L, 6L, "s6"))
+      .toDF("id", "n", "s").createOrReplaceTempView("clauses_src")
+    // conditional update + matched delete (first-match-wins), explicit-
+    // column conditional insert, NMBS conditional update
+    spark.sql(
+      s"""MERGE INTO graft.`$root` AS t USING clauses_src AS s ON t.id = s.id
+         |WHEN MATCHED AND s.n >= 200 THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET n = t.n + s.n, s = concat(t.s, s.s)
+         |WHEN NOT MATCHED AND s.n > 100 THEN INSERT (id, s) VALUES (s.id, upper(s.s))
+         |WHEN NOT MATCHED BY SOURCE AND t.id = 4 THEN UPDATE SET s = 'survivor'
+         |""".stripMargin)
+    val got = spark.read.format("graft").load(root).orderBy("id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1), r.getString(2))).toSeq
+    assert(got == Seq(
+      (1L, 110L, "as1"),     // matched, second clause: n=10+100, s=concat
+      // id=2 deleted by the first matched clause (s.n=200 >= 200)
+      (3L, 30L, "c"),        // matched nothing in source → untouched
+      (4L, 40L, "survivor"), // NMBS conditional update
+      (5L, -1L, "S5")        // conditional explicit insert, n NULL-filled
+      // id=6 failed the insert condition (n=6 ≤ 100) → not inserted
+    ), got.toString)
+    // the rewrite rode the real protocol: one replace commit
+    assert(TxnLog.versions(spark, root).map(_._2) == Seq("overwrite", "replace"))
+    // matched-delete only (no insert clause): pure clause subset works
+    spark.sql(
+      s"""MERGE INTO graft.`$root` AS t USING clauses_src AS s ON t.id = s.id
+         |WHEN MATCHED AND s.s = 's1' THEN DELETE""".stripMargin)
+    assert(spark.read.format("graft").load(root)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq == Seq(3L, 4L, 5L))
+    // insert-only merge: no rewrite — lands as an append commit
+    spark.sql(
+      s"""MERGE INTO graft.`$root` AS t USING clauses_src AS s ON t.id = s.id
+         |WHEN NOT MATCHED THEN INSERT (id, n, s) VALUES (s.id, s.n, s.s)""".stripMargin)
+    assert(TxnLog.versions(spark, root).map(_._2).last == "append")
+    assert(spark.read.format("graft").load(root)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 2L, 3L, 4L, 5L, 6L))
   }
 }

@@ -253,4 +253,49 @@ class MvRewriteSpec extends SparkSpec {
       MvCatalog.resetCache()
     }
   }
+
+  test("persisted catalog CAS: racing register/invalidate never lose a write") {
+    // round-15 advice: persistPut/persistRemove were whole-store
+    // read-modify-writes with no expectedLatest pin — two racing
+    // sessions silently lost one registration (last writer wins).
+    // Now the store write carries the pinned version and retries on
+    // ConcurrentModificationException, so BOTH racers' effects land.
+    val (srcA, mvA) = fixture()
+    val (srcB, mvB) = fixture()
+    val store = Files.createTempDirectory("graft_mvstore").toString + "/cat"
+    spark.conf.set("spark.graft.mvCatalog", store)
+    def qOf(src: String) = spark.read.parquet(src).groupBy("lang", "source")
+      .agg(sum(col("n")).as("sum_n"), count(lit(1)).as("cnt"))
+    try {
+      (0 until 6).foreach { iter =>
+        val start = new java.util.concurrent.CyclicBarrier(2)
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutor(pool)
+        val fA = scala.concurrent.Future { start.await()
+          MvCatalog.register(srcA, Seq("lang", "source"),
+            Seq(("sum", Some("n"), "sum_n"), ("count", None, "cnt")), mvA) }
+        val fB = scala.concurrent.Future { start.await()
+          if (iter % 2 == 0)
+            MvCatalog.register(srcB, Seq("lang", "source"),
+              Seq(("sum", Some("n"), "sum_n"), ("count", None, "cnt")), mvB)
+          else MvCatalog.invalidate(srcB) }
+        scala.concurrent.Await.result(fA, scala.concurrent.duration.Duration.Inf)
+        scala.concurrent.Await.result(fB, scala.concurrent.duration.Duration.Inf)
+        pool.shutdown()
+        // a fresh cache shows BOTH racers' effects — nothing lost
+        MvCatalog.resetCache()
+        assert(scanPaths(qOf(srcA)).exists(_.contains(mvA)),
+          s"iter $iter: racer A's registration was lost")
+        val bServed = scanPaths(qOf(srcB)).exists(_.contains(mvB))
+        if (iter % 2 == 0) assert(bServed, s"iter $iter: racer B's registration was lost")
+        else assert(!bServed, s"iter $iter: racer B's invalidation was lost")
+        MvCatalog.invalidate(srcA) // reset for the next iteration
+      }
+    } finally {
+      spark.conf.unset("spark.graft.mvCatalog")
+      MvCatalog.invalidate(srcA); MvCatalog.invalidate(srcB)
+      MvCatalog.resetCache()
+    }
+  }
 }

@@ -1678,6 +1678,81 @@ object SparkEntry {
     Similarity.pqTopK(e.select("vec_id", "embedding"), queries, dim = 64, k = 5)
   }
 
+  /** Lloyd-trained PQ ([[graft.similarity.Similarity.pqTrainedTopK]]):
+    * two rounds of per-subspace exact fixed-point Lloyd improve the
+    * first-`nCents` sample codebook at the same code budget; the
+    * oracle unrolls both training rounds per subspace (the
+    * `sim_ivf_lloyd` convention) then replays the PQ chain. */
+  private def simPqTrained(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    Similarity.pqTrainedTopK(e.select("vec_id", "embedding"), queries,
+      dim = 64, k = 5, iters = 2)
+  }
+
+  /** `sim_pq_trained` oracle: per-subspace Lloyd unrolled `iters`
+    * rounds in SQL (assignment by integer sq-distance with
+    * (d, cent_id) ties, update by exact sums + floor division, empty
+    * cells carry), then the [[simPq]] codes/ADC chain on cb$iters. */
+  private def pqTrainedSql(iters: Int): String = {
+    val sq16 = (a: String, b: String) =>
+      s"list_sum(list_transform(range(1, 17), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))"
+    val setup =
+      s"""WITH f AS (
+         |  SELECT vec_id, list_transform(embedding,
+         |    v -> CAST(round(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT)) AS fv
+         |  FROM embeddings),
+         |sub AS (
+         |  SELECT vec_id, CAST(t.j AS INTEGER) AS sub_id,
+         |    fv[t.j*16+1 : t.j*16+16] AS sv
+         |  FROM f, range(0, 4) t(j)),
+         |cb0 AS (
+         |  SELECT sub_id, vec_id AS cent_id, sv AS cv FROM sub
+         |  WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id ASC LIMIT 16))""".stripMargin
+    val its = (1 to iters).map { i =>
+      s""",
+         |a$i AS (
+         |  SELECT sub_id, cent_id, sv FROM (
+         |    SELECT s.sub_id, s.sv, c.cent_id,
+         |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.sub_id ORDER BY
+         |        ${sq16("s.sv", "c.cv")} ASC, c.cent_id ASC) AS rn
+         |    FROM sub s JOIN cb${i - 1} c USING (sub_id)) WHERE rn = 1),
+         |s$i AS (
+         |  SELECT sub_id, cent_id, p, SUM(sv[CAST(p AS INT) + 1]) AS s, COUNT(*) AS n
+         |  FROM a$i, range(0, 16) t(p) GROUP BY sub_id, cent_id, p),
+         |n$i AS (
+         |  SELECT sub_id, cent_id,
+         |    list(CAST((s - ((s % n + n) % n)) // n AS BIGINT) ORDER BY p) AS cv
+         |  FROM s$i GROUP BY sub_id, cent_id),
+         |cb$i AS (
+         |  SELECT c.sub_id, c.cent_id, COALESCE(n$i.cv, c.cv) AS cv
+         |  FROM cb${i - 1} c LEFT JOIN n$i
+         |    ON c.sub_id = n$i.sub_id AND c.cent_id = n$i.cent_id)""".stripMargin
+    }.mkString
+    setup + its +
+      s""",
+         |codes AS (
+         |  SELECT vec_id, sub_id, cent_id FROM (
+         |    SELECT s.vec_id, s.sub_id, c.cent_id,
+         |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.sub_id ORDER BY
+         |        ${sq16("s.sv", "c.cv")} ASC, c.cent_id ASC) AS rn
+         |    FROM sub s JOIN cb$iters c USING (sub_id)) WHERE rn = 1),
+         |dtab AS (
+         |  SELECT s.vec_id AS q_id, s.sub_id, c.cent_id,
+         |    CAST(${sq16("s.sv", "c.cv")} AS BIGINT) AS d
+         |  FROM sub s JOIN cb$iters c USING (sub_id) WHERE s.vec_id < 10),
+         |adc AS (
+         |  SELECT t.q_id, k.vec_id, CAST(SUM(t.d) AS BIGINT) AS adc
+         |  FROM codes k JOIN dtab t ON k.sub_id = t.sub_id AND k.cent_id = t.cent_id
+         |  WHERE k.vec_id <> t.q_id GROUP BY 1, 2)
+         |SELECT q_id, vec_id, rank, adc FROM (
+         |  SELECT q_id, vec_id, adc,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+         |      ORDER BY adc ASC, vec_id ASC) AS BIGINT) AS rank
+         |  FROM adc) WHERE rank <= 5""".stripMargin
+  }
+
   /** OPQ-gated PQ ([[graft.similarity.Similarity.opqTopK]]): the
     * eigenvalue-allocation permutation engages only on a measurably
     * variance-skewed corpus; the oracle recomputes the per-dim
@@ -3740,6 +3815,101 @@ object SparkEntry {
     TxnLog.read(spark, root).select("doc_id", "source", "n_chars")
   }
 
+  /** The FULL Delta MERGE clause surface under the oracle
+    * ([[graft.sources.TxnLog.mergeClauses]] through the SQL statement):
+    * conditional matched DELETE, explicit-assignment matched UPDATE
+    * referencing BOTH sides (first-match-wins across the two),
+    * conditional explicit-column INSERT (unnamed columns NULL-fill),
+    * and a conditional NOT MATCHED BY SOURCE UPDATE — all in one
+    * statement, one commit. The oracle replays every clause as CASE
+    * projections over a LEFT JOIN in DuckDB, so the whole
+    * first-match-wins semantics is checked row-for-row. */
+  private def txnlogMergeClauses(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.TxnLog
+    val root = tmpArtifactRoot("txnmrgc", dir)
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    if (TxnLog.latestVersion(spark, root) < 2L) {
+      TxnLog.overwrite(docs.filter(col("doc_id") < 250), root, Some("c0"))
+      TxnLog.append(docs.filter(col("doc_id") >= 250), root, Some("c1"))
+      val updates = docs.filter(col("doc_id") % 10 === 0)
+        .withColumn("n_chars", col("n_chars") + 500L)
+      val inserts = docs.filter(col("doc_id") % 10 === 5)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("source"), col("n_chars"))
+      updates.unionByName(inserts).createOrReplaceTempView("txnmrgc_src")
+      spark.sql(
+        s"""MERGE INTO graft.`$root` AS t USING txnmrgc_src AS s ON t.doc_id = s.doc_id
+           |WHEN MATCHED AND s.n_chars % 3 = 0 THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET n_chars = t.n_chars + s.n_chars,
+           |  source = concat(t.source, '|m')
+           |WHEN NOT MATCHED AND s.doc_id % 2 = 0
+           |  THEN INSERT (doc_id, source) VALUES (s.doc_id, upper(s.source))
+           |WHEN NOT MATCHED BY SOURCE AND t.doc_id % 13 = 7
+           |  THEN UPDATE SET source = 'aged'""".stripMargin)
+      ()
+    }
+    TxnLog.read(spark, root).select("doc_id", "source", "n_chars")
+  }
+
+  /** Query-position time travel under the oracle: `SELECT … FROM
+    * graft.`/t` VERSION AS OF n` must serve the PINNED snapshot —
+    * bit-identical to the reader-option form — even after a later
+    * destructive commit. The builder proves SQL-form ≡ option-form
+    * in-process; the oracle proves both equal the recomputed v1. */
+  private def txnlogTimetravelSql(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.TxnLog
+    val root = tmpArtifactRoot("txnttsql", dir)
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    if (TxnLog.latestVersion(spark, root) < 2L) {
+      TxnLog.overwrite(docs.filter(col("doc_id") < 250), root, Some("t0"))
+      TxnLog.append(docs.filter(col("doc_id") >= 250), root, Some("t1"))
+      spark.sql(s"DELETE FROM graft.`$root` WHERE doc_id % 2 = 0") // v2 mutilates
+      ()
+    }
+    val viaSql = spark.sql(
+      s"SELECT doc_id, source, n_chars FROM graft.`$root` VERSION AS OF 1")
+    val viaOpt = spark.read.format("graft").option("versionAsOf", 1).load(root)
+      .select("doc_id", "source", "n_chars")
+    require(viaSql.exceptAll(viaOpt).isEmpty && viaOpt.exceptAll(viaSql).isEmpty,
+      "txnlog_timetravel_sql: SQL form diverged from the option form")
+    viaSql
+  }
+
+  /** Named-table lakehouse SQL under the oracle: the same DML chain
+    * users run on Delta — UPDATE, DELETE, MERGE — addressed through a
+    * session-catalog table name (`CREATE TABLE … USING graft
+    * LOCATION`), never a path literal. Proves name resolution routes
+    * to the identical TxnLog operations (the final snapshot is
+    * hash-exact with the relational replay). */
+  private def txnlogNamedSql(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.TxnLog
+    val root = tmpArtifactRoot("txnnamed", dir)
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    if (TxnLog.latestVersion(spark, root) < 2L) {
+      TxnLog.overwrite(docs.filter(col("doc_id") < 250), root, Some("n0"))
+      TxnLog.append(docs.filter(col("doc_id") >= 250), root, Some("n1"))
+      spark.sql("DROP TABLE IF EXISTS graft_named_oracle")
+      spark.sql(s"CREATE TABLE graft_named_oracle USING graft LOCATION '$root'")
+      spark.sql(
+        "UPDATE graft_named_oracle SET n_chars = n_chars + 7 WHERE doc_id % 5 = 2")
+      spark.sql("DELETE FROM graft_named_oracle WHERE doc_id % 11 = 3")
+      docs.filter(col("doc_id") % 10 === 4)
+        .select((col("doc_id") + 3000000L).as("doc_id"),
+          lit("named").as("source"), lit(7L).as("n_chars"))
+        .createOrReplaceTempView("txnnamed_src")
+      spark.sql(
+        """MERGE INTO graft_named_oracle AS t USING txnnamed_src AS s
+          |ON t.doc_id = s.doc_id
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      spark.sql("DROP TABLE IF EXISTS graft_named_oracle")
+      ()
+    }
+    TxnLog.read(spark, root).select("doc_id", "source", "n_chars")
+  }
+
   /** Small-file compaction under the oracle ([[graft.sources.TxnLog.compact]]
     * plus its [[graft.sources.TxnLog.compactAdvice]] advisor, wired
     * advice→action the way production would run them): eight
@@ -4802,6 +4972,9 @@ object SparkEntry {
     "txnlog_delete_mor" -> (txnlogDeleteMor(_, _)),
     "txnlog_merge" -> (txnlogMerge(_, _)),
     "txnlog_merge_full" -> (txnlogMergeFull(_, _)),
+    "txnlog_merge_clauses" -> (txnlogMergeClauses(_, _)),
+    "txnlog_timetravel_sql" -> (txnlogTimetravelSql(_, _)),
+    "txnlog_named_sql" -> (txnlogNamedSql(_, _)),
     "txnlog_checked" -> (txnlogChecked(_, _)),
     "txnlog_restore" -> (txnlogRestore(_, _)),
     "txnlog_clone" -> (txnlogClone(_, _)),
@@ -5436,6 +5609,7 @@ object SparkEntry {
     "sim_ivfpq" -> (simIvfPq(_, _)),
     "sim_ivfpq_indexed" -> (simIvfPqIndexed(_, _)),
     "sim_pq" -> (simPq(_, _)),
+    "sim_pq_trained" -> (simPqTrained(_, _)),
     "sim_opq" -> (simOpq(_, _)),
     // Okapi BM25 (rational constants k1=6/5, b=3/4; per-term scores
     // are single long-ratio divisions summed in one fixed-order
@@ -8911,6 +9085,45 @@ object SparkEntry {
         |  AND NOT (d.doc_id % 7 = 3)
         |UNION ALL
         |SELECT doc_id, source, n_chars FROM src""".stripMargin,
+    // full clause-surface MERGE: conditional matched DELETE beats the
+    // unconditional UPDATE (first-match-wins), conditional explicit-
+    // column INSERT NULL-fills n_chars, NMBS conditional UPDATE ages
+    // the untouched remainder — replayed clause-for-clause as CASE
+    // projections over a LEFT JOIN
+    "txnlog_merge_clauses" ->
+      """WITH src AS (
+        |  SELECT doc_id, source, n_chars + 500 AS n_chars
+        |  FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, source, n_chars
+        |  FROM documents WHERE doc_id % 10 = 5)
+        |SELECT t.doc_id,
+        |  CASE WHEN s.doc_id IS NOT NULL THEN t.source || '|m'
+        |       WHEN t.doc_id % 13 = 7 THEN 'aged'
+        |       ELSE t.source END AS source,
+        |  CASE WHEN s.doc_id IS NOT NULL THEN t.n_chars + s.n_chars
+        |       ELSE t.n_chars END AS n_chars
+        |FROM documents t LEFT JOIN src s USING (doc_id)
+        |WHERE NOT (s.doc_id IS NOT NULL AND s.n_chars % 3 = 0)
+        |UNION ALL
+        |SELECT doc_id, upper(source) AS source, CAST(NULL AS BIGINT) AS n_chars
+        |FROM src WHERE doc_id >= 1000000 AND doc_id % 2 = 0""".stripMargin,
+    // VERSION AS OF 1 pins the pre-delete snapshot = the whole source
+    "txnlog_timetravel_sql" ->
+      "SELECT doc_id, source, n_chars FROM documents",
+    // the named-table DML chain replayed relationally: UPDATE %5=2,
+    // DELETE %11=3, then an insert-only MERGE of re-keyed rows
+    "txnlog_named_sql" ->
+      """WITH afterupd AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN doc_id % 5 = 2 THEN n_chars + 7 ELSE n_chars END AS n_chars
+        |  FROM documents),
+        |afterdel AS (SELECT * FROM afterupd WHERE NOT (doc_id % 11 = 3))
+        |SELECT doc_id, source, n_chars FROM afterdel
+        |UNION ALL
+        |SELECT doc_id + 3000000 AS doc_id, 'named' AS source,
+        |  CAST(7 AS BIGINT) AS n_chars
+        |FROM documents WHERE doc_id % 10 = 4""".stripMargin,
     // the CHECK gate admits exactly the clean loads; the poisoned
     // batch never lands — final snapshot = the untouched source
     "txnlog_checked" ->
@@ -9939,6 +10152,7 @@ object SparkEntry {
          |      ORDER BY adc ASC, vec_id ASC) AS BIGINT) AS rank
          |  FROM adc) WHERE rank <= 5""".stripMargin
     },
+    "sim_pq_trained" -> pqTrainedSql(2),
     "sim_opq" -> {
       val sq16 = (a: String, b: String) =>
         s"list_sum(list_transform(range(1, 17), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))"

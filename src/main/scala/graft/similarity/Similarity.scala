@@ -1017,25 +1017,108 @@ object Similarity {
     pqTopKWith(candidates, queries, dim, k, nSub, nCents, fp)
   }
 
+  /** One row per (id, subspace): the fixed-point subvector under
+    * `fp` — shared by the sample-codebook, OPQ, and Lloyd-trained PQ
+    * paths so their quantization conventions cannot drift. */
+  private def pqSubRows(df: DataFrame, nSub: Int, sw: Int, fp: Column => Column,
+                        idCol: String, embCol: String,
+                        idOut: String, svOut: String): DataFrame =
+    df.select(col(idCol).as(idOut), fp(col(embCol)).as("__fv"))
+      .select(col(idOut),
+        posexplode(transform(sequence(lit(0), lit(nSub - 1)),
+          j => slice(col("__fv"), j * sw + 1, lit(sw)))).as(Seq("sub_id", svOut)))
+
+  private def pqSqd(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), _ + _)
+
+  /** PQ with per-subspace LLOYD-TRAINED codebooks — the round-15
+    * measurement showed rotations/permutations cannot rescue a SAMPLE
+    * codebook (the first `nCents` vectors are arbitrary grid points);
+    * the principled lift at the same code budget is training the grid
+    * itself: `iters` rounds of exact fixed-point Lloyd PER SUBSPACE
+    * (assignment by integer squared distance, ties to the lower
+    * cent_id; update by exact integer sums + floor division; empty
+    * cells keep their centroid — the [[lloydCentroidsExact]] recipe
+    * applied to each subvector family), initialized from the same
+    * first-`nCents` sample [[pqTopK]] uses, so `iters = 0` is
+    * bit-identical to [[pqTopK]] and every trained step is pure
+    * relational algebra a SQL oracle unrolls verbatim.
+    *
+    * Scale shape: training touches only narrow (vec_id, sub_id, sv)
+    * rows — per round one broadcast of the `nSub·nCents` codebook and
+    * one (sub_id, cent_id, pos, partial-sum) aggregate; embeddings
+    * never cross an exchange whole. Codes/ADC are [[pqTopK]]'s. */
+  def pqTrainedTopK(candidates: DataFrame, queries: DataFrame, dim: Int, k: Int,
+                    nSub: Int = 4, nCents: Int = 16, iters: Int = 2): DataFrame = {
+    val micro: Column => Column =
+      c => transform(c, v => round(v.cast("double") * 1000000.0).cast("long"))
+    val cb = pqTrainedCodebook(candidates, dim, nSub, nCents, iters)
+    pqTopKWithCodebook(candidates, queries, dim, k, nSub, micro, cb)
+  }
+
+  /** The trained (sub_id, cent_id, cv) codebook [[pqTrainedTopK]]
+    * serves from — exposed so index builders can persist it and specs
+    * can assert the MSE-descent law directly. */
+  def pqTrainedCodebook(candidates: DataFrame, dim: Int, nSub: Int = 4,
+                        nCents: Int = 16, iters: Int = 2): DataFrame = {
+    require(nSub > 0 && dim % nSub == 0, s"dim=$dim must divide into nSub=$nSub")
+    require(nCents > 0 && iters >= 0, s"bad budget nCents=$nCents iters=$iters")
+    val micro: Column => Column =
+      c => transform(c, v => round(v.cast("double") * 1000000.0).cast("long"))
+    val sw = dim / nSub
+    val base = pqSubRows(candidates, nSub, sw, micro, "vec_id", "embedding", "vec_id", "sv")
+    var cb = pqSubRows(candidates.orderBy(col("vec_id").asc).limit(nCents),
+      nSub, sw, micro, "vec_id", "embedding", "cent_id", "cv")
+    for (_ <- 1 to iters) {
+      val assigned = base.join(broadcast(cb), "sub_id")
+        .withColumn("d", pqSqd(col("sv"), col("cv")))
+        .groupBy(col("vec_id"), col("sub_id"))
+        .agg(min_by(struct(col("cent_id"), col("sv")),
+          struct(col("d"), col("cent_id"))).as("best"))
+        .select(col("sub_id"), col("best.cent_id").as("cent_id"),
+          col("best.sv").as("sv"))
+      val sums = assigned
+        .select(col("sub_id"), col("cent_id"), posexplode(col("sv")).as(Seq("p", "v")))
+        .groupBy(col("sub_id"), col("cent_id"), col("p"))
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+        // exact floor division (see lloydCentroidsExact)
+        .withColumn("m", expr("(s - ((s % n + n) % n)) div n"))
+      val updated = sums.groupBy(col("sub_id"), col("cent_id"))
+        .agg(transform(array_sort(collect_list(struct(col("p"), col("m")))),
+          x => x.getField("m")).as("cv2"))
+      cb = cb.join(updated, Seq("sub_id", "cent_id"), "left")
+        .select(col("sub_id"), col("cent_id"),
+          coalesce(col("cv2"), col("cv")).as("cv"))
+    }
+    cb
+  }
+
   private def pqTopKWith(candidates: DataFrame, queries: DataFrame,
                          dim: Int, k: Int, nSub: Int, nCents: Int,
                          fp: Column => Column): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    require(nSub > 0 && dim % nSub == 0, s"dim=$dim must divide into nSub=$nSub")
     require(nCents > 0, s"nCents must be positive, got $nCents")
     val sw = dim / nSub
-    // one row per (id, subspace): the fixed-point subvector
+    require(nSub > 0 && dim % nSub == 0, s"dim=$dim must divide into nSub=$nSub")
+    val codebook = pqSubRows(
+      candidates.orderBy(col("vec_id").asc).limit(nCents),
+      nSub, sw, fp, "vec_id", "embedding", "cent_id", "cv")
+    pqTopKWithCodebook(candidates, queries, dim, k, nSub, fp, codebook)
+  }
+
+  /** The PQ encode + ADC chain against an EXPLICIT codebook
+    * (sub_id, cent_id, cv) — shared tail of [[pqTopK]]/[[opqTopK]]
+    * (first-`nCents` sample) and [[pqTrainedTopK]] (Lloyd-trained). */
+  private def pqTopKWithCodebook(candidates: DataFrame, queries: DataFrame,
+                                 dim: Int, k: Int, nSub: Int,
+                                 fp: Column => Column,
+                                 codebook: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nSub > 0 && dim % nSub == 0, s"dim=$dim must divide into nSub=$nSub")
+    val sw = dim / nSub
     def subRows(df: DataFrame, idCol: String, embCol: String,
                 idOut: String, svOut: String): DataFrame =
-      df.select(col(idCol).as(idOut), fp(col(embCol)).as("__fv"))
-        .select(col(idOut),
-          posexplode(transform(sequence(lit(0), lit(nSub - 1)),
-            j => slice(col("__fv"), j * sw + 1, lit(sw)))).as(Seq("sub_id", svOut)))
-    val codebook = subRows(
-        candidates.orderBy(col("vec_id").asc).limit(nCents),
-        "vec_id", "embedding", "cent_id", "cv")
-    def sqd(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), _ + _)
+      pqSubRows(df, nSub, sw, fp, idCol, embCol, idOut, svOut)
+    def sqd(a: Column, b: Column): Column = pqSqd(a, b)
     val codes = subRows(candidates, "vec_id", "embedding", "vec_id", "sv")
       .join(broadcast(codebook), "sub_id")
       .withColumn("d", sqd(col("sv"), col("cv")))

@@ -1003,4 +1003,89 @@ class SimilarityScaleSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
     assert(a == b, "gate should keep a balanced corpus bit-identical to PQ")
   }
+
+  test("pqTrainedTopK: Lloyd-trained codebooks beat the sample codebook on both fixtures; iters=0 ≡ pqTopK") {
+    import spark.implicits._
+    import org.apache.spark.sql.DataFrame
+    def h(i: Long, j: Int): Double = {
+      val x = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$i:$j".getBytes("UTF-8")).take(4)
+      java.nio.ByteBuffer.wrap(x).getInt.toDouble / Int.MaxValue
+    }
+    val skewed = (0L until 200L).map { i =>
+      (i, Array.tabulate(64)(j =>
+        if (j < 8) h(i, j).toFloat else (0.002 * h(i, j)).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    def queriesOf(c: DataFrame) = c.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    def recallVsTruth(c: DataFrame, approx: DataFrame): Double = {
+      val truth = Similarity.bruteForceTopK(c, queriesOf(c), k = 5)
+        .select("q_id", "vec_id").collect()
+        .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+      val got = approx.select("q_id", "vec_id").collect()
+        .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+      truth.map { case (q, t) =>
+        got.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size }.sum / truth.size
+    }
+    val real = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select("vec_id", "embedding")
+    // FAIR queries live OUTSIDE the first-16 sample codebook: the
+    // vec_id<10 oracle queries ARE sample-codebook centroids, which
+    // hands the sample grid a free distance-0 code per query and
+    // biases any recall comparison toward it (measured round 16:
+    // biased 0.52 vs 0.38, unbiased 0.08 vs 0.20 on the same data)
+    def fairQueries(c: DataFrame) = c.filter(col("vec_id") >= 100 && col("vec_id") < 110)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    def recallFair(c: DataFrame, approx: DataFrame): Double = {
+      val truth = Similarity.bruteForceTopK(c, fairQueries(c), k = 5)
+        .select("q_id", "vec_id").collect()
+        .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+      val got = approx.select("q_id", "vec_id").collect()
+        .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+      truth.map { case (q, t) =>
+        got.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size }.sum / truth.size
+    }
+    // trained codebooks must not lose to the sample codebook on
+    // EITHER fixture (round-15 lesson: permutations can't fix a
+    // sample grid; training the grid is the principled lift)
+    val measured = for ((fix, label) <- Seq((skewed, "skewed"), (real, "real"))) yield {
+      val q = fairQueries(fix)
+      assert(q.count() == 10, s"$label: fair-query band empty")
+      val pqR = recallFair(fix, Similarity.pqTopK(fix, q, dim = 64, k = 5))
+      val trR = recallFair(fix,
+        Similarity.pqTrainedTopK(fix, q, dim = 64, k = 5, iters = 2))
+      System.err.println(s"[graft] pq recall ($label): sample=$pqR trained=$trR")
+      (label, pqR, trR)
+    }
+    measured.foreach { case (label, pqR, trR) =>
+      assert(trR >= pqR, s"$label: training lost recall: sample=$pqR trained=$trR")
+    }
+    // training must reduce what it optimizes: total quantization error
+    // (recall is the serving metric, MSE the trained one — assert both)
+    val micro: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      c => transform(c, v => round(v.cast("double") * 1000000.0).cast("long"))
+    def subR(df: DataFrame, idOut: String, svOut: String) =
+      df.select(col("vec_id").as(idOut), micro(col("embedding")).as("__fv"))
+        .select(col(idOut), posexplode(transform(sequence(lit(0), lit(3)),
+          j => slice(col("__fv"), j * 16 + 1, lit(16)))).as(Seq("sub_id", svOut)))
+    def sq(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), _ + _)
+    def mseOf(cb: DataFrame): Double =
+      subR(skewed, "vec_id", "sv").join(broadcast(cb), "sub_id")
+        .withColumn("d", sq(col("sv"), col("cv")))
+        .groupBy(col("vec_id"), col("sub_id")).agg(min(col("d")).as("d"))
+        .agg(avg(col("d"))).head.getDouble(0)
+    val sampleCb = subR(skewed.orderBy(col("vec_id").asc).limit(16), "cent_id", "cv")
+    val trainedCb = Similarity.pqTrainedCodebook(skewed, dim = 64, nSub = 4,
+      nCents = 16, iters = 2)
+    assert(mseOf(trainedCb) <= mseOf(sampleCb),
+      s"training raised quantization error: ${mseOf(sampleCb)} -> ${mseOf(trainedCb)}")
+    // iters=0 is the sample codebook by construction — bit-identical
+    val q = queriesOf(real)
+    val a = Similarity.pqTopK(real, q, dim = 64, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val b = Similarity.pqTrainedTopK(real, q, dim = 64, k = 5, iters = 0).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(a == b, "iters=0 should be bit-identical to pqTopK")
+  }
 }

@@ -93,9 +93,10 @@ object GraftScanSubstitution extends Rule[LogicalPlan] {
                            filters: Seq[Expression]): LogicalPlan = {
     val spark = SparkSession.active
     val ranges = filters.flatMap(rangesOfExpr)
-    val (frame, kept, skipped) =
-      TxnLog.readRangesCensus(spark, g.tableRoot, ranges, g.pinnedAsOf)
+    val (frame, kept, skipped, filesKept, filesSkipped) =
+      TxnLog.readRangesCensusFiles(spark, g.tableRoot, ranges, g.pinnedAsOf)
     GraftDataSource.lastScanCensus = (kept, skipped)
+    GraftDataSource.lastFileCensus = (filesKept, filesSkipped)
     // optimized, not analyzed — see the CDF case for why
     remapped(lr, frame.queryExecution.optimizedPlan)
   }

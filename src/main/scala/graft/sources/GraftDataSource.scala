@@ -174,6 +174,9 @@ object GraftDataSource {
     * relation actually pruned, since the inner plan is invisible
     * behind the relation's RDD. */
   @volatile private[graft] var lastScanCensus: (Int, Int) = (0, 0)
+  /** (filesKept, filesSkipped) of the last native pruned read — file
+    * counts cover only dirs carrying per-file manifest stats. */
+  @volatile private[graft] var lastFileCensus: (Int, Int) = (0, 0)
 
   /** DSv1 [[Filter]] → optional-bounded ranges for manifest pruning.
     * Only conjunctive, single-column range shapes prune (`=`, `<`,

@@ -559,7 +559,8 @@ object TxnLog {
   }
 
   def compact(spark: SparkSession, root: String,
-              targetBytes: Long = 128L * 1024 * 1024): Long = {
+              targetBytes: Long = 128L * 1024 * 1024,
+              collectStats: Boolean = true): Long = {
     require(targetBytes > 0, s"need targetBytes > 0, got $targetBytes")
     val fs = fileSystem(spark, root)
     val snap = snapshotDirs(spark, root, None)
@@ -578,8 +579,15 @@ object TxnLog {
     // registered transform (commit's layoutOf-echo path) — compaction
     // must never silently flatten the layout pruning depends on
     val layout = layoutOf(spark, root, snap.toSet)
+    // stats ON by default (the Delta OPTIMIZE discipline): the merged
+    // dir is exactly where dir-level [min, max] widens to the union,
+    // so the per-FILE stats dirStats records are what keep point and
+    // range lookups prunable after compaction. coalesce preserves the
+    // input dirs' ordering, so sorted-ingest tables keep tight
+    // per-file ranges through the rewrite.
     commit(current.coalesce(nFiles), root, "overwrite", None,
-      expectedLatest = Some(expected), partitionBy = layout)
+      expectedLatest = Some(expected), partitionBy = layout,
+      collectStats = collectStats)
   }
 
   /** PARTITION-SCOPED compaction — the Delta `OPTIMIZE ... WHERE`
@@ -1125,19 +1133,77 @@ object TxnLog {
   private[graft] def readRangesCensus(spark: SparkSession, root: String,
                                       ranges: Seq[(String, Option[Any], Option[Any])],
                                       asOf: Option[Long] = None): (DataFrame, Int, Int) = {
+    val (f, dk, ds, _, _) = readRangesCensusFiles(spark, root, ranges, asOf)
+    (f, dk, ds)
+  }
+
+  /** [[readRangesCensus]] with FILE-granular pruning inside admitted
+    * dirs: when a dir's manifest carries per-file stats (the
+    * [[FileKeyPrefix]] entries [[dirStats]] records), only files whose
+    * range may contain a match are read — the Delta add-file skipping
+    * shape, which matters most AFTER compaction, when one dir holds
+    * many scan-sized files and the dir-level [min, max] has widened to
+    * the union. Returns (frame, dirsKept, dirsSkipped, filesKept,
+    * filesSkipped); the file counts cover only dirs that carry file
+    * stats (stat-blind dirs read whole, conservatively). Same
+    * one-sided laws: a file missing a column's stat survives, and the
+    * exact predicate is re-applied ABOVE the scan by the caller. */
+  private[graft] def readRangesCensusFiles(spark: SparkSession, root: String,
+                                           ranges: Seq[(String, Option[Any], Option[Any])],
+                                           asOf: Option[Long] = None): (DataFrame, Int, Int, Int, Int) = {
     val m = manifestAt(spark, root, asOf)
     val snap = m.map(_.dirs).getOrElse(Seq.empty)
     require(snap.nonEmpty, s"TxnLog table at $root has no data at version ${asOf.getOrElse("latest")}")
     val stats = m.map(_.stats).getOrElse(Map.empty)
     val keep = snap.filter(d => ranges.forall { case (c, lo, hi) =>
       mayContainOpt(stats.get(d).flatMap(_.get(physOf(m, c))), lo, hi) })
+    var filesKept = 0
+    var filesSkipped = 0
+    val frames = keep.flatMap { d =>
+      val fstats = fileStatsOf(stats.getOrElse(d, Map.empty))
+      if (fstats.isEmpty || ranges.isEmpty) Some(dirFrame(spark, root, d, m))
+      else {
+        val (fk, fs) = fstats.keys.toSeq.sorted.partition(f =>
+          ranges.forall { case (c, lo, hi) =>
+            mayContainOpt(fstats(f).get(physOf(m, c)), lo, hi) })
+        filesKept += fk.size
+        filesSkipped += fs.size
+        if (fs.isEmpty) Some(dirFrame(spark, root, d, m)) // nothing to skip
+        else if (fk.isEmpty) None // every file provably clean
+        else Some(dirFrameFiles(spark, root, d, m, fk))
+      }
+    }
     val frame =
-      if (keep.isEmpty)
-        dirFrame(spark, root, snap.head, m).filter(lit(false))
-      else
-        keep.map(d => dirFrame(spark, root, d, m))
-          .reduce(_.unionByName(_, allowMissingColumns = true))
-    (frame, keep.size, snap.size - keep.size)
+      if (frames.isEmpty) dirFrame(spark, root, snap.head, m).filter(lit(false))
+      else frames.reduce(_.unionByName(_, allowMissingColumns = true))
+    (frame, keep.size, snap.size - keep.size, filesKept, filesSkipped)
+  }
+
+  /** file → (col → stat) decoded from a dir's reserved
+    * [[FileKeyPrefix]] entries. */
+  private def fileStatsOf(stats: Map[String, ColStat]): Map[String, Map[String, ColStat]] =
+    stats.collect { case (k, cs) if k.startsWith(FileKeyPrefix) =>
+      val body = k.stripPrefix(FileKeyPrefix)
+      val i = body.lastIndexOf('|')
+      (body.substring(0, i), body.substring(i + 1), cs)
+    }.groupBy(_._1).map { case (f, xs) =>
+      f -> xs.map(t => (t._2, t._3)).toMap
+    }
+
+  /** [[dirFrame]] restricted to an explicit file subset (file-stat
+    * pruning only fires on unpartitioned dirs, so no partition
+    * filters apply here; logicalization and DVs do). */
+  private def dirFrameFiles(spark: SparkSession, root: String, d: String,
+                            m: Option[Commit], files: Seq[String]): DataFrame = {
+    val base = dataPath(root, d)
+    val raw = spark.read.parquet(files.map(f => s"$base/$f"): _*)
+    val logical = logicalFrame(raw,
+      m.map(_.colmap).getOrElse(Map.empty), m.map(_.dropped).getOrElse(Seq.empty),
+      m.map(_.defaults).getOrElse(Map.empty))
+    m.map(_.dvs).getOrElse(Seq.empty).filter(_.dirs.contains(d))
+      .foldLeft(logical) { (df, dv) =>
+        df.filter(coalesce(not(org.apache.spark.sql.functions.expr(dv.pred)), lit(true)))
+      }
   }
 
   /** [[mayContain]] with optional bounds: an absent side is
@@ -2915,43 +2981,100 @@ object TxnLog {
     * new directory only. */
   private def dirStats(spark: SparkSession, path: String): Map[String, ColStat] = {
     import org.apache.spark.sql.types._
-    import org.apache.spark.sql.functions.{max => smax, min => smin}
+    import org.apache.spark.sql.functions.{max => smax, min => smin, input_file_name}
     val df = spark.read.parquet(path)
     val statCols = df.schema.fields.filter(f => f.dataType match {
       case LongType | IntegerType | ShortType | ByteType | StringType
            | DoubleType | FloatType => true
       case _ => false
     }).take(MaxStatCols)
-    // the row count is collected even when no column qualifies for
-    // min/max — a stats-on commit always enables fastCount
+    // ONE job, grouped by file: per-file [min, max] (the Delta
+    // add-file stats shape) fold to the dir-level stats on the
+    // driver, so file-granular pruning costs no extra scan. The row
+    // count is collected even when no column qualifies for min/max —
+    // a stats-on commit always enables fastCount.
     val aggs = statCols.toSeq.flatMap(f => Seq(
       smin(df.col(f.name)).cast("string").as(s"__mn_${f.name}"),
       smax(df.col(f.name)).cast("string").as(s"__mx_${f.name}"))) :+
       count(lit(1)).as("__nrows")
-    val row = df.agg(aggs.head, aggs.tail: _*).head
-    val colStats = statCols.flatMap { f =>
-      val mn = row.getAs[String](s"__mn_${f.name}")
-      val mx = row.getAs[String](s"__mx_${f.name}")
-      // Spark renders doubles shortest-roundtrip, so toDouble recovers
-      // the exact binary64 at read — range comparisons stay exact
-      val tpe = f.dataType match {
-        case StringType => "string"
-        case DoubleType | FloatType => "double"
-        case _ => "long"
+    val rows = df.groupBy(input_file_name().as("__file"))
+      .agg(aggs.head, aggs.tail: _*).collect() // bounded: files per commit dir
+    def tpeOf(f: StructField): String = f.dataType match {
+      case StringType => "string"
+      case DoubleType | FloatType => "double"
+      case _ => "long"
+    }
+    def statsOf(row: org.apache.spark.sql.Row): Map[String, ColStat] =
+      statCols.flatMap { f =>
+        val mn = row.getAs[String](s"__mn_${f.name}")
+        val mx = row.getAs[String](s"__mx_${f.name}")
+        // Spark renders doubles shortest-roundtrip, so toDouble
+        // recovers the exact binary64 at read — comparisons stay exact
+        if (mn == null || mx == null) None
+        else Some(f.name -> ColStat(tpeOf(f), mn, mx))
+      }.toMap
+    // dir-level fold: min of file minimums / max of file maximums —
+    // exact because the renderings order correctly within a type
+    def fold(a: ColStat, b: ColStat): ColStat = a.tpe match {
+      case "long" => ColStat("long",
+        math.min(a.min.toLong, b.min.toLong).toString,
+        math.max(a.max.toLong, b.max.toLong).toString)
+      case "double" => ColStat("double",
+        math.min(a.min.toDouble, b.min.toDouble).toString,
+        math.max(a.max.toDouble, b.max.toDouble).toString)
+      case _ => ColStat(a.tpe,
+        if (a.min <= b.min) a.min else b.min,
+        if (a.max >= b.max) a.max else b.max)
+    }
+    val perFile = rows.map(r => (r.getAs[String]("__file"),
+      statsOf(r), r.getAs[Long]("__nrows")))
+    val dirLevel = perFile.map(_._2).reduceOption((x, y) =>
+      (x.keySet ++ y.keySet).flatMap { k =>
+        (x.get(k), y.get(k)) match {
+          case (Some(a), Some(b)) => Some(k -> fold(a, b))
+          // an all-NULL file contributes no range: NULLs never widen
+          // min/max (they can't satisfy a range predicate either)
+          case (Some(a), None) => Some(k -> a)
+          case (None, Some(b)) => Some(k -> b)
+          case _ => None
+        }
+      }.toMap).getOrElse(Map.empty)
+    val n = perFile.map(_._3).sum.toString
+    // per-file entries (reserved "__f:<name>|<col>" keys — the
+    // [[RowCountKey]]/[[BloomKeyPrefix]] namespace trick, invisible
+    // to dir-level lookups) are recorded only when every data file
+    // sits DIRECTLY under the dir (a Hive-partitioned layout prunes
+    // via partition values instead) and the file count is modest —
+    // a 10k-file dir would bloat every later self-contained manifest
+    val dirUri = new Path(path).toUri.getPath
+    val fileEntries: Map[String, ColStat] =
+      if (perFile.length > FileStatsCap) Map.empty
+      else {
+        val named = perFile.map { case (uri, st, _) =>
+          val p = new Path(uri).toUri.getPath
+          val rel =
+            if (p.startsWith(dirUri + "/")) p.stripPrefix(dirUri + "/") else p
+          (rel, st)
+        }
+        if (named.exists { case (rel, _) => rel.contains("/") || rel.contains("|") })
+          Map.empty // partitioned (or unencodable) layout: dir-level only
+        else named.flatMap { case (rel, st) =>
+          st.map { case (c, cs) => s"$FileKeyPrefix$rel|$c" -> cs }
+        }.toMap
       }
-      if (mn == null || mx == null) None
-      else Some(f.name -> ColStat(tpe, mn, mx))
-    }.toMap
-    // the directory row count rides the same stats map under a
-    // reserved name ("count" type — the pruner's mayContain defaults
-    // unknown types to true, so it can never skip anything): this is
-    // what makes [[fastCount]] a pure metadata read
-    val n = row.getAs[Long]("__nrows").toString
-    colStats + (RowCountKey -> ColStat("count", n, n))
+    dirLevel ++ fileEntries + (RowCountKey -> ColStat("count", n, n))
   }
 
   /** Reserved stats key carrying a directory's row count. */
   private val RowCountKey = "__rows"
+
+  /** Reserved stats-key prefix for per-FILE column stats:
+    * `__f:<file>|<col>` (see [[dirStats]]). */
+  private[graft] val FileKeyPrefix = "__f:"
+  /** Per-file stats are recorded only for dirs of at most this many
+    * files — beyond it (a pre-compaction micro-batch pile-up), the
+    * dir-level range still prunes and the manifest stays small. */
+  private val FileStatsCap = 128
 
   /** Metadata-only COUNT(*): when every directory in the snapshot was
     * committed with `collectStats`, the table's row count is the sum

@@ -1452,8 +1452,12 @@ class TxnLogSpec extends SparkSpec {
     // a tombstone may have erased the extremal row: refuse
     TxnLog.deleteMor(spark, root, col("id") === 24L)
     assert(TxnLog.fastMinMax(spark, root, "id").isEmpty)
-    // a stat-blind dir refuses too
-    TxnLog.compact(spark, root) // materializes the DV but writes statless
+    // compact materializes the DV and (round 16) collects stats on the
+    // merged dir — the metadata range serves again, tombstone excluded
+    TxnLog.compact(spark, root)
+    assert(TxnLog.fastMinMax(spark, root, "id").contains(("5", "23")))
+    // an explicitly stat-blind rewrite still refuses
+    TxnLog.compact(spark, root, collectStats = false)
     assert(TxnLog.fastMinMax(spark, root, "id").isEmpty)
     // a vacuumed tag fails loudly at read, never serves other data
     TxnLog.vacuum(spark, root, retainVersions = 1, orphanMinAgeMs = 0L)
@@ -1550,8 +1554,59 @@ class TxnLogSpec extends SparkSpec {
     assert(h2.getAs[Int]("compact_flag") == 0)
     assert(h2.getAs[Long]("dv_count") == 0L)
     assert(h2.getAs[Long]("reclaimable_bytes") == 0L)
-    // compact writes statless by design — coverage reports that honestly
-    assert(h2.getAs[Long]("stats_coverage_bps") == 0L)
+    // compact collects stats by default (round 16): the merged dir is
+    // exactly where pruning needs them — coverage stays full
+    assert(h2.getAs[Long]("stats_coverage_bps") == 10000L)
+  }
+
+  test("file-level manifest stats: point lookups skip FILES inside admitted dirs, incl. post-compaction") {
+    import org.apache.spark.sql.functions.col
+    // a range-partitioned write = sorted ingest: 8 files, disjoint id
+    // slabs, one commit dir
+    val root = Files.createTempDirectory("graft_txn").toString + "/t"
+    val df = spark.range(0L, 4000L).toDF("id")
+      .withColumn("v", col("id") * 2)
+      .repartitionByRange(8, col("id"))
+    TxnLog.overwrite(df, root, collectStats = true)
+    val (frame, dk, ds, fk, fs) = TxnLog.readRangesCensusFiles(spark, root,
+      Seq(("id", Some(250L), Some(250L))))
+    assert(dk == 1 && ds == 0, s"dirs: $dk/$ds")
+    assert(fk == 1 && fs == 7, s"point lookup should admit 1 of 8 FILES, got $fk/$fs")
+    assert(frame.filter(col("id") === 250L).count() == 1L)
+    // the pruned frame re-filtered above the scan = the exact answer;
+    // a narrow range admits at most two slab files (the sampled range
+    // partitioner's boundaries are approximate, so 1 or 2)
+    val (f2, _, _, fk2, fs2) = TxnLog.readRangesCensusFiles(spark, root,
+      Seq(("id", Some(499L), Some(501L))))
+    assert(fk2 <= 2 && fk2 + fs2 == 8, s"straddling range: $fk2/$fs2")
+    assert(f2.filter(col("id").between(499L, 501L)).count() == 3L)
+    // full read (no ranges) still serves every row
+    assert(TxnLog.read(spark, root).count() == 4000L)
+    // POST-COMPACTION: sorted micro-batch appends merge into ONE dir
+    // whose dir-level [min, max] is the union — file stats keep the
+    // point lookup prunable (the round-16 verdict scenario)
+    val root2 = Files.createTempDirectory("graft_txn").toString + "/t2"
+    (0 until 8).foreach { i =>
+      val slab = spark.range(i * 500L, (i + 1) * 500L).toDF("id")
+        .withColumn("v", col("id") * 2).coalesce(1)
+      if (i == 0) TxnLog.overwrite(slab, root2, collectStats = true)
+      else TxnLog.append(slab, root2, collectStats = true)
+    }
+    TxnLog.compact(spark, root2, targetBytes = 8L * 1024) // → several files
+    val m = TxnLog.versions(spark, root2)
+    assert(m.last._2 == "overwrite", s"compact should mint an overwrite: $m")
+    val (f3, dk3, _, fk3, fs3) = TxnLog.readRangesCensusFiles(spark, root2,
+      Seq(("id", Some(250L), Some(250L))))
+    assert(dk3 == 1, s"one compacted dir expected, got $dk3")
+    assert(fs3 > 0 && fk3 < fk3 + fs3,
+      s"post-compaction point lookup should skip files: kept=$fk3 skipped=$fs3")
+    assert(f3.filter(col("id") === 250L).count() == 1L)
+    assert(TxnLog.read(spark, root2).count() == 4000L)
+    // the connector path reports the file census too
+    val out = spark.read.format("graft").load(root2).filter(col("id") === 250L)
+    assert(out.collect().map(_.getLong(0)).toSeq == Seq(250L))
+    val (cfk, cfs) = graft.sources.GraftDataSource.lastFileCensus
+    assert(cfs > 0, s"connector point read skipped no files: $cfk/$cfs")
   }
 
   test("merge rejects ambiguous sources and schema drift") {

@@ -1092,11 +1092,13 @@ object TxnLog {
       col(c) >= lit(lo) && col(c) <= lit(hi) }.reduce(_ && _)
     val pfs = preds.flatMap { case (c, lo, hi) =>
       partitionRange(m, physOf(m, c), lo, hi) }
-    if (survivors.isEmpty)
+    val frames = survivors.flatMap(d => survivorFrame(spark, root, d, m, pfs,
+      st => preds.forall { case (c, lo, hi) =>
+        mayContain(st.get(physOf(m, c)), lo, hi) }))
+    if (frames.isEmpty)
       dirFrame(spark, root, snap.head, m).filter(lit(false))
     else
-      survivors.map(d => dirFrame(spark, root, d, m, pfs))
-        .reduce(_.unionByName(_, allowMissingColumns = true))
+      frames.reduce(_.unionByName(_, allowMissingColumns = true))
         .filter(predicate)
   }
 
@@ -1177,6 +1179,25 @@ object TxnLog {
       if (frames.isEmpty) dirFrame(spark, root, snap.head, m).filter(lit(false))
       else frames.reduce(_.unionByName(_, allowMissingColumns = true))
     (frame, keep.size, snap.size - keep.size, filesKept, filesSkipped)
+  }
+
+  /** A surviving dir's frame with FILE-granular skipping when its
+    * manifest carries per-file stats: only files `fileAdmits` accepts
+    * are read; None when every file is provably clean. Dirs without
+    * file stats (stat-blind, partitioned, or >cap files) read whole
+    * via [[dirFrame]] — the same one-sided conservatism as dir
+    * pruning, and callers re-apply their exact predicate above. */
+  private def survivorFrame(spark: SparkSession, root: String, d: String,
+                            m: Option[Commit], pfs: Seq[(String, Column)],
+                            fileAdmits: Map[String, ColStat] => Boolean): Option[DataFrame] = {
+    val fstats = fileStatsOf(m.flatMap(_.stats.get(d)).getOrElse(Map.empty))
+    if (fstats.isEmpty) Some(dirFrame(spark, root, d, m, pfs))
+    else {
+      val fk = fstats.keys.toSeq.sorted.filter(f => fileAdmits(fstats(f)))
+      if (fk.size == fstats.size) Some(dirFrame(spark, root, d, m, pfs))
+      else if (fk.isEmpty) None
+      else Some(dirFrameFiles(spark, root, d, m, fk))
+    }
   }
 
   /** file → (col → stat) decoded from a dir's reserved
@@ -1384,11 +1405,12 @@ object TxnLog {
     require(snap.nonEmpty, s"TxnLog table at $root has no data at version ${asOf.getOrElse("latest")}")
     val m = manifestAt(spark, root, asOf)
     val pfs = partitionPoint(m, physOf(m, column), value)
-    if (survivors.isEmpty)
+    val frames = survivors.flatMap(d => survivorFrame(spark, root, d, m, pfs,
+      st => mayContain(st.get(physOf(m, column)), value, value)))
+    if (frames.isEmpty)
       dirFrame(spark, root, snap.head, m).filter(lit(false))
     else
-      survivors.map(d => dirFrame(spark, root, d, m, pfs))
-        .reduce(_.unionByName(_, allowMissingColumns = true))
+      frames.reduce(_.unionByName(_, allowMissingColumns = true))
         .filter(col(column) === lit(value))
   }
 
@@ -1448,11 +1470,15 @@ object TxnLog {
       if (per.isEmpty) Nil
       else Seq((per.head._1, per.map(_._2).reduce(_ || _)))
     }
-    if (survivors.isEmpty)
+    // file-level: a file is opened if ANY value's range admits it
+    // (NULL matches nothing under IN — it cannot keep a file)
+    val frames = survivors.flatMap(d => survivorFrame(spark, root, d, m, pfs,
+      st => values.exists(v => v != null &&
+        mayContain(st.get(physOf(m, column)), v, v))))
+    if (frames.isEmpty)
       dirFrame(spark, root, snap.head, m).filter(lit(false))
     else
-      survivors.map(d => dirFrame(spark, root, d, m, pfs))
-        .reduce(_.unionByName(_, allowMissingColumns = true))
+      frames.reduce(_.unionByName(_, allowMissingColumns = true))
         .filter(col(column).isin(values: _*))
   }
 
@@ -3226,11 +3252,12 @@ object TxnLog {
     // already pruned whole dirs): the raw range maps onto the
     // registered transform's derived column
     val pfs = partitionRange(m, physOf(m, column), lo, hi)
-    if (survivors.isEmpty)
+    val frames = survivors.flatMap(d => survivorFrame(spark, root, d, m, pfs,
+      st => mayContain(st.get(physOf(m, column)), lo, hi)))
+    if (frames.isEmpty)
       dirFrame(spark, root, snap.head, m).filter(lit(false))
     else
-      survivors.map(d => dirFrame(spark, root, d, m, pfs))
-        .reduce(_.unionByName(_, allowMissingColumns = true))
+      frames.reduce(_.unionByName(_, allowMissingColumns = true))
         .filter(predicate)
   }
 

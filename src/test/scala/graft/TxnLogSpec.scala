@@ -1582,6 +1582,15 @@ class TxnLogSpec extends SparkSpec {
     assert(f2.filter(col("id").between(499L, 501L)).count() == 3L)
     // full read (no ranges) still serves every row
     assert(TxnLog.read(spark, root).count() == 4000L)
+    // the API read paths file-prune too, answers exact
+    assert(TxnLog.readWhere(spark, root, "id", 100L, 110L)
+      .count() == 11L)
+    assert(TxnLog.readPoint(spark, root, "id", 250L)
+      .select("v").head.getLong(0) == 500L)
+    assert(TxnLog.readPoints(spark, root, "id", Seq(5L, 3995L, null))
+      .count() == 2L)
+    assert(TxnLog.readWhereAll(spark, root,
+      Seq(("id", 100L, 110L), ("v", 200L, 220L))).count() == 11L)
     // POST-COMPACTION: sorted micro-batch appends merge into ONE dir
     // whose dir-level [min, max] is the union — file stats keep the
     // point lookup prunable (the round-16 verdict scenario)

@@ -92,7 +92,7 @@ object Bench {
     * host contention (time drops back to range) from a real plan
     * change (time reproduces). Never recurses (the child env marker),
     * never fails the bench (errors → None). */
-  private def requietMeasure(name: String, dir: String): Option[Double] = {
+  private[graft] def requietMeasure(name: String, dir: String): Option[Double] = {
     import scala.jdk.CollectionConverters._
     if (sys.env.contains("SPARK_GRAFT_REQUIET_CHILD")) return None
     if (requietBudget.getAndDecrement() <= 0) return None

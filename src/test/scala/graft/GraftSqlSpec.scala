@@ -309,6 +309,20 @@ class GraftSqlSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS graft_named")
   }
 
+  test("named tables: CTAS materializes through the ACID writer; INSERT INTO appends") {
+    val loc = freshRoot()
+    Seq((1L, "a"), (2L, "b")).toDF("id", "s").createOrReplaceTempView("ctas_src")
+    spark.sql(s"CREATE TABLE ctas_t USING graft LOCATION '$loc' AS SELECT * FROM ctas_src")
+    try {
+      assert(spark.sql("SELECT * FROM ctas_t").count() == 2L)
+      // the CTAS landed as a real TxnLog commit, not a bare parquet dir
+      assert(TxnLog.latestVersion(spark, loc) == 0L)
+      spark.sql("INSERT INTO ctas_t VALUES (3, 'c')")
+      assert(spark.sql("SELECT * FROM ctas_t").count() == 3L)
+      assert(TxnLog.versions(spark, loc).map(_._2) == Seq("overwrite", "append"))
+    } finally spark.sql("DROP TABLE IF EXISTS ctas_t")
+  }
+
   test("named tables: non-graft names are never hijacked; temp views shadow") {
     // a REAL catalog database named `graft`: DELETE FROM graft.sales
     // must reach Spark's own resolution (and fail with ITS error, not

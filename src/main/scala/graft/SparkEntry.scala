@@ -5014,6 +5014,14 @@ object SparkEntry {
         .load(root)
         .select("_commit_version", "_change_type", "doc_id", "source", "n_chars")
     }),
+    // the same feed through the table_changes(...) SQL TVF (Delta's
+    // CDF function shape). No keyCols in the function form, so the
+    // keyed MERGE commit serves as unkeyed delete+insert pairs
+    "txnlog_cdf_sql" -> ((s, d) => {
+      val root = ensureTxnCdfTable(s, d)
+      s.sql(s"SELECT _commit_version, _change_type, doc_id, source, n_chars " +
+        s"FROM table_changes('$root', 1)")
+    }),
     "txnlog_replica" -> (txnlogReplica(_, _)),
     "mv_incremental_cdf" -> (mvIncrementalCdf(_, _)),
     // metadata-only COUNT from the manifest row counts vs the scan:
@@ -9271,6 +9279,22 @@ object SparkEntry {
         |FROM documents WHERE doc_id % 10 = 0
         |UNION ALL
         |SELECT 3, 'update_postimage', doc_id, source, n_chars + 1000
+        |FROM documents WHERE doc_id % 10 = 0""".stripMargin,
+    // the TVF form has no keyCols, so the keyed MERGE commit replays
+    // as unkeyed delete+insert pairs at the same version
+    "txnlog_cdf_sql" ->
+      """WITH m AS (SELECT (MAX(doc_id) + 1) // 2 AS q FROM documents)
+        |SELECT CAST(1 AS BIGINT) AS _commit_version, 'insert' AS _change_type,
+        |  doc_id, source, n_chars
+        |FROM documents WHERE doc_id >= (SELECT q FROM m)
+        |UNION ALL
+        |SELECT 2, 'delete', doc_id, source, n_chars
+        |FROM documents WHERE doc_id % 10 = 4
+        |UNION ALL
+        |SELECT 3, 'delete', doc_id, source, n_chars
+        |FROM documents WHERE doc_id % 10 = 0
+        |UNION ALL
+        |SELECT 3, 'insert', doc_id, source, n_chars + 1000
         |FROM documents WHERE doc_id % 10 = 0""".stripMargin,
     // the advisor's keep-fraction arithmetic replayed from the
     // quartile slicing: doc_id healthy, n_chars scattered

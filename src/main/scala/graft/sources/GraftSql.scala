@@ -393,6 +393,18 @@ object GraftDmlResolution extends Rule[LogicalPlan] {
     case i: InsertIntoStatement if pathRelation(i.table).isDefined =>
       i.copy(table = pathRelation(i.table).get)
 
+    // `table_changes('<name-or-/path>', start [, end])` — Delta's CDF
+    // table-valued function, resolved onto the connector's
+    // readChangeFeed relation. Bounds are versions (numbers) or
+    // timestamps ('yyyy-MM-dd[ HH:mm:ss]' / epoch millis), resolved
+    // at-or-before through the manifest mtimes (the timestampAsOf
+    // convention). Non-graft targets are left untouched (Spark then
+    // reports the unknown function itself).
+    case tvf: org.apache.spark.sql.catalyst.analysis.UnresolvedTableValuedFunction
+        if tvf.name.map(_.toLowerCase) == Seq("table_changes") &&
+          tableChangesPlan(tvf).isDefined =>
+      tableChangesPlan(tvf).get
+
     // QUERY-position TIME TRAVEL — `SELECT … FROM graft.`/t` VERSION
     // AS OF n | TIMESTAMP AS OF 'ts'` (also on catalog-named graft
     // tables). Spark 4 parses the suffix into RelationTimeTravel;
@@ -422,6 +434,46 @@ object GraftDmlResolution extends Rule[LogicalPlan] {
     case u: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
         if pathRelation(u).isDefined =>
       pathRelation(u).get
+  }
+
+  /** The CDF relation behind `table_changes(...)`, or None when the
+    * arguments don't name a graft table (leave the node for Spark). */
+  private def tableChangesPlan(
+      tvf: org.apache.spark.sql.catalyst.analysis.UnresolvedTableValuedFunction): Option[LogicalPlan] = {
+    val args = tvf.functionArgs
+    if (args.size < 2 || args.size > 3) return None
+    val lits: Seq[Any] = args.map {
+      case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) => s.toString
+      case Literal(v, _) => v
+      case _ => return None // non-literal arguments: not ours
+    }
+    val root: String = lits.head match {
+      case s: String if s.contains("/") => s
+      case s: String =>
+        GraftCatalogNames.resolve(s.split("\\.").map(_.trim).toIndexedSeq)
+          .getOrElse(return None)
+      case _ => return None
+    }
+    if (TxnLog.latestVersion(SparkSession.active, root) < 0L) return None
+    def boundOf(x: Any): String = x match {
+      case n: Number => n.longValue.toString
+      case s: String if scala.util.Try(s.toLong).isSuccess => s
+      case s: String =>
+        val ms = scala.util.Try(java.sql.Timestamp.valueOf(s).getTime)
+          .orElse(scala.util.Try(java.sql.Date.valueOf(s).getTime))
+          .getOrElse(unsupported(
+            s"table_changes bound '$s' (want a version number, epoch millis, " +
+              "'yyyy-MM-dd HH:mm:ss', or 'yyyy-MM-dd')"))
+        TxnLog.versionAtTimestamp(SparkSession.active, root, ms).toString
+      case other => unsupported(s"table_changes bound $other")
+    }
+    val reader0 = SparkSession.active.read.format("graft")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", boundOf(lits(1)))
+    val reader =
+      if (lits.size == 3) reader0.option("endingVersion", boundOf(lits(2)))
+      else reader0
+    Some(reader.load(root).queryExecution.analyzed)
   }
 
   /** `graft.`/path`` in query position → the connector relation.

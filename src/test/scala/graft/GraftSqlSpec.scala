@@ -392,6 +392,41 @@ class GraftSqlSpec extends SparkSpec {
     finally spark.sql("DROP TABLE IF EXISTS tt_named")
   }
 
+  test("table_changes('t', start [, end]) serves the CDF through SQL — path, name, end bound, timestamp bound") {
+    val root = freshRoot()
+    Seq((1L, "a")).toDF("id", "s").write.format("graft").save(root)             // v0
+    Seq((2L, "b")).toDF("id", "s").write.format("graft")
+      .mode(SaveMode.Append).save(root)                                          // v1
+    spark.sql(s"DELETE FROM graft.`$root` WHERE id = 1")                         // v2
+    // path form: every change from v1 on
+    val all = spark.sql(s"SELECT id, _change_type, _commit_version FROM table_changes('$root', 1) ORDER BY _commit_version, id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(all == Seq((2L, "insert", 1L), (1L, "delete", 2L)), all.toString)
+    // end bound scopes the range
+    assert(spark.sql(s"SELECT count(*) FROM table_changes('$root', 1, 1)").head.getLong(0) == 1L)
+    // == the option-form read
+    val opt = spark.read.format("graft").option("readChangeFeed", "true")
+      .option("startingVersion", 1).load(root)
+      .select("id", "_change_type", "_commit_version").orderBy("_commit_version", "id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(opt == all)
+    // a catalog-named table resolves too
+    spark.sql(s"CREATE TABLE tc_named USING graft LOCATION '$root'")
+    try
+      assert(spark.sql("SELECT count(*) FROM table_changes('tc_named', 1)").head.getLong(0) == 2L)
+    finally spark.sql("DROP TABLE IF EXISTS tc_named")
+    // a timestamp start bound resolves at-or-before through log mtimes:
+    // the last manifest's own mtime pins the final version
+    val tsMax = new java.io.File(s"$root/_graft_log").listFiles()
+      .filter(_.getName.endsWith(".json")).map(_.lastModified).max
+    val tsStr = new java.sql.Timestamp(tsMax).toString.stripSuffix(".0")
+    assert(spark.sql(s"SELECT count(*) FROM table_changes('$root', '$tsStr')").head.getLong(0) >= 1L)
+    // a non-graft target is left to Spark's own resolution (unknown
+    // function), never half-claimed
+    val e = intercept[Exception] { spark.sql("SELECT * FROM table_changes('nope', 1)") }
+    assert(!e.getMessage.contains("TxnLog"), e.getMessage)
+  }
+
   test("MERGE clause surface: conditional update, matched delete, multi-clause, explicit insert, NMBS update") {
     val root = freshRoot()
     Seq((1L, 10L, "a"), (2L, 20L, "b"), (3L, 30L, "c"), (4L, 40L, "d"))

@@ -1004,6 +1004,54 @@ class SimilarityScaleSpec extends SparkSpec {
     assert(a == b, "gate should keep a balanced corpus bit-identical to PQ")
   }
 
+  test("buildPq(trainIters): the persisted index serves Lloyd-trained codebooks; recall beats the sample index at the same budget") {
+    import spark.implicits._
+    import graft.similarity.IvfIndex
+    def h(i: Long, j: Int): Double = {
+      val x = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$i:$j".getBytes("UTF-8")).take(4)
+      java.nio.ByteBuffer.wrap(x).getInt.toDouble / Int.MaxValue
+    }
+    val skewed = (0L until 200L).map { i =>
+      (i, Array.tabulate(64)(j =>
+        if (j < 8) h(i, j).toFloat else (0.002 * h(i, j)).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val base = java.nio.file.Files.createTempDirectory("ivfpq_tr")
+    val sampleIdx = base.resolve("sample").toString
+    val trainedIdx = base.resolve("trained").toString
+    for (p <- Seq(sampleIdx, trainedIdx))
+      IvfIndex.build(skewed, p, dim = 64, nCells = 4, iters = 2)
+    IvfIndex.buildPq(spark, sampleIdx, dim = 64, nSub = 4, nCents = 16)
+    IvfIndex.buildPq(spark, trainedIdx, dim = 64, nSub = 4, nCents = 16,
+      trainIters = 2)
+    // the persisted trained codebook IS pqTrainedCodebook's output
+    val stored = spark.read.parquet(s"$trainedIdx/pq_codebook")
+      .collect().map(r => (r.getInt(0), r.getLong(1),
+        r.getSeq[Long](2).toSeq)).toSet
+    val direct = Similarity.pqTrainedCodebook(skewed, dim = 64, nSub = 4,
+      nCents = 16, iters = 2)
+      .collect().map(r => (r.getInt(0), r.getLong(1),
+        r.getSeq[Long](2).toSeq)).toSet
+    assert(stored == direct, "persisted codebook diverged from the trainer")
+    // fair (out-of-codebook) queries; tiny coarseK so ADC order decides
+    val q = skewed.filter(col("vec_id") >= 100 && col("vec_id") < 110)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    def recallOf(p: String): Double = {
+      val truth = Similarity.bruteForceTopK(skewed, q, k = 5)
+        .select("q_id", "vec_id").collect()
+        .groupBy(_.getLong(0)).map { case (x, rs) => x -> rs.map(_.getLong(1)).toSet }
+      val got = IvfIndex.topKPq(spark, p, q, dim = 64, k = 5,
+        nProbe = 4, coarseK = 5).select("q_id", "vec_id").collect()
+        .groupBy(_.getLong(0)).map { case (x, rs) => x -> rs.map(_.getLong(1)).toSet }
+      truth.map { case (x, t) =>
+        got.getOrElse(x, Set.empty).intersect(t).size.toDouble / t.size }.sum / truth.size
+    }
+    val sR = recallOf(sampleIdx)
+    val tR = recallOf(trainedIdx)
+    System.err.println(s"[graft] indexed PQ recall: sample=$sR trained=$tR")
+    assert(tR >= sR, s"trained index lost recall: sample=$sR trained=$tR")
+  }
+
   test("pqTrainedTopK: Lloyd-trained codebooks beat the sample codebook on both fixtures; iters=0 ≡ pqTopK") {
     import spark.implicits._
     import org.apache.spark.sql.DataFrame

@@ -1942,7 +1942,13 @@ object TxnLog {
           df.join(srcKeys, keys, "left_anti").filter(pred === lit(true)))
         (m ++ n).reduce(_.unionByName(_, allowMissingColumns = true))
       })
-    val matchedMark = SrcPrefix + "matched"
+    // the join marker lives OUTSIDE the SrcPrefix namespace: a source
+    // column literally named "matched" prefixes to __graft_src_matched
+    // and must not collide with the marker
+    val matchedMark = "__graft_row_matched"
+    require(!tableCols.contains(matchedMark) &&
+      !source.columns.contains(matchedMark),
+      s"TxnLog.mergeClauses: column name $matchedMark is reserved")
     // first-applicable clause index (1-based; 0 = no clause fires)
     def appliedIdx(conds: Seq[Option[Column]], gate: Column): Column =
       conds.zipWithIndex.foldRight(lit(0)) { case ((condOpt, i), rest) =>

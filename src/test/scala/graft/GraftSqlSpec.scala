@@ -468,5 +468,20 @@ class GraftSqlSpec extends SparkSpec {
     assert(spark.read.format("graft").load(root)
       .select("id").collect().map(_.getLong(0)).sorted.toSeq ==
       Seq(1L, 2L, 3L, 4L, 5L, 6L))
+    // a source column literally named "matched" must not collide with
+    // the internal join marker (it prefixes into the source namespace)
+    val root2 = freshRoot()
+    Seq((1L, false), (2L, false)).toDF("id", "matched")
+      .write.format("graft").save(root2)
+    Seq((2L, true), (7L, true)).toDF("id", "matched")
+      .createOrReplaceTempView("clauses_mcol")
+    spark.sql(
+      s"""MERGE INTO graft.`$root2` AS t USING clauses_mcol AS s ON t.id = s.id
+         |WHEN MATCHED AND s.matched THEN UPDATE SET matched = s.matched
+         |WHEN NOT MATCHED AND s.matched THEN INSERT (id, matched) VALUES (s.id, s.matched)
+         |""".stripMargin)
+    val got2 = spark.read.format("graft").load(root2).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1))).toSeq
+    assert(got2 == Seq((1L, false), (2L, true), (7L, true)), got2.toString)
   }
 }

@@ -52,7 +52,8 @@ object SparkEntry {
     * so the WHOLE table crosses the exchange — semantics-exact but
     * superlinear at scale; [[stagingAggBucketed]] is the scale path. */
   private def stagingAgg(spark: SparkSession, dir: String): DataFrame =
-    Staging.stagingAggregate(TaxiShape.staging(spark, dir), keys = stagingAggKeys)
+    Staging.stagingAggregateDeferredCalendar(
+      TaxiShape.staging(spark, dir), keys = stagingAggKeys)
 
   /** A1 at scale: identical semantics (and oracle SQL) to
     * [[stagingAgg]], but the staging frame is first laid out BUCKETED
@@ -92,7 +93,7 @@ object SparkEntry {
   }
 
   private def stagingAggBucketed(spark: SparkSession, dir: String): DataFrame =
-    Staging.stagingAggregate(
+    Staging.stagingAggregateDeferredCalendar(
       spark.table(ensureStagingBucketedLayout(spark, dir)), keys = stagingAggKeys)
 
   /** Star-schema scans at 100 TB are only viable when the fact is laid

@@ -216,6 +216,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         QuantileSketchAgg(exprs(0), intLit(exprs(1), "quantile_sketch"))
       }))
     e.injectOptimizerRule(_ => graft.plans.NativeDotRewrite)
+    e.injectOptimizerRule(_ => graft.plans.NativeLongFoldRewrite)
     e.injectOptimizerRule(_ => graft.plans.CastRoundtripSimplify)
     e.injectOptimizerRule(_ => graft.plans.MvAggregateRewrite)
     // AFTER the MV rewrite: that rule matches the intact GraftRelation

@@ -919,11 +919,15 @@ object TextFunctions {
         explode(tokens(col(textCol))).as("sym"))
       .filter(length(col("sym")) > 0)
       .groupBy(col("doc_id"), col("sym")).agg(count(lit(1)).as("c"))
-    val n = tf.groupBy(col("doc_id")).agg(sum(col("c")).as("n"))
-    tf.join(n, "doc_id")
-      .withColumn("term", col("c") * (ilog2Fp16(col("n")) - ilog2Fp16(col("c"))))
-      .groupBy(col("doc_id"))
-      .agg(expr("sum(term) div any_value(n)").as("entropy_fp16"))
+    // Σ c·(lg n − lg c) = n·lg n − Σ c·lg c (all exact integers, no
+    // division until the end), so the per-doc rollup needs no tf ⋈ n
+    // self-join — the two chained aggregates share one exchange less
+    // and lg runs once per (doc, term) instead of twice per joined row.
+    tf.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n"),
+        sum(col("c") * ilog2Fp16(col("c"))).as("slc"))
+      .withColumn("lgn", ilog2Fp16(col("n")))
+      .select(col("doc_id"), expr("(n * lgn - slc) div n").as("entropy_fp16"))
   }
 
   /** Multinomial Naive Bayes text classifier, trained AND served in
@@ -1368,20 +1372,8 @@ object TextFunctions {
     * stay under 2^44), so any engine replays it bit-exactly where a
     * double `ln`/`log2` could differ in its last ulp and flip a
     * Viterbi tie. */
-  private[graft] def ilog2Fp16(p: Column): Column = {
-    val msb = (length(bin(p)) - 1).cast("long")
-    val init = struct(
-      call_function("shiftright", shiftleft(p, 20), msb).as("x"),
-      lit(0L).as("acc"))
-    val folded = aggregate(sequence(lit(1), lit(16)), init, (s, _) => {
-      val xsq = shiftright(s.getField("x") * s.getField("x"), 20)
-      when(xsq >= lit(2L * (1L << 20)),
-        struct(shiftright(xsq, 1).as("x"),
-          (s.getField("acc") * 2 + 1).as("acc")))
-        .otherwise(struct(xsq.as("x"), (s.getField("acc") * 2).as("acc")))
-    })
-    msb * lit(65536L) + folded.getField("acc")
-  }
+  private[graft] def ilog2Fp16(p: Column): Column =
+    graft.expressions.IntegerVectorFunctions.ilog2Fp16(p.cast("long"))
 
   /** Smoothed integer probabilities + Viterbi piece costs for one
     * unigram-LM vocabulary state: p_micro = (cnt+1)·1e6 div (Σcnt+V)

@@ -114,28 +114,30 @@ object Graph {
       .localCheckpoint() // reused every round: materialize once
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct().localCheckpoint()
-    val deg = e.groupBy("src").agg(count(lit(1)).as("deg")).localCheckpoint()
-    // one-row frame: node count, init rank, per-round base term —
-    // folded in by broadcast, never a driver-side collect
-    // greatest(n, 1): the one baseRow row exists even for an empty
-    // graph (global agg), and ANSI mode makes scale/0 an error rather
-    // than null — the crossJoin against zero nodes discards it anyway
-    val baseRow = nodes.agg(count(lit(1)).as("__n")).select(
-      floor(lit(scale).cast("double") / greatest(col("__n"), lit(1L)))
-        .cast("long").as("__r0"),
-      floor(lit(scale * (100 - dampingPct) / 100).cast("double") /
-        greatest(col("__n"), lit(1L))).cast("long").as("__base"))
-    var rank = nodes.crossJoin(broadcast(baseRow))
-      .select(col("id"), col("__r0").as("r"))
+    // out-degrees FUSED onto the edge list once, outside the loop —
+    // the deg join is loop-invariant, so paying it per round was a
+    // pure waste of one join (and its exchanges) per iteration
+    val ed = e.join(e.groupBy("src").agg(count(lit(1)).as("deg")), "src")
+      .localCheckpoint()
+    // node count: ONE bounded driver read (a single long — the
+    // centroid-class collect) instead of re-running the global-agg +
+    // broadcast subtree every round. max(n, 1): the same empty-graph
+    // guard the old greatest(__n, 1) provided (zero nodes ⇒ the node
+    // scan below discards everything anyway). The floor-of-double-
+    // division arithmetic is unchanged, so ranks stay bit-identical.
+    val n = math.max(nodes.count(), 1L)
+    val r0 = math.floor(scale.toDouble / n).toLong
+    val base = math.floor((scale * (100 - dampingPct) / 100).toDouble / n).toLong
+    var rank = nodes.select(col("id"), lit(r0).as("r"))
       .localCheckpoint()
     for (_ <- 1 to iterations) {
-      val contrib = e.join(rank, col("src") === col("id")).join(deg, "src")
+      val contrib = ed.join(rank, col("src") === col("id"))
         .select(col("dst").as("id"),
           floor(col("r").cast("double") / col("deg")).cast("long").as("c"))
       val sums = contrib.groupBy("id").agg(sum("c").as("cs"))
-      val next = nodes.join(sums, Seq("id"), "left").crossJoin(broadcast(baseRow))
+      val next = nodes.join(sums, Seq("id"), "left")
         .select(col("id"),
-          (col("__base") + floor(lit(dampingPct).cast("double") *
+          (lit(base) + floor(lit(dampingPct).cast("double") *
             coalesce(col("cs"), lit(0L)) / 100).cast("long")).as("r"))
         .localCheckpoint()
       // round N materialized ⇒ round N−1's checkpoint blocks are dead
@@ -143,10 +145,10 @@ object Graph {
       rank = next
     }
     // the final rank is its own checkpoint; the loop-invariant frames
-    // (edges, node set, out-degrees) are never read past this point
+    // (edges, node set, degree-fused edges) are never read past here
     graft.core.Checkpoints.releaseAll(e)
     graft.core.Checkpoints.releaseAll(nodes)
-    graft.core.Checkpoints.releaseAll(deg)
+    graft.core.Checkpoints.releaseAll(ed)
     rank.select(col("id"), col("r").as("rank_micro"))
   }
 
@@ -306,14 +308,20 @@ object Graph {
       .select(col("id"), col("id").cast("long").as("label"))
       .localCheckpoint()
     for (_ <- 1 to iterations) {
+      // Each node's CURRENT label rides as a weight-0 self-vote, so
+      // the keep-own-label fallback needs no post-agg join back onto
+      // `lab` (one join + its exchanges saved per round). Semantics
+      // identical: any real vote (cnt ≥ 1) beats the weight-0 self
+      // row; with no in-edges the self row wins alone; a self label
+      // that ALSO receives votes adds 0 to its count.
       val votes = e.join(lab, col("src") === col("id"))
-        .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("cnt"))
-      val winners = votes
+        .select(col("dst"), col("label"), lit(1L).as("w"))
+        .unionAll(lab.select(col("id").as("dst"), col("label"), lit(0L).as("w")))
+        .groupBy(col("dst"), col("label")).agg(sum(col("w")).as("cnt"))
+      val next = votes
         .groupBy(col("dst").as("__id"))
         .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("__m"))
-        .select(col("__id").as("id"), (-col("__m.nl")).as("__w"))
-      val next = lab.join(winners, Seq("id"), "left")
-        .select(col("id"), coalesce(col("__w"), col("label")).as("label"))
+        .select(col("__id").as("id"), (-col("__m.nl")).as("label"))
         .localCheckpoint()
       graft.core.Checkpoints.releaseAll(lab)
       lab = next

@@ -414,41 +414,64 @@ object Similarity {
   def lloydCentroidsExact(candidates: DataFrame, nCells: Int = 16,
                           iters: Int = 2,
                           init: Option[DataFrame] = None): DataFrame = {
+    val spark = candidates.sparkSession
+    import spark.implicits._
     val f = graft.core.Parallelism.ensure(candidates)
       .select(col("vec_id"),
         transform(col("embedding"),
           v => round(v.cast("double") * 1e6).cast("long")).as("fv"))
     // init override: (cell_id, cv micro) — e.g. [[kmeansParallelInit]]'s
-    // output, whose D²-spread seeding beats first-k at equal budget
-    var cents = init.map(_.select(col("cell_id"), col("cv")))
-      .getOrElse(f.orderBy(col("vec_id").asc).limit(nCells)
-        .select(col("vec_id").as("cell_id"), col("fv").as("cv")))
-    for (_ <- 1 to iters) {
-      val d2 = aggregate(
-        zip_with(col("fv"), col("cv"), (a, b) => (a - b) * (a - b)),
-        lit(0L), (acc, x) => acc + x)
-      val assigned = f.crossJoin(broadcast(cents))
-        .withColumn("d", d2)
-        .groupBy(col("vec_id"))
-        .agg(min_by(struct(col("cell_id"), col("fv")),
-          struct(col("d"), col("cell_id"))).as("best"))
-        .select(col("best.cell_id").as("cell_id"), col("best.fv").as("fv"))
-      val sums = assigned
+    // output, whose D²-spread seeding beats first-k at equal budget.
+    // Centroids live on the DRIVER throughout (bounded: nCells rows —
+    // the documented centroid-class collect): every iteration is then
+    // ONE job over a FLAT plan — map-side literal assignment + a
+    // narrow (cell, pos, partial-sum) aggregate — where the previous
+    // lazy formulation nested crossJoin+min_by(vec_id)+join round-over-
+    // round, shuffling the full vector set per iteration and paying
+    // AQE planning of an ever-deeper tree. Arithmetic is IDENTICAL
+    // (integer d2, ties to the lower cell_id, order-free integer sums,
+    // the same floor division), so results are bit-exact.
+    var cents: Array[(Long, Array[Long])] =
+      init.map(_.select(col("cell_id"), col("cv")).collect()
+          .map(r => (r.getLong(0), r.getSeq[Long](1).toArray)))
+        .getOrElse(f.orderBy(col("vec_id").asc).limit(nCells).collect()
+          .map(r => (r.getLong(0), r.getSeq[Long](1).toArray)))
+    for (_ <- 1 to iters if cents.nonEmpty) {
+      // nearest cell per row, ties to the lower cell_id — the literal
+      // twin of the crossJoin+min_by ordering (sort by (d, cell_id)).
+      // `fv` is bound once (let-binding): without it CollapseProject
+      // inlines the quantizing transform into every per-cell distance
+      // struct — nCells re-evaluations per row.
+      def dists(fv: Column) = array(cents.map { case (id, cv) =>
+        struct(graft.expressions.IntegerVectorFunctions
+            .longSqDist(fv, typedLit(cv.toIndexedSeq)).as("d"),
+          lit(id).as("cell_id"))
+      }.toIndexedSeq: _*)
+      val sums = f
+        .withColumn("cell_id", graft.functions.TextFunctions.bound(col("fv")) {
+          fv => element_at(array_sort(dists(fv)), 1).getField("cell_id") })
         .select(col("cell_id"), posexplode(col("fv")).as(Seq("p", "v")))
         .groupBy(col("cell_id"), col("p"))
         .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
-        // explicit floor division (s can be negative; `div` truncates,
-        // but s - nnmod is exactly divisible so the two agree)
-        .withColumn("m", expr("(s - ((s % n + n) % n)) div n"))
-      val updated = sums.groupBy(col("cell_id"))
-        .agg(transform(array_sort(collect_list(struct(col("p"), col("m")))),
-          x => x.getField("m")).as("cv"))
-      cents = cents.select(col("cell_id"), col("cv").as("cv_prev"))
-        .join(updated, Seq("cell_id"), "left")
-        .select(col("cell_id"),
-          coalesce(col("cv"), col("cv_prev")).as("cv"))
+        .collect() // bounded: nCells × dim rows
+      val byCell = sums.groupBy(_.getLong(0))
+      cents = cents.map { case (id, prev) =>
+        byCell.get(id) match {
+          case None => (id, prev) // empty cell keeps its centroid
+          case Some(rows) =>
+            val cv = prev.clone()
+            rows.foreach { r =>
+              val p = r.getInt(1); val s = r.getLong(2); val n = r.getLong(3)
+              // explicit floor division (s can be negative; identical
+              // to the SQL `(s - ((s % n + n) % n)) div n`)
+              cv(p) = Math.floorDiv(s, n)
+            }
+            (id, cv)
+        }
+      }
     }
-    cents
+    cents.toIndexedSeq.map { case (id, cv) => (id, cv) }
+      .toDF("cell_id", "cv")
       .select(col("cell_id"),
         transform(col("cv"), x => (x.cast("double") / 1e6).cast("float")).as("c_emb"))
       .withColumn("c_norm", norm(col("c_emb")))
@@ -509,19 +532,26 @@ object Similarity {
     require(seedRows.nonEmpty, "kmeansParallelInit: empty input")
     var cand: Vector[(Long, IndexedSeq[Long])] = Vector(
       (seedRows(0).getLong(0), seedRows(0).getSeq[Long](1).toIndexedSeq))
-    def candDF: DataFrame = spark.createDataFrame(
-      cand.map { case (id, cv) => (id, cv.toArray) }).toDF("cand_id", "cv")
-    val d2col = aggregate(
-      zip_with(col("fv"), col("cv"), (a, b) => (a - b) * (a - b)),
-      lit(0L), (acc, x) => acc + x)
-    def minD2: DataFrame = f.crossJoin(broadcast(candDF))
-      .withColumn("d", d2col)
-      .groupBy(col("vec_id"))
-      // min over candidates; the nearest candidate rides along for
-      // the weights pass (ties toward the lower cand_id)
-      .agg(min(col("d")).as("d2"),
-        min_by(col("cand_id"), struct(col("d"), col("cand_id"))).as("near"),
-        first(col("fv")).as("fv")) // constant within the group
+    // Nearest candidate per row, computed MAP-SIDE from the literal
+    // candidate set (bounded: ≤ 1 + oversample·rounds entries) — the
+    // previous crossJoin+groupBy(vec_id) formulation shuffled the full
+    // (vec_id, fv) set through the min aggregate on EVERY pass (φ,
+    // selection, weights). Ordering identical: sorted (d, cand_id)
+    // struct ⇒ min distance, ties toward the lower cand_id.
+    def minD2: DataFrame = {
+      // fv bound once per row (let-binding — CollapseProject would
+      // otherwise inline the quantizing transform into every
+      // candidate's distance struct)
+      def dists(fv: Column) = array(cand.map { case (id, cv) =>
+        struct(graft.expressions.IntegerVectorFunctions
+            .longSqDist(fv, typedLit(cv)).as("d"),
+          lit(id).as("cand_id"))
+      }: _*)
+      f.withColumn("__best", graft.functions.TextFunctions.bound(col("fv")) {
+          fv => element_at(array_sort(dists(fv)), 1) })
+        .select(col("vec_id"), col("__best").getField("d").as("d2"),
+          col("__best").getField("cand_id").as("near"), col("fv"))
+    }
     for (t <- 1 to rounds) {
       val dmin = minD2
       // exact integer potential — Σ d2 can pass 2^63 on large corpora,
@@ -1063,34 +1093,63 @@ object Similarity {
                         nCents: Int = 16, iters: Int = 2): DataFrame = {
     require(nSub > 0 && dim % nSub == 0, s"dim=$dim must divide into nSub=$nSub")
     require(nCents > 0 && iters >= 0, s"bad budget nCents=$nCents iters=$iters")
+    val spark = candidates.sparkSession
+    import spark.implicits._
     val micro: Column => Column =
       c => transform(c, v => round(v.cast("double") * 1000000.0).cast("long"))
     val sw = dim / nSub
     val base = pqSubRows(candidates, nSub, sw, micro, "vec_id", "embedding", "vec_id", "sv")
-    var cb = pqSubRows(candidates.orderBy(col("vec_id").asc).limit(nCents),
-      nSub, sw, micro, "vec_id", "embedding", "cent_id", "cv")
-    for (_ <- 1 to iters) {
-      val assigned = base.join(broadcast(cb), "sub_id")
-        .withColumn("d", pqSqd(col("sv"), col("cv")))
-        .groupBy(col("vec_id"), col("sub_id"))
-        .agg(min_by(struct(col("cent_id"), col("sv")),
-          struct(col("d"), col("cent_id"))).as("best"))
-        .select(col("sub_id"), col("best.cent_id").as("cent_id"),
-          col("best.sv").as("sv"))
-      val sums = assigned
+    // The codebook lives on the DRIVER through training (bounded:
+    // nSub·nCents rows — the centroid-class collect): each iteration
+    // is ONE job over a FLAT plan — per-subspace literal assignment
+    // fused map-side + a narrow (sub, cent, pos, partial-sum)
+    // aggregate — where the lazy formulation re-joined and re-planned
+    // a nesting tree per round and shuffled the subvector set through
+    // groupBy(vec_id, sub_id) every iteration. Arithmetic unchanged
+    // (integer d2, ties to the lower cent_id, order-free sums, same
+    // floor division): iters = 0 stays bit-identical to [[pqTopK]]'s
+    // sample codebook, trained rounds are bit-exact to the old plan.
+    var cb: Array[(Int, Long, Array[Long])] =
+      pqSubRows(candidates.orderBy(col("vec_id").asc).limit(nCents),
+        nSub, sw, micro, "vec_id", "embedding", "cent_id", "cv")
+        .collect()
+        .map(r => (r.getInt(r.fieldIndex("sub_id")), r.getLong(r.fieldIndex("cent_id")),
+          r.getSeq[Long](r.fieldIndex("cv")).toArray))
+    for (_ <- 1 to iters if cb.nonEmpty) {
+      val bySub = cb.groupBy(_._1)
+      // nearest centroid within this row's subspace, ties to the
+      // lower cent_id — a when-chain over the nSub literal codebooks
+      val assignedCent = bySub.toSeq.sortBy(_._1).map { case (s, cents) =>
+        val dists = array(cents.sortBy(_._2).map { case (_, id, cv) =>
+          struct(graft.expressions.IntegerVectorFunctions
+              .longSqDist(col("sv"), typedLit(cv.toIndexedSeq)).as("d"),
+            lit(id).as("cent_id"))
+        }.toIndexedSeq: _*)
+        (s, element_at(array_sort(dists), 1).getField("cent_id"))
+      }.foldLeft(lit(null).cast("long")) { case (acc, (s, c)) =>
+        when(col("sub_id") === s, c).otherwise(acc)
+      }
+      val sums = base
+        .withColumn("cent_id", assignedCent)
         .select(col("sub_id"), col("cent_id"), posexplode(col("sv")).as(Seq("p", "v")))
         .groupBy(col("sub_id"), col("cent_id"), col("p"))
         .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
-        // exact floor division (see lloydCentroidsExact)
-        .withColumn("m", expr("(s - ((s % n + n) % n)) div n"))
-      val updated = sums.groupBy(col("sub_id"), col("cent_id"))
-        .agg(transform(array_sort(collect_list(struct(col("p"), col("m")))),
-          x => x.getField("m")).as("cv2"))
-      cb = cb.join(updated, Seq("sub_id", "cent_id"), "left")
-        .select(col("sub_id"), col("cent_id"),
-          coalesce(col("cv2"), col("cv")).as("cv"))
+        .collect() // bounded: nSub × nCents × sw rows
+      val byKey = sums.groupBy(r => (r.getInt(0), r.getLong(1)))
+      cb = cb.map { case (s, id, prev) =>
+        byKey.get((s, id)) match {
+          case None => (s, id, prev) // empty cell keeps its centroid
+          case Some(rows) =>
+            val cv = prev.clone()
+            rows.foreach { r =>
+              // exact floor division (see lloydCentroidsExact)
+              cv(r.getInt(2)) = Math.floorDiv(r.getLong(3), r.getLong(4))
+            }
+            (s, id, cv)
+        }
+      }
     }
-    cb
+    cb.toIndexedSeq.toDF("sub_id", "cent_id", "cv")
   }
 
   private def pqTopKWith(candidates: DataFrame, queries: DataFrame,
@@ -1108,6 +1167,39 @@ object Similarity {
   /** The PQ encode + ADC chain against an EXPLICIT codebook
     * (sub_id, cent_id, cv) — shared tail of [[pqTopK]]/[[opqTopK]]
     * (first-`nCents` sample) and [[pqTrainedTopK]] (Lloyd-trained). */
+  /** Per-subspace LITERAL codebook columns — the encode/ADC building
+    * blocks once a (bounded: nSub·nCents) codebook has been collected:
+    *  - `assign`: nearest cent_id for this row's (sub_id, sv), ties to
+    *    the lower cent_id — identical ordering to the broadcast-join
+    *    min_by(struct(d, cent_id)) it replaces;
+    *  - `entries`: the (cent_id, cv) struct array of this row's
+    *    subspace, for exploding a per-query distance table.
+    * Both are MAP-SIDE when-chains over the per-sub literal arrays, so
+    * encode needs no broadcast join and no (vec_id, sub_id) aggregate
+    * exchange. */
+  private def pqCodebookLit(cb: Array[(Int, Long, Array[Long])], svCol: Column)
+      : (Column, Column) = {
+    val bySub = cb.groupBy(_._1).toSeq.sortBy(_._1)
+    val assign = bySub.map { case (s, cents) =>
+      val dists = array(cents.sortBy(_._2).map { case (_, id, cv) =>
+        struct(graft.expressions.IntegerVectorFunctions
+            .longSqDist(svCol, typedLit(cv.toIndexedSeq)).as("d"),
+          lit(id).as("cent_id"))
+      }.toIndexedSeq: _*)
+      (s, element_at(array_sort(dists), 1).getField("cent_id"))
+    }.foldLeft(lit(null).cast("long")) { case (acc, (s, c)) =>
+      when(col("sub_id") === s, c).otherwise(acc)
+    }
+    val entries = bySub.map { case (s, cents) =>
+      (s, array(cents.sortBy(_._2).map { case (_, id, cv) =>
+        struct(lit(id).as("cent_id"), typedLit(cv.toIndexedSeq).as("cv"))
+      }.toIndexedSeq: _*))
+    }.foldLeft(lit(null).cast("array<struct<cent_id:bigint,cv:array<bigint>>>")) {
+      case (acc, (s, a)) => when(col("sub_id") === s, a).otherwise(acc)
+    }
+    (assign, entries)
+  }
+
   private def pqTopKWithCodebook(candidates: DataFrame, queries: DataFrame,
                                  dim: Int, k: Int, nSub: Int,
                                  fp: Column => Column,
@@ -1118,17 +1210,32 @@ object Similarity {
     def subRows(df: DataFrame, idCol: String, embCol: String,
                 idOut: String, svOut: String): DataFrame =
       pqSubRows(df, nSub, sw, fp, idCol, embCol, idOut, svOut)
-    def sqd(a: Column, b: Column): Column = pqSqd(a, b)
+    // The codebook is bounded (nSub·nCents rows — the centroid-class
+    // collect): inline it as per-sub literal arrays, so corpus encode
+    // is a MAP-SIDE argmin (the broadcast-join + groupBy(vec_id,
+    // sub_id) min_by it replaces shuffled the whole subvector set) and
+    // the per-query distance table explodes the literal entries
+    // instead of re-joining the codebook frame. Distances, tie order
+    // and the ADC sum are unchanged — results bit-identical.
+    val cb: Array[(Int, Long, Array[Long])] = codebook.collect()
+      .map(r => (r.getInt(r.fieldIndex("sub_id")), r.getLong(r.fieldIndex("cent_id")),
+        r.getSeq[Long](r.fieldIndex("cv")).toArray))
+    if (cb.isEmpty) {
+      // degenerate empty codebook: no codes, no candidates — empty out
+      return candidates.sparkSession.emptyDataFrame
+        .select(lit(0L).as("q_id"), lit(0L).as("vec_id"),
+          lit(0L).as("rank"), lit(0L).as("adc")).limit(0)
+    }
+    val (assignLit, entriesLit) = pqCodebookLit(cb, col("sv"))
     val codes = subRows(candidates, "vec_id", "embedding", "vec_id", "sv")
-      .join(broadcast(codebook), "sub_id")
-      .withColumn("d", sqd(col("sv"), col("cv")))
-      .groupBy(col("vec_id"), col("sub_id"))
-      .agg(min_by(col("cent_id"), struct(col("d"), col("cent_id"))).as("cent_id"))
+      .withColumn("cent_id", assignLit)
+      .select(col("vec_id"), col("sub_id"), col("cent_id"))
     // per-query ADC lookup table: distance to every (subspace, centroid)
     val dtab = subRows(queries, "q_id", "q_emb", "q_id", "sv")
-      .join(broadcast(codebook), "sub_id")
-      .select(col("q_id"), col("sub_id"), col("cent_id"),
-        sqd(col("sv"), col("cv")).as("d"))
+      .select(col("q_id"), col("sub_id"), explode(entriesLit).as("__e"),
+        col("sv"))
+      .select(col("q_id"), col("sub_id"), col("__e.cent_id").as("cent_id"),
+        pqSqd(col("sv"), col("__e.cv")).as("d"))
     val adc = codes.join(broadcast(dtab), Seq("sub_id", "cent_id"))
       .filter(col("vec_id") =!= col("q_id"))
       .groupBy(col("q_id"), col("vec_id"))
@@ -1266,26 +1373,61 @@ object Similarity {
       aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), _ + _)
     val f = graft.core.Parallelism.ensure(candidates)
       .select(col("vec_id"), col("embedding"), fpm(col("embedding")).as("fv"))
-    val cb1 = f.orderBy(col("vec_id").asc).limit(nC1)
-      .select(col("vec_id").as("c1_id"), col("fv").as("c1"))
-    val a1 = f.crossJoin(broadcast(cb1))
-      .withColumn("d", sqd(col("fv"), col("c1")))
-      .groupBy(col("vec_id"))
-      .agg(min_by(struct(col("c1_id"), col("c1")),
-        struct(col("d"), col("c1_id"))).as("b"), first(col("fv")).as("fv"))
-      .select(col("vec_id"), col("b.c1_id").as("c1_id"),
-        zip_with(col("fv"), col("b.c1"), (x, y) => x - y).as("rv"))
-    val cb2 = a1.orderBy(col("vec_id").asc).limit(nC2)
-      .select(col("vec_id").as("c2_id"), col("rv").as("c2"))
-    val codes = a1.crossJoin(broadcast(cb2))
-      .withColumn("d", sqd(col("rv"), col("c2")))
-      .groupBy(col("vec_id"))
-      .agg(min_by(col("c2_id"), struct(col("d"), col("c2_id"))).as("c2_id"),
-        first(col("c1_id")).as("c1_id"))
+    // Both codebooks are bounded (first-nC1 / first-nC2 rows): collect
+    // them and assign MAP-SIDE from sorted literal (d, id[, cv])
+    // structs — the crossJoin + min_by(vec_id) route shuffled the full
+    // fixed-point vector set twice. Distances, tie order (lower id)
+    // and the residual arithmetic are unchanged — bit-identical codes.
+    val cb1v: Array[(Long, Array[Long])] =
+      f.orderBy(col("vec_id").asc).limit(nC1)
+        .select(col("vec_id"), col("fv")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    if (cb1v.isEmpty)
+      return rankScored(queries.select(col("q_id"), lit(0L).as("vec_id"),
+        lit(0.0).as("cos")).limit(0), k)
+    // struct comparison never reaches cv: (d, c1_id) is already unique.
+    // fv and the sorted best struct are BOUND (let-bindings): without
+    // them CollapseProject inlines the quantizing transform into every
+    // distance struct and the whole nC1-way sort into every consumer —
+    // the quadratic-blowup class bound() exists for.
+    def d1(fv: Column) = array(cb1v.map { case (id, cv) =>
+      struct(graft.expressions.IntegerVectorFunctions
+          .longSqDist(fv, typedLit(cv.toIndexedSeq)).as("d"),
+        lit(id).as("c1_id"), typedLit(cv.toIndexedSeq).as("cv"))
+    }.toIndexedSeq: _*)
+    val a1 = f
+      .withColumn("__s", graft.functions.TextFunctions.bound(col("fv")) { fv =>
+        graft.functions.TextFunctions.bound(element_at(array_sort(d1(fv)), 1)) { b =>
+          struct(b.getField("c1_id").as("c1_id"),
+            zip_with(fv, b.getField("cv"), (x, y) => x - y).as("rv"))
+        } })
+      .select(col("vec_id"), col("__s").getField("c1_id").as("c1_id"),
+        col("__s").getField("rv").as("rv"))
+    val cb2v: Array[(Long, Array[Long])] =
+      a1.orderBy(col("vec_id").asc).limit(nC2)
+        .select(col("vec_id"), col("rv")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    def d2(rv: Column) = array(cb2v.map { case (id, cv) =>
+      struct(graft.expressions.IntegerVectorFunctions
+          .longSqDist(rv, typedLit(cv.toIndexedSeq)).as("d"),
+        lit(id).as("c2_id"))
+    }.toIndexedSeq: _*)
+    val codes = a1
+      .withColumn("c2_id", graft.functions.TextFunctions.bound(col("rv")) {
+        rv => element_at(array_sort(d2(rv)), 1).getField("c2_id") })
+      .select(col("vec_id"), col("c1_id"), col("c2_id"))
     val qf = queries.select(col("q_id"), fpm(col("q_emb")).as("qv"))
-    val lut = qf.crossJoin(broadcast(cb1)).crossJoin(broadcast(cb2))
-      .select(col("q_id"), col("c1_id"), col("c2_id"),
-        sqd(col("qv"), zip_with(col("c1"), col("c2"), (x, y) => x + y)).as("d"))
+    // reconstruction LUT entries c1 + c2 precomputed on the driver
+    // (exact long adds — the zip_with(x + y) it replaces)
+    val recon = for ((id1, c1) <- cb1v; (id2, c2) <- cb2v) yield
+      (id1, id2, Array.tabulate(c1.length)(i => Math.addExact(c1(i), c2(i))))
+    val lutEntries = explode(array(recon.map { case (id1, id2, rv) =>
+      struct(lit(id1).as("c1_id"), lit(id2).as("c2_id"),
+        typedLit(rv.toIndexedSeq).as("rc"))
+    }.toIndexedSeq: _*))
+    val lut = qf.select(col("q_id"), lutEntries.as("__e"), col("qv"))
+      .select(col("q_id"), col("__e.c1_id").as("c1_id"),
+        col("__e.c2_id").as("c2_id"), sqd(col("qv"), col("__e.rc")).as("d"))
     val adc = codes.join(broadcast(lut), Seq("c1_id", "c2_id"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"), col("d"))
@@ -1314,31 +1456,33 @@ object Similarity {
       candidates.orderBy(col("vec_id").asc).limit(nCells)
         .select(col("vec_id").as("cell_id"), col("embedding").as("c_emb"),
           norm(col("embedding")).as("c_norm")))
-    val c = broadcast(centFrame)
-    // coarse assignment + probing: ivfTopK's broadcast min_by /
-    // window route (constant plan size in nCells)
+    // coarse assignment + probing: ivfTopK's INLINE literal strategy
+    // (the centroid table is bounded — nCells rows — so assignment is
+    // a map-side projection; the previous broadcast crossJoin +
+    // min_by(vec_id) route shuffled the full embedding set through
+    // the aggregate). Identical distance/tie semantics: sorted
+    // (d, cell_id) structs, same -dot/(norm·norm) expression.
+    val cents = centFrame.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1), r.getDouble(2)))
+    cents.foreach { case (id, ce, _) =>
+      require(ce.length == dim, s"centroid $id has dim ${ce.length}, expected $dim") }
+    def cellDists(emb: Column, nrm: Column): Column = cellDistsLit(cents)(emb, nrm)
     val assigned = graft.core.Parallelism.ensure(candidates)
       .withColumn("c_norm2", norm(col("embedding")))
-      .crossJoin(c)
-      .withColumn("d",
-        -dot(col("embedding"), col("c_emb")) / (col("c_norm2") * col("c_norm")))
-      .groupBy(col("vec_id"))
-      .agg(min_by(
-        struct(col("cell_id"), col("embedding"), col("c_norm2")),
-        struct(col("d"), col("cell_id"))).as("best"))
-      .select(col("vec_id"), col("best.cell_id").as("cell_id"),
-        col("best.embedding").as("embedding"), col("best.c_norm2").as("c_norm2"))
-    val wq = Window.partitionBy(col("q_id"))
-      .orderBy(col("d").asc, col("cell_id").asc)
+      .withColumn("cell_id", element_at(
+        array_sort(cellDists(col("embedding"), col("c_norm2"))), 1).getField("cell_id"))
+      .select(col("vec_id"), col("cell_id"), col("embedding"), col("c_norm2"))
     val qn = queries.withColumn("q_norm2", norm(col("q_emb")))
-    val probed = qn.crossJoin(c)
-      .withColumn("d",
-        -dot(col("q_emb"), col("c_emb")) / (col("q_norm2") * col("c_norm")))
-      .withColumn("__rk", row_number().over(wq))
-      .filter(col("__rk") <= nProbe)
-      .select(col("q_id"), col("cell_id"))
+    val probed = qn
+      .withColumn("probe", explode(slice(
+        array_sort(cellDists(col("q_emb"), col("q_norm2"))), 1, nProbe)))
+      .select(col("q_id"), col("probe.cell_id").as("cell_id"))
     // PQ codes for the whole corpus + per-query ADC tables — pqTopK's
-    // fixed-point blocks verbatim
+    // fixed-point blocks verbatim, with the bounded (nSub·nCents)
+    // codebook inlined as literals (the pqTopKWithCodebook discipline)
+    // so corpus encode is FUSED map-side into the assignment scan —
+    // no broadcast join, no (vec_id, sub_id) aggregate, and the
+    // probed-pair ⋈ codes re-join on vec_id disappears outright.
     def fp(cc: Column): Column =
       transform(cc, v => round(v.cast("double") * 1000000.0).cast("long"))
     def subRows(df: DataFrame, idCol: String, embCol: String,
@@ -1347,27 +1491,27 @@ object Similarity {
         .select(col(idOut),
           posexplode(transform(sequence(lit(0), lit(nSub - 1)),
             j => slice(col("__fv"), j * sw + 1, lit(sw)))).as(Seq("sub_id", svOut)))
-    val codebook = subRows(
+    val cb: Array[(Int, Long, Array[Long])] = subRows(
         candidates.orderBy(col("vec_id").asc).limit(nCents),
         "vec_id", "embedding", "cent_id", "cv")
-    def sqd(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), _ + _)
-    val codes = subRows(candidates, "vec_id", "embedding", "vec_id", "sv")
-      .join(broadcast(codebook), "sub_id")
-      .withColumn("d", sqd(col("sv"), col("cv")))
-      .groupBy(col("vec_id"), col("sub_id"))
-      .agg(min_by(col("cent_id"), struct(col("d"), col("cent_id"))).as("cent_id"))
+      .collect()
+      .map(r => (r.getInt(r.fieldIndex("sub_id")), r.getLong(r.fieldIndex("cent_id")),
+        r.getSeq[Long](r.fieldIndex("cv")).toArray))
+    val (assignLit, entriesLit) = pqCodebookLit(cb, col("sv"))
     val dtab = subRows(queries, "q_id", "q_emb", "q_id", "sv")
-      .join(broadcast(codebook), "sub_id")
-      .select(col("q_id"), col("sub_id"), col("cent_id"),
-        sqd(col("sv"), col("cv")).as("d"))
-    // the IVF restriction: ADC runs ONLY over probed (query, cand) pairs
-    val probedPairs = assigned.select("vec_id", "cell_id")
+      .select(col("q_id"), col("sub_id"), explode(entriesLit).as("__e"), col("sv"))
+      .select(col("q_id"), col("sub_id"), col("__e.cent_id").as("cent_id"),
+        pqSqd(col("sv"), col("__e.cv")).as("d"))
+    // the IVF restriction: ADC runs ONLY over probed (query, cand)
+    // pairs — codes ride the assigned scan as (sub_id, cent_id) rows
+    val codedPairs = assigned
+      .select(col("vec_id"), col("cell_id"),
+        posexplode(transform(sequence(lit(0), lit(nSub - 1)),
+          j => slice(fp(col("embedding")), j * sw + 1, lit(sw)))).as(Seq("sub_id", "sv")))
+      .withColumn("cent_id", assignLit)
       .join(broadcast(probed), "cell_id")
       .filter(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id"))
-    val adc = probedPairs
-      .join(codes, "vec_id")
+    val adc = codedPairs
       .join(broadcast(dtab), Seq("q_id", "sub_id", "cent_id"))
       .groupBy(col("q_id"), col("vec_id"))
       .agg(sum(col("d")).as("adc"))

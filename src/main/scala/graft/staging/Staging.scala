@@ -72,6 +72,37 @@ object Staging {
     df.groupBy(present.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** [[stagingAggregate]] with the calendar trio derived AFTER the
+    * aggregate (guide §2.3 — shuffle fewer bytes): `year`/`month`/
+    * `dow` are pure functions of `tsCol` (which stays in the grouping
+    * set), so grouping by the timestamp alone yields IDENTICAL groups
+    * while the exchange carries three fewer STRING key columns per
+    * row (~30% of this aggregate's shuffled key bytes — the full
+    * English month/day names dominate) and the hash aggregate
+    * compares 11 keys instead of 14. The trio is re-derived from the
+    * aggregated rows with the exact [[deriveTimeColumns]] expressions
+    * and the output schema/order is unchanged, so results are
+    * bit-identical. Falls back to [[stagingAggregate]] whenever the
+    * frame lacks the timestamp or any trio member is not the derived
+    * column (drift tolerance — same contract as the plain path). */
+  def stagingAggregateDeferredCalendar(df: DataFrame, keys: Seq[String],
+                                       sums: Seq[String] = measures,
+                                       tsCol: String = "pickup_datetime",
+                                       exact: Boolean = true): DataFrame = {
+    val trio = Seq("year", "month", "dow")
+    if (!keys.contains(tsCol) || !trio.forall(keys.contains) ||
+        !df.columns.contains(tsCol))
+      return stagingAggregate(df, keys, sums, exact)
+    val narrowKeys = keys.filterNot(trio.contains)
+    val agg = stagingAggregate(df.drop(trio: _*), narrowKeys, sums, exact)
+    val derived: Map[String, Column] = Map(
+      "year" -> year(col(tsCol)).cast("string").as("year"),
+      "month" -> date_format(col(tsCol), "MMMM").as("month"),
+      "dow" -> date_format(col(tsCol), "EEEE").as("dow"))
+    agg.select(keys.map(k => derived.getOrElse(k, col(k).as(k))) ++
+      sums.map(col): _*)
+  }
+
   /** P7 — constant service-type tag keyed off the source path
     * (reference: datalake_to_dw.py:132-136 — 1=yellow, 2=green). */
   def tagServiceType(df: DataFrame, sourcePath: String): DataFrame = {

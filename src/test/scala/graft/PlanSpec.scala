@@ -88,10 +88,14 @@ class PlanSpec extends SparkSpec {
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p)
   }
 
-  test("sim_pq: codebook and distance-table joins broadcast, never sort-merge") {
+  test("sim_pq: codes assign map-side off literal codebooks; the ADC join broadcasts") {
     val p = plan("sim_pq")
     assert(!p.contains("SortMergeJoin"), p)
-    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    // round 16: the codebook join is GONE — corpus encode is a map-side
+    // argmin over the inlined literal codebook (native long_sqdist); the
+    // only join left is the per-query ADC distance table, broadcast
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 1, p)
+    assert(p.contains("long_sqdist"), p)
   }
 
   test("q1_agg: partial aggregation before the exchange") {

@@ -558,21 +558,18 @@ object TextFunctions {
       : DataFrame = {
     require(words.length == mBits / 64,
       s"words.length ${words.length} != mBits/64 ${mBits / 64}")
-    import org.apache.spark.sql.graftinterop.ColumnInterop
-    // variable-distance shift: the DSL's shiftright only takes a
-    // literal distance, the catalyst node takes any expression
-    def shiftR(v: Column, n: Column): Column =
-      ColumnInterop.column(org.apache.spark.sql.catalyst.expressions.ShiftRight(
-        ColumnInterop.expression(v), ColumnInterop.expression(n)))
-    val wlit = typedlit(words.toSeq)
-    def bloomHit(sh: Column): Column =
-      forall(bloomPositions(sh, mBits, k), p =>
-        shiftR(element_at(wlit, (p / 64).cast("int") + 1), (p % 64).cast("int"))
-          .bitwiseAND(1) === 1)
+    // All-k-probes screen as ONE native kernel over the shingle array
+    // ([[graft.expressions.BloomContamHits]]) — the declarative
+    // size(filter(sh, s -> forall(bloomPositions(s), bit))) nested
+    // three interpreted higher-order functions and built the md5 hex
+    // string + base-16 conv per probe; the kernel runs the identical
+    // derivation off the digest bytes in one compiled loop
+    // (bit-identical counts; parity spec-pinned).
     corpus.select(col(idCol).as("doc_id"),
         bound(shingleSet(col(textCol))) { sh =>
           struct(size(sh).cast("bigint").as("n"),
-            size(filter(sh, s => bloomHit(s))).cast("bigint").as("f"))
+            graft.expressions.BloomFunctions
+              .bloomContamHits(sh, words, mBits, k).as("f"))
         }.as("__s"))
       .select(col("doc_id"),
         col("__s.n").as("n_shingles"), col("__s.f").as("n_flagged"),

@@ -25,6 +25,15 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  // javax.imageio defaults to FILE-backed stream caches: every
+  // ImageIO.write/read call creates (and deletes) a temp file on
+  // local disk. The codec output is byte-identical either way; at
+  // thousands of encode/decode calls per partition the temp-file
+  // churn dominates the kernels. Memory-backed caches instead —
+  // set once per JVM when this object loads (kernels are members,
+  // so any executor touching them initializes the object first).
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** A media asset row: opaque payload + typed metadata. */
   case class MediaAsset(
       asset_id: Long,

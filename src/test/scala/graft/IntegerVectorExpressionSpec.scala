@@ -56,6 +56,41 @@ class IntegerVectorExpressionSpec extends SparkSpec {
     assert(row.getLong(1) == (4L + 10L + 18L))
   }
 
+  test("BloomContamHits matches the declarative filter/forall/bloomPositions screen") {
+    import graft.functions.TextFunctions
+    import org.apache.spark.sql.graftinterop.ColumnInterop
+    val mBits = 1 << 10
+    val k = 3
+    // bitset from a few planted shingles via the production fold
+    val planted = Seq("alpha beta gamma", "beta gamma delta", "zz yy xx")
+    val words = new Array[Long](mBits / 64)
+    val pos = planted.toDF("sh")
+      .select(explode(TextFunctions.bloomPositions(col("sh"), mBits, k)).as("p"))
+      .collect().map(_.getLong(0))
+    pos.foreach(p => words((p >>> 6).toInt) |= 1L << (p & 63))
+    // probe arrays incl. planted members, misses, empties
+    val df = Seq(
+      Array("alpha beta gamma", "no such shingle here"),
+      Array("beta gamma delta", "zz yy xx", "another miss entirely"),
+      Array[String](),
+      Array("miss one", "miss two")).toDF("sh")
+    def shiftR(v: org.apache.spark.sql.Column, n: org.apache.spark.sql.Column) =
+      ColumnInterop.column(org.apache.spark.sql.catalyst.expressions.ShiftRight(
+        ColumnInterop.expression(v), ColumnInterop.expression(n)))
+    val wlit = typedlit(words.toSeq)
+    val declarative = size(filter(col("sh"), s =>
+      forall(TextFunctions.bloomPositions(s, mBits, k), p =>
+        shiftR(element_at(wlit, (p / 64).cast("int") + 1), (p % 64).cast("int"))
+          .bitwiseAND(1) === 1))).cast("bigint")
+    val out = df.select(
+      graft.expressions.BloomFunctions
+        .bloomContamHits(col("sh"), words, mBits, k).as("native"),
+      declarative.as("decl")).collect()
+    out.foreach(r => assert(r.getLong(0) == r.getLong(1), s"mismatch: $r"))
+    // the planted rows really do hit (the test isn't vacuous)
+    assert(out(0).getLong(0) == 1L && out(1).getLong(0) == 2L)
+  }
+
   test("ilog2Fp16 native expression matches the declarative 16-step chain") {
     // the exact chain ilog2Fp16 replaced (struct fold over sequence)
     def oldChain(p: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {

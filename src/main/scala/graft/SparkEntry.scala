@@ -398,9 +398,12 @@ object SparkEntry {
 
   /** JSON property extraction from the events `props` column. */
   private def jsonExtract(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir).select(
-      col("event_id"),
-      get_json_object(col("props"), "$.k").cast("int").as("k"))
+    // bootstrap: per-row JSON parsing is the cost, and the local
+    // single-row-group events file arrives as one task
+    graft.core.Parallelism.ensureBy(Tables.events(spark, dir), "event_id")
+      .select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
 
   /** Semi-structured round-trip through Spark 4's native VARIANT type:
     * the typed row becomes a binary variant via `to_variant_object`
@@ -415,7 +418,9 @@ object SparkEntry {
     * construction, so the round-trip must be the identity on the
     * typed columns. Pure projection — zero exchanges (PlanSpec). */
   private def jsonVariant(spark: SparkSession, dir: String): DataFrame = {
-    val v = Tables.events(spark, dir).select(
+    // bootstrap: parse_json/to_variant_object per row is the cost
+    val v = graft.core.Parallelism.ensureBy(
+      Tables.events(spark, dir), "event_id").select(
       col("event_id"),
       to_variant_object(struct(
         col("user_id"), col("event_type"), col("value"))).as("row_v"),
@@ -439,7 +444,11 @@ object SparkEntry {
     * timed query includes the write — it IS the write path. */
   private def jsonShred(spark: SparkSession, dir: String): DataFrame = {
     import graft.sources.VariantShred
-    val v = Tables.events(spark, dir).select(
+    // parallelism bootstrap: the shredded WRITE (variant encode +
+    // schema_of_variant_agg pass) is the operator's cost, and a
+    // single-row-group local events file would run it as one task
+    val v = graft.core.Parallelism.ensureBy(
+      Tables.events(spark, dir), "event_id").select(
       col("event_id"),
       to_variant_object(struct(
         col("user_id"), col("event_type"), col("value"),

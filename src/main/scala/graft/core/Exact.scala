@@ -30,6 +30,22 @@ object Parallelism {
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
+
+  /** Keyed twin of [[ensure]] for inputs with a high-cardinality key:
+    * hash-repartitions on `cols` instead of round-robin, which skips
+    * the defensive whole-row local sort every keyless `repartition(n)`
+    * pays (spark.sql.execution.sortBeforeRepartition, on by default
+    * since SPARK-23207 — hash placement is already deterministic under
+    * task retry, so no sort is needed). Same scale contract: a no-op
+    * whenever the scan already splits to the cluster parallelism. */
+  def ensureBy(df: org.apache.spark.sql.DataFrame, cols: String*)
+      : org.apache.spark.sql.DataFrame = {
+    if (df.isStreaming) return df
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target)
+      df.repartition(target, cols.map(org.apache.spark.sql.functions.col): _*)
+    else df
+  }
 }
 
 object Exact {

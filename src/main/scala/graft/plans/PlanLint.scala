@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.{FileSourceScanExec, FilterExec, SparkPlan}
 import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.exchange.{ENSURE_REQUIREMENTS, ShuffleExchangeExec}
 import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
 
 /** Static lint over a physical plan: the anti-patterns this engine's
@@ -43,9 +43,18 @@ object PlanLint {
         Finding("cartesian", "error",
           s"BroadcastNestedLoopJoin (${b.joinType}) — no equi-condition")
     }
+    // Only PLANNER-inserted exchanges (ENSURE_REQUIREMENTS: join/agg/
+    // window distribution) are findings: text riding one means a keyed
+    // operator is shuffling payload instead of hashes/ids. An explicit
+    // caller repartition (REPARTITION_BY_* / REBALANCE origins) is the
+    // engine's documented parallelism bootstrap (Parallelism.ensure on
+    // an under-split local scan — a no-op at scale) or a shard
+    // redistribution operator (corpus_shuffle, doc_pack) whose whole
+    // point is moving the payload exactly once.
     val wide = nodes.collect {
       case s: ShuffleExchangeExec
-          if s.output.exists(a => wideCols.contains(a.name)) =>
+          if s.shuffleOrigin == ENSURE_REQUIREMENTS &&
+            s.output.exists(a => wideCols.contains(a.name)) =>
         val cols = s.output.map(_.name).filter(wideCols.contains)
         Finding("wide-shuffle", "warn",
           s"shuffle carries wide column(s): ${cols.mkString(",")}")

@@ -77,8 +77,10 @@ class HardeningSpec extends SparkSpec {
     assert(m1.shuffleRecordsWritten > 0 && m1.shuffleBytesWritten > 0)
     assert(m1.filesRead > 0 && m1.scanRowsRead > 0)
     assert(!m1.spilled) // sf0.001 must never spill
-    // map-only projection: zero shuffle
-    val proj = Tables.lineitem(spark, dir).select("l_orderkey", "l_quantity")
+    // map-only projection: zero shuffle (raw read — Tables.lineitem
+    // carries the parallelism-bootstrap repartition by design)
+    val proj = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select("l_orderkey", "l_quantity")
     val m2 = Metrics.measure(proj)
     assert(m2.shuffleRecordsWritten == 0 && m2.rowsOut == m2.scanRowsRead)
   }

@@ -28,16 +28,26 @@ class PlanLintSpec extends SparkSpec {
   }
 
   test("flags a wide column crossing a shuffle, passes the hash-only shape") {
-    // NOTE no repartition here: a round-robin repartition would itself
-    // shuffle the text and (correctly) trip the linter
     val docs = (1L to 50L).map(i => (i, s"document body $i"))
       .toDF("doc_id", "text")
-    // anti-pattern: grouping ON the text shuffles the text
+    // anti-pattern: grouping ON the text shuffles the text (a planner-
+    // inserted ENSURE_REQUIREMENTS exchange carries the wide column)
     val bad = docs.groupBy("text").agg(count(lit(1)).as("n"))
     assert(PlanLint.lint(bad).exists(_.rule == "wide-shuffle"))
     // the engine convention: hash first, shuffle the hash
     val good = docs.groupBy(md5(col("text")).as("h")).agg(count(lit(1)).as("n"))
     assert(!PlanLint.lint(good).exists(_.rule == "wide-shuffle"))
+    // an EXPLICIT caller repartition is the parallelism bootstrap /
+    // shard-redistribution idiom (REPARTITION_BY_* origin): moving the
+    // payload once is its whole point, so it is not a finding...
+    val boot = docs.repartition(4, col("doc_id"))
+      .select(col("doc_id"), length(col("text")).as("n"))
+    assert(!PlanLint.lint(boot).exists(_.rule == "wide-shuffle"))
+    // ...but a keyed operator DOWNSTREAM of the bootstrap that still
+    // carries text through its own exchange keeps flagging
+    val bootBad = docs.repartition(4, col("doc_id"))
+      .groupBy("text").agg(count(lit(1)).as("n"))
+    assert(PlanLint.lint(bootBad).exists(_.rule == "wide-shuffle"))
   }
 
   test("flags an unpushed filter on a parquet scan, passes a pushed one") {

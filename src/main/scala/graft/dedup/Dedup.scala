@@ -988,31 +988,30 @@ object Dedup {
                                 textCol: String, idCol: String): DataFrame = {
     require(w >= 2, s"window must be >= 2 tokens, got $w")
     val posCap = 1L << 20
-    import graft.functions.TextFunctions.{bound, tokens, shingleHash}
+    import graft.functions.TextFunctions.{bound, tokens}
     // per-position window hashing is CPU-bound: a small local parquet
     // arrives as ONE partition and would serialize the whole corpus's
     // md5 work on one core. ensure() round-robins the input up to the
     // cluster parallelism — a no-op at scale, where the scan itself
     // produces thousands of splits (lint-exempted: this is the
-    // parallelism bootstrap, not a keyed text exchange)
+    // parallelism bootstrap, not a keyed text exchange).
+    // Hashing itself is the native WindowHashes kernel (one tight loop
+    // per doc) — the transform/slice/md5-hex composition it replaces
+    // re-read every token w times through interpreted lambda frames.
     graft.core.Parallelism.ensure(df)
       .select(col(idCol).cast("long").as("doc_id"),
         bound(tokens(col(textCol))) { ts =>
-          when(size(ts) >= w,
-            // loud guard, not a scaladoc caveat: a doc with >= 2^20
-            // tokens would silently collide its occ_key into the next
-            // doc_id's key space and elect wrong first occurrences
-            when(assert_true(size(ts) - w < lit(posCap.toInt),
-              concat(lit(s"document exceeds the $posCap-token window-position cap "),
-                lit("(occ_key packs doc_id * 2^20 + pos) — re-key or chunk it"))).isNull,
-            transform(sequence(lit(0), size(ts) - w), i =>
-              struct(i.as("pos"),
-                shingleHash(concat_ws(" ", slice(ts, i + 1, lit(w)))).as("whash")))))
-            .otherwise(array().cast("array<struct<pos:int,whash:bigint>>"))
-        }.as("wins"))
-      .select(col("doc_id"), explode(col("wins")).as("wn"))
-      .select(col("doc_id"), col("wn.pos").as("pos"), col("wn.whash").as("whash"),
-        (col("doc_id") * posCap + col("wn.pos")).as("occ_key"))
+          // loud guard, not a scaladoc caveat: a doc with >= 2^20
+          // tokens would silently collide its occ_key into the next
+          // doc_id's key space and elect wrong first occurrences
+          when(assert_true(size(ts) - w < lit(posCap.toInt),
+            concat(lit(s"document exceeds the $posCap-token window-position cap "),
+              lit("(occ_key packs doc_id * 2^20 + pos) — re-key or chunk it"))).isNull,
+            graft.expressions.WindowHashFunctions.windowHashes(ts, w))
+        }.as("whs"))
+      .select(col("doc_id"), posexplode(col("whs")).as(Seq("pos", "whash")))
+      .select(col("doc_id"), col("pos"), col("whash"),
+        (col("doc_id") * posCap + col("pos")).as("occ_key"))
   }
 
   /** Shared rebuild: drop every token covered by a cut window start;

@@ -365,12 +365,21 @@ object TextFunctions {
     val m = 1L << maskBits
     bound(tokens(text)) { ts =>
       val n = size(ts)
-      // 0-based boundary positions: rolling-hash rule + forced final
-      // (And short-circuits, so the slice never sees a sub-window)
+      // 0-based boundary positions: rolling-hash rule + forced final.
+      // The per-end-position window hash is element i-(w-1) of the
+      // native WindowHashes array (window [i-w+1, i], computed in one
+      // tight kernel pass); the filter lambda then only indexes —
+      // the old slice+md5 composition re-hashed per position through
+      // interpreted lambda frames. w == 1 keeps the degenerate
+      // single-token window via the kernel's w >= 2 floor twin below.
+      val boundaryHashes =
+        if (w >= 2) graft.expressions.WindowHashFunctions.windowHashes(ts, w)
+        else transform(ts, t => shingleHash(t))
+      bound(boundaryHashes) { wh =>
       val bIdx = filter(sequence(lit(0), n - 1), i =>
         (i === n - 1) ||
           (i >= w - 1 &&
-            shingleHash(concat_ws(" ", slice(ts, i - lit(w - 2), lit(w)))) % m === 0))
+            element_at(wh, i - lit(w - 2)) % m === 0))
       bound(bIdx) { b =>
         // previous boundary per chunk (-1 before the first): chunk j
         // spans 0-based tokens prev+1 .. end
@@ -378,6 +387,7 @@ object TextFunctions {
         zip_with(b, prev, (e, p) => struct(
           concat_ws(" ", slice(ts, p + 2, e - p)).as("chunk"),
           (e - p).cast("long").as("n_tokens")))
+      }
       }
     }
   }
@@ -433,9 +443,13 @@ object TextFunctions {
   private def spanPosting(docs: org.apache.spark.sql.DataFrame, width: Int,
                           textCol: String, idCol: String)
       : org.apache.spark.sql.DataFrame =
+    // native kernel + distinct over the LONG hashes: identical rows to
+    // hash(distinct shingle strings) — the 60-bit fold is the same
+    // derivation, and the scaladoc's collision note already counts by
+    // the folded hash — without materializing shingle strings
     docs.select(col(idCol).as("doc_id"),
-        explode(shingleSet(col(textCol), width)).as("sp"))
-      .select(col("doc_id"), shingleHash(col("sp")).as("sp_h"))
+        explode(array_distinct(graft.expressions.WindowHashFunctions
+          .windowHashes(tokens(col(textCol)), width))).as("sp_h"))
 
   /** Train→test contamination check (decontamination stage): for each
     * test document, the fraction of its distinct 3-token shingles that
@@ -464,9 +478,11 @@ object TextFunctions {
                           testShingles: org.apache.spark.sql.DataFrame,
                           textCol: String = "text")
       : org.apache.spark.sql.DataFrame = {
+    // native kernel (see spanPosting): same 60-bit fold, post-hash
+    // distinct was already the semantics, no shingle strings built
     val th = train
-      .select(explode(shingleSet(col(textCol))).as("sh"))
-      .select(shingleHash(col("sh")).as("h")).distinct()
+      .select(explode(array_distinct(graft.expressions.WindowHashFunctions
+        .windowHashes(tokens(col(textCol)), 3))).as("h")).distinct()
     // ONE pass over the test shingle sets: explode_outer keeps
     // zero-shingle docs alive (null hash never joins), and the shingle
     // count rides along each exploded row, so totals need no second
@@ -1063,10 +1079,13 @@ object TextFunctions {
                         textCol: String = "text",
                         sourceCol: String = "source")
       : org.apache.spark.sql.DataFrame = {
+    // native kernel: per-position window hashes in one pass — the
+    // shingle STRING never materializes (the value is the identical
+    // 60-bit md5 fold, and the post-hash distinct was already the
+    // semantics here)
     val sp = docs.select(col(sourceCol).as("source"),
-        explode(shingleSet(col(textCol), width)).as("sp"))
-      .select(col("source"),
-        conv(substring(md5(col("sp")), 1, 15), 16, 10).cast("long").as("sp_h"))
+        explode(array_distinct(graft.expressions.WindowHashFunctions
+          .windowHashes(tokens(col(textCol)), width))).as("sp_h"))
       .distinct()
     val a = sp.select(col("source").as("source_a"), col("sp_h"))
     val b = sp.select(col("source").as("source_b"), col("sp_h"))
@@ -1165,10 +1184,11 @@ object TextFunctions {
                      maxDocsPerSpan: Int = 20,
                      textCol: String = "text", idCol: String = "doc_id")
       : org.apache.spark.sql.DataFrame = {
+    // native kernel (see spanPosting): same 60-bit fold per distinct
+    // window, no shingle strings built
     val sp = docs.select(col(idCol).as("doc_id"),
-        explode(shingleSet(col(textCol), width)).as("sp"))
-      .select(col("doc_id"),
-        conv(substring(md5(col("sp")), 1, 15), 16, 10).cast("long").as("sp_h"))
+        explode(array_distinct(graft.expressions.WindowHashFunctions
+          .windowHashes(tokens(col(textCol)), width))).as("sp_h"))
     val sel = sp.groupBy("sp_h")
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd").between(2, maxDocsPerSpan))

@@ -301,6 +301,16 @@ object Graph {
   def labelPropagation(edges: DataFrame, srcCol: String = "src",
                        dstCol: String = "dst", iterations: Int = 4): DataFrame = {
     require(iterations >= 1, s"need iterations >= 1, got $iterations")
+    // MEASURED (round 17): pinning the loop frames with persist +
+    // repartition-by-key (to make the vote join co-partitioned and
+    // exchange-free, the Pregel discipline) ran 2.3x SLOWER here —
+    // cached plans compile without AQE partition coalescing
+    // (canChangeCachedPlanOutputPartitioning=false), so every round
+    // ran full-width 32-task stages (1359 tasks vs 486) and the
+    // persist/scan overhead swamped the saved exchanges at this
+    // frame size. localCheckpoint + AQE remains the right local
+    // shape; revisit co-partitioned pinning only on a real cluster
+    // where the edge re-shuffle dominates barrier latency.
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .localCheckpoint() // reused every round: materialize once
     var lab = e.select(col("src").as("id"))
